@@ -1,0 +1,62 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+import graft.GraftAnalysisException
+import graft.spec.SinkSpec
+
+/** Sinks: terminal actions of a pipeline (reference main.py:309-343:
+  * stdout, json, csv, sqlite). `parquet` added as the scalable
+  * columnar sink (with `partition_by` for partition-pruned downstream
+  * reads); `jdbc` generalizes the reference's sqlite sink.
+  *
+  * Every writer is distributed (`df.write`) except stdout, which by
+  * nature collects to the driver — capped by `limit` (default 20) so a
+  * misconfigured pipeline cannot OOM the driver (SURVEY §7.3 safeguard;
+  * the reference pretty-prints the entire dataset, main.py:310-312).
+  */
+object SinkWriter {
+
+  def write(df: DataFrame, s: SinkSpec): Unit = s.sinkType match {
+    case "stdout" =>
+      val limit = s.config.int("limit").getOrElse(20)
+      df.limit(limit).toJSON.collect().foreach(println)
+
+    case "json" =>
+      writer(df, s).json(s.config.reqStr("path"))
+
+    case "csv" =>
+      writer(df, s)
+        .option("header", s.config.bool("header").getOrElse(true))
+        .csv(s.config.reqStr("path"))
+
+    case "parquet" =>
+      val w = writer(df, s)
+      val parts = s.config.strList("partition_by")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s.config.reqStr("path"))
+
+    // Reference sqlite sink (main.py:326-341) stores everything as
+    // TEXT; here values keep their types — the all-TEXT behavior was an
+    // artifact, not a semantic (SURVEY §2.3).
+    case "jdbc" | "sqlite" =>
+      val url = s.sinkType match {
+        case "sqlite" => "jdbc:sqlite:" + s.config.reqStr("database")
+        case _        => s.config.reqStr("url")
+      }
+      df.write.format("jdbc").option("url", url)
+        .option("dbtable", s.config.str("table").getOrElse("output"))
+        .mode(s.config.str("mode").getOrElse("append"))
+        .save()
+
+    case other =>
+      throw new GraftAnalysisException(s"sink '${s.name}': unknown sink type '$other'")
+  }
+
+  private def writer(df: DataFrame, s: SinkSpec) = {
+    val coalesceN = s.config.int("coalesce")
+    val d = coalesceN.map(df.coalesce).getOrElse(df)
+    d.write.mode(s.config.str("mode").getOrElse("overwrite"))
+  }
+
+  val knownTypes: Set[String] = Set("stdout", "json", "csv", "parquet", "jdbc", "sqlite")
+}

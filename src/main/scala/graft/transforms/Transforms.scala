@@ -1,0 +1,438 @@
+package graft.transforms
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+
+import graft.GraftAnalysisException
+import graft.spec.{Config, TransformSpec}
+
+/** The transform operator set: each op is `(DataFrame, Config, ctx) =>
+  * DataFrame`, purely declarative — it extends the Catalyst logical
+  * plan and never triggers an action, so pushdown / pruning / codegen
+  * apply across the whole chain.
+  *
+  * Covers the reference's 8 transforms (main.py:159-291) with the
+  * declared semantics of SURVEY §2.5, plus the relational surface the
+  * reference lacks (SURVEY §2.4 ABSENT list): limit, explicit union,
+  * window functions, multi-aggregation, distinct aggregation, rollup /
+  * cube, non-inner joins, and a full SQL escape hatch.
+  */
+object Transforms {
+
+  type Ctx = Map[String, DataFrame]
+
+  def apply(df: DataFrame, t: TransformSpec, ctx: Ctx): DataFrame = t.transformType match {
+    case "filter"      => FilterOp(df, t.config)
+    case "map"         => MapOp(df, t.config)
+    case "aggregate"   => AggregateOp(df, t.config)
+    case "join"        => JoinOp(df, t.config, ctx)
+    case "sort"        => SortOp(df, t.config)
+    case "deduplicate" => DedupOp(df, t.config)
+    case "select"      => SelectOp(df, t.config)
+    case "rename"      => RenameOp(df, t.config)
+    case "limit"       => LimitOp(df, t.config)
+    case "union"       => UnionOp(df, t.config, ctx)
+    case "window"      => WindowOp(df, t.config)
+    case "sql"         => SqlOp(df, t.config, ctx)
+    case other =>
+      throw new GraftAnalysisException(s"transform '${t.name}': unknown transform type '$other'")
+  }
+
+  /** Known transform types, for spec validation. */
+  val knownTypes: Set[String] = Set(
+    "filter", "map", "aggregate", "join", "sort", "deduplicate",
+    "select", "rename", "limit", "union", "window", "sql")
+
+  private[transforms] def c(name: String): Column = col(quote(name))
+  private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** JSON literal → typed Spark literal (the filter comparison value,
+    * reference main.py:183). Typed comparison replaces the reference's
+    * `type(value)(v)` runtime coercion (main.py:188) — declared
+    * deviation (a) in SURVEY §2.5.
+    */
+  private[transforms] def jlit(v: JValue): Column = v match {
+    case JString(s)  => lit(s)
+    case JInt(i)     => lit(i.toLong)
+    case JLong(i)    => lit(i)
+    case JDouble(d)  => lit(d)
+    case JDecimal(d) => lit(d.toDouble)
+    case JBool(b)    => lit(b)
+    case JNull       => lit(null)
+    case other       => throw new GraftAnalysisException(s"unsupported literal: $other")
+  }
+}
+
+import Transforms.{c, jlit, quote, Ctx}
+
+/** Row predicate (reference main.py:180-203). Ops: eq ne gt lt ge le
+  * contains notnull isnull in between. Typed comparison; NULL never
+  * matches (standard three-valued logic) — deviations (a)/(b) of
+  * SURVEY §2.5 vs the reference's coercion quirks. `notnull` keeps the
+  * reference's intentional "not null and not empty-string" semantics
+  * (main.py:201), with the empty-string clause applied only to string
+  * columns. Unknown op is an analysis error, not a silent row drop
+  * (reference drops rows on unknown op — no else branch, main.py:203).
+  */
+object FilterOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val field = cfg.reqStr("field")
+    val op = cfg.str("op").getOrElse("eq")
+    lazy val v = jlit(cfg.value("value").getOrElse(
+      throw new GraftAnalysisException(s"filter $op on '$field' needs 'value'")))
+    val isString = df.schema.find(_.name == field).exists(_.dataType == StringType)
+    val pred: Column = op match {
+      case "eq" => c(field) === v
+      case "ne" => c(field) =!= v
+      case "gt" => c(field) > v
+      case "lt" => c(field) < v
+      case "ge" | "gte" => c(field) >= v
+      case "le" | "lte" => c(field) <= v
+      case "contains" => c(field).cast(StringType).contains(v.cast(StringType))
+      case "notnull" => if (isString) c(field).isNotNull && c(field) =!= lit("") else c(field).isNotNull
+      case "isnull" => c(field).isNull
+      case "in" => c(field).isin(cfg.rawList("value").map {
+        case JString(s) => s
+        case JInt(i)    => i.toLong
+        case JLong(i)   => i
+        case JDouble(d) => d
+        case JBool(b)   => b
+        case o          => throw new GraftAnalysisException(s"bad 'in' element: $o")
+      }: _*)
+      case "between" =>
+        val lo = jlit(cfg.value("low").getOrElse(throw new GraftAnalysisException("between needs 'low'")))
+        val hi = jlit(cfg.value("high").getOrElse(throw new GraftAnalysisException("between needs 'high'")))
+        c(field) >= lo && c(field) <= hi
+      case other => throw new GraftAnalysisException(s"filter: unknown op '$other'")
+    }
+    df.filter(pred)
+  }
+}
+
+/** Single-field value transform (reference main.py:205-224). Ops:
+  * upper lower strip(=trim) ltrim rtrim length abs int float str.
+  *
+  * Cast semantics: `try_cast` — failures become NULL (typed-column
+  * model). The reference's keep-original-on-failure (main.py:219-222)
+  * is available as `keep_original: true`, valid only on string
+  * columns: `coalesce(cast(try_cast(x) as string), x)` normalizes
+  * parseable values and passes failures through, the closest
+  * single-typed-column analogue of the reference's dynamic rows.
+  * Unknown op is an analysis error (reference silently defaults to
+  * str, main.py:214 — declared deviation).
+  */
+object MapOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val field = cfg.reqStr("field")
+    val op = cfg.str("operation").orElse(cfg.str("op")).getOrElse("str")
+    val out = cfg.str("as").getOrElse(field)
+    val q = quote(field)
+    def castTo(t: String): Column =
+      if (cfg.bool("keep_original").getOrElse(false))
+        coalesce(expr(s"try_cast($q AS $t)").cast(StringType), c(field).cast(StringType))
+      else expr(s"try_cast($q AS $t)")
+    val e: Column = op match {
+      case "upper"  => upper(c(field))
+      case "lower"  => lower(c(field))
+      case "strip" | "trim" => trim(c(field))
+      case "ltrim"  => ltrim(c(field))
+      case "rtrim"  => rtrim(c(field))
+      case "length" => length(c(field))
+      case "abs"    => abs(c(field))
+      case "int" | "long" => castTo("BIGINT")
+      case "float" | "double" => castTo("DOUBLE")
+      case "str" | "string" => c(field).cast(StringType)
+      case other => throw new GraftAnalysisException(s"map: unknown operation '$other'")
+    }
+    df.withColumn(out, e)
+  }
+}
+
+/** Group-by aggregation (reference main.py:226-249), generalized to
+  * multi-aggregation and the standard SQL function set. The reference
+  * supports a single `{field, function}` — that shape still works and
+  * keeps the reference's `{field}_{fn}` output naming (main.py:239-247)
+  * and count-all-rows-including-null semantics (count = len(rows),
+  * main.py:239 → count(1) here).
+  *
+  * Scale notes: hash aggregation with partial (map-side) combine comes
+  * from Catalyst/`HashAggregateExec` for free. `exact_decimal: N`
+  * computes sum/avg through `DECIMAL(38,N)` — exact, order-independent
+  * arithmetic, so results are reproducible across any partitioning
+  * (floating sums are not), then casts back to double. Rollup/cube via
+  * `grouping: "rollup"|"cube"`.
+  */
+object AggregateOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val groupBy = cfg.strList("group_by")
+    val aggSpecs: Seq[Config] =
+      if (cfg.objList("aggregations").nonEmpty) cfg.objList("aggregations")
+      else Seq(cfg) // reference single-agg shape {field, function}
+    val aggCols = aggSpecs.map { a =>
+      val fn = a.str("function").getOrElse("count")
+      val field = a.str("field").getOrElse("*")
+      val alias = a.str("as").getOrElse(s"${if (field == "*") "row" else field}_$fn")
+      val scale = a.int("exact_decimal")
+      def exact(col0: Column): Column = scale match {
+        case Some(s) => col0.cast(DecimalType(38, s))
+        case None    => col0
+      }
+      val e: Column = fn match {
+        case "count" => if (field == "*") count(lit(1)) else count(lit(1)) // reference: counts all rows incl. null field
+        case "count_nonnull" => count(c(field))
+        case "count_distinct" => countDistinct(c(field))
+        case "approx_count_distinct" => approx_count_distinct(c(field))
+        case "sum" => scale match {
+          case Some(_) => sum(exact(c(field))).cast(DoubleType)
+          case None    => sum(c(field))
+        }
+        case "avg" | "mean" => scale match {
+          // exact decimal sum / count, final division in double: one
+          // deterministic double op regardless of partitioning.
+          case Some(_) => (sum(exact(c(field))).cast(DoubleType) / count(c(field))).cast(DoubleType)
+          case None    => avg(c(field))
+        }
+        case "min" => min(c(field))
+        case "max" => max(c(field))
+        case "first" => first(c(field), ignoreNulls = true)
+        case "last" => last(c(field), ignoreNulls = true)
+        case "stddev" => stddev(c(field))
+        case "variance" => variance(c(field))
+        case "collect_set_size" => size(collect_set(c(field)))
+        case "percentile" =>
+          percentile_approx(c(field), lit(a.double("p").getOrElse(0.5)), lit(a.int("accuracy").getOrElse(10000)))
+        case other => throw new GraftAnalysisException(s"aggregate: unknown function '$other'")
+      }
+      e.as(alias)
+    }
+    val grouped = cfg.str("grouping").getOrElse("groupby") match {
+      case "rollup" => df.rollup(groupBy.map(c): _*)
+      case "cube"   => df.cube(groupBy.map(c): _*)
+      case _        => df.groupBy(groupBy.map(c): _*)
+    }
+    grouped.agg(aggCols.head, aggCols.tail: _*)
+  }
+}
+
+/** Join current stream (left) against a named source from the run
+  * context (reference main.py:251-263). Generalized from the
+  * reference's single shape (inner, 1:1 last-wins right) to all Spark
+  * join types; right columns get a configurable prefix (reference:
+  * "r_", main.py:261), applied to all right columns including the key.
+  *
+  * Right-dedup contract (reference main.py:256 builds a dict keyed by
+  * right_key → duplicate keys: *last wins*): `right_dedup:
+  * "last"|"first"` reproduces it deterministically with a window over
+  * an explicit `right_order` column — required, because "input order"
+  * is not a well-defined concept for a distributed scan (SURVEY §7.3).
+  * Default is no dedup (standard relational join).
+  *
+  * Scale notes: Catalyst + AQE choose broadcast-hash vs sort-merge at
+  * runtime from actual sizes; `broadcast: true` forces the hint for
+  * known-small dimensions. The reference's dict lookup is itself a
+  * broadcast hash join, so parity pipelines set it for small right
+  * sides.
+  */
+object JoinOp {
+  def apply(df: DataFrame, cfg: Config, ctx: Ctx): DataFrame = {
+    val rightName = cfg.reqStr("right")
+    val right0 = ctx.getOrElse(rightName,
+      throw new GraftAnalysisException(s"join: unknown right source '$rightName'"))
+    val lk = cfg.str("left_key").getOrElse("id")
+    val rk = cfg.str("right_key").getOrElse("id")
+    val how = cfg.str("how").getOrElse("inner")
+    val prefix = cfg.str("prefix").getOrElse("r_")
+
+    val right1 = cfg.str("right_dedup") match {
+      case Some(keep @ ("last" | "first")) =>
+        val ord = cfg.str("right_order").getOrElse(throw new GraftAnalysisException(
+          "join: right_dedup needs 'right_order' (a column that defines input order)"))
+        val w = Window.partitionBy(c(rk))
+          .orderBy(if (keep == "last") c(ord).desc else c(ord).asc)
+        right0.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      case None | Some("none") => right0
+      case Some(other) => throw new GraftAnalysisException(s"join: unknown right_dedup '$other'")
+    }
+    val right = right1.select(right1.columns.map(cn => col(quote(cn)).as(prefix + cn)).toSeq: _*)
+    val rightB = if (cfg.bool("broadcast").getOrElse(false)) broadcast(right) else right
+    df.join(rightB, c(lk) === col(quote(prefix + rk)), how)
+  }
+}
+
+/** Sort (reference main.py:265-268), extended to multi-column with
+  * per-column direction and null placement. Spark executes a total
+  * sort via range partitioning (sampled split points) — the
+  * distributed equivalent of the reference's single-list Timsort.
+  * With `limit`, Catalyst plans `TakeOrderedAndProject` instead: a
+  * per-partition top-k + driver merge, no full sort — the only
+  * scalable form of "give me the top N of 100 TB".
+  */
+object SortOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val keys: Seq[Config] =
+      if (cfg.objList("columns").nonEmpty) cfg.objList("columns")
+      else Seq(cfg) // reference single shape {field, descending}
+    val exprs = keys.map { k =>
+      val f = c(k.reqStr("field"))
+      val desc0 = k.bool("descending").getOrElse(false)
+      (desc0, k.str("nulls").getOrElse(if (desc0) "last" else "first")) match {
+        case (false, "first") => f.asc_nulls_first
+        case (false, _)       => f.asc_nulls_last
+        case (true, "first")  => f.desc_nulls_first
+        case (true, _)        => f.desc_nulls_last
+      }
+    }
+    val sorted = df.orderBy(exprs: _*)
+    cfg.int("limit") match {
+      case Some(n) => sorted.limit(n)
+      case None    => sorted
+    }
+  }
+}
+
+/** Deduplicate (reference main.py:270-279: keep-first by key tuple).
+  *
+  * Two modes with very different scale profiles:
+  *  - `keep: "any"` → `dropDuplicates(keys)`: hash-aggregate with
+  *    map-side partial combine; cheapest, result row per key is
+  *    arbitrary but the *set of keys* is exact. Default.
+  *  - `keep: "first"|"last"` with `order_by`: window `row_number`
+  *    filter — one shuffle + per-key sort; deterministic row choice.
+  *    This is the reference's first-wins semantics (main.py:270-279)
+  *    made well-defined: "first" must be first *by some column*, since
+  *    distributed scans have no inherent order (SURVEY §7.3).
+  * Empty `keys` → dedup over all columns (exact duplicate removal).
+  */
+object DedupOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val keys = cfg.strList("keys")
+    cfg.str("keep").getOrElse("any") match {
+      case "any" =>
+        if (keys.isEmpty) df.dropDuplicates() else df.dropDuplicates(keys)
+      case keep @ ("first" | "last") =>
+        if (keys.isEmpty) throw new GraftAnalysisException("deduplicate: keep first/last needs 'keys'")
+        val ords = cfg.strList("order_by")
+        if (ords.isEmpty) throw new GraftAnalysisException(
+          "deduplicate: keep first/last needs 'order_by' (columns defining input order)")
+        val w = Window.partitionBy(keys.map(c): _*)
+          .orderBy(ords.map(o => if (keep == "last") c(o).desc else c(o).asc): _*)
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      case other => throw new GraftAnalysisException(s"deduplicate: unknown keep '$other'")
+    }
+  }
+}
+
+/** Projection (reference main.py:281-283). A missing field is an
+  * analysis error here (relational model), not a silently absent key.
+  */
+object SelectOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val fields = cfg.strList("fields")
+    if (fields.isEmpty) throw new GraftAnalysisException("select: needs non-empty 'fields'")
+    df.select(fields.map(c): _*)
+  }
+}
+
+/** Rename old→new (reference main.py:285-291). A rename that collides
+  * with an existing column is an analysis error — declared deviation
+  * (d) of SURVEY §2.5 from the reference's silent value clobber.
+  */
+object RenameOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val mapping = cfg.strMap("mapping")
+    if (mapping.isEmpty) throw new GraftAnalysisException("rename: needs non-empty 'mapping'")
+    val cols = df.columns.toSet
+    mapping.foreach { case (from, to) =>
+      if (!cols.contains(from)) throw new GraftAnalysisException(s"rename: no such column '$from'")
+      if (cols.contains(to) && !mapping.contains(to))
+        throw new GraftAnalysisException(s"rename: target '$to' already exists (collision)")
+    }
+    df.withColumnsRenamed(mapping)
+  }
+}
+
+/** Limit (ABSENT in the reference, SURVEY §2.4). */
+object LimitOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame =
+    df.limit(cfg.int("n").getOrElse(throw new GraftAnalysisException("limit: needs 'n'")))
+}
+
+/** Explicit union of the current stream with named sources, by column
+  * name with null-fill for missing columns — the declared semantics of
+  * the reference's implicit concat of heterogeneous sources
+  * (main.py:437-443; SURVEY §2.5 item 8). Union is plan-level only —
+  * no shuffle, partitions are simply concatenated.
+  */
+object UnionOp {
+  def apply(df: DataFrame, cfg: Config, ctx: Ctx): DataFrame = {
+    val names = cfg.strList("inputs")
+    if (names.isEmpty) throw new GraftAnalysisException("union: needs non-empty 'inputs'")
+    names.foldLeft(df) { (acc, n) =>
+      val other = ctx.getOrElse(n, throw new GraftAnalysisException(s"union: unknown input '$n'"))
+      acc.unionByName(other, allowMissingColumns = true)
+    }
+  }
+}
+
+/** Window functions (ABSENT in the reference, SURVEY §2.4): ranking,
+  * offsets, and framed running aggregates over
+  * `partition_by`/`order_by`. One shuffle on the partition keys; all
+  * functions over the same window spec share it.
+  */
+object WindowOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val parts = cfg.strList("partition_by")
+    val ords = cfg.objList("order_by").map { o =>
+      if (o.bool("descending").getOrElse(false)) c(o.reqStr("field")).desc else c(o.reqStr("field")).asc
+    } match {
+      case Nil => cfg.strList("order_by_fields").map(f => c(f).asc)
+      case xs  => xs
+    }
+    val base = Window.partitionBy(parts.map(c): _*).orderBy(ords: _*)
+    val fns = cfg.objList("functions")
+    if (fns.isEmpty) throw new GraftAnalysisException("window: needs 'functions'")
+    fns.foldLeft(df) { (acc, f) =>
+      val fn = f.reqStr("function")
+      lazy val field = c(f.reqStr("field"))
+      val alias = f.str("as").getOrElse(fn)
+      val w = f.str("frame").getOrElse("") match {
+        case "running" => base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        case ""        => base
+        case other     => throw new GraftAnalysisException(s"window: unknown frame '$other'")
+      }
+      // ranking functions surface as BIGINT (SQL-standard width, and
+      // what every SQL engine returns for them)
+      val e: Column = fn match {
+        case "row_number" => row_number().over(base).cast(LongType)
+        case "rank"       => rank().over(base).cast(LongType)
+        case "dense_rank" => dense_rank().over(base).cast(LongType)
+        case "lag"        => lag(field, f.int("offset").getOrElse(1)).over(base)
+        case "lead"       => lead(field, f.int("offset").getOrElse(1)).over(base)
+        case "sum"        => sum(field).over(w)
+        case "count"      => count(field).over(w)
+        case "min"        => min(field).over(w)
+        case "max"        => max(field).over(w)
+        case "avg"        => avg(field).over(w)
+        case other        => throw new GraftAnalysisException(s"window: unknown function '$other'")
+      }
+      acc.withColumn(alias, e)
+    }
+  }
+}
+
+/** Full SQL over the named sources + the current stream (as `_input`).
+  * The reference has no SQL surface of its own (SURVEY §2.4) — this
+  * closes that gap with Spark SQL itself.
+  */
+object SqlOp {
+  def apply(df: DataFrame, cfg: Config, ctx: Ctx): DataFrame = {
+    val q = cfg.reqStr("query")
+    val spark = df.sparkSession
+    ctx.foreach { case (n, d) => d.createOrReplaceTempView(n) }
+    df.createOrReplaceTempView("_input")
+    spark.sql(q)
+  }
+}
