@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compile.PipelineCompiler
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.spec._
 import graft.transforms._
 
@@ -35,7 +36,10 @@ object SparkEntry {
     val df = t(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer division: `/` on Column is double division, which at
+        // 1e18 ns magnitudes rounds in the last ulp and shifts a
+        // microsecond — `div` keeps it exact
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }
@@ -202,6 +206,101 @@ object SparkEntry {
           .when(col("l_quantity") < 30, lit("mid"))
           .otherwise(lit("high")).as("qty_band"),
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf"))),
+
+    // ==== SURVEY §2.6 extensions: text analysis ====
+    "x_text_profile" -> ((s, d) =>
+      TextAnalysis.profile(t(s, d, "documents"))
+        .select("doc_id", "n_chars", "token_count", "avg_token_len",
+          "punct_ratio", "stopword_ratio", "quality_score")),
+    "x_text_lang" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_label"),
+        TextAnalysis.langId(col("text")).as("lang_id"))),
+    "x_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+    "x_text_ngram_sim" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("doc_id").as("a_id"), col("text").as("__ta"))
+      val b = docs.select(col("doc_id").as("b_id"), col("text").as("__tb"))
+      a.join(b, col("b_id") === col("a_id") + 250)
+        .select(col("a_id"), col("b_id"),
+          Dedup.ngramJaccard(col("__ta"), col("__tb"), 3).as("char_jaccard"))
+    }),
+
+    // ==== extensions: deduplication family ====
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exactByFingerprint(t(s, d, "documents"), "text", "doc_id")),
+    "x_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)),
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(
+        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"), "doc_id", maxDist = 3)),
+    "x_dedup_embed" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, bruteForce = true)
+        .withColumn("cosine", round(col("cosine"), 4))),
+
+    // ==== extensions: similarity search ====
+    "x_ann_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        e.where(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+    "x_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(
+        e.where(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
+        k = 5, dim = 64, planes = 6)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+    "x_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.IvfIndex.build(e, "vec_id", "embedding", dim = 64, nlist = 16)
+        .search(e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // ==== extensions: multimodal column plumbing ====
+    "x_multimodal_meta" -> ((s, d) =>
+      Multimodal.packText(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("media.mime").as("mime"),
+          col("media.meta.byte_len").as("byte_len"))),
+    "x_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.packText(t(s, d, "documents"), "text"), "doc_id", "media")),
+
+    // ==== extensions: event-time windowing + sessionization (batch
+    // equivalents of graft.streaming) ====
+    "x_events_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("total"))
+        .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
+          col("n"), col("total"))),
+    "x_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("__new",
+          when(col("ts_ms") - lag(col("ts_ms"), 1).over(ord) > 1800000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("__new")).over(run).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_ms")).as("session_start_ms"),
+          max(col("ts_ms")).as("session_end_ms"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+    }),
+
+    // ==== extensions: sketches (rows-only: HLL/quantile internals are
+    // engine-specific, values can't hash-match another engine) ====
+    "x_approx" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -285,5 +384,157 @@ object SparkEntry {
                   WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
              coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
       FROM lineitem""",
+
+    // ==== §2.6 extension oracles. The token/shingle pipelines are
+    // mirrored expression-for-expression so doubles come out
+    // bit-identical. ====
+    "x_text_profile" -> s"""
+      WITH tok AS (
+        SELECT doc_id, n_chars, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents)
+      SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS token_count,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS BIGINT)
+                  ELSE 0.0 END AS avg_token_len,
+             CASE WHEN length(text) > 0
+                  THEN (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE))
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> list_contains($stopwordsSqlList, t))) AS DOUBLE) / CAST(len(toks) AS BIGINT)
+                  ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               1.0 - abs((CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS BIGINT)
+                    ELSE 0.0 END) - 5.0) / 10.0
+                   - (CASE WHEN length(text) > 0
+                        THEN (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE))
+                             / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+                   + (CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, t -> list_contains($stopwordsSqlList, t))) AS DOUBLE) / CAST(len(toks) AS BIGINT)
+                        ELSE 0.0 END) * 0.5
+             END AS quality_score
+      FROM tok""",
+    "x_text_lang" -> """
+      WITH tok AS (
+        SELECT doc_id, lang AS lang_label, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang_label, text,
+               len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS s_en,
+               len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht','ist','ein'], t))) AS s_de,
+               len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','dans'], t))) AS s_fr,
+               len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','que'], t))) AS s_es
+        FROM tok)
+      SELECT doc_id, lang_label,
+             CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+                  ELSE 'und' END AS lang_id
+      FROM sc""",
+    "x_text_fingerprint" -> """
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      FROM documents""",
+    "x_text_ngram_sim" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(greatest(length(text)-3, 0)+1),
+                 i -> substr(text, CAST(i+1 AS BIGINT), 3))) AS grams
+        FROM documents)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CASE WHEN (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) > 0
+                  THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / (CAST(len(a.grams) + len(b.grams) AS DOUBLE) - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
+                  ELSE 0.0 END AS char_jaccard
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 250""",
+    "x_dedup_exact" -> """
+      SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+          ORDER BY doc_id) AS __rn
+        FROM documents) WHERE __rn = 1""",
+    // Oracle brute-forces all pairs (fine at oracle scale); the Spark
+    // side uses MinHash-LSH candidates + exact verify. Recall at the
+    // 0.7 threshold with 16 bands × 4 rows is 1 - (1-j^4)^16 ≥ 0.988,
+    // and every pair in this corpus at/above threshold has j ≥ 0.9
+    // (miss probability < 1e-7), so the sets agree.
+    "x_dedup_minhash" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(len(toks)-2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+              FROM documents))
+      SELECT a_id, b_id, jaccard FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.7""",
+    "x_dedup_embed" -> """
+      SELECT a_id, b_id, round(cosine, 4) AS cosine FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      WHERE cosine >= 0.3""",
+    "x_ann_topk" -> """
+      SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(64), i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))))) AS cosine,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(64), i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))))) DESC,
+                 c.vec_id ASC) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id)
+      WHERE rank <= 5""",
+    "x_multimodal_meta" -> """
+      SELECT doc_id, 'text/plain' AS mime,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents""",
+    "x_events_window" -> """
+      SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS ws_ms,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2""",
+    "x_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+                    THEN 1 ELSE 0 END AS __new
+        FROM events),
+      sess AS (
+        SELECT user_id, value, ts_ms,
+               CAST(sum(__new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id,
+             min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY user_id, session_id""",
   )
+
+  /** DuckDB list literal of [[graft.ops.TextAnalysis]]'s stopword set,
+    * spliced into the x_text_profile oracle.
+    */
+  private def stopwordsSqlList: String = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "be", "this", "that")
+    .map(s => s"'$s'").mkString("[", ",", "]")
 }

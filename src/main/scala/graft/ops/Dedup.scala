@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.6):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design notes (the point of each algorithm):
+  *  - exact: one hash-aggregate shuffle on a 16-byte digest, never on
+  *    document bodies; uniform key distribution → no skew.
+  *  - MinHash+LSH: signatures are pure column expressions (codegen, no
+  *    shuffle); candidate generation explodes each doc into `bands`
+  *    rows (small constant) and self-joins on (band, band-hash) — the
+  *    only pairwise work happens inside buckets, never across the full
+  *    corpus (no O(n²) cross join anywhere).
+  *  - SimHash: one explode + hash-aggregate per doc (map-side partial
+  *    agg), then banded self-join on 16-bit chunks: any two signatures
+  *    within Hamming distance 3 share at least one of 4 chunks
+  *    (pigeonhole), so candidates are found without comparing all
+  *    pairs.
+  *  - embedding: cosine via normalized vectors; candidate generation by
+  *    sign-LSH buckets (see [[Similarity.hyperplaneBuckets]]).
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: keep the row with the minimal
+    * `tieBreak` per normalized-content digest. Deterministic, and the
+    * shuffle key is the digest, not the document.
+    */
+  def exactByFingerprint(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact dedup on explicit key columns, keep-min-tieBreak. */
+  def exactByKeys(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Deterministic MinHash parameters: h_i(x) = (a_i·x + b_i) mod p
+    * over xxhash64(shingle). Constants from a fixed seed so signatures
+    * are reproducible across runs and clusters.
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private def minhashCoeffs(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature column (array<long> of length `numHashes`) over
+    * word `k`-shingles. Pure expression: no UDF, no shuffle.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, k: Int = 3, seed: Long = 42L): Column = {
+    val sh = TextAnalysis.shingles(text, k)
+    // reduce the 64-bit hash mod p before multiplying: a,x < 2^31 keeps
+    // a·x+b < 2^62 — no long overflow under ANSI mode
+    val hashes = minhashCoeffs(numHashes, seed).map { case (a, b) =>
+      array_min(transform(sh,
+        s => pmod(lit(a) * pmod(xxhash64(s), lit(MinhashP)) + lit(b), lit(MinhashP))))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures: docs whose signature
+    * agrees on all rows of at least one band. `bands`×`rowsPerBand`
+    * must equal the signature length. Returns (a_id, b_id) with
+    * a_id < b_id, distinct.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, k, seed)
+    // (id, band, hash-of-band-slice): 16 small rows per doc, never the doc body
+    val banded = df
+      .select(col(idCol).as("__id"), sig.as("__sig"))
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * lit(r) + 1, lit(r))))).as(Seq("__band", "__bh")))
+    val a = banded.select(col("__band"), col("__bh"), col("__id").as("a_id"))
+    val b = banded.select(col("__band"), col("__bh"), col("__id").as("b_id"))
+    a.join(b, Seq("__band", "__bh")).where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Near-dup pairs: LSH candidates verified with exact Jaccard over
+    * shingle sets, kept when ≥ `threshold`. The exact verify touches
+    * only candidate pairs (bounded by LSH), not the corpus cross
+    * product.
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, k, bands, seed)
+    val sets = df.select(col(idCol).as("__id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__sh"))
+    val withSets = cands
+      .join(sets.withColumnsRenamed(Map("__id" -> "a_id", "__sh" -> "__sha")), "a_id")
+      .join(sets.withColumnsRenamed(Map("__id" -> "b_id", "__sh" -> "__shb")), "b_id")
+    val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+    val union = (size(col("__sha")) + size(col("__shb"))).cast("double") - inter
+    withSets
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document: per-bit majority vote over
+    * xxhash64(token). Explode + single hash-aggregate: 64 SUM columns
+    * with map-side partial aggregation, then bits reassembled.
+    * Output: df.select(idCol, "simhash").
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__v$j")
+    }
+    val agg = tok.groupBy(col("__id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(j =>
+      when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    agg.select(col("__id").as(idCol),
+      bits.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Pairs within Hamming distance `maxDist` (≤ 3 with the default 4
+    * bands): by pigeonhole, such pairs agree exactly on ≥1 of the 4
+    * 16-bit chunks, so a self-join per chunk finds all of them without
+    * O(n²) comparison.
+    */
+  def simhashNearDups(sig: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map(i =>
+      shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sig.select(col(idCol).as("__id"), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("__band", "__chunk")))
+    val a = banded.select(col("__band"), col("__chunk"),
+      col("__id").as("a_id"), col("simhash").as("__sa"))
+    val b = banded.select(col("__band"), col("__chunk"),
+      col("__id").as("b_id"), col("simhash").as("__sb"))
+    a.join(b, Seq("__band", "__chunk")).where(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming")).distinct()
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Character-n-gram Jaccard similarity between two text columns —
+    * the exact verifier used on candidate pairs (from LSH or any
+    * blocking scheme).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    def grams(t: Column) = array_distinct(
+      transform(sequence(lit(0), greatest(length(t) - n, lit(0))),
+        i => t.substr(i + 1, lit(n))))
+    val ga = grams(a)
+    val gb = grams(b)
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    val union = (size(ga) + size(gb)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`.
+    * Candidates come from sign-LSH hyperplane buckets (no cross join);
+    * exact cosine verifies each candidate. For corpora small enough,
+    * `bruteForce = true` compares all pairs (testing / oracle mode).
+    */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L,
+      bruteForce: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), Similarity.toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__n", Similarity.l2norm(col("__v")))
+    val cands: DataFrame =
+      if (bruteForce) {
+        val a = base.select(col("__id").as("a_id"), col("__v").as("__va"), col("__n").as("__na"))
+        val b = base.select(col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
+        a.crossJoin(b).where(col("a_id") < col("b_id"))
+      } else {
+        val dim = 64 // embeddings table dimension; parameterize when needed
+        val bucketed = base.withColumn("__bkt",
+          Similarity.hyperplaneBuckets(col("__v"), dim, planes, seed))
+        val a = bucketed.select(col("__bkt"), col("__id").as("a_id"),
+          col("__v").as("__va"), col("__n").as("__na"))
+        val b = bucketed.select(col("__bkt"), col("__id").as("b_id"),
+          col("__v").as("__vb"), col("__n").as("__nb"))
+        a.join(b, Seq("__bkt")).where(col("a_id") < col("b_id"))
+      }
+    cands
+      .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine")).distinct()
+  }
+}

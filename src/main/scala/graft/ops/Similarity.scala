@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §2.6).
+  *
+  * Three tiers, by corpus size:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set
+  *    against the corpus; one scan, no corpus shuffle. The baseline
+  *    and the correctness oracle for the approximate tiers.
+  *  - sign-LSH ([[hyperplaneBuckets]] / [[lshTopK]]): deterministic
+  *    random-hyperplane buckets; only same-bucket pairs are compared.
+  *    Recall is tunable via number of planes (fewer planes → bigger
+  *    buckets → higher recall, more work).
+  *  - IVF ([[IvfIndex]]): k-means coarse quantizer; queries probe the
+  *    `nprobe` nearest centroids only — the FAISS-style scale path.
+  *
+  * All vector math is expression-level (`zip_with`/`aggregate` fold in
+  * element order → deterministic), computed in double precision.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> so all arithmetic is double. */
+  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product as a left fold in element order — deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for (plane i,
+    * dim j): uniform in [-0.5, 0.5) derived from xxhash64 — identical
+    * on every executor/run without shipping a matrix.
+    */
+  private def planeComponent(i: Int, j: Int, seed: Long): Column =
+    (pmod(xxhash64(lit(s"plane_${seed}_${i}_$j")), lit(1000000L)).cast("double")
+      / lit(1000000.0)) - lit(0.5)
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of projection).
+    * Vectors in the same bucket are "angle-close" candidates.
+    */
+  def hyperplaneBuckets(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val bits = (0 until planes).map { i =>
+      val proj = (0 until dim)
+        .map(j => element_at(vec, j + 1) * planeComponent(i, j, seed))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`: (queryIdCol, vecCol) — must be small (it is broadcast);
+    * `corpus`: (idCol, vecCol) — any size, never shuffled, scanned
+    * once. Ranking ties broken by corpus id for determinism.
+    * Output: (query_id, neighbor_id, cosine, rank), self-matches
+    * excluded.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, corpusIdCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv")))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.crossJoin(q)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("__qv"), col("__cv"))
+        / (l2norm(col("__qv")) * l2norm(col("__cv"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: like [[bruteForceTopK]] but a
+    * query is compared only against corpus vectors sharing its
+    * hyperplane bucket. Trades recall for a `2^planes`-fold reduction
+    * in comparisons.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, corpusIdCol: String, vecCol: String,
+      k: Int, dim: Int, planes: Int = 6, seed: Long = 42L): DataFrame = {
+    val q = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
+      .withColumn("__bkt", hyperplaneBuckets(col("__qv"), dim, planes, seed)))
+    val c = corpus
+      .select(col(corpusIdCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
+      .withColumn("__bkt", hyperplaneBuckets(col("__cv"), dim, planes, seed))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(q, Seq("__bkt"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("__qv"), col("__cv"))
+        / (l2norm(col("__qv")) * l2norm(col("__cv"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF (inverted-file) index: k-means coarse quantizer over the
+    * corpus; search probes only the `nprobe` closest centroids.
+    * Centroids are tiny and broadcast; the corpus is scanned/shuffled
+    * once at build time, and each query touches `nprobe/nlist` of the
+    * data — the standard ANN scale path when sign-LSH recall is not
+    * enough.
+    */
+  final class IvfIndex private (
+      val assigned: DataFrame, // (neighbor_id, __cv, __cell)
+      val centroids: Array[(Int, Array[Double])],
+      val dim: Int) {
+
+    def search(queries: DataFrame, queryIdCol: String, vecCol: String,
+        k: Int, nprobe: Int = 4): DataFrame = {
+      val spark = queries.sparkSession
+      val cents = centroids
+      val centDf = broadcast(spark.createDataFrame(cents.map { case (i, v) => (i, v) }.toSeq)
+        .toDF("__cell", "__centroid"))
+      val q = queries.select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
+      // nprobe nearest centroids per query (centroid set is tiny)
+      val wq = Window.partitionBy(col("query_id")).orderBy(col("__cd").asc, col("__cell").asc)
+      val probes = q.crossJoin(centDf)
+        .withColumn("__cd", dot(col("__qv"), col("__centroid"))
+          / (l2norm(col("__qv")) * l2norm(col("__centroid"))) * lit(-1.0))
+        .withColumn("__pr", row_number().over(wq))
+        .where(col("__pr") <= nprobe)
+        .select(col("query_id"), col("__qv"), col("__cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      broadcast(probes).join(assigned, Seq("__cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", dot(col("__qv"), col("__cv"))
+          / (l2norm(col("__qv")) * l2norm(col("__cv"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    }
+  }
+
+  object IvfIndex {
+    /** Build with spark.ml KMeans (deterministic under `seed`). */
+    def build(corpus: DataFrame, idCol: String, vecCol: String,
+        dim: Int, nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val base = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
+      val feat = base.withColumn("features", array_to_vector(col("__cv")))
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feat)
+      val cents = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+      val assigned = model.transform(feat)
+        .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
+      new IvfIndex(assigned, cents, dim)
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (ABSENT in the reference — strictly
+  * batch, SURVEY §2.4; this is the §7.2 step-8 extension).
+  *
+  * The same transform chain the batch runner compiles
+  * ([[graft.transforms.Transforms]]) applies unchanged to a streaming
+  * DataFrame for the stateless subset (filter/map/select/rename/
+  * union); stateful patterns are provided here: watermarked windowed
+  * aggregation and gap-based sessionization via
+  * `flatMapGroupsWithState` — both designed so state is bounded (the
+  * watermark evicts) no matter how long the stream runs.
+  */
+object Streaming {
+
+  /** File-based stream source: new files appearing under `dir` are the
+    * micro-batches. `maxFilesPerTrigger` bounds per-batch work —
+    * backpressure at the source, which is what keeps a backlogged
+    * 100 TB directory from being swallowed in one batch.
+    */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet", maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format).load(dir)
+
+  /** Watermarked tumbling/sliding-window aggregation: counts + sum per
+    * (window, key). Late events beyond `watermark` are dropped and
+    * their state evicted — bounded state by construction.
+    */
+  def windowedAgg(
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      window_ : String = "5 minutes", slide: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), window_, s)
+      case None    => window(col(tsCol), window_)
+    }
+    events.withWatermark(tsCol, watermark)
+      .groupBy(win.as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("n"), col("total"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization: a session closes when a later event for
+    * the same user arrives more than `gapMs` after the previous one —
+    * or, with `timeout = ProcessingTimeTimeout`, after `gapMs` of
+    * wall-clock inactivity (production mode; the default NoTimeout
+    * keeps batch-driven tests deterministic — a processing-time
+    * timeout makes the query re-trigger on its own clock, so
+    * `processAllAvailable` never settles). State per live user is O(1)
+    * — four numbers — so total state is bounded by the number of
+    * concurrently-active users, not event volume.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeout) {
+        (userId: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Start a streaming sink to parquet with checkpointing (exactly-once
+    * file output), or to an in-memory table for tests.
+    */
+  def startFileSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(trigger).start()
+
+  def startMemorySink(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Extension operators: dedup family, similarity, text analysis,
+  * multimodal plumbing (SURVEY §2.6).
+  */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank again"),
+    (3L, "completely different content about spark engines and distributed query planning"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup by fingerprint keeps min id") {
+    val out = Dedup.exactByFingerprint(docs, "text", "doc_id")
+    // docs 1 and 4 are identical -> keep 1
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("minhash near-dups find planted near-identical pair") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // one word different
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("simhash: identical docs at hamming 0, near docs close") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    val m = sig.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(4L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(2L)) <= 8)
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 8)
+    val pairs = Dedup.simhashNearDups(sig, "doc_id", maxDist = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    val df = Seq(("abcdef", "abcdef", "xyzw")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b")).as("same"),
+      Dedup.ngramJaccard(col("a"), col("c")).as("diff")).as[(Double, Double)].head()
+    assert(r._1 == 1.0)
+    assert(r._2 == 0.0)
+  }
+
+  test("cosine + brute-force top-k ranks by similarity with id tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.where($"vec_id" === 0), vecs, "vec_id", "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(out(3L) == 1L) // identical direction, rank 1
+    assert(out(1L) == 2L)
+    assert(out(2L) == 3L) // orthogonal last
+  }
+
+  test("embedding near-dups: identical vectors found, orthogonal not") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.99, bruteForce = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("lsh buckets: same-direction vectors share a bucket") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(2.0f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select($"vec_id",
+      Similarity.hyperplaneBuckets(
+        Similarity.toDoubleVec($"embedding"), dim = 8, planes = 4).as("bkt"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L)) // scaled copy: identical projections
+  }
+
+  test("text analysis: counts, lang, quality, fingerprint") {
+    val df = Seq(
+      (1L, "The quick brown fox and the lazy dog in the yard."),
+      (2L, "der hund und die katze und das haus ist nicht da"),
+      (3L, ""),
+      (4L, "le chat et la maison est une belle chose dans les rues"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.profile(df)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("token_count") == 11)
+    assert(byId(3L).getAs[Long]("token_count") == 0)
+    assert(byId(3L).getAs[Double]("quality_score") == 0.0)
+    assert(byId(1L).getAs[String]("lang_id") == "en")
+    assert(byId(2L).getAs[String]("lang_id") == "de")
+    assert(byId(4L).getAs[String]("lang_id") == "fr")
+    // fingerprint ignores case/punctuation differences
+    val fp = df.select(TextAnalysis.fingerprint(lit("Hello, World!")).as("a"),
+      TextAnalysis.fingerprint(lit("hello world")).as("b")).head()
+    assert(fp.getString(0) == fp.getString(1))
+  }
+
+  test("multimodal: pack + distributed feature extraction is deterministic") {
+    val df = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
+    val packed = Multimodal.packText(df, "text")
+    assert(packed.select("media.meta.byte_len").as[Long].collect().toSet == Set(11L, 12L))
+    val f1 = Multimodal.extractFeatures(packed, "doc_id", "media").orderBy("id").collect()
+    val f2 = Multimodal.extractFeatures(packed, "doc_id", "media").orderBy("id").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.head.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    assert(f1.head.getAs[Long]("byte_len") == 11L)
+  }
+
+  test("ivf index search returns k ranked neighbors") {
+    val e = sf("embeddings")
+    val idx = Similarity.IvfIndex.build(e, "vec_id", "embedding", dim = 64, nlist = 4)
+    val res = idx.search(e.where($"vec_id" < 3), "vec_id", "embedding", k = 3, nprobe = 2)
+    val byQuery = res.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    assert(byQuery.values.forall(_ == 3L))
+  }
+}

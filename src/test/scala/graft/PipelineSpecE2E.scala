@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.MetaStore
+import graft.compile.PipelineCompiler
+import graft.run.PipelineRunner
+import graft.spec._
+
+/** End-to-end: spec → compile → run → sinks → run registry, mirroring
+  * the reference's service tests (test_data_pipeline.py:53-96).
+  */
+class PipelineSpecE2E extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft").toString
+
+  test("inline source -> filter -> json sink, with run stats (ref :72-79)") {
+    val out = tmp() + "/out"
+    val spec = PipelineSpec(
+      name = "inline_filter",
+      sources = Seq(SourceSpec("src", "inline", Config.of(
+        "data" -> (0 until 10).map(i => Map("v" -> i.toString, "keep" -> (i % 2 == 0).toString))))),
+      transforms = Seq(TransformSpec("f", "filter",
+        Config.of("field" -> "keep", "op" -> "eq", "value" -> "true"))),
+      sinks = Seq(SinkSpec("j", "json", Config.of("path" -> out))))
+    val res = PipelineRunner.run(spark, spec)
+    assert(res.status == "success")
+    assert(res.rowsRead == 10)
+    assert(res.rowsWritten == 5)
+    assert(spark.read.json(out).count() == 5)
+  }
+
+  test("csv source types everything as string (reference main.py:118-123)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "in.csv"), "name,score\nAlice,90\nBob,80\n")
+    val df = graft.sources.SourceReader.read(spark,
+      SourceSpec("c", "csv", Config.of("path" -> s"$dir/in.csv")))
+    assert(df.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    assert(df.count() == 2)
+  }
+
+  test("multi-source union + join-against-context (reference main.py:437-443,251-263)") {
+    val spec = PipelineSpec(
+      name = "join_ctx",
+      sources = Seq(
+        SourceSpec("orders", "parquet", Config.of("path" -> "/root/testdata/sf0.001/orders.parquet")),
+        SourceSpec("customer", "parquet", Config.of("path" -> "/root/testdata/sf0.001/customer.parquet"))),
+      transforms = Seq(
+        // drop the unioned-in customer rows (no o_orderkey), then join
+        TransformSpec("only_orders", "filter", Config.of("field" -> "o_orderkey", "op" -> "notnull"), Nil, 0),
+        TransformSpec("j", "join", Config.of(
+          "right" -> "customer", "left_key" -> "o_custkey", "right_key" -> "c_custkey",
+          "broadcast" -> true), Nil, 1)),
+      sinks = Nil)
+    val df = PipelineCompiler.compile(spark, spec).df
+    assert(df.columns.contains("r_c_name"))
+    assert(df.count() == sf("orders").count())
+  }
+
+  test("metastore save/load/list + run registry") {
+    val store = new MetaStore(Files.createTempDirectory("graftmeta"))
+    val spec = PipelineSpec("p", "desc",
+      Seq(SourceSpec("s", "inline", Config.of("data" -> Seq(Map("x" -> 1))))),
+      Nil, Seq(SinkSpec("o", "stdout")))
+    val id = store.save(spec)
+    assert(store.load(id).name == "p")
+    assert(store.list().map(_._1).contains(id))
+    val res = PipelineRunner.run(spark, spec, id, Some(store))
+    assert(res.status == "success")
+    val runs = store.runs(id)
+    assert(runs.size == 1 && runs.head.status == "success" && runs.head.rowsRead == 1)
+  }
+
+  test("failed run is recorded, not thrown (reference main.py:467-474)") {
+    val store = new MetaStore(Files.createTempDirectory("graftmeta2"))
+    val spec = PipelineSpec("bad", "",
+      Seq(SourceSpec("s", "parquet", Config.of("path" -> "/nonexistent/path"))),
+      Nil, Seq(SinkSpec("o", "stdout")))
+    val res = PipelineRunner.run(spark, spec, "badid", Some(store))
+    assert(res.status == "failed")
+    assert(res.error.isDefined)
+    assert(store.runs("badid").head.status == "failed")
+  }
+
+  test("validation rejects bad specs at compile time (SURVEY §3.3)") {
+    val bad = PipelineSpec("b", "",
+      Seq(SourceSpec("s", "inline", Config.of("data" -> Seq(Map("x" -> 1))))),
+      Seq(TransformSpec("j", "join", Config.of("right" -> "ghost"))),
+      Seq(SinkSpec("o", "teleport")))
+    val e = intercept[GraftAnalysisException](PipelineCompiler.validate(bad))
+    assert(e.getMessage.contains("ghost"))
+    assert(e.getMessage.contains("teleport"))
+  }
+
+  test("flagship entry returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet == Set("l_returnflag", "cnt", "sum_price"))
+  }
+}

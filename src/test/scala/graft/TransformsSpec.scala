@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.spec.Config
+import graft.transforms._
+
+/** Per-operator unit tests. The employee fixture mirrors the
+  * reference's (reference test_data_pipeline.py:15-19 — all values
+  * strings, as the reference's CSV source produces).
+  */
+class TransformsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def employees = Seq(
+    ("Alice", "30", "eng"),
+    ("Bob", "25", "eng"),
+    ("Carol", "35", "pm")).toDF("name", "age", "dept")
+
+  test("filter eq (reference test :24-27)") {
+    val out = FilterOp(employees, Config.of("field" -> "dept", "op" -> "eq", "value" -> "eng"))
+    assert(out.select("name").as[String].collect().toSet == Set("Alice", "Bob"))
+  }
+
+  test("filter ops: ne/gt/contains/notnull/in/between") {
+    val df = Seq(("a", 1, "x y"), ("b", 5, ""), ("c", 10, "zz")).toDF("k", "v", "s")
+    assert(FilterOp(df, Config.of("field" -> "k", "op" -> "ne", "value" -> "a")).count() == 2)
+    assert(FilterOp(df, Config.of("field" -> "v", "op" -> "gt", "value" -> 4)).count() == 2)
+    assert(FilterOp(df, Config.of("field" -> "s", "op" -> "contains", "value" -> "y")).count() == 1)
+    // notnull on strings drops empty string too (reference main.py:201 semantics)
+    assert(FilterOp(df, Config.of("field" -> "s", "op" -> "notnull")).count() == 2)
+    assert(FilterOp(df, Config.of("field" -> "k", "op" -> "in",
+      "value" -> Seq("a", "c"))).count() == 2)
+    assert(FilterOp(df, Config.of("field" -> "v", "op" -> "between",
+      "low" -> 2, "high" -> 10)).count() == 2)
+    assertThrows[GraftAnalysisException](
+      FilterOp(df, Config.of("field" -> "v", "op" -> "frob", "value" -> 1)))
+  }
+
+  test("map upper (reference test :29-32) and try-cast semantics") {
+    val up = MapOp(employees, Config.of("field" -> "name", "operation" -> "upper"))
+    assert(up.select("name").as[String].collect().toSet == Set("ALICE", "BOB", "CAROL"))
+    // cast "30" -> 30; uncastable -> null (typed mode)
+    val mixed = Seq(Tuple1("1"), Tuple1("x")).toDF("v")
+    val cast = MapOp(mixed, Config.of("field" -> "v", "operation" -> "int"))
+    assert(cast.select("v").as[Option[Long]].collect().toSet == Set(Some(1L), None))
+    // keep_original mode: uncastable values pass through (reference main.py:219-222)
+    val keep = MapOp(mixed, Config.of("field" -> "v", "operation" -> "int", "keep_original" -> true))
+    assert(keep.select("v").as[String].collect().toSet == Set("1", "x"))
+  }
+
+  test("aggregate count/sum/avg/min/max incl. reference naming") {
+    // reference shape: single {field, function} -> column {field}_{fn}
+    val out = AggregateOp(employees,
+      Config.of("group_by" -> Seq("dept"), "field" -> "age", "function" -> "count"))
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("eng" -> 2, "pm" -> 1))
+    // multi-agg with exact decimal
+    val li = sf("lineitem")
+    val agg = AggregateOp(li, Config.of(
+      "group_by" -> Seq("l_returnflag"),
+      "aggregations" -> Seq(
+        Map("function" -> "count", "as" -> "cnt"),
+        Map("field" -> "l_quantity", "function" -> "sum", "exact_decimal" -> 6, "as" -> "sq"),
+        Map("field" -> "l_quantity", "function" -> "avg", "exact_decimal" -> 6, "as" -> "aq"))))
+    assert(agg.columns.toSeq == Seq("l_returnflag", "cnt", "sq", "aq"))
+    assert(agg.count() == 3)
+  }
+
+  test("join inner with r_ prefix and last-wins right dedup") {
+    val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val right = Seq((1, "x", 10), (1, "y", 20), (2, "z", 30)).toDF("id", "w", "ord")
+    val out = JoinOp(left, Config.of(
+      "right" -> "r", "left_key" -> "id", "right_key" -> "id",
+      "right_dedup" -> "last", "right_order" -> "ord"), Map("r" -> right))
+    // inner: id=3 dropped; dup right id=1: last by ord wins ("y")
+    val rows = out.select("id", "v", "r_w").as[(Int, String, String)].collect().toSet
+    assert(rows == Set((1, "a", "y"), (2, "b", "z")))
+    assert(out.columns.toSet == Set("id", "v", "r_id", "r_w", "r_ord"))
+  }
+
+  test("sort: stable multi-column with limit -> top-k") {
+    val df = Seq((1, "b"), (3, "a"), (2, "c"), (3, "b")).toDF("n", "s")
+    val out = SortOp(df, Config.of("columns" -> Seq(
+      Map("field" -> "n", "descending" -> true),
+      Map("field" -> "s", "descending" -> false)), "limit" -> 2))
+    assert(out.as[(Int, String)].collect().toSeq == Seq((3, "a"), (3, "b")))
+  }
+
+  test("deduplicate keep-first by order column (reference test :46-50)") {
+    val df = Seq(("Alice", 1), ("Bob", 2), ("Alice", 3)).toDF("name", "ord")
+    val out = DedupOp(df, Config.of("keys" -> Seq("name"), "keep" -> "first", "order_by" -> Seq("ord")))
+    assert(out.as[(String, Int)].collect().toSet == Set(("Alice", 1), ("Bob", 2)))
+    // keep=any: arbitrary row but exact key set
+    val any = DedupOp(df, Config.of("keys" -> Seq("name")))
+    assert(any.select("name").as[String].collect().toSet == Set("Alice", "Bob"))
+  }
+
+  test("select + rename with collision error (SURVEY §2.5 deviation d)") {
+    val out = RenameOp(
+      SelectOp(employees, Config.of("fields" -> Seq("name", "dept"))),
+      Config.of("mapping" -> Map("dept" -> "team")))
+    assert(out.columns.toSeq == Seq("name", "team"))
+    assertThrows[GraftAnalysisException](
+      RenameOp(employees, Config.of("mapping" -> Map("age" -> "name"))))
+    assertThrows[GraftAnalysisException](
+      RenameOp(employees, Config.of("mapping" -> Map("ghost" -> "x"))))
+  }
+
+  test("union by name null-fills missing columns (reference main.py:437-443)") {
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, 9.5)).toDF("id", "only_b")
+    val out = UnionOp(a, Config.of("inputs" -> Seq("b")), Map("b" -> b))
+    assert(out.columns.toSet == Set("id", "only_a", "only_b"))
+    val row = out.where($"id" === 2).collect().head
+    assert(row.getAs[String]("only_a") == null)
+  }
+
+  test("window row_number + running sum frame") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)).toDF("k", "seq", "v")
+    val out = WindowOp(df, Config.of(
+      "partition_by" -> Seq("k"),
+      "order_by" -> Seq(Map("field" -> "seq")),
+      "functions" -> Seq(
+        Map("function" -> "row_number", "as" -> "rn"),
+        Map("function" -> "sum", "field" -> "v", "frame" -> "running", "as" -> "rsum"))))
+    val rows = out.select("k", "seq", "rn", "rsum").as[(String, Int, Long, Double)].collect().toSet
+    assert(rows == Set(("a", 1, 1L, 10.0), ("a", 2, 2L, 30.0), ("b", 1, 1L, 5.0)))
+  }
+
+  test("limit and sql escape hatch") {
+    assert(LimitOp(employees, Config.of("n" -> 2)).count() == 2)
+    val out = SqlOp(employees, Config.of(
+      "query" -> "SELECT dept, count(*) AS n FROM _input GROUP BY dept"), Map.empty)
+    assert(out.count() == 2)
+  }
+
+  test("unknown transform type is an analysis error") {
+    assertThrows[GraftAnalysisException](
+      Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
+  }
+}
