@@ -13,11 +13,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: JIT/classload the scan+codegen+shuffle paths once
+    // so the first measured query reflects steady state, not JVM warmup
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    // noop sink materializes every output column (a bare count() would
+    // let Catalyst prune the computed columns and bench only the scan)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs")
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

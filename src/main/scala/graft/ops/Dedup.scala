@@ -52,19 +52,38 @@ object Dedup {
     Seq.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature column (array<long> of length `numHashes`) over
-    * word `k`-shingles. Pure expression: no UDF, no shuffle.
+  /** Shingle hash column: one tokenize+shingle+hash pass per document.
+    * Kept as its own projection so the signature step references the
+    * computed array instead of re-deriving it — higher-order functions
+    * get no common-subexpression elimination, so inlining this into 64
+    * hash expressions would re-tokenize every document 64 times.
+    * Reducing the 64-bit hash mod p up front also keeps a·x+b < 2^62 —
+    * no long overflow under ANSI mode.
     */
-  def minhashSignature(text: Column, numHashes: Int = 64, k: Int = 3, seed: Long = 42L): Column = {
-    val sh = TextAnalysis.shingles(text, k)
-    // reduce the 64-bit hash mod p before multiplying: a,x < 2^31 keeps
-    // a·x+b < 2^62 — no long overflow under ANSI mode
-    val hashes = minhashCoeffs(numHashes, seed).map { case (a, b) =>
-      array_min(transform(sh,
-        s => pmod(lit(a) * pmod(xxhash64(s), lit(MinhashP)) + lit(b), lit(MinhashP))))
-    }
-    array(hashes: _*)
-  }
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    transform(TextAnalysis.shingles(text, k), s => pmod(xxhash64(s), lit(MinhashP)))
+
+  /** MinHash signature (array<long> of length `numHashes`) from a
+    * precomputed [[shingleHashes]] column.
+    *
+    * Deliberately unrolled Scala-side into `numHashes` expressions
+    * (NOT a `transform` over `sequence(0, n-1)`): `hs` must appear
+    * many times *syntactically* so `CollapseProject` refuses to inline
+    * the upstream shingle-hash projection. A single reference inside a
+    * lambda looks "used once" to the optimizer, gets inlined, and is
+    * then re-evaluated per outer-loop iteration — 64 tokenizations per
+    * document (measured: minutes instead of seconds at sf0.1).
+    */
+  def minhashSignatureFromHashes(hs: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    array(minhashCoeffs(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hs, x => pmod(lit(a) * x + lit(b), lit(MinhashP))))
+    }: _*)
+
+  /** Convenience single-column form (prefer the two-step
+    * [[shingleHashes]] → [[minhashSignatureFromHashes]] in pipelines so
+    * the tokenize pass is shared). */
+  def minhashSignature(text: Column, numHashes: Int = 64, k: Int = 3, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(shingleHashes(text, k), numHashes, seed)
 
   /** LSH candidate pairs from MinHash signatures: docs whose signature
     * agrees on all rows of at least one band. `bands`×`rowsPerBand`
@@ -76,13 +95,21 @@ object Dedup {
       numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, k, seed)
-    // (id, band, hash-of-band-slice): 16 small rows per doc, never the doc body
+    // Signature via the native codegen'd expressions
+    // (graft.expr.MinHashExpressions): one kernel call per row instead
+    // of 64×|shingles| interpreted lambda dispatches (14s → sub-second
+    // for 5k docs at sf0.1). The band array is unrolled Scala-side so
+    // __sig is referenced `bands` times syntactically — a single
+    // lambda-internal reference would let CollapseProject inline the
+    // signature and recompute it per band.
+    val bandHashes = (0 until bands).map(b => xxhash64(slice(col("__sig"), b * r + 1, r)))
     val banded = df
-      .select(col(idCol).as("__id"), sig.as("__sig"))
-      .select(col("__id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("__sig"), b * lit(r) + 1, lit(r))))).as(Seq("__band", "__bh")))
+      .select(col(idCol).as("__id"),
+        graft.expr.MinHashExpressions.textShingleHashes(col(textCol), k).as("__hs"))
+      .select(col("__id"),
+        graft.expr.MinHashExpressions.minhashSignature(col("__hs"), numHashes, seed).as("__sig"))
+      // (id, band, hash-of-band-slice): 16 small rows per doc, never the doc body
+      .select(col("__id"), posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
     val a = banded.select(col("__band"), col("__bh"), col("__id").as("a_id"))
     val b = banded.select(col("__band"), col("__bh"), col("__id").as("b_id"))
     a.join(b, Seq("__band", "__bh")).where(col("a_id") < col("b_id"))
@@ -98,8 +125,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
       numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, k, bands, seed)
-    val sets = df.select(col(idCol).as("__id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__sh"))
+    // shingle sets only for docs that appear in some candidate pair —
+    // the verify step re-tokenizes O(candidates) documents, not O(corpus)
+    val candIds = cands.select(col("a_id").as("__cid"))
+      .union(cands.select(col("b_id"))).distinct()
+    val sets = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__sh"))
     val withSets = cands
       .join(sets.withColumnsRenamed(Map("__id" -> "a_id", "__sh" -> "__sha")), "a_id")
       .join(sets.withColumnsRenamed(Map("__id" -> "b_id", "__sh" -> "__shb")), "b_id")
@@ -173,33 +205,62 @@ object Dedup {
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`.
     * Candidates come from sign-LSH hyperplane buckets (no cross join);
-    * exact cosine verifies each candidate. For corpora small enough,
-    * `bruteForce = true` compares all pairs (testing / oracle mode).
+    * exact cosine verifies each candidate.
+    *
+    * `bruteForce = true` compares all pairs exactly with a broadcast
+    * mapPartitions kernel: higher-order-function expressions are
+    * interpreted per pair (no codegen), so the O(n²·d) inner product
+    * runs ~50× faster as a tight JVM loop. The loop accumulates in the
+    * same element order as the expression fold, so results are
+    * bit-identical. Brute force collects the vectors to the driver —
+    * exact/oracle mode for corpora that fit; the LSH path is the scale
+    * path.
     */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L,
       bruteForce: Boolean = false): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), Similarity.toDoubleVec(col(vecCol)).as("__v"))
-      .withColumn("__n", Similarity.l2norm(col("__v")))
-    val cands: DataFrame =
-      if (bruteForce) {
-        val a = base.select(col("__id").as("a_id"), col("__v").as("__va"), col("__n").as("__na"))
-        val b = base.select(col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
-        a.crossJoin(b).where(col("a_id") < col("b_id"))
-      } else {
-        val dim = 64 // embeddings table dimension; parameterize when needed
-        val bucketed = base.withColumn("__bkt",
-          Similarity.hyperplaneBuckets(col("__v"), dim, planes, seed))
-        val a = bucketed.select(col("__bkt"), col("__id").as("a_id"),
-          col("__v").as("__va"), col("__n").as("__na"))
-        val b = bucketed.select(col("__bkt"), col("__id").as("b_id"),
-          col("__v").as("__vb"), col("__n").as("__nb"))
-        a.join(b, Seq("__bkt")).where(col("a_id") < col("b_id"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (bruteForce) {
+      val data = df
+        .select(col(idCol).cast("long").as("id"), Similarity.toDoubleVec(col(vecCol)).as("v"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val norms = data.map { case (_, v) =>
+        var s = 0.0; var k = 0
+        while (k < v.length) { s += v(k) * v(k); k += 1 }
+        math.sqrt(s)
       }
-    cands
-      .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-      .where(col("cosine") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cosine")).distinct()
+      val bc = spark.sparkContext.broadcast((data, norms))
+      val th = threshold
+      spark.sparkContext
+        .parallelize(data.indices, math.max(1, math.min(data.length, 64)))
+        .flatMap { i =>
+          val (arr, ns) = bc.value
+          val (ia, va) = arr(i)
+          val na = ns(i)
+          (i + 1 until arr.length).iterator.flatMap { j =>
+            val (ib, vb) = arr(j)
+            var d = 0.0; var k = 0
+            while (k < va.length) { d += va(k) * vb(k); k += 1 }
+            val cos = d / (na * ns(j))
+            if (cos >= th) Some((ia, ib, cos)) else None
+          }
+        }.toDF("a_id", "b_id", "cosine")
+    } else {
+      val base = df.select(col(idCol).as("__id"), Similarity.toDoubleVec(col(vecCol)).as("__v"))
+        .withColumn("__n", Similarity.l2norm(col("__v")))
+      val dim = 64 // embeddings table dimension; parameterize when needed
+      val bucketed = base.withColumn("__bkt",
+        Similarity.hyperplaneBuckets(col("__v"), dim, planes, seed))
+      val a = bucketed.select(col("__bkt"), col("__id").as("a_id"),
+        col("__v").as("__va"), col("__n").as("__na"))
+      val b = bucketed.select(col("__bkt"), col("__id").as("b_id"),
+        col("__v").as("__vb"), col("__n").as("__nb"))
+      a.join(b, Seq("__bkt")).where(col("a_id") < col("b_id"))
+        .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        .where(col("cosine") >= threshold)
+        .select(col("a_id"), col("b_id"), col("cosine")).distinct()
+    }
   }
 }
