@@ -207,6 +207,52 @@ object SparkEntry {
           .otherwise(lit("high")).as("qty_band"),
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf"))),
 
+    // ---- set ops + distinct (ABSENT in reference, SURVEY §2.4) ----
+    "q_distinct" -> ((s, d) =>
+      Transforms(t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")),
+        TransformSpec("d", "distinct"), Map.empty)),
+    "q_intersect" -> ((s, d) => {
+      val building = FilterOp(t(s, d, "customer"),
+        Config.of("field" -> "c_mktsegment", "op" -> "eq", "value" -> "BUILDING"))
+        .select(col("c_custkey").as("key"))
+      val withOrders = t(s, d, "orders").select(col("o_custkey").as("key"))
+      SetOp(building, Config.of("other" -> "o"), Map("o" -> withOrders), "intersect")
+    }),
+    "q_except" -> ((s, d) => {
+      val all = t(s, d, "orders").select(col("o_custkey").as("key"))
+      val f = FilterOp(t(s, d, "orders"),
+        Config.of("field" -> "o_orderstatus", "op" -> "eq", "value" -> "F"))
+        .select(col("o_custkey").as("key"))
+      SetOp(all, Config.of("other" -> "f"), Map("f" -> f), "except")
+    }),
+
+    // ---- composite-key join ----
+    "q_join_multikey" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val right = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      JoinOp(li, Config.of(
+        "right" -> "li2",
+        "left_keys" -> Seq("l_orderkey", "l_linenumber"),
+        "right_keys" -> Seq("l_orderkey", "l_linenumber")),
+        Map("li2" -> right))
+    }),
+
+    // ---- scalar breadth: math/string/date (sqrt is IEEE-exact
+    // cross-engine; exp/ln/pow are libm-dependent and excluded) ----
+    "q_scalar2" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        sqrt(col("o_totalprice")).as("sq"),
+        abs(col("o_totalprice") - lit(100000.0)).as("ab"),
+        lpad(col("o_orderstatus"), 3, "_").as("lp"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("rp"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).as("pnum"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"))),
+
     // ==== SURVEY §2.6 extensions: text analysis ====
     "x_text_profile" -> ((s, d) =>
       TextAnalysis.profile(t(s, d, "documents"))
@@ -384,6 +430,32 @@ object SparkEntry {
                   WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
              coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
       FROM lineitem""",
+
+    "q_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_intersect" -> """
+      SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders""",
+    "q_except" -> """
+      SELECT o_custkey AS key FROM orders
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q_join_multikey" -> """
+      SELECT a.l_orderkey, a.l_linenumber, a.l_quantity,
+             b.l_orderkey AS r_l_orderkey, b.l_linenumber AS r_l_linenumber,
+             b.l_extendedprice AS r_l_extendedprice
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber""",
+    "q_scalar2" -> """
+      SELECT o_orderkey, sqrt(o_totalprice) AS sq,
+             abs(o_totalprice - 100000.0) AS ab,
+             lpad(o_orderstatus, 3, '_') AS lp,
+             regexp_replace(o_orderpriority, '-', '_', 'g') AS rp,
+             regexp_extract(o_orderpriority, '^(\d+)', 1) AS pnum,
+             CAST(day(o_orderdate) AS BIGINT) AS dom,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             epoch_ms(date_trunc('month', o_orderdate)) AS month_ms
+      FROM orders""",
 
     // ==== §2.6 extension oracles. The token/shingle pipelines are
     // mirrored expression-for-expression so doubles come out

@@ -35,6 +35,9 @@ object Transforms {
     case "rename"      => RenameOp(df, t.config)
     case "limit"       => LimitOp(df, t.config)
     case "union"       => UnionOp(df, t.config, ctx)
+    case "intersect"   => SetOp(df, t.config, ctx, "intersect")
+    case "except"      => SetOp(df, t.config, ctx, "except")
+    case "distinct"    => df.distinct()
     case "window"      => WindowOp(df, t.config)
     case "sql"         => SqlOp(df, t.config, ctx)
     case other =>
@@ -44,7 +47,8 @@ object Transforms {
   /** Known transform types, for spec validation. */
   val knownTypes: Set[String] = Set(
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
-    "select", "rename", "limit", "union", "window", "sql")
+    "select", "rename", "limit", "union", "intersect", "except",
+    "distinct", "window", "sql")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
@@ -241,8 +245,13 @@ object JoinOp {
     val rightName = cfg.reqStr("right")
     val right0 = ctx.getOrElse(rightName,
       throw new GraftAnalysisException(s"join: unknown right source '$rightName'"))
-    val lk = cfg.str("left_key").getOrElse("id")
-    val rk = cfg.str("right_key").getOrElse("id")
+    // single-key (reference shape) or composite keys via *_keys lists
+    val lks = if (cfg.strList("left_keys").nonEmpty) cfg.strList("left_keys")
+      else Seq(cfg.str("left_key").getOrElse("id"))
+    val rks = if (cfg.strList("right_keys").nonEmpty) cfg.strList("right_keys")
+      else Seq(cfg.str("right_key").getOrElse("id"))
+    if (lks.size != rks.size)
+      throw new GraftAnalysisException("join: left_keys and right_keys must have the same arity")
     val how = cfg.str("how").getOrElse("inner")
     val prefix = cfg.str("prefix").getOrElse("r_")
 
@@ -250,7 +259,7 @@ object JoinOp {
       case Some(keep @ ("last" | "first")) =>
         val ord = cfg.str("right_order").getOrElse(throw new GraftAnalysisException(
           "join: right_dedup needs 'right_order' (a column that defines input order)"))
-        val w = Window.partitionBy(c(rk))
+        val w = Window.partitionBy(rks.map(c): _*)
           .orderBy(if (keep == "last") c(ord).desc else c(ord).asc)
         right0.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
       case None | Some("none") => right0
@@ -258,7 +267,9 @@ object JoinOp {
     }
     val right = right1.select(right1.columns.map(cn => col(quote(cn)).as(prefix + cn)).toSeq: _*)
     val rightB = if (cfg.bool("broadcast").getOrElse(false)) broadcast(right) else right
-    df.join(rightB, c(lk) === col(quote(prefix + rk)), how)
+    val cond = lks.zip(rks).map { case (lk, rk) => c(lk) === col(quote(prefix + rk)) }
+      .reduce(_ && _)
+    df.join(rightB, cond, how)
   }
 }
 
@@ -373,6 +384,26 @@ object UnionOp {
     names.foldLeft(df) { (acc, n) =>
       val other = ctx.getOrElse(n, throw new GraftAnalysisException(s"union: unknown input '$n'"))
       acc.unionByName(other, allowMissingColumns = true)
+    }
+  }
+}
+
+/** INTERSECT / EXCEPT against a named source (ABSENT in the
+  * reference, SURVEY §2.4). Set semantics (deduplicating), like the
+  * SQL operators; `all: true` keeps duplicates (INTERSECT ALL /
+  * EXCEPT ALL).
+  */
+object SetOp {
+  def apply(df: DataFrame, cfg: Config, ctx: Ctx, kind: String): DataFrame = {
+    val name = cfg.reqStr("other")
+    val other = ctx.getOrElse(name, throw new GraftAnalysisException(s"$kind: unknown input '$name'"))
+    val all = cfg.bool("all").getOrElse(false)
+    (kind, all) match {
+      case ("intersect", false) => df.intersect(other)
+      case ("intersect", true)  => df.intersectAll(other)
+      case ("except", false)    => df.except(other)
+      case ("except", true)     => df.exceptAll(other)
+      case _ => throw new GraftAnalysisException(s"unknown set op '$kind'")
     }
   }
 }

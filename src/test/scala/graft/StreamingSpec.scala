@@ -54,6 +54,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("StreamingRunner: pipeline spec runs under structured streaming") {
+    import graft.spec._
+    val dir = java.nio.file.Files.createTempDirectory("graftsrun")
+    sf("events").limit(200).write.mode("overwrite").parquet(dir.toString + "/in")
+    val spec = PipelineSpec(
+      name = "stream_pipe",
+      sources = Seq(
+        SourceSpec("events", "parquet", Config.of("path" -> (dir.toString + "/in")))),
+      transforms = Seq(
+        TransformSpec("f", "filter", Config.of("field" -> "value", "op" -> "gt", "value" -> 5.0)),
+        TransformSpec("p", "select", Config.of("fields" -> Seq("event_id", "event_type", "value")))),
+      sinks = Seq(SinkSpec("m", "memory", Config.of("table" -> "spec_stream_out"))))
+    val run = graft.streaming.StreamingRunner.start(
+      spark, spec, dir.toString + "/ckpt")
+    try {
+      run.query.processAllAvailable()
+      val got = spark.table("spec_stream_out").count()
+      val expect = spark.read.parquet(dir.toString + "/in").where($"value" > 5.0).count()
+      assert(got == expect)
+      assert(spark.table("spec_stream_out").columns.toSeq == Seq("event_id", "event_type", "value"))
+    } finally run.query.stop()
+  }
+
   test("file stream source: batch transforms apply unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graftstream")
     sf("events").limit(100).write.mode("overwrite").parquet(dir.toString + "/in")

@@ -136,6 +136,27 @@ class TransformsSpec extends SparkSuite {
     assert(out.count() == 2)
   }
 
+  test("join with composite keys") {
+    val left = Seq((1, "a", 10), (1, "b", 20), (2, "a", 30)).toDF("k1", "k2", "v")
+    val right = Seq((1, "a", "x"), (2, "a", "y")).toDF("k1", "k2", "w")
+    val out = JoinOp(left, Config.of(
+      "right" -> "r",
+      "left_keys" -> Seq("k1", "k2"), "right_keys" -> Seq("k1", "k2")), Map("r" -> right))
+    assert(out.select("v", "r_w").as[(Int, String)].collect().toSet == Set((10, "x"), (30, "y")))
+    assertThrows[GraftAnalysisException](JoinOp(left, Config.of(
+      "right" -> "r", "left_keys" -> Seq("k1", "k2"), "right_keys" -> Seq("k1")), Map("r" -> right)))
+  }
+
+  test("intersect / except / distinct set ops") {
+    val a = Seq(1, 2, 2, 3).toDF("v")
+    val b = Seq(2, 3, 4).toDF("v")
+    assert(SetOp(a, Config.of("other" -> "b"), Map("b" -> b), "intersect")
+      .as[Int].collect().toSet == Set(2, 3))
+    assert(SetOp(a, Config.of("other" -> "b"), Map("b" -> b), "except")
+      .as[Int].collect().toSet == Set(1))
+    assert(Transforms(a, graft.spec.TransformSpec("d", "distinct"), Map.empty).count() == 3)
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
