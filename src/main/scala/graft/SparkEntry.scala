@@ -134,6 +134,15 @@ object SparkEntry {
         "how" -> "left_anti"),
         Map("orders" -> t(s, d, "orders")))),
 
+    // salted variant of q_join_inner: identical result set (same
+    // oracle), skew-proof plan — the correctness proof that salting
+    // does not change join semantics
+    "q_join_salted" -> ((s, d) =>
+      JoinOp(t(s, d, "orders"), Config.of(
+        "right" -> "customer", "left_key" -> "o_custkey", "right_key" -> "c_custkey",
+        "salt" -> 8),
+        Map("customer" -> t(s, d, "customer")))),
+
     // ---- sort / top-k (reference main.py:265-268; limit ABSENT there) ----
     "q_sort_topk" -> ((s, d) =>
       SortOp(t(s, d, "orders"), Config.of(
@@ -378,6 +387,11 @@ object SparkEntry {
              CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q_join_inner" -> """
+      SELECT o.*, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name,
+             c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal,
+             c.c_mktsegment AS r_c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q_join_salted" -> """
       SELECT o.*, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name,
              c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal,
              c.c_mktsegment AS r_c_mktsegment

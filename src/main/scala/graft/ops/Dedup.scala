@@ -188,18 +188,13 @@ object Dedup {
 
   /** Character-n-gram Jaccard similarity between two text columns —
     * the exact verifier used on candidate pairs (from LSH or any
-    * blocking scheme).
+    * blocking scheme). Delegates to the codegen'd
+    * [[graft.expr.NgramJaccardExpr]] kernel (the declarative
+    * array_distinct/array_intersect form is interpreted and ~20×
+    * slower; semantics identical).
     */
-  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    def grams(t: Column) = array_distinct(
-      transform(sequence(lit(0), greatest(length(t) - n, lit(0))),
-        i => t.substr(i + 1, lit(n))))
-    val ga = grams(a)
-    val gb = grams(b)
-    val inter = size(array_intersect(ga, gb)).cast("double")
-    val union = (size(ga) + size(gb)).cast("double") - inter
-    when(union > 0, inter / union).otherwise(lit(0.0))
-  }
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    graft.expr.NgramJaccard(a, b, n)
 
   // ------------------------------------------------- embedding near-dup
 

@@ -269,7 +269,27 @@ object JoinOp {
     val rightB = if (cfg.bool("broadcast").getOrElse(false)) broadcast(right) else right
     val cond = lks.zip(rks).map { case (lk, rk) => c(lk) === col(quote(prefix + rk)) }
       .reduce(_ && _)
-    df.join(rightB, cond, how)
+
+    // Skew-key salting (`salt: N`): left rows get a pseudo-random salt
+    // in [0,N), the right side is replicated N× with every salt value,
+    // and the join key becomes (keys, salt) — a hot key's rows spread
+    // over N reducers instead of one. Result set is identical to the
+    // unsalted join (every left row still meets every matching right
+    // row exactly once). AQE's skew-join split handles moderate skew
+    // automatically; explicit salting is for the pathological keys AQE
+    // can't split (e.g. one key = 30% of 100 TB). Inner/left only —
+    // right/outer would multiply unmatched right rows.
+    cfg.int("salt") match {
+      case Some(n) if n > 1 =>
+        if (how != "inner" && how != "left")
+          throw new GraftAnalysisException(s"join: salt is only valid for inner/left joins, not '$how'")
+        val salted = df.withColumn("__salt_l", pmod(monotonically_increasing_id(), lit(n.toLong)))
+        val rightSalted = rightB.withColumn("__salt_r", explode(
+          sequence(lit(0L), lit(n.toLong - 1))))
+        salted.join(rightSalted, cond && col("__salt_l") === col("__salt_r"), how)
+          .drop("__salt_l", "__salt_r")
+      case _ => df.join(rightB, cond, how)
+    }
   }
 }
 
