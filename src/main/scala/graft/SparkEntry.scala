@@ -216,6 +216,44 @@ object SparkEntry {
           .otherwise(lit("high")).as("qty_band"),
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf"))),
 
+    // ---- temporal predicate (pushed to parquet as a timestamp filter) ----
+    "q_filter_date" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01"))
+          && col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))),
+
+    // ---- multi-way analytical queries (TPC-H-shaped): the composed
+    // engine at work — join reorder, partial aggs, top-k, all from
+    // Catalyst ----
+    "q_top_customers" -> ((s, d) => {
+      // revenue per customer over F-status orders: customer ⋈ orders ⋈ lineitem
+      val cust = t(s, d, "customer")
+      val ord = FilterOp(t(s, d, "orders"),
+        Config.of("field" -> "o_orderstatus", "op" -> "eq", "value" -> "F"))
+      val li = t(s, d, "lineitem")
+      val joined = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      joined.groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(50)
+    }),
+    "q_region_sales" -> ((s, d) => {
+      // sales by region/nation: region ⋈ nation ⋈ customer ⋈ orders
+      val joined = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("total_sales"))
+    }),
+
     // ---- set ops + distinct (ABSENT in reference, SURVEY §2.4) ----
     "q_distinct" -> ((s, d) =>
       Transforms(t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")),
@@ -445,6 +483,26 @@ object SparkEntry {
              coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
       FROM lineitem""",
 
+    "q_filter_date" -> """
+      SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""",
+    "q_top_customers" -> """
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             count(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey ASC LIMIT 50""",
+    "q_region_sales" -> """
+      SELECT r_name, n_name, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_sales
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name""",
     "q_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_intersect" -> """
       SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics proofs: the plan-shape properties that matter at
+  * 100 TB, asserted on real plans at test scale.
+  */
+class ScaleSpec extends SparkSuite {
+
+  test("bucketed tables join with no shuffle exchange") {
+    val dir = Files.createTempDirectory("graftbkt").toString
+    val li = sf("lineitem").select("l_orderkey", "l_quantity")
+    val ord = sf("orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/li").mode("overwrite").saveAsTable("bkt_li")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/ord").mode("overwrite").saveAsTable("bkt_ord")
+    try {
+      val joined = spark.table("bkt_li")
+        .join(spark.table("bkt_ord"), col("l_orderkey") === col("o_orderkey"))
+      // pre-AQE physical plan: bucketing on the join key on both sides
+      // must eliminate the shuffle entirely
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+      assert(joined.count() == sf("lineitem").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_li")
+      spark.sql("DROP TABLE IF EXISTS bkt_ord")
+    }
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = Files.createTempDirectory("graftpart").toString
+    sf("lineitem").write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("l_returnflag") === "A")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("l_returnflag"),
+      s"expected partition pruning in:\n$scan")
+    val expected = sf("lineitem").where(col("l_returnflag") === "A").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val df = sf("lineitem").where(col("l_quantity") > 24)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity,24"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection not pruned:\n$scan")
+  }
+
+  test("small dimension join plans as broadcast hash join") {
+    val joined = sf("orders").join(broadcast(sf("customer")),
+      col("o_custkey") === col("c_custkey"))
+    assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("salted join returns exactly the unsalted result") {
+    import graft.spec.Config
+    import graft.transforms.JoinOp
+    val plain = JoinOp(sf("orders"), Config.of(
+      "right" -> "c", "left_key" -> "o_custkey", "right_key" -> "c_custkey"),
+      Map("c" -> sf("customer")))
+    val salted = JoinOp(sf("orders"), Config.of(
+      "right" -> "c", "left_key" -> "o_custkey", "right_key" -> "c_custkey",
+      "salt" -> 4),
+      Map("c" -> sf("customer")))
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+}
