@@ -300,6 +300,19 @@ object SparkEntry {
         quarter(col("o_orderdate")).cast("long").as("qtr"),
         unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"))),
 
+    // ---- deterministic sampling / splits (content-hash based) ----
+    "q_sample" -> ((s, d) =>
+      SampleOp(t(s, d, "documents"), Config.of("key" -> "doc_id", "mod" -> 10, "below" -> 3))),
+    "x_split" -> ((s, d) =>
+      SplitOp(t(s, d, "documents"), Config.of(
+        "key" -> "doc_id", "mod" -> 100, "train_below" -> 80, "val_below" -> 90))
+        .select(col("doc_id"), col("split"))),
+
+    // ---- one-pass dataset profiler (validate_schema on steroids) ----
+    "x_profile_stats" -> ((s, d) =>
+      graft.ops.Profile.stats(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"))),
+
     // ==== SURVEY §2.6 extensions: text analysis ====
     "x_text_profile" -> ((s, d) =>
       TextAnalysis.profile(t(s, d, "documents"))
@@ -528,6 +541,34 @@ object SparkEntry {
              CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
              epoch_ms(date_trunc('month', o_orderdate)) AS month_ms
       FROM orders""",
+
+    "q_sample" -> """
+      SELECT * FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 3""",
+    "x_split" -> """
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+            FROM documents)""",
+    "x_profile_stats" -> """
+      SELECT 'l_returnflag' AS col_name, count(*) AS n_rows,
+             count(*) - count(l_returnflag) AS n_nulls,
+             count(DISTINCT l_returnflag) AS n_distinct,
+             CAST(min(l_returnflag) AS VARCHAR) AS min_value,
+             CAST(max(l_returnflag) AS VARCHAR) AS max_value FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+             count(DISTINCT l_linestatus),
+             CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_orderkey', count(*), count(*) - count(l_orderkey),
+             count(DISTINCT l_orderkey),
+             CAST(min(l_orderkey) AS VARCHAR), CAST(max(l_orderkey) AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+             count(DISTINCT l_linenumber),
+             CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR) FROM lineitem""",
 
     // ==== §2.6 extension oracles. The token/shingle pipelines are
     // mirrored expression-for-expression so doubles come out

@@ -40,6 +40,18 @@ object Transforms {
     case "distinct"    => df.distinct()
     case "window"      => WindowOp(df, t.config)
     case "sql"         => SqlOp(df, t.config, ctx)
+    case "sample"      => SampleOp(df, t.config)
+    case "split"       => SplitOp(df, t.config)
+    // §2.6 extension ops, addressable from pipeline specs / the CLI
+    case "dedup_exact" =>
+      graft.ops.Dedup.exactByFingerprint(df,
+        t.config.str("text_field").getOrElse("text"), t.config.reqStr("tie_break"))
+    case "dedup_minhash" =>
+      graft.ops.Dedup.minhashNearDups(df,
+        t.config.reqStr("id_field"), t.config.str("text_field").getOrElse("text"),
+        t.config.double("threshold").getOrElse(0.7))
+    case "text_profile" =>
+      graft.ops.TextAnalysis.profile(df, t.config.str("text_field").getOrElse("text"))
     case other =>
       throw new GraftAnalysisException(s"transform '${t.name}': unknown transform type '$other'")
   }
@@ -48,7 +60,8 @@ object Transforms {
   val knownTypes: Set[String] = Set(
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
     "select", "rename", "limit", "union", "intersect", "except",
-    "distinct", "window", "sql")
+    "distinct", "window", "sql", "sample", "split",
+    "dedup_exact", "dedup_minhash", "text_profile")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
@@ -425,6 +438,49 @@ object SetOp {
       case ("except", true)     => df.exceptAll(other)
       case _ => throw new GraftAnalysisException(s"unknown set op '$kind'")
     }
+  }
+}
+
+/** Deterministic content-hash sampling (ABSENT in the reference; a
+  * core training-data-pipeline op). The sampling decision is
+  * `md5(key) mod M < below` — a pure function of the row's key, so the
+  * sample is stable across runs, engines, partitionings, and data
+  * relayouts (unlike `rand()` or `TABLESAMPLE`), and downstream joins
+  * of two independently-sampled tables on the same key stay
+  * consistent.
+  */
+object SampleOp {
+  /** md5-derived bucket in [0, mod): first 8 hex chars as an int.
+    * Cross-engine reproducible (md5 is md5 everywhere). */
+  private[transforms] def bucket(key: Column, mod: Int): Column =
+    pmod(conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10).cast(LongType), lit(mod.toLong))
+
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val key = c(cfg.reqStr("key"))
+    val mod = cfg.int("mod").getOrElse(100)
+    val below = cfg.int("below").getOrElse(
+      throw new GraftAnalysisException("sample: needs 'below' (keep rows with bucket < below)"))
+    df.filter(bucket(key, mod) < below)
+  }
+}
+
+/** Deterministic train/validation/test split: same hash-bucket
+  * mechanism as [[SampleOp]], emitted as a label column. Stable
+  * splits are what keep eval sets eval sets when the corpus is
+  * re-processed.
+  */
+object SplitOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val key = c(cfg.reqStr("key"))
+    val mod = cfg.int("mod").getOrElse(100)
+    val trainBelow = cfg.int("train_below").getOrElse(90)
+    val valBelow = cfg.int("val_below").getOrElse(trainBelow)
+    val out = cfg.str("as").getOrElse("split")
+    val b = SampleOp.bucket(key, mod)
+    df.withColumn(out,
+      when(b < trainBelow, lit("train"))
+        .when(b < valBelow, lit("val"))
+        .otherwise(lit("test")))
   }
 }
 

@@ -157,6 +157,45 @@ class TransformsSpec extends SparkSuite {
     assert(Transforms(a, graft.spec.TransformSpec("d", "distinct"), Map.empty).count() == 3)
   }
 
+  test("deterministic sampling and splits are stable and partition-independent") {
+    val df = sf("documents")
+    val s1 = SampleOp(df, Config.of("key" -> "doc_id", "mod" -> 10, "below" -> 3))
+    val s2 = SampleOp(df.repartition(7), Config.of("key" -> "doc_id", "mod" -> 10, "below" -> 3))
+    assert(s1.select("doc_id").as[Long].collect().sorted
+      sameElements s2.select("doc_id").as[Long].collect().sorted)
+    val split = SplitOp(df, Config.of("key" -> "doc_id", "mod" -> 100,
+      "train_below" -> 80, "val_below" -> 90))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == df.count())
+    // roughly proportional (hash uniformity)
+    assert(counts("train") > counts("test"))
+  }
+
+  test("profiler: one-pass per-column stats") {
+    val df = Seq((1, "a"), (2, "b"), (3, null)).toDF("id", "s")
+    val p = graft.ops.Profile.stats(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getAs[Long]("n_rows") == 3)
+    assert(p("id").getAs[Long]("n_nulls") == 0)
+    assert(p("s").getAs[Long]("n_nulls") == 1)
+    assert(p("s").getAs[Long]("n_distinct") == 2)
+    assert(p("id").getAs[String]("min_value") == "1")
+    assert(p("id").getAs[String]("max_value") == "3")
+  }
+
+  test("extension transforms are spec-addressable (dedup_exact, text_profile, sample)") {
+    val docs = Seq((1L, "hello world one"), (2L, "hello world one"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val deduped = Transforms(docs, graft.spec.TransformSpec("d", "dedup_exact",
+      Config.of("tie_break" -> "doc_id")), Map.empty)
+    assert(deduped.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val profiled = Transforms(docs, graft.spec.TransformSpec("p", "text_profile"), Map.empty)
+    assert(profiled.columns.contains("quality_score"))
+    assert(Transforms(docs, graft.spec.TransformSpec("s", "sample",
+      Config.of("key" -> "doc_id", "mod" -> 2, "below" -> 2)), Map.empty).count() <= 3)
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
