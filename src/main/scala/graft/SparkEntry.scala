@@ -308,6 +308,15 @@ object SparkEntry {
         "key" -> "doc_id", "mod" -> 100, "train_below" -> 80, "val_below" -> 90))
         .select(col("doc_id"), col("split"))),
 
+    // deterministic k-sample: bottom-k by content hash — an exact,
+    // reproducible "random" sample that any engine reproduces (plans
+    // as TakeOrderedAndProject: per-partition top-k + driver merge,
+    // no full sort)
+    "q_sample_bottomk" -> ((s, d) =>
+      t(s, d, "documents")
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        .limit(100)),
+
     // ---- one-pass dataset profiler (validate_schema on steroids) ----
     "x_profile_stats" -> ((s, d) =>
       graft.ops.Profile.stats(t(s, d, "lineitem"),
@@ -551,6 +560,9 @@ object SparkEntry {
       FROM (SELECT doc_id,
               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
             FROM documents)""",
+    "q_sample_bottomk" -> """
+      SELECT * FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100""",
     "x_profile_stats" -> """
       SELECT 'l_returnflag' AS col_name, count(*) AS n_rows,
              count(*) - count(l_returnflag) AS n_nulls,
