@@ -42,6 +42,24 @@ object Transforms {
     case "sql"         => SqlOp(df, t.config, ctx)
     case "sample"      => SampleOp(df, t.config)
     case "split"       => SplitOp(df, t.config)
+    // event-time watermark (streaming pipelines): bounds state for
+    // downstream windowed aggregates; a no-op semantic on batch data
+    case "watermark" =>
+      df.withWatermark(t.config.reqStr("field"), t.config.str("delay").getOrElse("10 minutes"))
+    // tumbling/sliding event-time window aggregation: adds the window
+    // struct as group key; works in both batch and streaming mode
+    case "window_agg" =>
+      val cfg = t.config
+      val ts = cfg.reqStr("time_field")
+      val win = cfg.str("slide") match {
+        case Some(sl) => window(c(ts), cfg.str("duration").getOrElse("5 minutes"), sl)
+        case None     => window(c(ts), cfg.str("duration").getOrElse("5 minutes"))
+      }
+      val withWin = df.groupBy((win.as("window") +: cfg.strList("group_by").map(c)): _*)
+      val aggs = AggregateOp.buildAggs(cfg)
+      withWin.agg(aggs.head, aggs.tail: _*)
+        .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+          col("*")).drop("window")
     // §2.6 extension ops, addressable from pipeline specs / the CLI
     case "dedup_exact" =>
       graft.ops.Dedup.exactByFingerprint(df,
@@ -61,6 +79,7 @@ object Transforms {
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
     "select", "rename", "limit", "union", "intersect", "except",
     "distinct", "window", "sql", "sample", "split",
+    "watermark", "window_agg",
     "dedup_exact", "dedup_minhash", "text_profile")
 
   private[transforms] def c(name: String): Column = col(quote(name))
@@ -162,6 +181,9 @@ object MapOp {
       case "int" | "long" => castTo("BIGINT")
       case "float" | "double" => castTo("DOUBLE")
       case "str" | "string" => c(field).cast(StringType)
+      // epoch-nanos long → timestamp (integer div: `/` is double
+      // division and drifts a microsecond at 1e18 magnitudes)
+      case "ns_to_timestamp" => timestamp_micros(expr(s"$q div 1000"))
       case other => throw new GraftAnalysisException(s"map: unknown operation '$other'")
     }
     df.withColumn(out, e)
@@ -185,10 +207,21 @@ object MapOp {
 object AggregateOp {
   def apply(df: DataFrame, cfg: Config): DataFrame = {
     val groupBy = cfg.strList("group_by")
+    val aggCols = buildAggs(cfg)
+    val grouped = cfg.str("grouping").getOrElse("groupby") match {
+      case "rollup" => df.rollup(groupBy.map(c): _*)
+      case "cube"   => df.cube(groupBy.map(c): _*)
+      case _        => df.groupBy(groupBy.map(c): _*)
+    }
+    grouped.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Aggregation column list from config — shared with `window_agg`. */
+  def buildAggs(cfg: Config): Seq[Column] = {
     val aggSpecs: Seq[Config] =
       if (cfg.objList("aggregations").nonEmpty) cfg.objList("aggregations")
       else Seq(cfg) // reference single-agg shape {field, function}
-    val aggCols = aggSpecs.map { a =>
+    aggSpecs.map { a =>
       val fn = a.str("function").getOrElse("count")
       val field = a.str("field").getOrElse("*")
       val alias = a.str("as").getOrElse(s"${if (field == "*") "row" else field}_$fn")
@@ -225,12 +258,6 @@ object AggregateOp {
       }
       e.as(alias)
     }
-    val grouped = cfg.str("grouping").getOrElse("groupby") match {
-      case "rollup" => df.rollup(groupBy.map(c): _*)
-      case "cube"   => df.cube(groupBy.map(c): _*)
-      case _        => df.groupBy(groupBy.map(c): _*)
-    }
-    grouped.agg(aggCols.head, aggCols.tail: _*)
   }
 }
 

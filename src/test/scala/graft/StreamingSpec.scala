@@ -77,6 +77,33 @@ class StreamingSpec extends SparkSuite {
     } finally run.query.stop()
   }
 
+  test("StreamingRunner: watermark + window_agg spec aggregates a stream") {
+    import graft.spec._
+    val dir = java.nio.file.Files.createTempDirectory("graftswin")
+    sf("events").limit(500).write.mode("overwrite").parquet(dir.toString + "/in")
+    val spec = PipelineSpec(
+      name = "stream_win",
+      sources = Seq(SourceSpec("events", "parquet", Config.of("path" -> (dir.toString + "/in")))),
+      transforms = Seq(
+        // ts is nanosecond-long under nanosAsLong: normalize first
+        TransformSpec("t", "map", Config.of("field" -> "ts", "operation" -> "ns_to_timestamp"), Nil, 0),
+        TransformSpec("w", "watermark", Config.of("field" -> "ts", "delay" -> "1 hour"), Nil, 1),
+        TransformSpec("a", "window_agg", Config.of(
+          "time_field" -> "ts", "duration" -> "1 hour", "group_by" -> Seq("event_type"),
+          "aggregations" -> Seq(Map("function" -> "count", "as" -> "n"))), Nil, 2)),
+      sinks = Seq(SinkSpec("m", "memory", Config.of(
+        "table" -> "win_spec_out", "output_mode" -> "update"))))
+    val run = graft.streaming.StreamingRunner.start(spark, spec, dir.toString + "/ckpt")
+    try {
+      run.query.processAllAvailable()
+      val out = spark.table("win_spec_out")
+      assert(out.columns.contains("window_start") && out.columns.contains("n"))
+      // total counted events across windows == input rows
+      val total = out.agg(sum($"n")).as[Long].head()
+      assert(total == 500L)
+    } finally run.query.stop()
+  }
+
   test("file stream source: batch transforms apply unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graftstream")
     sf("events").limit(100).write.mode("overwrite").parquet(dir.toString + "/in")
