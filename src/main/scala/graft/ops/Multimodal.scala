@@ -97,4 +97,71 @@ object Multimodal {
       }
       .toDF("id", "byte_len", "features")
   }
+
+  /** Transcoder seam for resize: a real deployment wraps an image
+    * codec; the stub emits a deterministic downsample of the payload
+    * bytes with the declared target dimensions in the metadata, so
+    * schema/partitioning/size-accounting behave exactly as the real
+    * thing.
+    */
+  trait MediaResizer extends Serializable {
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte]
+  }
+  final class FakeResizer extends MediaResizer {
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val target = math.max(1, math.min(payload.length, width * height / 8))
+      val out = new Array[Byte](target)
+      var i = 0
+      while (i < target) { out(i) = payload((i.toLong * payload.length / target).toInt); i += 1 }
+      out
+    }
+  }
+
+  /** Distributed resize: payload → resized payload + updated metadata
+    * struct. Output keeps the canonical media layout so resize stages
+    * compose with decode/feature stages.
+    */
+  def resize(df: DataFrame, idCol: String, mediaCol: String, width: Int, height: Int,
+      resizer: MediaResizer = new FakeResizer()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"), col(mediaCol + ".mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mime) =>
+          val resized = resizer.resize(payload, width, height)
+          (id, resized, mime, resized.length.toLong, width, height)
+        }
+      }
+      .toDF("id", "payload", "mime", "byte_len", "width", "height")
+  }
+
+  /** Frame sampling for video-like payloads: emit every `stride`-th of
+    * `nFrames` equal payload segments as its own row (id, frame_idx,
+    * frame bytes). One input row fans out to ≤ nFrames/stride rows —
+    * the explode shape real frame extraction has; the segmenting stub
+    * stands in for a container demuxer.
+    */
+  def frameSample(df: DataFrame, idCol: String, mediaCol: String,
+      nFrames: Int, stride: Int = 1): DataFrame = {
+    require(nFrames > 0 && stride > 0, "frameSample: nFrames and stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        if (payload.isEmpty) Iterator.empty
+        else {
+          val segLen = math.max(1, payload.length / nFrames)
+          (0 until nFrames by stride).iterator
+            .filter(i => i * segLen < payload.length)
+            .map { i =>
+              val start = i * segLen
+              val end = math.min(start + segLen, payload.length)
+              (id, i, java.util.Arrays.copyOfRange(payload, start, end))
+            }
+        }
+      }
+      .toDF("id", "frame_idx", "frame")
+  }
 }

@@ -118,6 +118,21 @@ class OpsSpec extends SparkSuite {
     assert(f1.head.getAs[Long]("byte_len") == 11L)
   }
 
+  test("multimodal: resize and frame-sample keep distributed shape") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text")
+    val packed = Multimodal.packText(df, "text")
+    val resized = Multimodal.resize(packed, "doc_id", "media", width = 8, height = 8)
+    val r = resized.collect().head
+    assert(r.getAs[Long]("byte_len") == 8 && r.getAs[Int]("width") == 8)
+    assert(r.getAs[Array[Byte]]("payload").length == 8)
+    val frames = Multimodal.frameSample(packed, "doc_id", "media", nFrames = 6, stride = 2)
+    val idx = frames.select("frame_idx").as[Int].collect().sorted
+    assert(idx.sameElements(Array(0, 2, 4)))
+    // frames are distinct segments of the payload
+    val total = frames.select("frame").as[Array[Byte]].collect().map(_.length).sum
+    assert(total == 18) // 3 frames x 6-byte segments
+  }
+
   test("ivf index search returns k ranked neighbors") {
     val e = sf("embeddings")
     val idx = Similarity.IvfIndex.build(e, "vec_id", "embedding", dim = 64, nlist = 4)
