@@ -254,6 +254,18 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("total_sales"))
     }),
 
+    // ---- pivot + explode (ABSENT in reference) ----
+    "q_pivot" -> ((s, d) =>
+      PivotOp(t(s, d, "lineitem"), Config.of(
+        "group_by" -> Seq("l_returnflag"), "pivot" -> "l_linestatus",
+        "values" -> Seq("F", "O"),
+        "aggregations" -> Seq(Map("function" -> "count", "as" -> "cnt"))))),
+    "q_explode" -> ((s, d) =>
+      ExplodeOp(
+        t(s, d, "documents").select(col("doc_id"),
+          graft.ops.TextAnalysis.tokens(col("text")).as("toks")),
+        Config.of("field" -> "toks", "as" -> "tok", "with_position" -> true))),
+
     // ---- set ops + distinct (ABSENT in reference, SURVEY §2.4) ----
     "q_distinct" -> ((s, d) =>
       Transforms(t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")),
@@ -525,6 +537,17 @@ object SparkEntry {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name""",
+    "q_pivot" -> """
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+             count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+      FROM lineitem GROUP BY l_returnflag""",
+    "q_explode" -> """
+      SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS tok_pos,
+             unnest(toks) AS tok_value
+      FROM (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+            FROM documents)""",
     "q_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_intersect" -> """
       SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -44,6 +44,8 @@ object Transforms {
     case "split"       => SplitOp(df, t.config)
     // event-time watermark (streaming pipelines): bounds state for
     // downstream windowed aggregates; a no-op semantic on batch data
+    case "pivot"       => PivotOp(df, t.config)
+    case "explode"     => ExplodeOp(df, t.config)
     case "watermark" =>
       df.withWatermark(t.config.reqStr("field"), t.config.str("delay").getOrElse("10 minutes"))
     // tumbling/sliding event-time window aggregation: adds the window
@@ -79,7 +81,7 @@ object Transforms {
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
     "select", "rename", "limit", "union", "intersect", "except",
     "distinct", "window", "sql", "sample", "split",
-    "watermark", "window_agg",
+    "pivot", "explode", "watermark", "window_agg",
     "dedup_exact", "dedup_minhash", "text_profile")
 
   private[transforms] def c(name: String): Column = col(quote(name))
@@ -337,7 +339,17 @@ object JoinOp {
       case Some(other) => throw new GraftAnalysisException(s"join: unknown right_dedup '$other'")
     }
     val right = right1.select(right1.columns.map(cn => col(quote(cn)).as(prefix + cn)).toSeq: _*)
-    val rightB = if (cfg.bool("broadcast").getOrElse(false)) broadcast(right) else right
+    // strategy hints: broadcast (dimension tables), merge (both sides
+    // pre-sorted/bucketed), shuffle_hash (big⋈medium where sort
+    // dominates). AQE picks well from runtime sizes; hints are for
+    // when the author knows better (e.g. size stats lie).
+    val rightB = cfg.str("hint").orElse(
+      if (cfg.bool("broadcast").getOrElse(false)) Some("broadcast") else None) match {
+      case Some("broadcast") => broadcast(right)
+      case Some(h @ ("merge" | "shuffle_hash" | "shuffle_replicate_nl")) => right.hint(h)
+      case Some(other) => throw new GraftAnalysisException(s"join: unknown hint '$other'")
+      case None => right
+    }
     val cond = lks.zip(rks).map { case (lk, rk) => c(lk) === col(quote(prefix + rk)) }
       .reduce(_ && _)
 
@@ -496,6 +508,40 @@ object SetOp {
       case ("except", true)     => df.exceptAll(other)
       case _ => throw new GraftAnalysisException(s"unknown set op '$kind'")
     }
+  }
+}
+
+/** Pivot (ABSENT in the reference): group by keys, spread a pivot
+  * column's values into output columns. `values` must be declared —
+  * at 100 TB an undeclared pivot means an extra full pass just to
+  * discover the column set, and nondeterministic output schemas break
+  * downstream consumers.
+  */
+object PivotOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val groupBy = cfg.strList("group_by")
+    val pivotCol = cfg.reqStr("pivot")
+    val values = cfg.strList("values")
+    if (values.isEmpty)
+      throw new GraftAnalysisException("pivot: needs declared 'values' (schema must be static)")
+    val aggs = AggregateOp.buildAggs(cfg)
+    df.groupBy(groupBy.map(c): _*).pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+/** Explode an array column into one row per element (with optional
+  * position). Plan-level fan-out — no shuffle; generated rows stay in
+  * their parent's partition.
+  */
+object ExplodeOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val field = cfg.reqStr("field")
+    val out = cfg.str("as").getOrElse(field)
+    if (cfg.bool("with_position").getOrElse(false))
+      df.select(col("*"), posexplode(c(field)).as(Seq(s"${out}_pos", s"${out}_value")))
+        .drop(field)
+    else
+      df.withColumn(out + "_value", explode(c(field))).drop(field)
   }
 }
 

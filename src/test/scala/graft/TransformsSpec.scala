@@ -196,6 +196,36 @@ class TransformsSpec extends SparkSuite {
       Config.of("key" -> "doc_id", "mod" -> 2, "below" -> 2)), Map.empty).count() <= 3)
   }
 
+  test("pivot spreads declared values into columns; explode fans out arrays") {
+    val df = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3)).toDF("k", "p", "v")
+    val piv = PivotOp(df, Config.of(
+      "group_by" -> Seq("k"), "pivot" -> "p", "values" -> Seq("x", "y"),
+      "aggregations" -> Seq(Map("field" -> "v", "function" -> "sum", "as" -> "sv"))))
+    assert(piv.columns.toSeq == Seq("k", "x", "y"))
+    val row = piv.where($"k" === "a").collect().head
+    assert(row.getAs[Long]("x") == 1L && row.getAs[Long]("y") == 2L)
+    assertThrows[GraftAnalysisException](
+      PivotOp(df, Config.of("group_by" -> Seq("k"), "pivot" -> "p")))
+
+    val arr = Seq((1, Seq("a", "b"))).toDF("id", "xs")
+    val ex = ExplodeOp(arr, Config.of("field" -> "xs", "as" -> "x", "with_position" -> true))
+    assert(ex.select("x_pos", "x_value").as[(Int, String)].collect().toSet ==
+      Set((0, "a"), (1, "b")))
+  }
+
+  test("join hints: merge/shuffle_hash accepted, bogus rejected") {
+    val left = Seq((1, "a")).toDF("id", "v")
+    val right = Seq((1, "x")).toDF("id", "w")
+    Seq("merge", "shuffle_hash").foreach { h =>
+      val out = JoinOp(left, Config.of(
+        "right" -> "r", "left_key" -> "id", "right_key" -> "id", "hint" -> h), Map("r" -> right))
+      assert(out.count() == 1)
+    }
+    assertThrows[GraftAnalysisException](JoinOp(left, Config.of(
+      "right" -> "r", "left_key" -> "id", "right_key" -> "id", "hint" -> "nested_loop_xl"),
+      Map("r" -> right)))
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
