@@ -13,10 +13,11 @@ import graft.transforms._
   * Each query exercises the engine's operator set (graft.transforms /
   * graft.ops) over the driver testdata, with a DuckDB-equivalent SQL
   * oracle. Cross-engine determinism rules used throughout:
-  *  - sums/avgs over doubles go through DECIMAL(38,6): exact integer
-  *    arithmetic, so the result is independent of partitioning /
-  *    addition order; final CAST to DOUBLE is correctly rounded in
-  *    both engines → bit-identical values;
+  *  - sums/avgs over doubles go through DECIMAL(18,6) (compact-long
+  *    Decimal path; DuckDB side uses DECIMAL(38,6) — both exact):
+  *    integer arithmetic independent of partitioning / addition order;
+  *    final CAST to DOUBLE is correctly rounded in both engines →
+  *    bit-identical values;
   *  - `events.ts` is nanosecond parquet (Spark truncates to micros,
   *    DuckDB keeps ns) → compared as epoch milliseconds;
   *  - every computed column is explicitly aliased identically in the
@@ -194,7 +195,7 @@ object SparkEntry {
       t(s, d, "orders").select(
         col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         count(lit(1)).over(w).as("n_so_far"),
-        sum(col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double").as("spend_so_far"))
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").as("spend_so_far"))
     }),
 
     // ---- scalar function surface (reference: casts/case only, main.py:208-213) ----
@@ -237,7 +238,7 @@ object SparkEntry {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       joined.groupBy(col("c_custkey"), col("c_name"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)"))
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
             .cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -251,7 +252,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       joined.groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("total_sales"))
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total_sales"))
     }),
 
     // ---- pivot + explode (ABSENT in reference) ----
@@ -403,7 +404,7 @@ object SparkEntry {
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(38,6)")).cast("double").as("total"))
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
         .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
           col("n"), col("total"))),
     "x_sessionize" -> ((s, d) => {
@@ -419,7 +420,7 @@ object SparkEntry {
         .agg(min(col("ts_ms")).as("session_start_ms"),
           max(col("ts_ms")).as("session_end_ms"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
     }),
 
     // ==== extensions: sketches (rows-only: HLL/quantile internals are
