@@ -46,6 +46,21 @@ object Transforms {
     // downstream windowed aggregates; a no-op semantic on batch data
     case "pivot"       => PivotOp(df, t.config)
     case "explode"     => ExplodeOp(df, t.config)
+    // physical-layout controls: repartition shuffles to n partitions /
+    // by key columns (co-location before N downstream joins, or
+    // sizing output files); coalesce merges partitions without a
+    // shuffle (small-file compaction on write)
+    case "repartition" =>
+      val cols = t.config.strList("by")
+      (t.config.int("n"), cols) match {
+        case (Some(n), Nil)  => df.repartition(n)
+        case (Some(n), cs)   => df.repartition(n, cs.map(Transforms.c): _*)
+        case (None, cs) if cs.nonEmpty => df.repartition(cs.map(Transforms.c): _*)
+        case _ => throw new GraftAnalysisException("repartition: needs 'n' and/or 'by'")
+      }
+    case "coalesce" =>
+      df.coalesce(t.config.int("n").getOrElse(
+        throw new GraftAnalysisException("coalesce: needs 'n'")))
     case "watermark" =>
       df.withWatermark(t.config.reqStr("field"), t.config.str("delay").getOrElse("10 minutes"))
     // tumbling/sliding event-time window aggregation: adds the window
@@ -81,7 +96,7 @@ object Transforms {
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
     "select", "rename", "limit", "union", "intersect", "except",
     "distinct", "window", "sql", "sample", "split",
-    "pivot", "explode", "watermark", "window_agg",
+    "pivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "dedup_exact", "dedup_minhash", "text_profile")
 
   private[transforms] def c(name: String): Column = col(quote(name))

@@ -226,6 +226,19 @@ class TransformsSpec extends SparkSuite {
       Map("r" -> right)))
   }
 
+  test("repartition/coalesce control physical layout without changing data") {
+    val df = employees
+    val rep = Transforms(df, graft.spec.TransformSpec("r", "repartition",
+      Config.of("n" -> 3, "by" -> Seq("dept"))), Map.empty)
+    assert(rep.rdd.getNumPartitions == 3)
+    assert(rep.count() == 3)
+    val co = Transforms(rep, graft.spec.TransformSpec("c", "coalesce",
+      Config.of("n" -> 1)), Map.empty)
+    assert(co.rdd.getNumPartitions == 1)
+    assertThrows[GraftAnalysisException](
+      Transforms(df, graft.spec.TransformSpec("r", "repartition", Config.of()), Map.empty))
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
