@@ -330,6 +330,12 @@ object SparkEntry {
         .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
         .limit(100)),
 
+    // custom typed UDAF (reference UDAF surface: ABSENT): per-group
+    // deterministic k-sample of distinct users, bottom-k by md5(id)
+    "x_group_sample" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(graft.ops.BottomKSample.of(col("user_id"), 5).as("sample_users"))),
+
     // ---- one-pass dataset profiler (validate_schema on steroids) ----
     "x_profile_stats" -> ((s, d) =>
       graft.ops.Profile.stats(t(s, d, "lineitem"),
@@ -587,6 +593,12 @@ object SparkEntry {
     "q_sample_bottomk" -> """
       SELECT * FROM documents
       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100""",
+    "x_group_sample" -> """
+      SELECT event_type, list_slice(list(user_id ORDER BY h, user_id), 1, 5) AS sample_users
+      FROM (SELECT DISTINCT event_type, user_id,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events)
+      GROUP BY event_type""",
     "x_profile_stats" -> """
       SELECT 'l_returnflag' AS col_name, count(*) AS n_rows,
              count(*) - count(l_returnflag) AS n_nulls,

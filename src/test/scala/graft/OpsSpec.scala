@@ -133,6 +133,18 @@ class OpsSpec extends SparkSuite {
     assert(total == 18) // 3 frames x 6-byte segments
   }
 
+  test("BottomKSample UDAF: deterministic, partition-invariant, k-bounded") {
+    val df = Seq((1, 10L), (1, 20L), (1, 30L), (1, 10L), (2, 40L)).toDF("g", "id")
+    val out = df.groupBy($"g").agg(graft.ops.BottomKSample.of($"id", 2).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Long]]("s")).toMap
+    assert(out(1).size == 2 && out(1).toSet.subsetOf(Set(10L, 20L, 30L)))
+    assert(out(2) == Seq(40L))
+    // partition-invariance
+    val out7 = df.repartition(7).groupBy($"g").agg(graft.ops.BottomKSample.of($"id", 2).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Long]]("s")).toMap
+    assert(out == out7)
+  }
+
   test("ivf index search returns k ranked neighbors") {
     val e = sf("embeddings")
     val idx = Similarity.IvfIndex.build(e, "vec_id", "embedding", dim = 64, nlist = 4)

@@ -27,8 +27,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif "datetime" in str(df[c].dtype):
             df[c] = pd.to_datetime(df[c], utc=True).dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
         elif df[c].dtype == "object":
-            df[c] = df[c].map(lambda v: json.dumps(v, sort_keys=True, default=str)
-                              if isinstance(v, (list, dict)) else v)
+            def norm(v):
+                if hasattr(v, "tolist"):  # numpy array from parquet/duckdb
+                    v = v.tolist()
+                if isinstance(v, (list, dict)):
+                    return json.dumps(v, sort_keys=True, default=str)
+                return v
+            df[c] = df[c].map(norm)
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df
 
