@@ -261,6 +261,13 @@ object SparkEntry {
         "group_by" -> Seq("l_returnflag"), "pivot" -> "l_linestatus",
         "values" -> Seq("F", "O"),
         "aggregations" -> Seq(Map("function" -> "count", "as" -> "cnt"))))),
+    "q_unpivot" -> ((s, d) =>
+      UnpivotOp(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
+        Config.of("ids" -> Seq("l_orderkey", "l_linenumber"),
+          "values" -> Seq("l_quantity", "l_extendedprice"),
+          "name_to" -> "metric", "value_to" -> "val"))),
     "q_explode" -> ((s, d) =>
       ExplodeOp(
         t(s, d, "documents").select(col("doc_id"),
@@ -549,6 +556,10 @@ object SparkEntry {
              count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
              count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
       FROM lineitem GROUP BY l_returnflag""",
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, metric, val FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem)
+        ON l_quantity, l_extendedprice INTO NAME metric VALUE val)""",
     "q_explode" -> """
       SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS tok_pos,
              unnest(toks) AS tok_value

@@ -45,6 +45,7 @@ object Transforms {
     // event-time watermark (streaming pipelines): bounds state for
     // downstream windowed aggregates; a no-op semantic on batch data
     case "pivot"       => PivotOp(df, t.config)
+    case "unpivot"     => UnpivotOp(df, t.config)
     case "explode"     => ExplodeOp(df, t.config)
     // physical-layout controls: repartition shuffles to n partitions /
     // by key columns (co-location before N downstream joins, or
@@ -96,7 +97,7 @@ object Transforms {
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
     "select", "rename", "limit", "union", "intersect", "except",
     "distinct", "window", "sql", "sample", "split",
-    "pivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
+    "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "dedup_exact", "dedup_minhash", "text_profile")
 
   private[transforms] def c(name: String): Column = col(quote(name))
@@ -571,6 +572,19 @@ object PivotOp {
       throw new GraftAnalysisException("pivot: needs declared 'values' (schema must be static)")
     val aggs = AggregateOp.buildAggs(cfg)
     df.groupBy(groupBy.map(c): _*).pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+/** Unpivot / melt (inverse of [[PivotOp]]): declared value columns
+  * become (name, value) rows. Plan-level fan-out, no shuffle.
+  */
+object UnpivotOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val ids = cfg.strList("ids")
+    val values = cfg.strList("values")
+    if (values.isEmpty) throw new GraftAnalysisException("unpivot: needs 'values'")
+    df.unpivot(ids.map(c).toArray, values.map(c).toArray,
+      cfg.str("name_to").getOrElse("name"), cfg.str("value_to").getOrElse("value"))
   }
 }
 
