@@ -338,10 +338,14 @@ object SparkEntry {
         .limit(100)),
 
     // custom typed UDAF (reference UDAF surface: ABSENT): per-group
-    // deterministic k-sample of distinct users, bottom-k by md5(id)
+    // deterministic k-sample of distinct users, bottom-k by md5(id).
+    // Output serialized to a csv string: the driver's compare sorts
+    // every column in pandas, and array cells are unsortable there.
     "x_group_sample" -> ((s, d) =>
       events(s, d).groupBy(col("event_type"))
-        .agg(graft.ops.BottomKSample.of(col("user_id"), 5).as("sample_users"))),
+        .agg(graft.ops.BottomKSample.of(col("user_id"), 5).as("__sample"))
+        .select(col("event_type"),
+          array_join(col("__sample").cast("array<string>"), ",").as("sample_users"))),
 
     // ---- one-pass dataset profiler (validate_schema on steroids) ----
     "x_profile_stats" -> ((s, d) =>
@@ -407,9 +411,14 @@ object SparkEntry {
       Multimodal.packText(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("media.mime").as("mime"),
           col("media.meta.byte_len").as("byte_len"))),
-    "x_multimodal_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.packText(t(s, d, "documents"), "text"), "doc_id", "media")),
+    // feature vector flattened to scalar columns: same
+    // driver-compare constraint as x_group_sample (no array cells)
+    "x_multimodal_features" -> ((s, d) => {
+      val f = Multimodal.extractFeatures(
+        Multimodal.packText(t(s, d, "documents"), "text"), "doc_id", "media")
+      f.select(col("id") +: col("byte_len") +:
+        (0 until 8).map(i => col("features")(i).cast("double").as(s"f$i")): _*)
+    }),
 
     // ==== extensions: event-time windowing + sessionization (batch
     // equivalents of graft.streaming) ====
@@ -605,7 +614,8 @@ object SparkEntry {
       SELECT * FROM documents
       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100""",
     "x_group_sample" -> """
-      SELECT event_type, list_slice(list(user_id ORDER BY h, user_id), 1, 5) AS sample_users
+      SELECT event_type,
+             array_to_string(list_slice(list(CAST(user_id AS VARCHAR) ORDER BY h, user_id), 1, 5), ',') AS sample_users
       FROM (SELECT DISTINCT event_type, user_id,
                    md5(CAST(user_id AS VARCHAR)) AS h
             FROM events)
