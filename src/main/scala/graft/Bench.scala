@@ -18,6 +18,10 @@ object Bench {
     try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+      // regex-bearing pass: JIT the codegen'd rlike/UTF8String paths so
+      // the first measured regex query isn't paying compiler warmup
+      li.filter("l_returnflag rlike '^[A-Z]+$'").groupBy("l_linestatus").count()
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // noop sink materializes every output column (a bare count() would
     // let Catalyst prune the computed columns and bench only the scan)

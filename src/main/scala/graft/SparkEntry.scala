@@ -113,6 +113,63 @@ object SparkEntry {
           Map("function" -> "count", "as" -> "cnt"),
           Map("field" -> "l_quantity", "function" -> "sum", "exact_decimal" -> 6, "as" -> "sum_qty"))))),
 
+    // ---- aggregation breadth: cube, FILTER-style conditional aggs,
+    // ordered string_agg, exact second-moment statistics ----
+    "q_agg_cube" -> ((s, d) =>
+      AggregateOp(t(s, d, "lineitem"), Config.of(
+        "group_by" -> Seq("l_returnflag", "l_linestatus"),
+        "grouping" -> "cube",
+        "aggregations" -> Seq(
+          Map("function" -> "count", "as" -> "cnt"),
+          Map("field" -> "l_quantity", "function" -> "sum", "exact_decimal" -> 6, "as" -> "sum_qty"))))),
+    "q_agg_filter" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("l_linestatus") === "F", col("l_quantity")).cast("decimal(18,6)"))
+          .cast("double").as("qty_f"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_hidisc"),
+        sum(when(col("l_shipdate") >= to_timestamp(lit("1997-01-01")), col("l_extendedprice"))
+          .cast("decimal(18,6)")).cast("double").as("rev_97plus"))),
+    "q_string_agg" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderpriority")).agg(
+        // collect_set is order-nondeterministic; array_sort makes the
+        // serialized list canonical on any partitioning
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        countDistinct(col("o_custkey")).as("n_cust"))),
+    // stddev/corr the cross-engine-exact way: all second moments as
+    // exact DECIMAL sums, ONE final double expression per statistic
+    // (identical op sequence in the oracle ⇒ bit-identical doubles).
+    // The built-in stddev/corr stream doubles through Welford-style
+    // merges whose result depends on partitioning — fine numerically,
+    // impossible to hash-match across engines.
+    "q_stats_exact" -> ((s, d) => {
+      val dec = "decimal(38,6)"
+      val g = t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(col("l_quantity")).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("__sq"),
+        sum((col("l_quantity") * col("l_quantity")).cast(dec)).cast("double").as("__sq2"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("__sp"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec)).cast("double").as("__sp2"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(dec)).cast("double").as("__sqp"))
+      val nd = col("n").cast("double")
+      g.select(col("l_returnflag"), col("n"),
+        (col("__sq") / nd).as("mean_qty"),
+        sqrt((col("__sq2") - col("__sq") * col("__sq") / nd) / (nd - lit(1.0))).as("sd_qty"),
+        ((nd * col("__sqp") - col("__sq") * col("__sp")) /
+          (sqrt(nd * col("__sq2") - col("__sq") * col("__sq")) *
+            sqrt(nd * col("__sp2") - col("__sp") * col("__sp")))).as("corr_qp"))
+    }),
+    // exact percentiles (interpolated): sort-based, per-group; rounded
+    // to 6 dp — interpolation differs from DuckDB's only in the last
+    // couple of ulps, far below the rounding grain
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderpriority")).agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))),
+
     // ---- join (reference main.py:251-263 + SURVEY §2.4 absent kinds) ----
     "q_join_inner" -> ((s, d) =>
       JoinOp(t(s, d, "orders"), Config.of(
@@ -143,6 +200,30 @@ object SparkEntry {
         "right" -> "customer", "left_key" -> "o_custkey", "right_key" -> "c_custkey",
         "salt" -> 8),
         Map("customer" -> t(s, d, "customer")))),
+
+    // ---- outer/cross join breadth (SURVEY §2.4: ABSENT in reference) ----
+    "q_join_full" -> ((s, d) => {
+      val fc = FilterOp(t(s, d, "orders"),
+        Config.of("field" -> "o_orderstatus", "op" -> "eq", "value" -> "F"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_f"))
+      val pc = FilterOp(t(s, d, "orders"),
+        Config.of("field" -> "o_orderstatus", "op" -> "eq", "value" -> "P"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_p"))
+      JoinOp(fc, Config.of(
+        "right" -> "pc", "left_key" -> "o_custkey", "right_key" -> "o_custkey",
+        "how" -> "full"), Map("pc" -> pc))
+    }),
+    "q_join_right" -> ((s, d) =>
+      JoinOp(FilterOp(t(s, d, "orders"),
+        Config.of("field" -> "o_orderstatus", "op" -> "eq", "value" -> "P")),
+        Config.of("right" -> "customer", "left_key" -> "o_custkey",
+          "right_key" -> "c_custkey", "how" -> "right"),
+        Map("customer" -> t(s, d, "customer")))),
+    "q_join_cross" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      t(s, d, "region").crossJoin(
+        n.select(n.columns.map(cn => col(cn).as("r_" + cn)).toSeq: _*))
+    }),
 
     // ---- sort / top-k (reference main.py:265-268; limit ABSENT there) ----
     "q_sort_topk" -> ((s, d) =>
@@ -196,6 +277,38 @@ object SparkEntry {
         col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         count(lit(1)).over(w).as("n_so_far"),
         sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").as("spend_so_far"))
+    }),
+
+    // ---- window breadth: lag/lead/first/ntile/percent_rank/cume_dist
+    // + a RANGE frame (time-based running windows) ----
+    "q_window_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        ntile(4).over(w).cast("long").as("nt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+    "q_window_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // RANGE frame over epoch-ms: trailing 30-day window per customer.
+      // Tie-insensitive (peers share the frame), so deterministic even
+      // though several orders can share a date.
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("ms"))
+        .rangeBetween(-2592000000L, 0L)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC so
+          // the cast to TIMESTAMP is the identity epoch mapping
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+        .select(col("o_custkey"), col("o_orderkey"), col("ms"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").as("spend_30d"))
     }),
 
     // ---- scalar function surface (reference: casts/case only, main.py:208-213) ----
@@ -320,6 +433,93 @@ object SparkEntry {
         quarter(col("o_orderdate")).cast("long").as("qtr"),
         unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"))),
 
+    // ---- scalar breadth: date / string / json / array function
+    // families (every output serialized to a scalar; date results as
+    // ISO strings so both engines agree on the wire format) ----
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("d30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("m2"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        weekofyear(col("o_orderdate")).cast("long").as("woy"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("dd"))),
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        reverse(col("o_orderpriority")).as("rev"),
+        repeat(col("o_orderstatus"), 3).as("rep"),
+        translate(col("o_orderpriority"), "-", "_").as("tr"),
+        expr("split_part(o_orderpriority, '-', 2)").as("sp"),
+        instr(col("o_orderpriority"), "-").cast("long").as("pos"),
+        col("o_orderpriority").startsWith("1").as("sw"),
+        expr("left(o_orderpriority, 3)").as("lft"),
+        expr("right(o_orderpriority, 3)").as("rgt"))),
+    "q_json_funcs" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        get_json_object(col("props"), "$.missing").as("m"))),
+    "q_array_funcs" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("ntok"),
+        array_join(slice(toks, 1, 3), " ").as("first3"),
+        array_contains(toks, "the").as("has_the"),
+        array_min(toks).as("tok_min"),
+        array_max(toks).as("tok_max"),
+        size(array_distinct(toks)).cast("long").as("nuniq"))
+    }),
+
+    // ---- SQL surface: the full Catalyst SQL front-end over the same
+    // tables (the reference's only SQL is pass-through to SQLite,
+    // main.py:133-136; ours is a first-class entry point) ----
+    "q_sql_join" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               GROUP BY o_orderpriority""")
+    }),
+
+    // ---- temporal joins (as-of, range): graft.ops.TemporalJoins ----
+    "x_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.ops.TemporalJoins.asOf(purchases, clicks,
+        Seq("user_id"), Seq("user_id"), "ts_us", "ts_us",
+        rightPayload = Seq("event_id", "ts_us"), rightTieBreak = "event_id",
+        strict = false, prefix = "click_")
+    }),
+    "x_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.ops.TemporalJoins.rangeJoin(clicks, purchases,
+        Seq("user_id"), Seq("user_id"), "ts_us", "ts_us",
+        lowerMs = 1L, upperMs = 300000000L, prefix = "p_")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("p_event_id").as("purchase_id"),
+          (col("p_ts_us") - col("ts_us")).as("gap_us"))
+    }),
+
+    // ---- token counting (word + BPE-ish subword proxy) ----
+    "x_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("word_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
+
     // ---- deterministic sampling / splits (content-hash based) ----
     "q_sample" -> ((s, d) =>
       SampleOp(t(s, d, "documents"), Config.of("key" -> "doc_id", "mod" -> 10, "below" -> 3))),
@@ -377,9 +577,13 @@ object SparkEntry {
       Dedup.exactByFingerprint(t(s, d, "documents"), "text", "doc_id")),
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)),
+    // md5-hash simhash variant: same banded plan as the xxhash64 scale
+    // path, but the signature is recomputable by the DuckDB oracle
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(
-        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"), "doc_id", maxDist = 3)),
+        Dedup.simhashMd5(t(s, d, "documents"), "doc_id", "text"), "doc_id",
+        maxDist = 3, bits = 60, bands = 4)
+        .withColumn("hamming", col("hamming").cast("long"))),
     "x_dedup_embed" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, bruteForce = true)
@@ -601,6 +805,167 @@ object SparkEntry {
              epoch_ms(date_trunc('month', o_orderdate)) AS month_ms
       FROM orders""",
 
+    "q_join_full" -> """
+      SELECT f.o_custkey, f.n_f, p.o_custkey AS r_o_custkey, p.n_p AS r_n_p
+      FROM (SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+      FULL JOIN (SELECT o_custkey, count(*) AS n_p FROM orders WHERE o_orderstatus = 'P' GROUP BY 1) p
+        ON f.o_custkey = p.o_custkey""",
+    "q_join_right" -> """
+      SELECT o.*, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name,
+             c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal,
+             c.c_mktsegment AS r_c_mktsegment
+      FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q_join_cross" -> """
+      SELECT r.*, n.n_nationkey AS r_n_nationkey, n.n_name AS r_n_name,
+             n.n_regionkey AS r_n_regionkey
+      FROM region r CROSS JOIN nation n""",
+    "q_agg_cube" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_agg_filter" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_hidisc,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01') AS DOUBLE) AS rev_97plus
+      FROM lineitem GROUP BY l_returnflag""",
+    "q_string_agg" -> """
+      SELECT o_orderpriority,
+             array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+             count(DISTINCT o_custkey) AS n_cust
+      FROM orders GROUP BY o_orderpriority""",
+    "q_stats_exact" -> """
+      WITH g AS (
+        SELECT l_returnflag, count(l_quantity) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq2,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp2,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sqp
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             sq / CAST(n AS DOUBLE) AS mean_qty,
+             sqrt((sq2 - sq * sq / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd_qty,
+             (CAST(n AS DOUBLE) * sqp - sq * sp) /
+               (sqrt(CAST(n AS DOUBLE) * sq2 - sq * sq) * sqrt(CAST(n AS DOUBLE) * sp2 - sp * sp)) AS corr_qp
+      FROM g""",
+    "q_percentile" -> """
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+             min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      FROM orders GROUP BY o_orderpriority""",
+    "q_window_lag" -> """
+      SELECT o_custkey, o_orderkey,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             lead(o_orderkey, 1) OVER w AS next_key,
+             first_value(o_totalprice) OVER w AS first_price,
+             CAST(ntile(4) OVER w AS BIGINT) AS nt,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q_window_range" -> """
+      SELECT o_custkey, o_orderkey, ms,
+             count(*) OVER w AS n_30d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS spend_30d
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS ms FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY ms
+                   RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)""",
+    "q_date_funcs" -> """
+      SELECT o_orderkey,
+             strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d30,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+             strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS m2,
+             CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+             CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+      FROM orders""",
+    "q_string_funcs" -> """
+      SELECT o_orderkey,
+             reverse(o_orderpriority) AS rev,
+             repeat(o_orderstatus, 3) AS rep,
+             translate(o_orderpriority, '-', '_') AS tr,
+             split_part(o_orderpriority, '-', 2) AS sp,
+             CAST(strpos(o_orderpriority, '-') AS BIGINT) AS pos,
+             starts_with(o_orderpriority, '1') AS sw,
+             left(o_orderpriority, 3) AS lft,
+             right(o_orderpriority, 3) AS rgt
+      FROM orders""",
+    "q_json_funcs" -> """
+      SELECT event_id,
+             json_extract_string(props, '$.k') AS k_str,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             json_extract_string(props, '$.missing') AS m
+      FROM events""",
+    "q_array_funcs" -> """
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS ntok,
+             array_to_string(toks[1:3], ' ') AS first3,
+             list_contains(toks, 'the') AS has_the,
+             list_aggregate(toks, 'min') AS tok_min,
+             list_aggregate(toks, 'max') AS tok_max,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS nuniq
+      FROM (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+            FROM documents)""",
+    "q_sql_join" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY o_orderpriority""",
+    "x_asof_join" -> """
+      SELECT p.event_id, p.user_id, p.ts_us, p.value,
+             c.event_id AS click_event_id, c.ts_us AS click_ts_us
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+            FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                      FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts_us <= p.ts_us""",
+    "x_range_join" -> """
+      SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+             p.ts_us - c.ts_us AS gap_us
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'click') c
+      JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts_us >= c.ts_us + 1 AND p.ts_us <= c.ts_us + 300000000""",
+    "x_tokens" -> """
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS word_tokens,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+      FROM documents""",
+    "x_dedup_simhash" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+        FROM documents),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+      sig AS (SELECT doc_id, $simhashVotesSql AS simhash FROM h GROUP BY doc_id)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "x_multimodal_features" -> s"""
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS len, hex(encode(text)) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b)
+      SELECT doc_id AS id, CAST(len AS BIGINT) AS byte_len,
+             CAST(CAST(len AS FLOAT) AS DOUBLE) AS f0,
+             CASE WHEN len = 0 THEN 0.0 ELSE
+               CAST(CAST(list_reduce(list_prepend(17, bytes), (a, x) -> (a * 31 + x) % 16777216) AS FLOAT) AS DOUBLE)
+             END AS f1,
+             ${(0 until 6).map(multimodalFeatureSql).mkString(",\n             ")}
+      FROM e""",
+
     "q_sample" -> """
       SELECT * FROM documents
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 3""",
@@ -783,6 +1148,24 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
       FROM sess GROUP BY user_id, session_id""",
   )
+
+  /** The 60 per-bit majority votes of [[graft.ops.Dedup.simhashMd5]]
+    * as one DuckDB sum expression (bit j set iff more token hashes
+    * have bit j than not).
+    */
+  private def simhashVotesSql: String = (0 until 60).map { j =>
+    s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Feature j of [[graft.ops.Multimodal.FakeDecoder]] re-derived in
+    * DuckDB from the payload's hex pairs: normalized byte sum of
+    * positions ≡ j (mod 6), computed with the decoder's exact double
+    * op sequence then rounded through float32 like the decoder output.
+    */
+  private def multimodalFeatureSql(j: Int): String =
+    s"""CASE WHEN len = 0 THEN 0.0 ELSE
+               CAST(CAST((CAST(list_sum(list_transform(range(len), i -> CASE WHEN i % 6 = $j THEN bytes[i+1] ELSE 0 END)) AS DOUBLE) / 255.0 / len * 6) AS FLOAT) AS DOUBLE)
+             END AS f${j + 2}"""
 
   /** DuckDB list literal of [[graft.ops.TextAnalysis]]'s stopword set,
     * spliced into the x_text_profile oracle.

@@ -150,28 +150,50 @@ object Dedup {
     * with map-side partial aggregation, then bits reassembled.
     * Output: df.select(idCol, "simhash").
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWith(df, idCol, textCol, xxhash64(_), bits = 64)
+
+  /** SimHash over a 60-bit md5-derived token hash. ~10× slower per
+    * token than xxhash64 (use [[simhash]] at scale) but md5 is a
+    * cross-engine standard, so the signature — and therefore the whole
+    * near-dup pair set — is reproducible bit-for-bit by any SQL engine
+    * for differential testing (the driver's DuckDB oracle recomputes
+    * it; 15 hex chars keep the value inside a signed 64-bit int in
+    * both engines).
+    */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWith(df, idCol, textCol,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
+
+  private def simhashWith(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column, bits: Int): DataFrame = {
     val tok = df.select(col(idCol).as("__id"),
       explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { j =>
+      .withColumn("__h", hashFn(col("__t")))
+    val votes = (0 until bits).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__v$j")
     }
     val agg = tok.groupBy(col("__id")).agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map(j =>
+    val bitCols = (0 until bits).map(j =>
       when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
     agg.select(col("__id").as(idCol),
-      bits.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b)).as("simhash"))
+      bitCols.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** Pairs within Hamming distance `maxDist` (≤ 3 with the default 4
-    * bands): by pigeonhole, such pairs agree exactly on ≥1 of the 4
-    * 16-bit chunks, so a self-join per chunk finds all of them without
-    * O(n²) comparison.
+  /** Pairs within Hamming distance `maxDist` (≤ bands-1): by
+    * pigeonhole, such pairs agree exactly on ≥1 of the `bands` equal
+    * chunks, so a self-join per chunk finds all of them without
+    * O(n²) comparison. `bits` must match the signature producer
+    * (64 for [[simhash]], 60 for [[simhashMd5]]).
     */
-  def simhashNearDups(sig: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
-    val chunks = (0 until 4).map(i =>
-      shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)))
+  def simhashNearDups(sig: DataFrame, idCol: String, maxDist: Int = 3,
+      bits: Int = 64, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "simhashNearDups: bands must divide bits")
+    require(maxDist < bands, "simhashNearDups: pigeonhole needs maxDist < bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val chunks = (0 until bands).map(i =>
+      shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)))
     val banded = sig.select(col(idCol).as("__id"), col("simhash"),
       posexplode(array(chunks: _*)).as(Seq("__band", "__chunk")))
     val a = banded.select(col("__band"), col("__chunk"),

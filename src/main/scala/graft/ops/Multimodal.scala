@@ -38,27 +38,41 @@ object Multimodal {
   }
 
   /** Deterministic stand-in decoder: features derived from byte
-    * statistics (length, moments, positional hashes). NOT a real
-    * codec — a placeholder with a stable, testable contract.
+    * statistics (length, positional byte sums, a rolling hash). NOT a
+    * real codec — a placeholder with a stable, testable contract.
+    *
+    * The arithmetic is deliberately exact-integer until one final
+    * double expression per feature (`sum/255.0/len*6`, then rounded
+    * to float32): any engine can recompute the features bit-for-bit
+    * from the payload bytes, which makes the whole decode path
+    * differential-testable (the driver's DuckDB oracle re-derives
+    * them from hex pairs of the payload).
+    *
+    * Layout: f0 = byte length; f1 = rolling hash
+    * (h = 31·h + byte mod 2^24, seed 17); f2..f7 = normalized byte
+    * sums of positions ≡ j (mod 6).
     */
-  final class FakeDecoder(val featureDim: Int = 8) extends MediaDecoder {
+  final class FakeDecoder extends MediaDecoder {
+    val featureDim: Int = 8
     def decode(payload: Array[Byte]): Array[Float] = {
       val out = new Array[Float](featureDim)
       if (payload.isEmpty) return out
+      val sums = new Array[Long](6)
+      var h = 17L
       var i = 0
-      var h = 1125899906842597L
       while (i < payload.length) {
-        h = 31 * h + payload(i)
-        out(i % featureDim) += (payload(i) & 0xFF) / 255.0f
+        val b = payload(i) & 0xFF
+        h = (31L * h + b) % 16777216L
+        sums(i % 6) += b
         i += 1
       }
+      out(0) = payload.length.toFloat
+      out(1) = h.toFloat
       var j = 0
-      while (j < featureDim) {
-        out(j) = out(j) / payload.length * featureDim
+      while (j < 6) {
+        out(j + 2) = (sums(j).toDouble / 255.0 / payload.length * 6).toFloat
         j += 1
       }
-      out(0) = payload.length.toFloat
-      out(1) = (h & 0xFFFFFF).toFloat
       out
     }
   }
