@@ -1121,6 +1121,23 @@ object SparkEntry {
         FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
         JOIN embeddings c ON q.vec_id <> c.vec_id)
       WHERE rank <= 5""",
+    "x_ann_lsh" -> s"""
+      WITH c AS (
+        SELECT vec_id, embedding, ${lshBucketSql("embedding", 64, 6)} AS bkt
+        FROM embeddings),
+      q AS (SELECT * FROM c WHERE vec_id < 10)
+      SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(64), i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))))) AS cosine,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(64), i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))))) DESC,
+                 c.vec_id ASC) AS rank
+        FROM q JOIN c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id)
+      WHERE rank <= 5""",
     "x_multimodal_meta" -> """
       SELECT doc_id, 'text/plain' AS mime,
              CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
@@ -1148,6 +1165,25 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
       FROM sess GROUP BY user_id, session_id""",
   )
+
+  /** [[graft.ops.Similarity]]'s hyperplane component (plane i, dim j)
+    * re-derived in DuckDB: md5-seeded uniform in [-0.5, 0.5).
+    */
+  private def lshPlaneSql(i: Int, j: Int, seed: Long): String =
+    s"(CAST(('0x' || substr(md5('plane_${seed}_${i}_$j'), 1, 8)) AS BIGINT) % 1000000 / 1000000.0 - 0.5)"
+
+  /** Sign-LSH bucket id of a vector column, mirroring
+    * [[graft.ops.Similarity.hyperplaneBuckets]] term for term (left-
+    * associated double adds, so the fold order — and therefore every
+    * sign — matches bit-exactly).
+    */
+  private def lshBucketSql(vecExpr: String, dim: Int, planes: Int, seed: Long = 42L): String =
+    (0 until planes).map { i =>
+      val proj = (0 until dim)
+        .map(j => s"CAST($vecExpr[${j + 1}] AS DOUBLE) * ${lshPlaneSql(i, j, seed)}")
+        .mkString(" + ")
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** The 60 per-bit majority votes of [[graft.ops.Dedup.simhashMd5]]
     * as one DuckDB sum expression (bit j set iff more token hashes

@@ -34,12 +34,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Deterministic pseudo-random hyperplane component for (plane i,
-    * dim j): uniform in [-0.5, 0.5) derived from xxhash64 — identical
-    * on every executor/run without shipping a matrix.
+    * dim j): uniform in [-0.5, 0.5) derived from md5 — identical on
+    * every executor/run without shipping a matrix, and (being a
+    * literal) constant-folded by Catalyst at plan time, so the hash
+    * choice has zero runtime cost. md5 rather than xxhash64 so any
+    * engine with a standard md5 can re-derive the exact buckets (the
+    * driver's DuckDB oracle does).
     */
   private def planeComponent(i: Int, j: Int, seed: Long): Column =
-    (pmod(xxhash64(lit(s"plane_${seed}_${i}_$j")), lit(1000000L)).cast("double")
-      / lit(1000000.0)) - lit(0.5)
+    (pmod(conv(substring(md5(lit(s"plane_${seed}_${i}_$j")), 1, 8), 16, 10).cast("long"),
+      lit(1000000L)).cast("double") / lit(1000000.0)) - lit(0.5)
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of projection).
     * Vectors in the same bucket are "angle-close" candidates.
