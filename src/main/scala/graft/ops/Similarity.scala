@@ -155,7 +155,11 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       val base = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
       val feat = base.withColumn("features", array_to_vector(col("__cv")))
-      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feat)
+      // coarse quantizer only: cells just need to be balanced-ish, so
+      // random init + few iterations beats k-means||'s extra passes
+      // (recall is governed by nprobe, not centroid polish)
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+        .setInitMode("random").fit(feat)
       val cents = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
       val assigned = model.transform(feat)
         .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
