@@ -88,6 +88,29 @@ object Transforms {
         t.config.double("threshold").getOrElse(0.7))
     case "text_profile" =>
       graft.ops.TextAnalysis.profile(df, t.config.str("text_field").getOrElse("text"))
+    // time-series joins against a named source (graft.ops.TemporalJoins)
+    case "asof_join" =>
+      val cfg = t.config
+      val rightName = cfg.reqStr("right")
+      val right = ctx.getOrElse(rightName,
+        throw new GraftAnalysisException(s"asof_join: unknown right source '$rightName'"))
+      graft.ops.TemporalJoins.asOf(df, right,
+        leftKeys = cfg.strList("left_keys"), rightKeys = cfg.strList("right_keys"),
+        leftTime = cfg.reqStr("left_time"), rightTime = cfg.reqStr("right_time"),
+        rightPayload = cfg.strList("payload"),
+        rightTieBreak = cfg.reqStr("tie_break"),
+        strict = cfg.bool("strict").getOrElse(false),
+        prefix = cfg.str("prefix").getOrElse("asof_"))
+    case "range_join" =>
+      val cfg = t.config
+      val rightName = cfg.reqStr("right")
+      val right = ctx.getOrElse(rightName,
+        throw new GraftAnalysisException(s"range_join: unknown right source '$rightName'"))
+      graft.ops.TemporalJoins.rangeJoin(df, right,
+        aKeys = cfg.strList("left_keys"), bKeys = cfg.strList("right_keys"),
+        aTime = cfg.reqStr("left_time"), bTime = cfg.reqStr("right_time"),
+        lowerMs = cfg.long("lower").getOrElse(0L), upperMs = cfg.reqLong("upper"),
+        prefix = cfg.str("prefix").getOrElse("r_"))
     case other =>
       throw new GraftAnalysisException(s"transform '${t.name}': unknown transform type '$other'")
   }
@@ -98,7 +121,7 @@ object Transforms {
     "select", "rename", "limit", "union", "intersect", "except",
     "distinct", "window", "sql", "sample", "split",
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
-    "dedup_exact", "dedup_minhash", "text_profile")
+    "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
