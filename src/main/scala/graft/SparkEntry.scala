@@ -918,13 +918,18 @@ object SparkEntry {
       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       GROUP BY o_orderpriority""",
     "x_asof_join" -> """
+      -- deterministic asof: DuckDB's ASOF JOIN leaves the pick among
+      -- right rows tied on ts unspecified; this window formulation pins
+      -- the same (max ts_us, then max event_id) tiebreak the Spark op uses
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                 FROM events WHERE event_type = 'click')
       SELECT p.event_id, p.user_id, p.ts_us, p.value,
              c.event_id AS click_event_id, c.ts_us AS click_ts_us
-      FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
-            FROM events WHERE event_type = 'purchase') p
-      ASOF LEFT JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-                      FROM events WHERE event_type = 'click') c
-        ON p.user_id = c.user_id AND c.ts_us <= p.ts_us""",
+      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+      QUALIFY row_number() OVER (PARTITION BY p.event_id
+        ORDER BY c.ts_us DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1""",
     "x_range_join" -> """
       SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
              p.ts_us - c.ts_us AS gap_us

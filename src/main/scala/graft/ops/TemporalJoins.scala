@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Time-series joins the reference engine has no analogue for
   * (SURVEY §2.4 joins: ABSENT beyond inner-equi): as-of join and
@@ -53,18 +54,24 @@ object TemporalJoins {
       "asOf: key lists must be non-empty and same arity")
     val tieT = right.schema(rightTieBreak).dataType
 
+    // The payload travels as ONE struct so the attached row is atomic:
+    // last(ignoreNulls) must never mix fields of different right rows
+    // (a NULL field in the latest row stays NULL, not back-filled from
+    // an older row). The struct is non-null on every right-side row —
+    // even one whose fields are all NULL — so it alone marks "a right
+    // row existed at/before this time".
+    val payT = StructType(rightPayload.map(p => StructField(p, right.schema(p).dataType)).toArray)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(null).cast(tieT))
-      .select(left.columns.map(col) ++ Seq(col("__t"), col("__side"), col("__tie")) ++
-        rightPayload.map(p => lit(null).cast(right.schema(p).dataType).as(prefix + p)): _*)
+      .withColumn("__pay", lit(null).cast(payT))
     val r = right.select(
       leftKeys.zip(rightKeys).map { case (lk, rk) => col(rk).as(lk) } ++
         left.columns.filterNot(leftKeys.contains)
           .map(cn => lit(null).cast(left.schema(cn).dataType).as(cn)) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__side"), col(rightTieBreak).cast(tieT).as("__tie")) ++
-        rightPayload.map(p => col(p).as(prefix + p)): _*)
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"), col(rightTieBreak).cast(tieT).as("__tie"),
+          struct(rightPayload.map(col): _*).as("__pay")): _*)
 
     // At equal time: inclusive ⇒ the right row sorts BEFORE the left
     // row (visible to it); strict ⇒ after (invisible). __tie makes the
@@ -74,10 +81,12 @@ object TemporalJoins {
       .orderBy(col("__t").asc +: sideOrd +: Seq(col("__tie").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(prefix + p, last(col(prefix + p), ignoreNulls = true).over(w))
+    val carried = l.unionByName(r)
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
+    val out = rightPayload.foldLeft(carried) { (df, p) =>
+      df.withColumn(prefix + p, col("__pay").getField(p))
     }
-    carried.filter(col("__side") === 1).drop("__t", "__side", "__tie")
+    out.filter(col("__side") === 1).drop("__t", "__side", "__tie", "__pay")
   }
 
   /** Range (interval) join: pairs (a, b) with equal keys and
@@ -100,11 +109,15 @@ object TemporalJoins {
     require(aKeys.size == bKeys.size, "rangeJoin: key lists must have the same arity")
     val w = math.max(1L, upperMs - lowerMs)
 
+    // Integer floor division — a double round-trip is exact only below
+    // 2^53 and silently drops boundary pairs at epoch-nanos scale.
+    // pmod's remainder is non-negative, so (x - pmod(x, w)) div w is
+    // floor(x / w) for negative times too.
+    def fbkt(x: Column): Column = call_function("div", x - pmod(x, lit(w)), lit(w))
     val aB = a.withColumn("__bkt", explode(array_distinct(array(
-      floor((col(aTime) + lit(lowerMs)).cast("double") / lit(w)).cast("long"),
-      floor((col(aTime) + lit(upperMs)).cast("double") / lit(w)).cast("long")))))
+      fbkt(col(aTime) + lit(lowerMs)), fbkt(col(aTime) + lit(upperMs))))))
     val bR = b.select(b.columns.map(cn => col(cn).as(prefix + cn)).toSeq: _*)
-      .withColumn("__bktr", floor(col(prefix + bTime).cast("double") / lit(w)).cast("long"))
+      .withColumn("__bktr", fbkt(col(prefix + bTime)))
 
     val keyCond = aKeys.zip(bKeys).map { case (ak, bk) => col(ak) === col(prefix + bk) }
       .foldLeft(lit(true))(_ && _)

@@ -68,6 +68,16 @@ final case class Config(jv: JObject) {
     case JString(s) => s.toInt
     case other => throw new GraftAnalysisException(s"config key '$k' is not an int: $other")
   }
+  def long(k: String): Option[Long] = get(k).map {
+    case JInt(i)    => i.toLong
+    case JLong(i)   => i
+    case JDouble(d) => d.toLong
+    case JString(s) => s.toLong
+    case other => throw new GraftAnalysisException(s"config key '$k' is not a long: $other")
+  }
+  def reqLong(k: String): Long =
+    long(k).getOrElse(throw new GraftAnalysisException(s"missing required config key '$k'"))
+
   def double(k: String): Option[Double] = get(k).map {
     case JInt(i)    => i.toDouble
     case JLong(i)   => i.toDouble

@@ -73,6 +73,30 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(!physical.contains("NestedLoop"), s"expected equi-join, got:\n$physical")
   }
 
+  test("asOf attaches the latest right row atomically (NULL fields stay NULL)") {
+    // latest quote (t=20) has px NULL: the output must NOT back-fill px
+    // from the older t=10 row while qid comes from t=20 — the attached
+    // row is the t=20 row, nulls included.
+    val q = Seq((1L, 10L, 301L, Some(1.0)), (1L, 20L, 302L, Option.empty[Double]))
+      .toDF("k", "t", "qid", "px")
+    val one = Seq((1L, 25L, 401L)).toDF("k", "t", "tid")
+    val got = TemporalJoins.asOf(one, q,
+      Seq("k"), Seq("k"), "t", "t", Seq("qid", "px"), "qid")
+      .select("asof_qid", "asof_px").as[(Option[Long], Option[Double])].head()
+    assert(got == ((Some(302L), None)))
+  }
+
+  test("rangeJoin floors negative and >2^53 times exactly (integer bucket math)") {
+    val big = (1L << 54) + 3L  // double-rounded bucket ids would collide/miss here
+    val a = Seq((1L, -100L, 1L), (1L, big, 2L)).toDF("k", "t", "aid")
+    val b = Seq((1L, -150L, 10L), (1L, -30L, 11L), (1L, big + 40L, 12L), (1L, big + 71L, 13L))
+      .toDF("k", "t", "bid")
+    val pairs = TemporalJoins.rangeJoin(a, b, Seq("k"), Seq("k"), "t", "t", -60L, 70L)
+      .select("aid", "r_bid").as[(Long, Long)].collect().toSet
+    // -100: [-160,-30] → -150, -30.  big: [big-60, big+70] → big+40 (big+71 excluded)
+    assert(pairs == Set((1L, 10L), (1L, 11L), (2L, 12L)))
+  }
+
   test("rangeJoin matches the naive theta-join on random data") {
     val a = (1 to 60).map(i => ((i % 3).toLong, (i * 37 % 500).toLong, i.toLong))
       .toDF("k", "t", "aid")

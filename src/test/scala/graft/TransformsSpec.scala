@@ -239,6 +239,33 @@ class TransformsSpec extends SparkSuite {
       Transforms(df, graft.spec.TransformSpec("r", "repartition", Config.of()), Map.empty))
   }
 
+  test("asof_join / range_join spec dispatch (round-2 shipped this wiring uncompiled)") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"))
+      .toDF("user_id", "ts", "trade")
+    val quotes = Seq((1L, 90L, 10.0, 1L), (1L, 200L, 11.0, 2L), (2L, 60L, 5.0, 3L))
+      .toDF("user_id", "qts", "px", "qid")
+    val ctx: Transforms.Ctx = Map("quotes" -> quotes)
+
+    val asof = Transforms(trades, graft.spec.TransformSpec("a", "asof_join", Config.of(
+      "right" -> "quotes", "left_keys" -> Seq("user_id"), "right_keys" -> Seq("user_id"),
+      "left_time" -> "ts", "right_time" -> "qts", "payload" -> Seq("px"),
+      "tie_break" -> "qid")), ctx)
+    val m = asof.select("trade", "asof_px").as[(String, Option[Double])].collect().toMap
+    assert(m == Map("t1" -> Some(10.0), "t2" -> Some(11.0), "t3" -> None)) // qts=60 > 50
+
+    // lower/upper exercise Config.long/reqLong (the round-2 compile break)
+    val rj = Transforms(trades, graft.spec.TransformSpec("r", "range_join", Config.of(
+      "right" -> "quotes", "left_keys" -> Seq("user_id"), "right_keys" -> Seq("user_id"),
+      "left_time" -> "ts", "right_time" -> "qts",
+      "lower" -> -20, "upper" -> 110)), ctx)
+    // t1@100→[80,210]: qts 90,200; t2@205→[185,315]: 200; t3@50→[30,160]: 60
+    assert(rj.count() == 4)
+    assertThrows[GraftAnalysisException](  // missing required 'upper'
+      Transforms(trades, graft.spec.TransformSpec("r", "range_join", Config.of(
+        "right" -> "quotes", "left_keys" -> Seq("user_id"), "right_keys" -> Seq("user_id"),
+        "left_time" -> "ts", "right_time" -> "qts")), ctx))
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
