@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY §2.6).
@@ -58,6 +57,22 @@ object Similarity {
     bits.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b))
   }
 
+  /** Rank scored candidates into per-query top-k via the bounded-heap
+    * aggregate (TopKByScore) instead of a
+    * `row_number().over(Window.partitionBy(query_id))` sort: the window
+    * form collects EVERY candidate of a query on one reducer — the
+    * plan that dies first at 100× (popular query / big bucket → one
+    * straggler sorting the whole candidate set). The aggregate keeps
+    * O(k) state, combines map-side, ships k rows per query.
+    * Input columns: (query_id, neighbor_id: long, cosine).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKByScore.of(col("cosine"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p._2").as("neighbor_id"),
+        col("__p._1").as("cosine"), (col("__pos") + 1).cast("long").as("rank"))
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`: (queryIdCol, vecCol) — must be small (it is broadcast);
     * `corpus`: (idCol, vecCol) — any size, never shuffled, scanned
@@ -71,15 +86,11 @@ object Similarity {
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv")))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.crossJoin(q)
+    val scored = c.crossJoin(q)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("__qv"), col("__cv"))
         / (l2norm(col("__qv")) * l2norm(col("__cv"))))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored.select("query_id", "neighbor_id", "cosine"), k)
   }
 
   /** LSH-bucketed approximate top-k: like [[bruteForceTopK]] but a
@@ -97,15 +108,11 @@ object Similarity {
     val c = corpus
       .select(col(corpusIdCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
       .withColumn("__bkt", hyperplaneBuckets(col("__cv"), dim, planes, seed))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(q, Seq("__bkt"))
+    val scored = c.join(q, Seq("__bkt"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("__qv"), col("__cv"))
         / (l2norm(col("__qv")) * l2norm(col("__cv"))))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored.select("query_id", "neighbor_id", "cosine"), k)
   }
 
   /** IVF (inverted-file) index: k-means coarse quantizer over the
@@ -127,23 +134,23 @@ object Similarity {
       val centDf = broadcast(spark.createDataFrame(cents.map { case (i, v) => (i, v) }.toSeq)
         .toDF("__cell", "__centroid"))
       val q = queries.select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
-      // nprobe nearest centroids per query (centroid set is tiny)
-      val wq = Window.partitionBy(col("query_id")).orderBy(col("__cd").asc, col("__cell").asc)
-      val probes = q.crossJoin(centDf)
-        .withColumn("__cd", dot(col("__qv"), col("__centroid"))
-          / (l2norm(col("__qv")) * l2norm(col("__centroid"))) * lit(-1.0))
-        .withColumn("__pr", row_number().over(wq))
-        .where(col("__pr") <= nprobe)
+      // nprobe nearest centroids per query (centroid set is tiny) —
+      // picked with the same bounded-heap aggregate as the final
+      // ranking, so no Window.partitionBy(query_id) anywhere in the op
+      val probeCells = rankTopK(
+        q.crossJoin(centDf)
+          .withColumn("cosine", dot(col("__qv"), col("__centroid"))
+            / (l2norm(col("__qv")) * l2norm(col("__centroid"))))
+          .select(col("query_id"), col("__cell").cast("long").as("neighbor_id"), col("cosine")),
+        nprobe)
+        .select(col("query_id"), col("neighbor_id").cast("int").as("__cell"))
+      val probes = probeCells.join(q, "query_id")
         .select(col("query_id"), col("__qv"), col("__cell"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      broadcast(probes).join(assigned, Seq("__cell"))
+      val scored = broadcast(probes).join(assigned, Seq("__cell"))
         .where(col("query_id") =!= col("neighbor_id"))
         .withColumn("cosine", dot(col("__qv"), col("__cv"))
           / (l2norm(col("__qv")) * l2norm(col("__cv"))))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+      rankTopK(scored.select("query_id", "neighbor_id", "cosine"), k)
     }
   }
 

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * 100 TB, asserted on real plans at test scale.
   */
 class ScaleSpec extends SparkSuite {
+  import spark.implicits._
 
   test("bucketed tables join with no shuffle exchange") {
     val dir = Files.createTempDirectory("graftbkt").toString
@@ -56,6 +57,25 @@ class ScaleSpec extends SparkSuite {
     val joined = sf("orders").join(broadcast(sf("customer")),
       col("o_custkey") === col("c_custkey"))
     assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("ANN rankers rank via bounded-heap aggregate — no per-query window sort") {
+    import graft.ops.Similarity
+    val e = sf("embeddings")
+    val q = e.where(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+    val lsh = Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding",
+      k = 5, dim = 64, planes = 4)
+    val ivf = Similarity.IvfIndex.build(e, "vec_id", "embedding", dim = 64, nlist = 4)
+      .search(q, "vec_id", "embedding", k = 5, nprobe = 2)
+    for ((name, df) <- Seq(("bruteForce", bf), ("lsh", lsh), ("ivf", ivf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name: per-query window sort back in the plan:\n$plan")
+    }
+    // brute force is exact: every query gets exactly k ranked neighbors
+    assert(bf.count() == 3 * 5)
+    assert(bf.groupBy("query_id").count().select(max("count")).as[Long].head() == 5)
   }
 
   test("salted join returns exactly the unsalted result") {
