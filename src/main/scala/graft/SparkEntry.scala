@@ -588,6 +588,13 @@ object SparkEntry {
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, bruteForce = true)
         .withColumn("cosine", round(col("cosine"), 4))),
+    // the scale (sign-LSH bucketed) branch of the same op, oracle-gated
+    // against DuckDB recomputing the identical md5-derived buckets;
+    // dim intentionally NOT passed — exercises the probe-from-data path
+    "x_dedup_embed_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, planes = 8, bruteForce = false)
+        .withColumn("cosine", round(col("cosine"), 4))),
 
     // ==== extensions: similarity search ====
     "x_ann_topk" -> ((s, d) => {
@@ -1111,6 +1118,17 @@ object SparkEntry {
                / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
                 * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      WHERE cosine >= 0.3""",
+    "x_dedup_embed_lsh" -> s"""
+      WITH c AS (
+        SELECT vec_id, embedding, ${lshBucketSql("embedding", 64, 8)} AS bkt
+        FROM embeddings)
+      SELECT a_id, b_id, round(cosine, 4) AS cosine FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
+        FROM c a JOIN c b ON a.vec_id < b.vec_id AND a.bkt = b.bkt)
       WHERE cosine >= 0.3""",
     "x_ann_topk" -> """
       SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (

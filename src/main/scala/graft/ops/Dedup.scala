@@ -236,7 +236,7 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L,
-      bruteForce: Boolean = false): DataFrame = {
+      bruteForce: Boolean = false, dim: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     if (bruteForce) {
@@ -265,11 +265,19 @@ object Dedup {
           }
         }.toDF("a_id", "b_id", "cosine")
     } else {
+      // hyperplane expressions need the dimensionality at plan time;
+      // when the caller doesn't supply it, probe one row (a LIMIT-1
+      // scan of a single file split, regardless of corpus size)
+      val d = if (dim > 0) dim else
+        df.select(size(col(vecCol)).as("d")).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+      if (d == 0) // empty corpus → empty pair set with the right schema
+        return df.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+          lit(0.0).as("cosine")).where(lit(false))
       val base = df.select(col(idCol).as("__id"), Similarity.toDoubleVec(col(vecCol)).as("__v"))
         .withColumn("__n", Similarity.l2norm(col("__v")))
-      val dim = 64 // embeddings table dimension; parameterize when needed
       val bucketed = base.withColumn("__bkt",
-        Similarity.hyperplaneBuckets(col("__v"), dim, planes, seed))
+        Similarity.hyperplaneBuckets(col("__v"), d, planes, seed))
       val a = bucketed.select(col("__bkt"), col("__id").as("a_id"),
         col("__v").as("__va"), col("__n").as("__na"))
       val b = bucketed.select(col("__bkt"), col("__id").as("b_id"),

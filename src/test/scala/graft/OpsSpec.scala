@@ -74,6 +74,20 @@ class OpsSpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("embedding near-dups LSH path: dim probed from data, empty corpus OK") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // dim not passed: the op probes it (2) from the first row
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.99, planes = 2, bruteForce = false)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // parallel vectors share every sign bucket
+    val empty = Dedup.embeddingNearDups(vecs.where(lit(false)), "vec_id", "embedding",
+      bruteForce = false)
+    assert(empty.columns.toSeq == Seq("a_id", "b_id", "cosine") && empty.count() == 0)
+  }
+
   test("lsh buckets: same-direction vectors share a bucket") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(2.0f)),
