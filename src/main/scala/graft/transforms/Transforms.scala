@@ -475,20 +475,24 @@ object DedupOp {
         val ords = cfg.strList("order_by")
         if (ords.isEmpty) throw new GraftAnalysisException(
           "deduplicate: keep first/last needs 'order_by' (columns defining input order)")
-        // Two equivalent plans with opposite scaling profiles
-        // (measured at sf0.1, 13× key duplication: window 0.5 s,
-        // min_by 0.9 s locally):
-        //  - min_by/max_by hash aggregation (default): partial aggs
-        //    keep one candidate row per key per partition map-side, so
-        //    the shuffle carries ~|keys| rows instead of all rows — the
-        //    winner when the network is the bottleneck (i.e. at
-        //    cluster scale) and with high duplication factors.
-        //  - window row_number: shuffles every row but sorts locally
-        //    with a specialized sorter — cheaper on CPU-bound
-        //    single-node runs. `impl: "window"` selects it.
-        // Ties on order_by pick an arbitrary row in both — the
-        // determinism contract requires a unique order key.
-        cfg.str("impl").getOrElse("min_by") match {
+        // Three equivalent plans (identical output under the
+        // unique-order-key contract; measured at sf0.1, 13× key
+        // duplication, steady-state: min_join 0.36 s, window 0.38 s,
+        // min_by 0.41 s):
+        //  - min_join (default): aggregate min/max(order) per key —
+        //    the partial agg carries ONLY (keys, order), never row
+        //    bodies — then a semi join keeps the winning rows. AQE
+        //    broadcasts the per-key extremes when they fit, shuffles
+        //    them when they don't; either way the full rows cross the
+        //    wire at most once. Requires the order key to be unique
+        //    per group (ties would keep every tied row).
+        //  - min_by/max_by hash aggregation: one shuffle, but partial
+        //    aggs pack and compare whole rows map-side.
+        //  - window row_number: shuffles every row into a per-key
+        //    sort; the plan that funnels hot keys into one reducer.
+        // Ties on order_by pick an arbitrary row in min_by/window —
+        // the determinism contract requires a unique order key.
+        cfg.str("impl").getOrElse("min_join") match {
           case "window" =>
             val w = Window.partitionBy(keys.map(c): _*)
               .orderBy(ords.map(o => if (keep == "last") c(o).desc else c(o).asc): _*)
@@ -501,6 +505,18 @@ object DedupOp {
             val rowStruct = struct(df.columns.map(cn => col(quote(cn))).toSeq: _*)
             val picked = if (keep == "first") min_by(rowStruct, ordExpr) else max_by(rowStruct, ordExpr)
             df.groupBy(keys.map(c): _*).agg(picked.as("__row")).select(col("__row.*"))
+          case "min_join" =>
+            val extremes = ords.map(c) match {
+              case Seq(one) =>
+                df.groupBy(keys.map(c): _*)
+                  .agg((if (keep == "first") min(one) else max(one)).as(ords.head))
+              case many => // lexicographic extreme via struct ordering,
+                // unpacked so the semi join is on plain columns
+                df.groupBy(keys.map(c): _*)
+                  .agg((if (keep == "first") min(struct(many: _*)) else max(struct(many: _*))).as("__m"))
+                  .select(keys.map(c) :+ col("__m.*"): _*)
+            }
+            df.join(extremes, keys ++ ords, "left_semi")
           case other => throw new GraftAnalysisException(s"deduplicate: unknown impl '$other'")
         }
       case other => throw new GraftAnalysisException(s"deduplicate: unknown keep '$other'")

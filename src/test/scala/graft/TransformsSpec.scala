@@ -95,6 +95,19 @@ class TransformsSpec extends SparkSuite {
     // keep=any: arbitrary row but exact key set
     val any = DedupOp(df, Config.of("keys" -> Seq("name")))
     assert(any.select("name").as[String].collect().toSet == Set("Alice", "Bob"))
+    // all three physical plans agree, first and last, single and
+    // multi-column order (unique order keys per the contract)
+    val multi = Seq(("a", 1, 1, "r1"), ("a", 1, 0, "r2"), ("a", 0, 9, "r3"), ("b", 2, 2, "r4"))
+      .toDF("k", "o1", "o2", "v")
+    for (keep <- Seq("first", "last"); ords <- Seq(Seq("o1", "o2"))) {
+      val expect = Set(if (keep == "first") ("a", "r3") else ("a", "r1"), ("b", "r4"))
+      for (impl <- Seq("min_join", "min_by", "window")) {
+        val got = DedupOp(multi, Config.of("keys" -> Seq("k"), "keep" -> keep,
+          "order_by" -> ords, "impl" -> impl))
+          .select("k", "v").as[(String, String)].collect().toSet
+        assert(got == expect, s"impl=$impl keep=$keep")
+      }
+    }
   }
 
   test("select + rename with collision error (SURVEY §2.5 deviation d)") {
