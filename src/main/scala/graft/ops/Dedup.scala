@@ -89,10 +89,20 @@ object Dedup {
     * agrees on all rows of at least one band. `bands`×`rowsPerBand`
     * must equal the signature length. Returns (a_id, b_id) with
     * a_id < b_id, distinct.
+    *
+    * `maxBucketSize > 0` drops band buckets holding more members —
+    * the skew guard for adversarial corpora (a pile of near-identical
+    * docs puts them all in the same buckets → quadratic candidates in
+    * one join partition). Recall contract under a cap: a pair is only
+    * missed if EVERY band it collides on is oversized; exact
+    * duplicates are unaffected because [[minhashNearDups]] collapses
+    * them before banding. Callers should run that collapse (or dedup
+    * exactly) first — capping is for the residual near-dup skew.
     */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Signature via the native codegen'd expressions
@@ -110,26 +120,51 @@ object Dedup {
         graft.expr.MinHashExpressions.minhashSignature(col("__hs"), numHashes, seed).as("__sig"))
       // (id, band, hash-of-band-slice): 16 small rows per doc, never the doc body
       .select(col("__id"), posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
-    val a = banded.select(col("__band"), col("__bh"), col("__id").as("a_id"))
-    val b = banded.select(col("__band"), col("__bh"), col("__id").as("b_id"))
+    val capped =
+      if (maxBucketSize <= 0) banded
+      else banded.join(
+        banded.groupBy("__band", "__bh").count().where(col("count") > maxBucketSize),
+        Seq("__band", "__bh"), "left_anti")
+    val a = capped.select(col("__band"), col("__bh"), col("__id").as("a_id"))
+    val b = capped.select(col("__band"), col("__bh"), col("__id").as("b_id"))
     a.join(b, Seq("__band", "__bh")).where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
   }
 
   /** Near-dup pairs: LSH candidates verified with exact Jaccard over
-    * shingle sets, kept when ≥ `threshold`. The exact verify touches
-    * only candidate pairs (bounded by LSH), not the corpus cross
-    * product.
+    * shingle sets, kept when ≥ `threshold`.
+    *
+    * Exact duplicates are collapsed BEFORE banding: the LSH self-join
+    * runs on one representative per distinct fingerprint, so a corpus
+    * of N identical documents costs one banded row-set instead of an
+    * N² bucket explosion (the degenerate case that kills banded LSH).
+    * Same-fingerprint pairs are emitted directly with jaccard 1.0 —
+    * exact, because [[TextAnalysis.fingerprint]] normalizes with the
+    * same tokenizer as [[TextAnalysis.shingles]], so equal fingerprint
+    * ⟹ equal shingle set. Cross-content pairs found at representative
+    * level fan back out to member pairs (work ∝ output size, which is
+    * the lower bound). The result set is bit-identical to banding the
+    * raw corpus: identical docs have identical signatures, so rep-level
+    * band collisions are exactly member-level collisions.
+    * `maxBucketSize` caps residual near-dup bucket skew
+    * (see [[minhashCandidates]]).
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
-      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, k, bands, seed)
-    // shingle sets only for docs that appear in some candidate pair —
+      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
+    // membership: id → content fingerprint; reps: min id per fingerprint
+    val members = df.select(col(idCol).as("__id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val reps = members.groupBy("__fp").agg(min("__id").as("__rid"))
+    val repDf = df.join(reps.select(col("__rid")), col(idCol) === col("__rid"), "left_semi")
+
+    val cands = minhashCandidates(repDf, idCol, textCol, numHashes, k, bands, seed, maxBucketSize)
+    // shingle sets only for reps that appear in some candidate pair —
     // the verify step re-tokenizes O(candidates) documents, not O(corpus)
     val candIds = cands.select(col("a_id").as("__cid"))
       .union(cands.select(col("b_id"))).distinct()
-    val sets = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+    val sets = repDf.join(candIds, col(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("__id"),
         array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__sh"))
     val withSets = cands
@@ -137,10 +172,26 @@ object Dedup {
       .join(sets.withColumnsRenamed(Map("__id" -> "b_id", "__sh" -> "__shb")), "b_id")
     val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
     val union = (size(col("__sha")) + size(col("__shb"))).cast("double") - inter
-    withSets
+    val repPairs = withSets
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+
+    // fan rep-level pairs back out to member pairs
+    val ridFp = reps.select(col("__rid"), col("__fp"))
+    val ma = members.select(col("__fp").as("__fpa"), col("__id").as("__ida"))
+    val mb = members.select(col("__fp").as("__fpb"), col("__id").as("__idb"))
+    val crossPairs = repPairs
+      .join(ridFp.withColumnsRenamed(Map("__rid" -> "a_id", "__fp" -> "__fpa")), "a_id")
+      .join(ridFp.withColumnsRenamed(Map("__rid" -> "b_id", "__fp" -> "__fpb")), "b_id")
+      .join(ma, "__fpa").join(mb, "__fpb")
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"), col("jaccard"))
+    // same-fingerprint members: pairwise exact duplicates, jaccard 1
+    val identicalPairs = ma.join(mb, col("__fpa") === col("__fpb"))
+      .where(col("__ida") < col("__idb"))
+      .select(col("__ida").as("a_id"), col("__idb").as("b_id"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(identicalPairs)
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -187,23 +238,46 @@ object Dedup {
     * (64 for [[simhash]], 60 for [[simhashMd5]]).
     */
   def simhashNearDups(sig: DataFrame, idCol: String, maxDist: Int = 3,
-      bits: Int = 64, bands: Int = 4): DataFrame = {
+      bits: Int = 64, bands: Int = 4, maxBucketSize: Int = 0): DataFrame = {
     require(bits % bands == 0, "simhashNearDups: bands must divide bits")
     require(maxDist < bands, "simhashNearDups: pigeonhole needs maxDist < bands")
     val width = bits / bands
     val mask = (1L << width) - 1
+    // collapse identical signatures before banding (same rationale and
+    // same exactness argument as minhashNearDups: equal signature ⟹
+    // every band collides, so rep-level results ARE member-level
+    // results); signature piles then cost O(pairs out), not a banded
+    // join explosion
+    val members = sig.select(col(idCol).as("__id"), col("simhash"))
+    val reps = members.groupBy("simhash").agg(min("__id").as("__rid"))
     val chunks = (0 until bands).map(i =>
       shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)))
-    val banded = sig.select(col(idCol).as("__id"), col("simhash"),
+    val banded = reps.select(col("__rid").as("__id"), col("simhash"),
       posexplode(array(chunks: _*)).as(Seq("__band", "__chunk")))
-    val a = banded.select(col("__band"), col("__chunk"),
+    val capped =
+      if (maxBucketSize <= 0) banded
+      else banded.join(
+        banded.groupBy("__band", "__chunk").count().where(col("count") > maxBucketSize),
+        Seq("__band", "__chunk"), "left_anti")
+    val a = capped.select(col("__band"), col("__chunk"),
       col("__id").as("a_id"), col("simhash").as("__sa"))
-    val b = banded.select(col("__band"), col("__chunk"),
+    val b = capped.select(col("__band"), col("__chunk"),
       col("__id").as("b_id"), col("simhash").as("__sb"))
-    a.join(b, Seq("__band", "__chunk")).where(col("a_id") < col("b_id"))
+    val repPairs = a.join(b, Seq("__band", "__chunk")).where(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
       .where(col("hamming") <= maxDist)
-      .select(col("a_id"), col("b_id"), col("hamming")).distinct()
+      .select(col("a_id"), col("b_id"), col("hamming"), col("__sa"), col("__sb")).distinct()
+    val ma = members.select(col("simhash").as("__sa"), col("__id").as("__ida"))
+    val mb = members.select(col("simhash").as("__sb"), col("__id").as("__idb"))
+    val crossPairs = repPairs
+      .join(ma, "__sa").join(mb, "__sb")
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"), col("hamming"))
+    val identicalPairs = ma.join(mb, col("__sa") === col("__sb"))
+      .where(col("__ida") < col("__idb"))
+      .select(col("__ida").as("a_id"), col("__idb").as("b_id"),
+        bit_count(lit(0L)).as("hamming"))
+    crossPairs.unionByName(identicalPairs)
   }
 
   // ------------------------------------------------------- n-gram Jaccard

@@ -85,7 +85,8 @@ object Transforms {
     case "dedup_minhash" =>
       graft.ops.Dedup.minhashNearDups(df,
         t.config.reqStr("id_field"), t.config.str("text_field").getOrElse("text"),
-        t.config.double("threshold").getOrElse(0.7))
+        t.config.double("threshold").getOrElse(0.7),
+        maxBucketSize = t.config.int("max_bucket").getOrElse(0))
     case "text_profile" =>
       graft.ops.TextAnalysis.profile(df, t.config.str("text_field").getOrElse("text"))
     // time-series joins against a named source (graft.ops.TemporalJoins)

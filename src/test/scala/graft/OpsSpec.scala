@@ -74,6 +74,36 @@ class OpsSpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("minhash/simhash LSH survive 10k identical docs (exact-dup pre-collapse)") {
+    val n = 10000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same exact document body repeated many times over and over again").as("text"))
+    val want = n.toLong * (n - 1) / 2
+    // pre-collapse: ONE representative is banded; the n²/2 output pairs
+    // come from the fingerprint self-join (work ∝ output), so this
+    // finishes instead of exploding a 10k-wide LSH bucket
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.9)
+    assert(mh.count() == want)
+    assert(mh.where(col("jaccard") =!= 1.0).isEmpty)
+    val sh = Dedup.simhashNearDups(Dedup.simhash(docs, "doc_id", "text"), "doc_id")
+    assert(sh.count() == want)
+  }
+
+  test("minhash bucket cap drops oversized buckets, keeps exact-dup pairs") {
+    // 40 near-identical but fingerprint-distinct docs (unique suffix) +
+    // one exact duplicate pair; cap=5 kills the 40-wide buckets but the
+    // exact pair survives via the fingerprint path
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = (0 until 40).map(i => (i.toLong, s"$base unique$i"))
+    val docs = (near :+ (100L, near.head._2) ).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+    val capped = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5,
+      maxBucketSize = 5)
+    val cappedPairs = capped.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.count() > capped.count())
+    assert(cappedPairs.contains((0L, 100L))) // exact dup found regardless of cap
+  }
+
   test("embedding near-dups LSH path: dim probed from data, empty corpus OK") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
