@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.catalog.MetaStore
+import graft.catalog.{FileMetaStore, MetaStore}
 import graft.compile.PipelineCompiler
 import graft.run.PipelineRunner
 import graft.spec._
@@ -59,7 +59,7 @@ class PipelineSpecE2E extends SparkSuite {
   }
 
   test("metastore save/load/list + run registry") {
-    val store = new MetaStore(Files.createTempDirectory("graftmeta"))
+    val store = new FileMetaStore(Files.createTempDirectory("graftmeta"))
     val spec = PipelineSpec("p", "desc",
       Seq(SourceSpec("s", "inline", Config.of("data" -> Seq(Map("x" -> 1))))),
       Nil, Seq(SinkSpec("o", "stdout")))
@@ -73,7 +73,7 @@ class PipelineSpecE2E extends SparkSuite {
   }
 
   test("failed run is recorded, not thrown (reference main.py:467-474)") {
-    val store = new MetaStore(Files.createTempDirectory("graftmeta2"))
+    val store = new FileMetaStore(Files.createTempDirectory("graftmeta2"))
     val spec = PipelineSpec("bad", "",
       Seq(SourceSpec("s", "parquet", Config.of("path" -> "/nonexistent/path"))),
       Nil, Seq(SinkSpec("o", "stdout")))
