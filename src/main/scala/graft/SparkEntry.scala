@@ -596,6 +596,21 @@ object SparkEntry {
         threshold = 0.3, planes = 8, bruteForce = false)
         .withColumn("cosine", round(col("cosine"), 4))),
 
+    // resize / frame-sample: the stubs are deterministic byte
+    // transforms, so DuckDB re-derives the exact output (documents are
+    // ASCII ⇒ byte offsets = char offsets); payloads compare by md5
+    "x_multimodal_resize" -> ((s, d) =>
+      Multimodal.resize(Multimodal.packText(t(s, d, "documents"), "text"),
+        "doc_id", "media", width = 40, height = 20)
+        .select(col("id"), col("byte_len"), col("width"), col("height"),
+          md5(col("payload")).as("payload_md5"))),
+    "x_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.packText(t(s, d, "documents"), "text"),
+        "doc_id", "media", nFrames = 6, stride = 2)
+        .select(col("id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))),
+
     // ==== extensions: similarity search ====
     "x_ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1119,6 +1134,29 @@ object SparkEntry {
                 * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       WHERE cosine >= 0.3""",
+    "x_multimodal_resize" -> """
+      WITH r AS (
+        SELECT doc_id, length(text) AS len, text,
+               greatest(1, least(length(text), 100)) AS target
+        FROM documents)
+      SELECT doc_id AS id,
+             CAST(CASE WHEN len = 0 THEN 0 ELSE target END AS BIGINT) AS byte_len,
+             40 AS width, 20 AS height,
+             CASE WHEN len = 0 THEN md5('') ELSE
+               md5(array_to_string(list_transform(range(target),
+                 i -> substr(text, CAST((i * len) // target AS INTEGER) + 1, 1)), ''))
+             END AS payload_md5
+      FROM r""",
+    "x_multimodal_frames" -> """
+      WITH s AS (
+        SELECT doc_id, length(text) AS len, text,
+               greatest(1, length(text) // 6) AS seg
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(least(seg, len - i * seg) AS BIGINT) AS frame_len,
+             md5(substr(text, CAST(i * seg AS INTEGER) + 1, CAST(seg AS INTEGER))) AS frame_md5
+      FROM s, unnest([0, 2, 4]) AS t(i)
+      WHERE i * seg < len""",
     "x_dedup_embed_lsh" -> s"""
       WITH c AS (
         SELECT vec_id, embedding, ${lshBucketSql("embedding", 64, 8)} AS bkt

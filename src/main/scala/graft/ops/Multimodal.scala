@@ -123,6 +123,7 @@ object Multimodal {
   }
   final class FakeResizer extends MediaResizer {
     def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      if (payload.isEmpty) return payload
       val target = math.max(1, math.min(payload.length, width * height / 8))
       val out = new Array[Byte](target)
       var i = 0
