@@ -22,6 +22,12 @@ object Bench {
       // the first measured regex query isn't paying compiler warmup
       li.filter("l_returnflag rlike '^[A-Z]+$'").groupBy("l_linestatus").count()
         .write.format("noop").mode("overwrite").save()
+      // agg + semi-join pass: JIT hash-join build/probe and the AQE
+      // shuffle→broadcast conversion the join-family queries hit
+      val mins = li.groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.min("l_linenumber").as("l_linenumber"))
+      li.join(mins, Seq("l_orderkey", "l_linenumber"), "left_semi")
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // noop sink materializes every output column (a bare count() would
     // let Catalyst prune the computed columns and bench only the scan)
