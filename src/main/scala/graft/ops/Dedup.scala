@@ -27,17 +27,23 @@ object Dedup {
 
   /** Exact dedup by content fingerprint: keep the row with the minimal
     * `tieBreak` per normalized-content digest. Deterministic, and the
-    * shuffle key is the digest, not the document.
+    * shuffle key is the digest, not the document. Same min-agg +
+    * semi-join plan as keep-first `DedupOp`: the aggregate ships only
+    * (digest, tieBreak) — a window row_number would sort every
+    * duplicate's full row on one reducer per digest.
     */
   def exactByFingerprint(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(tieBreak).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val keyed = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val firsts = keyed.groupBy("__fp").agg(min(col(tieBreak)).as(tieBreak))
+    keyed.join(firsts, Seq("__fp", tieBreak), "left_semi")
+      .select(df.columns.map(col).toSeq: _*) // using-columns reorder undone
   }
 
   /** Exact dedup on explicit key columns, keep-min-tieBreak. */
   def exactByKeys(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val firsts = df.groupBy(keys.map(col): _*).agg(min(col(tieBreak)).as(tieBreak))
+    df.join(firsts, keys :+ tieBreak, "left_semi")
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   // ---------------------------------------------------------------- MinHash
