@@ -28,6 +28,13 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** documents scan for per-row compute-heavy text queries: the table
+    * compresses so well that parquet yields 1-2 splits at bench scale;
+    * fan out so hashing/regex work uses the whole machine (no-op when
+    * the scan already has enough splits — see ops.Partitioning). */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Partitioning.fanOut(t(spark, dir, "documents"))
+
   /** `events.ts` is nanosecond-precision parquet, which Spark only
     * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
     * Verify/Bench sessions) — normalize it back to a (microsecond)
@@ -515,7 +522,7 @@ object SparkEntry {
 
     // ---- token counting (word + BPE-ish subword proxy) ----
     "x_tokens" -> ((s, d) =>
-      t(s, d, "documents").select(
+      docs(s, d).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("word_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
@@ -558,13 +565,13 @@ object SparkEntry {
         .select("doc_id", "n_chars", "token_count", "avg_token_len",
           "punct_ratio", "stopword_ratio", "quality_score")),
     "x_text_lang" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_label"),
+      docs(s, d).select(col("doc_id"), col("lang").as("lang_label"),
         TextAnalysis.langId(col("text")).as("lang_id"))),
     "x_text_fingerprint" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
     "x_text_ngram_sim" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = SparkEntry.docs(s, d)
       val a = docs.select(col("doc_id").as("a_id"), col("text").as("__ta"))
       val b = docs.select(col("doc_id").as("b_id"), col("text").as("__tb"))
       a.join(b, col("b_id") === col("a_id") + 250)

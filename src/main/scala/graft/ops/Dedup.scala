@@ -159,11 +159,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
       numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L,
       maxBucketSize: Int = 0): DataFrame = {
+    val src = Partitioning.fanOut(df) // hashing-heavy: don't let 1-2 input splits serialize it
     // membership: id → content fingerprint; reps: min id per fingerprint
-    val members = df.select(col(idCol).as("__id"),
+    val members = src.select(col(idCol).as("__id"),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     val reps = members.groupBy("__fp").agg(min("__id").as("__rid"))
-    val repDf = df.join(reps.select(col("__rid")), col(idCol) === col("__rid"), "left_semi")
+    val repDf = src.join(reps.select(col("__rid")), col(idCol) === col("__rid"), "left_semi")
 
     val cands = minhashCandidates(repDf, idCol, textCol, numHashes, k, bands, seed, maxBucketSize)
     // shingle sets only for reps that appear in some candidate pair —
@@ -224,7 +225,7 @@ object Dedup {
 
   private def simhashWith(df: DataFrame, idCol: String, textCol: String,
       hashFn: Column => Column, bits: Int): DataFrame = {
-    val tok = df.select(col(idCol).as("__id"),
+    val tok = Partitioning.fanOut(df).select(col(idCol).as("__id"),
       explode(TextAnalysis.tokens(col(textCol))).as("__t"))
       .withColumn("__h", hashFn(col("__t")))
     val votes = (0 until bits).map { j =>
@@ -354,18 +355,49 @@ object Dedup {
       if (d == 0) // empty corpus → empty pair set with the right schema
         return df.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
           lit(0.0).as("cosine")).where(lit(false))
-      val base = df.select(col(idCol).as("__id"), Similarity.toDoubleVec(col(vecCol)).as("__v"))
+      // collapse bit-identical vectors before bucketing (same rationale
+      // as the minhash/simhash pre-collapse: equal vector ⟹ equal
+      // bucket, so rep-level collisions ARE member-level collisions; a
+      // pile of identical embeddings costs O(pairs out), not a bucket
+      // explosion). Identical pairs get cosine 1.0 — exact, because
+      // cos(v, v) of the same finite nonzero vector is exactly 1 in
+      // IEEE double... except it isn't (x·x / (‖x‖·‖x‖) can round to
+      // 0.99999…), so compute it via the same dot/norm expressions on
+      // the rep vector to stay bit-identical with the un-collapsed plan.
+      val members = Partitioning.fanOut(df).select(col(idCol).as("__id"),
+        Similarity.toDoubleVec(col(vecCol)).as("__v"))
+        .withColumn("__vfp", md5(to_json(struct(col("__v")))))
+      val reps = members.groupBy("__vfp").agg(min("__id").as("__rid"))
+      val base = members.join(reps, members("__id") === reps("__rid"), "left_semi")
+        .select(col("__id"), col("__v"), col("__vfp"))
         .withColumn("__n", Similarity.l2norm(col("__v")))
       val bucketed = base.withColumn("__bkt",
         Similarity.hyperplaneBuckets(col("__v"), d, planes, seed))
       val a = bucketed.select(col("__bkt"), col("__id").as("a_id"),
-        col("__v").as("__va"), col("__n").as("__na"))
+        col("__v").as("__va"), col("__n").as("__na"), col("__vfp").as("__fpa"))
       val b = bucketed.select(col("__bkt"), col("__id").as("b_id"),
-        col("__v").as("__vb"), col("__n").as("__nb"))
-      a.join(b, Seq("__bkt")).where(col("a_id") < col("b_id"))
+        col("__v").as("__vb"), col("__n").as("__nb"), col("__vfp").as("__fpb"))
+      val repPairs = a.join(b, Seq("__bkt")).where(col("a_id") < col("b_id"))
         .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
         .where(col("cosine") >= threshold)
-        .select(col("a_id"), col("b_id"), col("cosine")).distinct()
+        .select(col("a_id"), col("b_id"), col("cosine"), col("__fpa"), col("__fpb")).distinct()
+      // self-cosine of each duplicated vector, via the identical
+      // expression pipeline (bit-exact vs the raw-corpus plan)
+      val selfCos = base.withColumn("__c",
+          Similarity.dot(col("__v"), col("__v")) / (col("__n") * col("__n")))
+        .select(col("__vfp"), col("__c"))
+      val ma = members.select(col("__vfp").as("__fpa"), col("__id").as("__ida"))
+      val mb = members.select(col("__vfp").as("__fpb"), col("__id").as("__idb"))
+      val crossPairs = repPairs
+        .join(ma, "__fpa").join(mb, "__fpb")
+        .select(least(col("__ida"), col("__idb")).as("a_id"),
+          greatest(col("__ida"), col("__idb")).as("b_id"), col("cosine"))
+      val identicalPairs = ma.join(mb, col("__fpa") === col("__fpb"))
+        .where(col("__ida") < col("__idb"))
+        .join(selfCos.withColumnsRenamed(Map("__vfp" -> "__fpa")), "__fpa")
+        .where(col("__c") >= threshold)
+        .select(col("__ida").as("a_id"), col("__idb").as("b_id"), col("__c").as("cosine"))
+      crossPairs.unionByName(identicalPairs)
     }
   }
 }

@@ -46,8 +46,18 @@ object Similarity {
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of projection).
     * Vectors in the same bucket are "angle-close" candidates.
+    * Delegates to the codegen'd [[graft.expr.SignLsh]] kernel — the
+    * unrolled `planes × dim`-term expression form is numerically
+    * identical but costs ~7.5 s of one-time codegen compilation per
+    * plan shape (see SignLsh scaladoc for the bit-exactness argument).
     */
-  def hyperplaneBuckets(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+  def hyperplaneBuckets(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column =
+    graft.expr.SignLsh(vec, dim, planes, seed)
+
+  /** Reference formulation of the plane constants (kept for the
+    * contract doc + OpsSpec equivalence test; [[graft.expr.SignLshKernel
+    * .component]] must match this chain bit-for-bit). */
+  def hyperplaneBucketsUnrolled(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
     val bits = (0 until planes).map { i =>
       val proj = (0 until dim)
         .map(j => element_at(vec, j + 1) * planeComponent(i, j, seed))

@@ -112,7 +112,7 @@ object TextAnalysis {
     * DataFrame. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("token_count", tokenCount(t))
+    Partitioning.fanOut(df).withColumn("token_count", tokenCount(t))
       .withColumn("bpeish_token_count", bpeishTokenCount(t))
       .withColumn("lang_id", langId(t))
       .withColumn("fingerprint", fingerprint(t))

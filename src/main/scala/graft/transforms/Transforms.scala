@@ -89,6 +89,57 @@ object Transforms {
         maxBucketSize = t.config.int("max_bucket").getOrElse(0))
     case "text_profile" =>
       graft.ops.TextAnalysis.profile(df, t.config.str("text_field").getOrElse("text"))
+    case "dedup_simhash" =>
+      val cfg = t.config
+      graft.ops.Dedup.simhashNearDups(
+        graft.ops.Dedup.simhash(df, cfg.reqStr("id_field"),
+          cfg.str("text_field").getOrElse("text")),
+        cfg.reqStr("id_field"),
+        maxDist = cfg.int("max_dist").getOrElse(3),
+        maxBucketSize = cfg.int("max_bucket").getOrElse(0))
+    case "dedup_embed" =>
+      val cfg = t.config
+      graft.ops.Dedup.embeddingNearDups(df,
+        cfg.reqStr("id_field"), cfg.str("vec_field").getOrElse("embedding"),
+        threshold = cfg.double("threshold").getOrElse(0.95),
+        planes = cfg.int("planes").getOrElse(8),
+        bruteForce = cfg.bool("brute_force").getOrElse(false),
+        dim = cfg.int("dim").getOrElse(0))
+    case "ann_topk" =>
+      val cfg = t.config
+      val qName = cfg.reqStr("queries")
+      val q = ctx.getOrElse(qName,
+        throw new GraftAnalysisException(s"ann_topk: unknown queries source '$qName'"))
+      val (idF, vecF) = (cfg.str("id_field").getOrElse("vec_id"),
+        cfg.str("vec_field").getOrElse("embedding"))
+      val k = cfg.int("k").getOrElse(10)
+      cfg.str("method").getOrElse("brute") match {
+        case "brute" => graft.ops.Similarity.bruteForceTopK(q, df, idF, idF, vecF, k)
+        case "lsh" => graft.ops.Similarity.lshTopK(q, df, idF, idF, vecF, k,
+          dim = cfg.int("dim").getOrElse(64), planes = cfg.int("planes").getOrElse(6))
+        case "ivf" => graft.ops.Similarity.IvfIndex
+          .build(df, idF, vecF, dim = cfg.int("dim").getOrElse(64),
+            nlist = cfg.int("nlist").getOrElse(16))
+          .search(q, idF, vecF, k, nprobe = cfg.int("nprobe").getOrElse(4))
+        case other => throw new GraftAnalysisException(s"ann_topk: unknown method '$other'")
+      }
+    case "text_lang" =>
+      df.withColumn("lang_id",
+        graft.ops.TextAnalysis.langId(col(t.config.str("text_field").getOrElse("text"))))
+    case "multimodal_pack" =>
+      graft.ops.Multimodal.packText(df, t.config.str("text_field").getOrElse("text"),
+        t.config.str("mime").getOrElse("text/plain"))
+    case "multimodal_features" =>
+      graft.ops.Multimodal.extractFeatures(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    case "multimodal_resize" =>
+      graft.ops.Multimodal.resize(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        t.config.int("width").getOrElse(64), t.config.int("height").getOrElse(64))
+    case "multimodal_frames" =>
+      graft.ops.Multimodal.frameSample(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        t.config.int("n_frames").getOrElse(8), t.config.int("stride").getOrElse(1))
     // time-series joins against a named source (graft.ops.TemporalJoins)
     case "asof_join" =>
       val cfg = t.config
@@ -122,7 +173,9 @@ object Transforms {
     "select", "rename", "limit", "union", "intersect", "except",
     "distinct", "window", "sql", "sample", "split",
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
-    "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join")
+    "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
+    "dedup_simhash", "dedup_embed", "ann_topk", "text_lang",
+    "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"

@@ -89,6 +89,15 @@ class OpsSpec extends SparkSuite {
     assert(sh.count() == want)
   }
 
+  test("embedding LSH dedup survives 5k identical vectors (pre-collapse)") {
+    val n = 5000
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 8).map(i => lit(i.toFloat + 1f)): _*).as("embedding"))
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.9, planes = 4, bruteForce = false)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+  }
+
   test("minhash bucket cap drops oversized buckets, keeps exact-dup pairs") {
     // 40 near-identical but fingerprint-distinct docs (unique suffix) +
     // one exact duplicate pair; cap=5 kills the 40-wide buckets but the
@@ -116,6 +125,16 @@ class OpsSpec extends SparkSuite {
     val empty = Dedup.embeddingNearDups(vecs.where(lit(false)), "vec_id", "embedding",
       bruteForce = false)
     assert(empty.columns.toSeq == Seq("a_id", "b_id", "cosine") && empty.count() == 0)
+  }
+
+  test("sign-LSH kernel bit-matches the unrolled expression form") {
+    val vecs = sf("embeddings")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val both = vecs.select(col("vec_id"),
+      Similarity.hyperplaneBuckets(col("v"), 64, 8).as("k"),
+      Similarity.hyperplaneBucketsUnrolled(col("v"), 64, 8).as("u"))
+    assert(both.where(col("k") =!= col("u")).isEmpty)
+    assert(both.select(countDistinct(col("k"))).as[Long].head() > 1)
   }
 
   test("lsh buckets: same-direction vectors share a bucket") {

@@ -279,6 +279,38 @@ class TransformsSpec extends SparkSuite {
         "left_time" -> "ts", "right_time" -> "qts")), ctx))
   }
 
+  test("§2.6 extension ops are spec-addressable end to end") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val sh = Transforms(docs, graft.spec.TransformSpec("d", "dedup_simhash",
+      Config.of("id_field" -> "doc_id")), Map.empty)
+    assert(sh.select("a_id", "b_id").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    val lang = Transforms(docs, graft.spec.TransformSpec("l", "text_lang", Config.of()), Map.empty)
+    assert(lang.columns.contains("lang_id") && lang.count() == 3)
+
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ed = Transforms(vecs, graft.spec.TransformSpec("e", "dedup_embed",
+      Config.of("id_field" -> "vec_id", "threshold" -> 0.99, "planes" -> 2)), Map.empty)
+    assert(ed.select("a_id", "b_id").as[(Long, Long)].collect().toSet == Set((0L, 1L)))
+    val ann = Transforms(vecs, graft.spec.TransformSpec("a", "ann_topk",
+      Config.of("queries" -> "q", "k" -> 2)), Map("q" -> vecs.where(col("vec_id") === 0)))
+    assert(ann.where(col("rank") === 1).select("neighbor_id").as[Long].head() == 1L)
+
+    val packed = Transforms(docs, graft.spec.TransformSpec("p", "multimodal_pack",
+      Config.of()), Map.empty)
+    assert(packed.select("media.meta.byte_len").as[Long].collect().forall(_ > 0))
+    val feats = Transforms(packed, graft.spec.TransformSpec("f", "multimodal_features",
+      Config.of("id_field" -> "doc_id")), Map.empty)
+    assert(feats.columns.toSeq == Seq("id", "byte_len", "features") && feats.count() == 3)
+    val rs = Transforms(packed, graft.spec.TransformSpec("r", "multimodal_resize",
+      Config.of("id_field" -> "doc_id", "width" -> 8, "height" -> 8)), Map.empty)
+    assert(rs.select("byte_len").as[Long].collect().forall(_ == 8L)) // 8*8/8
+    val fr = Transforms(packed, graft.spec.TransformSpec("v", "multimodal_frames",
+      Config.of("id_field" -> "doc_id", "n_frames" -> 4, "stride" -> 2)), Map.empty)
+    assert(fr.groupBy("id").count().select(max("count")).as[Long].head() == 2L) // frames 0,2
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
