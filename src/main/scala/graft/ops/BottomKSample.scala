@@ -23,14 +23,18 @@ import org.apache.spark.sql.functions.udaf
 class BottomKSample(k: Int) extends Aggregator[Long, Seq[(String, Long)], Seq[Long]] {
   require(k > 0, "k must be positive")
 
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  import BottomKSample.md5hex
 
   override def zero: Seq[(String, Long)] = Nil
 
-  override def reduce(b: Seq[(String, Long)], id: Long): Seq[(String, Long)] =
-    merge(b, Seq((md5hex(id.toString), id)))
+  override def reduce(b: Seq[(String, Long)], id: Long): Seq[(String, Long)] = {
+    val p = (md5hex(id.toString), id)
+    // fast path: buffer full and p sorts after the current k-th —
+    // p can neither enter the bottom-k nor already be in the buffer
+    // (it would then be ≤ last), so the per-row cost is one compare
+    if (b.size >= k && implicitly[Ordering[(String, Long)]].compare(p, b.last) >= 0) b
+    else merge(b, Seq(p))
+  }
 
   override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
     (a ++ b).distinct.sortBy(p => (p._1, p._2)).take(k)
@@ -47,4 +51,24 @@ class BottomKSample(k: Int) extends Aggregator[Long, Seq[(String, Long)], Seq[Lo
 object BottomKSample {
   /** Column form: `df.groupBy(g).agg(BottomKSample.of(col("id"), 5))`. */
   def of(id: Column, k: Int): Column = udaf(new BottomKSample(k)).apply(id)
+
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** Lowercase md5 hex — identical bytes to `map("%02x".format(_))`,
+    * without a MessageDigest allocation + 16 format calls per row. */
+  def md5hex(s: String): String = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 }

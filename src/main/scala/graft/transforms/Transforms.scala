@@ -333,13 +333,96 @@ object MapOp {
 object AggregateOp {
   def apply(df: DataFrame, cfg: Config): DataFrame = {
     val groupBy = cfg.strList("group_by")
+    val grouping = cfg.str("grouping").getOrElse("groupby")
+    val aggSpecs: Seq[Config] =
+      if (cfg.objList("aggregations").nonEmpty) cfg.objList("aggregations") else Seq(cfg)
+    if ((grouping == "rollup" || grouping == "cube") && groupBy.nonEmpty
+        && aggSpecs.forall(decomposable))
+      return hierarchical(df, groupBy, grouping, aggSpecs)
     val aggCols = buildAggs(cfg)
-    val grouped = cfg.str("grouping").getOrElse("groupby") match {
+    val grouped = grouping match {
       case "rollup" => df.rollup(groupBy.map(c): _*)
       case "cube"   => df.cube(groupBy.map(c): _*)
       case _        => df.groupBy(groupBy.map(c): _*)
     }
     grouped.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Aggregates whose partials re-aggregate exactly: counts, min/max,
+    * and DECIMAL-exact sum/avg (decimal addition is associative —
+    * float sums are NOT, so plain double sum/avg stays on the native
+    * path to keep results bit-identical).
+    */
+  private def decomposable(a: Config): Boolean =
+    a.str("function").getOrElse("count") match {
+      case "count" | "count_nonnull" | "min" | "max" => true
+      case "sum" | "avg" | "mean" => a.int("exact_decimal").isDefined
+      case _ => false
+    }
+
+  /** Rollup/cube as hierarchical re-aggregation: ONE pass aggregates
+    * at the finest granularity (map-side partials, one shuffle of
+    * ~|groups| rows), then each grouping set re-aggregates that tiny
+    * result. Spark's native plan Expand-multiplies EVERY input row by
+    * the number of grouping sets before the shuffle — |sets|×|input|
+    * intermediate rows, the part that scales with data; here the
+    * |sets| factor applies only to |groups|. Output rows are identical
+    * (cube ≡ union of per-set group-bys; exact-decimal partials
+    * re-aggregate associatively).
+    */
+  private def hierarchical(
+      df: DataFrame, keys: Seq[String], grouping: String, specs: Seq[Config]): DataFrame = {
+    val partials = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val finals = scala.collection.mutable.ArrayBuffer.empty[Column]
+    specs.zipWithIndex.foreach { case (a, i) =>
+      val fn = a.str("function").getOrElse("count")
+      val field = a.str("field").getOrElse("*")
+      val alias = a.str("as").getOrElse(s"${if (field == "*") "row" else field}_$fn")
+      val scale = a.int("exact_decimal")
+      fn match {
+        case "count" =>
+          partials += count(lit(1)).as(s"__p$i")
+          finals += sum(col(s"__p$i")).cast("long").as(alias)
+        case "count_nonnull" =>
+          partials += count(c(field)).as(s"__p$i")
+          finals += sum(col(s"__p$i")).cast("long").as(alias)
+        case "min" =>
+          partials += min(c(field)).as(s"__p$i")
+          finals += min(col(s"__p$i")).as(alias)
+        case "max" =>
+          partials += max(c(field)).as(s"__p$i")
+          finals += max(col(s"__p$i")).as(alias)
+        case "sum" => // decomposable() guarantees exact_decimal here
+          partials += sum(c(field).cast(DecimalType(18, scale.get))).as(s"__p$i")
+          finals += sum(col(s"__p$i")).cast(DoubleType).as(alias)
+        case "avg" | "mean" =>
+          partials += sum(c(field).cast(DecimalType(18, scale.get))).as(s"__p${i}s")
+          partials += count(c(field)).as(s"__p${i}c")
+          finals += (sum(col(s"__p${i}s")).cast(DoubleType) / sum(col(s"__p${i}c")))
+            .cast(DoubleType).as(alias)
+        case other => throw new GraftAnalysisException(s"not decomposable: '$other'")
+      }
+    }
+    val sets: Seq[Seq[String]] = grouping match {
+      case "rollup" => (keys.length to 0 by -1).map(keys.take)
+      case _ => (0 until (1 << keys.length))
+        .map(m => keys.zipWithIndex.collect { case (k, i) if ((m >> i) & 1) == 1 => k })
+    }
+    val base = df.groupBy(keys.map(c): _*).agg(partials.head, partials.toSeq.tail: _*)
+    val aliases = specs.zipWithIndex.map { case (a, i) =>
+      val field = a.str("field").getOrElse("*")
+      a.str("as").getOrElse(s"${if (field == "*") "row" else field}_${a.str("function").getOrElse("count")}")
+    }
+    sets.map { s =>
+      // empty set via a constant group key: zero rows on empty input
+      // (matching grouping-sets semantics), never a spurious global row
+      val grouped =
+        if (s.isEmpty) base.groupBy(lit(true).as("__all")) else base.groupBy(s.map(c): _*)
+      grouped.agg(finals.head, finals.toSeq.tail: _*)
+        .select(keys.map(k =>
+          (if (s.contains(k)) c(k) else lit(null).cast(df.schema(k).dataType)).as(k)) ++
+          aliases.map(col): _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** Aggregation column list from config — shared with `window_agg`. */

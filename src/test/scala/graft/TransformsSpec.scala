@@ -279,6 +279,42 @@ class TransformsSpec extends SparkSuite {
         "left_time" -> "ts", "right_time" -> "qts")), ctx))
   }
 
+  test("hierarchical rollup/cube matches Spark's Expand plan row-for-row") {
+    // real NULL key values must stay distinguishable work-wise from
+    // grouping-set placeholder nulls (both plans treat them the same)
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), (null, "x", 3.0),
+      ("B", null, 4.0), ("A", "x", 5.0)).toDF("k1", "k2", "v")
+    val aggs = Seq(
+      Map("function" -> "count", "as" -> "cnt"),
+      Map("field" -> "v", "function" -> "sum", "exact_decimal" -> 6, "as" -> "sv"),
+      Map("field" -> "v", "function" -> "avg", "exact_decimal" -> 6, "as" -> "av"),
+      Map("field" -> "v", "function" -> "max", "as" -> "mx"))
+    for (g <- Seq("rollup", "cube")) {
+      val ours = AggregateOp(df, Config.of(
+        "group_by" -> Seq("k1", "k2"), "grouping" -> g, "aggregations" -> aggs))
+      val native = (if (g == "cube") df.cube(col("k1"), col("k2")) else df.rollup(col("k1"), col("k2")))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("v").cast("decimal(18,6)")).cast("double").as("sv"),
+          (sum(col("v").cast("decimal(18,6)")).cast("double") / count(col("v"))).cast("double").as("av"),
+          max(col("v")).as("mx"))
+      val a = ours.collect().map(_.toString).sorted.toSeq
+      val b = native.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$g mismatch:\nours:   $a\nnative: $b")
+      // no Expand node: input rows are never multiplied by |sets|
+      assert(!ours.queryExecution.executedPlan.toString.contains("Expand"))
+    }
+    // empty input: grouping sets yield zero rows, not a spurious global row
+    val empty = AggregateOp(df.where(lit(false)), Config.of(
+      "group_by" -> Seq("k1", "k2"), "grouping" -> "cube", "aggregations" -> aggs))
+    assert(empty.count() == 0)
+    // non-decomposable agg (count_distinct) falls back to the native plan
+    val fb = AggregateOp(df, Config.of(
+      "group_by" -> Seq("k1"), "grouping" -> "cube", "aggregations" -> Seq(
+        Map("field" -> "k2", "function" -> "count_distinct", "as" -> "d"))))
+    assert(fb.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(fb.count() == 4) // A, B, null, global
+  }
+
   test("§2.6 extension ops are spec-addressable end to end") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here")).toDF("doc_id", "text")
