@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compile.PipelineCompiler
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.spec._
 import graft.transforms._
 
@@ -584,6 +584,13 @@ object SparkEntry {
       Dedup.exactByFingerprint(t(s, d, "documents"), "text", "doc_id")),
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)),
+    // near-dup pairs -> transitive clusters (large-star/small-star);
+    // output: every clustered doc with its canonical (min-id) component
+    "x_dedup_cluster" -> ((s, d) =>
+      Components.connectedComponents(
+        Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", threshold = 0.7))
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"))),
     // md5-hash simhash variant: same banded plan as the xxhash64 scale
     // path, but the signature is recomputable by the DuckDB oracle
     "x_dedup_simhash" -> ((s, d) =>
@@ -1133,6 +1140,34 @@ object SparkEntry {
                / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       WHERE jaccard >= 0.7""",
+    // Same exact-jaccard pair set as x_dedup_minhash (recall argument
+    // above), then transitive closure by min-label propagation — the
+    // declarative spec of what large-star/small-star computes.
+    "x_dedup_cluster" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(len(toks)-2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+              FROM documents)),
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.7),
+      edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+      SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""",
     "x_dedup_embed" -> """
       SELECT a_id, b_id, round(cosine, 4) AS cosine FROM (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

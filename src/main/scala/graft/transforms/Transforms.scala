@@ -163,6 +163,18 @@ object Transforms {
         aTime = cfg.reqStr("left_time"), bTime = cfg.reqStr("right_time"),
         lowerMs = cfg.long("lower").getOrElse(0L), upperMs = cfg.reqLong("upper"),
         prefix = cfg.str("prefix").getOrElse("r_"))
+    // near-dup pairs -> transitive clusters / cluster-level dedup
+    case "connected_components" =>
+      graft.ops.Components.connectedComponents(df,
+        t.config.str("a_field").getOrElse("a_id"),
+        t.config.str("b_field").getOrElse("b_id"))
+    case "dedup_cluster" =>
+      val cfg = t.config
+      val pairsName = cfg.reqStr("pairs")
+      val pairs = ctx.getOrElse(pairsName,
+        throw new GraftAnalysisException(s"dedup_cluster: unknown pairs source '$pairsName'"))
+      graft.ops.Components.keepClusterRepresentatives(df, cfg.reqStr("id_field"), pairs,
+        cfg.str("a_field").getOrElse("a_id"), cfg.str("b_field").getOrElse("b_id"))
     case other =>
       throw new GraftAnalysisException(s"transform '${t.name}': unknown transform type '$other'")
   }
@@ -175,7 +187,8 @@ object Transforms {
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang",
-    "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames")
+    "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
+    "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"

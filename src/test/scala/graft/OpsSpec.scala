@@ -216,4 +216,33 @@ class OpsSpec extends SparkSuite {
     assert(byQuery.keySet == Set(0L, 1L, 2L))
     assert(byQuery.values.forall(_ == 3L))
   }
+
+  test("connected components: chains, multiple clusters, empty, representatives") {
+    def cc(pairs: (Long, Long)*): Map[Long, Long] =
+      Components.connectedComponents(pairs.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+
+    // chain 1-2-3-4 (kills O(diameter) min-propagation; large/small-star
+    // contracts it in O(log n) rounds) + separate pair + reversed/self/dup edges
+    val m = cc((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L), (6L, 5L), (7L, 7L), (2L, 1L))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // descending chain — worst case for propagation direction
+    val n = 40L
+    val desc = cc((2L to n).map(i => (i - 1, i)): _*)
+    assert(desc == (1L to n).map(_ -> 1L).toMap)
+
+    // star already at fixed point
+    assert(cc((10L, 1L), (11L, 1L), (12L, 1L)) ==
+      Map(1L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
+
+    // empty pair set
+    assert(cc() == Map.empty)
+
+    // end-to-end: keep one doc per cluster, untouched docs pass through
+    val corpus = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id").withColumn("text", lit("x"))
+    val kept = Components.keepClusterRepresentatives(
+      corpus, "doc_id", Seq((2L, 1L), (2L, 3L)).toDF("a_id", "b_id"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 9L))
+  }
 }
