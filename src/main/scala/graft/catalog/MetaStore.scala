@@ -233,8 +233,13 @@ final class SqliteMetaStore(db: Path) extends MetaStore {
   def runs(pipelineId: String): Seq[RunRecord] =
     state().getOrElse("runs", Nil).filter(r => txt(r(1)) == pipelineId).map { r =>
       val stats = Option(txt(r(8))).map(Config.parse).getOrElse(Config.empty)
+      // started_at/finished_at are nullable in the reference schema
+      // (main.py:70-80): a run inserted while running (or left behind
+      // by a crash) has finished_at NULL. EPOCH is the sentinel so a
+      // foreign-written db never NPEs a `runs` listing.
       RunRecord(txt(r.head), txt(r(1)), txt(r(2)),
-        Instant.parse(txt(r(3))), Instant.parse(txt(r(4))),
+        Option(txt(r(3))).map(Instant.parse).getOrElse(Instant.EPOCH),
+        Option(txt(r(4))).map(Instant.parse).getOrElse(Instant.EPOCH),
         num(r(5)), num(r(6)),
         stats.long("duration_ms").getOrElse(0L),
         Option(txt(r(7))))

@@ -34,17 +34,33 @@ object Dedup {
     */
   def exactByFingerprint(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
     val keyed = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-    val firsts = keyed.groupBy("__fp").agg(min(col(tieBreak)).as(tieBreak))
-    keyed.join(firsts, Seq("__fp", tieBreak), "left_semi")
-      .select(df.columns.map(col).toSeq: _*) // using-columns reorder undone
+    keyed.join(
+        minPerKey(keyed, Seq("__fp"), tieBreak),
+        nullSafeCond(Seq("__fp", tieBreak)), "left_semi")
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   /** Exact dedup on explicit key columns, keep-min-tieBreak. */
-  def exactByKeys(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val firsts = df.groupBy(keys.map(col): _*).agg(min(col(tieBreak)).as(tieBreak))
-    df.join(firsts, keys :+ tieBreak, "left_semi")
+  def exactByKeys(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame =
+    df.join(minPerKey(df, keys, tieBreak), nullSafeCond(keys :+ tieBreak), "left_semi")
       .select(df.columns.map(col).toSeq: _*)
-  }
+
+  /** Per-key min-tieBreak, key/min columns renamed `__m_<name>` so the
+    * semi join can use an explicit null-safe condition. Tie contract:
+    * `tieBreak` must be unique per key — ties on the min keep every
+    * tied row (the aggregate cannot distinguish them). Gate queries
+    * use `doc_id` (unique); enforced by OpsSpec.
+    */
+  private def minPerKey(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(min(col(tieBreak)).as(tieBreak))
+      .select((keys :+ tieBreak).map(n => col(n).as(s"__m_$n")): _*)
+
+  /** Null-safe equality on each column vs its `__m_` twin: NULL keys
+    * (e.g. NULL text → NULL fingerprint) group together and survive —
+    * a plain equi-join would silently drop every such row.
+    */
+  private def nullSafeCond(cols: Seq[String]): Column =
+    cols.map(n => col(n) <=> col(s"__m_$n")).reduce(_ && _)
 
   // ---------------------------------------------------------------- MinHash
 

@@ -22,9 +22,21 @@ class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, "k must be positive")
 
-  // strict total order: higher score first, then smaller id
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // Strict total order: higher score first, then smaller id. Compares
+  // via java.lang.Double.compare — primitive > / == are not a weak
+  // order when NaN appears (NaN > x and NaN == NaN are both false, so
+  // sortWith can throw "Comparison method violates its general
+  // contract"), and cosine scores ARE NaN for zero-norm vectors. NaN
+  // ranks strictly last (below -Infinity), so junk vectors never
+  // displace real candidates from the top-k.
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val aNaN = a._1.isNaN; val bNaN = b._1.isNaN
+    if (aNaN != bNaN) bNaN
+    else {
+      val cmp = java.lang.Double.compare(a._1, b._1)
+      if (cmp != 0) cmp > 0 else a._2 < b._2
+    }
+  }
 
   override def zero: Seq[(Double, Long)] = Nil
 

@@ -644,14 +644,23 @@ object DedupOp {
         // the determinism contract requires a unique order key.
         cfg.str("impl").getOrElse("min_join") match {
           case "window" =>
+            // nulls LAST in both directions: a row with a NULL order
+            // value loses to any real value but is still kept when its
+            // group has nothing better — same contract as min_by/
+            // min_join below.
             val w = Window.partitionBy(keys.map(c): _*)
-              .orderBy(ords.map(o => if (keep == "last") c(o).desc else c(o).asc): _*)
+              .orderBy(ords.map(o => if (keep == "last") c(o).desc_nulls_last else c(o).asc_nulls_last): _*)
             df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
           case "min_by" =>
-            val ordExpr = ords.map(c) match {
-              case Seq(one) => one
-              case many     => struct(many: _*)
-            }
+            // Order key wrapped with a null flag per column: bare
+            // min_by skips rows whose order is NULL, so an all-NULL
+            // group would collapse to a NULL struct (every column of
+            // the kept "row" null). The flag makes NULL-ordered rows
+            // comparable-but-losing instead of invisible.
+            val ordExpr = struct(ords.flatMap { o =>
+              val oc = c(o)
+              if (keep == "first") Seq(oc.isNull, oc) else Seq(oc.isNotNull, oc)
+            }: _*)
             val rowStruct = struct(df.columns.map(cn => col(quote(cn))).toSeq: _*)
             val picked = if (keep == "first") min_by(rowStruct, ordExpr) else max_by(rowStruct, ordExpr)
             df.groupBy(keys.map(c): _*).agg(picked.as("__row")).select(col("__row.*"))
@@ -666,7 +675,18 @@ object DedupOp {
                   .agg((if (keep == "first") min(struct(many: _*)) else max(struct(many: _*))).as("__m"))
                   .select(keys.map(c) :+ col("__m.*"): _*)
             }
-            df.join(extremes, keys ++ ords, "left_semi")
+            // Null-safe (<=>) join condition, NOT using-columns: a
+            // plain equi-join never matches NULL, so rows with a NULL
+            // key or NULL order value would silently vanish — both the
+            // min_by/window plans (groupBy groups NULLs) and the
+            // reference's tuple-key dict keep them. A group whose
+            // order values are ALL NULL keeps every row here (min()
+            // of all-NULL is NULL, which <=>-matches them all) — the
+            // unique-order-key contract makes that a non-case.
+            val joinCols = keys ++ ords
+            val renamed = extremes.select(joinCols.map(n => c(n).as(s"__m_$n")): _*)
+            val cond = joinCols.map(n => c(n) <=> col(quote(s"__m_$n"))).reduce(_ && _)
+            df.join(renamed, cond, "left_semi")
           case other => throw new GraftAnalysisException(s"deduplicate: unknown impl '$other'")
         }
       case other => throw new GraftAnalysisException(s"deduplicate: unknown keep '$other'")

@@ -23,6 +23,30 @@ class OpsSpec extends SparkSuite {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("exact dedup keeps NULL-text rows; min-tie keeps all tied rows (ADVICE r3)") {
+    val withNulls = Seq(
+      (1L, Option("same text here")), (2L, Option("same text here")),
+      (3L, None: Option[String]), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    // NULL text → NULL fingerprint: those rows group together and the
+    // min-id one survives (null-safe join), instead of vanishing.
+    val out = Dedup.exactByFingerprint(withNulls, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+    // duplicate tieBreak: documented contract — every tied row stays
+    val tied = Seq((1L, "x", "dup"), (1L, "x", "dup2"), (2L, "x", "other")).toDF("tb", "text", "v")
+    val kept = Dedup.exactByFingerprint(tied, "text", "tb").select("v").as[String].collect().toSet
+    assert(kept == Set("dup", "dup2"))
+  }
+
+  test("TopKByScore totally orders NaN scores last (ADVICE r3)") {
+    val df = Seq((1L, Double.NaN), (2L, 0.9), (3L, Double.NaN), (4L, 0.5), (5L, 0.7))
+      .toDF("id", "score")
+    val top = df.groupBy(lit(1)).agg(TopKByScore.of(col("score"), col("id"), 3).as("tk"))
+      .select(explode(col("tk")).as("p")).select("p._2").as[Long].collect().toSeq
+    assert(top == Seq(2L, 5L, 4L)) // NaN never displaces a real score
+  }
+
   test("minhash near-dups find planted near-identical pair") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

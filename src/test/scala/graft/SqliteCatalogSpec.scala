@@ -74,6 +74,7 @@ conn.execute("INSERT INTO transforms VALUES ('t2','p1','shape','select','{\\"fie
 conn.execute("INSERT INTO sinks VALUES ('k1','p1','out','stdout','{}')")
 conn.execute("INSERT INTO runs VALUES ('r1','p1','success','2026-01-02T00:00:00Z','2026-01-02T00:00:10Z',100,90,NULL,'{\\"duration_ms\\": 10000}')")
 conn.execute("INSERT INTO runs VALUES ('r2','p1','failed','2026-01-03T00:00:00Z','2026-01-03T00:00:01Z',0,0,'boom','{}')")
+conn.execute("INSERT INTO runs VALUES ('r3','p1','running','2026-01-04T00:00:00Z',NULL,0,0,NULL,'{}')")
 conn.commit()
 conn.close()
 print("ok")
@@ -88,9 +89,13 @@ print("ok")
     assert(spec.transforms(1).dependsOn == Seq("clean"))
     assert(spec.sinks.map(_.sinkType) == Seq("stdout"))
     val rs = store.runs("p1")
-    assert(rs.map(_.runId) == Seq("r2", "r1")) // newest first
-    assert(rs(1).rowsRead == 100 && rs(1).durationMs == 10000L)
-    assert(rs.head.error.contains("boom"))
+    assert(rs.map(_.runId) == Seq("r3", "r2", "r1")) // newest first
+    assert(rs(2).rowsRead == 100 && rs(2).durationMs == 10000L)
+    assert(rs(1).error.contains("boom"))
+    // in-flight run: finished_at NULL in the reference schema → EPOCH
+    // sentinel, not an NPE (ADVICE r3)
+    assert(rs.head.status == "running")
+    assert(rs.head.finishedAt == java.time.Instant.EPOCH)
   }
 
   test("catalog we write passes integrity_check and round-trips via reference code") {

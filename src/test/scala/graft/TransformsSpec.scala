@@ -110,6 +110,22 @@ class TransformsSpec extends SparkSuite {
     }
   }
 
+  test("deduplicate keeps rows with NULL keys / NULL order values (ADVICE r3)") {
+    // NULL key rows form their own group in every impl — a plain
+    // equi-semi-join would silently drop them.
+    val df = Seq(
+      (Option("a"), Option(2), "r1"), (Option("a"), Option(1), "r2"),
+      (None: Option[String], Option(5), "r3"), (None: Option[String], Option(7), "r4"),
+      (Option("b"), None: Option[Int], "r5"))
+      .toDF("k", "ord", "v")
+    for (impl <- Seq("min_join", "min_by")) {
+      val got = DedupOp(df, Config.of("keys" -> Seq("k"), "keep" -> "first",
+        "order_by" -> Seq("ord"), "impl" -> impl))
+        .select("v").as[String].collect().toSet
+      assert(got == Set("r2", "r3", "r5"), s"impl=$impl")
+    }
+  }
+
   test("select + rename with collision error (SURVEY §2.5 deviation d)") {
     val out = RenameOp(
       SelectOp(employees, Config.of("fields" -> Seq("name", "dept"))),
