@@ -691,6 +691,37 @@ object SparkEntry {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"))),
+
+    // ==== sqlite data plane (reference main.py:130-138 source,
+    // main.py:326-341 sink) via the pure-Scala file codec — a REAL
+    // .db file is written and read back inside the query, so the gate
+    // exercises the full encode→decode path with typed storage
+    // classes (INTEGER/REAL/TEXT). `table` mode round-trip: ====
+    "q_sqlite_roundtrip" -> ((s, d) => {
+      val db = java.nio.file.Files.createTempDirectory("graft_sqlite_gate")
+        .resolve("roundtrip.db").toString
+      val nation = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"),
+        (col("n_nationkey") * lit(1.5)).as("score"))
+      graft.catalog.SqliteData.write(db, "nation_rt", nation, overwrite = true)
+      graft.catalog.SqliteData.readTable(s, db, "nation_rt")
+    }),
+    // `query` mode: the reference's arbitrary-SQL source config,
+    // re-expressed as Catalyst SQL over the file's tables-as-views
+    "q_sqlite_query" -> ((s, d) => {
+      val db = java.nio.file.Files.createTempDirectory("graft_sqlite_gate")
+        .resolve("query.db").toString
+      val nation = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      graft.catalog.SqliteData.write(db, "nation_rt", nation, overwrite = true)
+      graft.catalog.SqliteData.readQuery(s, db,
+        "SELECT n_regionkey, count(*) AS cnt, sum(n_nationkey) AS key_sum " +
+          "FROM nation_rt GROUP BY n_regionkey")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1267,6 +1298,21 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
       FROM sess GROUP BY user_id, session_id""",
+
+    // sqlite data plane: the Spark side writes nation through a real
+    // .db file and reads it back, so matching this plain-parquet
+    // oracle proves the codec round-trip is lossless for INTEGER/
+    // REAL/TEXT storage classes.
+    "q_sqlite_roundtrip" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             n_nationkey * 1.5 AS score
+      FROM nation""",
+    "q_sqlite_query" -> """
+      SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation GROUP BY n_regionkey""",
   )
 
   /** [[graft.ops.Similarity]]'s hyperplane component (plane i, dim j)

@@ -50,7 +50,14 @@ object SqliteFile {
     * The implicit rowid is not materialized (catalog tables never
     * alias it: all reference PKs are TEXT, main.py:35-80).
     */
-  def read(path: Path): Map[String, Seq[Seq[SqlValue]]] = {
+  def read(path: Path): Map[String, Seq[Seq[SqlValue]]] =
+    readTables(path).map(t => t.name -> t.rows).toMap
+
+  /** Same scan, keeping each table's sqlite_master CREATE SQL — the
+    * only place a SQLite file records column names (data-plane readers
+    * need them; the catalog knows its own layouts).
+    */
+  def readTables(path: Path): Seq[Table] = {
     val b = Files.readAllBytes(path)
     if (b.length < 100 || !b.slice(0, 16).sameElements(Magic))
       throw new GraftAnalysisException(s"$path is not a SQLite database")
@@ -59,13 +66,17 @@ object SqliteFile {
     val usable = pageSize - (b(20) & 0xff)
     val master = readBtree(b, pageSize, usable, 1)
     master.collect {
-      case Seq(SText("table"), SText(name), _, rootV, _*) =>
+      case Seq(SText("table"), SText(name), _, rootV, sqlV, _*) =>
         val root = rootV match {
           case SInt(r) => r.toInt
           case other => throw new GraftAnalysisException(s"bad rootpage for $name: $other")
         }
-        name -> readBtree(b, pageSize, usable, root)
-    }.toMap
+        val sql = sqlV match {
+          case SText(s) => s
+          case _        => ""
+        }
+        Table(name, sql, readBtree(b, pageSize, usable, root))
+    }
   }
 
   private def u16(b: Array[Byte], o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)

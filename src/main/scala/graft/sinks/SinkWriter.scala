@@ -35,15 +35,24 @@ object SinkWriter {
       val parts = s.config.strList("partition_by")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s.config.reqStr("path"))
 
-    // Reference sqlite sink (main.py:326-341) stores everything as
-    // TEXT; here values keep their types — the all-TEXT behavior was an
-    // artifact, not a semantic (SURVEY §2.3).
-    case "jdbc" | "sqlite" =>
-      val url = s.sinkType match {
-        case "sqlite" => "jdbc:sqlite:" + s.config.reqStr("database")
-        case _        => s.config.reqStr("url")
-      }
-      df.write.format("jdbc").option("url", url)
+    // Reference sqlite sink (main.py:326-341) over the pure-Scala
+    // file codec — no JDBC driver needed. The reference stores every
+    // value as TEXT; here values keep real sqlite storage classes
+    // (INTEGER/REAL/TEXT/BLOB) — the all-TEXT behavior was an
+    // artifact, not a semantic (SURVEY §2.3). Default mode is append
+    // (the reference's CREATE IF NOT EXISTS + INSERT). Collects to the
+    // driver: a .db is a single-file, single-writer surface by nature
+    // — documented side-input/export path, parquet is the bulk sink.
+    case "sqlite" =>
+      graft.catalog.SqliteData.write(
+        s.config.reqStr("database"),
+        s.config.str("table").getOrElse("output"),
+        df,
+        overwrite = s.config.str("mode").contains("overwrite"))
+      ()
+
+    case "jdbc" =>
+      df.write.format("jdbc").option("url", s.config.reqStr("url"))
         .option("dbtable", s.config.str("table").getOrElse("output"))
         .mode(s.config.str("mode").getOrElse("append"))
         .save()

@@ -45,16 +45,25 @@ object SourceReader {
         case cols => df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       }
 
-    // Generalization of the reference sqlite source (main.py:130-138):
-    // `query` pushes arbitrary SQL down to the database — the exact
-    // analogue of main.py:133-136 — and `table` maps to dbtable.
-    // Requires the matching JDBC driver on the classpath.
-    case "jdbc" | "sqlite" =>
-      val url = s.sourceType match {
-        case "sqlite" => "jdbc:sqlite:" + s.config.reqStr("database")
-        case _        => s.config.reqStr("url")
+    // Reference sqlite source (main.py:130-138) over the pure-Scala
+    // file codec — no JDBC driver needed. `table` reads one table;
+    // `query` is the reference's arbitrary-SQL mode, re-expressed as
+    // Spark SQL over every table in the file registered as a view
+    // (see [[graft.catalog.SqliteData]] for the scale contract:
+    // SQLite is a driver-local side-input surface, not a bulk path).
+    case "sqlite" =>
+      val db = s.config.reqStr("database")
+      (s.config.str("query"), s.config.str("table")) match {
+        case (Some(q), _)    => graft.catalog.SqliteData.readQuery(spark, db, q)
+        case (None, Some(t)) => graft.catalog.SqliteData.readTable(spark, db, t)
+        case _ => throw new GraftAnalysisException(s"source '${s.name}': sqlite needs 'query' or 'table'")
       }
-      val r = spark.read.format("jdbc").option("url", url)
+
+    // Generic JDBC for real client-server databases; requires the
+    // matching driver on the classpath. `query` pushes arbitrary SQL
+    // down to the database, `table` maps to dbtable.
+    case "jdbc" =>
+      val r = spark.read.format("jdbc").option("url", s.config.reqStr("url"))
       val r2 = (s.config.str("query"), s.config.str("table")) match {
         case (Some(q), _)    => r.option("query", q)
         case (None, Some(t)) => r.option("dbtable", t)
