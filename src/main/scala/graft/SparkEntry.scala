@@ -706,6 +706,61 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
     }),
 
+    // ==== extensions: batch/stream parity gates — the SAME events
+    // history replayed through the file-stream source as time-ordered
+    // micro-batches must reproduce the batch answer (and therefore
+    // the DuckDB oracle) exactly. See graft.streaming.StreamParity
+    // for why in-order replay is the right arrival history to pin.
+    "x_stream_window" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      // decimal value BEFORE the stream: sum(decimal) is
+      // order-independent, so incremental per-batch accumulation is
+      // bit-equal to the batch/oracle aggregate
+      val ev = events(s, d).select(col("ts"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      val dir = StreamParity.writeTimeOrderedChunks(ev, "ts", chunks = 4)
+      val stream = Streaming.fileSource(s, dir.toString, ev.schema, maxFilesPerTrigger = 1)
+      val agg = Streaming.windowedAgg(stream, "ts", "event_type", "value",
+        window_ = "1 hour", watermark = "30 minutes")
+      val sink = s"x_stream_window_${System.nanoTime}"
+      // complete mode: every window survives to the end of the replay
+      // (append would hold back windows newer than the final watermark)
+      val q = Streaming.startMemorySink(agg, sink, mode = "complete")
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(unix_millis(col("window_start")).as("ws_ms"),
+        col("event_type"), col("n"), col("total").cast("double").as("total"))
+    }),
+    "x_stream_sessions" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      import s.implicits._
+      val gapMs = 1800000L
+      // value scaled to an exact integer-in-double (micros of value):
+      // the state machine accumulates doubles in arrival order, and
+      // integer-valued doubles sum exactly in ANY order, so the
+      // running total matches the oracle's decimal sum bit-for-bit
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("double").as("value"))
+      val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      // one far-future sentinel per user closes every real session at
+      // end-of-stream; the sentinel sessions themselves stay open in
+      // state and are never emitted (append mode emits closed only)
+      val sentinels = ev.select("user_id").distinct()
+        .withColumn("ts", timestamp_millis(lit(maxMs + 10 * gapMs)))
+        .withColumn("value", lit(0.0))
+      val dir = StreamParity.writeTimeOrderedChunks(
+        ev.unionByName(sentinels), "ts", chunks = 5)
+      val stream = Streaming.fileSource(s, dir.toString, ev.schema, maxFilesPerTrigger = 1)
+      val sess = Streaming.sessionize(stream.as[Streaming.SessionEvent], gapMs)
+      val sink = s"x_stream_sessions_${System.nanoTime}"
+      val q = Streaming.startMemorySink(sess.toDF(), sink)
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(col("user_id"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"),
+        col("total_value").cast("long").as("total_value_e6"))
+    }),
+
     // ==== extensions: sketches (rows-only: HLL/quantile internals are
     // engine-specific, values can't hash-match another engine) ====
     "x_approx" -> ((s, d) =>
@@ -1318,6 +1373,35 @@ object SparkEntry {
              min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY user_id, session_id""",
+
+    // batch/stream parity: the streaming replay must land on the SAME
+    // oracle rows as the batch operator — x_stream_window shares
+    // x_events_window's oracle shape; x_stream_sessions is the batch
+    // sessionization oracle with per-session rows keyed by boundaries
+    // (sessions of a user are disjoint in time, so (user_id,
+    // session_start_ms) is unique without the ordinal session_id).
+    "x_stream_window" -> """
+      SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS ws_ms,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2""",
+    "x_stream_sessions" -> """
+      WITH flagged AS (
+        SELECT user_id, value, epoch_ms(ts) AS ts_ms, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+                    THEN 1 ELSE 0 END AS __new
+        FROM events),
+      sess AS (
+        SELECT user_id, value, ts_ms,
+               CAST(sum(__new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id,
+             min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+             count(*) AS n_events,
+             CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_value_e6
       FROM sess GROUP BY user_id, session_id""",
 
     // sqlite data plane: the Spark side writes nation through a real

@@ -104,6 +104,21 @@ class StreamingSpec extends SparkSuite {
     } finally run.query.stop()
   }
 
+  test("stream replay reproduces the batch answer exactly (windowed agg + sessions)") {
+    // the driver gate (x_stream_window / x_stream_sessions) proves this
+    // against DuckDB at sf0.01; this pins the same batch/stream parity
+    // in-engine at sf0.001 so a regression fails fast in `sbt test`
+    val d = "/root/testdata/sf0.001"
+    val win = SparkEntry.queries("x_stream_window")(spark, d)
+    val batchWin = SparkEntry.queries("x_events_window")(spark, d)
+    assert(win.exceptAll(batchWin).isEmpty && batchWin.exceptAll(win).isEmpty)
+    val sess = SparkEntry.queries("x_stream_sessions")(spark, d)
+    val batchSess = SparkEntry.queries("x_sessionize")(spark, d)
+      .select($"user_id", $"session_start_ms", $"session_end_ms", $"n_events",
+        ($"total_value".cast("decimal(18,6)") * 1000000).cast("long").as("total_value_e6"))
+    assert(sess.exceptAll(batchSess).isEmpty && batchSess.exceptAll(sess).isEmpty)
+  }
+
   test("file stream source: batch transforms apply unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graftstream")
     sf("events").limit(100).write.mode("overwrite").parquet(dir.toString + "/in")
