@@ -78,6 +78,23 @@ class ScaleSpec extends SparkSuite {
     assert(bf.groupBy("query_id").count().select(max("count")).as[Long].head() == 5)
   }
 
+  test("fanOut sizes from file metadata, not RDD materialization") {
+    import graft.ops.Partitioning
+    // file-backed scan: estimate agrees with Spark's actual planning
+    val docs = sf("documents")
+    val est = Partitioning.estimatedScanSplits(docs)
+    assert(est.isDefined)
+    assert(est.get == docs.rdd.getNumPartitions,
+      s"estimate ${est.get} != planned ${docs.rdd.getNumPartitions}")
+    // small compressed scan fans out to the session parallelism
+    val fanned = Partitioning.fanOut(docs)
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // inline data has no file index: fanOut must be the identity
+    val inline = Seq(1, 2, 3).toDF("x")
+    assert(Partitioning.estimatedScanSplits(inline).isEmpty)
+    assert(Partitioning.fanOut(inline) eq inline)
+  }
+
   test("salted join returns exactly the unsalted result") {
     import graft.spec.Config
     import graft.transforms.JoinOp
