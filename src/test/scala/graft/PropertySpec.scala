@@ -80,4 +80,76 @@ class PropertySpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.5))
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
+
+  test("capped-bucket LSH contract: pair lost only if every colliding band oversized; exact dups survive") {
+    import org.apache.spark.sql.functions._
+    import graft.expr.MinHashExpressions
+    val (numHashes, bands, k, cap, threshold) = (64, 16, 3, 4, 0.5)
+    val r = numHashes / bands
+    var anyLost = false // the cap must actually trip somewhere, or the contract check is vacuous
+    (0 until 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def words(prefix: String, n: Int) = Seq.fill(n)(s"$prefix${rnd.nextInt(40)}")
+      val base = words("hot", 25)
+      // 8 distinct near-identical docs: floods shared band buckets past the cap
+      val hot = (0 until 8).map(j => (j.toLong, base.updated(j % base.size, s"mut$j").mkString(" ")))
+      // 5 byte-identical copies of hot doc 0: exact dups inside the hot cluster
+      val dups = (0 until 5).map(j => (100L + j, hot.head._2))
+      // an unrelated planted near-dup pair: its buckets hold only itself
+      val cold = words("cold", 25)
+      val planted = Seq((200L, cold.mkString(" ")),
+        (201L, cold.updated(rnd.nextInt(cold.size), "coldmut").mkString(" ")))
+      val filler = (0 until 6).map(j => (300L + j, words(s"f$j-", 25).mkString(" ")))
+      val df = (hot ++ dups ++ planted ++ filler).toDF("id", "text")
+
+      def pairSet(maxBucketSize: Int) =
+        graft.ops.Dedup.minhashNearDups(df, "id", "text", threshold,
+          numHashes, k, bands, 42L, maxBucketSize)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val capped = pairSet(cap)
+      val uncapped = pairSet(0)
+      assert(capped.subsetOf(uncapped))
+      anyLost ||= (uncapped -- capped).nonEmpty
+
+      // exact duplicates always survive a cap (collapsed before banding)
+      val dupIds = 0L +: dups.map(_._1)
+      dupIds.combinations(2).foreach { case Seq(a, b) =>
+        assert(capped.contains((math.min(a, b), math.max(a, b))))
+      }
+      // the unrelated planted pair's buckets are never oversized
+      assert(capped.contains((200L, 201L)))
+
+      // full contract, test-side band recomputation (same kernel, same
+      // rep collapse as minhashCandidates): a qualifying rep pair is
+      // absent from the capped result IFF its every colliding band
+      // bucket exceeds the cap
+      val reps = df.join(
+        df.select($"id", graft.ops.TextAnalysis.fingerprint($"text").as("fp"))
+          .groupBy("fp").agg(min("id").as("rid")).select($"rid"),
+        $"id" === $"rid", "left_semi")
+      val sig = reps.select($"id",
+        MinHashExpressions.minhashSignature(
+          MinHashExpressions.textShingleHashes($"text", k), numHashes, 42L).as("sig"))
+      val banded = sig.select($"id",
+        posexplode(array((0 until bands).map(b => xxhash64(slice($"sig", b * r + 1, r))): _*))
+          .as(Seq("band", "bh")))
+      val withCount = banded.join(banded.groupBy("band", "bh").count(), Seq("band", "bh"))
+      val minBucket = withCount.as("x")
+        .join(withCount.as("y"),
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.id" < $"y.id")
+        .groupBy($"x.id".as("a"), $"y.id".as("b"))
+        .agg(min($"x.count").as("minb"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, m) => (a, b) -> m }.toMap
+      val repIds = reps.select("id").as[Long].collect().toSet
+      uncapped.filter { case (a, b) => repIds(a) && repIds(b) }.foreach { p =>
+        val smallestCollidingBucket = minBucket.getOrElse(p, Long.MaxValue)
+        // (when every colliding band is oversized, loss is the permitted
+        // outcome — nothing to assert in that direction)
+        if (smallestCollidingBucket <= cap)
+          assert(capped.contains(p), s"pair $p has an under-cap band (size $smallestCollidingBucket) but was lost")
+      }
+    }
+    assert(anyLost, "cap never dropped a pair across all seeds — contract untested")
+  }
 }
