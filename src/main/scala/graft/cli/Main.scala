@@ -52,25 +52,19 @@ object Main {
             r.error.map(e => s"\terror=$e").getOrElse(""))
         }
 
-      // Reference validate_schema (main.py:476-497): full-scan type
-      // inference. Here: reader schema + count — O(metadata) for
-      // parquet, one pass for csv/json.
+      // Reference validate_schema (main.py:476-497): per-field union
+      // of OBSERVED row value types — see graft.run.SchemaValidate for
+      // the distributed observation strategy and the reference-exact
+      // empty shape.
       case "validate" :: id :: sourceName :: Nil =>
         val spec = store.load(id)
         spec.sources.find(_.name == sourceName) match {
           case None => println(s"""{"valid": false, "error": "no such source '$sourceName'"}"""); sys.exit(1)
           case Some(s) =>
             val spark = session()
-            try {
-              val df = SourceReader.read(spark, s)
-              val rows = df.count()
-              val fields = df.schema.fields
-                .map(f => s""""${f.name}": ["${f.dataType.simpleString}"]""").mkString(", ")
-              val warn = if (rows == 0) """, "warning": "source returned no rows"""" else ""
-              println(s"""{"valid": true, "rows": $rows, "schema": {$fields}$warn}""")
-            } catch {
-              case e: Throwable => println(s"""{"valid": false, "error": "${e.getMessage}"}"""); sys.exit(1)
-            } finally spark.stop()
+            val out = try graft.run.SchemaValidate.report(spark, s) finally spark.stop()
+            println(out)
+            if (out.startsWith("""{"valid": false""")) sys.exit(1)
         }
 
       case _ =>

@@ -93,6 +93,53 @@ class PipelineSpecE2E extends SparkSuite {
     assert(e.getMessage.contains("teleport"))
   }
 
+  test("validate report: reference shape on empty, mixed-type, csv, and broken sources") {
+    import graft.run.SchemaValidate
+    val dir = tmp()
+
+    // empty dataset → the reference's exact empty shape (main.py:488)
+    Files.writeString(java.nio.file.Paths.get(dir, "empty.json"), "[]")
+    assert(SchemaValidate.report(spark,
+      SourceSpec("e", "json", Config.of("path" -> s"$dir/empty.json")))
+      == """{"valid": true, "schema": {}, "rows": 0, "warning": "Empty dataset"}""")
+
+    // mixed-type json: per-field UNION of observed row types, not the
+    // engine's coerced column type; ragged keys observed only where present
+    Files.writeString(java.nio.file.Paths.get(dir, "mixed.json"),
+      """[{"a": 1, "b": "x", "c": true},
+         |{"a": "one", "b": null, "d": [1]},
+         |{"a": 2.5, "b": "y"}]""".stripMargin)
+    assert(SchemaValidate.report(spark,
+      SourceSpec("m", "json", Config.of("path" -> s"$dir/mixed.json")))
+      == """{"valid": true, "rows": 3, "schema": {"a": ["float", "int", "str"], """ +
+        """"b": ["NoneType", "str"], "c": ["bool"], "d": ["list"]}""" + "}")
+
+    // jsonl mode observes types line-by-line (distributed path)
+    Files.writeString(java.nio.file.Paths.get(dir, "rows.jsonl"),
+      "{\"v\": 1}\n{\"v\": \"two\"}\n")
+    assert(SchemaValidate.report(spark,
+      SourceSpec("l", "json", Config.of("path" -> s"$dir/rows.jsonl", "lines" -> true)))
+      == """{"valid": true, "rows": 2, "schema": {"v": ["int", "str"]}}""")
+
+    // csv: DictReader parity — every present cell is a str, missing
+    // cells observe NoneType
+    Files.writeString(java.nio.file.Paths.get(dir, "in.csv"), "name,score\nAlice,90\nBob,\n")
+    assert(SchemaValidate.report(spark,
+      SourceSpec("c", "csv", Config.of("path" -> s"$dir/in.csv")))
+      == """{"valid": true, "rows": 2, "schema": {"name": ["str"], "score": ["NoneType", "str"]}}""")
+
+    // inline mixed rows through the same reporter
+    val inline = SourceSpec("i", "inline", Config.of("data" -> Seq(
+      Map("k" -> 1), Map("k" -> "one", "extra" -> 2))))
+    assert(SchemaValidate.report(spark, inline)
+      == """{"valid": true, "rows": 2, "schema": {"extra": ["int"], "k": ["int", "str"]}}""")
+
+    // unreadable source → valid: false + error (reference main.py:485-486)
+    val bad = SchemaValidate.report(spark,
+      SourceSpec("x", "csv", Config.of("path" -> s"$dir/nope.csv")))
+    assert(bad.startsWith("""{"valid": false, "error": """))
+  }
+
   test("flagship entry returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
