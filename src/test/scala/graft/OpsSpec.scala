@@ -269,4 +269,66 @@ class OpsSpec extends SparkSuite {
       corpus, "doc_id", Seq((2L, 1L), (2L, 3L)).toDF("a_id", "b_id"))
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 9L))
   }
+
+  test("VecDot kernel bit-matches the declarative fold; null contract") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Array.fill(16)(rnd.nextDouble() - 0.5),
+      Array.fill(16)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val declarative = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = df.select((graft.expr.VecDot(col("a"), col("b")) === declarative).as("eq"))
+      .as[Boolean].collect()
+    assert(diff.forall(identity)) // bit-equal, not approximately equal
+    // mismatched lengths and null arrays → null (like the padded fold)
+    val edge = Seq((Array(1.0, 2.0), Array(1.0)), (null, Array(1.0)))
+      .toDF("a", "b")
+      .select(graft.expr.VecDot(col("a"), col("b")).as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
+  test("ArrayJaccard kernel bit-matches the array_intersect chain") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'j').map(_.toString)
+    val rows = Seq.fill(60)((
+      rnd.shuffle(vocab).take(1 + rnd.nextInt(9)).toArray,
+      rnd.shuffle(vocab).take(1 + rnd.nextInt(9)).toArray))
+    val df = rows.toDF("a", "b")
+    val inter = size(array_intersect(col("a"), col("b"))).cast("double")
+    val union = (size(col("a")) + size(col("b"))).cast("double") - inter
+    val chain = when(union > 0, inter / union).otherwise(lit(0.0))
+    val eq = df.select((graft.expr.ArrayJaccard(col("a"), col("b")) === chain).as("eq"))
+      .as[Boolean].collect()
+    assert(eq.forall(identity))
+    // empty arrays → 0.0
+    val z = Seq((Array.empty[String], Array.empty[String])).toDF("a", "b")
+      .select(graft.expr.ArrayJaccard(col("a"), col("b"))).as[Double].head()
+    assert(z == 0.0)
+  }
+
+  test("multi-table embedding LSH: superset of single-table pairs, exact cosines") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val base = Seq.fill(40)(Array.fill(8)(rnd.nextDouble() - 0.5))
+    // plant near-dups: id and id+100 are small perturbations
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v.map(_.toFloat)),
+        (i + 100L, v.map(x => (x + 0.02 * rnd.nextDouble()).toFloat)))
+    }
+    val df = rows.toDF("id", "vec")
+    def run(tables: Int) = Dedup.embeddingNearDups(df, "id", "vec",
+      threshold = 0.9, planes = 6, dim = 8, tables = tables)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val single = run(1)
+    val multi = run(4)
+    assert(single.subsetOf(multi), "any single-table collision also collides in table 0 of the multi run")
+    assert(multi.size >= single.size)
+    // every reported pair is a true pair (exact verify): cosine ≥ threshold
+    val cos = Dedup.embeddingNearDups(df, "id", "vec",
+      threshold = 0.9, planes = 6, dim = 8, tables = 4)
+      .select("cosine").as[Double].collect()
+    assert(cos.forall(_ >= 0.9))
+  }
 }
