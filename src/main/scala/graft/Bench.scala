@@ -51,7 +51,16 @@ object Bench {
     try {
       // noop sink materializes every output column (a bare count()
       // would let Catalyst prune computed columns and bench the scan)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+        // GC barrier: without it a query's timing inherits the heap
+        // debris of the ~80 queries before it (measured 5.5 s vs
+        // 1.7 s for the same query full-suite vs isolated); the pause
+        // sits outside the timed window
+        System.gc()
         val times = (1 to repeats).flatMap { _ =>
           val t0 = System.nanoTime()
           val ok =
