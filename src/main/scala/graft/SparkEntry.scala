@@ -591,6 +591,19 @@ object SparkEntry {
         Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", threshold = 0.7))
         .select(col("id").cast("long").as("doc_id"),
           col("component").cast("long").as("component"))),
+    // cross-corpus contamination: documents split into a "train" and
+    // "eval" side by id arithmetic; the op must surface every eval doc
+    // that near-copies a train doc. Oracle = exact all-pairs jaccard
+    // across the split (recall argument: planted cross pairs are all
+    // ≥ 0.9 jaccard, where 16×4 banding recall is ≈ 1 − 4e-8).
+    "x_dedup_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashContamination(
+        docs.where(col("doc_id") % 4 === 0), docs.where(col("doc_id") % 4 =!= 0),
+        "doc_id", "doc_id", "text", threshold = 0.7)
+        .select(col("left_id").cast("long").as("eval_id"),
+          col("right_id").cast("long").as("train_id"), col("jaccard"))
+    }),
     // md5-hash simhash variant: same banded plan as the xxhash64 scale
     // path, but the signature is recomputable by the DuckDB oracle
     "x_dedup_simhash" -> ((s, d) =>
@@ -1247,6 +1260,26 @@ object SparkEntry {
                / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       WHERE jaccard >= 0.7""",
+    // Exact all-pairs jaccard ACROSS the id-split — the declarative
+    // spec of what the bipartite banded join + digest fast path must
+    // surface (same recall argument as x_dedup_minhash).
+    "x_dedup_contamination" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(len(toks)-2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+              FROM documents))
+      SELECT eval_id, train_id, jaccard FROM (
+        SELECT a.doc_id AS eval_id, b.doc_id AS train_id,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)
+      WHERE jaccard >= 0.7""",
+
     // Same exact-jaccard pair set as x_dedup_minhash (recall argument
     // above), then transitive closure by min-label propagation — the
     // declarative spec of what large-star/small-star computes.

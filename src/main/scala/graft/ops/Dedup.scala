@@ -121,27 +121,32 @@ object Dedup {
     * them before banding. Callers should run that collapse (or dedup
     * exactly) first — capping is for the residual near-dup skew.
     */
+  /** (id, band, hash-of-band-slice) rows — `bands` small rows per doc,
+    * never the doc body. Signature via the native codegen'd
+    * expressions (graft.expr.MinHashExpressions): one kernel call per
+    * row instead of 64×|shingles| interpreted lambda dispatches
+    * (14 s → sub-second for 5k docs at sf0.1). The band array is
+    * unrolled Scala-side so `__sig` is referenced `bands` times
+    * syntactically — a single lambda-internal reference would let
+    * CollapseProject inline the signature and recompute it per band.
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, k: Int, bands: Int, seed: Long): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandHashes = (0 until bands).map(b => xxhash64(slice(col("__sig"), b * r + 1, r)))
+    df.select(col(idCol).as("__id"),
+        graft.expr.MinHashExpressions.textShingleHashes(col(textCol), k).as("__hs"))
+      .select(col("__id"),
+        graft.expr.MinHashExpressions.minhashSignature(col("__hs"), numHashes, seed).as("__sig"))
+      .select(col("__id"), posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
+  }
+
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L,
       maxBucketSize: Int = 0): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // Signature via the native codegen'd expressions
-    // (graft.expr.MinHashExpressions): one kernel call per row instead
-    // of 64×|shingles| interpreted lambda dispatches (14s → sub-second
-    // for 5k docs at sf0.1). The band array is unrolled Scala-side so
-    // __sig is referenced `bands` times syntactically — a single
-    // lambda-internal reference would let CollapseProject inline the
-    // signature and recompute it per band.
-    val bandHashes = (0 until bands).map(b => xxhash64(slice(col("__sig"), b * r + 1, r)))
-    val banded = df
-      .select(col(idCol).as("__id"),
-        graft.expr.MinHashExpressions.textShingleHashes(col(textCol), k).as("__hs"))
-      .select(col("__id"),
-        graft.expr.MinHashExpressions.minhashSignature(col("__hs"), numHashes, seed).as("__sig"))
-      // (id, band, hash-of-band-slice): 16 small rows per doc, never the doc body
-      .select(col("__id"), posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, k, bands, seed)
     val capped =
       if (maxBucketSize <= 0) banded
       else banded.join(
@@ -216,6 +221,83 @@ object Dedup {
       .where(col("__ida") < col("__idb"))
       .select(col("__ida").as("a_id"), col("__idb").as("b_id"), lit(1.0).as("jaccard"))
     crossPairs.unionByName(identicalPairs)
+  }
+
+  /** CROSS-corpus near-duplicate pairs: documents of `left` that
+    * near-match documents of `right` — the train/test CONTAMINATION
+    * check every LLM data pipeline needs (is any eval document a
+    * near-copy of a training document?). Output: (left_id, right_id,
+    * jaccard) for every cross pair with exact word-shingle Jaccard ≥
+    * `threshold`.
+    *
+    * Same scale shape as the self-join [[minhashNearDups]], with the
+    * self-join's symmetries replaced by a bipartite band join:
+    *  - exact duplicates collapse to one representative per
+    *    fingerprint WITHIN each side; identical content ACROSS sides
+    *    short-circuits through a fingerprint equi-join (jaccard 1.0
+    *    exactly, no banding, no tokenization) — the common
+    *    "verbatim leak" case costs a digest join;
+    *  - only representatives with DIFFERENT fingerprints enter the
+    *    banded join, keyed (band, bandHash): the shuffle carries ids
+    *    and 8-byte hashes, never text;
+    *  - candidates verify with the codegen'd exact-Jaccard kernel on
+    *    shingle sets built ONLY for candidate reps (O(candidates));
+    *  - rep-level pairs fan back to member pairs through each side's
+    *    fingerprint membership (work ∝ output size).
+    */
+  def minhashContamination(
+      left: DataFrame, right: DataFrame,
+      leftIdCol: String, rightIdCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, k: Int = 3,
+      bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val l = Partitioning.fanOut(left)
+    val r = Partitioning.fanOut(right)
+    val lMembers = l.select(col(leftIdCol).as("__lid"),
+      TextAnalysis.fingerprint(col(textCol)).as("__lfp"))
+    val rMembers = r.select(col(rightIdCol).as("__rid"),
+      TextAnalysis.fingerprint(col(textCol)).as("__rfp"))
+    // verbatim leaks: identical normalized content across the corpora
+    val identical = lMembers.join(rMembers, col("__lfp") === col("__rfp"))
+      .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
+        lit(1.0).as("jaccard"))
+    // one rep per fingerprint per side
+    val lReps = lMembers.groupBy("__lfp").agg(min("__lid").as("__lrid"))
+    val rReps = rMembers.groupBy("__rfp").agg(min("__rid").as("__rrid"))
+    val lRepDf = l.join(lReps.select(col("__lrid")), col(leftIdCol) === col("__lrid"), "left_semi")
+    val rRepDf = r.join(rReps.select(col("__rrid")), col(rightIdCol) === col("__rrid"), "left_semi")
+    // bipartite band join (same signature kernel both sides)
+    val lBanded = bandedSignatures(lRepDf, leftIdCol, textCol, numHashes, k, bands, seed)
+    val rBanded = bandedSignatures(rRepDf, rightIdCol, textCol, numHashes, k, bands, seed)
+    val cands = lBanded.select(col("__band"), col("__bh"), col("__id").as("__la"))
+      .join(rBanded.select(col("__band"), col("__bh"), col("__id").as("__rb")),
+        Seq("__band", "__bh"))
+      .select("__la", "__rb").distinct()
+      // different-fingerprint pairs only: identical content is already
+      // emitted exactly through the digest join above
+      .join(lReps.withColumnsRenamed(Map("__lrid" -> "__la")), "__la")
+      .join(rReps.withColumnsRenamed(Map("__rrid" -> "__rb")), "__rb")
+      .where(col("__lfp") =!= col("__rfp"))
+      .select("__la", "__rb")
+    // exact verify on candidate reps only
+    val lSets = lRepDf.join(cands.select(col("__la")).distinct(),
+        col(leftIdCol) === col("__la"), "left_semi")
+      .select(col(leftIdCol).as("__la"),
+        array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__sha"))
+    val rSets = rRepDf.join(cands.select(col("__rb")).distinct(),
+        col(rightIdCol) === col("__rb"), "left_semi")
+      .select(col(rightIdCol).as("__rb"),
+        array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__shb"))
+    val repPairs = cands.join(lSets, "__la").join(rSets, "__rb")
+      .withColumn("jaccard", graft.expr.ArrayJaccard(col("__sha"), col("__shb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("__la"), col("__rb"), col("jaccard"))
+    // fan rep pairs back out to member pairs on both sides
+    val crossPairs = repPairs
+      .join(lReps.withColumnsRenamed(Map("__lrid" -> "__la")), "__la")
+      .join(rReps.withColumnsRenamed(Map("__rrid" -> "__rb")), "__rb")
+      .join(lMembers, "__lfp").join(rMembers, "__rfp")
+      .select(col("__lid").as("left_id"), col("__rid").as("right_id"), col("jaccard"))
+    crossPairs.unionByName(identical)
   }
 
   // ---------------------------------------------------------------- SimHash

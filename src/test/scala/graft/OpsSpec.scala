@@ -270,6 +270,35 @@ class OpsSpec extends SparkSuite {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 9L))
   }
 
+  test("cross-corpus contamination: verbatim + near leaks found, within-side pairs excluded") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // within-side dup
+      (3L, "completely unrelated training text about astronomy and telescopes"),
+      (4L, "another unrelated document mentioning cooking recipes and spices")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"), // verbatim leak
+      (101L, "the quick brown fox jumps over the lazy dog near the river shore"), // near leak
+      (102L, "totally novel evaluation prompt with no training analogue at all")
+    ).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashContamination(
+      eval_, train, "doc_id", "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // verbatim leak: eval 100 vs BOTH identical train docs, jaccard exactly 1
+    assert(byPair.get((100L, 1L)).contains(1.0) && byPair.get((100L, 2L)).contains(1.0))
+    // near leak: eval 101 vs both train copies, high but < 1
+    assert(byPair.contains((101L, 1L)) && byPair.contains((101L, 2L)))
+    assert(byPair((101L, 1L)) > 0.5 && byPair((101L, 1L)) < 1.0)
+    assert(byPair((101L, 1L)) == byPair((101L, 2L)))
+    // clean eval doc and within-side train dup pair never appear
+    assert(!pairs.exists(p => p._1 == 102L))
+    assert(!pairs.exists(p => p._1 == 1L || p._1 == 2L)) // left ids only on the left
+    // no (train, train) pair leaks through the fan-out
+    assert(pairs.forall(p => p._1 >= 100L && p._2 < 100L))
+  }
+
   test("VecDot kernel bit-matches the declarative fold; null contract") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)
