@@ -45,6 +45,18 @@ object PipelineCompiler {
         if (right.exists(r => !sourceNames.contains(r)))
           errs += s"transform '${t.name}': join right '${right.get}' is not a declared source"
       }
+      // same cross-source contract for the other context-consuming ops
+      val ctxKey = t.transformType match {
+        case "ann_topk" => Some("queries")
+        case "contamination" => Some("against")
+        case "union" | "intersect" | "except" => None // validated by the ops (lists)
+        case _ => None
+      }
+      ctxKey.foreach { key =>
+        val ref = t.config.str(key)
+        if (ref.exists(r => !sourceNames.contains(r)))
+          errs += s"transform '${t.name}': ${t.transformType} $key '${ref.get}' is not a declared source"
+      }
       // The reference persists depends_on but never validates or uses
       // it (main.py:429,446-447). We validate; execution remains the
       // order_index chain for parity.

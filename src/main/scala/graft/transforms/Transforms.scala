@@ -104,7 +104,21 @@ object Transforms {
         threshold = cfg.double("threshold").getOrElse(0.95),
         planes = cfg.int("planes").getOrElse(8),
         bruteForce = cfg.bool("brute_force").getOrElse(false),
-        dim = cfg.int("dim").getOrElse(0))
+        dim = cfg.int("dim").getOrElse(0),
+        tables = cfg.int("tables").getOrElse(1))
+    // cross-corpus near-dup (train/test contamination): current stream
+    // is the EVAL side, `against` names the train-side source (same
+    // context mechanism as join/ann_topk)
+    case "contamination" =>
+      val cfg = t.config
+      val rName = cfg.reqStr("against")
+      val right = ctx.getOrElse(rName,
+        throw new GraftAnalysisException(s"contamination: unknown source '$rName'"))
+      graft.ops.Dedup.minhashContamination(df, right,
+        cfg.reqStr("id_field"),
+        cfg.str("right_id_field").getOrElse(cfg.reqStr("id_field")),
+        cfg.str("text_field").getOrElse("text"),
+        threshold = cfg.double("threshold").getOrElse(0.7))
     case "ann_topk" =>
       val cfg = t.config
       val qName = cfg.reqStr("queries")
@@ -186,7 +200,7 @@ object Transforms {
     "distinct", "window", "sql", "sample", "split",
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
-    "dedup_simhash", "dedup_embed", "ann_topk", "text_lang",
+    "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "connected_components", "dedup_cluster")
 

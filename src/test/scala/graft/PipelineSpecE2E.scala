@@ -86,11 +86,14 @@ class PipelineSpecE2E extends SparkSuite {
   test("validation rejects bad specs at compile time (SURVEY §3.3)") {
     val bad = PipelineSpec("b", "",
       Seq(SourceSpec("s", "inline", Config.of("data" -> Seq(Map("x" -> 1))))),
-      Seq(TransformSpec("j", "join", Config.of("right" -> "ghost"))),
+      Seq(TransformSpec("j", "join", Config.of("right" -> "ghost")),
+        TransformSpec("c", "contamination",
+          Config.of("against" -> "phantom", "id_field" -> "doc_id"))),
       Seq(SinkSpec("o", "teleport")))
     val e = intercept[GraftAnalysisException](PipelineCompiler.validate(bad))
     assert(e.getMessage.contains("ghost"))
     assert(e.getMessage.contains("teleport"))
+    assert(e.getMessage.contains("phantom")) // dangling contamination target, same contract as join
   }
 
   test("validate report: reference shape on empty, mixed-type, csv, and broken sources") {

@@ -349,6 +349,14 @@ class TransformsSpec extends SparkSuite {
       Config.of("queries" -> "q", "k" -> 2)), Map("q" -> vecs.where(col("vec_id") === 0)))
     assert(ann.where(col("rank") === 1).select("neighbor_id").as[Long].head() == 1L)
 
+    val evalDocs = Seq((100L, "alpha beta gamma delta"),
+      (101L, "nothing shared with training")).toDF("doc_id", "text")
+    val contam = Transforms(evalDocs, graft.spec.TransformSpec("c", "contamination",
+      Config.of("against" -> "train", "id_field" -> "doc_id", "threshold" -> 0.5)),
+      Map("train" -> docs))
+    assert(contam.select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      == Set((100L, 1L), (100L, 2L)))
+
     val packed = Transforms(docs, graft.spec.TransformSpec("p", "multimodal_pack",
       Config.of()), Map.empty)
     assert(packed.select("media.meta.byte_len").as[Long].collect().forall(_ > 0))
