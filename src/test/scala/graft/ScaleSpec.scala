@@ -78,6 +78,15 @@ class ScaleSpec extends SparkSuite {
     assert(bf.groupBy("query_id").count().select(max("count")).as[Long].head() == 5)
   }
 
+  test("contamination plan: banded bipartite join, never a cross join") {
+    val l = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val r = Seq((3L, "a b c d e x"), (4L, "unrelated text entirely here")).toDF("doc_id", "text")
+    val plan = graft.ops.Dedup.minhashContamination(l, r, "doc_id", "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "contamination must never cross-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "contamination must never nested-loop")
+  }
+
   test("fanOut sizes from file metadata, not RDD materialization") {
     import graft.ops.Partitioning
     // file-backed scan: estimate agrees with Spark's actual planning
