@@ -112,21 +112,36 @@ object Similarity {
     * hyperplane bucket. Trades recall for a `2^planes`-fold reduction
     * in comparisons.
     */
+  /** Sign-LSH bucketed top-k. `tables` > 1 unions candidates from
+    * that many independent hyperplane tables (distinct seeds) — the
+    * same recall lever as multi-table near-dup banding: a candidate
+    * surfaces if query and neighbor share a bucket in ANY table. The
+    * query side stays broadcast (now with one bucket per table); the
+    * corpus side's per-table bucket rows are map-side only — the join
+    * remains broadcast, the corpus is never shuffled. Duplicate
+    * (query, neighbor) hits from several tables are deduplicated
+    * before ranking so they cannot occupy multiple top-k heap slots.
+    */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       queryIdCol: String, corpusIdCol: String, vecCol: String,
-      k: Int, dim: Int, planes: Int = 6, seed: Long = 42L): DataFrame = {
-    val q = broadcast(queries
-      .select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
-      .withColumn("__bkt", hyperplaneBuckets(col("__qv"), dim, planes, seed)))
-    val c = corpus
-      .select(col(corpusIdCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
-      .withColumn("__bkt", hyperplaneBuckets(col("__cv"), dim, planes, seed))
-    val scored = c.join(q, Seq("__bkt"))
+      k: Int, dim: Int, planes: Int = 6, seed: Long = 42L, tables: Int = 1): DataFrame = {
+    val nt = math.max(1, tables)
+    def withBuckets(df: DataFrame, vec: String): DataFrame =
+      df.select(col("*"), explode(array((0 until nt).map(t => struct(lit(t).as("t"),
+        hyperplaneBuckets(col(vec), dim, planes, seed + 7919L * t).as("h"))): _*)).as("__tb"))
+        .select(col("*"), col("__tb.t").as("__tbl"), col("__tb.h").as("__bkt"))
+        .drop("__tb")
+    val q = broadcast(withBuckets(queries
+      .select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv")), "__qv"))
+    val c = withBuckets(corpus
+      .select(col(corpusIdCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv")), "__cv")
+    val scored = c.join(q, Seq("__tbl", "__bkt"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("__qv"), col("__cv"))
         / (l2norm(col("__qv")) * l2norm(col("__cv"))))
-    rankTopK(scored.select("query_id", "neighbor_id", "cosine"), k)
+      .select("query_id", "neighbor_id", "cosine")
+    rankTopK(if (nt > 1) scored.distinct() else scored, k)
   }
 
   /** IVF (inverted-file) index: k-means coarse quantizer over the

@@ -130,7 +130,8 @@ object Transforms {
       cfg.str("method").getOrElse("brute") match {
         case "brute" => graft.ops.Similarity.bruteForceTopK(q, df, idF, idF, vecF, k)
         case "lsh" => graft.ops.Similarity.lshTopK(q, df, idF, idF, vecF, k,
-          dim = cfg.int("dim").getOrElse(64), planes = cfg.int("planes").getOrElse(6))
+          dim = cfg.int("dim").getOrElse(64), planes = cfg.int("planes").getOrElse(6),
+          tables = cfg.int("tables").getOrElse(1))
         case "ivf" => graft.ops.Similarity.IvfIndex
           .build(df, idF, vecF, dim = cfg.int("dim").getOrElse(64),
             nlist = cfg.int("nlist").getOrElse(16))

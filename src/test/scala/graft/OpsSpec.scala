@@ -270,6 +270,32 @@ class OpsSpec extends SparkSuite {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 9L))
   }
 
+  test("multi-table ANN LSH: recall vs exact never below single-table, never spurious") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(5)
+    val corpus = Seq.tabulate(300)(i => (i.toLong, Array.fill(16)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec_id", "embedding", k = 3)
+    def recall(tables: Int): Double = {
+      val approx = Similarity.lshTopK(queries, corpus, "vec_id", "vec_id", "embedding",
+        k = 3, dim = 16, planes = 4, tables = tables)
+      Similarity.recallAt(approx, exact).agg(avg("recall")).as[Double].head()
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"multi-table recall $r4 below single-table $r1")
+    assert(r4 > 0.5, s"4-table recall $r4 unexpectedly low on 16-dim random data")
+    // ranked output is still exact-cosine ordered and k-bounded
+    val out = Similarity.lshTopK(queries, corpus, "vec_id", "vec_id", "embedding",
+      k = 3, dim = 16, planes = 4, tables = 4)
+    assert(out.groupBy("query_id").count().select(max("count")).as[Long].head() <= 3)
+    // no duplicate (query, neighbor) despite multi-table collisions
+    assert(out.groupBy("query_id", "neighbor_id").count()
+      .select(max("count")).as[Long].head() == 1L)
+  }
+
   test("cross-corpus contamination: verbatim + near leaks found, within-side pairs excluded") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
