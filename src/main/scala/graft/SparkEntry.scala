@@ -623,6 +623,18 @@ object SparkEntry {
         threshold = 0.3, planes = 8, bruteForce = false)
         .withColumn("cosine", round(col("cosine"), 4))),
 
+    // embedding-space contamination across an id split: the semantic
+    // sibling of x_dedup_contamination (paraphrased leaks). Oracle
+    // recomputes the identical md5-derived single-table buckets +
+    // exact cross cosine.
+    "x_embed_contamination" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Dedup.embeddingContamination(
+        e.where(col("vec_id") % 4 === 0), e.where(col("vec_id") % 4 =!= 0),
+        "vec_id", "vec_id", "embedding", threshold = 0.3, planes = 8, dim = 64)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     // resize / frame-sample: the stubs are deterministic byte
     // transforms, so DuckDB re-derives the exact output (documents are
     // ASCII ⇒ byte offsets = char offsets); payloads compare by md5
@@ -1349,6 +1361,17 @@ object SparkEntry {
                / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
                 * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
         FROM c a JOIN c b ON a.vec_id < b.vec_id AND a.bkt = b.bkt)
+      WHERE cosine >= 0.3""",
+    "x_embed_contamination" -> s"""
+      WITH c AS (
+        SELECT vec_id, embedding, ${lshBucketSql("embedding", 64, 8)} AS bkt
+        FROM embeddings)
+      SELECT left_id, right_id, round(cosine, 4) AS cosine FROM (
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
+        FROM c a JOIN c b ON a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0 AND a.bkt = b.bkt)
       WHERE cosine >= 0.3""",
     "x_ann_topk" -> """
       SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (

@@ -48,7 +48,7 @@ object PipelineCompiler {
       // same cross-source contract for the other context-consuming ops
       val ctxKey = t.transformType match {
         case "ann_topk" => Some("queries")
-        case "contamination" => Some("against")
+        case "contamination" | "contamination_embed" => Some("against")
         case "union" | "intersect" | "except" => None // validated by the ops (lists)
         case _ => None
       }

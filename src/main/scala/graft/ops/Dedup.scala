@@ -522,4 +522,75 @@ object Dedup {
       crossPairs.unionByName(identicalPairs)
     }
   }
+
+  /** CROSS-corpus embedding near-duplicates: `left` (eval) vectors
+    * whose cosine against some `right` (train) vector clears
+    * `threshold` — the semantic-space contamination check, catching
+    * paraphrased leaks that the text-level [[minhashContamination]]
+    * misses. Output: (left_id, right_id, cosine).
+    *
+    * Bipartite version of [[embeddingNearDups]]'s LSH tier with the
+    * same scale shape: per-side identical-vector pre-collapse,
+    * bit-identical vectors across sides short-circuit through a digest
+    * equi-join (cosine from the same self-cosine expression pipeline,
+    * no bucketing), different-fingerprint reps meet in (table, bucket)
+    * hyperplane buckets carrying ids only, candidates verify once with
+    * the codegen'd exact-cosine kernel, and rep pairs fan back to
+    * member pairs through each side's fingerprint membership.
+    */
+  def embeddingContamination(
+      left: DataFrame, right: DataFrame,
+      leftIdCol: String, rightIdCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L,
+      dim: Int = 0, tables: Int = 1): DataFrame = {
+    val d = if (dim > 0) dim else
+      left.select(size(col(vecCol)).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0)
+      return left.select(col(leftIdCol).as("left_id"), col(leftIdCol).as("right_id"),
+        lit(0.0).as("cosine")).where(lit(false))
+    def side(df: DataFrame, idCol: String): (DataFrame, DataFrame, DataFrame) = {
+      val members = Partitioning.fanOut(df).select(col(idCol).as("__id"),
+        Similarity.toDoubleVec(col(vecCol)).as("__v"))
+        .withColumn("__vfp", md5(to_json(struct(col("__v")))))
+      val reps = members.groupBy("__vfp").agg(min("__id").as("__rid"))
+      val base = members.join(reps, members("__id") === reps("__rid"), "left_semi")
+        .select(col("__id"), col("__v"), col("__vfp"))
+        .withColumn("__n", Similarity.l2norm(col("__v")))
+      (members, reps, base)
+    }
+    val (lm, lReps, lBase) = side(left, leftIdCol)
+    val (rm, rReps, rBase) = side(right, rightIdCol)
+    // bit-identical vectors across the corpora: digest join + the same
+    // self-cosine expression pipeline embeddingNearDups uses
+    val selfCos = lBase.withColumn("__c",
+        Similarity.dot(col("__v"), col("__v")) / (col("__n") * col("__n")))
+      .select(col("__vfp"), col("__c"))
+    val identical = lm.select(col("__id").as("__lid"), col("__vfp"))
+      .join(rm.select(col("__id").as("__rid"), col("__vfp")), "__vfp")
+      .join(selfCos, "__vfp")
+      .where(col("__c") >= threshold)
+      .select(col("__lid").as("left_id"), col("__rid").as("right_id"), col("__c").as("cosine"))
+    val nt = math.max(1, tables)
+    def banded(base: DataFrame, as: String): DataFrame =
+      base.select(col("__id").as(as), explode(array((0 until nt).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.hyperplaneBuckets(col("__v"), d, planes, seed + 7919L * t).as("h"))): _*)).as("__tb"))
+        .select(col(as), col("__tb.t").as("__tbl"), col("__tb.h").as("__bkt"))
+    val repPairs = banded(lBase, "__la").join(banded(rBase, "__rb"), Seq("__tbl", "__bkt"))
+      .select("__la", "__rb").distinct()
+      .join(lBase.select(col("__id").as("__la"), col("__v").as("__va"),
+        col("__n").as("__na"), col("__vfp").as("__lfp")), "__la")
+      .join(rBase.select(col("__id").as("__rb"), col("__v").as("__vb"),
+        col("__n").as("__nb"), col("__vfp").as("__rfp")), "__rb")
+      .where(col("__lfp") =!= col("__rfp"))
+      .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("__la"), col("__rb"), col("cosine"), col("__lfp"), col("__rfp"))
+    val crossPairs = repPairs
+      .join(lm.select(col("__vfp").as("__lfp"), col("__id").as("__lid")), "__lfp")
+      .join(rm.select(col("__vfp").as("__rfp"), col("__id").as("__rid")), "__rfp")
+      .select(col("__lid").as("left_id"), col("__rid").as("right_id"), col("cosine"))
+    crossPairs.unionByName(identical)
+  }
 }

@@ -119,6 +119,19 @@ object Transforms {
         cfg.str("right_id_field").getOrElse(cfg.reqStr("id_field")),
         cfg.str("text_field").getOrElse("text"),
         threshold = cfg.double("threshold").getOrElse(0.7))
+    case "contamination_embed" =>
+      val cfg = t.config
+      val rName = cfg.reqStr("against")
+      val right = ctx.getOrElse(rName,
+        throw new GraftAnalysisException(s"contamination_embed: unknown source '$rName'"))
+      graft.ops.Dedup.embeddingContamination(df, right,
+        cfg.reqStr("id_field"),
+        cfg.str("right_id_field").getOrElse(cfg.reqStr("id_field")),
+        cfg.str("vec_field").getOrElse("embedding"),
+        threshold = cfg.double("threshold").getOrElse(0.95),
+        planes = cfg.int("planes").getOrElse(8),
+        dim = cfg.int("dim").getOrElse(0),
+        tables = cfg.int("tables").getOrElse(1))
     case "ann_topk" =>
       val cfg = t.config
       val qName = cfg.reqStr("queries")
@@ -201,7 +214,7 @@ object Transforms {
     "distinct", "window", "sql", "sample", "split",
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
-    "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination",
+    "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "connected_components", "dedup_cluster")
 

@@ -325,6 +325,30 @@ class OpsSpec extends SparkSuite {
     assert(pairs.forall(p => p._1 >= 100L && p._2 < 100L))
   }
 
+  test("embedding contamination: identical + near vectors across corpora, within-side excluded") {
+    import org.apache.spark.sql.functions._
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val train = Seq(
+      (1L, v), (2L, v), // within-side identical pair: must NOT appear
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val eval_ = Seq(
+      (100L, v),                                   // identical leak
+      (101L, Array(0.99f, 0.1f, 0.0f, 0.0f)),      // near leak (cos ≈ 0.995)
+      (102L, Array(0.0f, 0.0f, 0.0f, 1.0f))        // orthogonal to everything
+    ).toDF("vec_id", "embedding")
+    val pairs = graft.ops.Dedup.embeddingContamination(
+      eval_, train, "vec_id", "vec_id", "embedding",
+      threshold = 0.9, planes = 3, dim = 4, tables = 4)
+      .as[(Long, Long, Double)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.contains((100L, 1L)) && byPair.contains((100L, 2L)))
+    assert(byPair((100L, 1L)) == byPair((100L, 2L))) // digest path: same self-cosine
+    assert(byPair.contains((101L, 1L)) && byPair((101L, 1L)) > 0.9)
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 3L))
+    assert(pairs.forall(p => p._1 >= 100L && p._2 < 100L)) // strictly cross-corpus
+  }
+
   test("VecDot kernel bit-matches the declarative fold; null contract") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)
