@@ -635,6 +635,19 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    // multi-table variant of the same gate: 3 independent 6-plane
+    // tables — proves the recall lever (OR over per-table collisions)
+    // is bit-reproducible end to end, not just unit-tested: the
+    // oracle re-derives every table's buckets and ORs the collision
+    // condition.
+    "x_embed_contamination_mt" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Dedup.embeddingContamination(
+        e.where(col("vec_id") % 4 === 0), e.where(col("vec_id") % 4 =!= 0),
+        "vec_id", "vec_id", "embedding", threshold = 0.3, planes = 6, dim = 64, tables = 3)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     // resize / frame-sample: the stubs are deterministic byte
     // transforms, so DuckDB re-derives the exact output (documents are
     // ASCII ⇒ byte offsets = char offsets); payloads compare by md5
@@ -1372,6 +1385,21 @@ object SparkEntry {
                / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
                 * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
         FROM c a JOIN c b ON a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0 AND a.bkt = b.bkt)
+      WHERE cosine >= 0.3""",
+    "x_embed_contamination_mt" -> s"""
+      WITH c AS (
+        SELECT vec_id, embedding,
+               ${lshBucketSql("embedding", 64, 6, 42L)} AS b0,
+               ${lshBucketSql("embedding", 64, 6, 42L + 7919L)} AS b1,
+               ${lshBucketSql("embedding", 64, 6, 42L + 15838L)} AS b2
+        FROM embeddings)
+      SELECT left_id, right_id, round(cosine, 4) AS cosine FROM (
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
+        FROM c a JOIN c b ON a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0
+          AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2))
       WHERE cosine >= 0.3""",
     "x_ann_topk" -> """
       SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM (
