@@ -42,18 +42,25 @@ object StreamParity {
       min(unix_millis(col(tsCol))).as("lo"), max(unix_millis(col(tsCol))).as("hi")).head()
     val lo = bounds.getLong(0)
     val span = (bounds.getLong(1) - lo + 1).toDouble
-    val withChunk = df.withColumn("__chunk",
-      least(floor((unix_millis(col(tsCol)) - lo) * chunks / span), lit(chunks - 1)).cast("int"))
+    // single partitioned write (one task per chunk → one file per
+    // chunk directory) instead of `chunks` filtered passes over the
+    // source; partitionBy removes __chunk from the data files, so the
+    // stream schema stays the input schema
+    val stage = root.resolve("stage")
+    df.withColumn("__chunk",
+        least(floor((unix_millis(col(tsCol)) - lo) * chunks / span), lit(chunks - 1)).cast("int"))
+      .repartition(chunks, col("__chunk"))
+      .write.partitionBy("__chunk").mode("overwrite").parquet(stage.toString)
     (0 until chunks).foreach { i =>
-      val stage = root.resolve(s"stage_$i")
-      withChunk.where(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
-      val dst = streamDir.resolve(f"chunk_$i%03d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      // fixed epoch base: deterministic listing order across reruns
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      val chunkDir = stage.resolve(s"__chunk=$i")
+      if (Files.isDirectory(chunkDir)) { // empty time slices write no directory
+        val part = Files.list(chunkDir).filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $chunkDir"))
+        val dst = streamDir.resolve(f"chunk_$i%03d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        // fixed epoch base: deterministic listing order across reruns
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
     }
     streamDir
   }
