@@ -143,6 +143,67 @@ class PipelineSpecE2E extends SparkSuite {
     assert(bad.startsWith("""{"valid": false, "error": """))
   }
 
+  test("capstone: LLM training-data curation pipeline end to end (profile → quality filter → dedup → split)") {
+    val out = tmp() + "/curated"
+    val spec = PipelineSpec(
+      name = "curate",
+      sources = Seq(SourceSpec("docs", "parquet",
+        Config.of("path" -> "/root/testdata/sf0.001/documents.parquet"))),
+      transforms = Seq(
+        TransformSpec("p", "text_profile", Config.of(), Nil, 0),
+        TransformSpec("q", "filter",
+          Config.of("field" -> "token_count", "op" -> "ge", "value" -> 20), Nil, 1),
+        TransformSpec("d", "dedup_exact",
+          Config.of("text_field" -> "text", "tie_break" -> "doc_id"), Nil, 2),
+        TransformSpec("s", "split",
+          Config.of("key" -> "doc_id", "mod" -> 100, "train_below" -> 80, "val_below" -> 90), Nil, 3)),
+      sinks = Seq(SinkSpec("out", "parquet",
+        Config.of("path" -> out, "partition_by" -> Seq("split")))))
+    val res = PipelineRunner.run(spark, spec)
+    assert(res.status == "success")
+    val curated = spark.read.parquet(out)
+    val n = curated.count()
+    assert(n > 0 && n <= res.rowsRead)
+    // quality gate applied
+    assert(curated.agg(org.apache.spark.sql.functions.min($"token_count")).as[Long].head() >= 20)
+    // content-exact dedup: every fingerprint unique after curation
+    assert(curated.groupBy("fingerprint").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).as[Long].head() == 1L)
+    // split is exhaustive, deterministic, and roughly proportioned
+    val splits = curated.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits.getOrElse("train", 0L) > splits.getOrElse("test", 0L))
+    // partition pruning works on the sink layout
+    assert(spark.read.parquet(out).where($"split" === "train").count() == splits("train"))
+
+    // audit pipeline: eval slice vs training corpus, contamination report
+    val planted = Seq(
+      Map("doc_id" -> 9001, "text" -> "the quick brown fox jumps over the lazy dog today"),
+      Map("doc_id" -> 9002, "text" -> "an entirely novel evaluation prompt nothing shares"))
+    val auditOut = tmp() + "/audit"
+    val audit = PipelineSpec(
+      name = "audit",
+      sources = Seq(
+        SourceSpec("eval", "inline", Config.of("data" -> planted)),
+        SourceSpec("train", "inline", Config.of("data" -> Seq(
+          Map("doc_id" -> 1, "text" -> "the quick brown fox jumps over the lazy dog today"),
+          Map("doc_id" -> 2, "text" -> "unrelated training material about oceans"))))),
+      transforms = Seq(
+        // all sources union into the main stream (reference main.py:437-443):
+        // restrict it to the eval slice before the cross check
+        TransformSpec("only_eval", "filter",
+          Config.of("field" -> "doc_id", "op" -> "ge", "value" -> 9000), Nil, 0),
+        TransformSpec("c", "contamination",
+          Config.of("against" -> "train", "id_field" -> "doc_id", "threshold" -> 0.5), Nil, 1)),
+      sinks = Seq(SinkSpec("j", "json", Config.of("path" -> auditOut))))
+    val ares = PipelineRunner.run(spark, audit)
+    assert(ares.status == "success")
+    val leaks = spark.read.json(auditOut)
+    assert(leaks.count() == 1)
+    assert(leaks.select("left_id").as[Long].head() == 9001L)
+    assert(leaks.select("jaccard").as[Double].head() == 1.0)
+  }
+
   test("flagship entry returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
