@@ -186,6 +186,23 @@ object Similarity {
       // shuffle carries only (id, id, double) — vectors never move.
       rankTopK(scored.select("query_id", "neighbor_id", "cosine").distinct(), k)
     }
+
+    /** Persist the index: inverted lists as parquet PARTITIONED BY
+      * CELL — a probe touching `nprobe` cells can skip every other
+      * cell's files (static pruning for fixed cells, dynamic partition
+      * pruning for runtime probe sets) — plus the tiny centroid table
+      * as a single json file. Build once over the 100 TB corpus,
+      * search many times without re-clustering.
+      */
+    def save(path: String): Unit = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      assigned.write.partitionBy("__cell").mode("overwrite").parquet(s"$path/assigned")
+      centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
+        .toDF("cell", "centroid")
+        .withColumn("dim", lit(dim))
+        .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+    }
   }
 
   /** Per-query recall@k of an approximate ranking against the exact
@@ -252,6 +269,20 @@ object Similarity {
             .join(base.select("neighbor_id", "__cv"), "neighbor_id")
             .select("neighbor_id", "__cv", "__cell")
         }
+      new IvfIndex(assigned, cents, dim)
+    }
+
+    /** Reopen a [[IvfIndex.save]]d index. The inverted lists stay a
+      * lazy parquet scan of the cell-partitioned layout; only the
+      * centroid table (nlist tiny rows) is collected.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      val centRows = spark.read.json(s"$path/centroids").collect()
+      val cents = centRows.map(r => (r.getAs[Long]("cell").toInt,
+        r.getAs[Seq[Double]]("centroid").toArray)).sortBy(_._1)
+      val dim = centRows.head.getAs[Long]("dim").toInt
+      val assigned = spark.read.parquet(s"$path/assigned")
+        .select(col("neighbor_id"), col("__cv"), col("__cell").cast("int").as("__cell"))
       new IvfIndex(assigned, cents, dim)
     }
   }
