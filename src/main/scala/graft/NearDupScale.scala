@@ -139,10 +139,30 @@ object DedupScaleBench {
     }
     val emMultiRecall = emTruth.count(emMulti) / math.max(1.0, emTruth.size)
 
+    // ---- cross-corpus contamination at scale: even-id half as the
+    // training corpus, odd-id half as eval (mutated copies of the same
+    // original land on both sides, so the planted leak rate is high)
+    val evalDocs = docs.where(col("doc_id") % 2 === 1)
+    val trainDocs = docs.where(col("doc_id") % 2 === 0)
+    val (ctPairs, ctSec) = timed("contamination_text") {
+      pairSet(Dedup.minhashContamination(evalDocs, trainDocs,
+        "doc_id", "doc_id", "text", threshold = jaccThreshold)
+        .select(col("left_id").as("a_id"), col("right_id").as("b_id")))
+    }
+    val (cePairs, ceSec) = timed("contamination_embed") {
+      pairSet(Dedup.embeddingContamination(
+        emb.where(col("vec_id") % 2 === 1), emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "vec_id", "embedding",
+        threshold = cosThreshold, planes = 12, dim = 64, tables = 8)
+        .select(col("left_id").as("a_id"), col("right_id").as("b_id")))
+    }
+
     println(f"""{"minhash": {"sec": $mhSec%.1f, "pairs": ${mhPairs.size}, "truth": ${mhTruth.size}, "recall": $mhRecall%.4f}, """ +
       f""""simhash": {"sec": $shSec%.1f, "pairs": ${shPairs.size}}, """ +
       f""""embed_lsh": {"sec": $emSec%.1f, "pairs": ${emPairs.size}, "truth": ${emTruth.size}, "recall": $emRecall%.4f}, """ +
-      f""""embed_lsh_8x12": {"sec": $emMultiSec%.1f, "pairs": ${emMulti.size}, "recall": $emMultiRecall%.4f}, "dir": "$dir"}""")
+      f""""embed_lsh_8x12": {"sec": $emMultiSec%.1f, "pairs": ${emMulti.size}, "recall": $emMultiRecall%.4f}, """ +
+      f""""contamination_text": {"sec": $ctSec%.1f, "pairs": ${ctPairs.size}}, """ +
+      f""""contamination_embed": {"sec": $ceSec%.1f, "pairs": ${cePairs.size}}, "dir": "$dir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,22 @@ import graft.spec.SourceSpec
   */
 object SourceReader {
 
-  def read(spark: SparkSession, s: SourceSpec): DataFrame = s.sourceType match {
+  /** Optional `where` on ANY source: a SQL predicate applied to the
+    * lazy scan, so for columnar sources it reaches the reader as a
+    * pushed filter (`PushedFilters` in the scan node) — the idiomatic
+    * way to split one physical table into roles (e.g. a train vs eval
+    * slice feeding a contamination audit) without materializing
+    * either side.
+    */
+  def read(spark: SparkSession, s: SourceSpec): DataFrame = {
+    val df = readRaw(spark, s)
+    s.config.str("where") match {
+      case Some(w) => df.where(org.apache.spark.sql.functions.expr(w))
+      case None    => df
+    }
+  }
+
+  private def readRaw(spark: SparkSession, s: SourceSpec): DataFrame = s.sourceType match {
     // Reference csv semantics (main.py:118-123): header row = field
     // names, every value a string. inferSchema stays opt-in so default
     // typing matches the reference exactly.

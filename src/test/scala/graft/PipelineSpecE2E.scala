@@ -31,6 +31,15 @@ class PipelineSpecE2E extends SparkSuite {
     assert(spark.read.json(out).count() == 5)
   }
 
+  test("source-level where is applied lazily and pushed to the scan") {
+    val src = SourceSpec("docs", "parquet", Config.of(
+      "path" -> "/root/testdata/sf0.001/documents.parquet", "where" -> "doc_id % 4 = 0"))
+    val df = graft.sources.SourceReader.read(spark, src)
+    assert(df.select("doc_id").as[Long].collect().forall(_ % 4 == 0))
+    // the predicate reaches the parquet reader, not a post-scan filter only
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters: ["))
+  }
+
   test("csv source types everything as string (reference main.py:118-123)") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(dir, "in.csv"), "name,score\nAlice,90\nBob,80\n")
