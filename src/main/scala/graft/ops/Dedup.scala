@@ -230,6 +230,12 @@ object Dedup {
     * jaccard) for every cross pair with exact word-shingle Jaccard ≥
     * `threshold`.
     *
+    * The same bipartite shape IS incremental dedup: `left` = today's
+    * ingest batch, `right` = the standing corpus — the batch is
+    * checked against 100 TB without re-deduplicating the corpus
+    * itself (the corpus side's banded signatures are a pure function
+    * of its text, so they can be precomputed and persisted).
+    *
     * Same scale shape as the self-join [[minhashNearDups]], with the
     * self-join's symmetries replaced by a bipartite band join:
     *  - exact duplicates collapse to one representative per

@@ -47,4 +47,16 @@ class SpecSuite extends AnyFunSuite {
     assert(p.transforms.map(_.orderIndex) == Seq(0, 1))
     assert(p.transforms.map(_.name) == Seq("t0", "t1"))
   }
+
+  test("driver contract: every oracle key names a query; rows-only set is the declared whitelist") {
+    // a typo'd oracleSql key would silently downgrade that query to a
+    // rows-only check in the driver compare — fail loudly instead
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql keys with no query: $dangling")
+    // queries WITHOUT an oracle must be the explicit, justified list
+    // (engine-specific internals that no other engine can re-derive)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("x_ann_ivf", "x_approx"),
+      s"unexpected rows-only queries (add an oracle or document here): $rowsOnly")
+  }
 }
