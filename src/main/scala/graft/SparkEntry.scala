@@ -705,6 +705,24 @@ object SparkEntry {
           (avg(col("recall")) >= 0.9).as("mean_recall_ge_090"))
     }),
 
+    // PQ quality contract, same pattern as x_ann_ivf_recall: ADC
+    // search over 16x16 codes (16 bytes/vector vs 256 raw) must keep
+    // mean recall@5 >= 0.3 vs the exact ranking. The bound is honest
+    // for NEAR-RANDOM vectors (this testdata is PQ's worst case — no
+    // structure to preserve; measured 0.44); PqSpec pins the
+    // structured-data behavior (cluster retrieval, planted twins).
+    "x_ann_pq_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val model = graft.ops.Pq.train(e, "embedding", dim = 64, m = 16, ksub = 16)
+      val enc = model.encode(e, "vec_id", "embedding")
+      val q = e.where(col("vec_id") < 10)
+      val approx = model.search(q, "vec_id", "embedding", enc, k = 5)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+      Similarity.recallAt(approx, exact)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.3).as("mean_recall_ge_030"))
+    }),
+
     // ==== extensions: multimodal column plumbing ====
     "x_multimodal_meta" -> ((s, d) =>
       Multimodal.packText(t(s, d, "documents"), "text")
@@ -1507,6 +1525,10 @@ object SparkEntry {
     // oracle asserts the contract, the engine measures it.
     "x_ann_ivf_recall" -> """
       SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_090""",
+
+    // PQ/ADC recall contract (see x_ann_pq_recall query comment).
+    "x_ann_pq_recall" -> """
+      SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_030""",
   )
 
   /** [[graft.ops.Similarity]]'s hyperplane component (plane i, dim j)

@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the compression
+  * tier of the ANN stack (SURVEY §2.6 similarity search).
+  *
+  * At the 100 TB design point the corpus of raw float vectors cannot
+  * be scanned per query batch: 64-dim float32 is 256 bytes/vector,
+  * while an m=8 PQ code is 8 BYTES — a 32× reduction that turns the
+  * scan into a table-lookup sum (ADC: asymmetric distance
+  * computation). The classic recall/size ladder is brute-force →
+  * sign-LSH / IVF (this repo) → IVF+PQ; this module supplies the PQ
+  * rung and composes with the others (encode the residuals or the raw
+  * vectors per IVF cell).
+  *
+  * Design, Spark-first:
+  *  - [[PqModel.train]]: m independent spark.ml KMeans fits, one per
+  *    dim/m subspace (k ≤ 256 so a code fits a byte). The codebook is
+  *    m×k×dsub doubles — kilobytes — and rides a broadcast.
+  *  - [[PqModel.encode]]: one `mapPartitions` pass over the corpus
+  *    (argmin per subspace against the broadcast codebook). A custom
+  *    Expression can't host the data-dependent codebook matrix, so
+  *    this is the same honestly-declared kernel seam as the
+  *    multimodal codecs: per-partition init, streaming rows, no
+  *    driver involvement.
+  *  - [[PqModel.search]]: per query, an m×k lookup table of
+  *    subspace dot products (built once per query against the
+  *    broadcast codebook); scoring a corpus vector is m byte-indexed
+  *    adds — no float vector is ever read. Approximate cosine =
+  *    ADC-dot / (‖q‖·‖x̂‖) with ‖x̂‖ precomputed per row at encode
+  *    time from the codebook. Candidates rank through the same
+  *    bounded-heap [[TopKByScore]] aggregate as the other ANN tiers
+  *    (no Window.partitionBy).
+  *
+  * Quality contract: approximate by construction (quantization
+  * error), so like IVF it ships with an in-engine recall measurement
+  * against [[Similarity.bruteForceTopK]] (see PqSpec) rather than a
+  * value-level oracle.
+  */
+object Pq {
+
+  /** Trained product quantizer: `centroids(j)(c)` is the `dsub`-dim
+    * centroid `c` of subspace `j`; `norms2(j)(c)` its squared L2 norm
+    * (so ‖x̂‖² of a code is a lookup sum, not a recomputation).
+    */
+  final case class PqModel(
+      m: Int, ksub: Int, dsub: Int,
+      centroids: Array[Array[Array[Double]]],
+      norms2: Array[Array[Double]]) {
+
+    def dim: Int = m * dsub
+
+    /** (id, codes array<short>, ‖x̂‖) — codes indexed by subspace. */
+    def encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(this)
+      corpus.select(col(idCol).cast("long").as("id"),
+          Similarity.toDoubleVec(col(vecCol)).as("v"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val model = bc.value
+          it.map { case (id, v) =>
+            val codes = new Array[Short](model.m)
+            var recNorm2 = 0.0
+            var j = 0
+            while (j < model.m) {
+              val cents = model.centroids(j)
+              var best = 0
+              var bestD = Double.MaxValue
+              var c = 0
+              while (c < cents.length) {
+                val cent = cents(c)
+                var d = 0.0
+                var t = 0
+                while (t < model.dsub) {
+                  val diff = v(j * model.dsub + t) - cent(t)
+                  d += diff * diff
+                  t += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              codes(j) = best.toShort
+              recNorm2 += model.norms2(j)(best)
+              j += 1
+            }
+            (id, codes, math.sqrt(recNorm2))
+          }
+        }.toDF("id", "codes", "rec_norm")
+    }
+
+    /** ADC top-k: every query builds its m×ksub dot-product lookup
+      * table once; each encoded corpus row costs m indexed adds.
+      * Output (query_id, neighbor_id, cosine, rank) where cosine is
+      * the ADC approximation dot(q, x̂)/(‖q‖·‖x̂‖).
+      */
+    def search(queries: DataFrame, queryIdCol: String, vecCol: String,
+        encoded: DataFrame, k: Int): DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val model = this
+      val bcModel = spark.sparkContext.broadcast(model)
+      val qRows = queries.select(col(queryIdCol).cast("long").as("qid"),
+          Similarity.toDoubleVec(col(vecCol)).as("v"))
+        .as[(Long, Array[Double])].collect()
+      // per-query LUT: lut(q)(j*ksub + c) = dot(q_sub_j, centroid_jc)
+      val luts = qRows.map { case (qid, qv) =>
+        val lut = new Array[Double](model.m * model.ksub)
+        var j = 0
+        while (j < model.m) {
+          var c = 0
+          while (c < model.ksub) {
+            val cent = model.centroids(j)(c)
+            var d = 0.0
+            var t = 0
+            while (t < model.dsub) { d += qv(j * model.dsub + t) * cent(t); t += 1 }
+            lut(j * model.ksub + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        var n2 = 0.0
+        var i = 0
+        while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
+        (qid, lut, math.sqrt(n2))
+      }
+      val bcLuts = spark.sparkContext.broadcast(luts)
+      val scored = encoded.select(col("id"), col("codes"), col("rec_norm"))
+        .as[(Long, Array[Short], Double)]
+        .mapPartitions { it =>
+          val model = bcModel.value
+          val qs = bcLuts.value
+          it.flatMap { case (id, codes, recNorm) =>
+            qs.iterator.flatMap { case (qid, lut, qNorm) =>
+              if (qid == id) Iterator.empty
+              else {
+                var dot = 0.0
+                var j = 0
+                while (j < model.m) { dot += lut(j * model.ksub + codes(j)); j += 1 }
+                val denom = qNorm * recNorm
+                Iterator.single((qid, id, if (denom > 0) dot / denom else 0.0))
+              }
+            }
+          }
+        }.toDF("query_id", "neighbor_id", "cosine")
+      // bounded-heap ranking, same as every other ANN tier
+      scored.groupBy("query_id")
+        .agg(TopKByScore.of(col("cosine"), col("neighbor_id"), k).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+        .select(col("query_id"), col("__p._2").as("neighbor_id"),
+          col("__p._1").as("cosine"), (col("__pos") + 1).cast("long").as("rank"))
+    }
+
+    /** Persist codebook (+ shape) as one small json file. */
+    def save(path: String, spark: SparkSession): Unit = {
+      import spark.implicits._
+      val rows = for (j <- 0 until m; c <- 0 until ksub)
+        yield (j, c, centroids(j)(c).toSeq)
+      rows.toDF("subspace", "code", "centroid")
+        .withColumn("m", lit(m)).withColumn("ksub", lit(ksub)).withColumn("dsub", lit(dsub))
+        .coalesce(1).write.mode("overwrite").json(path)
+    }
+  }
+
+  /** Train: m independent per-subspace KMeans fits (k ≤ 256 so codes
+    * fit a byte; the subvector frames are projections of one scan).
+    */
+  def train(corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L, maxIter: Int = 10): PqModel = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub <= 256, "ksub must fit a byte")
+    val dsub = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = Similarity.toDoubleVec(col(vecCol))
+    val centroids = (0 until m).map { j =>
+      val sub = corpus.select(
+        array_to_vector(slice(v, j * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
+        .setInitMode("random").fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    val norms2 = centroids.map(_.map(c => c.map(x => x * x).sum))
+    PqModel(m, ksub, dsub, centroids, norms2)
+  }
+
+  def load(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.json(path).collect()
+    val h = rows.head
+    val (m, ksub, dsub) = (h.getAs[Long]("m").toInt, h.getAs[Long]("ksub").toInt,
+      h.getAs[Long]("dsub").toInt)
+    val cents = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { r =>
+      cents(r.getAs[Long]("subspace").toInt)(r.getAs[Long]("code").toInt) =
+        r.getAs[Seq[Double]]("centroid").toArray
+    }
+    PqModel(m, ksub, dsub, cents, cents.map(_.map(c => c.map(x => x * x).sum)))
+  }
+}

