@@ -149,6 +149,12 @@ object Transforms {
           .build(df, idF, vecF, dim = cfg.int("dim").getOrElse(64),
             nlist = cfg.int("nlist").getOrElse(16))
           .search(q, idF, vecF, k, nprobe = cfg.int("nprobe").getOrElse(4))
+        // compression tier: train + encode + ADC search in one step
+        // (persist the codebook via Pq.save/load for build-once flows)
+        case "pq" =>
+          val model = graft.ops.Pq.train(df, vecF, dim = cfg.int("dim").getOrElse(64),
+            m = cfg.int("m").getOrElse(8), ksub = cfg.int("ksub").getOrElse(16))
+          model.search(q, idF, vecF, model.encode(df, idF, vecF), k)
         case other => throw new GraftAnalysisException(s"ann_topk: unknown method '$other'")
       }
     case "text_lang" =>

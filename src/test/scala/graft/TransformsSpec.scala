@@ -348,6 +348,10 @@ class TransformsSpec extends SparkSuite {
     val ann = Transforms(vecs, graft.spec.TransformSpec("a", "ann_topk",
       Config.of("queries" -> "q", "k" -> 2)), Map("q" -> vecs.where(col("vec_id") === 0)))
     assert(ann.where(col("rank") === 1).select("neighbor_id").as[Long].head() == 1L)
+    val annPq = Transforms(vecs, graft.spec.TransformSpec("a2", "ann_topk",
+      Config.of("queries" -> "q", "k" -> 2, "method" -> "pq", "dim" -> 2, "m" -> 1, "ksub" -> 2)),
+      Map("q" -> vecs.where(col("vec_id") === 0)))
+    assert(annPq.count() <= 2 && annPq.columns.contains("cosine"))
 
     val evalDocs = Seq((100L, "alpha beta gamma delta"),
       (101L, "nothing shared with training")).toDF("doc_id", "text")
