@@ -106,28 +106,7 @@ object Pq {
       val qRows = queries.select(col(queryIdCol).cast("long").as("qid"),
           Similarity.toDoubleVec(col(vecCol)).as("v"))
         .as[(Long, Array[Double])].collect()
-      // per-query LUT: lut(q)(j*ksub + c) = dot(q_sub_j, centroid_jc)
-      val luts = qRows.map { case (qid, qv) =>
-        val lut = new Array[Double](model.m * model.ksub)
-        var j = 0
-        while (j < model.m) {
-          var c = 0
-          while (c < model.ksub) {
-            val cent = model.centroids(j)(c)
-            var d = 0.0
-            var t = 0
-            while (t < model.dsub) { d += qv(j * model.dsub + t) * cent(t); t += 1 }
-            lut(j * model.ksub + c) = d
-            c += 1
-          }
-          j += 1
-        }
-        var n2 = 0.0
-        var i = 0
-        while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
-        (qid, lut, math.sqrt(n2))
-      }
-      val bcLuts = spark.sparkContext.broadcast(luts)
+      val bcLuts = spark.sparkContext.broadcast(buildLuts(qRows))
       val scored = encoded.select(col("id"), col("codes"), col("rec_norm"))
         .as[(Long, Array[Short], Double)]
         .mapPartitions { it =>
@@ -153,6 +132,31 @@ object Pq {
         .select(col("query_id"), col("__p._2").as("neighbor_id"),
           col("__p._1").as("cosine"), (col("__pos") + 1).cast("long").as("rank"))
     }
+
+    /** Per-query ADC lookup tables: lut(j*ksub + c) = dot(q_sub_j,
+      * centroid_jc), plus ‖q‖. Tiny (m×ksub doubles per query). */
+    private[ops] def buildLuts(
+        qRows: Array[(Long, Array[Double])]): Array[(Long, Array[Double], Double)] =
+      qRows.map { case (qid, qv) =>
+        val lut = new Array[Double](m * ksub)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < ksub) {
+            val cent = centroids(j)(c)
+            var d = 0.0
+            var t = 0
+            while (t < dsub) { d += qv(j * dsub + t) * cent(t); t += 1 }
+            lut(j * ksub + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        var n2 = 0.0
+        var i = 0
+        while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
+        (qid, lut, math.sqrt(n2))
+      }
 
     /** Persist codebook (+ shape) as one small json file. */
     def save(path: String, spark: SparkSession): Unit = {
@@ -185,6 +189,77 @@ object Pq {
     }.toArray
     val norms2 = centroids.map(_.map(c => c.map(x => x * x).sum))
     PqModel(m, ksub, dsub, centroids, norms2)
+  }
+
+  /** IVF × PQ: the production ANN architecture at 100 TB — the IVF
+    * coarse quantizer bounds WHICH rows are scored (nprobe/nlist of
+    * the corpus), PQ bounds WHAT scoring a row costs (m byte-indexed
+    * adds over an 8-16 byte code, no float vector read). Build = one
+    * IVF build + one PQ train/encode + an id join to tag each code
+    * with its cell; search = probe cells (bounded-heap, reused from
+    * IvfIndex) then ADC over probed cells only.
+    *
+    * Exactness contract (tested): with `nprobe = nlist` every cell is
+    * probed, so the result is EXACTLY flat [[PqModel.search]] —
+    * probing only ever removes candidates, never rescores them.
+    */
+  object IvfPq {
+    final case class Index(ivf: Similarity.IvfIndex, pq: PqModel, encoded: DataFrame)
+
+    def build(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+        nlist: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 42L): Index = {
+      val ivf = Similarity.IvfIndex.build(corpus, idCol, vecCol, dim, nlist, seed)
+      val pq = train(corpus, vecCol, dim, m, ksub, seed)
+      val encoded = pq.encode(corpus, idCol, vecCol)
+        .join(ivf.assigned.select(col("neighbor_id").as("id"), col("__cell").as("cell")), "id")
+      Index(ivf, pq, encoded)
+    }
+
+    def search(ix: Index, queries: DataFrame, queryIdCol: String, vecCol: String,
+        k: Int, nprobe: Int = 4): DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val model = ix.pq
+      val bcModel = spark.sparkContext.broadcast(model)
+      val qRows = queries.select(col(queryIdCol).cast("long").as("qid"),
+          Similarity.toDoubleVec(col(vecCol)).as("v"))
+        .as[(Long, Array[Double])].collect()
+      val luts = model.buildLuts(qRows)
+      // cell → queries probing it (query sets are small by the same
+      // broadcast contract as every other ANN tier here)
+      val probes = ix.ivf.probeCells(queries, queryIdCol, vecCol, nprobe)
+        .select(col("__cell"), col("query_id").cast("long"))
+        .as[(Int, Long)].collect()
+        .groupBy(_._1).map { case (cell, qs) => cell -> qs.map(_._2).toSet }
+      val bcProbes = spark.sparkContext.broadcast(probes)
+      val bcLuts = spark.sparkContext.broadcast(luts)
+      val scored = ix.encoded.select(col("id"), col("codes"), col("rec_norm"), col("cell"))
+        .as[(Long, Array[Short], Double, Int)]
+        .mapPartitions { it =>
+          val model = bcModel.value
+          val probing = bcProbes.value
+          val qs = bcLuts.value
+          it.flatMap { case (id, codes, recNorm, cell) =>
+            probing.get(cell) match {
+              case None => Iterator.empty
+              case Some(qids) => qs.iterator
+                .filter { case (qid, _, _) => qids(qid) && qid != id }
+                .map { case (qid, lut, qNorm) =>
+                  var dot = 0.0
+                  var j = 0
+                  while (j < model.m) { dot += lut(j * model.ksub + codes(j)); j += 1 }
+                  val denom = qNorm * recNorm
+                  (qid, id, if (denom > 0) dot / denom else 0.0)
+                }
+            }
+          }
+        }.toDF("query_id", "neighbor_id", "cosine")
+      scored.groupBy("query_id")
+        .agg(TopKByScore.of(col("cosine"), col("neighbor_id"), k).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+        .select(col("query_id"), col("__p._2").as("neighbor_id"),
+          col("__p._1").as("cosine"), (col("__pos") + 1).cast("long").as("rank"))
+    }
   }
 
   def load(spark: SparkSession, path: String): PqModel = {

@@ -156,24 +156,30 @@ object Similarity {
       val centroids: Array[(Int, Array[Double])],
       val dim: Int) {
 
-    def search(queries: DataFrame, queryIdCol: String, vecCol: String,
-        k: Int, nprobe: Int = 4): DataFrame = {
+    /** The `nprobe` nearest cells per query — picked with the same
+      * bounded-heap aggregate as the final ranking, so no
+      * `Window.partitionBy(query_id)` anywhere in the op. Public so
+      * other tiers (IVF×PQ) can reuse the probing decision.
+      */
+    def probeCells(queries: DataFrame, queryIdCol: String, vecCol: String,
+        nprobe: Int): DataFrame = {
       val spark = queries.sparkSession
-      val cents = centroids
-      val centDf = broadcast(spark.createDataFrame(cents.map { case (i, v) => (i, v) }.toSeq)
+      val centDf = broadcast(spark.createDataFrame(centroids.map { case (i, v) => (i, v) }.toSeq)
         .toDF("__cell", "__centroid"))
       val q = queries.select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
-      // nprobe nearest centroids per query (centroid set is tiny) —
-      // picked with the same bounded-heap aggregate as the final
-      // ranking, so no Window.partitionBy(query_id) anywhere in the op
-      val probeCells = rankTopK(
+      rankTopK(
         q.crossJoin(centDf)
           .withColumn("cosine", dot(col("__qv"), col("__centroid"))
             / (l2norm(col("__qv")) * l2norm(col("__centroid"))))
           .select(col("query_id"), col("__cell").cast("long").as("neighbor_id"), col("cosine")),
         nprobe)
         .select(col("query_id"), col("neighbor_id").cast("int").as("__cell"))
-      val probes = probeCells.join(q, "query_id")
+    }
+
+    def search(queries: DataFrame, queryIdCol: String, vecCol: String,
+        k: Int, nprobe: Int = 4): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
+      val probes = probeCells(queries, queryIdCol, vecCol, nprobe).join(q, "query_id")
         .select(col("query_id"), col("__qv"), col("__cell"))
       val scored = broadcast(probes).join(assigned, Seq("__cell"))
         .where(col("query_id") =!= col("neighbor_id"))

@@ -74,6 +74,27 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("IVF×PQ: full probe equals flat PQ exactly; partial probe is a subset that stays in-cluster") {
+    val ix = Pq.IvfPq.build(corpus, "vec_id", "embedding", dim = 16, nlist = 8, m = 4, ksub = 16)
+    val queries = corpus.where(col("vec_id") < 8)
+    // nprobe = nlist probes every cell → EXACTLY the flat-PQ result
+    // (probing bounds which rows are scored, never how)
+    val full = Pq.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val flatEnc = ix.encoded.select("id", "codes", "rec_norm")
+    val flat = ix.pq.search(queries, "vec_id", "embedding", flatEnc, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full == flat)
+    // partial probe: k-bounded, scores a subset of the full candidate
+    // set, and on clustered data results stay in the query's cluster
+    val part = Pq.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(part.nonEmpty)
+    val inCluster = part.count { case (q, n) => q % 10 == n % 10 }
+    assert(inCluster.toDouble / part.length >= 0.95,
+      s"only $inCluster/${part.length} IVF-PQ results in the true cluster")
+  }
+
   test("save/load round-trips the codebook bit-exactly") {
     val model = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 8)
     val dir = java.nio.file.Files.createTempDirectory("graftpq").toString + "/codebook"
