@@ -169,23 +169,40 @@ object Pq {
     }
   }
 
-  /** Train: m independent per-subspace KMeans fits (k ≤ 256 so codes
-    * fit a byte; the subvector frames are projections of one scan).
+  /** Train: one bounded deterministic sample of the corpus (bottom-k
+    * by content hash — see [[Kmeans.sampleVectors]]), then m
+    * independent per-subspace driver-local Lloyd's fits over it
+    * (k ≤ 256 so codes fit a byte).
+    *
+    * Scale contract: the corpus is scanned ONCE (a TakeOrderedAndProject
+    * top-k, no sort shuffle) regardless of m or maxIter; the m fits run
+    * on ≤ `sampleSize`×dim driver doubles — kilobytes-to-megabytes.
+    * This is the FAISS-style training bound (codebooks need a few
+    * hundred points per centroid, not the corpus): at 100 TB the
+    * previous formulation (m×maxIter full-corpus spark.ml passes) is a
+    * non-starter, and its per-partition seeded init made centroids
+    * depend on the file-split layout. `sampleSize` is the quality knob:
+    * raise it for sharper cells; the cost stays one bounded scan.
     */
   def train(corpus: DataFrame, vecCol: String, dim: Int,
-      m: Int = 8, ksub: Int = 16, seed: Long = 42L, maxIter: Int = 10): PqModel = {
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L, maxIter: Int = 30,
+      sampleSize: Int = 65536): PqModel = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(ksub <= 256, "ksub must fit a byte")
     val dsub = dim / m
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val v = Similarity.toDoubleVec(col(vecCol))
+    val sample = Kmeans.sampleVectors(corpus, Seq(col(vecCol)), v, sampleSize)
+    trainOnSample(sample, dim, m, ksub, seed, maxIter)
+  }
+
+  /** The m per-subspace fits, given an already-collected sample (shared
+    * with the residual path, which samples (vector, cell) jointly). */
+  private[ops] def trainOnSample(sample: Array[Array[Double]], dim: Int,
+      m: Int, ksub: Int, seed: Long, maxIter: Int): PqModel = {
+    val dsub = dim / m
     val centroids = (0 until m).map { j =>
-      val sub = corpus.select(
-        array_to_vector(slice(v, j * dsub + 1, dsub)).as("features"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
-        .setInitMode("random").fit(sub)
-        .clusterCenters.map(_.toArray)
+      val sub = sample.map(p => java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub))
+      Kmeans.fit(sub, ksub, seed + j, maxIter)
     }.toArray
     val norms2 = centroids.map(_.map(c => c.map(x => x * x).sum))
     PqModel(m, ksub, dsub, centroids, norms2)

@@ -227,54 +227,56 @@ object Similarity {
   }
 
   object IvfIndex {
-    /** Build with spark.ml KMeans (deterministic under `seed`).
+    /** Build: bounded deterministic sample → driver-local SPHERICAL
+      * Lloyd's ([[Kmeans.fit]]) → one broadcast-centroid assignment
+      * scan.
       *
-      * The quantizer is SPHERICAL: vectors are L2-normalized before
-      * clustering, so the euclidean k-means objective ranks cells
-      * exactly like cosine does (‖a−b‖² = 2−2·cos on unit vectors).
-      * Without this, assignment (euclidean, raw norms) and probing
-      * (cosine) disagree about which cells are "near" and recall
-      * craters — measured 0.60 → 0.84 mean recall@5 at sf0.01,
-      * nprobe=4/nlist=16.
+      * Spherical: vectors are L2-normalized before clustering AND the
+      * centroids are renormalized to unit L2 every update, so `dot`
+      * against a centroid IS cosine — assignment (top-r by dot of
+      * normalized vector × unit centroid) and probing (cosine) rank
+      * cells identically by construction. Without unit centroids the
+      * two sides can disagree about cell nearness (k-means means of
+      * unit vectors are not unit) and recall craters — measured
+      * 0.60 → 0.84 mean recall@5 at sf0.01, nprobe=4/nlist=16.
+      *
+      * Scale/determinism contract (same as [[Pq.train]]): training
+      * reads one bounded top-k-by-hash sample (`sampleSize` knob, no
+      * full-corpus iteration), the fit is driver-local and sequential,
+      * so the quantizer is bit-identical under any partitioning/core
+      * count — a recall gate cannot flip because the file-split layout
+      * changed. Assignment is the only corpus-wide pass: broadcast
+      * nlist unit centroids, bounded-heap top-`replicas` per vector,
+      * no corpus shuffle.
       *
       * `replicas` > 1 stores each corpus vector in its r nearest
       * cells (FAISS-style multi-assignment): r× the inverted-list
       * storage for a large recall boost on corpora with weak cluster
       * structure (near-isotropic embeddings — this testdata — are
-      * IVF's worst case). Assignment is one broadcast-centroid scan +
-      * bounded-heap top-r per vector; no extra shuffle of the corpus.
+      * IVF's worst case).
       */
     def build(corpus: DataFrame, idCol: String, vecCol: String,
-        dim: Int, nlist: Int = 16, seed: Long = 42L, replicas: Int = 1): IvfIndex = {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
+        dim: Int, nlist: Int = 16, seed: Long = 42L, replicas: Int = 1,
+        sampleSize: Int = 65536, maxIter: Int = 30): IvfIndex = {
       val base = withNormalized(
         corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv")),
         "__cv", "__nv")
-      val feat = base.withColumn("features", array_to_vector(col("__nv")))
-      // coarse quantizer only: cells just need to be balanced-ish, so
-      // random init + few iterations beats k-means||'s extra passes
-      // (recall is governed by nprobe, not centroid polish)
-      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-        .setInitMode("random").fit(feat)
-      val cents = model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-      val assigned =
-        if (replicas <= 1)
-          model.transform(feat)
-            .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
-        else {
-          val spark = corpus.sparkSession
-          val centDf = broadcast(spark.createDataFrame(cents.toSeq).toDF("__cell", "__centroid"))
-          rankTopK(
-            base.crossJoin(centDf)
-              .select(col("neighbor_id").as("query_id"),
-                col("__cell").cast("long").as("neighbor_id"),
-                dot(col("__nv"), col("__centroid")).as("cosine")),
-            replicas)
-            .select(col("query_id").as("neighbor_id"), col("neighbor_id").cast("int").as("__cell"))
-            .join(base.select("neighbor_id", "__cv"), "neighbor_id")
-            .select("neighbor_id", "__cv", "__cell")
-        }
+      val sample = Kmeans.sampleVectors(base, Seq(col("neighbor_id")), col("__nv"), sampleSize)
+      val cents = Kmeans.fit(sample, nlist, seed, maxIter = maxIter, spherical = true)
+        .zipWithIndex.map { case (v, i) => (i, v) }
+      // top-r cells per vector, expression-level: nlist dots against
+      // LITERAL unit centroids (dot of unit vectors == cosine), sorted
+      // descending, top `replicas` exploded. Pure scan→project→generate
+      // — assignment never shuffles or joins the corpus, for any r.
+      // Ties on the dot break to the higher cell id via the struct's
+      // natural order — total, so assignment is deterministic.
+      val ranked = sort_array(array(cents.map { case (i, v) =>
+        struct(dot(col("__nv"), typedLit(v.toSeq)).as("d"), lit(i).as("c"))
+      }: _*), asc = false)
+      val assigned = base
+        .select(col("neighbor_id"), col("__cv"),
+          explode(slice(ranked, 1, math.max(1, replicas))).as("__topcell"))
+        .select(col("neighbor_id"), col("__cv"), col("__topcell.c").as("__cell"))
       new IvfIndex(assigned, cents, dim)
     }
 
