@@ -677,21 +677,17 @@ object SparkEntry {
         k = 5, dim = 64, planes = 6)
         .withColumn("cosine", round(col("cosine"), 4))
     }),
-    "x_ann_ivf" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      // replicas=4: near-isotropic embeddings (this testdata) are
-      // IVF's worst case — multi-assignment buys the recall that
-      // cluster structure would otherwise provide (see IvfIndex.build)
-      Similarity.IvfIndex.build(e, "vec_id", "embedding", dim = 64, nlist = 16, replicas = 4)
-        .search(e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, nprobe = 4)
-        .withColumn("cosine", round(col("cosine"), 4))
-    }),
-    // IVF quality contract, driver-checkable: recall@5 of the exact
-    // same configuration as x_ann_ivf, measured in-engine against the
-    // exact bruteForceTopK result. The oracle can't re-derive k-means
-    // cells, but it CAN check the contract: 10 queries, mean recall
-    // ≥ 0.9 (measured 0.92 at sf0.01; deterministic under the fixed
-    // seed). An IVF regression flips the boolean → hash mismatch.
+    // IVF quality contract, driver-checkable: recall@5 of the IVF
+    // tier (replicas=4: near-isotropic embeddings — this testdata —
+    // are IVF's worst case; multi-assignment buys the recall that
+    // cluster structure would otherwise provide, see IvfIndex.build),
+    // measured in-engine against the exact bruteForceTopK result. The
+    // oracle can't re-derive k-means cells, but it CAN check the
+    // contract: 10 queries, mean recall ≥ 0.9 (measured 0.92 at
+    // sf0.01; deterministic under the fixed seed). An IVF regression
+    // flips the boolean → hash mismatch. (The former rows-only
+    // x_ann_ivf entry is folded into this gate — same build + search
+    // configuration, but every emitted value is oracle-checkable.)
     "x_ann_ivf_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.where(col("vec_id") < 10)
@@ -713,10 +709,29 @@ object SparkEntry {
     // structured-data behavior (cluster retrieval, planted twins).
     "x_ann_pq_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val model = graft.ops.Pq.train(e, "embedding", dim = 64, m = 16, ksub = 16)
+      val model = graft.ops.Pq.train(e, "embedding", dim = 64, m = 16, ksub = 16,
+        idCol = Some("vec_id"))
       val enc = model.encode(e, "vec_id", "embedding")
       val q = e.where(col("vec_id") < 10)
       val approx = model.search(q, "vec_id", "embedding", enc, k = 5)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+      Similarity.recallAt(approx, exact)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.3).as("mean_recall_ge_030"))
+    }),
+
+    // IVF×PQ composition gate, through the RESIDUAL formulation the
+    // README advertises (FAISS IndexIVFPQ shape): nprobe=8 of
+    // nlist=16 — probing bounds WHICH rows are scored, the 16-byte
+    // residual codes bound WHAT a row costs. Same contract pattern as
+    // the other recall gates: the oracle asserts the bound, the
+    // engine measures it against exact bruteForceTopK.
+    "x_ann_ivfpq_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ix = graft.ops.Pq.IvfPq.build(e, "vec_id", "embedding", dim = 64,
+        nlist = 16, m = 16, ksub = 16, residual = true)
+      val q = e.where(col("vec_id") < 10)
+      val approx = graft.ops.Pq.IvfPq.search(ix, q, "vec_id", "embedding", k = 5, nprobe = 8)
       val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
       Similarity.recallAt(approx, exact)
         .agg(count(lit(1)).cast("long").as("n_queries"),
@@ -1528,6 +1543,10 @@ object SparkEntry {
 
     // PQ/ADC recall contract (see x_ann_pq_recall query comment).
     "x_ann_pq_recall" -> """
+      SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_030""",
+
+    // residual IVF×PQ recall contract (see x_ann_ivfpq_recall).
+    "x_ann_ivfpq_recall" -> """
       SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_030""",
   )
 

@@ -38,6 +38,12 @@ object Kmeans {
     * plan is TakeOrderedAndProject — per-partition bounded heaps, a
     * single driver merge, never a full sort shuffle. At 100 TB this
     * reads the scan once and ships back `n` rows.
+    *
+    * Driver cost is n×dim doubles (boxed `Seq` during collect, a few
+    * × that transiently) — NOT dim-independent kilobytes. Callers
+    * pass `n` through [[cappedSampleSize]] so a high-dim vector
+    * column cannot blow the driver heap / spark.driver.maxResultSize
+    * with the row-count default.
     */
   def sampleVectors(df: DataFrame, hashCols: Seq[Column], vec: Column, n: Int): Array[Array[Double]] =
     df.select(xxhash64(hashCols: _*).as("__h"), vec.as("__v"))
@@ -45,6 +51,17 @@ object Kmeans {
       .limit(n)
       .collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Bound a requested sample size by a driver-memory budget expressed
+    * in primitive doubles (default 4M ≈ 32 MB raw): the sample costs
+    * n×dim doubles on the driver, so the row-count knob alone is not a
+    * memory bound when dim is large. The budget floor of 1024 rows
+    * keeps enough points for any k ≤ 256 fit (FAISS-style guidance is
+    * a few hundred points per centroid); the result never exceeds
+    * `requested`.
+    */
+  def cappedSampleSize(requested: Int, dim: Int, maxDoubles: Long = 4L << 20): Int =
+    math.min(requested, math.max(1024, (maxDoubles / math.max(1, dim)).toInt))
 
   /** kmeans++ init + Lloyd's, best of `restarts` seeded attempts (the
     * fit with the lowest total inertia wins — ties keep the earlier
@@ -111,6 +128,11 @@ object Kmeans {
       if (nrm > 0) { i = 0; while (i < dim) { c(i) /= nrm; i += 1 } }
       c
     }
+    def isZero(c: Array[Double]): Boolean = {
+      var i = 0
+      while (i < dim && c(i) == 0.0) i += 1
+      i == dim
+    }
 
     // kmeans++ seeding: D²-weighted draws from the hash-ordered sample
     val centers = Array.ofDim[Array[Double]](k)
@@ -172,12 +194,25 @@ object Kmeans {
       }
       var j = 0
       while (j < k) {
-        if (counts(j) > 0) {
-          var t = 0
-          while (t < dim) { sums(j)(t) /= counts(j); t += 1 }
-          centers(j) = if (spherical) renorm(sums(j)) else sums(j)
-        } else {
-          // re-seed an emptied cell to the farthest point (deterministic)
+        val needReseed =
+          if (counts(j) == 0) true
+          else {
+            var t = 0
+            while (t < dim) { sums(j)(t) /= counts(j); t += 1 }
+            // spherical: an all-zero mean (antipodal cell, or a cell of
+            // zero vectors) cannot be renormalized — a zero centroid
+            // would make downstream cosine ranking 0/0 = NaN, so it
+            // takes the re-seed path like an emptied cell
+            if (spherical && isZero(sums(j))) true
+            else { centers(j) = if (spherical) renorm(sums(j)) else sums(j); false }
+          }
+        if (needReseed) {
+          // re-seed to the point farthest from its assigned centroid
+          // (deterministic: lowest index on ties), then REASSIGN that
+          // point to j — so when several cells re-seed in the same
+          // update, the next farthest-point computation sees the
+          // previous choice at distance 0 and cannot pick it again
+          // (duplicate centroids otherwise)
           var far = 0; var farD = -1.0; var i2 = 0
           while (i2 < n) {
             val d = d2(points(i2), centers(assign(i2)))
@@ -188,6 +223,7 @@ object Kmeans {
             val cl = points(far).clone()
             if (spherical) renorm(cl) else cl
           }
+          assign(far) = j
         }
         j += 1
       }

@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * vectors per IVF cell).
   *
   * Design, Spark-first:
-  *  - [[PqModel.train]]: m independent spark.ml KMeans fits, one per
-  *    dim/m subspace (k ≤ 256 so a code fits a byte). The codebook is
-  *    m×k×dsub doubles — kilobytes — and rides a broadcast.
+  *  - [[Pq.train]]: ONE bounded deterministic sample of the corpus
+  *    (bottom-k by content hash, a TakeOrderedAndProject scan — see
+  *    [[Kmeans.sampleVectors]]), then m independent driver-local
+  *    Lloyd's fits over its dim/m subspaces (k ≤ 256 so a code fits a
+  *    byte). The codebook is m×k×dsub doubles — kilobytes — and rides
+  *    a broadcast.
   *  - [[PqModel.encode]]: one `mapPartitions` pass over the corpus
   *    (argmin per subspace against the broadcast codebook). A custom
   *    Expression can't host the data-dependent codebook matrix, so
@@ -103,7 +106,8 @@ object Pq {
       import spark.implicits._
       val model = this
       val bcModel = spark.sparkContext.broadcast(model)
-      val qRows = queries.select(col(queryIdCol).cast("long").as("qid"),
+      val qRows = Similarity.assertQueryCap(queries, "Pq.search")
+        .select(col(queryIdCol).cast("long").as("qid"),
           Similarity.toDoubleVec(col(vecCol)).as("v"))
         .as[(Long, Array[Double])].collect()
       val bcLuts = spark.sparkContext.broadcast(buildLuts(qRows))
@@ -182,16 +186,26 @@ object Pq {
     * previous formulation (m×maxIter full-corpus spark.ml passes) is a
     * non-starter, and its per-partition seeded init made centroids
     * depend on the file-split layout. `sampleSize` is the quality knob:
-    * raise it for sharper cells; the cost stays one bounded scan.
+    * raise it for sharper cells; the cost stays one bounded scan (and
+    * is additionally bounded by [[Kmeans.cappedSampleSize]] so high-dim
+    * vectors cannot blow the driver heap).
+    *
+    * `idCol`, when the corpus has one, is the sample's hash key (as in
+    * [[Similarity.IvfIndex.build]]). Hashing the vector CONTENT instead
+    * gives every duplicate of one vector the same rank key, so a
+    * heavily duplicated embedding (a padding/zero vector) whose hash
+    * lands low floods the bounded sample all-or-nothing and skews the
+    * codebook; distinct ids spread duplicates uniformly.
     */
   def train(corpus: DataFrame, vecCol: String, dim: Int,
       m: Int = 8, ksub: Int = 16, seed: Long = 42L, maxIter: Int = 30,
-      sampleSize: Int = 65536): PqModel = {
+      sampleSize: Int = 65536, idCol: Option[String] = None): PqModel = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(ksub <= 256, "ksub must fit a byte")
-    val dsub = dim / m
     val v = Similarity.toDoubleVec(col(vecCol))
-    val sample = Kmeans.sampleVectors(corpus, Seq(col(vecCol)), v, sampleSize)
+    val hashKey = idCol.map(c => Seq(col(c))).getOrElse(Seq(col(vecCol)))
+    val sample = Kmeans.sampleVectors(corpus, hashKey, v,
+      Kmeans.cappedSampleSize(sampleSize, dim))
     trainOnSample(sample, dim, m, ksub, seed, maxIter)
   }
 
@@ -212,24 +226,155 @@ object Pq {
     * coarse quantizer bounds WHICH rows are scored (nprobe/nlist of
     * the corpus), PQ bounds WHAT scoring a row costs (m byte-indexed
     * adds over an 8-16 byte code, no float vector read). Build = one
-    * IVF build + one PQ train/encode + an id join to tag each code
-    * with its cell; search = probe cells (bounded-heap, reused from
-    * IvfIndex) then ADC over probed cells only.
+    * IVF build + one PQ train/encode pass; search = probe cells
+    * (bounded-heap, reused from IvfIndex) then ADC over probed cells
+    * only.
     *
-    * Exactness contract (tested): with `nprobe = nlist` every cell is
-    * probed, so the result is EXACTLY flat [[PqModel.search]] —
-    * probing only ever removes candidates, never rescores them.
+    * Two encodings:
+    *  - `residual = false` (raw): PQ codes the vectors directly; the
+    *    cell id is only a candidate filter. Exactness contract
+    *    (tested): with `nprobe = nlist` every cell is probed, so the
+    *    result is EXACTLY flat [[PqModel.search]] — probing only ever
+    *    removes candidates, never rescores them.
+    *  - `residual = true` (FAISS IndexIVFPQ formulation): each
+    *    NORMALIZED vector is coded as its offset from its cell's
+    *    ANCHOR, r = v/‖v‖ − a_cell. The anchor is the cell's MEAN
+    *    vector (estimated from the training sample), NOT the unit
+    *    probe centroid: probing needs unit centroids so dot ≡ cosine,
+    *    but subtracting a unit vector from near-isotropic data
+    *    INFLATES residual spread (‖v_n − c‖ → √2 for orthogonal
+    *    pairs) — subtracting the mean can only shrink per-cell
+    *    variance (within-cell variance ≤ total variance), so the same
+    *    m×ksub code bytes quantize at-worst-equal and usually finer —
+    *    the standard recall lever that makes IVF×PQ beat flat PQ at
+    *    equal code size (tested in PqSpec). Search decomposes
+    *    exactly: dot(q, x̂) = dot(q, a_cell) + dot(q, r̂) — the first
+    *    term is computed exactly per (query, cell) on the driver
+    *    (nlist tiny dots), the second is the usual ADC lookup-sum;
+    *    ‖x̂‖ is precomputed per row at encode time, so scoring a row
+    *    is still m byte-indexed adds + one add.
     */
   object IvfPq {
-    final case class Index(ivf: Similarity.IvfIndex, pq: PqModel, encoded: DataFrame)
+    /** `anchors` (residual mode only): cell id → the residual anchor
+      * vector (sample mean of the cell's normalized members). */
+    final case class Index(ivf: Similarity.IvfIndex, pq: PqModel, encoded: DataFrame,
+        residual: Boolean, anchors: Array[Array[Double]] = null)
+
+    /** Dense cell-id → centroid lookup (nlist tiny arrays). */
+    private def centroidArray(ivf: Similarity.IvfIndex): Array[Array[Double]] = {
+      val arr = new Array[Array[Double]](ivf.centroids.iterator.map(_._1).max + 1)
+      ivf.centroids.foreach { case (i, v) => arr(i) = v }
+      arr
+    }
 
     def build(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-        nlist: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 42L): Index = {
+        nlist: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+        residual: Boolean = false, sampleSize: Int = 65536): Index = {
       val ivf = Similarity.IvfIndex.build(corpus, idCol, vecCol, dim, nlist, seed)
-      val pq = train(corpus, vecCol, dim, m, ksub, seed)
-      val encoded = pq.encode(corpus, idCol, vecCol)
-        .join(ivf.assigned.select(col("neighbor_id").as("id"), col("__cell").as("cell")), "id")
-      Index(ivf, pq, encoded)
+      if (!residual) {
+        val pq = train(corpus, vecCol, dim, m, ksub, seed, idCol = Some(idCol))
+        val encoded = pq.encode(corpus, idCol, vecCol)
+          .join(ivf.assigned.select(col("neighbor_id").as("id"), col("__cell").as("cell")), "id")
+        Index(ivf, pq, encoded, residual = false)
+      } else {
+        val cents = centroidArray(ivf)
+        // joint (normalized vector, cell) sample — bottom-k by id hash,
+        // one bounded TakeOrderedAndProject scan
+        val n = Kmeans.cappedSampleSize(sampleSize, dim)
+        val sampled = Similarity.withNormalized(ivf.assigned, "__cv", "__nv")
+          .select(xxhash64(col("neighbor_id")).as("__h"), col("__nv"), col("__cell"))
+          .orderBy(col("__h")).limit(n).collect()
+          .map(r => (r.getSeq[Double](1).toArray, r.getInt(2)))
+        // anchors: per-cell sample means (fallback to the unit probe
+        // centroid for a cell the sample never hit)
+        val anchors = new Array[Array[Double]](cents.length)
+        val counts = new Array[Int](cents.length)
+        sampled.foreach { case (v, cell) =>
+          if (anchors(cell) == null) anchors(cell) = new Array[Double](dim)
+          val a = anchors(cell)
+          var i = 0
+          while (i < dim) { a(i) += v(i); i += 1 }
+          counts(cell) += 1
+        }
+        var cell = 0
+        while (cell < anchors.length) {
+          if (anchors(cell) == null) anchors(cell) = cents(cell)
+          else {
+            val a = anchors(cell)
+            var i = 0
+            while (i < dim) { a(i) /= counts(cell); i += 1 }
+          }
+          cell += 1
+        }
+        // residual training set against the local anchor table, feeding
+        // the same m per-subspace driver-local fits
+        val residSample = sampled.map { case (v, cellId) =>
+          val a = anchors(cellId)
+          val out = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { out(i) = v(i) - a(i); i += 1 }
+          out
+        }
+        val pq = trainOnSample(residSample, dim, m, ksub, seed, maxIter = 30)
+        Index(ivf, pq, encodeResidual(ivf, pq, anchors), residual = true, anchors = anchors)
+      }
+    }
+
+    /** One pass over the inverted lists: residual → codes + exact
+      * reconstruction norm ‖a_cell + r̂‖ (so search never recomputes
+      * O(dim) anything per row).
+      */
+    private def encodeResidual(ivf: Similarity.IvfIndex, pq: PqModel,
+        anchors: Array[Array[Double]]): DataFrame = {
+      val spark = ivf.assigned.sparkSession
+      import spark.implicits._
+      val bcPq = spark.sparkContext.broadcast(pq)
+      val bcC = spark.sparkContext.broadcast(anchors)
+      Similarity.withNormalized(ivf.assigned, "__cv", "__nv")
+        .select(col("neighbor_id").cast("long"), col("__nv"), col("__cell"))
+        .as[(Long, Array[Double], Int)]
+        .mapPartitions { it =>
+          val model = bcPq.value
+          val cs = bcC.value
+          it.map { case (id, vn, cell) =>
+            val c = cs(cell)
+            val dim = vn.length
+            val r = new Array[Double](dim)
+            var i = 0
+            while (i < dim) { r(i) = vn(i) - c(i); i += 1 }
+            val codes = new Array[Short](model.m)
+            var j = 0
+            while (j < model.m) {
+              val centsJ = model.centroids(j)
+              var best = 0
+              var bestD = Double.MaxValue
+              var cc = 0
+              while (cc < centsJ.length) {
+                val cent = centsJ(cc)
+                var d = 0.0
+                var t = 0
+                while (t < model.dsub) {
+                  val diff = r(j * model.dsub + t) - cent(t)
+                  d += diff * diff
+                  t += 1
+                }
+                if (d < bestD) { bestD = d; best = cc }
+                cc += 1
+              }
+              codes(j) = best.toShort
+              j += 1
+            }
+            var n2 = 0.0
+            var t = 0
+            while (t < dim) {
+              val sub = t / model.dsub
+              val x = c(t) + model.centroids(sub)(codes(sub))(t % model.dsub)
+              n2 += x * x
+              t += 1
+            }
+            (id, codes, math.sqrt(n2), cell)
+          }
+        }.toDF("id", "codes", "rec_norm", "cell")
     }
 
     def search(ix: Index, queries: DataFrame, queryIdCol: String, vecCol: String,
@@ -237,11 +382,32 @@ object Pq {
       val spark = queries.sparkSession
       import spark.implicits._
       val model = ix.pq
+      val resid = ix.residual
       val bcModel = spark.sparkContext.broadcast(model)
-      val qRows = queries.select(col(queryIdCol).cast("long").as("qid"),
+      val qRows = Similarity.assertQueryCap(queries, "IvfPq.search")
+        .select(col(queryIdCol).cast("long").as("qid"),
           Similarity.toDoubleVec(col(vecCol)).as("v"))
         .as[(Long, Array[Double])].collect()
       val luts = model.buildLuts(qRows)
+      // residual decomposition: dot(q, x̂) = dot(q, a_cell) + dot(q, r̂).
+      // The first term is EXACT, computed here per (query, cell) —
+      // nqueries × nlist tiny dots — and shipped with the LUTs; raw
+      // mode has no offset term.
+      val cellOffsets: Map[Long, Array[Double]] =
+        if (!resid) Map.empty
+        else {
+          qRows.iterator.map { case (qid, qv) =>
+            qid -> ix.anchors.map { c =>
+              if (c == null) 0.0
+              else {
+                var d = 0.0
+                var i = 0
+                while (i < qv.length) { d += qv(i) * c(i); i += 1 }
+                d
+              }
+            }
+          }.toMap
+        }
       // cell → queries probing it (query sets are small by the same
       // broadcast contract as every other ANN tier here)
       val probes = ix.ivf.probeCells(queries, queryIdCol, vecCol, nprobe)
@@ -250,12 +416,14 @@ object Pq {
         .groupBy(_._1).map { case (cell, qs) => cell -> qs.map(_._2).toSet }
       val bcProbes = spark.sparkContext.broadcast(probes)
       val bcLuts = spark.sparkContext.broadcast(luts)
+      val bcOffsets = spark.sparkContext.broadcast(cellOffsets)
       val scored = ix.encoded.select(col("id"), col("codes"), col("rec_norm"), col("cell"))
         .as[(Long, Array[Short], Double, Int)]
         .mapPartitions { it =>
           val model = bcModel.value
           val probing = bcProbes.value
           val qs = bcLuts.value
+          val offsets = bcOffsets.value
           it.flatMap { case (id, codes, recNorm, cell) =>
             probing.get(cell) match {
               case None => Iterator.empty
@@ -265,6 +433,7 @@ object Pq {
                   var dot = 0.0
                   var j = 0
                   while (j < model.m) { dot += lut(j * model.ksub + codes(j)); j += 1 }
+                  if (resid) dot += offsets(qid)(cell)
                   val denom = qNorm * recNorm
                   (qid, id, if (denom > 0) dot / denom else 0.0)
                 }

@@ -24,6 +24,30 @@ object Similarity {
   /** Cast array<float> → array<double> so all arithmetic is double. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Enforce the small-query-set contract every ANN tier relies on:
+    * the query side is driver-collected (PQ LUTs) or broadcast
+    * (brute-force / LSH / IVF probes), so an unboundedly large query
+    * frame must fail fast as an ANALYSIS error — not surface later as
+    * a driver OOM or an 8 GB broadcast failure (the stdout sink's
+    * capped-collect philosophy, applied to the ANN family). The check
+    * is `limit(cap+1).count()`: a bounded probe that never pulls more
+    * than cap+1 rows off the cluster regardless of the frame's size.
+    * Cap knob: `spark.graft.ann.maxQueries` (default 65536 rows —
+    * ~16 MB of 64-dim query vectors, comfortably broadcastable);
+    * callers with genuinely bigger query sets batch them, or flip the
+    * asymmetry and make the smaller side the query side.
+    */
+  private[ops] def assertQueryCap(queries: DataFrame, op: String): DataFrame = {
+    val cap = queries.sparkSession.conf.get("spark.graft.ann.maxQueries", "65536").toInt
+    val n = queries.limit(cap + 1).count()
+    if (n > cap) throw new graft.GraftAnalysisException(
+      s"$op: query set has > $cap rows, violating the broadcast-query contract " +
+        s"(ANN query sides are driver-collected/broadcast). Batch the query set, " +
+        s"swap the smaller side into the query position, or raise " +
+        s"spark.graft.ann.maxQueries if the driver can hold it.")
+    queries
+  }
+
   /** Dot product, accumulated in element order — deterministic.
     * Delegates to the codegen'd [[graft.expr.VecDot]] kernel, which is
     * bit-exact with the declarative fold it replaced
@@ -97,7 +121,7 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       queryIdCol: String, corpusIdCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(
+    val q = broadcast(assertQueryCap(queries, "bruteForceTopK").select(
       col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv")))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv"))
     val scored = c.crossJoin(q)
@@ -132,7 +156,7 @@ object Similarity {
         hyperplaneBuckets(col(vec), dim, planes, seed + 7919L * t).as("h"))): _*)).as("__tb"))
         .select(col("*"), col("__tb.t").as("__tbl"), col("__tb.h").as("__bkt"))
         .drop("__tb")
-    val q = broadcast(withBuckets(queries
+    val q = broadcast(withBuckets(assertQueryCap(queries, "lshTopK")
       .select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv")), "__qv"))
     val c = withBuckets(corpus
       .select(col(corpusIdCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv")), "__cv")
@@ -178,7 +202,8 @@ object Similarity {
 
     def search(queries: DataFrame, queryIdCol: String, vecCol: String,
         k: Int, nprobe: Int = 4): DataFrame = {
-      val q = queries.select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
+      val q = assertQueryCap(queries, "IvfIndex.search")
+        .select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
       val probes = probeCells(queries, queryIdCol, vecCol, nprobe).join(q, "query_id")
         .select(col("query_id"), col("__qv"), col("__cell"))
       val scored = broadcast(probes).join(assigned, Seq("__cell"))
@@ -261,7 +286,8 @@ object Similarity {
       val base = withNormalized(
         corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("__cv")),
         "__cv", "__nv")
-      val sample = Kmeans.sampleVectors(base, Seq(col("neighbor_id")), col("__nv"), sampleSize)
+      val sample = Kmeans.sampleVectors(base, Seq(col("neighbor_id")), col("__nv"),
+        Kmeans.cappedSampleSize(sampleSize, dim))
       val cents = Kmeans.fit(sample, nlist, seed, maxIter = maxIter, spherical = true)
         .zipWithIndex.map { case (v, i) => (i, v) }
       // top-r cells per vector, expression-level: nlist dots against
@@ -301,7 +327,7 @@ object Similarity {
     * into the per-element lambda (which would make normalization
     * O(dim²) per row — higher-order functions get no CSE).
     */
-  private def withNormalized(df: DataFrame, vecCol: String, out: String): DataFrame =
+  private[ops] def withNormalized(df: DataFrame, vecCol: String, out: String): DataFrame =
     df.withColumn("__l2norm", l2norm(col(vecCol)))
       .withColumn(out,
         when(col("__l2norm") > 0, transform(col(vecCol), x => x / col("__l2norm")))

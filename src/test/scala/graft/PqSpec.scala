@@ -95,6 +95,75 @@ class PqSpec extends SparkSuite {
       s"only $inCluster/${part.length} IVF-PQ results in the true cluster")
   }
 
+  test("residual IVF×PQ: at equal code size, recall@5 beats flat PQ on clustered data") {
+    // residuals subtract the cell centroid, so the same m×ksub bytes
+    // quantize the small within-cluster offsets instead of the whole
+    // vector — the entire point of the residual formulation. On this
+    // corpus flat PQ collapses cluster-mates onto identical codes
+    // (arbitrary top-5 among ~30 ties) while residual codes separate
+    // them, so recall against the exact ranking must strictly improve.
+    val queries = corpus.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec_id", "embedding", k = 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAt(approx, exact).agg(avg("recall")).as[Double].head()
+    val flatModel = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 16)
+    val flatEnc = flatModel.encode(corpus, "vec_id", "embedding")
+    val rFlat = meanRecall(flatModel.search(queries, "vec_id", "embedding", flatEnc, k = 5))
+    val ix = Pq.IvfPq.build(corpus, "vec_id", "embedding", dim = 16, nlist = 8, m = 4,
+      ksub = 16, residual = true)
+    // full probe: isolates encoding quality from probe misses
+    val rResid = meanRecall(Pq.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 8))
+    assert(rResid >= rFlat, s"residual recall $rResid < flat recall $rFlat at equal code size")
+    // deterministic under the fixed seed; partial probe stays in-cluster
+    val part = Pq.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(part.nonEmpty)
+    val inCluster = part.count { case (q, n) => q % 10 == n % 10 }
+    assert(inCluster.toDouble / part.length >= 0.95,
+      s"only $inCluster/${part.length} residual IVF-PQ results in the true cluster")
+  }
+
+  test("residual IVF×PQ: planted twin always surfaces") {
+    val rnd = new scala.util.Random(29)
+    val base = Seq.tabulate(200)(i => (i.toLong, Array.fill(16)((rnd.nextDouble() - 0.5).toFloat)))
+    val twins = base.take(5).map { case (i, v) =>
+      (i + 1000L, v.map(x => (x + 0.01f * rnd.nextFloat())))
+    }
+    val corpus2 = (base ++ twins).toDF("vec_id", "embedding")
+    val ix = Pq.IvfPq.build(corpus2, "vec_id", "embedding", dim = 16, nlist = 8, m = 4,
+      ksub = 16, residual = true)
+    // full probe: a twin lands in (or adjacent to) the query's cell and
+    // quantizes to nearly the query's own residual codes
+    val found = Pq.IvfPq.search(ix, corpus2.where(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { q =>
+      assert(found.contains((q, q + 1000L)), s"planted twin of query $q lost by residual ADC")
+    }
+  }
+
+  test("query-set cap: an oversized query frame fails fast as an analysis error") {
+    val model = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 16)
+    val encoded = model.encode(corpus, "vec_id", "embedding")
+    spark.conf.set("spark.graft.ann.maxQueries", "10")
+    try {
+      val err = intercept[GraftAnalysisException] {
+        model.search(corpus, "vec_id", "embedding", encoded, k = 5)
+      }
+      assert(err.getMessage.contains("maxQueries"))
+      intercept[GraftAnalysisException] {
+        Similarity.bruteForceTopK(corpus, corpus, "vec_id", "vec_id", "embedding", k = 5)
+      }
+      intercept[GraftAnalysisException] {
+        Similarity.lshTopK(corpus, corpus, "vec_id", "vec_id", "embedding",
+          k = 5, dim = 16, planes = 4)
+      }
+      // within the cap the same call works
+      assert(model.search(corpus.where(col("vec_id") < 5), "vec_id", "embedding",
+        encoded, k = 3).count() > 0)
+    } finally spark.conf.unset("spark.graft.ann.maxQueries")
+  }
+
   test("save/load round-trips the codebook bit-exactly") {
     val model = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 8)
     val dir = java.nio.file.Files.createTempDirectory("graftpq").toString + "/codebook"

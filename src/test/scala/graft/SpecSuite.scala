@@ -56,7 +56,7 @@ class SpecSuite extends AnyFunSuite {
     // queries WITHOUT an oracle must be the explicit, justified list
     // (engine-specific internals that no other engine can re-derive)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("x_ann_ivf", "x_approx"),
+    assert(rowsOnly == Set("x_approx"),
       s"unexpected rows-only queries (add an oracle or document here): $rowsOnly")
   }
 }
