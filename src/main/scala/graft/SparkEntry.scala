@@ -832,6 +832,33 @@ object SparkEntry {
         col("total_value").cast("long").as("total_value_e6"))
     }),
 
+    // ==== extension: OUT-OF-ORDER arrival — the late-data contract.
+    // The same events history replayed with chunks arriving in the
+    // fixed permutation (1,0,3,2,5,4): every chunk is at most one
+    // position early/late, so the watermark schedule is deterministic
+    // arithmetic over (chunk time ranges, arrival positions) and the
+    // DuckDB oracle re-derives EXACTLY which rows the watermark must
+    // drop (and which straddler windows therefore finalize with
+    // partial counts) — late-data semantics as a checked contract,
+    // not a demo. Append mode: a window is emitted once, when the
+    // watermark passes its end; trailing windows never finalize and
+    // the oracle excludes them the same way.
+    "x_stream_late" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      val ev = events(s, d).select(col("ts"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", Seq(1, 0, 3, 2, 5, 4))
+      val watched = java.nio.file.Files.createTempDirectory("x_stream_late_watch")
+      val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+      val agg = Streaming.windowedAgg(stream, "ts", "event_type", "value",
+        window_ = "1 hour", watermark = "30 minutes")
+      val sink = s"x_stream_late_${System.nanoTime}"
+      val q = Streaming.startMemorySink(agg, sink, mode = "append")
+      try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
+      s.table(sink).select(unix_millis(col("window_start")).as("ws_ms"),
+        col("event_type"), col("n"), col("total").cast("double").as("total"))
+    }),
+
     // ==== extensions: sketches (rows-only: HLL/quantile internals are
     // engine-specific, values can't hash-match another engine) ====
     "x_approx" -> ((s, d) =>
@@ -1503,6 +1530,46 @@ object SparkEntry {
              event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2""",
+    // Late-data contract: re-derive the watermark schedule of the
+    // fixed shuffled replay — chunk(r) by the writer's formula,
+    // arrival position from the literal permutation (1,0,3,2,5,4),
+    // watermark during a batch = max event time of STRICTLY EARLIER
+    // batches − 30 min (initial 0) — then drop exactly the rows whose
+    // window end trails it, and keep only windows finalized by the
+    // final watermark (append mode). Row-level predicate, so windows
+    // straddling a dropped chunk's range keep their on-time partial
+    // counts — the subtle case a spot-check would miss.
+    "x_stream_late" -> """
+      WITH ev AS (
+        SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_type,
+               CAST(value AS DECIMAL(38,6)) AS value
+        FROM events),
+      b AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM ev),
+      chunked AS (
+        SELECT ev.*,
+               least(CAST(floor((ts_ms - lo) * 6 / CAST(hi - lo + 1 AS DOUBLE)) AS INT), 5)
+                 AS chunk
+        FROM ev, b),
+      cmax AS (SELECT chunk, max(ts_ms) AS mx FROM chunked GROUP BY chunk),
+      arrival AS (
+        SELECT c.chunk, row_number() OVER (ORDER BY o.pos) - 1 AS batch, c.mx
+        FROM cmax c JOIN (VALUES (1,0),(0,1),(3,2),(2,3),(5,4),(4,5)) AS o(chunk, pos)
+          ON o.chunk = c.chunk),
+      wm AS (
+        SELECT chunk,
+               COALESCE(max(mx) OVER (ORDER BY batch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1800000, 0) AS wm_ms
+        FROM arrival),
+      kept AS (
+        SELECT ch.ts_ms, ch.event_type, ch.value
+        FROM chunked ch JOIN wm ON wm.chunk = ch.chunk
+        WHERE CAST(floor(ts_ms / 3600000.0) AS BIGINT) * 3600000 + 3600000 > wm.wm_ms)
+      SELECT CAST(floor(ts_ms / 3600000.0) AS BIGINT) * 3600000 AS ws_ms, event_type,
+             count(*) AS n, CAST(sum(value) AS DOUBLE) AS total
+      FROM kept, b
+      WHERE CAST(floor(ts_ms / 3600000.0) AS BIGINT) * 3600000 + 3600000 <= hi - 1800000
+      GROUP BY 1, 2""",
+
     "x_stream_sessions" -> """
       WITH flagged AS (
         SELECT user_id, value, epoch_ms(ts) AS ts_ms, event_id,

@@ -33,8 +33,27 @@ object StreamParity {
     * micro-batch per chunk, replaying history in event-time order.
     * Chunk file names also sort in time order as a second key.
     */
-  def writeTimeOrderedChunks(df: DataFrame, tsCol: String, chunks: Int): Path = {
-    require(chunks > 0, "chunks must be positive")
+  def writeTimeOrderedChunks(df: DataFrame, tsCol: String, chunks: Int): Path =
+    writeChunksInOrder(df, tsCol, 0 until chunks)._1
+
+  /** Like [[writeTimeOrderedChunks]], but the chunks ARRIVE in the
+    * given order (`order` must be a permutation of chunk indices) — a
+    * deterministic out-of-order history for late-data gates: the
+    * event-time chunking fixes WHAT is late, the permutation fixes BY
+    * HOW MUCH, so the watermark schedule — and therefore the exact
+    * set of rows the stream must drop — is predictable arithmetic
+    * over (chunk ranges, arrival positions), which is what lets an
+    * external oracle re-derive the streaming answer instead of
+    * spot-checking it.
+    *
+    * Chunks that received no rows (empty time slices) are skipped,
+    * preserving the relative arrival order of the rest. Returns
+    * (streamDir, chunk ids actually written, in arrival order).
+    */
+  def writeChunksInOrder(df: DataFrame, tsCol: String, order: Seq[Int]): (Path, Seq[Int]) = {
+    val chunks = order.length
+    require(chunks > 0, "order must be non-empty")
+    require(order.sorted == (0 until chunks), s"order must permute 0 until $chunks: $order")
     val root = Files.createTempDirectory("graft_stream_fixture")
     val streamDir = root.resolve("stream")
     Files.createDirectories(streamDir)
@@ -51,17 +70,40 @@ object StreamParity {
         least(floor((unix_millis(col(tsCol)) - lo) * chunks / span), lit(chunks - 1)).cast("int"))
       .repartition(chunks, col("__chunk"))
       .write.partitionBy("__chunk").mode("overwrite").parquet(stage.toString)
-    (0 until chunks).foreach { i =>
-      val chunkDir = stage.resolve(s"__chunk=$i")
-      if (Files.isDirectory(chunkDir)) { // empty time slices write no directory
-        val part = Files.list(chunkDir).filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $chunkDir"))
-        val dst = streamDir.resolve(f"chunk_$i%03d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-        // fixed epoch base: deterministic listing order across reruns
-        dst.toFile.setLastModified(1700000000000L + i * 60000L)
-      }
+    val arrived = order.filter(c => Files.isDirectory(stage.resolve(s"__chunk=$c")))
+    arrived.zipWithIndex.foreach { case (c, j) =>
+      val chunkDir = stage.resolve(s"__chunk=$c")
+      val part = Files.list(chunkDir).filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $chunkDir"))
+      // FileStreamSource lists in (mtime, path) order; name by ARRIVAL
+      // position so both keys agree, mtime on a fixed epoch base for
+      // deterministic listing across reruns
+      val dst = streamDir.resolve(f"arrival_$j%03d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + j * 60000L)
     }
-    streamDir
+    (streamDir, arrived)
+  }
+
+  /** Feed a staged replay into a WATCHED directory one file per
+    * `processAllAvailable` round. Why not point the stream at the
+    * staged directory directly: when every file is visible at start,
+    * the micro-batches run back-to-back and Spark's late-record
+    * filter — which since 3.4 uses the PREVIOUS batch's watermark
+    * (eviction uses the current one; SPARK-42376's two-watermark
+    * split) — lags the arrival history by one extra batch, so
+    * moderate disorder is never actually filtered. Arrival-per-round
+    * feeding lets the no-data batches between rounds bring the filter
+    * watermark up to date, which is also what a real deployment sees:
+    * files land over time, not as one pre-existing backlog. Files are
+    * fed in name order (= arrival order from [[writeChunksInOrder]]).
+    */
+  def feedSequentially(streamDir: Path, watched: Path,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val files = Files.list(streamDir).sorted().toArray.map(_.asInstanceOf[Path])
+    files.foreach { f =>
+      Files.copy(f, watched.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+    }
   }
 }
