@@ -604,6 +604,33 @@ object SparkEntry {
         .select(col("left_id").cast("long").as("eval_id"),
           col("right_id").cast("long").as("train_id"), col("jaccard"))
     }),
+    // INCREMENTAL dedup as a checked equivalence, not a scaladoc
+    // claim: the corpus arrives as 3 ingest batches (doc_id % 3 —
+    // planted near-dup pairs deliberately span batch boundaries);
+    // each batch is deduped within itself (minhashNearDups) and
+    // against the standing corpus of earlier batches (the bipartite
+    // minhashContamination shape). The UNION of all per-batch pair
+    // sets must equal the one-shot full-corpus pair set — the oracle
+    // is literally x_dedup_minhash's exact all-pairs SQL, so any
+    // missed cross-batch pair, duplicated pair, or drifted jaccard
+    // hash-mismatches. Works because signatures/banding/verify are
+    // pure functions of content: a pair collides in the bipartite run
+    // iff it collides in the self-join run.
+    "x_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val batches = (0 to 2).map(i => docs.where(col("doc_id") % 3 === i))
+      val within = batches.map(b =>
+        Dedup.minhashNearDups(b, "doc_id", "text", threshold = 0.7))
+      val cross = (1 to 2).map { i =>
+        val standing = batches.take(i).reduce(_ unionByName _)
+        Dedup.minhashContamination(batches(i), standing, "doc_id", "doc_id", "text",
+          threshold = 0.7)
+          .select(least(col("left_id"), col("right_id")).as("a_id"),
+            greatest(col("left_id"), col("right_id")).as("b_id"), col("jaccard"))
+      }
+      (within ++ cross).reduce(_ unionByName _)
+    }),
+
     // md5-hash simhash variant: same banded plan as the xxhash64 scale
     // path, but the signature is recomputable by the DuckDB oracle
     "x_dedup_simhash" -> ((s, d) =>
@@ -1330,6 +1357,26 @@ object SparkEntry {
     // and every pair in this corpus at/above threshold has j ≥ 0.9
     // (miss probability < 1e-7), so the sets agree.
     "x_dedup_minhash" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(len(toks)-2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+              FROM documents))
+      SELECT a_id, b_id, jaccard FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.7""",
+
+    // incremental-dedup equivalence: the batched union must equal the
+    // one-shot full-corpus pair set, so the oracle IS the full-corpus
+    // exact all-pairs query (same SQL as x_dedup_minhash).
+    "x_dedup_incremental" -> """
       WITH sh AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(toks) >= 3
