@@ -220,6 +220,54 @@ class OpsSpec extends SparkSuite {
     assert(total == 18) // 3 frames x 6-byte segments
   }
 
+  test("multimodal: REAL image codec parses PNG/JPEG/GIF headers through the seam") {
+    // a real, complete 1x1 PNG (standard minimal fixture bytes)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    // a real JPEG header stream: SOI, APP0/JFIF, then SOF0 with
+    // height=2, width=3 (entropy data irrelevant to the header parse)
+    val jpeg = Array[Int](
+      0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, // APP0, len 16
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, // SOF0, len 17, precision 8
+      0x00, 0x02, // height 2
+      0x00, 0x03, // width 3
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    // a real GIF89a logical screen descriptor: width=4, height=5 (LE)
+    val gif = "GIF89a".getBytes("ISO-8859-1") ++
+      Array[Int](0x04, 0x00, 0x05, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    val junk = "not an image at all".getBytes("UTF-8")
+
+    // direct parser contract
+    assert(Multimodal.ImageHeader.parse(png).contains(("image/png", 1, 1)))
+    assert(Multimodal.ImageHeader.parse(jpeg).contains(("image/jpeg", 3, 2)))
+    assert(Multimodal.ImageHeader.parse(gif).contains(("image/gif", 4, 5)))
+    assert(Multimodal.ImageHeader.parse(junk).isEmpty)
+    assert(Multimodal.ImageHeader.parse(Array.empty[Byte]).isEmpty)
+    // truncated/hostile bytes must not throw
+    assert(Multimodal.ImageHeader.parse(png.take(10)).isEmpty)
+    assert(Multimodal.ImageHeader.parse(jpeg.take(3)).isEmpty)
+
+    // the same distributed seam as the fake decoders: media struct in,
+    // per-partition decode, typed rows out
+    val media = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, junk))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), struct(col("payload"),
+        lit(null).cast("string").as("mime"),
+        struct(length(col("payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+    val out = Multimodal.decodeImageMeta(media, "doc_id", "media")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("mime_detected"), Option(r.get(r.fieldIndex("width"))),
+          Option(r.get(r.fieldIndex("height"))))).toMap
+    assert(out(1L) == (("image/png", Some(1), Some(1))))
+    assert(out(2L) == (("image/jpeg", Some(3), Some(2))))
+    assert(out(3L) == (("image/gif", Some(4), Some(5))))
+    assert(out(4L) == ((null, None, None)))
+  }
+
   test("BottomKSample UDAF: deterministic, partition-invariant, k-bounded") {
     val df = Seq((1, 10L), (1, 20L), (1, 30L), (1, 10L), (2, 40L)).toDF("g", "id")
     val out = df.groupBy($"g").agg(graft.ops.BottomKSample.of($"id", 2).as("s"))
