@@ -153,8 +153,19 @@ object Transforms {
         // (persist the codebook via Pq.save/load for build-once flows)
         case "pq" =>
           val model = graft.ops.Pq.train(df, vecF, dim = cfg.int("dim").getOrElse(64),
-            m = cfg.int("m").getOrElse(8), ksub = cfg.int("ksub").getOrElse(16))
+            m = cfg.int("m").getOrElse(8), ksub = cfg.int("ksub").getOrElse(16),
+            idCol = Some(idF))
           model.search(q, idF, vecF, model.encode(df, idF, vecF), k)
+        // the production composition: IVF bounds WHICH rows, PQ bounds
+        // WHAT a row costs; residual encoding on by default (beats
+        // flat PQ at equal code size — see Pq.IvfPq scaladoc)
+        case "ivfpq" =>
+          val ix = graft.ops.Pq.IvfPq.build(df, idF, vecF,
+            dim = cfg.int("dim").getOrElse(64), nlist = cfg.int("nlist").getOrElse(16),
+            m = cfg.int("m").getOrElse(8), ksub = cfg.int("ksub").getOrElse(16),
+            residual = cfg.bool("residual").getOrElse(true))
+          graft.ops.Pq.IvfPq.search(ix, q, idF, vecF, k,
+            nprobe = cfg.int("nprobe").getOrElse(4))
         case other => throw new GraftAnalysisException(s"ann_topk: unknown method '$other'")
       }
     case "text_lang" =>
@@ -174,6 +185,10 @@ object Transforms {
       graft.ops.Multimodal.frameSample(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
         t.config.int("n_frames").getOrElse(8), t.config.int("stride").getOrElse(1))
+    // REAL header decode (PNG/JPEG/GIF): mime sniff + dimensions
+    case "image_meta" =>
+      graft.ops.Multimodal.decodeImageMeta(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
     // time-series joins against a named source (graft.ops.TemporalJoins)
     case "asof_join" =>
       val cfg = t.config
@@ -222,7 +237,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "connected_components", "dedup_cluster")
+    "image_meta", "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"

@@ -164,6 +164,33 @@ class PqSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.ann.maxQueries")
   }
 
+  test("IVF×PQ save/load: reopened residual index ranks identically") {
+    val ix = Pq.IvfPq.build(corpus, "vec_id", "embedding", dim = 16, nlist = 8, m = 4,
+      ksub = 16, residual = true)
+    val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString + "/index"
+    Pq.IvfPq.save(ix, dir)
+    val back = Pq.IvfPq.load(spark, dir)
+    assert(back.residual && back.anchors.length == ix.anchors.length)
+    assert(back.anchors.flatten.toSeq == ix.anchors.flatten.toSeq)
+    val queries = corpus.where(col("vec_id") < 8)
+    val a = Pq.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b = Pq.IvfPq.search(back, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a == b)
+    // raw-mode index round-trips its flag and ranking too
+    val raw = Pq.IvfPq.build(corpus, "vec_id", "embedding", dim = 16, nlist = 8, m = 4, ksub = 16)
+    val dir2 = java.nio.file.Files.createTempDirectory("graftivfpq2").toString + "/index"
+    Pq.IvfPq.save(raw, dir2)
+    val back2 = Pq.IvfPq.load(spark, dir2)
+    assert(!back2.residual && back2.anchors == null)
+    val a2 = Pq.IvfPq.search(raw, queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b2 = Pq.IvfPq.search(back2, queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a2 == b2)
+  }
+
   test("save/load round-trips the codebook bit-exactly") {
     val model = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 8)
     val dir = java.nio.file.Files.createTempDirectory("graftpq").toString + "/codebook"

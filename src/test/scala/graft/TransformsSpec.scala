@@ -373,6 +373,25 @@ class TransformsSpec extends SparkSuite {
     val fr = Transforms(packed, graft.spec.TransformSpec("v", "multimodal_frames",
       Config.of("id_field" -> "doc_id", "n_frames" -> 4, "stride" -> 2)), Map.empty)
     assert(fr.groupBy("id").count().select(max("count")).as[Long].head() == 2L) // frames 0,2
+    // real header codec over text payloads: recognized as NOT images
+    val meta = Transforms(packed, graft.spec.TransformSpec("im", "image_meta",
+      Config.of("id_field" -> "doc_id")), Map.empty)
+    assert(meta.columns.toSeq ==
+      Seq("id", "byte_len", "mime_detected", "width", "height") && meta.count() == 3)
+    assert(meta.where(col("mime_detected").isNull).count() == 3)
+  }
+
+  test("ann_topk spec op: ivfpq method composes build + residual search") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat))).toDF("vec_id", "embedding")
+    val ann = Transforms(vecs, graft.spec.TransformSpec("a", "ann_topk",
+      Config.of("queries" -> "q", "k" -> 3, "method" -> "ivfpq",
+        "dim" -> 8, "nlist" -> 4, "m" -> 2, "ksub" -> 8, "nprobe" -> 4)),
+      Map("q" -> vecs.where(col("vec_id") < 2)))
+    val rows = ann.select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (q, n, r) => q != n && r >= 1 && r <= 3 })
+    assert(ann.columns.contains("cosine"))
   }
 
   test("unknown transform type is an analysis error") {
