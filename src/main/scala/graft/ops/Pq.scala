@@ -469,7 +469,16 @@ object Pq {
       val bcProbes = spark.sparkContext.broadcast(probes)
       val bcLuts = spark.sparkContext.broadcast(luts)
       val bcOffsets = spark.sparkContext.broadcast(cellOffsets)
-      val scored = ix.encoded.select(col("id"), col("codes"), col("rec_norm"), col("cell"))
+      // static partition pruning: the union of probed cells is known on
+      // the driver before the scan, so push it as a literal IN filter —
+      // against a save()d cell-partitioned index this prunes every
+      // unprobed cell's FILES (PartitionFilters at the scan), instead
+      // of reading 100% of the codes to discard most in the task. The
+      // per-(row, query) probing map still filters inside the kernel.
+      val probedCells = probes.keys.toSeq.sorted
+      val scored = ix.encoded
+        .where(col("cell").isin(probedCells: _*))
+        .select(col("id"), col("codes"), col("rec_norm"), col("cell"))
         .as[(Long, Array[Short], Double, Int)]
         .mapPartitions { it =>
           val model = bcModel.value

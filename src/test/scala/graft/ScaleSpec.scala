@@ -87,6 +87,31 @@ class ScaleSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "contamination must never nested-loop")
   }
 
+  test("IVF×PQ probe prunes unprobed cells' files on a persisted index") {
+    val rnd = new scala.util.Random(23)
+    val corpus = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat))).toDF("vec_id", "embedding")
+    val ix = graft.ops.Pq.IvfPq.build(corpus, "vec_id", "embedding", dim = 8,
+      nlist = 8, m = 2, ksub = 8, residual = true)
+    val dir = Files.createTempDirectory("graftivfpqprune").toString + "/index"
+    graft.ops.Pq.IvfPq.save(ix, dir)
+    val loaded = graft.ops.Pq.IvfPq.load(spark, dir)
+    val q = corpus.where(col("vec_id") < 2)
+    val result = graft.ops.Pq.IvfPq.search(loaded, q, "vec_id", "embedding", k = 3, nprobe = 2)
+    // the probed-cell IN filter must reach the partitioned scan as a
+    // PartitionFilter — at 100 TB that's the difference between
+    // reading nprobe cells' files and reading the whole index
+    val scan = result.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"probe filter did not reach the scan as a partition filter:\n$scan")
+    assert(result.count() > 0)
+    // and pruning must not change the answer vs the in-memory index
+    val mem = graft.ops.Pq.IvfPq.search(ix, q, "vec_id", "embedding", k = 3, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val prn = result.as[(Long, Long, Double, Long)].collect().toSet
+    assert(mem == prn)
+  }
+
   test("fanOut sizes from file metadata, not RDD materialization") {
     import graft.ops.Partitioning
     // file-backed scan: estimate agrees with Spark's actual planning
