@@ -859,6 +859,37 @@ object SparkEntry {
         col("total_value").cast("long").as("total_value_e6"))
     }),
 
+    // ==== extension: EVENT-TIME-TIMEOUT sessionization — the
+    // production closing mechanism (no sentinel rows): a session
+    // emits either when a later gap-exceeding event of the same user
+    // arrives (closed by data) or when the watermark passes
+    // session_end + gap (closed by timeout). The oracle re-derives
+    // the emission set exactly: every non-last session per user is
+    // closed by data; the last session emits iff the FINAL watermark
+    // (hi − 30 min) strictly passes session_end + gap. Same
+    // value-scaling trick as x_stream_sessions (exact-integer doubles
+    // sum order-independently).
+    "x_stream_sessions_et" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      import s.implicits._
+      val gapMs = 1800000L
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("double").as("value"))
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 5)
+      val watched = java.nio.file.Files.createTempDirectory("x_stream_sessions_et_watch")
+      val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "30 minutes")
+      val sess = Streaming.sessionizeEventTime(stream.as[Streaming.SessionEvent], gapMs)
+      val sink = s"x_stream_sessions_et_${System.nanoTime}"
+      val q = Streaming.startMemorySink(sess.toDF(), sink)
+      try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
+      s.table(sink).select(col("user_id"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"),
+        col("total_value").cast("long").as("total_value_e6"))
+    }),
+
     // ==== extension: OUT-OF-ORDER arrival — the late-data contract.
     // The same events history replayed with chunks arriving in the
     // fixed permutation (1,0,3,2,5,4): every chunk is at most one
@@ -1577,6 +1608,35 @@ object SparkEntry {
              event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2""",
+    // Event-time-timeout sessions: batch sessionization, minus the
+    // sessions the stream can never close — the LAST session of each
+    // user survives only if the final watermark (hi − 30 min)
+    // strictly passes its end + gap; every earlier session was closed
+    // by the arrival of its successor's first event.
+    "x_stream_sessions_et" -> """
+      WITH flagged AS (
+        SELECT user_id, value, epoch_ms(ts) AS ts_ms, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+                    THEN 1 ELSE 0 END AS __new
+        FROM events),
+      sess AS (
+        SELECT user_id, value, ts_ms,
+               CAST(sum(__new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged),
+      grouped AS (
+        SELECT user_id, session_id,
+               min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+               count(*) AS n_events,
+               CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_value_e6
+        FROM sess GROUP BY user_id, session_id),
+      b AS (SELECT max(epoch_ms(ts)) AS hi FROM events),
+      lastsess AS (SELECT user_id, max(session_id) AS last_id FROM grouped GROUP BY user_id)
+      SELECT g.user_id, g.session_start_ms, g.session_end_ms, g.n_events, g.total_value_e6
+      FROM grouped g JOIN lastsess l ON g.user_id = l.user_id, b
+      WHERE g.session_id <> l.last_id OR g.session_end_ms + 1800000 < hi - 1800000""",
+
     // Late-data contract: re-derive the watermark schedule of the
     // fixed shuffled replay — chunk(r) by the writer's formula,
     // arrival position from the literal permutation (1,0,3,2,5,4),

@@ -104,6 +104,67 @@ object Streaming {
       }
   }
 
+  /** Gap sessionization with EVENT-TIME timeouts — the production
+    * closing mechanism: a session also closes when the WATERMARK
+    * passes `lastTs + gapMs`, so end-of-stream sessions emit without
+    * the sentinel-row workaround the NoTimeout variant needs, and
+    * state for idle users is evicted by event time, not wall clock
+    * (deterministic under replay, unlike ProcessingTimeTimeout).
+    *
+    * Emission contract (the gate's oracle predicts it exactly):
+    *  - a session closed BY DATA (a later event of the same user
+    *    beyond the gap) emits in the batch that event arrives — no
+    *    watermark involvement;
+    *  - a session closed BY TIMEOUT emits once the watermark passes
+    *    `session_end + gap`; sessions the final watermark never
+    *    passes stay in state, unemitted (exactly the trailing-window
+    *    holdback append-mode windows have).
+    *
+    * The timeout timestamp is clamped to just above the current
+    * watermark when `lastTs + gap` already trails it (Spark rejects
+    * timeouts at-or-below the watermark); the clamp delays emission
+    * by one batch but never changes membership.
+    *
+    * Caller must `withWatermark` the event-time column BEFORE calling
+    * (the timeout needs a watermark to measure against).
+    */
+  def sessionizeEventTime(
+      events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastTs + gapMs, wm + 1))
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Start a streaming sink to parquet with checkpointing (exactly-once
     * file output), or to an in-memory table for tests.
     */
