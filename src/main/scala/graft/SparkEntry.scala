@@ -940,6 +940,24 @@ object SparkEntry {
       graft.catalog.SqliteData.write(db, "nation_rt", nation, overwrite = true)
       graft.catalog.SqliteData.readTable(s, db, "nation_rt")
     }),
+    // ORC data plane: typed round-trip through the REAL sink/source
+    // dispatch (SinkWriter orc → SourceReader orc), the same gate
+    // shape as the sqlite data plane — the driver's compare proves
+    // values survive the format, not just that the code compiles.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc_gate")
+        .resolve("nation_orc").toString
+      val nation = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"),
+        (col("n_nationkey") * lit(1.5)).as("score"))
+      graft.sinks.SinkWriter.write(nation,
+        graft.spec.SinkSpec("orc_out", "orc", graft.spec.Config.of("path" -> dir)))
+      graft.sources.SourceReader.read(s,
+        graft.spec.SourceSpec("orc_in", "orc", graft.spec.Config.of("path" -> dir)))
+    }),
+
     // `query` mode: the reference's arbitrary-SQL source config,
     // re-expressed as Catalyst SQL over the file's tables-as-views
     "q_sqlite_query" -> ((s, d) => {
@@ -1700,6 +1718,13 @@ object SparkEntry {
     // oracle proves the codec round-trip is lossless for INTEGER/
     // REAL/TEXT storage classes.
     "q_sqlite_roundtrip" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             n_nationkey * 1.5 AS score
+      FROM nation""",
+
+    // orc round-trip must preserve exactly the same typed values
+    "q_orc_roundtrip" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
              CAST(n_regionkey AS BIGINT) AS n_regionkey,
              n_nationkey * 1.5 AS score

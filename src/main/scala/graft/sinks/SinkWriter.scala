@@ -35,6 +35,11 @@ object SinkWriter {
       val parts = s.config.strList("partition_by")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s.config.reqStr("path"))
 
+    case "orc" =>
+      val w = writer(df, s)
+      val parts = s.config.strList("partition_by")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).orc(s.config.reqStr("path"))
+
     // Reference sqlite sink (main.py:326-341) over the pure-Scala
     // file codec — no JDBC driver needed. The reference stores every
     // value as TEXT; here values keep real sqlite storage classes
@@ -67,5 +72,5 @@ object SinkWriter {
     d.write.mode(s.config.str("mode").getOrElse("overwrite"))
   }
 
-  val knownTypes: Set[String] = Set("stdout", "json", "csv", "parquet", "jdbc", "sqlite")
+  val knownTypes: Set[String] = Set("stdout", "json", "csv", "parquet", "orc", "jdbc", "sqlite")
 }

@@ -60,6 +60,16 @@ object SourceReader {
         case cols => df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       }
 
+    // ORC: the other columnar format large estates standardize on
+    // (Hive lineage). Same lazy-scan contract as parquet — pushdown,
+    // pruning, and the optional `columns` projection reach the reader.
+    case "orc" =>
+      val df = spark.read.orc(s.config.reqStr("path"))
+      s.config.strList("columns") match {
+        case Nil  => df
+        case cols => df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      }
+
     // Reference sqlite source (main.py:130-138) over the pure-Scala
     // file codec — no JDBC driver needed. `table` reads one table;
     // `query` is the reference's arbitrary-SQL mode, re-expressed as
