@@ -890,6 +890,36 @@ object SparkEntry {
         col("total_value").cast("long").as("total_value_e6"))
     }),
 
+    // ==== extension: OUT-OF-ORDER sessionization — the sorter
+    // pattern: arrivals buffer in state and fold into sessions only
+    // once the watermark releases them in EVENT-TIME order, so the
+    // same shuffled replay as x_stream_late must reproduce the batch
+    // segmentation over exactly the rows the arrival schedule keeps:
+    // dropped = at-or-below the watermark at arrival (self-enforced
+    // operator contract), unreleased = above the final watermark,
+    // last-session holdback as in x_stream_sessions_et. One oracle
+    // derives all three boundaries.
+    "x_stream_sessions_ooo" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      import s.implicits._
+      val gapMs = 1800000L
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("double").as("value"))
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", Seq(1, 0, 3, 2, 5, 4))
+      val watched = java.nio.file.Files.createTempDirectory("x_stream_sessions_ooo_watch")
+      val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "30 minutes")
+      val sess = Streaming.sessionizeOutOfOrder(stream.as[Streaming.SessionEvent], gapMs)
+      val sink = s"x_stream_sessions_ooo_${System.nanoTime}"
+      val q = Streaming.startMemorySink(sess.toDF(), sink)
+      try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
+      s.table(sink).select(col("user_id"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"),
+        col("total_value").cast("long").as("total_value_e6"))
+    }),
+
     // ==== extension: OUT-OF-ORDER arrival — the late-data contract.
     // The same events history replayed with chunks arriving in the
     // fixed permutation (1,0,3,2,5,4): every chunk is at most one
@@ -1654,6 +1684,57 @@ object SparkEntry {
       SELECT g.user_id, g.session_start_ms, g.session_end_ms, g.n_events, g.total_value_e6
       FROM grouped g JOIN lastsess l ON g.user_id = l.user_id, b
       WHERE g.session_id <> l.last_id OR g.session_end_ms + 1800000 < hi - 1800000""",
+
+    // Out-of-order sessions: the arrival-schedule watermark decides
+    // which rows survive (dropped at arrival if at-or-below it;
+    // unreleased if above the FINAL watermark), then batch gap-
+    // segmentation over the survivors, then the last-session
+    // emission rule — all three boundaries derived in one query.
+    "x_stream_sessions_ooo" -> """
+      WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+        FROM events),
+      b AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM ev),
+      chunked AS (
+        SELECT ev.*,
+               least(CAST(floor((ts_ms - lo) * 6 / CAST(hi - lo + 1 AS DOUBLE)) AS INT), 5)
+                 AS chunk
+        FROM ev, b),
+      cmax AS (SELECT chunk, max(ts_ms) AS mx FROM chunked GROUP BY chunk),
+      arrival AS (
+        SELECT c.chunk, row_number() OVER (ORDER BY o.pos) - 1 AS batch, c.mx
+        FROM cmax c JOIN (VALUES (1,0),(0,1),(3,2),(2,3),(5,4),(4,5)) AS o(chunk, pos)
+          ON o.chunk = c.chunk),
+      wm AS (
+        SELECT chunk,
+               COALESCE(max(mx) OVER (ORDER BY batch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1800000, 0) AS wm_ms
+        FROM arrival),
+      processed AS (
+        SELECT c.user_id, c.ts_ms, c.event_id, c.value
+        FROM chunked c JOIN wm ON wm.chunk = c.chunk, b
+        WHERE c.ts_ms > wm.wm_ms AND c.ts_ms <= hi - 1800000),
+      flagged AS (
+        SELECT user_id, value, ts_ms, event_id,
+               CASE WHEN ts_ms - lag(ts_ms) OVER
+                      (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                    THEN 1 ELSE 0 END AS __new
+        FROM processed),
+      sess AS (
+        SELECT user_id, value, ts_ms,
+               CAST(sum(__new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged),
+      grouped AS (
+        SELECT user_id, session_id,
+               min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+               count(*) AS n_events,
+               CAST(sum(CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_value_e6
+        FROM sess GROUP BY user_id, session_id),
+      lastsess AS (SELECT user_id, max(session_id) AS last_id FROM grouped GROUP BY user_id)
+      SELECT g.user_id, g.session_start_ms, g.session_end_ms, g.n_events, g.total_value_e6
+      FROM grouped g JOIN lastsess l ON g.user_id = l.user_id, b
+      WHERE g.session_id <> l.last_id OR hi - 1800000 > g.session_end_ms + 1800000""",
 
     // Late-data contract: re-derive the watermark schedule of the
     // fixed shuffled replay — chunk(r) by the writer's formula,

@@ -165,6 +165,98 @@ object Streaming {
       }
   }
 
+  /** Per-user sorter state for [[sessionizeOutOfOrder]]: events not
+    * yet releasable by the watermark, plus the open session over the
+    * already-released prefix. State is bounded: the buffer holds at
+    * most one watermark-delay's worth of a user's events (older rows
+    * release or drop), the open session is O(1).
+    */
+  final case class OooState(buf: Seq[(Long, Double)], open: Option[SessionState])
+
+  /** Gap sessionization under OUT-OF-ORDER arrival — the sorter
+    * pattern: arrivals buffer in state; once the WATERMARK passes an
+    * event's time it is released and folded into sessions in EVENT-
+    * TIME order, so session segmentation equals the batch answer over
+    * the released rows no matter how arrivals interleave (within one
+    * watermark window). The released prefix can never need
+    * re-ordering: a row released later always carries a timestamp
+    * above the watermark that released the earlier prefix.
+    *
+    * Late-row contract is self-enforced, not inherited from the
+    * engine: a row at-or-below the current watermark AT ARRIVAL is
+    * dropped by the operator (`ts > wm` filter) — deterministic and
+    * oracle-predictable from the arrival schedule alone.
+    *
+    * Emission: a session closes when a released successor lies beyond
+    * the gap (by data) or when the watermark passes `end + gap` (by
+    * timeout — no later event can extend it, since all future rows
+    * exceed the watermark). Trailing events the final watermark never
+    * releases stay buffered, unemitted — the stateful analog of
+    * append-mode window holdback.
+    *
+    * Caller must `withWatermark` the event-time column BEFORE calling.
+    */
+  def sessionizeOutOfOrder(
+      events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    // fold (wm, state, fresh arrivals) → (emissions, next state)
+    def advance(uid: Long, prior: OooState, fresh: Seq[(Long, Double)], wm: Long)
+        : (List[SessionOut], Option[OooState]) = {
+      val buf = prior.buf ++ fresh.filter(_._1 > wm) // late rows dropped HERE
+      val (ready, pending) = buf.partition(_._1 <= wm)
+      var out = List.empty[SessionOut]
+      var cur = prior.open
+      ready.sorted.foreach { case (t, v) =>
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMs =>
+            cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + v))
+          case Some(s) =>
+            out ::= SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+            cur = Some(SessionState(t, t, 1, v))
+          case None =>
+            cur = Some(SessionState(t, t, 1, v))
+        }
+      }
+      // close by timeout: no future row can extend a session the
+      // watermark has passed by more than the gap
+      cur match {
+        case Some(s) if wm > s.lastTs + gapMs =>
+          out ::= SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+          cur = None
+        case _ => ()
+      }
+      val next =
+        if (pending.isEmpty && cur.isEmpty) None
+        else Some(OooState(pending, cur))
+      (out.reverse, next)
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OooState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[OooState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.getOrElse(OooState(Nil, None))
+          val fresh = if (state.hasTimedOut) Nil else evs.map(e => (e.ts.getTime, e.value)).toSeq
+          val (out, next) = advance(uid, prior, fresh, wm)
+          next match {
+            case None => if (state.exists) state.remove()
+            case Some(st) =>
+              state.update(st)
+              // wake at the next decision point: the earliest buffered
+              // release, or the open session's close deadline — always
+              // strictly above the current watermark (Spark rejects
+              // stale timeouts; st survived advance(), so both
+              // candidates already exceed wm except the exact-equality
+              // edge the +1 covers)
+              val candidates = st.buf.map(_._1) ++ st.open.map(_.lastTs + gapMs)
+              state.setTimeoutTimestamp(math.max(candidates.min, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Start a streaming sink to parquet with checkpointing (exactly-once
     * file output), or to an in-memory table for tests.
     */
