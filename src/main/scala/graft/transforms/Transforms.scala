@@ -185,6 +185,33 @@ object Transforms {
       graft.ops.Multimodal.frameSample(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
         t.config.int("n_frames").getOrElse(8), t.config.int("stride").getOrElse(1))
+    // Gap sessionization for STREAMING pipelines (chain after a
+    // `watermark` transform). Modes: event_time (watermark-closed,
+    // production default), out_of_order (sorter-buffered, tolerates
+    // bounded disorder), no_timeout (closed-by-data only — needs the
+    // caller to guarantee closure, e.g. sentinels). Batch pipelines
+    // use the window/lag segmentation instead (x_sessionize) — a
+    // batch Dataset has no watermark, so the state machine would
+    // never release or close anything; fail fast.
+    case "sessionize" =>
+      if (!df.isStreaming)
+        throw new GraftAnalysisException(
+          "sessionize: streaming-only (batch pipelines segment via window/lag — see x_sessionize)")
+      val spark2 = df.sparkSession
+      import spark2.implicits._
+      val cfg = t.config
+      val gapMs = cfg.long("gap_ms").getOrElse(1800000L)
+      val ev = df.select(
+        col(cfg.str("user_field").getOrElse("user_id")).cast("long").as("user_id"),
+        col(cfg.str("ts_field").getOrElse("ts")).as("ts"),
+        col(cfg.str("value_field").getOrElse("value")).cast("double").as("value"))
+        .as[graft.streaming.Streaming.SessionEvent]
+      (cfg.str("mode").getOrElse("event_time") match {
+        case "event_time"   => graft.streaming.Streaming.sessionizeEventTime(ev, gapMs)
+        case "out_of_order" => graft.streaming.Streaming.sessionizeOutOfOrder(ev, gapMs)
+        case "no_timeout"   => graft.streaming.Streaming.sessionize(ev, gapMs)
+        case other => throw new GraftAnalysisException(s"sessionize: unknown mode '$other'")
+      }).toDF()
     // REAL header decode (PNG/JPEG/GIF): mime sniff + dimensions
     case "image_meta" =>
       graft.ops.Multimodal.decodeImageMeta(df,
@@ -234,6 +261,7 @@ object Transforms {
     "select", "rename", "limit", "union", "intersect", "except",
     "distinct", "window", "sql", "sample", "split",
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
+    "sessionize",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",

@@ -104,6 +104,37 @@ class StreamingSpec extends SparkSuite {
     } finally run.query.stop()
   }
 
+  test("StreamingRunner: watermark + sessionize spec emits watermark-closed sessions") {
+    import graft.spec._
+    val dir = java.nio.file.Files.createTempDirectory("graftsess")
+    sf("events").limit(500).write.mode("overwrite").parquet(dir.toString + "/in")
+    val spec = PipelineSpec(
+      name = "stream_sess",
+      sources = Seq(SourceSpec("events", "parquet", Config.of("path" -> (dir.toString + "/in")))),
+      transforms = Seq(
+        TransformSpec("t", "map", Config.of("field" -> "ts", "operation" -> "ns_to_timestamp"), Nil, 0),
+        TransformSpec("w", "watermark", Config.of("field" -> "ts", "delay" -> "30 minutes"), Nil, 1),
+        TransformSpec("s", "sessionize", Config.of(
+          "gap_ms" -> 1800000L, "mode" -> "event_time"), Nil, 2)),
+      sinks = Seq(SinkSpec("m", "memory", Config.of("table" -> "sess_spec_out"))))
+    val run = graft.streaming.StreamingRunner.start(spark, spec, dir.toString + "/ckpt")
+    try {
+      run.query.processAllAvailable()
+      val out = spark.table("sess_spec_out")
+      assert(out.columns.toSeq == Seq("user_id", "session_start", "session_end",
+        "n_events", "total_value"))
+      assert(out.count() > 0)
+      // every emitted session respects the gap invariant
+      assert(out.where(unix_millis($"session_end") < unix_millis($"session_start")).count() == 0)
+    } finally run.query.stop()
+    // batch pipelines must be rejected: no watermark, nothing would close
+    val batchDf = sf("events").limit(10)
+    assertThrows[GraftAnalysisException] {
+      graft.transforms.Transforms(batchDf,
+        TransformSpec("s", "sessionize", Config.of()), Map.empty)
+    }
+  }
+
   test("stream replay reproduces the batch answer exactly (windowed agg + sessions)") {
     // the driver gate (x_stream_window / x_stream_sessions) proves this
     // against DuckDB at sf0.01; this pins the same batch/stream parity
