@@ -135,6 +135,59 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("checkpoint recovery: restart mid-replay neither loses nor duplicates windows") {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    import graft.streaming.{StreamParity, Streaming}
+    val ev = sf("events").limit(800)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"ts", $"event_type", $"value".cast("decimal(18,6)").as("value"))
+    val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 6)
+    val watched = JFiles.createTempDirectory("graft_ckpt_watch")
+    val outDir = JFiles.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = JFiles.createTempDirectory("graft_ckpt_meta").toString
+    val files = JFiles.list(staged).sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+
+    def start() = {
+      val stream = Streaming.fileSource(spark, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+      Streaming.windowedAgg(stream, "ts", "event_type", "value",
+          window_ = "1 hour", watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // first half of the history, then a hard stop (simulated failure /
+    // redeploy), then a NEW query on the same checkpoint for the rest
+    val q1 = start()
+    try files.take(3).foreach { f =>
+      JFiles.copy(f, watched.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      files.drop(3).foreach { f =>
+        JFiles.copy(f, watched.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+
+    // exactly-once across the restart: output (read through the file
+    // sink's manifest) must equal the batch answer over the windows
+    // the final watermark finalized — no loss, no duplication
+    val hi = ev.agg(max(unix_millis($"ts"))).as[Long].head()
+    val expected = ev
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .where(unix_millis($"w.end") <= hi - 1800000L)
+      .select(unix_millis($"w.start").as("ws"), $"event_type", $"n",
+        $"total".cast("double").as("total"))
+    val got = spark.read.parquet(outDir)
+      .select(unix_millis($"window_start").as("ws"), $"event_type", $"n",
+        $"total".cast("double").as("total"))
+    assert(got.count() == expected.count(), "row count drifted across restart")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "restart lost or duplicated finalized windows")
+  }
+
   test("stream replay reproduces the batch answer exactly (windowed agg + sessions)") {
     // the driver gate (x_stream_window / x_stream_sessions) proves this
     // against DuckDB at sf0.01; this pins the same batch/stream parity
