@@ -206,7 +206,17 @@ object Similarity {
         .select(col(queryIdCol).as("query_id"), toDoubleVec(col(vecCol)).as("__qv"))
       val probes = probeCells(queries, queryIdCol, vecCol, nprobe).join(q, "query_id")
         .select(col("query_id"), col("__qv"), col("__cell"))
-      val scored = broadcast(probes).join(assigned, Seq("__cell"))
+      // static partition pruning (same as IvfPq.search): the union of
+      // probed cells is a small driver-side set, so push it as a
+      // literal IN filter — a load()ed cell-partitioned index then
+      // skips every unprobed cell's FILES at the scan instead of
+      // relying on the join to discard their rows post-read
+      val probedCells = {
+        import queries.sparkSession.implicits._
+        probes.select(col("__cell")).distinct().as[Int].collect().sorted.toSeq
+      }
+      val scored = broadcast(probes)
+        .join(assigned.where(col("__cell").isin(probedCells: _*)), Seq("__cell"))
         .where(col("query_id") =!= col("neighbor_id"))
         .withColumn("cosine", dot(col("__qv"), col("__cv"))
           / (l2norm(col("__qv")) * l2norm(col("__cv"))))

@@ -145,10 +145,15 @@ object Transforms {
         case "lsh" => graft.ops.Similarity.lshTopK(q, df, idF, idF, vecF, k,
           dim = cfg.int("dim").getOrElse(64), planes = cfg.int("planes").getOrElse(6),
           tables = cfg.int("tables").getOrElse(1))
-        case "ivf" => graft.ops.Similarity.IvfIndex
-          .build(df, idF, vecF, dim = cfg.int("dim").getOrElse(64),
-            nlist = cfg.int("nlist").getOrElse(16))
-          .search(q, idF, vecF, k, nprobe = cfg.int("nprobe").getOrElse(4))
+        // `index_path` reopens a persisted index (build once over the
+        // corpus, search many times) instead of re-clustering per run
+        case "ivf" =>
+          val ix = cfg.str("index_path") match {
+            case Some(p) => graft.ops.Similarity.IvfIndex.load(df.sparkSession, p)
+            case None => graft.ops.Similarity.IvfIndex.build(df, idF, vecF,
+              dim = cfg.int("dim").getOrElse(64), nlist = cfg.int("nlist").getOrElse(16))
+          }
+          ix.search(q, idF, vecF, k, nprobe = cfg.int("nprobe").getOrElse(4))
         // compression tier: train + encode + ADC search in one step
         // (persist the codebook via Pq.save/load for build-once flows)
         case "pq" =>
@@ -160,10 +165,13 @@ object Transforms {
         // WHAT a row costs; residual encoding on by default (beats
         // flat PQ at equal code size — see Pq.IvfPq scaladoc)
         case "ivfpq" =>
-          val ix = graft.ops.Pq.IvfPq.build(df, idF, vecF,
-            dim = cfg.int("dim").getOrElse(64), nlist = cfg.int("nlist").getOrElse(16),
-            m = cfg.int("m").getOrElse(8), ksub = cfg.int("ksub").getOrElse(16),
-            residual = cfg.bool("residual").getOrElse(true))
+          val ix = cfg.str("index_path") match {
+            case Some(p) => graft.ops.Pq.IvfPq.load(df.sparkSession, p)
+            case None => graft.ops.Pq.IvfPq.build(df, idF, vecF,
+              dim = cfg.int("dim").getOrElse(64), nlist = cfg.int("nlist").getOrElse(16),
+              m = cfg.int("m").getOrElse(8), ksub = cfg.int("ksub").getOrElse(16),
+              residual = cfg.bool("residual").getOrElse(true))
+          }
           graft.ops.Pq.IvfPq.search(ix, q, idF, vecF, k,
             nprobe = cfg.int("nprobe").getOrElse(4))
         case other => throw new GraftAnalysisException(s"ann_topk: unknown method '$other'")

@@ -381,6 +381,33 @@ class TransformsSpec extends SparkSuite {
     assert(meta.where(col("mime_detected").isNull).count() == 3)
   }
 
+  test("ann_topk spec op: index_path reopens a persisted index instead of re-clustering") {
+    val rnd = new scala.util.Random(19)
+    val vecs = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 2)
+    val dir = java.nio.file.Files.createTempDirectory("graftannix").toString
+    val ivf = graft.ops.Similarity.IvfIndex.build(vecs, "vec_id", "embedding", dim = 8, nlist = 4)
+    ivf.save(s"$dir/ivf")
+    val viaSpec = Transforms(vecs, graft.spec.TransformSpec("a", "ann_topk",
+      Config.of("queries" -> "q", "k" -> 3, "method" -> "ivf",
+        "index_path" -> s"$dir/ivf", "nprobe" -> 4)), Map("q" -> q))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val direct = ivf.search(q, "vec_id", "embedding", k = 3, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaSpec == direct && viaSpec.nonEmpty)
+    val ivfpq = graft.ops.Pq.IvfPq.build(vecs, "vec_id", "embedding", dim = 8,
+      nlist = 4, m = 2, ksub = 8, residual = true)
+    graft.ops.Pq.IvfPq.save(ivfpq, s"$dir/ivfpq")
+    val viaSpec2 = Transforms(vecs, graft.spec.TransformSpec("a2", "ann_topk",
+      Config.of("queries" -> "q", "k" -> 3, "method" -> "ivfpq",
+        "index_path" -> s"$dir/ivfpq", "nprobe" -> 4)), Map("q" -> q))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val direct2 = graft.ops.Pq.IvfPq.search(ivfpq, q, "vec_id", "embedding", k = 3, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaSpec2 == direct2 && viaSpec2.nonEmpty)
+  }
+
   test("ann_topk spec op: ivfpq method composes build + residual search") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.tabulate(60)(i =>
