@@ -890,6 +890,30 @@ object SparkEntry {
         col("total_value").cast("long").as("total_value_e6"))
     }),
 
+    // ==== extension: STREAMING exact-dedup — at-least-once upstream
+    // delivery (every event arrives twice here) must yield
+    // exactly-once downstream. dropDuplicates keys INCLUDE the
+    // event-time column, so the watermark evicts old keys and state
+    // stays bounded by the delay window instead of growing with the
+    // stream — the property that makes streaming ingestion dedup
+    // viable at 100 TB. Oracle: the distinct event set.
+    "x_stream_dedup" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      val ev = events(s, d).select(col("ts"), col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      val dup = ev.unionByName(ev)
+      val (staged, _) = StreamParity.writeChunksInOrder(dup, "ts", 0 until 4)
+      val watched = java.nio.file.Files.createTempDirectory("x_stream_dedup_watch")
+      val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicates("event_id", "ts")
+      val sink = s"x_stream_dedup_${System.nanoTime}"
+      val q = Streaming.startMemorySink(stream, sink)
+      try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
+      s.table(sink).select(unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        col("event_type"), col("value").cast("double").as("value"))
+    }),
+
     // ==== extension: OUT-OF-ORDER sessionization — the sorter
     // pattern: arrivals buffer in state and fold into sessions only
     // once the watermark releases them in EVENT-TIME order, so the
@@ -1684,6 +1708,12 @@ object SparkEntry {
       SELECT g.user_id, g.session_start_ms, g.session_end_ms, g.n_events, g.total_value_e6
       FROM grouped g JOIN lastsess l ON g.user_id = l.user_id, b
       WHERE g.session_id <> l.last_id OR g.session_end_ms + 1800000 < hi - 1800000""",
+
+    // Streaming exact-dedup: doubled delivery in, distinct events out.
+    "x_stream_dedup" -> """
+      SELECT epoch_ms(ts) AS ts_ms, event_id, event_type,
+             CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS value
+      FROM events""",
 
     // Out-of-order sessions: the arrival-schedule watermark decides
     // which rows survive (dropped at arrival if at-or-below it;

@@ -196,42 +196,45 @@ object Streaming {
     *
     * Caller must `withWatermark` the event-time column BEFORE calling.
     */
+  /** The sorter-state fold of [[sessionizeOutOfOrder]]: (prior state,
+    * fresh arrivals, watermark) → (emissions, next state). Factored
+    * out so PropertySpec can drive it with arbitrary arrival orders
+    * and watermark schedules without spinning a streaming query.
+    */
+  private[graft] def oooAdvance(uid: Long, prior: OooState,
+      fresh: Seq[(Long, Double)], wm: Long, gapMs: Long): (List[SessionOut], Option[OooState]) = {
+    val buf = prior.buf ++ fresh.filter(_._1 > wm) // late rows dropped HERE
+    val (ready, pending) = buf.partition(_._1 <= wm)
+    var out = List.empty[SessionOut]
+    var cur = prior.open
+    ready.sorted.foreach { case (t, v) =>
+      cur match {
+        case Some(s) if t - s.lastTs <= gapMs =>
+          cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + v))
+        case Some(s) =>
+          out ::= SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, v))
+        case None =>
+          cur = Some(SessionState(t, t, 1, v))
+      }
+    }
+    // close by timeout: no future row can extend a session the
+    // watermark has passed by more than the gap
+    cur match {
+      case Some(s) if wm > s.lastTs + gapMs =>
+        out ::= SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+        cur = None
+      case _ => ()
+    }
+    val next =
+      if (pending.isEmpty && cur.isEmpty) None
+      else Some(OooState(pending, cur))
+    (out.reverse, next)
+  }
+
   def sessionizeOutOfOrder(
       events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-
-    // fold (wm, state, fresh arrivals) → (emissions, next state)
-    def advance(uid: Long, prior: OooState, fresh: Seq[(Long, Double)], wm: Long)
-        : (List[SessionOut], Option[OooState]) = {
-      val buf = prior.buf ++ fresh.filter(_._1 > wm) // late rows dropped HERE
-      val (ready, pending) = buf.partition(_._1 <= wm)
-      var out = List.empty[SessionOut]
-      var cur = prior.open
-      ready.sorted.foreach { case (t, v) =>
-        cur match {
-          case Some(s) if t - s.lastTs <= gapMs =>
-            cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + v))
-          case Some(s) =>
-            out ::= SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
-            cur = Some(SessionState(t, t, 1, v))
-          case None =>
-            cur = Some(SessionState(t, t, 1, v))
-        }
-      }
-      // close by timeout: no future row can extend a session the
-      // watermark has passed by more than the gap
-      cur match {
-        case Some(s) if wm > s.lastTs + gapMs =>
-          out ::= SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
-          cur = None
-        case _ => ()
-      }
-      val next =
-        if (pending.isEmpty && cur.isEmpty) None
-        else Some(OooState(pending, cur))
-      (out.reverse, next)
-    }
-
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OooState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -239,7 +242,7 @@ object Streaming {
           val wm = state.getCurrentWatermarkMs()
           val prior = state.getOption.getOrElse(OooState(Nil, None))
           val fresh = if (state.hasTimedOut) Nil else evs.map(e => (e.ts.getTime, e.value)).toSeq
-          val (out, next) = advance(uid, prior, fresh, wm)
+          val (out, next) = oooAdvance(uid, prior, fresh, wm, gapMs)
           next match {
             case None => if (state.exists) state.remove()
             case Some(st) =>

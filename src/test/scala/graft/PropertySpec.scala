@@ -152,4 +152,58 @@ class PropertySpec extends SparkSuite {
     }
     assert(anyLost, "cap never dropped a pair across all seeds — contract untested")
   }
+
+  test("ooo session fold: any arrival order + any watermark schedule == batch segmentation of kept rows") {
+    import graft.streaming.Streaming
+    val gap = 100L
+    // events in a small time range, partitioned into arrival batches
+    // in a RANDOM order; watermark schedule derived from arrivals the
+    // way Spark derives it (max event time seen so far − delay)
+    val evGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 2000L), Gen.choose(1, 9)))
+    forAll(evGen, Gen.choose(1, 6)) { (raw, nBatches) =>
+      val events = raw.map { case (t, v) => (t, v.toDouble) }
+      val batches = events.zipWithIndex.groupBy(_._2 % nBatches).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1)) // deterministic "random" interleave by index
+      val delay = 150L
+      var state: Option[Streaming.OooState] = Some(Streaming.OooState(Nil, None))
+      var emitted = List.empty[Streaming.SessionOut]
+      var maxSeen = Long.MinValue
+      var wm = 0L
+      val kept = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+      batches.foreach { b =>
+        // Spark semantics: wm in effect during a batch comes from data
+        // seen through the PREVIOUS batch
+        kept ++= b.filter(_._1 > wm) // what the operator's late filter keeps
+        val (out, next) = Streaming.oooAdvance(7L,
+          state.getOrElse(Streaming.OooState(Nil, None)), b, wm, gap)
+        emitted :::= out.reverse
+        state = next
+        maxSeen = math.max(maxSeen, (b.map(_._1) :+ maxSeen).max)
+        wm = math.max(wm, maxSeen - delay)
+      }
+      // flush: advance the watermark beyond everything (stream keeps
+      // running with fresh data elsewhere) — every kept row releases,
+      // every session closes
+      val (out, next) = Streaming.oooAdvance(7L,
+        state.getOrElse(Streaming.OooState(Nil, None)), Nil, maxSeen + 10 * gap, gap)
+      emitted :::= out.reverse
+      assert(next.isEmpty, "flush left state behind")
+      // reference: plain batch gap-segmentation of the kept rows
+      val sorted = kept.toList.sorted
+      val expected = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Double)]
+      var cur: Option[(Long, Long, Long, Double)] = None
+      sorted.foreach { case (t, v) =>
+        cur match {
+          case Some((s, e, n, tot)) if t - e <= gap => cur = Some((s, t, n + 1, tot + v))
+          case Some(done) => expected += done; cur = Some((t, t, 1L, v))
+          case None => cur = Some((t, t, 1L, v))
+        }
+      }
+      cur.foreach(expected += _)
+      val got = emitted.map(s => (s.session_start.getTime, s.session_end.getTime,
+        s.n_events, s.total_value)).sorted
+      assert(got == expected.toList.sorted,
+        s"fold diverged from batch segmentation: got=$got expected=${expected.toList.sorted}")
+    }
+  }
 }
