@@ -890,6 +890,32 @@ object SparkEntry {
         col("total_value").cast("long").as("total_value_e6"))
     }),
 
+    // ==== extension: STREAM-STATIC join — the enrichment shape every
+    // ingestion pipeline has (stream facts × broadcast dimension).
+    // The dimension is derived deterministically from the same events
+    // history (user_id → cohort), so the oracle re-joins it exactly;
+    // the windowed aggregate over the enriched stream must reproduce
+    // the batch answer under in-order replay.
+    "x_stream_join" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      val ev = events(s, d).select(col("ts"), col("user_id"),
+        col("value").cast("decimal(18,6)").as("value"))
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(7)))
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 4)
+      val watched = java.nio.file.Files.createTempDirectory("x_stream_join_watch")
+      val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+        .join(broadcast(dim), "user_id")
+      val agg = Streaming.windowedAgg(stream, "ts", "cohort", "value",
+        window_ = "1 hour", watermark = "30 minutes")
+      val sink = s"x_stream_join_${System.nanoTime}"
+      val q = Streaming.startMemorySink(agg, sink, mode = "complete")
+      try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
+      s.table(sink).select(unix_millis(col("window_start")).as("ws_ms"),
+        col("cohort").cast("long").as("cohort"), col("n"),
+        col("total").cast("double").as("total"))
+    }),
+
     // ==== extension: STREAMING exact-dedup — at-least-once upstream
     // delivery (every event arrives twice here) must yield
     // exactly-once downstream. dropDuplicates keys INCLUDE the
@@ -1708,6 +1734,14 @@ object SparkEntry {
       SELECT g.user_id, g.session_start_ms, g.session_end_ms, g.n_events, g.total_value_e6
       FROM grouped g JOIN lastsess l ON g.user_id = l.user_id, b
       WHERE g.session_id <> l.last_id OR g.session_end_ms + 1800000 < hi - 1800000""",
+
+    // Stream-static join: enrich with the derived cohort dimension,
+    // then the same hourly aggregate shape as x_stream_window.
+    "x_stream_join" -> """
+      SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS ws_ms,
+             CAST(user_id % 7 AS BIGINT) AS cohort, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2""",
 
     // Streaming exact-dedup: doubled delivery in, distinct events out.
     "x_stream_dedup" -> """
