@@ -567,6 +567,29 @@ object SparkEntry {
     "x_text_lang" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), col("lang").as("lang_label"),
         TextAnalysis.langId(col("text")).as("lang_id"))),
+    // Gopher-rule repetition signals (scan-local struct): this corpus
+    // has no newlines so the line fractions are structurally zero —
+    // the signal the gate actually exercises is symbol_word_ratio;
+    // TransformsSpec pins the line fractions on a multi-line fixture.
+    "x_text_repetition" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.repetitionStruct(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_lines").as("n_lines"),
+          round(col("r.dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("r.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("r.symbol_word_ratio"), 6).as("symbol_word_ratio"))),
+    // top-2-gram dominance (the aggregation half of the Gopher rules)
+    "x_text_top2gram" -> ((s, d) =>
+      TextAnalysis.topNgramStats(docs(s, d), "doc_id", "text", n = 2)
+        .withColumn("top_ngram_frac", round(col("top_ngram_frac"), 6))),
+    // CCNet-style perplexity proxy: unigram LM fit on the corpus, every
+    // document scored by mean negative log-likelihood under it
+    "x_text_unigram_ppx" -> ((s, d) => {
+      val ds = docs(s, d)
+      val lm = TextAnalysis.unigramLogProbs(ds, "text")
+      TextAnalysis.unigramNll(ds, "doc_id", "text", lm)
+        .withColumn("avg_nll", round(col("avg_nll"), 6))
+    }),
     "x_text_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -603,6 +626,19 @@ object SparkEntry {
         "doc_id", "doc_id", "text", threshold = 0.7)
         .select(col("left_id").cast("long").as("eval_id"),
           col("right_id").cast("long").as("train_id"), col("jaccard"))
+    }),
+    // EXACT n-gram decontamination (the GPT-3 13-gram method): train
+    // docs flagged when any of their distinct lowercase word 13-grams
+    // appears in the held-out quarter. The planted near-dup pairs that
+    // cross the doc_id%4 split are exactly the contaminated set; the
+    // oracle re-derives every gram with DuckDB list lambdas and joins
+    // on the STRINGS, so the Spark side's hash-first join is verified
+    // collision-free, not assumed.
+    "x_ngram_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.ngramContamination(
+        docs.where(col("doc_id") % 4 =!= 0), docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", n = 13)
     }),
     // INCREMENTAL dedup as a checked equivalence, not a scaladoc
     // claim: the corpus arrives as 3 ingest batches (doc_id % 3 —
@@ -1458,6 +1494,56 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    "x_text_repetition" -> """
+      WITH base AS (
+        SELECT doc_id, text,
+               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                           l -> l <> '') AS ls,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             round(CASE WHEN len(ls) > 0
+               THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+               ELSE 0 END, 6) AS dup_line_frac,
+             round(CASE WHEN coalesce(list_sum(list_transform(ls, l -> length(l))), 0) > 0
+               THEN CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+                      d -> (len(list_filter(ls, x -> x = d)) - 1) * length(d))), 0) AS DOUBLE)
+                    / list_sum(list_transform(ls, l -> length(l)))
+               ELSE 0 END, 6) AS dup_line_char_frac,
+             round(CASE WHEN len(w) > 0
+               THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / len(w)
+               ELSE 0 END, 6) AS symbol_word_ratio
+      FROM base""",
+
+    "x_text_top2gram" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        FROM toks, unnest(range(1, greatest(len(w), 1))) AS u(i)),
+      cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_ngrams,
+             CAST(max(c) AS BIGINT) AS top_ngram_count,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_ngram_frac
+      FROM cnt GROUP BY doc_id""",
+
+    "x_text_unigram_ppx" -> """
+      WITH tk AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+        FROM documents),
+      cnt AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+      tot AS (SELECT sum(c) AS s FROM cnt),
+      lm AS (SELECT w, ln(CAST(c AS DOUBLE) / s) AS lp FROM cnt, tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(-avg(lp), 6) AS avg_nll
+      FROM tk JOIN lm USING (w) GROUP BY doc_id""",
+
     "x_text_fingerprint" -> """
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
@@ -1540,6 +1626,23 @@ object SparkEntry {
                / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)
       WHERE jaccard >= 0.7""",
+
+    "x_ngram_contamination" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+        FROM toks, unnest(range(1, greatest(len(w)-11, 1))) AS u(i)),
+      train AS (SELECT doc_id, g FROM grams WHERE doc_id % 4 <> 0),
+      test AS (SELECT DISTINCT g FROM grams WHERE doc_id % 4 = 0)
+      SELECT t.doc_id,
+             count(*) AS n_ngrams,
+             count(x.g) AS n_hit,
+             (count(x.g) > 0) AS contaminated
+      FROM train t LEFT JOIN test x USING (g)
+      GROUP BY t.doc_id""",
 
     // Same exact-jaccard pair set as x_dedup_minhash (recall argument
     // above), then transitive closure by min-label propagation — the

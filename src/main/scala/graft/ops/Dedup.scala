@@ -306,6 +306,61 @@ object Dedup {
     crossPairs.unionByName(identical)
   }
 
+  /** Exact word-n-gram benchmark decontamination — the published
+    * GPT-3 method (Brown et al. 2020, appendix C: a training document
+    * is contaminated iff it shares any exact lowercase 13-gram with an
+    * evaluation document; PaLM and Llama report the same family of
+    * checks). This is the EXACT sibling of [[minhashContamination]]:
+    * no banding, no threshold — one shared n-gram flags the doc.
+    *
+    * Output, one row per train document with at least n tokens:
+    * (trainIdCol, n_ngrams, n_hit, contaminated) where n_ngrams is
+    * the document's DISTINCT n-gram count, n_hit how many of those
+    * appear anywhere in the test corpus. Shorter documents have no
+    * n-grams and no row, matching the reference method's domain.
+    *
+    * Shape at 100 TB: the train side explodes to (id, gram) pairs and
+    * partially aggregates — but the test side is a benchmark suite
+    * (MBs, not TBs), so its distinct gram set BROADCASTS and the train
+    * side is never shuffled before the final per-doc aggregate:
+    * scan → project/explode → broadcast join → hash agg, with the agg
+    * keyed on the train id (map-side combine bounds state at one row
+    * per doc per task). The join key leads with the 8-byte xxhash64 of
+    * the gram; the gram string rides along as a verify column so a
+    * hash collision cannot manufacture a contamination the string-only
+    * oracle would not find. `broadcastTest = false` drops the hint for
+    * a test corpus too big to broadcast — same result, shuffle join on
+    * the hash.
+    */
+  def ngramContamination(
+      train: DataFrame, test: DataFrame,
+      trainIdCol: String, textCol: String,
+      n: Int = 13, broadcastTest: Boolean = true): DataFrame = {
+    require(n >= 1, s"ngramContamination: n must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val toks = TextAnalysis.tokens(c)
+      // sequence(1, 0) would count DOWN in Spark; guard short docs to
+      // an empty array (explode then drops them, as the oracle does)
+      array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - n + 1),
+            i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array()))
+    }
+    val tg = Partitioning.fanOut(train)
+      .select(col(trainIdCol).as("__id"), explode(grams(col(textCol))).as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("__gh"), col("__g"))
+    val xgBase = test
+      .select(explode(grams(col(textCol))).as("__g")).distinct()
+      .select(xxhash64(col("__g")).as("__gh"), col("__g"), lit(1).as("__hit"))
+    val xg = if (broadcastTest) broadcast(xgBase) else xgBase
+    tg.join(xg, Seq("__gh", "__g"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("__hit")).as("n_hit"))
+      .select(col("__id").as(trainIdCol), col("n_ngrams"), col("n_hit"),
+        (col("n_hit") > 0).as("contaminated"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document: per-bit majority vote over

@@ -108,6 +108,111 @@ object TextAnalysis {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Line-level repetition + symbol-noise signals — the "Gopher
+    * rules" family (Rae et al. 2021, table A1) used to drop
+    * boilerplate/spam documents from pre-training corpora. Pure
+    * scan-local array expressions: per-document line lists are
+    * bounded, so the quadratic duplicate-char count stays inside one
+    * row's evaluation and the whole struct runs at scan speed with
+    * zero shuffle — at 100 TB this is a projection, not a job.
+    *
+    * struct(n_lines, dup_line_frac, dup_line_char_frac,
+    * symbol_word_ratio):
+    *  - dup_line_frac: fraction of non-empty trimmed lines that are
+    *    repeats of an earlier line (n - n_distinct) / n.
+    *  - dup_line_char_frac: characters in those repeated occurrences
+    *    (beyond each line's first) / total line characters.
+    *  - symbol_word_ratio: non-alphanumeric, non-whitespace characters
+    *    per word token.
+    */
+  def repetitionStruct(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= lit(""))
+    val n = size(lines)
+    val dis = array_distinct(lines)
+    val dupFrac = when(n > 0, (n - size(dis)).cast("double") / n).otherwise(lit(0.0))
+    val totChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val dupChars = aggregate(dis, lit(0L),
+      (a, d) => a + (size(filter(lines, x => x === d)) - 1).cast("long") * length(d))
+    val dupCharFrac = when(totChars > 0, dupChars.cast("double") / totChars)
+      .otherwise(lit(0.0))
+    val words = tokens(text)
+    val symbols = length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    val symbolWordRatio = when(size(words) > 0, symbols.cast("double") / size(words))
+      .otherwise(lit(0.0))
+    struct(n.cast("long").as("n_lines"), dupFrac.as("dup_line_frac"),
+      dupCharFrac.as("dup_line_char_frac"), symbolWordRatio.as("symbol_word_ratio"))
+  }
+
+  /** Most-frequent word n-gram per document (the other half of the
+    * Gopher repetition rules: a document dominated by one repeated
+    * phrase is machine noise). Needs per-(doc, gram) counts, so unlike
+    * [[repetitionStruct]] this is an aggregation — but it is TWO hash
+    * aggregations with map-side combine and no Window node: explode →
+    * groupBy(id, gram).count → groupBy(id).agg(sum, max). State per
+    * task is one row per distinct (doc, gram); nothing ever holds a
+    * whole document's gram list post-shuffle.
+    *
+    * Output: (idCol, n_ngrams, top_ngram_count, top_ngram_frac) — one
+    * row per document with ≥ n tokens; frac = top count / total gram
+    * count (count fraction, the deterministic tie-free variant of
+    * Gopher's char fraction).
+    */
+  def topNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"topNgramStats: n must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array())
+    Partitioning.fanOut(df)
+      .select(col(idCol).as("__id"), explode(grams).as("__g"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_ngrams"), max(col("__c")).as("top_ngram_count"))
+      .select(col("__id").as(idCol), col("n_ngrams"), col("top_ngram_count"),
+        (col("top_ngram_count").cast("double") / col("n_ngrams")).as("top_ngram_frac"))
+  }
+
+  /** Corpus unigram language model: (token, cnt, logp) with
+    * logp = ln(cnt / total). One explode + hash aggregate over the
+    * corpus; the total rides back in via a broadcast single-row cross
+    * join, so the plan stays fully distributed (no driver scalar).
+    * This is the model half of the CCNet/KenLM-style perplexity
+    * filter (Wenzek et al. 2020) with the n-gram order cut to 1 —
+    * deterministic and cross-engine-checkable, same filtering shape.
+    */
+  def unigramLogProbs(corpus: DataFrame, textCol: String): DataFrame = {
+    val cnt = Partitioning.fanOut(corpus)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("__tot"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("__w").as("token"), col("cnt"),
+        log(col("cnt").cast("double") / col("__tot")).as("logp"))
+  }
+
+  /** Score documents against a unigram LM: per-document token count
+    * and mean negative log-likelihood (ppx proxy = exp(avg_nll); the
+    * monotone avg_nll is what a filter thresholds on). The LM is a
+    * vocabulary table — millions of rows at corpus scale, not
+    * billions — so it broadcasts by default and the document side is
+    * never shuffled before the per-doc aggregate; `broadcastLm =
+    * false` degrades to a shuffle join on the token for a giant LM.
+    * Tokens absent from the LM are skipped (inner join): score with
+    * an LM trained on a superset corpus, or pre-smooth the table.
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, broadcastLm: Boolean = true): DataFrame = {
+    val l = lm.select(col("token").as("__w"), col("logp").as("__lp"))
+    val lmSide = if (broadcastLm) broadcast(l) else l
+    Partitioning.fanOut(docs)
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__w"))
+      .join(lmSide, "__w")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), (-avg(col("__lp"))).as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("avg_nll"))
+  }
+
   /** Convenience: append all text-analysis columns to a documents
     * DataFrame. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {

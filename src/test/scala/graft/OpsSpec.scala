@@ -194,6 +194,57 @@ class OpsSpec extends SparkSuite {
     assert(fp.getString(0) == fp.getString(1))
   }
 
+  test("ngram contamination: exact shared n-gram flags, short docs out of domain") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq((10L, "xx alpha beta gamma yy")).toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(train, bench, "doc_id", "text", n = 3)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(m.keySet == Set(1L, 2L)) // doc 3 has < 3 tokens: no n-grams, no row
+    assert(m(1L) == ((4L, 1L, true))) // "alpha beta gamma" is the one hit
+    assert(m(2L) == ((4L, 0L, false)))
+  }
+
+  test("repetition signals: duplicate lines, duplicate chars, symbol ratio") {
+    val text = "hello world\nhello world\nunique line\n\n  hello world  "
+    // trimmed non-empty lines: 4, distinct 2; repeats carry 22 of 44 chars
+    val r = spark.range(1)
+      .select(TextAnalysis.repetitionStruct(lit(text)).as("r")).select("r.*").head()
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(math.abs(r.getAs[Double]("dup_line_frac") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dup_line_char_frac") - 0.5) < 1e-9)
+    val s = spark.range(1)
+      .select(TextAnalysis.repetitionStruct(lit("a+b = c!")).as("r")).select("r.*").head()
+    assert(math.abs(s.getAs[Double]("symbol_word_ratio") - 1.0) < 1e-9) // + = ! over a b c
+  }
+
+  test("top-ngram stats: phrase-dominated doc maxes the fraction") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words differ here now")).toDF("doc_id", "text")
+    val m = TextAnalysis.topNgramStats(df, "doc_id", "text", n = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((3L, 3L, 1.0))) // "spam spam" is every gram
+    assert(m(2L)._1 == 4L && m(2L)._2 == 1L && math.abs(m(2L)._3 - 0.25) < 1e-9)
+  }
+
+  test("unigram LM: rare tokens raise a document's mean negative log-likelihood") {
+    val corpus = Seq(
+      (1L, "common common common common"),
+      (2L, "common rare")).toDF("doc_id", "text")
+    val lm = TextAnalysis.unigramLogProbs(corpus, "text")
+    val lmRows = lm.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(lmRows("common") - math.log(5.0 / 6.0)) < 1e-12)
+    assert(math.abs(lmRows("rare") - math.log(1.0 / 6.0)) < 1e-12)
+    val nll = TextAnalysis.unigramNll(corpus, "doc_id", "text", lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(2L) > nll(1L)) // the rare token makes doc 2 more surprising
+    assert(math.abs(nll(1L) - -math.log(5.0 / 6.0)) < 1e-12)
+  }
+
   test("multimodal: pack + distributed feature extraction is deterministic") {
     val df = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
     val packed = Multimodal.packText(df, "text")
