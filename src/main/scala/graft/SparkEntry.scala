@@ -770,6 +770,27 @@ object SparkEntry {
     // for NEAR-RANDOM vectors (this testdata is PQ's worst case — no
     // structure to preserve; measured 0.44); PqSpec pins the
     // structured-data behavior (cluster retrieval, planted twins).
+    // PCA/whitening contract (boolean gate, same shape as the recall
+    // gates): components orthonormal, eigenvalues descending, and the
+    // WHITENED projection's population variance is 1 on every kept
+    // direction — the variance check runs distributed over the table,
+    // so the gate exercises the codegen'd projection path end to end.
+    "x_embed_pca" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val m = graft.ops.Pca.fit(e, "embedding", dim = 64, k = 16)
+      val orthDev = (for (i <- 0 until 16; j <- i until 16) yield {
+        val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).max
+      val monotone = m.eigenvalues.sliding(2).forall(w => w(0) >= w(1) - 1e-12)
+      val proj = m.project(e, "embedding", "w", whiten = true)
+      val varDevs = (1 to 16).map(j => abs(var_pop(element_at(col("w"), j)) - 1.0))
+      proj.agg(count(lit(1)).cast("long").as("n_vectors"),
+        (greatest(varDevs: _*) < 1e-6).as("whitened_unit_var"))
+        .withColumn("orthonormal", lit(orthDev < 1e-9))
+        .withColumn("eigen_monotone", lit(monotone))
+        .select("n_vectors", "orthonormal", "eigen_monotone", "whitened_unit_var")
+    }),
     "x_ann_pq_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val model = graft.ops.Pq.train(e, "embedding", dim = 64, m = 16, ksub = 16,
@@ -1987,6 +2008,12 @@ object SparkEntry {
     // oracle asserts the contract, the engine measures it.
     "x_ann_ivf_recall" -> """
       SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_090""",
+
+    // PCA boolean contract (see x_embed_pca query comment).
+    "x_embed_pca" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS orthonormal,
+             true AS eigen_monotone, true AS whitened_unit_var
+      FROM embeddings""",
 
     // PQ/ADC recall contract (see x_ann_pq_recall query comment).
     "x_ann_pq_recall" -> """
