@@ -973,6 +973,42 @@ object SparkEntry {
         col("total").cast("double").as("total"))
     }),
 
+    // ==== extension: STREAM-STREAM interval join — the attribution
+    // shape (purchase matched to the same user's views in the 4 hours
+    // before it) with BOTH sides unbounded. Both streams watermark
+    // their event time and the join carries the range condition, so
+    // Spark derives the state-eviction bound from the interval: view
+    // state lives exactly [watermark - 4h, now] — bounded regardless
+    // of stream length, the property that distinguishes a viable
+    // 100 TB stream join from one whose state grows forever. Replayed
+    // time-ordered, the append-mode inner join must emit exactly the
+    // batch interval join (the DuckDB oracle).
+    "x_stream_stream_join" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      val ev = events(s, d).select(col("ts"), col("user_id"),
+        col("event_id"), col("event_type"))
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 4)
+      val watched = java.nio.file.Files.createTempDirectory("x_stream_stream_join_watch")
+      val purchases = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_event"))
+        .withWatermark("p_ts", "30 minutes")
+      val views = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+        .where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_event"))
+        .withWatermark("v_ts", "30 minutes")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("interval 4 hours") &&
+          col("v_ts") <= col("p_ts"))
+      val sink = s"x_stream_stream_join_${System.nanoTime}"
+      val q = Streaming.startMemorySink(joined, sink)
+      try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
+      s.table(sink).select(col("purchase_event"), col("view_event"),
+        unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("v_ts")).as("v_ts_ms"))
+    }),
+
     // ==== extension: STREAMING exact-dedup — at-least-once upstream
     // delivery (every event arrives twice here) must yield
     // exactly-once downstream. dropDuplicates keys INCLUDE the
@@ -1872,6 +1908,14 @@ object SparkEntry {
       SELECT epoch_ms(ts) AS ts_ms, event_id, event_type,
              CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS value
       FROM events""",
+
+    "x_stream_stream_join" -> """
+      SELECT a.event_id AS purchase_event, b.event_id AS view_event,
+             epoch_ms(a.ts) AS p_ts_ms, epoch_ms(b.ts) AS v_ts_ms
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'purchase' AND b.event_type = 'view'
+       AND b.ts BETWEEN a.ts - INTERVAL 4 HOUR AND a.ts""",
 
     // Out-of-order sessions: the arrival-schedule watermark decides
     // which rows survive (dropped at arrival if at-or-below it;
