@@ -1117,6 +1117,22 @@ object SparkEntry {
     // dispatch (SinkWriter orc → SourceReader orc), the same gate
     // shape as the sqlite data plane — the driver's compare proves
     // values survive the format, not just that the code compiles.
+    // Range-clustered relayout is CORRECTNESS-preserving: cluster
+    // lineitem by l_shipdate into 8 disjoint-range sorted files, then
+    // answer a date-range aggregate from the clustered copy — the
+    // oracle answers it from the original table. ScaleSpec separately
+    // asserts the pruning property (disjoint per-file key ranges).
+    "q_layout_cluster" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("q_layout_cluster")
+        .resolve("li").toString
+      graft.ops.Layout.writeRangeClustered(
+        t(s, d, "lineitem"), out, Seq("l_shipdate"), numFiles = 8)
+      s.read.parquet(out)
+        .where(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("sum_qty"))
+    }),
     "q_orc_roundtrip" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_orc_gate")
         .resolve("nation_orc").toString
@@ -2037,6 +2053,12 @@ object SparkEntry {
       FROM nation""",
 
     // orc round-trip must preserve exactly the same typed values
+    "q_layout_cluster" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+      GROUP BY l_returnflag""",
     "q_orc_roundtrip" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
              CAST(n_regionkey AS BIGINT) AS n_regionkey,

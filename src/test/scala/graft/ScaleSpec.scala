@@ -43,6 +43,26 @@ class ScaleSpec extends SparkSuite {
     assert(pruned.count() == expected)
   }
 
+  test("range-clustered layout: per-file key ranges are disjoint and sorted") {
+    val dir = Files.createTempDirectory("graftlayout").resolve("li").toString
+    graft.ops.Layout.writeRangeClustered(sf("lineitem"), dir, Seq("l_shipdate"), numFiles = 6)
+    val ranges = graft.ops.Layout.fileKeyRanges(spark, dir, "l_shipdate")
+      .orderBy("min_key").collect()
+    assert(ranges.length > 1, "expected multiple clustered files")
+    // the pruning contract: no two files overlap on the clustered key
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(!a.getAs[java.time.LocalDateTime]("max_key")
+          .isAfter(b.getAs[java.time.LocalDateTime]("min_key")),
+        s"overlapping file ranges: ${a} vs ${b}")
+    }
+    assert(ranges.map(_.getAs[Long]("rows")).sum == sf("lineitem").count())
+    // relayout preserves content
+    val back = spark.read.parquet(dir)
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      df.agg(expr("bit_xor(xxhash64(l_orderkey, l_linenumber))")).head().getLong(0)
+    assert(digest(back) == digest(sf("lineitem")))
+  }
+
   test("filter + projection push into the parquet scan") {
     val df = sf("lineitem").where(col("l_quantity") > 24)
       .select("l_orderkey", "l_quantity")
