@@ -31,9 +31,20 @@ object SinkWriter {
         .csv(s.config.reqStr("path"))
 
     case "parquet" =>
-      val w = writer(df, s)
-      val parts = s.config.strList("partition_by")
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s.config.reqStr("path"))
+      val cluster = s.config.strList("cluster_by")
+      if (cluster.nonEmpty)
+        // range-clustered sorted layout (z-order lite): disjoint
+        // per-file key ranges so parquet min/max statistics prune
+        // downstream scans — see graft.ops.Layout
+        graft.ops.Layout.writeRangeClustered(df, s.config.reqStr("path"), cluster,
+          numFiles = s.config.int("num_files").getOrElse(
+            df.sparkSession.sparkContext.defaultParallelism),
+          dirKeys = s.config.strList("partition_by"))
+      else {
+        val w = writer(df, s)
+        val parts = s.config.strList("partition_by")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s.config.reqStr("path"))
+      }
 
     case "orc" =>
       val w = writer(df, s)

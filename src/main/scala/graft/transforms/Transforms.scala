@@ -132,6 +132,43 @@ object Transforms {
         planes = cfg.int("planes").getOrElse(8),
         dim = cfg.int("dim").getOrElse(0),
         tables = cfg.int("tables").getOrElse(1))
+    // exact n-gram decontamination (GPT-3 13-gram method): current
+    // stream is the TRAIN side, `against` names the benchmark source
+    case "contamination_ngram" =>
+      val cfg = t.config
+      val rName = cfg.reqStr("against")
+      val right = ctx.getOrElse(rName,
+        throw new GraftAnalysisException(s"contamination_ngram: unknown source '$rName'"))
+      graft.ops.Dedup.ngramContamination(df, right,
+        cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"),
+        n = cfg.int("n").getOrElse(13),
+        broadcastTest = cfg.bool("broadcast").getOrElse(true))
+    case "text_repetition" =>
+      val tf = t.config.str("text_field").getOrElse("text")
+      df.withColumn("__rep", graft.ops.TextAnalysis.repetitionStruct(c(tf)))
+        .select(col("*"), col("__rep.*")).drop("__rep")
+    case "text_top_ngram" =>
+      graft.ops.TextAnalysis.topNgramStats(df, t.config.reqStr("id_field"),
+        t.config.str("text_field").getOrElse("text"),
+        n = t.config.int("n").getOrElse(2))
+    // perplexity-proxy scoring; `lm_source` (optional) names the
+    // corpus the unigram LM is fit on — default: the stream itself
+    case "text_unigram_ppx" =>
+      val cfg = t.config
+      val tf = cfg.str("text_field").getOrElse("text")
+      val lmDf = cfg.str("lm_source").map(n => ctx.getOrElse(n,
+        throw new GraftAnalysisException(s"text_unigram_ppx: unknown source '$n'"))).getOrElse(df)
+      graft.ops.TextAnalysis.unigramNll(df, cfg.reqStr("id_field"), tf,
+        graft.ops.TextAnalysis.unigramLogProbs(lmDf, tf))
+    case "pca_whiten" =>
+      val cfg = t.config
+      val vecF = cfg.str("vec_field").getOrElse("embedding")
+      val dim = cfg.int("dim").getOrElse(
+        throw new GraftAnalysisException("pca_whiten: 'dim' is required"))
+      val k = cfg.int("k").getOrElse(dim)
+      graft.ops.Pca.fit(df, vecF, dim, k)
+        .project(df, vecF, cfg.str("out_field").getOrElse("pca"),
+          whiten = cfg.bool("whiten").getOrElse(true))
     case "ann_topk" =>
       val cfg = t.config
       val qName = cfg.reqStr("queries")
@@ -272,6 +309,7 @@ object Transforms {
     "sessionize",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
+    "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx", "pca_whiten",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "connected_components", "dedup_cluster")
 

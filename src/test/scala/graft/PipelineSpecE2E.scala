@@ -213,6 +213,78 @@ class PipelineSpecE2E extends SparkSuite {
     assert(leaks.select("jaccard").as[Double].head() == 1.0)
   }
 
+  test("round-6 spec ops: ngram decontamination, quality signals, ppx, pca, clustered sink") {
+    // decontamination: train stream vs benchmark source, exact 3-grams
+    val decon = PipelineSpec(
+      name = "decon",
+      sources = Seq(
+        SourceSpec("train", "inline", Config.of("data" -> Seq(
+          Map("doc_id" -> 1, "text" -> "alpha beta gamma delta epsilon"),
+          Map("doc_id" -> 2, "text" -> "one two three four five")))),
+        SourceSpec("bench", "inline", Config.of("data" -> Seq(
+          Map("doc_id" -> 90, "text" -> "zz alpha beta gamma yy"))))),
+      transforms = Seq(
+        TransformSpec("only_train", "filter",
+          Config.of("field" -> "doc_id", "op" -> "lt", "value" -> 10), Nil, 0),
+        TransformSpec("c", "contamination_ngram",
+          Config.of("against" -> "bench", "id_field" -> "doc_id", "n" -> 3), Nil, 1)),
+      sinks = Seq(SinkSpec("out", "stdout")))
+    val flagged = PipelineCompiler.compile(spark, decon).df
+      .where($"contaminated").select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L))
+    // unknown `against` is a compile-time error
+    assertThrows[GraftAnalysisException](PipelineCompiler.validate(decon.copy(
+      transforms = decon.transforms.map(t =>
+        if (t.name == "c") t.copy(config = Config.of("against" -> "nope", "id_field" -> "doc_id"))
+        else t))))
+
+    // quality signals + ppx in one chain over a single source
+    val q = PipelineSpec(
+      name = "quality",
+      sources = Seq(SourceSpec("docs", "inline", Config.of("data" -> Seq(
+        Map("doc_id" -> 1, "text" -> "spam spam spam spam"),
+        Map("doc_id" -> 2, "text" -> "assorted words differ here"))))),
+      transforms = Seq(
+        TransformSpec("r", "text_repetition", Config.of(), Nil, 0),
+        TransformSpec("p", "text_unigram_ppx", Config.of("id_field" -> "doc_id"), Nil, 1)),
+      sinks = Seq(SinkSpec("out", "stdout")))
+    val scored = PipelineCompiler.compile(spark, q).df
+    assert(scored.columns.toSet == Set("doc_id", "n_tokens", "avg_nll"))
+    assert(scored.count() == 2)
+
+    // pca_whiten: dim required, appends the projection column
+    val vecs = (0 until 20).map(i => Map("vec_id" -> i,
+      "embedding" -> Seq(i.toDouble, 2.0 * i, i.toDouble + 1)))
+    val pca = PipelineSpec(
+      name = "pca",
+      sources = Seq(SourceSpec("e", "inline", Config.of("data" -> vecs))),
+      transforms = Seq(TransformSpec("w", "pca_whiten",
+        Config.of("dim" -> 3, "k" -> 2), Nil, 0)),
+      sinks = Seq(SinkSpec("out", "stdout")))
+    val projected = PipelineCompiler.compile(spark, pca).df
+    assert(projected.select("pca").head().getSeq[Double](0).length == 2)
+    assertThrows[GraftAnalysisException](
+      graft.transforms.Transforms(PipelineCompiler.compile(spark, pca).ctx("e"),
+        TransformSpec("w", "pca_whiten", Config.of(), Nil, 0), Map.empty))
+
+    // clustered parquet sink via spec
+    val out = tmp() + "/clustered"
+    val lay = PipelineSpec(
+      name = "layout",
+      sources = Seq(SourceSpec("e", "inline", Config.of("data" -> vecs.map(m =>
+        Map("vec_id" -> m("vec_id")))))),
+      transforms = Nil,
+      sinks = Seq(SinkSpec("p", "parquet", Config.of(
+        "path" -> out, "cluster_by" -> Seq("vec_id"), "num_files" -> 4))))
+    assert(PipelineRunner.run(spark, lay).status == "success")
+    val ranges = graft.ops.Layout.fileKeyRanges(spark, out, "vec_id")
+      .orderBy("min_key").collect()
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_key") <= b.getAs[Long]("min_key"))
+    }
+  }
+
   test("flagship entry returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
