@@ -567,6 +567,21 @@ object SparkEntry {
     "x_text_lang" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), col("lang").as("lang_label"),
         TextAnalysis.langId(col("text")).as("lang_id"))),
+    // C4-style URL canonicalization over synthetic URLs derived from
+    // (doc_id, source) — three shapes per doc_id%3: tracking params +
+    // default port + fragment; https default port with no path; a
+    // non-URL passthrough. Both engines build the identical input and
+    // normalize with the same instr/substr arithmetic.
+    "x_url_normalize" -> ((s, d) => {
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://Example.COM:80/Docs/"), col("source"),
+            lit("?utm_source=feed&b=2&a=1&id="), col("doc_id"), lit("#frag")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://Host.org:443?z=1&utm_campaign=x&y="), col("doc_id")))
+        .otherwise(concat(lit("not a url "), col("doc_id")))
+      docs(s, d).select(col("doc_id"), raw.as("url"),
+        TextAnalysis.normalizeUrl(raw).as("url_norm"))
+    }),
     // Gopher-rule repetition signals (scan-local struct): this corpus
     // has no newlines so the line fractions are structurally zero —
     // the signal the gate actually exercises is symbol_word_ratio;
@@ -1567,6 +1582,45 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    "x_url_normalize" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'HTTP://Example.COM:80/Docs/' || source || '?utm_source=feed&b=2&a=1&id=' || doc_id || '#frag'
+               WHEN doc_id % 3 = 1 THEN 'https://Host.org:443?z=1&utm_campaign=x&y=' || doc_id
+               ELSE 'not a url ' || doc_id END AS url
+        FROM documents),
+      s1 AS (SELECT doc_id, url,
+        CASE WHEN instr(url, '#') > 0 THEN substr(url, 1, instr(url, '#') - 1) ELSE url END AS u
+        FROM raw),
+      p2 AS (SELECT doc_id, url, u, instr(u, '://') AS spos,
+        lower(substr(u, 1, instr(u, '://') - 1)) AS scheme,
+        substr(u, instr(u, '://') + 3) AS rest FROM s1),
+      p4 AS (SELECT *,
+        CASE WHEN instr(rest, '?') > 0 THEN substr(rest, instr(rest, '?') + 1) ELSE '' END AS qs,
+        CASE WHEN instr(rest, '?') > 0 THEN substr(rest, 1, instr(rest, '?') - 1) ELSE rest END AS prepath
+        FROM p2),
+      p6 AS (SELECT *,
+        CASE WHEN instr(prepath, '/') > 0 THEN substr(prepath, 1, instr(prepath, '/') - 1) ELSE prepath END AS hp,
+        CASE WHEN instr(prepath, '/') > 0 THEN substr(prepath, instr(prepath, '/')) ELSE '/' END AS path
+        FROM p4),
+      p8 AS (SELECT *,
+        lower(CASE WHEN instr(hp, ':') > 0 THEN substr(hp, 1, instr(hp, ':') - 1) ELSE hp END) AS host,
+        CASE WHEN instr(hp, ':') > 0 THEN substr(hp, instr(hp, ':') + 1) ELSE '' END AS port
+        FROM p6),
+      p9 AS (SELECT *,
+        array_to_string(list_sort(list_filter(string_split(qs, '&'),
+          p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS q
+        FROM p8)
+      SELECT doc_id, url,
+        CASE WHEN spos > 0 THEN
+          scheme || '://' || host ||
+          CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443'))
+               THEN ':' || port ELSE '' END ||
+          path ||
+          CASE WHEN q <> '' THEN '?' || q ELSE '' END
+        ELSE url END AS url_norm
+      FROM p9""",
 
     "x_text_repetition" -> """
       WITH base AS (

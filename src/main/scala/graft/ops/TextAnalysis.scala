@@ -213,6 +213,46 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_tokens"), col("avg_nll"))
   }
 
+  /** Canonicalize a URL for dedup/grouping — the C4/CommonCrawl-style
+    * cleanup: lowercase scheme and host, strip the scheme-default port
+    * (http:80 / https:443), drop the fragment, drop `utm_*` tracking
+    * parameters, sort the surviving query parameters, normalize an
+    * empty path to "/". Strings without a "://" pass through
+    * unchanged.
+    *
+    * Pure scan-speed column expression; deliberately built from
+    * position/substring primitives (instr/substr/split-on-literal)
+    * whose semantics are bit-identical across engines, so the whole
+    * normalization is exactly mirrorable in the DuckDB oracle — no
+    * regex capture-group edge cases.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val hpos = instr(url, "#")
+    val s1 = when(hpos > 0, url.substr(lit(1), hpos - 1)).otherwise(url)
+    val spos = instr(s1, "://")
+    val scheme = lower(s1.substr(lit(1), spos - 1))
+    val rest = s1.substr(spos + 3, length(s1))
+    val qpos = instr(rest, "?")
+    val query = when(qpos > 0, rest.substr(qpos + 1, length(rest))).otherwise(lit(""))
+    val prepath = when(qpos > 0, rest.substr(lit(1), qpos - 1)).otherwise(rest)
+    val dpos = instr(prepath, "/")
+    val hp = when(dpos > 0, prepath.substr(lit(1), dpos - 1)).otherwise(prepath)
+    val path = when(dpos > 0, prepath.substr(dpos, length(prepath))).otherwise(lit("/"))
+    val cpos = instr(hp, ":")
+    val host = lower(when(cpos > 0, hp.substr(lit(1), cpos - 1)).otherwise(hp))
+    val port = when(cpos > 0, hp.substr(cpos + 1, length(hp))).otherwise(lit(""))
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= lit("") && p.substr(1, 4) =!= "utm_"))
+    val q = array_join(params, "&")
+    val rebuilt = concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+    when(spos > 0, rebuilt).otherwise(url)
+  }
+
   /** Convenience: append all text-analysis columns to a documents
     * DataFrame. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -160,6 +160,9 @@ object Transforms {
         throw new GraftAnalysisException(s"text_unigram_ppx: unknown source '$n'"))).getOrElse(df)
       graft.ops.TextAnalysis.unigramNll(df, cfg.reqStr("id_field"), tf,
         graft.ops.TextAnalysis.unigramLogProbs(lmDf, tf))
+    case "url_normalize" =>
+      df.withColumn(t.config.str("out_field").getOrElse("url_norm"),
+        graft.ops.TextAnalysis.normalizeUrl(c(t.config.str("field").getOrElse("url"))))
     case "pca_whiten" =>
       val cfg = t.config
       val vecF = cfg.str("vec_field").getOrElse("embedding")
@@ -310,6 +313,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx", "pca_whiten",
+    "url_normalize",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "connected_components", "dedup_cluster")
 

@@ -245,6 +245,22 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(nll(1L) - -math.log(5.0 / 6.0)) < 1e-12)
   }
 
+  test("url normalization: ports, tracking params, fragments, passthrough") {
+    val cases = Seq(
+      ("HTTP://Example.COM:80/A/b?utm_source=x&b=2&a=1#frag", "http://example.com/A/b?a=1&b=2"),
+      ("https://Host.org:443/path", "https://host.org/path"),
+      ("https://host.org:8443/p?x=1", "https://host.org:8443/p?x=1"),
+      ("http://h.io", "http://h.io/"),
+      ("ftp://Mixed.Case:21/f", "ftp://mixed.case:21/f"), // non-http port kept
+      ("https://h.io?utm_a=1&utm_b=2", "https://h.io/"),  // all params tracked away
+      ("not a url at all", "not a url at all"))
+    val df = cases.toDF("url", "want")
+    val got = df.select(col("want"),
+      graft.ops.TextAnalysis.normalizeUrl(col("url")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"normalized '${r.getString(1)}' != expected '${r.getString(0)}'"))
+  }
+
   test("multimodal: pack + distributed feature extraction is deterministic") {
     val df = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
     val packed = Multimodal.packText(df, "text")
