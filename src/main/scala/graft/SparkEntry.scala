@@ -1018,7 +1018,15 @@ object SparkEntry {
           col("v_ts") >= col("p_ts") - expr("interval 4 hours") &&
           col("v_ts") <= col("p_ts"))
       val sink = s"x_stream_stream_join_${System.nanoTime}"
-      val q = Streaming.startMemorySink(joined, sink)
+      // a stream-stream join keeps 4 state stores per shuffle
+      // partition; at the bench session's 32 partitions the per-batch
+      // state commit overhead dominates a small replay (27 s → ~6 s
+      // at 8). Partition count only shards state — results identical.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try Streaming.startMemorySink(joined, sink)
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
       s.table(sink).select(col("purchase_event"), col("view_event"),
         unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("v_ts")).as("v_ts_ms"))

@@ -220,13 +220,18 @@ object TextAnalysis {
     * empty path to "/". Strings without a "://" pass through
     * unchanged.
     *
-    * Pure scan-speed column expression; deliberately built from
-    * position/substring primitives (instr/substr/split-on-literal)
-    * whose semantics are bit-identical across engines, so the whole
-    * normalization is exactly mirrorable in the DuckDB oracle — no
-    * regex capture-group edge cases.
+    * The product path is the codegen'd kernel
+    * ([[graft.expr.UrlNormalize]]): a Column tree has no sharing, so
+    * the declarative instr/substr form below duplicates each derived
+    * piece at every reference and janino pays ~19 s compiling the
+    * megamethod (measured, sf0.1). The declarative form is kept —
+    * [[normalizeUrlDeclarative]] — because its primitives are
+    * bit-identical across engines: it IS the DuckDB oracle, and
+    * OpsSpec pins kernel ≡ declarative on the edge-case set.
     */
-  def normalizeUrl(url: Column): Column = {
+  def normalizeUrl(url: Column): Column = graft.expr.UrlNormalize(url)
+
+  private[graft] def normalizeUrlDeclarative(url: Column): Column = {
     val hpos = instr(url, "#")
     val s1 = when(hpos > 0, url.substr(lit(1), hpos - 1)).otherwise(url)
     val spos = instr(s1, "://")

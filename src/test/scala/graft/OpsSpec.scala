@@ -256,9 +256,15 @@ class OpsSpec extends SparkSuite {
       ("not a url at all", "not a url at all"))
     val df = cases.toDF("url", "want")
     val got = df.select(col("want"),
-      graft.ops.TextAnalysis.normalizeUrl(col("url")).as("got")).collect()
-    got.foreach(r => assert(r.getString(1) == r.getString(0),
-      s"normalized '${r.getString(1)}' != expected '${r.getString(0)}'"))
+      graft.ops.TextAnalysis.normalizeUrl(col("url")).as("got"),
+      graft.ops.TextAnalysis.normalizeUrlDeclarative(col("url")).as("decl")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"normalized '${r.getString(1)}' != expected '${r.getString(0)}'")
+      // kernel and the oracle-mirror declarative form must agree exactly
+      assert(r.getString(1) == r.getString(2),
+        s"kernel '${r.getString(1)}' != declarative '${r.getString(2)}'")
+    }
   }
 
   test("multimodal: pack + distributed feature extraction is deterministic") {
