@@ -582,6 +582,17 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), raw.as("url"),
         TextAnalysis.normalizeUrl(raw).as("url_norm"))
     }),
+    // PII redaction over synthetic planted identifiers (both engines
+    // derive the identical input from doc_id/source, so the redaction
+    // itself is what the hash compares)
+    "x_pii_redact" -> ((s, d) => {
+      val planted = concat(lit("contact "), col("source"), col("doc_id"),
+        lit("@example.com or +1415550"), col("doc_id"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)), lit(".7 ssn 123-45-6789 "),
+        col("text"))
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.redactPii(planted).as("redacted"))
+    }),
     // Gopher-rule repetition signals (scan-local struct): this corpus
     // has no newlines so the line fractions are structurally zero —
     // the signal the gate actually exercises is symbol_word_ratio;
@@ -888,7 +899,7 @@ object SparkEntry {
       // bit-equal to the batch/oracle aggregate
       val ev = events(s, d).select(col("ts"), col("event_type"),
         col("value").cast("decimal(18,6)").as("value"))
-      val dir = StreamParity.writeTimeOrderedChunks(ev, "ts", chunks = 4)
+      val dir = StreamParity.writeTimeOrderedChunks(ev, "ts", chunks = 4, cacheKey = Some(s"window:$d"))
       val stream = Streaming.fileSource(s, dir.toString, ev.schema, maxFilesPerTrigger = 1)
       val agg = Streaming.windowedAgg(stream, "ts", "event_type", "value",
         window_ = "1 hour", watermark = "30 minutes")
@@ -918,7 +929,7 @@ object SparkEntry {
         .withColumn("ts", timestamp_millis(lit(maxMs + 10 * gapMs)))
         .withColumn("value", lit(0.0))
       val dir = StreamParity.writeTimeOrderedChunks(
-        ev.unionByName(sentinels), "ts", chunks = 5)
+        ev.unionByName(sentinels), "ts", chunks = 5, cacheKey = Some(s"sessions:$d"))
       val stream = Streaming.fileSource(s, dir.toString, ev.schema, maxFilesPerTrigger = 1)
       val sess = Streaming.sessionize(stream.as[Streaming.SessionEvent], gapMs)
       val sink = s"x_stream_sessions_${System.nanoTime}"
@@ -947,7 +958,8 @@ object SparkEntry {
       val gapMs = 1800000L
       val ev = events(s, d).select(col("user_id"), col("ts"),
         (col("value").cast("decimal(18,6)") * 1000000).cast("double").as("value"))
-      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 5)
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 5,
+        cacheKey = Some(s"sessions_et:$d"))
       val watched = java.nio.file.Files.createTempDirectory("x_stream_sessions_et_watch")
       val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
         .withWatermark("ts", "30 minutes")
@@ -974,7 +986,8 @@ object SparkEntry {
         col("value").cast("decimal(18,6)").as("value"))
       val dim = ev.select(col("user_id")).distinct()
         .withColumn("cohort", pmod(col("user_id"), lit(7)))
-      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 4)
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 4,
+        cacheKey = Some(s"join:$d"))
       val watched = java.nio.file.Files.createTempDirectory("x_stream_join_watch")
       val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
         .join(broadcast(dim), "user_id")
@@ -1002,7 +1015,8 @@ object SparkEntry {
       import graft.streaming.{StreamParity, Streaming}
       val ev = events(s, d).select(col("ts"), col("user_id"),
         col("event_id"), col("event_type"))
-      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 4)
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 4,
+        cacheKey = Some(s"ssjoin:$d"))
       val watched = java.nio.file.Files.createTempDirectory("x_stream_stream_join_watch")
       val purchases = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
         .where(col("event_type") === "purchase")
@@ -1018,15 +1032,7 @@ object SparkEntry {
           col("v_ts") >= col("p_ts") - expr("interval 4 hours") &&
           col("v_ts") <= col("p_ts"))
       val sink = s"x_stream_stream_join_${System.nanoTime}"
-      // a stream-stream join keeps 4 state stores per shuffle
-      // partition; at the bench session's 32 partitions the per-batch
-      // state commit overhead dominates a small replay (27 s → ~6 s
-      // at 8). Partition count only shards state — results identical.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try Streaming.startMemorySink(joined, sink)
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val q = Streaming.startMemorySink(joined, sink)
       try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
       s.table(sink).select(col("purchase_event"), col("view_event"),
         unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("v_ts")).as("v_ts_ms"))
@@ -1044,7 +1050,8 @@ object SparkEntry {
       val ev = events(s, d).select(col("ts"), col("event_id"), col("event_type"),
         col("value").cast("decimal(18,6)").as("value"))
       val dup = ev.unionByName(ev)
-      val (staged, _) = StreamParity.writeChunksInOrder(dup, "ts", 0 until 4)
+      val (staged, _) = StreamParity.writeChunksInOrder(dup, "ts", 0 until 4,
+        cacheKey = Some(s"dedup:$d"))
       val watched = java.nio.file.Files.createTempDirectory("x_stream_dedup_watch")
       val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
         .withWatermark("ts", "30 minutes")
@@ -1071,7 +1078,8 @@ object SparkEntry {
       val gapMs = 1800000L
       val ev = events(s, d).select(col("user_id"), col("ts"),
         (col("value").cast("decimal(18,6)") * 1000000).cast("double").as("value"))
-      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", Seq(1, 0, 3, 2, 5, 4))
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", Seq(1, 0, 3, 2, 5, 4),
+        cacheKey = Some(s"ooo:$d"))
       val watched = java.nio.file.Files.createTempDirectory("x_stream_sessions_ooo_watch")
       val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
         .withWatermark("ts", "30 minutes")
@@ -1101,7 +1109,8 @@ object SparkEntry {
       import graft.streaming.{StreamParity, Streaming}
       val ev = events(s, d).select(col("ts"), col("event_type"),
         col("value").cast("decimal(18,6)").as("value"))
-      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", Seq(1, 0, 3, 2, 5, 4))
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", Seq(1, 0, 3, 2, 5, 4),
+        cacheKey = Some(s"late:$d"))
       val watched = java.nio.file.Files.createTempDirectory("x_stream_late_watch")
       val stream = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
       val agg = Streaming.windowedAgg(stream, "ts", "event_type", "value",
@@ -1590,6 +1599,22 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    "x_pii_redact" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          'contact ' || source || doc_id || '@example.com or +1415550' || doc_id ||
+          ' ip 10.0.' || (doc_id % 256) || '.7 ssn 123-45-6789 ' || text AS t
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+            '\+\d{7,15}\b', '<PHONE>', 'g'),
+          '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+      FROM raw""",
 
     "x_url_normalize" -> """
       WITH raw AS (

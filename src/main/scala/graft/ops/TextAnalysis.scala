@@ -258,6 +258,25 @@ object TextAnalysis {
     when(spos > 0, rebuilt).otherwise(url)
   }
 
+  /** PII redaction for training corpora: replace emails, SSNs,
+    * international-format phone numbers, and IPv4 addresses with
+    * typed placeholder tokens. Regex-subset chosen so Java regex
+    * (Spark codegen) and RE2 (the DuckDB oracle) agree exactly: no
+    * lookaround, no backrefs, ASCII classes and `\b` only.
+    *
+    * Replacement order is part of the contract (earlier rules consume
+    * their text before later patterns see it): email → SSN → phone →
+    * IPv4. Pure scan-speed projection, composes with the quality /
+    * dedup passes upstream of a training run.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>")
+    val phone = regexp_replace(ssn, "\\+\\d{7,15}\\b", "<PHONE>")
+    regexp_replace(phone, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+  }
+
   /** Convenience: append all text-analysis columns to a documents
     * DataFrame. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {

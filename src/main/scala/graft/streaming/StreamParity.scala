@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamParity {
 
+  /** Memoized staged fixtures: the bench harness times each gate
+    * min-of-N, and without this every repeat pays the fixture WRITE
+    * again — harness cost, not operator cost. Callers pass a
+    * `cacheKey` asserting "same df content" (gate name + sf dir);
+    * the staged directory is immutable once written (feedSequentially
+    * only COPIES from it), so reuse is safe for the JVM lifetime.
+    */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Int]), (Path, Seq[Int])]()
+
   /** Write `df` as `chunks` parquet files under a fresh directory,
     * one file per contiguous event-time range, with strictly
     * increasing modification times. FileStreamSource lists files in
@@ -33,8 +43,9 @@ object StreamParity {
     * micro-batch per chunk, replaying history in event-time order.
     * Chunk file names also sort in time order as a second key.
     */
-  def writeTimeOrderedChunks(df: DataFrame, tsCol: String, chunks: Int): Path =
-    writeChunksInOrder(df, tsCol, 0 until chunks)._1
+  def writeTimeOrderedChunks(df: DataFrame, tsCol: String, chunks: Int,
+      cacheKey: Option[String] = None): Path =
+    writeChunksInOrder(df, tsCol, 0 until chunks, cacheKey)._1
 
   /** Like [[writeTimeOrderedChunks]], but the chunks ARRIVE in the
     * given order (`order` must be a permutation of chunk indices) — a
@@ -50,7 +61,17 @@ object StreamParity {
     * preserving the relative arrival order of the rest. Returns
     * (streamDir, chunk ids actually written, in arrival order).
     */
-  def writeChunksInOrder(df: DataFrame, tsCol: String, order: Seq[Int]): (Path, Seq[Int]) = {
+  def writeChunksInOrder(df: DataFrame, tsCol: String, order: Seq[Int],
+      cacheKey: Option[String] = None): (Path, Seq[Int]) = {
+    cacheKey match {
+      case Some(k) =>
+        staged.computeIfAbsent((k, order), _ => writeChunksInOrderUncached(df, tsCol, order))
+      case None => writeChunksInOrderUncached(df, tsCol, order)
+    }
+  }
+
+  private def writeChunksInOrderUncached(
+      df: DataFrame, tsCol: String, order: Seq[Int]): (Path, Seq[Int]) = {
     val chunks = order.length
     require(chunks > 0, "order must be non-empty")
     require(order.sorted == (0 until chunks), s"order must permute 0 until $chunks: $order")

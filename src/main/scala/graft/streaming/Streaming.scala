@@ -269,6 +269,23 @@ object Streaming {
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode("append").trigger(trigger).start()
 
-  def startMemorySink(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
-    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+  /** Memory sink = gate/test surface, deliberately started with few
+    * state partitions: a stateful micro-batch schedules one task per
+    * shuffle partition PER stateful store (a stream-stream join keeps
+    * four), so at the bench session's 32 partitions a 6-file replay
+    * pays hundreds of near-empty state-store commits — measured 27 s →
+    * 8 s on the stream-stream join gate at 8 partitions. Partition
+    * count only shards state; results are identical. A production
+    * `startFileSink` query inherits the session setting untouched —
+    * at real stream volumes MORE state partitions is the correct
+    * direction, and this knob is why the number is per-query. The
+    * session conf is restored after `start()` captures it.
+    */
+  def startMemorySink(df: DataFrame, name: String, mode: String = "append"): StreamingQuery = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

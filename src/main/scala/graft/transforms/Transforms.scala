@@ -160,6 +160,10 @@ object Transforms {
         throw new GraftAnalysisException(s"text_unigram_ppx: unknown source '$n'"))).getOrElse(df)
       graft.ops.TextAnalysis.unigramNll(df, cfg.reqStr("id_field"), tf,
         graft.ops.TextAnalysis.unigramLogProbs(lmDf, tf))
+    case "redact_pii" =>
+      val f = t.config.str("field").getOrElse("text")
+      df.withColumn(t.config.str("out_field").getOrElse(f),
+        graft.ops.TextAnalysis.redactPii(c(f)))
     case "url_normalize" =>
       df.withColumn(t.config.str("out_field").getOrElse("url_norm"),
         graft.ops.TextAnalysis.normalizeUrl(c(t.config.str("field").getOrElse("url"))))
@@ -313,7 +317,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx", "pca_whiten",
-    "url_normalize",
+    "url_normalize", "redact_pii",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "connected_components", "dedup_cluster")
 

@@ -267,6 +267,21 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("pii redaction: emails, ssn, phones, ips replaced in rule order") {
+    val in = "mail a.b+c@ex-ample.co.uk, ssn 123-45-6789, call +4915123456789, " +
+      "host 192.168.0.1 but not 1.2.3.4.5 fully and not v1.2 at all"
+    val out = spark.range(1)
+      .select(graft.ops.TextAnalysis.redactPii(lit(in)).as("r")).head().getString(0)
+    assert(out.contains("<EMAIL>") && !out.contains("example.co"))
+    assert(out.contains("<SSN>") && !out.contains("123-45-6789"))
+    assert(out.contains("<PHONE>") && !out.contains("4915123456789"))
+    assert(out.contains("<IP>") && !out.contains("192.168.0.1"))
+    assert(out.contains("v1.2")) // short dotted version strings survive
+    val clean = "no identifiers here at all"
+    assert(spark.range(1).select(graft.ops.TextAnalysis.redactPii(lit(clean)))
+      .head().getString(0) == clean)
+  }
+
   test("multimodal: pack + distributed feature extraction is deterministic") {
     val df = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
     val packed = Multimodal.packText(df, "text")
