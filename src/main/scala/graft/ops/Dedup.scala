@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -359,6 +359,111 @@ object Dedup {
       .agg(count(lit(1)).as("n_ngrams"), count(col("__hit")).as("n_hit"))
       .select(col("__id").as(trainIdCol), col("n_ngrams"), col("n_hit"),
         (col("n_hit") > 0).as("contaminated"))
+  }
+
+  /** Persisted near-dup signature index — the standing-corpus half of
+    * incremental dedup, in the shape production systems actually run:
+    * signatures are computed ONCE at ingest and stored; checking a new
+    * batch against a 100 TB standing corpus re-signatures only the
+    * batch and reads the index (id, fp, band, bh) — never the corpus
+    * text, except for the bounded candidate set the verify step
+    * point-reads (semi-join pushed into the corpus scan).
+    *
+    * Contract: the stored (band, bh) come from the same codegen'd
+    * signature kernel as [[minhashContamination]]/[[minhashNearDups]],
+    * so `check` returns the identical pair set the recompute path
+    * would (unit-pinned in OpsSpec), and indexes built anywhere with
+    * the same (numHashes, k, bands, seed) are join-compatible.
+    *
+    * Skew note: `check` does not pre-collapse identical batch
+    * documents (the index is the general table; a batch is an ingest
+    * increment, orders of magnitude smaller). Batches with massive
+    * internal duplication should be exact-deduped first — the same
+    * guidance the banded self-join documents.
+    */
+  final case class NearDupIndex(
+      sig: DataFrame, numHashes: Int, k: Int, bands: Int, seed: Long)
+
+  object NearDupIndex {
+
+    /** (id, fp, band, bh) — `bands` small rows per document. */
+    private def signatures(df: DataFrame, idCol: String, textCol: String,
+        numHashes: Int, k: Int, bands: Int, seed: Long): DataFrame = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      val r = numHashes / bands
+      val bandHashes = (0 until bands).map(b => xxhash64(slice(col("__sig"), b * r + 1, r)))
+      Partitioning.fanOut(df)
+        .select(col(idCol).as("id"),
+          TextAnalysis.fingerprint(col(textCol)).as("fp"),
+          graft.expr.MinHashExpressions.textShingleHashes(col(textCol), k).as("__hs"))
+        .select(col("id"), col("fp"),
+          graft.expr.MinHashExpressions.minhashSignature(col("__hs"), numHashes, seed).as("__sig"))
+        .select(col("id"), col("fp"),
+          posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    }
+
+    def build(df: DataFrame, idCol: String, textCol: String,
+        numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L): NearDupIndex =
+      NearDupIndex(signatures(df, idCol, textCol, numHashes, k, bands, seed),
+        numHashes, k, bands, seed)
+
+    /** Fold a new batch's signatures into the index (after a `check`,
+      * typically) — signatures are computed once here and never again.
+      */
+    def append(ix: NearDupIndex, batch: DataFrame, idCol: String, textCol: String): NearDupIndex =
+      ix.copy(sig = ix.sig.unionByName(
+        signatures(batch, idCol, textCol, ix.numHashes, ix.k, ix.bands, ix.seed)))
+
+    def save(ix: NearDupIndex, path: String): Unit = {
+      ix.sig.write.mode("overwrite").parquet(s"$path/sig")
+      val spark = ix.sig.sparkSession
+      import spark.implicits._
+      Seq((ix.numHashes, ix.k, ix.bands, ix.seed))
+        .toDF("num_hashes", "k", "bands", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    def load(spark: SparkSession, path: String): NearDupIndex = {
+      val m = spark.read.parquet(s"$path/meta").head()
+      NearDupIndex(spark.read.parquet(s"$path/sig"),
+        m.getAs[Int]("num_hashes"), m.getAs[Int]("k"),
+        m.getAs[Int]("bands"), m.getAs[Long]("seed"))
+    }
+
+    /** Near-dup pairs (batch_id, corpus_id, jaccard) between a new
+      * batch and the indexed corpus. Identical content (equal
+      * fingerprint) is emitted exactly at jaccard 1.0 via the digest
+      * join; banded candidates verify with exact Jaccard against
+      * corpus text point-read for candidates only.
+      */
+    def check(ix: NearDupIndex, batch: DataFrame, batchIdCol: String, textCol: String,
+        corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+        threshold: Double = 0.7): DataFrame = {
+      val bSig = signatures(batch, batchIdCol, textCol, ix.numHashes, ix.k, ix.bands, ix.seed)
+      val bFp = bSig.select(col("id").as("__bid"), col("fp").as("__bfp")).distinct()
+      val cFp = ix.sig.select(col("id").as("__cid"), col("fp").as("__cfp")).distinct()
+      val identical = bFp.join(cFp, col("__bfp") === col("__cfp"))
+        .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"),
+          lit(1.0).as("jaccard"))
+      val cands = bSig.select(col("band"), col("bh"), col("id").as("__bid"), col("fp").as("__bfp"))
+        .join(ix.sig.select(col("band"), col("bh"), col("id").as("__cid"), col("fp").as("__cfp")),
+          Seq("band", "bh"))
+        .where(col("__bfp") =!= col("__cfp")) // verbatim pairs already exact above
+        .select("__bid", "__cid").distinct()
+      val bSets = batch.join(cands.select(col("__bid")).distinct(),
+          col(batchIdCol) === col("__bid"), "left_semi")
+        .select(col(batchIdCol).as("__bid"),
+          array_distinct(TextAnalysis.shingles(col(textCol), ix.k)).as("__sha"))
+      val cSets = corpus.join(cands.select(col("__cid")).distinct(),
+          col(corpusIdCol) === col("__cid"), "left_semi")
+        .select(col(corpusIdCol).as("__cid"),
+          array_distinct(TextAnalysis.shingles(col(corpusTextCol), ix.k)).as("__shb"))
+      val verified = cands.join(bSets, "__bid").join(cSets, "__cid")
+        .withColumn("jaccard", graft.expr.ArrayJaccard(col("__sha"), col("__shb")))
+        .where(col("jaccard") >= threshold)
+        .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"), col("jaccard"))
+      identical.unionByName(verified)
+    }
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -267,6 +267,57 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("near-dup signature index: check == recompute, save/load identical, no corpus re-signature") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark engines and distributed query planning"),
+      (3L, "yet another unrelated document body that shares nothing with the batch")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),  // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank again"),  // near dup of 1
+      (12L, "entirely novel ingest material mentioning neither foxes nor engines")).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+
+    // corpus parquet-backed (like a real standing corpus); batch local
+    val corpusDir = java.nio.file.Files.createTempDirectory("graftndcorpus").toString + "/c"
+    corpus.write.parquet(corpusDir)
+    val corpusPq = spark.read.parquet(corpusDir)
+
+    val ix = Dedup.NearDupIndex.build(corpusPq, "doc_id", "text")
+    val viaIndex = Dedup.NearDupIndex.check(ix, batch, "doc_id", "text",
+      corpusPq, "doc_id", "text", threshold = 0.5)
+    val recompute = Dedup.minhashContamination(batch, corpus, "doc_id", "doc_id", "text",
+      threshold = 0.5)
+      .select(col("left_id").as("batch_id"), col("right_id").as("corpus_id"), col("jaccard"))
+    assert(key(viaIndex) == key(recompute) && viaIndex.count() >= 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("graftndix").toString + "/ix"
+    Dedup.NearDupIndex.save(ix, dir)
+    val loaded = Dedup.NearDupIndex.load(spark, dir)
+    assert(loaded.numHashes == ix.numHashes && loaded.seed == ix.seed)
+    val viaLoaded = Dedup.NearDupIndex.check(loaded, batch, "doc_id", "text",
+      corpusPq, "doc_id", "text", threshold = 0.5)
+    assert(key(viaLoaded) == key(viaIndex))
+    // the loaded-index plan never re-signatures the CORPUS: the local
+    // batch's kernels are pre-evaluated by ConvertToLocalRelation, so
+    // any signature kernel surviving optimization would sit on the
+    // parquet-backed corpus side — there must be none
+    val sigExprs = viaLoaded.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case e: graft.expr.MinHashSignatureExpr => e
+      })
+    }.flatten
+    assert(sigExprs.isEmpty, s"corpus side re-signatured: $sigExprs")
+
+    // append folds the batch in; a re-check of the same batch now finds
+    // its own members as verbatim matches too
+    val ix2 = Dedup.NearDupIndex.append(loaded, batch, "doc_id", "text")
+    val again = Dedup.NearDupIndex.check(ix2, batch, "doc_id", "text",
+      corpus.unionByName(batch), "doc_id", "text", threshold = 0.5)
+    assert(again.where(col("batch_id") === col("corpus_id")).count() == 3) // self matches
+  }
+
   test("pii redaction: emails, ssn, phones, ips replaced in rule order") {
     val in = "mail a.b+c@ex-ample.co.uk, ssn 123-45-6789, call +4915123456789, " +
       "host 192.168.0.1 but not 1.2.3.4.5 fully and not v1.2 at all"
