@@ -206,4 +206,30 @@ class PropertySpec extends SparkSuite {
         s"fold diverged from batch segmentation: got=$got expected=${expected.toList.sorted}")
     }
   }
+
+  test("url kernel == declarative form on generated urls (incl. junk)") {
+    import org.apache.spark.sql.functions.col
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp", "s3")
+    val host = Gen.oneOf("Example.COM", "a.b.c.org", "LOCALHOST", "x-y.io")
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":21")
+    val path = Gen.oneOf("", "/", "/A/b", "/p%20q/r", "//double")
+    val keys = Gen.listOfN(4, Gen.oneOf("a", "B", "utm_source", "utm_x", "z", "id"))
+    val frag = Gen.oneOf("", "#f", "#a#b")
+    val urlGen = for {
+      s <- scheme; h <- host; p <- port; pa <- path; ks <- keys; f <- frag
+      junk <- Gen.oneOf(true, false)
+    } yield
+      if (junk) s"$h$pa no scheme here $f"
+      else s"$s://$h$p$pa" +
+        (if (ks.isEmpty) "" else ks.zipWithIndex.map { case (k, i) => s"$k=$i" }
+          .mkString("?", "&", "")) + f
+    forAll(Gen.listOfN(24, urlGen), cases = 6) { urls =>
+      val rows = urls.toDF("url")
+        .select(graft.ops.TextAnalysis.normalizeUrl(col("url")).as("k"),
+          graft.ops.TextAnalysis.normalizeUrlDeclarative(col("url")).as("d"))
+        .collect()
+      rows.foreach(r => assert(r.getString(0) == r.getString(1),
+        s"kernel '${r.getString(0)}' != declarative '${r.getString(1)}'"))
+    }
+  }
 }
