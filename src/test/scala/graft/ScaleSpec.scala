@@ -149,6 +149,47 @@ class ScaleSpec extends SparkSuite {
     assert(Partitioning.fanOut(inline) eq inline)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // 90% of fact rows share one key: the classic skew that strands one
+    // reducer with the whole table. Manual salting (q_join_salted) is
+    // the always-available fix; this pins the OTHER lever the scale
+    // story relies on — AQE re-planning the skewed partition into
+    // splits at runtime, no query rewrite.
+    val dir = Files.createTempDirectory("graftskew").toString
+    // payload must be incompressible and survive column pruning, or the
+    // skewed partition's compressed shuffle bytes never cross the
+    // detection threshold
+    val payload = sha2(concat(lit("s"), col("id")), 256)
+    spark.range(100000)
+      .select(when(col("id") < 90000, lit(0L)).otherwise(col("id") % 100).as("key"),
+        payload.as("payload"))
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    spark.range(10000).select((col("id") % 100).as("key"), payload.as("p2"))
+      .write.mode("overwrite").parquet(s"$dir/other")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/other"), "key")
+      // execute and inspect the SAME QueryExecution: count() would plan
+      // a fresh one and leave this plan isFinalPlan=false
+      val agg = joined.groupBy().agg(count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("pl"), sum(length(col("p2"))).as("pl2"))
+      assert(agg.collect().head.getLong(0) == 90000L * 100 + 10000 * 100)
+      // AQE's final physical plan marks the rewritten join skew=true
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the unsalted result") {
     import graft.spec.Config
     import graft.transforms.JoinOp
