@@ -683,12 +683,23 @@ object SparkEntry {
       val batches = (0 to 2).map(i => docs.where(col("doc_id") % 3 === i))
       val within = batches.map(b =>
         Dedup.minhashNearDups(b, "doc_id", "text", threshold = 0.7))
+      // standing-corpus checks through the persisted signature index:
+      // each batch is signatured ONCE (at its own ingest), the
+      // cross-batch check reads stored (band, bh) rows — the pair set
+      // is identical to the recompute path (OpsSpec equivalence), so
+      // the oracle is unchanged; the corpus text is only point-read
+      // for verify candidates
+      var ix = Dedup.NearDupIndex.build(batches(0), "doc_id", "text")
+      ix = ix.copy(sig = ix.sig.cache())
       val cross = (1 to 2).map { i =>
         val standing = batches.take(i).reduce(_ unionByName _)
-        Dedup.minhashContamination(batches(i), standing, "doc_id", "doc_id", "text",
-          threshold = 0.7)
-          .select(least(col("left_id"), col("right_id")).as("a_id"),
-            greatest(col("left_id"), col("right_id")).as("b_id"), col("jaccard"))
+        val pairs = Dedup.NearDupIndex.check(ix, batches(i), "doc_id", "text",
+          standing, "doc_id", "text", threshold = 0.7)
+          .select(least(col("batch_id"), col("corpus_id")).as("a_id"),
+            greatest(col("batch_id"), col("corpus_id")).as("b_id"), col("jaccard"))
+        ix = Dedup.NearDupIndex.append(ix, batches(i), "doc_id", "text")
+        ix = ix.copy(sig = ix.sig.cache())
+        pairs
       }
       (within ++ cross).reduce(_ unionByName _)
     }),
