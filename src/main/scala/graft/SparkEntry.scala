@@ -1176,6 +1176,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("sum_qty"))
     }),
+    // Raw-text roundtrip: documents → one line per doc through the
+    // text sink → read back through the text source. The corpus
+    // contract (no embedded newlines) is the format's own contract;
+    // lines are self-identifying so the unordered read hash-matches.
+    "q_text_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_text_gate")
+        .resolve("docs_txt").toString
+      val lines = docs(s, d)
+        .select(concat(col("doc_id"), lit("|"), col("text")).as("value"))
+      graft.sinks.SinkWriter.write(lines,
+        graft.spec.SinkSpec("text_out", "text", graft.spec.Config.of("path" -> dir)))
+      graft.sources.SourceReader.read(s,
+        graft.spec.SourceSpec("text_in", "text", graft.spec.Config.of("path" -> dir)))
+    }),
     "q_orc_roundtrip" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_orc_gate")
         .resolve("nation_orc").toString
@@ -2157,6 +2171,8 @@ object SparkEntry {
       FROM lineitem
       WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
       GROUP BY l_returnflag""",
+    "q_text_roundtrip" -> """
+      SELECT doc_id || '|' || text AS value FROM documents""",
     "q_orc_roundtrip" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
              CAST(n_regionkey AS BIGINT) AS n_regionkey,

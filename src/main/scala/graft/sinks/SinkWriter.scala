@@ -46,6 +46,18 @@ object SinkWriter {
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s.config.reqStr("path"))
       }
 
+    // Raw text sink: exactly one string column, one line per row (the
+    // inverse of the `text` source's line mode). More columns is an
+    // analysis error — concatenate upstream; silently joining columns
+    // would invent a format.
+    case "text" =>
+      if (df.schema.fields.length != 1 ||
+          df.schema.fields(0).dataType != org.apache.spark.sql.types.StringType)
+        throw new GraftAnalysisException(
+          s"sink '${s.name}': text sink needs exactly one string column, " +
+            s"got ${df.schema.simpleString}")
+      writer(df, s).text(s.config.reqStr("path"))
+
     case "orc" =>
       val w = writer(df, s)
       val parts = s.config.strList("partition_by")
@@ -83,5 +95,5 @@ object SinkWriter {
     d.write.mode(s.config.str("mode").getOrElse("overwrite"))
   }
 
-  val knownTypes: Set[String] = Set("stdout", "json", "csv", "parquet", "orc", "jdbc", "sqlite")
+  val knownTypes: Set[String] = Set("stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite")
 }

@@ -70,6 +70,19 @@ object SourceReader {
         case cols => df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       }
 
+    // Raw text — the canonical LLM-corpus ingestion format. Default:
+    // one row per line, column `value`. `whole_file = true` reads one
+    // row per FILE (column `value`, plus `path` when `with_path` is
+    // set) — the document-per-file layout crawl dumps arrive in.
+    // Lazy scan like every other source; line mode splits by HDFS
+    // block, so a single huge file still parallelizes.
+    case "text" =>
+      val whole = s.config.bool("whole_file").getOrElse(false)
+      val df = spark.read.option("wholetext", whole).text(s.config.reqStr("path"))
+      if (s.config.bool("with_path").getOrElse(false))
+        df.withColumn("path", org.apache.spark.sql.functions.input_file_name())
+      else df
+
     // Reference sqlite source (main.py:130-138) over the pure-Scala
     // file codec — no JDBC driver needed. `table` reads one table;
     // `query` is the reference's arbitrary-SQL mode, re-expressed as

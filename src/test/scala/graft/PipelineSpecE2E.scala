@@ -285,6 +285,24 @@ class PipelineSpecE2E extends SparkSuite {
     }
   }
 
+  test("text source/sink: line roundtrip, whole-file mode, single-column contract") {
+    import graft.sinks.SinkWriter
+    import graft.sources.SourceReader
+    val dir = tmp() + "/t"
+    SinkWriter.write(Seq("alpha", "beta").toDF("value"),
+      SinkSpec("t", "text", Config.of("path" -> dir)))
+    val back = SourceReader.read(spark, SourceSpec("t", "text", Config.of("path" -> dir)))
+    assert(back.as[String].collect().sorted.toSeq == Seq("alpha", "beta"))
+    val whole = SourceReader.read(spark, SourceSpec("t", "text",
+      Config.of("path" -> dir, "whole_file" -> true, "with_path" -> true)))
+    assert(whole.columns.toSet == Set("value", "path"))
+    assert(whole.count() >= 1) // one row per file
+    // exactly one string column, or it's an analysis error
+    assertThrows[GraftAnalysisException](SinkWriter.write(
+      Seq((1, "x")).toDF("a", "b"),
+      SinkSpec("t2", "text", Config.of("path" -> (tmp() + "/u")))))
+  }
+
   test("flagship entry returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
