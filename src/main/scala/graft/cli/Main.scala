@@ -15,6 +15,7 @@ import graft.spec.SpecJson
   *   list                      list pipelines
   *   run <id>                  execute a pipeline
   *   runs <id>                 show run history
+  *   explain <id>              print the optimized plan (dry run)
   *   validate <id> <source>    infer + report a source's schema
   * Catalog root: $GRAFT_HOME (reference: $PIPELINE_DB, main.py:21).
   */
@@ -52,6 +53,20 @@ object Main {
             r.error.map(e => s"\terror=$e").getOrElse(""))
         }
 
+      // Beyond the reference surface: print the pipeline's OPTIMIZED
+      // physical plan without running it — the dry-run a Spark user
+      // reaches for before paying a 100 TB execution (pushed filters,
+      // pruned columns, join strategies, shuffle count all visible).
+      case "explain" :: id :: Nil =>
+        val spec = try store.load(id) catch {
+          case _: java.nio.file.NoSuchFileException =>
+            System.err.println(s"error: no such pipeline '$id'"); sys.exit(1)
+        }
+        val spark = session()
+        try println(PipelineCompiler.compile(spark, spec).df.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+        finally spark.stop()
+
       // Reference validate_schema (main.py:476-497): per-field union
       // of OBSERVED row value types — see graft.run.SchemaValidate for
       // the distributed observation strategy and the reference-exact
@@ -69,7 +84,7 @@ object Main {
 
       case _ =>
         System.err.println(
-          "usage: graft (create <spec.json> | list | run <id> | runs <id> | validate <id> <source>)")
+          "usage: graft (create <spec.json> | list | run <id> | runs <id> | explain <id> | validate <id> <source>)")
         sys.exit(2)
     }
   }

@@ -92,7 +92,11 @@ object SinkWriter {
   private def writer(df: DataFrame, s: SinkSpec) = {
     val coalesceN = s.config.int("coalesce")
     val d = coalesceN.map(df.coalesce).getOrElse(df)
-    d.write.mode(s.config.str("mode").getOrElse("overwrite"))
+    val w = d.write.mode(s.config.str("mode").getOrElse("overwrite"))
+    // codec passthrough (gzip/snappy/zstd/...): at corpus scale the
+    // storage codec is a first-order cost knob, so every file sink
+    // takes it; format defaults apply when unset
+    s.config.str("compression").map(c => w.option("compression", c)).getOrElse(w)
   }
 
   val knownTypes: Set[String] = Set("stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite")
