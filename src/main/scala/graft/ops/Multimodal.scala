@@ -181,6 +181,49 @@ object Multimodal {
     }
   }
 
+  /** RIFF/WAVE header parse — the audio sibling of [[ImageHeader]],
+    * against the public WAV container layout: "RIFF" …"WAVE", then a
+    * chunk list whose "fmt " chunk carries channels/sample-rate/
+    * byte-rate and whose "data" chunk size gives the duration. Same
+    * garbage-safety contract: truncated or hostile bytes return None,
+    * never throw.
+    */
+  object AudioHeader {
+    /** (mime, channels, sample_rate_hz, duration_ms) or None. */
+    def parse(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
+      def u8(i: Int): Int = p(i) & 0xFF
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      def tag(i: Int): String =
+        if (i + 4 <= p.length) new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        else ""
+      if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      var channels = 0; var rate = 0; var byteRate = 0L; var dataLen = -1L
+      while (i + 8 <= p.length) {
+        val id = tag(i)
+        val len = le32(i + 4)
+        if (id == "fmt " && i + 24 <= p.length) {
+          channels = le16(i + 10)
+          rate = le32(i + 12).toInt
+          byteRate = le32(i + 16)
+        } else if (id == "data") {
+          // the DECLARED size drives duration — a truncated prefix
+          // still names the intended audio length
+          dataLen = len
+        }
+        if (len < 0 || len > Int.MaxValue - 16) return None // hostile size
+        i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        if (channels > 0 && dataLen >= 0) {
+          val durMs = if (byteRate > 0) dataLen * 1000L / byteRate else 0L
+          return Some(("audio/wav", channels, rate, durMs))
+        }
+      }
+      None
+    }
+  }
+
   /** Distributed REAL decode through the same mapPartitions seam as
     * [[extractFeatures]]: payload bytes → sniffed mime + dimensions
     * (nulls for unrecognized payloads — kept, not dropped, so the
@@ -203,6 +246,28 @@ object Multimodal {
         }
       }
       .toDF("id", "byte_len", "mime_detected", "width", "height")
+  }
+
+  /** Audio twin of [[decodeImageMeta]], same seam and nulls-for-
+    * garbage contract: (id, byte_len, mime_detected, channels,
+    * sample_rate, duration_ms). */
+  def decodeAudioMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          AudioHeader.parse(payload) match {
+            case Some((mime, ch, rate, durMs)) =>
+              (id, payload.length.toLong, mime, Some(ch), Some(rate), Some(durMs))
+            case None =>
+              (id, payload.length.toLong, null: String,
+                None: Option[Int], None: Option[Int], None: Option[Long])
+          }
+        }
+      }
+      .toDF("id", "byte_len", "mime_detected", "channels", "sample_rate", "duration_ms")
   }
 
   /** Transcoder seam for resize: a real deployment wraps an image

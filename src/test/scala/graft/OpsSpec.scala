@@ -267,6 +267,37 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: REAL audio codec parses WAV headers through the seam") {
+    // a real minimal WAV: PCM, 2 channels, 8000 Hz, 16-bit → byte rate
+    // 32000; data chunk declares 64000 bytes → 2000 ms
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(64000) // declared, truncated body
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + 64000) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ data ++ Array.fill(16)(0.toByte)
+    assert(Multimodal.AudioHeader.parse(wav).contains(("audio/wav", 2, 8000, 2000L)))
+    assert(Multimodal.AudioHeader.parse(wav.take(20)).isEmpty)
+    assert(Multimodal.AudioHeader.parse("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.AudioHeader.parse(Array.empty[Byte]).isEmpty)
+
+    val media = Seq((1L, wav), (2L, "not audio data here at all ok".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), struct(col("payload"),
+        lit(null).cast("string").as("mime"),
+        struct(length(col("payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+    val out = Multimodal.decodeAudioMeta(media, "doc_id", "media")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("mime_detected"), Option(r.get(r.fieldIndex("channels"))),
+          Option(r.get(r.fieldIndex("sample_rate"))),
+          Option(r.get(r.fieldIndex("duration_ms"))))).toMap
+    assert(out(1L) == (("audio/wav", Some(2), Some(8000), Some(2000L))))
+    assert(out(2L) == ((null, None, None, None)))
+  }
+
   test("near-dup signature index: check == recompute, save/load identical, no corpus re-signature") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
