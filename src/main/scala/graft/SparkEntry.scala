@@ -530,6 +530,13 @@ object SparkEntry {
     // ---- deterministic sampling / splits (content-hash based) ----
     "q_sample" -> ((s, d) =>
       SampleOp(t(s, d, "documents"), Config.of("key" -> "doc_id", "mod" -> 10, "below" -> 3))),
+    // per-class deterministic downsampling (rebalance a skewed corpus):
+    // keep 30% of en, all of zh, 10% of everything else — same md5
+    // bucket mechanism as q_sample so the oracle replays it exactly
+    "x_stratified_sample" -> ((s, d) =>
+      StratifiedSampleOp(t(s, d, "documents"), Config.of(
+        "key" -> "doc_id", "class_field" -> "lang", "mod" -> 10,
+        "default_below" -> 1, "below" -> Map("en" -> 3, "zh" -> 10)))),
     "x_split" -> ((s, d) =>
       SplitOp(t(s, d, "documents"), Config.of(
         "key" -> "doc_id", "mod" -> 100, "train_below" -> 80, "val_below" -> 90))
@@ -1537,6 +1544,10 @@ object SparkEntry {
     "q_sample" -> """
       SELECT * FROM documents
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 3""",
+    "x_stratified_sample" -> """
+      SELECT * FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 <
+            CASE WHEN lang = 'en' THEN 3 WHEN lang = 'zh' THEN 10 ELSE 1 END""",
     "x_split" -> """
       SELECT doc_id,
              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

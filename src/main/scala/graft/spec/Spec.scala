@@ -108,7 +108,13 @@ final case class Config(jv: JObject) {
   def strMap(k: String): Map[String, String] = get(k) match {
     case Some(JObject(fields)) => fields.map {
       case (kk, JString(v)) => kk -> v
-      case (kk, other) => throw new GraftAnalysisException(s"mapping '$k.$kk' is not a string: $other")
+      // scalar values stringify (a JSON author writing {"en": 3} means
+      // "3"); only structured values are a type error
+      case (kk, JInt(v))    => kk -> v.toString
+      case (kk, JLong(v))   => kk -> v.toString
+      case (kk, JDouble(v)) => kk -> v.toString
+      case (kk, JBool(v))   => kk -> v.toString
+      case (kk, other) => throw new GraftAnalysisException(s"mapping '$k.$kk' is not a scalar: $other")
     }.toMap
     case Some(other) => throw new GraftAnalysisException(s"config key '$k' is not an object: $other")
     case None => Map.empty

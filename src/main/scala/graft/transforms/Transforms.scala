@@ -41,6 +41,7 @@ object Transforms {
     case "window"      => WindowOp(df, t.config)
     case "sql"         => SqlOp(df, t.config, ctx)
     case "sample"      => SampleOp(df, t.config)
+    case "stratified_sample" => StratifiedSampleOp(df, t.config)
     case "split"       => SplitOp(df, t.config)
     // event-time watermark (streaming pipelines): bounds state for
     // downstream windowed aggregates; a no-op semantic on batch data
@@ -311,7 +312,7 @@ object Transforms {
   val knownTypes: Set[String] = Set(
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
     "select", "rename", "limit", "union", "intersect", "except",
-    "distinct", "window", "sql", "sample", "split",
+    "distinct", "window", "sql", "sample", "stratified_sample", "split",
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "sessionize",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
@@ -964,6 +965,36 @@ object SampleOp {
     val below = cfg.int("below").getOrElse(
       throw new GraftAnalysisException("sample: needs 'below' (keep rows with bucket < below)"))
     df.filter(bucket(key, mod) < below)
+  }
+}
+
+/** Stratified deterministic sampling: a per-class keep-fraction over
+  * the SAME md5 hash-bucket mechanism as [[SampleOp]] — so the sample
+  * is reproducible across engines AND across runs (a re-processed
+  * corpus keeps/drops the same rows), which seeded `rand()` sampling
+  * cannot promise. Classes absent from `fractions` keep the `default`
+  * rate (0 = drop). The classic rebalancing move for skewed corpora:
+  * downsample the dominant language/source, keep the tail whole.
+  */
+object StratifiedSampleOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    val key = c(cfg.reqStr("key"))
+    val classCol = c(cfg.reqStr("class_field"))
+    val mod = cfg.int("mod").getOrElse(100)
+    val default = cfg.int("default_below").getOrElse(0)
+    val fracs = cfg.strMap("below") // class value -> bucket threshold
+    if (fracs.isEmpty && default == 0)
+      throw new GraftAnalysisException(
+        "stratified_sample: needs 'below' {class: threshold} and/or 'default_below'")
+    val b = SampleOp.bucket(key, mod)
+    val threshold = fracs.foldRight(lit(default): Column) { case ((cls, below), els) =>
+      val t = try below.toInt catch {
+        case _: NumberFormatException =>
+          throw new GraftAnalysisException(s"stratified_sample: threshold for '$cls' not an int: $below")
+      }
+      when(classCol.cast(StringType) === cls, lit(t)).otherwise(els)
+    }
+    df.filter(b < threshold)
   }
 }
 
