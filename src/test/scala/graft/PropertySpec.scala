@@ -207,6 +207,30 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("ngram contamination counts == scala brute-force set intersection") {
+    import org.apache.spark.sql.functions.col
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee", "ff")
+    val doc = Gen.choose(0, 7).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.listOfN(6, doc), cases = 5) { texts =>
+      val train = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bench = texts.reverse.take(2).zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      def grams(t: String): Set[String] = {
+        val w = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (w.length < 2) Set.empty
+        else w.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val benchGrams = texts.reverse.take(2).flatMap(grams).toSet
+      val expected = texts.zipWithIndex.collect {
+        case (t, i) if grams(t).nonEmpty =>
+          i.toLong -> ((grams(t).size.toLong, grams(t).count(benchGrams).toLong))
+      }.toMap
+      val got = graft.ops.Dedup.ngramContamination(train, bench, "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"texts=$texts")
+    }
+  }
+
   test("url kernel == declarative form on generated urls (incl. junk)") {
     import org.apache.spark.sql.functions.col
     val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp", "s3")
