@@ -589,6 +589,20 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), raw.as("url"),
         TextAnalysis.normalizeUrl(raw).as("url_norm"))
     }),
+    // Real BPE tokenizer contract (boolean gate, like the recall
+    // gates — DuckDB cannot replay merge training): corpus-trained
+    // merges must (a) roundtrip every word exactly, (b) never emit
+    // fewer tokens than words, (c) actually compress vs character
+    // count. The per-doc numbers themselves are pinned by BpeSpec.
+    "x_bpe_tokens" -> ((s, d) => {
+      val ds = docs(s, d)
+      val model = graft.ops.Bpe.train(ds, "text", numMerges = 100)
+      model.encodeCounts(ds, "doc_id", "text")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("roundtrip_ok")).as("all_roundtrip_ok"),
+          min(col("n_bpe_tokens") >= col("n_words")).as("tokens_ge_words"),
+          (sum(col("n_bpe_tokens")) < sum(col("n_word_chars"))).as("compresses"))
+    }),
     // PII redaction over synthetic planted identifiers (both engines
     // derive the identical input from doc_id/source, so the redaction
     // itself is what the hash compares)
@@ -1635,6 +1649,12 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    // BPE boolean contract (see x_bpe_tokens query comment).
+    "x_bpe_tokens" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS all_roundtrip_ok,
+             true AS tokens_ge_words, true AS compresses
+      FROM documents""",
 
     "x_pii_redact" -> """
       WITH raw AS (

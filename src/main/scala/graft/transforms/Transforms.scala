@@ -161,6 +161,15 @@ object Transforms {
         throw new GraftAnalysisException(s"text_unigram_ppx: unknown source '$n'"))).getOrElse(df)
       graft.ops.TextAnalysis.unigramNll(df, cfg.reqStr("id_field"), tf,
         graft.ops.TextAnalysis.unigramLogProbs(lmDf, tf))
+    case "bpe_tokens" =>
+      val cfg = t.config
+      val tf = cfg.str("text_field").getOrElse("text")
+      val lmDf = cfg.str("train_source").map(n => ctx.getOrElse(n,
+        throw new GraftAnalysisException(s"bpe_tokens: unknown source '$n'"))).getOrElse(df)
+      graft.ops.Bpe.train(lmDf, tf,
+          numMerges = cfg.int("num_merges").getOrElse(200),
+          vocabWords = cfg.int("vocab_words").getOrElse(10000))
+        .encodeCounts(df, cfg.reqStr("id_field"), tf)
     case "redact_pii" =>
       val f = t.config.str("field").getOrElse("text")
       df.withColumn(t.config.str("out_field").getOrElse(f),
@@ -318,7 +327,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx", "pca_whiten",
-    "url_normalize", "redact_pii",
+    "url_normalize", "redact_pii", "bpe_tokens",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "connected_components", "dedup_cluster")
 
