@@ -589,6 +589,12 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), raw.as("url"),
         TextAnalysis.normalizeUrl(raw).as("url_norm"))
     }),
+    // Sequence packing (sample packing): greedy fixed-capacity fold in
+    // doc_id order per source shard; the oracle replays the exact fold
+    // with a recursive CTE, so every bin boundary is value-checked
+    "x_pack_sequences" -> ((s, d) =>
+      graft.ops.Packing.packGreedy(docs(s, d), "doc_id", "source", "text",
+        capacity = 400)),
     // Real BPE tokenizer contract (boolean gate, like the recall
     // gates — DuckDB cannot replay merge training): corpus-trained
     // merges must (a) roundtrip every word exactly, (b) never emit
@@ -1649,6 +1655,22 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    "x_pack_sequences" -> """
+      WITH RECURSIVE toks AS (
+        SELECT source, doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      rec AS (
+        SELECT source, doc_id, t, rn, t AS acc, 0 AS bin FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT x.source, x.doc_id, x.t, x.rn,
+               CASE WHEN r.acc + x.t > 400 THEN x.t ELSE r.acc + x.t END,
+               CASE WHEN r.acc + x.t > 400 THEN r.bin + 1 ELSE r.bin END
+        FROM toks x JOIN rec r ON x.source = r.source AND x.rn = r.rn + 1)
+      SELECT source, doc_id, CAST(t AS BIGINT) AS n_tokens, CAST(bin AS BIGINT) AS bin
+      FROM rec""",
 
     // BPE boolean contract (see x_bpe_tokens query comment).
     "x_bpe_tokens" -> """

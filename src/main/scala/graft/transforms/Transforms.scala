@@ -161,6 +161,12 @@ object Transforms {
         throw new GraftAnalysisException(s"text_unigram_ppx: unknown source '$n'"))).getOrElse(df)
       graft.ops.TextAnalysis.unigramNll(df, cfg.reqStr("id_field"), tf,
         graft.ops.TextAnalysis.unigramLogProbs(lmDf, tf))
+    case "pack_sequences" =>
+      val cfg = t.config
+      graft.ops.Packing.packGreedy(df, cfg.reqStr("id_field"),
+        cfg.reqStr("group_field"), cfg.str("text_field").getOrElse("text"),
+        capacity = cfg.int("capacity").getOrElse(
+          throw new GraftAnalysisException("pack_sequences: 'capacity' is required")).toLong)
     case "bpe_tokens" =>
       val cfg = t.config
       val tf = cfg.str("text_field").getOrElse("text")
@@ -327,7 +333,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx", "pca_whiten",
-    "url_normalize", "redact_pii", "bpe_tokens",
+    "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "connected_components", "dedup_cluster")
 

@@ -349,6 +349,24 @@ class OpsSpec extends SparkSuite {
     assert(again.where(col("batch_id") === col("corpus_id")).count() == 3) // self matches
   }
 
+  test("sequence packing: greedy fold per group, oversized docs get own bins") {
+    val df = Seq(
+      (1L, "g1", "a b c"),        // 3 tokens
+      (2L, "g1", "d e f g"),      // 4 → 3+4=7 > 5: new bin
+      (3L, "g1", "h"),            // 1 → 4+1=5 fits
+      (4L, "g1", "i j k l m n"),  // 6 > capacity: own bin
+      (5L, "g1", "o"),            // after oversize: new bin
+      (6L, "g2", "p q")).toDF("doc_id", "source", "text")
+    val out = graft.ops.Packing.packGreedy(df, "doc_id", "source", "text", capacity = 5)
+      .collect().map(r => r.getLong(1) -> ((r.getString(0), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("g1", 3L, 0L)))
+    assert(out(2L) == (("g1", 4L, 1L)))
+    assert(out(3L) == (("g1", 1L, 1L)))
+    assert(out(4L) == (("g1", 6L, 2L))) // oversized: alone in bin 2
+    assert(out(5L) == (("g1", 1L, 3L)))
+    assert(out(6L) == (("g2", 2L, 0L))) // bins number from 0 per group
+  }
+
   test("pii redaction: emails, ssn, phones, ips replaced in rule order") {
     val in = "mail a.b+c@ex-ample.co.uk, ssn 123-45-6789, call +4915123456789, " +
       "host 192.168.0.1 but not 1.2.3.4.5 fully and not v1.2 at all"
