@@ -38,7 +38,7 @@ object StreamingRunner {
     // require a declared schema (no inference mid-stream)
     val schema = SourceReader.read(spark, head).schema
     val format = head.sourceType match {
-      case "parquet" | "csv" | "json" => head.sourceType
+      case "parquet" | "csv" | "json" | "text" | "orc" => head.sourceType
       case other => throw new GraftAnalysisException(s"streaming: unsupported stream source '$other'")
     }
     val stream = Streaming.fileSource(
