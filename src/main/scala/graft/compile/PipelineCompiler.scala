@@ -48,7 +48,8 @@ object PipelineCompiler {
       // same cross-source contract for the other context-consuming ops
       val ctxKey = t.transformType match {
         case "ann_topk" => Some("queries")
-        case "contamination" | "contamination_embed" | "contamination_ngram" => Some("against")
+        case "contamination" | "contamination_embed" | "contamination_ngram"
+           | "dedup_index_check" => Some("against")
         case "text_unigram_ppx" => Some("lm_source") // optional; checked when present
         case "union" | "intersect" | "except" => None // validated by the ops (lists)
         case _ => None

@@ -79,6 +79,21 @@ object SinkWriter {
         overwrite = s.config.str("mode").contains("overwrite"))
       ()
 
+    // Build-and-save a near-dup signature index from the stream — an
+    // index IS a sink (the ingest-time half of the standing-corpus
+    // dedup lifecycle; see graft.ops.Dedup.NearDupIndex). Checks
+    // against it run through the `dedup_index_check` transform.
+    case "neardup_index" =>
+      graft.ops.Dedup.NearDupIndex.save(
+        graft.ops.Dedup.NearDupIndex.build(df,
+          s.config.reqStr("id_field"),
+          s.config.str("text_field").getOrElse("text"),
+          numHashes = s.config.int("num_hashes").getOrElse(64),
+          k = s.config.int("k").getOrElse(3),
+          bands = s.config.int("bands").getOrElse(16),
+          seed = s.config.int("seed").getOrElse(42).toLong),
+        s.config.reqStr("path"))
+
     case "jdbc" =>
       df.write.format("jdbc").option("url", s.config.reqStr("url"))
         .option("dbtable", s.config.str("table").getOrElse("output"))
@@ -99,5 +114,6 @@ object SinkWriter {
     s.config.str("compression").map(c => w.option("compression", c)).getOrElse(w)
   }
 
-  val knownTypes: Set[String] = Set("stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite")
+  val knownTypes: Set[String] = Set(
+    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index")
 }

@@ -161,6 +161,20 @@ object Transforms {
         throw new GraftAnalysisException(s"text_unigram_ppx: unknown source '$n'"))).getOrElse(df)
       graft.ops.TextAnalysis.unigramNll(df, cfg.reqStr("id_field"), tf,
         graft.ops.TextAnalysis.unigramLogProbs(lmDf, tf))
+    // check the stream (a new ingest batch) against a PERSISTED
+    // signature index; `against` names the corpus source whose text
+    // the exact-Jaccard verify point-reads for candidates
+    case "dedup_index_check" =>
+      val cfg = t.config
+      val rName = cfg.reqStr("against")
+      val corpus = ctx.getOrElse(rName,
+        throw new GraftAnalysisException(s"dedup_index_check: unknown source '$rName'"))
+      val ix = graft.ops.Dedup.NearDupIndex.load(df.sparkSession, cfg.reqStr("index_path"))
+      graft.ops.Dedup.NearDupIndex.check(ix, df,
+        cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"),
+        corpus, cfg.str("right_id_field").getOrElse(cfg.reqStr("id_field")),
+        cfg.str("right_text_field").getOrElse(cfg.str("text_field").getOrElse("text")),
+        threshold = cfg.double("threshold").getOrElse(0.7))
     case "pack_sequences" =>
       val cfg = t.config
       graft.ops.Packing.packGreedy(df, cfg.reqStr("id_field"),
@@ -333,7 +347,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx", "pca_whiten",
-    "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences",
+    "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "connected_components", "dedup_cluster")
 

@@ -303,6 +303,38 @@ class PipelineSpecE2E extends SparkSuite {
       SinkSpec("t2", "text", Config.of("path" -> (tmp() + "/u")))))
   }
 
+  test("near-dup index lifecycle through pipelines: build sink, then check transform") {
+    val ixPath = tmp() + "/ndix"
+    val corpusRows = Seq(
+      Map("doc_id" -> 1, "text" -> "the quick brown fox jumps over the lazy dog today"),
+      Map("doc_id" -> 2, "text" -> "completely different content about spark engines here"))
+    val build = PipelineSpec(
+      name = "ingest",
+      sources = Seq(SourceSpec("corpus", "inline", Config.of("data" -> corpusRows))),
+      transforms = Nil,
+      sinks = Seq(SinkSpec("ix", "neardup_index",
+        Config.of("path" -> ixPath, "id_field" -> "doc_id"))))
+    assert(PipelineRunner.run(spark, build).status == "success")
+
+    val check = PipelineSpec(
+      name = "batch_check",
+      sources = Seq(
+        SourceSpec("batch", "inline", Config.of("data" -> Seq(
+          Map("doc_id" -> 10, "text" -> "the quick brown fox jumps over the lazy dog today"),
+          Map("doc_id" -> 11, "text" -> "entirely novel ingest content matching nothing")))),
+        SourceSpec("corpus", "inline", Config.of("data" -> corpusRows))),
+      transforms = Seq(
+        TransformSpec("only_batch", "filter",
+          Config.of("field" -> "doc_id", "op" -> "ge", "value" -> 10), Nil, 0),
+        TransformSpec("c", "dedup_index_check", Config.of(
+          "against" -> "corpus", "index_path" -> ixPath, "id_field" -> "doc_id",
+          "threshold" -> 0.5), Nil, 1)),
+      sinks = Seq(SinkSpec("out", "stdout")))
+    val pairs = PipelineCompiler.compile(spark, check).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((10L, 1L, 1.0))) // exact dup found via the stored index
+  }
+
   test("flagship entry returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
