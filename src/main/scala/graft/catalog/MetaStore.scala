@@ -83,7 +83,9 @@ final class FileMetaStore(root: Path) extends MetaStore {
       "rows_read" -> JLong(r.rowsRead),
       "rows_written" -> JLong(r.rowsWritten),
       "duration_ms" -> JLong(r.durationMs),
-      "error" -> r.error.map(JString(_)).getOrElse(JNull))))
+      "error" -> r.error.map(JString(_)).getOrElse(JNull),
+      "stage_rows" -> JObject(r.stageRows.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JLong(v): org.json4s.JValue) }))))
     Files.writeString(runsFile, line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -102,7 +104,9 @@ final class FileMetaStore(root: Path) extends MetaStore {
               c.int("rows_read").map(_.toLong).getOrElse(0L),
               c.int("rows_written").map(_.toLong).getOrElse(0L),
               c.int("duration_ms").map(_.toLong).getOrElse(0L),
-              c.str("error")))
+              c.str("error"),
+              c.strMap("stage_rows").flatMap { case (k, v) =>
+                v.toLongOption.map(k -> _) }))
           else None
         case _ => None
       }
@@ -226,7 +230,10 @@ final class SqliteMetaStore(db: Path) extends MetaStore {
       SText(r.startedAt.toString), SText(r.finishedAt.toString),
       SInt(r.rowsRead), SInt(r.rowsWritten),
       r.error.map(SText(_): SqlValue).getOrElse(SNull),
-      SText(s"""{"duration_ms":${r.durationMs}}"""))
+      SText(JsonMethods.compact(JsonMethods.render(JObject(
+        "duration_ms" -> JLong(r.durationMs),
+        "stage_rows" -> JObject(r.stageRows.toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JLong(v): org.json4s.JValue) }))))))
     persist(s + ("runs" -> (s.getOrElse("runs", Nil) :+ row)))
   }
 
@@ -242,7 +249,9 @@ final class SqliteMetaStore(db: Path) extends MetaStore {
         Option(txt(r(4))).map(Instant.parse).getOrElse(Instant.EPOCH),
         num(r(5)), num(r(6)),
         stats.long("duration_ms").getOrElse(0L),
-        Option(txt(r(7))))
+        Option(txt(r(7))),
+        stats.strMap("stage_rows").flatMap { case (k, v) =>
+          v.toLongOption.map(k -> _) })
     }.reverse
 }
 
@@ -255,4 +264,6 @@ final case class RunRecord(
     rowsRead: Long,
     rowsWritten: Long,
     durationMs: Long,
-    error: Option[String])
+    error: Option[String],
+    /** Observed rows out of each transform (stats JSON `stage_rows`). */
+    stageRows: Map[String, Long] = Map.empty)

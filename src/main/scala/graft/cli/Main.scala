@@ -43,6 +43,9 @@ object Main {
         println(s"run ${res.runId}: ${res.status} rows_read=${res.rowsRead} " +
           s"rows_written=${res.rowsWritten} duration_ms=${res.durationMs}" +
           res.error.map(e => s" error=$e").getOrElse(""))
+        if (res.stageRows.nonEmpty)
+          println(res.stageRows.toSeq.sortBy(_._1)
+            .map { case (n, r) => s"$n=$r" }.mkString("stage_rows: ", " ", ""))
         spark.stop()
         if (res.status != "success") sys.exit(1)
 

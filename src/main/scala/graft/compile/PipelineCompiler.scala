@@ -29,7 +29,11 @@ object PipelineCompiler {
         * (reference `source_data`, main.py:437-443). */
       ctx: Map[String, DataFrame],
       /** The final transformed stream all sinks consume. */
-      df: DataFrame)
+      df: DataFrame,
+      /** Per-transform row observations (name → Observation), present
+        * when compiled with `observeStages` — resolved by the runner
+        * after the first sink action. */
+      stageObs: Seq[(String, org.apache.spark.sql.Observation)] = Nil)
 
   def validate(spec: PipelineSpec): Unit = {
     val errs = Seq.newBuilder[String]
@@ -74,7 +78,8 @@ object PipelineCompiler {
     if (es.nonEmpty) throw new GraftAnalysisException(es.mkString("invalid pipeline spec:\n  ", "\n  ", ""))
   }
 
-  def compile(spark: SparkSession, spec: PipelineSpec): Compiled = {
+  def compile(spark: SparkSession, spec: PipelineSpec,
+      observeStages: Boolean = false): Compiled = {
     validate(spec)
     val ctx: Map[String, DataFrame] =
       spec.sources.map(s => s.name -> SourceReader.read(spark, s)).toMap
@@ -82,8 +87,24 @@ object PipelineCompiler {
     // (reference main.py:437-443); null-fill for ragged schemas.
     val unioned = spec.sources.map(s => ctx(s.name))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+    val obs = Seq.newBuilder[(String, org.apache.spark.sql.Observation)]
     val df = spec.transforms.sortBy(_.orderIndex)
-      .foldLeft(unioned)((d, t) => Transforms(d, t, ctx))
-    Compiled(ctx, df)
+      .foldLeft(unioned) { (d, t) =>
+        val out = Transforms(d, t, ctx)
+        if (!observeStages) out
+        else {
+          // a CollectMetrics barrier per stage: rows flowing out of
+          // each transform are observed DURING the sink action — no
+          // extra job per stage, unlike a count() probe. Name carries
+          // a nonce: observation names are session-global, and a
+          // pipeline can run many times in one session
+          val o = org.apache.spark.sql.Observation(
+            s"graft_stage_${java.util.UUID.randomUUID()}_${t.orderIndex}_${t.name}")
+          obs += t.name -> o
+          out.observe(o, org.apache.spark.sql.functions
+            .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        }
+      }
+    Compiled(ctx, df, obs.result())
   }
 }

@@ -32,7 +32,12 @@ object PipelineRunner {
       rowsRead: Long,
       rowsWritten: Long,
       durationMs: Long,
-      error: Option[String])
+      error: Option[String],
+      /** Rows observed flowing OUT of each transform (stage name →
+        * rows), measured inside the sink action via CollectMetrics —
+        * no per-stage count jobs. Empty when stats are off or the
+        * pipeline has no sinks. */
+      stageRows: Map[String, Long] = Map.empty)
 
   def run(
       spark: SparkSession,
@@ -44,7 +49,8 @@ object PipelineRunner {
     val started = Instant.now()
     val t0 = System.nanoTime()
     try {
-      val compiled = PipelineCompiler.compile(spark, spec)
+      val compiled = PipelineCompiler.compile(spark, spec,
+        observeStages = collectStats && spec.sinks.nonEmpty)
       val rowsRead =
         if (collectStats) compiled.ctx.values.map(_.count()).sum else -1L
       val multiSink = spec.sinks.size > 1
@@ -54,10 +60,24 @@ object PipelineRunner {
         val rowsWritten =
           if (spec.sinks.isEmpty) 0L
           else if (collectStats) out.count() * math.max(1, spec.sinks.size) else -1L
+        // stage metrics landed during the first sink's action; the
+        // bounded wait means a stage whose metrics never materialize
+        // is absent from the map rather than hanging the run
+        val stageRows: Map[String, Long] = compiled.stageObs.flatMap { case (name, o) =>
+          try {
+            val row = scala.concurrent.Await.result(o.future,
+              scala.concurrent.duration.Duration(30, "s"))
+            // the metrics Row may arrive schema-less; there is exactly
+            // one observed expression per stage. A self-joining
+            // downstream op can duplicate the observed subtree and
+            // surface an empty metrics row — best-effort: skip it.
+            if (row.length > 0) Some(name -> row.getLong(0)) else None
+          } catch { case _: java.util.concurrent.TimeoutException => None }
+        }.toMap
         val dur = (System.nanoTime() - t0) / 1000000
-        val res = RunResult(runId, "success", rowsRead, rowsWritten, dur, None)
+        val res = RunResult(runId, "success", rowsRead, rowsWritten, dur, None, stageRows)
         store.foreach(_.recordRun(RunRecord(runId, pipelineId, "success", started,
-          Instant.now(), rowsRead, rowsWritten, dur, None)))
+          Instant.now(), rowsRead, rowsWritten, dur, None, stageRows)))
         res
       } finally if (multiSink) out.unpersist()
     } catch {

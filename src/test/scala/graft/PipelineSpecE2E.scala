@@ -206,7 +206,7 @@ class PipelineSpecE2E extends SparkSuite {
           Config.of("against" -> "train", "id_field" -> "doc_id", "threshold" -> 0.5), Nil, 1)),
       sinks = Seq(SinkSpec("j", "json", Config.of("path" -> auditOut))))
     val ares = PipelineRunner.run(spark, audit)
-    assert(ares.status == "success")
+    assert(ares.status == "success", ares.error)
     val leaks = spark.read.json(auditOut)
     assert(leaks.count() == 1)
     assert(leaks.select("left_id").as[Long].head() == 9001L)
@@ -301,6 +301,24 @@ class PipelineSpecE2E extends SparkSuite {
     assertThrows[GraftAnalysisException](SinkWriter.write(
       Seq((1, "x")).toDF("a", "b"),
       SinkSpec("t2", "text", Config.of("path" -> (tmp() + "/u")))))
+  }
+
+  test("per-stage observed rows land in the run result and the run registry") {
+    val store = new graft.catalog.FileMetaStore(java.nio.file.Paths.get(tmp()))
+    val spec = PipelineSpec(
+      name = "staged",
+      sources = Seq(SourceSpec("s", "inline", Config.of("data" ->
+        (1 to 10).map(i => Map("x" -> i))))),
+      transforms = Seq(
+        TransformSpec("keep_big", "filter",
+          Config.of("field" -> "x", "op" -> "gt", "value" -> 4), Nil, 0),
+        TransformSpec("top3", "limit", Config.of("n" -> 3), Nil, 1)),
+      sinks = Seq(SinkSpec("out", "json", Config.of("path" -> (tmp() + "/o")))))
+    val res = PipelineRunner.run(spark, spec, "pid-1", Some(store))
+    assert(res.status == "success")
+    assert(res.stageRows == Map("keep_big" -> 6L, "top3" -> 3L))
+    val recorded = store.runs("pid-1").head
+    assert(recorded.stageRows == Map("keep_big" -> 6L, "top3" -> 3L))
   }
 
   test("near-dup index lifecycle through pipelines: build sink, then check transform") {
