@@ -77,6 +77,26 @@ class StreamingSpec extends SparkSuite {
     } finally run.query.stop()
   }
 
+  test("StreamingRunner: raw text stream flows through the same spec transforms") {
+    import graft.spec._
+    val dir = java.nio.file.Files.createTempDirectory("graftsruntext")
+    java.nio.file.Files.writeString(dir.resolve("in").resolve("a.txt").normalize() match {
+      case p => java.nio.file.Files.createDirectories(p.getParent); p
+    }, "alpha line\nbeta line\ngamma\n")
+    val spec = PipelineSpec(
+      name = "text_stream",
+      sources = Seq(SourceSpec("lines", "text", Config.of("path" -> (dir.toString + "/in")))),
+      transforms = Seq(TransformSpec("f", "filter",
+        Config.of("field" -> "value", "op" -> "contains", "value" -> "line"))),
+      sinks = Seq(SinkSpec("m", "memory", Config.of("table" -> "spec_text_stream_out"))))
+    val run = graft.streaming.StreamingRunner.start(spark, spec, dir.toString + "/ckpt")
+    try {
+      run.query.processAllAvailable()
+      assert(spark.table("spec_text_stream_out").as[String].collect().sorted.toSeq
+        == Seq("alpha line", "beta line"))
+    } finally run.query.stop()
+  }
+
   test("StreamingRunner: watermark + window_agg spec aggregates a stream") {
     import graft.spec._
     val dir = java.nio.file.Files.createTempDirectory("graftswin")
