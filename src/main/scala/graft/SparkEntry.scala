@@ -635,6 +635,12 @@ object SparkEntry {
     "x_text_top2gram" -> ((s, d) =>
       TextAnalysis.topNgramStats(docs(s, d), "doc_id", "text", n = 2)
         .withColumn("top_ngram_frac", round(col("top_ngram_frac"), 6))),
+    // interpolated bigram (order-2) variant of the perplexity proxy —
+    // the shape KenLM filters generalize; oracle re-derives both LM
+    // tables and the interpolation
+    "x_text_bigram_ppx" -> ((s, d) =>
+      TextAnalysis.bigramNll(docs(s, d), "doc_id", "text")
+        .withColumn("avg_nll", round(col("avg_nll"), 6))),
     // CCNet-style perplexity proxy: unigram LM fit on the corpus, every
     // document scored by mean negative log-likelihood under it
     "x_text_unigram_ppx" -> ((s, d) => {
@@ -1769,6 +1775,33 @@ object SparkEntry {
              CAST(max(c) AS BIGINT) AS top_ngram_count,
              round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_ngram_frac
       FROM cnt GROUP BY doc_id""",
+
+    "x_text_bigram_ppx" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+        FROM documents),
+      uni AS (
+        SELECT u.w AS w, count(*) AS c FROM (SELECT unnest(w) AS w FROM toks) u GROUP BY u.w),
+      tot AS (SELECT sum(c) AS s FROM uni),
+      pairs AS (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+        FROM (SELECT doc_id, unnest(list_transform(range(2, len(w)+1),
+               i -> {'w1': w[i-1], 'w2': w[i]})) AS p FROM toks)),
+      big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+      firsts AS (SELECT doc_id, w[1] AS w2 FROM toks WHERE len(w) >= 1),
+      first_s AS (
+        SELECT f.doc_id, -ln(CAST(u.c AS DOUBLE) / t.s) AS nll
+        FROM firsts f JOIN uni u ON f.w2 = u.w, tot t),
+      pair_s AS (
+        SELECT p.doc_id,
+               -ln(0.7 * CAST(b.c2 AS DOUBLE) / u1.c + 0.3 * CAST(u2.c AS DOUBLE) / t.s) AS nll
+        FROM pairs p
+        JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        JOIN uni u1 ON p.w1 = u1.w
+        JOIN uni u2 ON p.w2 = u2.w, tot t),
+      allscores AS (SELECT * FROM first_s UNION ALL SELECT * FROM pair_s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(nll), 6) AS avg_nll
+      FROM allscores GROUP BY doc_id""",
 
     "x_text_unigram_ppx" -> """
       WITH tk AS (

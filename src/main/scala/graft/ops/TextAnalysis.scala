@@ -258,6 +258,56 @@ object TextAnalysis {
     when(spos > 0, rebuilt).otherwise(url)
   }
 
+  /** Interpolated bigram LM scoring — the order-2 step from
+    * [[unigramNll]] toward the KenLM-style n-gram perplexity filters
+    * (CCNet uses order 5; the distributed shape is identical at any
+    * order): per document, the first token scores by unigram
+    * probability and every following token by
+    * λ·p(w₂|w₁) + (1−λ)·p(w₂), all counts from one pass over the
+    * corpus. LM tables (unigram + bigram-conditional) broadcast; the
+    * document side explodes to (prev, cur) pairs and never shuffles
+    * before the per-doc aggregate. Tokens/pairs unseen by the LM drop
+    * (inner join) — train on a superset corpus.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7, broadcastLm: Boolean = true): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"bigramNll: lambda=$lambda outside [0,1]")
+    val toks = Partitioning.fanOut(docs)
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+    val uni = toks.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val tot = uni.agg(sum(col("__c")).as("__tot"))
+    val uniP = uni.crossJoin(broadcast(tot))
+      .select(col("__t"), (col("__c").cast("double") / col("__tot")).as("__pu"),
+        col("__c").cast("double").as("__cu"))
+    // (prev, cur) pairs; docs with < 2 tokens produce none (null array
+    // explodes to zero rows)
+    val pairsExpr = when(size(col("__w")) >= 2,
+      transform(sequence(lit(2), size(col("__w"))),
+        i => struct(element_at(col("__w"), i - 1).as("w1"),
+          element_at(col("__w"), i).as("w2"))))
+    val pairs = toks.select(col("__id"), explode(pairsExpr).as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val bigP = pairs.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
+      .join(uniP.select(col("__t").as("__w1"), col("__cu").as("__c1")), "__w1")
+      .select(col("__w1"), col("__w2"),
+        (col("__c2").cast("double") / col("__c1")).as("__pc"))
+    def b(df: DataFrame) = if (broadcastLm) broadcast(df) else df
+    val firstScores = toks.where(size(col("__w")) >= 1)
+      .select(col("__id"), element_at(col("__w"), 1).as("__t"))
+      .join(b(uniP.select(col("__t"), col("__pu"))), "__t")
+      .select(col("__id"), (-log(col("__pu"))).as("__nll"))
+    val pairScores = pairs
+      .join(b(bigP), Seq("__w1", "__w2"))
+      .join(b(uniP.select(col("__t").as("__w2"), col("__pu"))), "__w2")
+      .select(col("__id"),
+        (-log(lit(lambda) * col("__pc") + lit(1 - lambda) * col("__pu"))).as("__nll"))
+    firstScores.unionByName(pairScores)
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__nll")).as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("avg_nll"))
+  }
+
   /** PII redaction for training corpora: replace emails, SSNs,
     * international-format phone numbers, and IPv4 addresses with
     * typed placeholder tokens. Regex-subset chosen so Java regex

@@ -231,6 +231,19 @@ class OpsSpec extends SparkSuite {
     assert(m(2L)._1 == 4L && m(2L)._2 == 1L && math.abs(m(2L)._3 - 0.25) < 1e-9)
   }
 
+  test("bigram LM: unseen-context pairs score worse than corpus-frequent ones") {
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
+      (4L, "a dog sat the")).toDF("doc_id", "text")
+    val nll = graft.ops.TextAnalysis.bigramNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // every doc fully scored (LM trained on the same corpus: no drops)
+    assert(nll.values.map(_._1).toSeq.sorted == Seq(3L, 3L, 3L, 4L))
+    // "the cat sat" is the modal sentence; doc 4's pairs are singletons
+    assert(nll(4L)._2 > nll(1L)._2)
+    assert(nll(1L)._2 == nll(3L)._2) // identical docs, identical score
+  }
+
   test("unigram LM: rare tokens raise a document's mean negative log-likelihood") {
     val corpus = Seq(
       (1L, "common common common common"),
