@@ -83,8 +83,18 @@ object Bench {
         m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = mins.values.sum
       val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(mins)},""" +
-        s""""queries_last":${js(lasts)},"repeats":$repeats,"failed":$failedJs,"sf":"$sfDir"}""")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(mins)},""" +
+        s""""queries_last":${js(lasts)},"repeats":$repeats,"failed":$failedJs,"sf":"$sfDir"}"""
+      println(line)
+      // The stdout channel is lossy (the harness keeps only a bounded
+      // tail, which truncates the per-query map for a 100+-query
+      // suite), so the same line is also written to a repo artifact —
+      // overwritten per run — that survives intact for round-over-round
+      // per-query comparison.
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
       spark.stop()
     }
   }

@@ -730,8 +730,10 @@ object SparkEntry {
           standing, "doc_id", "text", threshold = 0.7)
           .select(least(col("batch_id"), col("corpus_id")).as("a_id"),
             greatest(col("batch_id"), col("corpus_id")).as("b_id"), col("jaccard"))
-        ix = Dedup.NearDupIndex.append(ix, batches(i), "doc_id", "text")
-        ix = ix.copy(sig = ix.sig.cache())
+        // appendCached swaps the cache: populates the new index cache,
+        // then unpersists the superseded one — the ingest loop holds
+        // exactly one cached signature frame at all times
+        ix = Dedup.NearDupIndex.appendCached(ix, batches(i), "doc_id", "text")
         pairs
       }
       (within ++ cross).reduce(_ unionByName _)

@@ -162,6 +162,19 @@ object SqliteData {
     */
   def write(dbPath: String, table: String, df: DataFrame, overwrite: Boolean): Long = {
     import SqliteFile._
+    // Fail-fast cap before the driver collect (same pattern as
+    // Similarity.assertQueryCap): "sqlite is a side-input/export
+    // surface" is a contract, and documentation isn't enforcement — a
+    // spec pointing a corpus-scale frame here must die at analysis
+    // with a pointer to parquet, not OOM the driver mid-collect. The
+    // probe is bounded (`limit(cap+1).count()`), so it never scans
+    // more than cap+1 rows no matter the input size.
+    val cap = df.sparkSession.conf.get("spark.graft.sqlite.maxRows", "1000000").toInt
+    if (df.limit(cap + 1).count() > cap) throw new GraftAnalysisException(
+      s"sqlite sink '$table': input exceeds $cap rows. The sqlite sink collects to " +
+        s"the driver (single-file, single-writer format) and is meant for side " +
+        s"inputs and small exports; write bulk data to parquet, or raise " +
+        s"spark.graft.sqlite.maxRows if the driver can hold it.")
     val p = Paths.get(dbPath)
     val existing: Seq[Table] = if (Files.exists(p)) SqliteFile.readTables(p) else Nil
 

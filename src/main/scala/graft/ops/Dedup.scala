@@ -414,6 +414,23 @@ object Dedup {
       ix.copy(sig = ix.sig.unionByName(
         signatures(batch, idCol, textCol, ix.numHashes, ix.k, ix.bands, ix.seed)))
 
+    /** Lifecycle-managed [[append]] for a long-lived ingest loop: the
+      * new (old ∪ batch) signature frame is cached and materialized
+      * NOW — while the superseded cache is still warm, so the union
+      * reads memory rather than recomputing the whole corpus — and
+      * the superseded cache is then unpersisted. Without the swap the
+      * loop leaks one cached signature frame per batch (executor
+      * storage memory grows without bound); with it exactly one cached
+      * copy of the index is alive at any time. `unpersist` on a
+      * never-cached predecessor (first append) is a harmless no-op.
+      */
+    def appendCached(ix: NearDupIndex, batch: DataFrame, idCol: String, textCol: String): NearDupIndex = {
+      val next = append(ix, batch, idCol, textCol).sig.cache()
+      next.count(): Unit
+      ix.sig.unpersist()
+      ix.copy(sig = next)
+    }
+
     def save(ix: NearDupIndex, path: String): Unit = {
       ix.sig.write.mode("overwrite").parquet(s"$path/sig")
       val spark = ix.sig.sparkSession

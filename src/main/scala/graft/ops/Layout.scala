@@ -43,19 +43,30 @@ object Layout {
   /** Write `df` to `path` as `numFiles` range-clustered sorted parquet
     * files on `keys` (leading key drives the file ranges). `dirKeys`,
     * when non-empty, adds hive-style directory partitioning on those
-    * columns (they must not overlap `keys`).
+    * columns (they must not overlap `keys`). `mode` and `compression`
+    * pass through to the writer — except `append`, which is rejected:
+    * appending a second range-clustered batch produces files whose key
+    * ranges overlap the existing ones, silently voiding the disjoint-
+    * interval pruning contract this layout exists to provide.
     */
   def writeRangeClustered(df: DataFrame, path: String, keys: Seq[String],
-      numFiles: Int, dirKeys: Seq[String] = Nil): Unit = {
+      numFiles: Int, dirKeys: Seq[String] = Nil,
+      mode: String = "overwrite", compression: Option[String] = None): Unit = {
     require(keys.nonEmpty, "writeRangeClustered: at least one cluster key")
     require(numFiles >= 1, s"writeRangeClustered: numFiles=$numFiles")
     require(dirKeys.intersect(keys).isEmpty,
       s"writeRangeClustered: dirKeys ${dirKeys.mkString(",")} overlap cluster keys")
+    if (mode == "append") throw new graft.GraftAnalysisException(
+      "writeRangeClustered: mode=append breaks the disjoint per-file key-range " +
+        "contract (new files overlap existing ranges and min/max pruning stops " +
+        "working); rewrite the table with overwrite, or drop cluster_by for " +
+        "append-style ingest")
     val keyCols = keys.map(col)
     val clustered = df
       .repartitionByRange(numFiles, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-    val w = clustered.write.mode("overwrite")
+    val w0 = clustered.write.mode(mode)
+    val w = compression.map(c => w0.option("compression", c)).getOrElse(w0)
     (if (dirKeys.nonEmpty) w.partitionBy(dirKeys: _*) else w).parquet(path)
   }
 

@@ -199,22 +199,27 @@ object Multimodal {
         if (i + 4 <= p.length) new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         else ""
       if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-      var i = 12
+      // cursor is Long: a hostile declared chunk size near 2^31 must
+      // advance past p.length and end the loop, never wrap an Int to
+      // a negative offset that the `i + 8 <= p.length` guard would
+      // re-admit (tag() would then throw, breaking the never-throw
+      // contract on one crafted payload)
+      var i = 12L
       var channels = 0; var rate = 0; var byteRate = 0L; var dataLen = -1L
       while (i + 8 <= p.length) {
-        val id = tag(i)
-        val len = le32(i + 4)
-        if (id == "fmt " && i + 24 <= p.length) {
-          channels = le16(i + 10)
-          rate = le32(i + 12).toInt
-          byteRate = le32(i + 16)
+        val at = i.toInt // safe: i + 8 <= p.length <= Int.MaxValue
+        val id = tag(at)
+        val len = le32(at + 4)
+        if (id == "fmt " && at + 24 <= p.length) {
+          channels = le16(at + 10)
+          rate = le32(at + 12).toInt
+          byteRate = le32(at + 16)
         } else if (id == "data") {
           // the DECLARED size drives duration — a truncated prefix
           // still names the intended audio length
           dataLen = len
         }
-        if (len < 0 || len > Int.MaxValue - 16) return None // hostile size
-        i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        i += 8L + len + (len & 1L) // le32 ≥ 0; chunks are word-aligned
         if (channels > 0 && dataLen >= 0) {
           val durMs = if (byteRate > 0) dataLen * 1000L / byteRate else 0L
           return Some(("audio/wav", channels, rate, durMs))

@@ -264,13 +264,18 @@ object TextAnalysis {
     * order): per document, the first token scores by unigram
     * probability and every following token by
     * λ·p(w₂|w₁) + (1−λ)·p(w₂), all counts from one pass over the
-    * corpus. LM tables (unigram + bigram-conditional) broadcast; the
-    * document side explodes to (prev, cur) pairs and never shuffles
-    * before the per-doc aggregate. Tokens/pairs unseen by the LM drop
-    * (inner join) — train on a superset corpus.
+    * corpus. The UNIGRAM table is vocabulary-bounded (Heaps' law:
+    * sublinear in corpus size) and broadcasts by default; the BIGRAM
+    * table grows roughly WITH the corpus — distinct bigrams keep
+    * accumulating — so it shuffle-joins by default and
+    * `broadcastBigram=true` is an explicit small-corpus opt-in, not a
+    * scale claim. The document side explodes to (prev, cur) pairs and
+    * never shuffles before the per-doc aggregate. Tokens/pairs unseen
+    * by the LM drop (inner join) — train on a superset corpus.
     */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
-      lambda: Double = 0.7, broadcastLm: Boolean = true): DataFrame = {
+      lambda: Double = 0.7, broadcastUnigram: Boolean = true,
+      broadcastBigram: Boolean = false): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"bigramNll: lambda=$lambda outside [0,1]")
     val toks = Partitioning.fanOut(docs)
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
@@ -292,14 +297,15 @@ object TextAnalysis {
       .join(uniP.select(col("__t").as("__w1"), col("__cu").as("__c1")), "__w1")
       .select(col("__w1"), col("__w2"),
         (col("__c2").cast("double") / col("__c1")).as("__pc"))
-    def b(df: DataFrame) = if (broadcastLm) broadcast(df) else df
+    def bu(df: DataFrame) = if (broadcastUnigram) broadcast(df) else df
+    def bb(df: DataFrame) = if (broadcastBigram) broadcast(df) else df
     val firstScores = toks.where(size(col("__w")) >= 1)
       .select(col("__id"), element_at(col("__w"), 1).as("__t"))
-      .join(b(uniP.select(col("__t"), col("__pu"))), "__t")
+      .join(bu(uniP.select(col("__t"), col("__pu"))), "__t")
       .select(col("__id"), (-log(col("__pu"))).as("__nll"))
     val pairScores = pairs
-      .join(b(bigP), Seq("__w1", "__w2"))
-      .join(b(uniP.select(col("__t").as("__w2"), col("__pu"))), "__w2")
+      .join(bb(bigP), Seq("__w1", "__w2"))
+      .join(bu(uniP.select(col("__t").as("__w2"), col("__pu"))), "__w2")
       .select(col("__id"),
         (-log(lit(lambda) * col("__pc") + lit(1 - lambda) * col("__pu"))).as("__nll"))
     firstScores.unionByName(pairScores)

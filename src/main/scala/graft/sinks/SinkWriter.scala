@@ -39,7 +39,12 @@ object SinkWriter {
         graft.ops.Layout.writeRangeClustered(df, s.config.reqStr("path"), cluster,
           numFiles = s.config.int("num_files").getOrElse(
             df.sparkSession.sparkContext.defaultParallelism),
-          dirKeys = s.config.strList("partition_by"))
+          dirKeys = s.config.strList("partition_by"),
+          // user's mode/compression are honored here too, not just in
+          // the plain-parquet branch; append is rejected inside (it
+          // would void the disjoint-range pruning contract)
+          mode = s.config.str("mode").getOrElse("overwrite"),
+          compression = s.config.str("compression"))
       else {
         val w = writer(df, s)
         val parts = s.config.strList("partition_by")

@@ -279,13 +279,20 @@ object Streaming {
     * `startFileSink` query inherits the session setting untouched —
     * at real stream volumes MORE state partitions is the correct
     * direction, and this knob is why the number is per-query. The
-    * session conf is restored after `start()` captures it.
+    * override rides a CLONED session (SessionBridge), so the caller's
+    * session conf is never touched — a set/restore window on the
+    * shared conf would race with concurrent batch work in the same
+    * session.
     */
   def startMemorySink(df: DataFrame, name: String, mode: String = "append"): StreamingQuery = {
-    val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val caller = df.sparkSession
+    val isolated = SessionBridge.withConfOverrides(df,
+      Map("spark.sql.shuffle.partitions" -> "8"))
+    val q = isolated.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    // the memory table registered in the clone's catalog, invisible to
+    // the caller's session — mirror its (live, sink-backed) plan back
+    SessionBridge.mirrorTempView(caller, isolated.sparkSession.table(name), name)
+    q
   }
 }

@@ -294,6 +294,20 @@ class OpsSpec extends SparkSuite {
     assert(Multimodal.AudioHeader.parse(wav.take(20)).isEmpty)
     assert(Multimodal.AudioHeader.parse("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.AudioHeader.parse(Array.empty[Byte]).isEmpty)
+    // hostile declared chunk size near 2^31: the cursor must not wrap
+    // an Int into a negative offset (would throw IndexOutOfBounds
+    // inside tag(), violating the never-throw contract) — it advances
+    // past the payload and the parse returns None
+    val hostile = "RIFF".getBytes("US-ASCII") ++ le32(0x7FFFFFFF) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ le32(0x7FFFFFF0) ++ Array.fill(64)(0.toByte)
+    assert(Multimodal.AudioHeader.parse(hostile).isEmpty)
+    // same hostile size on the LAST chunk after a valid fmt but no
+    // data: must also return None without throwing
+    val hostile2 = "RIFF".getBytes("US-ASCII") ++ le32(0x7FFFFFFF) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++
+      "LIST".getBytes("US-ASCII") ++ le32(0x7FFFFFF8) ++ Array.fill(64)(0.toByte)
+    assert(Multimodal.AudioHeader.parse(hostile2).isEmpty)
 
     val media = Seq((1L, wav), (2L, "not audio data here at all ok".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
@@ -360,6 +374,23 @@ class OpsSpec extends SparkSuite {
     val again = Dedup.NearDupIndex.check(ix2, batch, "doc_id", "text",
       corpus.unionByName(batch), "doc_id", "text", threshold = 0.5)
     assert(again.where(col("batch_id") === col("corpus_id")).count() == 3) // self matches
+  }
+
+  test("NearDupIndex appendCached: exactly one cached sig frame survives a chain") {
+    import spark.implicits._
+    val mk = (off: Long) => (0 until 6).map(i =>
+      (off + i, s"batch $off document number $i with some shared filler words"))
+      .toDF("doc_id", "text")
+    val persisted0 = spark.sparkContext.getPersistentRDDs.keySet
+    var ix = Dedup.NearDupIndex.build(mk(0), "doc_id", "text")
+    ix = ix.copy(sig = ix.sig.cache()); ix.sig.count()
+    ix = Dedup.NearDupIndex.appendCached(ix, mk(100), "doc_id", "text")
+    ix = Dedup.NearDupIndex.appendCached(ix, mk(200), "doc_id", "text")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persisted0
+    // 3 appends worth of caches would be 3 entries; the swap keeps 1
+    assert(leaked.size == 1, s"orphaned cached RDDs after append chain: $leaked")
+    assert(ix.sig.count() == 3 * 6 * ix.bands)
+    ix.sig.unpersist(): Unit
   }
 
   test("sequence packing: greedy fold per group, oversized docs get own bins") {

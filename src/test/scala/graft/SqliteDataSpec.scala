@@ -111,6 +111,26 @@ print(json.dumps({"ic": ic, "rows": rows, "types": list(types)}))
     assert(out.contains("""["integer", "real", "text"]"""), out)
   }
 
+  test("sink fails fast at analysis when input exceeds spark.graft.sqlite.maxRows") {
+    val db = tmpDb()
+    spark.conf.set("spark.graft.sqlite.maxRows", "3")
+    try {
+      val big = spark.range(10).selectExpr("id", "cast(id as string) as s")
+      val e = intercept[graft.GraftAnalysisException] {
+        SinkWriter.write(big, SinkSpec("out", "sqlite",
+          Config.of("database" -> db.toString, "table" -> "big")))
+      }
+      assert(e.getMessage.contains("spark.graft.sqlite.maxRows"), e.getMessage)
+      // nothing was written — the cap fires before any file mutation
+      assert(!java.nio.file.Files.exists(db) ||
+        java.nio.file.Files.size(db) == 0L)
+      // an in-cap frame still writes normally under the tightened knob
+      SinkWriter.write(big.limit(3), SinkSpec("out", "sqlite",
+        Config.of("database" -> db.toString, "table" -> "big")))
+      assert(SqliteData.readTable(spark, db.toString, "big").count() == 3L)
+    } finally spark.conf.unset("spark.graft.sqlite.maxRows")
+  }
+
   test("sink overwrite replaces the table but preserves sibling tables") {
     val db = tmpDb()
     val a = Seq((1L, "keep")).toDF("id", "v")
