@@ -798,6 +798,42 @@ object SparkEntry {
           octet_length(col("frame")).cast("long").as("frame_len"),
           md5(col("frame")).as("frame_md5"))),
 
+    // REAL pixel decode round-trip (no stand-in anywhere): each doc's
+    // UTF-8 bytes become the pixels of a 32-wide greyscale PNG,
+    // encoded with a per-row cycling filter (all 5 PNG filter types in
+    // every image), then FULLY decoded — zlib inflate + scanline
+    // unfilter — back to pixels. The oracle recomputes the pixel
+    // stats (order-sensitive rolling hash + sum) straight from the
+    // text bytes, so one wrong pixel anywhere in encode OR decode
+    // hash-mismatches. Encode and decode share no code path
+    // (Deflater/filter-apply vs Inflater/unfilter), and PngSpec
+    // cross-validates both directions against the JDK's independent
+    // ImageIO codec.
+    "x_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeImagePixels(
+        Multimodal.packTextPng(t(s, d, "documents"), "doc_id", "text", width = 32),
+        "id", "media")),
+
+    // REAL resize on decoded pixels: an 8×8 greyscale PNG per doc
+    // (pixels = the 64 ASCII bytes of md5(id)||md5(id||'x'), so the
+    // oracle knows them), box-downsampled 2× to 4×4 by PngResizer —
+    // decode → exact integer quad-mean → re-encode — then decoded
+    // again for stats. The oracle re-derives all 16 output pixels
+    // arithmetically.
+    "x_multimodal_png_resize" -> ((s, d) => {
+      val synth = t(s, d, "documents").select(col("doc_id"),
+        concat(md5(col("doc_id").cast("string")),
+          md5(concat(col("doc_id").cast("string"), lit("x")))).as("text"))
+      val resized = Multimodal.resize(
+        Multimodal.packTextPng(synth, "doc_id", "text", width = 8),
+        "id", "media", width = 4, height = 4, resizer = new Multimodal.PngResizer())
+      val repacked = resized.select(col("id"), struct(
+        col("payload"), col("mime"),
+        struct(col("byte_len"), col("width"), col("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+      Multimodal.decodeImagePixels(repacked, "id", "media")
+    }),
+
     // ==== extensions: similarity search ====
     "x_ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1976,6 +2012,57 @@ object SparkEntry {
              md5(substr(text, CAST(i * seg AS INTEGER) + 1, CAST(seg AS INTEGER))) AS frame_md5
       FROM s, unnest([0, 2, 4]) AS t(i)
       WHERE i * seg < len""",
+    // expected pixels = UTF-8 bytes zero-padded to 32·height; stats
+    // re-derived with the same hex-pair byte-list technique as
+    // x_multimodal_features — no PNG anywhere on the oracle side
+    "x_multimodal_decode" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS h,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      p AS (
+        SELECT doc_id, h,
+               list_concat(bytes, list_transform(range(32 * h - len), x -> 0)) AS px
+        FROM e)
+      SELECT doc_id AS id, 32 AS width, h AS height, 1 AS channels,
+             CAST(32 * h AS BIGINT) AS pixel_len,
+             CAST(list_sum(px) AS BIGINT) AS pixel_sum,
+             CAST(list_reduce(list_prepend(17, px),
+               (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
+      FROM p""",
+    // source pixels = ASCII codes of md5(id)||md5(id||'x'); output
+    // pixel (yy,xx) of the 2× box downsample = rounded mean of its
+    // 2×2 source quad — pure integer arithmetic either side
+    "x_multimodal_png_resize" -> """
+      WITH s AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) || md5(CAST(doc_id AS VARCHAR) || 'x') AS t
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               list_transform(range(64), i -> ascii(substr(t, CAST(i+1 AS INTEGER), 1))) AS px
+        FROM s),
+      r AS (
+        SELECT doc_id,
+               list_transform(range(16), o ->
+                 (px[CAST((o // 4) * 16 + (o % 4) * 2 + 1 AS INTEGER)]
+                  + px[CAST((o // 4) * 16 + (o % 4) * 2 + 2 AS INTEGER)]
+                  + px[CAST((o // 4) * 16 + (o % 4) * 2 + 9 AS INTEGER)]
+                  + px[CAST((o // 4) * 16 + (o % 4) * 2 + 10 AS INTEGER)]
+                  + 2) // 4) AS opx
+        FROM p)
+      SELECT doc_id AS id, 4 AS width, 4 AS height, 1 AS channels,
+             CAST(16 AS BIGINT) AS pixel_len,
+             CAST(list_sum(opx) AS BIGINT) AS pixel_sum,
+             CAST(list_reduce(list_prepend(17, opx),
+               (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
+      FROM r""",
     "x_dedup_embed_lsh" -> s"""
       WITH c AS (
         SELECT vec_id, embedding, ${lshBucketSql("embedding", 64, 8)} AS bkt

@@ -314,6 +314,93 @@ object Multimodal {
       .toDF("id", "payload", "mime", "byte_len", "width", "height")
   }
 
+  /** REAL resizer for PNG payloads: decode ([[PngCodec]]), exact
+    * box-average resample, re-encode. Non-PNG payloads fall back to
+    * the deterministic stand-in — same seam, so a pipeline mixing
+    * formats keeps working and the PNG rows get true pixel resampling.
+    */
+  final class PngResizer extends MediaResizer {
+    private val fallback = new FakeResizer
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+      PngCodec.decode(payload) match {
+        case Some(img) => PngCodec.encode(PngCodec.resizeBox(img, width, height))
+        case None      => fallback.resize(payload, width, height)
+      }
+  }
+
+  /** Build a REAL PNG media column from a text column: the document's
+    * UTF-8 bytes become the pixels of a `width`-wide 8-bit greyscale
+    * image (zero-padded to fill the last row; empty text → one zero
+    * row), encoded through [[PngCodec.encode]] with the default
+    * cycling per-row filter so every PNG filter type appears in the
+    * corpus. The pixel content is a pure function of the text, which
+    * is what lets an external oracle verify a full decode round-trip
+    * byte-for-byte without itself decoding any PNG.
+    */
+  def packTextPng(df: DataFrame, idCol: String, textCol: String, width: Int = 32,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    require(width > 0, s"packTextPng: width=$width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                      else bytes0
+          val h = math.max(1, (bytes.length + width - 1) / width)
+          val px = java.util.Arrays.copyOf(bytes, width * h)
+          (id, PngCodec.encode(PngCodec.Image(width, h, 1, px)), h)
+        }
+      }
+      .toDF("id", "__payload", "__h")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("image/png").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(width).as("width"),
+          col("__h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** Distributed REAL pixel decode: full [[PngCodec]] decode (inflate +
+    * unfilter + palette expansion) per payload, summarized to verifiable
+    * per-image statistics — dimensions, channels, byte count, byte sum,
+    * and an order-sensitive rolling hash (h = 31·h + byte mod 2^24,
+    * seed 17 — same recurrence the [[FakeDecoder]] oracle uses), so any
+    * single wrong pixel anywhere breaks the hash. Undecodable payloads
+    * yield nulls (kept, not dropped). Same seam and scale shape as
+    * [[decodeImageMeta]].
+    */
+  def decodeImagePixels(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          PngCodec.decode(payload) match {
+            case Some(img) =>
+              var h = 17L; var sum = 0L; var i = 0
+              while (i < img.pixels.length) {
+                val b = img.pixels(i) & 0xFF
+                h = (31L * h + b) % 16777216L
+                sum += b
+                i += 1
+              }
+              (id, Some(img.width), Some(img.height), Some(img.channels),
+                Some(img.pixels.length.toLong), Some(sum), Some(h))
+            case None =>
+              (id, None: Option[Int], None: Option[Int], None: Option[Int],
+                None: Option[Long], None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("id", "width", "height", "channels", "pixel_len", "pixel_sum", "pixel_hash")
+  }
+
   /** Frame sampling for video-like payloads: emit every `stride`-th of
     * `nFrames` equal payload segments as its own row (id, frame_idx,
     * frame bytes). One input row fans out to ≤ nFrames/stride rows —
