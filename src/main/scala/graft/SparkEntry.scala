@@ -1120,6 +1120,52 @@ object SparkEntry {
         unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("v_ts")).as("v_ts_ms"))
     }),
 
+    // LEFT-OUTER stream-stream interval join — production attribution
+    // also needs the purchases with NO prior view. Structured
+    // Streaming holds an unmatched left row in state and emits it
+    // with nulls only once BOTH watermarks pass its join window, so a
+    // finite replay would strand every tail purchase in state: the
+    // fixture appends one far-future sentinel row per side (user −1,
+    // 10 h past max ts — outside every real join window) whose only
+    // job is to advance both watermarks past all real data, then the
+    // sentinels are filtered from the result. Oracle: the batch LEFT
+    // θ-join, hash-exact INCLUDING the null view columns.
+    "x_stream_stream_join_outer" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      import s.implicits._
+      val ev0 = events(s, d).select(col("ts"), col("user_id"),
+        col("event_id"), col("event_type"))
+      val hi = ev0.agg(max(col("ts"))).head().getTimestamp(0)
+      val flushTs = java.sql.Timestamp.from(hi.toInstant.plusSeconds(10 * 3600))
+      val sentinels = Seq(("purchase"), ("view")).toDF("event_type")
+        .select(lit(flushTs).as("ts"), lit(-1L).as("user_id"),
+          lit(-1L).as("event_id"), col("event_type"))
+      val ev = ev0.unionByName(sentinels)
+      val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 4,
+        cacheKey = Some(s"ssjoin_outer:$d"))
+      val watched = java.nio.file.Files.createTempDirectory("x_stream_stream_join_outer_watch")
+      val purchases = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_event"))
+        .withWatermark("p_ts", "30 minutes")
+      val views = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+        .where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_event"))
+        .withWatermark("v_ts", "30 minutes")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("interval 4 hours") &&
+          col("v_ts") <= col("p_ts"),
+        "left_outer")
+      val sink = s"x_stream_stream_join_outer_${System.nanoTime}"
+      val q = Streaming.startMemorySink(joined, sink)
+      try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
+      s.table(sink).where(col("purchase_event") =!= -1L)
+        .select(col("purchase_event"), col("view_event"),
+          unix_millis(col("p_ts")).as("p_ts_ms"), unix_millis(col("v_ts")).as("v_ts_ms"))
+    }),
+
     // ==== extension: STREAMING exact-dedup — at-least-once upstream
     // delivery (every event arrives twice here) must yield
     // exactly-once downstream. dropDuplicates keys INCLUDE the
@@ -2218,6 +2264,13 @@ object SparkEntry {
       FROM events a JOIN events b
         ON a.user_id = b.user_id
        AND a.event_type = 'purchase' AND b.event_type = 'view'
+       AND b.ts BETWEEN a.ts - INTERVAL 4 HOUR AND a.ts""",
+    "x_stream_stream_join_outer" -> """
+      SELECT a.event_id AS purchase_event, b.event_id AS view_event,
+             epoch_ms(a.ts) AS p_ts_ms, epoch_ms(b.ts) AS v_ts_ms
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        ON a.user_id = b.user_id
        AND b.ts BETWEEN a.ts - INTERVAL 4 HOUR AND a.ts""",
 
     // Out-of-order sessions: the arrival-schedule watermark decides
