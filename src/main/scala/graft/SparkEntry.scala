@@ -915,19 +915,24 @@ object SparkEntry {
     // IVF×PQ composition gate, through the RESIDUAL formulation the
     // README advertises (FAISS IndexIVFPQ shape): nprobe=8 of
     // nlist=16 — probing bounds WHICH rows are scored, the 16-byte
-    // residual codes bound WHAT a row costs. Same contract pattern as
-    // the other recall gates: the oracle asserts the bound, the
-    // engine measures it against exact bruteForceTopK.
+    // codes (m=16 subspaces × 8-bit codebooks, the standard FAISS
+    // IndexIVFPQ configuration) bound WHAT a row costs. The round-7
+    // ksub 16 → 256 move is the textbook recall lever at unchanged
+    // code BYTES (a 4-bit code wastes half of each byte): measured
+    // recall@5 0.44 → 0.88 at sf0.01 (curve in BASELINE.md), so the
+    // gate bound tightens 0.3 → 0.6. Same contract pattern as the
+    // other recall gates: the oracle asserts the bound, the engine
+    // measures it against exact bruteForceTopK.
     "x_ann_ivfpq_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val ix = graft.ops.Pq.IvfPq.build(e, "vec_id", "embedding", dim = 64,
-        nlist = 16, m = 16, ksub = 16, residual = true)
+        nlist = 16, m = 16, ksub = 256, residual = true)
       val q = e.where(col("vec_id") < 10)
       val approx = graft.ops.Pq.IvfPq.search(ix, q, "vec_id", "embedding", k = 5, nprobe = 8)
       val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
       Similarity.recallAt(approx, exact)
         .agg(count(lit(1)).cast("long").as("n_queries"),
-          (avg(col("recall")) >= 0.3).as("mean_recall_ge_030"))
+          (avg(col("recall")) >= 0.6).as("mean_recall_ge_060"))
     }),
 
     // ==== extensions: multimodal column plumbing ====
@@ -2429,7 +2434,7 @@ object SparkEntry {
 
     // residual IVF×PQ recall contract (see x_ann_ivfpq_recall).
     "x_ann_ivfpq_recall" -> """
-      SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_030""",
+      SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_060""",
   )
 
   /** [[graft.ops.Similarity]]'s hyperplane component (plane i, dim j)
