@@ -595,6 +595,14 @@ object SparkEntry {
     "x_pack_sequences" -> ((s, d) =>
       graft.ops.Packing.packGreedy(docs(s, d), "doc_id", "source", "text",
         capacity = 400)),
+    // best-fit-decreasing variant: the oracle re-derives the exact
+    // fold with a recursive CTE whose carried state is the LIST of
+    // open-bin remainders (best fit = list_min of the fitting
+    // remainders, tie = first position) — any divergence in order,
+    // tie-break, or remainder arithmetic hash-mismatches
+    "x_pack_sequences_bfd" -> ((s, d) =>
+      graft.ops.Packing.packBestFitDecreasing(docs(s, d), "doc_id", "source", "text",
+        capacity = 400)),
     // Real BPE tokenizer contract (boolean gate, like the recall
     // gates — DuckDB cannot replay merge training): corpus-trained
     // merges must (a) roundtrip every word exactly, (b) never emit
@@ -1765,6 +1773,37 @@ object SparkEntry {
                CASE WHEN r.acc + x.t > 400 THEN r.bin + 1 ELSE r.bin END
         FROM toks x JOIN rec r ON x.source = r.source AND x.rn = r.rn + 1)
       SELECT source, doc_id, CAST(t AS BIGINT) AS n_tokens, CAST(bin AS BIGINT) AS bin
+      FROM rec""",
+    "x_pack_sequences_bfd" -> """
+      WITH RECURSIVE t0 AS (
+        SELECT source, doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+        FROM documents),
+      toks AS (
+        SELECT source, doc_id, t,
+               row_number() OVER (PARTITION BY source ORDER BY t DESC, doc_id) AS rn
+        FROM t0),
+      rec AS (
+        SELECT source, doc_id, t, rn, [400 - t] AS rem, 1 AS bin
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT x.source, x.doc_id, x.t, x.rn,
+               CASE WHEN list_min(list_filter(r.rem, z -> z >= x.t)) IS NULL
+                    THEN list_append(r.rem, 400 - x.t)
+                    ELSE list_transform(range(len(r.rem)), i ->
+                           CASE WHEN i + 1 = list_position(r.rem,
+                                  list_min(list_filter(r.rem, z -> z >= x.t)))
+                                THEN r.rem[CAST(i + 1 AS INTEGER)] - x.t
+                                ELSE r.rem[CAST(i + 1 AS INTEGER)] END)
+               END,
+               CASE WHEN list_min(list_filter(r.rem, z -> z >= x.t)) IS NULL
+                    THEN len(r.rem) + 1
+                    ELSE list_position(r.rem,
+                           list_min(list_filter(r.rem, z -> z >= x.t)))
+               END
+        FROM toks x JOIN rec r ON x.source = r.source AND x.rn = r.rn + 1)
+      SELECT source, doc_id, CAST(t AS BIGINT) AS n_tokens,
+             CAST(bin - 1 AS BIGINT) AS bin
       FROM rec""",
 
     // BPE boolean contract (see x_bpe_tokens query comment).

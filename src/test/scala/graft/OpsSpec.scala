@@ -411,6 +411,44 @@ class OpsSpec extends SparkSuite {
     assert(out(6L) == (("g2", 2L, 0L))) // bins number from 0 per group
   }
 
+  test("best-fit-decreasing packing: longest-first order, tightest-fit bin, ties to first") {
+    // capacity 10. Sorted by (t desc, id): d4(7) d1(6) d2(4) d5(4) d3(3) d6(2)
+    //   d4(7) → new bin0 (rem 3)
+    //   d1(6) → no fit (3<6) → new bin1 (rem 4)
+    //   d2(4) → fits bin1 exactly (rem 4) → bin1 (rem 0); bin0 rem 3 doesn't fit
+    //   d5(4) → no fit (3,0) → new bin2 (rem 6)
+    //   d3(3) → fits bin0 (rem 3, tightest) over bin2 (rem 6) → bin0 (rem 0)
+    //   d6(2) → only bin2 fits → bin2 (rem 4)
+    val df = Seq(
+      (1L, "g", "a b c d e f"), (2L, "g", "a b c d"), (3L, "g", "a b c"),
+      (4L, "g", "a b c d e f g"), (5L, "g", "a b c d"), (6L, "g", "a b"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.Packing.packBestFitDecreasing(df, "doc_id", "source", "text",
+        capacity = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(4L -> 0L, 1L -> 1L, 2L -> 1L, 5L -> 2L, 3L -> 0L, 6L -> 2L))
+    // first-fit-decreasing would have put d3 in bin2 (first that fits is
+    // bin0 rem 3 — same here); the discriminating case is d2: FIRST fit
+    // is bin1 anyway, but BEST fit must prefer rem-4 bin1 over a larger
+    // remainder — exercised again below with 3 open bins
+    val df2 = Seq(
+      (1L, "g", "a b c d e f g h"),    // 8 → bin0 (rem 2)
+      (2L, "g", "a b c d e f g"),      // 7 → bin1 (rem 3)
+      (3L, "g", "a b c d e"),          // 5 → bin2 (rem 5)
+      (4L, "g", "a b c"))              // 3 → fits bin1 (3, tightest ≥3) not bin2 (5)
+      .toDF("doc_id", "source", "text")
+    val out2 = graft.ops.Packing.packBestFitDecreasing(df2, "doc_id", "source", "text",
+        capacity = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // oversized doc: own (negative-remainder) bin that never backfills
+    val df3 = Seq((1L, "g", "a b c d e"), (2L, "g", "a")).toDF("doc_id", "source", "text")
+    val out3 = graft.ops.Packing.packBestFitDecreasing(df3, "doc_id", "source", "text",
+        capacity = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out3 == Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("pii redaction: emails, ssn, phones, ips replaced in rule order") {
     val in = "mail a.b+c@ex-ample.co.uk, ssn 123-45-6789, call +4915123456789, " +
       "host 192.168.0.1 but not 1.2.3.4.5 fully and not v1.2 at all"
