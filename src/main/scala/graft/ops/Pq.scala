@@ -229,6 +229,113 @@ object Pq {
     PqModel(m, ksub, dsub, centroids, norms2)
   }
 
+  /** OPQ-style rotation (Ge et al., "Optimized Product Quantization",
+    * CVPR 2013 — the non-parametric eigenvalue-allocation variant,
+    * also FAISS's OPQMatrix shape): an orthonormal rotation applied
+    * before the subspace split so the m independent codebooks quantize
+    * DECORRELATED, variance-balanced subspaces. Plain PQ splits on
+    * raw dimension order; when dimensions are correlated (or variance
+    * concentrates in a few of them) some subspaces burn their ksub
+    * codes on redundant structure while others starve — the classic
+    * PQ failure mode the rotation removes.
+    *
+    * Construction, all driver-local on the (bounded) training sample:
+    * PCA row-eigenvectors of the sample covariance (reusing
+    * [[Pca.jacobiEigen]] — deterministic pivot order), then greedy
+    * eigenvalue allocation: walk eigenvalues in descending order,
+    * assign each to the not-yet-full subspace with the smallest
+    * running log-variance product. Balancing the per-subspace variance
+    * PRODUCT is the paper's criterion (quantization MSE of a subspace
+    * scales with the geometric mean of its variances).
+    *
+    * Rows of the returned matrix are the allocated eigenvectors:
+    * subspace j owns rows [j·dsub, (j+1)·dsub).
+    */
+  private[graft] def opqRotation(sample: Array[Array[Double]], dim: Int, m: Int): Array[Array[Double]] = {
+    val n = math.max(1, sample.length)
+    val mean = new Array[Double](dim)
+    sample.foreach { v => var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
+    var mi = 0
+    while (mi < dim) { mean(mi) /= n; mi += 1 }
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      var a = 0
+      while (a < dim) {
+        val da = v(a) - mean(a)
+        var b = a
+        while (b < dim) { cov(a)(b) += da * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < dim) {
+      var b = a
+      while (b < dim) { cov(a)(b) /= n; cov(b)(a) = cov(a)(b); b += 1 }
+      a += 1
+    }
+    val (vals, vecs) = Pca.jacobiEigen(cov)
+    val dsub = dim / m
+    val bucketLog = new Array[Double](m)
+    val bucketN = new Array[Int](m)
+    val assigned = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    // logs RELATIVE to the smallest (clamped) eigenvalue, so every
+    // contribution is ≥ 0 and the criterion is scale-invariant. With
+    // raw log(λ) a spectrum of λ < 1 inverts the greedy: each
+    // assignment makes its bucket's log-sum SMALLER, so the top
+    // directions all pile into one subspace — the exact allocation
+    // the balancing exists to prevent. Relative logs make a received
+    // high-variance direction raise the bucket's sum, pushing the
+    // next high-variance direction to a different subspace; near-zero
+    // directions contribute ~0 and just fill remaining slots.
+    val lmax = math.max(vals(0), 1e-300)
+    val lref = math.max(vals(dim - 1), lmax * 1e-12)
+    var c = 0
+    while (c < dim) {
+      var best = -1
+      var j = 0
+      while (j < m) {
+        if (bucketN(j) < dsub && (best < 0 || bucketLog(j) < bucketLog(best))) best = j
+        j += 1
+      }
+      assigned(best) += c
+      bucketLog(best) += math.log(math.max(vals(c), lref) / lref)
+      bucketN(best) += 1
+      c += 1
+    }
+    assigned.flatMap(_.iterator.map(vecs(_)))
+  }
+
+  /** y = R·x (rows of `r` dotted with x). */
+  private[graft] def rotate(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < r.length) {
+      val row = r(i)
+      var d = 0.0
+      var t = 0
+      while (t < row.length) { d += row(t) * x(t); t += 1 }
+      out(i) = d
+      i += 1
+    }
+    out
+  }
+
+  /** y = Rᵀ·x̂ (columns of `r` weighted by x̂ — the inverse rotation,
+    * R being orthonormal). */
+  private[graft] def rotateBack(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val dim = r(0).length
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < r.length) {
+      val row = r(i)
+      val xi = x(i)
+      var t = 0
+      while (t < dim) { out(t) += row(t) * xi; t += 1 }
+      i += 1
+    }
+    out
+  }
+
   /** IVF × PQ: the production ANN architecture at 100 TB — the IVF
     * coarse quantizer bounds WHICH rows are scored (nprobe/nlist of
     * the corpus), PQ bounds WHAT scoring a row costs (m byte-indexed
@@ -263,9 +370,13 @@ object Pq {
     */
   object IvfPq {
     /** `anchors` (residual mode only): cell id → the residual anchor
-      * vector (sample mean of the cell's normalized members). */
+      * vector (sample mean of the cell's normalized members).
+      * `rotation` (opq mode): the orthonormal OPQ matrix — residuals
+      * are coded in the rotated space, queries rotate before their ADC
+      * lookup tables are built. */
     final case class Index(ivf: Similarity.IvfIndex, pq: PqModel, encoded: DataFrame,
-        residual: Boolean, anchors: Array[Array[Double]] = null)
+        residual: Boolean, anchors: Array[Array[Double]] = null,
+        rotation: Array[Array[Double]] = null)
 
     /** Dense cell-id → centroid lookup (nlist tiny arrays). */
     private def centroidArray(ivf: Similarity.IvfIndex): Array[Array[Double]] = {
@@ -276,7 +387,11 @@ object Pq {
 
     def build(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
         nlist: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-        residual: Boolean = false, sampleSize: Int = 65536): Index = {
+        residual: Boolean = false, sampleSize: Int = 65536,
+        opq: Boolean = false): Index = {
+      require(!opq || residual, "IvfPq: opq rotation requires residual encoding " +
+        "(raw mode's exactness contract is equality with flat PqModel.search, " +
+        "which a rotation would silently break)")
       val ivf = Similarity.IvfIndex.build(corpus, idCol, vecCol, dim, nlist, seed)
       if (!residual) {
         val pq = train(corpus, vecCol, dim, m, ksub, seed, idCol = Some(idCol))
@@ -322,8 +437,13 @@ object Pq {
           while (i < v.length) { out(i) = v(i) - a(i); i += 1 }
           out
         }
-        val pq = trainOnSample(residSample, dim, m, ksub, seed, maxIter = 30)
-        Index(ivf, pq, encodeResidual(ivf, pq, anchors), residual = true, anchors = anchors)
+        // OPQ: rotation learned from the SAME driver-local residual
+        // sample; codebooks then train in the rotated space
+        val rot = if (opq) opqRotation(residSample, dim, m) else null
+        val trainSet = if (rot == null) residSample else residSample.map(rotate(rot, _))
+        val pq = trainOnSample(trainSet, dim, m, ksub, seed, maxIter = 30)
+        Index(ivf, pq, encodeResidual(ivf, pq, anchors, rot), residual = true,
+          anchors = anchors, rotation = rot)
       }
     }
 
@@ -332,23 +452,27 @@ object Pq {
       * O(dim) anything per row).
       */
     private def encodeResidual(ivf: Similarity.IvfIndex, pq: PqModel,
-        anchors: Array[Array[Double]]): DataFrame = {
+        anchors: Array[Array[Double]], rotation: Array[Array[Double]] = null): DataFrame = {
       val spark = ivf.assigned.sparkSession
       import spark.implicits._
       val bcPq = spark.sparkContext.broadcast(pq)
       val bcC = spark.sparkContext.broadcast(anchors)
+      val bcR = spark.sparkContext.broadcast(rotation)
       Similarity.withNormalized(ivf.assigned, "__cv", "__nv")
         .select(col("neighbor_id").cast("long"), col("__nv"), col("__cell"))
         .as[(Long, Array[Double], Int)]
         .mapPartitions { it =>
           val model = bcPq.value
           val cs = bcC.value
+          val rot = bcR.value
           it.map { case (id, vn, cell) =>
             val c = cs(cell)
             val dim = vn.length
-            val r = new Array[Double](dim)
+            val r0 = new Array[Double](dim)
             var i = 0
-            while (i < dim) { r(i) = vn(i) - c(i); i += 1 }
+            while (i < dim) { r0(i) = vn(i) - c(i); i += 1 }
+            // opq: residuals are coded in the ROTATED space
+            val r = if (rot == null) r0 else rotate(rot, r0)
             val codes = new Array[Short](model.m)
             var j = 0
             while (j < model.m) {
@@ -371,13 +495,27 @@ object Pq {
               codes(j) = best.toShort
               j += 1
             }
+            // exact reconstruction norm ‖x̂‖, x̂ = anchor + Rᵀ·r̂′
+            // (Rᵀ = R⁻¹, orthonormal); raw path keeps the lookup form
             var n2 = 0.0
-            var t = 0
-            while (t < dim) {
-              val sub = t / model.dsub
-              val x = c(t) + model.centroids(sub)(codes(sub))(t % model.dsub)
-              n2 += x * x
-              t += 1
+            if (rot == null) {
+              var t = 0
+              while (t < dim) {
+                val sub = t / model.dsub
+                val x = c(t) + model.centroids(sub)(codes(sub))(t % model.dsub)
+                n2 += x * x
+                t += 1
+              }
+            } else {
+              val rhat = new Array[Double](dim)
+              var t = 0
+              while (t < dim) {
+                rhat(t) = model.centroids(t / model.dsub)(codes(t / model.dsub))(t % model.dsub)
+                t += 1
+              }
+              val back = rotateBack(rot, rhat)
+              t = 0
+              while (t < dim) { val x = c(t) + back(t); n2 += x * x; t += 1 }
             }
             (id, codes, math.sqrt(n2), cell)
           }
@@ -398,11 +536,16 @@ object Pq {
       ix.ivf.save(s"$path/ivf")
       ix.pq.save(s"$path/pq", spark)
       ix.encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$path/encoded")
+      // one small json side file: a meta marker row, anchor rows, and
+      // (opq) rotation rows — kilobytes, like the codebook
+      val metaRow = Seq(("meta", -1, Seq.empty[Double]))
       val anchorRows =
-        if (ix.anchors == null) Seq((-1, Seq.empty[Double]))
-        else (-1, Seq.empty[Double]) +:
-          ix.anchors.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
-      anchorRows.toDF("cell", "anchor")
+        if (ix.anchors == null) Nil
+        else ix.anchors.toSeq.zipWithIndex.map { case (a, i) => ("anchor", i, a.toSeq) }
+      val rotRows =
+        if (ix.rotation == null) Nil
+        else ix.rotation.toSeq.zipWithIndex.map { case (r, i) => ("rot", i, r.toSeq) }
+      (metaRow ++ anchorRows ++ rotRows).toDF("kind", "idx", "vec")
         .withColumn("residual", lit(ix.residual))
         .coalesce(1).write.mode("overwrite").json(s"$path/anchors")
     }
@@ -415,18 +558,21 @@ object Pq {
       val pq = Pq.load(spark, s"$path/pq")
       val metaRows = spark.read.json(s"$path/anchors").collect()
       val residual = metaRows.head.getAs[Boolean]("residual")
-      val anchors =
-        if (!residual) null
+      def vecTable(kind: String): Array[Array[Double]] = {
+        val rows = metaRows.filter(_.getAs[String]("kind") == kind)
+        if (rows.isEmpty) null
         else {
-          val as = metaRows.filter(_.getAs[Long]("cell") >= 0)
-          val arr = new Array[Array[Double]](as.map(_.getAs[Long]("cell")).max.toInt + 1)
-          as.foreach(r =>
-            arr(r.getAs[Long]("cell").toInt) = r.getAs[Seq[Double]]("anchor").toArray)
+          val arr = new Array[Array[Double]](rows.map(_.getAs[Long]("idx")).max.toInt + 1)
+          rows.foreach(r =>
+            arr(r.getAs[Long]("idx").toInt) = r.getAs[Seq[Double]]("vec").toArray)
           arr
         }
+      }
       val encoded = spark.read.parquet(s"$path/encoded")
         .select(col("id"), col("codes"), col("rec_norm"), col("cell").cast("int").as("cell"))
-      Index(ivf, pq, encoded, residual, anchors)
+      Index(ivf, pq, encoded, residual,
+        anchors = if (residual) vecTable("anchor") else null,
+        rotation = vecTable("rot"))
     }
 
     def search(ix: Index, queries: DataFrame, queryIdCol: String, vecCol: String,
@@ -440,7 +586,13 @@ object Pq {
         .select(col(queryIdCol).cast("long").as("qid"),
           Similarity.toDoubleVec(col(vecCol)).as("v"))
         .as[(Long, Array[Double])].collect()
-      val luts = model.buildLuts(qRows)
+      // opq: dot(q, x̂) = dot(q, a_cell) + dot(R·q, r̂′) — the LUTs are
+      // built from the ROTATED query (‖R·q‖ = ‖q‖, so qNorm is
+      // unchanged); the exact anchor offsets below use the raw query
+      val lutRows =
+        if (ix.rotation == null) qRows
+        else qRows.map { case (qid, qv) => (qid, rotate(ix.rotation, qv)) }
+      val luts = model.buildLuts(lutRows)
       // residual decomposition: dot(q, x̂) = dot(q, a_cell) + dot(q, r̂).
       // The first term is EXACT, computed here per (query, cell) —
       // nqueries × nlist tiny dots — and shipped with the LUTs; raw

@@ -191,6 +191,72 @@ class PqSpec extends SparkSuite {
     assert(a2 == b2)
   }
 
+  test("OPQ rotation: orthonormal, variance-balanced, recall not below plain on correlated data") {
+    // cross-subspace-correlated corpus: the within-cell residual is
+    // (f ++ f) for 8 iid factors f — every factor spans TWO raw
+    // subspaces, so raw PQ pays each subspace's k codes for a 2-D blob
+    // of two factors (≈ √k levels per factor), while the rotation
+    // isolates each factor into its own subspace direction (all k
+    // levels per factor). This is PQ's subspace-independence
+    // assumption violated in exactly the way OPQ repairs.
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 20 - 10))
+    val corr = (0 until 300).map { i =>
+      val c = centers(i % 4)
+      val f = Array.fill(8)(rnd.nextDouble() * 3 - 1.5)
+      val v = Array.tabulate(16)(j => c(j) + f(j % 8) + rnd.nextDouble() * 0.04 - 0.02)
+      (i.toLong, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+
+    // rotation orthonormality: R·Rᵀ = I on the actual training sample
+    val sample = (0 until 300).map(_ => Array.fill(16)(rnd.nextDouble())).toArray
+    val r = Pq.opqRotation(sample, dim = 16, m = 4)
+    assert(r.length == 16 && r.forall(_.length == 16))
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val dot = (0 until 16).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RRt[$i][$j]=$dot")
+    }
+    // rotate/rotateBack are mutual inverses
+    val x = Array.fill(16)(rnd.nextDouble())
+    val back = Pq.rotateBack(r, Pq.rotate(r, x))
+    x.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+
+    val queries = corr.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, corr, "vec_id", "vec_id", "embedding", k = 5)
+    def recall(opq: Boolean): Double = {
+      val ix = Pq.IvfPq.build(corr, "vec_id", "embedding", dim = 16, nlist = 4, m = 8,
+        ksub = 4, residual = true, opq = opq)
+      val approx = Pq.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      Similarity.recallAt(approx, exact).agg(avg(col("recall"))).head().getDouble(0)
+    }
+    val plain = recall(opq = false)
+    val rotated = recall(opq = true)
+    info(s"recall@5: plain=$plain opq=$rotated")
+    assert(rotated >= plain, s"opq recall $rotated below plain $plain on cross-subspace-correlated data")
+  }
+
+  test("OPQ index save/load: rotation persists, reopened index ranks identically") {
+    val ix = Pq.IvfPq.build(corpus, "vec_id", "embedding", dim = 16, nlist = 8, m = 4,
+      ksub = 16, residual = true, opq = true)
+    assert(ix.rotation != null && ix.rotation.length == 16)
+    val dir = java.nio.file.Files.createTempDirectory("graftopq").toString + "/index"
+    Pq.IvfPq.save(ix, dir)
+    val back = Pq.IvfPq.load(spark, dir)
+    assert(back.rotation != null)
+    assert(back.rotation.flatten.toSeq == ix.rotation.flatten.toSeq)
+    val queries = corpus.where(col("vec_id") < 8)
+    val a = Pq.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b = Pq.IvfPq.search(back, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a == b)
+    // opq must refuse raw mode (exactness contract)
+    intercept[IllegalArgumentException] {
+      Pq.IvfPq.build(corpus, "vec_id", "embedding", dim = 16, nlist = 8, m = 4,
+        ksub = 16, residual = false, opq = true)
+    }
+  }
+
   test("save/load round-trips the codebook bit-exactly") {
     val model = Pq.train(corpus, "embedding", dim = 16, m = 4, ksub = 8)
     val dir = java.nio.file.Files.createTempDirectory("graftpq").toString + "/codebook"
