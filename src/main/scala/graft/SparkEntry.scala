@@ -734,10 +734,16 @@ object SparkEntry {
       ix = ix.copy(sig = ix.sig.cache())
       val cross = (1 to 2).map { i =>
         val standing = batches.take(i).reduce(_ unionByName _)
+        // localCheckpoint BEFORE the append advances the index — the
+        // production order (a batch's contamination report is persisted
+        // before the corpus absorbs the batch), and it keeps the pair
+        // set from re-deriving signatures after appendCached unpersists
+        // the cache state it was computed against
         val pairs = Dedup.NearDupIndex.check(ix, batches(i), "doc_id", "text",
           standing, "doc_id", "text", threshold = 0.7)
           .select(least(col("batch_id"), col("corpus_id")).as("a_id"),
             greatest(col("batch_id"), col("corpus_id")).as("b_id"), col("jaccard"))
+          .localCheckpoint()
         // appendCached swaps the cache: populates the new index cache,
         // then unpersists the superseded one — the ingest loop holds
         // exactly one cached signature frame at all times
@@ -820,6 +826,17 @@ object SparkEntry {
     "x_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeImagePixels(
         Multimodal.packTextPng(t(s, d, "documents"), "doc_id", "text", width = 32),
+        "id", "media")),
+
+    // REAL GIF decode against an INDEPENDENT encoder: payloads are
+    // written by the JDK's ImageIO GIF writer (greyscale-palette
+    // indexed, pixels = the doc's UTF-8 bytes), decoded by GifCodec's
+    // from-spec LZW — two implementations that share zero code. The
+    // decoded channels are (v,v,v) triplets, so the oracle flattens
+    // each expected byte into three.
+    "x_multimodal_gif_decode" -> ((s, d) =>
+      Multimodal.decodeImagePixels(
+        Multimodal.packTextGif(t(s, d, "documents"), "doc_id", "text", width = 32),
         "id", "media")),
 
     // REAL resize on decoded pixels: an 8×8 greyscale PNG per doc
@@ -2126,6 +2143,32 @@ object SparkEntry {
              CAST(list_reduce(list_prepend(17, px),
                (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
       FROM p""",
+    // like x_multimodal_decode but channels are greyscale RGB
+    // triplets (v,v,v) — flatten each byte three ways
+    "x_multimodal_gif_decode" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS h,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      p AS (
+        SELECT doc_id, h,
+               flatten(list_transform(
+                 list_concat(bytes, list_transform(range(32 * h - len), x -> 0)),
+                 v -> [v, v, v])) AS px
+        FROM e)
+      SELECT doc_id AS id, 32 AS width, h AS height, 3 AS channels,
+             CAST(96 * h AS BIGINT) AS pixel_len,
+             CAST(list_sum(px) AS BIGINT) AS pixel_sum,
+             CAST(list_reduce(list_prepend(17, px),
+               (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
+      FROM p""",
+
     // source pixels = ASCII codes of md5(id)||md5(id||'x'); output
     // pixel (yy,xx) of the 2× box downsample = rounded mean of its
     // 2×2 source quad — pure integer arithmetic either side

@@ -365,13 +365,61 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
-  /** Distributed REAL pixel decode: full [[PngCodec]] decode (inflate +
-    * unfilter + palette expansion) per payload, summarized to verifiable
-    * per-image statistics — dimensions, channels, byte count, byte sum,
-    * and an order-sensitive rolling hash (h = 31·h + byte mod 2^24,
-    * seed 17 — same recurrence the [[FakeDecoder]] oracle uses), so any
-    * single wrong pixel anywhere breaks the hash. Undecodable payloads
-    * yield nulls (kept, not dropped). Same seam and scale shape as
+  /** Build REAL GIF payloads from a text column — pixels are the
+    * document's UTF-8 bytes as a `width`-wide greyscale-palette
+    * indexed image (zero-padded last row, empty text → one zero row),
+    * written by the JDK's ImageIO GIF encoder. Deliberately NOT an
+    * in-repo encoder: [[GifCodec.decode]] is then verified against
+    * bytes an independent implementation produced, the strongest
+    * cross-check available in-environment. (Stat contracts survive any
+    * palette reordering the writer might do: they read decoded RGB
+    * values, not palette indices.)
+    */
+  def packTextGif(df: DataFrame, idCol: String, textCol: String, width: Int = 32,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    require(width > 0, s"packTextGif: width=$width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        val grey = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grey, grey, grey)
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                      else bytes0
+          val h = math.max(1, (bytes.length + width - 1) / width)
+          val px = java.util.Arrays.copyOf(bytes, width * h)
+          val img = new java.awt.image.BufferedImage(width, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          img.getRaster.setDataElements(0, 0, width, h, px)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "gif", bos)
+          (id, bos.toByteArray, h)
+        }
+      }
+      .toDF("id", "__payload", "__h")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("image/gif").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(width).as("width"),
+          col("__h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** Distributed REAL pixel decode: full [[PngCodec]] (inflate +
+    * unfilter + palette expansion) or [[GifCodec]] (LZW + color table)
+    * decode per payload — dispatched by content, like any curation
+    * decode stage — summarized to verifiable per-image statistics:
+    * dimensions, channels, byte count, byte sum, and an
+    * order-sensitive rolling hash (h = 31·h + byte mod 2^24, seed 17 —
+    * same recurrence the [[FakeDecoder]] oracle uses), so any single
+    * wrong pixel anywhere breaks the hash. Undecodable payloads yield
+    * nulls (kept, not dropped). Same seam and scale shape as
     * [[decodeImageMeta]].
     */
   def decodeImagePixels(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
@@ -381,7 +429,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          PngCodec.decode(payload) match {
+          PngCodec.decode(payload).orElse(GifCodec.decode(payload)) match {
             case Some(img) =>
               var h = 17L; var sum = 0L; var i = 0
               while (i < img.pixels.length) {

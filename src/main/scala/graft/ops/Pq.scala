@@ -211,19 +211,23 @@ object Pq {
 
   /** The m per-subspace fits, given an already-collected sample (shared
     * with the residual path, which samples (vector, cell) jointly).
-    * 8 seeded restarts per subspace (vs Kmeans.fit's default 4): each
-    * restart reruns Lloyd's on the driver-local sample — microseconds
-    * to low milliseconds — and retrieval recall on small corpora is
-    * sensitive to seeding luck (measured at sf0.001: 0.22 → 0.38
-    * recall@5 going 4 → 8 restarts; sf0.01 steady at 0.42), so the
-    * extra restarts buy gate-margin for free.
+    * Restart count scales INVERSELY with ksub: at small codebooks
+    * (ksub ≤ 32) retrieval recall is sensitive to seeding luck, and a
+    * restart on the driver-local sample costs microseconds-to-
+    * milliseconds (measured at sf0.001: 0.22 → 0.38 recall@5 going
+    * 4 → 8 restarts at ksub=16) — so 8 restarts there. At ksub = 256
+    * the codebook covers the sample densely, seeding barely moves
+    * recall, and each restart is 16× the work — 2 restarts keep the
+    * training cost flat across the ksub curve (measured: recall@5
+    * unchanged at 0.88, x_ann_ivfpq_recall 5.7 s → ~3 s at sf0.1).
     */
   private[ops] def trainOnSample(sample: Array[Array[Double]], dim: Int,
       m: Int, ksub: Int, seed: Long, maxIter: Int): PqModel = {
     val dsub = dim / m
+    val restarts = if (ksub <= 32) 8 else 2
     val centroids = (0 until m).map { j =>
       val sub = sample.map(p => java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub))
-      Kmeans.fit(sub, ksub, seed + j, maxIter, restarts = 8)
+      Kmeans.fit(sub, ksub, seed + j, maxIter, restarts = restarts)
     }.toArray
     val norms2 = centroids.map(_.map(c => c.map(x => x * x).sum))
     PqModel(m, ksub, dsub, centroids, norms2)

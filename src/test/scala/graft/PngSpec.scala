@@ -141,6 +141,103 @@ class PngSpec extends AnyFunSuite {
   }
 }
 
+/** Real GIF decoder: validated exclusively against ImageIO-written
+  * fixtures — this repo has no GIF encoder, so every test byte comes
+  * from an independent implementation.
+  */
+class GifSpec extends AnyFunSuite {
+
+  private def detBytes(n: Int, seed: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var s = seed.toLong
+    var i = 0
+    while (i < n) { s = s * 6364136223846793005L + 1442695040888963407L; out(i) = (s >>> 33).toByte; i += 1 }
+    out
+  }
+
+  private def greyGif(px: Array[Byte], w: Int, h: Int, interlaced: Boolean = false): Array[Byte] = {
+    val grey = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grey, grey, grey)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!interlaced) assert(ImageIO.write(img, "gif", bos))
+    else {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      out.close(); writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  test("ImageIO-written greyscale GIFs decode to exact pixel triplets") {
+    for ((w, h, seed) <- Seq((32, 9, 1), (7, 5, 2), (1, 1, 3), (64, 64, 4))) {
+      val px = detBytes(w * h, seed)
+      val out = graft.ops.GifCodec.decode(greyGif(px, w, h))
+      assert(out.isDefined, s"${w}x$h failed")
+      val img = out.get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      for (k <- 0 until w * h; c <- 0 until 3)
+        assert(img.pixels(3 * k + c) == px(k), s"pixel $k ch $c (${w}x$h)")
+    }
+  }
+
+  test("interlaced GIFs deinterlace to the same pixels") {
+    val w = 16; val h = 19 // odd height exercises all four passes
+    val px = detBytes(w * h, 7)
+    val plain = graft.ops.GifCodec.decode(greyGif(px, w, h)).get
+    val inter = graft.ops.GifCodec.decode(greyGif(px, w, h, interlaced = true))
+    assert(inter.isDefined, "interlaced GIF failed to decode")
+    assert(java.util.Arrays.equals(inter.get.pixels, plain.pixels))
+  }
+
+  test("color-palette GIFs expand through the color table") {
+    val r = Array[Byte](10, 110.toByte, 210.toByte, 0)
+    val g = Array[Byte](20, 120.toByte, 220.toByte, 0)
+    val b = Array[Byte](30, 130.toByte, 230.toByte, 0)
+    val cm = new java.awt.image.IndexColorModel(8, 4, r, g, b)
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until 2; x <- 0 until 3) img.getRaster.setSample(x, y, 0, (x + y) % 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "gif", bos))
+    val out = graft.ops.GifCodec.decode(bos.toByteArray)
+    assert(out.isDefined && out.get.channels == 3)
+    val p = out.get.pixels
+    // pixel (0,0) = index 0 → (10,20,30); (1,0) = index 1 → (110,120,130)
+    assert((p(0) & 0xFF, p(1) & 0xFF, p(2) & 0xFF) == ((10, 20, 30)))
+    assert((p(3) & 0xFF, p(4) & 0xFF, p(5) & 0xFF) == ((110, 120, 130)))
+  }
+
+  test("hostile and truncated GIF bytes return None, never throw") {
+    val good = greyGif(detBytes(64, 9), 8, 8)
+    assert(graft.ops.GifCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(graft.ops.GifCodec.decode("GIF89a but nonsense".getBytes).isEmpty)
+    for (cut <- Seq(5, 13, 20, good.length / 2, good.length - 2))
+      assert(graft.ops.GifCodec.decode(good.take(cut)).isEmpty, s"truncated at $cut")
+    // corrupt the LZW stream body → decode must fail closed, not throw
+    val corrupt = good.clone()
+    for (i <- good.length - 12 until good.length - 2)
+      corrupt(i) = (corrupt(i) ^ 0xA5).toByte
+    assert(graft.ops.GifCodec.decode(corrupt).isEmpty ||
+      graft.ops.GifCodec.decode(corrupt).get.pixels.length == 3 * 64)
+    // hostile dims: hand-crafted GIF whose image descriptor claims
+    // 65535×65535 (12.9 GB of pixels) — the cap must refuse BEFORE
+    // allocating anything
+    val huge = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](8, 0, 8, 0, 0x80.toByte, 0, 0) ++          // screen descriptor, GCT of 2
+      Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte) ++ // 2-entry palette
+      Array[Byte](0x2C, 0, 0, 0, 0,                          // image descriptor at (0,0)
+        0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,  // 65535 × 65535
+        0) ++
+      Array[Byte](2, 1, 0x4C, 0)                             // min code 2 + tiny lzw + terminator
+    assert(graft.ops.GifCodec.decode(huge).isEmpty)
+  }
+}
+
 /** Spark-side seam tests for the real PNG path (separate class so the
   * pure-codec suite above never starts a session).
   */
@@ -167,6 +264,27 @@ class PngSeamSpec extends SparkSuite {
       val r = out(id)
       assert(r.getInt(1) == 32 && r.getInt(2) == h && r.getInt(3) == 1, s"doc $id dims")
       assert(r.getLong(4) == 32L * h && r.getLong(5) == sum && r.getLong(6) == hh, s"doc $id stats")
+    }
+  }
+
+  test("packTextGif → decodeImagePixels round-trips text bytes through ImageIO GIFs") {
+    val docs = Seq((1L, "gif pixels here"), (2L, "b" * 70), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeImagePixels(
+      Multimodal.packTextGif(docs, "doc_id", "text", width = 32), "id", "media")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- Seq(1L -> "gif pixels here", 2L -> ("b" * 70), 3L -> "")) {
+      val bytes = text.getBytes("UTF-8")
+      val h = math.max(1, (bytes.length + 31) / 32)
+      val padded = java.util.Arrays.copyOf(bytes, 32 * h)
+      var hh = 17L; var sum = 0L
+      padded.foreach { b =>
+        // decoded channels are greyscale triplets (v, v, v)
+        for (_ <- 0 until 3) { hh = (31L * hh + (b & 0xFF)) % 16777216L; sum += b & 0xFF }
+      }
+      val r = out(id)
+      assert(r.getInt(1) == 32 && r.getInt(2) == h && r.getInt(3) == 3, s"doc $id dims")
+      assert(r.getLong(4) == 96L * h && r.getLong(5) == sum && r.getLong(6) == hh, s"doc $id stats")
     }
   }
 
