@@ -161,6 +161,14 @@ object Transforms {
         throw new GraftAnalysisException(s"text_unigram_ppx: unknown source '$n'"))).getOrElse(df)
       graft.ops.TextAnalysis.unigramNll(df, cfg.reqStr("id_field"), tf,
         graft.ops.TextAnalysis.unigramLogProbs(lmDf, tf))
+    // order-2 interpolated LM scoring; LM counts come from this frame
+    // (self-scoring, the CCNet shape trains on a reference corpus —
+    // point lm at another source when that lands in the spec schema)
+    case "text_bigram_ppx" =>
+      val cfg = t.config
+      graft.ops.TextAnalysis.bigramNll(df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"),
+        lambda = cfg.double("lambda").getOrElse(0.7))
     // check the stream (a new ingest batch) against a PERSISTED
     // signature index; `against` names the corpus source whose text
     // the exact-Jaccard verify point-reads for candidates
@@ -177,10 +185,16 @@ object Transforms {
         threshold = cfg.double("threshold").getOrElse(0.7))
     case "pack_sequences" =>
       val cfg = t.config
-      graft.ops.Packing.packGreedy(df, cfg.reqStr("id_field"),
-        cfg.reqStr("group_field"), cfg.str("text_field").getOrElse("text"),
-        capacity = cfg.int("capacity").getOrElse(
-          throw new GraftAnalysisException("pack_sequences: 'capacity' is required")).toLong)
+      val capacity = cfg.int("capacity").getOrElse(
+        throw new GraftAnalysisException("pack_sequences: 'capacity' is required")).toLong
+      val pack = cfg.str("strategy").getOrElse("greedy") match {
+        case "greedy" => graft.ops.Packing.packGreedy _
+        case "bfd"    => graft.ops.Packing.packBestFitDecreasing _
+        case other => throw new GraftAnalysisException(
+          s"pack_sequences: unknown strategy '$other' (greedy | bfd)")
+      }
+      pack(df, cfg.reqStr("id_field"), cfg.reqStr("group_field"),
+        cfg.str("text_field").getOrElse("text"), capacity)
     case "bpe_tokens" =>
       val cfg = t.config
       val tf = cfg.str("text_field").getOrElse("text")
@@ -244,7 +258,8 @@ object Transforms {
             case None => graft.ops.Pq.IvfPq.build(df, idF, vecF,
               dim = cfg.int("dim").getOrElse(64), nlist = cfg.int("nlist").getOrElse(16),
               m = cfg.int("m").getOrElse(8), ksub = cfg.int("ksub").getOrElse(16),
-              residual = cfg.bool("residual").getOrElse(true))
+              residual = cfg.bool("residual").getOrElse(true),
+              opq = cfg.bool("opq").getOrElse(false))
           }
           graft.ops.Pq.IvfPq.search(ix, q, idF, vecF, k,
             nprobe = cfg.int("nprobe").getOrElse(4))
@@ -260,9 +275,16 @@ object Transforms {
       graft.ops.Multimodal.extractFeatures(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
     case "multimodal_resize" =>
+      val resizer = t.config.str("codec").getOrElse("stub") match {
+        case "stub" => new graft.ops.Multimodal.FakeResizer()
+        case "png"  => new graft.ops.Multimodal.PngResizer() // real pixels for PNG, stub fallback
+        case other => throw new GraftAnalysisException(
+          s"multimodal_resize: unknown codec '$other' (stub | png)")
+      }
       graft.ops.Multimodal.resize(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
-        t.config.int("width").getOrElse(64), t.config.int("height").getOrElse(64))
+        t.config.int("width").getOrElse(64), t.config.int("height").getOrElse(64),
+        resizer = resizer)
     case "multimodal_frames" =>
       graft.ops.Multimodal.frameSample(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
@@ -297,6 +319,14 @@ object Transforms {
     // REAL header decode (PNG/JPEG/GIF): mime sniff + dimensions
     case "image_meta" =>
       graft.ops.Multimodal.decodeImageMeta(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    // REAL audio header decode (RIFF/WAV): channels, rate, duration
+    case "audio_meta" =>
+      graft.ops.Multimodal.decodeAudioMeta(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    // REAL pixel decode (PNG/GIF by content): dims + verifiable stats
+    case "image_pixels" =>
+      graft.ops.Multimodal.decodeImagePixels(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
     // time-series joins against a named source (graft.ops.TemporalJoins)
     case "asof_join" =>
@@ -346,10 +376,11 @@ object Transforms {
     "sessionize",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
-    "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx", "pca_whiten",
+    "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
+    "text_bigram_ppx", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "connected_components", "dedup_cluster")
+    "image_meta", "audio_meta", "image_pixels", "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"

@@ -379,6 +379,51 @@ class TransformsSpec extends SparkSuite {
     assert(meta.columns.toSeq ==
       Seq("id", "byte_len", "mime_detected", "width", "height") && meta.count() == 3)
     assert(meta.where(col("mime_detected").isNull).count() == 3)
+    // audio twin: text payloads aren't WAVs either
+    val ameta = Transforms(packed, graft.spec.TransformSpec("am", "audio_meta",
+      Config.of("id_field" -> "doc_id")), Map.empty)
+    assert(ameta.columns.toSeq ==
+      Seq("id", "byte_len", "mime_detected", "channels", "sample_rate", "duration_ms"))
+    assert(ameta.where(col("mime_detected").isNull).count() == 3)
+    // real pixel decode through the spec surface: PNG payloads decode,
+    // the png codec option resizes real pixels
+    val pngMedia = graft.ops.Multimodal.packTextPng(docs, "doc_id", "text", width = 8)
+    val px = Transforms(pngMedia, graft.spec.TransformSpec("ip", "image_pixels",
+      Config.of("id_field" -> "id")), Map.empty)
+    assert(px.where(col("pixel_hash").isNotNull).count() == 3)
+    assert(px.select("channels").as[Int].collect().forall(_ == 1))
+    val rsPng = Transforms(pngMedia, graft.spec.TransformSpec("rp", "multimodal_resize",
+      Config.of("id_field" -> "id", "width" -> 4, "height" -> 4, "codec" -> "png")), Map.empty)
+    val outPng = rsPng.select("payload").as[Array[Byte]].head()
+    assert(graft.ops.PngCodec.decode(outPng).exists(i => i.width == 4 && i.height == 4))
+    intercept[GraftAnalysisException] {
+      Transforms(pngMedia, graft.spec.TransformSpec("rx", "multimodal_resize",
+        Config.of("id_field" -> "id", "codec" -> "webp")), Map.empty)
+    }
+  }
+
+  test("pack_sequences spec op: strategy greedy | bfd, unknown rejected") {
+    val df = Seq((1L, "g", "a b c d e f g h"), (2L, "g", "a b c d e f g"),
+      (3L, "g", "a b c d e"), (4L, "g", "a b c")).toDF("doc_id", "source", "text")
+    def run(strategy: String) = Transforms(df, graft.spec.TransformSpec("p", "pack_sequences",
+      Config.of("id_field" -> "doc_id", "group_field" -> "source",
+        "capacity" -> 10, "strategy" -> strategy)), Map.empty)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // greedy in id order: 8 | 7 | 5+3
+    assert(run("greedy") == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    // bfd: 8 | 7+3 (tightest fit) | 5
+    assert(run("bfd") == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    intercept[GraftAnalysisException] { run("tetris") }
+  }
+
+  test("text_bigram_ppx spec op: frequent-context docs score lower NLL") {
+    val docs = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps")) :+
+      (99L, "zyx wvu tsr qpo nml")
+    val df = docs.toDF("doc_id", "text")
+    val out = Transforms(df, graft.spec.TransformSpec("b", "text_bigram_ppx",
+      Config.of("id_field" -> "doc_id")), Map.empty)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(99L), s"common-phrase doc should score lower NLL: $out")
   }
 
   test("ann_topk spec op: index_path reopens a persisted index instead of re-clustering") {
