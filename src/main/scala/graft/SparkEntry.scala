@@ -828,6 +828,16 @@ object SparkEntry {
         Multimodal.packTextPng(t(s, d, "documents"), "doc_id", "text", width = 32),
         "id", "media")),
 
+    // REAL audio path: spec-correct 8-bit PCM WAVs built from each
+    // doc's bytes, fully decoded back to samples (AudioPcm), then the
+    // classic integer clip features — peak, energy, zero crossings —
+    // which the oracle re-derives from the text bytes directly
+    // (sample = (byte − 128) · 256; a sign change is b crossing 128).
+    "x_multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.packTextWav(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")),
+
     // REAL GIF decode against an INDEPENDENT encoder: payloads are
     // written by the JDK's ImageIO GIF writer (greyscale-palette
     // indexed, pixels = the doc's UTF-8 bytes), decoded by GifCodec's
@@ -2143,6 +2153,25 @@ object SparkEntry {
              CAST(list_reduce(list_prepend(17, px),
                (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
       FROM p""",
+    "x_multimodal_audio" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b)
+      SELECT doc_id AS id, 1 AS channels, 8000 AS sample_rate, 8 AS bits,
+             CAST(len AS BIGINT) AS n_samples,
+             CAST(coalesce(256 * list_max(list_transform(bytes, v -> abs(v - 128))), 0) AS BIGINT) AS peak,
+             CAST(coalesce(65536 * list_sum(list_transform(bytes, v -> (v - 128) * (v - 128))), 0) AS BIGINT) AS sum_sq,
+             CAST(coalesce(list_sum(list_transform(range(len - 1),
+               i -> CASE WHEN (bytes[CAST(i+1 AS INTEGER)] < 128) <> (bytes[CAST(i+2 AS INTEGER)] < 128)
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+      FROM e""",
+
     // like x_multimodal_decode but channels are greyscale RGB
     // triplets (v,v,v) — flatten each byte three ways
     "x_multimodal_gif_decode" -> """

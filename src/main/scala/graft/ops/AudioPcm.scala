@@ -1,0 +1,81 @@
+package graft.ops
+
+/** Real PCM audio decode — the sample-level sibling of
+  * [[Multimodal.AudioHeader]]'s header sniff, against the public
+  * RIFF/WAVE layout: the "fmt " chunk declares PCM format (1),
+  * channels, rate, and bit depth; the "data" chunk carries the
+  * samples — 8-bit unsigned (centered at 128) or 16-bit signed
+  * little-endian, the two classic PCM encodings. Non-PCM formats
+  * (float, ADPCM, extensible) return None: refuse, don't guess.
+  *
+  * Truncation contract: samples decode from the bytes ACTUALLY
+  * present (a truncated file yields the prefix that exists, bounded
+  * by the declared size) — at corpus scale a cut-off upload should
+  * still contribute its audible prefix to feature stats. Hostile
+  * sizes can't overflow (Long cursor, same fix as AudioHeader) and
+  * decoded sample count is capped before allocation.
+  *
+  * Same scale shape as every codec here: a pure function invoked
+  * inside `mapPartitions`.
+  */
+object AudioPcm {
+
+  /** Decoded clip: interleaved samples, 16-bit range (-32768..32767);
+    * 8-bit input is centered ((b − 128) << 8) so features are
+    * depth-comparable. */
+  final case class Clip(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  /** Refuse clips decoding to more than this many samples (64 Mi —
+    * ~25 minutes of 16-bit stereo at 22 kHz). */
+  val MaxSamples: Int = 64 << 20
+
+  def decode(p: Array[Byte]): Option[Clip] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= p.length) new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12L
+    var fmt = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataAt = -1L; var dataLen = 0L
+    while (i + 8 <= p.length) {
+      val at = i.toInt
+      val id = tag(at)
+      val len = le32(at + 4)
+      if (id == "fmt " && at + 24 <= p.length) {
+        fmt = le16(at + 8)
+        channels = le16(at + 10)
+        rate = le32(at + 12).toInt
+        bits = le16(at + 22)
+      } else if (id == "data" && dataAt < 0) {
+        dataAt = i + 8
+        dataLen = len
+      }
+      i += 8L + len + (len & 1L)
+    }
+    if (fmt != 1 || channels < 1 || channels > 16 || rate <= 0 || dataAt < 0) return None
+    if (bits != 8 && bits != 16) return None
+    // bytes actually present, bounded by the declared size
+    val avail = math.max(0L, math.min(dataLen, p.length - dataAt))
+    val bytesPerSample = bits / 8
+    val n = (avail / bytesPerSample).toInt
+    if (n > MaxSamples) return None
+    val out = new Array[Int](n)
+    val base = dataAt.toInt
+    var k = 0
+    if (bits == 8) {
+      while (k < n) { out(k) = (u8(base + k) - 128) << 8; k += 1 }
+    } else {
+      while (k < n) {
+        val v = le16(base + 2 * k)
+        out(k) = if (v >= 0x8000) v - 0x10000 else v // sign-extend
+        k += 1
+      }
+    }
+    Some(Clip(channels, rate, bits, out))
+  }
+}

@@ -275,6 +275,86 @@ object Multimodal {
       .toDF("id", "byte_len", "mime_detected", "channels", "sample_rate", "duration_ms")
   }
 
+  /** Build REAL WAV media from a text column: the document's UTF-8
+    * bytes become 8-bit PCM mono samples at 8 kHz under a spec-correct
+    * RIFF/WAVE header. Like [[packTextPng]], the sample content is a
+    * pure function of the text so an external oracle can verify the
+    * whole decode + feature pipeline without parsing any WAV.
+    */
+  def packTextWav(df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000, maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                     else bytes0
+          val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+            "WAVE".getBytes("US-ASCII") ++
+            "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+            le16(1) ++ le16(1) ++ le32(sampleRate) ++ le32(sampleRate) ++
+            le16(1) ++ le16(8) ++
+            "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+          (id, wav)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("audio/wav").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** Distributed REAL audio decode + feature extraction: full
+    * [[AudioPcm]] sample decode per payload, then the classic integer
+    * clip features — peak amplitude, energy (Σ s², exact in Long),
+    * zero-crossing count (sign changes, the standard voicing/noisiness
+    * proxy) — all integer arithmetic, so an oracle can re-derive every
+    * value from the source bytes. Undecodable payloads yield nulls
+    * (kept, not dropped). Same seam and scale shape as
+    * [[decodeImagePixels]].
+    */
+  def decodeAudioFeatures(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          AudioPcm.decode(payload) match {
+            case Some(clip) =>
+              var peak = 0L; var sumSq = 0L; var zc = 0L
+              var i = 0
+              val s = clip.samples
+              while (i < s.length) {
+                val v = s(i)
+                val a = math.abs(v.toLong)
+                if (a > peak) peak = a
+                sumSq += v.toLong * v
+                if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+                i += 1
+              }
+              (id, Some(clip.channels), Some(clip.sampleRate), Some(clip.bitsPerSample),
+                Some(s.length.toLong), Some(peak), Some(sumSq), Some(zc))
+            case None =>
+              (id, None: Option[Int], None: Option[Int], None: Option[Int],
+                None: Option[Long], None: Option[Long], None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("id", "channels", "sample_rate", "bits", "n_samples", "peak", "sum_sq",
+        "zero_crossings")
+  }
+
   /** Transcoder seam for resize: a real deployment wraps an image
     * codec; the stub emits a deterministic downsample of the payload
     * bytes with the declared target dimensions in the metadata, so

@@ -328,6 +328,10 @@ object Transforms {
     case "image_pixels" =>
       graft.ops.Multimodal.decodeImagePixels(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    // REAL PCM sample decode + integer clip features
+    case "audio_features" =>
+      graft.ops.Multimodal.decodeAudioFeatures(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
     // time-series joins against a named source (graft.ops.TemporalJoins)
     case "asof_join" =>
       val cfg = t.config
@@ -380,7 +384,8 @@ object Transforms {
     "text_bigram_ppx", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "image_pixels", "connected_components", "dedup_cluster")
+    "image_meta", "audio_meta", "image_pixels", "audio_features",
+    "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"

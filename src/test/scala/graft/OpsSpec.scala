@@ -309,6 +309,35 @@ class OpsSpec extends SparkSuite {
       "LIST".getBytes("US-ASCII") ++ le32(0x7FFFFFF8) ++ Array.fill(64)(0.toByte)
     assert(Multimodal.AudioHeader.parse(hostile2).isEmpty)
 
+    // ---- REAL PCM sample decode (AudioPcm) ----
+    def fmtChunk(format: Int, ch: Int, rate: Int, bits: Int) =
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(format) ++ le16(ch) ++
+        le32(rate) ++ le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+    // 16-bit: declared 4 samples, all present
+    val samples16 = Seq(1000, -1000, 32767, -32768)
+    val d16 = samples16.flatMap(v => le16(v & 0xFFFF)).toArray
+    val wav16 = "RIFF".getBytes("US-ASCII") ++ le32(36 + d16.length) ++
+      "WAVE".getBytes("US-ASCII") ++ fmtChunk(1, 1, 8000, 16) ++
+      "data".getBytes("US-ASCII") ++ le32(d16.length) ++ d16
+    val c16 = graft.ops.AudioPcm.decode(wav16)
+    assert(c16.exists(c => c.bitsPerSample == 16 && c.samples.toSeq == samples16))
+    // 8-bit: bytes centered to 16-bit range
+    val d8 = Array[Byte](0, 128.toByte, 255.toByte)
+    val wav8 = "RIFF".getBytes("US-ASCII") ++ le32(36 + 3) ++
+      "WAVE".getBytes("US-ASCII") ++ fmtChunk(1, 1, 8000, 8) ++
+      "data".getBytes("US-ASCII") ++ le32(3) ++ d8
+    assert(graft.ops.AudioPcm.decode(wav8).exists(_.samples.toSeq ==
+      Seq(-128 * 256, 0, 127 * 256)))
+    // truncated data: decodes the prefix that exists
+    assert(graft.ops.AudioPcm.decode(wav16.dropRight(4)).exists(_.samples.toSeq ==
+      samples16.take(2)))
+    // non-PCM format refused
+    val wavF = "RIFF".getBytes("US-ASCII") ++ le32(36 + 4) ++
+      "WAVE".getBytes("US-ASCII") ++ fmtChunk(3, 1, 8000, 32) ++
+      "data".getBytes("US-ASCII") ++ le32(4) ++ Array.fill(4)(0.toByte)
+    assert(graft.ops.AudioPcm.decode(wavF).isEmpty)
+    assert(graft.ops.AudioPcm.decode(Array.emptyByteArray).isEmpty)
+
     val media = Seq((1L, wav), (2L, "not audio data here at all ok".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
       .select(col("doc_id"), struct(col("payload"),

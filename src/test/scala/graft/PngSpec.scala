@@ -288,6 +288,23 @@ class PngSeamSpec extends SparkSuite {
     }
   }
 
+  test("packTextWav → decodeAudioFeatures round-trips text bytes as PCM samples") {
+    val docs = Seq((1L, "abc"), (2L, ""), (3L, " ")).toDF("doc_id", "text")
+    val out = Multimodal.decodeAudioFeatures(
+      Multimodal.packTextWav(docs, "doc_id", "text"), "id", "media")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // "abc" = bytes 97,98,99 → samples (b-128)*256 = -7936,-7680,-7424
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 1 && r1.getInt(2) == 8000 && r1.getInt(3) == 8)
+    assert(r1.getLong(4) == 3 && r1.getLong(5) == 7936)
+    assert(r1.getLong(6) == 7936L * 7936 + 7680L * 7680 + 7424L * 7424)
+    assert(r1.getLong(7) == 0) // all negative, no crossings
+    val r2 = out(2L)
+    assert(r2.getLong(4) == 0 && r2.getLong(5) == 0 && r2.getLong(6) == 0 && r2.getLong(7) == 0)
+    // bytes 0 (neg) then 127 (neg): still no crossing; byte < 128 ⟺ negative
+    assert(out(3L).getLong(7) == 0)
+  }
+
   test("PngResizer really resamples PNG payloads; non-PNG falls back to stand-in") {
     val png = PngCodec.encode(Image(8, 8, 1, Array.tabulate(64)(i => (i * 4).toByte)))
     val media = Seq((1L, png), (2L, "definitely not a png".getBytes("UTF-8")))
