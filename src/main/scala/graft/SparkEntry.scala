@@ -828,6 +828,16 @@ object SparkEntry {
         Multimodal.packTextPng(t(s, d, "documents"), "doc_id", "text", width = 32),
         "id", "media")),
 
+    // REAL video-container path: spec-correct MP4 box trees (ftyp +
+    // moov(mvhd + trak(tkhd)) + mdat) whose duration and 16.16
+    // fixed-point track dimensions derive arithmetically from the
+    // text length; Mp4.parse walks the tree back. The oracle needs
+    // only octet_length(text).
+    "x_multimodal_video_meta" -> ((s, d) =>
+      Multimodal.decodeVideoMeta(
+        Multimodal.packTextMp4(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")),
+
     // REAL audio path: spec-correct 8-bit PCM WAVs built from each
     // doc's bytes, fully decoded back to samples (AudioPcm), then the
     // classic integer clip features — peak, energy, zero crossings —
@@ -2153,6 +2163,15 @@ object SparkEntry {
              CAST(list_reduce(list_prepend(17, px),
                (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
       FROM p""",
+    "x_multimodal_video_meta" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents)
+      SELECT doc_id AS id, CAST(248 + len AS BIGINT) AS byte_len,
+             'video/mp4' AS mime_detected, 'isom' AS brand,
+             CAST(len * 40 AS BIGINT) AS duration_ms,
+             CAST(16 + len % 640 AS INTEGER) AS width,
+             CAST(16 + (len * 7) % 480 AS INTEGER) AS height
+      FROM b""",
     "x_multimodal_audio" -> """
       WITH b AS (
         SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,

@@ -355,6 +355,87 @@ object Multimodal {
         "zero_crossings")
   }
 
+  /** Build REAL MP4 containers from a text column: a spec-correct
+    * ftyp + moov(mvhd + trak(tkhd)) + mdat box tree whose movie
+    * duration and track dimensions derive arithmetically from the
+    * text length (duration = len·40 ms at timescale 1000 — 25 fps
+    * frames; width = 16 + len mod 640, height = 16 + 7·len mod 480),
+    * and whose mdat payload is the text bytes. The oracle re-derives
+    * every metadata field from `octet_length(text)` alone.
+    */
+  def packTextMp4(df: DataFrame, idCol: String, textCol: String,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+        def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+        def box(t: String, body: Array[Byte]) =
+          be32(body.length + 8L) ++ t.getBytes("US-ASCII") ++ body
+        val matrix = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+          be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000L)
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                     else bytes0
+          val len = data.length
+          val durUnits = len.toLong * 40 // timescale 1000 → ms directly
+          val w = 16 + (len % 640); val h = 16 + ((len * 7) % 480)
+          val mvhd = box("mvhd",
+            Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+              be32(1000) ++ be32(durUnits) ++
+              be32(0x00010000L) ++ be16(0x0100) ++ new Array[Byte](10) ++
+              matrix ++ new Array[Byte](24) ++ be32(2))
+          val tkhd = box("tkhd",
+            Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+              be32(1) ++ be32(0) ++ be32(durUnits) ++
+              new Array[Byte](8) ++ new Array[Byte](8) ++
+              matrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+          val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+              "isomiso2".getBytes("US-ASCII")) ++
+            box("moov", mvhd ++ box("trak", tkhd)) ++
+            box("mdat", data)
+          (id, mp4)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("video/mp4").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** Video twin of [[decodeImageMeta]]/[[decodeAudioMeta]]: real MP4
+    * box-tree parse ([[Mp4]]) per payload → brand-derived mime,
+    * duration, track dimensions; nulls for unrecognized payloads.
+    */
+  def decodeVideoMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          Mp4.parse(payload) match {
+            case Some(m) =>
+              (id, payload.length.toLong, "video/mp4", m.brand,
+                Some(m.durationMs), m.width, m.height)
+            case None =>
+              (id, payload.length.toLong, null: String, null: String,
+                None: Option[Long], None: Option[Int], None: Option[Int])
+          }
+        }
+      }
+      .toDF("id", "byte_len", "mime_detected", "brand", "duration_ms", "width", "height")
+  }
+
   /** Transcoder seam for resize: a real deployment wraps an image
     * codec; the stub emits a deterministic downsample of the payload
     * bytes with the declared target dimensions in the metadata, so

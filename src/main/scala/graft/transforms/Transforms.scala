@@ -328,6 +328,10 @@ object Transforms {
     case "image_pixels" =>
       graft.ops.Multimodal.decodeImagePixels(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    // REAL MP4 box-tree parse: brand, duration, track dimensions
+    case "video_meta" =>
+      graft.ops.Multimodal.decodeVideoMeta(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
     // REAL PCM sample decode + integer clip features
     case "audio_features" =>
       graft.ops.Multimodal.decodeAudioFeatures(df,
@@ -384,7 +388,7 @@ object Transforms {
     "text_bigram_ppx", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "image_pixels", "audio_features",
+    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
     "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))

@@ -440,6 +440,51 @@ class OpsSpec extends SparkSuite {
     assert(out(6L) == (("g2", 2L, 0L))) // bins number from 0 per group
   }
 
+  test("Mp4.parse: v0/v1 box layouts, 64-bit sizes, hostile bytes") {
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(t: String, body: Array[Byte]) = be32(body.length + 8L) ++ t.getBytes("US-ASCII") ++ body
+    val matrix = new Array[Byte](36)
+    val ftyp = box("ftyp", "mp42".getBytes("US-ASCII") ++ be32(0) ++ "mp42".getBytes("US-ASCII"))
+
+    // version 1 mvhd (64-bit times) + version 1 tkhd
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(600) ++ be64(1200) ++ be32(0x00010000L) ++ be16(0x0100) ++
+      new Array[Byte](10) ++ matrix ++ new Array[Byte](24) ++ be32(2))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++
+      be32(1) ++ be32(0) ++ be64(1200) ++ new Array[Byte](8) ++ new Array[Byte](8) ++
+      matrix ++ be32(1920L << 16) ++ be32(1080L << 16))
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1))
+    assert(graft.ops.Mp4.parse(v1).contains(
+      graft.ops.Mp4.Meta("mp42", 2000L, Some(1920), Some(1080)))) // 1200/600 s
+
+    // 64-bit largesize on the moov container must parse identically
+    val moovBody = mvhd1 ++ box("trak", tkhd1)
+    val large = ftyp ++ (be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be64(moovBody.length + 16L) ++ moovBody)
+    assert(graft.ops.Mp4.parse(large).contains(
+      graft.ops.Mp4.Meta("mp42", 2000L, Some(1920), Some(1080))))
+
+    // no video track: duration still parses, dims are None
+    val audioOnly = ftyp ++ box("moov", mvhd1)
+    assert(graft.ops.Mp4.parse(audioOnly).contains(
+      graft.ops.Mp4.Meta("mp42", 2000L, None, None)))
+
+    // hostile: truncation at every interesting boundary, bogus sizes
+    assert(graft.ops.Mp4.parse(Array.emptyByteArray).isEmpty)
+    assert(graft.ops.Mp4.parse("not an mp4 file at all!!".getBytes).isEmpty)
+    for (cut <- Seq(4, 12, 25, v1.length / 2, v1.length - 3))
+      assert(graft.ops.Mp4.parse(v1.take(cut)).isEmpty, s"truncated at $cut")
+    // declared box size larger than the file
+    val overrun = ftyp ++ be32(1 << 20) ++ "moov".getBytes("US-ASCII") ++ new Array[Byte](8)
+    assert(graft.ops.Mp4.parse(overrun).isEmpty)
+    // hostile 2^63 largesize must not wrap the cursor
+    val evil = ftyp ++ be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be64(Long.MaxValue) ++ new Array[Byte](16)
+    assert(graft.ops.Mp4.parse(evil).isEmpty)
+  }
+
   test("best-fit-decreasing packing: longest-first order, tightest-fit bin, ties to first") {
     // capacity 10. Sorted by (t desc, id): d4(7) d1(6) d2(4) d5(4) d3(3) d6(2)
     //   d4(7) → new bin0 (rem 3)
