@@ -223,6 +223,31 @@ class StreamingSpec extends SparkSuite {
     assert(sess.exceptAll(batchSess).isEmpty && batchSess.exceptAll(sess).isEmpty)
   }
 
+  test("real media codecs run under structured streaming unchanged") {
+    // the codec ops are mapPartitions over a Dataset — the exact shape
+    // Structured Streaming executes per micro-batch, so an ingest
+    // stream can decode/filter media the same way a batch job does
+    val dir = java.nio.file.Files.createTempDirectory("graftmediastream")
+    val docs = Seq((1L, "stream me through a png"), (2L, "and me too please"))
+      .toDF("doc_id", "text")
+    graft.ops.Multimodal.packTextPng(docs, "doc_id", "text", width = 8)
+      .write.mode("overwrite").parquet(dir.toString + "/in")
+    val schema = spark.read.parquet(dir.toString + "/in").schema
+    val stream = Streaming.fileSource(spark, dir.toString + "/in", schema)
+    val decoded = graft.ops.Multimodal.decodeImagePixels(stream, "id", "media")
+    assert(decoded.isStreaming)
+    val q = Streaming.startMemorySink(decoded, "media_out")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("media_out")
+        .select("id", "pixel_hash").as[(Long, Long)].collect().toMap
+      val batch = graft.ops.Multimodal.decodeImagePixels(
+        spark.read.parquet(dir.toString + "/in"), "id", "media")
+        .select("id", "pixel_hash").as[(Long, Long)].collect().toMap
+      assert(out == batch && out.size == 2)
+    } finally q.stop()
+  }
+
   test("file stream source: batch transforms apply unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graftstream")
     sf("events").limit(100).write.mode("overwrite").parquet(dir.toString + "/in")
