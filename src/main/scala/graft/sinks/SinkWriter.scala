@@ -32,7 +32,31 @@ object SinkWriter {
 
     case "parquet" =>
       val cluster = s.config.strList("cluster_by")
-      if (cluster.nonEmpty)
+      val buckets = s.config.strList("bucket_by")
+      if (buckets.nonEmpty) {
+        // bucketed + sorted table: downstream equi-joins/aggs on the
+        // bucket key plan with NO shuffle exchange (ScaleSpec asserts
+        // the plan) — the declare-once-join-forever layout for a fact
+        // table at 100 TB. Bucketing needs the table catalog, hence
+        // the required `table` name; `path` makes it external.
+        if (cluster.nonEmpty) throw new GraftAnalysisException(
+          s"sink '${s.name}': bucket_by and cluster_by are mutually exclusive " +
+            "(hash buckets vs disjoint sorted ranges — pick the join-key layout " +
+            "or the range-pruning layout)")
+        val n = s.config.int("num_buckets").getOrElse(
+          throw new GraftAnalysisException(s"sink '${s.name}': bucket_by requires num_buckets"))
+        val table = s.config.str("table").getOrElse(
+          throw new GraftAnalysisException(s"sink '${s.name}': bucket_by requires a table name"))
+        val sortCols = s.config.strList("sort_by") match {
+          case Nil => buckets
+          case sc  => sc
+        }
+        val w = writer(df, s)
+          .bucketBy(n, buckets.head, buckets.tail: _*)
+          .sortBy(sortCols.head, sortCols.tail: _*)
+        s.config.str("path").map(p => w.option("path", p)).getOrElse(w)
+          .format("parquet").saveAsTable(table)
+      } else if (cluster.nonEmpty)
         // range-clustered sorted layout (z-order lite): disjoint
         // per-file key ranges so parquet min/max statistics prune
         // downstream scans — see graft.ops.Layout

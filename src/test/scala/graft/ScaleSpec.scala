@@ -32,6 +32,37 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("parquet sink bucket_by writes a shuffle-free-joinable table via the spec surface") {
+    import graft.sinks.SinkWriter
+    import graft.spec.{Config, SinkSpec}
+    val dir = Files.createTempDirectory("graftbktsink").toString
+    try {
+      SinkWriter.write(sf("lineitem").select("l_orderkey", "l_quantity"),
+        SinkSpec("out", "parquet", Config.of("bucket_by" -> Seq("l_orderkey"),
+          "num_buckets" -> 8, "table" -> "bkt_sink_li", "path" -> s"$dir/li")))
+      SinkWriter.write(sf("orders").select("o_orderkey", "o_totalprice"),
+        SinkSpec("out", "parquet", Config.of("bucket_by" -> Seq("o_orderkey"),
+          "num_buckets" -> 8, "table" -> "bkt_sink_ord", "path" -> s"$dir/ord")))
+      val joined = spark.table("bkt_sink_li")
+        .join(spark.table("bkt_sink_ord"), col("l_orderkey") === col("o_orderkey"))
+      assert(!joined.queryExecution.sparkPlan.toString.contains("Exchange"))
+      assert(joined.count() == sf("lineitem").count())
+      // misconfigurations die at analysis
+      intercept[graft.GraftAnalysisException] {
+        SinkWriter.write(sf("orders"), SinkSpec("out", "parquet",
+          Config.of("bucket_by" -> Seq("o_orderkey"), "table" -> "t2"))) // no num_buckets
+      }
+      intercept[graft.GraftAnalysisException] {
+        SinkWriter.write(sf("orders"), SinkSpec("out", "parquet",
+          Config.of("bucket_by" -> Seq("o_orderkey"), "num_buckets" -> 8,
+            "table" -> "t3", "cluster_by" -> Seq("o_totalprice"))))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_sink_li")
+      spark.sql("DROP TABLE IF EXISTS bkt_sink_ord")
+    }
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("graftpart").toString
     sf("lineitem").write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
