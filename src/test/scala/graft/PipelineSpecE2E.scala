@@ -303,6 +303,31 @@ class PipelineSpecE2E extends SparkSuite {
       SinkSpec("t2", "text", Config.of("path" -> (tmp() + "/u")))))
   }
 
+  test("compressed corpus roundtrip: gzip text and zstd parquet read back transparently") {
+    import graft.sinks.SinkWriter
+    import graft.sources.SourceReader
+    // LLM corpora arrive as .jsonl.gz / .zst — the codec passthrough
+    // on sinks plus Spark's transparent codec handling on sources
+    // must round-trip without any spec change on the read side
+    val dir = java.nio.file.Files.createTempDirectory("graftgz").toString
+    val lines = Seq("alpha doc", "beta doc", "gamma doc").toDF("value")
+    SinkWriter.write(lines, SinkSpec("out", "text",
+      Config.of("path" -> s"$dir/txt", "compression" -> "gzip")))
+    assert(new java.io.File(s"$dir/txt").listFiles().exists(_.getName.endsWith(".txt.gz")))
+    val back = SourceReader.read(spark, SourceSpec("in", "text",
+      Config.of("path" -> s"$dir/txt")))
+    assert(back.as[String].collect().toSet == Set("alpha doc", "beta doc", "gamma doc"))
+
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    SinkWriter.write(docs, SinkSpec("out", "parquet",
+      Config.of("path" -> s"$dir/pq", "compression" -> "zstd")))
+    assert(new java.io.File(s"$dir/pq").listFiles().exists(_.getName.contains(".zstd.")))
+    val backPq = SourceReader.read(spark, SourceSpec("in", "parquet",
+      Config.of("path" -> s"$dir/pq")))
+    assert(backPq.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+  }
+
   test("per-stage observed rows land in the run result and the run registry") {
     val store = new graft.catalog.FileMetaStore(java.nio.file.Paths.get(tmp()))
     val spec = PipelineSpec(

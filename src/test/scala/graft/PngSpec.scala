@@ -141,6 +141,64 @@ class PngSpec extends AnyFunSuite {
   }
 }
 
+/** Deterministic fuzz over every real codec: at 100 TB some payloads
+  * WILL be arbitrary garbage, and a decode task must refuse (None),
+  * never die. 2000 pseudo-random byte arrays per codec, plus
+  * signature-prefixed garbage (passes the magic check, then turns to
+  * noise — the hard path) and truncations of valid files at every
+  * offset.
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private def rndBytes(n: Int, seed: Long): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var s = seed
+    var i = 0
+    while (i < n) { s = s * 6364136223846793005L + 1442695040888963407L; out(i) = (s >>> 33).toByte; i += 1 }
+    out
+  }
+
+  private val codecs: Seq[(String, Array[Byte] => Any)] = Seq(
+    ("png", graft.ops.PngCodec.decode _),
+    ("gif", graft.ops.GifCodec.decode _),
+    ("mp4", graft.ops.Mp4.parse _),
+    ("wav-header", (p: Array[Byte]) => graft.ops.Multimodal.AudioHeader.parse(p)),
+    ("wav-pcm", graft.ops.AudioPcm.decode _),
+    ("image-header", (p: Array[Byte]) => graft.ops.Multimodal.ImageHeader.parse(p)))
+
+  test("random garbage never throws in any codec") {
+    for ((name, decode) <- codecs; i <- 0 until 2000) {
+      val n = (i * 37) % 512
+      try decode(rndBytes(n, seed = name.hashCode.toLong * 100003 + i))
+      catch { case e: Throwable => fail(s"$name threw on fuzz case $i (len $n): $e") }
+    }
+  }
+
+  test("signature-prefixed garbage never throws") {
+    val sigs = Seq(
+      "png" -> Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+      "gif" -> "GIF89a".getBytes("US-ASCII"),
+      "wav" -> ("RIFF".getBytes("US-ASCII") ++ Array.fill(4)(0x7F.toByte) ++
+        "WAVE".getBytes("US-ASCII")),
+      "mp4" -> (Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
+        Array.fill(4)(0.toByte)),
+      "jpeg" -> Array(0xFF, 0xD8).map(_.toByte))
+    for ((sname, sig) <- sigs; (cname, decode) <- codecs; i <- 0 until 300) {
+      val body = rndBytes(64 + (i * 13) % 256, seed = sname.hashCode.toLong * 7919 + i)
+      try decode(sig ++ body)
+      catch { case e: Throwable => fail(s"$cname threw on $sname-prefixed fuzz $i: $e") }
+    }
+  }
+
+  test("every truncation of a valid file refuses cleanly in every codec") {
+    val png = graft.ops.PngCodec.encode(
+      graft.ops.PngCodec.Image(9, 7, 3, rndBytes(9 * 7 * 3, 5)))
+    for ((name, decode) <- codecs; cut <- 0 until png.length)
+      try decode(png.take(cut))
+      catch { case e: Throwable => fail(s"$name threw on png truncated at $cut: $e") }
+  }
+}
+
 /** Real GIF decoder: validated exclusively against ImageIO-written
   * fixtures — this repo has no GIF encoder, so every test byte comes
   * from an independent implementation.

@@ -70,6 +70,40 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("packing laws: bins respect capacity, partition all docs; bfd never uses more bins") {
+    val docsGen = Gen.listOfN(25, Gen.choose(1, 12))
+    forAll(docsGen) { lens =>
+      val df = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, s"g${i % 2}", Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val cap = 16L
+      def check(out: org.apache.spark.sql.DataFrame): Int = {
+        val rows = out.select("source", "doc_id", "n_tokens", "bin")
+          .as[(String, Long, Long, Long)].collect()
+        assert(rows.length == lens.length) // every doc assigned exactly once
+        val byBin = rows.groupBy(r => (r._1, r._4))
+        byBin.foreach { case ((g, bin), members) =>
+          val total = members.map(_._3).sum
+          // a bin exceeds capacity only as a single oversized doc
+          assert(total <= cap || members.length == 1,
+            s"bin ($g,$bin) holds $total tokens across ${members.length} docs")
+        }
+        // bins are numbered densely from 0 within each group
+        rows.groupBy(_._1).foreach { case (_, rs) =>
+          val bins = rs.map(_._4).toSet
+          assert(bins == (0L until bins.size).toSet)
+        }
+        byBin.size
+      }
+      val greedyBins = check(graft.ops.Packing.packGreedy(df, "doc_id", "source", "text", cap))
+      val bfdBins = check(graft.ops.Packing.packBestFitDecreasing(df, "doc_id", "source", "text", cap))
+      // not a theorem (decreasing-order anomalies exist in bin packing)
+      // but deterministic on these fixed seeds — a regression pin that
+      // bfd keeps its measured advantage on typical inputs
+      assert(bfdBins <= greedyBins, s"bfd used $bfdBins bins vs greedy $greedyBins")
+    }
+  }
+
   test("minhash jaccard estimate tracks exact jaccard on near-dups") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
