@@ -541,6 +541,14 @@ object SparkEntry {
       SplitOp(t(s, d, "documents"), Config.of(
         "key" -> "doc_id", "mod" -> 100, "train_below" -> 80, "val_below" -> 90))
         .select(col("doc_id"), col("split"))),
+    // token-budget epoch selection: per source, deterministic-order
+    // docs until the source's token budget fills (inclusive, never
+    // overshooting); oracle replays the same windowed running sum
+    "x_token_budget" -> ((s, d) =>
+      TokenBudgetOp(t(s, d, "documents"), Config.of(
+        "key" -> "doc_id", "class_field" -> "source",
+        "budgets" -> Map("src0" -> 2000), "default_budget" -> 1500))
+        .select(col("doc_id"), col("source"), col("n_tokens"))),
 
     // deterministic k-sample: bottom-k by content hash — an exact,
     // reproducible "random" sample that any engine reproduces (plans
@@ -1714,6 +1722,20 @@ object SparkEntry {
       FROM (SELECT doc_id,
               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
             FROM documents)""",
+    "x_token_budget" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM c
+      WHERE cum <= CASE WHEN source = 'src0' THEN 2000 ELSE 1500 END""",
     "q_sample_bottomk" -> """
       SELECT * FROM documents
       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100""",

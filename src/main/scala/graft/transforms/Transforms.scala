@@ -42,6 +42,7 @@ object Transforms {
     case "sql"         => SqlOp(df, t.config, ctx)
     case "sample"      => SampleOp(df, t.config)
     case "stratified_sample" => StratifiedSampleOp(df, t.config)
+    case "token_budget" => TokenBudgetOp(df, t.config)
     case "split"       => SplitOp(df, t.config)
     // event-time watermark (streaming pipelines): bounds state for
     // downstream windowed aggregates; a no-op semantic on batch data
@@ -379,7 +380,7 @@ object Transforms {
   val knownTypes: Set[String] = Set(
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
     "select", "rename", "limit", "union", "intersect", "except",
-    "distinct", "window", "sql", "sample", "stratified_sample", "split",
+    "distinct", "window", "sql", "sample", "stratified_sample", "token_budget", "split",
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "sessionize",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
@@ -1064,6 +1065,50 @@ object StratifiedSampleOp {
       when(classCol.cast(StringType) === cls, lit(t)).otherwise(els)
     }
     df.filter(b < threshold)
+  }
+}
+
+/** Token-budget corpus selection — epoch construction for LLM
+  * training: per class (source / language / domain), keep documents
+  * in a deterministic pseudo-random order (md5-of-key, the same
+  * cross-engine mechanism as [[SampleOp]]) until the class's TOKEN
+  * budget is reached. "Mix 10 B CommonCrawl tokens with 2 B books
+  * tokens" is exactly this op with a budgets map; unlisted classes
+  * get `default_budget` (0 = drop). A document is kept iff the
+  * running total INCLUDING it fits — budgets never overshoot.
+  *
+  * Scale shape: one shuffle on the class key + a running-sum window
+  * per class — the class is the parallelism unit, same contract as
+  * [[graft.ops.Packing]] (a class is a source/shard, not the corpus).
+  * Deterministic order means a re-run, a re-partitioned input, or a
+  * different engine selects the SAME epoch — which `rand()`-based
+  * selection cannot promise.
+  */
+object TokenBudgetOp {
+  def apply(df: DataFrame, cfg: Config): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = c(cfg.reqStr("key"))
+    val classCol = c(cfg.reqStr("class_field"))
+    val textCol = c(cfg.str("text_field").getOrElse("text"))
+    val default = cfg.long("default_budget").getOrElse(0L)
+    val budgets = cfg.strMap("budgets")
+    if (budgets.isEmpty && default == 0L)
+      throw new GraftAnalysisException(
+        "token_budget: needs 'budgets' {class: tokens} and/or 'default_budget'")
+    val budget = budgets.foldRight(lit(default): Column) { case ((cls, b), els) =>
+      val t = try b.toLong catch {
+        case _: NumberFormatException =>
+          throw new GraftAnalysisException(s"token_budget: budget for '$cls' not a long: $b")
+      }
+      when(classCol.cast(StringType) === cls, lit(t)).otherwise(els)
+    }
+    val w = Window.partitionBy(classCol)
+      .orderBy(md5(key.cast(StringType)), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(textCol))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
   }
 }
 

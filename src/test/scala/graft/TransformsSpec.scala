@@ -416,6 +416,32 @@ class TransformsSpec extends SparkSuite {
     intercept[GraftAnalysisException] { run("tetris") }
   }
 
+  test("token_budget: budget inclusive, never overshoots, partition-invariant, per-class") {
+    val df = (1 to 20).map(i => (i.toLong, if (i <= 10) "a" else "b",
+      Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Transforms(d, graft.spec.TransformSpec("tb", "token_budget",
+        Config.of("key" -> "doc_id", "class_field" -> "source",
+          "budgets" -> Map("a" -> 23), "default_budget" -> 10)), Map.empty)
+        .select("doc_id", "source", "n_tokens")
+        .as[(Long, String, Long)].collect().toSet
+    val out = run(df)
+    // 5-token docs: budget 23 → 4 docs (20 tokens; a 5th would hit 25);
+    // class b budget 10 → 2 docs
+    assert(out.count(_._2 == "a") == 4 && out.count(_._2 == "b") == 2)
+    // deterministic + partition-invariant: same epoch at any layout
+    assert(run(df.repartition(7)) == out)
+    // zero default drops unlisted classes entirely
+    val strict = Transforms(df, graft.spec.TransformSpec("tb", "token_budget",
+      Config.of("key" -> "doc_id", "class_field" -> "source",
+        "budgets" -> Map("a" -> 23))), Map.empty)
+    assert(strict.where(col("source") === "b").count() == 0)
+    intercept[GraftAnalysisException] {
+      Transforms(df, graft.spec.TransformSpec("tb", "token_budget",
+        Config.of("key" -> "doc_id", "class_field" -> "source")), Map.empty)
+    }
+  }
+
   test("text_bigram_ppx spec op: frequent-context docs score lower NLL") {
     val docs = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps")) :+
       (99L, "zyx wvu tsr qpo nml")
