@@ -657,6 +657,12 @@ object SparkEntry {
     "x_text_bigram_ppx" -> ((s, d) =>
       TextAnalysis.bigramNll(docs(s, d), "doc_id", "text")
         .withColumn("avg_nll", round(col("avg_nll"), 6))),
+    // order-3 rung: BOS-padded uniform scoring positions, one formula
+    // for every token — the oracle rebuilds all four count tables and
+    // replays the interpolation exactly
+    "x_text_trigram_ppx" -> ((s, d) =>
+      TextAnalysis.trigramNll(docs(s, d), "doc_id", "text")
+        .withColumn("avg_nll", round(col("avg_nll"), 6))),
     // CCNet-style perplexity proxy: unigram LM fit on the corpus, every
     // document scored by mean negative log-likelihood under it
     "x_text_unigram_ppx" -> ((s, d) => {
@@ -1990,6 +1996,40 @@ object SparkEntry {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(nll), 6) AS avg_nll
       FROM allscores GROUP BY doc_id""",
 
+    "x_text_trigram_ppx" -> """
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+        FROM documents),
+      uni AS (
+        SELECT u.w AS w, count(*) AS c FROM (SELECT unnest(w) AS w FROM toks) u GROUP BY u.w),
+      tot AS (SELECT sum(c) AS s FROM uni),
+      pad AS (
+        SELECT doc_id, len(w) AS n, list_concat(['<s>', '<s>'], w) AS p
+        FROM toks WHERE len(w) >= 1),
+      -- MATERIALIZED is load-bearing: six references; inlined, DuckDB
+      -- re-expands the unnest per reference and the plan blows up
+      tri AS MATERIALIZED (
+        SELECT doc_id, t['a'] AS a, t['b'] AS b, t['w'] AS w
+        FROM (SELECT doc_id, unnest(list_transform(range(n),
+               i -> {'a': p[CAST(i+1 AS INTEGER)], 'b': p[CAST(i+2 AS INTEGER)],
+                     'w': p[CAST(i+3 AS INTEGER)]})) AS t FROM pad)),
+      c3 AS (SELECT a, b, w, count(*) AS c FROM tri GROUP BY a, b, w),
+      cc2 AS (SELECT a, b, count(*) AS c FROM tri GROUP BY a, b),
+      c2 AS (SELECT b, w, count(*) AS c FROM tri GROUP BY b, w),
+      cc1 AS (SELECT b, count(*) AS c FROM tri GROUP BY b),
+      s AS (
+        SELECT tri.doc_id,
+               -ln(0.5 * CAST(c3.c AS DOUBLE) / cc2.c
+                 + 0.3 * CAST(c2.c AS DOUBLE) / cc1.c
+                 + 0.2 * CAST(uni.c AS DOUBLE) / tot.s) AS nll
+        FROM tri
+        JOIN c3 ON tri.a = c3.a AND tri.b = c3.b AND tri.w = c3.w
+        JOIN cc2 ON tri.a = cc2.a AND tri.b = cc2.b
+        JOIN c2 ON tri.b = c2.b AND tri.w = c2.w
+        JOIN cc1 ON tri.b = cc1.b
+        JOIN uni ON tri.w = uni.w, tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(nll), 6) AS avg_nll
+      FROM s GROUP BY doc_id""",
     "x_text_unigram_ppx" -> """
       WITH tk AS (
         SELECT doc_id,

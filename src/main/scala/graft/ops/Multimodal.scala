@@ -9,12 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction running distributed via
   * `mapPartitions`.
   *
-  * The Spark-side machinery — schema, batched per-partition execution,
-  * deterministic output shape — is real and tested; the actual codec
-  * call is stubbed behind [[MediaDecoder]] (image/audio libraries are
-  * not available in this environment) with a deterministic fake, so
-  * swapping in a real decoder is a one-function change and nothing
-  * about the distributed plan moves.
+  * The codecs are REAL where public knowledge suffices: full PNG
+  * pixel decode/encode/resize ([[PngCodec]]), GIF LZW decode
+  * ([[GifCodec]]), PCM sample decode ([[AudioPcm]]), MP4 box-tree
+  * metadata ([[Mp4]]), and the PNG/JPEG/GIF/WAV header sniffers below
+  * — each from its public specification, garbage-safe, and
+  * oracle-gated. The [[MediaDecoder]]/[[MediaResizer]] seams with
+  * deterministic stand-ins remain for what genuinely needs a native
+  * library (learned feature embeddings, JPEG entropy decode, H.264
+  * frames): the distributed shape — schema, batched per-partition
+  * execution, output contracts — is identical either way, so swapping
+  * a real native codec in is a one-function change.
   */
 object Multimodal {
 

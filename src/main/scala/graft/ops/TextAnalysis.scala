@@ -314,6 +314,85 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_tokens"), col("avg_nll"))
   }
 
+  /** Interpolated TRIGRAM LM scoring — the order-3 rung of the same
+    * ladder as [[unigramNll]]/[[bigramNll]], demonstrating the claim
+    * that the distributed shape is order-independent (KenLM-style
+    * filters use order 5; nothing below changes but the key width).
+    *
+    * Contract (uniform across positions — the textbook BOS trick):
+    * each document's token list is padded with two `<s>` sentinels
+    * (real tokens are `[a-z0-9]+`, so `<s>` can never collide), and
+    * every REAL token w at padded position i scores
+    *   −log( λ₃·p(w|a,b) + λ₂·p(w|b) + λ₁·p(w) )
+    * with context (a, b) = the two preceding padded tokens. The
+    * conditional tables count (context, token) occurrences over
+    * exactly these scoring positions, so probabilities normalize by
+    * construction; p(w) counts real tokens only ( `<s>` is never a
+    * predicted token). Tokens/contexts unseen by the LM drop (inner
+    * join) — train on a superset corpus.
+    *
+    * Scale shape — build the LM table once, then score (the KenLM
+    * split): ONE corpus-sized aggregation builds the distinct-triple
+    * count table, which is materialized with `localCheckpoint` (Spark
+    * shares no subplans, so the five downstream references would
+    * otherwise each rescan and re-explode the corpus — measured 5×
+    * slower; same lineage-truncation pattern as [[Components]]).
+    * Every lower-order table (context totals, bigram conditionals,
+    * unigram, grand total) is a cheap re-aggregation of that
+    * much-smaller table (sums of counts ≡ direct counts; the unigram
+    * slice is exact because each real token is exactly one scoring
+    * position's w), the interpolated score is attached per DISTINCT
+    * triple via table-vs-table joins, and the corpus side shuffles
+    * exactly twice total (count pass, score join). Conditional tables
+    * grow with the corpus → shuffle joins; only the
+    * vocabulary-bounded unigram table broadcasts.
+    */
+  def trigramNll(docs: DataFrame, idCol: String, textCol: String,
+      l3: Double = 0.5, l2: Double = 0.3, l1: Double = 0.2,
+      broadcastUnigram: Boolean = true): DataFrame = {
+    require(l3 >= 0 && l2 >= 0 && l1 >= 0 && math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      s"trigramNll: weights ($l3, $l2, $l1) must be non-negative and sum to 1")
+    val toks = Partitioning.fanOut(docs)
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+    // padded scoring positions: one (a, b, w) triple per REAL token
+    val padded = concat(array(lit("<s>"), lit("<s>")), col("__w"))
+    val tris = toks.where(size(col("__w")) >= 1)
+      .select(col("__id"), explode(transform(sequence(lit(1), size(col("__w"))),
+        i => struct(
+          element_at(padded, i).as("a"),
+          element_at(padded, i + 1).as("b"),
+          element_at(padded, i + 2).as("w")))).as("__t"))
+      .select(col("__id"), col("__t.a").as("__a"), col("__t.b").as("__b"),
+        col("__t.w").as("__w3"))
+    // the one corpus-sized aggregation, materialized: the LM table
+    val c3 = tris.groupBy(col("__a"), col("__b"), col("__w3"))
+      .agg(count(lit(1)).as("__c3"))
+      .localCheckpoint(true)
+    val cc2 = c3.groupBy(col("__a"), col("__b")).agg(sum(col("__c3")).as("__cc2"))
+    val c2 = c3.groupBy(col("__b"), col("__w3")).agg(sum(col("__c3")).as("__c2"))
+    val cc1 = c3.groupBy(col("__b")).agg(sum(col("__c3")).as("__cc1"))
+    val uniC = c3.groupBy(col("__w3")).agg(sum(col("__c3")).as("__cu"))
+    val tot = uniC.agg(sum(col("__cu")).as("__tot"))
+    def bu(df: DataFrame) = if (broadcastUnigram) broadcast(df) else df
+    // score per DISTINCT triple — all joins here are table-vs-table,
+    // none touches the corpus-sized tris
+    val scored = c3
+      .join(cc2, Seq("__a", "__b"))
+      .join(c2, Seq("__b", "__w3"))
+      .join(cc1, Seq("__b"))
+      .join(bu(uniC), Seq("__w3"))
+      .crossJoin(broadcast(tot))
+      .select(col("__a"), col("__b"), col("__w3"), (-log(
+        lit(l3) * col("__c3").cast("double") / col("__cc2") +
+          lit(l2) * col("__c2").cast("double") / col("__cc1") +
+          lit(l1) * col("__cu").cast("double") / col("__tot"))).as("__nll"))
+    tris
+      .join(scored, Seq("__a", "__b", "__w3"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__nll")).as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("avg_nll"))
+  }
+
   /** PII redaction for training corpora: replace emails, SSNs,
     * international-format phone numbers, and IPv4 addresses with
     * typed placeholder tokens. Regex-subset chosen so Java regex

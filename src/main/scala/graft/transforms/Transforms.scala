@@ -170,6 +170,14 @@ object Transforms {
       graft.ops.TextAnalysis.bigramNll(df, cfg.reqStr("id_field"),
         cfg.str("text_field").getOrElse("text"),
         lambda = cfg.double("lambda").getOrElse(0.7))
+    // order-3: BOS-padded uniform positions, λ₃/λ₂/λ₁ interpolation
+    case "text_trigram_ppx" =>
+      val cfg = t.config
+      graft.ops.TextAnalysis.trigramNll(df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"),
+        l3 = cfg.double("l3").getOrElse(0.5),
+        l2 = cfg.double("l2").getOrElse(0.3),
+        l1 = cfg.double("l1").getOrElse(0.2))
     // check the stream (a new ingest batch) against a PERSISTED
     // signature index; `against` names the corpus source whose text
     // the exact-Jaccard verify point-reads for candidates
@@ -386,7 +394,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
-    "text_bigram_ppx", "pca_whiten",
+    "text_bigram_ppx", "text_trigram_ppx", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",

@@ -244,6 +244,26 @@ class OpsSpec extends SparkSuite {
     assert(nll(1L)._2 == nll(3L)._2) // identical docs, identical score
   }
 
+  test("trigram LM: BOS padding scores every token; interpolation is exact") {
+    // single doc "x y": positions (<s>,<s>)->x and (<s>,x)->y; every count
+    // table entry is 1, unigrams are 1/2 each, so each position scores
+    // -ln(0.5*1 + 0.3*1 + 0.2*0.5) = -ln(0.9)
+    val tiny = Seq((1L, "x y")).toDF("doc_id", "text")
+    val one = graft.ops.TextAnalysis.trigramNll(tiny, "doc_id", "text").collect()
+    assert(one.length == 1)
+    assert(one(0).getLong(1) == 2L) // both real tokens scored
+    assert(math.abs(one(0).getDouble(2) - -math.log(0.9)) < 1e-12)
+
+    val corpus = Seq(
+      (1L, "the cat sat down"), (2L, "the cat sat down"), (3L, "the cat sat down"),
+      (4L, "down sat cat the")).toDF("doc_id", "text")
+    val nll = graft.ops.TextAnalysis.trigramNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(nll.values.map(_._1).toSeq.sorted == Seq(4L, 4L, 4L, 4L)) // no drops
+    assert(nll(4L)._2 > nll(1L)._2) // reversed word order = unseen trigram contexts
+    assert(nll(1L)._2 == nll(2L)._2) // identical docs, identical score
+  }
+
   test("unigram LM: rare tokens raise a document's mean negative log-likelihood") {
     val corpus = Seq(
       (1L, "common common common common"),

@@ -452,6 +452,20 @@ class TransformsSpec extends SparkSuite {
     assert(out(1L) < out(99L), s"common-phrase doc should score lower NLL: $out")
   }
 
+  test("text_trigram_ppx spec op: custom lambdas thread through; weights must sum to 1") {
+    val docs = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps")) :+
+      (99L, "zyx wvu tsr qpo nml")
+    val df = docs.toDF("doc_id", "text")
+    val out = Transforms(df, graft.spec.TransformSpec("t", "text_trigram_ppx",
+      Config.of("id_field" -> "doc_id", "l3" -> 0.6, "l2" -> 0.3, "l1" -> 0.1)), Map.empty)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(99L), s"common-phrase doc should score lower NLL: $out")
+    intercept[IllegalArgumentException] {
+      Transforms(df, graft.spec.TransformSpec("t", "text_trigram_ppx",
+        Config.of("id_field" -> "doc_id", "l3" -> 0.9)), Map.empty)
+    }
+  }
+
   test("ann_topk spec op: index_path reopens a persisted index instead of re-clustering") {
     val rnd = new scala.util.Random(19)
     val vecs = Seq.tabulate(80)(i =>
