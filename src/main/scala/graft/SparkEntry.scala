@@ -657,6 +657,11 @@ object SparkEntry {
     "x_text_bigram_ppx" -> ((s, d) =>
       TextAnalysis.bigramNll(docs(s, d), "doc_id", "text")
         .withColumn("avg_nll", round(col("avg_nll"), 6))),
+    // closed-form NB classifier: the oracle rebuilds priors, the dense
+    // smoothed |V|×C model, and every per-(doc, class) log-posterior
+    "x_text_nb_classify" -> ((s, d) =>
+      TextAnalysis.nbScores(docs(s, d), "doc_id", "lang", "text")
+        .withColumn("log_post", round(col("log_post"), 6))),
     // order-3 rung: BOS-padded uniform scoring positions, one formula
     // for every token — the oracle rebuilds all four count tables and
     // replays the interpolation exactly
@@ -1995,6 +2000,30 @@ object SparkEntry {
       allscores AS (SELECT * FROM first_s UNION ALL SELECT * FROM pair_s)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(nll), 6) AS avg_nll
       FROM allscores GROUP BY doc_id""",
+
+    "x_text_nb_classify" -> """
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+        FROM documents),
+      pri AS (SELECT lang AS cls, count(*) AS nd FROM documents GROUP BY lang),
+      nd AS (SELECT sum(nd) AS n FROM pri),
+      cnt AS (SELECT t, lang AS cls, count(*) AS c FROM toks GROUP BY t, lang),
+      tc AS (SELECT cls, sum(c) AS s FROM cnt GROUP BY cls),
+      v AS (SELECT count(DISTINCT t) AS v FROM toks),
+      model AS (
+        SELECT vt.t, p.cls, ln((coalesce(c.c, 0) + 1.0) / (tc.s + 1.0 * v.v)) AS lp
+        FROM (SELECT DISTINCT t FROM toks) vt
+        CROSS JOIN pri p
+        LEFT JOIN cnt c ON c.t = vt.t AND c.cls = p.cls
+        JOIN tc ON tc.cls = p.cls, v),
+      s AS (
+        SELECT toks.doc_id, m.cls, sum(m.lp) AS ll
+        FROM toks JOIN model m ON toks.t = m.t
+        GROUP BY toks.doc_id, m.cls)
+      SELECT s.doc_id, s.cls AS class,
+             round(s.ll + ln(CAST(p.nd AS DOUBLE) / nd.n), 6) AS log_post
+      FROM s JOIN pri p ON s.cls = p.cls, nd""",
 
     "x_text_trigram_ppx" -> """
       WITH toks AS MATERIALIZED (

@@ -393,6 +393,73 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_tokens"), col("avg_nll"))
   }
 
+  /** Multinomial Naive Bayes text classifier — the cheap trainable
+    * quality/domain/language classifier step of a corpus pipeline
+    * (FineWeb-style pipelines run a linear classifier over every
+    * document; NB is the closed-form member of that family, so train
+    * AND score replay exactly in SQL with no iterative fitting).
+    *
+    * Returns the full per-document score matrix (idCol, class,
+    * log_post) — one row per document × class, log-posterior
+    * log p(c) + Σ_tokens log p(t|c) with Laplace smoothing α over the
+    * corpus vocabulary: p(t|c) = (count(t,c)+α)/(tokens(c)+α|V|).
+    * Emitting the matrix rather than an argmax keeps the contract
+    * float-tie-free; [[nbPredict]] layers a deterministic argmax on
+    * top. Documents with zero tokens produce no rows (nothing to
+    * condition on).
+    *
+    * Scale shape: the model is |V|×C rows — vocabulary-bounded
+    * (Heaps' law) × a handful of classes — built from one corpus-pass
+    * token-class count and broadcast by default; the scoring side
+    * explodes to tokens, hash-joins the broadcast model, and shuffles
+    * once for the per-(doc, class) sum. Priors/class-totals/|V| are
+    * C-row or 1-row frames, always broadcast.
+    */
+  def nbScores(docs: DataFrame, idCol: String, labelCol: String, textCol: String,
+      alpha: Double = 1.0, broadcastModel: Boolean = true): DataFrame = {
+    require(alpha > 0, s"nbScores: smoothing alpha=$alpha must be > 0")
+    val toks = Partitioning.fanOut(docs)
+      .select(col(idCol).as("__id"), col(labelCol).as("__y"),
+        explode(tokens(col(textCol))).as("__t"))
+    val priors = docs.groupBy(col(labelCol).as("__cls")).agg(count(lit(1)).as("__nd"))
+    val ndocs = priors.agg(sum(col("__nd")).as("__n"))
+    val cnt = toks.groupBy(col("__t"), col("__y").as("__cls"))
+      .agg(count(lit(1)).as("__cnt"))
+    val totc = cnt.groupBy(col("__cls")).agg(sum(col("__cnt")).as("__tc"))
+    val vocabN = cnt.agg(countDistinct(col("__t")).as("__v"))
+    // dense |V|×C model: unseen (token, class) pairs still get the
+    // smoothed floor, exactly as the closed-form NB defines them
+    val model = cnt.select(col("__t")).distinct()
+      .crossJoin(broadcast(priors.select(col("__cls"))))
+      .join(cnt, Seq("__t", "__cls"), "left")
+      .na.fill(0L, Seq("__cnt"))
+      .join(broadcast(totc), Seq("__cls"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("__t"), col("__cls"),
+        log((col("__cnt").cast("double") + lit(alpha)) /
+          (col("__tc").cast("double") + lit(alpha) * col("__v"))).as("__lp"))
+    def bm(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val lpri = priors.crossJoin(broadcast(ndocs))
+      .select(col("__cls"), log(col("__nd").cast("double") / col("__n")).as("__lpri"))
+    toks.join(bm(model), Seq("__t"))
+      .groupBy(col("__id"), col("__cls"))
+      .agg(sum(col("__lp")).as("__ll"))
+      .join(broadcast(lpri), Seq("__cls"))
+      .select(col("__id").as(idCol), col("__cls").as("class"),
+        (col("__ll") + col("__lpri")).as("log_post"))
+  }
+
+  /** Deterministic argmax over [[nbScores]]: highest log-posterior
+    * wins, exact float ties break toward the lexicographically LAST
+    * class name (max of a (score, class) struct — order-independent,
+    * no Window, one hash aggregate).
+    */
+  def nbPredict(scores: DataFrame, idCol: String): DataFrame =
+    scores.groupBy(col(idCol))
+      .agg(max(struct(col("log_post"), col("class"))).as("__m"))
+      .select(col(idCol), col("__m.class").as("predicted"),
+        col("__m.log_post").as("log_post"))
+
   /** PII redaction for training corpora: replace emails, SSNs,
     * international-format phone numbers, and IPv4 addresses with
     * typed placeholder tokens. Regex-subset chosen so Java regex

@@ -170,6 +170,16 @@ object Transforms {
       graft.ops.TextAnalysis.bigramNll(df, cfg.reqStr("id_field"),
         cfg.str("text_field").getOrElse("text"),
         lambda = cfg.double("lambda").getOrElse(0.7))
+    // closed-form NB classifier: full score matrix, or argmax rows
+    // when predict=true
+    case "nb_classify" =>
+      val cfg = t.config
+      val scores = graft.ops.TextAnalysis.nbScores(df, cfg.reqStr("id_field"),
+        cfg.reqStr("label_field"), cfg.str("text_field").getOrElse("text"),
+        alpha = cfg.double("alpha").getOrElse(1.0))
+      if (cfg.bool("predict").getOrElse(false))
+        graft.ops.TextAnalysis.nbPredict(scores, cfg.reqStr("id_field"))
+      else scores
     // order-3: BOS-padded uniform positions, λ₃/λ₂/λ₁ interpolation
     case "text_trigram_ppx" =>
       val cfg = t.config
@@ -394,7 +404,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
-    "text_bigram_ppx", "text_trigram_ppx", "pca_whiten",
+    "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",

@@ -264,6 +264,33 @@ class OpsSpec extends SparkSuite {
     assert(nll(1L)._2 == nll(2L)._2) // identical docs, identical score
   }
 
+  test("naive Bayes: hand-computed smoothed posteriors; deterministic argmax") {
+    // V={x,y}, priors 1/2 each; counts: (x|a)=2, (y|b)=1
+    // lp(x|a)=ln(3/4) lp(y|a)=ln(1/4) lp(x|b)=ln(1/3) lp(y|b)=ln(2/3)
+    val docs = Seq((1L, "a", "x x"), (2L, "b", "y")).toDF("doc_id", "lab", "text")
+    val s = graft.ops.TextAnalysis.nbScores(docs, "doc_id", "lab", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(s.size == 4) // 2 docs x 2 classes
+    val h = math.log(0.5)
+    assert(math.abs(s((1L, "a")) - (h + 2 * math.log(0.75))) < 1e-12)
+    assert(math.abs(s((1L, "b")) - (h + 2 * math.log(1.0 / 3))) < 1e-12)
+    assert(math.abs(s((2L, "a")) - (h + math.log(0.25))) < 1e-12)
+    assert(math.abs(s((2L, "b")) - (h + math.log(2.0 / 3))) < 1e-12)
+
+    val pred = graft.ops.TextAnalysis.nbPredict(
+      graft.ops.TextAnalysis.nbScores(docs, "doc_id", "lab", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "a", 2L -> "b")) // each doc recovers its class
+
+    // exact tie: doc from an unseen-token-free symmetric setup — both
+    // classes score identically, argmax must pick the LAST class name
+    val tied = Seq((1L, "a", "x"), (2L, "b", "x")).toDF("doc_id", "lab", "text")
+    val tp = graft.ops.TextAnalysis.nbPredict(
+      graft.ops.TextAnalysis.nbScores(tied, "doc_id", "lab", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tp == Map(1L -> "b", 2L -> "b"))
+  }
+
   test("unigram LM: rare tokens raise a document's mean negative log-likelihood") {
     val corpus = Seq(
       (1L, "common common common common"),
