@@ -597,6 +597,12 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), raw.as("url"),
         TextAnalysis.normalizeUrl(raw).as("url_norm"))
     }),
+    // reproducible training-order shuffle: md5-of-key order into 8
+    // shards; the oracle recomputes the 16-bit md5-prefix shard
+    // assignment per character and replays the within-shard rank
+    "x_shuffle_shards" -> ((s, d) =>
+      graft.ops.Packing.shuffleShards(docs(s, d), "doc_id", nShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))),
     // Sequence packing (sample packing): greedy fixed-capacity fold in
     // doc_id order per source shard; the oracle replays the exact fold
     // with a recursive CTE, so every bin boundary is value-checked
@@ -1828,6 +1834,21 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    "x_shuffle_shards" -> """
+      WITH h AS (
+        SELECT doc_id, md5(concat('42', ':', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents),
+      s AS (
+        SELECT doc_id, h, CAST((
+            (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+            (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+            (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8 AS INTEGER) AS shard
+        FROM h)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM s""",
 
     "x_pack_sequences" -> """
       WITH RECURSIVE toks AS (

@@ -99,4 +99,40 @@ object Packing {
       }
       .toDF(groupCol, idCol, "n_tokens", "bin")
   }
+
+  /** Deterministic global training-order shuffle into shards — the
+    * step between curation and packing: training wants documents in a
+    * random-looking order that is nevertheless REPRODUCIBLE (same
+    * epoch on any engine, any layout, any re-run; public practice in
+    * every open training stack's data loader).
+    *
+    * Mechanism, chosen to replay exactly in plain SQL on any engine:
+    * h = md5(seed ":" key); shard = (first 16 bits of h) mod nShards;
+    * pos = rank of h (ties by key) within the shard. md5-of-key is the
+    * same cross-engine order [[graft.transforms.TokenBudgetOp]] and
+    * [[BottomKSample]] already rely on — no engine-specific hash in
+    * the contract.
+    *
+    * Scale shape: the shard is the parallelism unit. Shard assignment
+    * is scan-local; the only shuffle is the per-shard Window sort, and
+    * a shard is bounded by construction (at 100 TB you pick nShards so
+    * a shard ≈ one training file — the same knob production data
+    * loaders expose; a global ORDER BY would instead range-sample and
+    * give a layout-dependent order). Emits `shard` and `pos`
+    * alongside the original columns; writers `partitionBy("shard")`
+    * to get one ordered file per shard.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long = 0L): DataFrame = {
+    require(nShards > 0, s"shuffleShards: nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(seed.toString), lit(":"), col(keyCol).cast("string")))
+    // first 4 hex chars as an int: conv() mirrors the oracle's
+    // per-character arithmetic (both are "the 16-bit prefix of h")
+    val shard = (conv(substring(h, 1, 4), 16, 10).cast("long") % nShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

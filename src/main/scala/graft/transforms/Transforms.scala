@@ -214,6 +214,14 @@ object Transforms {
       }
       pack(df, cfg.reqStr("id_field"), cfg.reqStr("group_field"),
         cfg.str("text_field").getOrElse("text"), capacity)
+    // reproducible training-order shuffle: md5-of-key order into
+    // nShards, position within shard — same epoch on any engine
+    case "shuffle_shards" =>
+      val cfg = t.config
+      graft.ops.Packing.shuffleShards(df, cfg.reqStr("key"),
+        cfg.int("n_shards").getOrElse(
+          throw new GraftAnalysisException("shuffle_shards: 'n_shards' is required")),
+        seed = cfg.long("seed").getOrElse(0L))
     case "bpe_tokens" =>
       val cfg = t.config
       val tf = cfg.str("text_field").getOrElse("text")
@@ -405,7 +413,8 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
-    "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "dedup_index_check",
+    "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
     "connected_components", "dedup_cluster")

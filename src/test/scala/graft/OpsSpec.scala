@@ -570,6 +570,25 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("shuffle shards: deterministic across runs, dense per-shard positions, seed changes order") {
+    val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(seed: Long) = graft.ops.Packing.shuffleShards(df, "doc_id", nShards = 4, seed = seed)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val a = run(7L); val b = run(7L)
+    assert(a.sameElements(b)) // reproducible epoch
+    assert(a.map(_._2).forall(s => s >= 0 && s < 4))
+    // positions are 1..n within each shard, no gaps or dups
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    val c = run(8L)
+    assert(!a.sameElements(c)) // a different seed is a different epoch
+    // original columns survive alongside shard/pos
+    val cols = graft.ops.Packing.shuffleShards(df, "doc_id", 4).columns.toSeq
+    assert(cols == Seq("doc_id", "text", "shard", "pos"))
+  }
+
   test("pii redaction: emails, ssn, phones, ips replaced in rule order") {
     val in = "mail a.b+c@ex-ample.co.uk, ssn 123-45-6789, call +4915123456789, " +
       "host 192.168.0.1 but not 1.2.3.4.5 fully and not v1.2 at all"
