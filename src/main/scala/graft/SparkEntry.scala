@@ -697,6 +697,29 @@ object SparkEntry {
     // ==== extensions: deduplication family ====
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exactByFingerprint(t(s, d, "documents"), "text", "doc_id")),
+    // corpus-level line dedup: the corpus has no newlines, so the gate
+    // synthesizes multi-line docs (6-word chunks) and plants two
+    // boilerplate lines on doc_id strides; dedupLines must strip every
+    // planted occurrence (df 167/125 >= 100 at sf0.01) and leave the
+    // chunked body intact. The oracle replays chunking, planting,
+    // distinct-doc line counts, and indexed rebuild.
+    "x_dedup_lines" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val chunks = transform(
+        sequence(lit(0), ceil(size(toks) / lit(6.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * 6 + 1, lit(6))))
+      val noLine = array().cast("array<string>")
+      val lined = concat_ws("\n", concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          array(lit("subscribe to our newsletter today"))).otherwise(noLine),
+        chunks,
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          array(lit("all rights reserved"))).otherwise(noLine)))
+      Dedup.dedupLines(
+          t(s, d, "documents").select(col("doc_id"), lined.as("text")),
+          "doc_id", "text", minDf = 100)
+        .select(col("doc_id"), col("text"), col("n_lines_removed"))
+    }),
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)),
     // near-dup pairs -> transitive clusters (large-star/small-star);
@@ -2114,6 +2137,38 @@ object SparkEntry {
           PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
           ORDER BY doc_id) AS __rn
         FROM documents) WHERE __rn = 1""",
+    "x_dedup_lines" -> """
+      WITH lined AS (
+        SELECT doc_id, array_to_string(
+          list_concat(list_concat(
+            CASE WHEN doc_id % 3 = 0 THEN ['subscribe to our newsletter today']
+                 ELSE [] END,
+            list_transform(
+              generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT) - 1),
+              i -> array_to_string(string_split(text, ' ')[i*6+1:i*6+6], ' '))),
+            CASE WHEN doc_id % 4 = 0 THEN ['all rights reserved'] ELSE [] END),
+          chr(10)) AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id, i - 1 AS pos, md5(trim(l)) AS dg
+        FROM (SELECT doc_id,
+                unnest(string_split(text, chr(10))) AS l,
+                generate_subscripts(string_split(text, chr(10)), 1) AS i
+              FROM lined)
+        WHERE trim(l) <> ''),
+      frequent AS (
+        SELECT dg FROM lines GROUP BY dg HAVING count(DISTINCT doc_id) >= 100),
+      removals AS (
+        SELECT doc_id, list(pos) AS rm, count(*) AS n_rm
+        FROM lines WHERE dg IN (SELECT dg FROM frequent) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CASE WHEN r.rm IS NULL THEN d.text ELSE (
+          SELECT coalesce(string_agg(l, chr(10) ORDER BY i), '')
+          FROM (SELECT unnest(string_split(d.text, chr(10))) AS l,
+                       generate_subscripts(string_split(d.text, chr(10)), 1) AS i)
+          WHERE NOT list_contains(r.rm, i - 1)) END AS text,
+        coalesce(r.n_rm, 0) AS n_lines_removed
+      FROM lined d LEFT JOIN removals r USING (doc_id)""",
     // Oracle brute-forces all pairs (fine at oracle scale); the Spark
     // side uses MinHash-LSH candidates + exact verify. Recall at the
     // 0.7 threshold with 16 bands × 4 rows is 1 - (1-j^4)^16 ≥ 0.988,

@@ -62,6 +62,45 @@ object Dedup {
   private def nullSafeCond(cols: Seq[String]): Column =
     cols.map(n => col(n) <=> col(s"__m_$n")).reduce(_ && _)
 
+  /** Corpus-level LINE dedup — the C4/RefinedWeb boilerplate-removal
+    * move: delete every occurrence of any line whose trimmed form
+    * appears in at least `minDf` DISTINCT documents (nav bars, cookie
+    * banners, "all rights reserved" footers). Documents shrink; none
+    * are dropped. Blank/whitespace-only lines are neither counted nor
+    * removed. Emits `n_lines_removed` alongside the rewritten text.
+    *
+    * Scale shape: line frequencies travel as (id, pos, 16-byte digest)
+    * — document bodies are never exploded into the shuffle. The
+    * frequent-digest set is bounded (≤ corpus lines / minDf); the
+    * per-doc removal lists cover only affected documents, so the final
+    * left join is a candidate for AQE broadcast, and degrades to a
+    * plain shuffle join on the id when boilerplate is pervasive — the
+    * one unavoidable doc-body shuffle in any rewrite. Rebuild is
+    * scan-local: an indexed array filter over split(text), no
+    * re-sort of line fragments.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"dedupLines: minDf must be >= 2, got $minDf")
+    val lines = Partitioning.fanOut(df)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      .filter(trim(col("__line")) =!= "")
+      .select(col("__id"), col("__pos"), md5(trim(col("__line"))).as("__dg"))
+    val frequent = lines.groupBy(col("__dg"))
+      .agg(count_distinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__dg"))
+    val removals = lines.join(frequent, "__dg")
+      .groupBy(col("__id")).agg(collect_set(col("__pos")).as("__rm"))
+    val rebuilt = when(col("__rm").isNull, col(textCol)).otherwise(
+      concat_ws("\n",
+        filter(split(col(textCol), "\n", -1), (_, i) => !array_contains(col("__rm"), i))))
+    df.join(removals, col(idCol) === col("__id"), "left")
+      .withColumn(textCol, rebuilt)
+      .withColumn("n_lines_removed", coalesce(size(col("__rm")), lit(0)).cast("long"))
+      .drop("__id", "__rm")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic MinHash parameters: h_i(x) = (a_i·x + b_i) mod p

@@ -214,6 +214,14 @@ object Transforms {
       }
       pack(df, cfg.reqStr("id_field"), cfg.reqStr("group_field"),
         cfg.str("text_field").getOrElse("text"), capacity)
+    // corpus-level line dedup: strip lines appearing in >= min_df
+    // distinct documents (C4/RefinedWeb boilerplate removal)
+    case "dedup_lines" =>
+      val cfg = t.config
+      graft.ops.Dedup.dedupLines(df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"),
+        cfg.int("min_df").getOrElse(
+          throw new GraftAnalysisException("dedup_lines: 'min_df' is required")))
     // reproducible training-order shuffle: md5-of-key order into
     // nShards, position within shard — same epoch on any engine
     case "shuffle_shards" =>
@@ -414,7 +422,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "dedup_index_check",
+    "dedup_lines", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
     "connected_components", "dedup_cluster")

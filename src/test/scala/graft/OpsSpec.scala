@@ -570,6 +570,28 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("line dedup: strips frequent lines everywhere, keeps order, ignores blanks") {
+    val df = Seq(
+      (1L, "alpha beta\nSHARED FOOTER\ngamma"),
+      (2L, "SHARED FOOTER\ndelta"),
+      (3L, "epsilon\n  SHARED FOOTER  \nzeta\n\nSHARED FOOTER"),
+      (4L, "unique only\n\n  "),
+      (5L, "SHARED FOOTER")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dedupLines(df, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // trimmed form appears in docs 1,2,3,5 (df=4 >= 3) -> every
+    // occurrence goes, including the doubled one in doc 3
+    assert(out(1L) == ("alpha beta\ngamma", 1L))
+    assert(out(2L) == ("delta", 1L))
+    assert(out(3L) == ("epsilon\nzeta\n", 2L)) // blank line survives
+    assert(out(4L) == ("unique only\n\n  ", 0L)) // untouched, blanks not counted
+    assert(out(5L) == ("", 1L)) // fully-boilerplate doc -> empty, not dropped
+    // below min_df nothing is removed
+    val none = graft.ops.Dedup.dedupLines(df, "doc_id", "text", minDf = 5)
+      .agg(sum("n_lines_removed")).collect()(0).getLong(0)
+    assert(none == 0L)
+  }
+
   test("shuffle shards: deterministic across runs, dense per-shard positions, seed changes order") {
     val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def run(seed: Long) = graft.ops.Packing.shuffleShards(df, "doc_id", nShards = 4, seed = seed)
