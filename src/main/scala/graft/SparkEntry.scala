@@ -597,6 +597,14 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), raw.as("url"),
         TextAnalysis.normalizeUrl(raw).as("url_norm"))
     }),
+    // DSIR importance weights: target = the English slice, source =
+    // the whole corpus; 256 hashed-n-gram buckets so the oracle can
+    // replay the 16-bit md5-prefix bucketing per character
+    "x_dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.dsirLogWeights(all, "doc_id", "text",
+        all.filter(col("lang") === "en"), "text", buckets = 256, alpha = 1.0)
+    }),
     // reproducible training-order shuffle: md5-of-key order into 8
     // shards; the oracle recomputes the 16-bit md5-prefix shard
     // assignment per character and replays the within-shard rank
@@ -1857,6 +1865,36 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    "x_dsir_weights" -> """
+      WITH tk AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents),
+      feats AS (
+        SELECT doc_id, lang, unnest(list_concat(toks,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+          ELSE [] END)) AS f
+        FROM tk),
+      fb AS (
+        SELECT doc_id, lang, CAST((
+            (strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096 +
+            (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256 +
+            (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substr(md5(f), 4, 1)) - 1)) % 256 AS INTEGER) AS b
+        FROM feats),
+      dense AS (SELECT unnest(generate_series(0, 255)) AS b),
+      tcnt AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY b),
+      scnt AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+      ratio AS (
+        SELECT d.b,
+          ln((coalesce(tc.c, 0) + 1.0) / ((SELECT sum(c) FROM tcnt) + 256.0)) -
+          ln((coalesce(sc.c, 0) + 1.0) / ((SELECT sum(c) FROM scnt) + 256.0)) AS r
+        FROM dense d LEFT JOIN tcnt tc USING (b) LEFT JOIN scnt sc USING (b))
+      SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(r.r) AS log_weight
+      FROM fb JOIN ratio r USING (b)
+      GROUP BY fb.doc_id""",
 
     "x_shuffle_shards" -> """
       WITH h AS (

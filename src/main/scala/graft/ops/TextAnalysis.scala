@@ -460,6 +460,89 @@ object TextAnalysis {
       .select(col(idCol), col("__m.class").as("predicted"),
         col("__m.log_post").as("log_post"))
 
+  /** Hashed n-gram features for importance weighting — the DSIR
+    * recipe (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): unigrams + word bigrams hashed into
+    * `buckets` counts. The bucket is the 16-bit md5 prefix mod
+    * `buckets` — the same cross-engine hash contract as
+    * [[graft.ops.Packing.shuffleShards]], so feature vectors replay
+    * exactly in plain SQL (requires buckets <= 65536).
+    *
+    * `df` must already carry a tokens array column `toksCol`
+    * (higher-order functions get no common-subexpression elimination,
+    * so the tokenize pass is materialized once by the caller — the
+    * [[shingleHashes]] lesson).
+    */
+  private def dsirBuckets(df: DataFrame, toksCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"dsir: buckets must be in [1, 65536], got $buckets")
+    val toks = col(toksCol)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col("*"), explode(concat(toks, bigrams)).as("__f"))
+      .withColumn("__b",
+        (conv(substring(md5(col("__f")), 1, 4), 16, 10).cast("long") % buckets).cast("int"))
+      .drop("__f")
+  }
+
+  /** Per-bucket smoothed log-probabilities of a corpus's hashed-n-gram
+    * distribution: log((c_b + alpha) / (total + alpha*B)) over a DENSE
+    * bucket range (zero-count buckets included, so downstream ratios
+    * are total functions). One explode + one hash aggregate over the
+    * corpus; the result is `buckets` rows — broadcast-sized by
+    * construction.
+    */
+  def dsirBucketLogProbs(corpus: DataFrame, textCol: String,
+      buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"dsir: alpha must be positive, got $alpha")
+    val toked = Partitioning.fanOut(corpus)
+      .select(tokens(col(textCol)).as("__toks"))
+    val cnt = dsirBuckets(toked, "__toks", buckets)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val dense = corpus.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("__b"))
+      .join(cnt, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = dense.agg(sum(col("__c")).as("__t"))
+    dense.crossJoin(broadcast(tot))
+      .select(col("__b").as("bucket"),
+        log((col("__c").cast("double") + lit(alpha)) /
+            (col("__t").cast("double") + lit(alpha * buckets))).as("logp"))
+  }
+
+  /** DSIR importance log-weights: score every document by
+    * log p_target(x) - log p_source(x) under hashed-n-gram bag
+    * models of a target corpus (the domain you want more of) and the
+    * source corpus (what you have). Rank by `log_weight` and keep the
+    * top slice — the published cheap alternative to training a
+    * domain classifier.
+    *
+    * Scale shape: two corpus scans build two `buckets`-row tables;
+    * their log-ratio broadcasts; scoring is explode → broadcast join →
+    * per-doc sum — identical cost class to [[unigramNll]]. Documents
+    * with zero features (no alphanumeric tokens) are absent from the
+    * result by contract.
+    */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    val lt = dsirBucketLogProbs(target, targetTextCol, buckets, alpha)
+      .select(col("bucket"), col("logp").as("__lt"))
+    val ls = dsirBucketLogProbs(docs, textCol, buckets, alpha)
+      .select(col("bucket"), col("logp").as("__ls"))
+    val ratio = broadcast(lt.join(ls, Seq("bucket"))
+      .select(col("bucket").as("__b"), (col("__lt") - col("__ls")).as("__r")))
+    val toked = Partitioning.fanOut(docs)
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+    dsirBuckets(toked, "__toks", buckets)
+      .join(ratio, Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__r")).as("log_weight"))
+      .select(col("__id").as(idCol), col("n_feats"), col("log_weight"))
+  }
+
   /** PII redaction for training corpora: replace emails, SSNs,
     * international-format phone numbers, and IPv4 addresses with
     * typed placeholder tokens. Regex-subset chosen so Java regex

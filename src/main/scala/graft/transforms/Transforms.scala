@@ -214,6 +214,18 @@ object Transforms {
       }
       pack(df, cfg.reqStr("id_field"), cfg.reqStr("group_field"),
         cfg.str("text_field").getOrElse("text"), capacity)
+    // DSIR importance weights: log p_target/p_source under hashed
+    // n-gram bag models; `target` names the target-domain source
+    case "dsir_weights" =>
+      val cfg = t.config
+      val tName = cfg.reqStr("target")
+      val target = ctx.getOrElse(tName,
+        throw new GraftAnalysisException(s"dsir_weights: unknown source '$tName'"))
+      graft.ops.TextAnalysis.dsirLogWeights(df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"),
+        target, cfg.str("target_text_field").getOrElse("text"),
+        buckets = cfg.int("buckets").getOrElse(4096),
+        alpha = cfg.double("alpha").getOrElse(1.0))
     // corpus-level line dedup: strip lines appearing in >= min_df
     // distinct documents (C4/RefinedWeb boilerplate removal)
     case "dedup_lines" =>
@@ -422,7 +434,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "dedup_lines", "dedup_index_check",
+    "dedup_lines", "dsir_weights", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
     "connected_components", "dedup_cluster")

@@ -570,6 +570,37 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("dsir weights: target-like docs score higher, hand-checked two-bucket model") {
+    // target speaks only of "cats", source is an even cat/dog mix:
+    // docs full of cat n-grams must outscore dog docs
+    val source = Seq(
+      (1L, "cat cat cat cat"), (2L, "cat cat cat cat"),
+      (3L, "dog dog dog dog"), (4L, "dog dog dog dog")).toDF("doc_id", "text")
+    val target = Seq((10L, "cat cat cat cat")).toDF("doc_id", "text")
+    val w = graft.ops.TextAnalysis.dsirLogWeights(source, "doc_id", "text",
+        target, "text", buckets = 64, alpha = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L))
+    assert(w(1L)._1 == 7L) // 4 unigrams + 3 bigrams
+    assert(w(1L)._2 == w(2L)._2 && w(3L)._2 == w(4L)._2)
+    // absolute sign is smoothing-dominated at toy scale; the contract
+    // is the ORDERING: target-like docs outscore off-target docs
+    assert(w(1L)._2 > w(3L)._2)
+    // replay doc 1 against the exact smoothed model: features hash to
+    // one bucket per n-gram kind ("cat" / "cat cat"); target has the
+    // same 7 features, source has 28 total
+    val probs = graft.ops.TextAnalysis.dsirBucketLogProbs(target, "text", 64, 1.0)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(probs.size == 64)
+    val expTop = math.log(5.0 / (7 + 64)) // 4 "cat" unigrams + smoothing
+    assert(math.abs(probs.values.max - expTop) < 1e-12)
+    // docs with no alphanumeric tokens are absent by contract
+    val empty = Seq((9L, "!!!")).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.dsirLogWeights(
+      source.union(empty), "doc_id", "text", target, "text", 64, 1.0)
+      .filter(col("doc_id") === 9L).count() == 0)
+  }
+
   test("line dedup: strips frequent lines everywhere, keeps order, ignores blanks") {
     val df = Seq(
       (1L, "alpha beta\nSHARED FOOTER\ngamma"),
