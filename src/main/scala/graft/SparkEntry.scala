@@ -597,6 +597,34 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), raw.as("url"),
         TextAnalysis.normalizeUrl(raw).as("url_norm"))
     }),
+    // C4 line/page quality filter: the corpus has no newlines or
+    // punctuation, so the gate synthesizes 6-word lines with
+    // stride-planted terminal punctuation and three planted defect
+    // lines (javascript / lorem ipsum / curly brace); the struct's
+    // verdicts and the cleaned text replay exactly in SQL
+    "x_text_c4_filter" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val chunks = transform(
+        sequence(lit(0), ceil(size(toks) / lit(6.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * 6 + 1, lit(6))))
+      val punct = transform(chunks, (c, i) =>
+        concat(c, when(pmod(col("doc_id") + i, lit(2)) === 0, lit(".")).otherwise(lit(""))))
+      val noLine = array().cast("array<string>")
+      val lined = concat_ws("\n", concat(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          array(lit("javascript is required to view this page."))).otherwise(noLine),
+        punct,
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          array(lit("lorem ipsum dolor sit amet."))).otherwise(noLine),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          array(lit("function foo() { return 1; }"))).otherwise(noLine)))
+      docs(s, d).select(col("doc_id"), lined.as("text"))
+        .select(col("doc_id"), TextAnalysis.c4QualityStruct(col("text")).as("c4"))
+        .select(col("doc_id"), col("c4.n_lines").as("n_lines"),
+          col("c4.n_kept").as("n_kept"), col("c4.has_lorem").as("has_lorem"),
+          col("c4.has_brace").as("has_brace"), col("c4.keep").as("keep"),
+          col("c4.text_clean").as("text_clean"))
+    }),
     // DSIR importance weights: target = the English slice, source =
     // the whole corpus; 256 hashed-n-gram buckets so the oracle can
     // replay the 16-bit md5-prefix bucketing per character
@@ -1865,6 +1893,38 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    "x_text_c4_filter" -> """
+      WITH lined AS (
+        SELECT doc_id, array_to_string(
+          list_concat(list_concat(list_concat(
+            CASE WHEN doc_id % 7 = 0 THEN ['javascript is required to view this page.']
+                 ELSE [] END,
+            list_transform(
+              generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT) - 1),
+              i -> array_to_string(string_split(text, ' ')[i*6+1:i*6+6], ' ') ||
+                   CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END)),
+            CASE WHEN doc_id % 11 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+            CASE WHEN doc_id % 13 = 0 THEN ['function foo() { return 1; }'] ELSE [] END),
+          chr(10)) AS text
+        FROM documents),
+      c AS (
+        SELECT doc_id, text,
+          string_split(text, chr(10)) AS lines,
+          list_filter(string_split(text, chr(10)), l ->
+            right(trim(l), 1) IN ('.', '!', '?', '"')
+            AND len(list_filter(string_split_regex(trim(l), '\s+'), w -> w <> '')) >= 5
+            AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        FROM lined)
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{') AS has_brace,
+        (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')) AS keep,
+        coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+      FROM c""",
 
     "x_dsir_weights" -> """
       WITH tk AS (

@@ -460,6 +460,50 @@ object TextAnalysis {
       .select(col(idCol), col("__m.class").as("predicted"),
         col("__m.log_post").as("log_post"))
 
+  /** C4-style quality filtering (Raffel et al. 2019, §2.2) — the
+    * line+page heuristics every web-scale corpus pass applies:
+    *  - keep only lines that end in terminal punctuation (. ! ? "),
+    *    have >= 5 words, and don't mention "javascript";
+    *  - flag pages with fewer than 3 kept lines ("sentences" — we
+    *    count kept lines, a documented simplification of C4's
+    *    sentence splitter), containing "lorem ipsum", or containing
+    *    a curly brace.
+    *
+    * struct(n_lines, n_kept, has_lorem, has_brace, keep, text_clean):
+    * `text_clean` is the kept lines rejoined; `keep` is the page
+    * verdict. Pure scan-local array expressions — a projection at
+    * 100 TB, composable with pushed-down filters; pair with
+    * [[graft.ops.Dedup.dedupLines]] for the full C4 cleanup.
+    */
+  def c4QualityStruct(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        (size(filter(split(t, "\\s+"), w => w =!= lit(""))) >= 5) &&
+        !lower(t).contains("javascript")
+    })
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      ((size(kept) >= 3) && !hasLorem && !hasBrace).as("keep"),
+      concat_ws("\n", kept).as("text_clean"))
+  }
+
+  /** Convenience: apply the C4 verdict — drop rejected pages, replace
+    * `textCol` with the kept lines. */
+  def c4Filter(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = c4QualityStruct(col(textCol))
+    Partitioning.fanOut(df).withColumn("__c4", c)
+      .filter(col("__c4.keep"))
+      .withColumn(textCol, col("__c4.text_clean"))
+      .drop("__c4")
+  }
+
   /** Hashed n-gram features for importance weighting — the DSIR
     * recipe (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): unigrams + word bigrams hashed into

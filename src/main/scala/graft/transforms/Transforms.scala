@@ -214,6 +214,11 @@ object Transforms {
       }
       pack(df, cfg.reqStr("id_field"), cfg.reqStr("group_field"),
         cfg.str("text_field").getOrElse("text"), capacity)
+    // C4 line/page quality filter: drop rejected pages, keep only
+    // terminal-punctuated >=5-word non-javascript lines
+    case "c4_filter" =>
+      graft.ops.TextAnalysis.c4Filter(df,
+        t.config.str("text_field").getOrElse("text"))
     // DSIR importance weights: log p_target/p_source under hashed
     // n-gram bag models; `target` names the target-domain source
     case "dsir_weights" =>
@@ -434,7 +439,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "dedup_lines", "dsir_weights", "dedup_index_check",
+    "dedup_lines", "dsir_weights", "c4_filter", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
     "connected_components", "dedup_cluster")

@@ -570,6 +570,37 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("c4 filter: line rules, page verdicts, cleaned text") {
+    val good = "this line has five good words.\nanother fine sentence right here!\n" +
+      "a third keeper question maybe here?"
+    val df = Seq(
+      (1L, good),                                          // 3 kept -> keep
+      (2L, good + "\nshort line."),                        // <5 words line dropped, page kept
+      (3L, good + "\nenable javascript to continue now."), // js line dropped, page kept
+      (4L, good + "\nlorem ipsum dolor sit amet."),        // page rejected
+      (5L, good + "\ncode { x }"),                         // page rejected
+      (6L, "no punctuation here at all\nstill none"),      // 0 kept -> rejected
+      (7L, "one keeper only in this doc.")                 // 1 kept -> rejected
+    ).toDF("doc_id", "text")
+    val s = df.select(col("doc_id"),
+        graft.ops.TextAnalysis.c4QualityStruct(col("text")).as("c"))
+      .select(col("doc_id"), col("c.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(s(1L).getAs[Boolean]("keep") && s(1L).getAs[Long]("n_kept") == 3L)
+    assert(s(2L).getAs[Boolean]("keep") && s(2L).getAs[Long]("n_kept") == 3L
+      && s(2L).getAs[Long]("n_lines") == 4L)
+    assert(s(3L).getAs[Boolean]("keep") && s(3L).getAs[Long]("n_kept") == 3L)
+    assert(!s(4L).getAs[Boolean]("keep") && s(4L).getAs[Boolean]("has_lorem"))
+    assert(!s(5L).getAs[Boolean]("keep") && s(5L).getAs[Boolean]("has_brace"))
+    assert(!s(6L).getAs[Boolean]("keep") && s(6L).getAs[Long]("n_kept") == 0L)
+    assert(!s(7L).getAs[Boolean]("keep"))
+    assert(s(2L).getAs[String]("text_clean") == good)
+    // the convenience filter drops rejected pages and rewrites text
+    val kept = graft.ops.TextAnalysis.c4Filter(df).collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(kept.forall(_.getString(1) == good))
+  }
+
   test("dsir weights: target-like docs score higher, hand-checked two-bucket model") {
     // target speaks only of "cats", source is an even cat/dog mix:
     // docs full of cat n-grams must outscore dog docs
