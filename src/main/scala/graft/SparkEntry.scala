@@ -633,6 +633,15 @@ object SparkEntry {
       TextAnalysis.dsirLogWeights(all, "doc_id", "text",
         all.filter(col("lang") === "en"), "text", buckets = 256, alpha = 1.0)
     }),
+    // temperature rebalancing at alpha=0.5 over the lang classes
+    // (218/75/73/70/64 at sf0.01): keep rate sqrt(n_min/n_c), accept
+    // iff 48-bit md5 prefix < floor(q*2^48) — sqrt/division are IEEE
+    // correctly-rounded, so the oracle's thresholds are bit-identical
+    "x_temperature_sample" -> ((s, d) =>
+      graft.ops.Packing.temperatureSample(
+          docs(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5, seed = 42L)
+        .select(col("doc_id"), col("lang"))),
     // reproducible training-order shuffle: md5-of-key order into 8
     // shards; the oracle recomputes the 16-bit md5-prefix shard
     // assignment per character and replays the within-shard rank
@@ -1955,6 +1964,18 @@ object SparkEntry {
       SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(r.r) AS log_weight
       FROM fb JOIN ratio r USING (b)
       GROUP BY fb.doc_id""",
+
+    "x_temperature_sample" -> """
+      WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      thr AS (
+        SELECT lang,
+          CAST(floor(sqrt((SELECT min(n) FROM cnt) / CAST(n AS DOUBLE)) *
+                     281474976710656.0) AS BIGINT) AS t
+        FROM cnt)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN thr USING (lang)
+      WHERE ('0x' || substr(md5('42' || ':' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+            < thr.t""",
 
     "x_shuffle_shards" -> """
       WITH h AS (

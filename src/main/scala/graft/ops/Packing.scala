@@ -122,6 +122,45 @@ object Packing {
     * alongside the original columns; writers `partitionBy("shard")`
     * to get one ordered file per shard.
     */
+  /** Temperature-based domain rebalancing — the multilingual-corpus
+    * move (XLM-R and successors): resample classes so kept counts
+    * follow n_c^alpha instead of n_c, boosting small domains/languages
+    * without exploding large ones. Keep rate per class
+    * q_c = (n_min / n_c)^(1 - alpha): the smallest class keeps
+    * everything, alpha = 1 keeps everything everywhere, alpha = 0
+    * equalizes expected counts.
+    *
+    * Deterministic and cross-engine-replayable: a row is kept iff the
+    * 48-bit md5(seed:key) prefix < floor(q_c * 2^48). For
+    * alpha = 0.5 (the common choice, and the gate's contract) q_c is
+    * sqrt(n_min/n_c) — IEEE requires correctly-rounded sqrt and
+    * division, so thresholds are bit-identical on any engine; other
+    * alphas go through pow, which carries no such guarantee (last-ulp
+    * differences can flip a row near a threshold — fine for
+    * production sampling, not for a hash-exact oracle).
+    *
+    * Scale shape: one hash-agg builds the per-class count table
+    * (bounded by the number of classes), the rate table broadcasts,
+    * and the keep decision is scan-local. Rows with NULL class are
+    * dropped (no rate to join).
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, classCol: String,
+      alpha: Double = 0.5, seed: Long = 0L): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"temperatureSample: alpha must be in [0,1], got $alpha")
+    val cnt = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val nmin = cnt.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n").cast("double")
+    val q = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1 - alpha))
+    val thr = cnt.crossJoin(broadcast(nmin))
+      .select(col(classCol), floor(q * lit(281474976710656.0)).cast("long").as("__thr"))
+    val u = conv(substring(
+      md5(concat(lit(seed.toString), lit(":"), col(keyCol).cast("string"))), 1, 12),
+      16, 10).cast("long")
+    df.join(broadcast(thr), Seq(classCol))
+      .filter(u < col("__thr"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long = 0L): DataFrame = {
     require(nShards > 0, s"shuffleShards: nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window

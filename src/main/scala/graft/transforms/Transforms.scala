@@ -239,6 +239,13 @@ object Transforms {
         cfg.str("text_field").getOrElse("text"),
         cfg.int("min_df").getOrElse(
           throw new GraftAnalysisException("dedup_lines: 'min_df' is required")))
+    // temperature rebalancing: per-class keep rate (n_min/n_c)^(1-a)
+    case "temperature_sample" =>
+      val cfg = t.config
+      graft.ops.Packing.temperatureSample(df, cfg.reqStr("key"),
+        cfg.reqStr("class_field"),
+        alpha = cfg.double("alpha").getOrElse(0.5),
+        seed = cfg.long("seed").getOrElse(0L))
     // reproducible training-order shuffle: md5-of-key order into
     // nShards, position within shard — same epoch on any engine
     case "shuffle_shards" =>
@@ -439,6 +446,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "temperature_sample",
     "dedup_lines", "dsir_weights", "c4_filter", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",

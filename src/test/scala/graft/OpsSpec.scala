@@ -570,6 +570,26 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("temperature sample: smallest class intact, rates follow sqrt(nmin/nc), deterministic") {
+    // classes: a=400, b=100, c=25 -> q: sqrt(1/16)=0.25, sqrt(1/4)=0.5, 1.0
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 500).map(i => (i.toLong, "b")) ++
+      (501 to 525).map(i => (i.toLong, "c"))).toDF("id", "cls")
+    def run() = graft.ops.Packing.temperatureSample(df, "id", "cls", 0.5, 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val a = run()
+    assert(a.sameElements(run())) // deterministic
+    val byCls = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCls("c") == 25) // q=1 keeps the whole smallest class
+    // md5 prefixes are uniform: expect 100 +- ~4 sd and 50 +- ~3.5 sd
+    assert(byCls("a") > 70 && byCls("a") < 130, s"a=${byCls("a")}")
+    assert(byCls("b") > 30 && byCls("b") < 70, s"b=${byCls("b")}")
+    // alpha=1 is a no-op
+    assert(graft.ops.Packing.temperatureSample(df, "id", "cls", 1.0, 7L).count() == 525)
+    // original column set survives
+    assert(graft.ops.Packing.temperatureSample(df, "id", "cls").columns.toSeq == Seq("id", "cls"))
+  }
+
   test("c4 filter: line rules, page verdicts, cleaned text") {
     val good = "this line has five good words.\nanother fine sentence right here!\n" +
       "a third keeper question maybe here?"
