@@ -742,6 +742,12 @@ object SparkEntry {
     // ==== extensions: deduplication family ====
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exactByFingerprint(t(s, d, "documents"), "text", "doc_id")),
+    // repeated-span dedup: the corpus has natural cross-doc duplicated
+    // 8-grams, so no planting — every non-canonical occurrence of a
+    // repeated 8-token window loses its tokens; oracle replays the
+    // gram digests, canonical row_number pick, and indexed rebuild
+    "x_dedup_spans" -> ((s, d) =>
+      Dedup.dedupSpans(t(s, d, "documents"), "doc_id", "text", k = 8, minCount = 2)),
     // corpus-level line dedup: the corpus has no newlines, so the gate
     // synthesizes multi-line docs (6-word chunks) and plants two
     // boilerplate lines on doc_id strides; dedupLines must strip every
@@ -2256,6 +2262,35 @@ object SparkEntry {
           PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
           ORDER BY doc_id) AS __rn
         FROM documents) WHERE __rn = 1""",
+    "x_dedup_spans" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents),
+      occ AS (
+        SELECT doc_id, i AS pos,
+          md5(array_to_string(toks[i+1:i+8], ' ')) AS dg
+        FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS i
+              FROM tk WHERE len(toks) >= 8)),
+      freq AS (
+        SELECT dg, doc_id AS cid, pos AS cpos FROM (
+          SELECT dg, doc_id, pos,
+                 count(*) OVER (PARTITION BY dg) AS c,
+                 row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn
+          FROM occ) WHERE c >= 2 AND rn = 1),
+      covered AS (
+        SELECT DISTINCT o.doc_id, unnest(generate_series(o.pos, o.pos + 7)) AS cp
+        FROM occ o JOIN freq f USING (dg)
+        WHERE NOT (o.doc_id = f.cid AND o.pos = f.cpos)),
+      rm AS (SELECT doc_id, count(*) AS n_rm FROM covered GROUP BY doc_id)
+      SELECT t.doc_id,
+        coalesce((
+          SELECT string_agg(tok, ' ' ORDER BY j)
+          FROM (SELECT unnest(t.toks) AS tok, generate_subscripts(t.toks, 1) - 1 AS j)
+          WHERE j NOT IN (SELECT cp FROM covered c WHERE c.doc_id = t.doc_id)), '') AS text,
+        coalesce(r.n_rm, 0) AS n_tokens_removed
+      FROM tk t LEFT JOIN rm r USING (doc_id)""",
+
     "x_dedup_lines" -> """
       WITH lined AS (
         SELECT doc_id, array_to_string(

@@ -101,6 +101,56 @@ object Dedup {
       .drop("__id", "__rm")
   }
 
+  /** Repeated-SPAN dedup — the k-gram approximation of exact
+    * substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): any k-token window whose content
+    * occurs at least `minCount` times in the corpus is a duplicated
+    * span; every occurrence except the canonical first (min (doc, pos))
+    * is removed, token-wise. Operates on the normalized token stream
+    * ([[TextAnalysis.tokens]]) — output is the kept tokens rejoined
+    * with single spaces plus `n_tokens_removed`; docs shorter than k
+    * tokens pass through untouched.
+    *
+    * Scale shape: windows shuffle as (id, pos, md5-of-gram) — 32-byte
+    * digests, never token payloads; the frequency+canonical pass is
+    * one hash aggregate keyed by digest (min of a (doc,pos) struct —
+    * no Window); covered positions come back as bounded per-doc
+    * lists and the rebuild is a scan-local indexed array filter.
+    * Total shuffled volume is O(corpus tokens) — the inherent cost of
+    * exact span-level dedup (the suffix-array formulation pays the
+    * same); there is no all-pairs step anywhere.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 2, s"dedupSpans: k must be >= 2, got $k")
+    require(minCount >= 2, s"dedupSpans: minCount must be >= 2, got $minCount")
+    val toked = Partitioning.fanOut(df)
+      .select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val occ = toked
+      .select(col("__id"), explode(when(size(col("__toks")) >= k,
+          transform(sequence(lit(0), size(col("__toks")) - k),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))).as("dg"))))
+        .otherwise(array().cast("array<struct<pos:int,dg:string>>"))).as("__o"))
+      .select(col("__id"), col("__o.pos").as("__pos"), col("__o.dg").as("__dg"))
+    val freq = occ.groupBy(col("__dg"))
+      .agg(count(lit(1)).as("__c"), min(struct(col("__id"), col("__pos"))).as("__canon"))
+      .filter(col("__c") >= minCount)
+      .select(col("__dg"), col("__canon"))
+    val covered = occ.join(freq, Seq("__dg"))
+      .filter(!(col("__id") === col("__canon.__id") && col("__pos") === col("__canon.__pos")))
+      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + k - 1)).as("__cp"))
+      .groupBy(col("__id")).agg(collect_set(col("__cp")).as("__rm"))
+    val kept = when(col("__rm").isNull, col("__toks")).otherwise(
+      filter(col("__toks"), (_, i) => !array_contains(col("__rm"), i)))
+    toked.join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        concat_ws(" ", kept).as(textCol),
+        // |__rm| IS the removed-token count: covered positions are
+        // in-bounds by construction and collect_set dedups overlaps
+        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_tokens_removed"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic MinHash parameters: h_i(x) = (a_i·x + b_i) mod p

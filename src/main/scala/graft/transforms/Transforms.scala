@@ -231,6 +231,14 @@ object Transforms {
         target, cfg.str("target_text_field").getOrElse("text"),
         buckets = cfg.int("buckets").getOrElse(4096),
         alpha = cfg.double("alpha").getOrElse(1.0))
+    // repeated-span dedup: remove non-canonical occurrences of any
+    // k-token window repeated >= min_count times corpus-wide
+    case "dedup_spans" =>
+      val cfg = t.config
+      graft.ops.Dedup.dedupSpans(df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"),
+        k = cfg.int("k").getOrElse(8),
+        minCount = cfg.int("min_count").getOrElse(2))
     // corpus-level line dedup: strip lines appearing in >= min_df
     // distinct documents (C4/RefinedWeb boilerplate removal)
     case "dedup_lines" =>
@@ -447,7 +455,7 @@ object Transforms {
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample",
-    "dedup_lines", "dsir_weights", "c4_filter", "dedup_index_check",
+    "dedup_lines", "dedup_spans", "dsir_weights", "c4_filter", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
     "connected_components", "dedup_cluster")

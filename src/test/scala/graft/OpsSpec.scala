@@ -570,6 +570,35 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("span dedup: canonical occurrence survives, repeats lose tokens, short docs untouched") {
+    val span = "one two three four five six seven eight" // the repeated 8-gram
+    // tails must differ word-wise or the overlapping grams spanning
+    // into them repeat too and correctly widen the removal
+    val df = Seq(
+      (1L, span + " suffix aaa"),          // canonical (min doc, pos 0)
+      (2L, "head " + span + " ending bbb"), // repeat at pos 1 -> 8 tokens removed
+      (3L, span),                          // repeat -> everything removed
+      (4L, "totally different words here"), // short, untouched
+      (5L, "one two three four five")      // <8 tokens, untouched
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dedupSpans(df, "doc_id", "text", k = 8, minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (span + " suffix aaa", 0L))
+    assert(out(2L) == ("head ending bbb", 8L))
+    assert(out(3L) == ("", 8L))
+    assert(out(4L) == ("totally different words here", 0L))
+    assert(out(5L) == ("one two three four five", 0L))
+    // overlapping repeats in ONE doc: 9 tokens = two overlapping
+    // 8-grams; a second doc repeating the first window makes it
+    // frequent; within-doc the canonical keeps its tokens
+    val df2 = Seq(
+      (1L, span + " nine"), (2L, span)).toDF("doc_id", "text")
+    val out2 = graft.ops.Dedup.dedupSpans(df2, "doc_id", "text", 8, 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out2(1L) == (span + " nine", 0L))
+    assert(out2(2L) == ("", 8L))
+  }
+
   test("temperature sample: smallest class intact, rates follow sqrt(nmin/nc), deterministic") {
     // classes: a=400, b=100, c=25 -> q: sqrt(1/16)=0.25, sqrt(1/4)=0.5, 1.0
     val df = ((1 to 400).map(i => (i.toLong, "a")) ++
