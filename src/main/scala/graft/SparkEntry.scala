@@ -633,6 +633,12 @@ object SparkEntry {
       TextAnalysis.dsirLogWeights(all, "doc_id", "text",
         all.filter(col("lang") === "en"), "text", buckets = 256, alpha = 1.0)
     }),
+    // concat-and-chunk context windows: per-source token streams with
+    // eod markers cut at 50 tokens; the oracle replays cumulative
+    // offsets + integer-division window ids over an exploded stream
+    "x_pack_windows" -> ((s, d) =>
+      graft.ops.Packing.chunkWindows(docs(s, d), "doc_id", "source", "text",
+        windowSize = 50)),
     // temperature rebalancing at alpha=0.5 over the lang classes
     // (218/75/73/70/64 at sf0.01): keep rate sqrt(n_min/n_c), accept
     // iff 48-bit md5 prefix < floor(q*2^48) — sqrt/division are IEEE
@@ -1970,6 +1976,29 @@ object SparkEntry {
       SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(r.r) AS log_weight
       FROM fb JOIN ratio r USING (b)
       GROUP BY fb.doc_id""",
+
+    "x_pack_windows" -> """
+      WITH tk AS (
+        SELECT source, doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents),
+      offs AS (
+        SELECT source, doc_id, toks, len(toks) AS n,
+          coalesce(sum(len(toks) + 1) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM tk),
+      stream AS (
+        SELECT source,
+          off + j AS abs,
+          CASE WHEN j < n THEN toks[j + 1] ELSE '<|eod|>' END AS tok
+        FROM (SELECT source, toks, n, off, unnest(generate_series(0, n)) AS j
+              FROM offs))
+      SELECT source, CAST(abs // 50 AS BIGINT) AS window_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY abs) AS text
+      FROM stream
+      GROUP BY source, abs // 50""",
 
     "x_temperature_sample" -> """
       WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -122,6 +122,55 @@ object Packing {
     * alongside the original columns; writers `partitionBy("shard")`
     * to get one ordered file per shard.
     */
+  /** Concat-and-chunk into fixed context windows — the GPT-style
+    * alternative to bin packing: within each group, concatenate
+    * documents in id order with an end-of-document marker between
+    * them, then cut the token stream into consecutive windows of
+    * exactly `windowSize` tokens (the trailing partial window is
+    * emitted with its true `n_tokens`). Documents cross window
+    * boundaries by design — that is the point of this layout.
+    *
+    * Output: (group, window_id, n_tokens, text) with windows numbered
+    * from 0 per group, text being the window's tokens (marker
+    * included) rejoined with single spaces.
+    *
+    * Scale shape: same as [[packGreedy]] — the fold is sequential by
+    * definition, so the GROUP is the parallelism unit (a shard/
+    * training file, bounded by contract; compose with
+    * [[shuffleShards]] upstream for a reproducible random order).
+    * `flatMapGroups` streams one group per task; unlike the packers
+    * this op carries token payloads, so a group must fit in a task's
+    * memory — the same bound its output file must satisfy anyway.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, groupCol: String, textCol: String,
+      windowSize: Int, eod: String = "<|eod|>"): DataFrame = {
+    require(windowSize > 0, s"chunkWindows: windowSize must be positive, got $windowSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("g"), col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .as[(String, Long, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val docs = it.map { case (_, id, t) => (id, t) }.toArray
+        java.util.Arrays.sort(docs, Ordering.by((p: (Long, Seq[String])) => p._1))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, String)]
+        val buf = new scala.collection.mutable.ArrayBuffer[String](windowSize)
+        var win = 0L
+        def flush(): Unit = if (buf.nonEmpty) {
+          out += ((g, win, buf.length.toLong, buf.mkString(" ")))
+          win += 1; buf.clear()
+        }
+        for ((_, toks) <- docs; tok <- toks.iterator ++ Iterator.single(eod)) {
+          buf += tok
+          if (buf.length == windowSize) flush()
+        }
+        flush()
+        out.iterator
+      }
+      .toDF(groupCol, "window_id", "n_tokens", "text")
+  }
+
   /** Temperature-based domain rebalancing — the multilingual-corpus
     * move (XLM-R and successors): resample classes so kept counts
     * follow n_c^alpha instead of n_c, boosting small domains/languages

@@ -247,6 +247,15 @@ object Transforms {
         cfg.str("text_field").getOrElse("text"),
         cfg.int("min_df").getOrElse(
           throw new GraftAnalysisException("dedup_lines: 'min_df' is required")))
+    // concat-and-chunk fixed context windows (documents cross window
+    // boundaries; the group is the parallelism unit)
+    case "chunk_windows" =>
+      val cfg = t.config
+      graft.ops.Packing.chunkWindows(df, cfg.reqStr("id_field"),
+        cfg.reqStr("group_field"), cfg.str("text_field").getOrElse("text"),
+        windowSize = cfg.int("window_size").getOrElse(
+          throw new GraftAnalysisException("chunk_windows: 'window_size' is required")),
+        eod = cfg.str("eod").getOrElse("<|eod|>"))
     // temperature rebalancing: per-class keep rate (n_min/n_c)^(1-a)
     case "temperature_sample" =>
       val cfg = t.config
@@ -454,7 +463,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "temperature_sample",
+    "temperature_sample", "chunk_windows",
     "dedup_lines", "dedup_spans", "dsir_weights", "c4_filter", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",

@@ -570,6 +570,25 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("chunk windows: eod-separated stream cut exactly, partial tail, per-group numbering") {
+    val df = Seq(
+      (1L, "g1", "a b c"), (2L, "g1", "d e"), (3L, "g1", "f"),
+      (10L, "g2", "x y z w")).toDF("doc_id", "grp", "text")
+    // g1 stream: a b c <|eod|> d e <|eod|> f <|eod|>  (9 tokens)
+    val out = graft.ops.Packing.chunkWindows(df, "doc_id", "grp", "text", windowSize = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(("g1", 0L)) == (4L, "a b c <|eod|>"))
+    assert(out(("g1", 1L)) == (4L, "d e <|eod|> f"))
+    assert(out(("g1", 2L)) == (1L, "<|eod|>")) // partial tail window
+    assert(out(("g2", 0L)) == (4L, "x y z w"))
+    assert(out(("g2", 1L)) == (1L, "<|eod|>"))
+    assert(out.size == 5)
+    // window size dividing the stream exactly -> no empty tail
+    val exact = graft.ops.Packing.chunkWindows(df.filter(col("grp") === "g2"),
+      "doc_id", "grp", "text", windowSize = 5).collect()
+    assert(exact.length == 1 && exact(0).getLong(2) == 5L)
+  }
+
   test("span dedup: canonical occurrence survives, repeats lose tokens, short docs untouched") {
     val span = "one two three four five six seven eight" // the repeated 8-gram
     // tails must differ word-wise or the overlapping grams spanning
