@@ -748,6 +748,19 @@ object SparkEntry {
     // ==== extensions: deduplication family ====
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exactByFingerprint(t(s, d, "documents"), "text", "doc_id")),
+    // corpus version diff: the "new" version drops doc_id%7==0,
+    // rewrites text for doc_id%5==0, and adds ids 100000+; the diff
+    // must classify every id exactly
+    "x_corpus_diff" -> ((s, d) => {
+      val old = docs(s, d).select(col("doc_id"), col("text"))
+      val newV = old.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0, concat(lit("edited "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.corpusDiff(old, newV, "doc_id", "text")
+    }),
     // repeated-span dedup: the corpus has natural cross-doc duplicated
     // 8-grams, so no planting — every non-canonical occurrence of a
     // repeated 8-token window loses its tokens; oracle replays the
@@ -2291,6 +2304,28 @@ object SparkEntry {
           PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
           ORDER BY doc_id) AS __rn
         FROM documents) WHERE __rn = 1""",
+    "x_corpus_diff" -> """
+      WITH oldv AS (
+        SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents),
+      newv AS (
+        SELECT doc_id,
+          md5(trim(regexp_replace(lower(
+            CASE WHEN doc_id % 5 = 0 THEN 'edited ' || text ELSE text END),
+            '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        FROM documents WHERE doc_id % 9 = 0)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.fp IS NULL THEN 'added'
+             WHEN n.fp IS NULL THEN 'removed'
+             WHEN o.fp = n.fp THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id""",
+
     "x_dedup_spans" -> """
       WITH tk AS (
         SELECT doc_id,

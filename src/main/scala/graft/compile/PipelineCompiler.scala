@@ -55,6 +55,7 @@ object PipelineCompiler {
         case "contamination" | "contamination_embed" | "contamination_ngram"
            | "dedup_index_check" => Some("against")
         case "dsir_weights" => Some("target")
+        case "corpus_diff" => Some("old")
         case "text_unigram_ppx" => Some("lm_source") // optional; checked when present
         case "union" | "intersect" | "except" => None // validated by the ops (lists)
         case _ => None

@@ -101,6 +101,30 @@ object Dedup {
       .drop("__id", "__rm")
   }
 
+  /** Corpus version diff — the bookkeeping half of incremental corpus
+    * maintenance (pairs with [[NearDupIndex]]): compare two corpus
+    * versions by id and content fingerprint and classify every id as
+    * `added` (new only), `removed` (old only), `changed` (both, body
+    * differs), or `unchanged`. Output: (id, status) — feed the added ∪
+    * changed slice to the dedup/quality passes instead of recleaning
+    * the world.
+    *
+    * Scale shape: fingerprints are computed scan-local
+    * ([[TextAnalysis.fingerprint]]); the full-outer join shuffles
+    * (id, 32-hex digest) pairs only, never bodies.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def keyed(df: DataFrame, fp: String) = Partitioning.fanOut(df)
+      .select(col(idCol).as("__id"), TextAnalysis.fingerprint(col(textCol)).as(fp))
+    keyed(oldDf, "__fpo").join(keyed(newDf, "__fpn"), Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__fpo").isNull, lit("added"))
+          .when(col("__fpn").isNull, lit("removed"))
+          .when(col("__fpo") === col("__fpn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Repeated-SPAN dedup — the k-gram approximation of exact
     * substring dedup (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better"): any k-token window whose content

@@ -231,6 +231,15 @@ object Transforms {
         target, cfg.str("target_text_field").getOrElse("text"),
         buckets = cfg.int("buckets").getOrElse(4096),
         alpha = cfg.double("alpha").getOrElse(1.0))
+    // corpus version diff vs a second declared source: added /
+    // removed / changed / unchanged per id by content fingerprint
+    case "corpus_diff" =>
+      val cfg = t.config
+      val oName = cfg.reqStr("old")
+      val old = ctx.getOrElse(oName,
+        throw new GraftAnalysisException(s"corpus_diff: unknown source '$oName'"))
+      graft.ops.Dedup.corpusDiff(old, df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"))
     // repeated-span dedup: remove non-canonical occurrences of any
     // k-token window repeated >= min_count times corpus-wide
     case "dedup_spans" =>
@@ -464,7 +473,8 @@ object Transforms {
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows",
-    "dedup_lines", "dedup_spans", "dsir_weights", "c4_filter", "dedup_index_check",
+    "dedup_lines", "dedup_spans", "corpus_diff", "dsir_weights", "c4_filter",
+    "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
     "connected_components", "dedup_cluster")

@@ -570,6 +570,37 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("corpus diff: added/removed/changed/unchanged classified by content fingerprint") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val nw = Seq((1L, "alpha"), (2L, "BETA!"), (4L, "delta")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fingerprint normalizes case/punct: "BETA!" == "beta" -> unchanged
+    assert(out == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "removed", 4L -> "added"))
+    val nw2 = Seq((2L, "genuinely different")).toDF("doc_id", "text")
+    val out2 = graft.ops.Dedup.corpusDiff(old, nw2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(2L) == "changed")
+  }
+
+  test("line/span dedup plans: frequency aggregates see digests, never document bodies") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = (1L to 50L).map(i => (i, s"w$i x y z a b c d e f g h")).toDF("doc_id", "text")
+    for (out <- Seq(
+        graft.ops.Dedup.dedupLines(df, "doc_id", "text", minDf = 3),
+        graft.ops.Dedup.dedupSpans(df, "doc_id", "text", k = 8, minCount = 2))) {
+      val aggs = out.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      assert(aggs.nonEmpty)
+      // every aggregate (freq count, removal-list collect) runs over
+      // (id, pos, digest) projections — a `text` attribute reaching an
+      // aggregate would mean bodies travel through the count shuffle
+      aggs.foreach { a =>
+        assert(!a.child.output.exists(_.name == "text"),
+          s"document body reaches an aggregate: ${a.child.output.map(_.name)}")
+      }
+    }
+  }
+
   test("chunk windows: eod-separated stream cut exactly, partial tail, per-group numbering") {
     val df = Seq(
       (1L, "g1", "a b c"), (2L, "g1", "d e"), (3L, "g1", "f"),
