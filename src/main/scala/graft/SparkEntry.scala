@@ -977,6 +977,15 @@ object SparkEntry {
         Multimodal.packTextGif(t(s, d, "documents"), "doc_id", "text", width = 32),
         "id", "media")),
 
+    // from-spec baseline JPEG decoder vs the JDK's independent
+    // ImageIO decoder: lossy JPEG pins no exact IDCT, so the contract
+    // is dims-exact + every sample within the rounding band; the
+    // oracle is the all-true verdict table the parity op must earn
+    "x_multimodal_jpeg_decode" -> ((s, d) =>
+      Multimodal.jpegParity(
+        Multimodal.packGrayJpeg(t(s, d, "documents"), "doc_id"),
+        "id", "media")),
+
     // REAL resize on decoded pixels: an 8×8 greyscale PNG per doc
     // (pixels = the 64 ASCII bytes of md5(id)||md5(id||'x'), so the
     // oracle knows them), box-downsampled 2× to 4×4 by PngResizer —
@@ -2578,6 +2587,10 @@ object SparkEntry {
 
     // like x_multimodal_decode but channels are greyscale RGB
     // triplets (v,v,v) — flatten each byte three ways
+    "x_multimodal_jpeg_decode" -> """
+      SELECT doc_id AS id, true AS decoded, true AS dims_ok, true AS within_band
+      FROM documents""",
+
     "x_multimodal_gif_decode" -> """
       WITH b AS (
         SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
