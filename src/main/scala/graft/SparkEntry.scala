@@ -597,6 +597,12 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), raw.as("url"),
         TextAnalysis.normalizeUrl(raw).as("url_norm"))
     }),
+    // corpus datasheet: per-source volumes + exact-dup redundancy
+    "x_corpus_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(docs(s, d), "text", "source")),
+    // tf-idf term scores, every (doc, term) pair with smoothed idf
+    "x_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfScores(docs(s, d), "doc_id", "text")),
     // C4 line/page quality filter: the corpus has no newlines or
     // punctuation, so the gate synthesizes 6-word lines with
     // stride-planted terminal punctuation and three planted defect
@@ -1936,6 +1942,35 @@ object SparkEntry {
                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
                   ELSE 'und' END AS lang_id
       FROM sc""",
+
+    "x_corpus_report" -> """
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              t -> t <> ''))) AS BIGINT) AS n_tokens,
+        CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        CAST(count(*) - count(DISTINCT
+              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+          AS BIGINT) AS n_dup_docs,
+        (count(*) - count(DISTINCT
+              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))) * 1.0
+          / count(*) AS dup_frac
+      FROM documents
+      GROUP BY source""",
+
+    "x_tfidf" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> t <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM terms GROUP BY doc_id, term),
+      dfT AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM terms GROUP BY term),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT tf.doc_id, tf.term, tf.tf, dfT.df,
+             tf.tf * (ln((n.n + 1.0) / (dfT.df + 1.0)) + 1) AS tfidf
+      FROM tf JOIN dfT USING (term) CROSS JOIN n""",
 
     "x_text_c4_filter" -> """
       WITH lined AS (

@@ -606,6 +606,52 @@ object TextAnalysis {
     regexp_replace(phone, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
   }
 
+  /** Corpus datasheet: per-class (source/language/shard) doc counts,
+    * token and char volumes, and exact-duplicate redundancy — the
+    * summary table every corpus release ships. One pass: fingerprints
+    * and token counts are scan-local expressions, then a single hash
+    * aggregate per class (count-distinct expands to the standard
+    * two-phase agg); nothing but (class, digest, two longs) shuffles.
+    * `n_dup_docs` counts redundant copies: docs minus distinct
+    * fingerprints within the class.
+    */
+  def corpusReport(df: DataFrame, textCol: String, classCol: String): DataFrame =
+    Partitioning.fanOut(df)
+      .select(col(classCol), fingerprint(col(textCol)).as("__fp"),
+        tokenCount(col(textCol)).as("__t"), length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"),
+        (count(lit(1)) - count_distinct(col("__fp"))).as("n_dup_docs"))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+
+  /** TF-IDF term scores — the classic relevance weighting, smoothed
+    * sklearn-style: idf = ln((N+1)/(df+1)) + 1 with df = distinct
+    * docs containing the term. Emits every (doc, term) pair with tf,
+    * df, and the product; rank downstream with an EXACT key
+    * ((tf, term) or a threshold) when cross-engine reproducibility
+    * matters — float-score ordering between near-ties is not a
+    * portable contract (the [[nbScores]] lesson).
+    *
+    * Scale shape: one explode feeds BOTH aggregates (per-doc-term tf,
+    * per-term df); the df table is vocabulary-sized and shuffle-joins
+    * back onto doc-terms (broadcast when the vocab is bounded — same
+    * default as the bigram LM tables); N rides a 1-row broadcast.
+    */
+  def tfidfScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = Partitioning.fanOut(docs)
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = terms.groupBy(col("term")).agg(count_distinct(col("__id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
+      .select(col("__id").as(idCol), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          (log((col("__n").cast("double") + 1) / (col("df").cast("double") + 1)) + 1))
+          .as("tfidf"))
+  }
+
   /** Convenience: append all text-analysis columns to a documents
     * DataFrame. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -214,6 +214,16 @@ object Transforms {
       }
       pack(df, cfg.reqStr("id_field"), cfg.reqStr("group_field"),
         cfg.str("text_field").getOrElse("text"), capacity)
+    // corpus datasheet: per-class volumes + exact-dup redundancy
+    case "corpus_report" =>
+      val cfg = t.config
+      graft.ops.TextAnalysis.corpusReport(df,
+        cfg.str("text_field").getOrElse("text"), cfg.reqStr("class_field"))
+    // tf-idf term scores (every doc-term pair, smoothed idf)
+    case "tfidf" =>
+      val cfg = t.config
+      graft.ops.TextAnalysis.tfidfScores(df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"))
     // C4 line/page quality filter: drop rejected pages, keep only
     // terminal-punctuated >=5-word non-javascript lines
     case "c4_filter" =>
@@ -474,7 +484,7 @@ object Transforms {
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows",
     "dedup_lines", "dedup_spans", "corpus_diff", "dsir_weights", "c4_filter",
-    "dedup_index_check",
+    "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
     "connected_components", "dedup_cluster")

@@ -570,6 +570,33 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("corpus report: per-class volumes and exact-dup redundancy") {
+    val df = Seq(
+      (1L, "a", "one two three"), (2L, "a", "one two three"), (3L, "a", "ONE, two three!"),
+      (4L, "b", "unique words here"), (5L, "b", "other words")).toDF("doc_id", "cls", "text")
+    val r = graft.ops.TextAnalysis.corpusReport(df, "text", "cls")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // class a: 3 docs, all same normalized content -> 2 redundant
+    assert(r("a").getAs[Long]("n_docs") == 3L && r("a").getAs[Long]("n_dup_docs") == 2L)
+    assert(r("a").getAs[Long]("n_tokens") == 9L)
+    assert(math.abs(r("a").getAs[Double]("dup_frac") - 2.0 / 3) < 1e-12)
+    assert(r("b").getAs[Long]("n_dup_docs") == 0L && r("b").getAs[Long]("n_tokens") == 5L)
+  }
+
+  test("tfidf: hand-checked scores, rare terms outweigh common ones") {
+    val df = Seq(
+      (1L, "cat cat dog"), (2L, "dog bird"), (3L, "dog dog dog")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tfidfScores(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // dog: df=3 -> idf = ln(4/4)+1 = 1; cat: df=1 -> idf = ln(2)+1
+    val (tfCat, dfCat, sCat) = out((1L, "cat"))
+    assert(tfCat == 2L && dfCat == 1L && math.abs(sCat - 2 * (math.log(2.0) + 1)) < 1e-12)
+    assert(out((1L, "dog")) == ((1L, 3L, 1.0)))
+    assert(out((3L, "dog"))._3 == 3.0)
+    assert(sCat > out((1L, "dog"))._3) // rare beats common at higher tf
+    assert(out.size == 5)
+  }
+
   test("corpus diff: added/removed/changed/unchanged classified by content fingerprint") {
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val nw = Seq((1L, "alpha"), (2L, "BETA!"), (4L, "delta")).toDF("doc_id", "text")
