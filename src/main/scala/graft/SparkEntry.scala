@@ -639,6 +639,15 @@ object SparkEntry {
       TextAnalysis.dsirLogWeights(all, "doc_id", "text",
         all.filter(col("lang") === "en"), "text", buckets = 256, alpha = 1.0)
     }),
+    // RAG-style sliding chunks: per-doc 32-token windows, stride 24
+    // (8-token overlap); scan-local, oracle replays the slicing
+    "x_sliding_chunks" -> ((s, d) =>
+      graft.ops.Packing.slidingChunks(docs(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)),
+    // int8 scalar quantization of embeddings: per-vector max-abs
+    // scale, explicit floor(v+0.5) rounding so DuckDB replays exactly
+    "x_embed_sq8" -> ((s, d) =>
+      Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")),
     // concat-and-chunk context windows: per-source token streams with
     // eod markers cut at 50 tokens; the oracle replays cumulative
     // offsets + integer-division window ids over an exploded stream
@@ -2033,6 +2042,36 @@ object SparkEntry {
       SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(r.r) AS log_weight
       FROM fb JOIN ratio r USING (b)
       GROUP BY fb.doc_id""",
+
+    "x_sliding_chunks" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, i AS chunk_id, toks[i*24+1:i*24+32] AS win
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(0,
+                  CAST(ceil(len(toks) / 24.0) AS INT) - 1)) AS i
+              FROM tk WHERE len(toks) > 0))
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(win) AS BIGINT) AS n_tokens,
+             array_to_string(win, ' ') AS chunk
+      FROM w""",
+
+    "x_embed_sq8" -> """
+      WITH s AS (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings)
+      SELECT vec_id, scale,
+        CASE WHEN scale IS NULL OR scale = 0 THEN
+          list_transform(embedding, x -> 0)
+        ELSE
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INTEGER))
+        END AS codes
+      FROM s""",
 
     "x_pack_windows" -> """
       WITH tk AS (

@@ -122,6 +122,37 @@ object Packing {
     * alongside the original columns; writers `partitionBy("shard")`
     * to get one ordered file per shard.
     */
+  /** Per-document sliding-window chunking — the RAG/embedding-index
+    * preparation move (windows of `size` tokens advancing by `stride`;
+    * stride < size gives overlap so no phrase straddles a boundary
+    * unseen). Purely scan-local: window starts come from a
+    * `transform(sequence(...))` over the materialized token array and
+    * explode into (id, chunk_id, n_tokens, chunk) rows — no shuffle at
+    * all, this runs at scan speed and fans out ≈ n/stride rows per
+    * doc. Documents with zero tokens emit nothing. Contrast with
+    * [[chunkWindows]]: that op concatenates ACROSS documents for
+    * training; this one windows WITHIN each document for retrieval.
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"slidingChunks: size and stride must be positive, got size=$chunkSize stride=$stride")
+    val toked = Partitioning.fanOut(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    val nWin = ceil(n.cast("double") / stride).cast("int")
+    // guard n == 0: sequence(0, -1) would generate a DESCENDING range
+    val wins = when(n > 0,
+      transform(sequence(lit(0), nWin - 1),
+        i => slice(col("__toks"), i * stride + 1, lit(chunkSize))))
+      .otherwise(array().cast("array<array<string>>"))
+    toked
+      .select(col(idCol), posexplode(wins).as(Seq("chunk_id", "__w")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__w")).as("chunk"))
+  }
+
   /** Concat-and-chunk into fixed context windows — the GPT-style
     * alternative to bin packing: within each group, concatenate
     * documents in id order with an end-of-document marker between

@@ -24,6 +24,39 @@ object Similarity {
   /** Cast array<float> → array<double> so all arithmetic is double. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Symmetric int8 scalar quantization — the cheap 4× embedding
+    * compression every vector store ships (per-vector max-abs scale,
+    * code = round-half-up(127·x/scale)): 75% less storage and a
+    * codes-only distance path, next to [[Pq]]'s stronger-ratio tier.
+    * Deterministic and cross-engine exact: double multiply/divide are
+    * IEEE correctly-rounded and rounding is an explicit
+    * floor(v + 0.5) — no engine-specific "round" semantics (DuckDB
+    * rounds half away from zero, Java half-up; floor sidesteps both).
+    * Scan-local projection, no shuffle; the scale column is
+    * materialized first so the per-element transform references an
+    * attribute, not a re-evaluated max-abs tree (the Column-tree
+    * duplication trap). Empty/null vectors yield null scale and
+    * pass codes through empty/null.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Partitioning.fanOut(df)
+      .select(col(idCol),
+        col(vecCol),
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("scale"))
+      .select(col(idCol), col("scale"),
+        when(col("scale").isNull || col("scale") === 0,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast("double") * 127.0 / col("scale") + 0.5).cast("int")))
+          .as("codes"))
+
+  /** Inverse of [[quantizeInt8]] for distance math on the dequantized
+    * side: x̂ = code·scale/127. */
+  def dequantizeInt8(df: DataFrame, codesCol: String, scaleCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol,
+      transform(col(codesCol), c => c.cast("double") * col(scaleCol) / 127.0))
+
   /** Enforce the small-query-set contract every ANN tier relies on:
     * the query side is driver-collected (PQ LUTs) or broadcast
     * (brute-force / LSH / IVF probes), so an unboundedly large query

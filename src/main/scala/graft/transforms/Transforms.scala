@@ -266,6 +266,20 @@ object Transforms {
         cfg.str("text_field").getOrElse("text"),
         cfg.int("min_df").getOrElse(
           throw new GraftAnalysisException("dedup_lines: 'min_df' is required")))
+    // per-doc sliding windows with overlap (RAG chunking)
+    case "sliding_chunks" =>
+      val cfg = t.config
+      graft.ops.Packing.slidingChunks(df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"),
+        chunkSize = cfg.int("size").getOrElse(
+          throw new GraftAnalysisException("sliding_chunks: 'size' is required")),
+        stride = cfg.int("stride").getOrElse(
+          throw new GraftAnalysisException("sliding_chunks: 'stride' is required")))
+    // symmetric int8 scalar quantization of an embedding column
+    case "quantize_int8" =>
+      val cfg = t.config
+      graft.ops.Similarity.quantizeInt8(df, cfg.reqStr("id_field"),
+        cfg.str("vector_field").getOrElse("embedding"))
     // concat-and-chunk fixed context windows (documents cross window
     // boundaries; the group is the parallelism unit)
     case "chunk_windows" =>
@@ -482,7 +496,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "temperature_sample", "chunk_windows",
+    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8",
     "dedup_lines", "dedup_spans", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",

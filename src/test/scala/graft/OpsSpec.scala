@@ -570,6 +570,39 @@ class OpsSpec extends SparkSuite {
     assert(out3 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("sliding chunks: overlap, short tails, empty docs emit nothing") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 4 stride 2 -> starts 0,2,4,6
+      (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val out = graft.ops.Packing.slidingChunks(df, "doc_id", "text", chunkSize = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out((1L, 0L)) == (4L, "a b c d"))
+    assert(out((1L, 1L)) == (4L, "c d e f"))
+    assert(out((1L, 2L)) == (3L, "e f g"))
+    assert(out((1L, 3L)) == (1L, "g"))
+    assert(out((3L, 0L)) == (1L, "x"))
+    assert(out.size == 5) // doc 2 contributes nothing
+  }
+
+  test("int8 quantization: exact codes, roundtrip error bound, zero vector") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-2.0f))).toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(q(1L)._1 == 1.0 && q(1L)._2 == Seq(127, -63, 32, 0)) // floor(-63.5+0.5) = -63; floor(31.75+0.5)=32
+    assert(q(2L)._1 == 0.0 && q(2L)._2 == Seq(0, 0))
+    assert(q(3L)._1 == 2.0 && q(3L)._2 == Seq(-127))
+    // dequantized values stay within half a quantization step
+    val rt = graft.ops.Similarity.dequantizeInt8(
+        graft.ops.Similarity.quantizeInt8(df.filter(col("vec_id") === 1L), "vec_id", "embedding"),
+        "codes", "scale", "deq")
+      .collect()(0).getSeq[Double](3)
+    val orig = Seq(1.0, -0.5, 0.25, 0.0)
+    rt.zip(orig).foreach { case (a, b) => assert(math.abs(a - b) <= 0.5 / 127 + 1e-12) }
+  }
+
   test("corpus report: per-class volumes and exact-dup redundancy") {
     val df = Seq(
       (1L, "a", "one two three"), (2L, "a", "one two three"), (3L, "a", "ONE, two three!"),
