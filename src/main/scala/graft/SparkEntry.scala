@@ -648,6 +648,13 @@ object SparkEntry {
     // scale, explicit floor(v+0.5) rounding so DuckDB replays exactly
     "x_embed_sq8" -> ((s, d) =>
       Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")),
+    // binary-quantized hamming top-10 for 5 queries; sign bits packed
+    // into 32-bit words so every intermediate is exact on both engines
+    "x_ann_binary" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.binaryTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", dim = 64, k = 10)
+    }),
     // concat-and-chunk context windows: per-source token streams with
     // eod markers cut at 50 tokens; the oracle replays cumulative
     // offsets + integer-division window ids over an exploded stream
@@ -2058,6 +2065,25 @@ object SparkEntry {
              CAST(len(win) AS BIGINT) AS n_tokens,
              array_to_string(win, ' ') AS chunk
       FROM w""",
+
+    "x_ann_binary" -> """
+      WITH bits AS (
+        SELECT vec_id, list_transform(generate_series(0, 1), w ->
+          CAST(list_sum(list_transform(generate_series(0, 31), b ->
+            CASE WHEN embedding[w*32 + b + 1] > 0 THEN (CAST(1 AS BIGINT) << b)
+                 ELSE 0 END)) AS BIGINT)) AS words
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, words AS qw FROM bits WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+          bit_count(xor(b.words[1], q.qw[1])) + bit_count(xor(b.words[2], q.qw[2])) AS h
+        FROM bits b CROSS JOIN q)
+      SELECT query_id, neighbor_id, CAST(h AS BIGINT) AS hamming,
+             CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY h, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 10""",
 
     "x_embed_sq8" -> """
       WITH s AS (

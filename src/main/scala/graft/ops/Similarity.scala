@@ -57,6 +57,64 @@ object Similarity {
     df.withColumn(outCol,
       transform(col(codesCol), c => c.cast("double") * col(scaleCol) / 127.0))
 
+  /** Binary (1-bit) quantization: sign bits packed into 32-bit words
+    * (array<long>, each element < 2^32) — 32× compression, the
+    * coarsest rung of the quantization ladder ([[Pq]] 16×,
+    * [[quantizeInt8]] 4×). Words are 32-bit on purpose: packing bit
+    * 63 of a 64-bit word via ANY arithmetic overflows signed BIGINT
+    * somewhere (Spark wraps, DuckDB promotes to HUGEINT — different
+    * answers), while 32-bit words make every intermediate exact on
+    * both engines. Unrolled Scala-side into static literal shifts —
+    * the [[Dedup.minhashSignatureFromHashes]] lesson: loop indices in
+    * a Column lambda can't feed `shiftleft`, and unrolling keeps the
+    * whole expression codegen'd.
+    */
+  def binarizeSign(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"binarizeSign: dim must be positive, got $dim")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      (0 until 32).map { b =>
+        val i = w * 32 + b
+        if (i < dim) when(element_at(vec, i + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+        else lit(0L)
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign-bit arrays. */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, v) => acc + v.cast("long"))
+
+  /** Exact top-k by Hamming distance over sign-bit codes — the
+    * binary-quantized brute tier: corpus binarized scan-local, the
+    * (capped, broadcast) query codes XOR-popcount against every
+    * corpus code, ranking via the bounded-heap [[TopKByScore]]
+    * aggregate (score = −hamming; ties → smaller id — the same total
+    * order as the oracle's ORDER BY hamming, id). Same scale shape as
+    * the cosine brute tier: corpus scanned once, never shuffled
+    * beyond k rows per query.
+    */
+  def binaryTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, dim: Int, k: Int): DataFrame = {
+    require(k > 0, s"binaryTopK: k must be positive, got $k")
+    val q = broadcast(assertQueryCap(queries, "binaryTopK")
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        binarizeSign(col(vecCol), dim).as("__qb")))
+    val c = Partitioning.fanOut(corpus)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        binarizeSign(col(vecCol), dim).as("__cb"))
+    c.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        hammingPacked(col("__cb"), col("__qb")).as("hamming"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.of(-col("hamming").cast("double"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p._2").as("neighbor_id"),
+        (-col("__p._1")).cast("long").as("hamming"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Enforce the small-query-set contract every ANN tier relies on:
     * the query side is driver-collected (PQ LUTs) or broadcast
     * (brute-force / LSH / IVF probes), so an unboundedly large query

@@ -372,6 +372,9 @@ object Transforms {
           }
           graft.ops.Pq.IvfPq.search(ix, q, idF, vecF, k,
             nprobe = cfg.int("nprobe").getOrElse(4))
+        // 32x-compression tier: packed sign bits, XOR-popcount hamming
+        case "binary" => graft.ops.Similarity.binaryTopK(df, idF, vecF, q, idF,
+          dim = cfg.int("dim").getOrElse(64), k = k)
         case other => throw new GraftAnalysisException(s"ann_topk: unknown method '$other'")
       }
     case "text_lang" =>

@@ -603,6 +603,28 @@ class OpsSpec extends SparkSuite {
     rt.zip(orig).foreach { case (a, b) => assert(math.abs(a - b) <= 0.5 / 127 + 1e-12) }
   }
 
+  test("binary quantization: packed sign bits, hamming, hand-checked top-k order") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (0L, Array.fill(64)(1.0f)),                                  // all ones
+      (1L, Array.fill(64)(-1.0f)),                                 // all sign-0 -> hamming 64 vs id 0
+      (2L, Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)),  // half
+      (3L, Array.tabulate(64)(i => if (i == 0) -1.0f else 1.0f))   // hamming 1 vs id 0
+    ).toDF("vec_id", "embedding")
+    val bits = df.select(col("vec_id"),
+        Similarity.binarizeSign(col("embedding"), 64).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bits(0L) == Seq(4294967295L, 4294967295L)) // 2^32-1 twice
+    assert(bits(1L) == Seq(0L, 0L))
+    assert(bits(2L) == Seq(4294967295L, 0L))
+    assert(bits(3L) == Seq(4294967294L, 4294967295L)) // bit 0 clear
+    val top = Similarity.binaryTopK(df, "vec_id", "embedding",
+        df.filter(col("vec_id") === 0L), "vec_id", dim = 64, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // query 0: self (h=0), id 3 (h=1), id 2 (h=32); id 1 (h=64) cut
+    assert(top.toSeq == Seq((0L, 0L, 1L), (3L, 1L, 2L), (2L, 32L, 3L)))
+  }
+
   test("corpus report: per-class volumes and exact-dup redundancy") {
     val df = Seq(
       (1L, "a", "one two three"), (2L, "a", "one two three"), (3L, "a", "ONE, two three!"),
