@@ -104,6 +104,45 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegCodec.decode(bytes).get.pixels.sameElements(mine.pixels))
   }
 
+  test("restart intervals (DRI + RSTn markers) decode identically to ImageIO") {
+    // force a restart interval through the writer's native metadata tree
+    val img = grayImage(64, 48, 13) // 48 MCUs -> several restarts at interval 4
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val meta = w.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), p)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val seq = tree.getElementsByTagName("markerSequence").item(0)
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val dri = new javax.imageio.metadata.IIOMetadataNode("dri")
+    dri.setAttribute("interval", "4")
+    seq.insertBefore(dri, seq.getFirstChild)
+    meta.setFromTree(fmt, tree)
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new IIOImage(img, null, meta), p)
+    ios.flush(); w.dispose()
+    val bytes = bos.toByteArray
+    // confirm the stream really contains DRI (FFDD) and an RST marker
+    def hasMarker(m: Int) = bytes.sliding(2).exists(s =>
+      (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == m)
+    assert(hasMarker(0xDD), "writer did not emit DRI — fixture invalid")
+    assert(hasMarker(0xD0), "no RST0 in stream — fixture invalid")
+    val mine = JpegCodec.decode(bytes)
+    assert(mine.isDefined, "DRI stream not decoded")
+    val m = mine.get
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 48; x <- 0 until 64)
+      maxDiff = math.max(maxDiff,
+        math.abs((m.pixels(y * 64 + x) & 0xFF) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"DRI decode diverges: max diff $maxDiff")
+  }
+
   test("progressive JPEG is declined, not mis-decoded") {
     val bytes = encodeJpeg(grayImage(32, 32, 5), 0.9f, progressive = true)
     assert(JpegCodec.decode(bytes).isEmpty)
