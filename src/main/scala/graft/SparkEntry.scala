@@ -648,6 +648,30 @@ object SparkEntry {
     // scale, explicit floor(v+0.5) rounding so DuckDB replays exactly
     "x_embed_sq8" -> ((s, d) =>
       Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")),
+    // quantization-ladder recall vs exact cosine (measured at sf0.01:
+    // binary 0.23 — sign bits on uncentered data are the honest
+    // coarse tier; int8 ADC 0.90): boolean-verdict contract like the
+    // ivf/pq recall gates
+    "x_ann_quant_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", 10)
+      val bin = Similarity.binaryTopK(e, "vec_id", "embedding", q, "vec_id", 64, 10)
+      val sq8 = Similarity.sq8TopK(e, "vec_id", "embedding", q, "vec_id", 10)
+      Similarity.recallAt(bin, exact)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.15).as("bin_recall_ge_015"))
+        .crossJoin(Similarity.recallAt(sq8, exact)
+          .agg((avg(col("recall")) >= 0.8).as("sq8_recall_ge_080")))
+    }),
+    // int8 ADC top-10 for 5 queries — scores (scale_q*scale_c)*codedot
+    // are bit-identical cross-engine (integer dot + two IEEE
+    // multiplies), so ranks replay exactly in the oracle
+    "x_ann_sq8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.sq8TopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", k = 10)
+    }),
     // binary-quantized hamming top-10 for 5 queries; sign bits packed
     // into 32-bit words so every intermediate is exact on both engines
     "x_ann_binary" -> ((s, d) => {
@@ -2065,6 +2089,33 @@ object SparkEntry {
              CAST(len(win) AS BIGINT) AS n_tokens,
              array_to_string(win, ' ') AS chunk
       FROM w""",
+
+    // quantization-recall boolean contract (see query comment)
+    "x_ann_quant_recall" -> """
+      SELECT CAST(10 AS BIGINT) AS n_queries, true AS bin_recall_ge_015,
+             true AS sq8_recall_ge_080""",
+
+    "x_ann_sq8" -> """
+      WITH q8 AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+          CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+          THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+            list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) + 0.5) AS INTEGER))
+          END AS codes
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, scale AS qs, codes AS qc FROM q8 WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          (c.scale * q.qs) * CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> CAST(c.codes[i] AS BIGINT) * qc[i])) AS DOUBLE) AS score
+        FROM q8 c CROSS JOIN q)
+      SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 10""",
 
     "x_ann_binary" -> """
       WITH bits AS (

@@ -57,6 +57,39 @@ object Similarity {
     df.withColumn(outCol,
       transform(col(codesCol), c => c.cast("double") * col(scaleCol) / 127.0))
 
+  /** Exact top-k by symmetric int8 ADC score — the [[quantizeInt8]]
+    * search path: score = (scale_q · scale_c) · Σ code_q·code_c
+    * (the /127² constant is rank-neutral and dropped). The code dot
+    * is an exact integer (≤ 127²·dim, far under 2^53) and the two
+    * double multiplies are IEEE correctly-rounded in a fixed
+    * parenthesization, so scores — and therefore ranks, ties broken
+    * by id — are bit-identical on any engine. Same shape as the
+    * other brute tiers: corpus quantized scan-local, queries capped +
+    * broadcast, bounded-heap ranking.
+    */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sq8TopK: k must be positive, got $k")
+    val q = broadcast(
+      quantizeInt8(assertQueryCap(queries, "sq8TopK"), queryIdCol, vecCol)
+        .select(col(queryIdCol).cast("long").as("query_id"),
+          col("scale").as("__qs"), col("codes").as("__qc")))
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col("scale").as("__cs"), col("codes").as("__cc"))
+    val dot = aggregate(
+      zip_with(col("__cc"), col("__qc"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    c.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        ((col("__cs") * col("__qs")) * dot.cast("double")).as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.of(col("score"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p._2").as("neighbor_id"),
+        col("__p._1").as("score"), (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Binary (1-bit) quantization: sign bits packed into 32-bit words
     * (array<long>, each element < 2^32) — 32× compression, the
     * coarsest rung of the quantization ladder ([[Pq]] 16×,

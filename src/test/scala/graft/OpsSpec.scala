@@ -603,6 +603,23 @@ class OpsSpec extends SparkSuite {
     rt.zip(orig).foreach { case (a, b) => assert(math.abs(a - b) <= 0.5 / 127 + 1e-12) }
   }
 
+  test("sq8 ADC top-k: scale-aware scores, hand-checked order") {
+    import graft.ops.Similarity
+    // query [1,0]: codes [127,0], scale 1. corpus:
+    //  id 0 = [1,0]   -> score 1*1*(127*127) = 16129
+    //  id 1 = [2,0]   -> codes [127,0] scale 2 -> 2*16129 = 32258 (bigger dot wins)
+    //  id 2 = [0,1]   -> orthogonal -> 0
+    //  id 3 = [-1,0]  -> -16129
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.sq8TopK(corpus, "vec_id", "embedding", q, "vec_id", k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(top.toSeq == Seq(
+      (1L, 32258.0, 1L), (0L, 16129.0, 2L), (2L, 0.0, 3L), (3L, -16129.0, 4L)))
+  }
+
   test("binary quantization: packed sign bits, hamming, hand-checked top-k order") {
     import graft.ops.Similarity
     val df = Seq(
