@@ -624,8 +624,7 @@ object SparkEntry {
           array(lit("lorem ipsum dolor sit amet."))).otherwise(noLine),
         when(pmod(col("doc_id"), lit(13)) === 0,
           array(lit("function foo() { return 1; }"))).otherwise(noLine)))
-      docs(s, d).select(col("doc_id"), lined.as("text"))
-        .select(col("doc_id"), TextAnalysis.c4QualityStruct(col("text")).as("c4"))
+      TextAnalysis.c4Quality(docs(s, d).select(col("doc_id"), lined.as("text")))
         .select(col("doc_id"), col("c4.n_lines").as("n_lines"),
           col("c4.n_kept").as("n_kept"), col("c4.has_lorem").as("has_lorem"),
           col("c4.has_brace").as("has_brace"), col("c4.keep").as("keep"),
@@ -648,10 +647,10 @@ object SparkEntry {
     // scale, explicit floor(v+0.5) rounding so DuckDB replays exactly
     "x_embed_sq8" -> ((s, d) =>
       Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")),
-    // quantization-ladder recall vs exact cosine (measured at sf0.01:
-    // binary 0.23 — sign bits on uncentered data are the honest
-    // coarse tier; int8 ADC 0.90): boolean-verdict contract like the
-    // ivf/pq recall gates
+    // quantization-ladder recall vs exact cosine (measured at sf0.01,
+    // self-excluded like every ANN tier: binary 0.25 — sign bits on
+    // uncentered data are the honest coarse tier; int8 ADC 1.0):
+    // boolean-verdict contract like the ivf/pq recall gates
     "x_ann_quant_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.where(col("vec_id") < 10)
@@ -2110,7 +2109,8 @@ object SparkEntry {
         SELECT q.query_id, c.vec_id AS neighbor_id,
           (c.scale * q.qs) * CAST(list_sum(list_transform(generate_series(1, 64),
             i -> CAST(c.codes[i] AS BIGINT) * qc[i])) AS DOUBLE) AS score
-        FROM q8 c CROSS JOIN q)
+        FROM q8 c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id)
       SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
       FROM (SELECT *, row_number() OVER (
               PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
@@ -2128,7 +2128,8 @@ object SparkEntry {
       scored AS (
         SELECT q.query_id, b.vec_id AS neighbor_id,
           bit_count(xor(b.words[1], q.qw[1])) + bit_count(xor(b.words[2], q.qw[2])) AS h
-        FROM bits b CROSS JOIN q)
+        FROM bits b CROSS JOIN q
+        WHERE b.vec_id <> q.query_id)
       SELECT query_id, neighbor_id, CAST(h AS BIGINT) AS hamming,
              CAST(rank AS BIGINT) AS rank
       FROM (SELECT *, row_number() OVER (

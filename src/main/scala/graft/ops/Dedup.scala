@@ -130,10 +130,13 @@ object Dedup {
     * Makes Language Models Better"): any k-token window whose content
     * occurs at least `minCount` times in the corpus is a duplicated
     * span; every occurrence except the canonical first (min (doc, pos))
-    * is removed, token-wise. Operates on the normalized token stream
-    * ([[TextAnalysis.tokens]]) — output is the kept tokens rejoined
-    * with single spaces plus `n_tokens_removed`; docs shorter than k
-    * tokens pass through untouched.
+    * is removed, token-wise. Operates on — and OUTPUTS — the
+    * normalized token stream ([[TextAnalysis.tokens]], lowercased
+    * alphanumeric rejoined with single spaces): original casing,
+    * punctuation, and whitespace are not preserved, the same contract
+    * as every token-level op here; run span dedup before, not after,
+    * any formatting-sensitive stage. Docs shorter than k tokens lose
+    * no tokens (n_tokens_removed = 0).
     *
     * Scale shape: windows shuffle as (id, pos, md5-of-gram) — 32-byte
     * digests, never token payloads; the frequency+canonical pass is

@@ -634,7 +634,11 @@ object Multimodal {
     * agreement verdicts — JPEG pins no single IDCT, so cross-decoder
     * equality is a BAND, not a hash ([[JpegCodec]] scaladoc); the
     * verifiable contract is "dims exact, every sample within `band`".
-    * Distributed mapPartitions, same seam as [[decodeImagePixels]].
+    * GRAYSCALE payloads only (the [[packGrayJpeg]] fixtures):
+    * `dims_ok` requires channels == 1 because color comparison would
+    * also fold in chroma-upsampling differences, which are
+    * PSNR-checked in JpegSpec instead, not banded here. Distributed
+    * mapPartitions, same seam as [[decodeImagePixels]].
     */
   def jpegParity(df: DataFrame, idCol: String, mediaCol: String, band: Int = 2): DataFrame = {
     val spark = df.sparkSession

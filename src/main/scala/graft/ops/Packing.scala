@@ -100,28 +100,6 @@ object Packing {
       .toDF(groupCol, idCol, "n_tokens", "bin")
   }
 
-  /** Deterministic global training-order shuffle into shards — the
-    * step between curation and packing: training wants documents in a
-    * random-looking order that is nevertheless REPRODUCIBLE (same
-    * epoch on any engine, any layout, any re-run; public practice in
-    * every open training stack's data loader).
-    *
-    * Mechanism, chosen to replay exactly in plain SQL on any engine:
-    * h = md5(seed ":" key); shard = (first 16 bits of h) mod nShards;
-    * pos = rank of h (ties by key) within the shard. md5-of-key is the
-    * same cross-engine order [[graft.transforms.TokenBudgetOp]] and
-    * [[BottomKSample]] already rely on — no engine-specific hash in
-    * the contract.
-    *
-    * Scale shape: the shard is the parallelism unit. Shard assignment
-    * is scan-local; the only shuffle is the per-shard Window sort, and
-    * a shard is bounded by construction (at 100 TB you pick nShards so
-    * a shard ≈ one training file — the same knob production data
-    * loaders expose; a global ORDER BY would instead range-sample and
-    * give a layout-dependent order). Emits `shard` and `pos`
-    * alongside the original columns; writers `partitionBy("shard")`
-    * to get one ordered file per shard.
-    */
   /** Per-document sliding-window chunking — the RAG/embedding-index
     * preparation move (windows of `size` tokens advancing by `stride`;
     * stride < size gives overlap so no phrase straddles a boundary
@@ -163,7 +141,9 @@ object Packing {
     *
     * Output: (group, window_id, n_tokens, text) with windows numbered
     * from 0 per group, text being the window's tokens (marker
-    * included) rejoined with single spaces.
+    * included) rejoined with single spaces. The group column comes
+    * back as STRING (the typed flatMapGroups key — same contract as
+    * [[packGreedy]]); cast downstream if the original type matters.
     *
     * Scale shape: same as [[packGreedy]] — the fold is sequential by
     * definition, so the GROUP is the parallelism unit (a shard/
@@ -241,6 +221,28 @@ object Packing {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Deterministic global training-order shuffle into shards — the
+    * step between curation and packing: training wants documents in a
+    * random-looking order that is nevertheless REPRODUCIBLE (same
+    * epoch on any engine, any layout, any re-run; public practice in
+    * every open training stack's data loader).
+    *
+    * Mechanism, chosen to replay exactly in plain SQL on any engine:
+    * h = md5(seed ":" key); shard = (first 16 bits of h) mod nShards;
+    * pos = rank of h (ties by key) within the shard. md5-of-key is the
+    * same cross-engine order [[graft.transforms.TokenBudgetOp]] and
+    * [[BottomKSample]] already rely on — no engine-specific hash in
+    * the contract.
+    *
+    * Scale shape: the shard is the parallelism unit. Shard assignment
+    * is scan-local; the only shuffle is the per-shard Window sort, and
+    * a shard is bounded by construction (at 100 TB you pick nShards so
+    * a shard ≈ one training file — the same knob production data
+    * loaders expose; a global ORDER BY would instead range-sample and
+    * give a layout-dependent order). Emits `shard` and `pos`
+    * alongside the original columns; writers `partitionBy("shard")`
+    * to get one ordered file per shard.
+    */
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long = 0L): DataFrame = {
     require(nShards > 0, s"shuffleShards: nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window

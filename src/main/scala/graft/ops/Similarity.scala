@@ -80,9 +80,14 @@ object Similarity {
     val dot = aggregate(
       zip_with(col("__cc"), col("__qc"), (a, b) => (a * b).cast("long")),
       lit(0L), (acc, v) => acc + v)
+    // junk corpus vectors (empty → null scale, length-mismatched →
+    // null-padded zip) score NaN, which TopKByScore ranks last — the
+    // same degradation contract as bruteForceTopK's zero-norm NaNs
+    val score = coalesce((col("__cs") * col("__qs")) * dot.cast("double"),
+      lit(Double.NaN))
     c.crossJoin(q)
-      .select(col("query_id"), col("neighbor_id"),
-        ((col("__cs") * col("__qs")) * dot.cast("double")).as("score"))
+      .filter(col("query_id") =!= col("neighbor_id")) // siblings' self-exclusion contract
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
       .groupBy(col("query_id"))
       .agg(TopKByScore.of(col("score"), col("neighbor_id"), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
@@ -131,22 +136,38 @@ object Similarity {
   def binaryTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, dim: Int, k: Int): DataFrame = {
     require(k > 0, s"binaryTopK: k must be positive, got $k")
+    assertVecDim(corpus, vecCol, dim, "binaryTopK")
     val q = broadcast(assertQueryCap(queries, "binaryTopK")
       .select(col(queryIdCol).cast("long").as("query_id"),
         binarizeSign(col(vecCol), dim).as("__qb")))
     val c = Partitioning.fanOut(corpus)
       .select(col(idCol).cast("long").as("neighbor_id"),
         binarizeSign(col(vecCol), dim).as("__cb"))
+    // null-guarded like sq8TopK: a junk vector's null hamming ranks last
+    val score = coalesce(-hammingPacked(col("__cb"), col("__qb")).cast("double"),
+      lit(Double.NaN))
     c.crossJoin(q)
-      .select(col("query_id"), col("neighbor_id"),
-        hammingPacked(col("__cb"), col("__qb")).as("hamming"))
+      .filter(col("query_id") =!= col("neighbor_id")) // siblings' self-exclusion contract
+      .select(col("query_id"), col("neighbor_id"), score.as("__s"))
       .groupBy(col("query_id"))
-      .agg(TopKByScore.of(-col("hamming").cast("double"), col("neighbor_id"), k).as("__top"))
+      .agg(TopKByScore.of(col("__s"), col("neighbor_id"), k).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__p")))
       .select(col("query_id"), col("__p._2").as("neighbor_id"),
         (-col("__p._1")).cast("long").as("hamming"),
         (col("__pos") + 1).cast("long").as("rank"))
   }
+
+  /** LIMIT-1 dim probe (the [[Dedup]] precedent): `binarizeSign`'s
+    * static bit layout silently ignores dimensions past `dim` and
+    * zero-fills short vectors, so a mismatched declared dim must fail
+    * at analysis, not return silently wrong neighbors. */
+  private def assertVecDim(df: DataFrame, vecCol: String, dim: Int, op: String): Unit =
+    df.select(size(col(vecCol)).as("__d")).filter(col("__d") >= 0).limit(1)
+      .collect().headOption.foreach { r =>
+        val d = r.getInt(0)
+        if (d != dim) throw new graft.GraftAnalysisException(
+          s"$op: declared dim=$dim but '$vecCol' vectors have length $d")
+      }
 
   /** Enforce the small-query-set contract every ANN tier relies on:
     * the query side is driver-collected (PQ LUTs) or broadcast

@@ -474,6 +474,10 @@ object TextAnalysis {
     * verdict. Pure scan-local array expressions — a projection at
     * 100 TB, composable with pushed-down filters; pair with
     * [[graft.ops.Dedup.dedupLines]] for the full C4 cleanup.
+    *
+    * This Column form is the semantic reference; prefer [[c4Quality]]
+    * in pipelines — it materializes the line arrays so the
+    * multiply-referenced filter isn't re-evaluated per struct field.
     */
   def c4QualityStruct(text: Column): Column = {
     val lines = split(text, "\n", -1)
@@ -494,15 +498,45 @@ object TextAnalysis {
       concat_ws("\n", kept).as("text_clean"))
   }
 
+  /** DataFrame form of [[c4QualityStruct]] with the line arrays
+    * MATERIALIZED as columns first: the struct references `kept`
+    * three times and `lines` twice, and higher-order functions get no
+    * common-subexpression elimination (the [[dsirBucketLogProbs]]
+    * lesson), so the pure-Column form re-splits and re-filters every
+    * document per reference. Multiple syntactic references to the
+    * materialized columns keep CollapseProject from inlining them
+    * back (the [[Dedup.minhashSignatureFromHashes]] trick). Appends
+    * the same `c4` struct.
+    */
+  def c4Quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val keptLambda = (l: Column) => {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        (size(filter(split(t, "\\s+"), w => w =!= lit(""))) >= 5) &&
+        !lower(t).contains("javascript")
+    }
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    Partitioning.fanOut(df)
+      .withColumn("__lines", split(col(textCol), "\n", -1))
+      .withColumn("__kept", filter(col("__lines"), keptLambda))
+      .withColumn("c4", struct(
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        hasLorem.as("has_lorem"),
+        hasBrace.as("has_brace"),
+        ((size(col("__kept")) >= 3) && !hasLorem && !hasBrace).as("keep"),
+        concat_ws("\n", col("__kept")).as("text_clean")))
+      .drop("__lines", "__kept")
+  }
+
   /** Convenience: apply the C4 verdict — drop rejected pages, replace
     * `textCol` with the kept lines. */
-  def c4Filter(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val c = c4QualityStruct(col(textCol))
-    Partitioning.fanOut(df).withColumn("__c4", c)
-      .filter(col("__c4.keep"))
-      .withColumn(textCol, col("__c4.text_clean"))
-      .drop("__c4")
-  }
+  def c4Filter(df: DataFrame, textCol: String = "text"): DataFrame =
+    c4Quality(df, textCol)
+      .filter(col("c4.keep"))
+      .withColumn(textCol, col("c4.text_clean"))
+      .drop("c4")
 
   /** Hashed n-gram features for importance weighting — the DSIR
     * recipe (Xie et al. 2023, "Data Selection for Language Models via

@@ -638,8 +638,14 @@ class OpsSpec extends SparkSuite {
     val top = Similarity.binaryTopK(df, "vec_id", "embedding",
         df.filter(col("vec_id") === 0L), "vec_id", dim = 64, k = 3)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-    // query 0: self (h=0), id 3 (h=1), id 2 (h=32); id 1 (h=64) cut
-    assert(top.toSeq == Seq((0L, 0L, 1L), (3L, 1L, 2L), (2L, 32L, 3L)))
+    // query 0 excluded from its own results (the ANN-tier contract):
+    // id 3 (h=1), id 2 (h=32), id 1 (h=64)
+    assert(top.toSeq == Seq((3L, 1L, 1L), (2L, 32L, 2L), (1L, 64L, 3L)))
+    // a wrong declared dim fails at analysis, not silently truncates
+    intercept[graft.GraftAnalysisException] {
+      Similarity.binaryTopK(df, "vec_id", "embedding",
+        df.filter(col("vec_id") === 0L), "vec_id", dim = 128, k = 3)
+    }
   }
 
   test("corpus report: per-class volumes and exact-dup redundancy") {
@@ -797,6 +803,13 @@ class OpsSpec extends SparkSuite {
     val kept = graft.ops.TextAnalysis.c4Filter(df).collect()
     assert(kept.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(kept.forall(_.getString(1) == good))
+    // the materialized df form is value-identical to the Column form
+    val viaDf = graft.ops.TextAnalysis.c4Quality(df)
+      .select(col("doc_id"), col("c4")).collect().map(r => r.get(0) -> r.get(1)).toMap
+    val viaCol = df.select(col("doc_id"),
+        graft.ops.TextAnalysis.c4QualityStruct(col("text")).as("c4"))
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(viaDf == viaCol)
   }
 
   test("dsir weights: target-like docs score higher, hand-checked two-bucket model") {
