@@ -2481,9 +2481,9 @@ object SparkEntry {
           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
         FROM documents WHERE doc_id % 9 = 0)
       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-        CASE WHEN o.fp IS NULL THEN 'added'
-             WHEN n.fp IS NULL THEN 'removed'
-             WHEN o.fp = n.fp THEN 'unchanged'
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
              ELSE 'changed' END AS status
       FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id""",
 

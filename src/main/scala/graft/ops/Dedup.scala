@@ -115,13 +115,18 @@ object Dedup {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def keyed(df: DataFrame, fp: String) = Partitioning.fanOut(df)
-      .select(col(idCol).as("__id"), TextAnalysis.fingerprint(col(textCol)).as(fp))
-    keyed(oldDf, "__fpo").join(keyed(newDf, "__fpn"), Seq("__id"), "full_outer")
+    // existence travels as its own marker — NULL text fingerprints
+    // NULL, so fp nullity cannot double as "row absent" (a null-text
+    // doc present in both versions is unchanged, not added)
+    def keyed(df: DataFrame, fp: String, present: String) = Partitioning.fanOut(df)
+      .select(col(idCol).as("__id"),
+        TextAnalysis.fingerprint(col(textCol)).as(fp), lit(true).as(present))
+    keyed(oldDf, "__fpo", "__po")
+      .join(keyed(newDf, "__fpn", "__pn"), Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__fpo").isNull, lit("added"))
-          .when(col("__fpn").isNull, lit("removed"))
-          .when(col("__fpo") === col("__fpn"), lit("unchanged"))
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(col("__fpo") <=> col("__fpn"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

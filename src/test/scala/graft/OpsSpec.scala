@@ -603,6 +603,32 @@ class OpsSpec extends SparkSuite {
     rt.zip(orig).foreach { case (a, b) => assert(math.abs(a - b) <= 0.5 / 127 + 1e-12) }
   }
 
+  test("round-7 ops: null and empty text neither crash nor drop rows") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, ""), (3L, "real words here man yes"))
+      .toDF("doc_id", "text")
+    // line dedup: null/empty text passes through; row count preserved
+    val ld = graft.ops.Dedup.dedupLines(df, "doc_id", "text", minDf = 2).collect()
+    assert(ld.length == 3 && ld.forall(_.getLong(2) == 0L))
+    // span dedup: null text tokenizes to null -> no windows, row kept
+    val sd = graft.ops.Dedup.dedupSpans(df, "doc_id", "text", k = 8, minCount = 2)
+    assert(sd.count() == 3)
+    // c4: null text -> null struct fields must not crash the filter
+    assert(graft.ops.TextAnalysis.c4Quality(df).count() == 3)
+    // corpus report: null text counts as a doc, contributes no tokens
+    val cr = graft.ops.TextAnalysis.corpusReport(
+      df.withColumn("cls", lit("a")), "text", "cls").collect()(0)
+    assert(cr.getAs[Long]("n_docs") == 3L)
+    // sliding chunks / dsir / tfidf: null and empty docs simply absent
+    assert(graft.ops.Packing.slidingChunks(df, "doc_id", "text", 4, 2)
+      .select("doc_id").distinct().count() == 1)
+    assert(graft.ops.TextAnalysis.tfidfScores(df, "doc_id", "text")
+      .select("doc_id").distinct().count() == 1)
+    // corpus diff: null text fingerprints null, null-vs-null is unchanged
+    val cd = graft.ops.Dedup.corpusDiff(df, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cd.values.forall(_ == "unchanged"), s"$cd")
+  }
+
   test("sq8 ADC top-k: scale-aware scores, hand-checked order") {
     import graft.ops.Similarity
     // query [1,0]: codes [127,0], scale 1. corpus:
