@@ -1,14 +1,20 @@
 package graft.ops
 
-/** From-spec baseline JPEG (ITU-T T.81 / JFIF) decoder — completes the
+/** From-spec JPEG (ITU-T T.81 / JFIF) decoder — completes the
   * real-codec family next to [[PngCodec]] (inflate+unfilter) and
   * [[GifCodec]] (LZW): marker parse → quant/Huffman table build →
   * entropy decode (DC prediction, AC run/size, byte unstuffing, RST
   * intervals) → dequantize → IDCT → level shift → chroma upsample →
-  * YCbCr→RGB. Baseline sequential DCT only (SOF0); progressive (SOF2)
-  * and arithmetic coding are declined with None, as is anything
-  * malformed — the decoder never throws on hostile bytes (same
-  * contract as the other codecs; fuzzed in MultimodalSpec).
+  * YCbCr→RGB. Supports BASELINE/extended sequential (SOF0/1) and
+  * PROGRESSIVE (SOF2: spectral selection + successive approximation,
+  * DC/AC first and refinement scans with EOB-run state, T.81 §G);
+  * arithmetic coding and hierarchical modes are declined with None,
+  * as is anything malformed — the decoder never throws on hostile
+  * bytes (same contract as the other codecs; fuzzed in JpegSpec).
+  *
+  * Both modes accumulate RAW coefficients into per-component planes
+  * (progressive scans revisit them) and share one final
+  * dequantize+IDCT pass.
   *
   * Fidelity note: JPEG is lossy and T.81 does not pin one IDCT, so
   * decoders legitimately differ by ±1-2 per sample from rounding; the
@@ -66,7 +72,7 @@ object JpegCodec {
     def readBit(): Int = {
       if (bits == 0) {
         if (pos >= p.length) return -1
-        var b = p(pos) & 0xFF
+        val b = p(pos) & 0xFF
         if (b == 0xFF) {
           if (pos + 1 >= p.length) { hitMarker = true; return -1 }
           val b2 = p(pos + 1) & 0xFF
@@ -163,13 +169,23 @@ object JpegCodec {
     }
   }
 
+  /** Frame component. `coefs` holds RAW (undequantized) coefficients
+    * for the PADDED MCU-aligned block grid (bW×bH blocks × 64,
+    * natural order per block); progressive scans revisit it across
+    * SOS segments. `trueBw`/`trueBh` is the non-interleaved block
+    * grid (T.81 A.2.2) that single-component scans iterate. */
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
     var dcTable: Int = 0
     var acTable: Int = 0
-    var pred: Int = 0 // DC predictor
-    var data: Array[Byte] = null // per-component plane (compW x compH)
-    var compW: Int = 0
+    var pred: Int = 0 // DC predictor (per scan, un-shifted)
+    var coefs: Array[Int] = null
+    var bW: Int = 0 // padded blocks across (mcusX * h)
+    var bH: Int = 0
+    var trueBw: Int = 0
+    var trueBh: Int = 0
+    var compW: Int = 0 // padded pixels
     var compH: Int = 0
+    var data: Array[Byte] = null
   }
 
   def decode(p: Array[Byte]): Option[Image] = {
@@ -188,8 +204,38 @@ object JpegCodec {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    var mcusX = 0
+    var mcusY = 0
+    var hMax = 0
+    var vMax = 0
+    var sawScan = false
 
     def be16(i: Int): Int = ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
+
+    def allocate(): Boolean = {
+      hMax = comps.map(_.h).max
+      vMax = comps.map(_.v).max
+      mcusX = (width + hMax * 8 - 1) / (hMax * 8)
+      mcusY = (height + vMax * 8 - 1) / (vMax * 8)
+      if (width.toLong * height * (if (comps.length == 1) 1 else 3) > MaxPixels) return false
+      comps.forall { c =>
+        if (!qtSeen(c.tq)) false
+        else {
+          c.bW = mcusX * c.h
+          c.bH = mcusY * c.v
+          c.trueBw = (width * c.h + hMax * 8 - 1) / (hMax * 8)
+          c.trueBh = (height * c.v + vMax * 8 - 1) / (vMax * 8)
+          c.compW = c.bW * 8
+          c.compH = c.bH * 8
+          if (c.compW.toLong * c.compH > MaxPixels) false
+          else {
+            c.coefs = new Array[Int](c.bW * c.bH * 64)
+            true
+          }
+        }
+      }
+    }
 
     var i = 2
     while (i + 4 <= p.length) {
@@ -199,7 +245,10 @@ object JpegCodec {
       var fi = i
       while (m == 0xFF && fi + 2 < p.length) { fi += 1; m = p(fi + 1) & 0xFF }
       i = fi
-      if (m == 0xD9) return None // EOI before SOS
+      if (m == 0xD9) { // EOI
+        return if (sawScan) finish(comps, width, height, qt, hMax, vMax) else None
+      }
+      if (m >= 0xD0 && m <= 0xD7) return None // stray RST outside a scan
       val len = be16(i + 2)
       if (len < 2 || i + 2 + len > p.length) return None
       val seg = i + 4
@@ -242,7 +291,9 @@ object JpegCodec {
             if (tc == 0) dcH(th) = h else acH(th) = h
             j += 17 + total
           }
-        case 0xC0 | 0xC1 => // SOF0/1: baseline (extended) sequential
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 baseline/extended, SOF2 progressive
+          if (comps != null) return None // one frame only
+          progressive = m == 0xC2
           if (segEnd - seg < 6) return None
           val prec = p(seg) & 0xFF
           if (prec != 8) return None
@@ -261,15 +312,17 @@ object JpegCodec {
             comps(k) = c
             k += 1
           }
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-          return None // progressive/arithmetic/hierarchical: not baseline
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+          return None // lossless/arithmetic/hierarchical: unsupported
         case 0xDD => // DRI
           if (segEnd - seg < 2) return None
           restartInterval = be16(seg)
-        case 0xDA => // SOS — entropy data follows
+        case 0xDA => // SOS
           if (comps == null) return None
+          if (!sawScan && !allocate()) return None
           val ns = p(seg) & 0xFF
-          if (ns != comps.length || segEnd - seg < 1 + 2 * ns + 3) return None
+          if (ns < 1 || ns > comps.length || segEnd - seg < 1 + 2 * ns + 3) return None
+          val scanComps = new Array[Comp](ns)
           var k = 0
           while (k < ns) {
             val cs = p(seg + 1 + 2 * k) & 0xFF
@@ -284,123 +337,325 @@ object JpegCodec {
             if (c == null || td > 3 || ta > 3) return None
             c.dcTable = td
             c.acTable = ta
+            scanComps(k) = c
             k += 1
           }
-          return scan(p, segEnd, comps, width, height, qt, qtSeen, dcH, acH, restartInterval)
+          val ss = p(seg + 1 + 2 * ns) & 0xFF
+          val se = p(seg + 2 + 2 * ns) & 0xFF
+          val aa = p(seg + 3 + 2 * ns) & 0xFF
+          val ah = (aa >> 4) & 0xF
+          val al = aa & 0xF
+          val (sS, sE) = if (progressive) (ss, se) else (0, 63)
+          if (sS > sE || sE > 63 || (sS == 0 && sE != (if (progressive) 0 else 63) && progressive))
+            return None
+          if (progressive && sS > 0 && ns != 1) return None // AC scans: one component
+          val br = new BitReader(p, segEnd)
+          val ok = decodeScan(br, p, scanComps, dcH, acH, restartInterval,
+            mcusX, mcusY, progressive, sS, sE, ah, al)
+          if (!ok) return None
+          sawScan = true
+          if (!progressive) { // baseline: single scan, done
+            return finish(comps, width, height, qt, hMax, vMax)
+          }
+          // progressive: continue from wherever the entropy data ended
+          br.reset()
+          i = br.pos
+          // find next marker (skip any pad bytes)
+          while (i + 1 < p.length &&
+            !((p(i) & 0xFF) == 0xFF && (p(i + 1) & 0xFF) != 0x00)) i += 1
+          if (i + 1 >= p.length) return finish(comps, width, height, qt, hMax, vMax)
+          m = 0 // sentinel: loop continues at the found marker, not segEnd
         case _ => // APPn/COM/etc: skip
       }
-      i = segEnd
+      if (m != 0) i = segEnd
     }
-    None
+    if (sawScan) finish(comps, width, height, qt, hMax, vMax) else None
   }
 
-  private def scan(p: Array[Byte], start: Int, comps: Array[Comp],
-      width: Int, height: Int, qt: Array[Array[Int]], qtSeen: Array[Boolean],
-      dcH: Array[Huff], acH: Array[Huff], restartInterval: Int): Option[Image] = {
-    val nc = comps.length
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcuW = hMax * 8
-    val mcuH = vMax * 8
-    val mcusX = (width + mcuW - 1) / mcuW
-    val mcusY = (height + mcuH - 1) / mcuH
-    if (width.toLong * height * (if (nc == 1) 1 else 3) > MaxPixels) return None
-    var k = 0
-    while (k < nc) {
-      val c = comps(k)
-      if (!qtSeen(c.tq)) return None
-      c.compW = mcusX * c.h * 8
-      c.compH = mcusY * c.v * 8
-      if (c.compW.toLong * c.compH > MaxPixels) return None
-      c.data = new Array[Byte](c.compW * c.compH)
-      k += 1
+  /** One entropy-coded scan into the coefficient planes. Handles all
+    * four progressive scan kinds (DC/AC × first/refinement) plus the
+    * baseline full-band interleaved scan; restart markers reset DC
+    * predictors and the EOB run. */
+  private def decodeScan(br: BitReader, p: Array[Byte], scanComps: Array[Comp],
+      dcH: Array[Huff], acH: Array[Huff], restartInterval: Int,
+      mcusX: Int, mcusY: Int, progressive: Boolean,
+      ss: Int, se: Int, ah: Int, al: Int): Boolean = {
+    val ns = scanComps.length
+    scanComps.foreach(_.pred = 0)
+    var eobrun = 0
+    var rstExpect = 0
+
+    def consumeRst(): Boolean = {
+      br.reset()
+      var pos = br.pos
+      while (pos + 1 < p.length && (p(pos) & 0xFF) == 0xFF && (p(pos + 1) & 0xFF) == 0x00)
+        pos += 2
+      if (pos + 1 >= p.length || (p(pos) & 0xFF) != 0xFF) return false
+      val m = p(pos + 1) & 0xFF
+      if (m < 0xD0 || m > 0xD7 || (m & 7) != rstExpect) return false
+      rstExpect = (rstExpect + 1) & 7
+      br.pos = pos + 2
+      scanComps.foreach(_.pred = 0)
+      eobrun = 0
+      true
     }
 
-    val br = new BitReader(p, start)
+    // ---- per-block decoders over a coefficient slice [off, off+64)
+    def dcFirst(c: Comp, off: Int): Boolean = {
+      val t = br.decodeHuff(dcH(c.dcTable))
+      if (t < 0 || t > 15) return false
+      val diff = if (t == 0) 0 else {
+        val v = br.receive(t)
+        if (v == Int.MinValue) return false
+        extend(v, t)
+      }
+      c.pred += diff
+      c.coefs(off) = c.pred << al
+      true
+    }
+
+    def dcRefine(c: Comp, off: Int): Boolean = {
+      val b = br.readBit()
+      if (b < 0) return false
+      if (b == 1) c.coefs(off) |= (1 << al)
+      true
+    }
+
+    def acBaselineOrFull(c: Comp, off: Int): Boolean = {
+      var kk = 1
+      var done = false
+      while (!done && kk < 64) {
+        val rs = br.decodeHuff(acH(c.acTable))
+        if (rs < 0) return false
+        val r = (rs >> 4) & 0xF
+        val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) kk += 16
+          else done = true
+        } else {
+          kk += r
+          if (kk > 63) return false
+          val v = br.receive(s)
+          if (v == Int.MinValue) return false
+          c.coefs(off + Zigzag(kk)) = extend(v, s)
+          kk += 1
+        }
+      }
+      true
+    }
+
+    def acFirst(c: Comp, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = br.decodeHuff(acH(c.acTable))
+        if (rs < 0) return false
+        val r = (rs >> 4) & 0xF
+        val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val e = br.receive(r)
+              if (e == Int.MinValue) return false
+              eobrun += e
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val v = br.receive(s)
+          if (v == Int.MinValue) return false
+          c.coefs(off + Zigzag(k)) = extend(v, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefine(c: Comp, off: Int): Boolean = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var break = false
+        while (k <= se && !break) {
+          val rs = br.decodeHuff(acH(c.acTable))
+          if (rs < 0) return false
+          var r = (rs >> 4) & 0xF
+          val s = rs & 0xF
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) { // EOB run begins (covers this block's tail)
+              eobrun = (1 << r)
+              if (r > 0) {
+                val e = br.receive(r)
+                if (e == Int.MinValue) return false
+                eobrun += e
+              }
+              break = true
+            }
+            // r == 15: skip 16 zero-history positions, refining en route
+          } else {
+            if (s != 1) return false // refinement codes only ±1
+            val b = br.receive(1)
+            if (b == Int.MinValue) return false
+            newval = if (b == 1) p1 else m1
+          }
+          if (!break) {
+            // advance over the band: correction bits on nonzero history,
+            // count r down on zero-history positions, then place newval
+            var placed = false
+            while (k <= se && !placed) {
+              val z = off + Zigzag(k)
+              if (c.coefs(z) != 0) {
+                val b = br.readBit()
+                if (b < 0) return false
+                if (b == 1 && (c.coefs(z) & p1) == 0)
+                  c.coefs(z) += (if (c.coefs(z) >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newval != 0) { c.coefs(z) = newval; placed = true }
+                  else placed = true // end of a ZRL(15,0) run of 16
+                } else r -= 1
+              }
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB-run covers the rest of the band: refine existing nonzeros
+        while (k <= se) {
+          val z = off + Zigzag(k)
+          if (c.coefs(z) != 0) {
+            val b = br.readBit()
+            if (b < 0) return false
+            if (b == 1 && (c.coefs(z) & p1) == 0)
+              c.coefs(z) += (if (c.coefs(z) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    if (!progressive || (ss == 0 && ns >= 1)) {
+      // interleaved MCU order (baseline full-band, or progressive DC)
+      val interleaved = ns > 1
+      val totalUnits =
+        if (interleaved) mcusX * mcusY
+        else {
+          val c = scanComps(0)
+          c.trueBw * c.trueBh
+        }
+      var unit = 0
+      while (unit < totalUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!consumeRst()) return false
+        }
+        if (interleaved) {
+          val my = unit / mcusX
+          val mx = unit % mcusX
+          var ci = 0
+          while (ci < ns) {
+            val c = scanComps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val off = (((my * c.v + by) * c.bW) + (mx * c.h + bx)) * 64
+                if (progressive) {
+                  if (ah == 0) { if (!dcFirst(c, off)) return false }
+                  else if (!dcRefine(c, off)) return false
+                } else {
+                  if (!dcFirst(c, off)) return false
+                  if (!acBaselineOrFull(c, off)) return false
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+        } else {
+          val c = scanComps(0)
+          val by = unit / c.trueBw
+          val bx = unit % c.trueBw
+          val off = (by * c.bW + bx) * 64
+          if (progressive) {
+            if (ah == 0) { if (!dcFirst(c, off)) return false }
+            else if (!dcRefine(c, off)) return false
+          } else {
+            if (!dcFirst(c, off)) return false
+            if (!acBaselineOrFull(c, off)) return false
+          }
+        }
+        unit += 1
+      }
+      true
+    } else {
+      // progressive AC scan: single component, non-interleaved order
+      val c = scanComps(0)
+      val total = c.trueBw * c.trueBh
+      var unit = 0
+      while (unit < total) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!consumeRst()) return false
+        }
+        val by = unit / c.trueBw
+        val bx = unit % c.trueBw
+        val off = (by * c.bW + bx) * 64
+        if (ah == 0) { if (!acFirst(c, off)) return false }
+        else if (!acRefine(c, off)) return false
+        unit += 1
+      }
+      true
+    }
+  }
+
+  /** Dequantize + IDCT every block, then upsample/color-convert. */
+  private def finish(comps: Array[Comp], width: Int, height: Int,
+      qt: Array[Array[Int]], hMax: Int, vMax: Int): Option[Image] = {
     val coef = new Array[Int](64)
     val px = new Array[Int](64)
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    var rstExpect = 0
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // byte-align then consume the RST marker
-        br.reset()
-        var pos = br.pos
-        while (pos + 1 < p.length && (p(pos) & 0xFF) == 0xFF && (p(pos + 1) & 0xFF) == 0x00)
-          pos += 2 // shouldn't happen at alignment, defensive
-        if (pos + 1 >= p.length || (p(pos) & 0xFF) != 0xFF) return None
-        val m = p(pos + 1) & 0xFF
-        if (m < 0xD0 || m > 0xD7 || (m & 7) != rstExpect) return None
-        rstExpect = (rstExpect + 1) & 7
-        br.pos = pos + 2
-        var ci = 0
-        while (ci < nc) { comps(ci).pred = 0; ci += 1 }
-      }
-      val my = mcu / mcusX
-      val mx = mcu % mcusX
-      var ci = 0
-      while (ci < nc) {
-        val c = comps(ci)
-        val dc = dcH(c.dcTable)
-        val ac = acH(c.acTable)
-        if (dc == null || ac == null) return None
-        val q = qt(c.tq)
-        var by = 0
-        while (by < c.v) {
-          var bx = 0
-          while (bx < c.h) {
-            java.util.Arrays.fill(coef, 0)
-            val t = br.decodeHuff(dc)
-            if (t < 0 || t > 15) return None
-            val diff0 = if (t == 0) 0 else br.receive(t)
-            if (diff0 == Int.MinValue) return None
-            c.pred += extend(diff0, t)
-            coef(0) = c.pred * q(0)
-            var kk = 1
-            var done = false
-            while (!done && kk < 64) {
-              val rs = br.decodeHuff(ac)
-              if (rs < 0) return None
-              val r = (rs >> 4) & 0xF
-              val s = rs & 0xF
-              if (s == 0) {
-                if (r == 15) kk += 16 // ZRL
-                else done = true // EOB
-              } else {
-                kk += r
-                if (kk > 63) return None
-                val v0 = br.receive(s)
-                if (v0 == Int.MinValue) return None
-                coef(Zigzag(kk)) = extend(v0, s) * q(Zigzag(kk))
-                kk += 1
-              }
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      if (c.coefs == null) return None
+      val q = qt(c.tq)
+      c.data = new Array[Byte](c.compW * c.compH)
+      var by = 0
+      while (by < c.bH) {
+        var bx = 0
+        while (bx < c.bW) {
+          val off = (by * c.bW + bx) * 64
+          var j = 0
+          while (j < 64) { coef(j) = c.coefs(off + j) * q(j); j += 1 }
+          idct8x8(coef, px)
+          val ox = bx * 8
+          val oy = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            val rowOff = (oy + yy) * c.compW + ox
+            while (xx < 8) {
+              c.data(rowOff + xx) = px(yy * 8 + xx).toByte
+              xx += 1
             }
-            idct8x8(coef, px)
-            // place block into the component plane
-            val ox = (mx * c.h + bx) * 8
-            val oy = (my * c.v + by) * 8
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              val rowOff = (oy + yy) * c.compW + ox
-              while (xx < 8) {
-                c.data(rowOff + xx) = px(yy * 8 + xx).toByte
-                xx += 1
-              }
-              yy += 1
-            }
-            bx += 1
+            yy += 1
           }
-          by += 1
+          bx += 1
         }
-        ci += 1
+        by += 1
       }
-      mcu += 1
+      ci += 1
     }
 
-    // assemble output raster
-    if (nc == 1) {
+    if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](width * height)
       var y = 0

@@ -143,9 +143,44 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"DRI decode diverges: max diff $maxDiff")
   }
 
-  test("progressive JPEG is declined, not mis-decoded") {
-    val bytes = encodeJpeg(grayImage(32, 32, 5), 0.9f, progressive = true)
-    assert(JpegCodec.decode(bytes).isEmpty)
+  test("progressive JPEG decodes within the rounding band of ImageIO") {
+    for ((w, h) <- Seq((32, 32), (17, 23), (64, 48))) {
+      val bytes = encodeJpeg(grayImage(w, h, w + h * 3), 0.92f, progressive = true)
+      // confirm the stream is really SOF2
+      assert(bytes.sliding(2).exists(s => (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xC2),
+        "writer did not emit SOF2 — fixture invalid")
+      val mine = JpegCodec.decode(bytes)
+      assert(mine.isDefined, s"progressive decode failed at ${w}x$h")
+      val m = mine.get
+      assert(m.width == w && m.height == h && m.channels == 1)
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxDiff = math.max(maxDiff, math.abs((m.pixels(y * w + x) & 0xFF) -
+          ref.getRaster.getSample(x, y, 0)))
+      assert(maxDiff <= 2, s"progressive ${w}x$h: max |mine - ImageIO| = $maxDiff")
+    }
+    // progressive COLOR (4:2:0, multi-component DC scan + per-component
+    // AC scans): PSNR-checked like sequential color
+    val (w, h) = (48, 32)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 255) / (w - 1)) << 16) | (((y * 255) / (h - 1)) << 8) | 0x60)
+    val cb = encodeJpeg(img, 0.9f, progressive = true)
+    val cm = JpegCodec.decode(cb)
+    assert(cm.isDefined, "progressive color decode failed")
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(cb))
+    var se = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      val dr = (cm.get.pixels(o) & 0xFF) - ((rgb >> 16) & 0xFF)
+      val dg = (cm.get.pixels(o + 1) & 0xFF) - ((rgb >> 8) & 0xFF)
+      val db = (cm.get.pixels(o + 2) & 0xFF) - (rgb & 0xFF)
+      se += dr * dr + dg * dg + db * db
+    }
+    val psnr = 10 * math.log10(255.0 * 255.0 / math.max(se / (w * h * 3), 1e-12))
+    assert(psnr > 28, s"progressive color PSNR vs ImageIO = $psnr dB")
   }
 
   test("hostile bytes: truncations, bit flips, and garbage never throw") {
