@@ -644,9 +644,13 @@ object SparkEntry {
       graft.ops.Packing.slidingChunks(docs(s, d), "doc_id", "text",
         chunkSize = 32, stride = 24)),
     // int8 scalar quantization of embeddings: per-vector max-abs
-    // scale, explicit floor(v+0.5) rounding so DuckDB replays exactly
+    // scale, explicit floor(v+0.5) rounding so DuckDB replays exactly.
+    // codes is serialized to a CSV scalar because the driver's pandas
+    // canonicalizer can't hash array cells (same fix as x_group_sample)
     "x_embed_sq8" -> ((s, d) =>
-      Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")),
+      Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", col("codes")).as("codes_csv"))),
     // quantization-ladder recall vs exact cosine (measured at sf0.01,
     // self-excluded like every ANN tier: binary 0.25 — sign bits on
     // uncentered data are the honest coarse tier; int8 ADC 1.0):
@@ -2143,12 +2147,13 @@ object SparkEntry {
           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
         FROM embeddings)
       SELECT vec_id, scale,
-        CASE WHEN scale IS NULL OR scale = 0 THEN
-          list_transform(embedding, x -> 0)
-        ELSE
-          list_transform(embedding,
-            x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INTEGER))
-        END AS codes
+        coalesce(array_to_string(
+          CASE WHEN scale IS NULL OR scale = 0 THEN
+            list_transform(embedding, x -> 0)
+          ELSE
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INTEGER))
+          END, ','), '') AS codes_csv
       FROM s""",
 
     "x_pack_windows" -> """
