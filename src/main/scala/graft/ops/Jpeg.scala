@@ -210,6 +210,12 @@ object JpegCodec {
     var hMax = 0
     var vMax = 0
     var sawScan = false
+    // Baseline files may legally split components across several SOS
+    // segments (one non-interleaved scan per component); track which
+    // component ids a scan has covered so a partial decode is refused
+    // instead of finishing with silently-zero chroma planes.
+    val coveredIds = scala.collection.mutable.Set.empty[Int]
+    def allCovered: Boolean = comps != null && comps.forall(c => coveredIds(c.id))
 
     def be16(i: Int): Int = ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
 
@@ -246,7 +252,10 @@ object JpegCodec {
       while (m == 0xFF && fi + 2 < p.length) { fi += 1; m = p(fi + 1) & 0xFF }
       i = fi
       if (m == 0xD9) { // EOI
-        return if (sawScan) finish(comps, width, height, qt, hMax, vMax) else None
+        // baseline requires every component decoded; progressive may
+        // legally stop after any complete scan (coarse-only decode)
+        return if (sawScan && (progressive || allCovered))
+          finish(comps, width, height, qt, hMax, vMax) else None
       }
       if (m >= 0xD0 && m <= 0xD7) return None // stray RST outside a scan
       val len = be16(i + 2)
@@ -354,22 +363,29 @@ object JpegCodec {
             mcusX, mcusY, progressive, sS, sE, ah, al)
           if (!ok) return None
           sawScan = true
-          if (!progressive) { // baseline: single scan, done
+          scanComps.foreach(c => coveredIds += c.id)
+          if (!progressive && allCovered) { // baseline: all components decoded
             return finish(comps, width, height, qt, hMax, vMax)
           }
-          // progressive: continue from wherever the entropy data ended
+          // progressive refinement scans, or remaining baseline
+          // non-interleaved scans: continue from where the entropy
+          // data ended
           br.reset()
           i = br.pos
           // find next marker (skip any pad bytes)
           while (i + 1 < p.length &&
             !((p(i) & 0xFF) == 0xFF && (p(i + 1) & 0xFF) != 0x00)) i += 1
-          if (i + 1 >= p.length) return finish(comps, width, height, qt, hMax, vMax)
+          if (i + 1 >= p.length)
+            return if (progressive || allCovered)
+              finish(comps, width, height, qt, hMax, vMax) else None
           m = 0 // sentinel: loop continues at the found marker, not segEnd
         case _ => // APPn/COM/etc: skip
       }
       if (m != 0) i = segEnd
     }
-    if (sawScan) finish(comps, width, height, qt, hMax, vMax) else None
+    if (sawScan && (progressive || allCovered))
+      finish(comps, width, height, qt, hMax, vMax)
+    else None
   }
 
   /** One entropy-coded scan into the coefficient planes. Handles all

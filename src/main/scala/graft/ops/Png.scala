@@ -90,6 +90,10 @@ object PngCodec {
     }
     if (colorType == 3 && palette == null) return None
     val rowBytes = width.toLong * srcCh
+    // Bound each factor BEFORE forming the product: width/height are
+    // attacker-controlled 31-bit values, so (rowBytes + 1) * height can
+    // wrap a Long (2^33 * 2^31) and slip a negative rawLen past the cap.
+    if (width.toLong * height > MaxPixelBytes || rowBytes + 1 > MaxPixelBytes) return None
     val rawLen = (rowBytes + 1) * height
     if (rawLen > MaxPixelBytes) return None
 

@@ -560,8 +560,27 @@ object Pq {
     def load(spark: SparkSession, path: String): Index = {
       val ivf = Similarity.IvfIndex.load(spark, s"$path/ivf")
       val pq = Pq.load(spark, s"$path/pq")
-      val metaRows = spark.read.json(s"$path/anchors").collect()
+      val anchorsDf = spark.read.json(s"$path/anchors")
+      val metaRows = anchorsDf.collect()
       val residual = metaRows.head.getAs[Boolean]("residual")
+      // legacy sidefile (pre-OPQ revisions): columns (cell, anchor,
+      // residual) with a cell = -1 marker row; no rotation existed
+      // then, so read the anchor rows and leave rotation null rather
+      // than failing on the missing kind/idx/vec fields
+      if (anchorsDf.columns.contains("cell")) {
+        val anchors =
+          if (!residual) null
+          else {
+            val as = metaRows.filter(_.getAs[Long]("cell") >= 0)
+            val arr = new Array[Array[Double]](as.map(_.getAs[Long]("cell")).max.toInt + 1)
+            as.foreach(r =>
+              arr(r.getAs[Long]("cell").toInt) = r.getAs[Seq[Double]]("anchor").toArray)
+            arr
+          }
+        val legacyEncoded = spark.read.parquet(s"$path/encoded")
+          .select(col("id"), col("codes"), col("rec_norm"), col("cell").cast("int").as("cell"))
+        return Index(ivf, pq, legacyEncoded, residual, anchors, rotation = null)
+      }
       def vecTable(kind: String): Array[Array[Double]] = {
         val rows = metaRows.filter(_.getAs[String]("kind") == kind)
         if (rows.isEmpty) null

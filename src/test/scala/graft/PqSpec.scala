@@ -271,4 +271,29 @@ class PqSpec extends SparkSuite {
       .select("id", "codes").as[(Long, Seq[Short])].collect().toMap
     assert(a == b)
   }
+
+  test("IVF×PQ load reads the legacy (cell/anchor) anchors sidefile") {
+    // an index persisted by the pre-OPQ revision wrote the anchors
+    // sidefile with (cell, anchor, residual) columns and a cell = -1
+    // marker row; load must keep reading it (rotation = null)
+    val ix = Pq.IvfPq.build(corpus, "vec_id", "embedding", dim = 16, nlist = 8, m = 4,
+      ksub = 16, residual = true)
+    val dir = java.nio.file.Files.createTempDirectory("graftivfpqleg").toString + "/index"
+    Pq.IvfPq.save(ix, dir)
+    // rewrite the sidefile in the legacy schema
+    val legacyRows = (-1, Seq.empty[Double]) +:
+      ix.anchors.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+    legacyRows.toDF("cell", "anchor")
+      .withColumn("residual", lit(true))
+      .coalesce(1).write.mode("overwrite").json(s"$dir/anchors")
+    val back = Pq.IvfPq.load(spark, dir)
+    assert(back.residual && back.rotation == null)
+    assert(back.anchors.flatten.toSeq == ix.anchors.flatten.toSeq)
+    val queries = corpus.where(col("vec_id") < 8)
+    val a = Pq.IvfPq.search(ix, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b = Pq.IvfPq.search(back, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a == b)
+  }
 }
