@@ -1476,12 +1476,27 @@ object SparkEntry {
         col("event_type"), col("n"), col("total").cast("double").as("total"))
     }),
 
-    // ==== extensions: sketches (rows-only: HLL/quantile internals are
-    // engine-specific, values can't hash-match another engine) ====
+    // ==== extensions: sketches. HLL/quantile internals are
+    // engine-specific so the ESTIMATES can't hash-match another
+    // engine; the CONTRACT can (same shape as the ANN recall gates):
+    // compute the exact answers alongside the sketches in one pass,
+    // hash-check the exact values against DuckDB, and assert the
+    // estimates land within the declared relative error (HLL++ rsd
+    // 0.02 → 5% bound = 2.5σ; quantile sketch at accuracy 10000 →
+    // ≤ n/10000 rank error, 1% value bound). Sketches are
+    // deterministic for fixed data, so the verdicts are stable. ====
     "x_approx" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"))),
+        .agg(
+          countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ad"),
+          expr("percentile(l_extendedprice, 0.5)").as("ep"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("ad") - col("exact_parts")) <= col("exact_parts") * lit(0.05))
+            .as("parts_within_5pct"),
+          (abs(col("ap") - col("ep")) <= abs(col("ep")) * lit(0.01))
+            .as("p50_within_1pct"))),
 
     // ==== sqlite data plane (reference main.py:130-138 source,
     // main.py:326-341 sink) via the pure-Scala file codec — a REAL
@@ -3106,6 +3121,15 @@ object SparkEntry {
     // oracle asserts the contract, the engine measures it.
     "x_ann_ivf_recall" -> """
       SELECT CAST(10 AS BIGINT) AS n_queries, true AS mean_recall_ge_090""",
+
+    // sketch-accuracy contract (see x_approx query comment): the
+    // exact per-group distinct counts hash-match DuckDB's; the
+    // sketch estimates are asserted inside their declared error.
+    "x_approx" -> """
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             true AS parts_within_5pct, true AS p50_within_1pct
+      FROM lineitem GROUP BY l_returnflag""",
 
     // PCA boolean contract (see x_embed_pca query comment).
     "x_embed_pca" -> """

@@ -53,10 +53,11 @@ class SpecSuite extends AnyFunSuite {
     // rows-only check in the driver compare — fail loudly instead
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracleSql keys with no query: $dangling")
-    // queries WITHOUT an oracle must be the explicit, justified list
-    // (engine-specific internals that no other engine can re-derive)
+    // every query must carry an oracle: since round 8 even the sketch
+    // gate (x_approx) ships a hash-checkable exact-value + verdict
+    // contract, so the rows-only whitelist is empty
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("x_approx"),
+    assert(rowsOnly.isEmpty,
       s"unexpected rows-only queries (add an oracle or document here): $rowsOnly")
   }
 }
