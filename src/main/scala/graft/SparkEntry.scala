@@ -816,6 +816,12 @@ object SparkEntry {
     // gram digests, canonical row_number pick, and indexed rebuild
     "x_dedup_spans" -> ((s, d) =>
       Dedup.dedupSpans(t(s, d, "documents"), "doc_id", "text", k = 8, minCount = 2)),
+    // true exact-substring dedup (Lee et al. ExactSubstr CUT: every
+    // occurrence of a >= 10-token duplicated substring removed,
+    // including the first); oracle re-derives removed spans exactly
+    "x_dedup_substring" -> ((s, d) =>
+      Dedup.exactSubstrCut(t(s, d, "documents"), "doc_id", "text",
+        minLen = 10, prefilterK = 4)),
     // corpus-level line dedup: the corpus has no newlines, so the gate
     // synthesizes multi-line docs (6-word chunks) and plants two
     // boilerplate lines on doc_id strides; dedupLines must strip every
@@ -2535,6 +2541,38 @@ object SparkEntry {
           WHERE j NOT IN (SELECT cp FROM covered c WHERE c.doc_id = t.doc_id)), '') AS text,
         coalesce(r.n_rm, 0) AS n_tokens_removed
       FROM tk t LEFT JOIN rm r USING (doc_id)""",
+
+    // ExactSubstr CUT (see x_dedup_substring query comment): coverage
+    // by ALL occurrences of duplicated 10-token windows — no canonical
+    // exclusion — plus maximal-span counting via the islands trick.
+    "x_dedup_substring" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents),
+      occ AS (
+        SELECT doc_id, i AS pos,
+          md5(array_to_string(toks[i+1:i+10], ' ')) AS dg
+        FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 10)) AS i
+              FROM tk WHERE len(toks) >= 10)),
+      dup AS (SELECT dg FROM occ GROUP BY dg HAVING count(*) >= 2),
+      covered AS (
+        SELECT DISTINCT o.doc_id, unnest(generate_series(o.pos, o.pos + 9)) AS cp
+        FROM occ o JOIN dup USING (dg)),
+      runs AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rm,
+               CAST(count(*) FILTER (WHERE isnew) AS BIGINT) AS n_spans
+        FROM (SELECT doc_id, cp,
+                coalesce(cp - lag(cp) OVER (PARTITION BY doc_id ORDER BY cp) <> 1, true) AS isnew
+              FROM covered) GROUP BY doc_id)
+      SELECT t.doc_id,
+        coalesce((
+          SELECT string_agg(tok, ' ' ORDER BY j)
+          FROM (SELECT unnest(t.toks) AS tok, generate_subscripts(t.toks, 1) - 1 AS j)
+          WHERE j NOT IN (SELECT cp FROM covered c WHERE c.doc_id = t.doc_id)), '') AS text,
+        coalesce(r.n_rm, 0) AS n_tokens_removed,
+        coalesce(r.n_spans, 0) AS n_spans_removed
+      FROM tk t LEFT JOIN runs r USING (doc_id)""",
 
     "x_dedup_lines" -> """
       WITH lined AS (

@@ -183,6 +183,90 @@ object Dedup {
         coalesce(size(col("__rm")), lit(0)).cast("long").as("n_tokens_removed"))
   }
 
+  /** Exact-substring dedup with the CUT semantics of Lee et al. 2021
+    * (ExactSubstr, the released suffix-array tool's behavior): a token
+    * is removed iff it lies inside ANY substring of `minLen` or more
+    * tokens that occurs two or more times in the corpus — including
+    * the first occurrence (the tool's documented aggressive contract;
+    * [[dedupSpans]] remains the keep-canonical tier). Outputs the
+    * rebuilt normalized token stream plus the removed-token count and
+    * the number of MAXIMAL removed spans per doc.
+    *
+    * Exactness: a token at position p is inside a duplicated
+    * substring of length ≥ L iff some length-L window containing p
+    * occurs ≥ 2 times (any occurrence of the longer substring
+    * contains an occurrence of that window, and a duplicated window
+    * IS a duplicated length-L substring). So fixed-L window coverage
+    * equals suffix-array ≥L-match coverage — the same removed set the
+    * suffix-array formulation derives, without materializing suffix
+    * ranks. Self-repeats inside one doc and overlapping occurrences
+    * are counted by position, exactly as suffix-array matching does.
+    *
+    * Scale shape, two tiers (the "k-mer prefix group → in-group
+    * extension" decomposition): stage 1 hashes only `prefilterK`-token
+    * prefixes at every eligible position (cheap, O(k) per position)
+    * and keeps positions whose prefix group has ≥ 2 members — every
+    * duplicated L-window must start with a duplicated k-prefix, so
+    * the prune is lossless. Stage 2 computes the full L-token digest
+    * ONLY at surviving positions, via one join of candidate position
+    * lists back to the token arrays (token payloads shuffle once,
+    * keyed by id; digests — 32 bytes — are all that shuffles wide).
+    * The per-doc rebuild is a scan-local indexed filter; maximal-span
+    * merge is a scan-local pass over the sorted covered positions.
+    * No Window over the corpus, no all-pairs step.
+    */
+  def exactSubstrCut(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, prefilterK: Int = 8): DataFrame = {
+    require(minLen >= 2, s"exactSubstrCut: minLen must be >= 2, got $minLen")
+    require(prefilterK >= 2 && prefilterK <= minLen,
+      s"exactSubstrCut: prefilterK must be in [2, minLen], got $prefilterK")
+    val toked = Partitioning.fanOut(df)
+      .select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // stage 1: cheap k-token prefix digests at every position that can
+    // start a full minLen window
+    val kpos = toked
+      .select(col("__id"), explode(when(size(col("__toks")) >= minLen,
+          transform(sequence(lit(0), size(col("__toks")) - minLen),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(prefilterK)))).as("kdg"))))
+        .otherwise(array().cast("array<struct<pos:int,kdg:string>>"))).as("__o"))
+      .select(col("__id"), col("__o.pos").as("__pos"), col("__o.kdg").as("__kdg"))
+    val dupPrefix = kpos.groupBy(col("__kdg"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2).select("__kdg")
+    val candidates = kpos.join(dupPrefix, Seq("__kdg"), "left_semi")
+      .groupBy(col("__id")).agg(collect_list(col("__pos")).as("__cands"))
+    // stage 2: in-group extension — full-window digests at candidate
+    // positions only (docs with no candidate drop out of the join)
+    val lpos = toked.join(candidates, Seq("__id"))
+      .select(col("__id"),
+        explode(transform(col("__cands"),
+          p => struct(p.as("pos"),
+            md5(concat_ws(" ", slice(col("__toks"), p + 1, lit(minLen)))).as("ldg")))).as("__o"))
+      .select(col("__id"), col("__o.pos").as("__pos"), col("__o.ldg").as("__ldg"))
+    val dupWindow = lpos.groupBy(col("__ldg"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2).select("__ldg")
+    // CUT: every occurrence's positions are covered — no canonical kept
+    val covered = lpos.join(dupWindow, Seq("__ldg"), "left_semi")
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + minLen - 1)).as("__cp"))
+      .groupBy(col("__id")).agg(sort_array(collect_set(col("__cp"))).as("__rm"))
+    val kept = when(col("__rm").isNull, col("__toks")).otherwise(
+      filter(col("__toks"), (_, i) => !array_contains(col("__rm"), i)))
+    // a maximal span starts wherever the sorted covered list breaks
+    val nSpans = when(col("__rm").isNull, lit(0L)).otherwise(
+      size(filter(transform(sequence(lit(0), size(col("__rm")) - 1),
+        // CaseWhen is lazy: element_at(__rm, 0) (invalid index) is
+        // never evaluated on the i = 0 branch
+        i => when(i === 0, lit(true)).otherwise(
+          element_at(col("__rm"), i + 1) =!= element_at(col("__rm"), i) + 1)),
+        b => b)).cast("long"))
+    toked.join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        concat_ws(" ", kept).as(textCol),
+        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_tokens_removed"),
+        nSpans.as("n_spans_removed"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic MinHash parameters: h_i(x) = (a_i·x + b_i) mod p

@@ -258,6 +258,15 @@ object Transforms {
         cfg.str("text_field").getOrElse("text"),
         k = cfg.int("k").getOrElse(8),
         minCount = cfg.int("min_count").getOrElse(2))
+    // exact-substring dedup, Lee et al. ExactSubstr CUT semantics:
+    // every occurrence of any >= min_len-token duplicated substring
+    // is removed (dedup_spans is the keep-canonical tier)
+    case "dedup_substrings" =>
+      val cfg = t.config
+      graft.ops.Dedup.exactSubstrCut(df, cfg.reqStr("id_field"),
+        cfg.str("text_field").getOrElse("text"),
+        minLen = cfg.int("min_len").getOrElse(50),
+        prefilterK = cfg.int("prefilter_k").getOrElse(8))
     // corpus-level line dedup: strip lines appearing in >= min_df
     // distinct documents (C4/RefinedWeb boilerplate removal)
     case "dedup_lines" =>
@@ -500,7 +509,7 @@ object Transforms {
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8",
-    "dedup_lines", "dedup_spans", "corpus_diff", "dsir_weights", "c4_filter",
+    "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",

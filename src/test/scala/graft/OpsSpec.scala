@@ -780,6 +780,75 @@ class OpsSpec extends SparkSuite {
     assert(out2(2L) == ("", 8L))
   }
 
+  test("exact-substring cut: every occurrence removed including the first") {
+    val span = "one two three four five six seven eight nine ten" // 10 tokens
+    val df = Seq(
+      (1L, span + " tail aaa"),             // first occurrence: cut too
+      (2L, "head " + span + " ending bbb"),
+      (3L, span),
+      (4L, "totally different words here"),
+      (5L, "one two three four five six seven eight nine") // 9 < minLen
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.exactSubstrCut(df, "doc_id", "text", minLen = 10, prefilterK = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("tail aaa", 10L, 1L))
+    assert(out(2L) == ("head ending bbb", 10L, 1L))
+    assert(out(3L) == ("", 10L, 1L))
+    assert(out(4L) == ("totally different words here", 0L, 0L))
+    assert(out(5L) == ("one two three four five six seven eight nine", 0L, 0L))
+    // self-repeat inside ONE doc is a duplicate too; the two
+    // occurrences are separated so they count as two maximal spans
+    val df2 = Seq((9L, span + " gap " + span)).toDF("doc_id", "text")
+    val out2 = graft.ops.Dedup.exactSubstrCut(df2, "doc_id", "text", 10, 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out2(9L) == ("gap", 20L, 2L))
+  }
+
+  test("exact-substring cut matches a quadratic brute-force oracle; k-prefix prune is lossless") {
+    val L = 10
+    def toks(s: String): Vector[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'z').map(_.toString)
+    val phrase = (1 to 12).map(i => s"p$i") // planted 12-token duplicate
+    val base = (1 to 30).map { i =>
+      val body = Vector.fill(20 + rnd.nextInt(40))(vocab(rnd.nextInt(26)))
+      val t = if (i % 5 == 0) { // plant into 6 docs at random offsets
+        val at = rnd.nextInt(body.length)
+        body.take(at) ++ phrase ++ body.drop(at)
+      } else body
+      (i.toLong, t.mkString(" "))
+    }
+    val overlapped = phrase ++ phrase.drop(2) // overlapping occurrences
+    val docs = base ++ Seq(
+      (31L, (phrase ++ Vector.fill(15)("z") ++ phrase).mkString(" ")), // self-repeat
+      (32L, overlapped.mkString(" ")),
+      (33L, base.head._2)) // whole-doc duplicate of doc 1
+    // quadratic oracle straight from the definition: a position is
+    // removed iff some L-window containing it occurs >= 2 times
+    val wins = docs.flatMap { case (id, text) =>
+      val t = toks(text)
+      (0 to t.length - L).map(p => (t.slice(p, p + L).mkString(" "), id, p))
+    }
+    val dupKeys = wins.groupBy(_._1).filter(_._2.size >= 2).keySet
+    val covered = wins.filter(w => dupKeys(w._1))
+      .flatMap { case (_, id, p) => (p until p + L).map(id -> _) }
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+    val expected = docs.map { case (id, text) =>
+      val t = toks(text)
+      val cov = covered.getOrElse(id, Set.empty[Int])
+      val kept = t.zipWithIndex.collect { case (w, i) if !cov(i) => w }.mkString(" ")
+      id -> (kept, cov.size.toLong, cov.toVector.sorted.count(p => !cov(p - 1)).toLong)
+    }.toMap
+    assert(expected.values.map(_._2).sum > 0) // the plant actually fired
+    val df = docs.toDF("doc_id", "text")
+    for (k <- Seq(4, L)) { // prefilterK = minLen disables the prune tier
+      val got = graft.ops.Dedup.exactSubstrCut(df, "doc_id", "text", minLen = L, prefilterK = k)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == expected, s"prefilterK=$k")
+    }
+  }
+
   test("temperature sample: smallest class intact, rates follow sqrt(nmin/nc), deterministic") {
     // classes: a=400, b=100, c=25 -> q: sqrt(1/16)=0.25, sqrt(1/4)=0.5, 1.0
     val df = ((1 to 400).map(i => (i.toLong, "a")) ++
