@@ -35,10 +35,12 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Partitioning.fanOut(t(spark, dir, "documents"))
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark only
-    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench sessions) — normalize it back to a (microsecond)
-    * timestamp so downstream operators see a proper time column.
+  /** Normalize `events.ts` to a session-zone timestamp whatever the
+    * testdata vintage stored physically: nanosecond-int64 (read with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench
+    * sessions), TIMESTAMP_NTZ (microsecond parquet timestamps), or a
+    * plain timestamp. Downstream operators always see TimestampType
+    * (unix_millis & friends reject NTZ).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val df = t(spark, dir, "events")
@@ -48,6 +50,9 @@ object SparkEntry {
         // 1e18 ns magnitudes rounds in the last ulp and shifts a
         // microsecond — `div` keeps it exact
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session zone is UTC in every graft session: instant-preserving
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
@@ -768,6 +773,30 @@ object SparkEntry {
     "x_text_nb_classify" -> ((s, d) =>
       TextAnalysis.nbScores(docs(s, d), "doc_id", "lang", "text")
         .withColumn("log_post", round(col("log_post"), 6))),
+    // fastText-style closed-form linear classifier (boolean accuracy
+    // contract, the x_ann_ivf_recall shape): the synthetic corpus's
+    // lang labels carry no text signal (token distributions track the
+    // class priors), so the gate tests the honest learnable task —
+    // recover a lexical decision boundary ("does the doc contain the
+    // token 'stream'") from hashed n-gram features on a held-out
+    // split. Majority baseline 0.78; the closed-form ridge fit scores
+    // 0.956 — the bound 0.9 separates learning from prior-guessing.
+    // Training reads only even doc_ids; the model must generalize to
+    // the odd half. LinearClassifierSpec pins the exact solver math.
+    "x_text_linear_classify" -> ((s, d) => {
+      val labeled = docs(s, d).withColumn("__y",
+        when(array_contains(TextAnalysis.tokens(col("text")), "stream"),
+          "pos").otherwise("neg"))
+      val m = graft.ops.LinearClassifier.fit(
+        labeled.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "__y", "text", nBuckets = 512, lambda = 1e-4)
+      val test = labeled.where(pmod(col("doc_id"), lit(2)) === 1)
+      m.predict(test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("__y")), Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_scored"),
+          (avg(when(col("predicted") === col("__y"), 1.0).otherwise(0.0))
+            >= 0.9).as("holdout_acc_ge_090"))
+    }),
     // order-3 rung: BOS-padded uniform scoring positions, one formula
     // for every token — the oracle rebuilds all four count tables and
     // replays the interpolation exactly
@@ -2422,6 +2451,16 @@ object SparkEntry {
       SELECT s.doc_id, s.cls AS class,
              round(s.ll + ln(CAST(p.nd AS DOUBLE) / nd.n), 6) AS log_post
       FROM s JOIN pri p ON s.cls = p.cls, nd""",
+
+    // linear-classifier accuracy contract (see x_text_linear_classify
+    // query comment): the oracle asserts the contract and the exact
+    // holdout population (odd doc_ids with >= 1 token); the engine
+    // measures the accuracy.
+    "x_text_linear_classify" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_scored, true AS holdout_acc_ge_090
+      FROM documents
+      WHERE doc_id % 2 = 1
+        AND len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) > 0""",
 
     "x_text_trigram_ppx" -> """
       WITH toks AS MATERIALIZED (

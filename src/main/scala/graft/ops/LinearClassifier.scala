@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style linear text classifier, closed-form.
+  *
+  * Architecture follows fastText (Joulin et al. 2016, "Bag of Tricks
+  * for Efficient Text Classification" — public paper): a document is
+  * a bag of hashed word n-gram features (unigrams + bigrams, hashing
+  * trick into `nBuckets` buckets) feeding a single linear layer, one
+  * score per class. The published trainer is SGD; we replace it with
+  * the closed-form regularized least-squares (ridge) fit so training
+  * is deterministic and single-pass — the same "distributed moment
+  * fold → dim²-bounded driver solve" shape as [[Pca.fit]]:
+  *
+  *   W = (XᵀX + λ n I)⁻¹ Xᵀ Y      (Y one-hot, one column per class)
+  *
+  * Features are BINARY presence indicators (bucket seen in the doc →
+  * 1.0) plus a constant bias feature at index `nBuckets`; the bucket
+  * hash is the 16-bit md5 prefix used by
+  * [[TextAnalysis.dsirBucketLogProbs]], so feature extraction is
+  * SQL-replayable cross-engine. This is the "model-based quality
+  * scoring beyond NB" rung: train on a curated-vs-raw label and keep
+  * the top-scored documents (the GPT-3 / LLaMA corpus-filter recipe).
+  *
+  * Scale shape: fitting never shuffles — feature arrays are
+  * scan-local column expressions and the Gram/moment accumulation is
+  * a per-partition fold collected as one (nBuckets+1)²/2-sized row
+  * per partition; the solve is driver-local dim³ on a dim ≤ ~1k
+  * matrix. Scoring is a zero-shuffle projection: the weight rows ride
+  * into the plan as array literals (broadcast by construction), so a
+  * 100 TB corpus is scored at scan speed.
+  *
+  * Reference surface analogue: the reference has no trained
+  * classifier; this extends the curation suite (main.py has no
+  * counterpart — §2.6 extension).
+  */
+object LinearClassifier {
+
+  /** Fitted model: `classes` sorted lexicographically; `weights(c)`
+    * has nBuckets feature weights followed by the bias at index
+    * nBuckets.
+    */
+  final case class LinearTextModel(
+      nBuckets: Int,
+      classes: Array[String],
+      weights: Array[Array[Double]]) {
+
+    require(classes.length == weights.length,
+      "linear model: one weight row per class")
+
+    /** Per-document raw scores, one row per (doc, class):
+      * score = Σ_{b ∈ doc buckets} w_c(b) + bias_c. Zero-shuffle:
+      * the bucket array is scan-local and each class's weight row is
+      * an array literal. Documents with no features produce no rows
+      * (same contract as [[TextAnalysis.nbScores]]).
+      */
+    def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val withB = docs
+        .withColumn("__b", bucketArray(col(textCol), nBuckets))
+        .where(size(col("__b")) > 0)
+      val scored = classes.zip(weights).map { case (cls, w) =>
+        val feat = typedLit(w.take(nBuckets).toSeq)
+        val s = aggregate(col("__b"), lit(0.0),
+          (acc, b) => acc + element_at(feat, b + 1)) + lit(w(nBuckets))
+        struct(lit(cls).as("class"), s.as("score"))
+      }
+      withB
+        .select(col(idCol), explode(array(scored.toIndexedSeq: _*)).as("__s"))
+        .select(col(idCol), col("__s.class").as("class"), col("__s.score").as("score"))
+    }
+
+    /** Deterministic argmax over [[score]]: highest score wins, exact
+      * float ties break toward the lexicographically LAST class (max
+      * of a (score, class) struct — no Window, one hash aggregate).
+      */
+    def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      score(docs, idCol, textCol)
+        .groupBy(col(idCol))
+        .agg(max(struct(col("score"), col("class"))).as("__m"))
+        .select(col(idCol), col("__m.class").as("predicted"),
+          col("__m.score").as("score"))
+  }
+
+  /** Sorted distinct hashed-ngram buckets of a document: unigram
+    * tokens plus adjacent-word bigrams, each mapped through the
+    * 16-bit md5-prefix bucket hash (the exact
+    * [[TextAnalysis.dsirBucketLogProbs]] formula). Sorted + distinct
+    * so the Gram fold's float-accumulation order is canonical.
+    */
+  private[ops] def bucketArray(text: Column, nBuckets: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    array_sort(array_distinct(transform(concat(toks, bigrams),
+      g => (conv(substring(md5(g), 1, 4), 16, 10).cast("long") % nBuckets).cast("int"))))
+  }
+
+  /** Fit by one distributed moment pass + driver Cholesky solve.
+    * `lambda` is the ridge coefficient per training row (the λ in
+    * W = (XᵀX + λ n I)⁻¹ Xᵀ Y); must be > 0 — it is what makes the
+    * normal matrix positive-definite regardless of data rank.
+    *
+    * Determinism: bucket arrays are sorted, partition folds visit
+    * rows in scan order, and partials combine in partition order
+    * (the [[Pca.fit]] precedent).
+    */
+  def fit(docs: DataFrame, idCol: String, labelCol: String, textCol: String,
+      nBuckets: Int = 512, lambda: Double = 1e-4): LinearTextModel = {
+    require(nBuckets >= 2, s"linear fit: nBuckets=$nBuckets must be >= 2")
+    require(lambda > 0, s"linear fit: lambda=$lambda must be > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val dim = nBuckets + 1 // + bias feature
+    val tri = dim * (dim + 1) / 2
+
+    val feats = Partitioning.fanOut(docs)
+      .select(col(labelCol).cast("string").as("__y"),
+        bucketArray(col(textCol), nBuckets).as("__b"))
+      .where(col("__y").isNotNull && size(col("__b")) > 0)
+      .as[(String, Seq[Int])]
+
+    val classes = feats.select(col("__y")).distinct()
+      .as[String].collect().sorted
+    require(classes.length >= 2,
+      s"linear fit: need >= 2 classes, got ${classes.mkString(",")}")
+    val classIdx = classes.zipWithIndex.toMap
+    val nClasses = classes.length
+    val bcIdx = spark.sparkContext.broadcast(classIdx)
+
+    // per-partition fold: upper-tri Gram + per-class moment columns.
+    // Binary features mean x_i x_j = 1 on active-index pairs, so the
+    // fold is sparse: |active|² adds per doc, nothing dim-sized.
+    val partials = feats.mapPartitions { it =>
+      val idx = bcIdx.value
+      var n = 0L
+      val g = new Array[Double](tri)
+      val r = new Array[Double](dim * idx.size)
+      it.foreach { case (y, buckets) =>
+        val c = idx(y)
+        n += 1
+        // active feature indices, ascending (buckets sorted; bias last)
+        val act = new Array[Int](buckets.length + 1)
+        var k = 0
+        buckets.foreach { b => act(k) = b; k += 1 }
+        act(k) = dim - 1
+        var i = 0
+        while (i < act.length) {
+          val ai = act(i)
+          // upper-tri flat offset for row ai: ai*dim - ai*(ai-1)/2
+          val rowOff = ai * dim - ai * (ai - 1) / 2 - ai
+          var j = i
+          while (j < act.length) { g(rowOff + act(j)) += 1.0; j += 1 }
+          r(ai * idx.size + c) += 1.0
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single((n, g.toSeq, r.toSeq))
+    }.collect() // one row per non-empty partition, partition order
+
+    require(partials.nonEmpty, "linear fit: empty training input")
+    var n = 0L
+    val g = new Array[Double](tri)
+    val r = new Array[Double](dim * nClasses)
+    partials.foreach { case (pn, pg, pr) =>
+      n += pn
+      var i = 0
+      while (i < tri) { g(i) += pg(i); i += 1 }
+      i = 0
+      while (i < dim * nClasses) { r(i) += pr(i); i += 1 }
+    }
+
+    // dense normal matrix A = G + λ n I
+    val a = Array.ofDim[Double](dim, dim)
+    var i = 0; var t = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) { a(i)(j) = g(t); a(j)(i) = g(t); j += 1; t += 1 }
+      a(i)(i) += lambda * n
+      i += 1
+    }
+    val chol = cholesky(a)
+    val weights = Array.tabulate(nClasses) { c =>
+      val rhs = Array.tabulate(dim)(d => r(d * nClasses + c))
+      choleskySolve(chol, rhs)
+    }
+    LinearTextModel(nBuckets, classes, weights)
+  }
+
+  /** In-place-free lower-triangular Cholesky factor of a symmetric
+    * positive-definite matrix (guaranteed SPD here by λ n I).
+    */
+  private[ops] def cholesky(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    val l = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var s = a(i)(j)
+        var k = 0
+        while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+        if (i == j) {
+          require(s > 0, s"cholesky: matrix not positive definite at $i")
+          l(i)(i) = math.sqrt(s)
+        } else l(i)(j) = s / l(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    l
+  }
+
+  /** Solve A x = b given A's Cholesky factor L (A = L Lᵀ): forward
+    * then back substitution.
+    */
+  private[ops] def choleskySolve(l: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = l.length
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = b(i)
+      var k = 0
+      while (k < i) { s -= l(i)(k) * y(k); k += 1 }
+      y(i) = s / l(i)(i)
+      i += 1
+    }
+    val x = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = y(i)
+      var k = i + 1
+      while (k < n) { s -= l(k)(i) * x(k); k += 1 }
+      x(i) = s / l(i)(i)
+      i -= 1
+    }
+    x
+  }
+}

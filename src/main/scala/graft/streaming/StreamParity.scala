@@ -78,8 +78,10 @@ object StreamParity {
     val root = Files.createTempDirectory("graft_stream_fixture")
     val streamDir = root.resolve("stream")
     Files.createDirectories(streamDir)
-    val bounds = df.agg(
-      min(unix_millis(col(tsCol))).as("lo"), max(unix_millis(col(tsCol))).as("hi")).head()
+    // cast: accepts TIMESTAMP_NTZ inputs (unix_millis rejects NTZ);
+    // session zone is UTC so the cast is instant-preserving
+    val tsMs = unix_millis(col(tsCol).cast("timestamp"))
+    val bounds = df.agg(min(tsMs).as("lo"), max(tsMs).as("hi")).head()
     val lo = bounds.getLong(0)
     val span = (bounds.getLong(1) - lo + 1).toDouble
     // single partitioned write (one task per chunk → one file per
@@ -88,7 +90,7 @@ object StreamParity {
     // stream schema stays the input schema
     val stage = root.resolve("stage")
     df.withColumn("__chunk",
-        least(floor((unix_millis(col(tsCol)) - lo) * chunks / span), lit(chunks - 1)).cast("int"))
+        least(floor((tsMs - lo) * chunks / span), lit(chunks - 1)).cast("int"))
       .repartition(chunks, col("__chunk"))
       .write.partitionBy("__chunk").mode("overwrite").parquet(stage.toString)
     val arrived = order.filter(c => Files.isDirectory(stage.resolve(s"__chunk=$c")))

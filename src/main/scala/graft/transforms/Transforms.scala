@@ -180,6 +180,17 @@ object Transforms {
       if (cfg.bool("predict").getOrElse(false))
         graft.ops.TextAnalysis.nbPredict(scores, cfg.reqStr("id_field"))
       else scores
+    // fastText-style closed-form linear classifier: fit on this input
+    // (labels in label_field), emit scores or argmax predictions
+    case "linear_classify" =>
+      val cfg = t.config
+      val m = graft.ops.LinearClassifier.fit(df, cfg.reqStr("id_field"),
+        cfg.reqStr("label_field"), cfg.str("text_field").getOrElse("text"),
+        nBuckets = cfg.long("buckets").getOrElse(512L).toInt,
+        lambda = cfg.double("lambda").getOrElse(1e-4))
+      if (cfg.bool("predict").getOrElse(false))
+        m.predict(df, cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"))
+      else m.score(df, cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"))
     // order-3: BOS-padded uniform positions, λ₃/λ₂/λ₁ interpolation
     case "text_trigram_ppx" =>
       val cfg = t.config
@@ -506,7 +517,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
-    "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "pca_whiten",
+    "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
@@ -645,9 +656,19 @@ object MapOp {
       case "int" | "long" => castTo("BIGINT")
       case "float" | "double" => castTo("DOUBLE")
       case "str" | "string" => c(field).cast(StringType)
-      // epoch-nanos long → timestamp (integer div: `/` is double
-      // division and drifts a microsecond at 1e18 magnitudes)
-      case "ns_to_timestamp" => timestamp_micros(expr(s"$q div 1000"))
+      // event-time normalization → timestamp, adaptive to how the
+      // source stored the column: epoch-nanos long (integer div: `/`
+      // is double division and drifts a microsecond at 1e18
+      // magnitudes), TIMESTAMP_NTZ (cast through the session zone —
+      // UTC in every graft session, so instants are preserved), or
+      // already a timestamp (no-op). Keeps one spec working across
+      // testdata vintages that switched the physical type.
+      case "ns_to_timestamp" =>
+        df.schema.find(_.name == field).map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.TimestampNTZType) => c(field).cast("timestamp")
+          case Some(org.apache.spark.sql.types.TimestampType) => c(field)
+          case _ => timestamp_micros(expr(s"$q div 1000"))
+        }
       case other => throw new GraftAnalysisException(s"map: unknown operation '$other'")
     }
     df.withColumn(out, e)

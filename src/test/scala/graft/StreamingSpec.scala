@@ -158,9 +158,14 @@ class StreamingSpec extends SparkSuite {
   test("checkpoint recovery: restart mid-replay neither loses nor duplicates windows") {
     import java.nio.file.{Files => JFiles, StandardCopyOption}
     import graft.streaming.{StreamParity, Streaming}
-    val ev = sf("events").limit(800)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select($"ts", $"event_type", $"value".cast("decimal(18,6)").as("value"))
+    val evRaw = sf("events").limit(800)
+    // normalize ts whatever the testdata vintage: int64-nanos or
+    // (NTZ) timestamp — mirror of SparkEntry's events() adapter
+    val ev = (evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => evRaw.withColumn("ts", $"ts".cast("timestamp"))
+    }).select($"ts", $"event_type", $"value".cast("decimal(18,6)").as("value"))
     val (staged, _) = StreamParity.writeChunksInOrder(ev, "ts", 0 until 6)
     val watched = JFiles.createTempDirectory("graft_ckpt_watch")
     val outDir = JFiles.createTempDirectory("graft_ckpt_out").toString
