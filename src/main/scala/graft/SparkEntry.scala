@@ -1040,6 +1040,36 @@ object SparkEntry {
         Multimodal.packTextMp4(t(s, d, "documents"), "doc_id", "text"),
         "id", "media")),
 
+    // REAL frame-level video path (the MJPEG rung the round-7 verdict
+    // named): spec-correct RIFF/AVI containers whose 00dc chunks are
+    // real baseline JPEGs (JpegEncoder) of known 16×16 gradients,
+    // demuxed by AviCodec and pixel-decoded by JpegCodec. The gate
+    // replays each frame's expected mean luminance analytically
+    // (higher-order functions over sequence(0,255) — exact integer
+    // arithmetic) and asserts every decoded frame lands within the
+    // JPEG DC rounding band (±3); the oracle needs only
+    // octet_length(text) for the frame counts plus the contract
+    // booleans the engine must earn.
+    "x_multimodal_mjpeg_frames" -> ((s, d) => {
+      val frames = Multimodal.decodeMjpegFrames(
+        Multimodal.packTextMjpegAvi(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")
+      val cterm = col("frame_idx") * 80 + pmod(col("id"), lit(5)).cast("int") * 16
+      val expectedMean = aggregate(
+        sequence(lit(0), lit(255)), lit(0L),
+        (acc, i) => acc + shiftright(
+          lit(17) * floor(i / 16).cast("int") + lit(17) * pmod(i, lit(16)) + cterm,
+          2).cast("long")).cast("double") / 256.0
+      frames.withColumn("__exp", expectedMean)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          min(col("width") === 16 && col("height") === 16 &&
+            col("channels") === 1).as("dims_ok"),
+          (max(abs(col("mean_luma") - col("__exp"))) < 3.0).as("luma_ok"))
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("dims_ok"), col("luma_ok"))
+    }),
+
     // REAL audio path: spec-correct 8-bit PCM WAVs built from each
     // doc's bytes, fully decoded back to samples (AudioPcm), then the
     // classic integer clip features — peak, energy, zero crossings —
@@ -2815,6 +2845,15 @@ object SparkEntry {
              CAST(16 + len % 640 AS INTEGER) AS width,
              CAST(16 + (len * 7) % 480 AS INTEGER) AS height
       FROM b""",
+    // MJPEG frame contract (see x_multimodal_mjpeg_frames query
+    // comment): frame counts replay from the text length; the dims
+    // and luminance-band verdicts are the booleans the decode must
+    // earn on every frame.
+    "x_multimodal_mjpeg_frames" -> """
+      SELECT doc_id,
+             CAST(2 + octet_length(encode(coalesce(text, ''))) % 4 AS BIGINT) AS n_frames,
+             true AS dims_ok, true AS luma_ok
+      FROM documents""",
     "x_multimodal_audio" -> """
       WITH b AS (
         SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,

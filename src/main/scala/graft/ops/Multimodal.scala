@@ -432,13 +432,118 @@ object Multimodal {
             case Some(m) =>
               (id, payload.length.toLong, "video/mp4", m.brand,
                 Some(m.durationMs), m.width, m.height)
-            case None =>
-              (id, payload.length.toLong, null: String, null: String,
-                None: Option[Long], None: Option[Int], None: Option[Int])
+            case None => AviCodec.demux(payload) match {
+              case Some(a) =>
+                (id, payload.length.toLong, "video/avi", a.handler,
+                  Some(a.durationMs), Some(a.width), Some(a.height))
+              case None =>
+                (id, payload.length.toLong, null: String, null: String,
+                  None: Option[Long], None: Option[Int], None: Option[Int])
+            }
           }
         }
       }
       .toDF("id", "byte_len", "mime_detected", "brand", "duration_ms", "width", "height")
+  }
+
+  /** Build REAL MJPEG AVI clips from a text column — the video twin
+    * of [[packTextMp4]], but with DECODABLE frames: 2 + len mod 4
+    * grayscale 16×16 frames per document, each a smooth gradient
+    * parameterized by (frame index, doc id) — pixel(x, y) =
+    * (17x + 17y + 80·f + 16·(id mod 5)) >> 2, values ≤ 223 so no
+    * clipping — encoded through [[JpegEncoder]] and muxed by
+    * [[AviCodec]]. Every header field and the per-frame mean
+    * luminance are arithmetic functions of octet_length(text) and
+    * id, so gates can replay expectations exactly.
+    */
+  def packTextMjpegAvi(df: DataFrame, idCol: String, textCol: String,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val len = math.min(bytes0.length, maxBytes)
+          val nFrames = 2 + (len % 4)
+          val frames = (0 until nFrames).map { f =>
+            val c = f * 80 + (id % 5).toInt * 16
+            val px = new Array[Byte](256)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                px(y * 16 + x) = ((17 * x + 17 * y + c) >> 2).toByte
+                x += 1
+              }
+              y += 1
+            }
+            JpegEncoder.encode(PngCodec.Image(16, 16, 1, px), quality = 90)
+          }
+          (id, AviCodec.encode(16, 16, fps = 25, frames))
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("video/avi").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(16).as("width"),
+          lit(16).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** REAL frame-level video decode for MJPEG AVI payloads: demux the
+    * RIFF container ([[AviCodec]]), decode every `stride`-th frame
+    * chunk with the from-spec [[JpegCodec]], and emit one row per
+    * decoded frame with its pixel statistics — (id, frame_idx, width,
+    * height, channels, mean_luma). Payloads that are not MJPEG AVIs
+    * (or frames that fail to decode) produce no rows; pair with
+    * [[frameSample]] when only payload segmentation is needed.
+    *
+    * Scale shape: pure flatMap — codec work is scan-local per
+    * payload, output is one short row per frame, nothing shuffles.
+    */
+  def decodeMjpegFrames(df: DataFrame, idCol: String, mediaCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride > 0, s"mjpeg frames: stride=$stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          AviCodec.demux(payload).iterator.flatMap { avi =>
+            avi.frames.iterator.zipWithIndex
+              .filter { case (_, i) => i % stride == 0 }
+              .flatMap { case ((off, len), i) =>
+                val frame = java.util.Arrays.copyOfRange(payload, off, off + len)
+                JpegCodec.decode(frame).map { img =>
+                  var lumaSum = 0L
+                  val n = img.width * img.height
+                  var j = 0
+                  if (img.channels == 1) {
+                    while (j < n) { lumaSum += img.pixels(j) & 0xFF; j += 1 }
+                  } else {
+                    // integer BT.601 luma on RGB frames (per mille)
+                    while (j < n) {
+                      val r = img.pixels(j * 3) & 0xFF
+                      val g = img.pixels(j * 3 + 1) & 0xFF
+                      val b = img.pixels(j * 3 + 2) & 0xFF
+                      lumaSum += (299 * r + 587 * g + 114 * b) / 1000
+                      j += 1
+                    }
+                  }
+                  (id, i, img.width, img.height, img.channels,
+                    lumaSum.toDouble / n)
+                }
+              }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "width", "height", "channels", "mean_luma")
   }
 
   /** Transcoder seam for resize: a real deployment wraps an image

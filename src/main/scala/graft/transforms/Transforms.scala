@@ -421,6 +421,12 @@ object Transforms {
       graft.ops.Multimodal.frameSample(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
         t.config.int("n_frames").getOrElse(8), t.config.int("stride").getOrElse(1))
+    // REAL frame-level decode for MJPEG AVI payloads (RIFF demux +
+    // from-spec JPEG decode per frame chunk)
+    case "mjpeg_frames" =>
+      graft.ops.Multimodal.decodeMjpegFrames(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        stride = t.config.int("stride").getOrElse(1))
     // Gap sessionization for STREAMING pipelines (chain after a
     // `watermark` transform). Modes: event_time (watermark-closed,
     // production default), out_of_order (sorter-buffered, tolerates
@@ -523,7 +529,7 @@ object Transforms {
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features",
+    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "mjpeg_frames",
     "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))
