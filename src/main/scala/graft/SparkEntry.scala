@@ -974,6 +974,19 @@ object SparkEntry {
         threshold = 0.3, planes = 8, bruteForce = false)
         .withColumn("cosine", round(col("cosine"), 4))),
 
+    // SemDeDup (Abbas et al. 2023) with md5-derived gate centroids
+    // (the sign-LSH precedent): EVERY stage — scan-local argmax
+    // cell assignment, centroid cosine, and the paper's
+    // upper-triangular drop rule over the (centroid_cos, id) keep
+    // order — replays in SQL, so the complete per-vector verdict
+    // table is hash-gated. Production mode is spherical k-means
+    // (SemDedupSpec pins the planted-twin behavior); the hash mode
+    // shares every line of code after centroid choice.
+    "x_dedup_semantic" -> ((s, d) =>
+      Dedup.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 8, eps = 0.3, centroidMode = "hash")
+        .withColumn("centroid_cos", round(col("centroid_cos"), 6))),
+
     // embedding-space contamination across an id split: the semantic
     // sibling of x_dedup_contamination (paraphrased leaks). Oracle
     // recomputes the identical md5-derived single-table buckets +
@@ -2941,6 +2954,47 @@ object SparkEntry {
                 * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
         FROM c a JOIN c b ON a.vec_id < b.vec_id AND a.bkt = b.bkt)
       WHERE cosine >= 0.3""",
+    // SemDeDup replay (see x_dedup_semantic query comment): md5
+    // centroids re-derived in SQL, same element-order cosine folds,
+    // argmax by (cos DESC, cell DESC), drop iff a strictly
+    // keep-preferred same-cell neighbor clears eps.
+    "x_dedup_semantic" -> s"""
+      WITH cent AS (
+        SELECT c,
+               list_transform(range(64), j ->
+                 CAST(('0x' || substr(md5('centroid_42_' || CAST(c AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000 / 1000000.0 - 0.5) AS cv
+        FROM (SELECT unnest(range(8)) AS c)),
+      cn AS (
+        SELECT c, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnorm FROM cent),
+      e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(range(64), i ->
+                 CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS vn
+        FROM embeddings
+        WHERE len(embedding) = 64),
+      sc AS (
+        SELECT e.vec_id, e.embedding, e.vn, cn.c AS cell,
+               list_sum(list_transform(range(64), i ->
+                 CAST(e.embedding[i+1] AS DOUBLE) * cn.cv[CAST(i+1 AS INTEGER)]))
+                 / (e.vn * cn.cnorm) AS cos
+        FROM e CROSS JOIN cn
+        WHERE e.vn > 0),
+      best AS (
+        SELECT vec_id, embedding, vn, cell, cos FROM sc
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) = 1),
+      drops AS (
+        SELECT DISTINCT x.vec_id
+        FROM best x JOIN best y ON x.cell = y.cell
+          AND (y.cos < x.cos OR (y.cos = x.cos AND y.vec_id < x.vec_id))
+          AND list_sum(list_transform(range(64), i ->
+                CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))
+              / (x.vn * y.vn) >= 0.3)
+      SELECT b.vec_id, CAST(b.cell AS INTEGER) AS cell,
+             round(b.cos, 6) AS centroid_cos,
+             (d.vec_id IS NULL) AS kept
+      FROM best b LEFT JOIN drops d ON b.vec_id = d.vec_id""",
+
     "x_embed_contamination" -> s"""
       WITH c AS (
         SELECT vec_id, embedding, ${lshBucketSql("embedding", 64, 8)} AS bkt

@@ -911,6 +911,113 @@ object Dedup {
     }
   }
 
+  // ------------------------------------------------------------ SemDeDup
+
+  /** md5-derived pseudo-random centroids — the [[graft.expr.SignLshKernel]]
+    * convention with a `centroid_` label, so an oracle can re-derive
+    * every component as
+    * `pmod(conv(substring(md5('centroid_{seed}_{c}_{j}'), 1, 8), 16, 10), 1e6)/1e6 - 0.5`.
+    */
+  private[graft] def hashCentroids(k: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(k, dim) { (c, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"centroid_${seed}_${c}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      (v % 1000000L).toDouble / 1000000.0 - 0.5
+    }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by embedding clustering — cluster the corpus with
+    * k-means, then inside each cluster drop every example whose
+    * cosine to a KEEP-PREFERRED neighbor clears `eps`. Keep
+    * preference is the paper's rule: the example with the LOWEST
+    * cosine to its cluster centroid survives a duplicate pair (edge
+    * examples carry more training signal than cluster-center
+    * boilerplate). The published implementation realizes this as an
+    * upper-triangular max over the centroid-similarity order, which
+    * is exactly the declarative rule used here — drop x iff some y in
+    * the same cluster has (centroid_cos, id) strictly below x's and
+    * cosine(x, y) ≥ eps — no sequential pass, no recursion, no
+    * Window.
+    *
+    * `centroidMode`:
+    *  - "kmeans" (production): spherical Lloyd's on the bounded
+    *    deterministic sample — the [[Similarity.IvfIndex]] trainer.
+    *  - "hash": md5-derived fixed centroids ([[hashCentroids]]) —
+    *    every stage replays in SQL, so the full drop set is
+    *    hash-oracle-checkable (the sign-LSH gate precedent).
+    *
+    * Output: (idCol, cell, centroid_cos, kept) for EVERY input row
+    * with a non-null vector.
+    *
+    * Scale shape: assignment is scan-local (k×dim centroid literals
+    * ride the plan; one argmax struct per row — zero shuffle); the
+    * within-cluster pair probe shuffles (cell, id, vector) once and
+    * self-joins per cell — O(Σ n_c²) exact-cosine kernel evals, the
+    * paper's own cost model, controlled by k (clusters per corpus
+    * grows with the corpus: n/k items per cluster stays bounded).
+    * The drop set is a semi-join back on id. No driver collect
+    * anywhere but the bounded k-means sample.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int = 16, eps: Double = 0.95, seed: Long = 42L,
+      centroidMode: String = "kmeans", sampleSize: Int = 65536): DataFrame = {
+    require(dim > 0, s"semdedup: dim=$dim must be positive")
+    require(k >= 2, s"semdedup: k=$k must be >= 2")
+    require(eps > 0 && eps <= 1, s"semdedup: eps=$eps must be in (0, 1]")
+    val centroids: Array[Array[Double]] = centroidMode match {
+      case "hash" => hashCentroids(k, dim, seed)
+      case "kmeans" =>
+        // train on exactly the population assignment will see: right
+        // dim, non-null, non-zero norm
+        val base = df.select(col(idCol).as("__id"),
+          Similarity.toDoubleVec(col(vecCol)).as("__v"))
+          .where(col("__v").isNotNull && size(col("__v")) === dim &&
+            Similarity.l2norm(col("__v")) > 0)
+        val sample = Kmeans.sampleVectors(base, Seq(col("__id")), col("__v"),
+          Kmeans.cappedSampleSize(sampleSize, dim))
+        Kmeans.fit(sample, k, seed, maxIter = 30, spherical = true)
+      case other =>
+        throw new IllegalArgumentException(
+          s"semdedup: centroidMode '$other' (want kmeans|hash)")
+    }
+    val norms = centroids.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      math.sqrt(s)
+    }
+    // scan-local argmax assignment: max of (cosine, cell) structs —
+    // ties (identical cosines) break toward the HIGHEST cell on both
+    // engines' struct orderings, a total deterministic rule
+    val cands = centroids.indices.map { c =>
+      struct((graft.expr.VecDot(col("__v"), lit(centroids(c))) /
+        (Similarity.l2norm(col("__v")) * lit(norms(c)))).as("cos"), lit(c).as("cell"))
+    }
+    val assigned = df
+      .select(col(idCol).cast("long").as("__id"),
+        Similarity.toDoubleVec(col(vecCol)).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) === dim &&
+        Similarity.l2norm(col("__v")) > 0) // zero vectors have no cosine geometry
+      .withColumn("__m", greatest(cands.toIndexedSeq: _*))
+      .select(col("__id"), col("__v"), col("__m.cell").as("cell"),
+        col("__m.cos").as("centroid_cos"),
+        Similarity.l2norm(col("__v")).as("__n"))
+    val a = assigned.select(col("cell"), col("__id").as("__xa"), col("__v").as("__va"),
+      col("__n").as("__na"), col("centroid_cos").as("__ca"))
+    val b = assigned.select(col("cell"), col("__id").as("__xb"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("centroid_cos").as("__cb"))
+    // drop x iff a keep-preferred same-cell neighbor is eps-close
+    val dropped = a.join(b, Seq("cell"))
+      .where(struct(col("__cb"), col("__xb")) < struct(col("__ca"), col("__xa")))
+      .where(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= eps)
+      .select(col("__xa").as("__dropped")).distinct()
+    assigned
+      .join(dropped, col("__id") === col("__dropped"), "left")
+      .select(col("__id").as(idCol), col("cell"), col("centroid_cos"),
+        col("__dropped").isNull.as("kept"))
+  }
+
   /** CROSS-corpus embedding near-duplicates: `left` (eval) vectors
     * whose cosine against some `right` (train) vector clears
     * `threshold` — the semantic-space contamination check, catching

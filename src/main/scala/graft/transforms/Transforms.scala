@@ -108,6 +108,17 @@ object Transforms {
         bruteForce = cfg.bool("brute_force").getOrElse(false),
         dim = cfg.int("dim").getOrElse(0),
         tables = cfg.int("tables").getOrElse(1))
+    // SemDeDup (Abbas et al. 2023): semantic dedup by embedding
+    // clustering — per-row (cell, centroid_cos, kept) verdicts
+    case "semdedup" =>
+      val cfg = t.config
+      graft.ops.Dedup.semDedup(df,
+        cfg.reqStr("id_field"), cfg.str("vec_field").getOrElse("embedding"),
+        dim = cfg.reqLong("dim").toInt,
+        k = cfg.int("k").getOrElse(16),
+        eps = cfg.double("eps").getOrElse(0.95),
+        seed = cfg.long("seed").getOrElse(42L),
+        centroidMode = cfg.str("centroids").getOrElse("kmeans"))
     // cross-corpus near-dup (train/test contamination): current stream
     // is the EVAL side, `against` names the train-side source (same
     // context mechanism as join/ann_topk)
@@ -521,7 +532,7 @@ object Transforms {
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "sessionize",
     "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
-    "dedup_simhash", "dedup_embed", "ann_topk", "text_lang", "contamination", "contamination_embed",
+    "dedup_simhash", "dedup_embed", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
