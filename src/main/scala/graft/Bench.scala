@@ -47,6 +47,12 @@ object Bench {
     } catch { case _: Throwable => () }
     val mins = mutable.LinkedHashMap.empty[String, Double]
     val lasts = mutable.LinkedHashMap.empty[String, Double]
+    // operator-vs-harness split for the stream gates (round-7 advice
+    // #8): `replay` = the arrival-per-round feed loop of the min
+    // repeat (operator-dominated), `stage` = fixture staging summed
+    // across repeats (one-time per JVM, memoized after repeat 1)
+    val replays = mutable.LinkedHashMap.empty[String, Double]
+    val stages = mutable.LinkedHashMap.empty[String, Double]
     val failed = mutable.ListBuffer.empty[String]
     try {
       // noop sink materializes every output column (a bare count()
@@ -61,7 +67,13 @@ object Bench {
         // 1.7 s for the same query full-suite vs isolated); the pause
         // sits outside the timed window
         System.gc()
-        val times = (1 to repeats).flatMap { _ =>
+        var minDt = Double.MaxValue
+        var minReplay = 0.0
+        var stageSum = 0.0
+        var lastDt = 0.0
+        var okCount = 0
+        (1 to repeats).foreach { _ =>
+          graft.streaming.StreamParity.resetTimers()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -69,13 +81,23 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
             }
           val dt = (System.nanoTime() - t0) / 1e9
-          if (ok) Some(dt) else { if (!failed.contains(name)) failed += name; None }
+          if (ok) {
+            okCount += 1
+            lastDt = dt
+            stageSum += graft.streaming.StreamParity.stagingSeconds
+            if (dt < minDt) {
+              minDt = dt
+              minReplay = graft.streaming.StreamParity.replaySeconds
+            }
+          } else if (!failed.contains(name)) failed += name
         }
-        if (times.nonEmpty) {
-          mins(name) = times.min
-          lasts(name) = times.last
+        if (okCount > 0) {
+          mins(name) = minDt
+          lasts(name) = lastDt
+          if (minReplay > 0.005) replays(name) = minReplay
+          if (stageSum > 0.005) stages(name) = stageSum
           System.err.println(
-            f"[bench] $name%-24s min ${times.min}%8.2fs  last ${times.last}%8.2fs  (n=${times.size})")
+            f"[bench] $name%-24s min $minDt%8.2fs  last $lastDt%8.2fs  (n=$okCount)")
         }
       }
     } finally {
@@ -84,7 +106,8 @@ object Bench {
       val total = mins.values.sum
       val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(mins)},""" +
-        s""""queries_last":${js(lasts)},"repeats":$repeats,"failed":$failedJs,"sf":"$sfDir"}"""
+        s""""queries_last":${js(lasts)},"queries_replay":${js(replays)},""" +
+        s""""queries_stage":${js(stages)},"repeats":$repeats,"failed":$failedJs,"sf":"$sfDir"}"""
       println(line)
       // The stdout channel is lossy (the harness keeps only a bounded
       // tail, which truncates the per-query map for a 100+-query

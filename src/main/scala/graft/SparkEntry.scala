@@ -1083,6 +1083,20 @@ object SparkEntry {
           col("dims_ok"), col("luma_ok"))
     }),
 
+    // Perceptual image hash near-dup (DCT pHash → 64-bit signature →
+    // the simhash pigeonhole banding): payloads are planted-class
+    // PNGs (id mod 10 selects a fixed blocky image), so same-class
+    // pairs are byte-identical → hamming 0, and the 10 class images
+    // are low-frequency-distinct (all cross-class distances > 3,
+    // pinned in PhashSpec for every class pair — id-independent, so
+    // the guarantee holds at any scale). The oracle knows the exact
+    // pair set from ids alone.
+    "x_multimodal_phash" -> ((s, d) =>
+      graft.ops.Phash.imageNearDups(
+        Multimodal.packClassPng(t(s, d, "documents"), "doc_id", classes = 10),
+        "id", "media", maxDist = 3, bands = 4)
+        .withColumn("hamming", col("hamming").cast("long"))),
+
     // REAL audio path: spec-correct 8-bit PCM WAVs built from each
     // doc's bytes, fully decoded back to samples (AudioPcm), then the
     // classic integer clip features — peak, energy, zero crossings —
@@ -2858,6 +2872,14 @@ object SparkEntry {
              CAST(16 + len % 640 AS INTEGER) AS width,
              CAST(16 + (len * 7) % 480 AS INTEGER) AS height
       FROM b""",
+    // pHash near-dup contract (see x_multimodal_phash query comment):
+    // the pair set is the same-class id structure; every pair is an
+    // identical payload, so hamming must be exactly 0.
+    "x_multimodal_phash" -> """
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10""",
+
     // MJPEG frame contract (see x_multimodal_mjpeg_frames query
     // comment): frame counts replay from the text length; the dims
     // and luminance-band verdicts are the booleans the decode must

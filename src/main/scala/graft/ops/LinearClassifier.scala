@@ -88,8 +88,17 @@ object LinearClassifier {
     * 16-bit md5-prefix bucket hash (the exact
     * [[TextAnalysis.dsirBucketLogProbs]] formula). Sorted + distinct
     * so the Gram fold's float-accumulation order is canonical.
+    * Delegates to the codegen'd [[graft.expr.HashedGramBuckets]]
+    * kernel — the declarative five-higher-order-function chain below
+    * is interpreted per element and cost ~10 s at sf0.1 (the
+    * UrlNormalize lesson); it is retained as the SQL-replayable
+    * contract mirror, with kernel ≡ declarative pinned in the spec.
     */
-  private[ops] def bucketArray(text: Column, nBuckets: Int): Column = {
+  private[graft] def bucketArray(text: Column, nBuckets: Int): Column =
+    graft.expr.HashedGramBucketsCol(text, nBuckets)
+
+  /** The declarative mirror of [[bucketArray]] (see its scaladoc). */
+  private[graft] def bucketArrayDeclarative(text: Column, nBuckets: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
@@ -169,10 +178,15 @@ object LinearClassifier {
     val r = new Array[Double](dim * nClasses)
     partials.foreach { case (pn, pg, pr) =>
       n += pn
+      // materialize before indexing: the collected Seq is a List, and
+      // List#apply is O(i) — indexed summing over the 131k-entry
+      // triangle would be O(tri²) per partition (measured: minutes)
+      val pgA = pg.toArray
+      val prA = pr.toArray
       var i = 0
-      while (i < tri) { g(i) += pg(i); i += 1 }
+      while (i < tri) { g(i) += pgA(i); i += 1 }
       i = 0
-      while (i < dim * nClasses) { r(i) += pr(i); i += 1 }
+      while (i < dim * nClasses) { r(i) += prA(i); i += 1 }
     }
 
     // dense normal matrix A = G + λ n I

@@ -636,6 +636,59 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** Planted-class PNG payloads for perceptual-hash gates: document
+    * id mod `classes` selects one of `classes` FIXED 32×32 blocky
+    * images (4×4 super-pixel grid, each super-pixel black/white by a
+    * bit of md5(class)) — so same-class payloads are byte-identical,
+    * the class images are strongly low-frequency-distinct (blocky =
+    * energy inside pHash's kept 8×8 DCT corner), and an oracle knows
+    * the full pair structure from ids alone.
+    */
+  def packClassPng(df: DataFrame, idCol: String, classes: Int = 10): DataFrame = {
+    require(classes >= 2 && classes <= 64, s"packClassPng: classes=$classes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nClasses = classes
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { rows =>
+        val cache = new Array[Array[Byte]](nClasses)
+        def payload(c: Int): Array[Byte] = {
+          if (cache(c) == null) {
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"phash_class_$c".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val px = new Array[Byte](32 * 32)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                val bitIdx = (y / 8) * 4 + (x / 8)
+                val bit = (md(bitIdx / 8) >> (bitIdx % 8)) & 1
+                px(y * 32 + x) = if (bit == 1) 228.toByte else 28.toByte
+                x += 1
+              }
+              y += 1
+            }
+            cache(c) = PngCodec.encode(PngCodec.Image(32, 32, 1, px))
+          }
+          cache(c)
+        }
+        rows.map { id =>
+          val c = ((id % nClasses) + nClasses).toInt % nClasses
+          (id, payload(c))
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("image/png").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(32).as("width"),
+          lit(32).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
   /** Build REAL GIF payloads from a text column — pixels are the
     * document's UTF-8 bytes as a `width`-wide greyscale-palette
     * indexed image (zero-padded last row, empty text → one zero row),

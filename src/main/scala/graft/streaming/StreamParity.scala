@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamParity {
 
+  /** Harness-vs-operator instrumentation for the bench (round-7
+    * advice #8): fixture STAGING time (chunk writes — one-time per
+    * JVM thanks to the memo below) and REPLAY-loop time (the
+    * arrival-per-round feed, operator-dominated) accumulate here so
+    * Bench can report them per query next to the wall total. Reset
+    * between timed repeats; zero for non-streaming queries.
+    */
+  private val stagingNs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val replayNs = new java.util.concurrent.atomic.AtomicLong(0)
+  def resetTimers(): Unit = { stagingNs.set(0); replayNs.set(0) }
+  def stagingSeconds: Double = stagingNs.get() / 1e9
+  def replaySeconds: Double = replayNs.get() / 1e9
+
   /** Memoized staged fixtures: the bench harness times each gate
     * min-of-N, and without this every repeat pays the fixture WRITE
     * again — harness cost, not operator cost. Callers pass a
@@ -71,6 +84,13 @@ object StreamParity {
   }
 
   private def writeChunksInOrderUncached(
+      df: DataFrame, tsCol: String, order: Seq[Int]): (Path, Seq[Int]) = {
+    val __t0 = System.nanoTime()
+    try writeChunksTimed(df, tsCol, order)
+    finally stagingNs.addAndGet(System.nanoTime() - __t0)
+  }
+
+  private def writeChunksTimed(
       df: DataFrame, tsCol: String, order: Seq[Int]): (Path, Seq[Int]) = {
     val chunks = order.length
     require(chunks > 0, "order must be non-empty")
@@ -123,10 +143,13 @@ object StreamParity {
     */
   def feedSequentially(streamDir: Path, watched: Path,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val files = Files.list(streamDir).sorted().toArray.map(_.asInstanceOf[Path])
-    files.foreach { f =>
-      Files.copy(f, watched.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
-      q.processAllAvailable()
-    }
+    val __t0 = System.nanoTime()
+    try {
+      val files = Files.list(streamDir).sorted().toArray.map(_.asInstanceOf[Path])
+      files.foreach { f =>
+        Files.copy(f, watched.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+      }
+    } finally replayNs.addAndGet(System.nanoTime() - __t0)
   }
 }

@@ -432,6 +432,14 @@ object Transforms {
       graft.ops.Multimodal.frameSample(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
         t.config.int("n_frames").getOrElse(8), t.config.int("stride").getOrElse(1))
+    // perceptual-hash image near-dup: DCT pHash signatures through
+    // the simhash pigeonhole banding
+    case "image_neardup" =>
+      graft.ops.Phash.imageNearDups(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        maxDist = t.config.int("max_dist").getOrElse(3),
+        bands = t.config.int("bands").getOrElse(4),
+        maxBucketSize = t.config.int("max_bucket_size").getOrElse(0))
     // REAL frame-level decode for MJPEG AVI payloads (RIFF demux +
     // from-spec JPEG decode per frame chunk)
     case "mjpeg_frames" =>
@@ -540,7 +548,7 @@ object Transforms {
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "mjpeg_frames",
+    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "mjpeg_frames", "image_neardup",
     "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))

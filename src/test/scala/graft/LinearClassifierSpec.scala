@@ -129,6 +129,29 @@ class LinearClassifierSpec extends SparkSuite {
     assert(scored.select("id").distinct().as[Long].collect().toSet == Set(1L))
   }
 
+  test("codegen kernel ≡ declarative chain on adversarial inputs") {
+    val tricky = Seq(
+      "", " ", "a", "The quick-brown_fox 42 jumps!", "  leading and trailing  ",
+      "ALL CAPS AND MiXeD", "digits 007 42x7", "ünïcödé ÉTÉ Straße",
+      "a a a a", "tab\tand\nnewline seps", "1234567890", "!!!???",
+      "word " * 50)
+    val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (b <- Seq(16, 512)) {
+      val mismatches = df.select(
+        graft.ops.LinearClassifier.bucketArray(col("text"), b).as("k"),
+        graft.ops.LinearClassifier.bucketArrayDeclarative(col("text"), b).as("d"))
+        .where(not(col("k") <=> col("d")))
+        .count()
+      assert(mismatches == 0, s"kernel diverges from declarative chain at nBuckets=$b")
+    }
+    // null text: both forms yield null
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(graft.ops.LinearClassifier.bucketArray(col("text"), 16).as("k"),
+        graft.ops.LinearClassifier.bucketArrayDeclarative(col("text"), 16).as("d"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("fit is deterministic across repeated runs") {
     val df = fixture.toDF("doc_id", "text", "y")
     val m1 = LinearClassifier.fit(df, "doc_id", "y", "text", nBuckets = 32)
