@@ -1097,6 +1097,23 @@ object SparkEntry {
         "id", "media", maxDist = 3, bands = 4)
         .withColumn("hamming", col("hamming").cast("long"))),
 
+    // Spectral audio features (from-spec radix-2 FFT over Hann
+    // frames): payloads are pure 16-bit PCM tones whose frequency is
+    // id-derived AND bin-aligned (multiples of 250 Hz on a
+    // 15.625 Hz grid), so the dominant frequency the FFT must find —
+    // and the centroid/flatness verdicts — replay from the id alone.
+    "x_multimodal_spectral" -> ((s, d) => {
+      val tones = graft.ops.Spectral.packSineWav(t(s, d, "documents"), "doc_id")
+      val freq = lit(500.0) + pmod(col("id"), lit(16)).cast("double") * 250.0
+      graft.ops.Spectral.spectralDf(tones, "id", "media")
+        .select(col("id").as("doc_id"),
+          (lit(500) + pmod(col("id"), lit(16)).cast("int") * lit(250)).as("freq_hz"),
+          col("n_frames").cast("long").as("n_frames"),
+          (abs(col("peak_hz") - freq) <= 16.0).as("peak_ok"),
+          (abs(col("centroid_hz") - freq) <= 50.0).as("centroid_ok"),
+          (col("flatness") < 0.5).as("tonal"))
+    }),
+
     // REAL audio path: spec-correct 8-bit PCM WAVs built from each
     // doc's bytes, fully decoded back to samples (AudioPcm), then the
     // classic integer clip features — peak, energy, zero crossings —
@@ -1577,18 +1594,30 @@ object SparkEntry {
     // 0.02 → 5% bound = 2.5σ; quantile sketch at accuracy 10000 →
     // ≤ n/10000 rank error, 1% value bound). Sketches are
     // deterministic for fixed data, so the verdicts are stable. ====
-    "x_approx" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+    // two aggregations joined on the 3-row group key, NOT one: mixing
+    // countDistinct with the percentile aggregates triggers the
+    // distinct-Expand rewrite, which drags the value-buffering
+    // ObjectHashAggregate through doubled rows with partial
+    // aggregation degraded — measured 29.3 s vs 3.0 s for this split
+    // at sf0.1 (each branch alone: ≤1.2 s; the scan is read twice but
+    // both passes are partial-agg-friendly)
+    "x_approx" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val counts = li.groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ad"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ad"))
+      val pcts = li.groupBy(col("l_returnflag"))
+        .agg(
           expr("percentile(l_extendedprice, 0.5)").as("ep"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"))
+      counts.join(pcts, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("ad") - col("exact_parts")) <= col("exact_parts") * lit(0.05))
             .as("parts_within_5pct"),
           (abs(col("ap") - col("ep")) <= abs(col("ep")) * lit(0.01))
-            .as("p50_within_1pct"))),
+            .as("p50_within_1pct"))
+    }),
 
     // ==== sqlite data plane (reference main.py:130-138 source,
     // main.py:326-341 sink) via the pure-Scala file codec — a REAL
@@ -2872,6 +2901,15 @@ object SparkEntry {
              CAST(16 + len % 640 AS INTEGER) AS width,
              CAST(16 + (len * 7) % 480 AS INTEGER) AS height
       FROM b""",
+    // spectral contract (see x_multimodal_spectral query comment):
+    // tone frequency and frame count replay from the id; the
+    // peak/centroid/flatness verdicts are what the FFT must earn.
+    "x_multimodal_spectral" -> """
+      SELECT doc_id, CAST(500 + (doc_id % 16) * 250 AS INTEGER) AS freq_hz,
+             CAST(3 AS BIGINT) AS n_frames,
+             true AS peak_ok, true AS centroid_ok, true AS tonal
+      FROM documents""",
+
     // pHash near-dup contract (see x_multimodal_phash query comment):
     // the pair set is the same-class id structure; every pair is an
     // identical payload, so hamming must be exactly 0.

@@ -489,6 +489,12 @@ object Transforms {
     case "video_meta" =>
       graft.ops.Multimodal.decodeVideoMeta(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    // spectral features: Hann frames -> radix-2 FFT -> centroid/
+    // rolloff/flatness/dominant frequency per clip
+    case "audio_spectral" =>
+      graft.ops.Spectral.spectralDf(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        frameSize = t.config.int("frame_size").getOrElse(1024))
     // REAL PCM sample decode + integer clip features
     case "audio_features" =>
       graft.ops.Multimodal.decodeAudioFeatures(df,
@@ -548,7 +554,7 @@ object Transforms {
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "mjpeg_frames", "image_neardup",
+    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "mjpeg_frames", "image_neardup",
     "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))
