@@ -460,7 +460,10 @@ object Multimodal {
       maxBytes: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+    // codec-heavy synthesis: fan out so JPEG encode/mux use the whole
+    // machine even when the source parquet yields 1-2 splits
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -649,7 +652,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val nClasses = classes
-    df.select(col(idCol).cast("long"))
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"))
       .as[Long]
       .mapPartitions { rows =>
         val cache = new Array[Array[Byte]](nClasses)

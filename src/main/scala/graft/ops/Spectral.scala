@@ -171,7 +171,10 @@ object Spectral {
       sampleRate: Int = 16000, durMs: Int = 250): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"))
+    // sine synthesis is CPU-bound per row: fan out past the 1-2
+    // parquet splits a small documents table yields
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"))
       .as[Long]
       .mapPartitions { rows =>
         def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
