@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, LinearClassifier, Phash, Spectral, Multimodal}
+
+/** Physical-plan shape assertions for the round-8 operators — the
+  * scaladoc scale claims ("zero-shuffle scoring", "scan-local
+  * projection", "one fan-out repartition only") pinned against the
+  * actual plans so a refactor cannot silently regress them.
+  */
+class PlanShapeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.sparkPlan.toString).length
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma", "a"), (2L, "delta beta", "a"),
+    (3L, "omega psi chi", "b"), (4L, "psi tau", "b"))
+
+  test("linear classifier scoring is a zero-shuffle projection") {
+    // multi-partition input: a single-partition local relation would
+    // let the aggregate skip its exchange and mask a regression
+    val df = docs.toDF("id", "text", "y").repartition(3)
+    val m = LinearClassifier.fit(df, "id", "y", "text", nBuckets = 32)
+    // the one Exchange in scope is the fixture's own repartition
+    val scoreEx = exchanges(m.score(df, "id", "text"))
+    assert(scoreEx == 1,
+      "score() must stay scan-local — weights ride as literals")
+    // predict adds at most the one argmax aggregate shuffle (adjacent
+    // exchanges collapse, so the fixture repartition may be subsumed)
+    val predictEx = exchanges(m.predict(df, "id", "text"))
+    assert(predictEx <= scoreEx + 1, s"predict grew shuffles: $predictEx")
+  }
+
+  test("phash and spectral feature extraction are scan-local") {
+    val media = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "p")
+      .select(col("id"), struct(col("p").as("payload"), lit("x").as("mime")).as("media"))
+    assert(exchanges(Phash.phashDf(media, "id", "media")) == 0)
+    assert(exchanges(Spectral.spectralDf(media, "id", "media")) == 0)
+    assert(exchanges(Multimodal.decodeMjpegFrames(media, "id", "media")) == 0)
+  }
+
+  test("semdedup shuffles only for the within-cell pair probe and verdict join") {
+    val vecs = (0L until 20L).map(i => (i, Seq.tabulate(8)(j => ((i + j) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "vec_id", "embedding", dim = 8,
+      k = 4, eps = 0.99, centroidMode = "hash")
+    // assignment is scan-local (centroid literals): the only
+    // exchanges are the cell-keyed self-join sides and the final
+    // dropped-ids join — bounded, not O(corpus²)
+    val n = exchanges(out)
+    assert(n <= 5, s"semdedup plan grew unexpected shuffles ($n):\n" +
+      out.queryExecution.sparkPlan.toString.take(2000))
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), "semdedup must never cross-join")
+  }
+
+  test("classifier gate label and kernel stay inside whole-stage codegen") {
+    // range input: LocalTableScan skips whole-stage codegen, a real
+    // (codegen-capable) leaf does not
+    val withB = spark.range(100)
+      .select(concat_ws(" ", lit("alpha"), col("id").cast("string")).as("text"))
+      .select(LinearClassifier.bucketArray(col("text"), 32).as("b"))
+    // compact plan strings mark WholeStageCodegen stages with "*(n)"
+    val plan = withB.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      "hashed_gram_buckets kernel must ride codegen'd projections:\n" + plan)
+  }
+}
