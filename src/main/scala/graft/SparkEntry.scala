@@ -1097,6 +1097,24 @@ object SparkEntry {
         "id", "media", maxDist = 3, bands = 4)
         .withColumn("hamming", col("hamming").cast("long"))),
 
+    // Audio fingerprint near-dup (Wang-2003-style spectral landmarks
+    // through the identical-set-collapse + landmark-join pipeline):
+    // clips are 6-frame tone SEQUENCES whose per-frame bin-aligned
+    // frequency is (7c+3f) mod 13 steps above 500 Hz for class
+    // c = id mod 10 — so each class carries exactly 4 distinct
+    // landmarks, same-class pairs share all 4, and the mod-13
+    // arithmetic makes classes 6 or 7 apart share exactly 3 (the
+    // partial-overlap path, NOT just identical sets). At minMatch=3
+    // the full pair set and every n_common value replay from id
+    // arithmetic alone; AudioFingerprintSpec pins the id-independent
+    // class-overlap table.
+    "x_audio_fingerprint" -> ((s, d) =>
+      graft.ops.AudioFingerprint.audioNearDups(
+        graft.ops.AudioFingerprint.packToneSequenceWav(
+          t(s, d, "documents"), "doc_id"),
+        "id", "media", minMatch = 3)
+        .withColumnRenamed("a_id", "a_doc").withColumnRenamed("b_id", "b_doc")),
+
     // Spectral audio features (from-spec radix-2 FFT over Hann
     // frames): payloads are pure 16-bit PCM tones whose frequency is
     // id-derived AND bin-aligned (multiples of 250 Hz on a
@@ -2901,6 +2919,18 @@ object SparkEntry {
              CAST(16 + len % 640 AS INTEGER) AS width,
              CAST(16 + (len * 7) % 480 AS INTEGER) AS height
       FROM b""",
+    // fingerprint contract (see x_audio_fingerprint query comment):
+    // same class → all 4 landmarks shared; classes 6 or 7 apart →
+    // exactly 3 (the mod-13 stride arithmetic); everything else is
+    // below minMatch.
+    "x_audio_fingerprint" -> """
+      SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+             CAST(CASE WHEN a.doc_id % 10 = b.doc_id % 10 THEN 4 ELSE 3 END AS BIGINT) AS n_common
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id
+        AND (a.doc_id % 10 = b.doc_id % 10
+             OR abs(a.doc_id % 10 - b.doc_id % 10) IN (6, 7))""",
+
     // spectral contract (see x_multimodal_spectral query comment):
     // tone frequency and frame count replay from the id; the
     // peak/centroid/flatness verdicts are what the FFT must earn.
