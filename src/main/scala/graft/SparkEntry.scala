@@ -1115,6 +1115,20 @@ object SparkEntry {
         "id", "media", minMatch = 3)
         .withColumnRenamed("a_id", "a_doc").withColumnRenamed("b_id", "b_doc")),
 
+    // The groups (linear-output) surface of the same fingerprint
+    // pipeline: rep-level landmark pairs contract through connected
+    // components, members map through their digest. The planted class
+    // graph's transitive closure is hand-derivable — distance-6/7
+    // edges chain classes {0,1,2,3,6,7,8,9} into ONE component
+    // (0-7-1-8-2-9-3 via 0-6) while classes 4 and 5 stay singleton —
+    // so every clip's group_id replays from id arithmetic.
+    "x_audio_fingerprint_groups" -> ((s, d) =>
+      graft.ops.AudioFingerprint.audioDedupGroups(
+        graft.ops.AudioFingerprint.packToneSequenceWav(
+          t(s, d, "documents"), "doc_id"),
+        "id", "media", minMatch = 3)
+        .withColumnRenamed("id", "doc_id")),
+
     // Spectral audio features (from-spec radix-2 FFT over Hann
     // frames): payloads are pure 16-bit PCM tones whose frequency is
     // id-derived AND bin-aligned (multiples of 250 Hz on a
@@ -2930,6 +2944,15 @@ object SparkEntry {
         ON a.doc_id < b.doc_id
         AND (a.doc_id % 10 = b.doc_id % 10
              OR abs(a.doc_id % 10 - b.doc_id % 10) IN (6, 7))""",
+
+    // groups contract (see x_audio_fingerprint_groups query comment):
+    // classes {0,1,2,3,6,7,8,9} chain into the component whose
+    // canonical rep is doc 0; classes 4 and 5 group under their own
+    // class-minimum doc ids.
+    "x_audio_fingerprint_groups" -> """
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 10 IN (4, 5) THEN doc_id % 10 ELSE 0 END AS BIGINT) AS group_id
+      FROM documents""",
 
     // spectral contract (see x_multimodal_spectral query comment):
     // tone frequency and frame count replay from the id; the

@@ -496,6 +496,14 @@ object Transforms {
         minMatch = t.config.int("min_match").getOrElse(3),
         frameSize = t.config.int("frame_size").getOrElse(1024),
         maxLandmarkDf = t.config.int("max_landmark_df").getOrElse(0))
+    // linear-output audio dedup: fingerprint pairs contracted to
+    // (id, group_id) via connected components
+    case "audio_dedup_groups" =>
+      graft.ops.AudioFingerprint.audioDedupGroups(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        minMatch = t.config.int("min_match").getOrElse(3),
+        frameSize = t.config.int("frame_size").getOrElse(1024),
+        maxLandmarkDf = t.config.int("max_landmark_df").getOrElse(0))
     // spectral features: Hann frames -> radix-2 FFT -> centroid/
     // rolloff/flatness/dominant frequency per clip
     case "audio_spectral" =>
@@ -561,7 +569,7 @@ object Transforms {
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "mjpeg_frames", "image_neardup",
+    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup",
     "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))

@@ -71,6 +71,26 @@ class AudioFingerprintSpec extends SparkSuite {
     assert(capped.forall { case (a, b) => a % 10 == b % 10 })
   }
 
+  test("audioDedupGroups: linear-output grouping matches the class graph's closure") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val groups = AudioFingerprint.audioDedupGroups(
+      AudioFingerprint.packToneSequenceWav(docs, "doc_id"),
+      "id", "media", minMatch = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 30, "one output row per clip — the linear contract")
+    // distance-6/7 edges chain classes {0,1,2,3,6,7,8,9}; 4 and 5 stay alone
+    (0L until 30L).foreach { id =>
+      val expect = if (id % 10 == 4 || id % 10 == 5) id % 10 else 0L
+      assert(groups(id) == expect, s"doc $id grouped as ${groups(id)}, want $expect")
+    }
+    // strict minMatch=4: only identical sets merge → group = class min
+    val strict = AudioFingerprint.audioDedupGroups(
+      AudioFingerprint.packToneSequenceWav(docs, "doc_id"),
+      "id", "media", minMatch = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 30L).foreach(id => assert(strict(id) == id % 10))
+  }
+
   test("too-short clips produce no landmarks; junk payloads no rows") {
     val short = AudioPcm.decode(
       AudioFingerprint.packToneSequenceWav(Seq(1L).toDF("doc_id"), "doc_id", frames = 2)
