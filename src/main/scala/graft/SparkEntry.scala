@@ -883,6 +883,17 @@ object SparkEntry {
         Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", threshold = 0.7))
         .select(col("id").cast("long").as("doc_id"),
           col("component").cast("long").as("component"))),
+    // the one-call GROUPS surface of text MinHash dedup (linear
+    // output; see minhashDedupGroups scaladoc): every document gets
+    // the min id reachable through the ≥0.7-jaccard relation, unique
+    // docs keep their own id. The oracle replays the closure with
+    // recursive min-label reachability over the exact all-pairs edge
+    // set — same recall argument as x_dedup_minhash, then left-joins
+    // the full corpus so singleton rows are checked too.
+    "x_dedup_groups" -> ((s, d) =>
+      Dedup.minhashDedupGroups(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("group_id").cast("long").as("group_id"))),
     // cross-corpus contamination: documents split into a "train" and
     // "eval" side by id arithmetic; the op must surface every eval doc
     // that near-copies a train doc. Oracle = exact all-pairs jaccard
@@ -1096,6 +1107,21 @@ object SparkEntry {
         Multimodal.packClassPng(t(s, d, "documents"), "doc_id", classes = 10),
         "id", "media", maxDist = 3, bands = 4)
         .withColumn("hamming", col("hamming").cast("long"))),
+
+    // the GROUPS surface of pHash image dedup (linear output, same
+    // contraction as audio's x_audio_fingerprint_groups): with the
+    // planted class PNGs, same-class images are byte-identical
+    // (hamming 0) and all cross-class pHash distances are > 3
+    // (pinned id-independently in PhashSpec), so each group is
+    // exactly one class and group_id = the class's minimum doc_id —
+    // which the oracle computes with a window min, assuming nothing
+    // about id contiguity.
+    "x_image_neardup_groups" -> ((s, d) =>
+      graft.ops.Phash.imageDedupGroups(
+        Multimodal.packClassPng(t(s, d, "documents"), "doc_id", classes = 10),
+        "id", "media", maxDist = 3, bands = 4)
+        .select(col("id").cast("long").as("doc_id"),
+          col("group_id").cast("long").as("group_id"))),
 
     // Audio fingerprint near-dup (Wang-2003-style spectral landmarks
     // through the identical-set-collapse + landmark-join pipeline):
@@ -2869,6 +2895,36 @@ object SparkEntry {
         UNION
         SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
       SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""",
+
+    // x_dedup_cluster's transitive closure extended to EVERY document:
+    // clustered docs get the min reachable id, singletons their own.
+    "x_dedup_groups" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(len(toks)-2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+              FROM documents)),
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.7),
+      edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+      comp AS (SELECT id, min(r) AS g FROM reach GROUP BY id)
+      SELECT d.doc_id, CAST(coalesce(c.g, d.doc_id) AS BIGINT) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
     "x_dedup_embed" -> """
       SELECT a_id, b_id, round(cosine, 4) AS cosine FROM (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -2970,6 +3026,13 @@ object SparkEntry {
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming
       FROM documents a JOIN documents b
         ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10""",
+
+    // groups = planted classes; group_id = min doc_id of the class
+    // (window min — no assumption that ids start at 0 or are dense)
+    "x_image_neardup_groups" -> """
+      SELECT doc_id,
+             CAST(min(doc_id) OVER (PARTITION BY doc_id % 10) AS BIGINT) AS group_id
+      FROM documents""",
 
     // MJPEG frame contract (see x_multimodal_mjpeg_frames query
     // comment): frame counts replay from the text length; the dims

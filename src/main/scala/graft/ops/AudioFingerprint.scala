@@ -100,7 +100,10 @@ object AudioFingerprint {
   /** Near-duplicate clip pairs: (a_id, b_id, n_common) for pairs
     * sharing at least `minMatch` landmarks. `maxLandmarkDf` > 0 drops
     * landmarks present in more than that many DISTINCT fingerprints
-    * before the join (ubiquitous-landmark cap).
+    * before the join (ubiquitous-landmark cap). `n_common` counts only
+    * landmarks SURVIVING the cap — consistently for cross-set and
+    * identical-set pairs, so an identical pair whose shared landmarks
+    * are all ubiquitous drops out like any other.
     */
   def audioNearDups(df: DataFrame, idCol: String, mediaCol: String,
       minMatch: Int = 3, frameSize: Int = 1024, maxLandmarkDf: Int = 0): DataFrame = {
@@ -135,10 +138,14 @@ object AudioFingerprint {
       .join(ma, Seq("__fa")).join(mb, Seq("__fb"))
       .select(least(col("__ida"), col("__idb")).as("a_id"),
         greatest(col("__ida"), col("__idb")).as("b_id"), col("n_common"))
-    val setSizes = fp.groupBy(col("id")).agg(count(lit(1)).cast("long").as("__n"))
+    // identical-set pair size = the CAPPED landmark count of the
+    // shared digest (lm carries __fpd), so the ubiquity cap applies
+    // uniformly to both pair kinds
+    val cappedSizes = lm.groupBy(col("__fpd"))
+      .agg(count(lit(1)).cast("long").as("__n"))
     val identicalPairs = ma.join(mb, col("__fa") === col("__fb"))
       .where(col("__ida") < col("__idb"))
-      .join(setSizes.withColumnRenamed("id", "__ida"), Seq("__ida"))
+      .join(cappedSizes.withColumnRenamed("__fpd", "__fa"), Seq("__fa"))
       .where(col("__n") >= minMatch)
       .select(col("__ida").as("a_id"), col("__idb").as("b_id"),
         col("__n").as("n_common"))

@@ -24,6 +24,9 @@ object AviCodec {
     * header can claim 2^32; real curation thumbnail clips are tiny). */
   val MaxFrames: Int = 65536
 
+  /** Hostile-input cap on LIST nesting (real AVIs are <= 3 deep). */
+  val MaxListDepth: Int = 64
+
   /** Demuxed AVI: stream header facts + the byte range of every video
     * frame chunk (offset, length into the original payload), in
     * stream order. `handler` is the strh fccHandler (e.g. "MJPG").
@@ -65,8 +68,13 @@ object AviCodec {
     val frames = Vector.newBuilder[(Int, Int)]
     var nFrames = 0
 
-    // walk(start, end): iterate sibling chunks; recurse into LISTs.
-    def walk(start: Long, end: Long): Boolean = {
+    // walk(start, end, depth): iterate sibling chunks; recurse into
+    // LISTs. Depth is capped so a hostile payload of deeply nested
+    // 12-byte LIST headers can't StackOverflowError past the
+    // RuntimeException net in demux (real AVIs nest hdrl/strl/movi,
+    // depth <= 3).
+    def walk(start: Long, end: Long, depth: Int): Boolean = {
+      if (depth > MaxListDepth) return false
       var pos = start
       while (pos + 8 <= end) {
         val id = fourcc(p, pos.toInt)
@@ -79,7 +87,7 @@ object AviCodec {
             val listType = fourcc(p, body.toInt)
             // recurse into the structural lists; skip unknown ones
             if (listType == "hdrl" || listType == "strl" || listType == "movi") {
-              if (!walk(body + 4, body + size)) return false
+              if (!walk(body + 4, body + size, depth + 1)) return false
             }
           case "avih" =>
             if (size < 40) return false
@@ -105,7 +113,7 @@ object AviCodec {
       true
     }
 
-    if (!walk(12, riffEnd)) return None
+    if (!walk(12, riffEnd, 0)) return None
     val fs = frames.result()
     if (width <= 0 || height <= 0 || fs.isEmpty || handler == null) None
     else Some(AviInfo(width, height, usPerFrame, declaredFrames, handler, fs))

@@ -381,10 +381,17 @@ object Dedup {
     * `maxBucketSize` caps residual near-dup bucket skew
     * (see [[minhashCandidates]]).
     */
-  def minhashNearDups(
-      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
-      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L,
-      maxBucketSize: Int = 0): DataFrame = {
+  /** Shared core of the MinHash near-dup family: exact-duplicate
+    * collapse + banded LSH + exact-Jaccard verify, stopping at
+    * REP-level pairs. Returns (members(__id, __fp),
+    * reps(__fp, __rid), repPairs(a_id, b_id, jaccard)); the pair
+    * surface fans members back out, the groups surface contracts
+    * instead.
+    */
+  private def minhashRepPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      numHashes: Int, k: Int, bands: Int, seed: Long,
+      maxBucketSize: Int): (DataFrame, DataFrame, DataFrame) = {
     val src = Partitioning.fanOut(df) // hashing-heavy: don't let 1-2 input splits serialize it
     // membership: id → content fingerprint; reps: min id per fingerprint
     val members = src.select(col(idCol).as("__id"),
@@ -410,6 +417,15 @@ object Dedup {
       .withColumn("jaccard", graft.expr.ArrayJaccard(col("__sha"), col("__shb")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    (members, reps, repPairs)
+  }
+
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
+    val (members, reps, repPairs) = minhashRepPairs(
+      df, idCol, textCol, threshold, numHashes, k, bands, seed, maxBucketSize)
 
     // fan rep-level pairs back out to member pairs
     val ridFp = reps.select(col("__rid"), col("__fp"))
@@ -426,6 +442,38 @@ object Dedup {
       .where(col("__ida") < col("__idb"))
       .select(col("__ida").as("a_id"), col("__idb").as("b_id"), lit(1.0).as("jaccard"))
     crossPairs.unionByName(identicalPairs)
+  }
+
+  /** The SCALE surface of MinHash text dedup: one (id, group_id) row
+    * per document instead of member pairs — the text analogue of
+    * [[graft.ops.AudioFingerprint.audioDedupGroups]]. The pair
+    * surface's output is inherently O(Σ group²); on a corpus whose
+    * near-dup groups grow with the corpus (boilerplate, viral copies)
+    * that fan-out dominates the job even though every upstream stage
+    * is linear. This variant stops at REP-level verified pairs,
+    * contracts them with [[Components.connectedComponents]]
+    * (large/small-star — no driver union-find), and maps members
+    * through their content fingerprint: work and output stay linear
+    * at any duplication density. `group_id` is the minimum document
+    * id reachable through the near-dup relation (exact-duplicate
+    * edges included); documents with no mate keep their fingerprint
+    * representative (= min id among exact copies, itself for unique
+    * text). Keep-one-per-group is then `filter(id === group_id)`.
+    */
+  def minhashDedupGroups(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, k: Int = 3, bands: Int = 16, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
+    val (members, reps, repPairs) = minhashRepPairs(
+      df, idCol, textCol, threshold, numHashes, k, bands, seed, maxBucketSize)
+    val comps = Components.connectedComponents(repPairs.select("a_id", "b_id"))
+    // rep → component (its own id when unpaired), then members map
+    // through their fingerprint — the only per-member work is one join
+    val repGroup = reps
+      .join(comps, reps("__rid") === comps("id"), "left")
+      .select(col("__fp"), coalesce(col("component"), col("__rid")).as("group_id"))
+    members.join(repGroup, Seq("__fp"))
+      .select(col("__id").as(idCol), col("group_id"))
   }
 
   /** CROSS-corpus near-duplicate pairs: documents of `left` that
@@ -731,12 +779,17 @@ object Dedup {
     * O(n²) comparison. `bits` must match the signature producer
     * (64 for [[simhash]], 60 for [[simhashMd5]]).
     */
-  def simhashNearDups(sig: DataFrame, idCol: String, maxDist: Int = 3,
-      bits: Int = 64, bands: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+  /** Shared core of the SimHash/pHash near-dup family: identical-
+    * signature collapse + pigeonhole banding + exact popcount verify,
+    * stopping at REP-level pairs. Returns (members(__id, simhash),
+    * reps(simhash, __rid), repPairs(a_id, b_id, hamming, __sa, __sb)).
+    */
+  private def simhashRepPairs(sig: DataFrame, idCol: String, maxDist: Int,
+      bits: Int, bands: Int, maxBucketSize: Int): (DataFrame, DataFrame, DataFrame) = {
     require(bits % bands == 0, "simhashNearDups: bands must divide bits")
     require(maxDist < bands, "simhashNearDups: pigeonhole needs maxDist < bands")
     val width = bits / bands
-    val mask = (1L << width) - 1
+    val mask = if (width == 64) -1L else (1L << width) - 1
     // collapse identical signatures before banding (same rationale and
     // same exactness argument as minhashNearDups: equal signature ⟹
     // every band collides, so rep-level results ARE member-level
@@ -761,6 +814,13 @@ object Dedup {
       .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
       .where(col("hamming") <= maxDist)
       .select(col("a_id"), col("b_id"), col("hamming"), col("__sa"), col("__sb")).distinct()
+    (members, reps, repPairs)
+  }
+
+  def simhashNearDups(sig: DataFrame, idCol: String, maxDist: Int = 3,
+      bits: Int = 64, bands: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+    val (members, _, repPairs) =
+      simhashRepPairs(sig, idCol, maxDist, bits, bands, maxBucketSize)
     val ma = members.select(col("simhash").as("__sa"), col("__id").as("__ida"))
     val mb = members.select(col("simhash").as("__sb"), col("__id").as("__idb"))
     val crossPairs = repPairs
@@ -772,6 +832,26 @@ object Dedup {
       .select(col("__ida").as("a_id"), col("__idb").as("b_id"),
         bit_count(lit(0L)).as("hamming"))
     crossPairs.unionByName(identicalPairs)
+  }
+
+  /** The SCALE surface of SimHash dedup: one (id, group_id) row per
+    * signature-bearing row instead of member pairs — same contraction
+    * as [[minhashDedupGroups]] (rep-level pairs →
+    * [[Components.connectedComponents]] → members map through their
+    * signature), linear output at any duplication density. `group_id`
+    * is the minimum id reachable through the ≤`maxDist` Hamming
+    * relation; rows with no mate keep their signature representative.
+    */
+  def simhashDedupGroups(sig: DataFrame, idCol: String, maxDist: Int = 3,
+      bits: Int = 64, bands: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+    val (members, reps, repPairs) =
+      simhashRepPairs(sig, idCol, maxDist, bits, bands, maxBucketSize)
+    val comps = Components.connectedComponents(repPairs.select("a_id", "b_id"))
+    val repGroup = reps
+      .join(comps, reps("__rid") === comps("id"), "left")
+      .select(col("simhash"), coalesce(col("component"), col("__rid")).as("group_id"))
+    members.join(repGroup, Seq("simhash"))
+      .select(col("__id").as(idCol), col("group_id"))
   }
 
   // ------------------------------------------------------- n-gram Jaccard

@@ -301,7 +301,9 @@ object JpegEncoder {
             y += 1
           }
           val coef = fdct(block)
-          // quantize in zigzag order (round-half-away, T.81 informative)
+          // quantize in zigzag order (round half up toward +Inf via
+          // math.round — spec-legal: T.81's quantizer is informative,
+          // any deterministic rounding decodes consistently)
           val zz = new Array[Int](64)
           var z = 0
           while (z < 64) {

@@ -190,4 +190,21 @@ object Phash {
     Dedup.simhashNearDups(sig, idCol, maxDist = maxDist, bits = 64,
       bands = bands, maxBucketSize = maxBucketSize)
   }
+
+  /** The SCALE surface of image dedup: (id, group_id) assignments
+    * instead of member pairs — pHash signatures through
+    * [[Dedup.simhashDedupGroups]] (rep-level pairs contracted by
+    * connected components, members mapped through their signature).
+    * One output row per decodable image, linear at any duplication
+    * density, where [[imageNearDups]]'s pair contract is O(Σ group²).
+    * `group_id` = minimum id reachable via the ≤`maxDist` Hamming
+    * relation on pHash signatures.
+    */
+  def imageDedupGroups(df: DataFrame, idCol: String, mediaCol: String,
+      maxDist: Int = 3, bands: Int = 4, maxBucketSize: Int = 0): DataFrame = {
+    val sig = phashDf(df, idCol, mediaCol)
+      .select(col("id").as(idCol), col("phash").as("simhash"))
+    Dedup.simhashDedupGroups(sig, idCol, maxDist = maxDist, bits = 64,
+      bands = bands, maxBucketSize = maxBucketSize)
+  }
 }

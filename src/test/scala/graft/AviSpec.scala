@@ -142,6 +142,28 @@ class AviSpec extends SparkSuite {
     assert(AviCodec.demux(new Array[Byte](64)).isEmpty)
   }
 
+  test("deeply nested LIST headers are rejected, not a StackOverflowError") {
+    // ~90k nested `LIST hdrl` shells: each level is a 12-byte header
+    // whose declared size covers everything inside it. Recursion per
+    // level would blow the stack PAST the RuntimeException net; the
+    // depth cap must turn this into a clean None.
+    val depth = 90000
+    val out = new java.io.ByteArrayOutputStream()
+    val innerLevels = depth
+    val totalNested = 12 * innerLevels // each level: LIST + size + type
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(leBytes(4L + totalNested, 4))
+    out.write("AVI ".getBytes("US-ASCII"))
+    var remaining = totalNested
+    (0 until innerLevels).foreach { _ =>
+      out.write("LIST".getBytes("US-ASCII"))
+      out.write(leBytes((remaining - 8).toLong, 4)) // body = type + children
+      out.write("hdrl".getBytes("US-ASCII"))
+      remaining -= 12
+    }
+    assert(AviCodec.demux(out.toByteArray).isEmpty)
+  }
+
   test("decodeMjpegFrames: stride, non-AVI exclusion, real pixel stats") {
     val docs = Seq((1L, "abcdef"), (2L, "x")).toDF("doc_id", "text")
     val packed = Multimodal.packTextMjpegAvi(docs, "doc_id", "text")

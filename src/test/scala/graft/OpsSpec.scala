@@ -55,6 +55,41 @@ class OpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("minhashDedupGroups: one row per doc, group = min reachable, chains close") {
+    // 1~2 (near), 1=4 (exact) → {1,2,4} group 1; 3 singleton; and a
+    // CHAIN 10~11~12 where the ends 10,12 are NOT direct near-dups —
+    // groups must still merge them (the thing pair output can't say)
+    val mid = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val chained = docs.union(Seq(
+      (10L, s"$mid one two three four five six"),
+      (11L, s"$mid one two three four xx yy"),
+      (12L, s"$mid zz ww three four xx yy")).toDF("doc_id", "text"))
+    val g = Dedup.minhashDedupGroups(chained, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(g.size == 7, "exactly one output row per document")
+    assert(g(1L) == 1L && g(2L) == 1L && g(4L) == 1L)
+    assert(g(3L) == 3L) // singleton keeps own id
+    assert(g(10L) == 10L && g(11L) == 10L && g(12L) == 10L) // chain closed
+    // consistency with the pair surface: groups = closure of pairs
+    val pairs = Dedup.minhashNearDups(chained, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((10L, 12L)), "chain ends are not direct pairs")
+  }
+
+  test("simhashDedupGroups + imageDedupGroups-shape: linear output on identical piles") {
+    val n = 5000
+    val docs5k = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same exact document body repeated many times over and over again").as("text"))
+    // pair surface would emit n(n-1)/2 rows; groups must emit exactly n
+    val g = Dedup.simhashDedupGroups(
+      Dedup.simhash(docs5k, "doc_id", "text"), "doc_id")
+    assert(g.count() == n)
+    assert(g.where(col("group_id") =!= 0L).isEmpty, "all in the min-id=0 group")
+    val gm = Dedup.minhashDedupGroups(docs5k, "doc_id", "text", threshold = 0.9)
+    assert(gm.count() == n)
+    assert(gm.where(col("group_id") =!= 0L).isEmpty)
+  }
+
   test("simhash: identical docs at hamming 0, near docs close") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
     val m = sig.as[(Long, Long)].collect().toMap

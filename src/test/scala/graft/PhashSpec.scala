@@ -97,4 +97,14 @@ class PhashSpec extends SparkSuite {
     assert(pairs.forall(_._3 == 0L))
     assert(pairs.forall { case (a, b, _) => a % 10 == b % 10 && a < b })
   }
+
+  test("imageDedupGroups: one row per image, group = class minimum") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val packed = Multimodal.packClassPng(docs, "doc_id", classes = 10)
+    val groups = graft.ops.Phash.imageDedupGroups(packed, "id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 40, "linear contract: one output row per image")
+    (0L until 40L).foreach(id =>
+      assert(groups(id) == id % 10, s"image $id grouped as ${groups(id)}"))
+  }
 }
