@@ -998,6 +998,16 @@ object SparkEntry {
         dim = 64, k = 8, eps = 0.3, centroidMode = "hash")
         .withColumn("centroid_cos", round(col("centroid_cos"), 6))),
 
+    // SemDeDup with the cell-size cap: cells over 48 rows re-split by
+    // the first p_c bits of the md5-derived 16-plane sign-LSH bucket
+    // (p_c integer-derived from the cell count — the whole re-split,
+    // and so the drop set, replays in SQL). Bounds verify work at
+    // O(N·maxCellSize) where fixed-k SemDeDup is O((N/k)²)·k.
+    "x_dedup_semantic_capped" -> ((s, d) =>
+      Dedup.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 8, eps = 0.3, centroidMode = "hash", maxCellSize = 48)
+        .withColumn("centroid_cos", round(col("centroid_cos"), 6))),
+
     // embedding-space contamination across an id split: the semantic
     // sibling of x_dedup_contamination (paraphrased leaks). Oracle
     // recomputes the identical md5-derived single-table buckets +
@@ -3162,6 +3172,58 @@ object SparkEntry {
       drops AS (
         SELECT DISTINCT x.vec_id
         FROM best x JOIN best y ON x.cell = y.cell
+          AND (y.cos < x.cos OR (y.cos = x.cos AND y.vec_id < x.vec_id))
+          AND list_sum(list_transform(range(64), i ->
+                CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))
+              / (x.vn * y.vn) >= 0.3)
+      SELECT b.vec_id, CAST(b.cell AS INTEGER) AS cell,
+             round(b.cos, 6) AS centroid_cos,
+             (d.vec_id IS NULL) AS kept
+      FROM best b LEFT JOIN drops d ON b.vec_id = d.vec_id""",
+
+    // capped SemDeDup replay: same centroid/argmax pipeline, then
+    // per-cell p from integer arithmetic over the cell counts and a
+    // sub-cell from the first p bits of the 16-plane md5 sign-LSH
+    // bucket (seed 42 + 104729); drops pair only within (cell, sub).
+    "x_dedup_semantic_capped" -> s"""
+      WITH cent AS (
+        SELECT c,
+               list_transform(range(64), j ->
+                 CAST(('0x' || substr(md5('centroid_42_' || CAST(c AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000 / 1000000.0 - 0.5) AS cv
+        FROM (SELECT unnest(range(8)) AS c)),
+      cn AS (
+        SELECT c, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnorm FROM cent),
+      e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(range(64), i ->
+                 CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS vn
+        FROM embeddings
+        WHERE len(embedding) = 64),
+      sc AS (
+        SELECT e.vec_id, e.embedding, e.vn, cn.c AS cell,
+               list_sum(list_transform(range(64), i ->
+                 CAST(e.embedding[i+1] AS DOUBLE) * cn.cv[CAST(i+1 AS INTEGER)]))
+                 / (e.vn * cn.cnorm) AS cos
+        FROM e CROSS JOIN cn
+        WHERE e.vn > 0),
+      best AS (
+        SELECT vec_id, embedding, vn, cell, cos FROM sc
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell DESC) = 1),
+      counts AS (SELECT cell, count(*) AS n FROM best GROUP BY cell),
+      pc AS (
+        SELECT cell,
+               coalesce(list_min(list_filter(range(17),
+                 p -> n <= 48 * (1 << CAST(p AS INTEGER)))), 16) AS p
+        FROM counts),
+      sub AS (
+        SELECT b.vec_id, b.embedding, b.vn, b.cell, b.cos,
+               CAST((${lshBucketSql("b.embedding", 64, 16, 42L + 104729L)}) AS BIGINT)
+                 % (1 << CAST(pc.p AS INTEGER)) AS subcell
+        FROM best b JOIN pc USING (cell)),
+      drops AS (
+        SELECT DISTINCT x.vec_id
+        FROM sub x JOIN sub y ON x.cell = y.cell AND x.subcell = y.subcell
           AND (y.cos < x.cos OR (y.cos = x.cos AND y.vec_id < x.vec_id))
           AND list_sum(list_transform(range(64), i ->
                 CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))

@@ -1038,11 +1038,29 @@ object Dedup {
     * paper's own cost model, controlled by k (clusters per corpus
     * grows with the corpus: n/k items per cluster stays bounded).
     * The drop set is a semi-join back on id. No driver collect
-    * anywhere but the bounded k-means sample.
+    * anywhere but the bounded k-means sample (and, with
+    * `maxCellSize`, one k-row cell-count collect).
+    *
+    * `maxCellSize` > 0 bounds the within-cell quadratic WITHOUT
+    * growing k (k more centroid literals would grow the plan, and the
+    * paper's k ∝ N regime is unreachable once k stops fitting a
+    * broadcast argmax): any cell whose population n_c exceeds the cap
+    * is re-split deterministically by sign-LSH — sub-cell = the first
+    * p_c bits of the md5-derived [[Similarity.hyperplaneBuckets]]
+    * bucket, p_c = min over {p : n_c ≤ maxCellSize·2^p} (integer
+    * arithmetic, capped at 16), so EXPECTED sub-cell population is ≤
+    * maxCellSize and total verify work is O(N·maxCellSize) instead of
+    * O((N/k)²)·k. The recall trade is the same kind the paper makes
+    * when k grows with N: an eps-close pair straddling a hyperplane
+    * is missed (P ≈ 1−(1−θ/π)^p per pair). Cell sizes come from one
+    * k-row count (the only extra job); hyperplanes are md5-derived,
+    * so the whole re-split — and therefore the full drop set — stays
+    * replayable in SQL for the oracle.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int = 16, eps: Double = 0.95, seed: Long = 42L,
-      centroidMode: String = "kmeans", sampleSize: Int = 65536): DataFrame = {
+      centroidMode: String = "kmeans", sampleSize: Int = 65536,
+      maxCellSize: Int = 0): DataFrame = {
     require(dim > 0, s"semdedup: dim=$dim must be positive")
     require(k >= 2, s"semdedup: k=$k must be >= 2")
     require(eps > 0 && eps <= 1, s"semdedup: eps=$eps must be in (0, 1]")
@@ -1083,12 +1101,32 @@ object Dedup {
       .select(col("__id"), col("__v"), col("__m.cell").as("cell"),
         col("__m.cos").as("centroid_cos"),
         Similarity.l2norm(col("__v")).as("__n"))
-    val a = assigned.select(col("cell"), col("__id").as("__xa"), col("__v").as("__va"),
-      col("__n").as("__na"), col("centroid_cos").as("__ca"))
-    val b = assigned.select(col("cell"), col("__id").as("__xb"), col("__v").as("__vb"),
-      col("__n").as("__nb"), col("centroid_cos").as("__cb"))
+    // cell-size cap: deterministic sign-LSH re-split of oversized
+    // cells (see scaladoc). p per cell from one k-row count; the
+    // per-row sub-bucket is the SignLsh kernel masked to p bits.
+    val probed =
+      if (maxCellSize <= 0) assigned.withColumn("subcell", lit(0L))
+      else {
+        val maskByCell: Seq[(Int, Long)] = assigned.groupBy("cell").count().collect()
+          .map { r =>
+            val n = r.getLong(1)
+            val p = (0 to 16).find(p => n <= (maxCellSize.toLong << p)).getOrElse(16)
+            r.getInt(0) -> ((1L << p) - 1)
+          }.toSeq
+        val maskExpr: Column =
+          if (maskByCell.isEmpty) lit(0L)
+          else coalesce(element_at(
+            map(maskByCell.flatMap { case (c, m) => Seq(lit(c), lit(m)) }: _*),
+            col("cell")), lit(0L))
+        val bkt = Similarity.hyperplaneBuckets(col("__v"), dim, 16, seed + 104729L)
+        assigned.withColumn("subcell", bkt.bitwiseAND(maskExpr))
+      }
+    val a = probed.select(col("cell"), col("subcell"), col("__id").as("__xa"),
+      col("__v").as("__va"), col("__n").as("__na"), col("centroid_cos").as("__ca"))
+    val b = probed.select(col("cell"), col("subcell"), col("__id").as("__xb"),
+      col("__v").as("__vb"), col("__n").as("__nb"), col("centroid_cos").as("__cb"))
     // drop x iff a keep-preferred same-cell neighbor is eps-close
-    val dropped = a.join(b, Seq("cell"))
+    val dropped = a.join(b, Seq("cell", "subcell"))
       .where(struct(col("__cb"), col("__xb")) < struct(col("__ca"), col("__xa")))
       .where(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= eps)
       .select(col("__xa").as("__dropped")).distinct()

@@ -113,6 +113,27 @@ class SemDedupSpec extends SparkSuite {
     assert(r1.toSeq == r2.toSeq)
   }
 
+  test("maxCellSize: twins still collapse (they share sub-cells), output schema intact") {
+    val df = plantedCorpus(8).toDF("vec_id", "embedding")
+    // cap of 4 forces a re-split of every 9-member cell (p >= 2), yet
+    // each twin pair is cosine ~1 — the same sign on every hyperplane
+    // up to the 1e-4 nudge, so they stay co-bucketed and still dedup
+    val out = Dedup.semDedup(df, "vec_id", "embedding", dim = 8,
+      k = 3, eps = 0.999, centroidMode = "hash", maxCellSize = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(out.size == df.count())
+    for (c <- 0 until 3)
+      assert(out(c * 100L) != out(c * 100L + 90),
+        s"cluster $c: capped run no longer collapses the planted twin")
+    // cap >= corpus size is a no-op: identical verdicts to uncapped
+    val uncapped = Dedup.semDedup(df, "vec_id", "embedding", dim = 8,
+      k = 3, eps = 0.999, centroidMode = "hash").orderBy("vec_id").collect()
+    val bigCap = Dedup.semDedup(df, "vec_id", "embedding", dim = 8,
+      k = 3, eps = 0.999, centroidMode = "hash", maxCellSize = 100000)
+      .orderBy("vec_id").collect()
+    assert(uncapped.toSeq == bigCap.toSeq)
+  }
+
   test("degenerate parameters rejected eagerly") {
     val df = plantedCorpus(2).toDF("vec_id", "embedding")
     assertThrows[IllegalArgumentException] {
