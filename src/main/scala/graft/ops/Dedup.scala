@@ -660,12 +660,26 @@ object Dedup {
       NearDupIndex(signatures(df, idCol, textCol, numHashes, k, bands, seed),
         numHashes, k, bands, seed)
 
+    /** A batch's signature rows under this index's parameters —
+      * compute ONCE (and cache) per ingest batch, then feed the same
+      * frame to [[selfCheck]] (within-batch pairs), [[checkSig]]
+      * (batch-vs-corpus pairs) and [[appendSig]] (index advance): the
+      * batch text is tokenized/minhashed exactly once per ingest
+      * instead of once per question asked of it.
+      */
+    def signaturesFor(ix: NearDupIndex, batch: DataFrame,
+        idCol: String, textCol: String): DataFrame =
+      signatures(batch, idCol, textCol, ix.numHashes, ix.k, ix.bands, ix.seed)
+
     /** Fold a new batch's signatures into the index (after a `check`,
       * typically) — signatures are computed once here and never again.
       */
     def append(ix: NearDupIndex, batch: DataFrame, idCol: String, textCol: String): NearDupIndex =
-      ix.copy(sig = ix.sig.unionByName(
-        signatures(batch, idCol, textCol, ix.numHashes, ix.k, ix.bands, ix.seed)))
+      appendSig(ix, signatures(batch, idCol, textCol, ix.numHashes, ix.k, ix.bands, ix.seed))
+
+    /** [[append]] from a precomputed [[signaturesFor]] frame. */
+    def appendSig(ix: NearDupIndex, batchSig: DataFrame): NearDupIndex =
+      ix.copy(sig = ix.sig.unionByName(batchSig))
 
     /** Lifecycle-managed [[append]] for a long-lived ingest loop: the
       * new (old ∪ batch) signature frame is cached and materialized
@@ -708,8 +722,18 @@ object Dedup {
       */
     def check(ix: NearDupIndex, batch: DataFrame, batchIdCol: String, textCol: String,
         corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+        threshold: Double = 0.7): DataFrame =
+      checkSig(ix,
+        signatures(batch, batchIdCol, textCol, ix.numHashes, ix.k, ix.bands, ix.seed),
+        batch, batchIdCol, textCol, corpus, corpusIdCol, corpusTextCol, threshold)
+
+    /** [[check]] from a precomputed [[signaturesFor]] frame — `batch`
+      * is still needed for the candidate-only text point-read.
+      */
+    def checkSig(ix: NearDupIndex, bSig: DataFrame,
+        batch: DataFrame, batchIdCol: String, textCol: String,
+        corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
         threshold: Double = 0.7): DataFrame = {
-      val bSig = signatures(batch, batchIdCol, textCol, ix.numHashes, ix.k, ix.bands, ix.seed)
       val bFp = bSig.select(col("id").as("__bid"), col("fp").as("__bfp")).distinct()
       val cFp = ix.sig.select(col("id").as("__cid"), col("fp").as("__cfp")).distinct()
       val identical = bFp.join(cFp, col("__bfp") === col("__cfp"))
@@ -733,6 +757,52 @@ object Dedup {
         .where(col("jaccard") >= threshold)
         .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"), col("jaccard"))
       identical.unionByName(verified)
+    }
+
+    /** WITHIN-corpus near-dup pairs derived from stored signature
+      * rows — bit-identical to [[minhashNearDups]] on the same corpus
+      * (OpsSpec pins the equivalence) but without re-tokenizing or
+      * re-minhashing anything: `sig` is a [[signaturesFor]] /
+      * [[build]] frame (typically cached or loaded from parquet) and
+      * `corpus` text is point-read for verify candidates only. Same
+      * rep-collapse shape: reps band-join among themselves, candidates
+      * verify with exact Jaccard, rep pairs fan back through
+      * fingerprint membership, identical-fingerprint members pair at
+      * jaccard 1.0 directly.
+      */
+    def selfCheck(ix: NearDupIndex, sig: DataFrame, corpus: DataFrame,
+        idCol: String, textCol: String, threshold: Double = 0.7): DataFrame = {
+      val members = sig.select(col("id").as("__id"), col("fp").as("__fp")).distinct()
+      val reps = members.groupBy("__fp").agg(min("__id").as("__rid"))
+      val repSig = sig.join(reps.select(col("__rid")), col("id") === col("__rid"), "left_semi")
+      val a = repSig.select(col("band"), col("bh"), col("id").as("a_id"))
+      val b = repSig.select(col("band"), col("bh"), col("id").as("b_id"))
+      val cands = a.join(b, Seq("band", "bh")).where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val candIds = cands.select(col("a_id").as("__cid"))
+        .union(cands.select(col("b_id"))).distinct()
+      val sets = corpus.join(candIds, col(idCol) === col("__cid"), "left_semi")
+        .select(col(idCol).as("__sid"),
+          array_distinct(TextAnalysis.shingles(col(textCol), ix.k)).as("__sh"))
+      val repPairs = cands
+        .join(sets.withColumnsRenamed(Map("__sid" -> "a_id", "__sh" -> "__sha")), "a_id")
+        .join(sets.withColumnsRenamed(Map("__sid" -> "b_id", "__sh" -> "__shb")), "b_id")
+        .withColumn("jaccard", graft.expr.ArrayJaccard(col("__sha"), col("__shb")))
+        .where(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+      val ridFp = reps.select(col("__rid"), col("__fp"))
+      val ma = members.select(col("__fp").as("__fpa"), col("__id").as("__ida"))
+      val mb = members.select(col("__fp").as("__fpb"), col("__id").as("__idb"))
+      val crossPairs = repPairs
+        .join(ridFp.withColumnsRenamed(Map("__rid" -> "a_id", "__fp" -> "__fpa")), "a_id")
+        .join(ridFp.withColumnsRenamed(Map("__rid" -> "b_id", "__fp" -> "__fpb")), "b_id")
+        .join(ma, "__fpa").join(mb, "__fpb")
+        .select(least(col("__ida"), col("__idb")).as("a_id"),
+          greatest(col("__ida"), col("__idb")).as("b_id"), col("jaccard"))
+      val identicalPairs = ma.join(mb, col("__fpa") === col("__fpb"))
+        .where(col("__ida") < col("__idb"))
+        .select(col("__ida").as("a_id"), col("__idb").as("b_id"), lit(1.0).as("jaccard"))
+      crossPairs.unionByName(identicalPairs)
     }
   }
 

@@ -487,6 +487,32 @@ class OpsSpec extends SparkSuite {
     assert(again.where(col("batch_id") === col("corpus_id")).count() == 3) // self matches
   }
 
+  test("NearDupIndex selfCheck from stored signatures == minhashNearDups recompute") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank again"),
+      (3L, "completely different content about spark engines and distributed query planning"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (5L, "completely different content about spark engines and distributed query planning"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val ix = Dedup.NearDupIndex.build(corpus, "doc_id", "text")
+    val viaIndex = Dedup.NearDupIndex
+      .selfCheck(ix, ix.sig, corpus, "doc_id", "text", threshold = 0.5)
+    val recompute = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+    assert(key(viaIndex) == key(recompute))
+    assert(viaIndex.count() >= 3) // (1,2),(1,4),(2,4),(3,5) territory
+    // signaturesFor + appendSig chain matches build on the union
+    val more = Seq((10L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val sigMore = Dedup.NearDupIndex.signaturesFor(ix, more, "doc_id", "text")
+    val ix2 = Dedup.NearDupIndex.appendSig(ix, sigMore)
+    val all = corpus.unionByName(more)
+    assert(key(Dedup.NearDupIndex.selfCheck(ix2, ix2.sig, all, "doc_id", "text", 0.5))
+      == key(Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.5)))
+  }
+
   test("NearDupIndex appendCached: exactly one cached sig frame survives a chain") {
     import spark.implicits._
     val mk = (off: Long) => (0 until 6).map(i =>
