@@ -104,8 +104,19 @@ object Bench {
       def js(m: mutable.LinkedHashMap[String, Double]) =
         m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = mins.values.sum
+      // OPERATOR-time view (round-8 advice #6): for stream gates the
+      // wall min is dominated by the chunked-file fixture-replay
+      // harness (one-time staging + per-round file feeds), which swings
+      // with box load and reads as phantom regression round-over-round.
+      // `queries_op` substitutes the replay-loop seconds (the
+      // operator-dominated part of the min repeat) where one was
+      // measured; batch gates pass through unchanged. `value_op` is the
+      // round-over-round comparator; `value` stays the raw wall sum.
+      val ops = mins.map { case (k, v) => k -> replays.getOrElse(k, v) }
+      val totalOp = ops.values.sum
       val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(mins)},""" +
+      val line = s"""{"metric":"total","value":$total,"value_op":$totalOp,"unit":"sec","queries":${js(mins)},""" +
+        s""""queries_op":${js(ops)},""" +
         s""""queries_last":${js(lasts)},"queries_replay":${js(replays)},""" +
         s""""queries_stage":${js(stages)},"repeats":$repeats,"failed":$failedJs,"sf":"$sfDir"}"""
       println(line)
