@@ -1088,6 +1088,17 @@ object SparkEntry {
         Multimodal.packTextMp4(t(s, d, "documents"), "doc_id", "text"),
         "id", "media")),
 
+    // REAL Matroska/EBML path (the MKV sibling of the MP4 gate):
+    // spec-correct EBML trees (EBML header + Segment(Info + Tracks))
+    // with fixed 8-byte size vints, so the container overhead is the
+    // constant 268 bytes and duration/dims derive arithmetically from
+    // the text length; Mkv.parse walks the tree back. The oracle needs
+    // only octet_length(text).
+    "x_multimodal_mkv_meta" -> ((s, d) =>
+      Multimodal.decodeVideoMeta(
+        Multimodal.packTextMkv(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")),
+
     // REAL frame-level video path (the MJPEG rung the round-7 verdict
     // named): spec-correct RIFF/AVI containers whose 00dc chunks are
     // real baseline JPEGs (JpegEncoder) of known 16×16 gradients,
@@ -3012,6 +3023,15 @@ object SparkEntry {
              CAST(len * 40 AS BIGINT) AS duration_ms,
              CAST(16 + len % 640 AS INTEGER) AS width,
              CAST(16 + (len * 7) % 480 AS INTEGER) AS height
+      FROM b""",
+    "x_multimodal_mkv_meta" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents)
+      SELECT doc_id AS id, CAST(268 + len AS BIGINT) AS byte_len,
+             'video/x-matroska' AS mime_detected, 'matroska' AS brand,
+             CAST(len * 20 AS BIGINT) AS duration_ms,
+             CAST(16 + (len * 3) % 640 AS INTEGER) AS width,
+             CAST(16 + (len * 11) % 480 AS INTEGER) AS height
       FROM b""",
     // fingerprint contract (see x_audio_fingerprint query comment):
     // same class → all 4 landmarks shared; classes 6 or 7 apart →
