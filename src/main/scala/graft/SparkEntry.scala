@@ -1217,6 +1217,21 @@ object SparkEntry {
         Multimodal.packTextWav(t(s, d, "documents"), "doc_id", "text"),
         "id", "media")),
 
+    // COMPRESSED audio path: the SAME sample values as
+    // x_multimodal_audio ((byte−128)·256, mono) but carried in real
+    // from-spec FLAC streams (fixed prediction + Rice residuals,
+    // per-frame CRC-8/CRC-16, STREAMINFO MD5 of the raw samples;
+    // block size 256 so typical docs span several frames). The oracle
+    // replays every feature from the text bytes — FLAC is lossless,
+    // so one wrong sample anywhere in encode OR decode (prediction,
+    // Rice, channel, CRC, MD5 layers) hash-mismatches. Decode rides
+    // the AudioPcm.decodeAny dispatch the fingerprint/spectral ops
+    // share, so this gate also certifies their compressed-input path.
+    "x_multimodal_flac" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.packTextFlac(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")),
+
     // REAL GIF decode against an INDEPENDENT encoder: payloads are
     // written by the JDK's ImageIO GIF writer (greyscale-palette
     // indexed, pixels = the doc's UTF-8 bytes), decoded by GifCodec's
@@ -3098,6 +3113,28 @@ object SparkEntry {
                  i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
         FROM b)
       SELECT doc_id AS id, 1 AS channels, 8000 AS sample_rate, 8 AS bits,
+             CAST(len AS BIGINT) AS n_samples,
+             CAST(coalesce(256 * list_max(list_transform(bytes, v -> abs(v - 128))), 0) AS BIGINT) AS peak,
+             CAST(coalesce(65536 * list_sum(list_transform(bytes, v -> (v - 128) * (v - 128))), 0) AS BIGINT) AS sum_sq,
+             CAST(coalesce(list_sum(list_transform(range(len - 1),
+               i -> CASE WHEN (bytes[CAST(i+1 AS INTEGER)] < 128) <> (bytes[CAST(i+2 AS INTEGER)] < 128)
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+      FROM e""",
+
+    // identical derivation to x_multimodal_audio (FLAC is lossless —
+    // the decoded samples are bit-equal to the WAV path's), except the
+    // stream carries 16-bit samples
+    "x_multimodal_flac" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b)
+      SELECT doc_id AS id, 1 AS channels, 8000 AS sample_rate, 16 AS bits,
              CAST(len AS BIGINT) AS n_samples,
              CAST(coalesce(256 * list_max(list_transform(bytes, v -> abs(v - 128))), 0) AS BIGINT) AS peak,
              CAST(coalesce(65536 * list_sum(list_transform(bytes, v -> (v - 128) * (v - 128))), 0) AS BIGINT) AS sum_sq,

@@ -89,7 +89,7 @@ object AudioFingerprint {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          AudioPcm.decode(payload).toSeq.flatMap { clip =>
+          AudioPcm.decodeAny(payload).toSeq.flatMap { clip =>
             landmarks(clip, frameSize).map(l => (id, l))
           }
         }

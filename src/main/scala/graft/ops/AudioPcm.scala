@@ -30,6 +30,15 @@ object AudioPcm {
     * ~25 minutes of 16-bit stereo at 22 kHz). */
   val MaxSamples: Int = 64 << 20
 
+  /** Container dispatch for the audio operators: `fLaC` streams decode
+    * through the from-spec [[FlacCodec]], everything else through the
+    * RIFF/WAVE path below — so fingerprint/spectral/feature ops accept
+    * compressed fixtures without knowing which codec produced them. */
+  def decodeAny(p: Array[Byte]): Option[Clip] =
+    if (p.length >= 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')
+      FlacCodec.decode(p)
+    else decode(p)
+
   def decode(p: Array[Byte]): Option[Clip] = {
     def u8(i: Int): Int = p(i) & 0xFF
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)

@@ -319,6 +319,45 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** COMPRESSED-audio twin of [[packTextWav]]: the same per-byte
+    * sample mapping ((b − 128)·256, mono), but encoded as a real FLAC
+    * stream by the from-spec [[FlacCodec]] — fixed prediction + Rice
+    * residuals, per-frame CRCs, and the STREAMINFO MD5 of the raw
+    * samples. A small block size keeps typical documents spanning
+    * several frames, so the multi-frame path (UTF-8 frame numbers,
+    * short last block) is exercised by every row. Because the decoded
+    * samples must be bit-identical to the WAV path's, the same oracle
+    * arithmetic replays every feature — losslessness is the contract
+    * under test.
+    */
+  def packTextFlac(df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000, blockSize: Int = 256, maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                     else bytes0
+          val samples = new Array[Int](data.length)
+          var i = 0
+          while (i < data.length) { samples(i) = ((data(i) & 0xFF) - 128) << 8; i += 1 }
+          (id, FlacCodec.encode(AudioPcm.Clip(1, sampleRate, 16, samples), blockSize))
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("audio/flac").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
   /** Distributed REAL audio decode + feature extraction: full
     * [[AudioPcm]] sample decode per payload, then the classic integer
     * clip features — peak amplitude, energy (Σ s², exact in Long),
@@ -335,7 +374,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          AudioPcm.decode(payload) match {
+          AudioPcm.decodeAny(payload) match {
             case Some(clip) =>
               var peak = 0L; var sumSq = 0L; var zc = 0L
               var i = 0

@@ -154,7 +154,7 @@ object Spectral {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          AudioPcm.decode(payload).flatMap(features(_, frameSize)).map { ft =>
+          AudioPcm.decodeAny(payload).flatMap(features(_, frameSize)).map { ft =>
             (id, ft.nFrames, ft.centroidHz, ft.rolloffHz, ft.flatness, ft.peakHz)
           }
         }
