@@ -1232,6 +1232,43 @@ object SparkEntry {
         Multimodal.packTextFlac(t(s, d, "documents"), "doc_id", "text"),
         "id", "media")),
 
+    // G.711 μ-law rung: the text bytes ARE the companded code bytes
+    // (fmt 7, mono 8 kHz), decoded through the from-spec expander —
+    // a pure per-byte function, so the oracle replays the G.711
+    // segment/mantissa arithmetic bit-for-bit in SQL. Decode rides
+    // the same AudioPcm dispatch the fingerprint/spectral ops use.
+    "x_multimodal_mulaw" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.packTextG711Wav(t(s, d, "documents"), "doc_id", "text", alaw = false),
+        "id", "media")),
+
+    // G.711 A-law rung: same shape, fmt 6, the 0x55-toggled segment
+    // expansion (seg-0/seg-1 bias cases exercised by every document).
+    "x_multimodal_alaw" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.packTextG711Wav(t(s, d, "documents"), "doc_id", "text", alaw = true),
+        "id", "media")),
+
+    // IMA ADPCM rung (fmt 0x11, 4-bit adaptive nibbles, stateful):
+    // lossy by design, so the gate is the jpegParity-style verdict
+    // table — decoded, meta-exact (fact-trimmed frame count), decoder
+    // output EQUAL to the encoder's tracked predictor path (the ADPCM
+    // analogue of FLAC's MD5 gate), and bounded quantization error.
+    "x_multimodal_adpcm" -> ((s, d) =>
+      Multimodal.adpcmParity(t(s, d, "documents"), "doc_id", "text")),
+
+    // REAL BMP decode against an INDEPENDENT encoder: payloads are
+    // written by the JDK's ImageIO BMP writer (greyscale-palette
+    // indexed, pixels = the doc's UTF-8 bytes), decoded by BmpCodec's
+    // from-spec DIB parse (header walk, palette expansion, 4-byte row
+    // padding, bottom-up rows) — two implementations sharing zero
+    // code. Identity-grey palette means (v,v,v) output triplets, so
+    // the oracle flattens each expected byte into three, like GIF.
+    "x_multimodal_bmp_decode" -> ((s, d) =>
+      Multimodal.decodeImagePixels(
+        Multimodal.packTextBmp(t(s, d, "documents"), "doc_id", "text", width = 32),
+        "id", "media")),
+
     // REAL GIF decode against an INDEPENDENT encoder: payloads are
     // written by the JDK's ImageIO GIF writer (greyscale-palette
     // indexed, pixels = the doc's UTF-8 bytes), decoded by GifCodec's
@@ -3148,6 +3185,103 @@ object SparkEntry {
     "x_multimodal_jpeg_decode" -> """
       SELECT doc_id AS id, true AS decoded, true AS dims_ok, true AS within_band
       FROM documents""",
+
+    // μ-law contract: each text byte v is a G.711 code; the decoded
+    // sample is the spec expansion u = 255−v (complement),
+    // t = ((u mod 16)·8 + 132) << ((u div 16) mod 8), negatives when
+    // the complemented sign bit is set — replayed here bit-for-bit.
+    "x_multimodal_mulaw" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      s AS (
+        SELECT doc_id, len,
+               list_transform(bytes, v ->
+                 CASE WHEN (255 - v) >= 128
+                      THEN 132 - (((255 - v) % 16) * 8 + 132) * (1 << (((255 - v) // 16) % 8))
+                      ELSE (((255 - v) % 16) * 8 + 132) * (1 << (((255 - v) // 16) % 8)) - 132
+                 END) AS sm
+        FROM e)
+      SELECT doc_id AS id, 1 AS channels, 8000 AS sample_rate, 16 AS bits,
+             CAST(len AS BIGINT) AS n_samples,
+             CAST(coalesce(list_max(list_transform(sm, v -> abs(v))), 0) AS BIGINT) AS peak,
+             CAST(coalesce(list_sum(list_transform(sm, v -> v * v)), 0) AS BIGINT) AS sum_sq,
+             CAST(coalesce(list_sum(list_transform(range(len - 1),
+               i -> CASE WHEN (sm[CAST(i+1 AS INTEGER)] < 0) <> (sm[CAST(i+2 AS INTEGER)] < 0)
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+      FROM s""",
+
+    // A-law contract: a = v XOR 0x55; seg 0 → t = 16·mant + 8,
+    // seg ≥ 1 → (16·mant + 264) << (seg−1); sign bit 0x80 = positive.
+    "x_multimodal_alaw" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      s AS (
+        SELECT doc_id, len,
+               list_transform(bytes, v ->
+                 CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END *
+                 (CASE ((xor(v, 85) // 16) % 8)
+                    WHEN 0 THEN (xor(v, 85) % 16) * 16 + 8
+                    WHEN 1 THEN (xor(v, 85) % 16) * 16 + 264
+                    ELSE ((xor(v, 85) % 16) * 16 + 264) * (1 << (((xor(v, 85) // 16) % 8) - 1))
+                  END)) AS sm
+        FROM e)
+      SELECT doc_id AS id, 1 AS channels, 8000 AS sample_rate, 16 AS bits,
+             CAST(len AS BIGINT) AS n_samples,
+             CAST(coalesce(list_max(list_transform(sm, v -> abs(v))), 0) AS BIGINT) AS peak,
+             CAST(coalesce(list_sum(list_transform(sm, v -> v * v)), 0) AS BIGINT) AS sum_sq,
+             CAST(coalesce(list_sum(list_transform(range(len - 1),
+               i -> CASE WHEN (sm[CAST(i+1 AS INTEGER)] < 0) <> (sm[CAST(i+2 AS INTEGER)] < 0)
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+      FROM s""",
+
+    // ADPCM verdict contract (jpegParity pattern): the op must earn
+    // the all-true table — decode succeeds, fact-trimmed meta exact,
+    // decoder output equals the encoder's predictor path, SNR bound.
+    "x_multimodal_adpcm" -> """
+      SELECT doc_id AS id, true AS decoded, true AS meta_ok,
+             true AS reconstruction_exact, true AS snr_ok
+      FROM documents""",
+
+    // BMP contract: identical to the GIF gate's (same pixels, same
+    // grey identity palette, independent JDK writer), so the oracle
+    // flattens each expected byte into an (v,v,v) triplet.
+    "x_multimodal_bmp_decode" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS h,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      p AS (
+        SELECT doc_id, h,
+               flatten(list_transform(
+                 list_concat(bytes, list_transform(range(32 * h - len), x -> 0)),
+                 v -> [v, v, v])) AS px
+        FROM e)
+      SELECT doc_id AS id, 32 AS width, h AS height, 3 AS channels,
+             CAST(96 * h AS BIGINT) AS pixel_len,
+             CAST(list_sum(px) AS BIGINT) AS pixel_sum,
+             CAST(list_reduce(list_prepend(17, px),
+               (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
+      FROM p""",
 
     "x_multimodal_gif_decode" -> """
       WITH b AS (

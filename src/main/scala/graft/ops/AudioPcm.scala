@@ -2,11 +2,14 @@ package graft.ops
 
 /** Real PCM audio decode — the sample-level sibling of
   * [[Multimodal.AudioHeader]]'s header sniff, against the public
-  * RIFF/WAVE layout: the "fmt " chunk declares PCM format (1),
+  * RIFF/WAVE layout: the "fmt " chunk declares the format code,
   * channels, rate, and bit depth; the "data" chunk carries the
-  * samples — 8-bit unsigned (centered at 128) or 16-bit signed
-  * little-endian, the two classic PCM encodings. Non-PCM formats
-  * (float, ADPCM, extensible) return None: refuse, don't guess.
+  * samples. Decoded formats: 1 (linear PCM — 8-bit unsigned centered
+  * at 128, or 16-bit signed little-endian), 6 (G.711 A-law) and
+  * 7 (G.711 μ-law) through the from-spec [[G711]] expanders, and
+  * 0x11 (IMA ADPCM) through [[ImaAdpcm]] with the fmt chunk's
+  * blockAlign and the `fact` chunk's frame count. Everything else
+  * (float, MS-ADPCM, extensible) returns None: refuse, don't guess.
   *
   * Truncation contract: samples decode from the bytes ACTUALLY
   * present (a truncated file yields the prefix that exists, bounded
@@ -49,8 +52,8 @@ object AudioPcm {
       else ""
     if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var i = 12L
-    var fmt = -1; var channels = 0; var rate = 0; var bits = 0
-    var dataAt = -1L; var dataLen = 0L
+    var fmt = -1; var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
+    var dataAt = -1L; var dataLen = 0L; var factFrames = -1L
     while (i + 8 <= p.length) {
       val at = i.toInt
       val id = tag(at)
@@ -59,32 +62,56 @@ object AudioPcm {
         fmt = le16(at + 8)
         channels = le16(at + 10)
         rate = le32(at + 12).toInt
+        blockAlign = le16(at + 20)
         bits = le16(at + 22)
       } else if (id == "data" && dataAt < 0) {
         dataAt = i + 8
         dataLen = len
+      } else if (id == "fact" && at + 12 <= p.length) {
+        factFrames = le32(at + 8)
       }
       i += 8L + len + (len & 1L)
     }
-    if (fmt != 1 || channels < 1 || channels > 16 || rate <= 0 || dataAt < 0) return None
-    if (bits != 8 && bits != 16) return None
+    if (channels < 1 || channels > 16 || rate <= 0 || dataAt < 0) return None
     // bytes actually present, bounded by the declared size
     val avail = math.max(0L, math.min(dataLen, p.length - dataAt))
-    val bytesPerSample = bits / 8
-    val n = (avail / bytesPerSample).toInt
-    if (n > MaxSamples) return None
-    val out = new Array[Int](n)
     val base = dataAt.toInt
-    var k = 0
-    if (bits == 8) {
-      while (k < n) { out(k) = (u8(base + k) - 128) << 8; k += 1 }
-    } else {
-      while (k < n) {
-        val v = le16(base + 2 * k)
-        out(k) = if (v >= 0x8000) v - 0x10000 else v // sign-extend
-        k += 1
-      }
+    fmt match {
+      case 1 =>
+        if (bits != 8 && bits != 16) return None
+        val bytesPerSample = bits / 8
+        val n = (avail / bytesPerSample).toInt
+        if (n > MaxSamples) return None
+        val out = new Array[Int](n)
+        var k = 0
+        if (bits == 8) {
+          while (k < n) { out(k) = (u8(base + k) - 128) << 8; k += 1 }
+        } else {
+          while (k < n) {
+            val v = le16(base + 2 * k)
+            out(k) = if (v >= 0x8000) v - 0x10000 else v // sign-extend
+            k += 1
+          }
+        }
+        Some(Clip(channels, rate, bits, out))
+      case 6 | 7 =>
+        // G.711 A-law (6) / μ-law (7): one companded byte per sample,
+        // expanded through the spec tables to 16-bit working depth
+        if (bits != 8) return None
+        val n = avail.toInt
+        if (n > MaxSamples) return None
+        val table = if (fmt == 6) G711.AlawTable else G711.MulawTable
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) { out(k) = table(u8(base + k)); k += 1 }
+        Some(Clip(channels, rate, 16, out))
+      case 0x11 =>
+        // IMA ADPCM: stateful nibble decode over fmt's blockAlign
+        if (bits != 4 || channels > 2) return None
+        val data = java.util.Arrays.copyOfRange(p, base, base + avail.toInt)
+        ImaAdpcm.decodeData(data, channels, blockAlign, factFrames)
+          .map(samples => Clip(channels, rate, 16, samples))
+      case _ => None
     }
-    Some(Clip(channels, rate, bits, out))
   }
 }

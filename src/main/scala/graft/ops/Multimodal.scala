@@ -358,6 +358,150 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** G.711 twin of [[packTextWav]]: the document's UTF-8 bytes ARE
+    * the companded code bytes (fmt 7 μ-law / fmt 6 A-law, 8-bit,
+    * mono), under a spec-correct header (18-byte fmt with cbSize 0 +
+    * the `fact` chunk non-PCM formats carry). Decoded samples are the
+    * G.711 expansion of each text byte — a pure per-byte function
+    * ([[G711.mulawDecode]]/[[G711.alawDecode]]) the oracle replays
+    * bit-for-bit in SQL.
+    */
+  def packTextG711Wav(df: DataFrame, idCol: String, textCol: String, alaw: Boolean,
+      sampleRate: Int = 8000, maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fmtCode = if (alaw) 6 else 7
+    val mime = if (alaw) "audio/alaw" else "audio/mulaw"
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                     else bytes0
+          val body = "WAVE".getBytes("US-ASCII") ++
+            "fmt ".getBytes("US-ASCII") ++ le32(18) ++
+            le16(fmtCode) ++ le16(1) ++ le32(sampleRate) ++ le32(sampleRate) ++
+            le16(1) ++ le16(8) ++ le16(0) ++
+            "fact".getBytes("US-ASCII") ++ le32(4) ++ le32(data.length) ++
+            "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+          (id, "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit(mime).as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** IMA ADPCM twin of [[packTextWav]]: the same per-byte sample
+    * mapping ((b − 128)·256, mono), encoded through the from-spec
+    * [[ImaAdpcm]] encoder (fmt 0x11 blocks: per-block predictor +
+    * step-index header, 4-bit adaptive nibbles, `fact` frame count).
+    * ADPCM is LOSSY, so the gate for this path is the
+    * [[adpcmParity]] verdict table, not a sample-exact oracle.
+    */
+  def packTextAdpcmWav(df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000, blockAlign: Int = 256, maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                     else bytes0
+          val samples = new Array[Int](data.length)
+          var i = 0
+          while (i < data.length) { samples(i) = ((data(i) & 0xFF) - 128) << 8; i += 1 }
+          (id, ImaAdpcm.encodeWav(AudioPcm.Clip(1, sampleRate, 16, samples), blockAlign))
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("audio/adpcm").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** IMA ADPCM round-trip verdict table (the [[jpegParity]] pattern
+    * for stateful lossy audio): per document, build the reference
+    * samples from the text bytes, encode → decode through the WAV
+    * fmt-0x11 path, and earn four booleans —
+    * `decoded` (payload decodes at all), `meta_ok` (mono, declared
+    * rate, 16-bit working depth, `fact`-trimmed frame count == text
+    * length), `reconstruction_exact` (decoder output equals the
+    * encoder's tracked predictor path SAMPLE-EXACTLY — the ADPCM
+    * analogue of FLAC's MD5 gate: any drift in block headers, nibble
+    * packing, interleave, or state arithmetic breaks it), and
+    * `snr_ok` (quantization error bounded: 16·Σerr² ≤ Σsignal², or a
+    * zero-error clip). The oracle is the all-true table this op must
+    * earn.
+    */
+  def adpcmParity(df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000, blockAlign: Int = 256, maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                     else bytes0
+          val samples = new Array[Int](data.length)
+          var i = 0
+          while (i < data.length) { samples(i) = ((data(i) & 0xFF) - 128) << 8; i += 1 }
+          val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(1, sampleRate, 16, samples), blockAlign)
+          // the encoder's reconstruction path, re-tracked independently
+          // of the byte layout (block restarts included)
+          val spb = (blockAlign - 4) * 2 + 1
+          val expect = new Array[Int](samples.length)
+          var idx = 0
+          var f = 0
+          while (f < samples.length) {
+            if (f % spb == 0) expect(f) = samples(f) // block header frame
+            else {
+              val (nib, p2) = ImaAdpcm.encodeStep(samples(f), expect(f - 1), idx)
+              expect(f) = p2
+              idx = math.max(0, math.min(88, idx + ImaAdpcm.IndexTable(nib & 7)))
+            }
+            f += 1
+          }
+          AudioPcm.decodeAny(wav) match {
+            case Some(clip) =>
+              val metaOk = clip.channels == 1 && clip.sampleRate == sampleRate &&
+                clip.bitsPerSample == 16 && clip.samples.length == samples.length
+              val exact = metaOk && java.util.Arrays.equals(clip.samples, expect)
+              var sig = 0L; var err = 0L
+              var k = 0
+              val n = math.min(clip.samples.length, samples.length)
+              while (k < n) {
+                val s = samples(k).toLong
+                val e = samples(k).toLong - clip.samples(k)
+                sig += s * s; err += e * e
+                k += 1
+              }
+              (id, true, metaOk, exact, err == 0L || 16L * err <= sig)
+            case None => (id, false, false, false, false)
+          }
+        }
+      }
+      .toDF("id", "decoded", "meta_ok", "reconstruction_exact", "snr_ok")
+  }
+
   /** Distributed REAL audio decode + feature extraction: full
     * [[AudioPcm]] sample decode per payload, then the classic integer
     * clip features — peak amplitude, energy (Σ s², exact in Long),
@@ -860,6 +1004,53 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** BMP twin of [[packTextGif]]: the same grey-palette indexed
+    * raster (pixels = the doc's UTF-8 bytes, 32 wide, zero-padded
+    * last row) written by the JDK's OWN ImageIO BMP writer — so
+    * [[BmpCodec]]'s from-spec DIB parse (header walk, palette
+    * expansion, 4-byte row padding, bottom-up rows) is always
+    * exercised against an independent implementation's bytes, never
+    * its own. The grey palette is the identity map, so the decoded
+    * RGB triplets are (v,v,v) whichever bit depth the writer picks —
+    * the oracle flattens each expected byte into three, exactly like
+    * the GIF gate.
+    */
+  def packTextBmp(df: DataFrame, idCol: String, textCol: String, width: Int = 32,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    require(width > 0, s"packTextBmp: width=$width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        val grey = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grey, grey, grey)
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                      else bytes0
+          val h = math.max(1, (bytes.length + width - 1) / width)
+          val px = java.util.Arrays.copyOf(bytes, width * h)
+          val img = new java.awt.image.BufferedImage(width, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          img.getRaster.setDataElements(0, 0, width, h, px)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          (id, bos.toByteArray, h)
+        }
+      }
+      .toDF("id", "__payload", "__h")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("image/bmp").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(width).as("width"),
+          col("__h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
   /** Deterministic grayscale JPEG fixtures: LCG pixels seeded by id
     * (smoothed so high-quality JPEG stays close), encoded by the
     * JDK's OWN ImageIO JPEG writer — so [[JpegCodec]] is always
@@ -962,7 +1153,8 @@ object Multimodal {
 
   /** Distributed REAL pixel decode: full [[PngCodec]] (inflate +
     * unfilter + palette expansion), [[GifCodec]] (LZW + color table),
-    * or [[JpegCodec]] (Huffman + IDCT baseline) decode per payload —
+    * [[JpegCodec]] (Huffman + IDCT baseline), or [[BmpCodec]] (DIB
+    * raster + palette + RLE8) decode per payload —
     * dispatched by content, like any curation
     * decode stage — summarized to verifiable per-image statistics:
     * dimensions, channels, byte count, byte sum, and an
@@ -980,7 +1172,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
           PngCodec.decode(payload).orElse(GifCodec.decode(payload))
-              .orElse(JpegCodec.decode(payload)) match {
+              .orElse(JpegCodec.decode(payload))
+              .orElse(BmpCodec.decode(payload)) match {
             case Some(img) =>
               var h = 17L; var sum = 0L; var i = 0
               while (i < img.pixels.length) {

@@ -1,0 +1,157 @@
+package graft
+
+import graft.ops.{AudioPcm, ImaAdpcm}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** From-spec IMA ADPCM. The decode arithmetic is pinned by a worked
+  * example computed by hand from the published step/index tables
+  * (values written out literally — not derived by the code under
+  * test); the WAV layer is pinned by round-trips whose expected output
+  * is the encoder's predictor path re-tracked independently of the
+  * byte layout, plus truncation and fuzz contracts matching the other
+  * codecs.
+  */
+class ImaAdpcmSpec extends AnyFunSuite {
+
+  test("worked example: nibble decode from (pred 0, index 0) — hand-computed") {
+    // step table entry 0 is 7; index table: [-1,-1,-1,-1,2,4,6,8]
+    // nib 2 (binary 010): diff = 7>>3 + 7>>1 = 0 + 3 = 3  → pred 3,  idx 0-1 → 0
+    // nib 7 (binary 111): diff = 0 + 1 + 3 + 7 = 11       → pred 14, idx 0+8 → 8 (step 16)
+    // nib 8 (sign only):  diff = 16>>3 = 2                → pred 12, idx 8-1 → 7 (step 14)
+    // nib 5 (binary 101): diff = 14>>3 + 14>>2 + 14 = 1+3+14 = 18 → pred 30, idx 7+4 → 11
+    var pred = 0; var idx = 0
+    def step(nib: Int): Unit = {
+      pred = ImaAdpcm.decodeStep(nib, pred, ImaAdpcm.StepTable(idx))
+      idx = math.max(0, math.min(88, idx + ImaAdpcm.IndexTable(nib & 7)))
+    }
+    step(2); assert(pred == 3 && idx == 0)
+    step(7); assert(pred == 14 && idx == 8)
+    step(8); assert(pred == 12 && idx == 7)
+    step(5); assert(pred == 30 && idx == 11)
+  }
+
+  test("step table is the published 89-entry IMA table") {
+    assert(ImaAdpcm.StepTable.length == 89)
+    assert(ImaAdpcm.StepTable(0) == 7 && ImaAdpcm.StepTable(88) == 32767)
+    assert(ImaAdpcm.StepTable(44) == 494) // middle entry, from the spec table
+    // monotone increasing throughout (defining property of the table)
+    assert(ImaAdpcm.StepTable.sliding(2).forall(p => p(1) > p(0)))
+  }
+
+  test("encodeStep reconstruction equals decodeStep of the emitted nibble") {
+    val rnd = new Random(7)
+    (1 to 2000).foreach { _ =>
+      val predictor = rnd.nextInt(65536) - 32768
+      val index = rnd.nextInt(89)
+      val sample = rnd.nextInt(65536) - 32768
+      val (nib, p2) = ImaAdpcm.encodeStep(sample, predictor, index)
+      assert(p2 == ImaAdpcm.decodeStep(nib, predictor, ImaAdpcm.StepTable(index)))
+    }
+  }
+
+  /** Re-track the encoder's predictor path from the raw samples, the
+    * way adpcmParity does — independent of the byte layout. */
+  private def expectedPath(samples: Array[Int], spb: Int): Array[Int] = {
+    val out = new Array[Int](samples.length)
+    var idx = 0
+    var f = 0
+    while (f < samples.length) {
+      if (f % spb == 0) out(f) = samples(f)
+      else {
+        val (nib, p2) = ImaAdpcm.encodeStep(samples(f), out(f - 1), idx)
+        out(f) = p2
+        idx = math.max(0, math.min(88, idx + ImaAdpcm.IndexTable(nib & 7)))
+      }
+      f += 1
+    }
+    out
+  }
+
+  test("mono WAV round trip: meta exact, decode equals the encoder's predictor path") {
+    val rnd = new Random(11)
+    // text-like rough samples: byte-scale jumps, the gate's mapping
+    val samples = Array.tabulate(1700)(i => ((32 + rnd.nextInt(95)) - 128) << 8)
+    val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(1, 8000, 16, samples), blockAlign = 256)
+    val clip = AudioPcm.decodeAny(wav).get
+    assert(clip.channels == 1 && clip.sampleRate == 8000 && clip.bitsPerSample == 16)
+    assert(clip.samples.length == samples.length) // fact chunk trims block padding
+    val spb = (256 - 4) * 2 + 1
+    assert(clip.samples.toSeq == expectedPath(samples, spb).toSeq)
+  }
+
+  test("smooth signal round trip tracks closely (SNR sanity)") {
+    val samples = Array.tabulate(4000)(i => (8000 * math.sin(i * 0.05)).toInt)
+    val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(1, 8000, 16, samples), blockAlign = 256)
+    val clip = AudioPcm.decodeAny(wav).get
+    var sig = 0.0; var err = 0.0
+    samples.indices.foreach { i =>
+      sig += samples(i).toDouble * samples(i)
+      val e = samples(i).toDouble - clip.samples(i)
+      err += e * e
+    }
+    assert(err * 100 < sig, s"SNR too low: sig=$sig err=$err") // ≥ 20 dB on a smooth sine
+  }
+
+  test("stereo WAV round trip: interleaved groups decode per channel") {
+    val rnd = new Random(13)
+    val frames = 900
+    val samples = new Array[Int](frames * 2)
+    var i = 0
+    while (i < frames) {
+      samples(2 * i) = (4000 * math.sin(i * 0.03)).toInt
+      samples(2 * i + 1) = ((32 + rnd.nextInt(95)) - 128) << 8
+      i += 1
+    }
+    val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(2, 16000, 16, samples), blockAlign = 256)
+    val clip = AudioPcm.decodeAny(wav).get
+    assert(clip.channels == 2 && clip.sampleRate == 16000)
+    assert(clip.samples.length == samples.length)
+    // block-header frames are carried exactly per channel
+    val spb = (256 - 8) * 2 / 2 + 1
+    var blk = 0
+    while (blk * spb < frames) {
+      val f = blk * spb
+      assert(clip.samples(2 * f) == samples(2 * f), s"ch0 header frame $f")
+      assert(clip.samples(2 * f + 1) == samples(2 * f + 1), s"ch1 header frame $f")
+      blk += 1
+    }
+  }
+
+  test("empty clip encodes to a zero-block WAV that decodes to zero samples") {
+    val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(1, 8000, 16, Array.empty[Int]))
+    val clip = AudioPcm.decodeAny(wav).get
+    assert(clip.samples.isEmpty)
+  }
+
+  test("truncation decodes the whole interleave groups present, never throws") {
+    val samples = Array.tabulate(1300)(i => (6000 * math.sin(i * 0.07)).toInt)
+    val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(1, 8000, 16, samples), blockAlign = 256)
+    // cut mid-way through the second block's data region
+    (Seq(wav.length - 1, wav.length - 100, wav.length - 250) ++ Seq(60, 100)).foreach { cut =>
+      if (cut > 0 && cut < wav.length) {
+        val t = java.util.Arrays.copyOf(wav, cut)
+        AudioPcm.decodeAny(t) match {
+          case Some(c) => assert(c.samples.length <= samples.length)
+          case None => () // header itself cut away: refusing is fine
+        }
+      }
+    }
+  }
+
+  test("fuzz: mutated and random payloads never throw") {
+    val rnd = new Random(17)
+    val samples = Array.tabulate(800)(i => (5000 * math.sin(i * 0.1)).toInt)
+    val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(1, 8000, 16, samples))
+    (1 to 300).foreach { _ =>
+      val m = wav.clone()
+      (1 to 8).foreach { _ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte }
+      AudioPcm.decodeAny(m) // must not throw
+    }
+    (1 to 100).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(junk)
+      AudioPcm.decodeAny(junk)
+    }
+  }
+}
