@@ -1253,9 +1253,23 @@ object SparkEntry {
     // lossy by design, so the gate is the jpegParity-style verdict
     // table — decoded, meta-exact (fact-trimmed frame count), decoder
     // output EQUAL to the encoder's tracked predictor path (the ADPCM
-    // analogue of FLAC's MD5 gate), and bounded quantization error.
+    // analogue of FLAC's MD5 gate). No SNR column: adaptive-step
+    // coding has no honest fixed dB bound on noise-like byte signals.
     "x_multimodal_adpcm" -> ((s, d) =>
       Multimodal.adpcmParity(t(s, d, "documents"), "doc_id", "text")),
+
+    // ADPCM packer e2e through the media schema: packTextAdpcmWav →
+    // AudioPcm dispatch → feature decode. Samples are lossy (that
+    // contract lives in x_multimodal_adpcm); what IS oracle-exact is
+    // the container metadata — mono, declared rate, 16-bit working
+    // depth, fact-trimmed frame count == byte length — so the gate
+    // selects exactly those columns.
+    "x_multimodal_adpcm_pack" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.packTextAdpcmWav(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")
+        .select(col("id"), col("channels"), col("sample_rate"), col("bits"),
+          col("n_samples"))),
 
     // REAL BMP decode against an INDEPENDENT encoder: payloads are
     // written by the JDK's ImageIO BMP writer (greyscale-palette
@@ -3192,7 +3206,7 @@ object SparkEntry {
     // the complemented sign bit is set — replayed here bit-for-bit.
     "x_multimodal_mulaw" -> """
       WITH b AS (
-        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+        SELECT doc_id, least(octet_length(encode(coalesce(text, ''))), 1048576) AS len,
                hex(encode(coalesce(text, ''))) AS hx
         FROM documents),
       e AS (
@@ -3221,7 +3235,7 @@ object SparkEntry {
     // seg ≥ 1 → (16·mant + 264) << (seg−1); sign bit 0x80 = positive.
     "x_multimodal_alaw" -> """
       WITH b AS (
-        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+        SELECT doc_id, least(octet_length(encode(coalesce(text, ''))), 1048576) AS len,
                hex(encode(coalesce(text, ''))) AS hx
         FROM documents),
       e AS (
@@ -3250,10 +3264,21 @@ object SparkEntry {
 
     // ADPCM verdict contract (jpegParity pattern): the op must earn
     // the all-true table — decode succeeds, fact-trimmed meta exact,
-    // decoder output equals the encoder's predictor path, SNR bound.
+    // decoder output equals the encoder's predictor path sample-
+    // exactly (no SNR column: adaptive-step lossy coding has no
+    // corpus-portable dB bound on noise-like byte signals; bit-exact
+    // predictor-path agreement is the pinning contract).
     "x_multimodal_adpcm" -> """
       SELECT doc_id AS id, true AS decoded, true AS meta_ok,
-             true AS reconstruction_exact, true AS snr_ok
+             true AS reconstruction_exact
+      FROM documents""",
+
+    // ADPCM packer metadata contract: the container round-trips its
+    // declared shape exactly even though the samples are lossy.
+    "x_multimodal_adpcm_pack" -> """
+      SELECT doc_id AS id, 1 AS channels, 8000 AS sample_rate, 16 AS bits,
+             CAST(least(octet_length(encode(coalesce(text, ''))), 1048576) AS BIGINT)
+               AS n_samples
       FROM documents""",
 
     // BMP contract: identical to the GIF gate's (same pixels, same

@@ -128,6 +128,28 @@ object ImaAdpcm {
           at += 4 * channels
           frameInBlock += groupFrames
         }
+        // mono only: a blockAlign whose data region is not a multiple
+        // of 4 (e.g. 6 → header + 2 bytes = 4 nibbles) leaves a
+        // partial group; its nibbles are still well-defined for one
+        // channel, so decode them rather than silently dropping the
+        // trailing samples. (Stereo genuinely needs whole groups —
+        // a partial group is missing one channel's bytes.)
+        if (channels == 1) {
+          while (at < blockEnd && frameInBlock < samplesPerBlock) {
+            val b = data(at) & 0xFF
+            var half = 0
+            while (half < 2 && frameInBlock < samplesPerBlock) {
+              val nib = if (half == 0) b & 0x0F else (b >> 4) & 0x0F
+              val step = StepTable(idx(0))
+              pred(0) = decodeStep(nib, pred(0), step)
+              idx(0) = clampIndex(idx(0) + IndexTable(nib & 7))
+              out(blockFrame0 + frameInBlock) = pred(0)
+              frameInBlock += 1
+              half += 1
+            }
+            at += 1
+          }
+        }
         outN = blockFrame0 + frameInBlock
         blockStart += blockAlign
       }

@@ -80,6 +80,34 @@ class ImaAdpcmSpec extends AnyFunSuite {
     assert(clip.samples.toSeq == expectedPath(samples, spb).toSeq)
   }
 
+  test("noise-like gate signal (full byte range, the gate's exact mapping) reconstructs exactly") {
+    // This is the signal class that broke the round-9 gate: random
+    // UTF-8-ish bytes through ((b & 0xFF) - 128) << 8 — ±23k jumps
+    // between adjacent samples. ADPCM's honest SNR here is ~7-11 dB,
+    // which is why the gate carries NO SNR bound; what it must and
+    // does guarantee is bit-exact agreement with the encoder's own
+    // predictor path, asserted here on exactly that signal.
+    val rnd = new Random(23)
+    val bytes = new Array[Byte](3000)
+    rnd.nextBytes(bytes)
+    val samples = bytes.map(b => ((b & 0xFF) - 128) << 8)
+    val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(1, 8000, 16, samples), blockAlign = 256)
+    val clip = AudioPcm.decodeAny(wav).get
+    assert(clip.channels == 1 && clip.sampleRate == 8000 && clip.bitsPerSample == 16)
+    assert(clip.samples.length == samples.length)
+    val spb = (256 - 4) * 2 + 1
+    assert(clip.samples.toSeq == expectedPath(samples, spb).toSeq)
+    // document the measured SNR floor honestly: well below the old
+    // 12 dB bound, but strictly positive (the codec does track)
+    var sig = 0.0; var err = 0.0
+    samples.indices.foreach { i =>
+      sig += samples(i).toDouble * samples(i)
+      val e = samples(i).toDouble - clip.samples(i)
+      err += e * e
+    }
+    assert(err < sig, s"codec lost all tracking: sig=$sig err=$err")
+  }
+
   test("smooth signal round trip tracks closely (SNR sanity)") {
     val samples = Array.tabulate(4000)(i => (8000 * math.sin(i * 0.05)).toInt)
     val wav = ImaAdpcm.encodeWav(AudioPcm.Clip(1, 8000, 16, samples), blockAlign = 256)
@@ -116,6 +144,31 @@ class ImaAdpcmSpec extends AnyFunSuite {
       assert(clip.samples(2 * f + 1) == samples(2 * f + 1), s"ch1 header frame $f")
       blk += 1
     }
+  }
+
+  test("mono blockAlign with a partial nibble group decodes the trailing nibbles") {
+    // blockAlign=6: 4-byte header + 2 data bytes = 4 nibbles, which is
+    // NOT a whole 4-byte interleave group. Externally-produced files
+    // use such aligns; mono must decode the nibbles present instead of
+    // dropping up to 6 trailing samples per block.
+    // Header: predictor=100 (LE), index=0, reserved=0; data nibbles
+    // 0x2 then 0x7 in the first byte (low first), 0x8 then 0x5 next.
+    val data = Array[Byte](100, 0, 0, 0, 0x72, 0x58)
+    val out = ImaAdpcm.decodeData(data, channels = 1, blockAlign = 6).get
+    // samplesPerBlock = (6-4)*2/1 + 1 = 5 → all 5 samples present
+    assert(out.length == 5)
+    assert(out(0) == 100)
+    // re-track by hand with the public step functions
+    var pred = 100; var idx = 0
+    Seq(2, 7, 8, 5).zipWithIndex.foreach { case (nib, i) =>
+      pred = ImaAdpcm.decodeStep(nib, pred, ImaAdpcm.StepTable(idx))
+      idx = math.max(0, math.min(88, idx + ImaAdpcm.IndexTable(nib & 7)))
+      assert(out(i + 1) == pred, s"sample ${i + 1}")
+    }
+    // stereo still requires whole groups: same partial tail is dropped
+    val st = Array[Byte](100, 0, 0, 0, 50, 0, 0, 0, 0x72, 0x58)
+    val so = ImaAdpcm.decodeData(st, channels = 2, blockAlign = 10).get
+    assert(so.length == 2, "stereo partial group must decode header frames only")
   }
 
   test("empty clip encodes to a zero-block WAV that decodes to zero samples") {
