@@ -78,6 +78,17 @@ object AudioFingerprint {
     out.distinct.sorted
   }
 
+  /** Decode-pass counter, incremented once per payload decoded by
+    * [[fingerprintDf]]. In local mode (tests, the driver harness) this
+    * counts every decode in the JVM, so specs can assert the corpus is
+    * decoded exactly ONCE per dedup call — the round-9 verdict found
+    * Catalyst re-deriving the fingerprint scan ~12× before `fp` was
+    * checkpointed, and this is the regression tripwire. On a cluster
+    * it degrades gracefully to a per-executor count (never read by the
+    * engine itself).
+    */
+  private[graft] val decodeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Distributed fingerprints: one row per (id, landmark). Non-PCM or
     * too-short payloads produce no rows.
     */
@@ -89,6 +100,7 @@ object AudioFingerprint {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
+          decodeCount.incrementAndGet()
           AudioPcm.decodeAny(payload).toSeq.flatMap { clip =>
             landmarks(clip, frameSize).map(l => (id, l))
           }
@@ -108,19 +120,28 @@ object AudioFingerprint {
   def audioNearDups(df: DataFrame, idCol: String, mediaCol: String,
       minMatch: Int = 3, frameSize: Int = 1024, maxLandmarkDf: Int = 0): DataFrame = {
     require(minMatch >= 1, s"audio near-dup: minMatch=$minMatch must be >= 1")
-    val fp = fingerprintDf(df, idCol, mediaCol, frameSize)
+    // `fp` is referenced through sets/reps/repLm/lm/ma/mb/cappedSizes;
+    // Catalyst does NOT share subplans, so without truncation every
+    // leaf occurrence re-decodes and re-FFTs the whole corpus (~12
+    // full passes measured in round 9). Eager localCheckpoint runs the
+    // decode exactly once — the Components.connectedComponents
+    // pattern; same for the derived per-clip digest table.
+    val fp = fingerprintDf(df, idCol, mediaCol, frameSize).localCheckpoint(true)
     // identical-fingerprint-set collapse: digest of the sorted
     // landmark set (landmarks() returns sorted distinct, so the
     // digest is canonical)
     val sets = fp.groupBy(col("id"))
       .agg(md5(to_json(struct(sort_array(collect_list(col("landmark")))))).as("__fpd"))
+      .localCheckpoint(true)
     val reps = sets.groupBy(col("__fpd")).agg(min(col("id")).as("__rid"))
     val repLm = fp.join(reps.select(col("__rid").as("id"), col("__fpd")), Seq("id"))
-    val lm =
+    val lm0 =
       if (maxLandmarkDf <= 0) repLm
       else repLm.join(
         repLm.groupBy("landmark").count().where(col("count") > maxLandmarkDf),
         Seq("landmark"), "left_anti")
+    // rep landmarks feed the self-join's both sides AND cappedSizes
+    val lm = lm0.localCheckpoint(true)
     val a = lm.select(col("landmark"), col("id").as("a_id"))
     val b = lm.select(col("landmark"), col("id").as("b_id"))
     val repPairs = a.join(b, Seq("landmark")).where(col("a_id") < col("b_id"))
@@ -168,16 +189,20 @@ object AudioFingerprint {
   def audioDedupGroups(df: DataFrame, idCol: String, mediaCol: String,
       minMatch: Int = 3, frameSize: Int = 1024, maxLandmarkDf: Int = 0): DataFrame = {
     require(minMatch >= 1, s"audio groups: minMatch=$minMatch must be >= 1")
-    val fp = fingerprintDf(df, idCol, mediaCol, frameSize)
+    // decode+FFT exactly once (see audioNearDups: Catalyst re-derives
+    // un-truncated subplans per leaf occurrence)
+    val fp = fingerprintDf(df, idCol, mediaCol, frameSize).localCheckpoint(true)
     val sets = fp.groupBy(col("id"))
       .agg(md5(to_json(struct(sort_array(collect_list(col("landmark")))))).as("__fpd"))
+      .localCheckpoint(true)
     val reps = sets.groupBy(col("__fpd")).agg(min(col("id")).as("__rid"))
     val repLm = fp.join(reps.select(col("__rid").as("id"), col("__fpd")), Seq("id"))
-    val lm =
+    val lm = (
       if (maxLandmarkDf <= 0) repLm
       else repLm.join(
         repLm.groupBy("landmark").count().where(col("count") > maxLandmarkDf),
         Seq("landmark"), "left_anti")
+    ).localCheckpoint(true) // both self-join sides read it
     val a = lm.select(col("landmark"), col("id").as("a_id"))
     val b = lm.select(col("landmark"), col("id").as("b_id"))
     val repPairs = a.join(b, Seq("landmark")).where(col("a_id") < col("b_id"))

@@ -393,9 +393,14 @@ object Dedup {
       numHashes: Int, k: Int, bands: Int, seed: Long,
       maxBucketSize: Int): (DataFrame, DataFrame, DataFrame) = {
     val src = Partitioning.fanOut(df) // hashing-heavy: don't let 1-2 input splits serialize it
-    // membership: id → content fingerprint; reps: min id per fingerprint
+    // membership: id → content fingerprint. Checkpointed: it feeds
+    // reps here plus both fan-out sides downstream (ma/mb), and each
+    // un-truncated reference re-scans the corpus and re-hashes every
+    // document (Catalyst shares no subplans). Two small columns per
+    // doc — cheap to hold, saves 2+ full corpus passes.
     val members = src.select(col(idCol).as("__id"),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .localCheckpoint(true)
     val reps = members.groupBy("__fp").agg(min("__id").as("__rid"))
     val repDf = src.join(reps.select(col("__rid")), col(idCol) === col("__rid"), "left_semi")
 

@@ -91,6 +91,24 @@ class AudioFingerprintSpec extends SparkSuite {
     (0L until 30L).foreach(id => assert(strict(id) == id % 10))
   }
 
+  test("decode runs EXACTLY once per clip per dedup call (checkpoint tripwire)") {
+    // Round-9 regression: fp was referenced via 7 downstream frames
+    // and Catalyst re-derived the decode+FFT scan ~12×. The eager
+    // localCheckpoint pins it to one pass; this counter (JVM-local,
+    // exact under local[*]) fails the suite if anyone removes it.
+    val docs = (0L until 24L).toDF("doc_id")
+    val packed = AudioFingerprint.packToneSequenceWav(docs, "doc_id")
+      .localCheckpoint(true) // isolate the counter from packer re-runs
+    AudioFingerprint.decodeCount.set(0L)
+    AudioFingerprint.audioNearDups(packed, "id", "media", minMatch = 3).collect()
+    assert(AudioFingerprint.decodeCount.get() == 24L,
+      s"audioNearDups decoded ${AudioFingerprint.decodeCount.get()} payloads for 24 clips")
+    AudioFingerprint.decodeCount.set(0L)
+    AudioFingerprint.audioDedupGroups(packed, "id", "media", minMatch = 3).collect()
+    assert(AudioFingerprint.decodeCount.get() == 24L,
+      s"audioDedupGroups decoded ${AudioFingerprint.decodeCount.get()} payloads for 24 clips")
+  }
+
   test("too-short clips produce no landmarks; junk payloads no rows") {
     val short = AudioPcm.decode(
       AudioFingerprint.packToneSequenceWav(Seq(1L).toDF("doc_id"), "doc_id", frames = 2)
