@@ -999,6 +999,19 @@ object SparkEntry {
         threshold = 0.3, planes = 8, bruteForce = false)
         .withColumn("cosine", round(col("cosine"), 4))),
 
+    // the one-call GROUPS surface of embedding dedup (linear output —
+    // the x_dedup_groups analogue over vectors): every vector gets the
+    // min id reachable through the ≥0.3-cosine relation over the
+    // md5-derived sign-LSH candidate graph; unpaired vectors keep
+    // their own id. Oracle replays the identical buckets, exact
+    // cosine, and recursive min-label closure, then left-joins the
+    // full corpus so singleton rows are checked too.
+    "x_embed_neardup_groups" -> ((s, d) =>
+      Dedup.embeddingDedupGroups(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, planes = 8)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("group_id").cast("long").as("group_id"))),
+
     // SemDeDup (Abbas et al. 2023) with md5-derived gate centroids
     // (the sign-LSH precedent): EVERY stage — scan-local argmax
     // cell assignment, centroid cosine, and the paper's
@@ -3370,6 +3383,33 @@ object SparkEntry {
                 * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
         FROM c a JOIN c b ON a.vec_id < b.vec_id AND a.bkt = b.bkt)
       WHERE cosine >= 0.3""",
+
+    // x_dedup_embed_lsh's pair set contracted to its transitive
+    // closure over EVERY vector (the x_dedup_groups pattern): same
+    // md5-bucket replay + exact cosine, then recursive min-label
+    // reachability; singletons keep their own id via the left join.
+    "x_embed_neardup_groups" -> s"""
+      WITH RECURSIVE c AS (
+        SELECT vec_id, embedding, ${lshBucketSql("embedding", 64, 8)} AS bkt
+        FROM embeddings),
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))) AS cosine
+          FROM c a JOIN c b ON a.vec_id < b.vec_id AND a.bkt = b.bkt)
+        WHERE cosine >= 0.3),
+      edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+      comp AS (SELECT id, min(r) AS g FROM reach GROUP BY id)
+      SELECT emb.vec_id, CAST(coalesce(cp.g, emb.vec_id) AS BIGINT) AS group_id
+      FROM embeddings emb LEFT JOIN comp cp ON cp.id = emb.vec_id""",
     // SemDeDup replay (see x_dedup_semantic query comment): md5
     // centroids re-derived in SQL, same element-order cosine folds,
     // argmax by (cos DESC, cell DESC), drop iff a strictly

@@ -997,72 +997,154 @@ object Dedup {
             if (cos >= th) Some((ia, ib, cos)) else None
           }
         }.toDF("a_id", "b_id", "cosine")
-    } else {
-      // hyperplane expressions need the dimensionality at plan time;
-      // when the caller doesn't supply it, probe one row (a LIMIT-1
-      // scan of a single file split, regardless of corpus size)
-      val d = if (dim > 0) dim else
-        df.select(size(col(vecCol)).as("d")).limit(1).collect()
-          .headOption.map(_.getInt(0)).getOrElse(0)
-      if (d == 0) // empty corpus → empty pair set with the right schema
-        return df.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+    } else embeddingLshRepPairs(df, idCol, vecCol, threshold, planes, seed, dim, tables) match {
+      case None => // empty corpus → empty pair set with the right schema
+        df.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
           lit(0.0).as("cosine")).where(lit(false))
-      // collapse bit-identical vectors before bucketing (same rationale
-      // as the minhash/simhash pre-collapse: equal vector ⟹ equal
-      // bucket, so rep-level collisions ARE member-level collisions; a
-      // pile of identical embeddings costs O(pairs out), not a bucket
-      // explosion). Identical pairs get cosine 1.0 — exact, because
-      // cos(v, v) of the same finite nonzero vector is exactly 1 in
-      // IEEE double... except it isn't (x·x / (‖x‖·‖x‖) can round to
-      // 0.99999…), so compute it via the same dot/norm expressions on
-      // the rep vector to stay bit-identical with the un-collapsed plan.
-      val members = Partitioning.fanOut(df).select(col(idCol).as("__id"),
-        Similarity.toDoubleVec(col(vecCol)).as("__v"))
-        .withColumn("__vfp", md5(to_json(struct(col("__v")))))
-      val reps = members.groupBy("__vfp").agg(min("__id").as("__rid"))
-      val base = members.join(reps, members("__id") === reps("__rid"), "left_semi")
-        .select(col("__id"), col("__v"), col("__vfp"))
-        .withColumn("__n", Similarity.l2norm(col("__v")))
-      // (table, bucket) per vector per table — ids only; the banded
-      // self-join must not carry 8×dim-byte vector payloads through
-      // the shuffle, and with tables > 1 a pair found in several
-      // tables must still verify exactly once (distinct before join)
-      val nt = math.max(1, tables)
-      val tableBuckets = (0 until nt).map(t => struct(lit(t).as("t"),
-        Similarity.hyperplaneBuckets(col("__v"), d, planes, seed + 7919L * t).as("h")))
-      val bucketed = base
-        .select(col("__id"), explode(array(tableBuckets: _*)).as("__tb"))
-        .select(col("__id"), col("__tb.t").as("__tbl"), col("__tb.h").as("__bkt"))
-      val cands = bucketed.select(col("__tbl"), col("__bkt"), col("__id").as("a_id"))
-        .join(bucketed.select(col("__tbl"), col("__bkt"), col("__id").as("b_id")),
-          Seq("__tbl", "__bkt"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      val sideA = base.select(col("__id").as("a_id"), col("__v").as("__va"),
-        col("__n").as("__na"), col("__vfp").as("__fpa"))
-      val sideB = base.select(col("__id").as("b_id"), col("__v").as("__vb"),
-        col("__n").as("__nb"), col("__vfp").as("__fpb"))
-      val repPairs = cands.join(sideA, "a_id").join(sideB, "b_id")
-        .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-        .where(col("cosine") >= threshold)
-        .select(col("a_id"), col("b_id"), col("cosine"), col("__fpa"), col("__fpb"))
-      // self-cosine of each duplicated vector, via the identical
-      // expression pipeline (bit-exact vs the raw-corpus plan)
-      val selfCos = base.withColumn("__c",
-          Similarity.dot(col("__v"), col("__v")) / (col("__n") * col("__n")))
-        .select(col("__vfp"), col("__c"))
-      val ma = members.select(col("__vfp").as("__fpa"), col("__id").as("__ida"))
-      val mb = members.select(col("__vfp").as("__fpb"), col("__id").as("__idb"))
-      val crossPairs = repPairs
-        .join(ma, "__fpa").join(mb, "__fpb")
-        .select(least(col("__ida"), col("__idb")).as("a_id"),
-          greatest(col("__ida"), col("__idb")).as("b_id"), col("cosine"))
-      val identicalPairs = ma.join(mb, col("__fpa") === col("__fpb"))
-        .where(col("__ida") < col("__idb"))
-        .join(selfCos.withColumnsRenamed(Map("__vfp" -> "__fpa")), "__fpa")
-        .where(col("__c") >= threshold)
-        .select(col("__ida").as("a_id"), col("__idb").as("b_id"), col("__c").as("cosine"))
-      crossPairs.unionByName(identicalPairs)
+      case Some(EmbedRepPairs(members, _, repPairs, selfCos)) =>
+        // fan rep-level pairs back out to member pairs through vector-
+        // fingerprint membership; identical vectors pair among
+        // themselves with their (expression-pipeline) self-cosine
+        val ma = members.select(col("__vfp").as("__fpa"), col("__id").as("__ida"))
+        val mb = members.select(col("__vfp").as("__fpb"), col("__id").as("__idb"))
+        val crossPairs = repPairs
+          .join(ma, "__fpa").join(mb, "__fpb")
+          .select(least(col("__ida"), col("__idb")).as("a_id"),
+            greatest(col("__ida"), col("__idb")).as("b_id"), col("cosine"))
+        val identicalPairs = ma.join(mb, col("__fpa") === col("__fpb"))
+          .where(col("__ida") < col("__idb"))
+          .join(selfCos.withColumnsRenamed(Map("__vfp" -> "__fpa")), "__fpa")
+          .where(col("__c") >= threshold)
+          .select(col("__ida").as("a_id"), col("__idb").as("b_id"), col("__c").as("cosine"))
+        crossPairs.unionByName(identicalPairs)
+    }
+  }
+
+  /** Rep-level decomposition of the sign-LSH embedding near-dup plan —
+    * the [[minhashRepPairs]] analogue. `members` is the thin
+    * (id → vector-fingerprint) membership, `reps` the min-id per
+    * fingerprint, `repPairs` the verified rep pairs
+    * (a_id, b_id, cosine, __fpa, __fpb), `selfCos` each distinct
+    * vector's self-cosine through the identical expression pipeline
+    * (bit-exact vs the un-collapsed plan; NaN for zero vectors, which
+    * therefore never qualify for identity edges).
+    */
+  private case class EmbedRepPairs(
+      members: DataFrame, reps: DataFrame, repPairs: DataFrame, selfCos: DataFrame)
+
+  /** Shared sign-LSH core of the embedding near-dup family: exact-
+    * duplicate collapse by vector fingerprint, multi-table hyperplane
+    * bucketing (ids-only shuffle), exact-cosine verify — stopping at
+    * REP-level pairs. Returns None when the corpus is empty (no
+    * dimensionality to bucket). The corpus-wide scans are
+    * checkpointed: `membersFull` (one md5-of-json fingerprint pass —
+    * referenced by the rep derivation, the base semi-join, and both
+    * fan-out sides) and `base` (rep vectors + norms — referenced by
+    * the bucketing, both verify sides, and selfCos); Catalyst shares
+    * no subplans, so without truncation each reference would re-scan
+    * and re-hash the corpus.
+    */
+  private def embeddingLshRepPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int, seed: Long, dim: Int, tables: Int): Option[EmbedRepPairs] = {
+    // hyperplane expressions need the dimensionality at plan time;
+    // when the caller doesn't supply it, probe one row (a LIMIT-1
+    // scan of a single file split, regardless of corpus size)
+    val d = if (dim > 0) dim else
+      df.select(size(col(vecCol)).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0) return None
+    // collapse bit-identical vectors before bucketing (same rationale
+    // as the minhash/simhash pre-collapse: equal vector ⟹ equal
+    // bucket, so rep-level collisions ARE member-level collisions; a
+    // pile of identical embeddings costs O(pairs out), not a bucket
+    // explosion). Identical pairs get cosine 1.0 — exact, because
+    // cos(v, v) of the same finite nonzero vector is exactly 1 in
+    // IEEE double... except it isn't (x·x / (‖x‖·‖x‖) can round to
+    // 0.99999…), so compute it via the same dot/norm expressions on
+    // the rep vector to stay bit-identical with the un-collapsed plan.
+    val membersFull = Partitioning.fanOut(df).select(col(idCol).as("__id"),
+      Similarity.toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__vfp", md5(to_json(struct(col("__v")))))
+      .localCheckpoint(true)
+    val members = membersFull.select(col("__id"), col("__vfp"))
+    val reps = members.groupBy("__vfp").agg(min("__id").as("__rid"))
+    val base = membersFull.join(reps, membersFull("__id") === reps("__rid"), "left_semi")
+      .select(col("__id"), col("__v"), col("__vfp"))
+      .withColumn("__n", Similarity.l2norm(col("__v")))
+      .localCheckpoint(true)
+    // (table, bucket) per vector per table — ids only; the banded
+    // self-join must not carry 8×dim-byte vector payloads through
+    // the shuffle, and with tables > 1 a pair found in several
+    // tables must still verify exactly once (distinct before join)
+    val nt = math.max(1, tables)
+    val tableBuckets = (0 until nt).map(t => struct(lit(t).as("t"),
+      Similarity.hyperplaneBuckets(col("__v"), d, planes, seed + 7919L * t).as("h")))
+    val bucketed = base
+      .select(col("__id"), explode(array(tableBuckets: _*)).as("__tb"))
+      .select(col("__id"), col("__tb.t").as("__tbl"), col("__tb.h").as("__bkt"))
+    val cands = bucketed.select(col("__tbl"), col("__bkt"), col("__id").as("a_id"))
+      .join(bucketed.select(col("__tbl"), col("__bkt"), col("__id").as("b_id")),
+        Seq("__tbl", "__bkt"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sideA = base.select(col("__id").as("a_id"), col("__v").as("__va"),
+      col("__n").as("__na"), col("__vfp").as("__fpa"))
+    val sideB = base.select(col("__id").as("b_id"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("__vfp").as("__fpb"))
+    // try_divide: a zero-norm vector has no cosine to anything (null,
+    // which fails every >= threshold filter) — under ANSI mode a plain
+    // division would instead abort the job on the first zero vector
+    val repPairs = cands.join(sideA, "a_id").join(sideB, "b_id")
+      .withColumn("cosine",
+        try_divide(Similarity.dot(col("__va"), col("__vb")), col("__na") * col("__nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"), col("__fpa"), col("__fpb"))
+    // self-cosine of each duplicated vector, via the identical
+    // expression pipeline (bit-exact vs the raw-corpus plan)
+    val selfCos = base.withColumn("__c",
+        try_divide(Similarity.dot(col("__v"), col("__v")), col("__n") * col("__n")))
+      .select(col("__vfp"), col("__c"))
+    Some(EmbedRepPairs(members, reps, repPairs, selfCos))
+  }
+
+  /** The SCALE surface of embedding dedup: one (id, group_id) row per
+    * vector instead of member pairs — the embedding analogue of
+    * [[minhashDedupGroups]]/[[simhashDedupGroups]], closing the
+    * groups family. [[embeddingNearDups]]'s output is inherently
+    * O(Σ group²); this variant stops at REP-level verified pairs,
+    * contracts them with [[Components.connectedComponents]]
+    * (large/small-star — no driver union-find), and maps members
+    * through their vector fingerprint: work and output stay linear at
+    * any duplication density. `group_id` is the minimum id reachable
+    * through the ≥`threshold`-cosine relation over the sign-LSH
+    * candidate graph (identical-vector edges included, PROVIDED the
+    * vector's self-cosine clears the threshold — a zero vector has no
+    * cosine edge even to its own copies, exactly as on the pair
+    * surface); vectors with no mate keep their own id.
+    * Keep-one-per-group is then `filter(id === group_id)`.
+    */
+  def embeddingDedupGroups(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double = 0.95,
+      planes: Int = 8, seed: Long = 42L, dim: Int = 0, tables: Int = 1): DataFrame = {
+    embeddingLshRepPairs(df, idCol, vecCol, threshold, planes, seed, dim, tables) match {
+      case None => // empty corpus → empty assignment with the right schema
+        df.select(col(idCol), col(idCol).cast("long").as("group_id")).where(lit(false))
+      case Some(EmbedRepPairs(members, reps, repPairs, selfCos)) =>
+        val comps = Components.connectedComponents(repPairs.select("a_id", "b_id"))
+        val repGroup = reps
+          .join(comps, reps("__rid") === comps("id"), "left")
+          .select(col("__vfp"), coalesce(col("component"), col("__rid")).as("__grp"))
+        // identity edges exist only when the fingerprint's self-cosine
+        // clears the threshold (pair-surface parity): members of a
+        // non-qualifying fingerprint each keep their own id
+        val okFp = selfCos.where(col("__c") >= threshold)
+          .select(col("__vfp"), lit(true).as("__ok"))
+        members
+          .join(repGroup, Seq("__vfp"), "left")
+          .join(okFp, Seq("__vfp"), "left")
+          .select(col("__id").as(idCol),
+            when(col("__ok"), col("__grp")).otherwise(col("__id")).as("group_id"))
     }
   }
 

@@ -186,6 +186,44 @@ class OpsSpec extends SparkSuite {
     assert(empty.columns.toSeq == Seq("a_id", "b_id", "cosine") && empty.count() == 0)
   }
 
+  test("embeddingDedupGroups: closure over the LSH pair relation, linear output") {
+    // three parallel-vector chains + one orthogonal singleton + an
+    // identical-vector pile; parallel vectors share every sign bucket,
+    // so recall is exact here and the group contract is the pair
+    // relation's transitive closure
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (7L, Array(3.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 5.0f)), (4L, Array(0.0f, 5.0f)), (5L, Array(0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val groups = Dedup.embeddingDedupGroups(vecs, "vec_id", "embedding",
+      threshold = 0.99, planes = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(groups.size == 7, "one row per vector — the linear contract")
+    assert(groups(0L) == 0L && groups(1L) == 0L && groups(7L) == 0L)
+    assert(groups(2L) == 2L, "orthogonal singleton keeps its own id")
+    // the identical pile and the y-axis singleton 2 are parallel
+    // (cosine 1.0 ≥ 0.99) so they all chain to min id 2
+    assert(groups(3L) == 2L && groups(4L) == 2L && groups(5L) == 2L)
+    // empty corpus → empty frame with the right schema
+    val empty = Dedup.embeddingDedupGroups(vecs.where(lit(false)), "vec_id", "embedding")
+    assert(empty.columns.toSeq == Seq("vec_id", "group_id") && empty.count() == 0)
+  }
+
+  test("embeddingDedupGroups: zero vectors never group, even with identical copies") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)), // identical zero vectors
+      (2L, Array(1.0f, 0.0f)), (3L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val groups = Dedup.embeddingDedupGroups(vecs, "vec_id", "embedding",
+      threshold = 0.5, planes = 2)
+      .as[(Long, Long)].collect().toMap
+    // zero vectors have NaN cosine — no edge, not even the identity
+    // edge to their own copies (pair-surface parity)
+    assert(groups(0L) == 0L && groups(1L) == 1L)
+    assert(groups(2L) == 2L && groups(3L) == 2L)
+  }
+
   test("sign-LSH kernel bit-matches the unrolled expression form") {
     val vecs = sf("embeddings")
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
