@@ -89,6 +89,13 @@ object Transforms {
         t.config.reqStr("id_field"), t.config.str("text_field").getOrElse("text"),
         t.config.double("threshold").getOrElse(0.7),
         maxBucketSize = t.config.int("max_bucket").getOrElse(0))
+    // linear-output text dedup: one (id, group_id) row per document —
+    // the near-dup closure without materializing member pairs
+    case "dedup_groups" =>
+      graft.ops.Dedup.minhashDedupGroups(df,
+        t.config.reqStr("id_field"), t.config.str("text_field").getOrElse("text"),
+        t.config.double("threshold").getOrElse(0.7),
+        maxBucketSize = t.config.int("max_bucket").getOrElse(0))
     case "text_profile" =>
       graft.ops.TextAnalysis.profile(df, t.config.str("text_field").getOrElse("text"))
     case "dedup_simhash" =>
@@ -106,6 +113,17 @@ object Transforms {
         threshold = cfg.double("threshold").getOrElse(0.95),
         planes = cfg.int("planes").getOrElse(8),
         bruteForce = cfg.bool("brute_force").getOrElse(false),
+        dim = cfg.int("dim").getOrElse(0),
+        tables = cfg.int("tables").getOrElse(1))
+    // linear-output embedding dedup: (id, group_id) closure over the
+    // sign-LSH near-dup relation, no member-pair materialization
+    case "embed_neardup_groups" =>
+      val cfg = t.config
+      graft.ops.Dedup.embeddingDedupGroups(df,
+        cfg.reqStr("id_field"), cfg.str("vec_field").getOrElse("embedding"),
+        threshold = cfg.double("threshold").getOrElse(0.95),
+        planes = cfg.int("planes").getOrElse(8),
+        seed = cfg.long("seed").getOrElse(42L),
         dim = cfg.int("dim").getOrElse(0),
         tables = cfg.int("tables").getOrElse(1))
     // SemDeDup (Abbas et al. 2023): semantic dedup by embedding
@@ -440,6 +458,14 @@ object Transforms {
         maxDist = t.config.int("max_dist").getOrElse(3),
         bands = t.config.int("bands").getOrElse(4),
         maxBucketSize = t.config.int("max_bucket_size").getOrElse(0))
+    // linear-output image dedup: pHash near-dup closure as
+    // (id, group_id) assignments
+    case "image_neardup_groups" =>
+      graft.ops.Phash.imageDedupGroups(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        maxDist = t.config.int("max_dist").getOrElse(3),
+        bands = t.config.int("bands").getOrElse(4),
+        maxBucketSize = t.config.int("max_bucket_size").getOrElse(0))
     // REAL frame-level decode for MJPEG AVI payloads (RIFF demux +
     // from-spec JPEG decode per frame chunk)
     case "mjpeg_frames" =>
@@ -560,8 +586,8 @@ object Transforms {
     "distinct", "window", "sql", "sample", "stratified_sample", "token_budget", "split",
     "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
     "sessionize",
-    "dedup_exact", "dedup_minhash", "text_profile", "asof_join", "range_join",
-    "dedup_simhash", "dedup_embed", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
+    "dedup_exact", "dedup_minhash", "dedup_groups", "text_profile", "asof_join", "range_join",
+    "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
     "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
@@ -569,7 +595,7 @@ object Transforms {
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup",
+    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster")
 
   private[transforms] def c(name: String): Column = col(quote(name))

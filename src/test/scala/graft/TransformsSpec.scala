@@ -506,6 +506,30 @@ class TransformsSpec extends SparkSuite {
     assert(ann.columns.contains("cosine"))
   }
 
+  test("groups-family spec ops are addressable (dedup_groups, image_neardup_groups, embed_neardup_groups)") {
+    // text: exact copies 1,2 group; 3 is alone
+    val docs = Seq((1L, "hello world one two three"), (2L, "hello world one two three"),
+      (3L, "a completely different body")).toDF("doc_id", "text")
+    val tg = Transforms(docs, graft.spec.TransformSpec("g", "dedup_groups",
+      Config.of("id_field" -> "doc_id", "threshold" -> 0.7)), Map.empty)
+      .as[(Long, Long)].collect().toMap
+    assert(tg == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // image: class-PNG pack (ids mod 3 share pixels) → pHash groups
+    val imgs = graft.ops.Multimodal.packClassPng(
+      (0L until 6L).toDF("doc_id"), "doc_id", classes = 3)
+    val ig = Transforms(imgs, graft.spec.TransformSpec("g", "image_neardup_groups",
+      Config.of("id_field" -> "id")), Map.empty)
+      .as[(Long, Long)].collect().toMap
+    assert(ig.size == 6 && (0L until 6L).forall(id => ig(id) == id % 3))
+    // embeddings: parallel vectors group, orthogonal stays alone
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val eg = Transforms(vecs, graft.spec.TransformSpec("g", "embed_neardup_groups",
+      Config.of("id_field" -> "vec_id", "threshold" -> 0.99, "planes" -> 2)), Map.empty)
+      .as[(Long, Long)].collect().toMap
+    assert(eg == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
