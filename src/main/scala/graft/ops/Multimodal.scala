@@ -1016,12 +1016,18 @@ object Multimodal {
     require(width > 0, s"packTextBmp: width=$width")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+    // fan out (the round-8 codec-packer lesson: small parquet inputs
+    // yield 1-2 splits and serialize encode-heavy packers) and hold
+    // ONE ImageIO writer per partition — ImageIO.write re-runs the
+    // writer-SPI lookup per call, which dominated this gate's wall
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         System.setProperty("java.awt.headless", "true")
         val grey = Array.tabulate(256)(_.toByte)
         val cm = new java.awt.image.IndexColorModel(8, 256, grey, grey, grey)
+        val w = javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
         rows.map { case (id, text) =>
           val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val bytes = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
@@ -1032,7 +1038,10 @@ object Multimodal {
             java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
           img.getRaster.setDataElements(0, 0, width, h, px)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "bmp", bos)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          w.setOutput(ios)
+          w.write(null, new javax.imageio.IIOImage(img, null, null), null)
+          ios.flush()
           (id, bos.toByteArray, h)
         }
       }
