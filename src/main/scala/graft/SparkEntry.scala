@@ -1245,6 +1245,19 @@ object SparkEntry {
         Multimodal.packTextFlac(t(s, d, "documents"), "doc_id", "text"),
         "id", "media")),
 
+    // Ogg container rung (metadata tier, the MKV trick for audio):
+    // real RFC 3533 pages with VERIFIED CRC-32s carrying a
+    // spec-correct Vorbis identification header; channels, rate and
+    // the granule-position duration derive arithmetically from the
+    // text length and the container overhead is the fixed
+    // 86 + ⌊len/255⌋ bytes, so the oracle replays every field from
+    // octet_length(text) alone. Also certifies the decodeAudioMeta
+    // content-sniff ladder (RIFF/WAVE → FLAC STREAMINFO → Ogg).
+    "x_multimodal_ogg_meta" -> ((s, d) =>
+      Multimodal.decodeAudioMeta(
+        Multimodal.packTextOggVorbis(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")),
+
     // G.711 μ-law rung: the text bytes ARE the companded code bytes
     // (fmt 7, mono 8 kHz), decoded through the from-spec expander —
     // a pure per-byte function, so the oracle replays the G.711
@@ -3206,6 +3219,24 @@ object SparkEntry {
                i -> CASE WHEN (bytes[CAST(i+1 AS INTEGER)] < 128) <> (bytes[CAST(i+2 AS INTEGER)] < 128)
                          THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
       FROM e""",
+
+    // Ogg metadata contract: container overhead is the packer's fixed
+    // 86 + ⌊len/255⌋ bytes (58-byte id page + 27-byte data-page header
+    // + one lacing byte per started 255-byte segment), channels/rate
+    // are the declared len-derived functions, and duration is the
+    // granule count 16·len over the rate in integer ms (floor division
+    // on both engines)
+    "x_multimodal_ogg_meta" -> """
+      WITH b AS (
+        SELECT doc_id, least(octet_length(encode(coalesce(text, ''))), 65025) AS len
+        FROM documents)
+      SELECT doc_id AS id,
+             CAST(86 + len + len // 255 AS BIGINT) AS byte_len,
+             'audio/ogg' AS mime_detected,
+             CAST(1 + len % 2 AS INTEGER) AS channels,
+             CAST(8000 * (1 + len % 3) AS INTEGER) AS sample_rate,
+             CAST((len * 16 * 1000) // (8000 * (1 + len % 3)) AS BIGINT) AS duration_ms
+      FROM b""",
 
     // like x_multimodal_decode but channels are greyscale RGB
     // triplets (v,v,v) — flatten each byte three ways

@@ -500,6 +500,29 @@ object FlacCodec {
     s
   }
 
+  /** STREAMINFO-only metadata walk: (channels, sample_rate,
+    * total_samples) without touching any frame — the O(metadata-
+    * blocks) path [[Multimodal.decodeAudioMeta]] needs, where a full
+    * [[decode]] (frames + CRCs + MD5) would read the whole payload
+    * just to report three header fields. Same refusal rules as
+    * [[decode]]'s header phase: STREAMINFO must be the first block,
+    * sizes must be in-bounds. */
+  def streamInfo(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (p.length < 42 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C')
+      return None
+    val h = p(4) & 0xFF
+    val len = ((p(5) & 0xFF) << 16) | ((p(6) & 0xFF) << 8) | (p(7) & 0xFF)
+    if ((h & 0x7F) != 0 || len != 34 || 8 + len > p.length) return None
+    val r = new BitReader(java.util.Arrays.copyOfRange(p, 8, 8 + 34))
+    r.readBits(16); r.readBits(16); r.readBits(24); r.readBits(24)
+    val rate = r.readBits(20).toInt
+    val channels = r.readBits(3).toInt + 1
+    r.readBits(5) // bits-per-sample − 1: not a metadata-tier concern
+    val totalSamples = r.readBits(36)
+    if (rate <= 0) return None
+    Some((channels, rate, totalSamples))
+  }
+
   /** Decode a FLAC stream; None on anything malformed, on any CRC
     * mismatch, and on an MD5 that does not match the decoded output. */
   def decode(p: Array[Byte]): Option[AudioPcm.Clip] = {

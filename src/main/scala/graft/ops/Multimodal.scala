@@ -260,7 +260,11 @@ object Multimodal {
 
   /** Audio twin of [[decodeImageMeta]], same seam and nulls-for-
     * garbage contract: (id, byte_len, mime_detected, channels,
-    * sample_rate, duration_ms). */
+    * sample_rate, duration_ms). Dispatches by content sniff across
+    * the audio-container ladder: RIFF/WAVE chunk walk
+    * ([[AudioHeader]]), FLAC STREAMINFO ([[FlacCodec.streamInfo]] —
+    * metadata blocks only, no frame decode), and Ogg pages with
+    * Vorbis/Opus identification headers ([[Ogg]]). */
   def decodeAudioMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -271,9 +275,19 @@ object Multimodal {
           AudioHeader.parse(payload) match {
             case Some((mime, ch, rate, durMs)) =>
               (id, payload.length.toLong, mime, Some(ch), Some(rate), Some(durMs))
-            case None =>
-              (id, payload.length.toLong, null: String,
-                None: Option[Int], None: Option[Int], None: Option[Long])
+            case None => FlacCodec.streamInfo(payload) match {
+              case Some((ch, rate, totalSamples)) =>
+                (id, payload.length.toLong, "audio/flac", Some(ch), Some(rate),
+                  Some(totalSamples * 1000L / rate))
+              case None => Ogg.parse(payload) match {
+                case Some(m) =>
+                  (id, payload.length.toLong, "audio/ogg", Some(m.channels),
+                    Some(m.sampleRate), Some(m.durationMs))
+                case None =>
+                  (id, payload.length.toLong, null: String,
+                    None: Option[Int], None: Option[Int], None: Option[Long])
+              }
+            }
           }
         }
       }
@@ -665,6 +679,74 @@ object Multimodal {
       .select(col("id"), struct(
         col("__payload").as("payload"),
         lit("video/x-matroska").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** Build REAL Ogg-Vorbis streams from a text column — the streamed-
+    * audio sibling of [[packTextMkv]]'s fixed-layout trick: a
+    * beginning-of-stream page carrying a spec-correct Vorbis I
+    * identification header, then one end-of-stream page whose packet
+    * data is the document's UTF-8 bytes and whose granule position
+    * (the Vorbis absolute sample count) is `16·len`. Channels
+    * (`1 + len mod 2`) and sample rate (`8000·(1 + len mod 3)`)
+    * derive from the text length, every page CRC is written for real
+    * (RFC 3533 appendix A), and the container overhead is
+    * `86 + ⌊len/255⌋` bytes (58-byte id page + 27-byte data-page
+    * header + one lacing byte per started 255-byte segment), so the
+    * oracle re-derives every metadata field from `octet_length(text)`
+    * alone. Data is capped at 65025 bytes (the one-page maximum —
+    * 255 segments of 255 bytes) so the page count stays fixed.
+    */
+  def packTextOggVorbis(df: DataFrame, idCol: String, textCol: String,
+      maxBytes: Int = 255 * 255): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = math.min(maxBytes, 255 * 255)
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+        def le64(v: Long) = le32(v.toInt) ++ le32((v >> 32).toInt)
+        /** One Ogg page with its CRC patched in post-hoc (the CRC is
+          * computed over the page with its own field zeroed). */
+        def page(flags: Int, granule: Long, seq: Int, lacing: Array[Byte],
+            data: Array[Byte]): Array[Byte] = {
+          val pg = "OggS".getBytes("US-ASCII") ++ Array[Byte](0, flags.toByte) ++
+            le64(granule) ++ le32(0x6753) ++ le32(seq) ++ le32(0) ++
+            Array[Byte](lacing.length.toByte) ++ lacing ++ data
+          val crc = Ogg.pageCrc(pg, 0, pg.length, 22)
+          System.arraycopy(le32(crc), 0, pg, 22, 4)
+          pg
+        }
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = if (bytes0.length > cap) java.util.Arrays.copyOf(bytes0, cap)
+                     else bytes0
+          val len = data.length
+          val channels = 1 + (len % 2)
+          val rate = 8000 * (1 + (len % 3))
+          // Vorbis I §4.2.2: type 1 + "vorbis" + version 0 + channels +
+          // rate + bitrates (unset) + blocksize nibbles (256/2048) +
+          // the framing bit
+          val idHeader = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++
+            le32(0) ++ Array[Byte](channels.toByte) ++ le32(rate) ++
+            le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0xB8.toByte, 0x01)
+          val nSegs = len / 255 + 1
+          val lacing = Array.fill[Byte](nSegs - 1)(255.toByte) :+ (len % 255).toByte
+          val ogg = page(0x02, 0L, 0, Array[Byte](30), idHeader) ++
+            page(0x04, len.toLong * 16, 1, lacing, data)
+          (id, ogg)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("audio/ogg").as("mime"),
         struct(
           octet_length(col("__payload")).cast("long").as("byte_len"),
           lit(null).cast("int").as("width"),
