@@ -747,6 +747,25 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextAnalysis.redactPii(planted).as("redacted"))
     }),
+    // HTML -> text extraction over synthetic planted pages (the
+    // x_pii_redact pattern: both engines derive the identical page
+    // from doc_id/source/text, so the extraction chain is what the
+    // hash compares). The page plants every rule's trigger: a script
+    // with stray < > operators inside, a style block spanning a
+    // newline, a comment, block closers, <br/>, double-escaped
+    // &amp;amp;, &nbsp;, and the doc's own corpus text inside a div.
+    "x_text_html_extract" -> ((s, d) => {
+      val page = concat(
+        lit("<html> <head><script type=\"text/javascript\">var x = "), col("doc_id"),
+        lit("; if (x < 3 && x > 1) { alert(\"hi\"); }</script><style>p { color: red; }\n.c"), col("doc_id"),
+        lit(" { margin: 0; }</style></head>\n<body><!-- hidden "), col("doc_id"),
+        lit(" --><h1>Doc "), col("doc_id"),
+        lit("</h1><p>From &quot;"), col("source"),
+        lit("&quot; &amp;amp; A&nbsp;B &lt;tag&gt;</p><div> "), col("text"),
+        lit(" </div><br/><ul><li>alpha</li><li>beta</li></ul></body></html>"))
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.htmlExtract(page).as("extracted"))
+    }),
     // Gopher-rule repetition signals (scan-local struct): this corpus
     // has no newlines so the line fractions are structurally zero —
     // the signal the gate actually exercises is symbol_word_ratio;
@@ -1257,6 +1276,21 @@ object SparkEntry {
       Multimodal.decodeAudioMeta(
         Multimodal.packTextOggVorbis(t(s, d, "documents"), "doc_id", "text"),
         "id", "media")),
+
+    // Zstandard rung (RFC 8878): payloads are compressed by zstd-jni
+    // — the reference C implementation, an independent codebase (the
+    // BMP/GIF ImageIO discipline) — at per-doc levels 1/3/19, with
+    // content checksums on; the from-spec ZstdCodec must reproduce
+    // the exact original bytes (n_bytes + md5 over the decoded
+    // output), which the oracle replays from the text column alone.
+    // One wrong byte anywhere in the FSE/Huffman/sequence machinery
+    // hash-mismatches.
+    "x_multimodal_zstd" -> ((s, d) =>
+      Multimodal.decodeZstdText(
+        Multimodal.packTextZstd(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")
+        .select(col("id"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
 
     // G.711 μ-law rung: the text bytes ARE the companded code bytes
     // (fmt 7, mono 8 kHz), decoded through the from-spec expander —
@@ -2596,6 +2630,36 @@ object SparkEntry {
           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
       FROM raw""",
 
+    // the htmlExtract rule pipeline replayed stage by stage (patterns
+    // verbatim from the Java∩RE2 dialect; newlines as chr(10) because
+    // RE2 rewrite strings do not interpret escape sequences)
+    "x_text_html_extract" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          '<html> <head><script type="text/javascript">var x = ' || doc_id ||
+          '; if (x < 3 && x > 1) { alert("hi"); }</script><style>p { color: red; }' || chr(10) ||
+          '.c' || doc_id || ' { margin: 0; }</style></head>' || chr(10) ||
+          '<body><!-- hidden ' || doc_id || ' --><h1>Doc ' || doc_id ||
+          '</h1><p>From &quot;' || source || '&quot; &amp;amp; A&nbsp;B &lt;tag&gt;</p><div> ' ||
+          text || ' </div><br/><ul><li>alpha</li><li>beta</li></ul></body></html>' AS page
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(page, '(?is)<script[^>]*>.*?</script>', '', 'g') AS t FROM raw),
+      s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id, regexp_replace(t,
+        '(?i)<(br|hr)[ \t]*/?>|</(p|div|li|tr|h1|h2|h3|h4|h5|h6|ul|ol|table|blockquote|pre)>',
+        chr(10), 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM s4),
+      s6 AS (SELECT doc_id,
+          replace(replace(replace(replace(replace(replace(replace(t,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+            '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
+      s7 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM s6),
+      s8 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s7),
+      s9 AS (SELECT doc_id, regexp_replace(t, '\n\n\n+', chr(10) || chr(10), 'g') AS t FROM s8)
+      SELECT doc_id, regexp_replace(t, '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g') AS extracted
+      FROM s9""",
+
     "x_url_normalize" -> """
       WITH raw AS (
         SELECT doc_id,
@@ -3237,6 +3301,14 @@ object SparkEntry {
              CAST(8000 * (1 + len % 3) AS INTEGER) AS sample_rate,
              CAST((len * 16 * 1000) // (8000 * (1 + len % 3)) AS BIGINT) AS duration_ms
       FROM b""",
+
+    // zstd contract: decode must reproduce the document's exact
+    // UTF-8 bytes — length and md5 replay from the text column
+    "x_multimodal_zstd" -> """
+      SELECT doc_id AS id, true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
 
     // like x_multimodal_decode but channels are greyscale RGB
     // triplets (v,v,v) — flatten each byte three ways

@@ -1138,6 +1138,70 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** zstd twin of [[packTextBmp]]'s independent-encoder discipline,
+    * for COMPRESSED TEXT: each document's UTF-8 bytes are compressed
+    * by zstd-jni — the reference C implementation Spark itself ships
+    * for parquet/shuffle codecs, an independent codebase from
+    * [[ZstdCodec]] — with the per-document level cycling 1/3/19 by
+    * id so one corpus exercises fast-mode, default, and max-entropy
+    * frame shapes (raw vs compressed blocks, direct vs
+    * FSE-compressed Huffman trees, treeless repeats), and content
+    * checksums ON so decode proves its XXH64 as well.
+    */
+  def packTextZstd(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val level = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 19 }
+          val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+          val z = try ctx.setLevel(level).setChecksum(true).compress(bytes)
+                  finally ctx.close()
+          (id, z)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("application/zstd").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** Decompress a zstd payload column through the from-spec
+    * [[ZstdCodec]] and surface the DECODED TEXT — the ingest seam
+    * for `.zst`-shipped corpora: downstream quality/dedup/packing
+    * ops run on the `text` column as if the corpus were plain.
+    * (id, byte_len, decoded, n_bytes, text); refused payloads keep
+    * their row with decoded=false and a null text, the same
+    * quarantine contract as the image/audio decoders.
+    */
+  def decodeZstdText(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          ZstdCodec.decode(payload) match {
+            case Some(bytes) =>
+              (id, payload.length.toLong, true, bytes.length.toLong,
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            case None =>
+              (id, payload.length.toLong, false, 0L, null: String)
+          }
+        }
+      }
+      .toDF("id", "byte_len", "decoded", "n_bytes", "text")
+  }
+
   /** Deterministic grayscale JPEG fixtures: LCG pixels seeded by id
     * (smoothed so high-quality JPEG stays close), encoded by the
     * JDK's OWN ImageIO JPEG writer — so [[JpegCodec]] is always

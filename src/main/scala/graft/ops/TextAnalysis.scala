@@ -640,6 +640,53 @@ object TextAnalysis {
     regexp_replace(phone, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
   }
 
+  /** HTML → text extraction — the step every web-crawl corpus passes
+    * through before any quality/dedup stage (the C4/CCNet pipelines
+    * start from WET/extracted text; this is the extractor itself for
+    * raw HTML). Deterministic rule pipeline, declared in application
+    * order (each stage sees the previous stage's output):
+    *
+    *  1. drop `<script>…</script>` and `<style>…</style>` whole —
+    *     their content is code, not prose (case-insensitive, spans
+    *     newlines, unterminated blocks are left for the tag strip);
+    *  2. drop `<!-- … -->` comments;
+    *  3. turn the block-structure breaks into newlines: `<br>`/`<hr>`
+    *     (any self-closing spelling) and the CLOSING tags of
+    *     p/div/li/tr/headings/lists/table/blockquote/pre;
+    *  4. strip every remaining `<…>` tag;
+    *  5. decode the named entities that matter for prose — &lt; &gt;
+    *     &quot; &#39; &apos; &nbsp; first, &amp; LAST so
+    *     double-escaped text single-decodes (standard entity-decode
+    *     semantics: `&amp;lt;` → `&lt;`, not `<`);
+    *  6. normalize whitespace: runs of spaces/tabs/CRs collapse to
+    *     one space, spaces around newlines drop, ≥3 newlines collapse
+    *     to a paragraph break, leading/trailing whitespace trims.
+    *
+    * Like [[redactPii]], every pattern is restricted to the
+    * Java-regex ∩ RE2 dialect (no lookaround, no backrefs, explicit
+    * ASCII classes — `\s` differs between the engines and is not
+    * used) so an external SQL oracle replays the pipeline verbatim;
+    * entity decode uses literal (non-regex) replace. Pure scan-speed
+    * projection — at 100 TB this runs inside whole-stage codegen
+    * with no shuffle, exactly like the quality filters downstream.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|hr)[ \t]*/?>|</(p|div|li|tr|h1|h2|h3|h4|h5|h6|ul|ol|table|blockquote|pre)>",
+      "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", "")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val hspace = regexp_replace(entities, "[ \t\r]+", " ")
+    val tightNl = regexp_replace(hspace, " ?\n ?", "\n")
+    val paras = regexp_replace(tightNl, "\n\n\n+", "\n\n")
+    regexp_replace(paras, "^[ \t\r\n]+|[ \t\r\n]+$", "")
+  }
+
   /** Corpus datasheet: per-class (source/language/shard) doc counts,
     * token and char volumes, and exact-duplicate redundancy — the
     * summary table every corpus release ships. One pass: fingerprints

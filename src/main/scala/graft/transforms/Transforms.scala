@@ -366,6 +366,18 @@ object Transforms {
       val f = t.config.str("field").getOrElse("text")
       df.withColumn(t.config.str("out_field").getOrElse(f),
         graft.ops.TextAnalysis.redactPii(c(f)))
+    // HTML -> text extraction (crawl ingest: strip script/style/
+    // comments/tags, decode entities, normalize whitespace)
+    case "html_extract" =>
+      val f = t.config.str("field").getOrElse("html")
+      df.withColumn(t.config.str("out_field").getOrElse("text"),
+        graft.ops.TextAnalysis.htmlExtract(c(f)))
+    // .zst ingest: decompress a zstd payload column (from-spec
+    // RFC 8878 decoder) into a text column for downstream ops
+    case "zstd_decode" =>
+      graft.ops.Multimodal.decodeZstdText(df,
+        t.config.str("id_field").getOrElse("id"),
+        t.config.str("media_field").getOrElse("media"))
     case "url_normalize" =>
       df.withColumn(t.config.str("out_field").getOrElse("url_norm"),
         graft.ops.TextAnalysis.normalizeUrl(c(t.config.str("field").getOrElse("url"))))
@@ -590,7 +602,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
-    "url_normalize", "redact_pii", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "redact_pii", "html_extract", "zstd_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",

@@ -1093,6 +1093,27 @@ class OpsSpec extends SparkSuite {
       .head().getString(0) == clean)
   }
 
+  test("html extraction: scripts/styles/comments vanish, structure becomes newlines, entities single-decode") {
+    def ext(in: String): String = spark.range(1)
+      .select(graft.ops.TextAnalysis.htmlExtract(lit(in)).as("t")).head().getString(0)
+    // hand-traced through the declared rule order
+    val in = "<h1>Title</h1>\n<p>A &amp; B&nbsp;&lt;x&gt;</p>" +
+      "<script>if(a<b){c();}</script><div>One</div><br/><div>Two</div><!-- gone -->"
+    assert(ext(in) == "Title\n\nA & B <x>\nOne\n\nTwo")
+    // script content with stray angle operators must vanish whole
+    assert(!ext("<script>var s = \"</div>\"; 1 < 2 && 3 > 2;</script>ok").contains("var"))
+    // style spans newlines (dotall), case-insensitive tag names
+    assert(ext("<STYLE>p {\n color: red;\n}</STYLE>kept") == "kept")
+    // double-escaped text single-decodes: &amp;lt; -> &lt; not <
+    assert(ext("<p>&amp;lt;tag&amp;gt;</p>") == "&lt;tag&gt;")
+    // whitespace normalization: runs collapse, blank lines cap at one
+    assert(ext("a   b\t\tc\n\n\n\n\nd") == "a b c\n\nd")
+    // plain prose passes through untouched
+    assert(ext("no markup at all") == "no markup at all")
+    // unterminated script survives to the tag strip (content kept)
+    assert(ext("<script>late body") == "late body")
+  }
+
   test("multimodal: pack + distributed feature extraction is deterministic") {
     val df = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
     val packed = Multimodal.packText(df, "text")

@@ -530,6 +530,15 @@ class TransformsSpec extends SparkSuite {
     assert(eg == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
   }
 
+  test("html_extract spec op strips markup into a text column") {
+    val pages = Seq((1L, "<p>Hello &amp; welcome</p><script>x()</script>"))
+      .toDF("doc_id", "html")
+    val out = Transforms(pages, graft.spec.TransformSpec("e", "html_extract",
+      Config.of("field" -> "html", "out_field" -> "text")), Map.empty)
+    assert(out.columns.toSeq == Seq("doc_id", "html", "text"))
+    assert(out.select("text").as[String].head() == "Hello & welcome")
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
