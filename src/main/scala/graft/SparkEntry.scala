@@ -1292,6 +1292,17 @@ object SparkEntry {
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // gzip rung (RFC 1952): the x_multimodal_zstd contract with the
+    // JDK's zlib as the independent encoder — levels 1/6/9 plus a
+    // HUFFMAN_ONLY stratum, CRC-32 + ISIZE verified by the from-spec
+    // decoder, byte-exact text round-trip proven by length + md5.
+    "x_multimodal_gzip" -> ((s, d) =>
+      Multimodal.decodeGzipText(
+        Multimodal.packTextGzip(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")
+        .select(col("id"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
+
     // G.711 μ-law rung: the text bytes ARE the companded code bytes
     // (fmt 7, mono 8 kHz), decoded through the from-spec expander —
     // a pure per-byte function, so the oracle replays the G.711
@@ -3305,6 +3316,14 @@ object SparkEntry {
     // zstd contract: decode must reproduce the document's exact
     // UTF-8 bytes — length and md5 replay from the text column
     "x_multimodal_zstd" -> """
+      SELECT doc_id AS id, true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // gzip contract: identical shape — the compressed wire format
+    // differs, the decoded bytes must not
+    "x_multimodal_gzip" -> """
       SELECT doc_id AS id, true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest

@@ -1175,6 +1175,76 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** gzip twin of [[packTextZstd]]: each document's UTF-8 bytes are
+    * compressed by `java.util.zip.Deflater` — the JDK's bundled
+    * zlib, an independent codebase from [[GzipCodec]] — into a
+    * single-member .gz with the level cycling 1/6/9 by id (fast /
+    * default / max match-finding produce genuinely different block
+    * and tree shapes) and every fourth document using HUFFMAN_ONLY
+    * (no matches: pure literal trees). Header and CRC-32/ISIZE
+    * trailer are framed here around the raw deflate stream, with
+    * the JDK's own CRC32 supplying the integrity fields.
+    */
+  def packTextGzip(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val level = (id % 3) match { case 0 => 1; case 1 => 6; case _ => 9 }
+          val d = new java.util.zip.Deflater(level, true)
+          if (id % 4 == 3) d.setStrategy(java.util.zip.Deflater.HUFFMAN_ONLY)
+          d.setInput(bytes); d.finish()
+          val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+          bos.write(Array[Byte](0x1F.toByte, 0x8B.toByte, 8, 0, 0, 0, 0, 0, 0, 0xFF.toByte))
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          d.end()
+          val crc = new java.util.zip.CRC32(); crc.update(bytes)
+          var k = 0
+          while (k < 4) { bos.write(((crc.getValue >> (8 * k)) & 0xFF).toInt); k += 1 }
+          k = 0
+          while (k < 4) { bos.write(((bytes.length.toLong >> (8 * k)) & 0xFF).toInt); k += 1 }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("application/gzip").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** gzip twin of [[decodeZstdText]]: decompress a .gz payload
+    * column through the from-spec [[GzipCodec]] (multi-member
+    * concatenation included) and surface the decoded text with the
+    * same quarantine contract. */
+  def decodeGzipText(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          GzipCodec.gunzip(payload) match {
+            case Some(bytes) =>
+              (id, payload.length.toLong, true, bytes.length.toLong,
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            case None =>
+              (id, payload.length.toLong, false, 0L, null: String)
+          }
+        }
+      }
+      .toDF("id", "byte_len", "decoded", "n_bytes", "text")
+  }
+
   /** Decompress a zstd payload column through the from-spec
     * [[ZstdCodec]] and surface the DECODED TEXT — the ingest seam
     * for `.zst`-shipped corpora: downstream quality/dedup/packing

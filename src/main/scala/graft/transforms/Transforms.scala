@@ -378,6 +378,11 @@ object Transforms {
       graft.ops.Multimodal.decodeZstdText(df,
         t.config.str("id_field").getOrElse("id"),
         t.config.str("media_field").getOrElse("media"))
+    // .gz ingest: same seam through the from-spec RFC 1952 decoder
+    case "gzip_decode" =>
+      graft.ops.Multimodal.decodeGzipText(df,
+        t.config.str("id_field").getOrElse("id"),
+        t.config.str("media_field").getOrElse("media"))
     case "url_normalize" =>
       df.withColumn(t.config.str("out_field").getOrElse("url_norm"),
         graft.ops.TextAnalysis.normalizeUrl(c(t.config.str("field").getOrElse("url"))))
@@ -602,7 +607,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
-    "url_normalize", "redact_pii", "html_extract", "zstd_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "redact_pii", "html_extract", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
