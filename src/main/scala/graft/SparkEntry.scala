@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compile.PipelineCompiler
-import graft.ops.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Components, Dedup, Multimodal, Similarity, TextAnalysis, Warc}
 import graft.spec._
 import graft.transforms._
 
@@ -1302,6 +1302,37 @@ object SparkEntry {
         "id", "media")
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
+
+    // WARC ingest chain (ISO 28500): documents sharded into 32
+    // warc.gz files — one gzip member per record, warcinfo first, the
+    // Common Crawl layout — then parsed back through the from-spec
+    // gzip decoder and the WARC/HTTP framing walk. The oracle
+    // re-derives every header and body from the corpus columns alone:
+    // record ids (deterministic urn:uuid), Content-Lengths (which
+    // embed the page's byte length twice — once in HTTP, once in
+    // WARC), HTTP status, and an md5 over the full record body. One
+    // framing slip anywhere (member boundary, CRLF discipline,
+    // Content-Length arithmetic) hash-mismatches.
+    "x_warc_records" -> ((s, d) => {
+      val packed = Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text")
+      Warc.records(packed, "file_id", "payload")
+        .select(col("file_id"), col("warc_type"),
+          when(col("warc_type") === "response",
+            regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long")).as("doc_id"),
+          col("record_id"), col("http_status").cast("long").as("status"),
+          col("content_length"), md5(col("body")).as("digest"))
+    }),
+
+    // end-to-end crawl extraction: the same warc.gz bytes through
+    // records → HTTP body → text; the oracle rebuilds each page by
+    // concatenation. This is the full ingest seam a crawl corpus
+    // user runs: bytes in, clean text out.
+    "x_warc_text" -> ((s, d) => {
+      val packed = Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text")
+      Warc.responseText(Warc.records(packed, "file_id", "payload"))
+        .select(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("http_status").cast("long").as("status"), col("text"))
+    }),
 
     // G.711 μ-law rung: the text bytes ARE the companded code bytes
     // (fmt 7, mono 8 kHz), decoded through the from-spec expander —
@@ -3327,6 +3358,57 @@ object SparkEntry {
       SELECT doc_id AS id, true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // the WARC writer's record layout re-derived from corpus columns:
+    // page → HTTP message → WARC body, ids as md5-derived urn:uuids,
+    // plus one warcinfo row per occupied file bucket
+    "x_warc_records" -> """
+      WITH page AS (
+        SELECT doc_id, doc_id % 32 AS file_id,
+          '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
+            coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>' AS page
+        FROM documents),
+      http AS (
+        SELECT doc_id, file_id,
+          'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+          'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+          'Content-Length: ' || octet_length(encode(page)) || chr(13) || chr(10) || chr(13) || chr(10) ||
+          page AS http
+        FROM page),
+      resp AS (
+        SELECT file_id, 'response' AS warc_type, doc_id,
+          '<urn:uuid:' || substr(md5('doc-' || doc_id), 1, 8) || '-' ||
+            substr(md5('doc-' || doc_id), 9, 4) || '-' ||
+            substr(md5('doc-' || doc_id), 13, 4) || '-' ||
+            substr(md5('doc-' || doc_id), 17, 4) || '-' ||
+            substr(md5('doc-' || doc_id), 21, 12) || '>' AS record_id,
+          CAST(200 AS BIGINT) AS status,
+          CAST(octet_length(encode(http)) AS BIGINT) AS content_length,
+          md5(http) AS digest
+        FROM http),
+      info AS (
+        SELECT DISTINCT doc_id % 32 AS file_id, 'warcinfo' AS warc_type,
+          CAST(NULL AS BIGINT) AS doc_id,
+          '<urn:uuid:' || substr(md5('warcinfo-' || (doc_id % 32)), 1, 8) || '-' ||
+            substr(md5('warcinfo-' || (doc_id % 32)), 9, 4) || '-' ||
+            substr(md5('warcinfo-' || (doc_id % 32)), 13, 4) || '-' ||
+            substr(md5('warcinfo-' || (doc_id % 32)), 17, 4) || '-' ||
+            substr(md5('warcinfo-' || (doc_id % 32)), 21, 12) || '>' AS record_id,
+          CAST(NULL AS BIGINT) AS status,
+          CAST(octet_length(encode('software: graft' || chr(13) || chr(10) ||
+            'format: WARC File Format 1.1' || chr(13) || chr(10))) AS BIGINT) AS content_length,
+          md5('software: graft' || chr(13) || chr(10) ||
+            'format: WARC File Format 1.1' || chr(13) || chr(10)) AS digest
+        FROM documents)
+      SELECT * FROM resp UNION ALL SELECT * FROM info""",
+
+    // full-chain text: every response body, headers stripped, is the
+    // planted page byte for byte
+    "x_warc_text" -> """
+      SELECT doc_id, CAST(200 AS BIGINT) AS status,
+        '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
+          coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>' AS text
       FROM documents""",
 
     // like x_multimodal_decode but channels are greyscale RGB

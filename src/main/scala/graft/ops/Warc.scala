@@ -1,0 +1,293 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500 / WARC 1.1) — the wire format web-crawl corpora
+  * actually arrive in: Common Crawl ships `.warc.gz` files with one
+  * gzip MEMBER per record (the seam [[GzipCodec.gunzipMembers]]
+  * surfaces), each record framed as a version line, named headers, a
+  * `Content-Length`-measured body, and a CRLF CRLF separator;
+  * `response` records carry an HTTP/1.1 message whose body is the
+  * page HTML. This file is the ingest chain from those bytes to the
+  * `text` column the rest of the engine runs on:
+  *
+  *   .warc.gz → gzip members → WARC records → HTTP split →
+  *   [[TextAnalysis.htmlExtract]] → quality / dedup / packing.
+  *
+  * Parser contract (the codec discipline): streaming walk, bounds-
+  * checked, case-insensitive header names, WARC/1.0 and 1.1 both
+  * accepted, and a malformed FILE quarantines as a single
+  * `rec_index = -1` row rather than throwing — one bad file must
+  * never kill a 100 TB scan. Scale shape: files are the unit of
+  * parallelism (one task per file, records streamed within), so
+  * wall-clock follows file count, not file size skew, as long as the
+  * writer shards sanely — which [[packDocsWarcGz]] demonstrates by
+  * hashing documents over `n_files` buckets.
+  */
+object Warc {
+
+  // ------------------------------------------------------------------
+  // deterministic fixture builders (replayed verbatim by the SQL
+  // oracle in SparkEntry — keep string templates in exact sync)
+  // ------------------------------------------------------------------
+
+  private val CRLF = "\r\n"
+
+  /** The planted page: pure concatenation of corpus columns, so an
+    * external engine derives the identical bytes. */
+  def pageFor(id: Long, source: String, text: String): String =
+    s"<html><head><title>Doc $id</title></head><body><p>From $source</p><div>$text</div></body></html>"
+
+  /** Minimal valid HTTP/1.1 response around the page. */
+  def httpFor(page: String): Array[Byte] = {
+    val body = page.getBytes("UTF-8")
+    (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8$CRLF" +
+      s"Content-Length: ${body.length}$CRLF$CRLF").getBytes("UTF-8") ++ body
+  }
+
+  /** Deterministic urn:uuid from a seed string: md5 hex grouped
+    * 8-4-4-4-12 (a stable, oracle-replayable stand-in for the random
+    * UUIDs real crawlers mint). */
+  def uuidFor(seed: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
+  }
+
+  private val WarcDate = "2026-01-01T00:00:00Z"
+
+  private def record(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.1").append(CRLF)
+    headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append(CRLF) }
+    head.append("Content-Length: ").append(body.length).append(CRLF).append(CRLF)
+    head.toString.getBytes("UTF-8") ++ body ++ (CRLF + CRLF).getBytes("UTF-8")
+  }
+
+  def warcinfoBody: Array[Byte] =
+    s"software: graft${CRLF}format: WARC File Format 1.1$CRLF".getBytes("UTF-8")
+
+  def responseRecord(id: Long, source: String, text: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:${uuidFor(s"doc-$id")}>",
+      "WARC-Date" -> WarcDate,
+      "WARC-Target-URI" -> s"https://example.com/doc/$id",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpFor(pageFor(id, source, text)))
+
+  def warcinfoRecord(fileId: Long): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:uuid:${uuidFor(s"warcinfo-$fileId")}>",
+      "WARC-Date" -> WarcDate,
+      "Content-Type" -> "application/warc-fields"),
+      warcinfoBody)
+
+  /** One gzip member around one record — JDK zlib as the independent
+    * encoder, level cycling with the id so the from-spec inflate
+    * sees varied block shapes. */
+  private def gzipMember(data: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level, true)
+    d.setInput(data); d.finish()
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    bos.write(Array[Byte](0x1F.toByte, 0x8B.toByte, 8, 0, 0, 0, 0, 0, 0, 0xFF.toByte))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    var k = 0
+    while (k < 4) { bos.write(((crc.getValue >> (8 * k)) & 0xFF).toInt); k += 1 }
+    k = 0
+    while (k < 4) { bos.write(((data.length.toLong >> (8 * k)) & 0xFF).toInt); k += 1 }
+    bos.toByteArray
+  }
+
+  /** Shard documents over `nFiles` WARC files (bucket = id mod
+    * nFiles), each file a leading warcinfo record then the bucket's
+    * response records in id order, every record its OWN gzip member
+    * — the Common Crawl layout byte for byte (the warcinfo member
+    * uses the stored-mode encoder, so both DEFLATE paths appear in
+    * every file). Output: (file_id, payload). */
+  def packDocsWarcGz(df: DataFrame, idCol: String, sourceCol: String,
+                     textCol: String, nFiles: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(sourceCol), lit("")),
+        coalesce(col(textCol), lit("")))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups { (fileId, rows) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(GzipCodec.gzipStored(warcinfoRecord(fileId)))
+        rows.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
+          bos.write(gzipMember(responseRecord(id, src, text), (id % 9 + 1).toInt))
+        }
+        (fileId, bos.toByteArray)
+      }
+      .toDF("file_id", "payload")
+  }
+
+  // ------------------------------------------------------------------
+  // parser
+  // ------------------------------------------------------------------
+
+  /** One parsed record. `httpStatus`/`httpBody` are filled only when
+    * the record carries an HTTP response message. */
+  private case class Rec(recIndex: Int, warcType: String,
+                         recordId: String, targetUri: String, warcDate: String,
+                         contentType: String, contentLength: Long,
+                         httpStatus: Option[Int], body: Array[Byte])
+
+  private def findCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse every record in one (decompressed) WARC stream; None on
+    * any framing violation. */
+  private def parseStream(b: Array[Byte]): Option[Seq[Rec]] = {
+    val out = Seq.newBuilder[Rec]
+    var pos = 0
+    var idx = 0
+    while (pos < b.length) {
+      val headEnd = findCrlfCrlf(b, pos)
+      if (headEnd < 0) return None
+      val head = new String(b, pos, headEnd - pos, "UTF-8")
+      val lines = head.split("\r\n", -1)
+      if (lines.isEmpty || !(lines(0) == "WARC/1.0" || lines(0) == "WARC/1.1")) return None
+      var warcType, recordId, targetUri, warcDate, contentType: String = null
+      var contentLength = -1L
+      for (line <- lines.drop(1)) {
+        val colonAt = line.indexOf(':')
+        if (colonAt <= 0) return None
+        val k = line.substring(0, colonAt).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = line.substring(colonAt + 1).trim
+        k match {
+          case "warc-type"       => warcType = v
+          case "warc-record-id"  => recordId = v
+          case "warc-target-uri" => targetUri = v
+          case "warc-date"       => warcDate = v
+          case "content-type"    => contentType = v
+          case "content-length"  =>
+            if (!v.forall(_.isDigit) || v.isEmpty) return None
+            contentLength = v.toLong
+          case _ => // unknown headers are legal; keep walking
+        }
+      }
+      if (warcType == null || contentLength < 0) return None
+      val bodyStart = headEnd + 4
+      if (bodyStart + contentLength + 4 > b.length) return None
+      val body = java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + contentLength.toInt)
+      val sepAt = bodyStart + contentLength.toInt
+      if (!(b(sepAt) == '\r' && b(sepAt + 1) == '\n' && b(sepAt + 2) == '\r' && b(sepAt + 3) == '\n'))
+        return None
+      val status: Option[Int] =
+        if (contentType != null && contentType.startsWith("application/http")) {
+          val eol = body.indexWhere(_ == '\r')
+          if (eol < 0) None
+          else {
+            val parts = new String(body, 0, eol, "UTF-8").split(" ")
+            if (parts.length >= 2 && parts(0).startsWith("HTTP/") && parts(1).forall(_.isDigit))
+              Some(parts(1).toInt)
+            else None
+          }
+        } else None
+      out += Rec(idx, warcType, recordId, targetUri, warcDate,
+        contentType, contentLength, status, body)
+      idx += 1
+      pos = sepAt + 4
+    }
+    Some(out.result())
+  }
+
+  private def parsePayload(payload: Array[Byte]): Option[Seq[Rec]] = {
+    val stream: Option[Array[Byte]] =
+      if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
+        GzipCodec.gunzip(payload)
+      else Some(payload)
+    stream.flatMap(parseStream)
+  }
+
+  /** Records of every WARC file in `df` — gzip (multi-member or
+    * whole-file) and uncompressed payloads both accepted. One row
+    * per record; a malformed file quarantines as a single
+    * `rec_index = -1` row with null fields, the codec contract. */
+  def records(df: DataFrame, fileIdCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(fileIdCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (fileId, payload) =>
+        parsePayload(payload) match {
+          case Some(recs) => recs.map { r =>
+            (fileId, r.recIndex, r.warcType, r.recordId, r.targetUri, r.warcDate,
+              r.contentType, r.contentLength, r.httpStatus, r.body)
+          }
+          case None =>
+            Seq((fileId, -1, null: String, null: String, null: String, null: String,
+              null: String, -1L, None: Option[Int], null: Array[Byte]))
+        }
+      }
+      .toDF("file_id", "rec_index", "warc_type", "record_id", "target_uri",
+        "warc_date", "content_type", "content_length", "http_status", "body")
+  }
+
+  /** [[records]] keyed by file PATH — the disk-ingest shape the
+    * `warc` source uses over `binaryFile` rows. */
+  def recordsByPath(df: DataFrame, pathCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(pathCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, payload) =>
+        parsePayload(payload) match {
+          case Some(recs) => recs.map { r =>
+            (path, r.recIndex, r.warcType, r.recordId, r.targetUri, r.warcDate,
+              r.contentType, r.contentLength, r.httpStatus, r.body)
+          }
+          case None =>
+            Seq((path, -1, null: String, null: String, null: String, null: String,
+              null: String, -1L, None: Option[Int], null: Array[Byte]))
+        }
+      }
+      .toDF("path", "rec_index", "warc_type", "record_id", "target_uri",
+        "warc_date", "content_type", "content_length", "http_status", "body")
+  }
+
+  /** The response-record text surface: HTTP headers stripped, body
+    * decoded as UTF-8 into a `text` column — what downstream
+    * html_extract / quality / dedup stages consume. `pathCol` picks
+    * the file-key column ([[recordsByPath]] output vs [[records]]). */
+  def responseText(recordsDf: DataFrame, pathCol: Boolean = false): DataFrame = {
+    val spark = recordsDf.sparkSession
+    import spark.implicits._
+    val keyName = if (pathCol) "path" else "file_id"
+    val base = recordsDf
+      .where(col("warc_type") === "response" && col("http_status").isNotNull)
+      .select(col(keyName).cast("string"), col("rec_index"), col("target_uri"),
+        col("http_status"), col("body"))
+      .as[(String, Int, String, Int, Array[Byte])]
+      .map { case (key, recIndex, uri, status, body) =>
+        val headEnd = {
+          var i = 0; var at = -1
+          while (at < 0 && i + 3 < body.length) {
+            if (body(i) == '\r' && body(i + 1) == '\n' && body(i + 2) == '\r' && body(i + 3) == '\n') at = i
+            i += 1
+          }
+          at
+        }
+        val text =
+          if (headEnd < 0) ""
+          else new String(body, headEnd + 4, body.length - headEnd - 4, "UTF-8")
+        (key, recIndex, uri, status, text)
+      }
+      .toDF(keyName, "rec_index", "target_uri", "http_status", "text")
+    if (pathCol) base
+    else base.withColumn("file_id", col("file_id").cast("long"))
+  }
+}

@@ -83,6 +83,22 @@ object SourceReader {
         df.withColumn("path", org.apache.spark.sql.functions.input_file_name())
       else df
 
+    // WARC — the web-crawl wire format (ISO 28500; Common Crawl's
+    // .warc.gz). Files load as binary (one row per file, the
+    // parallelism unit), records parse through the from-spec gzip +
+    // WARC framing walk in [[graft.ops.Warc]]. Default emits the
+    // response-text surface (target_uri, http_status, text) ready
+    // for html_extract; `records = true` emits the raw record rows
+    // (warc_type, record_id, headers, body) instead. Malformed files
+    // quarantine as rec_index = -1 rows rather than failing the scan.
+    case "warc" =>
+      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+        .select(org.apache.spark.sql.functions.col("path"),
+          org.apache.spark.sql.functions.col("content"))
+      val recs = graft.ops.Warc.recordsByPath(files, "path", "content")
+      if (s.config.bool("records").getOrElse(false)) recs
+      else graft.ops.Warc.responseText(recs, pathCol = true)
+
     // Reference sqlite source (main.py:130-138) over the pure-Scala
     // file codec — no JDBC driver needed. `table` reads one table;
     // `query` is the reference's arbitrary-SQL mode, re-expressed as
