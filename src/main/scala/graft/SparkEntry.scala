@@ -1323,6 +1323,18 @@ object SparkEntry {
           col("content_length"), md5(col("body")).as("digest"))
     }),
 
+    // tar.gz ingest (POSIX ustar over the gzip rung): documents
+    // sharded into 32 archives — a doc/ directory entry then
+    // doc/<id>.txt members — and re-read through verified header
+    // checksums; names, sizes, and content digests all replay from
+    // corpus columns.
+    "x_tar_members" -> ((s, d) =>
+      graft.ops.Tar.members(
+        graft.ops.Tar.packDocsTarGz(t(s, d, "documents"), "doc_id", "text"),
+        "file_id", "payload")
+        .select(col("file_id").cast("long").as("file_id"), col("name"),
+          col("typeflag"), col("size"), md5(col("data")).as("digest"))),
+
     // end-to-end crawl extraction: the same warc.gz bytes through
     // records → HTTP body → text; the oracle rebuilds each page by
     // concatenation. This is the full ingest seam a crawl corpus
@@ -3402,6 +3414,18 @@ object SparkEntry {
             'format: WARC File Format 1.1' || chr(13) || chr(10)) AS digest
         FROM documents)
       SELECT * FROM resp UNION ALL SELECT * FROM info""",
+
+    // tar member table re-derived: per-doc text files plus one doc/
+    // directory row per occupied archive
+    "x_tar_members" -> """
+      SELECT doc_id % 32 AS file_id, 'doc/' || doc_id || '.txt' AS name,
+             '0' AS typeflag,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS size,
+             md5(coalesce(text, '')) AS digest
+      FROM documents
+      UNION ALL
+      SELECT DISTINCT doc_id % 32, 'doc/', '5', CAST(0 AS BIGINT), md5('')
+      FROM documents""",
 
     // full-chain text: every response body, headers stripped, is the
     // planted page byte for byte

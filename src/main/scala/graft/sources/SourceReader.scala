@@ -99,6 +99,19 @@ object SourceReader {
       if (s.config.bool("records").getOrElse(false)) recs
       else graft.ops.Warc.responseText(recs, pathCol = true)
 
+    // tar / tar.gz — the per-document-file archive layout (POSIX
+    // ustar through the same from-spec gzip rung). Default emits the
+    // text surface (name, size, text) of regular-file members;
+    // `members = true` emits every member row (typeflag, size, raw
+    // data). Same quarantine + parallelism contract as `warc`.
+    case "tar" =>
+      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+        .select(org.apache.spark.sql.functions.col("path"),
+          org.apache.spark.sql.functions.col("content"))
+      val ms = graft.ops.Tar.members(files, "path", "content")
+      if (s.config.bool("members").getOrElse(false)) ms
+      else graft.ops.Tar.memberText(ms)
+
     // Reference sqlite source (main.py:130-138) over the pure-Scala
     // file codec — no JDBC driver needed. `table` reads one table;
     // `query` is the reference's arbitrary-SQL mode, re-expressed as
