@@ -766,6 +766,31 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextAnalysis.htmlExtract(page).as("extracted"))
     }),
+    // Mojibake repair: the corpus text plus a non-ASCII suffix is
+    // put through the bad decode hop (UTF-8 bytes read as sloppy
+    // cp1252 — planted Spark-side by the kernel's own inverse) once
+    // and twice, and the repair must recover the clean string
+    // exactly in both cases while leaving already-clean text
+    // untouched. The oracle only needs the invariant: fixed text ==
+    // the clean concatenation it can derive itself.
+    "x_text_fix_mojibake" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d)
+        .select(col("doc_id").cast("long"),
+          concat(coalesce(col("text"), lit("")), lit(" café — naïve 中文 🙂")).as("clean"))
+        .as[(Long, String)]
+        .map { case (id, clean) =>
+          val g = graft.expr.MojibakeKernel.garble(clean)
+          (id, clean, g, graft.expr.MojibakeKernel.garble(g))
+        }
+        .toDF("doc_id", "clean", "garbled", "double_garbled")
+      base.select(col("doc_id"),
+        TextAnalysis.fixEncoding(col("garbled")).as("fixed"),
+        (TextAnalysis.fixEncoding(col("garbled")) =!= col("garbled")).as("changed"),
+        (TextAnalysis.fixEncoding(col("clean")) === col("clean")).as("stable"),
+        (TextAnalysis.fixEncoding(col("double_garbled")) === col("clean")).as("double_ok"))
+    }),
+
     // Gopher-rule repetition signals (scan-local struct): this corpus
     // has no newlines so the line fractions are structurally zero —
     // the signal the gate actually exercises is symbol_word_ratio;
@@ -2683,6 +2708,14 @@ object SparkEntry {
             '\+\d{7,15}\b', '<PHONE>', 'g'),
           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
       FROM raw""",
+
+    // mojibake contract: repair of the planted bad-decode hop (and
+    // the double hop) recovers the clean concatenation the oracle
+    // derives directly; clean text is a fixpoint
+    "x_text_fix_mojibake" -> """
+      SELECT doc_id, coalesce(text, '') || ' café — naïve 中文 🙂' AS fixed,
+             true AS changed, true AS stable, true AS double_ok
+      FROM documents""",
 
     // the htmlExtract rule pipeline replayed stage by stage (patterns
     // verbatim from the Java∩RE2 dialect; newlines as chr(10) because

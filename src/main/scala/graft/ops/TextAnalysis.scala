@@ -640,6 +640,13 @@ object TextAnalysis {
     regexp_replace(phone, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
   }
 
+  /** Mojibake repair (see [[graft.expr.MojibakeKernel]]): UTF-8-read-
+    * as-cp1252 damage reversed deterministically, clean text passes
+    * through identical. Scan-speed codegen'd kernel, no shuffle —
+    * run it unconditionally at ingest, before dedup/quality, so
+    * garbled near-duplicates re-converge. */
+  def fixEncoding(text: Column): Column = graft.expr.FixMojibake(text)
+
   /** HTML → text extraction — the step every web-crawl corpus passes
     * through before any quality/dedup stage (the C4/CCNet pipelines
     * start from WET/extracted text; this is the extractor itself for

@@ -372,6 +372,12 @@ object Transforms {
       val f = t.config.str("field").getOrElse("html")
       df.withColumn(t.config.str("out_field").getOrElse("text"),
         graft.ops.TextAnalysis.htmlExtract(c(f)))
+    // encoding repair (ftfy's core case): reverse UTF-8-as-cp1252
+    // mojibake; clean text passes through identical
+    case "fix_encoding" =>
+      val f = t.config.str("field").getOrElse("text")
+      df.withColumn(t.config.str("out_field").getOrElse(f),
+        graft.ops.TextAnalysis.fixEncoding(c(f)))
     // .zst ingest: decompress a zstd payload column (from-spec
     // RFC 8878 decoder) into a text column for downstream ops
     case "zstd_decode" =>
@@ -607,7 +613,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
-    "url_normalize", "redact_pii", "html_extract", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",

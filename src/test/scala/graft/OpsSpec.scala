@@ -1114,6 +1114,48 @@ class OpsSpec extends SparkSuite {
     assert(ext("<script>late body") == "late body")
   }
 
+  test("mojibake repair: classic damage reverses, clean text is a fixpoint, hostile input never throws") {
+    import graft.expr.MojibakeKernel.{fix, garble}
+    // the canonical cases, hand-checked against the cp1252 table
+    assert(fix("Ã©") == "é")                 // 0xC3 0xA9
+    assert(fix("â€™") == "’")                // 0xE2 0x80 0x99 (0x80 via €-slot)
+    assert(fix("â€”dash") == "—dash")        // em dash + trailing ASCII
+    assert(fix("ðŸ™‚") == "🙂")             // 4-byte emoji through ™/‚ slots
+    assert(fix("naÃ¯ve cafÃ©") == "naïve café")
+    // garble is the exact inverse hop, single and double
+    for (s <- Seq("plain ascii", "café — naïve", "中文テスト", "mixed é 🙂 end", "")) {
+      assert(fix(garble(s)) == s, s)
+      assert(fix(garble(garble(s))) == s, s"double: $s")
+    }
+    // clean text (incl. real non-ASCII) is untouched
+    for (s <- Seq("no damage here", "déjà vu — fine", "Ā π 🙂"))
+      assert(fix(s) == s, s)
+    // lone Ã before ASCII is NOT a valid sequence: left alone
+    assert(fix("Ã test") == "Ã test")
+    // overlong (0xC0-/0xC1-style can't appear: rev gives 0xC0 only
+    // from À which is < 0xC2 lead) and surrogate-range 3-byte
+    // sequences stay unrepaired: í (0xED) + ‚ (0x82)... below A0 ok,
+    // but í + ¡ + ¡ would decode into surrogates → untouched
+    assert(fix("í¡¡") == "í¡¡" || fix("í¡¡").length == 1) // must not produce a lone surrogate
+    assert(!fix("í°€").exists(c => c >= 0xD800 && c <= 0xDFFF))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val junk = (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(0x250).toChar).mkString
+      fix(junk) // never throws
+    }
+  }
+
+  test("fix_encoding column expression repairs inside codegen") {
+    import graft.expr.MojibakeKernel.garble
+    val df = Seq((1L, garble("smiley 🙂 café")), (2L, "already clean"), (3L, null: String))
+      .toDF("id", "text")
+    val out = df.select($"id", graft.ops.TextAnalysis.fixEncoding($"text").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "smiley 🙂 café")
+    assert(out(2L) == "already clean")
+    assert(out(3L) == null)
+  }
+
   test("multimodal: pack + distributed feature extraction is deterministic") {
     val df = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
     val packed = Multimodal.packText(df, "text")

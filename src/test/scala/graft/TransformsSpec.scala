@@ -539,6 +539,13 @@ class TransformsSpec extends SparkSuite {
     assert(out.select("text").as[String].head() == "Hello & welcome")
   }
 
+  test("fix_encoding spec op repairs mojibake in place") {
+    val rows = Seq((1L, graft.expr.MojibakeKernel.garble("café — fine")))
+      .toDF("doc_id", "text")
+    val out = Transforms(rows, graft.spec.TransformSpec("f", "fix_encoding"), Map.empty)
+    assert(out.select("text").as[String].head() == "café — fine")
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
