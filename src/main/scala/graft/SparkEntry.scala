@@ -766,6 +766,18 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextAnalysis.htmlExtract(page).as("extracted"))
     }),
+    // Per-domain cap: 7 synthetic hosts derived from doc_id, cap 20
+    // docs per host, earliest-id priority — host extraction AND the
+    // bounded-heap cap both replayed by a windowed oracle. (The
+    // implementation itself has no Window node; the oracle may.)
+    "x_domain_cap" -> ((s, d) => {
+      val urls = docs(s, d).select(col("doc_id"),
+        concat(lit("https://h"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/p/"), col("doc_id")).as("url"))
+      graft.ops.DomainCap.capPerHost(urls, "url", "doc_id", 20)
+        .select(col("id").as("doc_id"), col("host"), col("kept"))
+    }),
+
     // Mojibake repair: the corpus text plus a non-ASCII suffix is
     // put through the bad decode hop (UTF-8 bytes read as sloppy
     // cp1252 — planted Spark-side by the kernel's own inverse) once
@@ -2708,6 +2720,15 @@ object SparkEntry {
             '\+\d{7,15}\b', '<PHONE>', 'g'),
           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
       FROM raw""",
+
+    // domain cap re-derived: same host arithmetic, row_number ≤ k
+    "x_domain_cap" -> """
+      WITH u AS (
+        SELECT doc_id, 'h' || (doc_id % 7) || '.example.com' AS host
+        FROM documents)
+      SELECT doc_id, host,
+             (row_number() OVER (PARTITION BY host ORDER BY doc_id)) <= 20 AS kept
+      FROM u""",
 
     // mojibake contract: repair of the planted bad-decode hop (and
     // the double hop) recovers the clean concatenation the oracle

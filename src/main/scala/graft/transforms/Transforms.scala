@@ -389,6 +389,17 @@ object Transforms {
       graft.ops.Multimodal.decodeGzipText(df,
         t.config.str("id_field").getOrElse("id"),
         t.config.str("media_field").getOrElse("media"))
+    // domain-diversity cap: keep ≤ max_per_host docs per URL host
+    // (mode first|sample), schemeless rows exempt; rows filter in
+    // place via semi-join on the id field
+    case "domain_cap" =>
+      val idField = t.config.str("id_field").getOrElse("doc_id")
+      val flags = graft.ops.DomainCap.capPerHost(df,
+        t.config.str("field").getOrElse("url"), idField,
+        t.config.int("max_per_host").getOrElse(1000),
+        t.config.str("mode").getOrElse("first"))
+      df.join(flags.where(col("kept")).select(col("id").cast(df.schema(idField).dataType).as(idField)),
+        Seq(idField), "left_semi")
     case "url_normalize" =>
       df.withColumn(t.config.str("out_field").getOrElse("url_norm"),
         graft.ops.TextAnalysis.normalizeUrl(c(t.config.str("field").getOrElse("url"))))
@@ -613,7 +624,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
-    "url_normalize", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "domain_cap", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",

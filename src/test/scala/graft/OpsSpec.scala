@@ -1156,6 +1156,31 @@ class OpsSpec extends SparkSuite {
     assert(out(3L) == null)
   }
 
+  test("domain cap: bounded per-host keep set, schemeless exempt, no Window node") {
+    import graft.ops.DomainCap
+    val rows = Seq(
+      (1L, "https://big.com/a"), (2L, "https://big.com/b"), (3L, "https://BIG.com:443/c"),
+      (4L, "https://small.org/x"), (5L, "not a url"), (6L, "https://big.com/d")
+    ).toDF("doc_id", "url")
+    val out = DomainCap.capPerHost(rows, "url", "doc_id", 2)
+    val kept = out.collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // big.com has 4 docs (host match is case-insensitive, port-blind): keep ids 1,2
+    assert(kept == Map(1L -> true, 2L -> true, 3L -> false, 6L -> false,
+      4L -> true, 5L -> true))
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Window"))
+    // sample mode keeps exactly k of the big-host docs, deterministically
+    val s1 = DomainCap.capPerHost(rows, "url", "doc_id", 2, "sample").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val s2 = DomainCap.capPerHost(rows, "url", "doc_id", 2, "sample").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(s1 == s2)
+    assert(Seq(1L, 2L, 3L, 6L).count(s1) == 2)
+    assert(s1(4L) && s1(5L))
+    // host extraction matches the oracle's regex semantics
+    val h = rows.select(DomainCap.hostOf($"url")).collect().map(_.getString(0))
+    assert(h.toSeq == Seq("big.com", "big.com", "big.com", "small.org", null, "big.com"))
+  }
+
   test("multimodal: pack + distributed feature extraction is deterministic") {
     val df = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
     val packed = Multimodal.packText(df, "text")

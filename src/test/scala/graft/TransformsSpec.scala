@@ -546,6 +546,16 @@ class TransformsSpec extends SparkSuite {
     assert(out.select("text").as[String].head() == "café — fine")
   }
 
+  test("domain_cap spec op filters rows beyond the per-host cap") {
+    val rows = Seq(
+      (1L, "https://a.com/1"), (2L, "https://a.com/2"), (3L, "https://a.com/3"),
+      (4L, "https://b.com/1")
+    ).toDF("doc_id", "url")
+    val out = Transforms(rows, graft.spec.TransformSpec("d", "domain_cap",
+      Config.of("field" -> "url", "max_per_host" -> 2)), Map.empty)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
