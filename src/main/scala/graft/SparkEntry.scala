@@ -652,6 +652,28 @@ object SparkEntry {
     // scale, explicit floor(v+0.5) rounding so DuckDB replays exactly.
     // codes is serialized to a CSV scalar because the driver's pandas
     // canonicalizer can't hash array cells (same fix as x_group_sample)
+    // Matryoshka truncation: first-16-dims + renormalize. The oracle
+    // recomputes the prefix norm directly from the raw embedding
+    // (bit-stable double fold, the sq8 discipline); the op's output
+    // is checked through two float-rounding-safe surfaces — its own
+    // L2 (exactly 1 or 0 after 6dp) and an |dot(out, prefix) - norm|
+    // tolerance verdict, since the op stores float32 components.
+    "x_embed_matryoshka" -> ((s, d) => {
+      val out = Similarity.truncateEmbeddings(
+        t(s, d, "embeddings"), "embedding", 16).withColumnRenamed("embedding", "out")
+      val raw = t(s, d, "embeddings").select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 16), x => x.cast("double")).as("pre"))
+      out.join(raw, "vec_id").select(col("vec_id"),
+        size(col("out")).as("dim"),
+        sqrt(aggregate(transform(col("out"), x => x.cast("double")),
+          lit(0.0d), (a, x) => a + x * x)).as("unit"),
+        sqrt(aggregate(col("pre"), lit(0.0d), (a, x) => a + x * x)).as("norm16"),
+        (abs(aggregate(zip_with(transform(col("out"), x => x.cast("double")), col("pre"),
+          (a, b) => a * b), lit(0.0d), (a, x) => a + x) -
+          sqrt(aggregate(col("pre"), lit(0.0d), (a, x) => a + x * x))) < 1e-4 ||
+          sqrt(aggregate(col("pre"), lit(0.0d), (a, x) => a + x * x)) === 0.0).as("ok"))
+    }),
+
     "x_embed_sq8" -> ((s, d) =>
       Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
@@ -2586,6 +2608,19 @@ object SparkEntry {
               PARTITION BY query_id ORDER BY h, neighbor_id) AS rank
             FROM scored)
       WHERE rank <= 10""",
+
+    // matryoshka: prefix norm recomputed directly; unit-length and
+    // dot-recovery contracts are exact after canonical rounding
+    "x_embed_matryoshka" -> """
+      WITH n AS (
+        SELECT vec_id,
+          sqrt(list_aggregate(list_transform(embedding[1:16],
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm16
+        FROM embeddings)
+      SELECT vec_id, 16 AS dim,
+             CASE WHEN norm16 = 0 THEN 0.0 ELSE 1.0 END AS unit,
+             norm16, true AS ok
+      FROM n""",
 
     "x_embed_sq8" -> """
       WITH s AS (

@@ -50,6 +50,31 @@ object Similarity {
             x => floor(x.cast("double") * 127.0 / col("scale") + 0.5).cast("int")))
           .as("codes"))
 
+  /** Matryoshka truncation (Kusupati et al. 2022): MRL-trained
+    * embeddings keep most of their signal in a prefix, so the
+    * cheapest compression is simply the first `dims` components,
+    * re-normalized to unit length for cosine math downstream. The
+    * storage/recall ladder below [[quantizeInt8]]: 4× fewer dims
+    * beats 4× coarser codes when the model was trained for it.
+    * Scan-local projection, no shuffle; the norm is materialized as
+    * a column first (the quantizeInt8 attribute discipline), zero
+    * vectors pass through un-normalized rather than dividing by
+    * zero, null vectors stay null. */
+  def truncateEmbeddings(df: DataFrame, vecCol: String, dims: Int,
+      renormalize: Boolean = true): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val sliced = slice(col(vecCol), 1, dims)
+    if (!renormalize) df.withColumn(vecCol, sliced)
+    else df
+      .withColumn("__trunc", transform(sliced, x => x.cast("double")))
+      .withColumn("__norm",
+        sqrt(aggregate(col("__trunc"), lit(0.0d), (a, x) => a + x * x)))
+      .withColumn(vecCol,
+        when(col("__norm").isNull || col("__norm") === 0.0, sliced)
+          .otherwise(transform(col("__trunc"), x => (x / col("__norm")).cast("float"))))
+      .drop("__trunc", "__norm")
+  }
+
   /** Inverse of [[quantizeInt8]] for distance math on the dequantized
     * side: x̂ = code·scale/127. */
   def dequantizeInt8(df: DataFrame, codesCol: String, scaleCol: String,

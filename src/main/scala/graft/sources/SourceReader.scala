@@ -99,6 +99,38 @@ object SourceReader {
       if (s.config.bool("records").getOrElse(false)) recs
       else graft.ops.Warc.responseText(recs, pathCol = true)
 
+    // Compressed JSONL — the default corpus shard format
+    // (`shard-00042.jsonl.zst` / `.jsonl.gz`): files load as binary
+    // (one task per shard), decompress through the from-spec codecs
+    // (`zstd` — which Hadoop's codec chain can NOT read without a
+    // native lib — or `gzip`, or sniffed by magic when unset), split
+    // on newlines, and parse as JSON with schema inferred across
+    // shards. Scale: shards are the parallelism unit, the engine's
+    // own shard writers (shuffle_shards) produce bounded-size files.
+    case "jsonl" =>
+      import spark.implicits._
+      val comp = s.config.str("compression") // zstd | gzip | none | sniff
+      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+        .select(org.apache.spark.sql.functions.col("content"))
+        .as[Array[Byte]]
+      val lines = files.flatMap { payload =>
+        val bytes: Array[Byte] = comp match {
+          case Some("zstd") => graft.ops.ZstdCodec.decode(payload).getOrElse(Array.emptyByteArray)
+          case Some("gzip") => graft.ops.GzipCodec.gunzip(payload).getOrElse(Array.emptyByteArray)
+          case Some("none") => payload
+          case _ => // sniff: zstd magic 28 B5 2F FD, gzip 1F 8B, else plain
+            if (payload.length >= 4 && (payload(0) & 0xFF) == 0x28 && (payload(1) & 0xFF) == 0xB5 &&
+              (payload(2) & 0xFF) == 0x2F && (payload(3) & 0xFF) == 0xFD)
+              graft.ops.ZstdCodec.decode(payload).getOrElse(Array.emptyByteArray)
+            else if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
+              graft.ops.GzipCodec.gunzip(payload).getOrElse(Array.emptyByteArray)
+            else payload
+        }
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n", -1).iterator.map(_.stripSuffix("\r")).filter(_.nonEmpty)
+      }
+      spark.read.json(lines)
+
     // tar / tar.gz — the per-document-file archive layout (POSIX
     // ustar through the same from-spec gzip rung). Default emits the
     // text surface (name, size, text) of regular-file members;

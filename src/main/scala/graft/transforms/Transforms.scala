@@ -389,6 +389,13 @@ object Transforms {
       graft.ops.Multimodal.decodeGzipText(df,
         t.config.str("id_field").getOrElse("id"),
         t.config.str("media_field").getOrElse("media"))
+    // matryoshka truncation: first-k dims (+ renormalize) of an
+    // MRL-style embedding column, in place
+    case "embed_truncate" =>
+      graft.ops.Similarity.truncateEmbeddings(df,
+        t.config.str("field").getOrElse("embedding"),
+        t.config.int("dims").getOrElse(64),
+        t.config.bool("renormalize").getOrElse(true))
     // domain-diversity cap: keep ≤ max_per_host docs per URL host
     // (mode first|sample), schemeless rows exempt; rows filter in
     // place via semi-join on the id field
@@ -625,7 +632,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
     "url_normalize", "domain_cap", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8",
+    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",

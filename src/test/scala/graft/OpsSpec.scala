@@ -1156,6 +1156,23 @@ class OpsSpec extends SparkSuite {
     assert(out(3L) == null)
   }
 
+  test("matryoshka truncation: prefix + renorm, zero vectors pass through, raw mode slices only") {
+    import graft.ops.Similarity
+    val rows = Seq(
+      (1L, Array(3.0f, 4.0f, 100.0f, -100.0f)),
+      (2L, Array(0.0f, 0.0f, 5.0f, 5.0f)),
+      (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.truncateEmbeddings(rows, "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(out(1L).map(v => math.round(v * 1e6f) / 1e6f) == Seq(0.6f, 0.8f)) // (3,4)/5
+    assert(out(2L) == Seq(0.0f, 0.0f)) // zero prefix: un-normalized passthrough
+    assert(out(3L) == Seq(1.0f, 0.0f))
+    val raw = Similarity.truncateEmbeddings(rows, "embedding", 2, renormalize = false)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(raw(1L) == Seq(3.0f, 4.0f))
+  }
+
   test("domain cap: bounded per-host keep set, schemeless exempt, no Window node") {
     import graft.ops.DomainCap
     val rows = Seq(

@@ -105,6 +105,26 @@ class TarSpec extends SparkSuite {
     dir.listFiles.foreach(_.delete()); dir.delete()
   }
 
+  test("jsonl SOURCE reads zstd- and gzip-compressed shards via the from-spec codecs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      out.write(bytes); out.close()
+    }
+    val shard1 = "{\"doc_id\": 1, \"text\": \"from zstd\"}\n{\"doc_id\": 2, \"text\": \"also zstd\"}\n"
+    val shard2 = "{\"doc_id\": 3, \"text\": \"from gzip\"}\r\n"
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try write("a.jsonl.zst", ctx.setLevel(3).compress(shard1.getBytes("UTF-8"))) finally ctx.close()
+    write("b.jsonl.gz", GzipCodec.gzipStored(shard2.getBytes("UTF-8")))
+    write("c.jsonl", "{\"doc_id\": 4, \"text\": \"plain\"}\n".getBytes("UTF-8"))
+    val read = graft.sources.SourceReader.read(spark,
+      graft.spec.SourceSpec("shards", "jsonl", graft.spec.Config.of(
+        "path" -> s"${dir.getAbsolutePath}/*.jsonl*")))
+    val rows = read.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "from zstd", 2L -> "also zstd", 3L -> "from gzip", 4L -> "plain"))
+    dir.listFiles.foreach(_.delete()); dir.delete()
+  }
+
   test("pack → members round-trips names, sizes, and bytes through tar.gz") {
     val docs = Seq((0L, "alpha"), (1L, "beta"), (33L, "gamma")).toDF("doc_id", "text")
     val ms = Tar.members(Tar.packDocsTarGz(docs, "doc_id", "text"), "file_id", "payload")
