@@ -788,6 +788,25 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextAnalysis.htmlExtract(page).as("extracted"))
     }),
+    // Bloom membership: even-id URLs build two filters (2 KiB noisy,
+    // 16 KiB clean); every doc probes both. The oracle REBUILDS the
+    // identical filters with a bitstring aggregate over the same
+    // md5-derived positions and reproduces every verdict — including
+    // the small filter's false positives (3 at sf0.01), which makes
+    // the determinism contract total, not just "no false negatives".
+    "x_bloom_filter" -> ((s, d) => {
+      val dd = docs(s, d)
+      val members = dd.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(concat(lit("url-"), col("doc_id")).as("key"))
+      val fSmall = graft.ops.Bloom.build(members, "key", 2048, 4)
+      val fBig = graft.ops.Bloom.build(members, "key", 16384, 4)
+      val key = concat(lit("url-"), col("doc_id"))
+      dd.select(col("doc_id"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("member"),
+        graft.ops.Bloom.mightContain(fSmall, 4, key).as("hit_small"),
+        graft.ops.Bloom.mightContain(fBig, 4, key).as("hit_big"))
+    }),
+
     // Per-domain cap: 7 synthetic hosts derived from doc_id, cap 20
     // docs per host, earliest-id priority — host extraction AND the
     // bounded-heap cap both replayed by a windowed oracle. (The
@@ -2755,6 +2774,32 @@ object SparkEntry {
             '\+\d{7,15}\b', '<PHONE>', 'g'),
           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
       FROM raw""",
+
+    // bloom filters rebuilt bit for bit: same md5 double-hash
+    // positions, bitstring aggregate, min-over-probes verdicts
+    "x_bloom_filter" -> """
+      WITH mh AS (
+        SELECT CAST(('0x' || substr(md5('url-' || doc_id), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5('url-' || doc_id), 9, 8)) AS BIGINT) AS h2
+        FROM documents WHERE doc_id % 2 = 0),
+      pos_s AS (SELECT DISTINCT CAST((h1 + t.i * h2) % 2048 AS INT) AS p FROM mh, range(4) t(i)),
+      f_s AS (SELECT bitstring_agg(p, 0, 2047) AS bs FROM pos_s),
+      pos_b AS (SELECT DISTINCT CAST((h1 + t.i * h2) % 16384 AS INT) AS p FROM mh, range(4) t(i)),
+      f_b AS (SELECT bitstring_agg(p, 0, 16383) AS bs FROM pos_b),
+      probes AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('url-' || doc_id), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5('url-' || doc_id), 9, 8)) AS BIGINT) AS h2
+        FROM documents),
+      hits AS (
+        SELECT p.doc_id,
+               min(get_bit(f_s.bs, CAST((p.h1 + t.i * p.h2) % 2048 AS INT))) AS s_ok,
+               min(get_bit(f_b.bs, CAST((p.h1 + t.i * p.h2) % 16384 AS INT))) AS b_ok
+        FROM probes p, range(4) t(i), f_s, f_b
+        GROUP BY p.doc_id)
+      SELECT doc_id, doc_id % 2 = 0 AS member,
+             s_ok = 1 AS hit_small, b_ok = 1 AS hit_big
+      FROM hits""",
 
     // domain cap re-derived: same host arithmetic, row_number ≤ k
     "x_domain_cap" -> """

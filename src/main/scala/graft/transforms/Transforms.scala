@@ -389,6 +389,24 @@ object Transforms {
       graft.ops.Multimodal.decodeGzipText(df,
         t.config.str("id_field").getOrElse("id"),
         t.config.str("media_field").getOrElse("media"))
+    // bloom membership vs another source: build a deterministic
+    // bloom over `against`'s key field (one fixed-state aggregation,
+    // no key shuffle) and flag each row's key — the crawl-frontier
+    // "seen in an earlier batch?" check without a join
+    case "bloom_check" =>
+      val cfg = t.config
+      val rName = cfg.reqStr("against")
+      val right = ctx.getOrElse(rName,
+        throw new GraftAnalysisException(s"bloom_check: unknown source '$rName'"))
+      val keyField = cfg.str("field").getOrElse("url")
+      val rightKey = cfg.str("right_field").getOrElse(keyField)
+      val k = cfg.int("hashes").getOrElse(4)
+      val m = cfg.int("bits").getOrElse(
+        graft.ops.Bloom.sizeFor(math.max(1L, right.count()), k,
+          cfg.double("fpp").getOrElse(0.01)))
+      val filter = graft.ops.Bloom.build(right, rightKey, m, k)
+      df.withColumn(cfg.str("out_field").getOrElse("seen"),
+        graft.ops.Bloom.mightContain(filter, k, c(keyField).cast("string")))
     // matryoshka truncation: first-k dims (+ renormalize) of an
     // MRL-style embedding column, in place
     case "embed_truncate" =>
@@ -632,7 +650,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
     "url_normalize", "domain_cap", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate",
+    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",

@@ -1156,6 +1156,28 @@ class OpsSpec extends SparkSuite {
     assert(out(3L) == null)
   }
 
+  test("bloom filter: no false negatives ever, fp rate within sizing bound, codegen probe") {
+    import graft.ops.Bloom
+    val keys = (0 until 500).map(i => s"key-$i")
+    val kdf = keys.toDF("key")
+    val m = Bloom.sizeFor(500, 4, 0.01)
+    val filter = Bloom.build(kdf, "key", m, 4)
+    // every inserted key MUST hit (kernel + expression paths agree)
+    assert(keys.forall(Bloom.hit(filter, 4, _)))
+    val viaExpr = kdf.select(Bloom.mightContain(filter, 4, $"key")).collect().map(_.getBoolean(0))
+    assert(viaExpr.forall(identity))
+    // disjoint probes: fp rate within 3x the configured 1%
+    val probes = (0 until 2000).map(i => s"other-$i")
+    val fp = probes.count(Bloom.hit(filter, 4, _))
+    assert(fp <= 60, s"fp=$fp of 2000")
+    // build is partitioning-independent
+    val f2 = Bloom.build(kdf.repartition(7), "key", m, 4)
+    assert(java.util.Arrays.equals(filter, f2))
+    // positions match the oracle arithmetic (hand md5 of 'url-42')
+    assert(Bloom.positions("url-42", 2048, 2).toSeq ==
+      Seq((1852990044L % 2048).toInt, ((1852990044L + 3692736192L) % 2048).toInt))
+  }
+
   test("matryoshka truncation: prefix + renorm, zero vectors pass through, raw mode slices only") {
     import graft.ops.Similarity
     val rows = Seq(

@@ -556,6 +556,16 @@ class TransformsSpec extends SparkSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("bloom_check spec op flags keys seen in the against-source") {
+    val seen = Seq("https://a.com/1", "https://a.com/2").toDF("url")
+    val batch = Seq("https://a.com/1", "https://new.org/x").toDF("url")
+    val out = Transforms(batch, graft.spec.TransformSpec("b", "bloom_check",
+      Config.of("against" -> "crawled", "field" -> "url")), Map("crawled" -> seen))
+    val flags = out.collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(flags("https://a.com/1"))
+    assert(!flags("https://new.org/x"))
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
