@@ -1401,6 +1401,16 @@ object SparkEntry {
           col("content_length"), md5(col("body")).as("digest"))
     }),
 
+    // PDF ingest: each doc becomes a spec-legal single-page PDF
+    // (even ids FlateDecode via the JDK's zlib, odd ids raw), parsed
+    // back through the from-spec object/xref/content walk; the text
+    // must round-trip byte-exact through the literal-string escape
+    // machinery, and every structural field replays from doc_id.
+    "x_pdf_extract" -> ((s, d) =>
+      graft.ops.Pdf.extractPdfText(
+        graft.ops.Pdf.packTextPdf(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")),
+
     // tar.gz ingest (POSIX ustar over the gzip rung): documents
     // sharded into 32 archives — a doc/ directory entry then
     // doc/<id>.txt members — and re-read through verified header
@@ -3548,6 +3558,14 @@ object SparkEntry {
             'format: WARC File Format 1.1' || chr(13) || chr(10)) AS digest
         FROM documents)
       SELECT * FROM resp UNION ALL SELECT * FROM info""",
+
+    // pdf contract: structure is constant, compression alternates by
+    // id, and extracted text equals the document text exactly
+    "x_pdf_extract" -> """
+      SELECT doc_id AS id, true AS decoded, '1.4' AS version,
+             5 AS n_objects, 1 AS n_pages, doc_id % 2 = 0 AS flate,
+             coalesce(text, '') AS text
+      FROM documents""",
 
     // tar member table re-derived: per-doc text files plus one doc/
     // directory row per occupied archive

@@ -99,6 +99,24 @@ object SourceReader {
       if (s.config.bool("records").getOrElse(false)) recs
       else graft.ops.Warc.responseText(recs, pathCol = true)
 
+    // PDF — document dumps as files on disk: binary load (one task
+    // per file), from-spec object/xref/content-stream walk, one row
+    // per file (path, decoded, version, n_objects, n_pages, flate,
+    // text). Unparseable files quarantine with decoded = false.
+    case "pdf" =>
+      import spark.implicits._
+      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+        .select(org.apache.spark.sql.functions.col("path"),
+          org.apache.spark.sql.functions.col("content"))
+        .as[(String, Array[Byte])]
+      files.mapPartitions(_.map { case (path, bytes) =>
+        (graft.ops.Pdf.extractText(bytes), graft.ops.Pdf.meta(bytes)) match {
+          case (Some(text), Some((ver, nObj, nPages, flate))) =>
+            (path, true, ver, nObj, nPages, flate, text)
+          case _ => (path, false, null: String, 0, 0, false, null: String)
+        }
+      }).toDF("path", "decoded", "version", "n_objects", "n_pages", "flate", "text")
+
     // Compressed JSONL — the default corpus shard format
     // (`shard-00042.jsonl.zst` / `.jsonl.gz`): files load as binary
     // (one task per shard), decompress through the from-spec codecs

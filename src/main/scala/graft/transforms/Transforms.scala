@@ -378,6 +378,11 @@ object Transforms {
       val f = t.config.str("field").getOrElse("text")
       df.withColumn(t.config.str("out_field").getOrElse(f),
         graft.ops.TextAnalysis.fixEncoding(c(f)))
+    // PDF ingest: extract text + structure from a PDF payload column
+    case "pdf_extract" =>
+      graft.ops.Pdf.extractPdfText(df,
+        t.config.str("id_field").getOrElse("id"),
+        t.config.str("media_field").getOrElse("media"))
     // .zst ingest: decompress a zstd payload column (from-spec
     // RFC 8878 decoder) into a text column for downstream ops
     case "zstd_decode" =>
@@ -650,7 +655,7 @@ object Transforms {
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
     "url_normalize", "domain_cap", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check",
+    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
