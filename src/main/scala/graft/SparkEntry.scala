@@ -1370,6 +1370,16 @@ object SparkEntry {
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // snappy/lz4 rung: the parquet- and shuffle-codec block formats,
+    // reference-library compressed (snappy-java even ids; lz4-java
+    // fast/high odd ids), decoded by the from-spec block walkers —
+    // byte-exact by length + md5, codec label replayed from id.
+    "x_multimodal_short" -> ((s, d) =>
+      graft.ops.ShortCodecs.decodeShortText(
+        graft.ops.ShortCodecs.packTextShort(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("id"), col("codec"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
+
     // gzip rung (RFC 1952): the x_multimodal_zstd contract with the
     // JDK's zlib as the independent encoder — levels 1/6/9 plus a
     // HUFFMAN_ONLY stratum, CRC-32 + ISIZE verified by the from-spec
@@ -3504,6 +3514,15 @@ object SparkEntry {
     // UTF-8 bytes — length and md5 replay from the text column
     "x_multimodal_zstd" -> """
       SELECT doc_id AS id, true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // snappy/lz4 contract: same decoded-byte identity, codec by id
+    "x_multimodal_short" -> """
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 2 = 0 THEN 'snappy' ELSE 'lz4' END AS codec,
+             true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest
       FROM documents""",

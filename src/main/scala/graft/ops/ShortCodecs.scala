@@ -1,0 +1,220 @@
+package graft.ops
+
+/** From-spec Snappy and LZ4 BLOCK decoders — the two short-window
+  * LZ77 formats the columnar world actually runs on (Snappy is
+  * parquet's default codec; LZ4 is Spark's shuffle/TorrentBroadcast
+  * codec and a common shard wrapper). Written from the published
+  * format descriptions (google/snappy `format_description.txt`;
+  * lz4 `lz4_Block_format.md`) and pinned in ShortCodecsSpec against
+  * the INDEPENDENT reference implementations on the Spark classpath
+  * (snappy-java, lz4-java) over the same fixture family as the
+  * gzip/zstd rungs.
+  *
+  * Both are raw block formats (no framing/checksum layer): the
+  * caller supplies trust boundaries; here that is the decoded-size
+  * cap plus exact-consumption checks. Hostile-bytes contract as the
+  * rest of the ladder: never throws, bounds-checked, None on any
+  * malformed construct. Encoders are the spec-legal literal-only
+  * forms (one big literal run), enough to WRITE blocks any decoder
+  * accepts — the reference libraries supply the hostile-grade
+  * compressed fixtures, exactly the ZstdCodec division of labor.
+  */
+object ShortCodecs {
+
+  private object Refuse extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def refuse(): Nothing = throw Refuse
+
+  val MaxOutput: Int = 1 << 28
+
+  // ------------------------------------------------------------------
+  // Snappy raw block (format_description.txt)
+  // ------------------------------------------------------------------
+
+  /** Decode a raw snappy block: uvarint decoded length, then
+    * literal/copy tags until exact end. */
+  def unsnappy(p: Array[Byte]): Option[Array[Byte]] =
+    try {
+      var pos = 0
+      def u8(): Int = { if (pos >= p.length) refuse(); val v = p(pos) & 0xFF; pos += 1; v }
+      // uvarint decoded length
+      var declared = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        if (shift > 35) refuse()
+        val b = u8()
+        declared |= (b & 0x7FL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+      }
+      if (declared > MaxOutput) refuse()
+      val out = new Array[Byte](declared.toInt)
+      var o = 0
+      while (pos < p.length) {
+        val tag = u8()
+        (tag & 3) match {
+          case 0 => // literal
+            var len = (tag >>> 2) + 1
+            if (len > 60) {
+              val extra = len - 60 // 1-4 length bytes
+              var v = 0L
+              var i = 0
+              while (i < extra) { v |= u8().toLong << (8 * i); i += 1 }
+              len = (v + 1).toInt
+              if (len <= 0) refuse()
+            }
+            if (pos + len > p.length || o + len > out.length) refuse()
+            System.arraycopy(p, pos, out, o, len)
+            pos += len; o += len
+          case c => // copy
+            val (len, offset) = c match {
+              case 1 => (((tag >>> 2) & 7) + 4, ((tag >>> 5) << 8) | u8())
+              case 2 => ((tag >>> 2) + 1, u8() | (u8() << 8))
+              case _ => ((tag >>> 2) + 1, u8() | (u8() << 8) | (u8() << 16) | (u8() << 24))
+            }
+            if (offset <= 0 || offset > o || o + len > out.length) refuse()
+            var i = 0
+            while (i < len) { out(o) = out(o - offset); o += 1; i += 1 } // overlap-safe
+        }
+      }
+      if (o != out.length) refuse()
+      Some(out)
+    } catch { case Refuse => None }
+
+  /** Spec-legal literal-only snappy block. */
+  def snappyLiteral(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length + 8)
+    var v = data.length
+    while ((v & ~0x7F) != 0) { bos.write((v & 0x7F) | 0x80); v >>>= 7 }
+    bos.write(v)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(data.length - i, 65536)
+      // length 61: 2 extra bytes (n-1 LE)
+      bos.write((61 << 2)); bos.write((n - 1) & 0xFF); bos.write(((n - 1) >> 8) & 0xFF)
+      bos.write(data, i, n)
+      i += n
+    }
+    if (data.length == 0) () // just the 0 uvarint
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // LZ4 raw block (lz4_Block_format.md)
+  // ------------------------------------------------------------------
+
+  /** Decode a raw LZ4 block into exactly `declaredLen` bytes (LZ4
+    * blocks do not carry their decoded size — the container does). */
+  def unlz4(p: Array[Byte], declaredLen: Int): Option[Array[Byte]] =
+    try {
+      if (declaredLen < 0 || declaredLen > MaxOutput) refuse()
+      val out = new Array[Byte](declaredLen)
+      var pos = 0
+      var o = 0
+      def u8(): Int = { if (pos >= p.length) refuse(); val v = p(pos) & 0xFF; pos += 1; v }
+      var done = false
+      while (!done) {
+        if (declaredLen == 0 && p.length == 0) { done = true }
+        else {
+          val token = u8()
+          var litLen = token >>> 4
+          if (litLen == 15) {
+            var b = 255
+            while (b == 255) { b = u8(); litLen += b }
+          }
+          if (pos + litLen > p.length || o + litLen > out.length) refuse()
+          System.arraycopy(p, pos, out, o, litLen)
+          pos += litLen; o += litLen
+          if (pos == p.length) {
+            // last sequence: literals only, no match
+            done = true
+          } else {
+            val offset = u8() | (u8() << 8)
+            var matchLen = (token & 0x0F) + 4
+            if ((token & 0x0F) == 15) {
+              var b = 255
+              while (b == 255) { b = u8(); matchLen += b }
+            }
+            if (offset <= 0 || offset > o || o + matchLen > out.length) refuse()
+            var i = 0
+            while (i < matchLen) { out(o) = out(o - offset); o += 1; i += 1 }
+          }
+        }
+      }
+      if (o != declaredLen) refuse()
+      Some(out)
+    } catch { case Refuse => None }
+
+  // ------------------------------------------------------------------
+  // Spark seam (the packTextZstd/decodeZstdText contract)
+  // ------------------------------------------------------------------
+
+  /** Per-doc blocks compressed by the REFERENCE libraries — snappy
+    * for even ids, lz4 (fast/high alternating) for odd — with the
+    * original byte length carried alongside (LZ4 blocks don't store
+    * it, the container does; here the row is the container). */
+  def packTextShort(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (id % 2 == 0)
+            (id, "snappy", bytes.length.toLong, org.xerial.snappy.Snappy.compress(bytes))
+          else {
+            val comp = if (id % 4 == 1) lz4.fastCompressor() else lz4.highCompressor()
+            (id, "lz4", bytes.length.toLong, comp.compress(bytes))
+          }
+        }
+      }
+      .toDF("id", "codec", "orig_len", "payload")
+  }
+
+  /** Decode back through the from-spec decoders; the quarantine
+    * contract of the other codec seams. */
+  def decodeShortText(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("codec"),
+        org.apache.spark.sql.functions.col("orig_len"),
+        org.apache.spark.sql.functions.col("payload"))
+      .as[(Long, String, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, codec, origLen, payload) =>
+        val decoded = codec match {
+          case "snappy" => unsnappy(payload)
+          case "lz4" => unlz4(payload, origLen.toInt)
+          case _ => None
+        }
+        decoded match {
+          case Some(bytes) => (id, codec, true, bytes.length.toLong,
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          case None => (id, codec, false, 0L, null: String)
+        }
+      })
+      .toDF("id", "codec", "decoded", "n_bytes", "text")
+  }
+
+  /** Spec-legal literal-only LZ4 block (one final sequence). */
+  def lz4Literal(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length + 8)
+    val lit = data.length
+    if (lit < 15) bos.write(lit << 4)
+    else {
+      bos.write(15 << 4)
+      var rest = lit - 15
+      while (rest >= 255) { bos.write(255); rest -= 255 }
+      bos.write(rest)
+    }
+    bos.write(data, 0, data.length)
+    bos.toByteArray
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.ShortCodecs
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-spec Snappy/LZ4 block decoders pinned against the reference
+  * implementations on the Spark classpath (snappy-java, lz4-java) —
+  * both their high-compression and fast encoders — plus the
+  * literal-only encoders cross-read by those libraries, and fuzz.
+  */
+class ShortCodecsSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(99)
+
+  private def prose(n: Int): Array[Byte] = {
+    val words = Array("the", "quick", "brown", "fox", "snappy", "lz4", "block", "copy")
+    val sb = new StringBuilder
+    while (sb.length < n) sb.append(words(rnd.nextInt(words.length))).append(' ')
+    sb.substring(0, n).getBytes("UTF-8")
+  }
+
+  private val fixtures: Seq[(String, Array[Byte])] = Seq(
+    "empty" -> Array.emptyByteArray,
+    "one byte" -> Array[Byte](7),
+    "short" -> "hello block world".getBytes("UTF-8"),
+    "zeros 100k" -> new Array[Byte](100000),
+    "random 64k" -> Array.fill[Byte](65536)(rnd.nextInt().toByte),
+    "prose 4k" -> prose(4096),
+    "prose 150k" -> prose(150000),
+    "long runs" -> Array.tabulate[Byte](80000)(i => if ((i / 1000) % 2 == 0) 65 else (i % 7).toByte)
+  )
+
+  test("unsnappy decodes snappy-java output over the fixture family") {
+    for ((name, data) <- fixtures) {
+      val z = org.xerial.snappy.Snappy.compress(data)
+      val got = ShortCodecs.unsnappy(z)
+      assert(got.isDefined, name)
+      assert(java.util.Arrays.equals(got.get, data), name)
+    }
+  }
+
+  test("snappy literal-only encoding is readable by snappy-java and by unsnappy") {
+    for ((name, data) <- fixtures) {
+      val z = ShortCodecs.snappyLiteral(data)
+      assert(java.util.Arrays.equals(org.xerial.snappy.Snappy.uncompress(z), data), name)
+      assert(ShortCodecs.unsnappy(z).exists(java.util.Arrays.equals(_, data)), name)
+    }
+  }
+
+  test("unlz4 decodes both lz4-java compressors over the fixture family") {
+    val factory = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+    for ((name, data) <- fixtures; comp <- Seq(factory.fastCompressor(), factory.highCompressor())) {
+      val z = comp.compress(data)
+      val got = ShortCodecs.unlz4(z, data.length)
+      assert(got.isDefined, name)
+      assert(java.util.Arrays.equals(got.get, data), name)
+    }
+  }
+
+  test("lz4 literal-only encoding is readable by lz4-java and by unlz4") {
+    val dec = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().safeDecompressor()
+    for ((name, data) <- fixtures) {
+      val z = ShortCodecs.lz4Literal(data)
+      assert(java.util.Arrays.equals(dec.decompress(z, data.length), data), name)
+      assert(ShortCodecs.unlz4(z, data.length).exists(java.util.Arrays.equals(_, data)), name)
+    }
+  }
+
+  test("refusals: truncation, wrong declared length, offset beyond output, fuzz never throws") {
+    val data = prose(5000)
+    val sz = org.xerial.snappy.Snappy.compress(data)
+    for (cut <- Seq(0, 1, sz.length / 2, sz.length - 1))
+      assert(ShortCodecs.unsnappy(sz.take(cut)).isEmpty, s"snappy cut $cut")
+    val lz = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor().compress(data)
+    assert(ShortCodecs.unlz4(lz, data.length - 1).isEmpty)
+    assert(ShortCodecs.unlz4(lz, data.length + 1).isEmpty)
+    for (cut <- Seq(1, lz.length / 2))
+      assert(ShortCodecs.unlz4(lz.take(cut), data.length).isEmpty, s"lz4 cut $cut")
+    // copy before start of output refuses (hand-built: literal 'a', copy offset 2)
+    assert(ShortCodecs.unsnappy(Array[Byte](3, 0, 'a', 5, 2)).isEmpty)
+    for (_ <- 0 until 500) {
+      val junk = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt().toByte)
+      ShortCodecs.unsnappy(junk)
+      ShortCodecs.unlz4(junk, rnd.nextInt(1000))
+    }
+  }
+}
