@@ -1897,6 +1897,30 @@ object SparkEntry {
         col("event_type"), col("value").cast("double").as("value"))
     }),
 
+    // ==== extension: BOUNDED-FOREVER stream dedup — the crawl-
+    // frontier contract dropDuplicates can't give: fixed Bloom state
+    // for the stream's whole life. Same duplicated replay as
+    // x_stream_dedup; filter sized so the corpus has zero false
+    // positives, making the output exactly the distinct event set
+    // (and the run deterministic — same data, same bits, forever).
+    "x_stream_bloom_dedup" -> ((s, d) => {
+      import graft.streaming.{StreamParity, Streaming}
+      val ev = events(s, d).select(col("ts"), col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      val dup = ev.unionByName(ev)
+      val (staged, _) = StreamParity.writeChunksInOrder(dup, "ts", 0 until 4,
+        cacheKey = Some(s"bloomdedup:$d"))
+      val watched = java.nio.file.Files.createTempDirectory("x_stream_bloom_watch")
+      val src = Streaming.fileSource(s, watched.toString, ev.schema, maxFilesPerTrigger = 1)
+      val stream = Streaming.bloomDedup(src,
+        Seq("event_id", "ts"), mBits = 1 << 24, k = 4, nShards = 8)
+      val sink = s"x_stream_bloom_${System.nanoTime}"
+      val q = Streaming.startMemorySink(stream, sink)
+      try StreamParity.feedSequentially(staged, watched, q) finally q.stop()
+      s.table(sink).select(unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        col("event_type"), col("value").cast("double").as("value"))
+    }),
+
     // ==== extension: OUT-OF-ORDER sessionization — the sorter
     // pattern: arrivals buffer in state and fold into sessions only
     // once the watermark releases them in EVENT-TIME order, so the
@@ -4036,6 +4060,13 @@ object SparkEntry {
 
     // Streaming exact-dedup: doubled delivery in, distinct events out.
     "x_stream_dedup" -> """
+      SELECT epoch_ms(ts) AS ts_ms, event_id, event_type,
+             CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS value
+      FROM events""",
+
+    // bloom dedup at zero-false-positive sizing: exactly the
+    // distinct event set
+    "x_stream_bloom_dedup" -> """
       SELECT epoch_ms(ts) AS ts_ms, event_id, event_type,
              CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS value
       FROM events""",

@@ -15,6 +15,26 @@ class StreamingSpec extends SparkSuite {
 
   private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
 
+  test("bloom dedup: duplicates across micro-batches drop, state stays fixed-size, schema survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = Streaming.bloomDedup(input.toDF().toDF("id", "text"),
+      Seq("id"), mBits = 1 << 16, k = 4, nShards = 2)
+    val sink = s"bloom_dedup_${System.nanoTime}"
+    val q = Streaming.startMemorySink(stream, sink)
+    try {
+      input.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+      q.processAllAvailable()
+      input.addData((2L, "b-dup-later-batch"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.table(sink).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+      // first arrival wins, later duplicates never re-emit
+      assert(rows.toMap == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+      assert(spark.table(sink).columns.toSeq == Seq("id", "text"))
+    } finally q.stop()
+  }
+
   test("windowed aggregation over a stream (append mode after watermark)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
