@@ -544,6 +544,21 @@ object Transforms {
     // use the window/lag segmentation instead (x_sessionize) — a
     // batch Dataset has no watermark, so the state machine would
     // never release or close anything; fail fast.
+    // bounded-forever stream dedup: fixed Bloom state per shard for
+    // the stream's whole life (the crawl-frontier contract); batch
+    // pipelines use dedup/bloom_check instead
+    case "bloom_dedup" =>
+      if (!df.isStreaming)
+        throw new GraftAnalysisException(
+          "bloom_dedup: streaming-only (batch pipelines use deduplicate or bloom_check)")
+      graft.streaming.Streaming.bloomDedup(df,
+        t.config.strList("fields") match {
+          case Nil => Seq(t.config.str("field").getOrElse("id"))
+          case fs => fs
+        },
+        mBits = t.config.int("bits").getOrElse(1 << 20),
+        k = t.config.int("hashes").getOrElse(4),
+        nShards = t.config.int("shards").getOrElse(16))
     case "sessionize" =>
       if (!df.isStreaming)
         throw new GraftAnalysisException(
@@ -648,7 +663,7 @@ object Transforms {
     "filter", "map", "aggregate", "join", "sort", "deduplicate",
     "select", "rename", "limit", "union", "intersect", "except",
     "distinct", "window", "sql", "sample", "stratified_sample", "token_budget", "split",
-    "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg",
+    "pivot", "unpivot", "explode", "repartition", "coalesce", "watermark", "window_agg", "bloom_dedup",
     "sessionize",
     "dedup_exact", "dedup_minhash", "dedup_groups", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",

@@ -35,6 +35,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bloom_dedup spec op: streaming dispatch dedups, batch dispatch is an analysis error") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = graft.transforms.Transforms(input.toDF().toDF("id", "text"),
+      graft.spec.TransformSpec("bd", "bloom_dedup",
+        graft.spec.Config.of("field" -> "id", "shards" -> 2)), Map.empty)
+    val sink = s"bloom_spec_${System.nanoTime}"
+    val q = Streaming.startMemorySink(stream, sink)
+    try {
+      input.addData((1L, "a"), (1L, "dup"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 2)
+    } finally q.stop()
+    assertThrows[GraftAnalysisException](
+      graft.transforms.Transforms(Seq((1L, "x")).toDF("id", "text"),
+        graft.spec.TransformSpec("bd", "bloom_dedup", graft.spec.Config.empty), Map.empty))
+  }
+
   test("windowed aggregation over a stream (append mode after watermark)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
