@@ -31,6 +31,48 @@ class PipelineSpecE2E extends SparkSuite {
     assert(spark.read.json(out).count() == 5)
   }
 
+  test("crawl ingest end-to-end: warc.gz files -> html_extract -> fix_encoding -> exact dedup -> parquet") {
+    import org.apache.spark.sql.functions._
+    // stage a mini crawl: pages with markup + planted mojibake, one
+    // duplicated document, sharded into real .warc.gz files on disk
+    val crawlDir = new java.io.File(tmp())
+    val pages = Seq(
+      (0L, "s", "<p>clean alpha</p>"),
+      (1L, "s", "<p>" + graft.expr.MojibakeKernel.garble("café beta — fine") + "</p>"),
+      (2L, "s", "<p>clean alpha</p>"), // exact dup of 0 after extraction
+      (3L, "s", "<div>gamma</div><script>drop()</script>")
+    ).toDF("doc_id", "source", "text")
+    graft.ops.Warc.packDocsWarcGz(pages, "doc_id", "source", "text", nFiles = 2)
+      .collect().foreach { r =>
+        val f = new java.io.FileOutputStream(new java.io.File(crawlDir, s"c-${r.getLong(0)}.warc.gz"))
+        f.write(r.getAs[Array[Byte]](1)); f.close()
+      }
+    val out = tmp() + "/corpus"
+    val spec = PipelineSpec(
+      name = "crawl_ingest",
+      sources = Seq(SourceSpec("crawl", "warc", Config.of(
+        "path" -> s"${crawlDir.getAbsolutePath}/*.warc.gz"))),
+      transforms = Seq(
+        TransformSpec("extract", "html_extract", Config.of("field" -> "text", "out_field" -> "clean"), Nil, 0),
+        TransformSpec("fix", "fix_encoding", Config.of("field" -> "clean"), Nil, 1),
+        // drop the per-doc "Doc N" title line the warc page template
+        // plants, so true content duplicates hash together
+        TransformSpec("body", "sql", Config.of("query" ->
+          "SELECT *, regexp_replace(clean, '^Doc [0-9]+', '') AS body FROM _input"), Nil, 2),
+        TransformSpec("dedup", "deduplicate", Config.of("keys" -> Seq("body")), Nil, 3)),
+      sinks = Seq(SinkSpec("p", "parquet", Config.of("path" -> out))))
+    val res = PipelineRunner.run(spark, spec)
+    assert(res.status == "success", res.toString)
+    val got = spark.read.parquet(out)
+    // the packer's page template wraps each text in Doc headers; the
+    // doc body div carries our page, so `clean` contains the
+    // extracted page text — markup gone, mojibake repaired, dup gone
+    val cleans = got.select("body").as[String].collect()
+    assert(cleans.length == 3, cleans.mkString("|")) // 4 pages, one duplicate collapsed
+    assert(cleans.exists(_.contains("café beta — fine")))
+    assert(cleans.forall(c => !c.contains("<") && !c.contains("drop()")))
+  }
+
   test("source-level where is applied lazily and pushed to the scan") {
     val src = SourceSpec("docs", "parquet", Config.of(
       "path" -> "/root/testdata/sf0.001/documents.parquet", "where" -> "doc_id % 4 = 0"))
