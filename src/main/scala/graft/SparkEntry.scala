@@ -788,6 +788,20 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextAnalysis.htmlExtract(page).as("extracted"))
     }),
+    // URL blocklist: four planted URL classes (blocked host subdomain,
+    // blocked path prefix, blocked query pattern, clean) — every rule
+    // type fires and the verdict replays from doc_id arithmetic.
+    "x_url_filter" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = when(pmod(id, lit(5)) === 0, concat(lit("https://ads.tracker.net/x/"), id))
+        .when(pmod(id, lit(5)) === 1, concat(lit("https://ok.org/login/"), id))
+        .when(pmod(id, lit(5)) === 2, concat(lit("https://ok.org/p/"), id, lit("?sessionid=abc")))
+        .otherwise(concat(lit("https://ok.org/page/"), id))
+      docs(s, d).select(id, url.as("url"),
+        graft.ops.DomainCap.urlBlocked(url,
+          Seq("tracker.net"), Seq("/login"), Seq("sessionid=")).as("blocked"))
+    }),
+
     // Bloom membership: even-id URLs build two filters (2 KiB noisy,
     // 16 KiB clean); every doc probes both. The oracle REBUILDS the
     // identical filters with a bitstring aggregate over the same
@@ -2818,6 +2832,18 @@ object SparkEntry {
             '\+\d{7,15}\b', '<PHONE>', 'g'),
           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
       FROM raw""",
+
+    // every planted class' verdict is pure id arithmetic
+    "x_url_filter" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 0 THEN 'https://ads.tracker.net/x/' || doc_id
+            WHEN 1 THEN 'https://ok.org/login/' || doc_id
+            WHEN 2 THEN 'https://ok.org/p/' || doc_id || '?sessionid=abc'
+            ELSE 'https://ok.org/page/' || doc_id END AS url
+        FROM documents)
+      SELECT doc_id, url, (doc_id % 5) IN (0, 1, 2) AS blocked FROM u""",
 
     // bloom filters rebuilt bit for bit: same md5 double-hash
     // positions, bitstring aggregate, min-over-probes verdicts

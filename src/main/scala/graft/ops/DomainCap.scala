@@ -53,6 +53,29 @@ object DomainCap {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** URL blocklist verdict — the UT1-blocklist-style filter every
+    * crawl curation applies before any content work: a URL is
+    * blocked when its host equals or is a subdomain of any
+    * `blockHosts` entry, its path starts with any `blockPaths`
+    * prefix, or the whole URL matches any `blockPatterns` regex
+    * (Java∩RE2 dialect, the oracle discipline). Pure scan-local
+    * boolean column; schemeless rows are never blocked (no host to
+    * test; patterns still apply). */
+  def urlBlocked(url: Column, blockHosts: Seq[String], blockPaths: Seq[String],
+      blockPatterns: Seq[String]): Column = {
+    val host = hostOf(url)
+    // path = after host, up to ? or # (keeps leading /)
+    val path = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*(:[0-9]*)?([^?#]*)", 2)
+    val hostHit = blockHosts.map(h =>
+      host.isNotNull && (host === h.toLowerCase || host.endsWith("." + h.toLowerCase)))
+      .foldLeft(lit(false))(_ || _)
+    val pathHit = blockPaths.map(p => path.startsWith(p))
+      .foldLeft(lit(false))(_ || _)
+    val patHit = blockPatterns.map(p => regexp_like(url, lit(p)))
+      .foldLeft(lit(false))(_ || _)
+    hostHit || pathHit || patHit
+  }
+
   /** (id, host, kept) for every input row: kept = true for at most
     * `k` docs per host (order per `mode`), and for every schemeless
     * row (null host — nothing to group by). */

@@ -419,6 +419,17 @@ object Transforms {
         t.config.str("field").getOrElse("embedding"),
         t.config.int("dims").getOrElse(64),
         t.config.bool("renormalize").getOrElse(true))
+    // URL blocklist (UT1-style): drop rows whose URL hits a host
+    // suffix, path prefix, or regex rule; action=flag keeps rows and
+    // adds a `blocked` column instead
+    case "url_filter" =>
+      val f = c(t.config.str("field").getOrElse("url"))
+      val blocked = graft.ops.DomainCap.urlBlocked(f,
+        t.config.strList("block_hosts"), t.config.strList("block_paths"),
+        t.config.strList("block_patterns"))
+      if (t.config.str("action").getOrElse("drop") == "flag")
+        df.withColumn(t.config.str("out_field").getOrElse("blocked"), blocked)
+      else df.where(!blocked)
     // domain-diversity cap: keep ≤ max_per_host docs per URL host
     // (mode first|sample), schemeless rows exempt; rows filter in
     // place via semi-join on the id field
@@ -669,7 +680,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
-    "url_normalize", "domain_cap", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "domain_cap", "url_filter", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
     "corpus_report", "tfidf", "dedup_index_check",

@@ -566,6 +566,22 @@ class TransformsSpec extends SparkSuite {
     assert(!flags("https://new.org/x"))
   }
 
+  test("url_filter spec op: host/path/pattern rules drop or flag") {
+    val rows = Seq(
+      (1L, "https://sub.bad.com/x"), (2L, "https://ok.org/admin/panel"),
+      (3L, "https://ok.org/page?track=1"), (4L, "https://ok.org/fine"),
+      (5L, "no scheme here")
+    ).toDF("doc_id", "url")
+    val cfg = Config.of("block_hosts" -> Seq("bad.com"), "block_paths" -> Seq("/admin"),
+      "block_patterns" -> Seq("track="))
+    val dropped = Transforms(rows, graft.spec.TransformSpec("u", "url_filter", cfg), Map.empty)
+    assert(dropped.select("doc_id").as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+    val flagged = Transforms(rows, graft.spec.TransformSpec("u", "url_filter",
+      Config.of("block_hosts" -> Seq("bad.com"), "action" -> "flag")), Map.empty)
+    val m = flagged.collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(m == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
+
   test("unknown transform type is an analysis error") {
     assertThrows[GraftAnalysisException](
       Transforms(employees, graft.spec.TransformSpec("t", "nope"), Map.empty))
