@@ -788,6 +788,25 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextAnalysis.htmlExtract(page).as("extracted"))
     }),
+    // Script profile: per-id suffixes plant Cyrillic / Han / Arabic
+    // runs of KNOWN length onto the (Latin/ASCII) corpus text, so
+    // every count is corpus-Latin-count + id-derived constants; the
+    // oracle counts Latin letters itself via the RE2 spelling of the
+    // same Unicode property.
+    "x_text_script" -> ((s, d) => {
+      val suffix = when(pmod(col("doc_id"), lit(4)) === 0, " привет мир")
+        .when(pmod(col("doc_id"), lit(4)) === 1, " 中文文本于")
+        .when(pmod(col("doc_id"), lit(4)) === 2, " مرحبا")
+        .otherwise("")
+      val planted = concat(coalesce(col("text"), lit("")), suffix)
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.scriptProfile(planted).as("p"))
+        .select(col("doc_id"), col("p.n_latin").cast("long").as("n_latin"),
+          col("p.n_cyrillic").cast("long").as("n_cyrillic"),
+          col("p.n_han").cast("long").as("n_han"),
+          col("p.n_arabic").cast("long").as("n_arabic"), col("p.dominant"))
+    }),
+
     // URL blocklist: four planted URL classes (blocked host subdomain,
     // blocked path prefix, blocked query pattern, clean) — every rule
     // type fires and the verdict replays from doc_id arithmetic.
@@ -2832,6 +2851,26 @@ object SparkEntry {
             '\+\d{7,15}\b', '<PHONE>', 'g'),
           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
       FROM raw""",
+
+    // Latin counted by the RE2 spelling of the same property; the
+    // planted scripts are id-derived constants (9/5/5 letters)
+    "x_text_script" -> """
+      WITH c AS (
+        SELECT doc_id,
+          length(coalesce(text, '')) -
+            length(regexp_replace(coalesce(text, ''), '\p{Latin}', '', 'g')) AS lat
+        FROM documents)
+      SELECT doc_id, CAST(lat AS BIGINT) AS n_latin,
+        CAST(CASE WHEN doc_id % 4 = 0 THEN 9 ELSE 0 END AS BIGINT) AS n_cyrillic,
+        CAST(CASE WHEN doc_id % 4 = 1 THEN 5 ELSE 0 END AS BIGINT) AS n_han,
+        CAST(CASE WHEN doc_id % 4 = 2 THEN 5 ELSE 0 END AS BIGINT) AS n_arabic,
+        CASE WHEN lat >= CASE WHEN doc_id % 4 = 0 THEN 9 ELSE 0 END
+              AND lat >= CASE WHEN doc_id % 4 = 1 THEN 5 ELSE 0 END
+              AND lat >= CASE WHEN doc_id % 4 = 2 THEN 5 ELSE 0 END THEN 'latin'
+             WHEN doc_id % 4 = 0 THEN 'cyrillic'
+             WHEN doc_id % 4 = 1 THEN 'han'
+             ELSE 'arabic' END AS dominant
+      FROM c""",
 
     // every planted class' verdict is pure id arithmetic
     "x_url_filter" -> """

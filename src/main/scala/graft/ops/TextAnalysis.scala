@@ -640,6 +640,29 @@ object TextAnalysis {
     regexp_replace(phone, "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
   }
 
+  /** Unicode script profile — the writing-system histogram upstream
+    * of language ID (a Cyrillic document should never reach an
+    * English-only quality model, whatever the n-grams say): counts
+    * of Latin / Cyrillic / Han / Arabic letters plus a dominant
+    * label with a fixed priority tie-break. Counts are
+    * length-difference over script-property regex deletion — pure
+    * scan projection, codegen'd, no shuffle; each engine spells the
+    * property its own way (Java `\p{IsLatin}`, RE2 `\p{Latin}`) for
+    * the same codepoint set, the cross-dialect discipline redactPii
+    * established. */
+  def scriptProfile(text: Column): Column = {
+    def n(prop: String): Column =
+      length(text) - length(regexp_replace(text, s"\\p{Is$prop}", ""))
+    val latin = n("Latin"); val cyr = n("Cyrillic")
+    val han = n("Han"); val arab = n("Arabic")
+    val dominant = when(latin >= cyr && latin >= han && latin >= arab, "latin")
+      .when(cyr >= han && cyr >= arab, "cyrillic")
+      .when(han >= arab, "han")
+      .otherwise("arabic")
+    struct(latin.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      arab.as("n_arabic"), dominant.as("dominant"))
+  }
+
   /** Mojibake repair (see [[graft.expr.MojibakeKernel]]): UTF-8-read-
     * as-cp1252 damage reversed deterministically, clean text passes
     * through identical. Scan-speed codegen'd kernel, no shuffle —

@@ -372,6 +372,11 @@ object Transforms {
       val f = t.config.str("field").getOrElse("html")
       df.withColumn(t.config.str("out_field").getOrElse("text"),
         graft.ops.TextAnalysis.htmlExtract(c(f)))
+    // writing-system histogram + dominant script
+    case "text_script" =>
+      val f = t.config.str("field").getOrElse("text")
+      df.withColumn(t.config.str("out_field").getOrElse("script"),
+        graft.ops.TextAnalysis.scriptProfile(c(f)))
     // encoding repair (ftfy's core case): reverse UTF-8-as-cp1252
     // mojibake; clean text passes through identical
     case "fix_encoding" =>
@@ -678,7 +683,7 @@ object Transforms {
     "sessionize",
     "dedup_exact", "dedup_minhash", "dedup_groups", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
-    "contamination_ngram", "text_repetition", "text_top_ngram", "text_unigram_ppx",
+    "contamination_ngram", "text_script", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
     "url_normalize", "domain_cap", "url_filter", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "pdf_extract",

@@ -1156,6 +1156,20 @@ class OpsSpec extends SparkSuite {
     assert(out(3L) == null)
   }
 
+  test("script profile: per-script letter counts and dominant with latin-priority ties") {
+    val rows = Seq(
+      (1L, "hello мир"), (2L, "全是中文"), (3L, "abc محادثة abc"), (4L, ""), (5L, "ab вг")
+    ).toDF("id", "text")
+    val got = rows.select($"id", graft.ops.TextAnalysis.scriptProfile($"text").as("p"))
+      .select($"id", $"p.n_latin", $"p.n_cyrillic", $"p.n_han", $"p.n_arabic", $"p.dominant")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    assert(got(1L) == ((5, 3, 0, 0, "latin")))
+    assert(got(2L) == ((0, 0, 4, 0, "han")))
+    assert(got(3L) == ((6, 0, 0, 6, "latin"))) // tie → latin priority
+    assert(got(4L) == ((0, 0, 0, 0, "latin")))
+    assert(got(5L) == ((2, 2, 0, 0, "latin")))
+  }
+
   test("bloom filter: no false negatives ever, fp rate within sizing bound, codegen probe") {
     import graft.ops.Bloom
     val keys = (0 until 500).map(i => s"key-$i")
