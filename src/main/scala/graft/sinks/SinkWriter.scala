@@ -75,6 +75,33 @@ object SinkWriter {
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(s.config.reqStr("path"))
       }
 
+    // WARC / tar archive sinks: shard the corpus into real .warc.gz /
+    // .tar.gz files (the Common Crawl / per-document-file layouts the
+    // matching sources read back) — each bucket written by the task
+    // that built it, one file per bucket, distributed via
+    // foreachPartition. `n_files` sets the shard count (the
+    // parallelism unit of any later scan); id/text field names
+    // configurable.
+    case "warc" | "tar" =>
+      val dir = new java.io.File(s.config.reqStr("path"))
+      dir.mkdirs()
+      val idF = s.config.str("id_field").getOrElse("doc_id")
+      val textF = s.config.str("text_field").getOrElse("text")
+      val nFiles = s.config.int("n_files").getOrElse(32)
+      val (packed, ext) =
+        if (s.sinkType == "warc")
+          (graft.ops.Warc.packDocsWarcGz(df, idF,
+            s.config.str("source_field").getOrElse(idF), textF, nFiles), "warc.gz")
+        else (graft.ops.Tar.packDocsTarGz(df, idF, textF, nFiles), "tar.gz")
+      val base = dir.getAbsolutePath
+      packed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val out = new java.io.FileOutputStream(
+            new java.io.File(base, f"part-${r.getLong(0)}%05d.$ext"))
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+
     // Raw text sink: exactly one string column, one line per row (the
     // inverse of the `text` source's line mode). More columns is an
     // analysis error — concatenate upstream; silently joining columns
@@ -144,5 +171,5 @@ object SinkWriter {
   }
 
   val knownTypes: Set[String] = Set(
-    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index")
+    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar")
 }

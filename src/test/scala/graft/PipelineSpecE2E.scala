@@ -73,6 +73,31 @@ class PipelineSpecE2E extends SparkSuite {
     assert(cleans.forall(c => !c.contains("<") && !c.contains("drop()")))
   }
 
+  test("warc and tar SINKS write real archives the matching sources read back") {
+    val docs = Seq((0L, "alpha text"), (1L, "beta text"), (33L, "gamma text"))
+      .toDF("doc_id", "text")
+    for (kind <- Seq("warc", "tar")) {
+      val dir = tmp() + s"/$kind-out"
+      val res = PipelineRunner.run(spark, PipelineSpec(
+        name = s"export_$kind",
+        sources = Seq(SourceSpec("d", "inline", Config.of("data" ->
+          Seq(Map("doc_id" -> 0, "text" -> "alpha text"),
+            Map("doc_id" -> 1, "text" -> "beta text"),
+            Map("doc_id" -> 33, "text" -> "gamma text"))))),
+        transforms = Nil,
+        sinks = Seq(SinkSpec("a", kind, Config.of("path" -> dir, "n_files" -> 4)))))
+      assert(res.status == "success", res.toString)
+      val files = new java.io.File(dir).listFiles()
+      assert(files.nonEmpty && files.forall(_.getName.endsWith(s"$kind.gz")))
+      val back = graft.sources.SourceReader.read(spark,
+        SourceSpec("back", kind, Config.of("path" -> s"$dir/*")))
+      val texts = (if (kind == "warc") back.select("text") else back.select("text"))
+        .as[String].collect().toSet
+      if (kind == "tar") assert(texts == Set("alpha text", "beta text", "gamma text"))
+      else assert(texts.exists(_.contains("alpha text")) && back.count() == 3)
+    }
+  }
+
   test("source-level where is applied lazily and pushed to the scan") {
     val src = SourceSpec("docs", "parquet", Config.of(
       "path" -> "/root/testdata/sf0.001/documents.parquet", "where" -> "doc_id % 4 = 0"))
