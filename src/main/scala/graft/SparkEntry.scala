@@ -1403,6 +1403,17 @@ object SparkEntry {
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // bzip2 rung: the block-sorting format Wikipedia dumps ship in,
+    // commons-compress encoded at block sizes 1/5/9 by id, decoded
+    // by the from-spec BWT/MTF/Huffman stack with every block CRC
+    // and the combined stream CRC verified — byte-exact by
+    // length + md5.
+    "x_multimodal_bzip2" -> ((s, d) =>
+      graft.ops.Bzip2Codec.decodeBzip2Text(
+        graft.ops.Bzip2Codec.packTextBzip2(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("id"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
+
     // snappy/lz4 rung: the parquet- and shuffle-codec block formats,
     // reference-library compressed (snappy-java even ids; lz4-java
     // fast/high odd ids), decoded by the from-spec block walkers —
@@ -3602,6 +3613,13 @@ object SparkEntry {
     // zstd contract: decode must reproduce the document's exact
     // UTF-8 bytes — length and md5 replay from the text column
     "x_multimodal_zstd" -> """
+      SELECT doc_id AS id, true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // bzip2 contract: same decoded-byte identity
+    "x_multimodal_bzip2" -> """
       SELECT doc_id AS id, true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest

@@ -135,13 +135,16 @@ object SourceReader {
         val bytes: Array[Byte] = comp match {
           case Some("zstd") => graft.ops.ZstdCodec.decode(payload).getOrElse(Array.emptyByteArray)
           case Some("gzip") => graft.ops.GzipCodec.gunzip(payload).getOrElse(Array.emptyByteArray)
+          case Some("bzip2") => graft.ops.Bzip2Codec.decode(payload).getOrElse(Array.emptyByteArray)
           case Some("none") => payload
-          case _ => // sniff: zstd magic 28 B5 2F FD, gzip 1F 8B, else plain
+          case _ => // sniff: zstd 28 B5 2F FD, gzip 1F 8B, bzip2 "BZh", else plain
             if (payload.length >= 4 && (payload(0) & 0xFF) == 0x28 && (payload(1) & 0xFF) == 0xB5 &&
               (payload(2) & 0xFF) == 0x2F && (payload(3) & 0xFF) == 0xFD)
               graft.ops.ZstdCodec.decode(payload).getOrElse(Array.emptyByteArray)
             else if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)
               graft.ops.GzipCodec.gunzip(payload).getOrElse(Array.emptyByteArray)
+            else if (payload.length >= 4 && payload(0) == 'B' && payload(1) == 'Z' && payload(2) == 'h')
+              graft.ops.Bzip2Codec.decode(payload).getOrElse(Array.emptyByteArray)
             else payload
         }
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8)

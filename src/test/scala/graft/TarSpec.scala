@@ -117,11 +117,16 @@ class TarSpec extends SparkSuite {
     try write("a.jsonl.zst", ctx.setLevel(3).compress(shard1.getBytes("UTF-8"))) finally ctx.close()
     write("b.jsonl.gz", GzipCodec.gzipStored(shard2.getBytes("UTF-8")))
     write("c.jsonl", "{\"doc_id\": 4, \"text\": \"plain\"}\n".getBytes("UTF-8"))
+    val bz = new java.io.ByteArrayOutputStream()
+    val bzs = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bz, 1)
+    bzs.write("{\"doc_id\": 5, \"text\": \"from bzip2\"}\n".getBytes("UTF-8")); bzs.close()
+    write("d.jsonl.bz2", bz.toByteArray)
     val read = graft.sources.SourceReader.read(spark,
       graft.spec.SourceSpec("shards", "jsonl", graft.spec.Config.of(
         "path" -> s"${dir.getAbsolutePath}/*.jsonl*")))
     val rows = read.select($"doc_id", $"text").as[(Long, String)].collect().toMap
-    assert(rows == Map(1L -> "from zstd", 2L -> "also zstd", 3L -> "from gzip", 4L -> "plain"))
+    assert(rows == Map(1L -> "from zstd", 2L -> "also zstd", 3L -> "from gzip",
+      4L -> "plain", 5L -> "from bzip2"))
     dir.listFiles.foreach(_.delete()); dir.delete()
   }
 
