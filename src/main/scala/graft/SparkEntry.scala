@@ -1403,6 +1403,17 @@ object SparkEntry {
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // xz rung: the LZMA2 format release tarballs and HF shards ship
+    // in — XZ for Java encodes at presets 0/6/9 with the check type
+    // cycling CRC32/CRC64/SHA-256 by id; the from-spec range-coder
+    // stack decodes with every container CRC and the per-block
+    // integrity check verified. Byte-exact by length + md5.
+    "x_multimodal_xz" -> ((s, d) =>
+      graft.ops.XzCodec.decodeXzText(
+        graft.ops.XzCodec.packTextXz(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("id"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
+
     // bzip2 rung: the block-sorting format Wikipedia dumps ship in,
     // commons-compress encoded at block sizes 1/5/9 by id, decoded
     // by the from-spec BWT/MTF/Huffman stack with every block CRC
@@ -3613,6 +3624,13 @@ object SparkEntry {
     // zstd contract: decode must reproduce the document's exact
     // UTF-8 bytes — length and md5 replay from the text column
     "x_multimodal_zstd" -> """
+      SELECT doc_id AS id, true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // xz contract: same decoded-byte identity
+    "x_multimodal_xz" -> """
       SELECT doc_id AS id, true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest

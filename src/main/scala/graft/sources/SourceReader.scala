@@ -145,6 +145,9 @@ object SourceReader {
               graft.ops.GzipCodec.gunzip(payload).getOrElse(Array.emptyByteArray)
             else if (payload.length >= 4 && payload(0) == 'B' && payload(1) == 'Z' && payload(2) == 'h')
               graft.ops.Bzip2Codec.decode(payload).getOrElse(Array.emptyByteArray)
+            else if (payload.length >= 6 && (payload(0) & 0xFF) == 0xFD && payload(1) == '7' &&
+              payload(2) == 'z' && payload(3) == 'X' && payload(4) == 'Z' && payload(5) == 0)
+              graft.ops.XzCodec.decode(payload).getOrElse(Array.emptyByteArray)
             else payload
         }
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
