@@ -130,6 +130,23 @@ class TarSpec extends SparkSuite {
     dir.listFiles.foreach(_.delete()); dir.delete()
   }
 
+  test("tar.bz2 / tar.xz / tar.zst wrappers all sniff through the codec ladder") {
+    val tar = Tar.tarOf(Seq("f.txt" -> "wrapped payload".getBytes("UTF-8")))
+    val bz = { val b = new ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(b, 5)
+      z.write(tar); z.close(); b.toByteArray }
+    val xzp = { val b = new ByteArrayOutputStream()
+      val z = new org.tukaani.xz.XZOutputStream(b, new org.tukaani.xz.LZMA2Options(6))
+      z.write(tar); z.close(); b.toByteArray }
+    val zst = { val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try ctx.setLevel(3).compress(tar) finally ctx.close() }
+    for ((name, wrapped) <- Seq("bz2" -> bz, "xz" -> xzp, "zst" -> zst, "plain" -> tar)) {
+      val ms = Tar.members(Seq((name, wrapped)).toDF("file_id", "payload"), "file_id", "payload")
+      val texts = Tar.memberText(ms).select("text").as[String].collect()
+      assert(texts.toSeq == Seq("wrapped payload"), name)
+    }
+  }
+
   test("pack → members round-trips names, sizes, and bytes through tar.gz") {
     val docs = Seq((0L, "alpha"), (1L, "beta"), (33L, "gamma")).toDF("doc_id", "text")
     val ms = Tar.members(Tar.packDocsTarGz(docs, "doc_id", "text"), "file_id", "payload")
