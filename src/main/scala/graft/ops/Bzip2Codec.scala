@@ -254,9 +254,19 @@ object Bzip2Codec {
             new Huff(lens)
           }
 
-          // MTF + RUNA/RUNB decode into the BWT column
-          val bwt = new Array[Byte](blockSize)
+          // MTF + RUNA/RUNB decode into the BWT column — grown on
+          // demand (pre-allocating the full 100k-900k block per
+          // document is needless GC pressure on small-doc corpora)
+          var bwt = new Array[Byte](math.min(blockSize, 1 << 16))
           var n = 0
+          def ensureBwt(extra: Long): Unit = {
+            if (n + extra > blockSize) refuse()
+            if (n + extra > bwt.length) {
+              var c = bwt.length.toLong
+              while (c < n + extra) c <<= 1
+              bwt = java.util.Arrays.copyOf(bwt, math.min(c, blockSize.toLong).toInt)
+            }
+          }
           val mtf = seqToByte.clone()
           var groupPos = 0
           var selIdx = -1
@@ -266,7 +276,7 @@ object Bzip2Codec {
           var eob = false
           def flushRun(): Unit = {
             if (run > 0) {
-              if (n + run > blockSize) refuse()
+              ensureBwt(run)
               val zb = mtf(0).toByte
               var r = 0L
               while (r < run) { bwt(n) = zb; n += 1; r += 1 }
@@ -293,7 +303,7 @@ object Bzip2Codec {
               val v = mtf(j)
               while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
               mtf(0) = v
-              if (n >= blockSize) refuse()
+              ensureBwt(1)
               bwt(n) = v.toByte
               n += 1
             }
