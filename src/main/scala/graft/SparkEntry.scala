@@ -1466,6 +1466,19 @@ object SparkEntry {
           col("content_length"), md5(col("body")).as("digest"))
     }),
 
+    // zip ingest: documents sharded into 32 archives — even buckets
+    // stored by our writer, odd buckets DEFLATEd by the JDK's
+    // independent zip writer — re-read through the central-directory
+    // walk with every member CRC-32 verified; names/methods/sizes/
+    // digests all replay from corpus columns.
+    "x_zip_members" -> ((s, d) =>
+      graft.ops.Zip.members(
+        graft.ops.Zip.packDocsZip(t(s, d, "documents"), "doc_id", "text"),
+        "file_id", "payload")
+        .select(col("file_id").cast("long").as("file_id"), col("name"),
+          col("method").cast("long").as("method"), col("size"),
+          md5(col("data")).as("digest"))),
+
     // PDF ingest: each doc becomes a spec-legal single-page PDF
     // (even ids FlateDecode via the JDK's zlib, odd ids raw), parsed
     // back through the from-spec object/xref/content walk; the text
@@ -3702,6 +3715,14 @@ object SparkEntry {
             'format: WARC File Format 1.1' || chr(13) || chr(10)) AS digest
         FROM documents)
       SELECT * FROM resp UNION ALL SELECT * FROM info""",
+
+    // zip member table re-derived: stored vs deflate by bucket parity
+    "x_zip_members" -> """
+      SELECT doc_id % 32 AS file_id, 'doc/' || doc_id || '.txt' AS name,
+             CAST(CASE WHEN (doc_id % 32) % 2 = 0 THEN 0 ELSE 8 END AS BIGINT) AS method,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS size,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
 
     // pdf contract: structure is constant, compression alternates by
     // id, and extracted text equals the document text exactly

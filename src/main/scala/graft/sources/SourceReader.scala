@@ -99,6 +99,18 @@ object SourceReader {
       if (s.config.bool("records").getOrElse(false)) recs
       else graft.ops.Warc.responseText(recs, pathCol = true)
 
+    // ZIP — the everyday archive for per-document-file dumps:
+    // binary load, central-directory walk with member CRCs verified,
+    // DEFLATE through the from-spec inflate. Same surfaces and
+    // quarantine contract as `tar` (`members = true` for raw rows).
+    case "zip" =>
+      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+        .select(org.apache.spark.sql.functions.col("path"),
+          org.apache.spark.sql.functions.col("content"))
+      val ms = graft.ops.Zip.members(files, "path", "content")
+      if (s.config.bool("members").getOrElse(false)) ms
+      else graft.ops.Zip.memberText(ms)
+
     // PDF — document dumps as files on disk: binary load (one task
     // per file), from-spec object/xref/content-stream walk, one row
     // per file (path, decoded, version, n_objects, n_pages, flate,
