@@ -103,6 +103,12 @@ object Bench {
     } finally {
       def js(m: mutable.LinkedHashMap[String, Double]) =
         m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // stdout variant: 4-decimal values — the driver keeps a bounded
+      // stdout tail, and round 10's full-precision 5-map line overran
+      // it (BENCH_r10.json shipped "parsed": null); sub-0.1 ms noise
+      // carries no information anyway
+      def js4(m: mutable.LinkedHashMap[String, Double]) =
+        m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
       val total = mins.values.sum
       // OPERATOR-time view (round-8 advice #6): for stream gates the
       // wall min is dominated by the chunked-file fixture-replay
@@ -119,7 +125,11 @@ object Bench {
         s""""queries_op":${js(ops)},""" +
         s""""queries_last":${js(lasts)},"queries_replay":${js(replays)},""" +
         s""""queries_stage":${js(stages)},"repeats":$repeats,"failed":$failedJs,"sf":"$sfDir"}"""
-      println(line)
+      // stdout gets a SHORTER line (two maps, 4-decimal) that fits the
+      // driver's tail; the full-precision five-map line goes only to
+      // the file artifact below
+      println(s"""{"metric":"total","value":$total,"value_op":$totalOp,"unit":"sec","queries":${js4(mins)},""" +
+        s""""queries_op":${js4(ops)},"repeats":$repeats,"failed":$failedJs,"sf":"$sfDir"}""")
       // The stdout channel is lossy (the harness keeps only a bounded
       // tail, which truncates the per-query map for a 100+-query
       // suite), so the same line is also written to a repo artifact —

@@ -1480,9 +1480,13 @@ object SparkEntry {
           md5(col("data")).as("digest"))),
 
     // PDF ingest: each doc becomes a spec-legal single-page PDF
-    // (even ids FlateDecode via the JDK's zlib, odd ids raw), parsed
-    // back through the from-spec object/xref/content walk; the text
-    // must round-trip byte-exact through the literal-string escape
+    // cycling all four writer layouts with the id — 1.4 classic-xref
+    // (even ids FlateDecode via the JDK's zlib, odd ids raw) and the
+    // PDF 1.5 layout modern producers emit (page tree inside a
+    // Flate'd /ObjStm, located via a /XRef cross-reference stream
+    // with PNG Up predictor) — parsed back through the from-spec
+    // object/xref(-stream)/ObjStm/content walk; the text must
+    // round-trip byte-exact through the literal-string escape
     // machinery, and every structural field replays from doc_id.
     "x_pdf_extract" -> ((s, d) =>
       graft.ops.Pdf.extractPdfText(
@@ -3724,11 +3728,17 @@ object SparkEntry {
              md5(coalesce(text, '')) AS digest
       FROM documents""",
 
-    // pdf contract: structure is constant, compression alternates by
-    // id, and extracted text equals the document text exactly
+    // pdf contract: layout cycles with doc_id%4 (1.4 classic xref vs
+    // 1.5 ObjStm + xref stream — 5 vs 7 objects, and the 1.5 layout
+    // always Flates its ObjStm/xref streams), content compression
+    // alternates with doc_id%2, and extracted text equals the
+    // document text exactly in every layout
     "x_pdf_extract" -> """
-      SELECT doc_id AS id, true AS decoded, '1.4' AS version,
-             5 AS n_objects, 1 AS n_pages, doc_id % 2 = 0 AS flate,
+      SELECT doc_id AS id, true AS decoded,
+             CASE WHEN doc_id % 4 >= 2 THEN '1.5' ELSE '1.4' END AS version,
+             CASE WHEN doc_id % 4 >= 2 THEN 7 ELSE 5 END AS n_objects,
+             1 AS n_pages,
+             CASE WHEN doc_id % 4 >= 2 THEN true ELSE doc_id % 2 = 0 END AS flate,
              coalesce(text, '') AS text
       FROM documents""",
 

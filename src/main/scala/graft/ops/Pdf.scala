@@ -13,11 +13,21 @@ import org.apache.spark.sql.functions._
   *    \n \r \t \b \f \( \) \\, 1-3 digit octal, line continuations,
   *    raw-EOL → \n normalization per §7.3.4.2), hex strings,
   *    indirect references, streams (/Length-measured);
-  *  - cross-reference table + trailer walk (startxref → xref
-  *    subsections → /Root, /Prev chains), with a linear object-scan
-  *    fallback for files whose xref is damaged — a corpus scan must
-  *    salvage what it can; xref STREAMS (PDF 1.5 compressed xref)
-  *    are out of scope and fall back to the scan path;
+  *  - cross-reference walk, BOTH spec generations: classic tables
+  *    (startxref → xref subsections → trailer /Root, /Prev chains)
+  *    and PDF 1.5 CROSS-REFERENCE STREAMS (§7.5.8: /Type /XRef, /W
+  *    field widths, /Index subsections, type 0/1/2 entries, /Prev
+  *    chains, the hybrid-file /XRefStm bridge), including the
+  *    LZW-era predictor wrappers xref streams ship with (/DecodeParms
+  *    /Predictor 2 TIFF horizontal and 10–15 PNG None/Sub/Up/
+  *    Average/Paeth per §7.4.4.4); objects stored inside
+  *    /Type /ObjStm OBJECT STREAMS (§7.5.7: N/First header, offset
+  *    pair table, bare direct objects) resolve through type-2
+  *    entries — the layout essentially every post-2007 PDF keeps its
+  *    page tree in. A linear object-scan fallback salvages files
+  *    whose xref is damaged — a corpus scan must salvage what it
+  *    can — and the scan path ALSO expands any ObjStm it finds, so
+  *    a modern PDF with a wrecked xref still yields its text;
   *  - /FlateDecode content streams through the from-spec zlib
   *    decoder ([[GzipCodec.unzlib]] — RFC 1950 with verified
   *    Adler-32), plus unfiltered streams;
@@ -284,7 +294,123 @@ object Pdf {
     -1
   }
 
-  /** xref-driven load: startxref → table(s) → offsets → objects. */
+  /** Undo the /DecodeParms predictor wrapper on decoded stream data
+    * (§7.4.4.4): 1 = none, 2 = TIFF horizontal differencing, 10–15 =
+    * the PNG per-row filters (tag byte + None/Sub/Up/Average/Paeth).
+    * `columns` samples per row, `colors`×`bpc` bits per sample — the
+    * xref-stream case is colors=1 bpc=8, but the framing is generic.
+    */
+  private def unpredict(data: Array[Byte], predictor: Int,
+      columns: Int, colors: Int, bpc: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    if (columns <= 0 || colors <= 0 || !(bpc == 8)) refuse() // sub-byte depths out of scope
+    val bpp = colors // bytes per pixel at bpc=8
+    val rowBytes = columns * colors
+    if (predictor == 2) { // TIFF: each byte += byte one pixel left
+      if (data.length % rowBytes != 0) refuse()
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var i = bpp
+        while (i < rowBytes) { out(r + i) = (out(r + i) + out(r + i - bpp)).toByte; i += 1 }
+        r += rowBytes
+      }
+      out
+    } else if (predictor >= 10 && predictor <= 15) {
+      if (data.length % (rowBytes + 1) != 0) refuse()
+      val nRows = data.length / (rowBytes + 1)
+      val out = new Array[Byte](nRows * rowBytes)
+      def paeth(a: Int, bb: Int, cc: Int): Int = {
+        val p = a + bb - cc
+        val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - cc)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else cc
+      }
+      var r = 0
+      while (r < nRows) {
+        val tag = data(r * (rowBytes + 1)) & 0xFF
+        val src = r * (rowBytes + 1) + 1
+        val dst = r * rowBytes
+        val prv = dst - rowBytes
+        var i = 0
+        while (i < rowBytes) {
+          val raw = data(src + i) & 0xFF
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+          val up = if (r > 0) out(prv + i) & 0xFF else 0
+          val ul = if (r > 0 && i >= bpp) out(prv + i - bpp) & 0xFF else 0
+          val v = tag match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case 4 => raw + paeth(left, up, ul)
+            case _ => refuse()
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    } else refuse()
+  }
+
+  private def dictInt(d: PDict, key: String, default: Int): Int =
+    d.m.get(key) match {
+      case Some(PNum(v)) => v.toInt
+      case None => default
+      case _ => refuse()
+    }
+
+  /** Decode a stream whose dict values are DIRECT (the xref-stream /
+    * ObjStm contract, §7.5.8.2): no filter or /FlateDecode, with the
+    * optional /DecodeParms (alias /DP) predictor undone.
+    */
+  private def directStreamBytes(s: PStream): Array[Byte] = {
+    val plain = s.dict.m.getOrElse("Filter", PNull) match {
+      case PNull => s.data
+      case PName("FlateDecode") => GzipCodec.unzlib(s.data).getOrElse(refuse())
+      case PArr(Vector(PName("FlateDecode"))) => GzipCodec.unzlib(s.data).getOrElse(refuse())
+      case _ => refuse()
+    }
+    s.dict.m.get("DecodeParms").orElse(s.dict.m.get("DP")) match {
+      case Some(p: PDict) =>
+        unpredict(plain, dictInt(p, "Predictor", 1), dictInt(p, "Columns", 1),
+          dictInt(p, "Colors", 1), dictInt(p, "BitsPerComponent", 8))
+      case Some(PArr(Vector(p: PDict))) =>
+        unpredict(plain, dictInt(p, "Predictor", 1), dictInt(p, "Columns", 1),
+          dictInt(p, "Colors", 1), dictInt(p, "BitsPerComponent", 8))
+      case _ => plain
+    }
+  }
+
+  /** Objects packed inside a /Type /ObjStm object stream (§7.5.7):
+    * header of N (objnum, offset) integer pairs, then bare direct
+    * objects at /First + offset. */
+  private def objStmObjects(stm: PStream): Seq[(Int, PObj)] = {
+    if (!stm.dict.m.get("Type").contains(PName("ObjStm"))) refuse()
+    val data = directStreamBytes(stm)
+    val n = dictInt(stm.dict, "N", -1)
+    val first = dictInt(stm.dict, "First", -1)
+    if (n < 0 || first < 0 || first > data.length) refuse()
+    val c = new Cur(data, 0)
+    def int(): Int = {
+      c.skipWs()
+      val s = c.pos
+      while (c.peek >= '0' && c.peek <= '9') c.next()
+      if (c.pos == s || c.pos > first) refuse()
+      new String(data, s, c.pos - s, "US-ASCII").toInt
+    }
+    val pairs = Vector.fill(n)((int(), int()))
+    pairs.map { case (num, off) =>
+      if (first + off >= data.length) refuse()
+      (num, parseObj(new Cur(data, first + off), contentMode = false))
+    }
+  }
+
+  /** xref-driven load: startxref → table(s) and/or xref stream(s) →
+    * offsets + in-ObjStm locations → objects. First-wins across the
+    * /Prev chain (newest section is authoritative), hybrid files'
+    * /XRefStm processed before the classic /Prev. */
   private def loadViaXref(b: Array[Byte]): Doc = {
     val sx = findLast(b, "startxref")
     if (sx < 0) refuse()
@@ -293,53 +419,127 @@ object Pdf {
     val oStart = c0.pos
     while (c0.peek >= '0' && c0.peek <= '9') c0.next()
     if (c0.pos == oStart) refuse()
-    var xrefAt = new String(b, oStart, c0.pos - oStart, "US-ASCII").toInt
-    val offsets = scala.collection.mutable.Map[Int, Int]()
+    val offsets = scala.collection.mutable.Map[Int, Int]()        // type 1: objnum → byte offset
+    val inStream = scala.collection.mutable.Map[Int, (Int, Int)]() // type 2: objnum → (container, idx)
     var root: Option[PRef] = None
+    def known(num: Int): Boolean = offsets.contains(num) || inStream.contains(num)
+    val pending = scala.collection.mutable.Queue[Int](
+      new String(b, oStart, c0.pos - oStart, "US-ASCII").toInt)
+    val seen = scala.collection.mutable.Set[Int]()
     var guard = 0
-    while (xrefAt >= 0 && guard < 64) {
+    while (pending.nonEmpty && guard < 64) {
       guard += 1
-      val c = new Cur(b, xrefAt)
-      c.skipWs()
-      c.expect("xref")
-      var inSections = true
-      while (inSections) {
+      val xrefAt = pending.dequeue()
+      if (xrefAt >= 0 && xrefAt < b.length && !seen(xrefAt)) {
+        seen += xrefAt
+        val c = new Cur(b, xrefAt)
         c.skipWs()
-        if (c.matches("trailer")) inSections = false
-        else {
-          val s1 = c.pos
-          while (c.peek >= '0' && c.peek <= '9') c.next()
-          if (c.pos == s1) refuse()
-          val first = new String(b, s1, c.pos - s1, "US-ASCII").toInt
-          c.skipWs()
-          val s2 = c.pos
-          while (c.peek >= '0' && c.peek <= '9') c.next()
-          val count = new String(b, s2, c.pos - s2, "US-ASCII").toInt
-          c.skipWs()
-          var i = 0
-          while (i < count) {
-            // 20-byte entries: 10-digit offset, 5-digit gen, f/n
-            if (c.pos + 18 > b.length) refuse()
-            val off = new String(b, c.pos, 10, "US-ASCII").toInt
-            val kind = b(c.pos + 17).toChar
-            if (kind == 'n' && !offsets.contains(first + i)) offsets(first + i) = off
-            c.pos += 18
-            while (!c.eof && isWhite(c.peek)) c.pos += 1
-            i += 1
+        if (c.matches("xref")) {
+          // ---- classic cross-reference table + trailer ----
+          c.expect("xref")
+          var inSections = true
+          while (inSections) {
+            c.skipWs()
+            if (c.matches("trailer")) inSections = false
+            else {
+              val s1 = c.pos
+              while (c.peek >= '0' && c.peek <= '9') c.next()
+              if (c.pos == s1) refuse()
+              val first = new String(b, s1, c.pos - s1, "US-ASCII").toInt
+              c.skipWs()
+              val s2 = c.pos
+              while (c.peek >= '0' && c.peek <= '9') c.next()
+              val count = new String(b, s2, c.pos - s2, "US-ASCII").toInt
+              c.skipWs()
+              var i = 0
+              while (i < count) {
+                // 20-byte entries: 10-digit offset, 5-digit gen, f/n
+                if (c.pos + 18 > b.length) refuse()
+                val off = new String(b, c.pos, 10, "US-ASCII").toInt
+                val kind = b(c.pos + 17).toChar
+                if (kind == 'n' && !known(first + i)) offsets(first + i) = off
+                c.pos += 18
+                while (!c.eof && isWhite(c.peek)) c.pos += 1
+                i += 1
+              }
+            }
+          }
+          c.expect("trailer")
+          val trailer = parseObj(c, contentMode = false) match {
+            case d: PDict => d; case _ => refuse()
+          }
+          if (root.isEmpty) trailer.m.get("Root") match {
+            case Some(r: PRef) => root = Some(r)
+            case _ =>
+          }
+          // hybrid bridge first (its entries cover the ObjStm objects
+          // this table marks free), then the previous section
+          trailer.m.get("XRefStm") match {
+            case Some(PNum(v)) => pending += v.toInt
+            case _ =>
+          }
+          trailer.m.get("Prev") match {
+            case Some(PNum(v)) => pending += v.toInt
+            case _ =>
+          }
+        } else {
+          // ---- PDF 1.5 cross-reference stream (§7.5.8) ----
+          val stm = parseIndirect(b, xrefAt, _ => None)._2 match {
+            case s: PStream if s.dict.m.get("Type").contains(PName("XRef")) => s
+            case _ => refuse()
+          }
+          val d = stm.dict
+          val size = dictInt(d, "Size", -1)
+          if (size < 0) refuse()
+          val w = d.m.get("W") match {
+            case Some(PArr(ws)) if ws.length == 3 =>
+              ws.map { case PNum(v) => v.toInt; case _ => refuse() }
+            case _ => refuse()
+          }
+          if (w.exists(x => x < 0 || x > 4)) refuse()
+          val index: Vector[(Int, Int)] = d.m.get("Index") match {
+            case Some(PArr(items)) if items.length % 2 == 0 =>
+              items.map { case PNum(v) => v.toInt; case _ => refuse() }
+                .grouped(2).map { case Vector(s, n) => (s, n) }.toVector
+            case None => Vector((0, size))
+            case _ => refuse()
+          }
+          val data = directStreamBytes(stm)
+          val entryLen = w.sum
+          if (entryLen <= 0 || index.map(_._2.toLong).sum * entryLen > data.length) refuse()
+          var pos = 0
+          def field(width: Int, default: Long): Long = {
+            if (width == 0) return default
+            var v = 0L
+            var i = 0
+            while (i < width) { v = (v << 8) | (data(pos + i) & 0xFF); i += 1 }
+            pos += width
+            v
+          }
+          index.foreach { case (start, count) =>
+            var i = 0
+            while (i < count) {
+              val typ = field(w(0), 1L)
+              val f2 = field(w(1), 0L)
+              val f3 = field(w(2), 0L)
+              val num = start + i
+              typ match {
+                case 1L => if (!known(num)) offsets(num) = f2.toInt
+                case 2L => if (!known(num)) inStream(num) = (f2.toInt, f3.toInt)
+                case _ => // type 0 (free) and unknown types: skip (spec: treat as free)
+              }
+              i += 1
+            }
+          }
+          if (root.isEmpty) d.m.get("Root") match {
+            case Some(r: PRef) => root = Some(r)
+            case _ =>
+          }
+          d.m.get("Prev") match {
+            case Some(PNum(v)) => pending += v.toInt
+            case _ =>
           }
         }
-      }
-      c.expect("trailer")
-      val trailer = parseObj(c, contentMode = false) match {
-        case d: PDict => d; case _ => refuse()
-      }
-      if (root.isEmpty) trailer.m.get("Root") match {
-        case Some(r: PRef) => root = Some(r)
-        case _ =>
-      }
-      xrefAt = trailer.m.get("Prev") match {
-        case Some(PNum(v)) => v.toInt
-        case _ => -1
       }
     }
     // two passes so streams with indirect /Length resolve
@@ -357,12 +557,28 @@ object Pdf {
         if (n == num) objects(n) = o
       }
     }
+    // expand object streams: every type-2 entry resolves through its
+    // container's (objnum, offset) table. A damaged container refuses
+    // only its own objects — the rest of the file still loads.
+    inStream.values.map(_._1).toSet.foreach { (container: Int) =>
+      objects.get(container) match {
+        case Some(s: PStream) =>
+          try objStmObjects(s).foreach { case (num, o) =>
+            if (!objects.contains(num) && inStream.get(num).exists(_._1 == container))
+              objects(num) = o
+          } catch { case Refuse => }
+        case _ =>
+      }
+    }
     if (objects.isEmpty) refuse()
     Doc(objects.toMap, root, version(b))
   }
 
   /** Fallback: linear scan for "N G obj" headers — salvages files
-    * with a damaged or 1.5-style (xref-stream) cross-reference. */
+    * with a damaged cross-reference. Any /Type /ObjStm stream the
+    * scan turns up is expanded too, so a modern PDF whose xref is
+    * wrecked still yields the objects packed inside its object
+    * streams. */
   private def loadViaScan(b: Array[Byte]): Doc = {
     val objects = scala.collection.mutable.Map[Int, PObj]()
     val lengths = scala.collection.mutable.Map[Int, PObj]()
@@ -392,7 +608,16 @@ object Pdf {
       i += 1
     }
     if (objects.isEmpty) refuse()
-    // root from any /Type /Catalog object
+    // expand any object stream the scan found (absent entries only:
+    // a top-level object, if one exists, outranks a packed copy)
+    objects.values.toVector.foreach {
+      case s: PStream if s.dict.m.get("Type").contains(PName("ObjStm")) =>
+        try objStmObjects(s).foreach { case (num, o) =>
+          if (!objects.contains(num)) objects(num) = o
+        } catch { case Refuse => }
+      case _ =>
+    }
+    // root from any /Type /Catalog object (possibly just expanded)
     val root = objects.collectFirst {
       case (n, PDict(m)) if m.get("Type").contains(PName("Catalog")) => PRef(n, 0)
     }
@@ -532,29 +757,33 @@ object Pdf {
     out.toByteArray
   }
 
+  /** JDK zlib (the independent encoder) — packer-side compression
+    * for content, ObjStm, and xref streams. */
+  private def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6, false) // zlib wrapper
+    d.setInput(data); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  private def contentFor(text: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("BT /F1 12 Tf 72 720 Td (".getBytes("US-ASCII"))
+    bos.write(escapeString(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    bos.write(") Tj ET".getBytes("US-ASCII"))
+    bos.toByteArray
+  }
+
   /** One spec-legal single-page PDF showing `text` as one literal
     * string (arbitrary bytes escape-safe); `flate` compresses the
     * content stream with the JDK's zlib (the independent encoder).
     */
   def pdfOf(text: String, flate: Boolean): Array[Byte] = {
-    val content = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bos.write("BT /F1 12 Tf 72 720 Td (".getBytes("US-ASCII"))
-      bos.write(escapeString(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      bos.write(") Tj ET".getBytes("US-ASCII"))
-      bos.toByteArray
-    }
-    val streamData =
-      if (!flate) content
-      else {
-        val d = new java.util.zip.Deflater(6, false) // zlib wrapper
-        d.setInput(content); d.finish()
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-        d.end()
-        bos.toByteArray
-      }
+    val content = contentFor(text)
+    val streamData = if (!flate) content else zlibDeflate(content)
     val objs = Vector(
       "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII"),
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes("US-ASCII"),
@@ -587,19 +816,104 @@ object Pdf {
     out.toByteArray
   }
 
+  /** The same single-page document in the PDF 1.5 layout essentially
+    * every modern producer emits: catalog/pages/page/font packed
+    * inside a Flate'd /Type /ObjStm object stream, located through a
+    * /Type /XRef CROSS-REFERENCE STREAM (W [1 4 2], type-2 entries,
+    * Flate + PNG Up predictor /Predictor 12) — no classic table, no
+    * trailer keyword. `flate` toggles the CONTENT stream's filter so
+    * both content paths appear in every corpus; the ObjStm and xref
+    * stream are always compressed, as in the wild.
+    */
+  def pdfOf15(text: String, flate: Boolean): Array[Byte] = {
+    val content = contentFor(text)
+    val contentData = if (!flate) content else zlibDeflate(content)
+    // ---- object stream: objects 1 (catalog), 2 (pages), 3 (page), 5 (font)
+    val packed = Vector(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = packed.map(_._2 + " ")
+    val offs = bodies.scanLeft(0)(_ + _.length)
+    val header = packed.zip(offs).map { case ((num, _), off) => s"$num $off" }
+      .mkString("", " ", "\n")
+    val objStmPlain = (header + bodies.mkString).getBytes("US-ASCII")
+    val objStmData = zlibDeflate(objStmPlain)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.5\n".getBytes("US-ASCII"))
+    // ---- object 4: the content stream
+    val off4 = out.size()
+    val filter4 = if (flate) " /Filter /FlateDecode" else ""
+    out.write(s"4 0 obj\n<< /Length ${contentData.length}$filter4 >>\nstream\n".getBytes("US-ASCII"))
+    out.write(contentData)
+    out.write("\nendstream\nendobj\n".getBytes("US-ASCII"))
+    // ---- object 6: the ObjStm
+    val off6 = out.size()
+    out.write((s"6 0 obj\n<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+      s"/Length ${objStmData.length} /Filter /FlateDecode >>\nstream\n").getBytes("US-ASCII"))
+    out.write(objStmData)
+    out.write("\nendstream\nendobj\n".getBytes("US-ASCII"))
+    // ---- object 7: the xref stream (self-referential offset)
+    val off7 = out.size()
+    val entries = Array(
+      Array(0L, 0L, 65535L),        // 0: free
+      Array(2L, 6L, 0L),            // 1: in ObjStm 6, index 0
+      Array(2L, 6L, 1L),
+      Array(2L, 6L, 2L),
+      Array(1L, off4.toLong, 0L),   // 4: content stream
+      Array(2L, 6L, 3L),            // 5: font
+      Array(1L, off6.toLong, 0L),   // 6: the ObjStm itself
+      Array(1L, off7.toLong, 0L))   // 7: this xref stream
+    val rowBytes = 7 // W [1 4 2]
+    val raw = entries.map { e =>
+      val r = new Array[Byte](rowBytes)
+      r(0) = e(0).toByte
+      var i = 0
+      while (i < 4) { r(1 + i) = ((e(1) >> (8 * (3 - i))) & 0xFF).toByte; i += 1 }
+      r(5) = ((e(2) >> 8) & 0xFF).toByte; r(6) = (e(2) & 0xFF).toByte
+      r
+    }
+    // PNG Up filter (predictor 12): tag 2, row minus previous raw row
+    val filtered = new java.io.ByteArrayOutputStream()
+    raw.zipWithIndex.foreach { case (row, r) =>
+      filtered.write(2)
+      var i = 0
+      while (i < rowBytes) {
+        val up = if (r > 0) raw(r - 1)(i) & 0xFF else 0
+        filtered.write(((row(i) & 0xFF) - up) & 0xFF)
+        i += 1
+      }
+    }
+    val xrefData = zlibDeflate(filtered.toByteArray)
+    out.write((s"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowBytes >> " +
+      s"/Length ${xrefData.length} >>\nstream\n").getBytes("US-ASCII"))
+    out.write(xrefData)
+    out.write("\nendstream\nendobj\n".getBytes("US-ASCII"))
+    out.write(s"startxref\n$off7\n%%EOF\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Spark seam
   // ------------------------------------------------------------------
 
-  /** Per-document PDFs in the engine's media schema; Flate for even
-    * ids, raw streams for odd — both decode paths in every corpus. */
+  /** Per-document PDFs in the engine's media schema, cycling all four
+    * writer layouts with the id so every corpus exercises every decode
+    * path: id%4 = 0 → 1.4 Flate content, 1 → 1.4 raw, 2 → 1.5
+    * (ObjStm + xref stream) with Flate content, 3 → 1.5 raw content. */
   def packTextPdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     Partitioning.fanOut(df)
       .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => (id, pdfOf(text, id % 2 == 0)) })
+      .mapPartitions(_.map { case (id, text) =>
+        val flate = id % 2 == 0
+        (id, if (id % 4 >= 2) pdfOf15(text, flate) else pdfOf(text, flate))
+      })
       .toDF("id", "__payload")
       .select(col("id"), struct(
         col("__payload").as("payload"),

@@ -100,6 +100,213 @@ class PdfSpec extends SparkSuite {
     dir.listFiles.foreach(_.delete()); dir.delete()
   }
 
+  // ------------------------------------------------------------------
+  // PDF 1.5: cross-reference streams + object streams
+  // ------------------------------------------------------------------
+
+  test("1.5 packer round-trips text exactly, Flate and raw content") {
+    for (flate <- Seq(false, true)) {
+      val texts = Seq(
+        "hello modern pdf",
+        "parens (nested (deep)) and \\ backslash",
+        "non-ascii café — 中文 🙂",
+        "")
+      for (t <- texts) {
+        val pdf = Pdf.pdfOf15(t, flate)
+        assert(Pdf.extractText(pdf).contains(t), s"flate=$flate text=$t")
+      }
+    }
+    // 7 objects (4 packed + content + ObjStm + xref stream), always
+    // some Flate stream (the ObjStm/xref are compressed as in the wild)
+    assert(Pdf.meta(Pdf.pdfOf15("x", flate = false)).contains(("1.5", 7, 1, true)))
+    assert(Pdf.meta(Pdf.pdfOf15("x", flate = true)).contains(("1.5", 7, 1, true)))
+  }
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Hand-assembled 1.5 fixture using constructs the packer never
+    * writes: UNFILTERED xref stream and ObjStm, W [1 2 1], /Index
+    * with three subsections and a free entry, page tree split across
+    * the ObjStm. */
+  private val handAssembled15: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ascii("%PDF-1.5\n"))
+    val c = "BT (fifteen) Tj ET"
+    val off4 = out.size()
+    out.write(ascii(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n"))
+    val packed = Vector(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val bodies = packed.map(_._2 + " ")
+    val offs = bodies.scanLeft(0)(_ + _.length)
+    val hdr = packed.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString("", "  ", " \n")
+    val stmPlain = hdr + bodies.mkString
+    val off5 = out.size()
+    out.write(ascii(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${hdr.length} " +
+      s"/Length ${stmPlain.length} >>\nstream\n$stmPlain\nendstream\nendobj\n"))
+    val off6 = out.size()
+    // entries in /Index order: [0 1] → obj 0 free; [1 3] → 1,2,3 in
+    // ObjStm 5; [4 3] → 4,5,6 top-level. W [1 2 1], raw bytes.
+    val entries = Seq(
+      Seq(0, 0, 255), Seq(2, 5, 0), Seq(2, 5, 1), Seq(2, 5, 2),
+      Seq(1, off4, 0), Seq(1, off5, 0), Seq(1, off6, 0))
+    val data = entries.flatMap { case Seq(t, f2, f3) =>
+      Seq(t.toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
+    }.toArray
+    out.write(ascii(s"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Index [0 1 1 3 4 3] " +
+      s"/Root 1 0 R /Length ${data.length} >>\nstream\n"))
+    out.write(data)
+    out.write(ascii(s"\nendstream\nendobj\nstartxref\n$off6\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("hand-assembled 1.5: unfiltered xref stream, W [1 2 1], /Index subsections, raw ObjStm") {
+    assert(Pdf.extractText(handAssembled15).contains("fifteen"))
+    assert(Pdf.meta(handAssembled15).contains(("1.5", 6, 1, false)))
+  }
+
+  /** TIFF horizontal predictor (/Predictor 2) on a Flate'd xref
+    * stream — the other predictor family. */
+  private val tiffPredictor15: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ascii("%PDF-1.5\n"))
+    val c = "BT (tiff rows) Tj ET"
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    def obj(n: Int, body: String): Unit = {
+      offsets(n) = out.size()
+      out.write(ascii(s"$n 0 obj\n$body\nendobj\n"))
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    obj(4, s"<< /Length ${c.length} >>\nstream\n$c\nendstream")
+    val off5 = out.size()
+    // W [1 2 1], rows for objects 0..5; TIFF predictor: byte[i] -=
+    // byte[i - bpp] per row with bpp = colors = 1
+    val raw = (Seq(Seq(0, 0, 255)) ++ (1 to 4).map(n => Seq(1, offsets(n), 0)) ++
+      Seq(Seq(1, off5, 0))).map { case Seq(t, f2, f3) =>
+      Array(t.toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
+    }
+    val diffed = raw.flatMap { r =>
+      r.indices.map(i => if (i == 0) r(0) else ((r(i) & 0xFF) - (r(i - 1) & 0xFF)).toByte)
+    }.toArray
+    val z = {
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(diffed); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    out.write(ascii(s"5 0 obj\n<< /Type /XRef /Size 6 /W [1 2 1] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DP << /Predictor 2 /Columns 4 >> /Length ${z.length} >>\nstream\n"))
+    out.write(z)
+    out.write(ascii(s"\nendstream\nendobj\nstartxref\n$off5\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("hand-assembled 1.5: TIFF /Predictor 2 via the /DP alias") {
+    assert(Pdf.extractText(tiffPredictor15).contains("tiff rows"))
+  }
+
+  test("incremental update: /Prev chain of xref streams, newest section wins") {
+    val orig = Pdf.pdfOf15("old body text", flate = true)
+    val s = new String(orig, "ISO-8859-1")
+    val sxAt = s.lastIndexOf("startxref")
+    val origXref = s.substring(sxAt + 9).trim.takeWhile(_.isDigit).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(orig)
+    val c = "BT (updated body) Tj ET"
+    val off4 = out.size()
+    out.write(ascii(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n"))
+    val off8 = out.size()
+    // unfiltered update xref stream: W [1 4 2], /Index [4 1 8 1]
+    val rows = Seq(Seq(1, off4, 0), Seq(1, off8, 0))
+    val data = rows.flatMap { case Seq(t, f2, f3) =>
+      Seq(t.toByte, ((f2 >> 24) & 0xFF).toByte, ((f2 >> 16) & 0xFF).toByte,
+        ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte,
+        ((f3 >> 8) & 0xFF).toByte, (f3 & 0xFF).toByte)
+    }.toArray
+    out.write(ascii(s"8 0 obj\n<< /Type /XRef /Size 9 /W [1 4 2] /Index [4 1 8 1] " +
+      s"/Root 1 0 R /Prev $origXref /Length ${data.length} >>\nstream\n"))
+    out.write(data)
+    out.write(ascii(s"\nendstream\nendobj\nstartxref\n$off8\n%%EOF\n"))
+    val updated = out.toByteArray
+    val got = Pdf.extractText(updated)
+    assert(got.contains("updated body"), got.toString)
+    assert(!got.exists(_.contains("old body")), got.toString)
+    // 8 objects: 1,2,3,5 (ObjStm), 4 (new content), 6, 7, 8
+    assert(Pdf.meta(updated).map(_._2).contains(8))
+  }
+
+  test("hybrid file: classic table marks ObjStm objects free, /XRefStm bridges them") {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ascii("%PDF-1.5\n"))
+    val c = "BT (hybrid) Tj ET"
+    val off4 = out.size()
+    out.write(ascii(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n"))
+    val packed = Vector(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val bodies = packed.map(_._2 + " ")
+    val offs = bodies.scanLeft(0)(_ + _.length)
+    val hdr = packed.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString("", " ", "\n")
+    val stmPlain = hdr + bodies.mkString
+    val off5 = out.size()
+    out.write(ascii(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${hdr.length} " +
+      s"/Length ${stmPlain.length} >>\nstream\n$stmPlain\nendstream\nendobj\n"))
+    val off6 = out.size()
+    // the bridge xref stream covers ONLY the packed objects
+    val data = Seq(Seq(2, 5, 0), Seq(2, 5, 1), Seq(2, 5, 2)).flatMap {
+      case Seq(t, f2, f3) =>
+        Seq(t.toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
+    }.toArray
+    out.write(ascii(s"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Index [1 3] " +
+      s"/Root 1 0 R /Length ${data.length} >>\nstream\n"))
+    out.write(data)
+    out.write(ascii("\nendstream\nendobj\n"))
+    val tableAt = out.size()
+    // classic table: 0 and the packed 1..3 free, 4..6 in use
+    out.write(ascii("xref\n0 7\n"))
+    out.write(ascii("0000000000 65535 f \n0000000000 00000 f \n0000000000 00000 f \n0000000000 00000 f \n"))
+    for (o <- Seq(off4, off5, off6)) out.write(ascii(f"$o%010d 00000 n \n"))
+    out.write(ascii(s"trailer\n<< /Size 7 /Root 1 0 R /XRefStm $off6 >>\nstartxref\n$tableAt\n%%EOF\n"))
+    val pdf = out.toByteArray
+    assert(Pdf.extractText(pdf).contains("hybrid"))
+    assert(Pdf.meta(pdf).contains(("1.5", 6, 1, false)))
+  }
+
+  test("damaged xref on a 1.5 file: scan fallback expands the ObjStm and still extracts") {
+    val pdf = Pdf.pdfOf15("salvage me from the objstm", flate = true)
+    val s = new String(pdf, "ISO-8859-1")
+    val at = s.lastIndexOf("startxref")
+    val broken = pdf.clone()
+    broken(at + 10) = '9'; broken(at + 11) = '9'; broken(at + 12) = '9'
+    assert(Pdf.extractText(broken).contains("salvage me from the objstm"))
+  }
+
+  test("1.5 hostile bytes refuse, never throw") {
+    val pdf = Pdf.pdfOf15("x", flate = true)
+    for (cut <- Seq(5, 40, pdf.length / 2, pdf.length - 3))
+      Pdf.extractText(pdf.take(cut)) // must not throw
+    // corrupt the xref stream's zlib payload: xref walk refuses →
+    // scan fallback still salvages via the ObjStm
+    val s = new String(pdf, "ISO-8859-1")
+    val xAt = s.indexOf("/Type /XRef")
+    val sAt = s.indexOf("stream\n", xAt) + 8
+    val bad = pdf.clone(); bad(sAt) = (bad(sAt) ^ 0x55).toByte
+    Pdf.extractText(bad) // must not throw; salvage allowed either way
+    val rnd = new scala.util.Random(15)
+    for (_ <- 0 until 100) {
+      val junk = pdf.clone()
+      val i = rnd.nextInt(junk.length)
+      junk(i) = (junk(i) ^ (1 + rnd.nextInt(255))).toByte
+      Pdf.extractText(junk) // must not throw
+    }
+  }
+
   test("hostile bytes refuse, never throw") {
     assert(Pdf.extractText("not a pdf".getBytes).isEmpty)
     assert(Pdf.extractText(Array.emptyByteArray).isEmpty)
