@@ -1516,6 +1516,19 @@ object SparkEntry {
           col("http_status").cast("long").as("status"), col("text"))
     }),
 
+    // charset ladder over real crawl bytes: bodies cycle five
+    // encoding variants (declared utf-8 / declared cp1252 / meta
+    // iso-8859-1 / undeclared-valid-utf8 / undeclared-cp1252), and
+    // the decode must pick the right rung AND the right bytes — the
+    // oracle replays both the resolution and the decoded page
+    // byte-exact from corpus columns.
+    "x_warc_charset" -> ((s, d) => {
+      val packed = Warc.packDocsWarcCharsets(t(s, d, "documents"), "doc_id", "source", "text")
+      Warc.responseText(Warc.records(packed, "file_id", "payload"))
+        .select(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("charset"), col("charset_src"), col("text"))
+    }),
+
     // G.711 μ-law rung: the text bytes ARE the companded code bytes
     // (fmt 7, mono 8 kHz), decoded through the from-spec expander —
     // a pure per-byte function, so the oracle replays the G.711
@@ -3760,6 +3773,32 @@ object SparkEntry {
       SELECT doc_id, CAST(200 AS BIGINT) AS status,
         '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
           coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>' AS text
+      FROM documents""",
+
+    // charset-ladder contract: the resolved charset, the detection
+    // rung, and the decoded page all replay from doc_id % 5 — the
+    // non-utf8 variants plant the page over the ASCII projection of
+    // the text ([^ -~] stripped, the cross-engine sanitize) plus
+    // charset-separating markers (€ is cp1252-only, bare é is
+    // invalid UTF-8)
+    "x_warc_charset" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 IN (0, 3) THEN 'UTF-8' ELSE 'windows-1252' END AS charset,
+        CASE doc_id % 5 WHEN 0 THEN 'header' WHEN 1 THEN 'header' WHEN 2 THEN 'meta'
+             WHEN 3 THEN 'valid-utf8' ELSE 'fallback' END AS charset_src,
+        CASE doc_id % 5
+          WHEN 0 THEN '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
+            coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>'
+          WHEN 1 THEN '<html><head><title>Doc ' || doc_id || '</title></head><body>cp1252 café €½ ' ||
+            regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') || '</body></html>'
+          WHEN 2 THEN '<html><head><meta charset="iso-8859-1"><title>Doc ' || doc_id ||
+            '</title></head><body>latin café ±½ ' ||
+            regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') || '</body></html>'
+          WHEN 3 THEN '<html><head><title>Doc ' || doc_id || '</title></head><body>utf8 π☃ ' ||
+            regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') || '</body></html>'
+          ELSE '<html><head><title>Doc ' || doc_id || '</title></head><body>fallback café ' ||
+            regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') || '</body></html>'
+        END AS text
       FROM documents""",
 
     // like x_multimodal_decode but channels are greyscale RGB

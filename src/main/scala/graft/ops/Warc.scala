@@ -46,6 +46,12 @@ object Warc {
       s"Content-Length: ${body.length}$CRLF$CRLF").getBytes("UTF-8") ++ body
   }
 
+  /** HTTP/1.1 response with caller-chosen Content-Type and raw body
+    * bytes — the charset-variant fixture seam. */
+  def httpWith(body: Array[Byte], contentType: String): Array[Byte] =
+    (s"HTTP/1.1 200 OK${CRLF}Content-Type: $contentType$CRLF" +
+      s"Content-Length: ${body.length}$CRLF$CRLF").getBytes("UTF-8") ++ body
+
   /** Deterministic urn:uuid from a seed string: md5 hex grouped
     * 8-4-4-4-12 (a stable, oracle-replayable stand-in for the random
     * UUIDs real crawlers mint). */
@@ -259,10 +265,112 @@ object Warc {
         "warc_date", "content_type", "content_length", "http_status", "body")
   }
 
+  // ------------------------------------------------------------------
+  // charset-aware body decode
+  // ------------------------------------------------------------------
+
+  /** Strict UTF-8 validity of a byte range: RFC 3629 sequences only —
+    * no overlongs, no surrogates, nothing above U+10FFFF, no
+    * truncated tails. */
+  private[graft] def strictUtf8(b: Array[Byte], from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else {
+        val (need, min) =
+          if (c >= 0xC2 && c <= 0xDF) (1, 0x80)
+          else if (c >= 0xE0 && c <= 0xEF) (2, 0x800)
+          else if (c >= 0xF0 && c <= 0xF4) (3, 0x10000)
+          else return false // 0x80-0xC1 stray/overlong lead, 0xF5+ out of range
+        if (i + need >= until) return false // truncated tail
+        var v = c & (0x3F >> need)
+        var k = 1
+        while (k <= need) {
+          val cc = b(i + k) & 0xFF
+          if ((cc & 0xC0) != 0x80) return false
+          v = (v << 6) | (cc & 0x3F)
+          k += 1
+        }
+        if (v < min || v > 0x10FFFF || (v >= 0xD800 && v <= 0xDFFF)) return false
+        i += need + 1
+      }
+    }
+    true
+  }
+
+  /** WHATWG-style label → JVM charset: UTF-8 family stays UTF-8;
+    * the Latin-1 family (iso-8859-1 / us-ascii / latin1) maps to
+    * windows-1252 exactly as browsers treat it (the 0x80–0x9F rows
+    * are what the publisher really meant). Unrecognized labels →
+    * None, falling through to content detection. */
+  private def charsetFor(label: String): Option[String] =
+    label.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "utf-8" | "utf8" => Some("UTF-8")
+      case "us-ascii" | "ascii" => Some("UTF-8") // ASCII is a UTF-8 subset
+      case "iso-8859-1" | "iso8859-1" | "iso_8859-1" | "latin-1" | "latin1" | "l1" =>
+        Some("windows-1252")
+      case "windows-1252" | "cp1252" | "x-cp1252" | "cp-1252" => Some("windows-1252")
+      case _ => None
+    }
+
+  private def charsetParam(contentType: String): Option[String] = {
+    val lower = contentType.toLowerCase(java.util.Locale.ROOT)
+    val at = lower.indexOf("charset=")
+    if (at < 0) None
+    else {
+      val v = lower.substring(at + 8).trim.stripPrefix("\"").stripPrefix("'")
+      val end = v.indexWhere(c => c == ';' || c == '"' || c == '\'' || c == ' ')
+      Some(if (end < 0) v else v.substring(0, end)).filter(_.nonEmpty)
+    }
+  }
+
+  private val MetaCharsetRe =
+    java.util.regex.Pattern.compile(
+      """<meta[^>]*charset\s*=\s*["']?([a-zA-Z0-9_\-]+)""",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** The decode ladder for one HTTP body (the real-crawl contract —
+    * a large minority of live pages are legacy-encoded):
+    *
+    *  1. `charset` parameter of the Content-Type header;
+    *  2. HTML `<meta charset=…>` / `<meta http-equiv … charset=…>`
+    *     sniffed in the first 1024 body bytes (ASCII-superset scan,
+    *     the WHATWG prescan);
+    *  3. strict UTF-8 validation of the whole body;
+    *  4. windows-1252 fallback (never fails — all 256 bytes map).
+    *
+    * A recognized declared charset wins even if the bytes disagree
+    * (the declaration is the publisher's contract; Java decoders
+    * substitute U+FFFD rather than throw). Returns (text, charset,
+    * charset_src) with src ∈ header|meta|valid-utf8|fallback.
+    */
+  private[graft] def decodeBody(body: Array[Byte], from: Int, contentType: String): (String, String, String) = {
+    val len = body.length - from
+    def str(cs: String) = new String(body, from, len, java.nio.charset.Charset.forName(cs))
+    val fromHeader = Option(contentType).flatMap(charsetParam).flatMap(charsetFor)
+    fromHeader match {
+      case Some(cs) => (str(cs), cs, "header")
+      case None =>
+        val prefix = new String(body, from, math.min(1024, len),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val m = MetaCharsetRe.matcher(prefix)
+        val fromMeta = if (m.find()) charsetFor(m.group(1)) else None
+        fromMeta match {
+          case Some(cs) => (str(cs), cs, "meta")
+          case None =>
+            if (strictUtf8(body, from, body.length)) (str("UTF-8"), "UTF-8", "valid-utf8")
+            else (str("windows-1252"), "windows-1252", "fallback")
+        }
+    }
+  }
+
   /** The response-record text surface: HTTP headers stripped, body
-    * decoded as UTF-8 into a `text` column — what downstream
-    * html_extract / quality / dedup stages consume. `pathCol` picks
-    * the file-key column ([[recordsByPath]] output vs [[records]]). */
+    * decoded through the charset ladder ([[decodeBody]]) into a
+    * `text` column — what downstream html_extract / quality / dedup
+    * stages consume — plus the resolved `charset` and the detection
+    * rung `charset_src`. `pathCol` picks the file-key column
+    * ([[recordsByPath]] output vs [[records]]). */
   def responseText(recordsDf: DataFrame, pathCol: Boolean = false): DataFrame = {
     val spark = recordsDf.sparkSession
     import spark.implicits._
@@ -281,13 +389,91 @@ object Warc {
           }
           at
         }
-        val text =
-          if (headEnd < 0) ""
-          else new String(body, headEnd + 4, body.length - headEnd - 4, "UTF-8")
-        (key, recIndex, uri, status, text)
+        // Content-Type of the HTTP message (not the WARC record)
+        val httpContentType =
+          if (headEnd < 0) null
+          else new String(body, 0, headEnd, java.nio.charset.StandardCharsets.ISO_8859_1)
+            .split("\r\n").drop(1).collectFirst {
+              case line if line.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
+                line.substring(line.indexOf(':') + 1).trim
+            }.orNull
+        if (headEnd < 0) (key, recIndex, uri, status, "", null: String, null: String)
+        else {
+          val (text, cs, src) = decodeBody(body, headEnd + 4, httpContentType)
+          (key, recIndex, uri, status, text, cs, src)
+        }
       }
-      .toDF(keyName, "rec_index", "target_uri", "http_status", "text")
+      .toDF(keyName, "rec_index", "target_uri", "http_status", "text", "charset", "charset_src")
     if (pathCol) base
     else base.withColumn("file_id", col("file_id").cast("long"))
+  }
+
+  // ------------------------------------------------------------------
+  // charset-variant fixture packer (gate: x_warc_charset)
+  // ------------------------------------------------------------------
+
+  /** ASCII-only projection of corpus text — `[^ -~]` stripped, the
+    * SQL-replayable sanitize both engines compute identically. */
+  private def asciiOnly(s: String): String = s.filter(c => c >= ' ' && c <= '~')
+
+  /** The planted page for charset variant `v` (doc_id % 5). Markers
+    * deliberately pick bytes that separate the rungs: the latin rows
+    * avoid 0x80–0x9F (so latin-1 == cp1252 on them), variant 1 adds
+    * € (0x80 in cp1252, absent from latin-1), variant 4's bare é is
+    * the classic invalid-UTF-8 single byte. */
+  def charsetPage(id: Long, v: Int, asciiText: String): String = v match {
+    case 1 => s"<html><head><title>Doc $id</title></head><body>cp1252 café €½ $asciiText</body></html>"
+    case 2 => s"""<html><head><meta charset="iso-8859-1"><title>Doc $id</title></head><body>latin café ±½ $asciiText</body></html>"""
+    case 3 => s"<html><head><title>Doc $id</title></head><body>utf8 π☃ $asciiText</body></html>"
+    case _ => s"<html><head><title>Doc $id</title></head><body>fallback café $asciiText</body></html>"
+  }
+
+  /** One response record in charset variant `v`; see
+    * [[packDocsWarcCharsets]] for the variant table. */
+  def charsetResponseRecord(id: Long, source: String, text: String): Array[Byte] = {
+    val v = (id % 5).toInt
+    val http: Array[Byte] = v match {
+      case 0 => httpFor(pageFor(id, source, text)) // the existing utf-8-declared page
+      case 1 => httpWith(charsetPage(id, 1, asciiOnly(text)).getBytes("windows-1252"),
+        "text/html; charset=windows-1252")
+      case 2 => httpWith(charsetPage(id, 2, asciiOnly(text)).getBytes("ISO-8859-1"),
+        "text/html")
+      case 3 => httpWith(charsetPage(id, 3, asciiOnly(text)).getBytes("UTF-8"),
+        "text/html")
+      case _ => httpWith(charsetPage(id, 4, asciiOnly(text)).getBytes("windows-1252"),
+        "text/html")
+    }
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:${uuidFor(s"doc-$id")}>",
+      "WARC-Date" -> WarcDate,
+      "WARC-Target-URI" -> s"https://example.com/doc/$id",
+      "Content-Type" -> "application/http; msgtype=response"),
+      http)
+  }
+
+  /** [[packDocsWarcGz]] with bodies cycling the five charset-ladder
+    * variants by doc_id % 5: (0) header-declared utf-8, (1)
+    * header-declared windows-1252, (2) no header charset + HTML meta
+    * iso-8859-1, (3) nothing declared + valid UTF-8 bytes, (4)
+    * nothing declared + invalid-UTF-8 cp1252 bytes (the fallback
+    * rung). Every rung of [[decodeBody]] appears in every corpus. */
+  def packDocsWarcCharsets(df: DataFrame, idCol: String, sourceCol: String,
+                           textCol: String, nFiles: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(sourceCol), lit("")),
+        coalesce(col(textCol), lit("")))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups { (fileId, rows) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(GzipCodec.gzipStored(warcinfoRecord(fileId)))
+        rows.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
+          bos.write(gzipMember(charsetResponseRecord(id, src, text), (id % 9 + 1).toInt))
+        }
+        (fileId, bos.toByteArray)
+      }
+      .toDF("file_id", "payload")
   }
 }

@@ -85,7 +85,8 @@ class WarcSpec extends SparkSuite {
     val read = graft.sources.SourceReader.read(spark,
       graft.spec.SourceSpec("crawl", "warc", graft.spec.Config.of(
         "path" -> s"${dir.getAbsolutePath}/*.warc.gz")))
-    assert(read.columns.toSeq == Seq("path", "rec_index", "target_uri", "http_status", "text"))
+    assert(read.columns.toSeq ==
+      Seq("path", "rec_index", "target_uri", "http_status", "text", "charset", "charset_src"))
     assert(read.count() == 4)
     assert(read.where($"target_uri" === "https://example.com/doc/2")
       .select("text").as[String].head() == Warc.pageFor(2L, "books", ""))
@@ -95,6 +96,97 @@ class WarcSpec extends SparkSuite {
         "path" -> s"${dir.getAbsolutePath}/*.warc.gz", "records" -> true)))
     assert(recs.count() == 6) // 4 responses + 2 warcinfo
     dir.listFiles.foreach(_.delete()); dir.delete()
+  }
+
+  // ------------------------------------------------------------------
+  // charset ladder
+  // ------------------------------------------------------------------
+
+  private def responseWith(body: Array[Byte], contentType: String): Array[Byte] = {
+    val http = Warc.httpWith(body, contentType)
+    ("WARC/1.1\r\nWARC-Type: response\r\nContent-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++ http ++
+      "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def decodeOne(body: Array[Byte], contentType: String): (String, String, String) = {
+    val rec = responseWith(body, contentType)
+    val row = Warc.responseText(Warc.records(
+      Seq((1L, rec)).toDF("file_id", "payload"), "file_id", "payload")).collect()(0)
+    (row.getString(4), row.getString(5), row.getString(6))
+  }
+
+  test("charset rung 1: Content-Type header charset wins, labels alias per WHATWG") {
+    val s = "déjà vu café"
+    assert(decodeOne(s.getBytes("UTF-8"), "text/html; charset=utf-8") ==
+      ((s, "UTF-8", "header")))
+    assert(decodeOne(s.getBytes("windows-1252"), "text/html; charset=Windows-1252") ==
+      ((s, "windows-1252", "header")))
+    // iso-8859-1 label means cp1252 in practice (WHATWG alias): a
+    // 0x80 byte decodes to €, not a C1 control
+    assert(decodeOne(Array(0x80.toByte), "text/plain; charset=ISO-8859-1") ==
+      (("€", "windows-1252", "header")))
+    // quoted parameter + trailing parameter forms
+    assert(decodeOne(s.getBytes("UTF-8"), "text/html; charset=\"utf-8\"; boundary=x") ==
+      ((s, "UTF-8", "header")))
+  }
+
+  test("charset rung 2: HTML meta sniff when the header is silent; both meta forms") {
+    val a = "<html><head><meta charset='windows-1252'></head><body>café</body></html>"
+    assert(decodeOne(a.getBytes("windows-1252"), "text/html") ==
+      ((a, "windows-1252", "meta")))
+    val b = "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\"></head><body>naïve</body></html>"
+    assert(decodeOne(b.getBytes("ISO-8859-1"), "text/html") ==
+      ((b, "windows-1252", "meta")))
+    // meta outside the 1024-byte prescan window is NOT honored: the
+    // valid-utf8 rung picks it up instead
+    val far = "<html><head>" + (" " * 1100) +
+      "<meta charset='windows-1252'></head><body>plain ascii</body></html>"
+    assert(decodeOne(far.getBytes("UTF-8"), "text/html")._3 == "valid-utf8")
+  }
+
+  test("charset rungs 3/4: strict UTF-8 validation, else cp1252 fallback") {
+    val utf = "valid π☃ utf-8"
+    assert(decodeOne(utf.getBytes("UTF-8"), "text/html") == ((utf, "UTF-8", "valid-utf8")))
+    val legacy = "bare é and ½"
+    assert(decodeOne(legacy.getBytes("windows-1252"), "text/html") ==
+      ((legacy, "windows-1252", "fallback")))
+    // unknown declared label falls through the ladder, not to an error
+    assert(decodeOne(utf.getBytes("UTF-8"), "text/html; charset=shift_jis")._3 == "valid-utf8")
+  }
+
+  test("strictUtf8 rejects overlongs, surrogates, out-of-range, truncated tails") {
+    def ok(bs: Int*) = Warc.strictUtf8(bs.map(_.toByte).toArray, 0, bs.length)
+    assert(ok('a', 'b'))
+    assert(ok(0xC3, 0xA9))                 // é
+    assert(ok(0xF0, 0x9F, 0x99, 0x82))     // 🙂
+    assert(!ok(0xC0, 0xAF))                // overlong '/'
+    assert(!ok(0xE0, 0x80, 0x80))          // overlong NUL
+    assert(!ok(0xED, 0xA0, 0x80))          // surrogate D800
+    assert(!ok(0xF4, 0x90, 0x80, 0x80))    // > U+10FFFF
+    assert(!ok(0xC3))                      // truncated tail
+    assert(!ok(0xE9))                      // stray lead (the cp1252 é)
+    assert(!ok(0x80))                      // stray continuation
+    assert(!ok(0xF5, 0x80, 0x80, 0x80))    // lead out of range
+  }
+
+  test("packDocsWarcCharsets: all five rungs replay exactly through the ladder") {
+    val five = Seq(
+      (0L, "web", "plain and café"), (1L, "web", "text キ with non-ascii"),
+      (2L, "web", "latin one"), (3L, "web", "valid utf8"), (4L, "web", "fallback row"))
+      .toDF("doc_id", "source", "text")
+    val txt = Warc.responseText(Warc.records(
+      Warc.packDocsWarcCharsets(five, "doc_id", "source", "text"), "file_id", "payload"))
+      .select(regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        $"charset", $"charset_src", $"text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(txt(0L)._1 == "UTF-8" && txt(0L)._2 == "header")
+    assert(txt(0L)._3 == Warc.pageFor(0L, "web", "plain and café"))
+    assert(txt(1L) == (("windows-1252", "header",
+      Warc.charsetPage(1L, 1, "text  with non-ascii"))))
+    assert(txt(2L) == (("windows-1252", "meta", Warc.charsetPage(2L, 2, "latin one"))))
+    assert(txt(3L) == (("UTF-8", "valid-utf8", Warc.charsetPage(3L, 3, "valid utf8"))))
+    assert(txt(4L) == (("windows-1252", "fallback", Warc.charsetPage(4L, 4, "fallback row"))))
   }
 
   test("a single gzip member holding many records parses (the non-Common-Crawl shape)") {
