@@ -34,6 +34,25 @@ object SourceReader {
     }
   }
 
+  /** The archive-size seam, shared by every whole-file binary source
+    * (warc/tar/zip/pdf/jsonl): Spark's binary row limit is
+    * `Int.MaxValue` bytes, so a >2 GiB shard is otherwise a hard TASK
+    * CRASH that kills the whole 100 TB scan. Files above `max_bytes`
+    * (config; default the 2 GiB hard limit) are never read — the
+    * length predicate is applied to the `binaryFile` listing columns,
+    * so pruning happens before any content bytes load — and come back
+    * in the second frame for per-source quarantine rows. Real crawl
+    * estates shard archives at ~1 GiB (the Common Crawl convention);
+    * set `max_bytes` lower to enforce a local policy.
+    */
+  private def binarySeam(spark: SparkSession, s: SourceSpec): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val maxBytes = s.config.long("max_bytes").getOrElse(Int.MaxValue.toLong)
+    val all = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+    (all.where(col("length") <= maxBytes).select(col("path"), col("content")),
+      all.where(col("length") > maxBytes).select(col("path"), col("length")))
+  }
+
   private def readRaw(spark: SparkSession, s: SourceSpec): DataFrame = s.sourceType match {
     // Reference csv semantics (main.py:118-123): header row = field
     // names, every value a string. inferSchema stays opt-in so default
@@ -92,24 +111,39 @@ object SourceReader {
     // (warc_type, record_id, headers, body) instead. Malformed files
     // quarantine as rec_index = -1 rows rather than failing the scan.
     case "warc" =>
-      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
-        .select(org.apache.spark.sql.functions.col("path"),
-          org.apache.spark.sql.functions.col("content"))
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
       val recs = graft.ops.Warc.recordsByPath(files, "path", "content")
-      if (s.config.bool("records").getOrElse(false)) recs
+      if (s.config.bool("records").getOrElse(false))
+        recs.unionByName(oversized.select(col("path"),
+          lit(-1).as("rec_index"), lit(null).cast("string").as("warc_type"),
+          lit(null).cast("string").as("record_id"), lit(null).cast("string").as("target_uri"),
+          lit(null).cast("string").as("warc_date"), lit(null).cast("string").as("content_type"),
+          col("length").as("content_length"), lit(null).cast("int").as("http_status"),
+          lit(null).cast("binary").as("body")))
       else graft.ops.Warc.responseText(recs, pathCol = true)
+        .unionByName(oversized.select(col("path"), lit(-1).as("rec_index"),
+          lit(null).cast("string").as("target_uri"), lit(null).cast("int").as("http_status"),
+          lit(null).cast("string").as("text"), lit(null).cast("string").as("charset"),
+          lit(null).cast("string").as("charset_src")))
 
     // ZIP — the everyday archive for per-document-file dumps:
     // binary load, central-directory walk with member CRCs verified,
     // DEFLATE through the from-spec inflate. Same surfaces and
     // quarantine contract as `tar` (`members = true` for raw rows).
     case "zip" =>
-      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
-        .select(org.apache.spark.sql.functions.col("path"),
-          org.apache.spark.sql.functions.col("content"))
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
       val ms = graft.ops.Zip.members(files, "path", "content")
-      if (s.config.bool("members").getOrElse(false)) ms
+      if (s.config.bool("members").getOrElse(false))
+        ms.unionByName(oversized.select(col("path").as("file_id"),
+          lit(-1).as("member_index"), lit(null).cast("string").as("name"),
+          lit(-1).as("method"), col("length").as("size"),
+          lit(null).cast("binary").as("data")))
       else graft.ops.Zip.memberText(ms)
+        .unionByName(oversized.select(col("path").as("file_id"),
+          lit(-1).as("member_index"), lit(null).cast("string").as("name"),
+          col("length").as("size"), lit(null).cast("string").as("text")))
 
     // PDF — document dumps as files on disk: binary load (one task
     // per file), from-spec object/xref/content-stream walk, one row
@@ -117,17 +151,19 @@ object SourceReader {
     // text). Unparseable files quarantine with decoded = false.
     case "pdf" =>
       import spark.implicits._
-      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
-        .select(org.apache.spark.sql.functions.col("path"),
-          org.apache.spark.sql.functions.col("content"))
-        .as[(String, Array[Byte])]
-      files.mapPartitions(_.map { case (path, bytes) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
+      files.as[(String, Array[Byte])].mapPartitions(_.map { case (path, bytes) =>
         (graft.ops.Pdf.extractText(bytes), graft.ops.Pdf.meta(bytes)) match {
           case (Some(text), Some((ver, nObj, nPages, flate))) =>
             (path, true, ver, nObj, nPages, flate, text)
           case _ => (path, false, null: String, 0, 0, false, null: String)
         }
       }).toDF("path", "decoded", "version", "n_objects", "n_pages", "flate", "text")
+        .unionByName(oversized.select(col("path"), lit(false).as("decoded"),
+          lit(null).cast("string").as("version"), lit(0).as("n_objects"),
+          lit(0).as("n_pages"), lit(false).as("flate"),
+          lit(null).cast("string").as("text")))
 
     // Compressed JSONL — the default corpus shard format
     // (`shard-00042.jsonl.zst` / `.jsonl.gz`): files load as binary
@@ -140,7 +176,20 @@ object SourceReader {
     case "jsonl" =>
       import spark.implicits._
       val comp = s.config.str("compression") // zstd | gzip | none | sniff
-      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+      // jsonl rows carry a data-dependent schema, so there is no
+      // quarantine-row shape to union — the seam fails FAST instead,
+      // naming the offending shards (listing columns only; no content
+      // bytes load for this check)
+      val (okFiles, oversizedJsonl) = binarySeam(spark, s)
+      val oversizedNames = oversizedJsonl
+        .select(org.apache.spark.sql.functions.col("path")).limit(10)
+        .collect().map(_.getString(0))
+      if (oversizedNames.nonEmpty)
+        throw new GraftAnalysisException(
+          s"source '${s.name}': jsonl shard(s) exceed max_bytes " +
+            s"(default ${Int.MaxValue} — Spark's binary row limit; shard archives ~1 GiB): " +
+            oversizedNames.mkString(", "))
+      val files = okFiles
         .select(org.apache.spark.sql.functions.col("content"))
         .as[Array[Byte]]
       val lines = files.flatMap { payload =>
@@ -173,12 +222,18 @@ object SourceReader {
     // `members = true` emits every member row (typeflag, size, raw
     // data). Same quarantine + parallelism contract as `warc`.
     case "tar" =>
-      val files = spark.read.format("binaryFile").load(s.config.reqStr("path"))
-        .select(org.apache.spark.sql.functions.col("path"),
-          org.apache.spark.sql.functions.col("content"))
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
       val ms = graft.ops.Tar.members(files, "path", "content")
-      if (s.config.bool("members").getOrElse(false)) ms
+      if (s.config.bool("members").getOrElse(false))
+        ms.unionByName(oversized.select(col("path").as("file_id"),
+          lit(-1).as("member_index"), lit(null).cast("string").as("name"),
+          lit(null).cast("string").as("typeflag"), col("length").as("size"),
+          lit(null).cast("binary").as("data")))
       else graft.ops.Tar.memberText(ms)
+        .unionByName(oversized.select(col("path").as("file_id"),
+          lit(-1).as("member_index"), lit(null).cast("string").as("name"),
+          col("length").as("size"), lit(null).cast("string").as("text")))
 
     // Reference sqlite source (main.py:130-138) over the pure-Scala
     // file codec — no JDBC driver needed. `table` reads one table;
