@@ -35,6 +35,71 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Partitioning.fanOut(t(spark, dir, "documents"))
 
+  /** Six-language phrase banks for the x_text_langid gate: the
+    * synthetic corpus text is English-shaped and its lang labels carry
+    * no text signal (the x_text_linear_classify finding), so the gate
+    * plants REAL per-language text — 8 short sentences per language,
+    * written for this fixture — and composes two per doc by different
+    * doc_id strides. ru exercises Cyrillic, zh exercises Han (the
+    * scripts the word tokenizer erases); fr/es share the Latin script
+    * and separate only on character-gram evidence. */
+  private[graft] val langIdLangs: Seq[String] = Seq("de", "en", "es", "fr", "ru", "zh")
+  private[graft] val langIdBanks: Map[String, Seq[String]] = Map(
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "this is a simple sentence about the weather today",
+      "we are going to the market early in the morning",
+      "students read books in the library every afternoon",
+      "the committee will discuss the budget next week",
+      "many people enjoy walking along the river at sunset",
+      "the train arrives at the station right on time",
+      "science and history are taught in every school"),
+    "fr" -> Seq(
+      "le renard brun saute par dessus le chien paresseux",
+      "ceci est une phrase simple sur le temps d'aujourd'hui",
+      "nous allons au marché tôt demain matin",
+      "les étudiants lisent des livres à la bibliothèque",
+      "le comité discutera du budget la semaine prochaine",
+      "beaucoup de gens aiment marcher le long de la rivière",
+      "le train arrive à la gare exactement à l'heure",
+      "la science et l'histoire sont enseignées à l'école"),
+    "de" -> Seq(
+      "der braune fuchs springt über den faulen hund",
+      "dies ist ein einfacher satz über das wetter heute",
+      "wir gehen morgen früh auf den markt",
+      "die studenten lesen bücher in der bibliothek",
+      "der ausschuss wird nächste woche über das budget sprechen",
+      "viele menschen gehen gern am fluss spazieren",
+      "der zug kommt pünktlich am bahnhof an",
+      "wissenschaft und geschichte werden in jeder schule gelehrt"),
+    "es" -> Seq(
+      "el zorro marrón salta sobre el perro perezoso",
+      "esta es una frase sencilla sobre el tiempo de hoy",
+      "vamos al mercado mañana por la mañana temprano",
+      "los estudiantes leen libros en la biblioteca",
+      "el comité discutirá el presupuesto la próxima semana",
+      "a mucha gente le gusta caminar junto al río",
+      "el tren llega a la estación justo a tiempo",
+      "la ciencia y la historia se enseñan en todas las escuelas"),
+    "ru" -> Seq(
+      "быстрая коричневая лиса прыгает через ленивую собаку",
+      "это простое предложение о сегодняшней погоде",
+      "мы идем на рынок завтра рано утром",
+      "студенты читают книги в библиотеке каждый день",
+      "комитет обсудит бюджет на следующей неделе",
+      "многие люди любят гулять вдоль реки на закате",
+      "поезд прибывает на станцию точно вовремя",
+      "наука и история преподаются в каждой школе"),
+    "zh" -> Seq(
+      "敏捷的棕色狐狸跳过懒惰的狗",
+      "这是一个关于今天天气的简单句子",
+      "我们明天一早去市场买菜",
+      "学生们每天下午在图书馆读书",
+      "委员会下周将讨论预算问题",
+      "许多人喜欢在日落时沿着河边散步",
+      "火车准时到达车站",
+      "每所学校都教授科学和历史"))
+
   /** Normalize `events.ts` to a session-zone timestamp whatever the
     * testdata vintage stored physically: nanosecond-int64 (read with
     * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench
@@ -926,6 +991,38 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_scored"),
           (avg(when(col("predicted") === col("__y"), 1.0).otherwise(0.0))
             >= 0.9).as("holdout_acc_ge_090"))
+    }),
+    // TRAINED multi-class language ID (verdict r10 #4): the corpus
+    // text is English-shaped, so the gate PLANTS a six-language
+    // labeled corpus (en/fr/de/es/ru/zh — two phrases per doc drawn
+    // from per-language banks by different doc_id strides, so holdout
+    // pairs differ from training pairs), fits the closed-form
+    // classifier on char-n-gram + script features over the EVEN ids,
+    // and scores the ODD half. Boolean accuracy contract (the
+    // x_text_linear_classify shape): the oracle asserts the holdout
+    // population; the engine measures accuracy >= 0.95 on it.
+    // Non-Latin classes (ru, zh) are exactly what the word-gram
+    // feature space cannot see — LangIdSpec pins that contrast.
+    "x_text_langid" -> ((s, d) => {
+      val langs = langIdLangs
+      val bankLit = typedLit(langs.map(langIdBanks))
+      val bank = element_at(bankLit, (pmod((col("doc_id") / lit(2)).cast("long"), lit(6)) + 1).cast("int"))
+      val p1 = element_at(bank,
+        (pmod((col("doc_id") / lit(6)).cast("long"), lit(8)) + 1).cast("int"))
+      val p2 = element_at(bank,
+        (pmod((col("doc_id") / lit(17)).cast("long") + 3, lit(8)) + 1).cast("int"))
+      val labeled = docs(s, d).select(col("doc_id"),
+        element_at(typedLit(langs), (pmod((col("doc_id") / lit(2)).cast("long"), lit(6)) + 1).cast("int")).as("__lang"),
+        concat_ws(" ", p1, p2).as("__t"))
+      val m = TextAnalysis.langIdFit(
+        labeled.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "__lang", "__t", nBuckets = 2048, lambda = 1e-4)
+      val test = labeled.where(pmod(col("doc_id"), lit(2)) === 1)
+      m.predict(test, "doc_id", "__t")
+        .join(test.select(col("doc_id"), col("__lang")), Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_scored"),
+          (avg(when(col("predicted") === col("__lang"), 1.0).otherwise(0.0))
+            >= 0.95).as("holdout_acc_ge_095"))
     }),
     // order-3 rung: BOS-padded uniform scoring positions, one formula
     // for every token — the oracle rebuilds all four count tables and
@@ -3145,6 +3242,15 @@ object SparkEntry {
       FROM documents
       WHERE doc_id % 2 = 1
         AND len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) > 0""",
+
+    // trained langid accuracy contract (see x_text_langid query
+    // comment): planted per-language text is never empty, so the
+    // holdout population is exactly the odd ids; the engine measures
+    // the accuracy, the oracle asserts the bound holds.
+    "x_text_langid" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_scored, true AS holdout_acc_ge_095
+      FROM documents
+      WHERE doc_id % 2 = 1""",
 
     "x_text_trigram_ppx" -> """
       WITH toks AS MATERIALIZED (

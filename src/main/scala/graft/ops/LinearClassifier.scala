@@ -40,15 +40,23 @@ object LinearClassifier {
 
   /** Fitted model: `classes` sorted lexicographically; `weights(c)`
     * has nBuckets feature weights followed by the bias at index
-    * nBuckets.
+    * nBuckets. `featureKind` selects the extractor the model was
+    * trained with and scores through: `"word"` = hashed word
+    * unigram+bigram buckets ([[bucketArray]]); `"char"` = hashed
+    * character 1–3-gram + script pseudo-feature buckets
+    * ([[charBucketArray]] — the language-ID feature space, which
+    * sees non-Latin scripts the word tokenizer erases).
     */
   final case class LinearTextModel(
       nBuckets: Int,
       classes: Array[String],
-      weights: Array[Array[Double]]) {
+      weights: Array[Array[Double]],
+      featureKind: String = "word") {
 
     require(classes.length == weights.length,
       "linear model: one weight row per class")
+    require(featureKind == "word" || featureKind == "char",
+      s"linear model: unknown featureKind '$featureKind'")
 
     /** Per-document raw scores, one row per (doc, class):
       * score = Σ_{b ∈ doc buckets} w_c(b) + bias_c. Zero-shuffle:
@@ -58,7 +66,7 @@ object LinearClassifier {
       */
     def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
       val withB = docs
-        .withColumn("__b", bucketArray(col(textCol), nBuckets))
+        .withColumn("__b", featuresOf(featureKind, col(textCol), nBuckets))
         .where(size(col("__b")) > 0)
       val scored = classes.zip(weights).map { case (cls, w) =>
         val feat = typedLit(w.take(nBuckets).toSeq)
@@ -97,6 +105,20 @@ object LinearClassifier {
   private[graft] def bucketArray(text: Column, nBuckets: Int): Column =
     graft.expr.HashedGramBucketsCol(text, nBuckets)
 
+  /** Character-n-gram + script pseudo-feature buckets (the langid
+    * feature space; see [[graft.expr.CharGramBucketsKernel]]). */
+  private[graft] def charBucketArray(text: Column, nBuckets: Int): Column =
+    graft.expr.CharGramBucketsCol(text, nBuckets)
+
+  private[graft] def featuresOf(kind: String, text: Column, nBuckets: Int): Column =
+    kind match {
+      case "word" => bucketArray(text, nBuckets)
+      case "char" => charBucketArray(text, nBuckets)
+      case other =>
+        throw new graft.GraftAnalysisException(
+          s"linear classifier: unknown featureKind '$other' (word|char)")
+    }
+
   /** The declarative mirror of [[bucketArray]] (see its scaladoc). */
   private[graft] def bucketArrayDeclarative(text: Column, nBuckets: Int): Column = {
     val toks = TextAnalysis.tokens(text)
@@ -118,7 +140,8 @@ object LinearClassifier {
     * (the [[Pca.fit]] precedent).
     */
   def fit(docs: DataFrame, idCol: String, labelCol: String, textCol: String,
-      nBuckets: Int = 512, lambda: Double = 1e-4): LinearTextModel = {
+      nBuckets: Int = 512, lambda: Double = 1e-4,
+      featureKind: String = "word"): LinearTextModel = {
     require(nBuckets >= 2, s"linear fit: nBuckets=$nBuckets must be >= 2")
     require(lambda > 0, s"linear fit: lambda=$lambda must be > 0")
     val spark = docs.sparkSession
@@ -129,7 +152,7 @@ object LinearClassifier {
 
     val feats = Partitioning.fanOut(docs)
       .select(col(labelCol).cast("string").as("__y"),
-        bucketArray(col(textCol), nBuckets).as("__b"))
+        featuresOf(featureKind, col(textCol), nBuckets).as("__b"))
       .where(col("__y").isNotNull && size(col("__b")) > 0)
       .as[(String, Seq[Int])]
 
@@ -203,7 +226,7 @@ object LinearClassifier {
       val rhs = Array.tabulate(dim)(d => r(d * nClasses + c))
       choleskySolve(chol, rhs)
     }
-    LinearTextModel(nBuckets, classes, weights)
+    LinearTextModel(nBuckets, classes, weights, featureKind)
   }
 
   /** In-place-free lower-triangular Cholesky factor of a symmetric

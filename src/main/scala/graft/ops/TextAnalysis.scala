@@ -88,6 +88,31 @@ object TextAnalysis {
     when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(ordered)
   }
 
+  /** TRAINED multi-class language identifier — the model rung above
+    * the [[langId]] marker-word heuristic (which knows four Latin
+    * languages and a CJK codepoint test, and nothing else). Fits the
+    * closed-form [[LinearClassifier]] on CHARACTER-n-gram + Unicode-
+    * script features (`featureKind = "char"`,
+    * [[graft.expr.CharGramBucketsKernel]]): character grams are the
+    * standard langid feature (Cavnar & Trenkle 1994; langid.py, CLD)
+    * and — unlike the word tokenizer's `[^a-z0-9]+` split, which
+    * erases every non-Latin script — they see Cyrillic, Han and
+    * Arabic text, while the script pseudo-features give the model the
+    * [[scriptProfile]] signal in the same feature space.
+    *
+    * Training is the deterministic one-pass moment fold + driver
+    * ridge solve (no SGD, no iteration); scoring is a zero-shuffle
+    * scan-speed projection — see [[LinearClassifier]] for the scale
+    * shape. Labels come from `labelCol` of the (small, curated)
+    * training frame; apply the returned model to the full corpus with
+    * `model.predict`.
+    */
+  def langIdFit(docs: DataFrame, idCol: String, labelCol: String,
+      textCol: String, nBuckets: Int = 2048,
+      lambda: Double = 1e-4): LinearClassifier.LinearTextModel =
+    LinearClassifier.fit(docs, idCol, labelCol, textCol, nBuckets, lambda,
+      featureKind = "char")
+
   /** Content fingerprint: md5 of whitespace/punctuation-normalized
     * lowercase text. Identical fingerprints ≡ near-identical content
     * modulo formatting — the standard first pass of corpus dedup. The

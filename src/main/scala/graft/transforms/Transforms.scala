@@ -220,6 +220,18 @@ object Transforms {
       if (cfg.bool("predict").getOrElse(false))
         m.predict(df, cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"))
       else m.score(df, cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"))
+    // trained language identifier: the linear_classify machinery over
+    // char-n-gram + Unicode-script features (labels in label_field;
+    // predict=true is the default — langid is used for its verdict)
+    case "langid_classify" =>
+      val cfg = t.config
+      val m = graft.ops.TextAnalysis.langIdFit(df, cfg.reqStr("id_field"),
+        cfg.reqStr("label_field"), cfg.str("text_field").getOrElse("text"),
+        nBuckets = cfg.long("buckets").getOrElse(2048L).toInt,
+        lambda = cfg.double("lambda").getOrElse(1e-4))
+      if (cfg.bool("predict").getOrElse(true))
+        m.predict(df, cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"))
+      else m.score(df, cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"))
     // order-3: BOS-padded uniform positions, λ₃/λ₂/λ₁ interpolation
     case "text_trigram_ppx" =>
       val cfg = t.config
@@ -684,7 +696,7 @@ object Transforms {
     "dedup_exact", "dedup_minhash", "dedup_groups", "text_profile", "asof_join", "range_join",
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_script", "text_repetition", "text_top_ngram", "text_unigram_ppx",
-    "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "pca_whiten",
+    "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "langid_classify", "pca_whiten",
     "url_normalize", "domain_cap", "url_filter", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
