@@ -102,6 +102,19 @@ object SinkWriter {
         }
       }
 
+    // Avro object container sink — the write half of the avro wire
+    // round trip: one shard per partition (`n_files` repartitions to
+    // set the shard count), from-spec container writer with
+    // deterministic sync markers, codec null/deflate/snappy/zstandard
+    // (default deflate). The matching `avro` source reads the shards
+    // back; so does the Apache reference library (AvroSpec pin).
+    case "avro" =>
+      val nFiles = s.config.int("n_files").getOrElse(0)
+      val shaped = if (nFiles > 0) df.repartition(nFiles) else df
+      graft.ops.Avro.writeShards(shaped, s.config.reqStr("path"),
+        codec = s.config.str("codec").getOrElse("deflate"),
+        recordName = s.config.str("record_name").getOrElse("row"))
+
     // Raw text sink: exactly one string column, one line per row (the
     // inverse of the `text` source's line mode). More columns is an
     // analysis error — concatenate upstream; silently joining columns
@@ -171,5 +184,5 @@ object SinkWriter {
   }
 
   val knownTypes: Set[String] = Set(
-    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar")
+    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar", "avro")
 }

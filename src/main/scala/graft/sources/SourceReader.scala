@@ -216,6 +216,27 @@ object SourceReader {
       }
       spark.read.json(lines)
 
+    // Avro object container files — the data-eng wire format (Kafka
+    // dumps, warehouse exports): binary load (one task per shard),
+    // from-spec container walk + datum decode in [[graft.ops.Avro]]
+    // (codecs null/deflate/snappy/bzip2/xz/zstandard). Schema comes
+    // from the first shard's header (bounded driver-side prefix read)
+    // and every shard must match it byte-for-byte; malformed shards
+    // fail fast naming the file unless skip_corrupt is set (schema
+    // DRIFT always fails — a silently dropped column is data loss).
+    case "avro" =>
+      val (files, oversizedAvro) = binarySeam(spark, s)
+      val oversizedNames = oversizedAvro
+        .select(org.apache.spark.sql.functions.col("path")).limit(10)
+        .collect().map(_.getString(0))
+      if (oversizedNames.nonEmpty)
+        throw new GraftAnalysisException(
+          s"source '${s.name}': avro shard(s) exceed max_bytes " +
+            s"(default ${Int.MaxValue} — Spark's binary row limit): " +
+            oversizedNames.mkString(", "))
+      graft.ops.Avro.rows(spark, files,
+        skipCorrupt = s.config.bool("skip_corrupt").getOrElse(false))
+
     // tar / tar.gz — the per-document-file archive layout (POSIX
     // ustar through the same from-spec gzip rung). Default emits the
     // text surface (name, size, text) of regular-file members;
