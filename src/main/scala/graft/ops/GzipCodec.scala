@@ -407,6 +407,50 @@ object GzipCodec {
   // hostile-grade compressed fixtures)
   // ------------------------------------------------------------------
 
+  /** One COMPRESSING gzip member: the from-spec [[Deflate]] encoder
+    * (LZ77 + length-limited dynamic Huffman, best-of-three block
+    * types) inside the RFC 1952 framing — header, deflate body,
+    * CRC-32 + ISIZE trailer. Deterministic bytes. */
+  def gzip(data: Array[Byte]): Array[Byte] = {
+    val body = Deflate.compress(data)
+    val out = new Array[Byte](10 + body.length + 8)
+    out(0) = 0x1F.toByte; out(1) = 0x8B.toByte; out(2) = 8
+    out(9) = 0xFF.toByte
+    System.arraycopy(body, 0, out, 10, body.length)
+    val crc = crc32(data, 0, data.length)
+    val isz = data.length.toLong & 0xFFFFFFFFL
+    var k = 0
+    while (k < 4) {
+      out(10 + body.length + k) = ((crc >> (8 * k)) & 0xFF).toByte
+      out(10 + body.length + 4 + k) = ((isz >> (8 * k)) & 0xFF).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** One zlib stream (RFC 1950) over the from-spec [[Deflate]] body:
+    * CMF/FLG with a valid check value, Adler-32 trailer. */
+  def zlib(data: Array[Byte]): Array[Byte] = {
+    val body = Deflate.compress(data)
+    val out = new Array[Byte](2 + body.length + 4)
+    out(0) = 0x78.toByte // CM=8, CINFO=7 (32 KiB window)
+    // FLG: FCHECK makes (CMF*256 + FLG) % 31 == 0; FLEVEL=2, no FDICT
+    val flg = {
+      val base = 2 << 6
+      val rem = (0x78 * 256 + base) % 31
+      base + (if (rem == 0) 0 else 31 - rem)
+    }
+    out(1) = flg.toByte
+    System.arraycopy(body, 0, out, 2, body.length)
+    val ad = adler32(data, 0, data.length)
+    var k = 0
+    while (k < 4) {
+      out(2 + body.length + k) = ((ad >> (8 * (3 - k))) & 0xFF).toByte // big-endian
+      k += 1
+    }
+    out
+  }
+
   /** One stored-mode gzip member: correct header, stored DEFLATE
     * blocks (≤ 65535 bytes each), CRC-32 + ISIZE trailer. */
   def gzipStored(data: Array[Byte]): Array[Byte] = {

@@ -207,6 +207,12 @@ object Tar {
           (s"doc/$id.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         val tar = tarOf(members)
+        if (fileId % 2 == 0) {
+          // even buckets: our from-spec RFC 1951 encoder inside the
+          // gzip framing (GzipCodec.gzip) — the write half this round
+          // added; odd buckets keep the JDK as the independent encoder
+          (fileId, GzipCodec.gzip(tar))
+        } else {
         val d = new java.util.zip.Deflater((fileId % 9 + 1).toInt, true)
         d.setInput(tar); d.finish()
         val bos = new java.io.ByteArrayOutputStream(tar.length / 2 + 64)
@@ -220,6 +226,7 @@ object Tar {
         k = 0
         while (k < 4) { bos.write(((tar.length.toLong >> (8 * k)) & 0xFF).toInt); k += 1 }
         (fileId, bos.toByteArray)
+        }
       }
       .toDF("file_id", "payload")
   }

@@ -123,22 +123,28 @@ object Zip {
     while (k < 4) { o.write(((v >> (8 * k)) & 0xFF).toInt); k += 1 }
   }
 
-  /** Spec-legal stored-mode zip of (name, data) members. */
-  def zipOf(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+  /** Spec-legal zip of (name, data) members — stored, or DEFLATE
+    * through the from-spec [[Deflate]] encoder (method 8,
+    * unconditionally: a DEFLATE member is spec-legal at any size, and
+    * the deterministic method choice keeps gate oracles id-derivable;
+    * the encoder's own stored-block mode already bounds expansion). */
+  def zipOf(members: Seq[(String, Array[Byte])], deflate: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val central = new java.io.ByteArrayOutputStream()
     members.foreach { case (name, data) =>
       val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val crc = GzipCodec.crc32(data, 0, data.length)
+      val (method, body) =
+        if (deflate) (8, Deflate.compress(data)) else (0, data)
       val off = out.size()
       w32(out, 0x04034b50L); w16(out, 20); w16(out, 0x800 /* UTF-8 names */)
-      w16(out, 0); w16(out, 0); w16(out, 0) // stored, dos time/date 0
-      w32(out, crc); w32(out, data.length); w32(out, data.length)
+      w16(out, method); w16(out, 0); w16(out, 0) // dos time/date 0
+      w32(out, crc); w32(out, body.length); w32(out, data.length)
       w16(out, nameBytes.length); w16(out, 0)
-      out.write(nameBytes); out.write(data)
+      out.write(nameBytes); out.write(body)
       w32(central, 0x02014b50L); w16(central, 20); w16(central, 20); w16(central, 0x800)
-      w16(central, 0); w16(central, 0); w16(central, 0)
-      w32(central, crc); w32(central, data.length); w32(central, data.length)
+      w16(central, method); w16(central, 0); w16(central, 0)
+      w32(central, crc); w32(central, body.length); w32(central, data.length)
       w16(central, nameBytes.length); w16(central, 0); w16(central, 0)
       w16(central, 0); w16(central, 0); w32(central, 0)
       w32(central, off)
@@ -174,6 +180,12 @@ object Zip {
             zipOf(sorted.map { case (id, text) =>
               (s"doc/$id.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             })
+          else if (fileId % 4 == 1)
+            // our from-spec DEFLATE writer (method 8) — same method
+            // the oracle predicts for odd buckets, different encoder
+            zipOf(sorted.map { case (id, text) =>
+              (s"doc/$id.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }, deflate = true)
           else {
             // DEFLATE members via the JDK's independent zip writer
             val bos = new java.io.ByteArrayOutputStream()

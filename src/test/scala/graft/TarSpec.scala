@@ -159,5 +159,15 @@ class TarSpec extends SparkSuite {
     val corrupt = Tar.packDocsTarGz(docs, "doc_id", "text").limit(1)
       .select($"file_id", expr("concat(substring(payload, 1, 40), X'00')").as("payload"))
     assert(Tar.members(corrupt, "file_id", "payload").where($"member_index" === -1).count() == 1)
+    // even buckets now carry OUR from-spec gzip/Deflate wrapper — the
+    // independent commons-compress stack must read them end to end
+    val even = Tar.packDocsTarGz(docs, "doc_id", "text")
+      .where($"file_id" % 2 === 0).select("payload").as[Array[Byte]].head()
+    val tin = new TarArchiveInputStream(
+      new org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream(
+        new java.io.ByteArrayInputStream(even)))
+    val names = Iterator.continually(tin.getNextTarEntry).takeWhile(_ != null)
+      .map(_.getName).toSeq
+    assert(names == Seq("doc/", "doc/0.txt"))
   }
 }

@@ -64,6 +64,28 @@ class ZipSpec extends SparkSuite {
     assert(Zip.entries(zip).get.map(_.name) == files.map(_._1))
   }
 
+  test("our DEFLATE-mode zips (from-spec Deflate encoder) parse in the JDK reader and commons-compress") {
+    val bigFiles = files :+ ("big.txt",
+      ("compressible repeated content " * 2000).getBytes("UTF-8"))
+    val zip = Zip.zipOf(bigFiles, deflate = true)
+    // it genuinely compresses: the archive is far below the raw bytes
+    assert(zip.length < bigFiles.map(_._2.length).sum / 2)
+    val in = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(zip))
+    val got = Iterator.continually(in.getNextEntry).takeWhile(_ != null)
+      .map(e => (e.getName, in.readAllBytes())).toSeq
+    assert(got.map(_._1) == bigFiles.map(_._1))
+    for (((_, d), (_, want)) <- got.zip(bigFiles)) assert(java.util.Arrays.equals(d, want))
+    val cc = new org.apache.commons.compress.archivers.zip.ZipArchiveInputStream(
+      new java.io.ByteArrayInputStream(zip))
+    val ccGot = Iterator.continually(cc.getNextZipEntry).takeWhile(_ != null)
+      .map(e => (e.getName, cc.readAllBytes())).toSeq
+    for (((_, d), (_, want)) <- ccGot.zip(bigFiles)) assert(java.util.Arrays.equals(d, want))
+    // and of course our own walk, with every member at method 8
+    val es = Zip.entries(zip).get
+    assert(es.forall(_.method == 8))
+    for ((e, (_, d)) <- es.zip(bigFiles)) assert(java.util.Arrays.equals(e.data, d))
+  }
+
   test("refusals: CRC tamper, truncation, encrypted flag, junk") {
     val zip = jdkZip(files, 6)
     val bad = zip.clone()
