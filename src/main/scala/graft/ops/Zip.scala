@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * parse with its OWN name/extra lengths honored (they legally
   * differ from the central ones), stored (0) and DEFLATE (8)
   * methods, data-descriptor streams (flag bit 3 — central sizes
-  * remain authoritative), member CRC-32 VERIFIED. Refused,
-  * declared: encryption (flag bit 0), zip64 markers (0xFFFFFFFF
-  * sizes/offsets, > 64k entries), other compression methods.
+  * remain authoritative), member CRC-32 VERIFIED, and ZIP64
+  * (round 11): EOCD64 locator + record for the directory geometry
+  * and the 0x0001 extra field for masked per-entry sizes/offsets —
+  * the structures Python's zipfile, Hadoop writers and HF dataset
+  * zips emit even for small archives (and required past 65535
+  * members; the archive itself stays under the binary seam's 2 GiB
+  * row bound). Refused, declared: encryption (flag bit 0),
+  * multi-disk archives, other compression methods.
   *
   * Writer: stored-mode members + correct central directory — the
   * gzipStored discipline: spec-legal output any unzip accepts, with
@@ -45,6 +50,41 @@ object Zip {
     if (i < 0 || i + 4 > b.length) refuse()
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) | ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
   }
+  private def u64(b: Array[Byte], i: Int): Long = {
+    if (i < 0 || i + 8 > b.length) refuse()
+    var v = 0L
+    var k = 0
+    while (k < 8) { v |= (b(i + k) & 0xFFL) << (8 * k); k += 1 }
+    if (v < 0) refuse() // > 2^63: cannot be a position in a byte array
+    v
+  }
+
+  /** Values of the ZIP64 0x0001 extra field for the MASKED central
+    * fields, in the order the spec stores them (uncompressed size,
+    * compressed size, local offset); disk number ignored (multi-disk
+    * refused at the EOCD). Fields that were not masked keep their
+    * 32-bit values. */
+  private def zip64Extra(p: Array[Byte], extraOff: Int, extraLen: Int,
+      unp: Long, comp: Long, localOff: Long): (Long, Long, Long) = {
+    var (u, c, o) = (unp, comp, localOff)
+    var i = extraOff
+    val end = extraOff + extraLen
+    while (i + 4 <= end) {
+      val id = u16(p, i)
+      val len = u16(p, i + 2)
+      if (i + 4 + len > end) refuse()
+      if (id == 0x0001) {
+        var j = i + 4
+        if (u == 0xFFFFFFFFL) { u = u64(p, j); j += 8 }
+        if (c == 0xFFFFFFFFL) { c = u64(p, j); j += 8 }
+        if (o == 0xFFFFFFFFL) { o = u64(p, j); j += 8 }
+        if (j > i + 4 + len) refuse()
+      }
+      i += 4 + len
+    }
+    if (u == 0xFFFFFFFFL || c == 0xFFFFFFFFL || o == 0xFFFFFFFFL) refuse()
+    (u, c, o)
+  }
 
   /** Parse all members; None on any structural violation. */
   def entries(p: Array[Byte]): Option[Seq[Entry]] =
@@ -58,32 +98,53 @@ object Zip {
         i -= 1
       }
       if (eocd < 0) refuse()
-      val nEntries = u16(p, eocd + 10)
-      if (u16(p, eocd + 8) != nEntries) refuse() // multi-disk out of scope
-      if (nEntries == 0xFFFF) refuse() // zip64
-      val cdSize = u32(p, eocd + 12)
-      val cdOff = u32(p, eocd + 16)
-      if (cdOff == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL) refuse() // zip64
-      if (cdOff + cdSize != eocd) refuse()
+      // ZIP64: the EOCD64 locator sits immediately before the EOCD
+      val loc = eocd - 20
+      val hasZip64 = loc >= 0 && u32(p, loc) == 0x07064b50L
+      val (nEntries, cdSize, cdOff, cdEnd) =
+        if (hasZip64) {
+          if (u32(p, loc + 4) != 0L || u32(p, loc + 16) != 1L) refuse() // single disk only
+          val e64 = u64(p, loc + 8)
+          if (e64 > Int.MaxValue) refuse()
+          val e = e64.toInt
+          if (u32(p, e) != 0x06064b50L) refuse() // EOCD64 record sig
+          if (u32(p, e + 16) != 0L || u32(p, e + 20) != 0L) refuse() // disks
+          val n = u64(p, e + 24)
+          if (n != u64(p, e + 32)) refuse()
+          (n, u64(p, e + 40), u64(p, e + 48), e64)
+        } else {
+          val n = u16(p, eocd + 10)
+          if (u16(p, eocd + 8) != n) refuse() // multi-disk out of scope
+          if (n == 0xFFFF) refuse() // zip64 count without a locator
+          val sz = u32(p, eocd + 12)
+          val off = u32(p, eocd + 16)
+          if (off == 0xFFFFFFFFL || sz == 0xFFFFFFFFL) refuse()
+          (n.toLong, sz, off, eocd.toLong)
+        }
+      if (cdOff + cdSize != cdEnd) refuse()
+      if (cdOff > Int.MaxValue) refuse()
 
       val out = Seq.newBuilder[Entry]
       var pos = cdOff.toInt
-      var k = 0
+      var k = 0L
       while (k < nEntries) {
         if (u32(p, pos) != 0x02014b50L) refuse() // central header sig
         val flags = u16(p, pos + 8)
         if ((flags & 1) != 0) refuse() // encrypted
         val method = u16(p, pos + 10)
         val wantCrc = u32(p, pos + 16)
-        val compSize = u32(p, pos + 20)
-        val unpSize = u32(p, pos + 24)
-        if (compSize == 0xFFFFFFFFL || unpSize == 0xFFFFFFFFL) refuse() // zip64
+        val compSize0 = u32(p, pos + 20)
+        val unpSize0 = u32(p, pos + 24)
         val nameLen = u16(p, pos + 28)
         val extraLen = u16(p, pos + 30)
         val commentLen = u16(p, pos + 32)
-        val localOff = u32(p, pos + 42)
-        if (localOff == 0xFFFFFFFFL) refuse()
-        if (pos + 46 + nameLen > p.length) refuse()
+        val localOff0 = u32(p, pos + 42)
+        if (pos + 46 + nameLen + extraLen > p.length) refuse()
+        val (unpSize, compSize, localOff) =
+          if (compSize0 == 0xFFFFFFFFL || unpSize0 == 0xFFFFFFFFL || localOff0 == 0xFFFFFFFFL)
+            zip64Extra(p, pos + 46 + nameLen, extraLen, unpSize0, compSize0, localOff0)
+          else (unpSize0, compSize0, localOff0)
+        if (localOff > Int.MaxValue || compSize > Int.MaxValue) refuse()
         val name = new String(p, pos + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
 
         // local header: its own name/extra lengths apply

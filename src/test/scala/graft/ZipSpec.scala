@@ -86,6 +86,44 @@ class ZipSpec extends SparkSuite {
     for ((e, (_, d)) <- es.zip(bigFiles)) assert(java.util.Arrays.equals(e.data, d))
   }
 
+  test("zip64 archives parse: forced zip64 structures and > 65535 members") {
+    import org.apache.commons.compress.archivers.zip.{Zip64Mode, ZipArchiveEntry, ZipArchiveOutputStream}
+    // commons-compress with Zip64Mode.Always emits the EOCD64 record +
+    // locator and 0x0001 extra fields even for a tiny archive — the
+    // layout Python zipfile / Hadoop writers produce
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipArchiveOutputStream(bos)
+    z.setUseZip64(Zip64Mode.Always)
+    for ((name, data) <- files) {
+      z.putArchiveEntry(new ZipArchiveEntry(name))
+      z.write(data)
+      z.closeArchiveEntry()
+    }
+    z.close()
+    val got = Zip.entries(bos.toByteArray).get
+    assert(got.map(_.name) == files.map(_._1))
+    for ((e, (_, d)) <- got.zip(files)) assert(java.util.Arrays.equals(e.data, d), e.name)
+
+    // > 65535 members: the 16-bit EOCD count masks to 0xFFFF and only
+    // the EOCD64 record carries the real count
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val z2 = new ZipArchiveOutputStream(bos2)
+    z2.setUseZip64(Zip64Mode.AsNeeded)
+    val n = 65600
+    var i = 0
+    while (i < n) {
+      z2.putArchiveEntry(new ZipArchiveEntry(s"m$i"))
+      if (i % 1000 == 0) z2.write(i.toString.getBytes)
+      z2.closeArchiveEntry()
+      i += 1
+    }
+    z2.close()
+    val many = Zip.entries(bos2.toByteArray).get
+    assert(many.length == n)
+    assert(many(65599).name == "m65599")
+    assert(new String(many(65000).data) == "65000")
+  }
+
   test("refusals: CRC tamper, truncation, encrypted flag, junk") {
     val zip = jdkZip(files, 6)
     val bad = zip.clone()
