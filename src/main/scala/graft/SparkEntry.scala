@@ -905,6 +905,21 @@ object SparkEntry {
         graft.ops.Bloom.mightContain(fBig, 4, key).as("hit_big"))
     }),
 
+    // Count-Min heavy hitters (round 11, the Bloom sibling): every
+    // corpus token with >= 200 occurrences, found by building the
+    // deterministic d=4 w=1024 sketch in ONE fixed-state aggregation,
+    // prefiltering the token stream at the scan against the sketch
+    // (CMS never undercounts, so the prefilter is lossless), and
+    // exact-counting only the surviving candidates. The oracle
+    // rebuilds the full 4×1024 grid from the same md5 double-hash
+    // arithmetic and replays counts AND estimates — the determinism
+    // contract is total.
+    "x_heavy_hitters" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.ops.CountMin.heavyHitters(toks, "tok", threshold = 200L, d = 4, w = 1024)
+    }),
+
     // Per-domain cap: 7 synthetic hosts derived from doc_id, cap 20
     // docs per host, earliest-id priority — host extraction AND the
     // bounded-heap cap both replayed by a windowed oracle. (The
@@ -3074,6 +3089,37 @@ object SparkEntry {
       SELECT doc_id, doc_id % 2 = 0 AS member,
              s_ok = 1 AS hit_small, b_ok = 1 AS hit_big
       FROM hits""",
+
+    // heavy hitters re-derived: the oracle builds the same 4×1024
+    // count-min grid cell by cell (every token occurrence lands at
+    // (i, (h1 + i*h2) mod 1024) for i in 0..3), then replays each
+    // candidate's min-over-rows estimate and the exact-count filter
+    "x_heavy_hitters" -> """
+      WITH toks AS MATERIALIZED (
+        SELECT u.tok FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        t -> t <> '')) AS tok
+          FROM documents) u),
+      h AS MATERIALIZED (
+        SELECT tok,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+        FROM toks),
+      cells AS (
+        SELECT t.i AS ri, CAST((h1 + t.i * h2) % 1024 AS INT) AS cj, count(*) AS c
+        FROM h, range(4) t(i)
+        GROUP BY 1, 2),
+      keys AS (
+        SELECT tok, count(*) AS cnt, any_value(h1) AS h1, any_value(h2) AS h2
+        FROM h GROUP BY tok),
+      est AS (
+        SELECT k.tok, k.cnt, min(c.c) AS est
+        FROM keys k
+        JOIN range(4) t(i) ON true
+        JOIN cells c ON c.ri = t.i AND c.cj = CAST((k.h1 + t.i * k.h2) % 1024 AS INT)
+        GROUP BY k.tok, k.cnt)
+      SELECT tok AS key, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est
+      FROM est WHERE cnt >= 200""",
 
     // domain cap re-derived: same host arithmetic, row_number ≤ k
     "x_domain_cap" -> """

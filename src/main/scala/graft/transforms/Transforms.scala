@@ -220,6 +220,10 @@ object Transforms {
       if (cfg.bool("predict").getOrElse(false))
         m.predict(df, cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"))
       else m.score(df, cfg.reqStr("id_field"), cfg.str("text_field").getOrElse("text"))
+    // CMS-prefiltered exact heavy hitters (the Bloom sibling): keys
+    // with true weight >= threshold, exact counts, no full-key shuffle
+    case "heavy_hitters" =>
+      graft.ops.CountMin.heavyHittersOp(df, t.config)
     // trained language identifier: the linear_classify machinery over
     // char-n-gram + Unicode-script features (labels in label_field;
     // predict=true is the default — langid is used for its verdict)
@@ -699,7 +703,7 @@ object Transforms {
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "langid_classify", "pca_whiten",
     "url_normalize", "domain_cap", "url_filter", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "pdf_extract",
-    "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter",
+    "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
