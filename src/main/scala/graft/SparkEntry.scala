@@ -920,6 +920,47 @@ object SparkEntry {
       graft.ops.CountMin.heavyHitters(toks, "tok", threshold = 200L, d = 4, w = 1024)
     }),
 
+    // Bloom-pruned join (round 11): lineitem pruned AT ITS SCAN with
+    // a filter built over a selective orders subset, exact join after
+    // — the oracle is the PLAIN SQL join, because the contract is
+    // "row-for-row identical to the unpruned join" (no false
+    // negatives; the exact join removes the false positives). The
+    // plan shape (prune below the exchange) is asserted in OpsSpec.
+    "x_bloom_join" -> ((s, d) => {
+      val right = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.ops.Bloom.prunedJoin(t(s, d, "lineitem"), right, "l_orderkey", "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
+    }),
+
+    // robots.txt politeness (round 11, RFC 9309): five synthetic
+    // hosts (h4 has no robots row → allowed), four path classes, and
+    // planted robots bodies that exercise every selection rung —
+    // star-group fallback (h0), exact agent match beating a stricter
+    // other-bot group (h1-h3, case-insensitive "GraftBot"),
+    // longest-match allow-over-disallow (/private/ok vs /private),
+    // and a $-anchored wildcard (/*.html$). The oracle replays the
+    // verdicts from the same id arithmetic the bodies were planted
+    // with.
+    "x_robots_filter" -> ((s, d) => {
+      import s.implicits._
+      val cls = pmod(col("doc_id"), lit(4))
+      val urls = docs(s, d).select(col("doc_id"),
+        concat(lit("https://h"), pmod(col("doc_id"), lit(5)), lit(".example.com"),
+          when(cls === 0, concat(lit("/pub/"), col("doc_id")))
+            .when(cls === 1, concat(lit("/private/"), col("doc_id")))
+            .when(cls === 2, concat(lit("/private/ok/"), col("doc_id")))
+            .otherwise(concat(lit("/tmp/"), col("doc_id"), lit(".html")))).as("url"))
+      val starBody = "# h0: star group only\nUser-agent: *\nDisallow: /tmp\n"
+      val botBody = "User-agent: other-bot\nDisallow: /\n\n" +
+        "User-Agent: GraftBot\nDisallow: /private\nAllow: /private/ok\nDisallow: /*.html$\n"
+      val robots = (0 to 3).map(j => (s"h$j.example.com", if (j == 0) starBody else botBody))
+        .toDF("host", "robots_txt")
+      graft.ops.Robots.verdicts(urls, "url", robots, "host", "robots_txt", "graftbot")
+        .select(col("doc_id"), col("url"), col("allowed"))
+    }),
+
     // Per-domain cap: 7 synthetic hosts derived from doc_id, cap 20
     // docs per host, earliest-id priority — host extraction AND the
     // bounded-heap cap both replayed by a windowed oracle. (The
@@ -3120,6 +3161,37 @@ object SparkEntry {
         GROUP BY k.tok, k.cnt)
       SELECT tok AS key, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est
       FROM est WHERE cnt >= 200""",
+
+    // bloom-pruned join: the oracle is the PLAIN join — pruning must
+    // be invisible in the result set
+    "x_bloom_join" -> """
+      SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+      FROM lineitem l
+      JOIN (SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000) o
+        ON l.l_orderkey = o.o_orderkey""",
+
+    // robots verdicts re-derived from the planted id arithmetic:
+    // h4 has no robots row (allowed); h0 is the star group
+    // (Disallow /tmp → class 3 blocked); h1-h3 are the graftbot
+    // group (class 1 blocked by /private, class 2 saved by the
+    // longer /private/ok allow, class 3 blocked by /*.html$)
+    "x_robots_filter" -> """
+      WITH u AS (
+        SELECT doc_id, doc_id % 5 AS j, doc_id % 4 AS c,
+               CASE doc_id % 4
+                 WHEN 0 THEN '/pub/' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/tmp/' || CAST(doc_id AS VARCHAR) || '.html'
+               END AS path
+        FROM documents)
+      SELECT doc_id,
+             'https://h' || CAST(j AS VARCHAR) || '.example.com' || path AS url,
+             CASE WHEN j = 4 THEN TRUE
+                  WHEN j = 0 THEN c <> 3
+                  ELSE c IN (0, 2) END AS allowed
+      FROM u""",
 
     // domain cap re-derived: same host arithmetic, row_number ≤ k
     "x_domain_cap" -> """

@@ -44,16 +44,16 @@ object PipelineCompiler {
     spec.transforms.foreach { t =>
       if (!Transforms.knownTypes.contains(t.transformType))
         errs += s"transform '${t.name}': unknown type '${t.transformType}'"
-      if (t.transformType == "join") {
+      if (t.transformType == "join" || t.transformType == "bloom_join") {
         val right = t.config.str("right")
         if (right.exists(r => !sourceNames.contains(r)))
-          errs += s"transform '${t.name}': join right '${right.get}' is not a declared source"
+          errs += s"transform '${t.name}': ${t.transformType} right '${right.get}' is not a declared source"
       }
       // same cross-source contract for the other context-consuming ops
       val ctxKey = t.transformType match {
         case "ann_topk" => Some("queries")
         case "contamination" | "contamination_embed" | "contamination_ngram"
-           | "dedup_index_check" => Some("against")
+           | "dedup_index_check" | "bloom_check" | "robots_filter" => Some("against")
         case "dsir_weights" => Some("target")
         case "corpus_diff" => Some("old")
         case "text_unigram_ppx" => Some("lm_source") // optional; checked when present

@@ -95,4 +95,38 @@ object Bloom {
     while (m < (1 << 30) && rate(m) > fpp) m <<= 1
     m
   }
+
+  /** Bloom-pruned join — the "runtime filter" pattern made explicit
+    * for the 100 TB probe side: build the filter over the SMALL
+    * side's join keys (one fixed-state aggregation), then prune the
+    * big side AT ITS SCAN with the codegen'd probe before any
+    * exchange, so rows that cannot possibly match never enter the
+    * shuffle. At corpus scale this is the difference between
+    * shuffling 100 TB of documents and shuffling the ~fpp sliver
+    * that survives the filter. Correctness is unconditional: Bloom
+    * has no false negatives, so the prune is lossless, and the
+    * exact join that follows removes the false positives — the
+    * result is row-for-row the plain join's.
+    *
+    * Restricted to the join types pruning is lossless for: `inner`
+    * and `left_semi` (anything outer would need the pruned rows
+    * back). Null keys never match an equi-join, and the probe maps
+    * them to null → dropped, which agrees. `rightKeys` lets callers
+    * skip the sizing `count()` job when the small side's cardinality
+    * is already known.
+    */
+  def prunedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 joinType: String = "inner", k: Int = 5, fpp: Double = 0.01,
+                 rightKeys: Option[Long] = None): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi" || jt == "semi",
+      s"bloom-pruned join supports inner/left_semi (pruning is lossless); got '$joinType'")
+    val n = rightKeys.getOrElse(right.count())
+    val m = sizeFor(math.max(1L, n), k, fpp)
+    val f = build(right, rightKey, m, k)
+    val pruned = left.filter(mightContain(f, k, col(leftKey).cast("string")))
+    val jtNorm = if (jt == "inner") "inner" else "left_semi"
+    pruned.join(right, pruned(leftKey) === right(rightKey), jtNorm)
+  }
 }

@@ -433,6 +433,32 @@ object Transforms {
       val filter = graft.ops.Bloom.build(right, rightKey, m, k)
       df.withColumn(cfg.str("out_field").getOrElse("seen"),
         graft.ops.Bloom.mightContain(filter, k, c(keyField).cast("string")))
+    // bloom-pruned join: same result as `join` (inner/left_semi only),
+    // but the big left stream is pruned AT ITS SCAN with a filter
+    // built over the right side's keys, so rows that cannot match
+    // never enter the shuffle — the explicit runtime-filter pattern
+    // for 100 TB probe sides
+    case "bloom_join" =>
+      val cfg = t.config
+      val rName = cfg.reqStr("right")
+      val right0 = ctx.getOrElse(rName,
+        throw new GraftAnalysisException(s"bloom_join: unknown right source '$rName'"))
+      val lk = cfg.str("left_key").getOrElse("id")
+      val rk = cfg.str("right_key").getOrElse("id")
+      val how = cfg.str("how").getOrElse("inner")
+      if (how != "inner" && how != "left_semi")
+        throw new GraftAnalysisException(
+          s"bloom_join: only inner/left_semi (pruning is lossless for those); got '$how'")
+      // inner keeps right columns under the JoinOp prefix convention;
+      // left_semi emits left columns only, so no rename is needed
+      val prefix = cfg.str("prefix").getOrElse("r_")
+      val right = if (how == "inner")
+        right0.select(right0.columns.map(cn => c(cn).as(prefix + cn)).toSeq: _*)
+      else right0
+      val rkEff = if (how == "inner") prefix + rk else rk
+      graft.ops.Bloom.prunedJoin(df, right, lk, rkEff, how,
+        cfg.int("hashes").getOrElse(5), cfg.double("fpp").getOrElse(0.01),
+        cfg.int("right_count").map(_.toLong))
     // matryoshka truncation: first-k dims (+ renormalize) of an
     // MRL-style embedding column, in place
     case "embed_truncate" =>
@@ -451,6 +477,24 @@ object Transforms {
       if (t.config.str("action").getOrElse("drop") == "flag")
         df.withColumn(t.config.str("out_field").getOrElse("blocked"), blocked)
       else df.where(!blocked)
+    // robots.txt politeness (RFC 9309): evaluate each row's URL
+    // against the `against` source's per-host robots bodies for the
+    // configured agent; action=flag appends the verdict, drop keeps
+    // only fetchable rows. Hosts with no robots row are allowed.
+    case "robots_filter" =>
+      val cfg = t.config
+      val rName = cfg.reqStr("against")
+      val robots = ctx.getOrElse(rName,
+        throw new GraftAnalysisException(s"robots_filter: unknown source '$rName'"))
+      val urlField = cfg.str("field").getOrElse("url")
+      val hostField = cfg.str("host_field").getOrElse("host")
+      val contentField = cfg.str("content_field").getOrElse("robots_txt")
+      val agent = cfg.str("agent").getOrElse("*")
+      if (cfg.str("action").getOrElse("drop") == "flag")
+        graft.ops.Robots.verdicts(df, urlField, robots, hostField, contentField,
+          agent, cfg.str("out_field").getOrElse("allowed"))
+      else
+        graft.ops.Robots.filter(df, urlField, robots, hostField, contentField, agent)
     // domain-diversity cap: keep ≤ max_per_host docs per URL host
     // (mode first|sample), schemeless rows exempt; rows filter in
     // place via semi-join on the id field
@@ -701,8 +745,8 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_script", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "langid_classify", "pca_whiten",
-    "url_normalize", "domain_cap", "url_filter", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
-    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "pdf_extract",
+    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "bloom_join", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",

@@ -1192,6 +1192,40 @@ class OpsSpec extends SparkSuite {
       Seq((1852990044L % 2048).toInt, ((1852990044L + 3692736192L) % 2048).toInt))
   }
 
+  test("bloom-pruned join: row-identical to plain join, prune below the join on the left, semi mode, outer refused") {
+    import graft.ops.Bloom
+    // parquet-backed left: over a LocalRelation the optimizer folds
+    // the Filter away eagerly (ConvertToLocalRelation), hiding the
+    // plan shape this test pins — a file scan is the realistic case
+    val dir = java.nio.file.Files.createTempDirectory("bloomjoin").toString
+    (0L until 2000L).map(i => (i % 400, s"l-$i")).toDF("k", "lv")
+      .write.mode("overwrite").parquet(dir)
+    val left = spark.read.parquet(dir)
+    val right = (0L until 50L).map(i => (i * 8, s"r-$i")).toDF("rk", "rv")
+    val pj = Bloom.prunedJoin(left, right, "k", "rk")
+    val plain = left.join(right, left("k") === right("rk"), "inner")
+    assert(pj.collect().map(_.toSeq).sortBy(_.toString()).toSeq ==
+      plain.collect().map(_.toSeq).sortBy(_.toString()).toSeq)
+    // the prune is a Filter carrying the bloom probe on the LEFT
+    // branch BELOW the join — the shape that keeps non-matching rows
+    // out of the exchange at scale
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val joins = pj.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    val hasPrune = joins.exists(_.left.collect {
+      case f: Filter if f.condition.exists(_.isInstanceOf[graft.expr.BloomMightContain]) => f
+    }.nonEmpty)
+    assert(hasPrune, "bloom prune must sit on the left branch below the join")
+    // left_semi agrees with the plain semi join
+    val semi = Bloom.prunedJoin(left, right, "k", "rk", "left_semi")
+    val plainSemi = left.join(right, left("k") === right("rk"), "left_semi")
+    assert(semi.collect().map(_.toSeq).toSet == plainSemi.collect().map(_.toSeq).toSet)
+    // pruning is NOT lossless for outer joins → refused
+    intercept[IllegalArgumentException] {
+      Bloom.prunedJoin(left, right, "k", "rk", "left")
+    }
+  }
+
   test("matryoshka truncation: prefix + renorm, zero vectors pass through, raw mode slices only") {
     import graft.ops.Similarity
     val rows = Seq(
