@@ -961,6 +961,36 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("allowed"))
     }),
 
+    // member-split WARC scan (round 11): the corpus packed into 8
+    // real .warc.gz files on disk, indexed by the streaming member
+    // walk with a 4 KiB coalescing target (forcing many ranges per
+    // file), then re-read as ranged-fan-out tasks through the
+    // from-spec CRC-verified decode — every response record's uri,
+    // id, status, length, and body digest must replay from corpus
+    // columns exactly as the whole-file scan's do. The boundary
+    // index vs whole-file equivalence and the quarantine contract
+    // are pinned in WarcSpec.
+    "x_warc_split" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-warcsplit").toFile
+      val base = dir.getAbsolutePath
+      Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text", nFiles = 8)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            val out = new java.io.FileOutputStream(
+              new java.io.File(base, f"part-${r.getLong(0)}%05d.warc.gz"))
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
+        }
+      val paths = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz").load(base).select(col("path"))
+      graft.ops.Warc.splitRecords(paths, "path", targetBytes = 4096)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("record_id"), col("http_status").cast("long").as("status"),
+          col("content_length"), md5(col("body")).as("digest"))
+    }),
+
     // Per-domain cap: 7 synthetic hosts derived from doc_id, cap 20
     // docs per host, earliest-id priority — host extraction AND the
     // bounded-heap cap both replayed by a windowed oracle. (The
@@ -3192,6 +3222,33 @@ object SparkEntry {
                   WHEN j = 0 THEN c <> 3
                   ELSE c IN (0, 2) END AS allowed
       FROM u""",
+
+    // member-split scan: same response-record derivation as
+    // x_warc_records (page → http message → record), minus the
+    // file-relative rec_index (restarts per range by design)
+    "x_warc_split" -> """
+      WITH page AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
+            coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>' AS page
+        FROM documents),
+      http AS (
+        SELECT doc_id,
+          'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+          'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+          'Content-Length: ' || octet_length(encode(page)) || chr(13) || chr(10) || chr(13) || chr(10) ||
+          page AS http
+        FROM page)
+      SELECT doc_id,
+        '<urn:uuid:' || substr(md5('doc-' || doc_id), 1, 8) || '-' ||
+          substr(md5('doc-' || doc_id), 9, 4) || '-' ||
+          substr(md5('doc-' || doc_id), 13, 4) || '-' ||
+          substr(md5('doc-' || doc_id), 17, 4) || '-' ||
+          substr(md5('doc-' || doc_id), 21, 12) || '>' AS record_id,
+        CAST(200 AS BIGINT) AS status,
+        CAST(octet_length(encode(http)) AS BIGINT) AS content_length,
+        md5(http) AS digest
+      FROM http""",
 
     // domain cap re-derived: same host arithmetic, row_number ≤ k
     "x_domain_cap" -> """

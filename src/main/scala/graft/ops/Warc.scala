@@ -476,4 +476,187 @@ object Warc {
       }
       .toDF("file_id", "payload")
   }
+
+  // ------------------------------------------------------------------
+  // member-split scan (round 11): unbounded file sizes, intra-file
+  // parallelism — the scale path above the whole-file binaryFile seam
+  // ------------------------------------------------------------------
+
+  /** Sequential byte reader over an InputStream that can feed a JDK
+    * Inflater and logically UNREAD the bytes the inflater did not
+    * consume from its last chunk — the machinery a member-boundary
+    * walk needs to land `pos` exactly on each member's trailer.
+    * O(chunk) memory regardless of stream length. */
+  private final class CountingReader(in: java.io.InputStream) {
+    private val chunk = new Array[Byte](64 << 10)
+    private var len = 0
+    private var off = 0
+    /** absolute offset of the next unconsumed byte */
+    var pos: Long = 0L
+    private def refill(): Unit = { len = in.read(chunk); off = 0 }
+    /** next byte, or -1 at EOF */
+    def readByte(): Int = {
+      if (off >= len) { refill(); if (len <= 0) return -1 }
+      val b = chunk(off) & 0xFF; off += 1; pos += 1; b
+    }
+    def atEof: Boolean = {
+      if (off < len) false else { refill(); len <= 0 }
+    }
+    /** hand every currently-buffered (or freshly read) byte to the
+      * inflater; false at EOF. Safe because the inflater only asks
+      * for input after fully consuming the previous chunk. */
+    def feed(inf: java.util.zip.Inflater): Boolean = {
+      if (off >= len) { refill(); if (len <= 0) return false }
+      inf.setInput(chunk, off, len - off)
+      pos += len - off
+      off = len
+      true
+    }
+    /** give back the tail of the LAST fed chunk (still intact). */
+    def unread(n: Int): Unit = { off -= n; pos -= n }
+  }
+
+  /** Streaming gzip member index: walk the stream ONCE with O(64 KiB)
+    * memory, recording each member's [start, end) offsets and
+    * coalescing consecutive members into ranges of ≤ `targetBytes`
+    * compressed (always ≥ 1 member — an oversized single member
+    * becomes its own range). The JDK inflater is only the boundary
+    * SCOUT here (it is the streaming decoder; the from-spec
+    * [[GzipCodec]] is array-based by design) — every range is
+    * re-decoded and CRC/ISIZE-verified from-spec in the read pass.
+    * Returns (offset, length) ranges; None on malformed bytes. */
+  def gzipMemberRanges(in: java.io.InputStream, targetBytes: Long): Option[Vector[(Long, Long)]] = {
+    try {
+      val r = new CountingReader(in)
+      val members = Vector.newBuilder[(Long, Long)]
+      var any = false
+      while (!r.atEof) {
+        val start = r.pos
+        if (r.readByte() != 0x1F || r.readByte() != 0x8B) return None
+        if (r.readByte() != 8) return None
+        val flg = r.readByte()
+        if (flg < 0 || (flg & 0xE0) != 0) return None
+        var k = 0
+        while (k < 6) { if (r.readByte() < 0) return None; k += 1 } // MTIME XFL OS
+        if ((flg & 4) != 0) { // FEXTRA
+          val a = r.readByte(); val b = r.readByte()
+          if (a < 0 || b < 0) return None
+          var n = a | (b << 8)
+          while (n > 0) { if (r.readByte() < 0) return None; n -= 1 }
+        }
+        if ((flg & 8) != 0) { // FNAME
+          var c = r.readByte()
+          while (c > 0) c = r.readByte()
+          if (c < 0) return None
+        }
+        if ((flg & 16) != 0) { // FCOMMENT
+          var c = r.readByte()
+          while (c > 0) c = r.readByte()
+          if (c < 0) return None
+        }
+        if ((flg & 2) != 0) { // FHCRC
+          if (r.readByte() < 0 || r.readByte() < 0) return None
+        }
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          val scratch = new Array[Byte](64 << 10)
+          while (!inf.finished()) {
+            if (inf.needsInput() && !r.feed(inf)) return None // EOF mid-member
+            if (inf.inflate(scratch) == 0 && inf.needsDictionary()) return None
+          }
+          r.unread(inf.getRemaining)
+        } finally inf.end()
+        k = 0
+        while (k < 8) { if (r.readByte() < 0) return None; k += 1 } // CRC32+ISIZE
+        members += ((start, r.pos))
+        any = true
+      }
+      if (!any) return None
+      val out = Vector.newBuilder[(Long, Long)]
+      var rs = -1L; var re = -1L
+      members.result().foreach { case (s, e) =>
+        if (rs < 0) { rs = s; re = e }
+        else if (e - rs <= targetBytes) re = e
+        else { out += ((rs, re - rs)); rs = s; re = e }
+      }
+      out += ((rs, re - rs))
+      Some(out.result())
+    } catch { case _: java.util.zip.DataFormatException => None }
+  }
+
+  /** Member-split .warc.gz scan — the scale path above the
+    * whole-file `binaryFile` seam: pass 1 streams each file once to
+    * index gzip member ranges ([[gzipMemberRanges]], O(buffer)
+    * memory — a 10 GiB shard never materializes anywhere), pass 2
+    * fans the RANGES out across the cluster, each task doing a
+    * ranged FS read + from-spec CRC-verified decode + record parse.
+    * Parallelism = ranges, not files; file size is unbounded
+    * (offsets are Long), so the 2 GiB binary-row limit simply does
+    * not apply. Output = [[recordsByPath]] schema plus `offset`
+    * (the range's first byte); `(path, offset, rec_index)` is the
+    * stable record key — rec_index restarts per range by design
+    * (a global index would serialize on the file). Unindexable
+    * files and undecodable ranges quarantine as rec_index = -1
+    * rows carrying the offset. */
+  def splitRecords(paths: DataFrame, pathCol: String,
+                   targetBytes: Long = 64L << 20): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    // hadoop conf rides the closure as a plain map (Configuration
+    // itself is not serializable)
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    def taskConf(): org.apache.hadoop.conf.Configuration = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val ranges = paths.select(col(pathCol).cast("string")).as[String]
+      .flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val stream = path.getFileSystem(taskConf()).open(path)
+        try {
+          gzipMemberRanges(stream, targetBytes) match {
+            case Some(rs) => rs.map { case (off, len) => (p, off, len) }
+            case None     => Seq((p, -1L, -1L))
+          }
+        } finally stream.close()
+      }
+      .toDF("path", "offset", "range_len")
+      // one file's ranges would otherwise stay in one task — spread
+      .repartition(col("path"), col("offset"))
+    ranges.as[(String, Long, Long)]
+      .flatMap { case (p, off, len) =>
+        def quarantine = Seq((p, off, -1, null: String, null: String, null: String,
+          null: String, null: String, -1L, None: Option[Int], null: Array[Byte]))
+        if (off < 0) quarantine
+        else {
+          val path = new org.apache.hadoop.fs.Path(p)
+          val buf = new Array[Byte](len.toInt)
+          val stream = path.getFileSystem(taskConf()).open(path)
+          try stream.readFully(off, buf) finally stream.close()
+          GzipCodec.gunzipMembers(buf)
+            .map { ms =>
+              val n = ms.map(_.length).sum
+              val all = new Array[Byte](n)
+              var o = 0
+              ms.foreach { m => System.arraycopy(m, 0, all, o, m.length); o += m.length }
+              all
+            }
+            .flatMap(parseStream) match {
+            case Some(recs) => recs.map { r =>
+              (p, off, r.recIndex, r.warcType, r.recordId, r.targetUri, r.warcDate,
+                r.contentType, r.contentLength, r.httpStatus, r.body)
+            }
+            case None => quarantine
+          }
+        }
+      }
+      .toDF("path", "offset", "rec_index", "warc_type", "record_id", "target_uri",
+        "warc_date", "content_type", "content_length", "http_status", "body")
+  }
 }

@@ -110,6 +110,25 @@ object SourceReader {
     // for html_extract; `records = true` emits the raw record rows
     // (warc_type, record_id, headers, body) instead. Malformed files
     // quarantine as rec_index = -1 rows rather than failing the scan.
+    case "warc" if s.config.bool("split").getOrElse(false) =>
+      // member-split scan: gzip member ranges indexed by one
+      // streaming pass per file, then fanned out as ranged reads —
+      // unbounded file sizes (no 2 GiB binary-row limit, no
+      // max_bytes quarantine needed), parallelism = ranges. The
+      // listing reads paths only; content bytes never ride a row.
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val paths = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+        .select(col("path"))
+      val recs = graft.ops.Warc.splitRecords(paths, "path",
+        s.config.long("split_target_bytes").getOrElse(64L << 20))
+      if (s.config.bool("records").getOrElse(false)) recs
+      else graft.ops.Warc.responseText(
+        // responseText keys on `path`; (path, offset) is the unique
+        // shard key under the split scan, so fold the offset in
+        recs.withColumn("path", concat(col("path"), lit("#"), col("offset")))
+          .drop("offset"),
+        pathCol = true)
+
     case "warc" =>
       import org.apache.spark.sql.functions.{col, lit}
       val (files, oversized) = binarySeam(spark, s)

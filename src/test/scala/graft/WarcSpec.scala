@@ -98,6 +98,75 @@ class WarcSpec extends SparkSuite {
     dir.listFiles.foreach(_.delete()); dir.delete()
   }
 
+  test("member-split scan: streamed index lands exactly on member boundaries; ranged reads reproduce the whole-file parse") {
+    val many = (0L until 40L).map(i => (i, "web", s"document number $i " * 10))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcsplit").toFile
+    Warc.packDocsWarcGz(many, "doc_id", "source", "text", nFiles = 2).collect().foreach { r =>
+      val out = new java.io.FileOutputStream(new java.io.File(dir, s"part-${r.getLong(0)}.warc.gz"))
+      out.write(r.getAs[Array[Byte]](1)); out.close()
+    }
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "part-0.warc.gz").toPath)
+    // target 1 byte → every member its own range; contiguous cover
+    val ranges = Warc.gzipMemberRanges(
+      new java.io.ByteArrayInputStream(bytes), targetBytes = 1L).get
+    assert(ranges.length == 21) // warcinfo + 20 docs, member per record
+    assert(ranges.head._1 == 0L)
+    assert(ranges.map(r => r._1 + r._2).last == bytes.length.toLong)
+    assert(ranges.sliding(2).forall {
+      case Seq((s1, l1), (s2, _)) => s1 + l1 == s2
+      case _ => true
+    })
+    // boundaries are exact: every range decodes from-spec on its own
+    ranges.foreach { case (off, len) =>
+      assert(GzipCodec.gunzipMembers(
+        java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)).nonEmpty)
+    }
+    // coalescing: unbounded target → one range spanning the file
+    assert(Warc.gzipMemberRanges(
+      new java.io.ByteArrayInputStream(bytes), Long.MaxValue).get ==
+      Vector((0L, bytes.length.toLong)))
+    // distributed split scan == whole-file scan, record for record
+    val paths = spark.read.format("binaryFile")
+      .load(s"${dir.getAbsolutePath}/*.warc.gz").select("path")
+    val split = Warc.splitRecords(paths, "path", targetBytes = 2048)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"warc_type", $"target_uri", $"record_id", md5($"body").as("d"))
+      .collect().map(_.toSeq).toSet
+    val whole = Warc.recordsByPath(
+      spark.read.format("binaryFile").load(s"${dir.getAbsolutePath}/*.warc.gz")
+        .select("path", "content"), "path", "content")
+    assert(key(split) == key(whole))
+    assert(split.where($"rec_index" === -1).count() == 0)
+    // the small target really produced multiple ranges per file
+    assert(split.select("path", "offset").distinct().count() > 2)
+    // SOURCE split mode: text surface row-equal to the whole-file source
+    val readSplit = graft.sources.SourceReader.read(spark,
+      graft.spec.SourceSpec("crawl", "warc", graft.spec.Config.of(
+        "path" -> s"${dir.getAbsolutePath}/*.warc.gz",
+        "split" -> true, "split_target_bytes" -> 2048)))
+    assert(readSplit.columns.toSeq ==
+      Seq("path", "rec_index", "target_uri", "http_status", "text", "charset", "charset_src"))
+    val gotTexts = readSplit.select($"target_uri", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val wantTexts = (0L until 40L)
+      .map(i => (s"https://example.com/doc/$i",
+        Warc.pageFor(i, "web", s"document number $i " * 10))).toSet
+    assert(gotTexts == wantTexts)
+    // a malformed file quarantines at the INDEX pass (offset = -1)
+    val bad = new java.io.File(dir, "bad.warc.gz")
+    val bout = new java.io.FileOutputStream(bad)
+    bout.write(Array[Byte](0x1F, 0x8B.toByte, 8, 0, 1, 2, 3)); bout.close()
+    val withBad = Warc.splitRecords(
+      spark.read.format("binaryFile").load(s"${dir.getAbsolutePath}/*.warc.gz")
+        .select("path"), "path", 2048)
+    val q = withBad.where($"rec_index" === -1).collect()
+    assert(q.length == 1 && q(0).getString(0).endsWith("bad.warc.gz") && q(0).getLong(1) == -1L)
+    assert(withBad.where($"rec_index" =!= -1).count() == whole.count())
+    dir.listFiles.foreach(_.delete()); dir.delete()
+  }
+
   // ------------------------------------------------------------------
   // charset ladder
   // ------------------------------------------------------------------
