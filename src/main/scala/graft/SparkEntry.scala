@@ -823,6 +823,22 @@ object SparkEntry {
           min(col("n_bpe_tokens") >= col("n_words")).as("tokens_ge_words"),
           (sum(col("n_bpe_tokens")) < sum(col("n_word_chars"))).as("compresses"))
     }),
+
+    // unigram-LM tokenizer (round 11, the x_bpe_tokens contract
+    // shape): EM-trained Viterbi segmentation must concatenate back
+    // to every word, land between the word count and the character
+    // count, and actually compress — i.e. the trained multi-char
+    // pieces carry real probability mass on this corpus.
+    "x_unigram_tokens" -> ((s, d) => {
+      val ds = docs(s, d)
+      val model = graft.ops.Unigram.train(ds, "text", vocabSize = 400)
+      model.encodeCounts(ds, "doc_id", "text")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("roundtrip_ok")).as("all_roundtrip_ok"),
+          min(col("n_pieces") >= col("n_words")).as("pieces_ge_words"),
+          min(col("n_pieces") <= col("n_word_chars")).as("pieces_le_chars"),
+          (sum(col("n_pieces")) < sum(col("n_word_chars"))).as("compresses"))
+    }),
     // PII redaction over synthetic planted identifiers (both engines
     // derive the identical input from doc_id/source, so the redaction
     // itself is what the hash compares)
@@ -989,6 +1005,47 @@ object SparkEntry {
           regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
           col("record_id"), col("http_status").cast("long").as("status"),
           col("content_length"), md5(col("body")).as("digest"))
+    }),
+
+    // CDX index generation (round 11): the corpus packed into 8 real
+    // shards, indexed per-member — urlkey (SURT), timestamp, url,
+    // media type, status, payload digest, and the shard bucket all
+    // replay from corpus columns (offset/length are compression-
+    // dependent, so their self-containedness contract is pinned in
+    // CdxSpec by decoding every indexed extent instead).
+    "x_cdx_index" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdx").toFile
+      val base = dir.getAbsolutePath
+      Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text", nFiles = 8)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            val out = new java.io.FileOutputStream(
+              new java.io.File(base, f"part-${r.getLong(0)}%05d.warc.gz"))
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
+        }
+      val paths = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz").load(base).select(col("path"))
+      graft.ops.Cdx.index(paths, "path")
+        .where(col("status") === 200)
+        .select(col("urlkey"), col("timestamp").as("ts"), col("url"), col("mime"),
+          col("status").cast("long").as("status"), col("digest"),
+          regexp_extract(col("filename"), "part-(\\d+)", 1).cast("long").as("file_id"))
+    }),
+
+    // link-graph PageRank (round 11): a planted 29-node host graph
+    // (13 source hosts → 29 targets, 16 dangling — the correction
+    // path is load-bearing, not decorative), 5 power iterations with
+    // damping 0.85; the oracle replays the identical iteration as
+    // unrolled CTEs, so every rank matches to the 6-dp rounding
+    // grain. Mass conservation and the closed-form two-node case are
+    // pinned in PageRankSpec.
+    "x_pagerank" -> ((s, d) => {
+      val edges = docs(s, d).where(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select(concat(lit("h"), pmod(col("doc_id"), lit(13))).as("src"),
+          concat(lit("h"), pmod(col("doc_id") * 7 + 3, lit(29))).as("dst"))
+      graft.ops.PageRank.ranks(edges, "src", "dst", iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
 
     // Per-domain cap: 7 synthetic hosts derived from doc_id, cap 20
@@ -2381,7 +2438,39 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** PageRank oracle: the power iteration UNROLLED as chained CTEs
+    * (recursive CTEs cannot aggregate over the recursive table, so
+    * the iterations are generated) — same planted edge set, same
+    * dangling-mass correction, same formula, rank rounded to 6 dp
+    * (float-summation order differs between engines at ~1e-16;
+    * values are ~1e-2). */
+  private def pagerankOracleSql(iters: Int): String = {
+    val base = """
+      WITH edges AS (
+        SELECT DISTINCT 'h' || CAST(doc_id % 13 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 7 + 3) % 29 AS VARCHAR) AS dst
+        FROM documents WHERE doc_id % 4 <> 0),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+      d$i AS (SELECT COALESCE(SUM(r.rank), 0) AS dm
+              FROM r${i - 1} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+      c$i AS (SELECT e.dst AS node, SUM(r.rank / g.deg) AS contrib
+              FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg g ON g.src = e.src
+              GROUP BY e.dst),
+      r$i AS (SELECT n.node,
+                     (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.contrib, 0) + d$i.dm / nn.n) AS rank
+              FROM nodes n CROSS JOIN nn CROSS JOIN d$i LEFT JOIN c$i c ON n.node = c.node)"""
+    }.mkString
+    s"$base$steps\n      SELECT node, ROUND(rank, 6) AS rank FROM r$iters"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // link-graph PageRank: 5 unrolled power iterations (generated)
+    "x_pagerank" -> pagerankOracleSql(5),
     "q_filter_gt" -> "SELECT * FROM lineitem WHERE l_quantity > 24",
     "q_filter_contains" -> "SELECT * FROM part WHERE p_type LIKE '%MED%'",
     "q_filter_notnull" -> "SELECT * FROM documents WHERE text IS NOT NULL AND text <> ''",
@@ -3087,6 +3176,11 @@ object SparkEntry {
              true AS tokens_ge_words, true AS compresses
       FROM documents""",
 
+    "x_unigram_tokens" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS all_roundtrip_ok,
+             true AS pieces_ge_words, true AS pieces_le_chars, true AS compresses
+      FROM documents""",
+
     "x_pii_redact" -> """
       WITH raw AS (
         SELECT doc_id,
@@ -3249,6 +3343,20 @@ object SparkEntry {
         CAST(octet_length(encode(http)) AS BIGINT) AS content_length,
         md5(http) AS digest
       FROM http""",
+
+    // cdx index: urlkey/timestamp/url/mime/status/payload-digest/
+    // shard bucket all re-derived from corpus columns
+    "x_cdx_index" -> """
+      SELECT 'com,example)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+             '20260101000000' AS ts,
+             'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             'text/html' AS mime,
+             CAST(200 AS BIGINT) AS status,
+             md5('<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
+                 coalesce(source, '') || '</p><div>' || coalesce(text, '') ||
+                 '</div></body></html>') AS digest,
+             doc_id % 8 AS file_id
+      FROM documents""",
 
     // domain cap re-derived: same host arithmetic, row_number ≤ k
     "x_domain_cap" -> """

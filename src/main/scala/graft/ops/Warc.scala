@@ -140,7 +140,7 @@ object Warc {
 
   /** One parsed record. `httpStatus`/`httpBody` are filled only when
     * the record carries an HTTP response message. */
-  private case class Rec(recIndex: Int, warcType: String,
+  private[ops] case class Rec(recIndex: Int, warcType: String,
                          recordId: String, targetUri: String, warcDate: String,
                          contentType: String, contentLength: Long,
                          httpStatus: Option[Int], body: Array[Byte])
@@ -156,7 +156,7 @@ object Warc {
 
   /** Parse every record in one (decompressed) WARC stream; None on
     * any framing violation. */
-  private def parseStream(b: Array[Byte]): Option[Seq[Rec]] = {
+  private[ops] def parseStream(b: Array[Byte]): Option[Seq[Rec]] = {
     val out = Seq.newBuilder[Rec]
     var pos = 0
     var idx = 0
@@ -598,27 +598,45 @@ object Warc {
     * (a global index would serialize on the file). Unindexable
     * files and undecodable ranges quarantine as rec_index = -1
     * rows carrying the offset. */
-  def splitRecords(paths: DataFrame, pathCol: String,
-                   targetBytes: Long = 64L << 20): DataFrame = {
+  /** The driver-side hadoop conf as a plain serializable map
+    * (Configuration itself is not serializable — it rides closures
+    * as entries and is rebuilt per task). */
+  private[ops] def confEntriesOf(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.result()
+  }
+
+  private[ops] def confOf(entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Ranged FS read: `len` bytes at `off` of `p`. */
+  private[ops] def readRange(conf: org.apache.hadoop.conf.Configuration,
+                             p: String, off: Long, len: Long): Array[Byte] = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val buf = new Array[Byte](len.toInt)
+    val stream = path.getFileSystem(conf).open(path)
+    try stream.readFully(off, buf) finally stream.close()
+    buf
+  }
+
+  /** Pass 1 of the split scan, exposed for [[Cdx]]: (path, offset,
+    * range_len) member ranges per file (streamed index), quarantine
+    * rows at offset = -1, repartitioned so one file's ranges spread
+    * across the cluster. */
+  private[ops] def splitRanges(paths: DataFrame, pathCol: String,
+                               targetBytes: Long): DataFrame = {
     val spark = paths.sparkSession
     import spark.implicits._
-    // hadoop conf rides the closure as a plain map (Configuration
-    // itself is not serializable)
-    val confEntries: Array[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-      b.result()
-    }
-    def taskConf(): org.apache.hadoop.conf.Configuration = {
-      val c = new org.apache.hadoop.conf.Configuration(false)
-      confEntries.foreach { case (k, v) => c.set(k, v) }
-      c
-    }
-    val ranges = paths.select(col(pathCol).cast("string")).as[String]
+    val confEntries = confEntriesOf(spark)
+    paths.select(col(pathCol).cast("string")).as[String]
       .flatMap { p =>
         val path = new org.apache.hadoop.fs.Path(p)
-        val stream = path.getFileSystem(taskConf()).open(path)
+        val stream = path.getFileSystem(confOf(confEntries)).open(path)
         try {
           gzipMemberRanges(stream, targetBytes) match {
             case Some(rs) => rs.map { case (off, len) => (p, off, len) }
@@ -629,16 +647,22 @@ object Warc {
       .toDF("path", "offset", "range_len")
       // one file's ranges would otherwise stay in one task — spread
       .repartition(col("path"), col("offset"))
-    ranges.as[(String, Long, Long)]
-      .flatMap { case (p, off, len) =>
+  }
+
+  def splitRecords(paths: DataFrame, pathCol: String,
+                   targetBytes: Long = 64L << 20): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    val confEntries = confEntriesOf(spark)
+    splitRanges(paths, pathCol, targetBytes).as[(String, Long, Long)]
+      .mapPartitions { rows =>
+        val conf = confOf(confEntries) // once per partition, not per range
+        rows.flatMap { case (p, off, len) =>
         def quarantine = Seq((p, off, -1, null: String, null: String, null: String,
           null: String, null: String, -1L, None: Option[Int], null: Array[Byte]))
         if (off < 0) quarantine
         else {
-          val path = new org.apache.hadoop.fs.Path(p)
-          val buf = new Array[Byte](len.toInt)
-          val stream = path.getFileSystem(taskConf()).open(path)
-          try stream.readFully(off, buf) finally stream.close()
+          val buf = readRange(conf, p, off, len)
           GzipCodec.gunzipMembers(buf)
             .map { ms =>
               val n = ms.map(_.length).sum
@@ -654,6 +678,7 @@ object Warc {
             }
             case None => quarantine
           }
+        }
         }
       }
       .toDF("path", "offset", "rec_index", "warc_type", "record_id", "target_uri",

@@ -110,6 +110,14 @@ object SourceReader {
     // for html_extract; `records = true` emits the raw record rows
     // (warc_type, record_id, headers, body) instead. Malformed files
     // quarantine as rec_index = -1 rows rather than failing the scan.
+    case "warc" if s.config.bool("cdx").getOrElse(false) =>
+      // CDX index mode: one row per response record with its exact
+      // member (offset, length) — the crawl-archive lookup sidecar
+      import org.apache.spark.sql.functions.col
+      val paths = spark.read.format("binaryFile").load(s.config.reqStr("path"))
+        .select(col("path"))
+      graft.ops.Cdx.index(paths, "path")
+
     case "warc" if s.config.bool("split").getOrElse(false) =>
       // member-split scan: gzip member ranges indexed by one
       // streaming pass per file, then fanned out as ranged reads —

@@ -378,6 +378,19 @@ object Transforms {
           numMerges = cfg.int("num_merges").getOrElse(200),
           vocabWords = cfg.int("vocab_words").getOrElse(10000))
         .encodeCounts(df, cfg.reqStr("id_field"), tf)
+    // unigram-LM (SentencePiece-family) tokenizer: EM-trained piece
+    // probabilities, Viterbi segmentation; same output surface as
+    // bpe_tokens so token budgets compare column for column
+    case "unigram_tokens" =>
+      val cfg = t.config
+      val tf = cfg.str("text_field").getOrElse("text")
+      val lmDf = cfg.str("train_source").map(n => ctx.getOrElse(n,
+        throw new GraftAnalysisException(s"unigram_tokens: unknown source '$n'"))).getOrElse(df)
+      graft.ops.Unigram.train(lmDf, tf,
+          vocabSize = cfg.int("vocab_size").getOrElse(512),
+          maxPieceLen = cfg.int("max_piece_len").getOrElse(6),
+          vocabWords = cfg.int("vocab_words").getOrElse(10000))
+        .encodeCounts(df, cfg.reqStr("id_field"), tf)
     case "redact_pii" =>
       val f = t.config.str("field").getOrElse("text")
       df.withColumn(t.config.str("out_field").getOrElse(f),
@@ -723,6 +736,13 @@ object Transforms {
       graft.ops.Components.connectedComponents(df,
         t.config.str("a_field").getOrElse("a_id"),
         t.config.str("b_field").getOrElse("b_id"))
+    // link-graph PageRank over an edge stream (src, dst): (node, rank)
+    case "pagerank" =>
+      graft.ops.PageRank.ranks(df,
+        t.config.str("src_field").getOrElse("src"),
+        t.config.str("dst_field").getOrElse("dst"),
+        t.config.int("iterations").getOrElse(10),
+        t.config.double("damping").getOrElse(0.85))
     case "dedup_cluster" =>
       val cfg = t.config
       val pairsName = cfg.reqStr("pairs")
@@ -745,13 +765,13 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_script", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "langid_classify", "pca_whiten",
-    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "zstd_decode", "gzip_decode", "bpe_tokens", "unigram_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "bloom_join", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
-    "connected_components", "dedup_cluster")
+    "connected_components", "dedup_cluster", "pagerank")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
