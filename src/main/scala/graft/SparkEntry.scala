@@ -1628,6 +1628,22 @@ object SparkEntry {
         Multimodal.packTextOggVorbis(t(s, d, "documents"), "doc_id", "text"),
         "id", "media")),
 
+    // MPEG-audio frame-sequence rung (metadata tier, the Ogg trick
+    // for MP3 — the most common audio wire format in scraped
+    // corpora): real MPEG-1 Layer III CBR streams with an ID3v2 tag
+    // (syncsafe size, the skip path is load-bearing), per-frame
+    // VERIFIED ISO 11172-3 CRC-16s over header tail + side-info
+    // span, and a conditional ID3v1 trailer; rate and channel mode
+    // derive from the text length and the frame geometry is the
+    // spec's ⌊144·br/sr⌋, so the oracle replays byte_len / channels /
+    // rate / frame-count-exact duration from octet_length(text)
+    // alone. Also certifies the decodeAudioMeta sniff ladder's
+    // fourth rung (RIFF/WAVE → FLAC → Ogg → MPEG).
+    "x_multimodal_mp3_meta" -> ((s, d) =>
+      Multimodal.decodeAudioMeta(
+        Multimodal.packTextMp3(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")),
+
     // Zstandard rung (RFC 8878): payloads are compressed by zstd-jni
     // — the reference C implementation, an independent codebase (the
     // BMP/GIF ImageIO discipline) — at per-doc levels 1/3/19, with
@@ -4055,6 +4071,35 @@ object SparkEntry {
              CAST(8000 * (1 + len % 3) AS INTEGER) AS sample_rate,
              CAST((len * 16 * 1000) // (8000 * (1 + len % 3)) AS BIGINT) AS duration_ms
       FROM b""",
+
+    // MP3 metadata contract: the packer's fixed geometry — ID3v2 tag
+    // of 10 + len%7 bytes, ⌊144·128000/rate⌋-byte frames each holding
+    // frame_len − 6 data bytes, conditional 128-byte ID3v1 trailer —
+    // with rate/channels the declared len-derived functions and
+    // duration the exact per-frame sample sum (floor division on
+    // both engines)
+    "x_multimodal_mp3_meta" -> """
+      WITH b AS (
+        SELECT doc_id, least(octet_length(encode(coalesce(text, ''))), 65536) AS len
+        FROM documents),
+      g AS (
+        SELECT doc_id, len,
+               CASE len % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100 ELSE 48000 END AS rate
+        FROM b),
+      h AS (
+        SELECT doc_id, len, rate, 144 * 128000 // rate AS frame_len FROM g),
+      i AS (
+        SELECT doc_id, len, rate, frame_len,
+               GREATEST(1, (len + frame_len - 7) // (frame_len - 6)) AS n_frames
+        FROM h)
+      SELECT doc_id AS id,
+             CAST(10 + len % 7 + n_frames * frame_len +
+                  CASE WHEN len % 5 = 0 THEN 128 ELSE 0 END AS BIGINT) AS byte_len,
+             'audio/mpeg' AS mime_detected,
+             CAST(CASE WHEN len % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+             CAST(rate AS INTEGER) AS sample_rate,
+             CAST((n_frames * 1152 * 1000) // rate AS BIGINT) AS duration_ms
+      FROM i""",
 
     // zstd contract: decode must reproduce the document's exact
     // UTF-8 bytes — length and md5 replay from the text column

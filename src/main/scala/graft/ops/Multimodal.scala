@@ -263,8 +263,9 @@ object Multimodal {
     * sample_rate, duration_ms). Dispatches by content sniff across
     * the audio-container ladder: RIFF/WAVE chunk walk
     * ([[AudioHeader]]), FLAC STREAMINFO ([[FlacCodec.streamInfo]] —
-    * metadata blocks only, no frame decode), and Ogg pages with
-    * Vorbis/Opus identification headers ([[Ogg]]). */
+    * metadata blocks only, no frame decode), Ogg pages with
+    * Vorbis/Opus identification headers ([[Ogg]]), and MPEG audio
+    * frame sequences ([[Mp3]]). */
   def decodeAudioMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -283,9 +284,14 @@ object Multimodal {
                 case Some(m) =>
                   (id, payload.length.toLong, "audio/ogg", Some(m.channels),
                     Some(m.sampleRate), Some(m.durationMs))
-                case None =>
-                  (id, payload.length.toLong, null: String,
-                    None: Option[Int], None: Option[Int], None: Option[Long])
+                case None => Mp3.parse(payload) match {
+                  case Some(m) =>
+                    (id, payload.length.toLong, "audio/mpeg", Some(m.channels),
+                      Some(m.sampleRate), Some(m.durationMs))
+                  case None =>
+                    (id, payload.length.toLong, null: String,
+                      None: Option[Int], None: Option[Int], None: Option[Long])
+                }
               }
             }
           }
@@ -747,6 +753,80 @@ object Multimodal {
       .select(col("id"), struct(
         col("__payload").as("payload"),
         lit("audio/ogg").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** Build REAL MPEG-1 Layer III frame streams from a text column —
+    * the frame-sequence sibling of [[packTextOggVorbis]]'s fixed-
+    * layout trick: an ID3v2 tag of `len mod 7` payload bytes (real
+    * syncsafe size — the skip path is load-bearing), then CBR 128 kbps
+    * frames whose data bytes carry the document's UTF-8 bytes, then a
+    * 128-byte ID3v1 trailer when `len mod 5 = 0`. The protection bit
+    * is SET and every frame carries a real ISO 11172-3 CRC-16 over
+    * its header tail + Layer III side-info span, so [[Mp3.parse]]
+    * verifies a checksum on every frame it counts. Sample rate
+    * (32000/44100/48000 by `len mod 3`) and channel mode (mono/stereo
+    * by `len mod 2`) derive from the text length; frame length is the
+    * spec's `⌊144·128000/rate⌋` with padding 0, each frame holding
+    * `frameLen − 6` data bytes (header + CRC), so the oracle
+    * re-derives byte_len, channels, rate, and the frame-count-exact
+    * duration from `octet_length(text)` alone.
+    */
+  def packTextMp3(df: DataFrame, idCol: String, textCol: String,
+      maxBytes: Int = 1 << 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = maxBytes
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = if (bytes0.length > cap) java.util.Arrays.copyOf(bytes0, cap)
+                     else bytes0
+          val len = data.length
+          val srIdx = len % 3 match { case 0 => 2; case 1 => 0; case _ => 1 }
+          val rate = Array(44100, 48000, 32000)(srIdx)
+          val mono = len % 2 == 0
+          val frameLen = 144 * 128000 / rate
+          val perFrame = frameLen - 6 // header(4) + crc(2)
+          val nFrames = math.max(1, (len + perFrame - 1) / perFrame)
+          val tagPayload = len % 7
+          val id3v1 = len % 5 == 0
+          val out = new Array[Byte](10 + tagPayload + nFrames * frameLen +
+            (if (id3v1) 128 else 0))
+          // ID3v2.4 header, syncsafe size (tagPayload < 128 so one byte)
+          out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+          out(9) = tagPayload.toByte
+          var at = 10 + tagPayload
+          val side = if (mono) 17 else 32
+          var f = 0
+          while (f < nFrames) {
+            out(at) = 0xFF.toByte
+            out(at + 1) = 0xFA.toByte // MPEG-1, Layer III, CRC present
+            out(at + 2) = (0x90 | (srIdx << 2)).toByte // 128 kbps, no padding
+            out(at + 3) = (if (mono) 0xC0 else 0x00).toByte
+            val copy = math.min(perFrame, len - f * perFrame)
+            if (copy > 0)
+              System.arraycopy(data, f * perFrame, out, at + 6, copy)
+            val crc = Mp3.crc16(out, Seq((at + 2, at + 4), (at + 6, at + 6 + side)))
+            out(at + 4) = (crc >> 8).toByte
+            out(at + 5) = crc.toByte
+            at += frameLen
+            f += 1
+          }
+          if (id3v1) { out(at) = 'T'; out(at + 1) = 'A'; out(at + 2) = 'G' }
+          (id, out)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("audio/mpeg").as("mime"),
         struct(
           octet_length(col("__payload")).cast("long").as("byte_len"),
           lit(null).cast("int").as("width"),
