@@ -1048,6 +1048,37 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
 
+    // HTML link extraction + RFC 3986 resolution (round 11): every
+    // planted page carries the six resolution classes a real crawl
+    // hits — path-absolute, dot-segment relative, bare relative
+    // (href unquoted), query-only, absolute-with-fragment,
+    // protocol-relative — plus a javascript: link that must drop;
+    // odd ids add a <base href> element so BOTH the with-base and
+    // without-base resolution paths are load-bearing. Anchor text
+    // passes through inner-tag strip + entity decode. The oracle
+    // replays every resolved URL, anchor, and document-order seq
+    // from doc_id arithmetic; the §5.4 normal/abnormal vectors are
+    // pinned verbatim in LinksSpec.
+    "x_html_links" -> ((s, d) => {
+      val id = col("doc_id")
+      val page = concat(
+        lit("<html><head><title>d</title>"),
+        when(pmod(id, lit(2)) === 1,
+          lit("<base target=\"_top\" href=\"https://based.org/z/\">"))
+          .otherwise(lit("")),
+        lit("</head><body><a href=\"/doc/"), id, lit("\">root "), id,
+        lit("</a> <a href='../rel/"), id, lit("'>up</a>"),
+        lit("<a class=\"x\" href=g><b>bold</b> g</a>"),
+        lit("<a href=\"?q="), id, lit("&amp;v=2\">q</a>"),
+        lit("<a href=\"https://other.org/p/"), id, lit("#frag\">abs</a>"),
+        lit("<a href=\"//cdn.net/x/"), id, lit("\">cdn</a>"),
+        lit("<a href=\"javascript:alert(1)\">js</a></body></html>"))
+      val url = concat(lit("https://example.com/a/b/c"), id)
+      graft.ops.Links.extract(
+        docs(s, d).select(id, url.as("url"), page.as("html")),
+        "doc_id", "url", "html")
+    }),
+
     // Per-domain cap: 7 synthetic hosts derived from doc_id, cap 20
     // docs per host, earliest-id priority — host extraction AND the
     // bounded-heap cap both replayed by a windowed oracle. (The
@@ -2487,6 +2518,36 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // link-graph PageRank: 5 unrolled power iterations (generated)
     "x_pagerank" -> pagerankOracleSql(5),
+
+    // html link extraction: all six resolution classes + base-element
+    // rebase replayed from doc_id arithmetic
+    "x_html_links" -> """
+      WITH d AS (SELECT doc_id, doc_id % 2 = 1 AS hb FROM documents)
+      SELECT doc_id AS id, link, anchor, CAST(seq AS INTEGER) AS seq FROM (
+        SELECT doc_id,
+               CASE WHEN hb THEN 'https://based.org/doc/'
+                    ELSE 'https://example.com/doc/' END || doc_id AS link,
+               'root ' || doc_id AS anchor, 0 AS seq FROM d
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN hb THEN 'https://based.org/rel/'
+                    ELSE 'https://example.com/a/rel/' END || doc_id,
+               'up', 1 FROM d
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN hb THEN 'https://based.org/z/g'
+                    ELSE 'https://example.com/a/b/g' END,
+               'bold g', 2 FROM d
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN hb THEN 'https://based.org/z/?q=' || doc_id || '&v=2'
+                    ELSE 'https://example.com/a/b/c' || doc_id ||
+                         '?q=' || doc_id || '&v=2' END,
+               'q', 3 FROM d
+        UNION ALL
+        SELECT doc_id, 'https://other.org/p/' || doc_id, 'abs', 4 FROM d
+        UNION ALL
+        SELECT doc_id, 'https://cdn.net/x/' || doc_id, 'cdn', 5 FROM d)""",
     "q_filter_gt" -> "SELECT * FROM lineitem WHERE l_quantity > 24",
     "q_filter_contains" -> "SELECT * FROM part WHERE p_type LIKE '%MED%'",
     "q_filter_notnull" -> "SELECT * FROM documents WHERE text IS NOT NULL AND text <> ''",

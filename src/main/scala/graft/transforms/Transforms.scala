@@ -736,6 +736,15 @@ object Transforms {
       graft.ops.Components.connectedComponents(df,
         t.config.str("a_field").getOrElse("a_id"),
         t.config.str("b_field").getOrElse("b_id"))
+    // HTML link extraction + RFC 3986 resolution: one (id, link,
+    // anchor, seq) row per kept http/https link — the edge producer
+    // feeding pagerank/frontier ops
+    case "html_links" =>
+      graft.ops.Links.extract(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("url_field").getOrElse("url"),
+        t.config.str("html_field").getOrElse("html"),
+        t.config.int("max_links").getOrElse(10000))
     // link-graph PageRank over an edge stream (src, dst): (node, rank)
     case "pagerank" =>
       graft.ops.PageRank.ranks(df,
@@ -771,7 +780,7 @@ object Transforms {
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
-    "connected_components", "dedup_cluster", "pagerank")
+    "connected_components", "dedup_cluster", "pagerank", "html_links")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
