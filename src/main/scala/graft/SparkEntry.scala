@@ -1048,6 +1048,45 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
 
+    // sitemaps.org parse (round 11): even ids get a urlset planting
+    // the protocol's whole field surface — an entity-encoded loc, a
+    // CDATA loc, lastmod/changefreq/priority (one entry with an
+    // INVALID changefreq and out-of-range priority that must null —
+    // the protocol says consumers ignore invalid values), and an
+    // out-of-scope loc exercising the location rule; odd ids get a
+    // sitemapindex (the recursion seam) with one in- and one
+    // out-of-scope child. Every field replays from doc_id
+    // arithmetic; XML well-formedness refusal and the namespace /
+    // DOCTYPE / comment layers are pinned in XmlSpec/SitemapSpec.
+    "x_sitemap_parse" -> ((s, d) => {
+      val id = col("doc_id")
+      val freq = element_at(
+        array(lit("always"), lit("hourly"), lit("daily"), lit("weekly"),
+          lit("monthly"), lit("yearly"), lit("never")),
+        (pmod(id, lit(7)) + 1).cast("int"))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<url><loc>https://example.com/s/"), id, lit("/a?x=1&amp;y=2</loc>"),
+        lit("<lastmod>2026-01-0"), pmod(id, lit(9)) + 1, lit("</lastmod>"),
+        lit("<changefreq>"), freq, lit("</changefreq>"),
+        lit("<priority>0."), pmod(id, lit(9)) + 1, lit("</priority></url>"),
+        lit("<url><loc><![CDATA[https://example.com/s/"), id, lit("/c]]></loc>"),
+        lit("<changefreq>sometimes</changefreq><priority>5</priority></url>"),
+        lit("<url><loc>https://other.org/x/"), id, lit("</loc></url>"),
+        lit("</urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<sitemap><loc>https://example.com/s/"), id, lit("/part1.xml</loc>"),
+        lit("<lastmod>2026-02-11</lastmod></sitemap>"),
+        lit("<sitemap><loc>https://example.com/t/"), id, lit("/part2.xml</loc></sitemap>"),
+        lit("</sitemapindex>"))
+      val xml = when(pmod(id, lit(2)) === 0, urlset).otherwise(index)
+      val url = concat(lit("https://example.com/s/"), id, lit("/sitemap.xml"))
+      graft.ops.Sitemap.extract(
+        docs(s, d).select(id, url.as("url"), xml.as("xml")),
+        "doc_id", "url", "xml")
+    }),
+
     // HTML link extraction + RFC 3986 resolution (round 11): every
     // planted page carries the six resolution classes a real crawl
     // hits — path-absolute, dot-segment relative, bare relative
@@ -2518,6 +2557,39 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // link-graph PageRank: 5 unrolled power iterations (generated)
     "x_pagerank" -> pagerankOracleSql(5),
+
+    // sitemap parse: urlset/sitemapindex field surface + location
+    // rule replayed from doc_id arithmetic (invalid changefreq /
+    // out-of-range priority null)
+    "x_sitemap_parse" -> """
+      WITH d AS (SELECT doc_id, doc_id % 2 = 0 AS us,
+                        (doc_id % 9) + 1 AS n, doc_id % 7 AS f
+                 FROM documents)
+      SELECT doc_id AS id, CAST(seq AS INTEGER) AS seq, kind, loc, lastmod,
+             changefreq, priority, in_scope FROM (
+        SELECT doc_id, 0 AS seq, 'url' AS kind,
+               'https://example.com/s/' || doc_id || '/a?x=1&y=2' AS loc,
+               '2026-01-0' || n AS lastmod,
+               CASE f WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+                      WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
+                      WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+                      ELSE 'never' END AS changefreq,
+               CAST('0.' || n AS DOUBLE) AS priority, true AS in_scope
+        FROM d WHERE us
+        UNION ALL
+        SELECT doc_id, 1, 'url', 'https://example.com/s/' || doc_id || '/c',
+               NULL, NULL, NULL, true FROM d WHERE us
+        UNION ALL
+        SELECT doc_id, 2, 'url', 'https://other.org/x/' || doc_id,
+               NULL, NULL, NULL, false FROM d WHERE us
+        UNION ALL
+        SELECT doc_id, 0, 'sitemap',
+               'https://example.com/s/' || doc_id || '/part1.xml',
+               '2026-02-11', NULL, NULL, true FROM d WHERE NOT us
+        UNION ALL
+        SELECT doc_id, 1, 'sitemap',
+               'https://example.com/t/' || doc_id || '/part2.xml',
+               NULL, NULL, NULL, false FROM d WHERE NOT us)""",
 
     // html link extraction: all six resolution classes + base-element
     // rebase replayed from doc_id arithmetic

@@ -745,6 +745,14 @@ object Transforms {
         t.config.str("url_field").getOrElse("url"),
         t.config.str("html_field").getOrElse("html"),
         t.config.int("max_links").getOrElse(10000))
+    // sitemaps.org protocol parse: (id, seq, kind, loc, lastmod,
+    // changefreq, priority, in_scope) rows per sitemap document —
+    // the frontier-seeding sibling of robots_filter
+    case "sitemap_parse" =>
+      graft.ops.Sitemap.extract(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("url_field").getOrElse("url"),
+        t.config.str("xml_field").getOrElse("xml"))
     // link-graph PageRank over an edge stream (src, dst): (node, rank)
     case "pagerank" =>
       graft.ops.PageRank.ranks(df,
@@ -780,7 +788,8 @@ object Transforms {
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
-    "connected_components", "dedup_cluster", "pagerank", "html_links")
+    "connected_components", "dedup_cluster", "pagerank", "html_links",
+    "sitemap_parse")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
