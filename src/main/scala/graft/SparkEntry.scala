@@ -1087,6 +1087,44 @@ object SparkEntry {
         "doc_id", "url", "xml")
     }),
 
+    // RSS/Atom feed parse (round 11): even ids get an RSS 2.0
+    // channel planting the guid conventions (isPermaLink=false guid
+    // beside an explicit link; a permalink guid standing in as the
+    // link; an identity-less item that must be skipped), odd ids an
+    // Atom feed planting the §4.2.7.2 link-rel rule (alternate
+    // preferred over self, rel-less counts as alternate), published
+    // preferred over updated with the updated fallback, and
+    // whitespace-collapsed summaries. Every field replays from
+    // doc_id arithmetic.
+    "x_feed_parse" -> ((s, d) => {
+      val id = col("doc_id")
+      val rss = concat(
+        lit("<rss version=\"2.0\"><channel><title>C</title>"),
+        lit("<item><title>Post "), id, lit("</title>"),
+        lit("<link>https://example.com/p/"), id, lit("</link>"),
+        lit("<guid isPermaLink=\"false\">id-"), id, lit("</guid>"),
+        lit("<pubDate>Thu, 01 Jan 2026 10:0"), pmod(id, lit(6)), lit(":00 GMT</pubDate>"),
+        lit("<description>From shard "), pmod(id, lit(7)), lit("</description></item>"),
+        lit("<item><guid>https://example.com/g/"), id, lit("</guid></item>"),
+        lit("<item><title>no identity</title></item>"),
+        lit("</channel></rss>"))
+      val atom = concat(
+        lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>F</title>"),
+        lit("<entry><title>Entry "), id, lit("</title>"),
+        lit("<link rel=\"self\" href=\"https://example.com/self/"), id, lit("\"/>"),
+        lit("<link rel=\"alternate\" href=\"https://example.com/a/"), id, lit("\"/>"),
+        lit("<id>tag:example.com,2026:"), id, lit("</id>"),
+        lit("<published>2026-03-0"), pmod(id, lit(9)) + 1, lit("T00:00:00Z</published>"),
+        lit("<updated>2026-04-01T00:00:00Z</updated>"),
+        lit("<summary> spaced   summary "), id, lit(" </summary></entry>"),
+        lit("<entry><title>E2</title><link href=\"https://example.com/b/"), id, lit("\"/>"),
+        lit("<updated>2026-05-01T00:00:00Z</updated><id>t2:"), id, lit("</id></entry>"),
+        lit("</feed>"))
+      val xml = when(pmod(id, lit(2)) === 0, rss).otherwise(atom)
+      graft.ops.Feed.extract(
+        docs(s, d).select(id, xml.as("xml")), "doc_id", "xml")
+    }),
+
     // HTML link extraction + RFC 3986 resolution (round 11): every
     // planted page carries the six resolution classes a real crawl
     // hits — path-absolute, dot-segment relative, bare relative
@@ -2557,6 +2595,37 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // link-graph PageRank: 5 unrolled power iterations (generated)
     "x_pagerank" -> pagerankOracleSql(5),
+
+    // feed parse: RSS guid conventions + Atom link-rel rule replayed
+    // from doc_id arithmetic
+    "x_feed_parse" -> """
+      WITH d AS (SELECT doc_id, doc_id % 2 = 0 AS rss FROM documents)
+      SELECT doc_id AS id, CAST(seq AS INTEGER) AS seq, format, title, link,
+             entry_id, published, summary FROM (
+        SELECT doc_id, 0 AS seq, 'rss' AS format,
+               'Post ' || doc_id AS title,
+               'https://example.com/p/' || doc_id AS link,
+               'id-' || doc_id AS entry_id,
+               'Thu, 01 Jan 2026 10:0' || (doc_id % 6) || ':00 GMT' AS published,
+               'From shard ' || (doc_id % 7) AS summary
+        FROM d WHERE rss
+        UNION ALL
+        SELECT doc_id, 1, 'rss', NULL,
+               'https://example.com/g/' || doc_id,
+               'https://example.com/g/' || doc_id, NULL, NULL
+        FROM d WHERE rss
+        UNION ALL
+        SELECT doc_id, 0, 'atom', 'Entry ' || doc_id,
+               'https://example.com/a/' || doc_id,
+               'tag:example.com,2026:' || doc_id,
+               '2026-03-0' || ((doc_id % 9) + 1) || 'T00:00:00Z',
+               'spaced summary ' || doc_id
+        FROM d WHERE NOT rss
+        UNION ALL
+        SELECT doc_id, 1, 'atom', 'E2',
+               'https://example.com/b/' || doc_id, 't2:' || doc_id,
+               '2026-05-01T00:00:00Z', NULL
+        FROM d WHERE NOT rss)""",
 
     // sitemap parse: urlset/sitemapindex field surface + location
     // rule replayed from doc_id arithmetic (invalid changefreq /

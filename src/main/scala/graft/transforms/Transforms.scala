@@ -753,6 +753,12 @@ object Transforms {
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("url_field").getOrElse("url"),
         t.config.str("xml_field").getOrElse("xml"))
+    // RSS/Atom feed parse: (id, seq, format, title, link, entry_id,
+    // published, summary) rows — the incremental-crawl poll surface
+    case "feed_parse" =>
+      graft.ops.Feed.extract(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("xml_field").getOrElse("xml"))
     // link-graph PageRank over an edge stream (src, dst): (node, rank)
     case "pagerank" =>
       graft.ops.PageRank.ranks(df,
@@ -789,7 +795,7 @@ object Transforms {
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
-    "sitemap_parse")
+    "sitemap_parse", "feed_parse")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
