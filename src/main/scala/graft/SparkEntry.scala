@@ -1087,6 +1087,32 @@ object SparkEntry {
         "doc_id", "url", "xml")
     }),
 
+    // Public-suffix registrable domain (round 11): eight host
+    // classes against a planted rule set exercising every selection
+    // rung of the published algorithm — plain TLD, multi-label
+    // suffix (co.uk beats uk by label count), host-equals-suffix
+    // (null), wildcard *.ck, the !www.ck exception at both depths,
+    // and the default rule for an unknown TLD. Every verdict replays
+    // from doc_id arithmetic; the PSL format spec's own
+    // hokkaido/tokyo example and the test-vector conventions are
+    // pinned in PslSpec.
+    "x_registrable_domain" -> ((s, d) => {
+      val rules = graft.ops.Psl.parse(Seq(
+        "// planted suffix list", "com", "uk", "co.uk", "*.ck", "!www.ck",
+        "jp", "ac.jp"))
+      val id = col("doc_id")
+      val host = when(pmod(id, lit(8)) === 0, concat(lit("ex"), id, lit(".com")))
+        .when(pmod(id, lit(8)) === 1, concat(lit("www.ex"), id, lit(".com")))
+        .when(pmod(id, lit(8)) === 2, concat(lit("deep.sub.ex"), id, lit(".co.uk")))
+        .when(pmod(id, lit(8)) === 3, lit("co.uk"))
+        .when(pmod(id, lit(8)) === 4, concat(lit("x"), id, lit(".b.ck")))
+        .when(pmod(id, lit(8)) === 5, lit("www.ck"))
+        .when(pmod(id, lit(8)) === 6, concat(lit("a"), id, lit(".www.ck")))
+        .otherwise(concat(lit("page"), id, lit(".zz")))
+      docs(s, d).select(id, host.as("host"),
+        graft.ops.Psl.registrableDomainCol(host, rules).as("reg_domain"))
+    }),
+
     // RSS/Atom feed parse (round 11): even ids get an RSS 2.0
     // channel planting the guid conventions (isPermaLink=false guid
     // beside an explicit link; a permalink guid standing in as the
@@ -2595,6 +2621,31 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // link-graph PageRank: 5 unrolled power iterations (generated)
     "x_pagerank" -> pagerankOracleSql(5),
+
+    // registrable domain: all eight selection-rung classes replayed
+    // from doc_id arithmetic
+    "x_registrable_domain" -> """
+      SELECT doc_id, host,
+             CASE doc_id % 8
+               WHEN 0 THEN 'ex' || doc_id || '.com'
+               WHEN 1 THEN 'ex' || doc_id || '.com'
+               WHEN 2 THEN 'ex' || doc_id || '.co.uk'
+               WHEN 3 THEN NULL
+               WHEN 4 THEN 'x' || doc_id || '.b.ck'
+               WHEN 5 THEN 'www.ck'
+               WHEN 6 THEN 'www.ck'
+               ELSE 'page' || doc_id || '.zz' END AS reg_domain
+      FROM (SELECT doc_id,
+              CASE doc_id % 8
+                WHEN 0 THEN 'ex' || doc_id || '.com'
+                WHEN 1 THEN 'www.ex' || doc_id || '.com'
+                WHEN 2 THEN 'deep.sub.ex' || doc_id || '.co.uk'
+                WHEN 3 THEN 'co.uk'
+                WHEN 4 THEN 'x' || doc_id || '.b.ck'
+                WHEN 5 THEN 'www.ck'
+                WHEN 6 THEN 'a' || doc_id || '.www.ck'
+                ELSE 'page' || doc_id || '.zz' END AS host
+            FROM documents)""",
 
     // feed parse: RSS guid conventions + Atom link-rel rule replayed
     // from doc_id arithmetic

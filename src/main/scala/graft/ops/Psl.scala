@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public-suffix matching → registrable domain (eTLD+1) — the host
+  * grouping unit every crawl-curation control actually wants:
+  * per-domain caps, host-level [[PageRank]], and politeness budgets
+  * should treat `a.blogspot.com`-style registrable domains, not raw
+  * hostnames, as the key (`news.bbc.co.uk` and `www.bbc.co.uk` are
+  * one publisher; `x.co.uk` and `y.co.uk` are two). Reference
+  * scope: none in `main.py`; §2.5 crawl tier.
+  *
+  * The ALGORITHM is the published publicsuffix.org spec, implemented
+  * from the format description alone; the LIST is data the caller
+  * supplies (config or a rules table — this container has no
+  * network, and pinning a snapshot would rot):
+  *  - a rule is a dot-separated label sequence; lines starting `//`
+  *    are comments, blanks ignored, rules lowercased;
+  *  - a rule matches a host when, comparing labels RIGHT-TO-LEFT,
+  *    every rule label equals the host label or is `*` (which
+  *    matches exactly one non-empty label), and the host has at
+  *    least as many labels;
+  *  - the prevailing rule is any matching EXCEPTION rule (prefix
+  *    `!`) first, else the matching rule with the most labels, else
+  *    the default rule `*`;
+  *  - the public suffix is the prevailing rule's labels (for an
+  *    exception, the rule MINUS its leftmost label); the registrable
+  *    domain is the public suffix plus one more host label — None
+  *    when the host IS a public suffix or shorter.
+  *
+  * Normalization: hosts lowercase; a leading dot, empty label, or
+  * empty host is invalid (None, the PSL test-vector convention); a
+  * single trailing root dot is stripped (declared). IDNA/punycode
+  * conversion is out of scope — rules and hosts must be in the same
+  * form (declared; the real list ships punycode).
+  *
+  * Scale shape: the parsed rule set is indexed by TLD label and
+  * rides the closure ONCE per executor (a real list is ~10k rules —
+  * a compiled-expression CASE chain at that size would break
+  * codegen, so this is deliberately a broadcast-closure scalar
+  * function, the documented step below a custom Expression);
+  * matching is a hash lookup + a few label compares per row,
+  * scan-local, no shuffle.
+  */
+object Psl {
+
+  /** Parsed rule set. `byTld` buckets rule label-arrays (leftmost
+    * first) + exception flag under their rightmost label. */
+  final case class Rules(byTld: Map[String, Seq[(Vector[String], Boolean)]])
+      extends Serializable
+
+  def parse(lines: Seq[String]): Rules = {
+    val rules = lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map { l =>
+        val ex = l.startsWith("!")
+        val labels = (if (ex) l.substring(1) else l).toLowerCase
+          .split('.').toVector
+        (labels, ex)
+      }
+      .filter { case (ls, _) => ls.nonEmpty && ls.forall(_.nonEmpty) }
+      .toVector
+    Rules(rules.groupBy(_._1.last).map { case (k, v) => k -> (v: Seq[(Vector[String], Boolean)]) })
+  }
+
+  private def matches(rule: Vector[String], host: Array[String]): Boolean =
+    rule.length <= host.length && {
+      var i = 0
+      var ok = true
+      while (ok && i < rule.length) {
+        val r = rule(rule.length - 1 - i)
+        val h = host(host.length - 1 - i)
+        ok = r == "*" || r == h
+        i += 1
+      }
+      ok
+    }
+
+  /** Number of labels in the host's public suffix (≥ 1 via the
+    * default rule), or -1 for an invalid host. */
+  private def suffixLen(host: Array[String], rules: Rules): Int = {
+    if (host.isEmpty || host.exists(_.isEmpty)) return -1
+    val cands = rules.byTld.getOrElse(host(host.length - 1), Seq.empty)
+    var exception = -1
+    var best = 1 // the default rule '*'
+    cands.foreach { case (labels, ex) =>
+      if (matches(labels, host)) {
+        if (ex) { if (exception < 0) exception = labels.length - 1 }
+        else if (labels.length > best) best = labels.length
+      }
+    }
+    if (exception >= 0) exception else best
+  }
+
+  private def normalize(host: String): Option[Array[String]] = {
+    if (host == null) return None
+    val h0 = host.toLowerCase
+    val h = if (h0.endsWith(".") && !h0.endsWith("..")) h0.dropRight(1) else h0
+    if (h.isEmpty || h.startsWith(".")) return None
+    val labels = h.split('.')
+    if (labels.isEmpty || labels.exists(_.isEmpty)) None else Some(labels)
+  }
+
+  /** The public suffix of `host` under `rules`, None when invalid. */
+  def publicSuffix(host: String, rules: Rules): Option[String] =
+    normalize(host).flatMap { labels =>
+      val n = suffixLen(labels, rules)
+      if (n < 1 || n > labels.length) None
+      else Some(labels.takeRight(n).mkString("."))
+    }
+
+  /** The registrable domain (public suffix + one label), None when
+    * the host IS a public suffix or shorter, or invalid. */
+  def registrableDomain(host: String, rules: Rules): Option[String] =
+    normalize(host).flatMap { labels =>
+      val n = suffixLen(labels, rules)
+      if (n < 1 || labels.length <= n) None
+      else Some(labels.takeRight(n + 1).mkString("."))
+    }
+
+  /** Column form: registrable domain of a HOST column. The parsed
+    * rules ride the closure (one deserialize per executor). */
+  def registrableDomainCol(host: Column, rules: Rules): Column = {
+    val f = udf((h: String) => registrableDomain(h, rules))
+    f(host)
+  }
+
+  /** Append `outCol` = registrable domain of the host of `urlCol`
+    * (via [[DomainCap.hostOf]]); schemeless/invalid rows null. */
+  def withRegistrableDomain(df: DataFrame, urlCol: String, outCol: String,
+      rules: Rules): DataFrame =
+    df.withColumn(outCol, registrableDomainCol(DomainCap.hostOf(col(urlCol)), rules))
+}

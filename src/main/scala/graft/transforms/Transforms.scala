@@ -745,6 +745,35 @@ object Transforms {
         t.config.str("url_field").getOrElse("url"),
         t.config.str("html_field").getOrElse("html"),
         t.config.int("max_links").getOrElse(10000))
+    // public-suffix registrable domain (eTLD+1): appends out_field
+    // from the host of url_field (or host_field directly); rules
+    // inline (rules) or from a one-column source (rules_from)
+    case "registrable_domain" =>
+      val cfg = t.config
+      val inlineRules = cfg.strList("rules")
+      val fromSource = cfg.str("rules_from").map { n =>
+        val rdf = ctx.getOrElse(n,
+          throw new GraftAnalysisException(s"registrable_domain: unknown source '$n'"))
+        val f = cfg.str("rules_field").getOrElse("rule")
+        // rules tables are list-sized (the real PSL is ~10k rows);
+        // the collect is capped and fails fast, the assertQueryCap
+        // discipline
+        val cap = 1 << 20
+        val rows = rdf.select(c(f).cast("string")).na.drop()
+          .limit(cap + 1).collect()
+        if (rows.length > cap) throw new GraftAnalysisException(
+          s"registrable_domain: rules source '$n' has > $cap rows — not a suffix list")
+        rows.map(_.getString(0)).toSeq
+      }.getOrElse(Seq.empty)
+      val rules = graft.ops.Psl.parse(inlineRules ++ fromSource)
+      val out = cfg.str("out_field").getOrElse("registrable_domain")
+      cfg.str("host_field") match {
+        case Some(hf) =>
+          df.withColumn(out, graft.ops.Psl.registrableDomainCol(c(hf), rules))
+        case None =>
+          graft.ops.Psl.withRegistrableDomain(df,
+            cfg.str("url_field").getOrElse("url"), out, rules)
+      }
     // sitemaps.org protocol parse: (id, seq, kind, loc, lastmod,
     // changefreq, priority, in_scope) rows per sitemap document —
     // the frontier-seeding sibling of robots_filter
@@ -795,7 +824,7 @@ object Transforms {
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
-    "sitemap_parse", "feed_parse")
+    "sitemap_parse", "feed_parse", "registrable_domain")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
