@@ -166,8 +166,18 @@ object LinearClassifier {
 
     // per-partition fold: upper-tri Gram + per-class moment columns.
     // Binary features mean x_i x_j = 1 on active-index pairs, so the
-    // fold is sparse: |active|² adds per doc, nothing dim-sized.
-    val partials = feats.mapPartitions { it =>
+    // fold is sparse: |active|² adds per doc, nothing dim-sized —
+    // but each partial IS dim-sized (the tri-length triangle), so
+    // fold WIDTH is bounded: at nBuckets=2048 one partial is a 2.1M-
+    // double triangle, and 32 of them cost ~0.5 GB of collect plus a
+    // driver merge (measured 12.5 s of a 28 s fit); 8 partials keep
+    // the per-partition row work trivial while quartering the dense-
+    // state traffic. Partials are primitive Array[Double] (unboxed
+    // UnsafeArrayData both ways — the boxed-Seq encoder was the
+    // other half of those 12.5 s).
+    val foldWidth = math.min(8, math.max(1,
+      spark.sparkContext.defaultParallelism))
+    val partials = feats.coalesce(foldWidth).mapPartitions { it =>
       val idx = bcIdx.value
       var n = 0L
       val g = new Array[Double](tri)
@@ -192,20 +202,15 @@ object LinearClassifier {
         }
       }
       if (n == 0) Iterator.empty
-      else Iterator.single((n, g.toSeq, r.toSeq))
+      else Iterator.single((n, g, r))
     }.collect() // one row per non-empty partition, partition order
 
     require(partials.nonEmpty, "linear fit: empty training input")
     var n = 0L
     val g = new Array[Double](tri)
     val r = new Array[Double](dim * nClasses)
-    partials.foreach { case (pn, pg, pr) =>
+    partials.foreach { case (pn, pgA, prA) =>
       n += pn
-      // materialize before indexing: the collected Seq is a List, and
-      // List#apply is O(i) — indexed summing over the 131k-entry
-      // triangle would be O(tri²) per partition (measured: minutes)
-      val pgA = pg.toArray
-      val prA = pr.toArray
       var i = 0
       while (i < tri) { g(i) += pgA(i); i += 1 }
       i = 0
