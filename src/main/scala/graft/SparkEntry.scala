@@ -1922,6 +1922,24 @@ object SparkEntry {
           col("http_status").cast("long").as("status"), col("text"))
     }),
 
+    // HTTP wire-encoding ladder (round 11): response bodies cycle
+    // identity / chunked (with chunk extension + trailer) / gzip /
+    // gzip-then-chunked / deflate (half zlib-wrapped as RFC 9110
+    // names it, half RAW — the classic server bug) / unsupported br.
+    // The reader must de-chunk per RFC 9112 §7.1, decompress via the
+    // from-spec codecs (encode side is the independent JDK), and
+    // REFUSE the br class with empty text rather than mojibake the
+    // compressed bytes — text, encoding header, and the decoded flag
+    // all replay from corpus columns.
+    "x_warc_http_decode" -> ((s, d) => {
+      val packed = Warc.packDocsWarcGzHttpEncoded(
+        t(s, d, "documents"), "doc_id", "source", "text")
+      Warc.responseText(Warc.records(packed, "file_id", "payload"))
+        .select(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("http_status").cast("long").as("status"), col("text"),
+          col("content_encoding"), col("payload_decoded"))
+    }),
+
     // charset ladder over real crawl bytes: bodies cycle five
     // encoding variants (declared utf-8 / declared cp1252 / meta
     // iso-8859-1 / undeclared-valid-utf8 / undeclared-cp1252), and
@@ -4488,6 +4506,20 @@ object SparkEntry {
       SELECT doc_id, CAST(200 AS BIGINT) AS status,
         '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
           coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>' AS text
+      FROM documents""",
+
+    // wire-encoding contract: text identical to the unencoded page
+    // for every decodable class, empty for the refused one; header
+    // and flag replay from doc_id arithmetic
+    "x_warc_http_decode" -> """
+      SELECT doc_id, CAST(200 AS BIGINT) AS status,
+        CASE WHEN doc_id % 6 = 5 THEN ''
+             ELSE '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
+                  coalesce(source, '') || '</p><div>' || coalesce(text, '') ||
+                  '</div></body></html>' END AS text,
+        CASE doc_id % 6 WHEN 2 THEN 'gzip' WHEN 3 THEN 'gzip'
+             WHEN 4 THEN 'deflate' WHEN 5 THEN 'br' ELSE NULL END AS content_encoding,
+        doc_id % 6 <> 5 AS payload_decoded
       FROM documents""",
 
     // charset-ladder contract: the resolved charset, the detection

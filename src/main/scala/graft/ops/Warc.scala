@@ -134,6 +134,93 @@ object Warc {
       .toDF("file_id", "payload")
   }
 
+  /** HTTP message with wire encodings for the x_warc_http_decode
+    * gate, variant = id mod 6: 0 identity, 1 chunked (with a chunk
+    * extension and a trailer — both skip paths are load-bearing),
+    * 2 gzip, 3 gzip-then-chunked (the composition order real
+    * servers emit: CE applies first, TE wraps it), 4 deflate — half
+    * the ids zlib-wrapped as RFC 9110 names it, half RAW deflate,
+    * the classic server bug the decode ladder must absorb — and
+    * 5 `br` with junk bytes (unsupported: the reader must refuse,
+    * not mojibake). Encoders are the JDK's (independent of the
+    * from-spec decode side). Chunked messages omit Content-Length
+    * as real ones do. */
+  def httpEncoded(id: Long, page: String): Array[Byte] = {
+    val body = page.getBytes("UTF-8")
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(body); d.finish()
+      val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    def gzipped: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(body); g.close(); bos.toByteArray
+    }
+    def chunked(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(data.length + 128)
+      var at = 0
+      var first = true
+      while (at < data.length) {
+        val n = math.min(100, data.length - at)
+        val ext = if (first) ";planted=1" else ""
+        bos.write(s"${n.toHexString}$ext$CRLF".getBytes("UTF-8"))
+        bos.write(data, at, n)
+        bos.write(CRLF.getBytes("UTF-8"))
+        at += n; first = false
+      }
+      bos.write(s"0${CRLF}X-Planted-Trailer: ok$CRLF$CRLF".getBytes("UTF-8"))
+      bos.toByteArray
+    }
+    val ct = "Content-Type: text/html; charset=utf-8"
+    val v = (id % 6).toInt
+    val (extraHeaders, payload) = v match {
+      case 0 => (Seq.empty[String], body)
+      case 1 => (Seq("Transfer-Encoding: chunked"), chunked(body))
+      case 2 => (Seq("Content-Encoding: gzip"), gzipped)
+      case 3 => (Seq("Content-Encoding: gzip", "Transfer-Encoding: chunked"),
+        chunked(gzipped))
+      case 4 => (Seq("Content-Encoding: deflate"), deflate(raw = (id / 6) % 2 == 1))
+      case _ => (Seq("Content-Encoding: br"),
+        "not actually brotli bytes".getBytes("UTF-8"))
+    }
+    val cl = if (v == 1 || v == 3) Seq.empty
+             else Seq(s"Content-Length: ${payload.length}")
+    ((Seq("HTTP/1.1 200 OK", ct) ++ extraHeaders ++ cl).mkString(CRLF) +
+      CRLF + CRLF).getBytes("UTF-8") ++ payload
+  }
+
+  /** [[packDocsWarcGz]] with [[httpEncoded]] message bodies — the
+    * wire-encoding fixture packer. */
+  def packDocsWarcGzHttpEncoded(df: DataFrame, idCol: String, sourceCol: String,
+                                textCol: String, nFiles: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(sourceCol), lit("")),
+        coalesce(col(textCol), lit("")))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups { (fileId, rows) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(GzipCodec.gzipStored(warcinfoRecord(fileId)))
+        rows.toSeq.sortBy(_._1).foreach { case (id, src, text) =>
+          val rec = record(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:uuid:${uuidFor(s"doc-$id")}>",
+            "WARC-Date" -> WarcDate,
+            "WARC-Target-URI" -> s"https://example.com/doc/$id",
+            "Content-Type" -> "application/http; msgtype=response"),
+            httpEncoded(id, pageFor(id, src, text)))
+          bos.write(gzipMember(rec, (id % 9 + 1).toInt))
+        }
+        (fileId, bos.toByteArray)
+      }
+      .toDF("file_id", "payload")
+  }
+
   // ------------------------------------------------------------------
   // parser
   // ------------------------------------------------------------------
@@ -365,12 +452,93 @@ object Warc {
     }
   }
 
-  /** The response-record text surface: HTTP headers stripped, body
-    * decoded through the charset ladder ([[decodeBody]]) into a
-    * `text` column — what downstream html_extract / quality / dedup
-    * stages consume — plus the resolved `charset` and the detection
-    * rung `charset_src`. `pathCol` picks the file-key column
-    * ([[recordsByPath]] output vs [[records]]). */
+  // ------------------------------------------------------------------
+  // HTTP payload decode: transfer- and content-encoding
+  // ------------------------------------------------------------------
+
+  /** De-chunk an RFC 9112 §7.1 chunked body: hex size lines (chunk
+    * extensions after `;` ignored), each chunk's trailing CRLF
+    * verified, terminated by a zero-size chunk whose trailer section
+    * (header lines then a blank line, or nothing — lenient, some
+    * writers omit it) is skipped. None on any framing violation;
+    * per-chunk size cap guards crafted lengths. */
+  private[graft] def dechunk(b: Array[Byte], from: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = from
+    def lineEnd(at: Int): Int = {
+      var j = at
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 < b.length) j else -1
+    }
+    while (true) {
+      val le = lineEnd(i)
+      if (le < 0) return None
+      val line = new String(b, i, le - i, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      if (hex.isEmpty || !hex.forall(c => Character.digit(c, 16) >= 0)) return None
+      if (hex.length > 8) return None // crafted length
+      val sizeL = java.lang.Long.parseLong(hex, 16)
+      if (sizeL > (1L << 28)) return None // 256 MiB chunk cap
+      val size = sizeL.toInt
+      i = le + 2
+      if (size == 0) {
+        // trailer section: lines until a blank line or end of body
+        var done = i >= b.length
+        while (!done) {
+          val te = lineEnd(i)
+          if (te < 0) { if (i >= b.length) done = true else return None }
+          else if (te == i) done = true // blank line terminates
+          else i = te + 2
+        }
+        return Some(out.toByteArray)
+      }
+      if (i + size + 2 > b.length) return None
+      out.write(b, i, size.toInt)
+      if (!(b(i + size) == '\r' && b(i + size + 1) == '\n')) return None
+      i += size.toInt + 2
+    }
+    None // unreachable
+  }
+
+  /** Apply one Content-Encoding token via the in-repo from-spec
+    * codecs. `deflate` tries zlib first, then raw DEFLATE — the
+    * classic server bug the label name caused (RFC 9110 §8.4.1.2
+    * names zlib, a long tail of servers send raw). None = token
+    * unsupported or stream corrupt. */
+  private def contentDecode1(token: String, bytes: Array[Byte]): Option[Array[Byte]] =
+    token match {
+      case "identity" | "" => Some(bytes)
+      case "gzip" | "x-gzip" => GzipCodec.gunzip(bytes)
+      case "deflate" => GzipCodec.unzlib(bytes).orElse(GzipCodec.inflate(bytes))
+      case "zstd" => ZstdCodec.decode(bytes)
+      case _ => None // br etc.: refused, surfaced via payload_decoded
+    }
+
+  /** Apply a (possibly comma-listed) Content-Encoding header value,
+    * rightmost-first (encodings compose in application order). */
+  private[graft] def contentDecode(enc: String, bytes: Array[Byte]): Option[Array[Byte]] = {
+    val tokens = enc.toLowerCase(java.util.Locale.ROOT).split(',').map(_.trim)
+    tokens.reverse.foldLeft(Option(bytes)) { (acc, t) =>
+      acc.flatMap(contentDecode1(t, _))
+    }
+  }
+
+  /** The response-record text surface: HTTP headers stripped, the
+    * body taken through the PAYLOAD ladder — `Transfer-Encoding:
+    * chunked` de-chunked (RFC 9112 §7.1), then `Content-Encoding`
+    * decompressed via the in-repo from-spec codecs (gzip, deflate
+    * with the zlib/raw server-bug fallback, zstd; brotli refused) —
+    * then the charset ladder ([[decodeBody]]) into a `text` column,
+    * what downstream html_extract / quality / dedup stages consume.
+    * Crawl archives store the raw wire bytes, so both encodings are
+    * routine on real WARCs. `content_encoding` surfaces the header
+    * verbatim (null when absent); `payload_decoded` is false when
+    * the chunk framing is malformed or an encoding is unsupported —
+    * then `text` is EMPTY, the refuse-don't-guess stance (mojibake
+    * of compressed bytes is worse than nothing downstream).
+    * `pathCol` picks the file-key column ([[recordsByPath]] output
+    * vs [[records]]). */
   def responseText(recordsDf: DataFrame, pathCol: Boolean = false): DataFrame = {
     val spark = recordsDf.sparkSession
     import spark.implicits._
@@ -389,21 +557,46 @@ object Warc {
           }
           at
         }
-        // Content-Type of the HTTP message (not the WARC record)
-        val httpContentType =
-          if (headEnd < 0) null
-          else new String(body, 0, headEnd, java.nio.charset.StandardCharsets.ISO_8859_1)
-            .split("\r\n").drop(1).collectFirst {
-              case line if line.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
-                line.substring(line.indexOf(':') + 1).trim
-            }.orNull
-        if (headEnd < 0) (key, recIndex, uri, status, "", null: String, null: String)
+        if (headEnd < 0)
+          (key, recIndex, uri, status, "", null: String, null: String,
+            null: String, true)
         else {
-          val (text, cs, src) = decodeBody(body, headEnd + 4, httpContentType)
-          (key, recIndex, uri, status, text, cs, src)
+          // headers of the HTTP message (not the WARC record)
+          val lines = new String(body, 0, headEnd,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+            .split("\r\n").drop(1)
+          def header(name: String): Option[String] = lines.collectFirst {
+            case line if line.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":") =>
+              line.substring(line.indexOf(':') + 1).trim
+          }
+          val httpContentType = header("content-type").orNull
+          val transferEnc = header("transfer-encoding")
+          val contentEnc = header("content-encoding")
+          // payload ladder: de-chunk, then content-decode
+          val raw = java.util.Arrays.copyOfRange(body, headEnd + 4, body.length)
+          val unchunked: Option[Array[Byte]] =
+            if (transferEnc.exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
+              dechunk(raw, 0)
+            else Some(raw)
+          val payload: Option[Array[Byte]] = unchunked.flatMap { u =>
+            contentEnc match {
+              case Some(enc) => contentDecode(enc, u)
+              case None => Some(u)
+            }
+          }
+          payload match {
+            case Some(p) =>
+              val (text, cs, src) = decodeBody(p, 0, httpContentType)
+              (key, recIndex, uri, status, text, cs, src,
+                contentEnc.orNull, true)
+            case None =>
+              (key, recIndex, uri, status, "", null: String, null: String,
+                contentEnc.orNull, false)
+          }
         }
       }
-      .toDF(keyName, "rec_index", "target_uri", "http_status", "text", "charset", "charset_src")
+      .toDF(keyName, "rec_index", "target_uri", "http_status", "text", "charset",
+        "charset_src", "content_encoding", "payload_decoded")
     if (pathCol) base
     else base.withColumn("file_id", col("file_id").cast("long"))
   }

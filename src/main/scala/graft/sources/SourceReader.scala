@@ -152,7 +152,9 @@ object SourceReader {
         .unionByName(oversized.select(col("path"), lit(-1).as("rec_index"),
           lit(null).cast("string").as("target_uri"), lit(null).cast("int").as("http_status"),
           lit(null).cast("string").as("text"), lit(null).cast("string").as("charset"),
-          lit(null).cast("string").as("charset_src")))
+          lit(null).cast("string").as("charset_src"),
+          lit(null).cast("string").as("content_encoding"),
+          lit(false).as("payload_decoded")))
 
     // ZIP — the everyday archive for per-document-file dumps:
     // binary load, central-directory walk with member CRCs verified,

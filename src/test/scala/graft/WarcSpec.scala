@@ -86,7 +86,8 @@ class WarcSpec extends SparkSuite {
       graft.spec.SourceSpec("crawl", "warc", graft.spec.Config.of(
         "path" -> s"${dir.getAbsolutePath}/*.warc.gz")))
     assert(read.columns.toSeq ==
-      Seq("path", "rec_index", "target_uri", "http_status", "text", "charset", "charset_src"))
+      Seq("path", "rec_index", "target_uri", "http_status", "text", "charset", "charset_src",
+        "content_encoding", "payload_decoded"))
     assert(read.count() == 4)
     assert(read.where($"target_uri" === "https://example.com/doc/2")
       .select("text").as[String].head() == Warc.pageFor(2L, "books", ""))
@@ -147,7 +148,8 @@ class WarcSpec extends SparkSuite {
         "path" -> s"${dir.getAbsolutePath}/*.warc.gz",
         "split" -> true, "split_target_bytes" -> 2048)))
     assert(readSplit.columns.toSeq ==
-      Seq("path", "rec_index", "target_uri", "http_status", "text", "charset", "charset_src"))
+      Seq("path", "rec_index", "target_uri", "http_status", "text", "charset", "charset_src",
+        "content_encoding", "payload_decoded"))
     val gotTexts = readSplit.select($"target_uri", $"text").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     val wantTexts = (0L until 40L)
@@ -265,5 +267,67 @@ class WarcSpec extends SparkSuite {
     val recs = Warc.records(Seq((5L, oneMember)).toDF("file_id", "payload"), "file_id", "payload")
     assert(recs.count() == 3)
     assert(recs.where($"warc_type" === "response").count() == 2)
+  }
+
+  // ---- HTTP payload ladder: chunked transfer + content encodings ----
+
+  private def ascii(s: String) = s.getBytes("US-ASCII")
+
+  test("dechunk: RFC 9112 framing, extensions, trailers, refusals") {
+    val body = ascii("5\r\nhello\r\n6;ext=\"x\"\r\n world\r\n0\r\nX-T: ok\r\n\r\n")
+    assert(Warc.dechunk(body, 0).map(new String(_, "US-ASCII")).contains("hello world"))
+    // terminator without trailers, and without the final blank line (lenient)
+    assert(Warc.dechunk(ascii("3\r\nabc\r\n0\r\n\r\n"), 0)
+      .map(new String(_, "US-ASCII")).contains("abc"))
+    assert(Warc.dechunk(ascii("3\r\nabc\r\n0\r\n"), 0)
+      .map(new String(_, "US-ASCII")).contains("abc"))
+    // hex sizes incl. uppercase
+    assert(Warc.dechunk(ascii("A\r\n0123456789\r\n0\r\n\r\n"), 0)
+      .map(new String(_, "US-ASCII")).contains("0123456789"))
+    assert(Warc.dechunk(ascii("3\r\nabcd\r\n0\r\n\r\n"), 0).isEmpty) // size lies
+    assert(Warc.dechunk(ascii("zz\r\nab\r\n0\r\n\r\n"), 0).isEmpty)  // non-hex
+    assert(Warc.dechunk(ascii("5\r\nhel"), 0).isEmpty)               // truncated
+    assert(Warc.dechunk(ascii("ffffffff1\r\nx\r\n0\r\n\r\n"), 0).isEmpty) // crafted size
+  }
+
+  test("contentDecode: gzip, zlib AND raw deflate (the server bug), zstd, refusals") {
+    val data = ascii("payload bytes for the ladder ")
+    def jdk(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, raw)
+      d.setInput(data); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val gz = { val b = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(b); g.write(data); g.close(); b.toByteArray }
+    assert(Warc.contentDecode("gzip", gz).map(_.toSeq).contains(data.toSeq))
+    assert(Warc.contentDecode("X-GZIP", gz).map(_.toSeq).contains(data.toSeq))
+    assert(Warc.contentDecode("deflate", jdk(raw = false)).map(_.toSeq).contains(data.toSeq))
+    assert(Warc.contentDecode("deflate", jdk(raw = true)).map(_.toSeq).contains(data.toSeq))
+    assert(Warc.contentDecode("identity", data).map(_.toSeq).contains(data.toSeq))
+    assert(Warc.contentDecode("br", data).isEmpty)
+    assert(Warc.contentDecode("gzip", data).isEmpty) // not a gzip stream
+  }
+
+  test("responseText payload ladder end-to-end: all six wire variants") {
+    val docs = Seq.tabulate(12)(i => (i.toLong, "src", s"body text $i"))
+      .toDF("doc_id", "source", "text")
+    val packed = Warc.packDocsWarcGzHttpEncoded(docs, "doc_id", "source", "text", nFiles = 2)
+    val out = Warc.responseText(Warc.records(packed, "file_id", "payload"))
+      .select($"target_uri", $"text", $"content_encoding", $"payload_decoded")
+      .collect().map(r => (r.getString(0).split("/").last.toLong,
+        (r.getString(1), Option(r.getString(2)), r.getBoolean(3)))).toMap
+    (0L until 12L).foreach { id =>
+      val page = Warc.pageFor(id, "src", s"body text $id")
+      val (text, enc, ok) = out(id)
+      (id % 6) match {
+        case 5 => assert(text == "" && enc.contains("br") && !ok, s"id=$id")
+        case 4 => assert(text == page && enc.contains("deflate") && ok, s"id=$id")
+        case 2 | 3 => assert(text == page && enc.contains("gzip") && ok, s"id=$id")
+        case _ => assert(text == page && enc.isEmpty && ok, s"id=$id")
+      }
+    }
   }
 }
