@@ -1922,6 +1922,22 @@ object SparkEntry {
           col("http_status").cast("long").as("status"), col("text"))
     }),
 
+    // WET generation (round 11): corpus → WARC shards → packWet →
+    // read the WET files BACK through the same parser (WET files
+    // ARE WARC files) — every conversion record's text/plain body
+    // must equal the charset-decoded, html-extracted response page,
+    // which the oracle replays from corpus columns through the
+    // htmlExtract regex chain verbatim. Refers-To provenance and
+    // record ordering are pinned in WarcSpec.
+    "x_wet_extract" -> ((s, d) => {
+      val packed = Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text")
+      val wet = Warc.packWet(Warc.records(packed, "file_id", "payload"))
+      Warc.records(wet, "file_id", "payload")
+        .where(col("warc_type") === "conversion")
+        .select(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("content_type"), decode(col("body"), "UTF-8").as("wet_text"))
+    }),
+
     // HTTP wire-encoding ladder (round 11): response bodies cycle
     // identity / chunked (with chunk extension + trailer) / gzip /
     // gzip-then-chunked / deflate (half zlib-wrapped as RFC 9110
@@ -4507,6 +4523,33 @@ object SparkEntry {
         '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
           coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>' AS text
       FROM documents""",
+
+    // WET contract: conversion bodies = the htmlExtract regex chain
+    // over the planted page, replayed stage for stage
+    "x_wet_extract" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
+            coalesce(source, '') || '</p><div>' || coalesce(text, '') ||
+            '</div></body></html>' AS page
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(page, '(?is)<script[^>]*>.*?</script>', '', 'g') AS t FROM raw),
+      s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id, regexp_replace(t,
+        '(?i)<(br|hr)[ \t]*/?>|</(p|div|li|tr|h1|h2|h3|h4|h5|h6|ul|ol|table|blockquote|pre)>',
+        chr(10), 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM s4),
+      s6 AS (SELECT doc_id,
+          replace(replace(replace(replace(replace(replace(replace(t,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+            '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
+      s7 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM s6),
+      s8 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s7),
+      s9 AS (SELECT doc_id, regexp_replace(t, '\n\n\n+', chr(10) || chr(10), 'g') AS t FROM s8)
+      SELECT doc_id, 'text/plain' AS content_type,
+             regexp_replace(t, '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g') AS wet_text
+      FROM s9""",
 
     // wire-encoding contract: text identical to the unencoded page
     // for every decodable class, empty for the refused one; header

@@ -221,6 +221,70 @@ object Warc {
       .toDF("file_id", "payload")
   }
 
+  /** WET generation — the extracted-text sidecar of the Common Crawl
+    * trio (WARC shards + [[Cdx]] lookup index + WET text): one WET
+    * file per input WARC file, a leading warcinfo record then one
+    * `WARC-Type: conversion` record per HTTP response, in record
+    * order — `WARC-Refers-To` carrying the source record's id (the
+    * provenance link WET consumers join on), `Content-Type:
+    * text/plain`, body = the response's charset-decoded,
+    * [[graft.ops.TextAnalysis.htmlExtract]]-extracted text as UTF-8.
+    * Undecodable payloads (`payload_decoded = false`) are SKIPPED —
+    * a WET record of mojibake is worse than absence.
+    *
+    * Scale shape: the text surface and the record-id columns join on
+    * (file, rec_index) — broadcast-sized per AQE at fixture scale,
+    * an equi-join at corpus scale — then one group per output file
+    * (the file is the write unit, exactly like [[packDocsWarcGz]]).
+    * Input: a [[records]]/[[recordsByPath]] frame. Output:
+    * (file_id, payload) .warc.gz bytes, readable back by this very
+    * parser (WET files ARE WARC files). */
+  def packWet(recordsDf: DataFrame, pathCol: Boolean = false): DataFrame = {
+    val spark = recordsDf.sparkSession
+    import spark.implicits._
+    val keyName = if (pathCol) "path" else "file_id"
+    val txt = responseText(recordsDf, pathCol)
+      .where(col("payload_decoded"))
+      .select(col(keyName).cast("string").as("__k"), col("rec_index"),
+        TextAnalysis.htmlExtract(col("text")).as("__wet"))
+    val meta = recordsDf
+      .where(col("warc_type") === "response" && col("http_status").isNotNull)
+      .select(col(keyName).cast("string").as("__k"), col("rec_index"),
+        col("record_id"), col("target_uri"), col("warc_date"))
+    txt.join(meta, Seq("__k", "rec_index"))
+      .select(col("__k"), col("rec_index"), col("record_id"),
+        col("target_uri"), col("warc_date"), col("__wet"))
+      .as[(String, Int, String, String, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (key, rows) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val infoSeed = s"wetinfo-$key"
+        bos.write(GzipCodec.gzipStored(record(Seq(
+          "WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> s"<urn:uuid:${uuidFor(infoSeed)}>",
+          "WARC-Date" -> WarcDate,
+          "Content-Type" -> "application/warc-fields"),
+          warcinfoBody)))
+        rows.toSeq.sortBy(_._2).foreach {
+          case (_, recIndex, refersTo, uri, date, wet) =>
+            val body = Option(wet).getOrElse("").getBytes("UTF-8")
+            val rec = record(Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Record-ID" -> s"<urn:uuid:${uuidFor(s"wet-$key-$recIndex")}>",
+              "WARC-Refers-To" -> refersTo,
+              "WARC-Target-URI" -> uri,
+              "WARC-Date" -> (if (date != null && date.nonEmpty) date else WarcDate),
+              "Content-Type" -> "text/plain"),
+              body)
+            bos.write(gzipMember(rec, (recIndex % 9 + 1)))
+        }
+        (key, bos.toByteArray)
+      }
+      .toDF(keyName, "payload")
+      .withColumn(keyName,
+        if (pathCol) col(keyName) else col(keyName).cast("long"))
+  }
+
   // ------------------------------------------------------------------
   // parser
   // ------------------------------------------------------------------

@@ -311,6 +311,44 @@ class WarcSpec extends SparkSuite {
     assert(Warc.contentDecode("gzip", data).isEmpty) // not a gzip stream
   }
 
+  test("packWet: conversion records, Refers-To provenance, order, skip-undecodable") {
+    // mix decodable and undecodable (br) responses: ids 0..11 cycle
+    // the six wire variants; id%6==5 (br) must be ABSENT from the WET
+    val many = Seq.tabulate(12)(i => (i.toLong, "src", s"wet body $i"))
+      .toDF("doc_id", "source", "text")
+    val warc = Warc.packDocsWarcGzHttpEncoded(many, "doc_id", "source", "text", nFiles = 2)
+    val wet = Warc.packWet(Warc.records(warc, "file_id", "payload")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(wet.keySet == Set(0L, 1L))
+    val recs = Warc.records(wet.toSeq.toDF("file_id", "payload"), "file_id", "payload")
+    assert(recs.where($"warc_type" === "warcinfo").count() == 2)
+    val conv = recs.where($"warc_type" === "conversion")
+      .select($"file_id", $"rec_index", $"target_uri", $"content_type", $"body")
+      .collect()
+    // 12 responses minus the two br ones (5, 11)
+    assert(conv.length == 10)
+    assert(!conv.exists(_.getString(2).endsWith("/5")))
+    assert(!conv.exists(_.getString(2).endsWith("/11")))
+    assert(conv.forall(_.getString(3) == "text/plain"))
+    // body = extracted text of the page (title+p+div collapse per htmlExtract)
+    val c0 = conv.find(_.getString(2).endsWith("/0")).get
+    val want = many.where($"doc_id" === 0L)
+      .select(graft.ops.TextAnalysis.htmlExtract(
+        lit(Warc.pageFor(0L, "src", "wet body 0"))))
+      .as[String].head()
+    assert(new String(c0.getAs[Array[Byte]](4), "UTF-8") == want)
+    // Refers-To links back to the SOURCE record id (parse raw header)
+    val rawStream = GzipCodec.gunzip(wet(0L)).get
+    val head = new String(rawStream, "ISO-8859-1")
+    val refers = "WARC-Refers-To: <([^>]+)>".r.findAllMatchIn(head).map(_.group(1)).toSeq
+    assert(refers.nonEmpty)
+    assert(refers.forall(_.startsWith("urn:uuid:")))
+    assert(refers.contains("urn:uuid:" + Warc.uuidFor("doc-0")))
+    // conversion records keep source record order within the file
+    val order = conv.filter(_.getLong(0) == 0L).sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+    assert(order == order.sortBy(_.split("/").last.toLong))
+  }
+
   test("responseText payload ladder end-to-end: all six wire variants") {
     val docs = Seq.tabulate(12)(i => (i.toLong, "src", s"body text $i"))
       .toDF("doc_id", "source", "text")
