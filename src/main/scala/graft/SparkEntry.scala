@@ -1922,6 +1922,46 @@ object SparkEntry {
           col("http_status").cast("long").as("status"), col("text"))
     }),
 
+    // XML source (round 11): the corpus entity-escaped into 8 real
+    // .xml shards on disk (&/</> through &amp;-family escapes, so
+    // already-escaped corpus text DOUBLE-escapes and must
+    // single-decode back), read through the record-per-element xml
+    // source — every field replays the corpus columns verbatim.
+    // Namespace/nesting/quarantine rungs are pinned in XmlSpec.
+    "x_xml_source" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-xmlsrc").toFile
+      val base = dir.getAbsolutePath
+      import s.implicits._
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long"), coalesce(col("source"), lit("")),
+          coalesce(col("text"), lit("")))
+        .as[(Long, String, String)]
+        .groupByKey(_._1 % 8)
+        .mapGroups { (fid, rows) =>
+          def esc(x: String) =
+            x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+          val sb = new StringBuilder(
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<docs>\n")
+          rows.toSeq.sortBy(_._1).foreach { case (id, src, txt) =>
+            sb.append("  <doc><id>").append(id).append("</id><source>")
+              .append(esc(src)).append("</source><text>").append(esc(txt))
+              .append("</text></doc>\n")
+          }
+          sb.append("</docs>\n")
+          (fid, sb.toString)
+        }
+        .foreach { (kv: (Long, String)) =>
+          val out = new java.io.FileOutputStream(
+            new java.io.File(base, f"part-${kv._1}%05d.xml"))
+          try out.write(kv._2.getBytes("UTF-8")) finally out.close()
+        }
+      graft.sources.SourceReader.read(s,
+        graft.spec.SourceSpec("xmlsrc", "xml", graft.spec.Config.of(
+          "path" -> s"$base/*.xml", "record_tag" -> "doc",
+          "fields" -> Seq("id", "source", "text"))))
+        .select(col("id").cast("long").as("doc_id"), col("source"), col("text"))
+    }),
+
     // WET generation (round 11): corpus → WARC shards → packWet →
     // read the WET files BACK through the same parser (WET files
     // ARE WARC files) — every conversion record's text/plain body
@@ -4522,6 +4562,12 @@ object SparkEntry {
       SELECT doc_id, CAST(200 AS BIGINT) AS status,
         '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
           coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>' AS text
+      FROM documents""",
+
+    // xml source: escape → parse round-trips every field to the
+    // corpus columns verbatim
+    "x_xml_source" -> """
+      SELECT doc_id, coalesce(source, '') AS source, coalesce(text, '') AS text
       FROM documents""",
 
     // WET contract: conversion bodies = the htmlExtract regex chain

@@ -63,6 +63,19 @@ object Xml {
       sb.toString
     }
   }
+  /** Every element with the given LOCAL name, document order
+    * (pre-order; nested matches are collected too — declared). The
+    * record-selection walk of the `xml` source. */
+  def collectByLocal(root: Elem, local: String): List[Elem] = {
+    val out = List.newBuilder[Elem]
+    def walk(e: Elem): Unit = {
+      if (e.local == local) out += e
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(root)
+    out.result()
+  }
+
   private val MaxNodes = 1 << 20
   private val MaxDepth = 256
 

@@ -285,6 +285,51 @@ object SourceReader {
           lit(-1).as("member_index"), lit(null).cast("string").as("name"),
           col("length").as("size"), lit(null).cast("string").as("text")))
 
+    // record-per-element XML reads on the from-spec [[graft.ops.Xml]]
+    // parser — the spark-xml shape with an EXPLICIT config schema
+    // (all-string columns, the csv parity convention): `record_tag`
+    // picks elements by LOCAL name at any depth (namespace prefixes
+    // tolerated, nested matches collected in document order), each
+    // `fields` entry becomes a string column holding the first
+    // matching child element's text (absent → null). UTF-8 bytes
+    // (declared; the XML prolog's encoding attribute is not honored).
+    // Malformed or non-well-formed files quarantine as seq = -1 rows
+    // — one bad file cannot kill the scan; files are the parallelism
+    // unit under the binary seam.
+    case "xml" =>
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val recordTag = s.config.reqStr("record_tag")
+      val fields = s.config.strList("fields")
+      if (fields.isEmpty) throw new GraftAnalysisException(
+        s"source '${s.name}': xml source needs a non-empty 'fields' list")
+      if (fields.contains("path") || fields.contains("seq"))
+        throw new GraftAnalysisException(
+          s"source '${s.name}': xml fields may not shadow path/seq")
+      val (files, oversized) = binarySeam(spark, s)
+      val schema = StructType(
+        StructField("path", StringType) +: StructField("seq", IntegerType) +:
+          fields.map(f => StructField(f, StringType)))
+      val rows = files.select(col("path"), col("content")).rdd.flatMap { r =>
+        val path = r.getString(0)
+        val text = new String(r.getAs[Array[Byte]](1),
+          java.nio.charset.StandardCharsets.UTF_8)
+        graft.ops.Xml.parse(text) match {
+          case Some(root) =>
+            graft.ops.Xml.collectByLocal(root, recordTag).zipWithIndex.map {
+              case (e, i) => Row.fromSeq(path +: i +:
+                fields.map(f => e.elems(f).headOption.map(_.text).orNull))
+            }
+          case None =>
+            Seq(Row.fromSeq(path +: Integer.valueOf(-1) +: fields.map(_ => null)))
+        }
+      }
+      val quarantineOversized = oversized.select(col("path")).rdd.map { r =>
+        Row.fromSeq(r.getString(0) +: Integer.valueOf(-1) +: fields.map(_ => null))
+      }
+      spark.createDataFrame(rows.union(quarantineOversized), schema)
+
     // Reference sqlite source (main.py:130-138) over the pure-Scala
     // file codec — no JDBC driver needed. `table` reads one table;
     // `query` is the reference's arbitrary-SQL mode, re-expressed as

@@ -4,7 +4,9 @@ import graft.ops.Xml
 import org.scalatest.funsuite.AnyFunSuite
 
 /** From-spec XML 1.0 subset: structure, the misc layer, references,
-  * and the well-formedness refusal ladder — pure JVM, no Spark. */
+  * and the well-formedness refusal ladder — pure JVM, no Spark. The
+  * `xml` SOURCE surface (record-per-element reads) is in
+  * [[XmlSourceSpec]]. */
 class XmlSpec extends AnyFunSuite {
 
   test("structure: nesting, attributes in both quote styles, self-closing") {
