@@ -1087,6 +1087,29 @@ object SparkEntry {
         "doc_id", "url", "xml")
     }),
 
+    // robots.txt Sitemap directives (round 11): planted bodies mix
+    // user-agent groups, rule lines, a fully-commented Sitemap line
+    // that must NOT surface, a mixed-case SITEMAP key with trailing
+    // whitespace, and group-interleaved placement — extraction is
+    // group-independent per the protocol and every (doc, seq, url)
+    // replays from doc_id arithmetic.
+    "x_robots_sitemaps" -> ((s, d) => {
+      val id = col("doc_id")
+      val body = concat(
+        lit("# planted robots\nUser-agent: *\nDisallow: /private\n"),
+        lit("Sitemap: https://h"), pmod(id, lit(5)), lit(".example.com/sitemap"), id, lit(".xml\n"),
+        lit("User-agent: specialbot\nAllow: /\n"),
+        when(pmod(id, lit(3)) === 0,
+          concat(lit("SITEMAP: https://h"), pmod(id, lit(5)),
+            lit(".example.com/extra"), id, lit(".xml   \n")))
+          .otherwise(lit("")),
+        lit("# Sitemap: https://commented.example.com/never.xml\n"))
+      graft.ops.Robots.sitemapUrls(
+        docs(s, d).select(id.cast("string").as("host"), body.as("robots_txt")),
+        "host", "robots_txt")
+        .select(col("host").cast("long").as("doc_id"), col("seq"), col("sitemap_url"))
+    }),
+
     // Public-suffix registrable domain (round 11): eight host
     // classes against a planted rule set exercising every selection
     // rung of the published algorithm — plain TLD, multi-label
@@ -2695,6 +2718,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // link-graph PageRank: 5 unrolled power iterations (generated)
     "x_pagerank" -> pagerankOracleSql(5),
+
+    // robots sitemap directives: one or two per doc by id%3, the
+    // commented one never
+    "x_robots_sitemaps" -> """
+      SELECT doc_id, CAST(seq AS INTEGER) AS seq, sitemap_url FROM (
+        SELECT doc_id, 0 AS seq,
+               'https://h' || (doc_id % 5) || '.example.com/sitemap' || doc_id || '.xml' AS sitemap_url
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1,
+               'https://h' || (doc_id % 5) || '.example.com/extra' || doc_id || '.xml'
+        FROM documents WHERE doc_id % 3 = 0)""",
 
     // registrable domain: all eight selection-rung classes replayed
     // from doc_id arithmetic

@@ -82,6 +82,43 @@ object Robots {
     chosen.flatMap(_._2).toArray
   }
 
+  /** `Sitemap:` directive values, document order — the sitemaps.org
+    * discovery hook robots.txt carries: the line is GROUP-INDEPENDENT
+    * (the protocol says it may appear anywhere, regardless of
+    * user-agent sections), its key case-insensitive, its value kept
+    * verbatim (absolute-URL validation is [[Sitemap]]'s consumer
+    * call). Same comment/line discipline as [[rulesFor]]; never
+    * throws. */
+  def sitemaps(content: String): Seq[String] = {
+    if (content == null) return Seq.empty
+    val out = Seq.newBuilder[String]
+    for (raw <- content.split("\r\n|\r|\n", -1)) {
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result()
+  }
+
+  /** (… passthrough of `hostCol`, sitemap_url, seq) rows — one per
+    * Sitemap directive of each robots body, the discovery feed into
+    * the `sitemap_parse` fetch loop. Scan-local explode. */
+  def sitemapUrls(robots: org.apache.spark.sql.DataFrame, hostCol: String,
+      contentCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(contentCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, content) =>
+        sitemaps(content).zipWithIndex.map { case (u, i) => (host, i, u) }
+      }
+      .toDF(hostCol, "seq", "sitemap_url")
+  }
+
   /** §2.2.3 pattern match: does `pat` (with `*` wildcards and an
     * optional trailing `$` anchor) match `path`? */
   def patternMatches(pat: String, path: String): Boolean = {

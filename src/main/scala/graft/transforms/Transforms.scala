@@ -774,6 +774,12 @@ object Transforms {
           graft.ops.Psl.withRegistrableDomain(df,
             cfg.str("url_field").getOrElse("url"), out, rules)
       }
+    // Sitemap: directives out of robots.txt bodies — the discovery
+    // feed into sitemap_parse
+    case "robots_sitemaps" =>
+      graft.ops.Robots.sitemapUrls(df,
+        t.config.str("host_field").getOrElse("host"),
+        t.config.str("content_field").getOrElse("robots_txt"))
     // sitemaps.org protocol parse: (id, seq, kind, loc, lastmod,
     // changefreq, priority, in_scope) rows per sitemap document —
     // the frontier-seeding sibling of robots_filter
@@ -824,7 +830,7 @@ object Transforms {
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
-    "sitemap_parse", "feed_parse", "registrable_domain")
+    "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
