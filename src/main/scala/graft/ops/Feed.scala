@@ -90,7 +90,10 @@ object Feed {
   def extract(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"),
+    df.where(col(idCol).isNotNull)
+      // coalesce marks the id non-nullable for the primitive-Long
+      // tuple encoder (nullable sources otherwise fail analysis)
+      .select(coalesce(col(idCol).cast("long"), lit(0L)),
         coalesce(col(xmlCol).cast("string"), lit("")))
       .as[(Long, String)]
       .flatMap { case (id, xml) =>

@@ -185,7 +185,11 @@ object Links {
       maxLinksPerDoc: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(urlCol).cast("string"),
+    df.where(col(idCol).isNotNull)
+      // coalesce marks the id non-nullable for the primitive-Long
+      // tuple encoder (nullable sources — inline, csv — otherwise
+      // fail analysis)
+      .select(coalesce(col(idCol).cast("long"), lit(0L)), col(urlCol).cast("string"),
         coalesce(col(htmlCol).cast("string"), lit("")))
       .as[(Long, String, String)]
       .flatMap { case (id, url, html) =>
