@@ -1945,6 +1945,20 @@ object SparkEntry {
           col("http_status").cast("long").as("status"), col("text"))
     }),
 
+    // DOCX extraction (round 11): the corpus packed into real
+    // ECMA-376 .docx packages (OPC content types + rels +
+    // WordprocessingML body; text lines as separate w:p paragraphs
+    // so the multi-paragraph join is load-bearing; even ids DEFLATE
+    // the ZIP members, odd ids store them) and extracted back —
+    // every document's body text replays the corpus verbatim.
+    // Tabs/breaks/hyperlink runs/table order and the refusal ladder
+    // are pinned in DocxSpec against a JDK-zip-written fixture.
+    "x_docx_extract" -> ((s, d) => {
+      val packed = graft.ops.Docx.packTextDocx(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Docx.decodeText(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("text"), col("decoded"))
+    }),
+
     // XML source (round 11): the corpus entity-escaped into 8 real
     // .xml shards on disk (&/</> through &amp;-family escapes, so
     // already-escaped corpus text DOUBLE-escapes and must
@@ -4597,6 +4611,11 @@ object SparkEntry {
       SELECT doc_id, CAST(200 AS BIGINT) AS status,
         '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
           coalesce(source, '') || '</p><div>' || coalesce(text, '') || '</div></body></html>' AS text
+      FROM documents""",
+
+    // docx: pack → extract round-trips the text column verbatim
+    "x_docx_extract" -> """
+      SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
 
     // xml source: escape → parse round-trips every field to the

@@ -285,6 +285,25 @@ object SourceReader {
           lit(-1).as("member_index"), lit(null).cast("string").as("name"),
           col("length").as("size"), lit(null).cast("string").as("text")))
 
+    // DOCX reads on the from-spec Zip + Xml stack: one row per file,
+    // body text extracted from word/document.xml per ECMA-376
+    // ([[graft.ops.Docx]]); hostile files surface decoded = false.
+    case "docx" =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
+      val spark2 = spark
+      import spark2.implicits._
+      files.select(col("path"), col("content")).as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          graft.ops.Docx.extractText(bytes) match {
+            case Some(t) => (path, t, true)
+            case None => (path, "", false)
+          }
+        }
+        .toDF("path", "text", "decoded")
+        .unionByName(oversized.select(col("path"),
+          lit("").as("text"), lit(false).as("decoded")))
+
     // record-per-element XML reads on the from-spec [[graft.ops.Xml]]
     // parser — the spark-xml shape with an EXPLICIT config schema
     // (all-string columns, the csv parity convention): `record_tag`

@@ -774,6 +774,12 @@ object Transforms {
           graft.ops.Psl.withRegistrableDomain(df,
             cfg.str("url_field").getOrElse("url"), out, rules)
       }
+    // DOCX body text from a binary payload column (ECMA-376 on the
+    // from-spec Zip + Xml stack)
+    case "docx_extract" =>
+      graft.ops.Docx.decodeText(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // Sitemap: directives out of robots.txt bodies — the discovery
     // feed into sitemap_parse
     case "robots_sitemaps" =>
@@ -830,7 +836,8 @@ object Transforms {
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
-    "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps")
+    "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
+    "docx_extract")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
