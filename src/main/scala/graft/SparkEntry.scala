@@ -1959,6 +1959,26 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // PPTX extraction (round 11): text lines become one slide EACH,
+    // listed in reversed package order with double-digit slide
+    // numbers, so the reader's numeric (not lexicographic) slide
+    // sort is load-bearing; body text replays the corpus verbatim.
+    "x_pptx_extract" -> ((s, d) => {
+      val packed = graft.ops.Office.packTextPptx(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Office.decodePptxText(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("text"), col("decoded"))
+    }),
+
+    // ODT extraction (round 11): OASIS OpenDocument content.xml with
+    // the mimetype member first (the ODF convention); text:p blocks
+    // replay the corpus verbatim. tab/line-break/text:s expansion
+    // and the footnote skip are pinned in OfficeSpec.
+    "x_odt_extract" -> ((s, d) => {
+      val packed = graft.ops.Office.packTextOdt(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Office.decodeOdtText(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("text"), col("decoded"))
+    }),
+
     // XML source (round 11): the corpus entity-escaped into 8 real
     // .xml shards on disk (&/</> through &amp;-family escapes, so
     // already-escaped corpus text DOUBLE-escapes and must
@@ -4615,6 +4635,14 @@ object SparkEntry {
 
     // docx: pack → extract round-trips the text column verbatim
     "x_docx_extract" -> """
+      SELECT doc_id, coalesce(text, '') AS text, true AS decoded
+      FROM documents""",
+
+    // pptx/odt: same verbatim round-trip contract
+    "x_pptx_extract" -> """
+      SELECT doc_id, coalesce(text, '') AS text, true AS decoded
+      FROM documents""",
+    "x_odt_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
 

@@ -285,17 +285,23 @@ object SourceReader {
           lit(-1).as("member_index"), lit(null).cast("string").as("name"),
           col("length").as("size"), lit(null).cast("string").as("text")))
 
-    // DOCX reads on the from-spec Zip + Xml stack: one row per file,
-    // body text extracted from word/document.xml per ECMA-376
-    // ([[graft.ops.Docx]]); hostile files surface decoded = false.
-    case "docx" =>
+    // Office reads on the from-spec Zip + Xml stack: one row per
+    // file, body text per the format's element semantics
+    // ([[graft.ops.Docx]] / [[graft.ops.Office]]); hostile files
+    // surface decoded = false.
+    case "docx" | "pptx" | "odt" =>
       import org.apache.spark.sql.functions.{col, lit}
       val (files, oversized) = binarySeam(spark, s)
+      val extract: Array[Byte] => Option[String] = s.sourceType match {
+        case "docx" => graft.ops.Docx.extractText
+        case "pptx" => graft.ops.Office.extractPptxText
+        case _ => graft.ops.Office.extractOdtText
+      }
       val spark2 = spark
       import spark2.implicits._
       files.select(col("path"), col("content")).as[(String, Array[Byte])]
         .map { case (path, bytes) =>
-          graft.ops.Docx.extractText(bytes) match {
+          extract(bytes) match {
             case Some(t) => (path, t, true)
             case None => (path, "", false)
           }

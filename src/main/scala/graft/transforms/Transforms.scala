@@ -780,6 +780,16 @@ object Transforms {
       graft.ops.Docx.decodeText(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // PPTX / ODT body text from binary payload columns (same
+    // Zip + Xml seam as docx_extract)
+    case "pptx_extract" =>
+      graft.ops.Office.decodePptxText(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
+    case "odt_extract" =>
+      graft.ops.Office.decodeOdtText(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // Sitemap: directives out of robots.txt bodies — the discovery
     // feed into sitemap_parse
     case "robots_sitemaps" =>
@@ -837,7 +847,7 @@ object Transforms {
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
-    "docx_extract")
+    "docx_extract", "pptx_extract", "odt_extract")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
