@@ -1979,6 +1979,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // XLSX cells (round 11): the corpus packed into 8 real .xlsx
+    // workbooks (real workbook→rels→sheet discovery chain, doc_id
+    // as a number cell, source as a SHARED string — the table
+    // dedups, so index resolution is load-bearing — text as an
+    // inline string; even files DEFLATE, odd store) and read back
+    // as long-format cells; every (file, sheet, row, col, value)
+    // replays from corpus columns with a windowed row-number.
+    "x_xlsx_cells" -> ((s, d) => {
+      val packed = graft.ops.Xlsx.packDocsXlsx(
+        t(s, d, "documents"), "doc_id", "source", "text")
+      graft.ops.Xlsx.decodeCells(packed, "file_id", "payload")
+    }),
+
     // XML source (round 11): the corpus entity-escaped into 8 real
     // .xml shards on disk (&/</> through &amp;-family escapes, so
     // already-escaped corpus text DOUBLE-escapes and must
@@ -4637,6 +4650,18 @@ object SparkEntry {
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
+
+    // xlsx: long-format cells replayed with a windowed row number
+    "x_xlsx_cells" -> """
+      WITH ranked AS (
+        SELECT doc_id, doc_id % 8 AS fid, coalesce(source, '') AS source,
+               coalesce(text, '') AS text,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS r
+        FROM documents)
+      SELECT fid AS id, 'docs' AS sheet, CAST(r AS BIGINT) AS row, col, value FROM (
+        SELECT fid, r, 'A' AS col, CAST(doc_id AS VARCHAR) AS value FROM ranked
+        UNION ALL SELECT fid, r, 'B', source FROM ranked
+        UNION ALL SELECT fid, r, 'C', text FROM ranked)""",
 
     // pptx/odt: same verbatim round-trip contract
     "x_pptx_extract" -> """

@@ -310,6 +310,26 @@ object SourceReader {
         .unionByName(oversized.select(col("path"),
           lit("").as("text"), lit(false).as("decoded")))
 
+    // XLSX cells in long format on the same stack: (path, sheet,
+    // row, col, value) per populated cell; hostile files quarantine
+    // as one row = -1 row.
+    case "xlsx" =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
+      val spark3 = spark
+      import spark3.implicits._
+      files.select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          graft.ops.Xlsx.cells(bytes) match {
+            case Some(cs) => cs.map(c => (path, c.sheet, c.row, c.col, c.value))
+            case None => Seq((path, null: String, -1L, null: String, null: String))
+          }
+        }
+        .toDF("path", "sheet", "row", "col", "value")
+        .unionByName(oversized.select(col("path"),
+          lit(null).cast("string").as("sheet"), lit(-1L).as("row"),
+          lit(null).cast("string").as("col"), lit(null).cast("string").as("value")))
+
     // record-per-element XML reads on the from-spec [[graft.ops.Xml]]
     // parser — the spark-xml shape with an EXPLICIT config schema
     // (all-string columns, the csv parity convention): `record_tag`
