@@ -1979,6 +1979,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // EPUB extraction (round 11): text lines chunked three-per-
+    // chapter with the manifest listed in REVERSE, so the OCF →
+    // OPF → spine reading-order chain is load-bearing, not the
+    // package layout; spine text replays the corpus verbatim.
+    "x_epub_extract" -> ((s, d) => {
+      val packed = graft.ops.Epub.packTextEpub(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Epub.decodeText(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("text"), col("decoded"))
+    }),
+
     // XLSX cells (round 11): the corpus packed into 8 real .xlsx
     // workbooks (real workbook→rels→sheet discovery chain, doc_id
     // as a number cell, source as a SHARED string — the table
@@ -4648,6 +4658,11 @@ object SparkEntry {
 
     // docx: pack → extract round-trips the text column verbatim
     "x_docx_extract" -> """
+      SELECT doc_id, coalesce(text, '') AS text, true AS decoded
+      FROM documents""",
+
+    // epub: spine round-trips the text column verbatim
+    "x_epub_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
 

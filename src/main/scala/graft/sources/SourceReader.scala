@@ -289,12 +289,13 @@ object SourceReader {
     // file, body text per the format's element semantics
     // ([[graft.ops.Docx]] / [[graft.ops.Office]]); hostile files
     // surface decoded = false.
-    case "docx" | "pptx" | "odt" =>
+    case "docx" | "pptx" | "odt" | "epub" =>
       import org.apache.spark.sql.functions.{col, lit}
       val (files, oversized) = binarySeam(spark, s)
       val extract: Array[Byte] => Option[String] = s.sourceType match {
         case "docx" => graft.ops.Docx.extractText
         case "pptx" => graft.ops.Office.extractPptxText
+        case "epub" => graft.ops.Epub.extractText
         case _ => graft.ops.Office.extractOdtText
       }
       val spark2 = spark

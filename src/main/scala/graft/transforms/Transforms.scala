@@ -790,6 +790,11 @@ object Transforms {
       graft.ops.Office.decodeOdtText(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // EPUB spine text from a binary payload column
+    case "epub_extract" =>
+      graft.ops.Epub.decodeText(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // XLSX cells in long format: (id, sheet, row, col, value)
     case "xlsx_cells" =>
       graft.ops.Xlsx.decodeCells(df,
@@ -852,7 +857,8 @@ object Transforms {
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
-    "docx_extract", "pptx_extract", "odt_extract", "xlsx_cells")
+    "docx_extract", "pptx_extract", "odt_extract", "xlsx_cells",
+    "epub_extract")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
