@@ -1979,6 +1979,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // Jupyter notebook cells (round 11): one nbformat-4 notebook per
+    // document, a cell per text line in the on-disk array-source
+    // form with alternating code/markdown types — every (seq,
+    // cell_type, language, source) replays from a parallel unnest
+    // of the line-split corpus text.
+    "x_ipynb_cells" -> ((s, d) => {
+      val packed = graft.ops.Ipynb.packTextIpynb(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Ipynb.decodeCells(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("seq"), col("cell_type"),
+          col("language"), col("source"))
+    }),
+
     // EPUB extraction (round 11): text lines chunked three-per-
     // chapter with the manifest listed in REVERSE, so the OCF →
     // OPF → spine reading-order chain is load-bearing, not the
@@ -4660,6 +4672,20 @@ object SparkEntry {
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
+
+    // ipynb: cells replay from a parallel unnest of the line split
+    "x_ipynb_cells" -> """
+      WITH s AS (
+        SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents),
+      u AS (
+        SELECT doc_id, CAST(unnest(range(len(ls))) AS INTEGER) AS seq,
+               unnest(ls) AS source
+        FROM s)
+      SELECT doc_id, seq,
+             CASE WHEN seq % 2 = 0 THEN 'code' ELSE 'markdown' END AS cell_type,
+             'python' AS language, source
+      FROM u""",
 
     // epub: spine round-trips the text column verbatim
     "x_epub_extract" -> """

@@ -311,6 +311,29 @@ object SourceReader {
         .unionByName(oversized.select(col("path"),
           lit("").as("text"), lit(false).as("decoded")))
 
+    // Jupyter notebooks: (path, seq, cell_type, language, source)
+    // per cell; malformed files quarantine as seq = -1.
+    case "ipynb" =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
+      val spark4 = spark
+      import spark4.implicits._
+      files.select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          graft.ops.Ipynb.cells(bytes) match {
+            case Some((lang, cs)) => cs.zipWithIndex.map { case ((t, src), i) =>
+              (path, i, t, lang, src)
+            }
+            case None =>
+              Seq((path, -1, null: String, null: String, null: String))
+          }
+        }
+        .toDF("path", "seq", "cell_type", "language", "source")
+        .unionByName(oversized.select(col("path"), lit(-1).as("seq"),
+          lit(null).cast("string").as("cell_type"),
+          lit(null).cast("string").as("language"),
+          lit(null).cast("string").as("source")))
+
     // XLSX cells in long format on the same stack: (path, sheet,
     // row, col, value) per populated cell; hostile files quarantine
     // as one row = -1 row.

@@ -790,6 +790,11 @@ object Transforms {
       graft.ops.Office.decodeOdtText(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // Jupyter notebook cells in long format
+    case "ipynb_cells" =>
+      graft.ops.Ipynb.decodeCells(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // EPUB spine text from a binary payload column
     case "epub_extract" =>
       graft.ops.Epub.decodeText(df,
@@ -858,7 +863,7 @@ object Transforms {
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
     "docx_extract", "pptx_extract", "odt_extract", "xlsx_cells",
-    "epub_extract")
+    "epub_extract", "ipynb_cells")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
