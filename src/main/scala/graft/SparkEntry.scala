@@ -1979,6 +1979,49 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // Subtitle cues (round 11): even ids SRT (comma decimal, index
+    // lines), odd ids WebVTT (dot decimal, signature, a NOTE block
+    // that must skip whole, cue ids on every second cue, settings
+    // after the end timestamp) — one cue per text line with
+    // id-derived timings; whitespace-only lines sanitize to '.'
+    // (both engines replay the same rule), markup strip + entity
+    // decode applied to cue text. Every (seq, start, end, text)
+    // replays from a parallel unnest.
+    "x_subtitle_cues" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val lines = text.split("\n", -1)
+              .map(l => if (l.matches("[ \\t\\r]*")) "." else l)
+            def ts(ms: Long, dot: Boolean): String =
+              f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d" +
+                (if (dot) "." else ",") + f"${ms % 1000}%03d"
+            def startOf(i: Int): Long = i.toLong * 2000 + (id % 7) * 13
+            val body =
+              if (id % 2 == 0)
+                lines.zipWithIndex.map { case (l, i) =>
+                  val st = startOf(i)
+                  s"${i + 1}\n${ts(st, dot = false)} --> ${ts(st + 1500, dot = false)}\n$l\n"
+                }.mkString("\n")
+              else
+                "WEBVTT\n\nNOTE planted comment\nsecond note line\n\n" +
+                  lines.zipWithIndex.map { case (l, i) =>
+                    val st = startOf(i)
+                    (if (i % 2 == 0) s"cue-$id-$i\n" else "") +
+                      s"${ts(st, dot = true)} --> ${ts(st + 1500, dot = true)} align:start\n$l\n"
+                  }.mkString("\n")
+            (id, body)
+          }
+          .toDF("doc_id", "sub")
+      }
+      graft.ops.Subtitles.extract(packed, "doc_id", "sub")
+        .select(col("id").as("doc_id"), col("seq"), col("start_ms"),
+          col("end_ms"), col("text"))
+    }),
+
     // Jupyter notebook cells (round 11): one nbformat-4 notebook per
     // document, a cell per text line in the on-disk array-source
     // form with alternating code/markdown types — every (seq,
@@ -4672,6 +4715,29 @@ object SparkEntry {
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
+
+    // subtitle cues: timings from seq/doc_id arithmetic, text through
+    // the same sanitize + markup-strip + entity-decode both engines run
+    "x_subtitle_cues" -> """
+      WITH s AS (
+        SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents),
+      u AS (
+        SELECT doc_id, CAST(unnest(range(len(ls))) AS INTEGER) AS seq,
+               unnest(ls) AS line
+        FROM s),
+      v AS (
+        SELECT doc_id, seq,
+               CASE WHEN regexp_matches(line, '^[ \t\r]*$') THEN '.' ELSE line END AS line
+        FROM u)
+      SELECT doc_id, seq,
+             CAST(seq * 2000 + (doc_id % 7) * 13 AS BIGINT) AS start_ms,
+             CAST(seq * 2000 + (doc_id % 7) * 13 + 1500 AS BIGINT) AS end_ms,
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(line, '<[^>]*>', '', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+               '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS text
+      FROM v""",
 
     // ipynb: cells replay from a parallel unnest of the line split
     "x_ipynb_cells" -> """

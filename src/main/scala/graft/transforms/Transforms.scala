@@ -790,6 +790,11 @@ object Transforms {
       graft.ops.Office.decodeOdtText(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // SRT/WebVTT subtitle cues from a text column
+    case "subtitle_cues" =>
+      graft.ops.Subtitles.extract(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("text_field").getOrElse("text"))
     // Jupyter notebook cells in long format
     case "ipynb_cells" =>
       graft.ops.Ipynb.decodeCells(df,
@@ -863,7 +868,7 @@ object Transforms {
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
     "docx_extract", "pptx_extract", "odt_extract", "xlsx_cells",
-    "epub_extract", "ipynb_cells")
+    "epub_extract", "ipynb_cells", "subtitle_cues")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
