@@ -1979,6 +1979,29 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // Markdown extraction (round 11): the planted document fires
+    // every rule — ATX + setext headers, blockquote, both list
+    // marker kinds, a fence whose CONTENT must survive, image-
+    // before-link nesting, reference links + definition lines,
+    // autolinks, emphasis/backticks — with the corpus text flowing
+    // through the same chain on both engines.
+    "x_markdown_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val md = concat(
+        lit("# Doc "), id, lit("\nTitle "), id, lit("\n====\n"),
+        lit("> quoted from "), coalesce(col("source"), lit("")), lit("\n"),
+        lit("- item one\n1. item "), id, lit("\n"),
+        lit("```scala\nval x"), id, lit(" = 1 < 2 && 3 > 2\n```\n"),
+        lit("![logo "), id, lit("](http://img.example/"), id, lit(".png)\n"),
+        lit("See [link "), id, lit("](http://x.example/"), id, lit(") and [ref "), id, lit("][r1].\n"),
+        lit("[r1]: http://ref.example/"), id, lit("\n"),
+        lit("<https://auto.example/"), id, lit(">\n"),
+        lit("**bold "), id, lit("** *em* `tick` ~~strike~~\n"),
+        coalesce(col("text"), lit("")))
+      docs(s, d).select(id,
+        TextAnalysis.markdownExtract(md).as("extracted"))
+    }),
+
     // Subtitle cues (round 11): even ids SRT (comma decimal, index
     // lines), odd ids WebVTT (dot decimal, signature, a NOTE block
     // that must skip whole, cue ids on every second cue, settings
@@ -4715,6 +4738,35 @@ object SparkEntry {
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
+
+    // markdown: the same rule chain replayed stage for stage (RE2
+    // group references are \1 in DuckDB, $1 in Spark)
+    "x_markdown_extract" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          '# Doc ' || doc_id || chr(10) || 'Title ' || doc_id || chr(10) || '====' || chr(10) ||
+          '> quoted from ' || coalesce(source, '') || chr(10) ||
+          '- item one' || chr(10) || '1. item ' || doc_id || chr(10) ||
+          '```scala' || chr(10) || 'val x' || doc_id || ' = 1 < 2 && 3 > 2' || chr(10) || '```' || chr(10) ||
+          '![logo ' || doc_id || '](http://img.example/' || doc_id || '.png)' || chr(10) ||
+          'See [link ' || doc_id || '](http://x.example/' || doc_id || ') and [ref ' || doc_id || '][r1].' || chr(10) ||
+          '[r1]: http://ref.example/' || doc_id || chr(10) ||
+          '<https://auto.example/' || doc_id || '>' || chr(10) ||
+          '**bold ' || doc_id || '** *em* `tick` ~~strike~~' || chr(10) ||
+          coalesce(text, '') AS md
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(md, '(?m)^[ \t]*```[^\n]*\n?', '', 'g') AS t FROM raw),
+      s2 AS (SELECT doc_id, regexp_replace(t, '(?m)^#{1,6}[ \t]+', '', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t, '(?m)^(=+|-+|\*\*\*+)[ \t]*$\n?', '', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id, regexp_replace(t, '(?m)^[ \t]*>[ \t]?', '', 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, regexp_replace(t, '(?m)^[ \t]*([-*+]|[0-9]+\.)[ \t]+', '', 'g') AS t FROM s4),
+      s6 AS (SELECT doc_id, regexp_replace(t, '(?m)^\[[^\]]+\]:[ \t]+[^\n]*$\n?', '', 'g') AS t FROM s5),
+      s7 AS (SELECT doc_id, regexp_replace(t, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s6),
+      s8 AS (SELECT doc_id, regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s7),
+      s9 AS (SELECT doc_id, regexp_replace(t, '\[([^\]]*)\]\[[^\]]*\]', '\1', 'g') AS t FROM s8),
+      s10 AS (SELECT doc_id, regexp_replace(t, '<(https?://[^>]+)>', '\1', 'g') AS t FROM s9),
+      s11 AS (SELECT doc_id, regexp_replace(t, '\*\*|~~|\*', '', 'g') AS t FROM s10)
+      SELECT doc_id, regexp_replace(t, '`', '', 'g') AS extracted FROM s11""",
 
     // subtitle cues: timings from seq/doc_id arithmetic, text through
     // the same sanitize + markup-strip + entity-decode both engines run

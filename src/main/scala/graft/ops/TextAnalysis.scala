@@ -742,6 +742,44 @@ object TextAnalysis {
     regexp_replace(paras, "^[ \t\r\n]+|[ \t\r\n]+$", "")
   }
 
+  /** Markdown → prose, the [[htmlExtract]] sibling for the OTHER
+    * ubiquitous corpus markup (readmes, docs sites, forum dumps):
+    * a deterministic rule pipeline in declared application order,
+    * every pattern in the Java∩RE2 dialect so an external SQL
+    * oracle replays it verbatim:
+    *
+    *  1. fence LINES drop, fenced content stays (code is corpus
+    *     text; the fence syntax is not);
+    *  2. ATX header marks (`#{1,6} `) drop; setext underline /
+    *     thematic-break lines (`===`, `---`) drop whole;
+    *  3. blockquote `>` and list markers (`-*+`, `1.`) drop;
+    *  4. images `![alt](url)` → alt BEFORE links `[text](url)` →
+    *     text (the image syntax embeds the link syntax); reference
+    *     links `[text][ref]` → text; link-definition lines drop;
+    *     autolinks `<http…>` keep the URL;
+    *  5. `**`/`~~`/`*` emphasis marks and backticks drop —
+    *     underscore emphasis is left ALONE (declared: `_` is
+    *     ambiguous with snake_case identifiers, and eating
+    *     identifiers corrupts code corpora).
+    *
+    * Line structure is content in markdown and is preserved — no
+    * whitespace collapse beyond what the rules remove.
+    */
+  def markdownExtract(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?m)^[ \t]*```[^\n]*\n?", "")
+    val noAtx = regexp_replace(noFence, "(?m)^#{1,6}[ \t]+", "")
+    val noSetext = regexp_replace(noAtx, "(?m)^(=+|-+|\\*\\*\\*+)[ \t]*$\n?", "")
+    val noQuote = regexp_replace(noSetext, "(?m)^[ \t]*>[ \t]?", "")
+    val noList = regexp_replace(noQuote, "(?m)^[ \t]*([-*+]|[0-9]+\\.)[ \t]+", "")
+    val noDefs = regexp_replace(noList, "(?m)^\\[[^\\]]+\\]:[ \t]+[^\n]*$\n?", "")
+    val noImg = regexp_replace(noDefs, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noRef = regexp_replace(noLink, "\\[([^\\]]*)\\]\\[[^\\]]*\\]", "$1")
+    val noAuto = regexp_replace(noRef, "<(https?://[^>]+)>", "$1")
+    val noEm = regexp_replace(noAuto, "\\*\\*|~~|\\*", "")
+    regexp_replace(noEm, "`", "")
+  }
+
   /** Corpus datasheet: per-class (source/language/shard) doc counts,
     * token and char volumes, and exact-duplicate redundancy — the
     * summary table every corpus release ships. One pass: fingerprints

@@ -401,6 +401,10 @@ object Transforms {
       val f = t.config.str("field").getOrElse("html")
       df.withColumn(t.config.str("out_field").getOrElse("text"),
         graft.ops.TextAnalysis.htmlExtract(c(f)))
+    case "markdown_extract" =>
+      val f = t.config.str("field").getOrElse("markdown")
+      df.withColumn(t.config.str("out_field").getOrElse("text"),
+        graft.ops.TextAnalysis.markdownExtract(c(f)))
     // writing-system histogram + dominant script
     case "text_script" =>
       val f = t.config.str("field").getOrElse("text")
@@ -868,7 +872,7 @@ object Transforms {
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
     "docx_extract", "pptx_extract", "odt_extract", "xlsx_cells",
-    "epub_extract", "ipynb_cells", "subtitle_cues")
+    "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
