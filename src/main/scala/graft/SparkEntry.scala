@@ -1979,6 +1979,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // mbox/email (round 11): the corpus packed into 8 real mbox
+    // files — subjects cycling plain / RFC 2047 B / Q encoded-word
+    // forms, bodies cycling quoted-printable / base64 / raw-7bit
+    // transfer encodings with real mboxrd From-quoting, every fifth
+    // id a multipart/alternative whose text/plain part must win —
+    // and parsed back: every header field and the decoded body
+    // replay from corpus columns with a windowed per-file seq.
+    "x_mbox_messages" -> ((s, d) => {
+      val packed = graft.ops.Email.packDocsMbox(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Email.messages(packed, "file_id", "payload")
+        .select(regexp_extract(col("message_id"), "m(\\d+)@", 1).cast("long").as("doc_id"),
+          col("seq"), col("from"), col("to"), col("subject"), col("date"),
+          col("message_id"), col("content_type"), col("body_is_html"), col("text"))
+    }),
+
     // Markdown extraction (round 11): the planted document fires
     // every rule — ATX + setext headers, blockquote, both list
     // marker kinds, a fence whose CONTENT must survive, image-
@@ -4738,6 +4753,30 @@ object SparkEntry {
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
+
+    // mbox: every header and the decoded body replay from corpus
+    // columns; the decoded subject is identical for the B and Q
+    // planted forms
+    "x_mbox_messages" -> """
+      WITH ranked AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+                    AS INTEGER) AS seq
+        FROM documents)
+      SELECT doc_id, seq,
+             'sender' || doc_id || '@example.com' AS "from",
+             'rcpt' || doc_id || '@example.org' AS "to",
+             CASE doc_id % 4
+               WHEN 0 THEN 'Subject ' || doc_id
+               WHEN 1 THEN 'Sübject ' || doc_id
+               WHEN 2 THEN 'Sübject ' || doc_id
+               ELSE 'Plain subject ' || doc_id END AS subject,
+             'Thu, 1 Jan 2026 10:0' || (doc_id % 6) || ':00 +0000' AS date,
+             '<m' || doc_id || '@example.com>' AS message_id,
+             'text/plain; charset=utf-8' AS content_type,
+             false AS body_is_html,
+             t AS text
+      FROM ranked""",
 
     // markdown: the same rule chain replayed stage for stage (RE2
     // group references are \1 in DuckDB, $1 in Spark)

@@ -311,6 +311,34 @@ object SourceReader {
         .unionByName(oversized.select(col("path"),
           lit("").as("text"), lit(false).as("decoded")))
 
+    // mbox mail archives: one row per RFC 5322 message with MIME
+    // body decode ([[graft.ops.Email]]); unparseable messages are
+    // null rows at their seq, oversized files quarantine whole.
+    case "mbox" =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
+      val spark5 = spark
+      import spark5.implicits._
+      files.select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          graft.ops.Email.splitMboxPublic(bytes).zipWithIndex.map { case (raw, i) =>
+            graft.ops.Email.parseMessage(raw) match {
+              case Some(m) => (path, i, m.from, m.to, m.subject, m.date,
+                m.messageId, m.contentType, m.bodyIsHtml, m.text)
+              case None => (path, i, null: String, null: String, null: String,
+                null: String, null: String, null: String, false, null: String)
+            }
+          }
+        }
+        .toDF("path", "seq", "from", "to", "subject", "date", "message_id",
+          "content_type", "body_is_html", "text")
+        .unionByName(oversized.select(col("path"), lit(-1).as("seq"),
+          lit(null).cast("string").as("from"), lit(null).cast("string").as("to"),
+          lit(null).cast("string").as("subject"), lit(null).cast("string").as("date"),
+          lit(null).cast("string").as("message_id"),
+          lit(null).cast("string").as("content_type"),
+          lit(false).as("body_is_html"), lit(null).cast("string").as("text")))
+
     // Jupyter notebooks: (path, seq, cell_type, language, source)
     // per cell; malformed files quarantine as seq = -1.
     case "ipynb" =>

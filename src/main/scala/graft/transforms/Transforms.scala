@@ -794,6 +794,11 @@ object Transforms {
       graft.ops.Office.decodeOdtText(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // mbox/RFC 5322 messages from a binary payload column
+    case "mbox_messages" =>
+      graft.ops.Email.messages(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // SRT/WebVTT subtitle cues from a text column
     case "subtitle_cues" =>
       graft.ops.Subtitles.extract(df,
@@ -872,7 +877,8 @@ object Transforms {
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
     "docx_extract", "pptx_extract", "odt_extract", "xlsx_cells",
-    "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract")
+    "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract",
+    "mbox_messages")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
