@@ -1979,6 +1979,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // safetensors (round 11): the embeddings table packed into 8
+    // real .safetensors shards (one F32 rank-1 tensor per vector,
+    // id-ordered offsets, a __metadata__ map) and decoded back —
+    // name, dtype, shape, AND every float value replay from the
+    // embeddings table, so one wrong byte anywhere in the header
+    // geometry or the little-endian data layout hash-mismatches.
+    "x_safetensors" -> ((s, d) => {
+      val packed = graft.ops.Safetensors.packVecs(
+        t(s, d, "embeddings"), "vec_id", "embedding")
+      graft.ops.Safetensors.decodeTensors(packed, "file_id", "payload")
+        .select(regexp_extract(col("name"), "vec_(\\d+)", 1).cast("long").as("vec_id"),
+          col("dtype"), element_at(col("shape"), 1).as("dim"), col("values"))
+    }),
+
     // mbox/email (round 11): the corpus packed into 8 real mbox
     // files — subjects cycling plain / RFC 2047 B / Q encoded-word
     // forms, bodies cycling quoted-printable / base64 / raw-7bit
@@ -4753,6 +4767,14 @@ object SparkEntry {
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
+
+    // safetensors: metadata + every float value replay from the
+    // embeddings table
+    "x_safetensors" -> """
+      SELECT vec_id, 'F32' AS dtype,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             embedding AS values
+      FROM embeddings WHERE embedding IS NOT NULL""",
 
     // mbox: every header and the decoded body replay from corpus
     // columns; the decoded subject is identical for the B and Q
