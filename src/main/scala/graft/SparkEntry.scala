@@ -1993,6 +1993,18 @@ object SparkEntry {
           col("dtype"), element_at(col("shape"), 1).as("dim"), col("values"))
     }),
 
+    // npz (round 11): the same embedding-shard contract as
+    // x_safetensors through numpy's format — v1.0 .npy members
+    // (spec-padded dict headers, 16-byte alignment) in real ZIP
+    // archives cycling both write modes; every float replays.
+    "x_npz" -> ((s, d) => {
+      val packed = graft.ops.Npy.packVecsNpz(
+        t(s, d, "embeddings"), "vec_id", "embedding")
+      graft.ops.Npy.decodeNpz(packed, "file_id", "payload")
+        .select(regexp_extract(col("name"), "vec_(\\d+)", 1).cast("long").as("vec_id"),
+          col("descr"), element_at(col("shape"), 1).as("dim"), col("values"))
+    }),
+
     // mbox/email (round 11): the corpus packed into 8 real mbox
     // files — subjects cycling plain / RFC 2047 B / Q encoded-word
     // forms, bodies cycling quoted-printable / base64 / raw-7bit
@@ -4767,6 +4779,13 @@ object SparkEntry {
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
+
+    // npz: numpy-format twin of the safetensors contract
+    "x_npz" -> """
+      SELECT vec_id, '<f4' AS descr,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             embedding AS values
+      FROM embeddings WHERE embedding IS NOT NULL""",
 
     // safetensors: metadata + every float value replay from the
     // embeddings table
