@@ -1993,6 +1993,17 @@ object SparkEntry {
           col("dtype"), element_at(col("shape"), 1).as("dim"), col("values"))
     }),
 
+    // GGUF metadata (round 11): one file per document planting the
+    // common KV types (string/u32/u64/bool/f32/i32-array), the
+    // alignment key, and two tensor infos with 32-aligned offsets —
+    // every kv and tensor row replays from doc_id arithmetic.
+    "x_gguf_meta" -> ((s, d) => {
+      val packed = graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id")
+      graft.ops.Gguf.decodeMeta(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("kind"), col("key"),
+          col("type_id"), col("value"), col("offset"))
+    }),
+
     // npz (round 11): the same embedding-shard contract as
     // x_safetensors through numpy's format — v1.0 .npy members
     // (spec-padded dict headers, 16-byte alignment) in real ZIP
@@ -4779,6 +4790,33 @@ object SparkEntry {
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
+
+    // gguf: every kv and tensor-info row from doc_id arithmetic
+    "x_gguf_meta" -> """
+      SELECT doc_id, kind, key, CAST(type_id AS INTEGER) AS type_id, value,
+             CAST(off AS BIGINT) AS "offset" FROM (
+        SELECT doc_id, 'kv' AS kind, 'general.name' AS key, 8 AS type_id,
+               'doc ' || doc_id AS value, 0 AS off FROM documents
+        UNION ALL
+        SELECT doc_id, 'kv', 'general.alignment', 4, '32', 0 FROM documents
+        UNION ALL
+        SELECT doc_id, 'kv', 'planted.count', 10, CAST(doc_id AS VARCHAR), 0 FROM documents
+        UNION ALL
+        SELECT doc_id, 'kv', 'planted.flag', 7,
+               CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END, 0 FROM documents
+        UNION ALL
+        SELECT doc_id, 'kv', 'planted.ratio', 6,
+               CASE doc_id % 4 WHEN 0 THEN '0.0' WHEN 1 THEN '0.25'
+                    WHEN 2 THEN '0.5' ELSE '0.75' END, 0 FROM documents
+        UNION ALL
+        SELECT doc_id, 'kv', 'planted.langs', 9,
+               '[' || (doc_id % 5) || ',' || (doc_id % 5 + 1) || ']', 0 FROM documents
+        UNION ALL
+        SELECT doc_id, 'tensor', 'tok_embd.weight', 0,
+               '[64,' || (doc_id % 7 + 1) || ']', 0 FROM documents
+        UNION ALL
+        SELECT doc_id, 'tensor', 'blk.0.attn_q.weight', 8,
+               '[32]', 256 * (doc_id % 7 + 1) FROM documents)""",
 
     // npz: numpy-format twin of the safetensors contract
     "x_npz" -> """

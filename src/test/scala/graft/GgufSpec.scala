@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Gguf
+import org.apache.spark.sql.functions._
+
+/** GGUF metadata: a hand-assembled byte fixture independent of the
+  * packer, the full KV type table, alignment enforcement, the
+  * refusal ladder, and the Spark surface round-trip. */
+class GgufSpec extends SparkSuite {
+  import spark.implicits._
+
+  private class W {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xFF)
+    def u32(v: Long): Unit = (0 until 4).foreach(i => u8(((v >> (8 * i)) & 0xFF).toInt))
+    def u64(v: Long): Unit = (0 until 8).foreach(i => u8(((v >> (8 * i)) & 0xFF).toInt))
+    def s(v: String): Unit = { val b = v.getBytes("UTF-8"); u64(b.length.toLong); bos.write(b) }
+    def bytes: Array[Byte] = bos.toByteArray
+  }
+
+  private def handFile(version: Long = 3)(body: W => Unit): Array[Byte] = {
+    val w = new W
+    w.bos.write("GGUF".getBytes("US-ASCII"))
+    w.u32(version)
+    body(w)
+    w.bytes
+  }
+
+  test("hand fixture: every scalar type, string array, f64, negatives") {
+    val f = handFile() { w =>
+      w.u64(1); w.u64(6)
+      w.s("a.i16"); w.u32(3); w.u8(0xFE); w.u8(0xFF)        // -2
+      w.s("a.i32"); w.u32(5); w.u32(0xFFFFFFFFL)            // -1
+      w.s("a.f64"); w.u32(12); w.u64(java.lang.Double.doubleToLongBits(2.5))
+      w.s("a.strs"); w.u32(9); w.u32(8); w.u64(2); w.s("en"); w.s("fr")
+      w.s("a.u64max"); w.u32(10); w.u64(-1L)                 // 2^64-1 unsigned
+      w.s("a.i64"); w.u32(11); w.u64(-7L)
+      w.s("t"); w.u32(2); w.u64(3); w.u64(4); w.u32(0); w.u64(0)
+    }
+    val (kvs, tensors) = Gguf.parse(f).get
+    assert(kvs.map(k => (k.key, k.value)) == Seq(
+      ("a.i16", "-2"), ("a.i32", "-1"), ("a.f64", "2.5"),
+      ("a.strs", "[en,fr]"), ("a.u64max", "18446744073709551615"),
+      ("a.i64", "-7")))
+    assert(tensors == Seq(Gguf.Tensor("t", Seq(3L, 4L), 0, 0L)))
+  }
+
+  test("alignment: custom power of two enforced on tensor offsets") {
+    def file(align: Long, offset: Long) = handFile() { w =>
+      w.u64(1); w.u64(1)
+      w.s("general.alignment"); w.u32(4); w.u32(align)
+      w.s("t"); w.u32(1); w.u64(2); w.u32(0); w.u64(offset)
+    }
+    assert(Gguf.parse(file(64, 128)).nonEmpty)
+    assert(Gguf.parse(file(64, 96)).isEmpty)  // not 64-aligned
+    assert(Gguf.parse(file(48, 96)).isEmpty)  // alignment not a power of two
+  }
+
+  test("refusal ladder: magic, version, truncation, nested arrays, unknown type") {
+    assert(Gguf.parse("GGML????".getBytes("US-ASCII")).isEmpty)
+    assert(Gguf.parse(handFile(version = 1) { w => w.u64(0); w.u64(0) }).isEmpty)
+    assert(Gguf.parse(handFile() { w => w.u64(0); w.u64(1); w.s("k"); w.u32(8) }).isEmpty)
+    assert(Gguf.parse(handFile() { w =>
+      w.u64(0); w.u64(1); w.s("k"); w.u32(9); w.u32(9); w.u64(0)
+    }).isEmpty) // nested array
+    assert(Gguf.parse(handFile() { w =>
+      w.u64(0); w.u64(1); w.s("k"); w.u32(99); w.u32(0)
+    }).isEmpty)
+    assert(Gguf.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("packer round-trip via the Spark surface") {
+    val rows = Gguf.decodeMeta(
+      Gguf.packDocsGguf(Seq(3L, 10L).toDF("doc_id"), "doc_id"), "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(4)))
+    assert(rows.count(_._1 == 3L) == 8)
+    assert(rows.contains((3L, "kv", "planted.ratio", "0.75")))
+    assert(rows.contains((10L, "kv", "planted.flag", "true")))
+    assert(rows.contains((10L, "tensor", "tok_embd.weight", "[64,4]")))
+  }
+}
