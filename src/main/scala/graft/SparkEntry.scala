@@ -1993,6 +1993,31 @@ object SparkEntry {
           col("dtype"), element_at(col("shape"), 1).as("dim"), col("values"))
     }),
 
+    // Audio tags (round 11): even ids REAL mp3s with ID3v2 tags
+    // (v2.3 big-endian / v2.4 syncsafe frame sizes by id/2 parity,
+    // text encodings cycling latin1/utf-8/utf-16), odd ids fLaC
+    // streams with a VORBIS_COMMENT block (mixed-case keys — the
+    // case-insensitivity rule is load-bearing) — title/artist/album
+    // replay from doc_id arithmetic either way.
+    "x_audio_tags" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val title = s"Title $id"; val artist = s"Artist ${id % 7}"
+            val album = s"Album ${id % 5}"
+            val bytes =
+              if (id % 2 == 0) graft.ops.AudioTags.packTagsMp3(id, title, artist, album)
+              else graft.ops.AudioTags.packTagsFlac(title, artist, album)
+            (id, bytes)
+          }
+          .toDF("doc_id", "payload")
+      }
+      graft.ops.AudioTags.decodeTags(packed, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("format"), col("title"),
+          col("artist"), col("album"))
+    }),
+
     // GGUF metadata (round 11): one file per document planting the
     // common KV types (string/u32/u64/bool/f32/i32-array), the
     // alignment key, and two tensor infos with 32-aligned offsets —
@@ -4789,6 +4814,15 @@ object SparkEntry {
     // docx: pack → extract round-trips the text column verbatim
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
+      FROM documents""",
+
+    // audio tags: format by parity, tags from doc_id arithmetic
+    "x_audio_tags" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'flac' END AS format,
+             'Title ' || doc_id AS title,
+             'Artist ' || (doc_id % 7) AS artist,
+             'Album ' || (doc_id % 5) AS album
       FROM documents""",
 
     // gguf: every kv and tensor-info row from doc_id arithmetic

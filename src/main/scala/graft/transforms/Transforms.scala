@@ -794,6 +794,11 @@ object Transforms {
       graft.ops.Office.decodeOdtText(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // audio tag metadata (id3v2 / vorbis comments) from a payload column
+    case "audio_tags" =>
+      graft.ops.AudioTags.decodeTags(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // GGUF metadata (kv + tensor infos) from a payload column
     case "gguf_meta" =>
       graft.ops.Gguf.decodeMeta(df,
@@ -893,7 +898,8 @@ object Transforms {
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
     "docx_extract", "pptx_extract", "odt_extract", "xlsx_cells",
     "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract",
-    "mbox_messages", "safetensors_tensors", "npz_tensors", "gguf_meta")
+    "mbox_messages", "safetensors_tensors", "npz_tensors", "gguf_meta",
+    "audio_tags")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
