@@ -1993,6 +1993,59 @@ object SparkEntry {
           col("dtype"), element_at(col("shape"), 1).as("dim"), col("values"))
     }),
 
+    // WebP/TIFF dimensions (round 11): the image sniff ladder's two
+    // new rungs — id%4 cycles VP8L (14-bit packed dims), VP8X
+    // (24-bit canvas), TIFF little-endian SHORT entries and TIFF
+    // big-endian LONG entries; mime/width/height replay from doc_id
+    // arithmetic. The VP8 lossy keyframe rung and the refusal
+    // ladder are pinned in OpsSpec.
+    "x_image_meta_webp_tiff" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val w = (id % 300).toInt + 1
+            val h = (id % 200).toInt + 1
+            def webp(fourcc: String, data: Array[Byte]): Array[Byte] =
+              "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+                "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+                Array[Byte](data.length.toByte, 0, 0, 0) ++ data
+            val bytes = (id % 4) match {
+              case 0 =>
+                val wm = w - 1; val hm = h - 1
+                webp("VP8L", Array[Byte](0x2F, (wm & 0xFF).toByte,
+                  (((wm >> 8) & 0x3F) | ((hm & 0x3) << 6)).toByte,
+                  ((hm >> 2) & 0xFF).toByte, ((hm >> 10) & 0x0F).toByte))
+              case 1 =>
+                webp("VP8X", Array[Byte](0, 0, 0, 0,
+                  ((w - 1) & 0xFF).toByte, (((w - 1) >> 8) & 0xFF).toByte,
+                  (((w - 1) >> 16) & 0xFF).toByte,
+                  ((h - 1) & 0xFF).toByte, (((h - 1) >> 8) & 0xFF).toByte,
+                  (((h - 1) >> 16) & 0xFF).toByte))
+              case 2 =>
+                def ent(tag: Int, v: Int): Array[Byte] =
+                  Array[Byte]((tag & 0xFF).toByte, (tag >> 8).toByte, 3, 0,
+                    1, 0, 0, 0, (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, 0, 0)
+                "II".getBytes("US-ASCII") ++ Array[Byte](0x2A, 0, 8, 0, 0, 0, 2, 0) ++
+                  ent(256, w) ++ ent(257, h) ++ Array[Byte](0, 0, 0, 0)
+              case _ =>
+                def ent(tag: Int, v: Int): Array[Byte] =
+                  Array[Byte]((tag >> 8).toByte, (tag & 0xFF).toByte, 0, 4,
+                    0, 0, 0, 1, ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+                    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+                "MM".getBytes("US-ASCII") ++ Array[Byte](0, 0x2A, 0, 0, 0, 8, 0, 2) ++
+                  ent(256, w) ++ ent(257, h) ++ Array[Byte](0, 0, 0, 0)
+            }
+            (id, bytes)
+          }
+          .toDF("doc_id", "__payload")
+          .select(col("doc_id"), struct(col("__payload").as("payload")).as("media"))
+      }
+      Multimodal.decodeImageMeta(packed, "doc_id", "media")
+        .select(col("id").as("doc_id"), col("mime_detected"),
+          col("width"), col("height"))
+    }),
+
     // Audio tags (round 11): even ids REAL mp3s with ID3v2 tags
     // (v2.3 big-endian / v2.4 syncsafe frame sizes by id/2 parity,
     // text encodings cycling latin1/utf-8/utf-16), odd ids fLaC
@@ -4814,6 +4867,15 @@ object SparkEntry {
     // docx: pack → extract round-trips the text column verbatim
     "x_docx_extract" -> """
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
+      FROM documents""",
+
+    // webp/tiff dims: mime + dimensions from doc_id arithmetic
+    "x_image_meta_webp_tiff" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 < 2 THEN 'image/webp' ELSE 'image/tiff' END
+               AS mime_detected,
+             CAST((doc_id % 300) + 1 AS INTEGER) AS width,
+             CAST((doc_id % 200) + 1 AS INTEGER) AS height
       FROM documents""",
 
     // audio tags: format by parity, tags from doc_id arithmetic

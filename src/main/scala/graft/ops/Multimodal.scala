@@ -182,6 +182,61 @@ object Multimodal {
       } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
           p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
         Some(("image/gif", le16(6), le16(8)))
+      } else if (p.length >= 20 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+          p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') {
+        // WebP (RFC 9649): first chunk decides the flavor; dims per
+        // the VP8 keyframe header / VP8L signature bits / VP8X canvas
+        val fourcc = new String(p, 12, 4, "US-ASCII")
+        val d = 20 // chunk data start
+        fourcc match {
+          case "VP8 " if p.length >= d + 10 &&
+              u8(d + 3) == 0x9D && u8(d + 4) == 0x01 && u8(d + 5) == 0x2A =>
+            Some(("image/webp", le16(d + 6) & 0x3FFF, le16(d + 8) & 0x3FFF))
+          case "VP8L" if p.length >= d + 5 && u8(d) == 0x2F =>
+            val b1 = u8(d + 1); val b2 = u8(d + 2); val b3 = u8(d + 3); val b4 = u8(d + 4)
+            Some(("image/webp", 1 + (((b2 & 0x3F) << 8) | b1),
+              1 + (((b4 & 0x0F) << 10) | (b3 << 2) | ((b2 & 0xC0) >> 6))))
+          case "VP8X" if p.length >= d + 10 =>
+            val w = 1 + (u8(d + 4) | (u8(d + 5) << 8) | (u8(d + 6) << 16))
+            val h = 1 + (u8(d + 7) | (u8(d + 8) << 8) | (u8(d + 9) << 16))
+            Some(("image/webp", w, h))
+          case _ => None
+        }
+      } else if (p.length >= 8 &&
+          ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 0x2A && u8(3) == 0) ||
+           (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 0x2A))) {
+        // TIFF 6.0: endian-tagged IFD walk for ImageWidth/ImageLength
+        val le = u8(0) == 'I'
+        def r16(i: Int): Int = if (le) le16(i) else be16(i)
+        def r32(i: Int): Long =
+          if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+            (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+          else be32(i)
+        val ifd = r32(4)
+        if (ifd < 8 || ifd + 2 > p.length) None
+        else {
+          val n = r16(ifd.toInt)
+          if (n <= 0 || n > 4096 || ifd + 2 + 12L * n > p.length) None
+          else {
+            var w = -1; var h = -1
+            var e = 0
+            while (e < n) {
+              val at = ifd.toInt + 2 + 12 * e
+              val tag = r16(at)
+              val tpe = r16(at + 2)
+              // inline values are left-justified in the 4-byte field:
+              // SHORT reads 2 bytes at the field start, LONG all 4
+              val v: Int =
+                if (tpe == 3) r16(at + 8)
+                else if (tpe == 4) r32(at + 8).toInt
+                else -1
+              if (tag == 256) w = v
+              if (tag == 257) h = v
+              e += 1
+            }
+            if (w > 0 && h > 0) Some(("image/tiff", w, h)) else None
+          }
+        }
       } else None
     }
   }

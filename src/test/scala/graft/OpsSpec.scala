@@ -1319,6 +1319,42 @@ class OpsSpec extends SparkSuite {
     assert(Multimodal.ImageHeader.parse(gif).contains(("image/gif", 4, 5)))
     assert(Multimodal.ImageHeader.parse(junk).isEmpty)
     assert(Multimodal.ImageHeader.parse(Array.empty[Byte]).isEmpty)
+    // WebP: all three chunk flavors (RFC 9649 bit layouts)
+    def webp(fourcc: String, data: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+        Array[Byte](data.length.toByte, 0, 0, 0) ++ data
+    val vp8 = webp("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      (300 & 0xFF).toByte, (300 >> 8).toByte, (120 & 0xFF).toByte, 0))
+    assert(Multimodal.ImageHeader.parse(vp8).contains(("image/webp", 300, 120)))
+    val wm = 639; val hm = 479
+    val vp8l = webp("VP8L", Array[Byte](0x2F, (wm & 0xFF).toByte,
+      (((wm >> 8) & 0x3F) | ((hm & 0x3) << 6)).toByte,
+      ((hm >> 2) & 0xFF).toByte, ((hm >> 10) & 0x0F).toByte))
+    assert(Multimodal.ImageHeader.parse(vp8l).contains(("image/webp", 640, 480)))
+    val vp8x = webp("VP8X", Array[Byte](0, 0, 0, 0,
+      0xFF.toByte, 0x01, 0, 0x2B, 0x01, 0) ++ new Array[Byte](0))
+    assert(Multimodal.ImageHeader.parse(vp8x).contains(("image/webp", 0x1FF + 1, 0x12B + 1)))
+    assert(Multimodal.ImageHeader.parse(webp("VP8 ", Array[Byte](0, 0, 0, 1, 2, 3, 4, 5, 6, 7))).isEmpty)
+    // TIFF: both endians, SHORT and LONG value types
+    def entLE(tag: Int, tpe: Int, v: Int): Array[Byte] =
+      Array[Byte]((tag & 0xFF).toByte, (tag >> 8).toByte, tpe.toByte, 0,
+        1, 0, 0, 0, (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val tiffLE = "II".getBytes("US-ASCII") ++ Array[Byte](0x2A, 0, 8, 0, 0, 0,
+      2, 0) ++ entLE(256, 3, 800) ++ entLE(257, 3, 600) ++ Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.ImageHeader.parse(tiffLE).contains(("image/tiff", 800, 600)))
+    def entBE(tag: Int, tpe: Int, v: Int): Array[Byte] =
+      Array[Byte]((tag >> 8).toByte, (tag & 0xFF).toByte, 0, tpe.toByte,
+        0, 0, 0, 1, ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val tiffBE = "MM".getBytes("US-ASCII") ++ Array[Byte](0, 0x2A, 0, 0, 0, 8,
+      0, 2) ++ entBE(256, 4, 123456) ++ entBE(257, 4, 654) ++ Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.ImageHeader.parse(tiffBE).contains(("image/tiff", 123456, 654)))
+    // TIFF missing a dimension tag refuses
+    val tiffNoH = "II".getBytes("US-ASCII") ++ Array[Byte](0x2A, 0, 8, 0, 0, 0,
+      1, 0) ++ entLE(256, 3, 10) ++ Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.ImageHeader.parse(tiffNoH).isEmpty)
     // truncated/hostile bytes must not throw
     assert(Multimodal.ImageHeader.parse(png.take(10)).isEmpty)
     assert(Multimodal.ImageHeader.parse(jpeg.take(3)).isEmpty)
