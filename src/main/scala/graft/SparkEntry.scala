@@ -2046,6 +2046,31 @@ object SparkEntry {
           col("width"), col("height"))
     }),
 
+    // SVG + netpbm dimensions (round 11): id%4 cycles SVG with
+    // width/height attrs (px suffix), SVG with only a viewBox
+    // (floored), P6 with a comment in the header, and P5 — all
+    // replaying dims from doc_id arithmetic.
+    "x_image_meta_svg_pnm" -> ((s, d) => {
+      val id = col("doc_id")
+      val w = (pmod(id, lit(300)) + 1).cast("int")
+      val h = (pmod(id, lit(200)) + 1).cast("int")
+      val payload = when(pmod(id, lit(4)) === 0,
+          concat(lit("<svg xmlns=\"http://www.w3.org/2000/svg\" width=\""), w,
+            lit("px\" height=\""), h, lit("\"><rect/></svg>")))
+        .when(pmod(id, lit(4)) === 1,
+          concat(lit("<?xml version=\"1.0\"?>\n<svg viewBox=\"0 0 "), w,
+            lit(".0 "), h, lit("\"><g/></svg>")))
+        .when(pmod(id, lit(4)) === 2,
+          concat(lit("P6 # planted comment\n"), w, lit(" "), h, lit(" 255\n")))
+        .otherwise(concat(lit("P5\n"), w, lit("\n"), h, lit("\n255\n")))
+      Multimodal.decodeImageMeta(
+        docs(s, d).select(id,
+          struct(encode(payload, "UTF-8").as("payload")).as("media")),
+        "doc_id", "media")
+        .select(col("id").as("doc_id"), col("mime_detected"),
+          col("width"), col("height"))
+    }),
+
     // Audio tags (round 11): even ids REAL mp3s with ID3v2 tags
     // (v2.3 big-endian / v2.4 syncsafe frame sizes by id/2 parity,
     // text encodings cycling latin1/utf-8/utf-16), odd ids fLaC
@@ -4874,6 +4899,17 @@ object SparkEntry {
       SELECT doc_id,
              CASE WHEN doc_id % 4 < 2 THEN 'image/webp' ELSE 'image/tiff' END
                AS mime_detected,
+             CAST((doc_id % 300) + 1 AS INTEGER) AS width,
+             CAST((doc_id % 200) + 1 AS INTEGER) AS height
+      FROM documents""",
+
+    // svg/pnm dims: mime + dimensions from doc_id arithmetic
+    "x_image_meta_svg_pnm" -> """
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'image/svg+xml' WHEN 1 THEN 'image/svg+xml'
+               WHEN 2 THEN 'image/x-portable-pixmap'
+               ELSE 'image/x-portable-graymap' END AS mime_detected,
              CAST((doc_id % 300) + 1 AS INTEGER) AS width,
              CAST((doc_id % 200) + 1 AS INTEGER) AS height
       FROM documents""",

@@ -237,6 +237,54 @@ object Multimodal {
             if (w > 0 && h > 0) Some(("image/tiff", w, h)) else None
           }
         }
+      } else if (p.length >= 3 && p(0) == 'P' &&
+          (p(1) == '5' || p(1) == '6') &&
+          (p(2) == ' ' || p(2) == '\t' || p(2) == '\n' || p(2) == '\r' || p(2) == '#')) {
+        // netpbm P5/P6 (the venerable pnm header grammar): whitespace-
+        // separated tokens with '#' comments running to end of line
+        var i = 2
+        def token(): Option[Int] = {
+          while (i < p.length && (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' ||
+            p(i) == '\r' || p(i) == '#')) {
+            if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+            else i += 1
+          }
+          val from = i
+          while (i < p.length && p(i) >= '0' && p(i) <= '9') i += 1
+          if (i == from || i - from > 9) None
+          else Some(new String(p, from, i - from, "US-ASCII").toInt)
+        }
+        val mime = if (p(1) == '6') "image/x-portable-pixmap"
+                   else "image/x-portable-graymap"
+        for (w <- token(); h <- token(); _ <- token() if w > 0 && h > 0)
+          yield (mime, w, h)
+      } else if (p.length >= 6 && {
+        var i = 0
+        // skip a UTF-8 BOM and leading whitespace: SVG is text
+        if (p.length >= 3 && u8(0) == 0xEF && u8(1) == 0xBB && u8(2) == 0xBF) i = 3
+        while (i < p.length && (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r')) i += 1
+        i < p.length && p(i) == '<'
+      }) {
+        // SVG: XML with an svg root; CSS px units accepted, relative
+        // units fall back to the viewBox box (floored)
+        val text = new String(p, java.nio.charset.StandardCharsets.UTF_8)
+          .stripPrefix("﻿")
+        Xml.parse(text).filter(_.local == "svg").flatMap { root =>
+          def dim(a: String): Option[Int] =
+            root.attr(a).map(_.trim.stripSuffix("px").trim)
+              .filter(v => v.nonEmpty && v.forall(_.isDigit)).map(_.toInt)
+          val fromAttrs = for (w <- dim("width"); h <- dim("height")) yield (w, h)
+          val fromViewBox = root.attr("viewBox").flatMap { vb =>
+            val parts = vb.trim.split("[ ,]+")
+            if (parts.length == 4)
+              try Some((parts(2).toDouble.toInt, parts(3).toDouble.toInt))
+              catch { case _: Exception => None }
+            else None
+          }
+          fromAttrs.orElse(fromViewBox).collect {
+            case (w, h) if w > 0 && h > 0 => ("image/svg+xml", w, h)
+          }
+        }
       } else None
     }
   }

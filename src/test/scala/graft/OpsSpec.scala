@@ -1355,6 +1355,22 @@ class OpsSpec extends SparkSuite {
     val tiffNoH = "II".getBytes("US-ASCII") ++ Array[Byte](0x2A, 0, 8, 0, 0, 0,
       1, 0) ++ entLE(256, 3, 10) ++ Array[Byte](0, 0, 0, 0)
     assert(Multimodal.ImageHeader.parse(tiffNoH).isEmpty)
+    // SVG: attrs with px, viewBox fallback, BOM + whitespace lead, non-svg XML
+    assert(Multimodal.ImageHeader.parse(
+      """<svg xmlns="http://www.w3.org/2000/svg" width="64px" height="32"><g/></svg>"""
+        .getBytes("UTF-8")).contains(("image/svg+xml", 64, 32)))
+    assert(Multimodal.ImageHeader.parse(
+      "\ufeff  <?xml version=\"1.0\"?><svg viewBox=\"0 0 120.5 80\"/>"
+        .getBytes("UTF-8")).contains(("image/svg+xml", 120, 80)))
+    assert(Multimodal.ImageHeader.parse("<html><body/></html>".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ImageHeader.parse("<svg width=\"50%\" height=\"10\"/>".getBytes("UTF-8")).isEmpty)
+    // netpbm: P6 with header comment, P5, refusals
+    assert(Multimodal.ImageHeader.parse("P6 # c\n20 10 255\ndata".getBytes("US-ASCII"))
+      .contains(("image/x-portable-pixmap", 20, 10)))
+    assert(Multimodal.ImageHeader.parse("P5\n7\n9\n255\n".getBytes("US-ASCII"))
+      .contains(("image/x-portable-graymap", 7, 9)))
+    assert(Multimodal.ImageHeader.parse("P6\n20\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.ImageHeader.parse("P4\n1 1\n".getBytes("US-ASCII")).isEmpty)
     // truncated/hostile bytes must not throw
     assert(Multimodal.ImageHeader.parse(png.take(10)).isEmpty)
     assert(Multimodal.ImageHeader.parse(jpeg.take(3)).isEmpty)
