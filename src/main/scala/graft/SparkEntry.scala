@@ -1197,7 +1197,7 @@ object SparkEntry {
         lit("<a class=\"x\" href=g><b>bold</b> g</a>"),
         lit("<a href=\"?q="), id, lit("&amp;v=2\">q</a>"),
         lit("<a href=\"https://other.org/p/"), id, lit("#frag\">abs</a>"),
-        lit("<a href=\"//cdn.net/x/"), id, lit("\">cdn</a>"),
+        lit("<a rel=\"external NOFOLLOW\" href=\"//cdn.net/x/"), id, lit("\">cdn</a>"),
         lit("<a href=\"javascript:alert(1)\">js</a></body></html>"))
       val url = concat(lit("https://example.com/a/b/c"), id)
       graft.ops.Links.extract(
@@ -3114,7 +3114,8 @@ object SparkEntry {
     // rebase replayed from doc_id arithmetic
     "x_html_links" -> """
       WITH d AS (SELECT doc_id, doc_id % 2 = 1 AS hb FROM documents)
-      SELECT doc_id AS id, link, anchor, CAST(seq AS INTEGER) AS seq FROM (
+      SELECT doc_id AS id, link, anchor, CAST(seq AS INTEGER) AS seq,
+             seq = 5 AS nofollow FROM (
         SELECT doc_id,
                CASE WHEN hb THEN 'https://based.org/doc/'
                     ELSE 'https://example.com/doc/' END || doc_id AS link,

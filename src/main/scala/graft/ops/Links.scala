@@ -134,7 +134,11 @@ object Links {
   private val BaseRe = java.util.regex.Pattern.compile(
     "(?is)<base\\s[^>]*?href\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
   private val AnchorRe = java.util.regex.Pattern.compile(
-    "(?is)<a\\s[^>]*?href\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))[^>]*>(.*?)</a\\s*>")
+    "(?is)<a\\s([^>]*)>(.*?)</a\\s*>")
+  private val HrefRe = java.util.regex.Pattern.compile(
+    "(?is)href\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
+  private val RelRe = java.util.regex.Pattern.compile(
+    "(?is)\\brel\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
 
   private def attr(m: java.util.regex.Matcher, g0: Int): String = {
     val v = if (m.group(g0 + 1) != null) m.group(g0 + 1)
@@ -155,32 +159,46 @@ object Links {
       .replaceAll("[ \\t\\r\\n]+", " ").trim
 
   /** Pure per-document extraction, exposed for the spec:
-    * (href-resolved link sans fragment, anchor text) in document
-    * order, http/https only. */
+    * (href-resolved link sans fragment, anchor text, nofollow) in
+    * document order, http/https only. `nofollow` is true when the
+    * anchor's rel attribute CONTAINS the nofollow token (rel is a
+    * space-separated list) — the signal link-graph consumers must
+    * honor (a nofollow edge should not pass PageRank mass). */
   private[graft] def linksOf(docUrl: String, html: String,
-      maxLinks: Int): Seq[(String, String)] = {
+      maxLinks: Int): Seq[(String, String, Boolean)] = {
     if (parseUri(docUrl).scheme.isEmpty) return Seq.empty
     val bm = BaseRe.matcher(html)
     val base = if (bm.find) resolve(docUrl, attr(bm, 1)).getOrElse(docUrl)
                else docUrl
-    val out = Seq.newBuilder[(String, String)]
+    val out = Seq.newBuilder[(String, String, Boolean)]
     val m = AnchorRe.matcher(html)
     var n = 0
     while (n < maxLinks && m.find) {
-      resolve(base, attr(m, 1)).foreach { abs =>
-        val u = parseUri(abs)
-        if (u.scheme.exists(s => s.equalsIgnoreCase("http") ||
-            s.equalsIgnoreCase("https"))) {
-          out += ((u.copy(fragment = None).recompose, anchorText(m.group(5))))
-          n += 1
+      val attrs = m.group(1)
+      val hm = HrefRe.matcher(attrs)
+      if (hm.find) {
+        val rel = {
+          val rm = RelRe.matcher(attrs)
+          if (rm.find) attr(rm, 1) else ""
+        }
+        val nofollow = rel.toLowerCase(java.util.Locale.ROOT)
+          .split("[ \t]+").contains("nofollow")
+        resolve(base, attr(hm, 1)).foreach { abs =>
+          val u = parseUri(abs)
+          if (u.scheme.exists(s => s.equalsIgnoreCase("http") ||
+              s.equalsIgnoreCase("https"))) {
+            out += ((u.copy(fragment = None).recompose, anchorText(m.group(2)),
+              nofollow))
+            n += 1
+          }
         }
       }
     }
     out.result()
   }
 
-  /** (id, link, anchor, seq) rows — one per kept link, document
-    * order, scan-local. */
+  /** (id, link, anchor, seq, nofollow) rows — one per kept link,
+    * document order, scan-local. */
   def extract(df: DataFrame, idCol: String, urlCol: String, htmlCol: String,
       maxLinksPerDoc: Int = 10000): DataFrame = {
     val spark = df.sparkSession
@@ -195,9 +213,9 @@ object Links {
       .flatMap { case (id, url, html) =>
         if (url == null) Seq.empty
         else linksOf(url, html, maxLinksPerDoc).zipWithIndex.map {
-          case ((link, anchor), i) => (id, link, anchor, i)
+          case ((link, anchor, nofollow), i) => (id, link, anchor, i, nofollow)
         }
       }
-      .toDF("id", "link", "anchor", "seq")
+      .toDF("id", "link", "anchor", "seq", "nofollow")
   }
 }
