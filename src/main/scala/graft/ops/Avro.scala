@@ -663,10 +663,11 @@ object Avro {
     val spark = df.sparkSession
     import spark.implicits._
     val codecs = Array("null", "deflate", "snappy", "zstandard")
-    df.select(col(idCol).cast("long"), coalesce(col(sourceCol), lit("")),
-      coalesce(col(langCol), lit("")), coalesce(col(textCol), lit("")))
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), coalesce(col(sourceCol), lit("")),
+        coalesce(col(langCol), lit("")), coalesce(col(textCol), lit("")))
       .as[(Long, String, String, String)]
-      .groupByKey(_._1 % nFiles)
+      .groupByKey(r => java.lang.Math.floorMod(r._1, nFiles.toLong))
       .mapGroups { (fileId, rows) =>
         val sorted = rows.toSeq.sortBy(_._1)
         val schemaJson = avroSchemaJson(StructType(Seq(
@@ -674,7 +675,7 @@ object Avro {
           StructField("source", StringType, nullable = false),
           StructField("lang", StringType, nullable = false),
           StructField("text", StringType, nullable = false))), "doc")
-        val codec = codecs((fileId % codecs.length).toInt)
+        val codec = codecs(java.lang.Math.floorMod(fileId, codecs.length.toLong).toInt)
         val payload = writeContainer(schemaJson, codec,
           sorted.iterator.map { case (id, src, lang, text) => Row(id, src, lang, text) },
           syncSeed = fileId.toString)

@@ -135,10 +135,14 @@ object Links {
     "(?is)<base\\s[^>]*?href\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
   private val AnchorRe = java.util.regex.Pattern.compile(
     "(?is)<a\\s([^>]*)>(.*?)</a\\s*>")
+  // Both attribute names anchor on a negative lookbehind for
+  // word/hyphen chars: a plain \b would let data-href= / data-rel=
+  // match on their suffix and shadow (or falsely supply) the real
+  // attribute.
   private val HrefRe = java.util.regex.Pattern.compile(
-    "(?is)href\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
+    "(?is)(?<![\\w-])href\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
   private val RelRe = java.util.regex.Pattern.compile(
-    "(?is)\\brel\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
+    "(?is)(?<![\\w-])rel\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
 
   private def attr(m: java.util.regex.Matcher, g0: Int): String = {
     val v = if (m.group(g0 + 1) != null) m.group(g0 + 1)
@@ -181,8 +185,10 @@ object Links {
           val rm = RelRe.matcher(attrs)
           if (rm.find) attr(rm, 1) else ""
         }
+        // HTML space-separated-tokens splits on ALL five ASCII
+        // whitespace chars, not just space/tab.
         val nofollow = rel.toLowerCase(java.util.Locale.ROOT)
-          .split("[ \t]+").contains("nofollow")
+          .split("[ \t\r\n\f]+").contains("nofollow")
         resolve(base, attr(hm, 1)).foreach { abs =>
           val u = parseUri(abs)
           if (u.scheme.exists(s => s.equalsIgnoreCase("http") ||

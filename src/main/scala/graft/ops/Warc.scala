@@ -871,6 +871,13 @@ object Warc {
     c
   }
 
+  /** A single gzip member above the Int.MaxValue byte-array limit
+    * cannot pass through [[readRange]]'s buffer — such a range
+    * becomes an offset = -1 quarantine row instead of a task crash,
+    * keeping the never-throw contract at unbounded file sizes. */
+  private[graft] def rangeReadable(len: Long): Boolean =
+    len >= 0 && len <= Int.MaxValue.toLong
+
   /** Ranged FS read: `len` bytes at `off` of `p`. */
   private[ops] def readRange(conf: org.apache.hadoop.conf.Configuration,
                              p: String, off: Long, len: Long): Array[Byte] = {
@@ -896,7 +903,9 @@ object Warc {
         val stream = path.getFileSystem(confOf(confEntries)).open(path)
         try {
           gzipMemberRanges(stream, targetBytes) match {
-            case Some(rs) => rs.map { case (off, len) => (p, off, len) }
+            case Some(rs) => rs.map { case (off, len) =>
+              if (rangeReadable(len)) (p, off, len) else (p, -1L, -1L)
+            }
             case None     => Seq((p, -1L, -1L))
           }
         } finally stream.close()

@@ -116,4 +116,14 @@ class ArchiveSeamSpec extends SparkSuite {
       assert(q.length == 1 && q(0).getString(0).endsWith("huge.warc.gz"))
     }
   }
+
+  test("split scan: a range above Int.MaxValue quarantines, it cannot buffer") {
+    // readRange allocates an Array[Byte](len) — a single gzip member
+    // larger than 2 GiB would otherwise turn into a negative-size
+    // allocation crash inside the task.
+    assert(Warc.rangeReadable(0L))
+    assert(Warc.rangeReadable(Int.MaxValue.toLong))
+    assert(!Warc.rangeReadable(Int.MaxValue.toLong + 1))
+    assert(!Warc.rangeReadable(-1L))
+  }
 }

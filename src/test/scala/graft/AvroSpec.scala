@@ -273,4 +273,17 @@ class AvroSpec extends SparkSuite {
       rd.close()
     }
   }
+
+  test("packDocsAvro: negative ids shard via floorMod, null ids drop — no crash") {
+    val hostile = Seq(
+      (java.lang.Long.valueOf(-5L), "s", "en", "neg"),
+      (java.lang.Long.valueOf(3L), "s", "en", "pos"),
+      (null.asInstanceOf[java.lang.Long], "s", "en", "null-id"))
+      .toDF("doc_id", "source", "lang", "text")
+    val packed = Avro.packDocsAvro(hostile, "doc_id", "source", "lang", "text", nFiles = 4)
+    val back = Avro.unpackDocsAvro(packed)
+    assert(back.select("text").as[String].collect().sorted.toSeq == Seq("neg", "pos"))
+    // -5 floorMod 4 = 3, codec index floorMod keeps it in range
+    assert(packed.where($"file_id" === 3L).count() == 1)
+  }
 }
