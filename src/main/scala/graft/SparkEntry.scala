@@ -1908,6 +1908,50 @@ object SparkEntry {
           octet_length(col("text")).cast("long").as("n_bytes"),
           md5(col("text")).as("digest"))),
 
+    // TFRecord ingest (round 12): documents sharded into 8 real
+    // TFRecord files of tf.train.Example records — masked-CRC-32C
+    // framing verified per record, protobuf wire walk, with even
+    // shards writing the packed repeated-scalar form and odd shards
+    // the unpacked per-element form (both decoder paths
+    // load-bearing). The long-format source rows pivot back to one
+    // row per record; every field and the per-shard record order
+    // replay from corpus columns. The JDK CRC32C cross-pin and the
+    // hostile-bytes ladder live in TfRecordSpec.
+    "x_tfrecord_docs" -> ((s, d) => {
+      val packed = graft.ops.TfRecord.packDocsTfr(
+        t(s, d, "documents"), "doc_id", "source", "lang", "text")
+      graft.ops.TfRecord.rows(packed, "file_id", "payload")
+        .groupBy(col("file_id"), col("rec_index"))
+        .agg(
+          max(when(col("feature") === "doc_id", element_at(col("ints"), 1))).as("doc_id"),
+          max(when(col("feature") === "source", col("text"))).as("source"),
+          max(when(col("feature") === "lang", col("text"))).as("lang"),
+          max(when(col("feature") === "text", col("text"))).as("text"))
+        .select(col("doc_id"), col("rec_index").as("seq"),
+          col("source"), col("lang"), col("text"))
+    }),
+
+    // TFRecord float path (round 12): the embeddings table through
+    // FloatList Examples — every float replays through the same
+    // exact-IEEE floor(v * 2^30) serialization as x_safetensors, so
+    // one wrong bit anywhere in the fixed32 little-endian wire
+    // layout hash-mismatches.
+    "x_tfrecord_embed" -> ((s, d) => {
+      val packed = graft.ops.TfRecord.packVecsTfr(
+        t(s, d, "embeddings"), "vec_id", "embedding")
+      graft.ops.TfRecord.rows(packed, "file_id", "payload")
+        .groupBy(col("file_id"), col("rec_index"))
+        .agg(
+          max(when(col("feature") === "vec_id", element_at(col("ints"), 1))).as("vec_id"),
+          max(when(col("feature") === "embedding", size(col("floats"))))
+            .cast("long").as("dim"),
+          max(when(col("feature") === "embedding",
+            array_join(transform(col("floats"),
+              v => floor(v.cast("double") * lit(1073741824.0d)).cast("long").cast("string")),
+              ","))).as("values"))
+        .select(col("vec_id"), col("dim"), col("values"))
+    }),
+
     // PDF ingest: each doc becomes a spec-legal single-page PDF
     // cycling all four writer layouts with the id — 1.4 classic-xref
     // (even ids FlateDecode via the JDK's zlib, odd ids raw) and the
@@ -4870,6 +4914,25 @@ object SparkEntry {
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest
       FROM documents""",
+
+    // tfrecord contract: per-shard record order is id order within
+    // the doc_id % 8 bucket; fields replay from corpus columns
+    "x_tfrecord_docs" -> """
+      WITH ranked AS (
+        SELECT doc_id, coalesce(source, '') AS source, coalesce(lang, '') AS lang,
+               coalesce(text, '') AS text,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+                    AS INTEGER) AS seq
+        FROM documents)
+      SELECT doc_id, seq, source, lang, text FROM ranked""",
+
+    // tfrecord float contract: the x_npz serialization over the
+    // fixed32 wire layout
+    "x_tfrecord_embed" -> """
+      SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             array_to_string(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
+      FROM embeddings WHERE embedding IS NOT NULL""",
 
     // pdf contract: layout cycles with doc_id%4 (1.4 classic xref vs
     // 1.5 ObjStm + xref stream — 5 vs 7 objects, and the 1.5 layout

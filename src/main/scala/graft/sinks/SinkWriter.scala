@@ -115,6 +115,17 @@ object SinkWriter {
         codec = s.config.str("codec").getOrElse("deflate"),
         recordName = s.config.str("record_name").getOrElse("row"))
 
+    // TFRecord sink — each row becomes one tf.train.Example (string →
+    // BytesList, integral → Int64List, float/double → FloatList,
+    // arrays → multi-value lists; nulls omitted), framed with the
+    // masked-CRC-32C record layout, one shard per partition
+    // (`n_files` repartitions to set the shard count). Unsupported
+    // column types are an analysis error BEFORE the job launches.
+    case "tfrecord" =>
+      val nFiles = s.config.int("n_files").getOrElse(0)
+      val shaped = if (nFiles > 0) df.repartition(nFiles) else df
+      graft.ops.TfRecord.writeShards(shaped, s.config.reqStr("path"))
+
     // Raw text sink: exactly one string column, one line per row (the
     // inverse of the `text` source's line mode). More columns is an
     // analysis error — concatenate upstream; silently joining columns
@@ -184,5 +195,5 @@ object SinkWriter {
   }
 
   val knownTypes: Set[String] = Set(
-    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar", "avro")
+    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar", "avro", "tfrecord")
 }

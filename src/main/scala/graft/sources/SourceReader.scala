@@ -266,6 +266,23 @@ object SourceReader {
       graft.ops.Avro.rows(spark, files,
         skipCorrupt = s.config.bool("skip_corrupt").getOrElse(false))
 
+    // TFRecord shards — the canonical training-data container of the
+    // TensorFlow estate: from-spec framing (masked CRC-32C verified
+    // per record) + tf.train.Example protobuf decode in
+    // [[graft.ops.TfRecord]]. Long format, one row per (record,
+    // feature) — Examples carry no schema to pivot against. Framing
+    // violations, undecodable Examples, and oversized files
+    // quarantine as rec_index = -1 rows.
+    case "tfrecord" =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
+      graft.ops.TfRecord.rows(files, "path", "content")
+        .unionByName(oversized.select(col("path").as("file_id"),
+          lit(-1).as("rec_index"), lit(null).cast("string").as("feature"),
+          lit(null).cast("string").as("kind"), lit(null).cast("string").as("text"),
+          lit(null).cast("array<bigint>").as("ints"),
+          lit(null).cast("array<float>").as("floats")))
+
     // tar / tar.gz — the per-document-file archive layout (POSIX
     // ustar through the same from-spec gzip rung). Default emits the
     // text surface (name, size, text) of regular-file members;
