@@ -1952,6 +1952,28 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // WebDataset ingest (round 12): documents packed into 8 real tar
+    // shards in the WebDataset sample layout — each doc a two-part
+    // sample (doc<id>.txt + doc<id>.meta.json, the multi-dot part
+    // name making the first-dot key rule load-bearing) — and grouped
+    // back by the scan-local adjacency pass; key, per-shard sample
+    // order, part-name set, text bytes, and the JSON metadata all
+    // replay from corpus columns.
+    "x_webdataset" -> ((s, d) => {
+      val packed = graft.ops.WebDataset.packDocsWds(
+        t(s, d, "documents"), "doc_id", "source", "lang", "text")
+      val meta = get_json_object(
+        decode(element_at(col("parts"), "meta.json"), "UTF-8"), _: String)
+      graft.ops.WebDataset.samples(packed, "file_id", "payload")
+        .select(
+          regexp_extract(col("key"), "doc(\\d+)", 1).cast("long").as("doc_id"),
+          col("sample_index").as("seq"),
+          array_join(sort_array(map_keys(col("parts"))), ",").as("exts"),
+          decode(element_at(col("parts"), "txt"), "UTF-8").as("text"),
+          meta("$.lang").as("lang"),
+          meta("$.source").as("source"))
+    }),
+
     // PDF ingest: each doc becomes a spec-legal single-page PDF
     // cycling all four writer layouts with the id — 1.4 classic-xref
     // (even ids FlateDecode via the JDK's zlib, odd ids raw) and the
@@ -4933,6 +4955,17 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // webdataset contract: per-shard sample order is id order within
+    // the doc_id % 8 bucket; both parts replay from corpus columns
+    "x_webdataset" -> """
+      WITH ranked AS (
+        SELECT doc_id, coalesce(source, '') AS source, coalesce(lang, '') AS lang,
+               coalesce(text, '') AS text,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+                    AS INTEGER) AS seq
+        FROM documents)
+      SELECT doc_id, seq, 'meta.json,txt' AS exts, text, lang, source FROM ranked""",
 
     // pdf contract: layout cycles with doc_id%4 (1.4 classic xref vs
     // 1.5 ObjStm + xref stream — 5 vs 7 objects, and the 1.5 layout

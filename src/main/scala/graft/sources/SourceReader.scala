@@ -302,6 +302,19 @@ object SourceReader {
           lit(-1).as("member_index"), lit(null).cast("string").as("name"),
           col("length").as("size"), lit(null).cast("string").as("text")))
 
+    // WebDataset shards — the multimodal sample convention over tar
+    // ([[graft.ops.WebDataset]]): one row per SAMPLE with a
+    // part-name → bytes map, grouped by the first-dot-of-basename
+    // key rule in a single scan-local adjacency pass. Malformed and
+    // oversized shards quarantine as sample_index = -1 rows.
+    case "webdataset" =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val (files, oversized) = binarySeam(spark, s)
+      graft.ops.WebDataset.samples(files, "path", "content")
+        .unionByName(oversized.select(col("path").as("file_id"),
+          lit(-1).as("sample_index"), lit(null).cast("string").as("key"),
+          lit(null).cast("map<string,binary>").as("parts")))
+
     // Office reads on the from-spec Zip + Xml stack: one row per
     // file, body text per the format's element semantics
     // ([[graft.ops.Docx]] / [[graft.ops.Office]]); hostile files
