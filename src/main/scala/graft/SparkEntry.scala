@@ -1242,6 +1242,38 @@ object SparkEntry {
         (TextAnalysis.fixEncoding(col("double_garbled")) === col("clean")).as("double_ok"))
     }),
 
+    // Unicode NFC (round 12): a planted denormalized prefix (combining
+    // marks + the Angstrom sign, cycling by doc_id%4) prepends the
+    // corpus text, and OUR NFC (JDK Normalizer tables) must agree
+    // byte-for-byte with DuckDB's independent utf8proc NFC on the
+    // whole string — a true cross-engine Unicode-table pin, the same
+    // two-implementations discipline as the codec rung.
+    "x_text_nfc" -> ((s, d) => {
+      val m4 = pmod(col("doc_id"), lit(4))
+      val planted = when(m4 === 0, lit("Café "))
+        .when(m4 === 1, lit("Århus "))
+        .when(m4 === 2, lit("Ångström "))
+        .otherwise(lit("À la carte "))
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.normalizeUnicode(
+          concat(planted, coalesce(col("text"), lit(""))), "NFC").as("text"))
+    }),
+
+    // Unicode NFKC (round 12): DuckDB has no NFKC, so the gate runs
+    // planted-only compatibility cases (ligature, circled digit,
+    // fullwidth letters, superscript, vulgar fraction, unit/numero
+    // signs) whose folds the oracle states as literals — the
+    // corpus-text flow is covered by x_text_nfc above.
+    "x_text_nfkc" -> ((s, d) => {
+      val m4 = pmod(col("doc_id"), lit(4))
+      val planted = when(m4 === 0, lit("ﬁle ①"))
+        .when(m4 === 1, lit("Ｆｕｌｌ"))
+        .when(m4 === 2, lit("x² ½"))
+        .otherwise(lit("㎞ and №"))
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.normalizeUnicode(planted, "NFKC").as("text"))
+    }),
+
     // Gopher-rule repetition signals (scan-local struct): this corpus
     // has no newlines so the line fractions are structurally zero —
     // the signal the gate actually exercises is symbol_word_ratio;
@@ -4154,6 +4186,34 @@ object SparkEntry {
       s9 AS (SELECT doc_id, regexp_replace(t, '\n\n\n+', chr(10) || chr(10), 'g') AS t FROM s8)
       SELECT doc_id, regexp_replace(t, '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g') AS extracted
       FROM s9""",
+
+    // nfc contract: the ORACLE normalizes too (DuckDB's independent
+    // utf8proc NFC) — the planted prefix is stated denormalized via
+    // chr() codepoints (combining marks 769/778/776/768, Angstrom
+    // sign 8491), so both Unicode table builds must agree on every
+    // composition
+    "x_text_nfc" -> """
+      SELECT doc_id, nfc_normalize(
+        CASE doc_id % 4
+          WHEN 0 THEN 'Cafe' || chr(769) || ' '
+          WHEN 1 THEN 'A' || chr(778) || 'rhus '
+          WHEN 2 THEN chr(8491) || 'ngstro' || chr(776) || 'm '
+          ELSE 'A' || chr(768) || ' la carte '
+        END || coalesce(text, '')) AS text
+      FROM documents""",
+
+    // nfkc contract: DuckDB has no NFKC, so the oracle states the
+    // compatibility folds as literals (1/2 composes with FRACTION
+    // SLASH U+2044)
+    "x_text_nfkc" -> """
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'file 1'
+          WHEN 1 THEN 'Full'
+          WHEN 2 THEN 'x2 1' || chr(8260) || '2'
+          ELSE 'km and No'
+        END AS text
+      FROM documents""",
 
     "x_url_normalize" -> """
       WITH raw AS (

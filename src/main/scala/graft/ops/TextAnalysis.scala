@@ -695,6 +695,14 @@ object TextAnalysis {
     * garbled near-duplicates re-converge. */
   def fixEncoding(text: Column): Column = graft.expr.FixMojibake(text)
 
+  /** Unicode normalization (see [[graft.expr.UnicodeNormalizeKernel]]):
+    * NFC/NFD/NFKC/NFKD with an ASCII fast path — run NFC before any
+    * hash/dedup stage so canonically-equivalent spellings converge;
+    * NFKC is the aggressive compatibility fold tokenizer pipelines
+    * apply before BPE. Codegen'd scalar, no shuffle. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.expr.UnicodeNormalize(text, form)
+
   /** HTML → text extraction — the step every web-crawl corpus passes
     * through before any quality/dedup stage (the C4/CCNet pipelines
     * start from WET/extracted text; this is the extractor itself for
