@@ -1984,6 +1984,67 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // SFT conversations (round 12): one messages-convention JSON per
+    // document (id%3+1 user/assistant pairs, a system turn when
+    // id%4 == 0, a planted grammar violation when id%7 == 0) parsed
+    // back to long turn rows — every role, turn index, and content
+    // string replays through DuckDB's independent JSON engine.
+    "x_chat_turns" -> ((s, d) => {
+      val packed = graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Chat.parseConversations(packed, "doc_id", "json")
+        .select(col("id").as("doc_id"), col("turn"), col("role"), col("content"))
+    }),
+
+    // Conversation role-grammar check (round 12): optional leading
+    // system, then strict user/assistant alternation ending on
+    // assistant — an aggregation over the sorted turn array (no
+    // Window); the id%7 plant provides real negatives.
+    "x_chat_valid" -> ((s, d) => {
+      val packed = graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Chat.validateAlternation(
+        graft.ops.Chat.parseConversations(packed, "doc_id", "json"))
+        .select(col("id").as("doc_id"), col("n_turns"), col("valid"))
+    }),
+
+    // Chat-template render (round 12): turns flatten to one training
+    // text per conversation in turn order; the oracle assembles the
+    // identical string from the same arithmetic.
+    "x_chat_render" -> ((s, d) => {
+      val packed = graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Chat.renderTemplate(
+        graft.ops.Chat.parseConversations(packed, "doc_id", "json"))
+        .select(col("id").as("doc_id"), col("text"))
+    }),
+
+    // EXIF metadata (round 12): one real JPEG per document (the
+    // repo's own encoder) with a planted Exif APP1 — byte order
+    // II/MM by id%2, GPS present unless id%3 == 0 — read back
+    // through the TIFF IFD walk with the value-or-offset rule and
+    // the RATIONAL d/m/s → signed-decimal-degrees reduction; every
+    // field replays from doc_id arithmetic. Both-endian round trips,
+    // the inline-ASCII rung, and the hostile ladder live in ExifSpec.
+    "x_exif_meta" -> ((s, d) => {
+      val packed = graft.ops.Exif.packJpegExif(t(s, d, "documents"), "doc_id")
+      graft.ops.Exif.decodeMeta(packed, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("has_exif"), col("endian"),
+          col("orientation"), col("make"), col("model"), col("datetime"),
+          col("has_gps"), round(col("lat"), 6).as("lat"),
+          round(col("lon"), 6).as("lon"))
+    }),
+
+    // EXIF GPS scrub (round 12): the privacy op — stripGps REBUILDS
+    // the APP1 without the GPS IFD (patching in place would shift
+    // every absolute offset), and the re-decode must show the safe
+    // tags intact and the coordinates gone on every image.
+    "x_exif_strip" -> ((s, d) => {
+      val packed = graft.ops.Exif.packJpegExif(t(s, d, "documents"), "doc_id")
+      val stripped = graft.ops.Exif.stripGpsDf(packed, "doc_id", "payload")
+      graft.ops.Exif.decodeMeta(stripped, "id", "payload")
+        .select(col("id").as("doc_id"), col("has_exif"), col("endian"),
+          col("orientation"), col("make"), col("datetime"),
+          col("has_gps"), col("lat"), col("lon"))
+    }),
+
     // WebDataset ingest (round 12): documents packed into 8 real tar
     // shards in the WebDataset sample layout — each doc a two-part
     // sample (doc<id>.txt + doc<id>.meta.json, the multi-dot part
@@ -5015,6 +5076,95 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // chat contracts: the conversation shape is pure doc_id
+    // arithmetic — system turn at id%4==0, id%3+1 pairs, the closing
+    // assistant flipped to user at id%7==0; content carries the
+    // 40-char text prefix (the corpus is ASCII, so char counts agree
+    // across engines)
+    "x_chat_turns" -> """
+      WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, 40) AS sn,
+                        CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS off
+                 FROM documents),
+      p AS (SELECT doc_id, sn, off, pv.p FROM d, (VALUES (0), (1), (2)) pv(p)
+            WHERE pv.p <= doc_id % 3)
+      SELECT doc_id, 0 AS turn, 'system' AS role,
+             'You are helper ' || doc_id || '.' AS content
+      FROM d WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id, off + 2 * p, 'user', 'Q' || p || ': ' || sn FROM p
+      UNION ALL
+      SELECT doc_id, off + 2 * p + 1,
+             CASE WHEN p = doc_id % 3 AND doc_id % 7 = 0 THEN 'user' ELSE 'assistant' END,
+             'A' || p || ' for doc ' || doc_id
+      FROM p""",
+
+    // grammar contract: valid unless the id%7 plant fired
+    "x_chat_valid" -> """
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                  + 2 * (doc_id % 3 + 1) AS INTEGER) AS n_turns,
+             doc_id % 7 <> 0 AS valid
+      FROM documents""",
+
+    // render contract: the identical template string from the same
+    // arithmetic, in turn order
+    "x_chat_render" -> """
+      WITH d AS (SELECT doc_id, substr(coalesce(text, ''), 1, 40) AS sn FROM documents)
+      SELECT doc_id,
+        (CASE WHEN doc_id % 4 = 0
+          THEN '<|system|>' || chr(10) || 'You are helper ' || doc_id || '.' || '<|end|>' || chr(10)
+          ELSE '' END)
+        ||
+        (SELECT string_agg(
+           '<|user|>' || chr(10) || 'Q' || pv.p || ': ' || d.sn || '<|end|>' || chr(10) ||
+           '<|' || (CASE WHEN pv.p = d.doc_id % 3 AND d.doc_id % 7 = 0
+                    THEN 'user' ELSE 'assistant' END) || '|>' || chr(10) ||
+           'A' || pv.p || ' for doc ' || d.doc_id || '<|end|>' || chr(10),
+           '' ORDER BY pv.p)
+         FROM (VALUES (0), (1), (2)) pv(p) WHERE pv.p <= d.doc_id % 3) AS text
+      FROM d""",
+
+    // exif contract: every field replays from doc_id arithmetic; the
+    // d/m/s rationals reduce left-associatively (deg + min/60 +
+    // sec/3600) in both engines so the doubles are bit-identical
+    "x_exif_meta" -> """
+      SELECT doc_id, true AS has_exif,
+             CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+             doc_id % 8 + 1 AS orientation,
+             'Maker ' || (doc_id % 5) AS make,
+             'Model ' || (doc_id % 3) AS model,
+             lpad(CAST(2000 + doc_id % 30 AS VARCHAR), 4, '0') || ':' ||
+               lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' ' ||
+               lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS datetime,
+             doc_id % 3 <> 0 AS has_gps,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE round(
+               (doc_id % 90 + (doc_id % 60) / 60.0 + (doc_id % 6000) / 100.0 / 3600.0)
+               * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END), 6) END AS lat,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE round(
+               (doc_id % 180 + ((doc_id * 7) % 60) / 60.0 + ((doc_id * 13) % 6000) / 100.0 / 3600.0)
+               * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE -1 END), 6) END AS lon
+      FROM documents""",
+
+    // exif strip contract: the rebuild keeps the safe tags (endian,
+    // orientation, make, datetime) and the coordinates are GONE
+    "x_exif_strip" -> """
+      SELECT doc_id, true AS has_exif,
+             CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+             doc_id % 8 + 1 AS orientation,
+             'Maker ' || (doc_id % 5) AS make,
+             lpad(CAST(2000 + doc_id % 30 AS VARCHAR), 4, '0') || ':' ||
+               lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' ' ||
+               lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS datetime,
+             false AS has_gps,
+             CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon
+      FROM documents""",
 
     // webdataset contract: per-shard sample order is id order within
     // the doc_id % 8 bucket; both parts replay from corpus columns

