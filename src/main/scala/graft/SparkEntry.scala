@@ -1984,6 +1984,19 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // Audio segmentation (round 12): the energy-gate VAD baseline —
+    // one real 16-bit WAV per document with an id-arithmetic silence
+    // layout, split back into voiced segments at silence gaps.
+    // Constant planted amplitudes make every window RMS exact (sqrt
+    // of a perfect square), so start/end ms, window counts, AND the
+    // rms doubles all replay with no float slack.
+    "x_audio_segments" -> ((s, d) => {
+      val packed = graft.ops.AudioSegments.packSegmentsWav(t(s, d, "documents"), "doc_id")
+      graft.ops.AudioSegments.segments(packed, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("seg"), col("start_ms"),
+          col("end_ms"), col("n_windows"), col("rms"))
+    }),
+
     // SFT conversations (round 12): one messages-convention JSON per
     // document (id%3+1 user/assistant pairs, a system turn when
     // id%4 == 0, a planted grammar violation when id%7 == 0) parsed
@@ -5076,6 +5089,30 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // audio segments contract: the silence layout is pure doc_id
+    // arithmetic — segment s starts after one lead window, the
+    // previous segments' durations, and s gaps; rms is the planted
+    // amplitude exactly
+    "x_audio_segments" -> """
+      WITH p AS (
+        SELECT doc_id, pv.s,
+               CAST((doc_id + pv.s) % 4 + 1 AS BIGINT) AS dur,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS gap
+        FROM documents, (VALUES (0), (1), (2)) pv(s)
+        WHERE pv.s <= doc_id % 3),
+      c AS (
+        SELECT doc_id, s, dur, gap,
+               1 + COALESCE(SUM(dur) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + s * gap AS sw
+        FROM p)
+      SELECT doc_id, CAST(s AS INTEGER) AS seg,
+             CAST(sw * 25 AS BIGINT) AS start_ms,
+             CAST((sw + dur) * 25 AS BIGINT) AS end_ms,
+             CAST(dur AS INTEGER) AS n_windows,
+             CAST(4000 + 1000 * s AS DOUBLE) AS rms
+      FROM c""",
 
     // chat contracts: the conversation shape is pure doc_id
     // arithmetic — system turn at id%4==0, id%3+1 pairs, the closing
