@@ -1984,6 +1984,44 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // Format sniffing (round 12): the magic-byte dispatcher a mixed
+    // corpus scan runs first — id%16 cycles sixteen planted format
+    // prefixes (including the three RIFF siblings, which must
+    // disambiguate on the form tag, and tar's offset-257 signature)
+    // and the label replays from id arithmetic. Real-artifact sniffs
+    // (the repo's own packers' outputs) are pinned in SniffSpec.
+    "x_sniff_formats" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            def a(s: String) = s.getBytes("US-ASCII")
+            val bytes: Array[Byte] = (id % 16) match {
+              case 0 => Array[Byte](0x89.toByte) ++ a("PNG\r\n") ++ Array[Byte](0x1A, 0x0A)
+              case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+              case 2 => a("GIF89a")
+              case 3 => a("BM") ++ new Array[Byte](12)
+              case 4 => a("RIFF") ++ new Array[Byte](4) ++ a("WEBP")
+              case 5 => a("RIFF") ++ new Array[Byte](4) ++ a("WAVE")
+              case 6 => a("RIFF") ++ new Array[Byte](4) ++ a("AVI ")
+              case 7 => a("II") ++ Array[Byte](42, 0)
+              case 8 => a("fLaC")
+              case 9 => Array[Byte](0x1F, 0x8B.toByte)
+              case 10 => Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte)
+              case 11 => a("PK") ++ Array[Byte](3, 4)
+              case 12 => new Array[Byte](257) ++ a("ustar")
+              case 13 => a("WARC/1.0\r\n")
+              case 14 => a("%PDF-1.7\n")
+              case _ => a(s"hello document $id")
+            }
+            (id, bytes)
+          })
+          .toDF("doc_id", "payload")
+      }
+      graft.ops.Sniff.formats(packed, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("format"))
+    }),
+
     // Audio segmentation (round 12): the energy-gate VAD baseline —
     // one real 16-bit WAV per document with an id-arithmetic silence
     // layout, split back into voiced segments at silence gaps.
@@ -5089,6 +5127,19 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // sniff contract: the label is pure id arithmetic
+    "x_sniff_formats" -> """
+      SELECT doc_id,
+             CASE doc_id % 16
+               WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+               WHEN 3 THEN 'bmp' WHEN 4 THEN 'webp' WHEN 5 THEN 'wav'
+               WHEN 6 THEN 'avi' WHEN 7 THEN 'tiff' WHEN 8 THEN 'flac'
+               WHEN 9 THEN 'gzip' WHEN 10 THEN 'zstd' WHEN 11 THEN 'zip'
+               WHEN 12 THEN 'tar' WHEN 13 THEN 'warc' WHEN 14 THEN 'pdf'
+               ELSE 'text'
+             END AS format
+      FROM documents""",
 
     // audio segments contract: the silence layout is pure doc_id
     // arithmetic — segment s starts after one lead window, the

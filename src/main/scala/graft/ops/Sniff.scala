@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unified content-type sniffing — the dispatcher a mixed-bag corpus
+  * scan runs FIRST: a 100 TB crawl bucket holds images, archives,
+  * documents, audio, and junk side by side, and routing each payload
+  * to the right decoder (or to quarantine) by MAGIC BYTES, never by
+  * file extension, is the step everything downstream keys on.
+  * Extensions lie constantly in crawl data; leading bytes rarely do.
+  *
+  * One ordered rule ladder over the leading bytes (every rule is the
+  * same magic its full decoder in this repo checks — this op is the
+  * cheap prefix dispatch, the decoders stay the source of truth):
+  * images (PNG/JPEG/GIF/BMP/WebP/TIFF/netpbm), audio (WAV/FLAC/Ogg/
+  * MP3-ID3), video (MP4/MKV/AVI), compression (gzip/zstd/bzip2/xz),
+  * archives & documents (ZIP/tar/WARC/PDF/Avro/SQLite/GGUF/NumPy),
+  * and UTF-8-looking text as the last resort before `unknown`.
+  * RIFF-family types (WAV/AVI/WebP) disambiguate on the form tag;
+  * tar has no leading magic so it checks the ustar signature at
+  * offset 257; WARC is the version line prefix.
+  *
+  * Scale shape: codegen-friendly per-row scan over a bounded prefix
+  * (no decode, no allocation beyond the label), scan-local.
+  */
+object Sniff {
+
+  private def at(p: Array[Byte], i: Int): Int =
+    if (i < p.length) p(i) & 0xFF else -1
+
+  private def ascii(p: Array[Byte], off: Int, s: String): Boolean = {
+    if (off + s.length > p.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (p(off + i) != s.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Format label for the leading bytes; "unknown" when nothing
+    * matches, "text" when the prefix is printable-ish UTF-8. */
+  def detect(p: Array[Byte]): String = {
+    if (p == null || p.length == 0) return "unknown"
+    // fixed magics, longest/most-specific first
+    if (at(p, 0) == 0x89 && ascii(p, 1, "PNG\r\n")) return "png"
+    if (at(p, 0) == 0xFF && at(p, 1) == 0xD8 && at(p, 2) == 0xFF) return "jpeg"
+    if (ascii(p, 0, "GIF87a") || ascii(p, 0, "GIF89a")) return "gif"
+    if (ascii(p, 0, "BM") && p.length >= 14) return "bmp"
+    if (ascii(p, 0, "RIFF") && p.length >= 12) {
+      if (ascii(p, 8, "WEBP")) return "webp"
+      if (ascii(p, 8, "WAVE")) return "wav"
+      if (ascii(p, 8, "AVI ")) return "avi"
+    }
+    if ((ascii(p, 0, "II") && at(p, 2) == 42 && at(p, 3) == 0) ||
+        (ascii(p, 0, "MM") && at(p, 2) == 0 && at(p, 3) == 42)) return "tiff"
+    if (at(p, 0) == 'P' && (at(p, 1) >= '1' && at(p, 1) <= '6') &&
+        (at(p, 2) == ' ' || at(p, 2) == '\n' || at(p, 2) == '\t' ||
+         at(p, 2) == '\r' || at(p, 2) == '#')) return "pnm"
+    if (ascii(p, 0, "fLaC")) return "flac"
+    if (ascii(p, 0, "OggS")) return "ogg"
+    if (ascii(p, 0, "ID3")) return "mp3"
+    if (p.length >= 12 && ascii(p, 4, "ftyp")) return "mp4"
+    if (at(p, 0) == 0x1A && at(p, 1) == 0x45 && at(p, 2) == 0xDF && at(p, 3) == 0xA3)
+      return "mkv"
+    if (at(p, 0) == 0x1F && at(p, 1) == 0x8B) return "gzip"
+    if (at(p, 0) == 0x28 && at(p, 1) == 0xB5 && at(p, 2) == 0x2F && at(p, 3) == 0xFD)
+      return "zstd"
+    if (ascii(p, 0, "BZh") && at(p, 3) >= '1' && at(p, 3) <= '9') return "bzip2"
+    if (at(p, 0) == 0xFD && ascii(p, 1, "7zXZ") && at(p, 5) == 0) return "xz"
+    if (ascii(p, 0, "PK") && (at(p, 2) == 3 || at(p, 2) == 5 || at(p, 2) == 7))
+      return "zip"
+    if (ascii(p, 257, "ustar")) return "tar"
+    if (ascii(p, 0, "WARC/")) return "warc"
+    if (ascii(p, 0, "%PDF-")) return "pdf"
+    if (ascii(p, 0, "Obj") && at(p, 3) == 1) return "avro"
+    if (ascii(p, 0, "SQLite format 3") && at(p, 15) == 0) return "sqlite"
+    if (ascii(p, 0, "GGUF")) return "gguf"
+    if (at(p, 0) == 0x93 && ascii(p, 1, "NUMPY")) return "npy"
+    if (ascii(p, 0, "{\\rtf")) return "rtf"
+    // text heuristic over a bounded prefix: valid-looking UTF-8 with
+    // no NULs and mostly printable/whitespace bytes
+    val n = math.min(p.length, 512)
+    var printable = 0
+    var i = 0
+    while (i < n) {
+      val b = p(i) & 0xFF
+      if (b == 0) return "unknown"
+      if (b >= 0x20 || b == '\n' || b == '\r' || b == '\t') printable += 1
+      i += 1
+    }
+    if (printable.toDouble / n >= 0.95) "text" else "unknown"
+  }
+
+  /** (id, format, byte_len) per payload — scan-local. */
+  def formats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, detect(p), if (p == null) 0L else p.length.toLong)
+      })
+      .toDF("id", "format", "byte_len")
+  }
+}
