@@ -1984,6 +1984,41 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // EXIF orientation application (round 12): the pixel transform
+    // every image pipeline runs right after reading the tag (and
+    // must run BEFORE pHash/dedup, or the same photo in portrait and
+    // landscape hashes apart). A 5×3 asymmetric gray PNG (lossless,
+    // so pixels are exact) with px(x,y) = (id + 3x + 7y) % 256 goes
+    // through all eight orientations by id%8+1; output dims and
+    // three corner samples replay through the oracle's own copy of
+    // the dest→src maps. The full 8-way pixel maps are pinned in
+    // ExifSpec.
+    "x_exif_orient" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 5; val h = 3
+            val px = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { px(y * w + x) = ((id + 3 * x + 7 * y) % 256).toByte; x += 1 }
+              y += 1
+            }
+            val img = graft.ops.PngCodec.decode(
+              graft.ops.PngCodec.encode(graft.ops.PngCodec.Image(w, h, 1, px))).get
+            val o = (id % 8 + 1).toInt
+            val r = graft.ops.Exif.applyOrientation(img, o)
+            def p(x: Int, y: Int) = r.pixels(y * r.width + x) & 0xFF
+            (id, o, r.width, r.height,
+              p(0, 0), p(r.width - 1, 0), p(0, r.height - 1))
+          })
+          .toDF("doc_id", "orientation", "w", "h", "p00", "pw0", "p0h")
+      }
+      packed
+    }),
+
     // Format sniffing (round 12): the magic-byte dispatcher a mixed
     // corpus scan runs first — id%16 cycles sixteen planted format
     // prefixes (including the three RIFF siblings, which must
@@ -5127,6 +5162,26 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // orientation contract: the oracle carries its own copy of the
+    // eight dest→src corner maps as 3*sx + 7*sy constants over the
+    // 5×3 plant
+    "x_exif_orient" -> """
+      WITH o AS (SELECT doc_id, CAST(doc_id % 8 + 1 AS INTEGER) AS orientation
+                 FROM documents)
+      SELECT doc_id, orientation,
+        CAST(CASE WHEN orientation >= 5 THEN 3 ELSE 5 END AS INTEGER) AS w,
+        CAST(CASE WHEN orientation >= 5 THEN 5 ELSE 3 END AS INTEGER) AS h,
+        CAST((doc_id + CASE orientation WHEN 1 THEN 0 WHEN 2 THEN 12 WHEN 3 THEN 26
+              WHEN 4 THEN 14 WHEN 5 THEN 0 WHEN 6 THEN 14 WHEN 7 THEN 26
+              ELSE 12 END) % 256 AS INTEGER) AS p00,
+        CAST((doc_id + CASE orientation WHEN 1 THEN 12 WHEN 2 THEN 0 WHEN 3 THEN 14
+              WHEN 4 THEN 26 WHEN 5 THEN 14 WHEN 6 THEN 0 WHEN 7 THEN 12
+              ELSE 26 END) % 256 AS INTEGER) AS pw0,
+        CAST((doc_id + CASE orientation WHEN 1 THEN 14 WHEN 2 THEN 26 WHEN 3 THEN 12
+              WHEN 4 THEN 0 WHEN 5 THEN 12 WHEN 6 THEN 26 WHEN 7 THEN 14
+              ELSE 0 END) % 256 AS INTEGER) AS p0h
+      FROM o""",
 
     // sniff contract: the label is pure id arithmetic
     "x_sniff_formats" -> """

@@ -346,6 +346,51 @@ object Exif {
   }
 
   // ------------------------------------------------------------------
+  // Orientation application
+  // ------------------------------------------------------------------
+
+  /** Apply an EXIF orientation (1-8) to decoded pixels so the image
+    * displays upright — the transform every image pipeline runs
+    * right after reading the tag (and must run BEFORE pHash/dedup,
+    * or the same photo shot in portrait and landscape hashes apart).
+    * Dest-from-source maps, Exif 2.3 §4.6.4:
+    * 1 identity · 2 mirror-H · 3 rotate 180 · 4 mirror-V ·
+    * 5 transpose · 6 rotate 90 CW · 7 transverse · 8 rotate 270 CW.
+    * Orientations 5-8 swap the output dimensions. Unknown values
+    * pass through as orientation 1 (the spec's default). */
+  def applyOrientation(img: PngCodec.Image, orientation: Int): PngCodec.Image = {
+    if (orientation <= 1 || orientation > 8) return img
+    val w = img.width; val h = img.height; val c = img.channels
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case _ => (w - 1 - y, x) // 8
+        }
+        var ch = 0
+        while (ch < c) {
+          out((y * ow + x) * c + ch) = img.pixels((sy * w + sx) * c + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.Image(ow, oh, c, out)
+  }
+
+  // ------------------------------------------------------------------
   // Gate packer
   // ------------------------------------------------------------------
 

@@ -73,6 +73,35 @@ class ExifSpec extends SparkSuite {
     assert(JpegCodec.decode(stripped).isDefined)
   }
 
+  test("applyOrientation: all eight maps on a hand image, involution pairs") {
+    // 2x3 gray image, pixels numbered row-major:
+    //   0 1
+    //   2 3
+    //   4 5
+    val img = PngCodec.Image(2, 3, 1, Array[Byte](0, 1, 2, 3, 4, 5))
+    def px(i: PngCodec.Image) = i.pixels.toSeq.map(_.toInt)
+    def o(n: Int) = Exif.applyOrientation(img, n)
+    assert(o(1) eq img)
+    assert((o(2).width, px(o(2))) == ((2, Seq(1, 0, 3, 2, 5, 4))))        // mirror H
+    assert((o(3).width, px(o(3))) == ((2, Seq(5, 4, 3, 2, 1, 0))))        // rotate 180
+    assert((o(4).width, px(o(4))) == ((2, Seq(4, 5, 2, 3, 0, 1))))        // mirror V
+    assert((o(5).width, px(o(5))) == ((3, Seq(0, 2, 4, 1, 3, 5))))        // transpose
+    assert((o(6).width, px(o(6))) == ((3, Seq(4, 2, 0, 5, 3, 1))))        // rotate 90 CW
+    assert((o(7).width, px(o(7))) == ((3, Seq(5, 3, 1, 4, 2, 0))))        // transverse
+    assert((o(8).width, px(o(8))) == ((3, Seq(1, 3, 5, 0, 2, 4))))        // rotate 270 CW
+    // self-inverse transforms: 2, 3, 4, 5, 7 applied twice = identity
+    for (n <- Seq(2, 3, 4, 5, 7))
+      assert(px(Exif.applyOrientation(o(n), n)) == px(img), s"o=$n")
+    // 6 then 8 = identity (90 CW then 90 CCW)
+    assert(px(Exif.applyOrientation(o(6), 8)) == px(img))
+    // multi-channel: channels move together
+    val rgb = PngCodec.Image(2, 1, 3, Array[Byte](10, 11, 12, 20, 21, 22))
+    assert(px(Exif.applyOrientation(rgb, 2)) == Seq(20, 21, 22, 10, 11, 12))
+    // out-of-range orientation: pass-through (the spec default)
+    assert(Exif.applyOrientation(img, 0) eq img)
+    assert(Exif.applyOrientation(img, 9) eq img)
+  }
+
   test("hostile bytes: truncation and junk report has_exif = false, never throw") {
     val rows = Seq(
       (1L, Array[Byte](1, 2, 3)),
