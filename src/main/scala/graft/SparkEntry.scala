@@ -1984,6 +1984,39 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // Compression-ratio signal (round 12): the deflate entropy proxy
+    // over two planted extremes — 1000 chars of repeated phrase
+    // (template spam shape, ratio far below 0.3) vs 800 chars of
+    // xorshift-derived printable noise (encoded-junk shape, far
+    // above 0.6). The ratio itself is implementation-defined (a
+    // deflate length), so the gate's contract is the BUCKET — wide
+    // margins on both sides — while determinism, bounds, and
+    // monotonicity are pinned exactly in the spec.
+    "x_compression_ratio" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val text = if (id % 2 == 0) "tokenize the corpus " * 50
+            else {
+              val b = new StringBuilder(800)
+              var st = id * 2654435761L + 1
+              (1 to 800).foreach { _ =>
+                st ^= st << 13; st ^= st >>> 7; st ^= st << 17
+                b.append((33 + java.lang.Math.floorMod(st, 94L)).toChar)
+              }
+              b.toString
+            }
+            (id, text)
+          })
+          .toDF("doc_id", "text")
+      }
+      packed.select(col("doc_id"),
+        when(TextAnalysis.compressionRatio(col("text")) < 0.3, "repetitive")
+          .when(TextAnalysis.compressionRatio(col("text")) > 0.6, "dense")
+          .otherwise("mid").as("entropy_class"))
+    }),
+
     // EXIF orientation application (round 12): the pixel transform
     // every image pipeline runs right after reading the tag (and
     // must run BEFORE pHash/dedup, or the same photo in portrait and
@@ -5162,6 +5195,12 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // compression-ratio contract: bucket by the planted extreme
+    "x_compression_ratio" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'repetitive' ELSE 'dense' END AS entropy_class
+      FROM documents""",
 
     // orientation contract: the oracle carries its own copy of the
     // eight dest→src corner maps as 3*sx + 7*sy constants over the

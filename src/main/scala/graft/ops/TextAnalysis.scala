@@ -703,6 +703,13 @@ object TextAnalysis {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     graft.expr.UnicodeNormalize(text, form)
 
+  /** Compression-ratio entropy proxy (see
+    * [[graft.expr.DeflateRatioKernel]]): deflate length over byte
+    * length — template spam compresses far below prose, encoded junk
+    * barely at all; both tails are filter candidates. Deterministic
+    * (from-spec encoder), codegen'd, scan-local. */
+  def compressionRatio(text: Column): Column = graft.expr.DeflateRatio(text)
+
   /** HTML → text extraction — the step every web-crawl corpus passes
     * through before any quality/dedup stage (the C4/CCNet pipelines
     * start from WET/extracted text; this is the extractor itself for
