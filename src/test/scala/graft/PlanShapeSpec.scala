@@ -67,4 +67,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("*(1) Project"),
       "hashed_gram_buckets kernel must ride codegen'd projections:\n" + plan)
   }
+
+  test("normalize_unicode and compression_ratio ride whole-stage codegen, no shuffle") {
+    val df = spark.range(100)
+      .select(concat_ws(" ", lit("café"), col("id").cast("string")).as("text"))
+      .select(
+        graft.ops.TextAnalysis.normalizeUnicode(col("text"), "NFKC").as("n"),
+        graft.ops.TextAnalysis.compressionRatio(col("text")).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      "scalar text signals must stay inside one codegen'd projection:\n" + plan)
+    assert(!plan.contains("Exchange"), "scan-local ops must not shuffle:\n" + plan)
+  }
 }
