@@ -1984,6 +1984,27 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // Parquet footer metadata (round 12): the from-spec Thrift
+    // compact-protocol walk over three REAL testdata footers
+    // (documents / embeddings / orders — flat, nested-list, and
+    // date-bearing schemas) cross-pinned against DuckDB's
+    // independent parquet reader: every row-group size, column path
+    // (including the nested "embedding, list, element" leaf), codec
+    // name, offset, and byte count must agree.
+    "x_parquet_footer" -> ((s, d) => {
+      import s.implicits._
+      val paths = Seq("documents", "embeddings", "orders")
+        .map(tn => s"$d/$tn.parquet").toDF("path")
+      graft.ops.ParquetMeta.meta(paths, "path")
+        .select(
+          regexp_extract(col("path"), "([a-z]+)\\.parquet$", 1).as("tbl"),
+          col("row_group"), col("rg_num_rows"), col("column_id"),
+          col("path_in_schema"), col("type"), col("compression"),
+          col("num_values"), col("dictionary_page_offset"),
+          col("data_page_offset"), col("total_compressed_size"),
+          col("total_uncompressed_size"))
+    }),
+
     // Compression-ratio signal (round 12): the deflate entropy proxy
     // over two planted extremes — 1000 chars of repeated phrase
     // (template spam shape, ratio far below 0.3) vs 800 chars of
@@ -5195,6 +5216,24 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // parquet footer contract: DuckDB's own parquet reader IS the
+    // oracle — two independent decoders of the same real footers.
+    // parquet_metadata needs FILE paths (the oracle harness registers
+    // views, which carry no path), so the oracle names the sf0.01
+    // files the correctness gate contractually runs at; the Spark
+    // side follows the sfDir argument as always.
+    "x_parquet_footer" -> """
+      SELECT regexp_extract(file_name, '([a-z]+)\.parquet$', 1) AS tbl,
+             CAST(row_group_id AS INTEGER) AS row_group,
+             row_group_num_rows AS rg_num_rows,
+             CAST(column_id AS INTEGER) AS column_id,
+             path_in_schema, type, compression, num_values,
+             coalesce(dictionary_page_offset, -1) AS dictionary_page_offset,
+             data_page_offset, total_compressed_size, total_uncompressed_size
+      FROM parquet_metadata(['/root/testdata/sf0.01/documents.parquet',
+                             '/root/testdata/sf0.01/embeddings.parquet',
+                             '/root/testdata/sf0.01/orders.parquet'])""",
 
     // compression-ratio contract: bucket by the planted extreme
     "x_compression_ratio" -> """
