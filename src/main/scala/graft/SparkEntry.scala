@@ -2005,6 +2005,25 @@ object SparkEntry {
           col("total_uncompressed_size"))
     }),
 
+    // Parquet zone-map statistics (round 12): the per-chunk
+    // null_count / min_value / max_value pruning keys on, decoded by
+    // PHYSICAL type (raw stored order) — restricted to the columns
+    // whose DuckDB rendering is physical too (plain INT64 and
+    // BYTE_ARRAY; DuckDB renders date/timestamp-annotated and float
+    // stats through the logical layer, a different surface).
+    "x_parquet_stats" -> ((s, d) => {
+      import s.implicits._
+      val paths = Seq("documents", "orders")
+        .map(tn => s"$d/$tn.parquet").toDF("path")
+      graft.ops.ParquetMeta.meta(paths, "path")
+        .where(col("type").isin("INT64", "BYTE_ARRAY") &&
+          !col("path_in_schema").isin("o_orderdate"))
+        .select(
+          regexp_extract(col("path"), "([a-z]+)\\.parquet$", 1).as("tbl"),
+          col("row_group"), col("path_in_schema"),
+          col("null_count"), col("min_value"), col("max_value"))
+    }),
+
     // Compression-ratio signal (round 12): the deflate entropy proxy
     // over two planted extremes — 1000 chars of repeated phrase
     // (template spam shape, ratio far below 0.3) vs 800 chars of
@@ -5234,6 +5253,20 @@ object SparkEntry {
       FROM parquet_metadata(['/root/testdata/sf0.01/documents.parquet',
                              '/root/testdata/sf0.01/embeddings.parquet',
                              '/root/testdata/sf0.01/orders.parquet'])""",
+
+    // parquet stats contract: DuckDB's reader again — the o_orderdate
+    // column is excluded on BOTH sides (DuckDB renders its stats
+    // through the timestamp logical type; ours are the raw int64s)
+    "x_parquet_stats" -> """
+      SELECT regexp_extract(file_name, '([a-z]+)\.parquet$', 1) AS tbl,
+             CAST(row_group_id AS INTEGER) AS row_group,
+             path_in_schema,
+             stats_null_count AS null_count,
+             stats_min_value AS min_value,
+             stats_max_value AS max_value
+      FROM parquet_metadata(['/root/testdata/sf0.01/documents.parquet',
+                             '/root/testdata/sf0.01/orders.parquet'])
+      WHERE type IN ('INT64', 'BYTE_ARRAY') AND path_in_schema <> 'o_orderdate'""",
 
     // compression-ratio contract: bucket by the planted extreme
     "x_compression_ratio" -> """

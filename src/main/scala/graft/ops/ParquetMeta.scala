@@ -147,7 +147,25 @@ object ParquetMeta {
   final case class ChunkMeta(rowGroup: Int, rgNumRows: Long, rgBytes: Long,
       columnId: Int, fileOffset: Long, path: String, typeName: String,
       codec: String, numValues: Long, dictPageOffset: Long,
-      dataPageOffset: Long, compressedSize: Long, uncompressedSize: Long)
+      dataPageOffset: Long, compressedSize: Long, uncompressedSize: Long,
+      nullCount: Long, minValue: String, maxValue: String)
+
+  /** Render a Statistics min/max binary by PHYSICAL type — the
+    * zone-map values pruning keys on. Logical-type rendering
+    * (timestamps, decimals) is deliberately NOT applied: these are
+    * the raw order keys as stored. Types beyond the exact-render
+    * set return null. */
+  private def statValue(typeId: Long, b: Array[Byte]): String = typeId match {
+    case 1 if b.length == 4 => // INT32 LE
+      ((b(0) & 0xFF) | ((b(1) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) |
+        ((b(3) & 0xFF) << 24)).toString
+    case 2 if b.length == 8 => // INT64 LE
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (b(i) & 0xFFL); i -= 1 }
+      v.toString
+    case 6 => new String(b, StandardCharsets.UTF_8) // BYTE_ARRAY (UTF8)
+    case _ => null
+  }
 
   private def i64(s: TStruct, id: Int): Option[Long] =
     s.fields.get(id).collect { case TInt(v) => v }
@@ -167,13 +185,23 @@ object ParquetMeta {
                 val path = list(md, 3).collect {
                   case TBin(b) => new String(b, StandardCharsets.UTF_8)
                 }.mkString(", ")
+                val typeId = i64(md, 1).getOrElse(-1L)
+                // Statistics (field 12): null_count = 3, and the
+                // modern max_value/min_value = 5/6 (1/2 are the
+                // deprecated ambiguous-ordering pair, not read)
+                val stats = md.fields.get(12).collect { case s: TStruct => s }
+                val bin = (id: Int) => stats.flatMap(_.fields.get(id))
+                  .collect { case TBin(b) => b }
                 Some(ChunkMeta(rgId, rgRows, rgBytes, colId,
                   i64(cc, 2).getOrElse(-1L), path,
-                  enumName(TypeNames, i64(md, 1).getOrElse(-1L)),
+                  enumName(TypeNames, typeId),
                   enumName(CodecNames, i64(md, 4).getOrElse(-1L)),
                   i64(md, 5).getOrElse(-1L), i64(md, 11).getOrElse(-1L),
                   i64(md, 9).getOrElse(-1L), i64(md, 7).getOrElse(-1L),
-                  i64(md, 6).getOrElse(-1L)))
+                  i64(md, 6).getOrElse(-1L),
+                  stats.flatMap(i64(_, 3)).getOrElse(-1L),
+                  bin(6).map(statValue(typeId, _)).orNull,
+                  bin(5).map(statValue(typeId, _)).orNull))
               case _ => None
             }
           case _ => None
@@ -212,7 +240,8 @@ object ParquetMeta {
         val conf = Warc.confOf(confEntries)
         it.flatMap { p =>
           def quarantine = Seq((p, -1, -1L, -1L, -1, -1L, null: String,
-            null: String, null: String, -1L, -1L, -1L, -1L, -1L))
+            null: String, null: String, -1L, -1L, -1L, -1L, -1L,
+            -1L, null: String, null: String))
           try {
             val path = new org.apache.hadoop.fs.Path(p)
             val fs = path.getFileSystem(conf)
@@ -235,7 +264,8 @@ object ParquetMeta {
                 else cs.map(c => (p, c.rowGroup, c.rgNumRows, c.rgBytes,
                   c.columnId, c.fileOffset, c.path, c.typeName, c.codec,
                   c.numValues, c.dictPageOffset, c.dataPageOffset,
-                  c.compressedSize, c.uncompressedSize))
+                  c.compressedSize, c.uncompressedSize,
+                  c.nullCount, c.minValue, c.maxValue))
               case None => quarantine
             }
           } catch { case _: Exception => quarantine }
@@ -244,6 +274,6 @@ object ParquetMeta {
       .toDF("path", "row_group", "rg_num_rows", "rg_bytes", "column_id",
         "file_offset", "path_in_schema", "type", "compression", "num_values",
         "dictionary_page_offset", "data_page_offset", "total_compressed_size",
-        "total_uncompressed_size")
+        "total_uncompressed_size", "null_count", "min_value", "max_value")
   }
 }

@@ -55,6 +55,22 @@ class ParquetMetaSpec extends SparkSuite {
       "FLOAT", "DOUBLE", "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")))
   }
 
+  test("zone-map stats agree with Spark's own aggregates") {
+    val paths = Seq(s"/root/testdata/sf0.001/orders.parquet").toDF("path")
+    val m = ParquetMeta.meta(paths, "path")
+    val stats = m.where($"path_in_schema" === "o_orderkey")
+      .select($"null_count", $"min_value", $"max_value")
+      .as[(Long, String, String)].collect()
+    val (lo, hi) = sf("orders").agg(min($"o_orderkey"), max($"o_orderkey"))
+      .as[(Long, Long)].collect().head
+    // single row group at this SF: chunk stats ARE the table stats
+    assert(stats.toSeq == Seq((0L, lo.toString, hi.toString)))
+    // string stats decode as UTF-8
+    val st = m.where($"path_in_schema" === "o_orderstatus")
+      .select($"min_value").as[String].collect().head
+    assert(st.nonEmpty && st.forall(_.isLetter))
+  }
+
   test("hostile files quarantine as row_group = -1") {
     val dir = java.nio.file.Files.createTempDirectory("pqm").toFile
     def write(name: String, bytes: Array[Byte]): String = {
