@@ -1984,6 +1984,19 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // CBOR (round 12): the third wire-protocol family (RFC 8949,
+    // beside Avro's schema'd binary and protobuf's tagged wire) —
+    // one CBOR document per row from id arithmetic, definite and
+    // indefinite strings/containers alternating by id parity, the
+    // float width cycling through half/single/double, a tagged item
+    // for major type 6; every flattened (path, kind, value) row
+    // replays. The RFC Appendix A vector table is pinned in CborSpec.
+    "x_cbor_decode" -> ((s, d) => {
+      val packed = graft.ops.Cbor.packDocsCbor(t(s, d, "documents"), "doc_id")
+      graft.ops.Cbor.rows(packed, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("path"), col("kind"), col("value"))
+    }),
+
     // Parquet footer metadata (round 12): the from-spec Thrift
     // compact-protocol walk over three REAL testdata footers
     // (documents / embeddings / orders — flat, nested-list, and
@@ -5235,6 +5248,25 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // cbor contract: the flattened document is pure id arithmetic
+    "x_cbor_decode" -> """
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL)
+      SELECT doc_id, '$' AS path, 'map' AS kind, '7' AS value FROM d
+      UNION ALL SELECT doc_id, '$.i', 'uint', CAST(doc_id AS VARCHAR) FROM d
+      UNION ALL SELECT doc_id, '$.n', 'nint', CAST(-(doc_id % 100) - 1 AS VARCHAR) FROM d
+      UNION ALL SELECT doc_id, '$.t', 'text', 'doc' || doc_id FROM d
+      UNION ALL SELECT doc_id, '$.b', 'bytes',
+        printf('%02x%02x', doc_id % 256, (doc_id * 7) % 256) FROM d
+      UNION ALL SELECT doc_id, '$.f',
+        CASE doc_id % 3 WHEN 0 THEN 'f16' WHEN 1 THEN 'f32' ELSE 'f64' END,
+        CASE doc_id % 3 WHEN 0 THEN '1.5' WHEN 1 THEN '0.25' ELSE '2.5' END FROM d
+      UNION ALL SELECT doc_id, '$.a', 'array', '3' FROM d
+      UNION ALL SELECT doc_id, '$.a[0]', 'simple', 'true' FROM d
+      UNION ALL SELECT doc_id, '$.a[1]', 'simple', 'null' FROM d
+      UNION ALL SELECT doc_id, '$.a[2]', 'uint', CAST(doc_id % 5 AS VARCHAR) FROM d
+      UNION ALL SELECT doc_id, '$.g', 'tag', '42' FROM d
+      UNION ALL SELECT doc_id, '$.g!', 'text', 't' || doc_id FROM d""",
 
     // parquet footer contract: DuckDB's own parquet reader IS the
     // oracle — two independent decoders of the same real footers.
