@@ -1984,6 +1984,38 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // Sentence segmentation (round 12): the unit sentence-level
+    // corpus ops key on — planted text fires the rule set
+    // (abbreviation suppression for Dr./Mr., the decimal guard on
+    // 3.5, a ?! terminator run, a newline hard boundary ahead of a
+    // lowercase start); every boundary replays as oracle literals.
+    // Rule generality (initials, closers, no-terminator text) is
+    // pinned in SentencesSpec.
+    "x_sentences" -> ((s, d) => {
+      val id = col("doc_id")
+      val text = concat(
+        lit("Dr. Smith met Mr. Jones at 3.5 km. Doc "), id,
+        lit(" has "), pmod(id, lit(7)), lit(" parts. Was it useful?! Yes.\nthe end of doc "), id)
+      graft.ops.Sentences.split(
+        docs(s, d).select(id, text.as("text")), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("seq"), col("sentence"), col("n_chars"))
+    }),
+
+    // Sentence-boundary RAG chunking (round 12): uniform 14-char
+    // planted sentences at maxChars = 30 / overlap = 1 make the
+    // packing arithmetic exact — id%4+2 sentences fold into id%4+1
+    // two-sentence chunks with a one-sentence carry.
+    "x_sentence_chunks" -> ((s, d) => {
+      val id = col("doc_id")
+      val k = (pmod(id, lit(4)) + 2).cast("int")
+      val text = array_join(transform(sequence(lit(0), k - 1),
+        i => concat(lit("S"), i, lit(" xxxxxxxxxx."))), " ")
+      graft.ops.Sentences.chunkBySentence(
+        docs(s, d).select(id, text.as("text")), "doc_id", "text",
+        maxChars = 30, overlap = 1)
+        .select(col("id").as("doc_id"), col("chunk"), col("text"), col("n_sentences"))
+    }),
+
     // CBOR (round 12): the third wire-protocol family (RFC 8949,
     // beside Avro's schema'd binary and protobuf's tagged wire) —
     // one CBOR document per row from id arithmetic, definite and
@@ -5248,6 +5280,31 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // sentence contracts: every boundary is an oracle literal
+    "x_sentences" -> """
+      SELECT doc_id, 0 AS seq,
+             'Dr. Smith met Mr. Jones at 3.5 km.' AS sentence,
+             34 AS n_chars
+      FROM documents
+      UNION ALL SELECT doc_id, 1,
+        'Doc ' || doc_id || ' has ' || (doc_id % 7) || ' parts.',
+        CAST(length('Doc ' || doc_id || ' has ' || (doc_id % 7) || ' parts.') AS INTEGER)
+      FROM documents
+      UNION ALL SELECT doc_id, 2, 'Was it useful?!', 15 FROM documents
+      UNION ALL SELECT doc_id, 3, 'Yes.', 4 FROM documents
+      UNION ALL SELECT doc_id, 4, 'the end of doc ' || doc_id,
+        CAST(length('the end of doc ' || doc_id) AS INTEGER)
+      FROM documents""",
+
+    // chunking contract: two-sentence windows with a one-sentence
+    // carry, pure arithmetic
+    "x_sentence_chunks" -> """
+      SELECT doc_id, CAST(cv.c AS INTEGER) AS chunk,
+             'S' || cv.c || ' xxxxxxxxxx. S' || (cv.c + 1) || ' xxxxxxxxxx.' AS text,
+             2 AS n_sentences
+      FROM documents, (VALUES (0), (1), (2), (3)) cv(c)
+      WHERE cv.c <= doc_id % 4""",
 
     // cbor contract: the flattened document is pure id arithmetic
     "x_cbor_decode" -> """
