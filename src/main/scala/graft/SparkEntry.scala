@@ -1984,6 +1984,34 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // HTML table extraction (round 12): real-crawl table markup —
+    // a th header row with an entity, id%3+1 data rows whose
+    // </td>/</tr> CLOSERS are omitted on odd ids (optional by the
+    // HTML spec and widely omitted — the split-by-opening walk must
+    // not care), page furniture around, and a second table on
+    // id%4==0; every cell replays from id arithmetic.
+    "x_html_tables" -> ((s, d) => {
+      val id = col("doc_id")
+      val k = (pmod(id, lit(3)) + 1).cast("int")
+      val closed = pmod(id, lit(2)) === 0
+      val dataRows = array_join(transform(sequence(lit(1), k), r =>
+        when(closed, concat(lit("<tr><td>R"), r, lit("C0:"), id,
+          lit("</td><td>R"), r, lit("C1:"), id, lit("</td></tr>")))
+          .otherwise(concat(lit("<tr><td>R"), r, lit("C0:"), id,
+            lit("<td>R"), r, lit("C1:"), id))), "\n")
+      val html = concat(
+        lit("<p>Intro "), id, lit("</p><table class=\"t\">"),
+        lit("<tr><th>H0</th><th>H1 &amp; more</th></tr>"), dataRows,
+        lit("</table><p>after</p>"),
+        when(pmod(id, lit(4)) === 0,
+          concat(lit("<table><tr><td>T2:"), id, lit("</td></tr></table>")))
+          .otherwise(lit("")))
+      graft.ops.Tables.extract(
+        docs(s, d).select(id, html.as("html")), "doc_id", "html")
+        .select(col("id").as("doc_id"), col("table_idx"), col("row"),
+          col("col"), col("header"), col("text"))
+    }),
+
     // Sentence segmentation (round 12): the unit sentence-level
     // corpus ops key on — planted text fires the rule set
     // (abbreviation suppression for Dr./Mr., the decimal guard on
@@ -5280,6 +5308,21 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // html tables contract: header row + id%3+1 data rows + the
+    // id%4 second table, all id arithmetic
+    "x_html_tables" -> """
+      SELECT doc_id, 0 AS table_idx, 0 AS row, 0 AS col, true AS header, 'H0' AS text
+      FROM documents
+      UNION ALL SELECT doc_id, 0, 0, 1, true, 'H1 & more' FROM documents
+      UNION ALL
+      SELECT doc_id, 0, rv.r, cv.c, false,
+             'R' || rv.r || 'C' || cv.c || ':' || doc_id
+      FROM documents, (VALUES (1), (2), (3)) rv(r), (VALUES (0), (1)) cv(c)
+      WHERE rv.r <= doc_id % 3 + 1
+      UNION ALL
+      SELECT doc_id, 1, 0, 0, false, 'T2:' || doc_id
+      FROM documents WHERE doc_id % 4 = 0""",
 
     // sentence contracts: every boundary is an oracle literal
     "x_sentences" -> """
