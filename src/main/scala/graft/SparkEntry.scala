@@ -1984,6 +1984,29 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // Boilerplate classification (round 12): a planted page with a
+    // nav bar (pure anchor text — high link density), a heading and
+    // a content paragraph (good), a paragraph with an inline link
+    // (density under the bar — must survive), the corpus text as its
+    // own block (class follows ITS word count, which the oracle
+    // computes from the same rule), and a link-heavy footer; per
+    // block, words + the floor(density·1e6) exact-IEEE serialization
+    // + the verdict all replay.
+    "x_boilerplate" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>"),
+        lit("<h1>Document number "), id, lit(" overview</h1>"),
+        lit("<p>Read the <a href=\"/s\">full spec</a> for doc "), id,
+        lit(" here now</p><div>"), coalesce(col("text"), lit("")),
+        lit("</div><footer><a>Terms</a> - <a>Privacy</a> (c) "), id, lit("</footer>"))
+      graft.ops.Boilerplate.blocks(
+        docs(s, d).select(id, col("text"), html.as("html")), "doc_id", "html")
+        .select(col("id").as("doc_id"), col("block_idx"), col("n_words"),
+          floor(col("link_density") * lit(1000000.0d)).cast("long").as("density_u"),
+          col("good"))
+    }),
+
     // HTML table extraction (round 12): real-crawl table markup —
     // a th header row with an entity, id%3+1 data rows whose
     // </td>/</tr> CLOSERS are omitted on odd ids (optional by the
@@ -5308,6 +5331,28 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // boilerplate contract: every block metric is arithmetic over
+    // the plant (the corpus block's verdict follows its own word
+    // count, computed by the same rule); density through the exact
+    // floor(x·1e6) serialization
+    "x_boilerplate" -> """
+      WITH d AS (
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '[ \t\r\n]+', ' ', 'g')) AS ct,
+               length(CAST(doc_id AS VARCHAR)) AS L
+        FROM documents),
+      w AS (SELECT doc_id, ct, L,
+              CASE WHEN ct = '' THEN 0
+                   ELSE len(list_filter(string_split(ct, ' '), x -> x <> '')) END AS tw
+            FROM d)
+      SELECT doc_id, 0 AS block_idx, 2 AS n_words, 900000 AS density_u, false AS good FROM w
+      UNION ALL SELECT doc_id, 1, 4, 0, true FROM w
+      UNION ALL SELECT doc_id, 2, 9,
+        CAST(floor(9.0 / (36 + L) * 1000000) AS BIGINT), true FROM w
+      UNION ALL SELECT doc_id, 3, CAST(tw AS INTEGER), 0, tw >= 4 FROM w WHERE ct <> ''
+      UNION ALL SELECT doc_id, CASE WHEN ct = '' THEN 3 ELSE 4 END, 5,
+        CAST(floor(12.0 / (20 + L) * 1000000) AS BIGINT), false FROM w""",
 
     // html tables contract: header row + id%3+1 data rows + the
     // id%4 second table, all id arithmetic
