@@ -1984,6 +1984,27 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // Bilinear resize (round 12): the standard vision-preprocessing
+    // filter in EXACT integer arithmetic (half-pixel centers, edge
+    // clamp, half-up rounding — no floating point anywhere), so the
+    // oracle re-derives all 16 output pixels of a 2×2 → 4×4 upscale
+    // from the planted corners with its own copy of the quarter-unit
+    // weight table.
+    "x_image_bilinear" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val p = Array((id % 256).toByte, ((id + 37) % 256).toByte,
+            ((id + 91) % 256).toByte, ((id + 160) % 256).toByte)
+          val img = graft.ops.PngCodec.decode(
+            graft.ops.PngCodec.encode(graft.ops.PngCodec.Image(2, 2, 1, p))).get
+          val r = graft.ops.PngCodec.resizeBilinear(img, 4, 4)
+          for (y <- 0 until 4; x <- 0 until 4)
+            yield (id, x, y, r.pixels(y * 4 + x) & 0xFF)
+        }
+        .toDF("doc_id", "x", "y", "px")
+    }),
+
     // Boilerplate classification (round 12): a planted page with a
     // nav bar (pure anchor text — high link density), a heading and
     // a content paragraph (good), a paragraph with an inline link
@@ -5331,6 +5352,22 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // bilinear contract: the oracle's own quarter-unit weight table
+    // over the four planted corners, integer-divided exactly as the
+    // kernel rounds
+    "x_image_bilinear" -> """
+      WITH g AS (SELECT doc_id, doc_id % 256 AS a, (doc_id + 37) % 256 AS b,
+                        (doc_id + 91) % 256 AS c, (doc_id + 160) % 256 AS dd
+                 FROM documents),
+      w AS (SELECT wx.x, wx.qx0, wy.y, wy.qy0
+            FROM (VALUES (0, 4), (1, 3), (2, 1), (3, 0)) wx(x, qx0),
+                 (VALUES (0, 4), (1, 3), (2, 1), (3, 0)) wy(y, qy0))
+      SELECT doc_id, x, y,
+             CAST((qx0 * qy0 * a + (4 - qx0) * qy0 * b +
+                   qx0 * (4 - qy0) * c + (4 - qx0) * (4 - qy0) * dd + 8) // 16
+                  AS INTEGER) AS px
+      FROM g, w""",
 
     // boilerplate contract: every block metric is arithmetic over
     // the plant (the corpus block's verdict follows its own word

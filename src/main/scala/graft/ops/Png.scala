@@ -296,4 +296,58 @@ object PngCodec {
     }
     Image(newW, newH, ch, out)
   }
+
+  /** Bilinear resample in EXACT integer arithmetic — the standard
+    * vision-preprocessing filter (box averaging blurs upscales and
+    * aliases non-integer ratios), kept oracle-replayable like
+    * [[resizeBox]]: no floating point anywhere.
+    *
+    * Half-pixel-center convention (what the mainstream image
+    * libraries use, align_corners = false): output center X maps to
+    * source position (X + 0.5)·w/W − 0.5, carried as the integer
+    * numerator (2X+1)·w − W over denominator 2W (and likewise for
+    * rows); positions before the first / after the last center clamp
+    * (edge replication). Each output byte is the 4-tap weighted sum
+    * over denominator (2W)·(2H), rounded half-up — every output is a
+    * pure integer function of the inputs.
+    */
+  def resizeBilinear(img: Image, newW: Int, newH: Int): Image = {
+    require(newW > 0 && newH > 0, s"resizeBilinear: bad target ${newW}x$newH")
+    val Image(w, h, ch, px) = img
+    val out = new Array[Byte](newW * newH * ch)
+    val denX = 2L * newW
+    val denY = 2L * newH
+    var yy = 0
+    while (yy < newH) {
+      val syNum0 = (2L * yy + 1) * h - newH
+      val syNum = if (syNum0 < 0) 0L else syNum0
+      var y0 = (syNum / denY).toInt
+      if (y0 > h - 1) y0 = h - 1
+      val fy = if (y0 == (h - 1)) 0L else syNum % denY
+      val y1 = if (fy == 0L) y0 else y0 + 1
+      var xx = 0
+      while (xx < newW) {
+        val sxNum0 = (2L * xx + 1) * w - newW
+        val sxNum = if (sxNum0 < 0) 0L else sxNum0
+        var x0 = (sxNum / denX).toInt
+        if (x0 > w - 1) x0 = w - 1
+        val fx = if (x0 == (w - 1)) 0L else sxNum % denX
+        val x1 = if (fx == 0L) x0 else x0 + 1
+        var c = 0
+        while (c < ch) {
+          def p(x: Int, y: Int): Long = (px((y * w + x) * ch + c) & 0xFF).toLong
+          val acc = (denX - fx) * (denY - fy) * p(x0, y0) +
+            fx * (denY - fy) * p(x1, y0) +
+            (denX - fx) * fy * p(x0, y1) +
+            fx * fy * p(x1, y1)
+          val den = denX * denY
+          out((yy * newW + xx) * ch + c) = ((acc + den / 2) / den).toByte
+          c += 1
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Image(newW, newH, ch, out)
+  }
 }

@@ -380,4 +380,30 @@ class PngSeamSpec extends SparkSuite {
       PngCodec.resizeBox(Image(8, 8, 1, Array.tabulate(64)(i => (i * 4).toByte)), 4, 4).pixels))
     assert(PngCodec.decode(out(2L)).isEmpty) // fallback output isn't a PNG
   }
+
+  test("resizeBilinear: hand-computed taps, identity, edge clamp, channels") {
+    // 2x2 [0 255 / 255 0] -> 4x4: corners clamp to the sources, the
+    // interior mixes with quarter weights (hand math: e.g. (1,1) =
+    // (3*3*0 + 1*3*255 + 3*1*255 + 1*1*0 + 8)/16 = 96)
+    val src = Image(2, 2, 1, Array[Byte](0, -1, -1, 0)) // 0,255,255,0
+    val up = PngCodec.resizeBilinear(src, 4, 4)
+    def px(x: Int, y: Int) = up.pixels(y * 4 + x) & 0xFF
+    assert(px(0, 0) == 0 && px(3, 0) == 255 && px(0, 3) == 255 && px(3, 3) == 0)
+    assert(px(1, 1) == 96 && px(2, 2) == 96)
+    assert(px(2, 1) == (1 * 3 * 0 + 3 * 3 * 255 + 1 * 1 * 255 + 3 * 1 * 0 + 8) / 16)
+    // identity dimensions copy exactly (fx = fy = 0 everywhere)
+    val any = Image(3, 2, 1, Array.tabulate(6)(i => (i * 40).toByte))
+    assert(java.util.Arrays.equals(PngCodec.resizeBilinear(any, 3, 2).pixels, any.pixels))
+    // single-pixel source replicates everywhere
+    val one = PngCodec.resizeBilinear(Image(1, 1, 1, Array[Byte](7)), 3, 3)
+    assert(one.pixels.forall(_ == 7))
+    // RGB: channels resample independently
+    val rgb = Image(2, 1, 3, Array[Byte](0, 100, -56, 100, 0, 56)) // 200/56 unsigned
+    val r2 = PngCodec.resizeBilinear(rgb, 4, 1)
+    assert((r2.pixels(0) & 0xFF, r2.pixels(1) & 0xFF, r2.pixels(2) & 0xFF) == ((0, 100, 200)))
+    assert((r2.pixels(9) & 0xFF, r2.pixels(10) & 0xFF, r2.pixels(11) & 0xFF) == ((100, 0, 56)))
+    // downscale is bounded by the source range
+    val down = PngCodec.resizeBilinear(src, 3, 3)
+    assert(down.pixels.forall(p => (p & 0xFF) <= 255))
+  }
 }
