@@ -1984,6 +1984,22 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), col("values"))
     }),
 
+    // Sentence-level corpus dedup (round 12): CCNet's boilerplate
+    // mode — a newsletter pitch planted in EVERY doc and a promo
+    // sentence shared by each id%5 class both cross min_df = 10 and
+    // vanish; the corpus-text sentence and the per-doc unique tail
+    // survive. Frequencies shuffle as digests, never bodies.
+    "x_dedup_sentences" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = concat(coalesce(col("text"), lit("")), lit(". "),
+        lit("Subscribe to our newsletter now please."),
+        lit(" Special doc "), pmod(id, lit(5)), lit(" promo offer here."),
+        lit(" Unique tail for doc "), id, lit(" indeed."))
+      graft.ops.Dedup.dedupSentences(
+        docs(s, d).select(id, planted.as("text")), "doc_id", "text", minDf = 10)
+        .select(col("doc_id"), col("text"), col("n_sentences_removed"))
+    }),
+
     // Bilinear resize (round 12): the standard vision-preprocessing
     // filter in EXACT integer arithmetic (half-pixel centers, edge
     // clamp, half-up rounding — no floating point anywhere), so the
@@ -5352,6 +5368,14 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // sentence-dedup contract: the two planted boilerplate sentences
+    // vanish, the corpus sentence and unique tail survive in order
+    "x_dedup_sentences" -> """
+      SELECT doc_id,
+             coalesce(text, '') || '. Unique tail for doc ' || doc_id || ' indeed.' AS text,
+             CAST(2 AS BIGINT) AS n_sentences_removed
+      FROM documents""",
 
     // bilinear contract: the oracle's own quarter-unit weight table
     // over the four planted corners, integer-divided exactly as the

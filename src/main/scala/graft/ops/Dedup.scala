@@ -101,6 +101,51 @@ object Dedup {
       .drop("__id", "__rm")
   }
 
+  /** Sentence-level corpus dedup (the CCNet mode of [[dedupLines]]):
+    * drop every SENTENCE that appears in at least `minDf` distinct
+    * documents — newsletter pitches, cookie notices, and share
+    * blurbs repeat verbatim at sentence granularity even when the
+    * pages embedding them differ everywhere else, and line-level
+    * dedup misses them whenever the boilerplate shares a line with
+    * real prose. Segmentation is [[Sentences.sentencesOf]] (the
+    * deterministic rule splitter), frequencies shuffle as md5
+    * digests — never sentence bodies — and the rebuild re-splits
+    * scan-local and drops by position, kept sentences rejoined with
+    * one space. Output: `textCol` rewritten + `n_sentences_removed`.
+    */
+  def dedupSentences(df: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"dedupSentences: minDf must be >= 2, got $minDf")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sents = Sentences.split(Partitioning.fanOut(df), idCol, textCol)
+      .select(col("id").as("__id"), col("seq").as("__pos"),
+        md5(col("sentence")).as("__dg"))
+    val frequent = sents.groupBy(col("__dg"))
+      .agg(count_distinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__dg"))
+    val removals = sents.join(frequent, "__dg")
+      .groupBy(col("__id")).agg(collect_set(col("__pos")).as("__rm"))
+    // rebuild: re-split scan-local, drop by position, rejoin — only
+    // ids WITH removals pay the kernel pass (left join, null = keep)
+    val rewritten = df
+      .select(col(idCol).cast("long").as("__id"), col(textCol).cast("string").as("__t"))
+      .join(removals, Seq("__id"), "left")
+      .as[(Long, String, Option[Seq[Int]])]
+      .map {
+        case (id, t, Some(drop)) =>
+          val ds = drop.toSet
+          val kept = Sentences.sentencesOf(t).zipWithIndex
+            .collect { case (s, i) if !ds(i) => s }
+          (id, kept.mkString(" "), ds.size.toLong)
+        case (id, t, None) => (id, t, 0L)
+      }
+      .toDF("__id", "__new", "n_sentences_removed")
+    df.join(rewritten, col(idCol).cast("long") === col("__id"), "left")
+      .withColumn(textCol, coalesce(col("__new"), col(textCol)))
+      .drop("__id", "__new")
+  }
+
   /** Corpus version diff — the bookkeeping half of incremental corpus
     * maintenance (pairs with [[NearDupIndex]]): compare two corpus
     * versions by id and content fingerprint and classify every id as

@@ -41,6 +41,30 @@ class SentencesSpec extends SparkSuite {
     assert(s(null) == Vector())
   }
 
+  test("sentence-level dedup: boilerplate vanishes, unique prose survives, order kept") {
+    val docs = (1 to 6).map { i =>
+      (i.toLong, s"Unique thought number $i today. Subscribe to our list now. Closing words $i here.")
+    }.toDF("id", "text")
+    val got = graft.ops.Dedup.dedupSentences(docs, "id", "text", minDf = 4)
+      .select($"id", $"text", $"n_sentences_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    got.foreach { case (i, t, n) =>
+      assert(t == s"Unique thought number $i today. Closing words $i here.", s"id=$i")
+      assert(n == 1L)
+    }
+    // below min_df: nothing removed, text byte-identical
+    val few = (1 to 3).map(i => (i.toLong, s"Shared pitch line. Own words $i."))
+      .toDF("id", "text")
+    val kept = graft.ops.Dedup.dedupSentences(few, "id", "text", minDf = 4)
+      .select($"n_sentences_removed").as[Long].collect()
+    assert(kept.forall(_ == 0L))
+    // null text rows pass through untouched
+    val withNull = Seq((1L, null: String), (2L, "Solo.")).toDF("id", "text")
+    val nn = graft.ops.Dedup.dedupSentences(withNull, "id", "text", minDf = 2)
+      .select($"id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    assert(nn.toSeq == Seq((1L, null), (2L, "Solo.")))
+  }
+
   test("chunker: packing bound, overlap carry, over-long single sentence") {
     val df = Seq((1L, "One one. Two two. Three three. Four four.")).toDF("id", "t")
     // each sentence 8-12 chars; maxChars 20 packs two short ones
