@@ -2117,6 +2117,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("path"), col("kind"), col("value"))
     }),
 
+    // MessagePack (round 12): CBOR's sibling binary-JSON wire format
+    // (Redis dumps, Fluentd logs) — the long string on odd ids
+    // forces str8 beside fixstr, the float width cycles, and a
+    // fixext4 covers the ext family; every flattened row replays.
+    "x_msgpack_decode" -> ((s, d) => {
+      val packed = graft.ops.MsgPack.packDocsMsgPack(t(s, d, "documents"), "doc_id")
+      graft.ops.MsgPack.rows(packed, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("path"), col("kind"), col("value"))
+    }),
+
     // Parquet footer metadata (round 12): the from-spec Thrift
     // compact-protocol walk over three REAL testdata footers
     // (documents / embeddings / orders — flat, nested-list, and
@@ -5473,6 +5483,27 @@ object SparkEntry {
       UNION ALL SELECT doc_id, '$.a[2]', 'uint', CAST(doc_id % 5 AS VARCHAR) FROM d
       UNION ALL SELECT doc_id, '$.g', 'tag', '42' FROM d
       UNION ALL SELECT doc_id, '$.g!', 'text', 't' || doc_id FROM d""",
+
+    // msgpack contract: the flattened document is pure id arithmetic
+    "x_msgpack_decode" -> """
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL)
+      SELECT doc_id, '$' AS path, 'map' AS kind, '7' AS value FROM d
+      UNION ALL SELECT doc_id, '$.i', 'uint', CAST(doc_id AS VARCHAR) FROM d
+      UNION ALL SELECT doc_id, '$.n', 'int', CAST(-(doc_id % 100) - 1 AS VARCHAR) FROM d
+      UNION ALL SELECT doc_id, '$.t', 'str',
+        'doc' || doc_id || CASE WHEN doc_id % 2 = 0 THEN '' ELSE repeat('x', 32) END FROM d
+      UNION ALL SELECT doc_id, '$.b', 'bin',
+        printf('%02x%02x', doc_id % 256, (doc_id * 7) % 256) FROM d
+      UNION ALL SELECT doc_id, '$.f',
+        CASE WHEN doc_id % 3 = 0 THEN 'f32' ELSE 'f64' END,
+        CASE WHEN doc_id % 3 = 0 THEN '0.25' ELSE '2.5' END FROM d
+      UNION ALL SELECT doc_id, '$.a', 'array', '3' FROM d
+      UNION ALL SELECT doc_id, '$.a[0]', 'bool', 'true' FROM d
+      UNION ALL SELECT doc_id, '$.a[1]', 'nil', 'nil' FROM d
+      UNION ALL SELECT doc_id, '$.a[2]', 'uint', CAST(doc_id % 5 AS VARCHAR) FROM d
+      UNION ALL SELECT doc_id, '$.e', 'ext',
+        '7:' || printf('%02x%02x%02x%02x', doc_id % 256, (doc_id * 3) % 256,
+                       (doc_id * 5) % 256, (doc_id * 11) % 256) FROM d""",
 
     // parquet footer contract: DuckDB's own parquet reader IS the
     // oracle — two independent decoders of the same real footers.
