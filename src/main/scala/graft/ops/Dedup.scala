@@ -112,11 +112,18 @@ object Dedup {
     * digests — never sentence bodies — and the rebuild re-splits
     * scan-local and drops by position, kept sentences rejoined with
     * one space. Output: `textCol` rewritten + `n_sentences_removed`.
+    *
+    * Scale shape — the SAME plan as [[dedupLines]]: the frequency
+    * side explodes (id, pos, 16-byte digest) only; the per-doc
+    * removal lists cover only affected documents, so the one join
+    * back onto the corpus is a left join of a SMALL aggregate (AQE
+    * broadcast candidate), and the rebuild is a codegen'd scan-local
+    * kernel ([[graft.expr.SentenceDrop]]) over (text, __rm) —
+    * document bodies never enter an Exchange and never pay a
+    * Dataset serialization round-trip. Pinned by PlanShapeSpec.
     */
   def dedupSentences(df: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
     require(minDf >= 2, s"dedupSentences: minDf must be >= 2, got $minDf")
-    val spark = df.sparkSession
-    import spark.implicits._
     val sents = Sentences.split(Partitioning.fanOut(df), idCol, textCol)
       .select(col("id").as("__id"), col("seq").as("__pos"),
         md5(col("sentence")).as("__dg"))
@@ -126,24 +133,14 @@ object Dedup {
       .select(col("__dg"))
     val removals = sents.join(frequent, "__dg")
       .groupBy(col("__id")).agg(collect_set(col("__pos")).as("__rm"))
-    // rebuild: re-split scan-local, drop by position, rejoin — only
-    // ids WITH removals pay the kernel pass (left join, null = keep)
-    val rewritten = df
-      .select(col(idCol).cast("long").as("__id"), col(textCol).cast("string").as("__t"))
-      .join(removals, Seq("__id"), "left")
-      .as[(Long, String, Option[Seq[Int]])]
-      .map {
-        case (id, t, Some(drop)) =>
-          val ds = drop.toSet
-          val kept = Sentences.sentencesOf(t).zipWithIndex
-            .collect { case (s, i) if !ds(i) => s }
-          (id, kept.mkString(" "), ds.size.toLong)
-        case (id, t, None) => (id, t, 0L)
-      }
-      .toDF("__id", "__new", "n_sentences_removed")
-    df.join(rewritten, col(idCol).cast("long") === col("__id"), "left")
-      .withColumn(textCol, coalesce(col("__new"), col(textCol)))
-      .drop("__id", "__new")
+    // rebuild scan-local: only rows WITH removals pay the re-split
+    // kernel (left join, null __rm = byte-identical passthrough)
+    val rebuilt = when(col("__rm").isNull, col(textCol)).otherwise(
+      graft.expr.SentenceDrop(col(textCol).cast("string"), col("__rm")))
+    df.join(removals, col(idCol).cast("long") === col("__id"), "left")
+      .withColumn(textCol, rebuilt)
+      .withColumn("n_sentences_removed", coalesce(size(col("__rm")), lit(0)).cast("long"))
+      .drop("__id", "__rm")
   }
 
   /** Corpus version diff — the bookkeeping half of incremental corpus

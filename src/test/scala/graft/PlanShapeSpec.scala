@@ -56,6 +56,39 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), "semdedup must never cross-join")
   }
 
+  test("dedupSentences rebuild is scan-local — no body-carrying Exchange beyond dedupLines's") {
+    // multi-partition input so no exchange can be elided by a
+    // single-partition LocalTableScan
+    val df = Seq(
+      (1L, "Promo pitch here. Real prose one."),
+      (2L, "Promo pitch here. Real prose two."),
+      (3L, "Unique text three."))
+      .toDF("id", "text").repartition(3)
+    val out = Dedup.dedupSentences(df, "id", "text", minDf = 2)
+    // the corpus (body-carrying) side of the final removal join: the
+    // streamed side of the OUTERMOST join. The old shape paid an
+    // InternalRow⇄object round-trip (Dataset map) plus a second
+    // full-body id join there — both must stay gone. (The digest side
+    // still uses the Sentences.split generator — that's the long-
+    // format (id, pos, digest) stream, bodies never exchanged.)
+    val outerJoin = out.queryExecution.sparkPlan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.getOrElse(fail("dedupSentences plan lost its removal join"))
+    val bodySide = outerJoin.left.toString
+    assert(!bodySide.contains("SerializeFromObject") && !bodySide.contains("MapElements") &&
+      !bodySide.contains("MapPartitions"),
+      "rebuild must be a codegen'd kernel over the raw corpus scan, not a Dataset map:\n" + bodySide.take(2000))
+    // the only exchange on the body side is the fixture's own repartition
+    assert("Exchange".r.findAllIn(bodySide).length <= 1,
+      "corpus bodies must not shuffle beyond the fixture repartition:\n" + bodySide.take(2000))
+    // same shuffle budget as the sibling dedupLines on the same input:
+    // digest explode/agg + removal agg + the one removal join
+    val lineEx = exchanges(Dedup.dedupLines(df, "id", "text", minDf = 2))
+    val sentEx = exchanges(out)
+    assert(sentEx <= lineEx,
+      s"dedupSentences shuffles ($sentEx) exceed dedupLines's ($lineEx)")
+  }
+
   test("classifier gate label and kernel stay inside whole-stage codegen") {
     // range input: LocalTableScan skips whole-stage codegen, a real
     // (codegen-capable) leaf does not
