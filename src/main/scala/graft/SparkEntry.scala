@@ -1891,6 +1891,23 @@ object SparkEntry {
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // brotli rung (RFC 7932, round 13): the remaining major HTTP
+    // content-encoding. No independent JVM encoder exists on the
+    // classpath (unlike zstd-jni/XZ), so the payloads come from the
+    // in-repo conforming stream builder — compressed flat-literal
+    // framing for even ids, uncompressed meta-blocks for odd — and
+    // the INDEPENDENCE pin lives in BrotliSpec: the reference C
+    // implementation's own streams across qualities 0-11 (static
+    // dictionary + word transforms included) must decode
+    // byte-exactly, and the builder framings used here are
+    // md5-pinned to the exact bytes verified against that reference.
+    "x_multimodal_brotli" -> ((s, d) =>
+      graft.ops.Brotli.decodeBrotliText(
+        graft.ops.Brotli.packTextBrotli(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")
+        .select(col("id"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
+
     // WARC ingest chain (ISO 28500): documents sharded into 32
     // warc.gz files — one gzip member per record, warcinfo first, the
     // Common Crawl layout — then parsed back through the from-spec
@@ -2767,15 +2784,17 @@ object SparkEntry {
           col("content_type"), decode(col("body"), "UTF-8").as("wet_text"))
     }),
 
-    // HTTP wire-encoding ladder (round 11): response bodies cycle
-    // identity / chunked (with chunk extension + trailer) / gzip /
-    // gzip-then-chunked / deflate (half zlib-wrapped as RFC 9110
-    // names it, half RAW — the classic server bug) / unsupported br.
-    // The reader must de-chunk per RFC 9112 §7.1, decompress via the
-    // from-spec codecs (encode side is the independent JDK), and
-    // REFUSE the br class with empty text rather than mojibake the
-    // compressed bytes — text, encoding header, and the decoded flag
-    // all replay from corpus columns.
+    // HTTP wire-encoding ladder (round 11; br decode round 13):
+    // response bodies cycle identity / chunked (with chunk extension
+    // + trailer) / gzip / gzip-then-chunked / deflate (half
+    // zlib-wrapped as RFC 9110 names it, half RAW — the classic
+    // server bug) / br. The br class itself cycles real brotli in
+    // compressed framing, real brotli in uncompressed-meta-block
+    // framing, and junk bytes under the br label — the reader must
+    // decode the real streams through the from-spec RFC 7932 decoder
+    // and REFUSE the corrupt one with empty text rather than
+    // mojibake — text, encoding header, and the decoded flag all
+    // replay from corpus columns.
     "x_warc_http_decode" -> ((s, d) => {
       val packed = Warc.packDocsWarcGzHttpEncoded(
         t(s, d, "documents"), "doc_id", "source", "text")
@@ -5297,6 +5316,13 @@ object SparkEntry {
              md5(coalesce(text, '')) AS digest
       FROM documents""",
 
+    // brotli contract: same decoded-byte identity
+    "x_multimodal_brotli" -> """
+      SELECT doc_id AS id, true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
     // the WARC writer's record layout re-derived from corpus columns:
     // page → HTTP message → WARC body, ids as md5-derived urn:uuids,
     // plus one warcinfo row per occupied file bucket
@@ -5965,13 +5991,13 @@ object SparkEntry {
     // and flag replay from doc_id arithmetic
     "x_warc_http_decode" -> """
       SELECT doc_id, CAST(200 AS BIGINT) AS status,
-        CASE WHEN doc_id % 6 = 5 THEN ''
+        CASE WHEN doc_id % 6 = 5 AND (doc_id // 6) % 3 = 2 THEN ''
              ELSE '<html><head><title>Doc ' || doc_id || '</title></head><body><p>From ' ||
                   coalesce(source, '') || '</p><div>' || coalesce(text, '') ||
                   '</div></body></html>' END AS text,
         CASE doc_id % 6 WHEN 2 THEN 'gzip' WHEN 3 THEN 'gzip'
              WHEN 4 THEN 'deflate' WHEN 5 THEN 'br' ELSE NULL END AS content_encoding,
-        doc_id % 6 <> 5 AS payload_decoded
+        NOT (doc_id % 6 = 5 AND (doc_id // 6) % 3 = 2) AS payload_decoded
       FROM documents""",
 
     // charset-ladder contract: the resolved charset, the detection

@@ -141,10 +141,14 @@ object Warc {
     * servers emit: CE applies first, TE wraps it), 4 deflate — half
     * the ids zlib-wrapped as RFC 9110 names it, half RAW deflate,
     * the classic server bug the decode ladder must absorb — and
-    * 5 `br` with junk bytes (unsupported: the reader must refuse,
-    * not mojibake). Encoders are the JDK's (independent of the
-    * from-spec decode side). Chunked messages omit Content-Length
-    * as real ones do. */
+    * 5 `br`, cycling by id/6 mod 3: real brotli in compressed
+    * framing, real brotli in uncompressed-meta-block framing, and
+    * junk bytes under the br label (corrupt stream: the reader must
+    * refuse, not mojibake). Encoders are the JDK's for gzip/deflate
+    * (independent of the from-spec decode side); the br plants are
+    * the in-repo conforming builder whose framing BrotliSpec pins
+    * against the reference C implementation. Chunked messages omit
+    * Content-Length as real ones do. */
   def httpEncoded(id: Long, page: String): Array[Byte] = {
     val body = page.getBytes("UTF-8")
     def deflate(raw: Boolean): Array[Byte] = {
@@ -184,8 +188,11 @@ object Warc {
       case 3 => (Seq("Content-Encoding: gzip", "Transfer-Encoding: chunked"),
         chunked(gzipped))
       case 4 => (Seq("Content-Encoding: deflate"), deflate(raw = (id / 6) % 2 == 1))
-      case _ => (Seq("Content-Encoding: br"),
-        "not actually brotli bytes".getBytes("UTF-8"))
+      case _ => (Seq("Content-Encoding: br"), ((id / 6) % 3) match {
+        case 0 => Brotli.encodeFlat(body)
+        case 1 => Brotli.encodeRaw(body)
+        case _ => "not actually brotli bytes".getBytes("UTF-8")
+      })
     }
     val cl = if (v == 1 || v == 3) Seq.empty
              else Seq(s"Content-Length: ${payload.length}")
@@ -576,7 +583,8 @@ object Warc {
       case "gzip" | "x-gzip" => GzipCodec.gunzip(bytes)
       case "deflate" => GzipCodec.unzlib(bytes).orElse(GzipCodec.inflate(bytes))
       case "zstd" => ZstdCodec.decode(bytes)
-      case _ => None // br etc.: refused, surfaced via payload_decoded
+      case "br" => Brotli.decode(bytes).toOption
+      case _ => None // unknown tokens: refused, surfaced via payload_decoded
     }
 
   /** Apply a (possibly comma-listed) Content-Encoding header value,
@@ -592,7 +600,7 @@ object Warc {
     * body taken through the PAYLOAD ladder — `Transfer-Encoding:
     * chunked` de-chunked (RFC 9112 §7.1), then `Content-Encoding`
     * decompressed via the in-repo from-spec codecs (gzip, deflate
-    * with the zlib/raw server-bug fallback, zstd; brotli refused) —
+    * with the zlib/raw server-bug fallback, zstd, brotli) —
     * then the charset ladder ([[decodeBody]]) into a `text` column,
     * what downstream html_extract / quality / dedup stages consume.
     * Crawl archives store the raw wire bytes, so both encodings are

@@ -307,14 +307,19 @@ class WarcSpec extends SparkSuite {
     assert(Warc.contentDecode("deflate", jdk(raw = false)).map(_.toSeq).contains(data.toSeq))
     assert(Warc.contentDecode("deflate", jdk(raw = true)).map(_.toSeq).contains(data.toSeq))
     assert(Warc.contentDecode("identity", data).map(_.toSeq).contains(data.toSeq))
-    assert(Warc.contentDecode("br", data).isEmpty)
+    // br: real streams decode (round 13), junk refuses
+    assert(Warc.contentDecode("br", graft.ops.Brotli.encodeFlat(data)).map(_.toSeq).contains(data.toSeq))
+    assert(Warc.contentDecode("br", graft.ops.Brotli.encodeRaw(data)).map(_.toSeq).contains(data.toSeq))
+    assert(Warc.contentDecode("br", data).isEmpty) // not a brotli stream
     assert(Warc.contentDecode("gzip", data).isEmpty) // not a gzip stream
   }
 
   test("packWet: conversion records, Refers-To provenance, order, skip-undecodable") {
-    // mix decodable and undecodable (br) responses: ids 0..11 cycle
-    // the six wire variants; id%6==5 (br) must be ABSENT from the WET
-    val many = Seq.tabulate(12)(i => (i.toLong, "src", s"wet body $i"))
+    // mix decodable and undecodable responses: ids 0..17 cycle the
+    // six wire variants; the br class (id%6==5) itself cycles real
+    // compressed (5), real uncompressed-framing (11), junk (17) —
+    // only the junk one must be ABSENT from the WET
+    val many = Seq.tabulate(18)(i => (i.toLong, "src", s"wet body $i"))
       .toDF("doc_id", "source", "text")
     val warc = Warc.packDocsWarcGzHttpEncoded(many, "doc_id", "source", "text", nFiles = 2)
     val wet = Warc.packWet(Warc.records(warc, "file_id", "payload")).collect()
@@ -325,10 +330,11 @@ class WarcSpec extends SparkSuite {
     val conv = recs.where($"warc_type" === "conversion")
       .select($"file_id", $"rec_index", $"target_uri", $"content_type", $"body")
       .collect()
-    // 12 responses minus the two br ones (5, 11)
-    assert(conv.length == 10)
-    assert(!conv.exists(_.getString(2).endsWith("/5")))
-    assert(!conv.exists(_.getString(2).endsWith("/11")))
+    // 18 responses minus the one corrupt br (17); real br decode now
+    assert(conv.length == 17)
+    assert(conv.exists(_.getString(2).endsWith("/5")))
+    assert(conv.exists(_.getString(2).endsWith("/11")))
+    assert(!conv.exists(_.getString(2).endsWith("/17")))
     assert(conv.forall(_.getString(3) == "text/plain"))
     // body = extracted text of the page (title+p+div collapse per htmlExtract)
     val c0 = conv.find(_.getString(2).endsWith("/0")).get
@@ -350,18 +356,21 @@ class WarcSpec extends SparkSuite {
   }
 
   test("responseText payload ladder end-to-end: all six wire variants") {
-    val docs = Seq.tabulate(12)(i => (i.toLong, "src", s"body text $i"))
+    val docs = Seq.tabulate(18)(i => (i.toLong, "src", s"body text $i"))
       .toDF("doc_id", "source", "text")
     val packed = Warc.packDocsWarcGzHttpEncoded(docs, "doc_id", "source", "text", nFiles = 2)
     val out = Warc.responseText(Warc.records(packed, "file_id", "payload"))
       .select($"target_uri", $"text", $"content_encoding", $"payload_decoded")
       .collect().map(r => (r.getString(0).split("/").last.toLong,
         (r.getString(1), Option(r.getString(2)), r.getBoolean(3)))).toMap
-    (0L until 12L).foreach { id =>
+    (0L until 18L).foreach { id =>
       val page = Warc.pageFor(id, "src", s"body text $id")
       val (text, enc, ok) = out(id)
       (id % 6) match {
-        case 5 => assert(text == "" && enc.contains("br") && !ok, s"id=$id")
+        case 5 if (id / 6) % 3 == 2 => // junk under the br label: refuse
+          assert(text == "" && enc.contains("br") && !ok, s"id=$id")
+        case 5 => // real brotli (compressed at 5, raw framing at 11)
+          assert(text == page && enc.contains("br") && ok, s"id=$id")
         case 4 => assert(text == page && enc.contains("deflate") && ok, s"id=$id")
         case 2 | 3 => assert(text == page && enc.contains("gzip") && ok, s"id=$id")
         case _ => assert(text == page && enc.isEmpty && ok, s"id=$id")
