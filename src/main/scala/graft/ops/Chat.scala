@@ -49,11 +49,17 @@ object Chat {
     // drop an optional leading system, then the parity rule
     val body = when(element_at(col("roles"), 1) === "system",
       slice(col("roles"), lit(2), size(col("roles")))).otherwise(col("roles"))
+    // coalesce: a NULL role inside the conversation makes the
+    // element comparison (and so the forall) NULL — that's a
+    // malformed conversation, and callers filtering valid = false
+    // must see it, not a NULL verdict
     sorted.select(col("id"), size(col("roles")).as("n_turns"),
-      (size(body) >= 2 && size(body) % 2 === 0 &&
-        forall(zip_with(body, sequence(lit(0), size(body) - 1),
-          (r, i) => r === when(i % 2 === 0, "user").otherwise("assistant")),
-          x => x)).as("valid"))
+      coalesce(
+        size(body) >= 2 && size(body) % 2 === 0 &&
+          forall(zip_with(body, sequence(lit(0), size(body) - 1),
+            (r, i) => r === when(i % 2 === 0, "user").otherwise("assistant")),
+            x => x),
+        lit(false)).as("valid"))
   }
 
   /** Render one training text per conversation with a minimal chat

@@ -320,9 +320,15 @@ object Exif {
         val replacement: Array[Byte] = parseTiff(tiff) match {
           case Some(m) if m.lat.isEmpty && m.lon.isEmpty => return jpeg
           case Some(m) =>
-            exifApp1(m.endian == "II", m.orientation.getOrElse(1),
+            val rebuilt = exifApp1(m.endian == "II", m.orientation.getOrElse(1),
               m.make.getOrElse(""), m.model.getOrElse(""),
               m.datetime.getOrElse(""), gps = None)
+            // a hostile source whose ASCII entries overlap in the data
+            // area (each individually in-bounds) can push the rebuilt
+            // segment past the 16-bit APP1 length; emitting it would
+            // wrap the length field into a corrupt JPEG — fall back to
+            // the drop-whole-APP1 privacy-safe default instead
+            if (rebuilt.length - 2 > 0xFFFF) Array.emptyByteArray else rebuilt
           case None => Array.emptyByteArray
         }
         val out = new ByteArrayOutputStream(jpeg.length)

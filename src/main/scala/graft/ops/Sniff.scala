@@ -79,8 +79,11 @@ object Sniff {
     if (ascii(p, 0, "GGUF")) return "gguf"
     if (at(p, 0) == 0x93 && ascii(p, 1, "NUMPY")) return "npy"
     if (ascii(p, 0, "{\\rtf")) return "rtf"
-    // text heuristic over a bounded prefix: valid-looking UTF-8 with
-    // no NULs and mostly printable/whitespace bytes
+    // text heuristic over a bounded prefix: NUL-free, mostly
+    // printable/whitespace, AND every non-ASCII byte must open or
+    // continue a well-formed UTF-8 sequence — without the sequence
+    // check, headerless compressed/encrypted data whose bytes land
+    // ≥0x20 sails through as "text"
     val n = math.min(p.length, 512)
     var printable = 0
     var i = 0
@@ -88,7 +91,36 @@ object Sniff {
       val b = p(i) & 0xFF
       if (b == 0) return "unknown"
       if (b >= 0x20 || b == '\n' || b == '\r' || b == '\t') printable += 1
-      i += 1
+      if (b < 0x80) i += 1
+      else {
+        // multibyte opener: length + continuation discipline (incl.
+        // the overlong/surrogate/range guards of RFC 3629)
+        val len =
+          if (b >= 0xC2 && b <= 0xDF) 2
+          else if (b >= 0xE0 && b <= 0xEF) 3
+          else if (b >= 0xF0 && b <= 0xF4) 4
+          else return "unknown" // 0x80-0xC1 stray continuation/overlong, 0xF5+ out of range
+        if (i + len > n) {
+          // sequence truncated by the 512-byte window, not by the
+          // payload: only tolerate it at the window edge
+          if (i + len <= p.length && n == 512) { printable += n - i - 1; i = n }
+          else return "unknown"
+        } else {
+          var k = 1
+          while (k < len) {
+            val c = p(i + k) & 0xFF
+            if (c < 0x80 || c > 0xBF) return "unknown"
+            k += 1
+          }
+          // reject the classic overlong/surrogate planes
+          if (b == 0xE0 && (p(i + 1) & 0xFF) < 0xA0) return "unknown"
+          if (b == 0xED && (p(i + 1) & 0xFF) > 0x9F) return "unknown"
+          if (b == 0xF0 && (p(i + 1) & 0xFF) < 0x90) return "unknown"
+          if (b == 0xF4 && (p(i + 1) & 0xFF) > 0x8F) return "unknown"
+          printable += len - 1 // continuations are part of a printable char
+          i += len
+        }
+      }
     }
     if (printable.toDouble / n >= 0.95) "text" else "unknown"
   }

@@ -107,12 +107,12 @@ object TfRecord {
     v
   }
 
-  private def putU32le(out: ByteArrayOutputStream, v: Int): Unit = {
+  private def putU32le(out: java.io.OutputStream, v: Int): Unit = {
     out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
     out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
   }
 
-  private def putU64le(out: ByteArrayOutputStream, v: Long): Unit = {
+  private def putU64le(out: java.io.OutputStream, v: Long): Unit = {
     var i = 0
     while (i < 8) { out.write(((v >>> (8 * i)) & 0xFF).toInt); i += 1 }
   }
@@ -147,9 +147,10 @@ object TfRecord {
     (out.result(), true)
   }
 
-  /** Frame records into a TFRecord shard (the write half). */
-  def frame(records: Iterator[Array[Byte]]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
+  /** Frame records onto an output stream, one record at a time —
+    * genuinely bounded state (the current record only), so a shard
+    * of any size streams without materializing. */
+  def frameTo(records: Iterator[Array[Byte]], out: java.io.OutputStream): Unit =
     records.foreach { rec =>
       val lenBytes = new Array[Byte](8)
       var i = 0
@@ -159,6 +160,14 @@ object TfRecord {
       out.write(rec, 0, rec.length)
       putU32le(out, maskedCrc(rec))
     }
+
+  /** [[frameTo]] into a byte array — for the gate packers, whose
+    * shards are DataFrame payload cells and bounded by construction.
+    * The file sink ([[writeShards]]) streams via [[frameTo]] instead:
+    * a >2 GiB partition must not materialize as one array. */
+  def frame(records: Iterator[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    frameTo(records, out)
     out.toByteArray
   }
 
@@ -497,7 +506,9 @@ object TfRecord {
     df.foreachPartition { (rows: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       if (rows.hasNext) {
-        val framed = frame(rows.map { r =>
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+          new java.io.File(base, f"part-$pid%05d.tfrecord")), 1 << 16)
+        try frameTo(rows.map { r =>
           val feats = Vector.newBuilder[(String, Feature)]
           var i = 0
           while (i < names.length) {
@@ -505,10 +516,7 @@ object TfRecord {
             i += 1
           }
           encodeExample(feats.result())
-        })
-        val out = new java.io.FileOutputStream(
-          new java.io.File(base, f"part-$pid%05d.tfrecord"))
-        try out.write(framed) finally out.close()
+        }, out) finally out.close()
       }
     }
   }

@@ -35,7 +35,12 @@ class ChatSpec extends SparkSuite {
       (4L, msgs("user", "user", "assistant")) -> false,  // double user
       (5L, msgs("user", "assistant", "user")) -> false,  // ends on user
       (6L, msgs("system")) -> false,                     // no body
-      (7L, "junk") -> false)                             // quarantined
+      (7L, "junk") -> false,                             // quarantined
+      // null role inside a >=2-turn conversation: the comparison is
+      // NULL per-element — the verdict must coalesce to false, not
+      // surface as a NULL callers filtering valid=false never see
+      (8L, """{"messages":[{"role":null,"content":"x"},{"role":"assistant","content":"y"}]}""") -> false,
+      (9L, msgs("user") + "") -> false)                  // single turn
     val got = Chat.validateAlternation(turnsOf(cases.map(_._1): _*))
       .select($"id", $"valid").as[(Long, Boolean)].collect().toMap
     cases.foreach { case ((id, _), want) => assert(got(id) == want, s"id=$id") }

@@ -73,6 +73,47 @@ class ExifSpec extends SparkSuite {
     assert(JpegCodec.decode(stripped).isDefined)
   }
 
+  test("stripGps: rebuild past the 16-bit APP1 bound falls back to drop-whole") {
+    // hostile shape: large-but-legal make/model whose COUNT fields are
+    // then inflated so the entries overlap the rest of the data area —
+    // each read stays in-bounds (ascii truncates at the TIFF end), but
+    // the rebuilt strings sum past 65535, which would wrap the APP1
+    // length field. The scrub must take the drop-whole-APP1 path, not
+    // emit a corrupt JPEG.
+    val app1 = Exif.exifApp1(le = true, 1, "A" * 30000, "B" * 30000,
+      "2022:02:02 02:02:02", Some(gps))
+    def patch(tagLo: Int, tagHi: Int, count: Int, offset: Int): Unit = {
+      var i = 0
+      var done = false
+      while (!done && i + 12 < app1.length) {
+        if ((app1(i) & 0xFF) == tagLo && (app1(i + 1) & 0xFF) == tagHi &&
+          (app1(i + 2) & 0xFF) == 2 && (app1(i + 3) & 0xFF) == 0) {
+          var k = 0
+          while (k < 4) { app1(i + 4 + k) = ((count >> (8 * k)) & 0xFF).toByte; k += 1 }
+          if (offset >= 0) {
+            k = 0
+            while (k < 4) { app1(i + 8 + k) = ((offset >> (8 * k)) & 0xFF).toByte; k += 1 }
+          }
+          done = true
+        }
+        i += 1
+      }
+      assert(done, s"entry $tagHi$tagLo not found")
+    }
+    // both entries stay in-bounds individually (the IFD walk enforces
+    // o + size <= tiff length) but OVERLAP the same region
+    patch(0x0F, 0x01, 45000, -1)  // make: count inflated, offset kept
+    patch(0x10, 0x01, 45000, 200) // model: re-aimed into make's area
+    val jpeg = Exif.insertApp1(baseJpeg(6), app1)
+    // the hostile segment still parses (each entry in-bounds)...
+    val m = Exif.findExif(jpeg).flatMap(Exif.parseTiff).get
+    assert(m.make.get.length + m.model.get.length > 66000)
+    // ...but the scrub refuses to rebuild an over-long APP1
+    val stripped = Exif.stripGps(jpeg)
+    assert(Exif.findExif(stripped).isEmpty, "oversize rebuild must drop the APP1 whole")
+    assert(JpegCodec.decode(stripped).isDefined)
+  }
+
   test("applyOrientation: all eight maps on a hand image, involution pairs") {
     // 2x3 gray image, pixels numbered row-major:
     //   0 1

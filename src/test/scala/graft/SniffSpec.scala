@@ -46,6 +46,20 @@ class SniffSpec extends SparkSuite {
     // high-bit-heavy binary junk is not text
     val junk = Array.tabulate[Byte](100)(i => (i % 7 - 3).toByte)
     assert(Sniff.detect(junk) == "unknown")
+    // NUL-free printable-range binary that is NOT UTF-8 (stray
+    // continuation bytes) — the headerless-compressed-data shape the
+    // old printable-only heuristic mislabeled as text
+    val fauxText = Array.tabulate[Byte](100)(i => (0xA0 + (i % 16)).toByte)
+    assert(Sniff.detect(fauxText) == "unknown")
+    // real multibyte UTF-8 is text: 2-, 3-, and 4-byte sequences
+    assert(Sniff.detect("naïve café — 中文テスト 🎉 end".getBytes("UTF-8")) == "text")
+    // a multibyte char truncated by the 512-byte WINDOW (not by the
+    // payload) is tolerated at the edge
+    val atEdge = ("a" * 511).getBytes("UTF-8") ++ "中more text".getBytes("UTF-8")
+    assert(Sniff.detect(atEdge) == "text")
+    // but truncated by the PAYLOAD itself: not text
+    val cut = "中文".getBytes("UTF-8").dropRight(1)
+    assert(Sniff.detect(("a" * 20).getBytes ++ cut) == "unknown")
   }
 
   test("DataFrame seam counts by format") {

@@ -41,6 +41,12 @@ class TfRecordSpec extends SparkSuite {
     val (back, clean) = TfRecord.recordsOf(framed)
     assert(clean && back.map(_.toSeq) == recs.map(_.toSeq))
 
+    // frameTo is the streaming writer the file sink uses: identical
+    // bytes, record-at-a-time (no whole-shard buffer)
+    val streamed = new java.io.ByteArrayOutputStream()
+    TfRecord.frameTo(recs.iterator, streamed)
+    assert(streamed.toByteArray.toSeq == framed.toSeq)
+
     // flip a data byte: the record's data CRC fails; the clean
     // prefix before it still surfaces
     val tampered = framed.clone()
