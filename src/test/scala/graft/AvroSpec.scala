@@ -140,8 +140,86 @@ class AvroSpec extends SparkSuite {
     assert(first.get("day") == day.toLocalDate.toEpochDay.toInt)
   }
 
+  test("general unions: reference writer -> our reader (memberN struct + promotions)") {
+    val json = """{"type":"record","name":"u","fields":[
+      {"name":"id","type":"long"},
+      {"name":"u3","type":["string","long","null"]},
+      {"name":"nums","type":["int","long"]},
+      {"name":"fp","type":["null","float","double"]},
+      {"name":"sb","type":["string","bytes"]}
+    ]}""".replaceAll("\n\\s*", "")
+    // spark-avro mapping on our side
+    val st = Avro.parseSchema(json).flatMap(Avro.sparkSchema).get
+    assert(st("u3").dataType == StructType(Seq(
+      StructField("member0", StringType), StructField("member1", LongType))))
+    assert(st("u3").nullable)
+    assert(st("nums").dataType == LongType && !st("nums").nullable)
+    assert(st("fp").dataType == DoubleType && st("fp").nullable)
+    assert(st("sb").dataType.isInstanceOf[StructType] && !st("sb").nullable)
+    // reference-written data decodes into that shape
+    val schema = new Schema.Parser().parse(json)
+    val bos = new ByteArrayOutputStream()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, bos)
+    (0 until 12).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong)
+      r.put("u3", (i % 3) match {
+        case 0 => s"s$i"; case 1 => java.lang.Long.valueOf(i * 10L); case _ => null })
+      r.put("nums", if (i % 2 == 0) java.lang.Integer.valueOf(i) else java.lang.Long.valueOf(1L << 40))
+      r.put("fp", (i % 3) match {
+        case 0 => null; case 1 => java.lang.Float.valueOf(i * 0.5f); case _ => java.lang.Double.valueOf(i * 0.25) })
+      r.put("sb", if (i % 2 == 0) s"str$i" else ByteBuffer.wrap(Array[Byte](i.toByte, 7)))
+      w.append(r)
+    }
+    w.close()
+    val (_, rows) = Avro.readContainer(bos.toByteArray).get
+    assert(rows.length == 12)
+    val r0 = rows(0).asInstanceOf[Row]
+    assert(r0.getAs[Row](1) == Row("s0", null)) // string branch -> member0
+    assert(r0.getLong(2) == 0L) // int widened
+    assert(r0.isNullAt(3)) // null fp branch
+    assert(r0.getAs[Row](4) == Row("str0", null))
+    val r1 = rows(1).asInstanceOf[Row]
+    assert(r1.getAs[Row](1) == Row(null, 10L)) // long branch -> member1
+    assert(r1.getLong(2) == (1L << 40))
+    assert(r1.getDouble(3) == 0.5) // float widened
+    assert(r1.getAs[Row](4).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 7))
+    val r2 = rows(2).asInstanceOf[Row]
+    assert(r2.isNullAt(1)) // null union branch -> null struct
+    assert(r2.getDouble(3) == 0.5)
+  }
+
+  test("general unions: our writer -> reference reader (wide-branch writer choice)") {
+    val json = """{"type":"record","name":"u","fields":[
+      {"name":"id","type":"long"},
+      {"name":"u3","type":["string","long","null"]},
+      {"name":"nums","type":["int","long"]}
+    ]}""".replaceAll("\n\\s*", "")
+    val datums = Seq(
+      Row(0L, Row("a", null), 7L),
+      Row(1L, Row(null, 42L), 1L << 40),
+      Row(2L, null, 3L))
+    val bytes = Avro.writeContainer(json, "deflate", datums.iterator, "s2")
+    val rd = new DataFileReader(new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    val got = rd.iterator().asScala.toVector
+    rd.close()
+    assert(got(0).get("u3").toString == "a")
+    assert(got(1).get("u3") == 42L)
+    assert(got(2).get("u3") == null)
+    // promoted union always writes the wide (long) branch
+    assert(got(0).get("nums") == 7L && got(1).get("nums") == (1L << 40))
+    // and our own reader round-trips the same bytes
+    assert(Avro.readContainer(bytes).get._2 == datums.toVector)
+  }
+
   test("schema subset refusals are total, not crashes") {
-    assert(Avro.parseSchema("""["null","string","long"]""").isEmpty) // 3-branch union
+    // general unions now parse; the remaining refusals hold
+    assert(Avro.parseSchema("""["null","string","long"]""").isDefined) // 3-branch: accepted (r13)
+    assert(Avro.parseSchema("""["string","string"]""").isEmpty) // duplicate branches
+    assert(Avro.parseSchema("""[["string","null"],"long"]""").isEmpty) // nested union
+    assert(Avro.parseSchema("""["null"]""").isEmpty) // no expressible value
     assert(Avro.parseSchema("""{"type":"bytes","logicalType":"decimal","precision":9,"scale":2}""")
       .contains(Avro.ABytes)) // logical decimal reads as raw bytes (declared)
     assert(Avro.parseSchema("not json").isEmpty)
