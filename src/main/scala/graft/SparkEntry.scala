@@ -839,6 +839,28 @@ object SparkEntry {
           min(col("n_pieces") <= col("n_word_chars")).as("pieces_le_chars"),
           (sum(col("n_pieces")) < sum(col("n_word_chars"))).as("compresses"))
     }),
+
+    // WordPiece tokenizer (round 13, completing the BERT/GPT/T5
+    // tokenizer triple): likelihood-scored merges trained on the
+    // corpus, greedy longest-match-first encode with ## continuations
+    // and the published one-[UNK] rules. Boolean contract like its
+    // siblings (DuckDB cannot replay merge training): every word
+    // roundtrips or is [UNK], zero [UNK] on the model's own training
+    // corpus (the alphabet is complete by construction), piece counts
+    // in [words, chars], and the trained pieces actually compress.
+    // The merge criterion and encode rules are hand-pinned in
+    // WordPieceSpec.
+    "x_wordpiece_tokens" -> ((s, d) => {
+      val ds = docs(s, d)
+      val model = graft.ops.WordPiece.train(ds, "text", numMerges = 100)
+      model.encodeCounts(ds, "doc_id", "text")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("roundtrip_ok")).as("all_roundtrip_ok"),
+          (sum(col("n_unk")) === 0).as("no_unk_on_own_corpus"),
+          min(col("n_pieces") >= col("n_words")).as("pieces_ge_words"),
+          min(col("n_pieces") <= col("n_word_chars")).as("pieces_le_chars"),
+          (sum(col("n_pieces")) < sum(col("n_word_chars"))).as("compresses"))
+    }),
     // PII redaction over synthetic planted identifiers (both engines
     // derive the identical input from doc_id/source, so the redaction
     // itself is what the hash compares)
@@ -4343,6 +4365,12 @@ object SparkEntry {
     "x_unigram_tokens" -> """
       SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS all_roundtrip_ok,
              true AS pieces_ge_words, true AS pieces_le_chars, true AS compresses
+      FROM documents""",
+
+    "x_wordpiece_tokens" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS all_roundtrip_ok,
+             true AS no_unk_on_own_corpus, true AS pieces_ge_words,
+             true AS pieces_le_chars, true AS compresses
       FROM documents""",
 
     "x_pii_redact" -> """

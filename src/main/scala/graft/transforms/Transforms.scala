@@ -378,6 +378,17 @@ object Transforms {
           numMerges = cfg.int("num_merges").getOrElse(200),
           vocabWords = cfg.int("vocab_words").getOrElse(10000))
         .encodeCounts(df, cfg.reqStr("id_field"), tf)
+    // WordPiece tokenizer (BERT family): likelihood-scored merges,
+    // greedy longest-match encode with ## continuations and [UNK]
+    case "wordpiece_tokens" =>
+      val cfg = t.config
+      val tf = cfg.str("text_field").getOrElse("text")
+      val lmDf = cfg.str("train_source").map(n => ctx.getOrElse(n,
+        throw new GraftAnalysisException(s"wordpiece_tokens: unknown source '$n'"))).getOrElse(df)
+      graft.ops.WordPiece.train(lmDf, tf,
+          numMerges = cfg.int("num_merges").getOrElse(200),
+          vocabWords = cfg.int("vocab_words").getOrElse(10000))
+        .encodeCounts(df, cfg.reqStr("id_field"), tf)
     // unigram-LM (SentencePiece-family) tokenizer: EM-trained piece
     // probabilities, Viterbi segmentation; same output surface as
     // bpe_tokens so token budgets compare column for column
@@ -959,7 +970,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_script", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "langid_classify", "pca_whiten",
-    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "normalize_unicode", "compression_ratio", "split_sentences", "sentence_chunks", "dedup_sentences", "html_tables", "boilerplate_blocks", "boilerplate_extract", "chat_parse", "chat_validate", "chat_render", "zstd_decode", "gzip_decode", "brotli_decode", "bpe_tokens", "unigram_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "normalize_unicode", "compression_ratio", "split_sentences", "sentence_chunks", "dedup_sentences", "html_tables", "boilerplate_blocks", "boilerplate_extract", "chat_parse", "chat_validate", "chat_render", "zstd_decode", "gzip_decode", "brotli_decode", "bpe_tokens", "unigram_tokens", "wordpiece_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "bloom_join", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",
