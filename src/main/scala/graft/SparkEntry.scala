@@ -1132,27 +1132,32 @@ object SparkEntry {
         .select(col("host").cast("long").as("doc_id"), col("seq"), col("sitemap_url"))
     }),
 
-    // Public-suffix registrable domain (round 11): eight host
-    // classes against a planted rule set exercising every selection
-    // rung of the published algorithm — plain TLD, multi-label
-    // suffix (co.uk beats uk by label count), host-equals-suffix
-    // (null), wildcard *.ck, the !www.ck exception at both depths,
-    // and the default rule for an unknown TLD. Every verdict replays
-    // from doc_id arithmetic; the PSL format spec's own
-    // hokkaido/tokyo example and the test-vector conventions are
-    // pinned in PslSpec.
+    // Public-suffix registrable domain (round 11; IDN round 13): ten
+    // host classes against a planted rule set exercising every
+    // selection rung of the published algorithm — plain TLD,
+    // multi-label suffix (co.uk beats uk by label count),
+    // host-equals-suffix (null), wildcard *.ck, the !www.ck exception
+    // at both depths, the default rule for an unknown TLD, and two
+    // IDN classes: a unicode label (bücher → the well-known
+    // xn--bcher-kva, RFC 3492's classic example; constant, so the
+    // oracle replays it as a literal) with mixed case to cover the
+    // fold, and an already-ACE host passing through. Every verdict
+    // replays from doc_id arithmetic; the punycode algorithm itself
+    // is pinned in IdnaSpec against the RFC vectors and java.net.IDN.
     "x_registrable_domain" -> ((s, d) => {
       val rules = graft.ops.Psl.parse(Seq(
         "// planted suffix list", "com", "uk", "co.uk", "*.ck", "!www.ck",
         "jp", "ac.jp"))
       val id = col("doc_id")
-      val host = when(pmod(id, lit(8)) === 0, concat(lit("ex"), id, lit(".com")))
-        .when(pmod(id, lit(8)) === 1, concat(lit("www.ex"), id, lit(".com")))
-        .when(pmod(id, lit(8)) === 2, concat(lit("deep.sub.ex"), id, lit(".co.uk")))
-        .when(pmod(id, lit(8)) === 3, lit("co.uk"))
-        .when(pmod(id, lit(8)) === 4, concat(lit("x"), id, lit(".b.ck")))
-        .when(pmod(id, lit(8)) === 5, lit("www.ck"))
-        .when(pmod(id, lit(8)) === 6, concat(lit("a"), id, lit(".www.ck")))
+      val host = when(pmod(id, lit(10)) === 0, concat(lit("ex"), id, lit(".com")))
+        .when(pmod(id, lit(10)) === 1, concat(lit("www.ex"), id, lit(".com")))
+        .when(pmod(id, lit(10)) === 2, concat(lit("deep.sub.ex"), id, lit(".co.uk")))
+        .when(pmod(id, lit(10)) === 3, lit("co.uk"))
+        .when(pmod(id, lit(10)) === 4, concat(lit("x"), id, lit(".b.ck")))
+        .when(pmod(id, lit(10)) === 5, lit("www.ck"))
+        .when(pmod(id, lit(10)) === 6, concat(lit("a"), id, lit(".www.ck")))
+        .when(pmod(id, lit(10)) === 7, concat(lit("sub"), id, lit(".BÜcher.com")))
+        .when(pmod(id, lit(10)) === 8, concat(lit("a"), id, lit(".xn--bcher-kva.com")))
         .otherwise(concat(lit("page"), id, lit(".zz")))
       docs(s, d).select(id, host.as("host"),
         graft.ops.Psl.registrableDomainCol(host, rules).as("reg_domain"))
@@ -3542,7 +3547,7 @@ object SparkEntry {
     // from doc_id arithmetic
     "x_registrable_domain" -> """
       SELECT doc_id, host,
-             CASE doc_id % 8
+             CASE doc_id % 10
                WHEN 0 THEN 'ex' || doc_id || '.com'
                WHEN 1 THEN 'ex' || doc_id || '.com'
                WHEN 2 THEN 'ex' || doc_id || '.co.uk'
@@ -3550,9 +3555,11 @@ object SparkEntry {
                WHEN 4 THEN 'x' || doc_id || '.b.ck'
                WHEN 5 THEN 'www.ck'
                WHEN 6 THEN 'www.ck'
+               WHEN 7 THEN 'xn--bcher-kva.com'
+               WHEN 8 THEN 'xn--bcher-kva.com'
                ELSE 'page' || doc_id || '.zz' END AS reg_domain
       FROM (SELECT doc_id,
-              CASE doc_id % 8
+              CASE doc_id % 10
                 WHEN 0 THEN 'ex' || doc_id || '.com'
                 WHEN 1 THEN 'www.ex' || doc_id || '.com'
                 WHEN 2 THEN 'deep.sub.ex' || doc_id || '.co.uk'
@@ -3560,6 +3567,8 @@ object SparkEntry {
                 WHEN 4 THEN 'x' || doc_id || '.b.ck'
                 WHEN 5 THEN 'www.ck'
                 WHEN 6 THEN 'a' || doc_id || '.www.ck'
+                WHEN 7 THEN 'sub' || doc_id || '.BÜcher.com'
+                WHEN 8 THEN 'a' || doc_id || '.xn--bcher-kva.com'
                 ELSE 'page' || doc_id || '.zz' END AS host
             FROM documents)""",
 

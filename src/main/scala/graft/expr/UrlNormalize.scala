@@ -43,7 +43,15 @@ object UrlNormalizeKernel {
     val hp = if (d >= 0) prepath.substring(0, d) else prepath
     val path = if (d >= 0) prepath.substring(d) else "/"
     val c = hp.indexOf(':')
-    val host = (if (c >= 0) hp.substring(0, c) else hp).toLowerCase(java.util.Locale.ROOT)
+    val host0 = (if (c >= 0) hp.substring(0, c) else hp).toLowerCase(java.util.Locale.ROOT)
+    // IDNA (round 13): internationalized hosts canonicalize to ACE
+    // (xn--) form — the browser/crawler convention — so the unicode
+    // and punycode spellings of one site dedup to one URL. ASCII
+    // hosts skip the check; unconvertible hosts keep the lowercase
+    // form (refuse-don't-guess, the URL may not be a hostname URL).
+    val host =
+      if (host0.forall(_ < 0x80)) host0
+      else graft.ops.Idna.toAscii(host0).getOrElse(host0)
     val port = if (c >= 0) hp.substring(c + 1) else ""
     val keepPort = port.nonEmpty &&
       !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))

@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   *
   * Normalization: hosts lowercase; a leading dot, empty label, or
   * empty host is invalid (None, the PSL test-vector convention); a
-  * single trailing root dot is stripped (declared). IDNA/punycode
-  * conversion is out of scope — rules and hosts must be in the same
-  * form (declared; the real list ships punycode).
+  * single trailing root dot is stripped (declared). Internationalized
+  * hosts convert to ACE (punycode) form via [[Idna.toAscii]] before
+  * matching — the published list ships punycode, so this is the form
+  * rules and hosts meet in (round 13; the unicode-side rules a list
+  * could hypothetically carry are not converted — declared).
   *
   * Scale shape: the parsed rule set is indexed by TLD label and
   * rides the closure ONCE per executor (a real list is ~10k rules —
@@ -97,8 +99,13 @@ object Psl {
   private def normalize(host: String): Option[Array[String]] = {
     if (host == null) return None
     val h0 = host.toLowerCase
-    val h = if (h0.endsWith(".") && !h0.endsWith("..")) h0.dropRight(1) else h0
-    if (h.isEmpty || h.startsWith(".")) return None
+    val h1 = if (h0.endsWith(".") && !h0.endsWith("..")) h0.dropRight(1) else h0
+    if (h1.isEmpty || h1.startsWith(".")) return None
+    // IDNA: the published list ships punycode, so internationalized
+    // hosts convert to ACE form before matching (round 13; was a
+    // declared gap). ASCII hosts pass through unchanged.
+    val h = if (h1.forall(_ < 0x80)) h1
+            else Idna.toAscii(h1).getOrElse(return None)
     val labels = h.split('.')
     if (labels.isEmpty || labels.exists(_.isEmpty)) None else Some(labels)
   }
