@@ -2611,15 +2611,33 @@ object SparkEntry {
           col("artist"), col("album"))
     }),
 
-    // GGUF metadata (round 11): one file per document planting the
-    // common KV types (string/u32/u64/bool/f32/i32-array), the
-    // alignment key, and two tensor infos with 32-aligned offsets —
-    // every kv and tensor row replays from doc_id arithmetic.
+    // GGUF metadata (round 11; third tensor + data section round
+    // 13): one file per document planting the common KV types
+    // (string/u32/u64/bool/f32/i32-array), the alignment key, and
+    // three tensor infos with 32-aligned offsets — every kv and
+    // tensor row replays from doc_id arithmetic.
     "x_gguf_meta" -> ((s, d) => {
       val packed = graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id")
       graft.ops.Gguf.decodeMeta(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("kind"), col("key"),
           col("type_id"), col("value"), col("offset"))
+    }),
+
+    // GGUF tensor dequantization (round 13): the packer's data
+    // section carries an F32 matrix, one Q8_0 block (fp16 scale 0.5
+    // exact, int8 quants), and an F16 vector, all quarter-unit
+    // id-derived — the dequantized floats replay through the same
+    // exact-IEEE floor(v * 2^30) serialization as x_safetensors, so
+    // the oracle is pure integer arithmetic. The half-float codec,
+    // block walk, and K-quant refusals are pinned in GgufSpec.
+    "x_gguf_tensors" -> ((s, d) => {
+      val packed = graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id")
+      graft.ops.Gguf.decodeTensorValues(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("name"), col("type_id"),
+          col("n_values"),
+          array_join(transform(col("values"),
+            v => floor(v.cast("double") * lit(1073741824.0d)).cast("long").cast("string")),
+            ",").as("values"))
     }),
 
     // npz (round 11): the same embedding-shard contract as
@@ -5856,7 +5874,29 @@ object SparkEntry {
                '[64,' || (doc_id % 7 + 1) || ']', 0 FROM documents
         UNION ALL
         SELECT doc_id, 'tensor', 'blk.0.attn_q.weight', 8,
-               '[32]', 256 * (doc_id % 7 + 1) FROM documents)""",
+               '[32]', 256 * (doc_id % 7 + 1) FROM documents
+        UNION ALL
+        SELECT doc_id, 'tensor', 'output_norm.weight', 1,
+               '[16]', 256 * (doc_id % 7 + 1) + 64 FROM documents)""",
+
+    // gguf tensor dequantization: quarter-unit plants replay as pure
+    // integer arithmetic through floor(v * 2^30)
+    "x_gguf_tensors" -> """
+      SELECT doc_id, 'tok_embd.weight' AS name, 0 AS type_id,
+             CAST(64 * (doc_id % 7 + 1) AS BIGINT) AS n_values,
+             array_to_string(list_transform(range(64 * (doc_id % 7 + 1)),
+               i -> CAST(((doc_id + i) % 17 - 8) * 268435456 AS BIGINT)), ',') AS values
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'blk.0.attn_q.weight', 8, 32,
+             array_to_string(list_transform(range(32),
+               i -> CAST(((doc_id + i) % 255 - 127) * 536870912 AS BIGINT)), ',')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'output_norm.weight', 1, 16,
+             array_to_string(list_transform(range(16),
+               i -> CAST(((doc_id + i) % 9 - 4) * 268435456 AS BIGINT)), ',')
+      FROM documents""",
 
     // npz: numpy-format twin of the safetensors contract
     "x_npz" -> """

@@ -20,14 +20,18 @@ import org.apache.spark.sql.functions._
   *    u64 offset RELATIVE to the data section, which is aligned to
   *    `general.alignment` (default 32) — offsets must honor that
   *    alignment or the file refuses;
-  *  - tensor DATA is deliberately not dequantized (the quant block
-  *    formats are a moving target; metadata is what curation needs)
-  *    — except F32, the engine's vector currency, which decodes.
+  *  - tensor DATA dequantizes for the STABLE, documented block
+  *    formats (round 13): F32 (type 0), F16 (type 1, IEEE half), and
+  *    Q8_0 (type 8: 34-byte blocks of one fp16 scale + 32 int8
+  *    quants, value = d·q — the spec'd struct in ggml-common). The
+  *    K-quant family stays declared out: those block layouts are a
+  *    moving target and curation reads metadata, not superblocks.
   *
   * Surfaces: one long-format row per KV (kind='kv': key, value_type,
   * value stringified) and per tensor (kind='tensor': name, dims,
-  * ggml type id, offset). Bounds-checked reads throughout; caps on
-  * counts/string lengths; never throws.
+  * ggml type id, offset); [[decodeTensorValues]] adds the decoded
+  * float rows for supported types. Bounds-checked reads throughout;
+  * caps on counts/string lengths; never throws.
   */
 object Gguf {
 
@@ -56,7 +60,14 @@ object Gguf {
   }
 
   /** (kvs, tensors) — None on any framing violation. */
-  def parse(bytes: Array[Byte]): Option[(Seq[Kv], Seq[Tensor])] = {
+  def parse(bytes: Array[Byte]): Option[(Seq[Kv], Seq[Tensor])] =
+    parseFull(bytes).map { case (kvs, ts, _, _) => (kvs, ts) }
+
+  /** [[parse]] plus the data-section geometry: (kvs, tensors,
+    * dataStart, alignment). `dataStart` is the end of the tensor-info
+    * region rounded UP to `general.alignment` — tensor offsets are
+    * relative to it (spec: "tensor_data … padded to alignment"). */
+  def parseFull(bytes: Array[Byte]): Option[(Seq[Kv], Seq[Tensor], Long, Long)] = {
     val r = new R(bytes)
     if (!r.ok(4) || bytes(0) != 'G' || bytes(1) != 'G' || bytes(2) != 'U' || bytes(3) != 'F')
       return None
@@ -151,13 +162,122 @@ object Gguf {
       tensors += Tensor(name, dims.result(), tt, off)
       ti += 1
     }
-    Some((kvs.result(), tensors.result()))
+    val dataStart = ((r.pos.toLong + alignment - 1) / alignment) * alignment
+    Some((kvs.result(), tensors.result(), dataStart, alignment))
   }
 
-  /** Minimal spec-valid GGUF per document: the common KV types
-    * (string, u32, u64, bool, f32, i32-array), the alignment key,
-    * and two tensor infos with 32-aligned offsets — all id-derived
-    * so the oracle replays every row. */
+  // ------------------------------------------------------------------
+  // Tensor dequantization (stable formats only)
+  // ------------------------------------------------------------------
+
+  /** IEEE 754 binary16 → float32 (subnormals, infinities, NaN). */
+  private[graft] def halfToFloat(h: Int): Float = {
+    val sign = (h >> 15) & 1
+    val exp = (h >> 10) & 0x1F
+    val mant = h & 0x3FF
+    val bits =
+      if (exp == 0) {
+        if (mant == 0) sign << 31
+        else { // subnormal: normalize into float32
+          var e = -1
+          var m = mant
+          while ((m & 0x400) == 0) { m <<= 1; e += 1 }
+          (sign << 31) | ((127 - 15 - e) << 23) | ((m & 0x3FF) << 13)
+        }
+      } else if (exp == 0x1F) (sign << 31) | 0x7F800000 | (mant << 13)
+      else (sign << 31) | ((exp - 15 + 127) << 23) | (mant << 13)
+    java.lang.Float.intBitsToFloat(bits)
+  }
+
+  /** float32 → binary16 bits, round-to-nearest-even (the writer
+    * half; exact for the gate's quarter-unit plants). */
+  private[graft] def floatToHalf(f: Float): Int = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val exp32 = (bits >> 23) & 0xFF
+    val mant = bits & 0x7FFFFF
+    if (exp32 == 0xFF) return sign | 0x7C00 | (if (mant != 0) 0x200 else 0) // inf/nan
+    val e = exp32 - 127 + 15
+    if (e >= 0x1F) sign | 0x7C00 // overflow -> inf
+    else if (e <= 0) {
+      if (e < -10) sign // underflows to signed zero
+      else {
+        // subnormal half: implicit bit restored, RNE on dropped bits
+        val m24 = mant | 0x800000
+        val shift = 14 - e // in [14, 24]
+        val kept = m24 >>> shift
+        val rem = m24 & ((1 << shift) - 1)
+        val halfUnit = 1 << (shift - 1)
+        sign | (kept + (if (rem > halfUnit || (rem == halfUnit && (kept & 1) == 1)) 1 else 0))
+      }
+    } else {
+      // normal: 23 -> 10 mantissa bits, RNE; a mantissa carry rolls
+      // into the exponent arithmetically ((e<<10) + 0x400 = (e+1)<<10)
+      val kept = mant >>> 13
+      val rem = mant & 0x1FFF
+      val r = kept + (if (rem > 0x1000 || (rem == 0x1000 && (kept & 1) == 1)) 1 else 0)
+      sign | ((e << 10) + r)
+    }
+  }
+
+  /** Decode one tensor's data to row-major float32. Supported ggml
+    * types: 0 = F32, 1 = F16, 8 = Q8_0 (blocks of fp16 scale + 32
+    * int8). None: unsupported type, bounds violation, or a Q8_0
+    * element count not a multiple of the 32-wide block. */
+  def dequantize(bytes: Array[Byte], t: Tensor, dataStart: Long): Option[Array[Float]] = {
+    val n0 = t.dims.foldLeft(1L)(_ * _)
+    if (n0 < 0 || n0 > (1L << 24)) return None
+    val n = n0.toInt
+    val base = dataStart + t.offset
+    if (base < 0 || base > bytes.length) return None
+    def u16at(p: Long): Int = (bytes(p.toInt) & 0xFF) | ((bytes(p.toInt + 1) & 0xFF) << 8)
+    t.ggmlType match {
+      case 0 => // F32
+        if (base + 4L * n > bytes.length) return None
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          var v = 0
+          var j = 0
+          while (j < 4) { v |= (bytes(base.toInt + 4 * i + j) & 0xFF) << (8 * j); j += 1 }
+          out(i) = java.lang.Float.intBitsToFloat(v)
+          i += 1
+        }
+        Some(out)
+      case 1 => // F16
+        if (base + 2L * n > bytes.length) return None
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) { out(i) = halfToFloat(u16at(base + 2L * i)); i += 1 }
+        Some(out)
+      case 8 => // Q8_0: 34-byte blocks (fp16 d + int8 qs[32])
+        if (n % 32 != 0) return None
+        val blocks = n / 32
+        if (base + 34L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = base + 34L * b
+          val d = halfToFloat(u16at(bp))
+          var i = 0
+          while (i < 32) {
+            out(b * 32 + i) = d * bytes(bp.toInt + 2 + i) // int8 signed
+            i += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case _ => None // K-quants etc.: declared out
+    }
+  }
+
+  /** Spec-valid GGUF per document: the common KV types (string, u32,
+    * u64, bool, f32, i32-array), the alignment key, three tensor
+    * infos with 32-aligned offsets, and a REAL data section (round
+    * 13): an F32 matrix, a Q8_0 block tensor (fp16 scale 0.5 exact,
+    * int8 quants), and an F16 vector — every value quarter-unit
+    * id-derived so the oracle replays the dequantized floats through
+    * the exact-IEEE floor(v·2³⁰) serialization. */
   def packDocsGguf(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -167,6 +287,7 @@ object Gguf {
       .map { id =>
         val bos = new java.io.ByteArrayOutputStream()
         def u8(v: Int): Unit = bos.write(v & 0xFF)
+        def u16(v: Int): Unit = { u8(v & 0xFF); u8((v >> 8) & 0xFF) }
         def u32(v: Long): Unit = { var i = 0; while (i < 4) { u8(((v >> (8 * i)) & 0xFF).toInt); i += 1 } }
         def u64(v: Long): Unit = { var i = 0; while (i < 8) { u8(((v >> (8 * i)) & 0xFF).toInt); i += 1 } }
         def s(v: String): Unit = {
@@ -175,7 +296,7 @@ object Gguf {
         }
         bos.write("GGUF".getBytes("US-ASCII"))
         u32(3) // version
-        u64(2) // tensors
+        u64(3) // tensors
         u64(6) // kvs
         s("general.name"); u32(8); s(s"doc $id")
         s("general.alignment"); u32(4); u32(32)
@@ -184,11 +305,52 @@ object Gguf {
         s("planted.ratio"); u32(6); u32(java.lang.Float.floatToIntBits((id % 4) * 0.25f) & 0xFFFFFFFFL)
         s("planted.langs"); u32(9); u32(5); u64(2); u32(id % 5); u32(id % 5 + 1)
         val d2 = id % 7 + 1
+        // layout: F32 64*d2 floats at 0; Q8_0 one 32-wide block at
+        // 256*d2 (34 bytes); F16 16 halves at 256*d2 + 64 (aligned)
         s("tok_embd.weight"); u32(2); u64(64); u64(d2); u32(0); u64(0)
         s("blk.0.attn_q.weight"); u32(1); u64(32); u32(8); u64(256 * d2)
+        s("output_norm.weight"); u32(1); u64(16); u32(1); u64(256 * d2 + 64)
+        // data section: pad to general.alignment, then the tensors
+        while (bos.size() % 32 != 0) u8(0)
+        var i = 0
+        while (i < 64 * d2) {
+          u32(java.lang.Float.floatToIntBits(((id + i) % 17 - 8) * 0.25f) & 0xFFFFFFFFL)
+          i += 1
+        }
+        u16(floatToHalf(0.5f)) // Q8_0 scale d = 0.5, exact in binary16
+        i = 0
+        while (i < 32) { u8((((id + i) % 255) - 127).toInt & 0xFF); i += 1 }
+        i = 0
+        while (i < 30) { u8(0); i += 1 } // pad 34-byte block to the 64 boundary
+        i = 0
+        while (i < 16) { u16(floatToHalf((((id + i) % 9) - 4) * 0.25f)); i += 1 }
         (id, bos.toByteArray)
       }
       .toDF("id", "payload")
+  }
+
+  /** One row per DEQUANTIZABLE tensor: (id, name, type_id, n_values,
+    * values float array, row-major). Unsupported types (K-quants) and
+    * hostile bytes emit nothing — the refuse-don't-guess contract.
+    * Scan-local flatMap, the safetensors/NPY seam shape. */
+  def decodeTensorValues(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(coalesce(col(idCol).cast("long"), lit(0L)), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val bytes = if (payload == null) Array.emptyByteArray else payload
+        parseFull(bytes) match {
+          case Some((_, tensors, dataStart, _)) =>
+            tensors.flatMap { t =>
+              dequantize(bytes, t, dataStart).map(vs =>
+                (id, t.name, t.ggmlType, vs.length.toLong, vs))
+            }
+          case None => Seq.empty
+        }
+      }
+      .toDF("id", "name", "type_id", "n_values", "values")
   }
 
   /** Long-format rows: kind='kv' (key, value_type, value) and

@@ -73,9 +73,70 @@ class GgufSpec extends SparkSuite {
     val rows = Gguf.decodeMeta(
       Gguf.packDocsGguf(Seq(3L, 10L).toDF("doc_id"), "doc_id"), "id", "payload")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(4)))
-    assert(rows.count(_._1 == 3L) == 8)
+    assert(rows.count(_._1 == 3L) == 9)
     assert(rows.contains((3L, "kv", "planted.ratio", "0.75")))
     assert(rows.contains((10L, "kv", "planted.flag", "true")))
     assert(rows.contains((10L, "tensor", "tok_embd.weight", "[64,4]")))
+    assert(rows.contains((10L, "tensor", "output_norm.weight", "[16]")))
+  }
+
+  test("binary16 codec: exact values, subnormals, specials, RNE, JDK cross-pin") {
+    // exact quarter-units round-trip bit-for-bit
+    Seq(0.0f, 0.25f, -0.5f, 1.0f, 2.25f, -8.75f, 1024f, 65504f).foreach { v =>
+      assert(Gguf.halfToFloat(Gguf.floatToHalf(v)) == v, s"$v")
+    }
+    // canonical bit patterns
+    assert(Gguf.floatToHalf(1.0f) == 0x3C00)
+    assert(Gguf.floatToHalf(-2.0f) == 0xC000)
+    assert(Gguf.floatToHalf(0.5f) == 0x3800)
+    assert(Gguf.halfToFloat(0x7C00) == Float.PositiveInfinity)
+    assert(Gguf.halfToFloat(0xFC00) == Float.NegativeInfinity)
+    assert(java.lang.Float.isNaN(Gguf.halfToFloat(0x7E00)))
+    // subnormal half: 0x0001 = 2^-24
+    assert(Gguf.halfToFloat(0x0001) == math.pow(2, -24).toFloat)
+    assert(Gguf.floatToHalf(math.pow(2, -24).toFloat) == 0x0001)
+    // overflow -> inf; underflow -> signed zero
+    assert(Gguf.floatToHalf(1e6f) == 0x7C00)
+    assert(Gguf.floatToHalf(-1e-8f) == 0x8000)
+    // exhaustive involution cross-pinned against Java's own float
+    // widening of halves via Float.parseFloat? no JDK half API on 17 —
+    // instead: every finite half value round-trips through our pair
+    (0 until 0x10000).foreach { h =>
+      val exp = (h >> 10) & 0x1F
+      if (exp != 0x1F) { // finite
+        val f = Gguf.halfToFloat(h)
+        assert(Gguf.floatToHalf(f) == h, f"bits 0x$h%04x")
+      }
+    }
+  }
+
+  test("dequantize: F32, F16, Q8_0 values; K-quant and bounds refusals") {
+    val packed = Gguf.packDocsGguf(Seq(5L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    val Some((_, tensors, dataStart, align)) = Gguf.parseFull(packed)
+    assert(align == 32 && dataStart % 32 == 0 && tensors.length == 3)
+    val f32 = Gguf.dequantize(packed, tensors(0), dataStart).get
+    assert(f32.length == 64 * (5 % 7 + 1))
+    (0 until f32.length).foreach(i =>
+      assert(f32(i) == ((5 + i) % 17 - 8) * 0.25f, s"f32[$i]"))
+    val q8 = Gguf.dequantize(packed, tensors(1), dataStart).get
+    assert(q8.length == 32)
+    (0 until 32).foreach(i =>
+      assert(q8(i) == 0.5f * (((5 + i) % 255) - 127), s"q8[$i]"))
+    val f16 = Gguf.dequantize(packed, tensors(2), dataStart).get
+    assert(f16.length == 16)
+    (0 until 16).foreach(i =>
+      assert(f16(i) == (((5 + i) % 9) - 4) * 0.25f, s"f16[$i]"))
+    // K-quant type refuses; truncation refuses; non-multiple-of-32 Q8_0 refuses
+    assert(Gguf.dequantize(packed, tensors(0).copy(ggmlType = 12), dataStart).isEmpty)
+    assert(Gguf.dequantize(packed.take(packed.length - 8), tensors(2), dataStart).isEmpty)
+    assert(Gguf.dequantize(packed, tensors(1).copy(dims = Seq(31L)), dataStart).isEmpty)
+    // Spark surface: three rows, name/type/count as planted
+    val rows = Gguf.decodeTensorValues(
+      Seq((5L, packed)).toDF("id", "payload"), "id", "payload")
+      .select($"id", $"name", $"type_id", $"n_values")
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(rows == Set((5L, "tok_embd.weight", 0, 384L),
+      (5L, "blk.0.attn_q.weight", 8, 32L), (5L, "output_norm.weight", 1, 16L)))
   }
 }
