@@ -2317,6 +2317,66 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("format"))
     }),
 
+    // Universal decode (round 13): the Sniff dispatcher COMPOSED with
+    // the codec ladder over a deliberately mixed-format corpus — the
+    // "extensionless object-store dump" seam. Nine payload classes by
+    // id: plain text, each single compression wrapper
+    // (gzip/zstd/xz/bzip2, all INDEPENDENT encoders: JDK zlib,
+    // zstd-jni, XZ for Java, commons-compress), a ZIP with a text
+    // member and a directory entry, a real PDF (both writer layouts
+    // by id), NESTED wrappers zstd-inside-gzip proving the re-sniff
+    // loop, and a real PNG with no text surface. Chain, verdict, and
+    // text all replay from corpus columns.
+    "x_decode_any" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long"),
+            concat(lit("doc "), col("doc_id"), lit(": "),
+              coalesce(col("text"), lit(""))).as("__t"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            def gz(b: Array[Byte]): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(b); g.close(); bos.toByteArray
+            }
+            def zst(b: Array[Byte]): Array[Byte] = {
+              val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+              try ctx.setLevel(3).compress(b) finally ctx.close()
+            }
+            val payload: Array[Byte] = (id % 9) match {
+              case 0 => bytes
+              case 1 => gz(bytes)
+              case 2 => zst(bytes)
+              case 3 =>
+                val opts = new org.tukaani.xz.LZMA2Options(0)
+                val bos = new java.io.ByteArrayOutputStream()
+                val z = new org.tukaani.xz.XZOutputStream(bos, opts)
+                z.write(bytes); z.close(); bos.toByteArray
+              case 4 =>
+                val bos = new java.io.ByteArrayOutputStream()
+                val z = new org.apache.commons.compress.compressors.bzip2
+                  .BZip2CompressorOutputStream(bos, 1)
+                z.write(bytes); z.close(); bos.toByteArray
+              case 5 => graft.ops.Zip.zipOf(Seq(
+                "dir/" -> Array.emptyByteArray, "doc.txt" -> bytes))
+              case 6 =>
+                if (id % 2 == 0) graft.ops.Pdf.pdfOf(text, flate = true)
+                else graft.ops.Pdf.pdfOf15(text, flate = true)
+              case 7 => gz(zst(bytes))
+              case _ => graft.ops.PngCodec.encode(graft.ops.PngCodec.Image(
+                1, 1, 1, Array((id % 256).toByte)))
+            }
+            (id, payload)
+          })
+          .toDF("doc_id", "payload")
+      }
+      graft.ops.DecodeAny.decode(packed, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("chain"), col("ok"), col("text"))
+    }),
+
     // Audio segmentation (round 12): the energy-gate VAD baseline —
     // one real 16-bit WAV per document with an id-arithmetic silence
     // layout, split back into voiced segments at silence gaps.
@@ -5645,6 +5705,23 @@ object SparkEntry {
       FROM o""",
 
     // sniff contract: the label is pure id arithmetic
+    // universal decode: chain, verdict, and text replay per id class
+    // (the png class is recognized but has no text surface)
+    "x_decode_any" -> """
+      WITH p AS (SELECT doc_id,
+                        'doc ' || doc_id || ': ' || coalesce(text, '') AS t,
+                        doc_id % 9 AS v
+                 FROM documents)
+      SELECT doc_id,
+             CASE v WHEN 0 THEN 'text' WHEN 1 THEN 'gzip>text'
+                    WHEN 2 THEN 'zstd>text' WHEN 3 THEN 'xz>text'
+                    WHEN 4 THEN 'bzip2>text' WHEN 5 THEN 'zip'
+                    WHEN 6 THEN 'pdf' WHEN 7 THEN 'gzip>zstd>text'
+                    ELSE 'png' END AS chain,
+             true AS ok,
+             CASE WHEN v = 8 THEN NULL ELSE t END AS text
+      FROM p""",
+
     "x_sniff_formats" -> """
       SELECT doc_id,
              CASE doc_id % 16
