@@ -2524,6 +2524,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
 
+    // DOCX furniture parts (round 13): headers (two parts when
+    // id % 3 == 0, proving part-name ordering), footer, and
+    // footnotes by w:id with the separator/continuation stock
+    // entries (ids -1 and 0) skipped — every row replays from
+    // doc_id arithmetic alongside the verbatim body.
+    "x_docx_parts" -> ((s, d) => {
+      val packed = graft.ops.Docx.packTextDocx(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Docx.decodeParts(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("kind"), col("seq"), col("text"))
+    }),
+
     // PPTX extraction (round 11): text lines become one slide EACH,
     // listed in reversed package order with double-digit slide
     // numbers, so the reader's numeric (not lexicographic) slide
@@ -2805,6 +2816,33 @@ object SparkEntry {
     // of the line-split corpus text.
     "x_ipynb_cells" -> ((s, d) => {
       val packed = graft.ops.Ipynb.packTextIpynb(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Ipynb.decodeCells(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("seq"), col("cell_type"),
+          col("language"), col("source"))
+    }),
+
+    // nbformat-3 notebooks (round 13; previously refused): the
+    // legacy worksheets layout real dumps still hold — code cells
+    // carry `input` with a per-cell language, every third line is a
+    // `heading` cell whose level cycles 1-3, and id%4==0 notebooks
+    // split across TWO worksheets. The reader applies the published
+    // v3->v4 upgrade rules (input -> source, heading -> '#'-prefixed
+    // markdown, language from the first code cell, worksheets
+    // concatenated), so both vintages land in one schema and every
+    // row replays from the corpus text by line arithmetic.
+    "x_ipynb_v3" -> ((s, d) => {
+      // corpus text is one line — plant five more so the heading
+      // levels, the markdown path, and the id%4 worksheet split are
+      // all exercised on every document
+      val planted = concat(coalesce(col("text"), lit("")),
+        lit("\nmd cell for "), col("doc_id"),
+        lit("\nheading one "), col("doc_id"),
+        lit("\ncode two "), col("doc_id"),
+        lit("\nmd two "), col("doc_id"),
+        lit("\nheading two "), col("doc_id"))
+      val packed = graft.ops.Ipynb.packTextIpynbV3(
+        t(s, d, "documents").select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
       graft.ops.Ipynb.decodeCells(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("seq"), col("cell_type"),
           col("language"), col("source"))
@@ -5897,6 +5935,22 @@ object SparkEntry {
       SELECT doc_id, coalesce(text, '') AS text, true AS decoded
       FROM documents""",
 
+    // docx furniture parts: body verbatim + id-arithmetic furniture
+    "x_docx_parts" -> """
+      SELECT doc_id, 'body' AS kind, CAST(0 AS BIGINT) AS seq,
+             coalesce(text, '') AS text FROM documents
+      UNION ALL
+      SELECT doc_id, 'header', 0, 'Header ' || doc_id FROM documents
+      UNION ALL
+      SELECT doc_id, 'header', 1, 'Header2 ' || doc_id FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 'footer', 0, 'Footer ' || doc_id || ' page' FROM documents
+      UNION ALL
+      SELECT doc_id, 'footnote', k, 'Note ' || k || ' for doc ' || doc_id
+      FROM documents, (VALUES (1), (2)) f(k)
+      WHERE k <= doc_id % 2 + 1""",
+
     // webp/tiff dims: mime + dimensions from doc_id arithmetic
     "x_image_meta_webp_tiff" -> """
       SELECT doc_id,
@@ -6080,6 +6134,30 @@ object SparkEntry {
       SELECT doc_id, seq,
              CASE WHEN seq % 2 = 0 THEN 'code' ELSE 'markdown' END AS cell_type,
              'python' AS language, source
+      FROM u""",
+
+    // nbformat-3: the v3->v4 upgrade rules replayed by line index
+    // over the six planted lines
+    "x_ipynb_v3" -> """
+      WITH s AS (
+        SELECT doc_id, string_split(
+                 coalesce(text, '') ||
+                 chr(10) || 'md cell for ' || doc_id ||
+                 chr(10) || 'heading one ' || doc_id ||
+                 chr(10) || 'code two ' || doc_id ||
+                 chr(10) || 'md two ' || doc_id ||
+                 chr(10) || 'heading two ' || doc_id, chr(10)) AS ls
+        FROM documents),
+      u AS (
+        SELECT doc_id, CAST(unnest(range(len(ls))) AS INTEGER) AS seq,
+               unnest(ls) AS line
+        FROM s)
+      SELECT doc_id, seq,
+             CASE WHEN seq % 3 = 0 THEN 'code' ELSE 'markdown' END AS cell_type,
+             'python' AS language,
+             CASE WHEN seq % 3 = 2
+                  THEN repeat('#', (seq // 3) % 3 + 1) || ' ' || line
+                  ELSE line END AS source
       FROM u""",
 
     // epub: spine round-trips the text column verbatim

@@ -872,6 +872,11 @@ object Transforms {
       graft.ops.Docx.decodeText(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // DOCX furniture: headers/footers/footnotes long rows
+    case "docx_parts" =>
+      graft.ops.Docx.decodeParts(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // PPTX / ODT body text from binary payload columns (same
     // Zip + Xml seam as docx_extract)
     case "pptx_extract" =>
@@ -984,7 +989,7 @@ object Transforms {
     "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
-    "docx_extract", "pptx_extract", "odt_extract", "xlsx_cells",
+    "docx_extract", "docx_parts", "pptx_extract", "odt_extract", "xlsx_cells",
     "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract",
     "mbox_messages", "safetensors_tensors", "npz_tensors", "gguf_meta",
     "audio_tags")

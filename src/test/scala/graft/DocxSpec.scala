@@ -77,6 +77,50 @@ class DocxSpec extends SparkSuite {
     assert(got(4L) == (("already &amp; escaped", true)))
   }
 
+  test("extractParts: header order, footer, footnote ids, stock-entry skip, aux tolerance") {
+    // independent JDK-zip package with furniture parts
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, data: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(data.getBytes("UTF-8")); z.closeEntry()
+    }
+    def para(t: String) = s"""<w:p><w:r><w:t>$t</w:t></w:r></w:p>"""
+    put("[Content_Types].xml",
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("word/document.xml",
+      s"""<w:document xmlns:w="$W"><w:body>${para("the body")}</w:body></w:document>""")
+    // deliberately out of zip order: header2 before header1 — the
+    // reader must sort by part NAME
+    put("word/header2.xml", s"""<w:hdr xmlns:w="$W">${para("second header")}</w:hdr>""")
+    put("word/header1.xml", s"""<w:hdr xmlns:w="$W">${para("first header")}</w:hdr>""")
+    put("word/footer1.xml", s"""<w:ftr xmlns:w="$W">${para("the footer")}</w:ftr>""")
+    put("word/footnotes.xml",
+      s"""<w:footnotes xmlns:w="$W">
+         |<w:footnote w:type="separator" w:id="-1">${para("")}</w:footnote>
+         |<w:footnote w:type="continuationSeparator" w:id="0">${para("")}</w:footnote>
+         |<w:footnote w:id="2">${para("note two")}</w:footnote>
+         |<w:footnote w:id="1">${para("note one")}</w:footnote>
+         |</w:footnotes>""".stripMargin)
+    put("word/headerBROKEN.xml", "<not xml") // malformed aux part: dropped, not fatal
+    z.close()
+    val p = Docx.extractParts(bos.toByteArray).get
+    assert(p.body == "the body")
+    assert(p.headers == Seq("first header", "second header"))
+    assert(p.footers == Seq("the footer"))
+    assert(p.footnotes == Seq(1L -> "note one", 2L -> "note two"))
+    // body part unreadable -> whole document refuses
+    assert(Docx.extractParts("junk".getBytes).isEmpty)
+    // packer round trip through the long-format seam
+    val rows = Docx.decodeParts(
+      Docx.packTextDocx(Seq((6L, "body line")).toDF("doc_id", "text"), "doc_id", "text"),
+      "id", "payload")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows == Set(("body", 0L, "body line"), ("header", 0L, "Header 6"),
+      ("header", 1L, "Header2 6"), ("footer", 0L, "Footer 6 page"),
+      ("footnote", 1L, "Note 1 for doc 6")))
+  }
+
   test("docx SOURCE reads files from disk; hostile file flagged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docx").toFile
     val payloads = Docx.packTextDocx(

@@ -32,13 +32,48 @@ class IpynbSpec extends SparkSuite {
       ("raw", "")))
   }
 
-  test("refusals: nbformat 3, no cells, malformed JSON, non-string source parts") {
-    assert(Ipynb.cells("""{"worksheets": [], "nbformat": 3}""".getBytes("UTF-8")).isEmpty)
+  test("refusals: no cells, malformed JSON, non-string source parts") {
     assert(Ipynb.cells("""{"nbformat": 4}""".getBytes("UTF-8")).isEmpty)
     assert(Ipynb.cells("""{"cells": [{"source": ["x"]}]}""".getBytes("UTF-8")).isEmpty) // no cell_type
     assert(Ipynb.cells("""{"cells": [{"cell_type": "code", "source": [1]}]}""".getBytes("UTF-8")).isEmpty)
     assert(Ipynb.cells("not json".getBytes("UTF-8")).isEmpty)
     assert(Ipynb.cells("[1,2]".getBytes("UTF-8")).isEmpty)
+    // v3 malformations refuse too: non-array worksheets, bad level
+    assert(Ipynb.cells("""{"worksheets": 5, "nbformat": 3}""".getBytes("UTF-8")).isEmpty)
+    assert(Ipynb.cells(
+      """{"worksheets":[{"cells":[{"cell_type":"heading","level":9,"source":["x"]}]}]}"""
+        .getBytes("UTF-8")).isEmpty)
+  }
+
+  test("nbformat 3: worksheets concatenate, input->source, heading->markdown, language") {
+    // empty worksheets list is a VALID empty v3 notebook now
+    assert(Ipynb.cells("""{"worksheets": [], "nbformat": 3}""".getBytes("UTF-8"))
+      .contains((null, Seq.empty)))
+    val v3 =
+      """{"metadata": {"name": "t"}, "nbformat": 3, "nbformat_minor": 0,
+        | "worksheets": [
+        |  {"cells": [
+        |    {"cell_type": "heading", "level": 2, "source": ["Title"]},
+        |    {"cell_type": "code", "language": "python",
+        |     "input": ["x = 1\n", "y = 2"], "outputs": [], "prompt_number": 3},
+        |    {"cell_type": "markdown", "source": ["prose"]}]},
+        |  {"cells": [
+        |    {"cell_type": "heading", "source": ["Deep"]},
+        |    {"cell_type": "raw", "source": ["raw text"]}]}
+        | ]}""".stripMargin
+    val Some((lang, cs)) = Ipynb.cells(v3.getBytes("UTF-8"))
+    assert(lang == "python") // from the first code cell
+    assert(cs == Seq(
+      ("markdown", "## Title"), // heading level 2
+      ("code", "x = 1\ny = 2"), // input joined verbatim
+      ("markdown", "prose"),
+      ("markdown", "# Deep"), // missing level defaults to 1
+      ("raw", "raw text"))) // worksheets concatenated in order
+    // notebook-level metadata.language wins over cell language
+    val v3b = """{"metadata": {"language": "julia"}, "worksheets":
+      |[{"cells": [{"cell_type": "code", "language": "python", "input": "z"}]}]}"""
+      .stripMargin
+    assert(Ipynb.cells(v3b.getBytes("UTF-8")).contains(("julia", Seq(("code", "z")))))
   }
 
   test("packer round-trip: alternating types, unicode, quotes, empty text") {
