@@ -2346,7 +2346,7 @@ object SparkEntry {
               val ctx = new com.github.luben.zstd.ZstdCompressCtx()
               try ctx.setLevel(3).compress(b) finally ctx.close()
             }
-            val payload: Array[Byte] = (id % 9) match {
+            val payload: Array[Byte] = (id % 10) match {
               case 0 => bytes
               case 1 => gz(bytes)
               case 2 => zst(bytes)
@@ -2366,8 +2366,9 @@ object SparkEntry {
                 if (id % 2 == 0) graft.ops.Pdf.pdfOf(text, flate = true)
                 else graft.ops.Pdf.pdfOf15(text, flate = true)
               case 7 => gz(zst(bytes))
-              case _ => graft.ops.PngCodec.encode(graft.ops.PngCodec.Image(
+              case 8 => graft.ops.PngCodec.encode(graft.ops.PngCodec.Image(
                 1, 1, 1, Array((id % 256).toByte)))
+              case _ => gz(graft.ops.Tar.tarOf(Seq("doc.txt" -> bytes)))
             }
             (id, payload)
           })
@@ -5748,14 +5749,14 @@ object SparkEntry {
     "x_decode_any" -> """
       WITH p AS (SELECT doc_id,
                         'doc ' || doc_id || ': ' || coalesce(text, '') AS t,
-                        doc_id % 9 AS v
+                        doc_id % 10 AS v
                  FROM documents)
       SELECT doc_id,
              CASE v WHEN 0 THEN 'text' WHEN 1 THEN 'gzip>text'
                     WHEN 2 THEN 'zstd>text' WHEN 3 THEN 'xz>text'
                     WHEN 4 THEN 'bzip2>text' WHEN 5 THEN 'zip'
                     WHEN 6 THEN 'pdf' WHEN 7 THEN 'gzip>zstd>text'
-                    ELSE 'png' END AS chain,
+                    WHEN 8 THEN 'png' ELSE 'gzip>tar' END AS chain,
              true AS ok,
              CASE WHEN v = 8 THEN NULL ELSE t END AS text
       FROM p""",

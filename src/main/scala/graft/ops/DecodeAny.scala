@@ -75,6 +75,20 @@ object DecodeAny {
                 if (texts.nonEmpty) Some(texts.mkString("\n")) else None)
             case _ => (chain.result(), false, None)
           }
+        case "tar" =>
+          // same member recursion as zip — tar.gz reaches here through
+          // the gzip rung and is THE corpus shipping format
+          chain += "tar"
+          return Tar.entries(p) match {
+            case Some(es) if es.length <= MaxZipMembers =>
+              val texts = es.iterator
+                .filter(_.typeflag == '0') // Tar normalizes NUL to '0'
+                .flatMap(e => decodeOne(e.data, steps + 1)._3)
+                .toSeq
+              (chain.result(), true,
+                if (texts.nonEmpty) Some(texts.mkString("\n")) else None)
+            case _ => (chain.result(), false, None)
+          }
         case "unknown" =>
           chain += "unknown"
           return (chain.result(), false, None)

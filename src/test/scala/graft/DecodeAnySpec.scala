@@ -46,6 +46,16 @@ class DecodeAnySpec extends SparkSuite {
     assert(!ok && chain.length == 4 && chain.forall(_ == "gzip"))
   }
 
+  test("tar: member recursion through the gzip rung (tar.gz, the corpus shipping format)") {
+    val tar = graft.ops.Tar.tarOf(Seq(
+      "a.txt" -> "alpha member".getBytes("UTF-8"),
+      "b/inner.gz" -> gz("beta member".getBytes("UTF-8"))))
+    assert(DecodeAny.decodeOne(tar) ==
+      (List("tar"), true, Some("alpha member\nbeta member")))
+    val (chain, ok, t) = DecodeAny.decodeOne(gz(tar))
+    assert(chain == List("gzip", "tar") && ok && t.contains("alpha member\nbeta member"))
+  }
+
   test("zip: member recursion, directory skip, text join in member order") {
     val z = Zip.zipOf(Seq(
       "d/" -> Array.emptyByteArray,
