@@ -156,14 +156,6 @@ object LinearClassifier {
       .where(col("__y").isNotNull && size(col("__b")) > 0)
       .as[(String, Seq[Int])]
 
-    val classes = feats.select(col("__y")).distinct()
-      .as[String].collect().sorted
-    require(classes.length >= 2,
-      s"linear fit: need >= 2 classes, got ${classes.mkString(",")}")
-    val classIdx = classes.zipWithIndex.toMap
-    val nClasses = classes.length
-    val bcIdx = spark.sparkContext.broadcast(classIdx)
-
     // per-partition fold: upper-tri Gram + per-class moment columns.
     // Binary features mean x_i x_j = 1 on active-index pairs, so the
     // fold is sparse: |active|² adds per doc, nothing dim-sized —
@@ -175,21 +167,39 @@ object LinearClassifier {
     // state traffic. Partials are primitive Array[Double] (unboxed
     // UnsafeArrayData both ways — the boxed-Seq encoder was the
     // other half of those 12.5 s).
+    //
+    // Classes are discovered INSIDE the fold (per-partition local
+    // maps, remapped to the sorted global set on the driver) — a
+    // separate distinct() pre-pass would hash the whole corpus a
+    // second time, the larger half of the round-12 +30% langid
+    // regression. The moment columns are class-major (r[c*dim + ai])
+    // so a partition can grow its class set without restriding.
     val foldWidth = math.min(8, math.max(1,
       spark.sparkContext.defaultParallelism))
-    val partials = feats.coalesce(foldWidth).mapPartitions { it =>
-      val idx = bcIdx.value
+    // repartition, NOT coalesce: coalesce is a narrow dependency, so
+    // the expensive feature-hashing projection above would fuse INTO
+    // the 8 fold tasks and run on 8 of N cores (the other half of
+    // that regression). The exchange keeps hashing at scan width and
+    // ships only (label, bucket-array) rows into the fold.
+    val partials = feats.repartition(foldWidth).mapPartitions { it =>
+      val localIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       var n = 0L
       val g = new Array[Double](tri)
-      val r = new Array[Double](dim * idx.size)
+      var r = new Array[Double](dim * 4)
       it.foreach { case (y, buckets) =>
-        val c = idx(y)
+        val c = localIdx.getOrElseUpdate(y, {
+          val next = localIdx.size
+          if (dim.toLong * (next + 1) > r.length)
+            r = java.util.Arrays.copyOf(r, math.max(r.length * 2, dim * (next + 1)))
+          next
+        })
         n += 1
         // active feature indices, ascending (buckets sorted; bias last)
         val act = new Array[Int](buckets.length + 1)
         var k = 0
         buckets.foreach { b => act(k) = b; k += 1 }
         act(k) = dim - 1
+        val cOff = c * dim
         var i = 0
         while (i < act.length) {
           val ai = act(i)
@@ -197,24 +207,36 @@ object LinearClassifier {
           val rowOff = ai * dim - ai * (ai - 1) / 2 - ai
           var j = i
           while (j < act.length) { g(rowOff + act(j)) += 1.0; j += 1 }
-          r(ai * idx.size + c) += 1.0
+          r(cOff + ai) += 1.0
           i += 1
         }
       }
       if (n == 0) Iterator.empty
-      else Iterator.single((n, g, r))
+      else Iterator.single((n, localIdx.keys.toArray,
+        g, java.util.Arrays.copyOf(r, dim * localIdx.size)))
     }.collect() // one row per non-empty partition, partition order
 
     require(partials.nonEmpty, "linear fit: empty training input")
+    val classes = partials.iterator.flatMap(_._2).toArray.distinct.sorted
+    require(classes.length >= 2,
+      s"linear fit: need >= 2 classes, got ${classes.mkString(",")}")
+    val classIdx = classes.zipWithIndex.toMap
+    val nClasses = classes.length
     var n = 0L
     val g = new Array[Double](tri)
-    val r = new Array[Double](dim * nClasses)
-    partials.foreach { case (pn, pgA, prA) =>
+    val r = new Array[Double](dim * nClasses) // class-major: r[c*dim + ai]
+    partials.foreach { case (pn, pClasses, pgA, prA) =>
       n += pn
       var i = 0
       while (i < tri) { g(i) += pgA(i); i += 1 }
-      i = 0
-      while (i < dim * nClasses) { r(i) += prA(i); i += 1 }
+      var c = 0
+      while (c < pClasses.length) {
+        val gOff = classIdx(pClasses(c)) * dim
+        val pOff = c * dim
+        var d = 0
+        while (d < dim) { r(gOff + d) += prA(pOff + d); d += 1 }
+        c += 1
+      }
     }
 
     // dense normal matrix A = G + λ n I
@@ -228,7 +250,7 @@ object LinearClassifier {
     }
     val chol = cholesky(a)
     val weights = Array.tabulate(nClasses) { c =>
-      val rhs = Array.tabulate(dim)(d => r(d * nClasses + c))
+      val rhs = java.util.Arrays.copyOfRange(r, c * dim, (c + 1) * dim)
       choleskySolve(chol, rhs)
     }
     LinearTextModel(nBuckets, classes, weights, featureKind)
