@@ -1886,6 +1886,18 @@ object SparkEntry {
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // .lzma rung (round 13): the legacy ALONE format that predates
+    // the xz container — old release tarballs and 7-Zip exports
+    // still carry it. XZ for Java's LZMAOutputStream encodes (even
+    // ids the known-size header, odd the unknown-size form whose
+    // end-of-stream marker terminates); the same from-spec LZMA core
+    // decodes through the alone header/termination discipline.
+    "x_multimodal_lzma" -> ((s, d) =>
+      graft.ops.XzCodec.decodeLzmaText(
+        graft.ops.XzCodec.packTextLzma(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("id"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
+
     // bzip2 rung: the block-sorting format Wikipedia dumps ship in,
     // commons-compress encoded at block sizes 1/5/9 by id, decoded
     // by the from-spec BWT/MTF/Huffman stack with every block CRC
@@ -5441,6 +5453,13 @@ object SparkEntry {
 
     // xz contract: same decoded-byte identity
     "x_multimodal_xz" -> """
+      SELECT doc_id AS id, true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // lzma-alone contract: same decoded-byte identity
+    "x_multimodal_lzma" -> """
       SELECT doc_id AS id, true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest

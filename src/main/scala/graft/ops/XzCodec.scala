@@ -255,8 +255,12 @@ object XzCodec {
     else 18 + rc.tree(high, 8)
   }
 
-  /** One size-bounded LZMA chunk (LZMA2 style: no end marker). */
-  private def runLzma(s: LzmaState, rc: Range, out: Out, untilLen: Int): Unit = {
+  /** One size-bounded LZMA chunk. LZMA2 callers forbid the end
+    * marker (`allowEndMarker = false`); the `.lzma` alone format
+    * permits it — returns true when decoding stopped at the marker,
+    * false when `untilLen` was reached. */
+  private def runLzma(s: LzmaState, rc: Range, out: Out, untilLen: Int,
+      allowEndMarker: Boolean = false): Boolean = {
     val posMask = (1 << s.pb) - 1
     val litPosMask = (1 << s.lp) - 1
     val P = s.probs
@@ -311,7 +315,11 @@ object XzCodec {
             dist += rc.rtree(P.align, 4)
           }
         }
-        if (dist == -1 || dist == 0xFFFFFFFF) refuse() // end marker illegal in LZMA2
+        if (dist == -1 || dist == 0xFFFFFFFF) {
+          // end-of-stream marker: legal only in the alone format
+          if (!allowEndMarker) refuse()
+          return true
+        }
         s.rep0 = dist
         if (s.rep0 + 1 > out.len || s.rep0 < 0) refuse()
         out.copyFrom(s.rep0 + 1, math.min(len, untilLen - out.len) match {
@@ -351,6 +359,7 @@ object XzCodec {
       }
     }
     if (out.len != untilLen) refuse()
+    false
   }
 
   // ------------------------------------------------------------------
@@ -415,6 +424,84 @@ object XzCodec {
   }
 
   private val HeaderMagic = Array[Int](0xFD, '7', 'z', 'X', 'Z', 0x00)
+
+  /** The legacy `.lzma` ALONE format (the pre-xz container 7-Zip and
+    * old release tarballs still carry): 1 props byte, LE32 dictionary
+    * size, LE64 uncompressed size (all-FF = unknown → decode to the
+    * end-of-stream marker), then one raw LZMA1 stream. Known-size
+    * streams may ALSO end with the marker; either way the byte count
+    * must land exactly. Same LZMA core as the XZ path — this is only
+    * the header and termination discipline. */
+  def decodeLzmaAlone(p: Array[Byte], maxOut: Int = MaxOutput): Option[Array[Byte]] =
+    try {
+      if (p.length < 14) refuse() // header + minimal rc init
+      val props = p(0) & 0xFF
+      if (props >= 225) refuse()
+      var dictSize = 0L
+      var i = 0
+      while (i < 4) { dictSize |= (p(1 + i) & 0xFFL) << (8 * i); i += 1 }
+      var size = 0L
+      i = 0
+      while (i < 8) { size |= (p(5 + i) & 0xFFL) << (8 * i); i += 1 }
+      val unknown = size == -1L
+      if (!unknown && (size < 0 || size > maxOut)) refuse()
+      val out = new Out(if (unknown) maxOut else size.toInt)
+      val rc = new Range(p, 13, p.length)
+      rc.init()
+      val s = new LzmaState
+      s.setProps(props)
+      s.resetState()
+      val until = if (unknown) maxOut else size.toInt
+      val markerHit = runLzma(s, rc, out, until, allowEndMarker = true)
+      if (unknown && !markerHit) refuse() // cap reached without the marker
+      if (!unknown && out.len != size) refuse()
+      Some(out.bytes)
+    } catch { case Refuse => None case _: ArrayIndexOutOfBoundsException => None }
+
+  /** Per-doc `.lzma` payloads written by XZ for Java's own
+    * LZMAOutputStream (the independent encoder): even ids the
+    * known-size header, odd ids the streamed unknown-size form with
+    * the end marker — both termination disciplines in one corpus. */
+  def packTextLzma(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val opts = new org.tukaani.xz.LZMA2Options(1)
+        opts.setDictSize(math.max(1 << 12, math.min(1 << 20,
+          java.lang.Integer.highestOneBit(math.max(1, bytes.length)) << 1)))
+        val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+        val z =
+          if (id % 2 == 0) new org.tukaani.xz.LZMAOutputStream(bos, opts, bytes.length.toLong)
+          else new org.tukaani.xz.LZMAOutputStream(bos, opts, -1L) // unknown size + marker
+        z.write(bytes); z.close()
+        (id, bos.toByteArray)
+      })
+      .toDF("id", "payload")
+  }
+
+  /** Decode `.lzma` payloads; quarantine contract as the other codec
+    * seams. */
+  def decodeLzmaText(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeLzmaAlone(payload) match {
+          case Some(bytes) => (id, true, bytes.length.toLong,
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          case None => (id, false, 0L, null: String)
+        }
+      })
+      .toDF("id", "decoded", "n_bytes", "text")
+  }
 
   def decode(p: Array[Byte]): Option[Array[Byte]] =
     try {

@@ -92,6 +92,39 @@ class XzSpec extends AnyFunSuite {
       assert(XzCodec.decode(z.take(cut)).isEmpty, s"accepted truncation at $cut")
   }
 
+  test("lzma alone format: both termination disciplines, XZ-for-Java pin, refusals") {
+    def lzma(data: Array[Byte], knownSize: Boolean, preset: Int = 3): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val z = new org.tukaani.xz.LZMAOutputStream(bos, new LZMA2Options(preset),
+        if (knownSize) data.length.toLong else -1L)
+      z.write(data); z.close()
+      bos.toByteArray
+    }
+    fixtures.foreach { case (name, data) =>
+      Seq(true, false).foreach { known =>
+        val enc = lzma(data, known)
+        val dec = XzCodec.decodeLzmaAlone(enc)
+        assert(dec.isDefined, s"$name known=$known refused")
+        assert(java.util.Arrays.equals(dec.get, data), s"$name known=$known bytes")
+      }
+    }
+    // header refusals: bad props, truncation, size over cap
+    val good = lzma("marker pin payload".getBytes("UTF-8"), knownSize = false)
+    val badProps = good.clone(); badProps(0) = 225.toByte
+    assert(XzCodec.decodeLzmaAlone(badProps).isEmpty)
+    (0 until good.length by 3).foreach { n =>
+      XzCodec.decodeLzmaAlone(good.take(n)) // never throws
+    }
+    val bigSize = good.clone()
+    var i = 0
+    while (i < 8) { bigSize(5 + i) = 0x7F.toByte; i += 1 } // absurd declared size
+    assert(XzCodec.decodeLzmaAlone(bigSize).isEmpty)
+    // declared size LARGER than the stream's actual content refuses
+    val wrongSize = lzma("abc".getBytes("UTF-8"), knownSize = true)
+    wrongSize(5) = 9 // claims 9 bytes, stream encodes 3
+    assert(XzCodec.decodeLzmaAlone(wrongSize).isEmpty)
+  }
+
   test("fuzz: random buffers never throw") {
     for (_ <- 0 until 300) {
       val junk = Array.fill[Byte](rnd.nextInt(400))(rnd.nextInt().toByte)
