@@ -2190,6 +2190,53 @@ object SparkEntry {
     // independent parquet reader: every row-group size, column path
     // (including the nested "embedding, list, element" leaf), codec
     // name, offset, and byte count must agree.
+    // Delta transaction-log replay (round 13): one synthetic commit
+    // per document — a metaData line, an add for part-<id>.parquet
+    // with the doc's source as its partition value and stats on even
+    // ids, a self-remove when id%5==3 (the file must NOT be active),
+    // and a remove + re-add with a different size when id%5==4 (the
+    // resurrect rule: the LAST add wins). id%7==0 paths arrive
+    // percent-encoded (%2D for the dash) and must decode. Every
+    // active-file row replays from id arithmetic; protocol gating,
+    // ordering, and the end-to-end parquet read are pinned in
+    // DeltaLogSpec.
+    "x_delta_log" -> ((s, d) => {
+      val id = col("doc_id")
+      val path = when(pmod(id, lit(7)) === 0,
+        concat(lit("part%2D"), id, lit(".parquet")))
+        .otherwise(concat(lit("part-"), id, lit(".parquet")))
+      val addLine = concat(
+        lit("{\"add\":{\"path\":\""), path,
+        lit("\",\"partitionValues\":{\"src\":\""), coalesce(col("source"), lit("")),
+        lit("\"},\"size\":"), id + 1000,
+        lit(",\"modificationTime\":"), id * 1000,
+        lit(",\"dataChange\":true"),
+        when(pmod(id, lit(2)) === 0,
+          concat(lit(",\"stats\":\"{\\\"numRecords\\\":"), id, lit("}\"")))
+          .otherwise(lit("")),
+        lit("}}"))
+      val removeLine = concat(
+        lit("{\"remove\":{\"path\":\"part-"), id,
+        lit(".parquet\",\"deletionTimestamp\":1}}"))
+      val readdLine = concat(
+        lit("{\"add\":{\"path\":\"part-"), id,
+        lit(".parquet\",\"partitionValues\":{\"src\":\""), coalesce(col("source"), lit("")),
+        lit("\"},\"size\":"), id + 2000,
+        lit(",\"modificationTime\":"), id * 1000 + 1,
+        lit(",\"dataChange\":true}}"))
+      val content = concat(
+        lit("{\"metaData\":{\"id\":\"tbl\",\"schemaString\":\"{}\",\"partitionColumns\":[\"src\"]}}\n"),
+        lit("{\"protocol\":{\"minReaderVersion\":1,\"minWriterVersion\":2}}\n"),
+        addLine,
+        when(pmod(id, lit(5)) === 3, concat(lit("\n"), removeLine))
+          .when(pmod(id, lit(5)) === 4,
+            concat(lit("\n"), removeLine, lit("\n"), readdLine))
+          .otherwise(lit("")))
+      graft.ops.DeltaLog.activeFiles(
+        docs(s, d).select(id.as("version"), content.as("content")),
+        "version", "content")
+    }),
+
     "x_parquet_footer" -> ((s, d) => {
       import s.implicits._
       val paths = Seq("documents", "embeddings", "orders")
@@ -5710,6 +5757,21 @@ object SparkEntry {
     // views, which carry no path), so the oracle names the sf0.01
     // files the correctness gate contractually runs at; the Spark
     // side follows the sfDir argument as always.
+    // delta-log contract: active files replay by id arithmetic —
+    // %5==3 self-removed (absent), %5==4 resurrected with the re-add
+    // size, stats on even ids, partition value from the source column
+    "x_delta_log" -> """
+      SELECT 'part-' || doc_id || '.parquet' AS path,
+             CAST(CASE WHEN doc_id % 5 = 4 THEN doc_id + 2000
+                       ELSE doc_id + 1000 END AS BIGINT) AS size,
+             CAST(CASE WHEN doc_id % 5 = 4 THEN doc_id * 1000 + 1
+                       ELSE doc_id * 1000 END AS BIGINT) AS modification_time,
+             1 AS n_partition_values,
+             'src=' || coalesce(source, '') AS partition_json,
+             CASE WHEN doc_id % 5 = 4 THEN false ELSE doc_id % 2 = 0 END AS has_stats
+      FROM documents
+      WHERE doc_id % 5 <> 3""",
+
     "x_parquet_footer" -> """
       SELECT regexp_extract(file_name, '([a-z]+)\.parquet$', 1) AS tbl,
              CAST(row_group_id AS INTEGER) AS row_group,

@@ -78,6 +78,10 @@ object SourceReader {
         case Nil  => df
         case cols => df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       }
+    // Delta table CURRENT snapshot: _delta_log JSON replay selects
+    // the active parquet files; partition values inject from the log
+    case "delta" =>
+      graft.ops.DeltaLog.readTable(spark, s.config.reqStr("path"))
 
     // ORC: the other columnar format large estates standardize on
     // (Hive lineage). Same lazy-scan contract as parquet — pushdown,
