@@ -2237,6 +2237,69 @@ object SparkEntry {
         "version", "content")
     }),
 
+    // Delta CHECKPOINT-seeded replay (round 14): a synthetic
+    // checkpoint-parquet action set (one add per document —
+    // cp-<id>.parquet, partition src, stats on even ids — plus the
+    // metaData/protocol rows and a remove TOMBSTONE per doc that must
+    // stay inactive) at version 1e6, then post-checkpoint JSON
+    // commits replayed on top: id%4==1 removed, id%4==2 removed and
+    // re-added with a new size (the resurrect rule through a
+    // checkpoint seed), id%4==3 adds a second file — percent-encoded
+    // (%2D) when also id%3==0 — and id%4==0 commits only a
+    // commitInfo line (the ignored-action path). A stale commit at
+    // the checkpoint version itself must be skipped. The end-to-end
+    // file layout (_last_checkpoint, multi-part parts, refusals) is
+    // pinned in DeltaLogSpec.
+    "x_delta_checkpoint" -> ((s, d) => {
+      val id = col("doc_id")
+      val dd = docs(s, d)
+      val cpAdds = dd.select(struct(
+        concat(lit("cp-"), id, lit(".parquet")).as("path"),
+        map(lit("src"), coalesce(col("source"), lit(""))).as("partitionValues"),
+        (id + 500).cast("long").as("size"),
+        (id * 10).cast("long").as("modificationTime"),
+        when(pmod(id, lit(2)) === 0,
+          concat(lit("{\"numRecords\":"), id, lit("}")))
+          .otherwise(lit(null).cast("string")).as("stats")).as("add"))
+      val cpTombs = dd.select(struct(
+        concat(lit("gone-"), id, lit(".parquet")).as("path")).as("remove"))
+      val cpFurniture = s.sql(
+        "SELECT named_struct('id','tbl','schemaString','{}','partitionColumns',array('src')) AS metaData")
+        .unionByName(
+          s.sql("SELECT named_struct('minReaderVersion', CAST(1 AS BIGINT)) AS protocol"),
+          allowMissingColumns = true)
+      val checkpoint = cpAdds
+        .unionByName(cpTombs, allowMissingColumns = true)
+        .unionByName(cpFurniture, allowMissingColumns = true)
+      val newPath = when(pmod(id, lit(3)) === 0,
+          concat(lit("new%2D"), id, lit(".parquet")))
+        .otherwise(concat(lit("new-"), id, lit(".parquet")))
+      val removeLine = concat(lit("{\"remove\":{\"path\":\"cp-"), id,
+        lit(".parquet\",\"deletionTimestamp\":1}}"))
+      val readdLine = concat(
+        lit("{\"add\":{\"path\":\"cp-"), id,
+        lit(".parquet\",\"partitionValues\":{\"src\":\""), coalesce(col("source"), lit("")),
+        lit("\"},\"size\":"), id + 9000,
+        lit(",\"modificationTime\":"), id * 10 + 7,
+        lit(",\"dataChange\":true}}"))
+      val newAddLine = concat(
+        lit("{\"add\":{\"path\":\""), newPath,
+        lit("\",\"partitionValues\":{\"src\":\""), coalesce(col("source"), lit("")),
+        lit("\"},\"size\":"), id + 77,
+        lit(",\"modificationTime\":"), id * 10 + 3,
+        lit(",\"dataChange\":true,\"stats\":\"{\\\"numRecords\\\":1}\"}}"))
+      val content =
+        when(pmod(id, lit(4)) === 1, removeLine)
+          .when(pmod(id, lit(4)) === 2, concat(removeLine, lit("\n"), readdLine))
+          .when(pmod(id, lit(4)) === 3, newAddLine)
+          .otherwise(lit("{\"commitInfo\":{\"operation\":\"WRITE\"}}"))
+      val commits = dd.select((id + 1000001L).as("version"), content.as("content"))
+        .unionByName(dd.limit(1).select(lit(1000000L).as("version"),
+          lit("{\"add\":{\"path\":\"stale.parquet\",\"partitionValues\":{},\"size\":1,\"modificationTime\":0}}").as("content")))
+      graft.ops.DeltaLog.activeFilesFromCheckpoint(
+        checkpoint, commits, "version", "content", 1000000L)
+    }),
+
     "x_parquet_footer" -> ((s, d) => {
       import s.implicits._
       val paths = Seq("documents", "embeddings", "orders")
@@ -5771,6 +5834,27 @@ object SparkEntry {
              CASE WHEN doc_id % 5 = 4 THEN false ELSE doc_id % 2 = 0 END AS has_stats
       FROM documents
       WHERE doc_id % 5 <> 3""",
+
+    // checkpoint-seeded contract: checkpoint adds survive unless the
+    // post-checkpoint tail removes them (%4==1), the %4==2 re-add
+    // wins size/mtime/stats, %4==3 contributes a second (decoded)
+    // file, tombstones and the stale at-checkpoint commit contribute
+    // nothing
+    "x_delta_checkpoint" -> """
+      SELECT 'cp-' || doc_id || '.parquet' AS path,
+             CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id + 9000
+                       ELSE doc_id + 500 END AS BIGINT) AS size,
+             CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id * 10 + 7
+                       ELSE doc_id * 10 END AS BIGINT) AS modification_time,
+             1 AS n_partition_values,
+             'src=' || coalesce(source, '') AS partition_json,
+             CASE WHEN doc_id % 4 = 2 THEN false ELSE doc_id % 2 = 0 END AS has_stats
+      FROM documents WHERE doc_id % 4 <> 1
+      UNION ALL
+      SELECT 'new-' || doc_id || '.parquet',
+             CAST(doc_id + 77 AS BIGINT), CAST(doc_id * 10 + 3 AS BIGINT),
+             1, 'src=' || coalesce(source, ''), true
+      FROM documents WHERE doc_id % 4 = 3""",
 
     "x_parquet_footer" -> """
       SELECT regexp_extract(file_name, '([a-z]+)\.parquet$', 1) AS tbl,

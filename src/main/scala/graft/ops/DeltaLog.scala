@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -20,6 +21,14 @@ import org.json4s.jackson.JsonMethods
   *  - the snapshot is the log replay in version order: an `add` puts
   *    the file in the active set keyed by path, a `remove` deletes
   *    it, a later re-`add` resurrects it;
+  *  - checkpoints: `_last_checkpoint` (JSON: version, size, optional
+  *    parts) names a parquet snapshot of the replay state at that
+  *    version — `<version>.checkpoint.parquet`, or for multi-part
+  *    `<version>.checkpoint.<i of n>.parquet` (both zero-padded, i
+  *    1-based). One action per row, same add/remove/metaData/protocol
+  *    shapes as the JSON lines; `remove` rows are VACUUM tombstones,
+  *    not active files. A snapshot = checkpoint state + replay of the
+  *    JSON commits with version > checkpoint version;
   *  - file paths are RELATIVE to the table root and percent-encoded
   *    (RFC 3986 unreserved set) — decoded here; absolute URIs pass
   *    through;
@@ -27,18 +36,30 @@ import org.json4s.jackson.JsonMethods
   *    Higher reader versions signal features that CHANGE READ
   *    SEMANTICS (column mapping, deletion vectors) — reading through
   *    them without honoring them silently returns wrong data, so the
-  *    snapshot REFUSES, the quarantine contract (checkpoints are a
-  *    read optimization the protocol lets a reader skip only when it
-  *    reads every commit; we require the full JSON commit chain and
-  *    refuse `_last_checkpoint`-truncated logs — declared).
+  *    snapshot REFUSES.
   *
-  * Scale shape: the log is small-by-construction metadata (thousands
-  * of JSON lines for petabyte tables) — parsing is driver-trivial;
-  * the OUTPUT (active file list) is what feeds a distributed
-  * `spark.read.parquet` over the data. The DataFrame surface
-  * ([[activeFiles]]) keeps the replay an aggregation over (version,
-  * line) rows so even degenerate million-commit logs stay off the
-  * driver until the bounded final set.
+  * Scale shape, per surface:
+  *  - [[activeFiles]] / [[activeFilesFromCheckpoint]] (the DataFrame
+  *    replay): fully distributed — commit contents split to (version,
+  *    line) rows, each line parsed by a codegen'd `from_json`
+  *    projection, the last action per path selected by one `max_by`
+  *    aggregation (paths shuffle, bodies and stats strings don't
+  *    beyond their own row), and the whole-log validity gate (any
+  *    malformed line / unsupported protocol / missing metaData →
+  *    empty result) rides as a one-row broadcast side, so nothing
+  *    ever `collect()`s — a degenerate million-commit log stays off
+  *    the driver end to end.
+  *  - [[readTable]]: the active FILE LIST must reach the driver by
+  *    necessity (scan paths are driver-side strings), so the replay
+  *    there is driver-side over the log JSON — bounded by the log,
+  *    which is metadata (thousands of lines for petabyte tables) —
+  *    and the checkpoint parquet contributes only its (path,
+  *    partitionValues, size) columns to that list. The DATA scan is
+  *    ONE parquet relation over all active files (never one union arm
+  *    per partition tuple — a date×source table has 10³–10⁵ tuples
+  *    and a union that wide dies in analysis); partition values
+  *    arrive by joining the scan's `_metadata.file_path` against a
+  *    small broadcast path→values manifest.
   */
 object DeltaLog {
 
@@ -52,37 +73,21 @@ object DeltaLog {
   }
   private def refuse(): Nothing = throw Refuse
 
-  private def percentDecode(s: String): String = {
-    if (!s.contains('%')) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    val bytes = new java.io.ByteArrayOutputStream()
-    var i = 0
-    def flush(): Unit = if (bytes.size() > 0) {
-      sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-      bytes.reset()
-    }
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val h = Character.digit(s.charAt(i + 1), 16)
-        val l = Character.digit(s.charAt(i + 2), 16)
-        if (h >= 0 && l >= 0) { bytes.write((h << 4) | l); i += 3 }
-        else { flush(); sb.append(c); i += 1 }
-      } else { flush(); sb.append(c); i += 1 }
-    }
-    flush()
-    sb.toString
-  }
+  private def percentDecode(s: String): String = graft.expr.PercentDecodeKernel.decode(s)
 
   /** Replay commits (version-ascending, line order within a commit)
-    * into the current snapshot. None on malformed JSON, an
-    * unsupported protocol, or a log with no metaData. */
-  def snapshotOf(commits: Seq[(Long, String)]): Option[Snapshot] =
+    * into the current snapshot, optionally seeded with a checkpoint's
+    * state. None on malformed JSON, an unsupported protocol, or a log
+    * with no metaData (seed included). Driver-side — used by
+    * [[readTable]], where the file list is needed as scan paths; the
+    * DataFrame surfaces replay distributed instead. */
+  def snapshotOf(commits: Seq[(Long, String)], seed: Option[Snapshot] = None): Option[Snapshot] =
     try {
-      var tableId: String = null
-      var schemaJson: String = null
-      var partitionCols: Seq[String] = Seq.empty
+      var tableId: String = seed.map(_.tableId).orNull
+      var schemaJson: String = seed.map(_.schemaJson).orNull
+      var partitionCols: Seq[String] = seed.map(_.partitionColumns).getOrElse(Seq.empty)
       val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+      seed.foreach(_.files.foreach(f => active(f.path) = f))
       commits.sortBy(_._1).foreach { case (_, content) =>
         content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
           val jv = try JsonMethods.parse(line) catch { case _: Exception => refuse() }
@@ -137,66 +142,279 @@ object DeltaLog {
     else None
   }
 
-  /** DataFrame surface: (version, content) commit rows → one row per
-    * ACTIVE file (path, size, modification_time, n_partition_values,
-    * partition_json, has_stats). Malformed logs emit nothing. */
-  def activeFiles(df: DataFrame, versionCol: String, contentCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val commits = df.select(col(versionCol).cast("long"), col(contentCol).cast("string"))
-      .as[(Long, String)]
-      .collect() // the log is bounded metadata; see scaladoc
-      .toSeq
-    snapshotOf(commits) match {
-      case Some(snap) =>
-        val rows = snap.files.map { f =>
-          val pj = f.partitionValues.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k=$v" }.mkString(",")
-          (f.path, f.size, f.modificationTime, f.partitionValues.size, pj, f.stats.isDefined)
-        }
-        rows.toDF("path", "size", "modification_time", "n_partition_values",
-          "partition_json", "has_stats")
-      case None =>
-        Seq.empty[(String, Long, Long, Int, String, Boolean)]
-          .toDF("path", "size", "modification_time", "n_partition_values",
-            "partition_json", "has_stats")
+  // ---------------------------------------------------------------
+  // Distributed replay (the DataFrame surfaces)
+  // ---------------------------------------------------------------
+
+  private val addType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("stats", StringType)))
+  private val removeType = StructType(Seq(StructField("path", StringType)))
+  private val metaType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType))))
+  private val protoType = StructType(Seq(StructField("minReaderVersion", LongType)))
+  private val actionType = StructType(Seq(
+    StructField("add", addType), StructField("remove", removeType),
+    StructField("metaData", metaType), StructField("protocol", protoType),
+    StructField("__corrupt", StringType)))
+
+  /** (version, content) commit rows → the long action stream
+    * (__v, __ln, add, remove, metaData, protocol, __corrupt):
+    * split to lines, posexplode for in-commit order, `from_json` per
+    * line. A line that is not a JSON object parses to a null struct —
+    * flagged corrupt (the protocol mandates one ACTION OBJECT per
+    * line). All scan-local codegen'd projections. */
+  private def parseCommits(df: DataFrame, versionCol: String, contentCol: String): DataFrame =
+    df.select(col(versionCol).cast("long").as("__v"),
+        posexplode(split(col(contentCol).cast("string"), "\n")).as(Seq("__ln", "__line")))
+      .where(trim(col("__line")) =!= "")
+      .select(col("__v"), col("__ln").cast("long").as("__ln"),
+        from_json(col("__line"), actionType,
+          Map("columnNameOfCorruptRecord" -> "__corrupt")).as("a"))
+      .select(col("__v"), col("__ln"),
+        col("a.add").as("add"), col("a.remove").as("remove"),
+        col("a.metaData").as("metaData"), col("a.protocol").as("protocol"),
+        (col("a").isNull || col("a.__corrupt").isNotNull).as("__corrupt"))
+
+  /** Re-shape a checkpoint-parquet DataFrame (action structs, one per
+    * row — possibly with extra columns/subfields real writers add) to
+    * the canonical action stream at (version=checkpointVersion,
+    * line=-1): every checkpoint action orders BELOW every
+    * post-checkpoint commit line. Missing columns/subfields surface
+    * as nulls; extra ones are ignored. */
+  private def normalizeCheckpoint(df: DataFrame, checkpointVersion: Long): DataFrame = {
+    val schema = df.schema
+    def subCols(parent: String, t: StructType): Column = schema.find(_.name == parent) match {
+      case Some(f) if f.dataType.isInstanceOf[StructType] =>
+        val have = f.dataType.asInstanceOf[StructType].fieldNames.toSet
+        val rebuilt = struct(t.fields.map { sf =>
+          (if (have(sf.name)) col(s"$parent.${sf.name}").cast(sf.dataType)
+           else lit(null).cast(sf.dataType)).as(sf.name)
+        }.toIndexedSeq: _*)
+        when(col(parent).isNotNull, rebuilt).otherwise(lit(null).cast(t)).as(parent)
+      case _ => lit(null).cast(t).as(parent)
     }
+    df.select(lit(checkpointVersion).as("__v"), lit(-1L).as("__ln"),
+      subCols("add", addType), subCols("remove", removeType),
+      subCols("metaData", metaType), subCols("protocol", protoType),
+      lit(false).as("__corrupt"))
   }
 
+  /** The distributed replay core over the canonical action stream.
+    * Two aggregations, both over (version, line) rows:
+    *  - the VALIDITY GATE (any corrupt line, any protocol other than
+    *    reader-version 1, any add missing path/size, any remove
+    *    missing path, any metaData missing id, or NO metaData at all
+    *    → the whole log is refused) reduces to one 0/1-row DataFrame
+    *    that rides as a broadcast cross-join side — refusal = empty
+    *    output, with no eager driver job at plan time;
+    *  - the REPLAY: explode each line's (add?, remove?) into ordered
+    *    sub-actions, percent-decode the path, and take the last
+    *    action per path with `max_by` over (version, line, sub) —
+    *    active = paths whose last action is an add. */
+  private def replay(actions: DataFrame): DataFrame = {
+    val bad = col("__corrupt") ||
+      (col("protocol").isNotNull &&
+        (col("protocol.minReaderVersion").isNull || col("protocol.minReaderVersion") =!= 1L)) ||
+      (col("add").isNotNull && (col("add.path").isNull || col("add.size").isNull)) ||
+      (col("remove").isNotNull && col("remove.path").isNull) ||
+      (col("metaData").isNotNull && col("metaData.id").isNull)
+    val gateOk = actions
+      .agg(max(bad.cast("int")).as("__bad"),
+        max(col("metaData").isNotNull.cast("int")).as("__meta"))
+      .where(coalesce(col("__bad"), lit(1)) === 0 && coalesce(col("__meta"), lit(0)) === 1)
+      .select(lit(1).as("__gate"))
+    val emptyPv = lit(null).cast(MapType(StringType, StringType))
+    val acted = actions
+      .where(col("add").isNotNull || col("remove").isNotNull)
+      .select(col("__v"), col("__ln"),
+        explode(filter(array(
+          struct(lit(0).as("sub"), col("add").isNotNull.as("valid"),
+            col("add.path").as("path"), lit(true).as("is_add"),
+            col("add.size").as("size"), col("add.modificationTime").as("mod"),
+            col("add.partitionValues").as("pv"), col("add.stats").isNotNull.as("has_stats")),
+          struct(lit(1).as("sub"), col("remove").isNotNull.as("valid"),
+            col("remove.path").as("path"), lit(false).as("is_add"),
+            lit(null).cast(LongType).as("size"), lit(null).cast(LongType).as("mod"),
+            emptyPv.as("pv"), lit(false).as("has_stats"))
+        ), x => x("valid"))).as("act"))
+    val last = acted
+      .groupBy(graft.expr.PercentDecode(col("act.path")).as("path"))
+      .agg(max_by(
+        struct(col("act.is_add").as("is_add"), col("act.size").as("size"),
+          col("act.mod").as("mod"), col("act.pv").as("pv"),
+          col("act.has_stats").as("has_stats")),
+        struct(col("__v"), col("__ln"), col("act.sub"))).as("last"))
+      .where(col("last.is_add"))
+    val pv = map_filter(coalesce(col("last.pv"), emptyPv), (_, v) => v.isNotNull)
+    last.select(col("path"),
+        col("last.size").as("size"),
+        coalesce(col("last.mod"), lit(0L)).as("modification_time"),
+        coalesce(size(pv), lit(0)).as("n_partition_values"),
+        coalesce(array_join(
+          transform(array_sort(map_entries(pv)),
+            e => concat(e("key"), lit("="), e("value"))), ","), lit("")).as("partition_json"),
+        col("last.has_stats").as("has_stats"))
+      .crossJoin(broadcast(gateOk))
+      .drop("__gate")
+  }
+
+  /** DataFrame surface: (version, content) commit rows → one row per
+    * ACTIVE file (path, size, modification_time, n_partition_values,
+    * partition_json, has_stats). Malformed logs emit nothing. Fully
+    * distributed (see the object scaladoc's scale shape). */
+  def activeFiles(df: DataFrame, versionCol: String, contentCol: String): DataFrame =
+    replay(parseCommits(df, versionCol, contentCol))
+
+  /** Checkpoint-seeded replay: `checkpoint` holds the action rows of
+    * a checkpoint parquet (add/remove/metaData/protocol structs, one
+    * action per row), `commits` the (version, content) JSON commits;
+    * commit rows at or below `checkpointVersion` are ignored (the
+    * checkpoint already contains their effect — and writers are
+    * allowed to have deleted them). Same output surface and refusal
+    * contract as [[activeFiles]], same distributed shape. */
+  def activeFilesFromCheckpoint(checkpoint: DataFrame, commits: DataFrame,
+      versionCol: String, contentCol: String, checkpointVersion: Long): DataFrame =
+    replay(normalizeCheckpoint(checkpoint, checkpointVersion).unionByName(
+      parseCommits(commits, versionCol, contentCol).where(col("__v") > checkpointVersion)))
+
+  // ---------------------------------------------------------------
+  // Table reading (driver-side log, single distributed data scan)
+  // ---------------------------------------------------------------
+
+  /** Checkpoint file names for `_last_checkpoint`'s (version, parts). */
+  private[graft] def checkpointNames(version: Long, parts: Option[Int]): Seq[String] =
+    parts match {
+      case Some(n) => (1 to n).map(i => f"$version%020d.checkpoint.$i%010d.$n%010d.parquet")
+      case None    => Seq(f"$version%020d.checkpoint.parquet")
+    }
+
+  /** Read a checkpoint parquet into a seed Snapshot: protocol-gate
+    * every protocol row, take the (single) metaData row, and collect
+    * the add rows' (path, partitionValues, size, modificationTime) —
+    * the file list [[readTable]] needs on the driver anyway. Remove
+    * rows are VACUUM tombstones and contribute nothing. */
+  private def checkpointSnapshot(spark: SparkSession, paths: Seq[String]): Snapshot = {
+    val norm = normalizeCheckpoint(spark.read.parquet(paths: _*), 0L)
+    val badProto = norm.where(col("protocol").isNotNull &&
+      (col("protocol.minReaderVersion").isNull || col("protocol.minReaderVersion") =!= 1L))
+    if (!badProto.isEmpty)
+      throw new graft.GraftAnalysisException(
+        "delta: unsupported protocol in checkpoint (minReaderVersion > 1)")
+    val meta = norm.where(col("metaData").isNotNull)
+      .select(col("metaData.id"), col("metaData.schemaString"), col("metaData.partitionColumns"))
+      .collect()
+    val m = if (meta.nonEmpty) meta.last else
+      throw new graft.GraftAnalysisException("delta: checkpoint has no metaData action")
+    if (m.isNullAt(0))
+      throw new graft.GraftAnalysisException("delta: checkpoint metaData has no id")
+    val pcols: Seq[String] =
+      if (m.isNullAt(2)) Seq.empty else m.getSeq[String](2)
+    val adds = norm.where(col("add").isNotNull)
+      .select(col("add.path"), col("add.partitionValues"), col("add.size"),
+        col("add.modificationTime"), col("add.stats").isNotNull)
+      .collect()
+      .map { r =>
+        if (r.isNullAt(0) || r.isNullAt(2))
+          throw new graft.GraftAnalysisException("delta: malformed add action in checkpoint")
+        AddFile(percentDecode(r.getString(0)),
+          if (r.isNullAt(1)) Map.empty
+          else r.getMap[String, String](1).toMap.filter(_._2 != null),
+          r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3),
+          if (r.getBoolean(4)) Some("") else None)
+      }
+    Snapshot(m.getString(0), if (m.isNullAt(1)) null else m.getString(1), pcols, adds.toSeq)
+  }
+
+  /** Spellings under which a file scan may report a local path in
+    * `_metadata.file_path` (raw, `file:` single/triple-slash, each
+    * also in percent-encoded form) — the broadcast manifest carries
+    * one row per spelling so the join matches whichever the runtime
+    * emits, with no format guessing baked in. */
+  private def keyForms(p: String): Seq[String] =
+    if (p.contains("://")) Seq(p)
+    else {
+      val abs = new java.io.File(p).getAbsolutePath
+      val enc = new java.io.File(abs).toURI.getRawPath
+      Seq(abs, s"file:$abs", s"file://$abs", s"file:$enc", s"file://$enc").distinct
+    }
+
   /** Read the CURRENT data of a classic (reader-version-1) Delta
-    * table: replay the `_delta_log` commit JSONs, then scan the active parquet
-    * files, injecting each file's partitionValues as literal columns
-    * (grouped by distinct partition tuple — one union arm per tuple,
-    * which AQE coalesces; partition values live in the LOG, not the
-    * files, per the protocol). Refuses (analysis error) on
-    * unsupported protocol or a checkpoint-truncated log. */
+    * table: seed from the `_last_checkpoint` checkpoint parquet when
+    * present, replay the later `_delta_log` commit JSONs, then scan
+    * ALL active parquet files as ONE relation, injecting each file's
+    * partitionValues (which live in the LOG, not the files, per the
+    * protocol) via a broadcast `_metadata.file_path` → values
+    * manifest join — the plan holds one scan node however many
+    * partition tuples the table has. Refuses (analysis error) on
+    * unsupported protocol, a missing/incomplete checkpoint, or a
+    * malformed log. */
   def readTable(spark: SparkSession, tableDir: String): DataFrame = {
     val dir = new java.io.File(tableDir, "_delta_log")
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
-    if (files.exists(_.getName == "_last_checkpoint"))
-      throw new graft.GraftAnalysisException(
-        "delta: checkpoint-truncated logs unsupported (full JSON commit chain required)")
+    val lastCp: Option[(Long, Option[Int])] =
+      files.find(_.getName == "_last_checkpoint").map { f =>
+        val jv = try JsonMethods.parse(new String(
+            java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+          catch { case _: Exception =>
+            throw new graft.GraftAnalysisException("delta: malformed _last_checkpoint") }
+        val v = jv \ "version" match {
+          case JInt(x) => x.toLong
+          case _ => throw new graft.GraftAnalysisException(
+            "delta: _last_checkpoint missing version")
+        }
+        val parts = jv \ "parts" match { case JInt(x) => Some(x.toInt); case _ => None }
+        (v, parts)
+      }
+    val seed = lastCp.map { case (v, parts) =>
+      val cpFiles = checkpointNames(v, parts).map(n => new java.io.File(dir, n))
+      val missing = cpFiles.filterNot(_.isFile)
+      if (missing.nonEmpty)
+        throw new graft.GraftAnalysisException(
+          s"delta: _last_checkpoint names version $v but ${missing.head.getName} is missing")
+      checkpointSnapshot(spark, cpFiles.map(_.getAbsolutePath).toSeq)
+    }
+    val cpVersion = lastCp.map(_._1).getOrElse(-1L)
     val commits = files.toSeq
       .flatMap(f => versionOf(f.getName).map(v =>
         v -> new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)))
+      .filter(_._1 > cpVersion)
       .sortBy(_._1)
-    if (commits.isEmpty)
+    if (commits.isEmpty && seed.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: no commits under $tableDir/_delta_log")
-    val snap = snapshotOf(commits).getOrElse(
+    val snap = snapshotOf(commits, seed).getOrElse(
       throw new graft.GraftAnalysisException(
         s"delta: unreadable log at $tableDir (unsupported protocol or malformed action)"))
     if (snap.files.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: table at $tableDir has no active files")
-    val arms = snap.files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
-      val paths = fs.map(f =>
-        if (f.path.contains("://") || f.path.startsWith("/")) f.path
-        else s"$tableDir/${f.path}")
-      val base = spark.read.parquet(paths: _*)
-      snap.partitionColumns.foldLeft(base) { (d, c) =>
-        d.withColumn(c, lit(pv.getOrElse(c, null: String)))
-      }
+    val resolved = snap.files.map { f =>
+      val p = if (f.path.contains("://") || f.path.startsWith("/")) f.path
+              else s"$tableDir/${f.path}"
+      f -> p
     }
-    arms.reduce(_.unionByName(_))
+    val base = spark.read.parquet(resolved.map(_._2): _*)
+    if (snap.partitionColumns.isEmpty) base
+    else {
+      val pcols = snap.partitionColumns
+      val rows = resolved.flatMap { case (f, p) =>
+        keyForms(p).map(k =>
+          Row.fromSeq(k +: pcols.map(c => f.partitionValues.getOrElse(c, null: String))))
+      }
+      val mSchema = StructType(
+        StructField("__graft_file_key", StringType) +:
+          pcols.map(c => StructField(c, StringType)))
+      val manifest = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), mSchema)
+      base.withColumn("__graft_file_key", col("_metadata.file_path"))
+        .join(broadcast(manifest), Seq("__graft_file_key"), "left")
+        .drop("__graft_file_key")
+    }
   }
 }

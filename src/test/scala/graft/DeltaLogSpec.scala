@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.DeltaLog
+
+/** Delta transaction-log replay: the distributed (version, line)
+  * replay semantics, checkpoint seeding, and the single-scan
+  * readTable contract — including checkpoint-vs-full-replay equality
+  * on the same logical log, the multi-part checkpoint layout, and the
+  * protocol/refusal ladder. */
+class DeltaLogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def commitsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("version", "content")
+
+  private def active(rows: (Long, String)*): Map[String, (Long, Long, Int, String, Boolean)] =
+    DeltaLog.activeFiles(commitsDf(rows: _*), "version", "content")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getString(4), r.getBoolean(5))))
+      .toMap
+
+  private val meta = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":["p"]}}"""
+  private val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  test("distributed replay: add, remove, resurrect, last-add-wins, percent-decode") {
+    val out = active(
+      0L -> (meta + "\n" + proto + "\n" +
+        """{"add":{"path":"a.parquet","partitionValues":{"p":"x"},"size":10,"modificationTime":1,"stats":"{\"numRecords\":3}"}}""" + "\n" +
+        """{"add":{"path":"b%2Dq.parquet","partitionValues":{},"size":20,"modificationTime":2}}"""),
+      1L -> """{"remove":{"path":"a.parquet","deletionTimestamp":9}}""",
+      2L -> ("""{"add":{"path":"a.parquet","partitionValues":{"p":"y"},"size":11,"modificationTime":3}}""" + "\n" +
+        """{"commitInfo":{"operation":"WRITE"}}"""))
+    assert(out == Map(
+      "a.parquet" -> ((11L, 3L, 1, "p=y", false)), // resurrected: the re-add wins
+      "b-q.parquet" -> ((20L, 2L, 0, "", false)))) // %2D decoded; empty partitionValues
+  }
+
+  test("same-commit ordering: a remove after an add in one commit deletes; reverse resurrects") {
+    val sameLineOrder = active(0L -> (meta + "\n" +
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0}}""" + "\n" +
+      """{"remove":{"path":"f.parquet"}}"""))
+    assert(sameLineOrder.isEmpty)
+    val reverse = active(0L -> (meta + "\n" +
+      """{"remove":{"path":"f.parquet"}}""" + "\n" +
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":2,"modificationTime":0}}"""))
+    assert(reverse.keySet == Set("f.parquet"))
+  }
+
+  test("refusal ladder: malformed line, protocol >1, add missing size, no metaData → empty") {
+    val good = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0}}"""
+    assert(active(0L -> (meta + "\n" + good + "\nnot json at all")).isEmpty)
+    assert(active(0L -> (meta + "\n" +
+      """{"protocol":{"minReaderVersion":2}}""" + "\n" + good)).isEmpty)
+    assert(active(0L -> (meta + "\n" + """{"add":{"path":"f.parquet"}}""")).isEmpty)
+    assert(active(0L -> good).isEmpty) // no metaData anywhere
+    assert(active(0L -> (meta + "\n" + good)).nonEmpty) // control
+  }
+
+  test("partition_json sorts keys; null-valued entries drop") {
+    val out = active(0L -> (meta + "\n" +
+      """{"add":{"path":"f.parquet","partitionValues":{"z":"1","a":"2","n":null},"size":1,"modificationTime":0}}"""))
+    assert(out("f.parquet") == ((1L, 0L, 2, "a=2,z=1", false)))
+  }
+
+  // --- checkpoint-seeded replay (DataFrame surface) ---
+
+  private def cpDf(adds: Seq[(String, String, Long, Long)], tombstones: Seq[String]): DataFrame = {
+    val addRows = adds.toDF("path", "p", "size", "mod")
+      .select(struct(col("path"),
+        map(lit("p"), col("p")).as("partitionValues"),
+        col("size"), col("mod").as("modificationTime")).as("add"))
+    val metaRow = spark.sql(
+      "SELECT named_struct('id','t','schemaString','{}','partitionColumns',array('p')) AS metaData")
+    val protoRow = spark.sql("SELECT named_struct('minReaderVersion', CAST(1 AS BIGINT)) AS protocol")
+    val tombRows = tombstones.toDF("path").select(struct(col("path")).as("remove"))
+    addRows.unionByName(metaRow, allowMissingColumns = true)
+      .unionByName(protoRow, allowMissingColumns = true)
+      .unionByName(tombRows, allowMissingColumns = true)
+  }
+
+  test("checkpoint seed: adds active, tombstones inactive, later commits replay on top, stale commits ignored") {
+    val cp = cpDf(Seq(("f0.parquet", "x", 100L, 10L), ("f1.parquet", "y", 101L, 11L)),
+      tombstones = Seq("gone.parquet"))
+    val commits = commitsDf(
+      // at/below the checkpoint version: must be IGNORED even if contradictory
+      2L -> """{"add":{"path":"stale.parquet","partitionValues":{},"size":1,"modificationTime":0}}""",
+      3L -> ("""{"remove":{"path":"f1.parquet"}}""" + "\n" +
+        """{"add":{"path":"f2.parquet","partitionValues":{"p":"y"},"size":102,"modificationTime":12}}"""),
+      4L -> """{"add":{"path":"f3.parquet","partitionValues":{"p":"z"},"size":103,"modificationTime":13}}""")
+    val out = DeltaLog.activeFilesFromCheckpoint(cp, commits, "version", "content", 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("f0.parquet" -> 100L, "f2.parquet" -> 102L, "f3.parquet" -> 103L))
+  }
+
+  test("checkpoint seed: bad protocol row in the checkpoint refuses the whole replay") {
+    val cp = cpDf(Seq(("f0.parquet", "x", 100L, 10L)), Seq.empty)
+      .unionByName(
+        spark.sql("SELECT named_struct('minReaderVersion', CAST(2 AS BIGINT)) AS protocol"),
+        allowMissingColumns = true)
+    val out = DeltaLog.activeFilesFromCheckpoint(cp, commitsDf(), "version", "content", 2L)
+    assert(out.isEmpty)
+  }
+
+  // --- readTable: on-disk fixtures ---
+
+  /** Write df as a SINGLE parquet file at dest (Spark writes
+    * directories; checkpoint/data-file fixtures need exact names). */
+  private def singleParquet(df: DataFrame, dest: java.io.File): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delta").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeCommit(logDir: java.io.File, v: Long, lines: String*): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"$v%020d.json").toPath,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def addLine(path: String, p: String, size: Long): String =
+    s"""{"add":{"path":"$path","partitionValues":{"p":"$p"},"size":$size,"modificationTime":0,"dataChange":true}}"""
+
+  /** A table dir with data files f0..f3 (two rows each, id block per
+    * file) and a fresh _delta_log dir; returns (tableDir, logDir). */
+  private def tableFixture(): (java.io.File, java.io.File) = {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-delta-tbl").toFile
+    (0 to 3).foreach { i =>
+      singleParquet(Seq((i * 10L, s"row${i}a"), (i * 10L + 1, s"row${i}b")).toDF("id", "s"),
+        new java.io.File(tableDir, s"f$i.parquet"))
+    }
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    logDir.mkdirs()
+    (tableDir, logDir)
+  }
+
+  private def readSorted(dir: java.io.File): Seq[(Long, String, String)] =
+    DeltaLog.readTable(spark, dir.getAbsolutePath)
+      .select("id", "s", "p").as[(Long, String, String)].collect().sorted.toSeq
+
+  test("readTable without checkpoint: full JSON replay, partition values injected, one scan") {
+    val (tableDir, logDir) = tableFixture()
+    writeCommit(logDir, 0L, meta, proto, addLine("f0.parquet", "x", 100),
+      addLine("f1.parquet", "y", 101))
+    writeCommit(logDir, 1L, """{"remove":{"path":"f1.parquet"}}""",
+      addLine("f2.parquet", "y", 102))
+    writeCommit(logDir, 2L, addLine("f3.parquet", "z", 103))
+    val df = DeltaLog.readTable(spark, tableDir.getAbsolutePath)
+    assert(readSorted(tableDir) == Seq(
+      (0L, "row0a", "x"), (1L, "row0b", "x"),
+      (20L, "row2a", "y"), (21L, "row2b", "y"),
+      (30L, "row3a", "z"), (31L, "row3b", "z")))
+    // single-scan contract: one FileScan however many partition tuples
+    assert("FileScan".r.findAllIn(df.queryExecution.sparkPlan.toString).length == 1)
+  }
+
+  /** Checkpoint parquet holding the state after commits 0..1 of the
+    * fixture log: metaData + protocol + adds f0(x), f2(y) + a
+    * tombstone for f1. */
+  private def checkpointRows(): DataFrame =
+    cpDf(Seq(("f0.parquet", "x", 100L, 0L), ("f2.parquet", "y", 102L, 0L)),
+      tombstones = Seq("f1.parquet"))
+
+  test("readTable with checkpoint: seeds from parquet, replays only the tail, equals full replay") {
+    // full-replay table
+    val (fullDir, fullLog) = tableFixture()
+    writeCommit(fullLog, 0L, meta, proto, addLine("f0.parquet", "x", 100),
+      addLine("f1.parquet", "y", 101))
+    writeCommit(fullLog, 1L, """{"remove":{"path":"f1.parquet"}}""",
+      addLine("f2.parquet", "y", 102))
+    writeCommit(fullLog, 2L, addLine("f3.parquet", "z", 103))
+    // checkpointed table: same logical log, commits 0..1 REPLACED by
+    // the checkpoint (and deleted, as the protocol allows)
+    val (cpDir, cpLog) = tableFixture()
+    singleParquet(checkpointRows(), new java.io.File(cpLog, f"${1L}%020d.checkpoint.parquet"))
+    java.nio.file.Files.write(new java.io.File(cpLog, "_last_checkpoint").toPath,
+      """{"version":1,"size":5}""".getBytes("UTF-8"))
+    writeCommit(cpLog, 2L, addLine("f3.parquet", "z", 103))
+    assert(readSorted(cpDir) == readSorted(fullDir))
+  }
+
+  test("readTable multi-part checkpoint: all parts load; a missing part refuses") {
+    val (cpDir, cpLog) = tableFixture()
+    val parts = checkpointRows()
+    // part 1: the metaData/protocol/tombstone rows; part 2: the adds
+    singleParquet(parts.where(col("add").isNull),
+      new java.io.File(cpLog, f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"))
+    singleParquet(parts.where(col("add").isNotNull),
+      new java.io.File(cpLog, f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    java.nio.file.Files.write(new java.io.File(cpLog, "_last_checkpoint").toPath,
+      """{"version":1,"size":5,"parts":2}""".getBytes("UTF-8"))
+    writeCommit(cpLog, 2L, addLine("f3.parquet", "z", 103))
+    assert(readSorted(cpDir).map(_._1) == Seq(0L, 1L, 20L, 21L, 30L, 31L))
+    // a missing part must refuse, not half-read
+    new java.io.File(cpLog, f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet").delete()
+    intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTable(spark, cpDir.getAbsolutePath)
+    }
+  }
+
+  test("readTable refusals: reader-version-2 checkpoint, missing checkpoint file, malformed _last_checkpoint") {
+    val (cpDir, cpLog) = tableFixture()
+    val v2 = checkpointRows().unionByName(
+      spark.sql("SELECT named_struct('minReaderVersion', CAST(2 AS BIGINT)) AS protocol"),
+      allowMissingColumns = true)
+    singleParquet(v2, new java.io.File(cpLog, f"${1L}%020d.checkpoint.parquet"))
+    java.nio.file.Files.write(new java.io.File(cpLog, "_last_checkpoint").toPath,
+      """{"version":1,"size":6}""".getBytes("UTF-8"))
+    intercept[graft.GraftAnalysisException] { DeltaLog.readTable(spark, cpDir.getAbsolutePath) }
+
+    val (d2, l2) = tableFixture()
+    java.nio.file.Files.write(new java.io.File(l2, "_last_checkpoint").toPath,
+      """{"version":7,"size":1}""".getBytes("UTF-8")) // names a checkpoint that isn't there
+    intercept[graft.GraftAnalysisException] { DeltaLog.readTable(spark, d2.getAbsolutePath) }
+
+    val (d3, l3) = tableFixture()
+    java.nio.file.Files.write(new java.io.File(l3, "_last_checkpoint").toPath,
+      "{not json".getBytes("UTF-8"))
+    intercept[graft.GraftAnalysisException] { DeltaLog.readTable(spark, d3.getAbsolutePath) }
+  }
+}

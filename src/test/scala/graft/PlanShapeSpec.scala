@@ -89,6 +89,40 @@ class PlanShapeSpec extends SparkSuite {
       s"dedupSentences shuffles ($sentEx) exceed dedupLines's ($lineEx)")
   }
 
+  test("delta readTable holds ONE scan node however many partition tuples the table has") {
+    // a real table partitioned by date×source has 10³–10⁵ distinct
+    // partition tuples; the reader must not build one union arm (one
+    // scan relation) per tuple — that dies in driver analysis long
+    // before any data moves. 1000 files, 1000 distinct tuples → one
+    // FileScan + one broadcast manifest join, built in bounded time.
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-delta-fan").toFile
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delta-one").toFile
+    Seq((1L, "x")).toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    (0 until 1000).foreach { i =>
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(tableDir, s"f$i.parquet").toPath)
+    }
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    logDir.mkdirs()
+    val lines =
+      """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":["d","src"]}}""" +:
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +:
+      (0 until 1000).map(i =>
+        s"""{"add":{"path":"f$i.parquet","partitionValues":{"d":"2024-${i % 50}","src":"s${i / 50}"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    java.nio.file.Files.write(new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val t0 = System.nanoTime()
+    val df = graft.ops.DeltaLog.readTable(spark, tableDir.getAbsolutePath)
+    val plan = df.queryExecution.sparkPlan.toString
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      "delta reader must plan ONE scan over all active files:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "partition values must arrive via a broadcast manifest join:\n" + plan.take(2000))
+    assert(elapsedSec < 60, s"plan construction took ${elapsedSec}s — scaling with tuple count")
+  }
+
   test("classifier gate label and kernel stay inside whole-stage codegen") {
     // range input: LocalTableScan skips whole-stage codegen, a real
     // (codegen-capable) leaf does not
