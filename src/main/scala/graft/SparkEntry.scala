@@ -2805,10 +2805,11 @@ object SparkEntry {
           col("artist"), col("album"))
     }),
 
-    // GGUF metadata (round 11; third tensor + data section round
-    // 13): one file per document planting the common KV types
+    // GGUF metadata (round 11; third tensor + data section round 13;
+    // fourth — the 4/5-bit quant block — round 14): one file per
+    // document planting the common KV types
     // (string/u32/u64/bool/f32/i32-array), the alignment key, and
-    // three tensor infos with 32-aligned offsets — every kv and
+    // four tensor infos with 32-aligned offsets — every kv and
     // tensor row replays from doc_id arithmetic.
     "x_gguf_meta" -> ((s, d) => {
       val packed = graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id")
@@ -2817,13 +2818,16 @@ object SparkEntry {
           col("type_id"), col("value"), col("offset"))
     }),
 
-    // GGUF tensor dequantization (round 13): the packer's data
-    // section carries an F32 matrix, one Q8_0 block (fp16 scale 0.5
-    // exact, int8 quants), and an F16 vector, all quarter-unit
-    // id-derived — the dequantized floats replay through the same
-    // exact-IEEE floor(v * 2^30) serialization as x_safetensors, so
-    // the oracle is pure integer arithmetic. The half-float codec,
-    // block walk, and K-quant refusals are pinned in GgufSpec.
+    // GGUF tensor dequantization (round 13; Q4/Q5 round 14): the
+    // packer's data section carries an F32 matrix, one Q8_0 block
+    // (fp16 scale 0.5 exact, int8 quants), an F16 vector, and one
+    // block of the classic 4/5-bit formats cycling Q4_0/Q4_1/Q5_0/
+    // Q5_1 by id (d = 0.5, m = 0.25, split-half nibble packing, qh
+    // high-bit word) — all quarter-unit id-derived, so the
+    // dequantized floats replay through the same exact-IEEE
+    // floor(v * 2^30) serialization as x_safetensors and the oracle
+    // is pure integer arithmetic. The half-float codec, block walk,
+    // and K-quant refusals are pinned in GgufSpec.
     "x_gguf_tensors" -> ((s, d) => {
       val packed = graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id")
       graft.ops.Gguf.decodeTensorValues(packed, "id", "payload")
@@ -6174,7 +6178,11 @@ object SparkEntry {
                '[32]', 256 * (doc_id % 7 + 1) FROM documents
         UNION ALL
         SELECT doc_id, 'tensor', 'output_norm.weight', 1,
-               '[16]', 256 * (doc_id % 7 + 1) + 64 FROM documents)""",
+               '[16]', 256 * (doc_id % 7 + 1) + 64 FROM documents
+        UNION ALL
+        SELECT doc_id, 'tensor', 'blk.0.ffn_up.weight',
+               CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 6 ELSE 7 END,
+               '[32]', 256 * (doc_id % 7 + 1) + 96 FROM documents)""",
 
     // gguf tensor dequantization: quarter-unit plants replay as pure
     // integer arithmetic through floor(v * 2^30)
@@ -6193,6 +6201,18 @@ object SparkEntry {
       SELECT doc_id, 'output_norm.weight', 1, 16,
              array_to_string(list_transform(range(16),
                i -> CAST(((doc_id + i) % 9 - 4) * 268435456 AS BIGINT)), ',')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'blk.0.ffn_up.weight',
+             CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 6 ELSE 7 END,
+             32,
+             array_to_string(list_transform(range(32), i ->
+               CAST(CASE doc_id % 4
+                 WHEN 0 THEN ((doc_id + i) % 16 - 8) * 536870912
+                 WHEN 1 THEN ((doc_id + i) % 16) * 536870912 + 268435456
+                 WHEN 2 THEN ((doc_id + i) % 32 - 16) * 536870912
+                 ELSE ((doc_id + i) % 32) * 536870912 + 268435456
+               END AS BIGINT)), ',')
       FROM documents""",
 
     // npz: numpy-format twin of the safetensors contract

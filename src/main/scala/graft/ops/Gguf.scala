@@ -221,9 +221,14 @@ object Gguf {
   }
 
   /** Decode one tensor's data to row-major float32. Supported ggml
-    * types: 0 = F32, 1 = F16, 8 = Q8_0 (blocks of fp16 scale + 32
-    * int8). None: unsupported type, bounds violation, or a Q8_0
-    * element count not a multiple of the 32-wide block. */
+    * types: 0 = F32, 1 = F16, and the stable 32-wide block formats —
+    * 2 = Q4_0 (fp16 d, packed nibbles, v = d·(q−8)), 3 = Q4_1 (+fp16
+    * min, v = d·q + m), 6 = Q5_0 (u32 high-bit word, v = d·(q−16)),
+    * 7 = Q5_1 (min + high bits, v = d·q + m), 8 = Q8_0 (fp16 d + 32
+    * int8) — the formats real GGUF files overwhelmingly contain.
+    * None: unsupported type (K-quants: declared out), bounds
+    * violation, or a block-format element count not a multiple of
+    * the 32-wide block. */
   def dequantize(bytes: Array[Byte], t: Tensor, dataStart: Long): Option[Array[Float]] = {
     val n0 = t.dims.foldLeft(1L)(_ * _)
     if (n0 < 0 || n0 > (1L << 24)) return None
@@ -267,17 +272,110 @@ object Gguf {
           b += 1
         }
         Some(out)
+      case 2 => // Q4_0: 18-byte blocks (fp16 d + 16 packed nibbles); v = d·(q−8)
+        if (n % 32 != 0) return None
+        val blocks = n / 32
+        if (base + 18L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 18L * b).toInt
+          val d = halfToFloat(u16at(bp))
+          var j = 0
+          while (j < 16) {
+            // element j rides the LOW nibble of qs[j], element j+16
+            // the HIGH nibble — the ggml split-half block layout
+            val q = bytes(bp + 2 + j) & 0xFF
+            out(b * 32 + j) = d * ((q & 0x0F) - 8)
+            out(b * 32 + j + 16) = d * ((q >>> 4) - 8)
+            j += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case 3 => // Q4_1: 20-byte blocks (fp16 d + fp16 m + nibbles); v = d·q + m
+        if (n % 32 != 0) return None
+        val blocks = n / 32
+        if (base + 20L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 20L * b).toInt
+          val d = halfToFloat(u16at(bp))
+          val m = halfToFloat(u16at(bp + 2))
+          var j = 0
+          while (j < 16) {
+            val q = bytes(bp + 4 + j) & 0xFF
+            out(b * 32 + j) = d * (q & 0x0F) + m
+            out(b * 32 + j + 16) = d * (q >>> 4) + m
+            j += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case 6 => // Q5_0: 22-byte blocks (fp16 d + u32 qh + nibbles); v = d·(q−16)
+        if (n % 32 != 0) return None
+        val blocks = n / 32
+        if (base + 22L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 22L * b).toInt
+          val d = halfToFloat(u16at(bp))
+          var qh = 0L
+          var k = 0
+          while (k < 4) { qh |= (bytes(bp + 2 + k) & 0xFFL) << (8 * k); k += 1 }
+          var j = 0
+          while (j < 16) {
+            // qh bit j is element j's 5th bit; bit j+16 element j+16's
+            val q = bytes(bp + 6 + j) & 0xFF
+            val lo = (q & 0x0F) | ((((qh >>> j) & 1L) << 4).toInt)
+            val hi = (q >>> 4) | ((((qh >>> (j + 16)) & 1L) << 4).toInt)
+            out(b * 32 + j) = d * (lo - 16)
+            out(b * 32 + j + 16) = d * (hi - 16)
+            j += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case 7 => // Q5_1: 24-byte blocks (fp16 d + fp16 m + u32 qh + nibbles); v = d·q + m
+        if (n % 32 != 0) return None
+        val blocks = n / 32
+        if (base + 24L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 24L * b).toInt
+          val d = halfToFloat(u16at(bp))
+          val m = halfToFloat(u16at(bp + 2))
+          var qh = 0L
+          var k = 0
+          while (k < 4) { qh |= (bytes(bp + 4 + k) & 0xFFL) << (8 * k); k += 1 }
+          var j = 0
+          while (j < 16) {
+            val q = bytes(bp + 8 + j) & 0xFF
+            val lo = (q & 0x0F) | ((((qh >>> j) & 1L) << 4).toInt)
+            val hi = (q >>> 4) | ((((qh >>> (j + 16)) & 1L) << 4).toInt)
+            out(b * 32 + j) = d * lo + m
+            out(b * 32 + j + 16) = d * hi + m
+            j += 1
+          }
+          b += 1
+        }
+        Some(out)
       case _ => None // K-quants etc.: declared out
     }
   }
 
   /** Spec-valid GGUF per document: the common KV types (string, u32,
-    * u64, bool, f32, i32-array), the alignment key, three tensor
+    * u64, bool, f32, i32-array), the alignment key, four tensor
     * infos with 32-aligned offsets, and a REAL data section (round
     * 13): an F32 matrix, a Q8_0 block tensor (fp16 scale 0.5 exact,
-    * int8 quants), and an F16 vector — every value quarter-unit
-    * id-derived so the oracle replays the dequantized floats through
-    * the exact-IEEE floor(v·2³⁰) serialization. */
+    * int8 quants), an F16 vector, and (round 14) one block of the
+    * classic 4/5-bit formats cycling Q4_0/Q4_1/Q5_0/Q5_1 by id —
+    * every value quarter-unit id-derived (d = 0.5, m = 0.25, both
+    * exact in binary16) so the oracle replays the dequantized floats
+    * through the exact-IEEE floor(v·2³⁰) serialization. */
   def packDocsGguf(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -296,7 +394,7 @@ object Gguf {
         }
         bos.write("GGUF".getBytes("US-ASCII"))
         u32(3) // version
-        u64(3) // tensors
+        u64(4) // tensors
         u64(6) // kvs
         s("general.name"); u32(8); s(s"doc $id")
         s("general.alignment"); u32(4); u32(32)
@@ -305,11 +403,15 @@ object Gguf {
         s("planted.ratio"); u32(6); u32(java.lang.Float.floatToIntBits((id % 4) * 0.25f) & 0xFFFFFFFFL)
         s("planted.langs"); u32(9); u32(5); u64(2); u32(id % 5); u32(id % 5 + 1)
         val d2 = id % 7 + 1
+        // the 4/5-bit block format cycles by id: Q4_0 / Q4_1 / Q5_0 / Q5_1
+        val qt = (id % 4) match { case 0 => 2; case 1 => 3; case 2 => 6; case _ => 7 }
         // layout: F32 64*d2 floats at 0; Q8_0 one 32-wide block at
-        // 256*d2 (34 bytes); F16 16 halves at 256*d2 + 64 (aligned)
+        // 256*d2 (34 bytes); F16 16 halves at 256*d2 + 64 (aligned);
+        // one 4/5-bit block at 256*d2 + 96 (18–24 bytes)
         s("tok_embd.weight"); u32(2); u64(64); u64(d2); u32(0); u64(0)
         s("blk.0.attn_q.weight"); u32(1); u64(32); u32(8); u64(256 * d2)
         s("output_norm.weight"); u32(1); u64(16); u32(1); u64(256 * d2 + 64)
+        s("blk.0.ffn_up.weight"); u32(1); u64(32); u32(qt); u64(256 * d2 + 96)
         // data section: pad to general.alignment, then the tensors
         while (bos.size() % 32 != 0) u8(0)
         var i = 0
@@ -324,6 +426,29 @@ object Gguf {
         while (i < 30) { u8(0); i += 1 } // pad 34-byte block to the 64 boundary
         i = 0
         while (i < 16) { u16(floatToHalf((((id + i) % 9) - 4) * 0.25f)); i += 1 }
+        // the 4/5-bit block: element j's quant q_j = (id+j) mod 16
+        // (4-bit) or mod 32 (5-bit); ggml split-half nibble packing
+        // (element j low nibble of qs[j], element j+16 high), the
+        // 5th bits packed little-endian into the qh word
+        u16(floatToHalf(0.5f)) // d = 0.5, exact
+        if (qt == 3 || qt == 7) u16(floatToHalf(0.25f)) // m = 0.25, exact
+        val qmod = if (qt == 2 || qt == 3) 16 else 32
+        if (qt == 6 || qt == 7) {
+          var qh = 0L
+          i = 0
+          while (i < 32) {
+            if ((((id + i) % qmod) & 0x10) != 0) qh |= 1L << i
+            i += 1
+          }
+          u32(qh)
+        }
+        i = 0
+        while (i < 16) {
+          val lo = ((id + i) % qmod).toInt & 0x0F
+          val hi = ((id + i + 16) % qmod).toInt & 0x0F
+          u8(lo | (hi << 4))
+          i += 1
+        }
         (id, bos.toByteArray)
       }
       .toDF("id", "payload")

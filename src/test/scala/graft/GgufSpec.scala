@@ -73,7 +73,7 @@ class GgufSpec extends SparkSuite {
     val rows = Gguf.decodeMeta(
       Gguf.packDocsGguf(Seq(3L, 10L).toDF("doc_id"), "doc_id"), "id", "payload")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(4)))
-    assert(rows.count(_._1 == 3L) == 9)
+    assert(rows.count(_._1 == 3L) == 10) // 6 kvs + 4 tensor infos
     assert(rows.contains((3L, "kv", "planted.ratio", "0.75")))
     assert(rows.contains((10L, "kv", "planted.flag", "true")))
     assert(rows.contains((10L, "tensor", "tok_embd.weight", "[64,4]")))
@@ -114,7 +114,7 @@ class GgufSpec extends SparkSuite {
     val packed = Gguf.packDocsGguf(Seq(5L).toDF("doc_id"), "doc_id")
       .collect().head.getAs[Array[Byte]]("payload")
     val Some((_, tensors, dataStart, align)) = Gguf.parseFull(packed)
-    assert(align == 32 && dataStart % 32 == 0 && tensors.length == 3)
+    assert(align == 32 && dataStart % 32 == 0 && tensors.length == 4)
     val f32 = Gguf.dequantize(packed, tensors(0), dataStart).get
     assert(f32.length == 64 * (5 % 7 + 1))
     (0 until f32.length).foreach(i =>
@@ -129,14 +129,52 @@ class GgufSpec extends SparkSuite {
       assert(f16(i) == (((5 + i) % 9) - 4) * 0.25f, s"f16[$i]"))
     // K-quant type refuses; truncation refuses; non-multiple-of-32 Q8_0 refuses
     assert(Gguf.dequantize(packed, tensors(0).copy(ggmlType = 12), dataStart).isEmpty)
-    assert(Gguf.dequantize(packed.take(packed.length - 8), tensors(2), dataStart).isEmpty)
+    // truncate INTO the F16 tensor (the Q4 block now trails it)
+    assert(Gguf.dequantize(
+      packed.take((dataStart + 256 * 6 + 96 - 8).toInt), tensors(2), dataStart).isEmpty)
     assert(Gguf.dequantize(packed, tensors(1).copy(dims = Seq(31L)), dataStart).isEmpty)
-    // Spark surface: three rows, name/type/count as planted
+    // Spark surface: four rows, name/type/count as planted (id 5 → Q4_1)
     val rows = Gguf.decodeTensorValues(
       Seq((5L, packed)).toDF("id", "payload"), "id", "payload")
       .select($"id", $"name", $"type_id", $"n_values")
       .as[(Long, String, Int, Long)].collect().toSet
     assert(rows == Set((5L, "tok_embd.weight", 0, 384L),
-      (5L, "blk.0.attn_q.weight", 8, 32L), (5L, "output_norm.weight", 1, 16L)))
+      (5L, "blk.0.attn_q.weight", 8, 32L), (5L, "output_norm.weight", 1, 16L),
+      (5L, "blk.0.ffn_up.weight", 3, 32L)))
+  }
+
+  test("dequantize Q4_0/Q4_1/Q5_0/Q5_1: exact values, nibble split-halves, qh bits, truncation") {
+    // ids 0..3 cycle the four formats; quants are (id+j) mod 16 / mod 32
+    (0L to 3L).foreach { id =>
+      val packed = Gguf.packDocsGguf(Seq(id).toDF("doc_id"), "doc_id")
+        .collect().head.getAs[Array[Byte]]("payload")
+      val Some((_, tensors, dataStart, _)) = Gguf.parseFull(packed)
+      val t = tensors.find(_.name == "blk.0.ffn_up.weight").get
+      val expectedType = id match { case 0 => 2; case 1 => 3; case 2 => 6; case _ => 7 }
+      assert(t.ggmlType == expectedType)
+      val vs = Gguf.dequantize(packed, t, dataStart).get
+      assert(vs.length == 32)
+      (0 until 32).foreach { j =>
+        val expected = id match {
+          case 0 => 0.5f * ((id + j) % 16 - 8)          // Q4_0: d·(q−8)
+          case 1 => 0.5f * ((id + j) % 16) + 0.25f      // Q4_1: d·q + m
+          case 2 => 0.5f * ((id + j) % 32 - 16)         // Q5_0: d·(q−16), 5th bit via qh
+          case _ => 0.5f * ((id + j) % 32) + 0.25f      // Q5_1: d·q + m
+        }
+        assert(vs(j) == expected, s"id=$id type=$expectedType v[$j]=${vs(j)} != $expected")
+      }
+      // truncation refuses; a non-multiple-of-32 count refuses
+      assert(Gguf.dequantize(packed.take(packed.length - 2), t, dataStart).isEmpty)
+      assert(Gguf.dequantize(packed, t.copy(dims = Seq(33L)), dataStart).isEmpty)
+    }
+    // Q5 high bits genuinely exercise BOTH halves of the qh word: an
+    // id-2 block spans quants 2..33 (mod 32) — elements 14..29 have
+    // the 5th bit set, which straddles the j<16 and j≥16 lanes
+    val p2 = Gguf.packDocsGguf(Seq(2L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    val Some((_, ts2, ds2, _)) = Gguf.parseFull(p2)
+    val v2 = Gguf.dequantize(p2, ts2.find(_.name == "blk.0.ffn_up.weight").get, ds2).get
+    assert((0 until 32).count(j => (2 + j) % 32 >= 16) == 16 &&
+      v2(14) == 0.5f * 0 && v2(29) == 0.5f * 15)
   }
 }
