@@ -2485,7 +2485,11 @@ object SparkEntry {
               case 5 => graft.ops.Zip.zipOf(Seq(
                 "dir/" -> Array.emptyByteArray, "doc.txt" -> bytes))
               case 6 =>
-                if (id % 2 == 0) graft.ops.Pdf.pdfOf(text, flate = true)
+                // id%10==6 forces id even, so the layout bit must come
+                // from a digit that VARIES within the class: both
+                // writer layouts (classic xref vs 1.5 xref-stream)
+                // alternate by the tens digit
+                if ((id / 10) % 2 == 0) graft.ops.Pdf.pdfOf(text, flate = true)
                 else graft.ops.Pdf.pdfOf15(text, flate = true)
               case 7 => gz(zst(bytes))
               case 8 => graft.ops.PngCodec.encode(graft.ops.PngCodec.Image(

@@ -107,6 +107,14 @@ object Avro {
       else if (s.length == 2 && s.toSet == Set[AType](AFloat, ADouble)) Some(ADouble)
       else None
     }
+    /** a single-branch union: the Spark surface is the bare branch
+      * type — spark-avro's unwrap rule, and distinct from `promoted`
+      * because no numeric widening applies — while the wire datum
+      * still carries the branch index. (A one-non-null-branch union
+      * WITH a null sibling parses as [[AUnion]], so `single` implies
+      * no null branch.) */
+    val single: Option[AType] =
+      if (branches.length == 1) Some(branches.head) else None
   }
 
   private object Refuse extends RuntimeException {
@@ -142,8 +150,9 @@ object Avro {
         case List(t, ANull) => AUnion(t, nullFirst = false)
         case List(ANull) => refuse() // no value is expressible
         case List(t) =>
-          // single-branch union: same Spark surface as a bare T, but
-          // the wire still carries the branch index — keep the node
+          // single-branch union: the bare-T Spark surface rides the
+          // `single` unwrap in sparkType/readDatum/writeDatum; the
+          // node is kept because the wire still carries a branch index
           AUnionN(Vector(t))
         case _ => AUnionN(ts.toVector)
       }
@@ -235,7 +244,7 @@ object Avro {
     case AMap(values) =>
       MapType(StringType, sparkType(unwrap(values)), valueContainsNull = isNullable(values))
     case AUnion(t, _) => sparkType(t)
-    case u: AUnionN => u.promoted match {
+    case u: AUnionN => u.single.orElse(u.promoted) match {
       case Some(p) => sparkType(p)
       case None => StructType(u.nonNull.zipWithIndex.map { case ((t, _), i) =>
         StructField(s"member$i", sparkType(unwrap(t)), nullable = true)
@@ -403,6 +412,7 @@ object Avro {
       if (idx < 0 || idx >= u.branches.length) refuse()
       val b = u.branches(idx.toInt)
       if (b == ANull) null
+      else if (u.single.isDefined) readDatum(in, b) // bare surface, no widening
       else u.promoted match {
         case Some(_) => readDatum(in, b) match {
           case i: Int => i.toLong
@@ -496,6 +506,9 @@ object Avro {
         if (u.nullIdx < 0) throw new graft.GraftAnalysisException(
           "avro: null datum for a union without a null branch")
         out.writeLong(u.nullIdx.toLong)
+      } else if (u.single.isDefined) {
+        out.writeLong(0L) // the one branch's wire index
+        writeDatum(out, u.branches.head, v)
       } else u.promoted match {
         case Some(p) =>
           // deterministic writer choice: always the WIDE branch

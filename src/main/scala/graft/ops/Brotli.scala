@@ -495,8 +495,11 @@ object Brotli {
       }
       val mnibbles = br.readBits(2) + 4
       if (mnibbles == 7) {
-        // metadata block (§9.2): skipped, never last
-        if (isLast) refuse("metadata block marked last")
+        // metadata block (§9.2): skipped. ISLAST is LEGAL here — the
+        // spec's loop falls through to the termination check after
+        // the skip (and the reference decoder's METABLOCK_DONE path
+        // accepts it), so a stream may END in metadata (round 14;
+        // previously refused).
         if (br.readBit() != 0) refuse("metadata reserved bit set")
         val mskipBytes = br.readBits(2)
         val mskipLen =

@@ -55,6 +55,14 @@ object DecodeAny {
         case "text" =>
           chain += "text"
           return (chain.result(), true, Some(new String(p, java.nio.charset.StandardCharsets.UTF_8)))
+        case "text-latin1" =>
+          // legacy single-byte text (round 14): the sniff discipline
+          // admits only cp1252-printable bytes, so decode through
+          // windows-1252 — the superset real legacy dumps mean when
+          // they say "latin1" (0x80–0x9F are its curly-quote row)
+          chain += "text-latin1"
+          return (chain.result(), true,
+            Some(new String(p, java.nio.charset.Charset.forName("windows-1252"))))
         case "pdf" =>
           chain += "pdf"
           return Pdf.extractText(p) match {

@@ -83,46 +83,83 @@ object Sniff {
     // printable/whitespace, AND every non-ASCII byte must open or
     // continue a well-formed UTF-8 sequence — without the sequence
     // check, headerless compressed/encrypted data whose bytes land
-    // ≥0x20 sails through as "text"
+    // ≥0x20 sails through as "text". Payloads that FAIL the UTF-8
+    // discipline get one bounded second chance as "text-latin1"
+    // (round 14): legacy single-byte dumps (Latin-1/Windows-1252
+    // accented text) are real corpus inhabitants, and refusing them
+    // outright was an undeclared casualty of the round-13 hardening.
     val n = math.min(p.length, 512)
+    if (utf8Printable(p, n) >= 0.95) "text"
+    else if (latin1Printable(p, n)) "text-latin1"
+    else "unknown"
+  }
+
+  /** Printable ratio of the prefix under the UTF-8 sequence
+    * discipline (length + continuation + the overlong/surrogate/
+    * range guards of RFC 3629); -1 on any violation or NUL. */
+  private def utf8Printable(p: Array[Byte], n: Int): Double = {
     var printable = 0
     var i = 0
     while (i < n) {
       val b = p(i) & 0xFF
-      if (b == 0) return "unknown"
+      if (b == 0) return -1
       if (b >= 0x20 || b == '\n' || b == '\r' || b == '\t') printable += 1
       if (b < 0x80) i += 1
       else {
-        // multibyte opener: length + continuation discipline (incl.
-        // the overlong/surrogate/range guards of RFC 3629)
         val len =
           if (b >= 0xC2 && b <= 0xDF) 2
           else if (b >= 0xE0 && b <= 0xEF) 3
           else if (b >= 0xF0 && b <= 0xF4) 4
-          else return "unknown" // 0x80-0xC1 stray continuation/overlong, 0xF5+ out of range
+          else return -1 // 0x80-0xC1 stray continuation/overlong, 0xF5+ out of range
         if (i + len > n) {
           // sequence truncated by the 512-byte window, not by the
           // payload: only tolerate it at the window edge
           if (i + len <= p.length && n == 512) { printable += n - i - 1; i = n }
-          else return "unknown"
+          else return -1
         } else {
           var k = 1
           while (k < len) {
             val c = p(i + k) & 0xFF
-            if (c < 0x80 || c > 0xBF) return "unknown"
+            if (c < 0x80 || c > 0xBF) return -1
             k += 1
           }
           // reject the classic overlong/surrogate planes
-          if (b == 0xE0 && (p(i + 1) & 0xFF) < 0xA0) return "unknown"
-          if (b == 0xED && (p(i + 1) & 0xFF) > 0x9F) return "unknown"
-          if (b == 0xF0 && (p(i + 1) & 0xFF) < 0x90) return "unknown"
-          if (b == 0xF4 && (p(i + 1) & 0xFF) > 0x8F) return "unknown"
+          if (b == 0xE0 && (p(i + 1) & 0xFF) < 0xA0) return -1
+          if (b == 0xED && (p(i + 1) & 0xFF) > 0x9F) return -1
+          if (b == 0xF0 && (p(i + 1) & 0xFF) < 0x90) return -1
+          if (b == 0xF4 && (p(i + 1) & 0xFF) > 0x8F) return -1
           printable += len - 1 // continuations are part of a printable char
           i += len
         }
       }
     }
-    if (printable.toDouble / n >= 0.95) "text" else "unknown"
+    printable.toDouble / n
+  }
+
+  /** Bounded legacy-text fallback. Strictly tighter than the
+    * pre-round-13 loose heuristic (which tolerated 5% arbitrary
+    * bytes): EVERY byte must be cp1252-printable (0x20..0xFF minus
+    * the five undefined cp1252 slots, plus tab/newline/CR), the
+    * prefix must be ≥16 bytes, and high bytes must be PRESENT but a
+    * MINORITY (≤30%) — real western legacy text runs ~2–10% accented
+    * characters, while headerless compressed/encrypted data that
+    * sneaks past the printable wall is high-byte-dense (the shape the
+    * round-13 hardening exists to refuse, pinned by SniffSpec's
+    * fauxText case). */
+  private def latin1Printable(p: Array[Byte], n: Int): Boolean = {
+    if (n < 16) return false // too short to call legacy text responsibly
+    var high = 0
+    var i = 0
+    while (i < n) {
+      val b = p(i) & 0xFF
+      val ok = b >= 0x20 || b == '\n' || b == '\r' || b == '\t'
+      if (!ok) return false
+      if (b == 0x81 || b == 0x8D || b == 0x8F || b == 0x90 || b == 0x9D)
+        return false // undefined in cp1252: encoded junk, not legacy text
+      if (b >= 0x80) high += 1
+      i += 1
+    }
+    high > 0 && high * 10 <= n * 3
   }
 
   /** (id, format, byte_len) per payload — scan-local. */

@@ -214,6 +214,41 @@ class AvroSpec extends SparkSuite {
     assert(Avro.readContainer(bytes).get._2 == datums.toVector)
   }
 
+  test("single-branch unions surface the BARE type (spark-avro unwrap), wire index kept") {
+    val json = """{"type":"record","name":"s1","fields":[
+      {"name":"n","type":["int"]},
+      {"name":"s","type":["string"]}
+    ]}""".replaceAll("\n\\s*", "")
+    // bare Spark surface: int stays INT (no numeric widening), not a
+    // member0 struct, and not nullable (no null branch)
+    val st = Avro.parseSchema(json).flatMap(Avro.sparkSchema).get
+    assert(st("n").dataType == IntegerType && !st("n").nullable)
+    assert(st("s").dataType == StringType && !st("s").nullable)
+    // reference writer -> our reader: bare values
+    val schema = new Schema.Parser().parse(json)
+    val bos = new ByteArrayOutputStream()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, bos)
+    (0 until 3).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("n", java.lang.Integer.valueOf(i))
+      r.put("s", s"v$i")
+      w.append(r)
+    }
+    w.close()
+    val (_, rows) = Avro.readContainer(bos.toByteArray).get
+    assert(rows == Vector(Row(0, "v0"), Row(1, "v1"), Row(2, "v2")))
+    // our writer -> reference reader: the wire branch index survives
+    val bytes = Avro.writeContainer(json, "null",
+      Seq(Row(7, "x"), Row(8, "y")).iterator, "s8")
+    val rd = new DataFileReader(new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    val got = rd.iterator().asScala.toVector
+    rd.close()
+    assert(got.map(r => (r.get("n"), r.get("s").toString)) == Vector((7, "x"), (8, "y")))
+    assert(Avro.readContainer(bytes).get._2 == Vector(Row(7, "x"), Row(8, "y")))
+  }
+
   test("schema subset refusals are total, not crashes") {
     // general unions now parse; the remaining refusals hold
     assert(Avro.parseSchema("""["null","string","long"]""").isDefined) // 3-branch: accepted (r13)

@@ -85,6 +85,40 @@ class BrotliSpec extends AnyFunSuite {
   private val RawPinMd5 = "92a0ff4f83e3d8406b87511889e22321"
   private val FlatPinMd5 = "f149a8172b10eb67b683eb8338661d1e"
 
+  test("metadata meta-blocks: skipped mid-stream AND accepted as the LAST block (§9.2)") {
+    // LSB-first hand packer
+    class W { val bos = new java.io.ByteArrayOutputStream(); var cur = 0; var n = 0
+      def bits(v: Int, k: Int): Unit = { var i = 0; while (i < k) {
+        cur |= ((v >> i) & 1) << n; n += 1
+        if (n == 8) { bos.write(cur); cur = 0; n = 0 }; i += 1 } }
+      def align(): Unit = if (n > 0) { bos.write(cur); cur = 0; n = 0 }
+      def bytes(bs: Array[Byte]): Unit = { align(); bos.write(bs) }
+      def out: Array[Byte] = { align(); bos.toByteArray } }
+    // stream 1: WBITS=16, uncompressed "hi", then an ISLAST metadata
+    // block skipping 3 bytes — must decode to "hi", not refuse
+    val w = new W
+    w.bits(0, 1)                 // WBITS code 0 -> 16
+    w.bits(0, 1); w.bits(0, 2)   // ISLAST=0, MNIBBLES code 0 (4 nibbles)
+    w.bits(1, 16)                // MLEN-1 = 1 -> 2 bytes
+    w.bits(1, 1)                 // ISUNCOMPRESSED
+    w.bytes("hi".getBytes("UTF-8"))
+    w.bits(1, 1); w.bits(0, 1)   // ISLAST=1, ISLASTEMPTY=0
+    w.bits(3, 2)                 // MNIBBLES code 3 -> metadata
+    w.bits(0, 1)                 // reserved
+    w.bits(1, 2); w.bits(2, 8)   // MSKIPBYTES=1, MSKIPLEN-1=2 -> skip 3
+    w.bytes(Array[Byte](9, 9, 9))
+    val dec = Brotli.decode(w.out)
+    assert(dec.isRight, dec.left.getOrElse(""))
+    assert(new String(dec.toOption.get, "UTF-8") == "hi")
+    // stream 2: ONLY an ISLAST metadata block -> valid empty output
+    val w2 = new W
+    w2.bits(0, 1)
+    w2.bits(1, 1); w2.bits(0, 1); w2.bits(3, 2); w2.bits(0, 1)
+    w2.bits(0, 2)                // MSKIPBYTES=0 -> skip nothing
+    val dec2 = Brotli.decode(w2.out)
+    assert(dec2.isRight && dec2.toOption.get.isEmpty, dec2.left.getOrElse("non-empty"))
+  }
+
   test("refusal ladder: truncation, garbage, padding, output cap — refuse, never throw") {
     val good = fixture("english_q5.br")
     // every truncation refuses or yields a short/equal prefix — never throws

@@ -57,9 +57,32 @@ class SniffSpec extends SparkSuite {
     // payload) is tolerated at the edge
     val atEdge = ("a" * 511).getBytes("UTF-8") ++ "中more text".getBytes("UTF-8")
     assert(Sniff.detect(atEdge) == "text")
-    // but truncated by the PAYLOAD itself: not text
+    // but truncated by the PAYLOAD itself: not UTF-8 text — it falls
+    // to the latin1 fallback (two stray printable high bytes in a sea
+    // of ASCII are indistinguishable from genuine accented latin1)
     val cut = "中文".getBytes("UTF-8").dropRight(1)
-    assert(Sniff.detect(("a" * 20).getBytes ++ cut) == "unknown")
+    assert(Sniff.detect(("a" * 20).getBytes ++ cut) == "text-latin1")
+  }
+
+  test("legacy single-byte text: the bounded text-latin1 fallback (round 14)") {
+    // ISO-8859-1 / cp1252 accented prose — invalid as UTF-8, but the
+    // real corpus shape the universal decoder must not refuse
+    val fr = "Le café naïve coûte très cher, déjà vu."
+    assert(Sniff.detect(fr.getBytes("ISO-8859-1")) == "text-latin1")
+    // cp1252's curly-quote row (0x80–0x9F printables) is admitted
+    val quoted = "he said “hello” — twice."
+    assert(Sniff.detect(quoted.getBytes("windows-1252")) == "text-latin1")
+    // the five cp1252 holes are junk markers, not text
+    assert(Sniff.detect(("plain words here then ".getBytes("ISO-8859-1") :+
+      0x81.toByte) ++ " more words".getBytes) == "unknown")
+    // high-byte-dense printable junk stays refused (ratio wall)
+    val dense = Array.tabulate[Byte](100)(i => (0xC0 + (i % 30)).toByte)
+    assert(Sniff.detect(dense) == "unknown")
+    // too short to call responsibly
+    assert(Sniff.detect("café".getBytes("ISO-8859-1")) == "unknown")
+    // and DecodeAny surfaces the decoded text through windows-1252
+    val (chain, ok, text) = graft.ops.DecodeAny.decodeOne(fr.getBytes("ISO-8859-1"))
+    assert(chain == List("text-latin1") && ok && text.contains(fr))
   }
 
   test("DataFrame seam counts by format") {
