@@ -31,11 +31,20 @@ import org.apache.spark.sql.functions._
   *  - /FlateDecode content streams through the from-spec zlib
   *    decoder ([[GzipCodec.unzlib]] — RFC 1950 with verified
   *    Adler-32), plus unfiltered streams;
-  *  - page tree walk (Pages/Kids recursion, /Contents ref or array)
-  *    and content-stream text collection: Tj, ' , " and TJ string
-  *    operands in stream order, a newline per Td/TD/T* line move,
-  *    pages joined by newline. Byte-transparent: string bytes are
-  *    returned as written (UTF-8 documents round-trip exactly).
+  *  - page tree walk (Pages/Kids recursion, /Contents ref or array,
+  *    inherited /Resources) and content-stream text collection: Tj,
+  *    ' , " and TJ string operands in stream order, a newline per
+  *    Td/TD/T* line move, pages joined by newline;
+  *  - font text mapping (round 14): string bytes decode through the
+  *    CURRENT font (Tf-tracked) — its /ToUnicode CMap when present
+  *    (codespacerange widths, bfchar, both bfrange forms — the
+  *    subset-embedded-font case where raw codes are meaningless), a
+  *    /Differences array resolved through a bounded Adobe-glyph-list
+  *    subset + the uniXXXX/uXXXX families, or a named WinAnsi /
+  *    MacRoman base encoding. Fonts with none of these stay
+  *    byte-transparent (UTF-8 documents round-trip exactly), as do
+  *    unmapped codes and unknown glyph names — never invent, never
+  *    drop.
   *
   * No independent PDF implementation exists on this classpath, so
   * the cross-validation discipline is the [[Mkv]] one: the packer
@@ -650,29 +659,321 @@ object Pdf {
       case _ => refuse() // other filters out of scope
     }
 
+  // ------------------------------------------------------------------
+  // font text decoding: /ToUnicode CMaps and /Encoding /Differences
+  // (round 14). Without these, subset-embedded fonts extract as
+  // garbage codepoints — the gap a corpus ingester hits on most
+  // post-2000 PDFs. Preference order per font: a /ToUnicode CMap
+  // (the authoritative text mapping, §9.10.3) > /Encoding with
+  // /Differences glyph names resolved through a bounded Adobe-glyph-
+  // list subset > a named base encoding (WinAnsi/MacRoman via the
+  // JDK's own single-byte charsets) > byte-transparent (the previous
+  // behavior, kept for unmapped codes and unknown glyph names —
+  // refuse-don't-guess applied to text: never invent, never drop).
+  // ------------------------------------------------------------------
+
+  private sealed trait FontDec
+  private case object Transparent extends FontDec
+  /** single-byte code → string; null entry = keep the byte. */
+  private final case class ByteTable(table: Array[String]) extends FontDec
+  /** CMap: codespace widths (nbytes, lo, hi) + (width<<32|code) → dst. */
+  private final case class CMapDec(widths: Seq[(Int, Long, Long)],
+      map: java.util.HashMap[Long, String]) extends FontDec
+
+  /** The Adobe Glyph List subset covering the Standard / WinAnsi /
+    * MacRoman repertoires (Latin-1 letters, punctuation, the cp1252
+    * quotes row) — what /Differences arrays reference in real latin
+    * documents. Unknown names keep their code byte. */
+  private lazy val glyphUnicode: Map[String, String] = {
+    val named = Seq(
+      "space" -> 0x20, "exclam" -> 0x21, "quotedbl" -> 0x22, "numbersign" -> 0x23,
+      "dollar" -> 0x24, "percent" -> 0x25, "ampersand" -> 0x26, "quotesingle" -> 0x27,
+      "parenleft" -> 0x28, "parenright" -> 0x29, "asterisk" -> 0x2A, "plus" -> 0x2B,
+      "comma" -> 0x2C, "hyphen" -> 0x2D, "period" -> 0x2E, "slash" -> 0x2F,
+      "zero" -> 0x30, "one" -> 0x31, "two" -> 0x32, "three" -> 0x33, "four" -> 0x34,
+      "five" -> 0x35, "six" -> 0x36, "seven" -> 0x37, "eight" -> 0x38, "nine" -> 0x39,
+      "colon" -> 0x3A, "semicolon" -> 0x3B, "less" -> 0x3C, "equal" -> 0x3D,
+      "greater" -> 0x3E, "question" -> 0x3F, "at" -> 0x40,
+      "bracketleft" -> 0x5B, "backslash" -> 0x5C, "bracketright" -> 0x5D,
+      "asciicircum" -> 0x5E, "underscore" -> 0x5F, "grave" -> 0x60,
+      "braceleft" -> 0x7B, "bar" -> 0x7C, "braceright" -> 0x7D, "asciitilde" -> 0x7E,
+      "exclamdown" -> 0xA1, "cent" -> 0xA2, "sterling" -> 0xA3, "currency" -> 0xA4,
+      "yen" -> 0xA5, "brokenbar" -> 0xA6, "section" -> 0xA7, "dieresis" -> 0xA8,
+      "copyright" -> 0xA9, "ordfeminine" -> 0xAA, "guillemotleft" -> 0xAB,
+      "logicalnot" -> 0xAC, "registered" -> 0xAE, "macron" -> 0xAF,
+      "degree" -> 0xB0, "plusminus" -> 0xB1, "twosuperior" -> 0xB2,
+      "threesuperior" -> 0xB3, "acute" -> 0xB4, "mu" -> 0xB5, "paragraph" -> 0xB6,
+      "periodcentered" -> 0xB7, "cedilla" -> 0xB8, "onesuperior" -> 0xB9,
+      "ordmasculine" -> 0xBA, "guillemotright" -> 0xBB, "onequarter" -> 0xBC,
+      "onehalf" -> 0xBD, "threequarters" -> 0xBE, "questiondown" -> 0xBF,
+      "Agrave" -> 0xC0, "Aacute" -> 0xC1, "Acircumflex" -> 0xC2, "Atilde" -> 0xC3,
+      "Adieresis" -> 0xC4, "Aring" -> 0xC5, "AE" -> 0xC6, "Ccedilla" -> 0xC7,
+      "Egrave" -> 0xC8, "Eacute" -> 0xC9, "Ecircumflex" -> 0xCA, "Edieresis" -> 0xCB,
+      "Igrave" -> 0xCC, "Iacute" -> 0xCD, "Icircumflex" -> 0xCE, "Idieresis" -> 0xCF,
+      "Eth" -> 0xD0, "Ntilde" -> 0xD1, "Ograve" -> 0xD2, "Oacute" -> 0xD3,
+      "Ocircumflex" -> 0xD4, "Otilde" -> 0xD5, "Odieresis" -> 0xD6, "multiply" -> 0xD7,
+      "Oslash" -> 0xD8, "Ugrave" -> 0xD9, "Uacute" -> 0xDA, "Ucircumflex" -> 0xDB,
+      "Udieresis" -> 0xDC, "Yacute" -> 0xDD, "Thorn" -> 0xDE, "germandbls" -> 0xDF,
+      "agrave" -> 0xE0, "aacute" -> 0xE1, "acircumflex" -> 0xE2, "atilde" -> 0xE3,
+      "adieresis" -> 0xE4, "aring" -> 0xE5, "ae" -> 0xE6, "ccedilla" -> 0xE7,
+      "egrave" -> 0xE8, "eacute" -> 0xE9, "ecircumflex" -> 0xEA, "edieresis" -> 0xEB,
+      "igrave" -> 0xEC, "iacute" -> 0xED, "icircumflex" -> 0xEE, "idieresis" -> 0xEF,
+      "eth" -> 0xF0, "ntilde" -> 0xF1, "ograve" -> 0xF2, "oacute" -> 0xF3,
+      "ocircumflex" -> 0xF4, "otilde" -> 0xF5, "odieresis" -> 0xF6, "divide" -> 0xF7,
+      "oslash" -> 0xF8, "ugrave" -> 0xF9, "uacute" -> 0xFA, "ucircumflex" -> 0xFB,
+      "udieresis" -> 0xFC, "yacute" -> 0xFD, "thorn" -> 0xFE, "ydieresis" -> 0xFF,
+      // the WinAnsi / typographic row
+      "quoteleft" -> 0x2018, "quoteright" -> 0x2019, "quotedblleft" -> 0x201C,
+      "quotedblright" -> 0x201D, "quotesinglbase" -> 0x201A, "quotedblbase" -> 0x201E,
+      "bullet" -> 0x2022, "endash" -> 0x2013, "emdash" -> 0x2014,
+      "ellipsis" -> 0x2026, "dagger" -> 0x2020, "daggerdbl" -> 0x2021,
+      "perthousand" -> 0x2030, "guilsinglleft" -> 0x2039, "guilsinglright" -> 0x203A,
+      "trademark" -> 0x2122, "fi" -> 0xFB01, "fl" -> 0xFB02, "florin" -> 0x192,
+      "circumflex" -> 0x2C6, "tilde" -> 0x2DC, "Scaron" -> 0x160, "scaron" -> 0x161,
+      "Zcaron" -> 0x17D, "zcaron" -> 0x17E, "OE" -> 0x152, "oe" -> 0x153,
+      "Ydieresis" -> 0x178, "Euro" -> 0x20AC, "minus" -> 0x2212, "fraction" -> 0x2044,
+      "dotlessi" -> 0x131, "breve" -> 0x2D8, "dotaccent" -> 0x2D9, "ring" -> 0x2DA,
+      "ogonek" -> 0x2DB, "hungarumlaut" -> 0x2DD, "caron" -> 0x2C7)
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).map(ch => ch.toString -> ch.toString)
+    (named.map { case (n, cp) => n -> new String(Character.toChars(cp)) } ++ letters).toMap
+  }
+
+  /** Glyph name → text: the AGL subset, then the algorithmic
+    * uniXXXX / uXXXX[XX] families. None = unknown (keep the byte). */
+  private def glyphToUnicode(g: String): Option[String] = glyphUnicode.get(g).orElse {
+    def hex(s: String): Option[Int] =
+      if (s.nonEmpty && s.length <= 6 && s.forall(c => Character.digit(c, 16) >= 0))
+        Some(Integer.parseInt(s, 16)) else None
+    if (g.startsWith("uni") && g.length >= 7 && (g.length - 3) % 4 == 0)
+      g.drop(3).grouped(4).foldLeft(Option(new StringBuilder)) { (acc, h) =>
+        acc.flatMap(sb => hex(h).map(cp => sb.append(cp.toChar)))
+      }.map(_.toString)
+    else if (g.startsWith("u") && g.length >= 5 && g.length <= 7)
+      hex(g.drop(1)).filter(Character.isValidCodePoint)
+        .map(cp => new String(Character.toChars(cp)))
+    else None
+  }
+
+  /** code → string table through a JDK single-byte charset (the
+    * WinAnsi ≈ windows-1252 and MacRoman ≈ x-MacRoman equivalences). */
+  private def charsetTable(name: String): Array[String] = {
+    val cs = java.nio.charset.Charset.forName(name)
+    Array.tabulate(256) { b =>
+      val s = new String(Array(b.toByte), cs)
+      if (s.length == 1 && s.charAt(0) != '�') s else null
+    }
+  }
+
+  /** Build the decoder for an /Encoding entry: a named base encoding,
+    * or a dict with /BaseEncoding + /Differences (glyph names applied
+    * over the base; codes not listed stay base/transparent). */
+  private def encodingDec(doc: Doc, enc: PObj): FontDec = resolve(doc, enc) match {
+    case PName("WinAnsiEncoding") => ByteTable(charsetTable("windows-1252"))
+    case PName("MacRomanEncoding") => ByteTable(charsetTable("x-MacRoman"))
+    case PDict(m) =>
+      val base: Array[String] = resolve(doc, m.getOrElse("BaseEncoding", PNull)) match {
+        case PName("WinAnsiEncoding") => charsetTable("windows-1252")
+        case PName("MacRomanEncoding") => charsetTable("x-MacRoman")
+        case _ => new Array[String](256) // font-built-in: transparent base
+      }
+      resolve(doc, m.getOrElse("Differences", PNull)) match {
+        case PArr(items) =>
+          var code = 0
+          items.foreach {
+            case PNum(n) => code = n.toInt
+            case PName(g) =>
+              if (code >= 0 && code < 256)
+                glyphToUnicode(g).foreach(base(code) = _)
+              code += 1
+            case _ =>
+          }
+          ByteTable(base)
+        case _ if base.exists(_ != null) => ByteTable(base)
+        case _ => Transparent
+      }
+    case _ => Transparent
+  }
+
+  /** Parse a /ToUnicode CMap stream (§9.10.3): codespacerange blocks
+    * give the code byte widths, bfchar/bfrange blocks the code →
+    * UTF-16BE mappings (range destinations increment; the array form
+    * enumerates). Tokenized with the content-stream parser — CMap
+    * syntax is the PDF object syntax plus PostScript keywords. */
+  private def parseToUnicode(data: Array[Byte]): FontDec = {
+    val c = new Cur(data, 0)
+    val widths = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    val map = new java.util.HashMap[Long, String]()
+    val buf = scala.collection.mutable.ArrayBuffer[PObj]()
+    var mode: String = null
+    def hexVal(b: Array[Byte]): Long = b.foldLeft(0L)((a, x) => (a << 8) | (x & 0xFF))
+    def dst(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    def key(w: Int, code: Long): Long = (w.toLong << 32) | code
+    def flush(): Unit = {
+      mode match {
+        case "codespace" => buf.grouped(2).foreach {
+          case scala.collection.mutable.ArrayBuffer(PStr(lo), PStr(hi)) if lo.length == hi.length =>
+            widths += ((lo.length, hexVal(lo), hexVal(hi)))
+          case _ =>
+        }
+        case "bfchar" => buf.grouped(2).foreach {
+          case scala.collection.mutable.ArrayBuffer(PStr(src), PStr(d)) =>
+            map.put(key(src.length, hexVal(src)), dst(d))
+          case _ =>
+        }
+        case "bfrange" => buf.grouped(3).foreach {
+          case scala.collection.mutable.ArrayBuffer(PStr(lo), PStr(hi), d) if lo.length == hi.length =>
+            val w = lo.length
+            val (l, h) = (hexVal(lo), hexVal(hi))
+            if (h >= l && h - l < 65536) d match {
+              case PStr(d0) =>
+                // incrementing destination: the LAST UTF-16 unit steps
+                var i = 0L
+                while (i <= h - l) {
+                  val s = dst(d0)
+                  val stepped =
+                    if (s.isEmpty) s
+                    else s.substring(0, s.length - 1) +
+                      (s.charAt(s.length - 1) + i).toChar
+                  map.put(key(w, l + i), stepped)
+                  i += 1
+                }
+              case PArr(ds) =>
+                var i = 0
+                while (i < ds.length && l + i <= h) {
+                  ds(i) match {
+                    case PStr(d0) => map.put(key(w, l + i), dst(d0))
+                    case _ =>
+                  }
+                  i += 1
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        case _ =>
+      }
+      buf.clear()
+      mode = null
+    }
+    try {
+      while ({ c.skipWs(); !c.eof }) {
+        parseObj(c, contentMode = true) match {
+          case POp(op) => op match {
+            case "begincodespacerange" => buf.clear(); mode = "codespace"
+            case "beginbfchar" => buf.clear(); mode = "bfchar"
+            case "beginbfrange" => buf.clear(); mode = "bfrange"
+            case "endcodespacerange" | "endbfchar" | "endbfrange" => flush()
+            case _ => if (mode == null) buf.clear()
+          }
+          case operand => buf += operand
+        }
+      }
+    } catch { case Refuse => () } // keep whatever parsed; trailing junk tolerated
+    if (map.isEmpty && widths.isEmpty) Transparent
+    else {
+      if (widths.isEmpty) {
+        // no codespacerange: infer widths from the mapping keys
+        val ws = new java.util.HashSet[Int]()
+        map.keySet().forEach(k => { ws.add((k >> 32).toInt); () })
+        ws.forEach(w => { widths += ((w, 0L, (1L << (8 * w)) - 1)); () })
+      }
+      CMapDec(widths.toSeq.sortBy(_._1), map)
+    }
+  }
+
+  /** Decode one string operand through the font's decoder. */
+  private def decodeWith(dec: FontDec, s: Array[Byte],
+      out: java.io.ByteArrayOutputStream): Unit = dec match {
+    case Transparent => out.write(s)
+    case ByteTable(table) =>
+      var i = 0
+      while (i < s.length) {
+        val b = s(i) & 0xFF
+        val m = table(b)
+        if (m == null) out.write(b)
+        else out.write(m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    case CMapDec(widths, map) =>
+      var i = 0
+      while (i < s.length) {
+        var advanced = false
+        val it = widths.iterator
+        while (!advanced && it.hasNext) {
+          val (w, lo, hi) = it.next()
+          if (i + w <= s.length) {
+            var code = 0L
+            var k = 0
+            while (k < w) { code = (code << 8) | (s(i + k) & 0xFF); k += 1 }
+            val m = map.get((w.toLong << 32) | code)
+            if (m != null) {
+              out.write(m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              i += w; advanced = true
+            } else if (code >= lo && code <= hi) {
+              // in-codespace but unmapped: keep the code bytes
+              out.write(s, i, w)
+              i += w; advanced = true
+            }
+          }
+        }
+        if (!advanced) { out.write(s(i) & 0xFF); i += 1 }
+      }
+  }
+
+  /** Decoder for font `name` in the page's /Resources /Font dict. */
+  private def buildFontDec(doc: Doc, resources: Option[PDict], name: String): FontDec = {
+    val fontDict = resources.flatMap(res =>
+      resolve(doc, res.m.getOrElse("Font", PNull)) match {
+        case PDict(fonts) => resolve(doc, fonts.getOrElse(name, PNull)) match {
+          case d: PDict => Some(d)
+          case _ => None
+        }
+        case _ => None
+      })
+    fontDict match {
+      case Some(f) =>
+        resolve(doc, f.m.getOrElse("ToUnicode", PNull)) match {
+          case s: PStream =>
+            try parseToUnicode(streamBytes(doc, s)) catch { case Refuse => Transparent }
+          case _ => encodingDec(doc, f.m.getOrElse("Encoding", PNull))
+        }
+      case None => Transparent
+    }
+  }
+
   /** Text of one content stream: Tj / ' / " / TJ string operands in
-    * order; newline per Td/TD/T* (and the ' / " implicit line move). */
-  private def contentText(data: Array[Byte], out: java.io.ByteArrayOutputStream): Unit = {
+    * order, decoded through the CURRENT font (Tf tracks it; fonts
+    * resolve against the page's inherited /Resources); newline per
+    * Td/TD/T* (and the ' / " implicit line move). */
+  private def contentText(doc: Doc, resources: Option[PDict],
+      data: Array[Byte], out: java.io.ByteArrayOutputStream): Unit = {
     val c = new Cur(data, 0)
     val stack = scala.collection.mutable.ArrayBuffer[PObj]()
     var wroteAny = false
+    var cur: FontDec = Transparent
+    val cache = scala.collection.mutable.Map[String, FontDec]()
     def nl(): Unit = { if (wroteAny) out.write('\n') }
+    def emit(s: Array[Byte]): Unit = { decodeWith(cur, s, out); wroteAny = true }
     while ({ c.skipWs(); !c.eof }) {
       parseObj(c, contentMode = true) match {
         case POp(op) =>
           op match {
             case "Tj" => stack.lastOption match {
-              case Some(PStr(s)) => out.write(s); wroteAny = true
+              case Some(PStr(s)) => emit(s)
               case _ =>
             }
             case "'" | "\"" => stack.lastOption match {
-              case Some(PStr(s)) => nl(); out.write(s); wroteAny = true
+              case Some(PStr(s)) => nl(); emit(s)
               case _ =>
             }
             case "TJ" => stack.lastOption match {
               case Some(PArr(items)) =>
-                items.foreach { case PStr(s) => out.write(s); wroteAny = true; case _ => }
+                items.foreach { case PStr(s) => emit(s); case _ => }
               case _ =>
+            }
+            case "Tf" => stack.collectFirst { case PName(f) => f }.foreach { f =>
+              cur = cache.getOrElseUpdate(f, buildFontDec(doc, resources, f))
             }
             case "Td" | "TD" | "T*" => nl()
             case _ => // positioning/style operators: no text effect
@@ -690,19 +991,26 @@ object Pdf {
       try {
         val out = new java.io.ByteArrayOutputStream()
         var firstPage = true
-        def walkPages(o: PObj, depth: Int): Unit = {
+        def resOf(m: Map[String, PObj], inherited: Option[PDict]): Option[PDict] =
+          resolve(doc, m.getOrElse("Resources", PNull)) match {
+            case d: PDict => Some(d)
+            case _ => inherited // /Resources is an inheritable attribute (§7.7.3.4)
+          }
+        def walkPages(o: PObj, depth: Int, inherited: Option[PDict]): Unit = {
           if (depth > 64) refuse()
           resolve(doc, o) match {
             case PDict(m) if m.get("Type").contains(PName("Pages")) =>
+              val res = resOf(m, inherited)
               resolve(doc, m.getOrElse("Kids", PNull)) match {
-                case PArr(kids) => kids.foreach(walkPages(_, depth + 1))
+                case PArr(kids) => kids.foreach(walkPages(_, depth + 1, res))
                 case _ =>
               }
             case d @ PDict(m) if m.get("Type").contains(PName("Page")) =>
               if (!firstPage) out.write('\n')
               firstPage = false
+              val res = resOf(m, inherited)
               resolve(doc, m.getOrElse("Contents", PNull)) match {
-                case s: PStream => contentText(streamBytes(doc, s), out)
+                case s: PStream => contentText(doc, res, streamBytes(doc, s), out)
                 case PArr(parts) =>
                   // split content: one logical stream, concatenated
                   val joined = new java.io.ByteArrayOutputStream()
@@ -712,7 +1020,7 @@ object Pdf {
                       case _ =>
                     }
                   }
-                  contentText(joined.toByteArray, out)
+                  contentText(doc, res, joined.toByteArray, out)
                 case _ =>
               }
             case _ =>
@@ -720,7 +1028,7 @@ object Pdf {
         }
         val rootObj = doc.root.map(resolve(doc, _)).getOrElse(refuse())
         rootObj match {
-          case PDict(m) => walkPages(m.getOrElse("Pages", PNull), 0)
+          case PDict(m) => walkPages(m.getOrElse("Pages", PNull), 0, None)
           case _ => refuse()
         }
         Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))

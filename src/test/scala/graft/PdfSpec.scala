@@ -70,6 +70,91 @@ class PdfSpec extends SparkSuite {
     assert(Pdf.meta(handAssembled).contains(("1.7", 8, 2, false)))
   }
 
+  /** classic-layout assembly of numbered objects (1-based). */
+  private def assemble(objs: Seq[String]): Array[Byte] = {
+    val out = new StringBuilder("%PDF-1.7\n")
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    for ((o, i) <- objs.zipWithIndex) {
+      offsets += out.length
+      out.append(s"${i + 1} 0 obj\n").append(o).append("\nendobj\n")
+    }
+    val xrefAt = out.length
+    out.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    for (off <- offsets) out.append(f"$off%010d 00000 n \n")
+    out.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toString.getBytes("ISO-8859-1")
+  }
+
+  test("/ToUnicode CMap: subset-font 2-byte codes replay as text (bfchar + both bfrange forms)") {
+    // a Type0 subset font whose codes mean nothing without the CMap —
+    // the post-2000 corpus shape; /Resources sits on the PAGES node
+    // to prove attribute inheritance (§7.7.3.4)
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <006C>
+        |<0020> <0021> [<006F0020> <0077>]
+        |endbfrange
+        |endcmap
+        |end""".stripMargin
+    val content = "BT /F1 12 Tf <000100020010001000200021> Tj ET"
+    val pdf = assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 /Resources << /Font << /F1 5 0 R >> >> >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Subset /ToUnicode 6 0 R >>",
+      s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"))
+    // 0001→H 0002→e 0010→l 0010→l (range step) 0020→"o " (array, 2
+    // UTF-16 units) 0021→w
+    assert(Pdf.extractText(pdf).contains("Hello w"), Pdf.extractText(pdf).toString)
+  }
+
+  test("/Encoding /Differences: glyph names decode, unknown names keep the byte") {
+    // \351 = 0xE9 diffed to eacute; 'A' (65) deliberately remapped to
+    // adieresis (Differences OVERRIDE, not just extend); \370 = 0xF8
+    // diffed to an unknown glyph -> code byte kept raw, which the
+    // final UTF-8 decode surfaces as U+FFFD (the transparent path's
+    // long-standing behavior for non-ASCII bytes: visible, not
+    // silently dropped)
+    val content = "BT /F1 12 Tf (caf\\351 A\\370) Tj ET"
+    val pdf = assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>",
+      s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+        "/Encoding << /Differences [233 /eacute 65 /adieresis 248 /glyph99999] >> >>"))
+    val got = Pdf.extractText(pdf).get
+    assert(got.contains("café ä"), got)
+    assert(got.contains("ä�"), got)
+  }
+
+  test("named base encodings: WinAnsi quotes row and uniXXXX glyph names") {
+    val content = "BT /F1 12 Tf (\\223hi\\224) Tj /F2 12 Tf (x) Tj ET"
+    val pdf = assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>",
+      s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /TrueType /Encoding /WinAnsiEncoding >>",
+      "<< /Type /Font /Subtype /Type1 " +
+        "/Encoding << /Differences [120 /uni2603] >> >>"))
+    val got = Pdf.extractText(pdf).get
+    assert(got.contains("“hi”"), got) // cp1252 0x93/0x94
+    assert(got.contains("☃"), got)         // algorithmic uniXXXX name
+  }
+
   test("damaged xref falls back to the linear scan and still extracts") {
     val pdf = Pdf.pdfOf("salvaged text", flate = true)
     // wreck the startxref offset digits
