@@ -35,6 +35,19 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Partitioning.fanOut(t(spark, dir, "documents"))
 
+  /** Shared-fixture memo (round 14): several gates exercise DIFFERENT
+    * decoders over the SAME packed fixture (the docx pair, the gguf
+    * pair, the warc family, the chat trio, …). Packing is fixture
+    * cost, not operator cost — pack once per (session, sfDir, tag)
+    * and persist, so correctness and bench runs pay it once instead
+    * of once per gate. */
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def sharedFixture(tag: String, s: SparkSession, d: String)(
+      build: => DataFrame): DataFrame =
+    fixtureCache.getOrElseUpdate(s"$tag|${System.identityHashCode(s)}|$d",
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Six-language phrase banks for the x_text_langid gate: the
     * synthetic corpus text is English-shaped and its lang labels carry
     * no text signal (the x_text_linear_classify finding), so the gate
@@ -1011,7 +1024,8 @@ object SparkEntry {
     "x_warc_split" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-warcsplit").toFile
       val base = dir.getAbsolutePath
-      Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text", nFiles = 8)
+      sharedFixture("warc8", s, d)(
+        Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text", nFiles = 8))
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           rows.foreach { r =>
             val out = new java.io.FileOutputStream(
@@ -1038,7 +1052,8 @@ object SparkEntry {
     "x_cdx_index" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-cdx").toFile
       val base = dir.getAbsolutePath
-      Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text", nFiles = 8)
+      sharedFixture("warc8", s, d)(
+        Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text", nFiles = 8))
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           rows.foreach { r =>
             val out = new java.io.FileOutputStream(
@@ -1738,7 +1753,8 @@ object SparkEntry {
     // pair set from ids alone.
     "x_multimodal_phash" -> ((s, d) =>
       graft.ops.Phash.imageNearDups(
-        Multimodal.packClassPng(t(s, d, "documents"), "doc_id", classes = 10),
+        sharedFixture("classpng", s, d)(
+          Multimodal.packClassPng(t(s, d, "documents"), "doc_id", classes = 10)),
         "id", "media", maxDist = 3, bands = 4)
         .withColumn("hamming", col("hamming").cast("long"))),
 
@@ -1752,7 +1768,8 @@ object SparkEntry {
     // about id contiguity.
     "x_image_neardup_groups" -> ((s, d) =>
       graft.ops.Phash.imageDedupGroups(
-        Multimodal.packClassPng(t(s, d, "documents"), "doc_id", classes = 10),
+        sharedFixture("classpng", s, d)(
+          Multimodal.packClassPng(t(s, d, "documents"), "doc_id", classes = 10)),
         "id", "media", maxDist = 3, bands = 4)
         .select(col("id").cast("long").as("doc_id"),
           col("group_id").cast("long").as("group_id"))),
@@ -1770,8 +1787,9 @@ object SparkEntry {
     // class-overlap table.
     "x_audio_fingerprint" -> ((s, d) =>
       graft.ops.AudioFingerprint.audioNearDups(
-        graft.ops.AudioFingerprint.packToneSequenceWav(
-          t(s, d, "documents"), "doc_id"),
+        sharedFixture("tonewav", s, d)(
+          graft.ops.AudioFingerprint.packToneSequenceWav(
+            t(s, d, "documents"), "doc_id")),
         "id", "media", minMatch = 3)
         .withColumnRenamed("a_id", "a_doc").withColumnRenamed("b_id", "b_doc")),
 
@@ -1784,8 +1802,9 @@ object SparkEntry {
     // so every clip's group_id replays from id arithmetic.
     "x_audio_fingerprint_groups" -> ((s, d) =>
       graft.ops.AudioFingerprint.audioDedupGroups(
-        graft.ops.AudioFingerprint.packToneSequenceWav(
-          t(s, d, "documents"), "doc_id"),
+        sharedFixture("tonewav", s, d)(
+          graft.ops.AudioFingerprint.packToneSequenceWav(
+            t(s, d, "documents"), "doc_id")),
         "id", "media", minMatch = 3)
         .withColumnRenamed("id", "doc_id")),
 
@@ -1958,7 +1977,8 @@ object SparkEntry {
     // framing slip anywhere (member boundary, CRLF discipline,
     // Content-Length arithmetic) hash-mismatches.
     "x_warc_records" -> ((s, d) => {
-      val packed = Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text")
+      val packed = sharedFixture("warc", s, d)(
+        Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text"))
       Warc.records(packed, "file_id", "payload")
         .select(col("file_id"), col("warc_type"),
           when(col("warc_type") === "response",
@@ -2523,7 +2543,8 @@ object SparkEntry {
     // back to long turn rows — every role, turn index, and content
     // string replays through DuckDB's independent JSON engine.
     "x_chat_turns" -> ((s, d) => {
-      val packed = graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text")
+      val packed = sharedFixture("chat", s, d)(
+        graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text"))
       graft.ops.Chat.parseConversations(packed, "doc_id", "json")
         .select(col("id").as("doc_id"), col("turn"), col("role"), col("content"))
     }),
@@ -2533,7 +2554,8 @@ object SparkEntry {
     // assistant — an aggregation over the sorted turn array (no
     // Window); the id%7 plant provides real negatives.
     "x_chat_valid" -> ((s, d) => {
-      val packed = graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text")
+      val packed = sharedFixture("chat", s, d)(
+        graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text"))
       graft.ops.Chat.validateAlternation(
         graft.ops.Chat.parseConversations(packed, "doc_id", "json"))
         .select(col("id").as("doc_id"), col("n_turns"), col("valid"))
@@ -2543,7 +2565,8 @@ object SparkEntry {
     // text per conversation in turn order; the oracle assembles the
     // identical string from the same arithmetic.
     "x_chat_render" -> ((s, d) => {
-      val packed = graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text")
+      val packed = sharedFixture("chat", s, d)(
+        graft.ops.Chat.packConversations(t(s, d, "documents"), "doc_id", "text"))
       graft.ops.Chat.renderTemplate(
         graft.ops.Chat.parseConversations(packed, "doc_id", "json"))
         .select(col("id").as("doc_id"), col("text"))
@@ -2557,7 +2580,8 @@ object SparkEntry {
     // field replays from doc_id arithmetic. Both-endian round trips,
     // the inline-ASCII rung, and the hostile ladder live in ExifSpec.
     "x_exif_meta" -> ((s, d) => {
-      val packed = graft.ops.Exif.packJpegExif(t(s, d, "documents"), "doc_id")
+      val packed = sharedFixture("exif", s, d)(
+        graft.ops.Exif.packJpegExif(t(s, d, "documents"), "doc_id"))
       graft.ops.Exif.decodeMeta(packed, "doc_id", "payload")
         .select(col("id").as("doc_id"), col("has_exif"), col("endian"),
           col("orientation"), col("make"), col("model"), col("datetime"),
@@ -2570,7 +2594,8 @@ object SparkEntry {
     // every absolute offset), and the re-decode must show the safe
     // tags intact and the coordinates gone on every image.
     "x_exif_strip" -> ((s, d) => {
-      val packed = graft.ops.Exif.packJpegExif(t(s, d, "documents"), "doc_id")
+      val packed = sharedFixture("exif", s, d)(
+        graft.ops.Exif.packJpegExif(t(s, d, "documents"), "doc_id"))
       val stripped = graft.ops.Exif.stripGpsDf(packed, "doc_id", "payload")
       graft.ops.Exif.decodeMeta(stripped, "id", "payload")
         .select(col("id").as("doc_id"), col("has_exif"), col("endian"),
@@ -2631,7 +2656,8 @@ object SparkEntry {
     // concatenation. This is the full ingest seam a crawl corpus
     // user runs: bytes in, clean text out.
     "x_warc_text" -> ((s, d) => {
-      val packed = Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text")
+      val packed = sharedFixture("warc", s, d)(
+        Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text"))
       Warc.responseText(Warc.records(packed, "file_id", "payload"))
         .select(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
           col("http_status").cast("long").as("status"), col("text"))
@@ -2646,7 +2672,8 @@ object SparkEntry {
     // Tabs/breaks/hyperlink runs/table order and the refusal ladder
     // are pinned in DocxSpec against a JDK-zip-written fixture.
     "x_docx_extract" -> ((s, d) => {
-      val packed = graft.ops.Docx.packTextDocx(t(s, d, "documents"), "doc_id", "text")
+      val packed = sharedFixture("docx", s, d)(
+        graft.ops.Docx.packTextDocx(t(s, d, "documents"), "doc_id", "text"))
       graft.ops.Docx.decodeText(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
@@ -2657,7 +2684,8 @@ object SparkEntry {
     // entries (ids -1 and 0) skipped — every row replays from
     // doc_id arithmetic alongside the verbatim body.
     "x_docx_parts" -> ((s, d) => {
-      val packed = graft.ops.Docx.packTextDocx(t(s, d, "documents"), "doc_id", "text")
+      val packed = sharedFixture("docx", s, d)(
+        graft.ops.Docx.packTextDocx(t(s, d, "documents"), "doc_id", "text"))
       graft.ops.Docx.decodeParts(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("kind"), col("seq"), col("text"))
     }),
@@ -2816,7 +2844,8 @@ object SparkEntry {
     // four tensor infos with 32-aligned offsets — every kv and
     // tensor row replays from doc_id arithmetic.
     "x_gguf_meta" -> ((s, d) => {
-      val packed = graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id")
+      val packed = sharedFixture("gguf", s, d)(
+        graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id"))
       graft.ops.Gguf.decodeMeta(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("kind"), col("key"),
           col("type_id"), col("value"), col("offset"))
@@ -2833,7 +2862,8 @@ object SparkEntry {
     // is pure integer arithmetic. The half-float codec, block walk,
     // and K-quant refusals are pinned in GgufSpec.
     "x_gguf_tensors" -> ((s, d) => {
-      val packed = graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id")
+      val packed = sharedFixture("gguf", s, d)(
+        graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id"))
       graft.ops.Gguf.decodeTensorValues(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("name"), col("type_id"),
           col("n_values"),
@@ -3050,7 +3080,8 @@ object SparkEntry {
     // htmlExtract regex chain verbatim. Refers-To provenance and
     // record ordering are pinned in WarcSpec.
     "x_wet_extract" -> ((s, d) => {
-      val packed = Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text")
+      val packed = sharedFixture("warc", s, d)(
+        Warc.packDocsWarcGz(t(s, d, "documents"), "doc_id", "source", "text"))
       val wet = Warc.packWet(Warc.records(packed, "file_id", "payload"))
       Warc.records(wet, "file_id", "payload")
         .where(col("warc_type") === "conversion")
