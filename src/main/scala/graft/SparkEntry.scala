@@ -2320,6 +2320,22 @@ object SparkEntry {
         checkpoint, commits, "version", "content", 1000000L)
     }),
 
+    // Iceberg v1 manifests (round 14): one spec-schema manifest_entry
+    // Avro container per document (written by the in-repo from-spec
+    // Avro codec, decoded by the same reader the `iceberg` source
+    // uses), entries from id arithmetic — data-<id>-0 DELETED when
+    // id%3==0 else ADDED, an EXISTING second file on even ids — and
+    // the snapshot surface keeps the non-DELETED rows. The end-to-end
+    // table walk (version-hint, metadata json, manifest list, path
+    // remap, refusal ladder) is pinned in IcebergSpec.
+    "x_iceberg_snapshot" -> ((s, d) => {
+      val packed = graft.ops.Iceberg.packDocsManifest(t(s, d, "documents"), "doc_id")
+      graft.ops.Iceberg.entriesDf(packed, "id", "payload")
+        .where(col("status") =!= 2)
+        .select(col("id").as("doc_id"), col("status"), col("path"),
+          col("format"), col("record_count"), col("file_size"))
+    }),
+
     "x_parquet_footer" -> ((s, d) => {
       import s.implicits._
       val paths = Seq("documents", "embeddings", "orders")
@@ -5894,6 +5910,20 @@ object SparkEntry {
              CAST(doc_id + 77 AS BIGINT), CAST(doc_id * 10 + 3 AS BIGINT),
              1, 'src=' || coalesce(source, ''), true
       FROM documents WHERE doc_id % 4 = 3""",
+
+    // iceberg manifest contract: active entries replay by id
+    // arithmetic — %3==0's first file is a DELETED tombstone (absent),
+    // even ids carry the EXISTING second file
+    "x_iceberg_snapshot" -> """
+      SELECT doc_id, 1 AS status,
+             'data-' || doc_id || '-0.parquet' AS path, 'PARQUET' AS format,
+             CAST(doc_id % 100 + 1 AS BIGINT) AS record_count,
+             CAST(doc_id + 4096 AS BIGINT) AS file_size
+      FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id, 0, 'data-' || doc_id || '-1.parquet', 'PARQUET',
+             CAST(7 AS BIGINT), CAST(doc_id + 100 AS BIGINT)
+      FROM documents WHERE doc_id % 2 = 0""",
 
     "x_parquet_footer" -> """
       SELECT regexp_extract(file_name, '([a-z]+)\.parquet$', 1) AS tbl,

@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Apache Iceberg v1 table-metadata reader — the SECOND table format
+  * of the ingest tier (round 14), built entirely on pieces already in
+  * the repo: the metadata walk is JSON (json4s), the manifest-list
+  * and manifest files are Avro object containers read by the in-repo
+  * from-spec [[Avro]] codec. From the published Iceberg Table Spec
+  * (apache/iceberg, format/spec.md):
+  *
+  *  - `metadata/version-hint.text` names the current metadata
+  *    version N → `metadata/vN.metadata.json` (fallback: the
+  *    lexicographically last `*.metadata.json`);
+  *  - the metadata JSON carries `format-version` (gated to 1 — v2
+  *    introduces row-level deletes whose silent omission returns
+  *    WRONG data), `location`, `current-snapshot-id`, and
+  *    `snapshots`, each with a `manifest-list` Avro path (or the
+  *    older inline `manifests` array);
+  *  - the manifest list has one row per manifest (`manifest_path`);
+  *  - each manifest has one `manifest_entry` row per data file:
+  *    `status` (0 EXISTING / 1 ADDED / 2 DELETED — deleted entries
+  *    are bookkeeping, never data) and a nested `data_file` record
+  *    (`file_path`, `file_format`, `record_count`,
+  *    `file_size_in_bytes`);
+  *  - file paths are absolute URIs under the table `location`;
+  *    [[readTable]] remaps the location prefix onto the local table
+  *    dir (tables move; the metadata keeps the writer's paths).
+  *
+  * Scale shape: metadata is bounded (a manifest list row per
+  * manifest, an entry per data file — thousands of rows for petabyte
+  * tables), so the walk is driver-side exactly like [[DeltaLog]]'s
+  * file-list path, and the DATA scan is one parquet relation over
+  * all active files. The [[entriesDf]] gate surface decodes manifest
+  * payloads scan-locally (flatMap, no shuffle).
+  */
+object Iceberg {
+
+  final case class Entry(status: Int, path: String, format: String,
+      recordCount: Long, fileSizeBytes: Long)
+  final case class Snapshot(id: Long, manifestList: Option[String], manifests: Seq[String])
+  final case class TableMeta(formatVersion: Int, location: Option[String],
+      currentSnapshotId: Option[Long], snapshots: Seq[Snapshot])
+
+  /** Parse a vN.metadata.json document. None outside the supported
+    * subset (or malformed JSON). */
+  def parseMetadata(json: String): Option[TableMeta] =
+    try {
+      val jv = JsonMethods.parse(json)
+      val fv = jv \ "format-version" match { case JInt(v) => v.toInt; case _ => return None }
+      val loc = jv \ "location" match { case JString(s) => Some(s); case _ => None }
+      val cur = jv \ "current-snapshot-id" match {
+        case JInt(v) if v >= 0 => Some(v.toLong)
+        case _ => None // -1 or absent: no current snapshot
+      }
+      val snaps = jv \ "snapshots" match {
+        case JArray(xs) => xs.flatMap { s =>
+          s \ "snapshot-id" match {
+            case JInt(id) =>
+              val ml = s \ "manifest-list" match { case JString(p) => Some(p); case _ => None }
+              val ms = s \ "manifests" match {
+                case JArray(ps) => ps.collect { case JString(p) => p }
+                case _ => Seq.empty
+              }
+              Some(Snapshot(id.toLong, ml, ms))
+            case _ => None
+          }
+        }
+        case _ => Seq.empty
+      }
+      Some(TableMeta(fv, loc, cur, snaps))
+    } catch { case _: Exception => None }
+
+  private def recordOf(schemaJson: String): Option[Avro.ARecord] =
+    Avro.parseSchema(schemaJson).collect { case r: Avro.ARecord => r }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None
+  }
+
+  /** manifest-list container → manifest paths, row order. None on a
+    * non-Avro payload or a schema without `manifest_path`. */
+  def manifestListPaths(bytes: Array[Byte]): Option[Seq[String]] =
+    Avro.readContainer(bytes).flatMap { case (h, rows) =>
+      recordOf(h.schemaJson).flatMap { rec =>
+        rec.fields.map(_._1).indexOf("manifest_path") match {
+          case -1 => None
+          case i => Some(rows.collect {
+            case r: Row if !r.isNullAt(i) => r.get(i).toString
+          })
+        }
+      }
+    }
+
+  /** manifest container → entries (status + the data_file core
+    * fields). None on a non-Avro payload or a schema missing the
+    * manifest_entry shape; rows with nulls in required fields drop
+    * (quarantine, not crash). */
+  def manifestEntries(bytes: Array[Byte]): Option[Seq[Entry]] =
+    Avro.readContainer(bytes).flatMap { case (h, rows) =>
+      recordOf(h.schemaJson).flatMap { rec =>
+        val names = rec.fields.map(_._1)
+        val si = names.indexOf("status")
+        val di = names.indexOf("data_file")
+        if (si < 0 || di < 0) return None
+        val dfRec = rec.fields(di)._2 match {
+          case d: Avro.ARecord => d
+          case Avro.AUnion(d: Avro.ARecord, _) => d
+          case _ => return None
+        }
+        val dn = dfRec.fields.map(_._1)
+        val (pi, fi, rci, fsi) = (dn.indexOf("file_path"), dn.indexOf("file_format"),
+          dn.indexOf("record_count"), dn.indexOf("file_size_in_bytes"))
+        if (pi < 0 || fi < 0 || rci < 0 || fsi < 0) return None
+        Some(rows.flatMap {
+          case r: Row if !r.isNullAt(si) && !r.isNullAt(di) =>
+            val df = r.getAs[Row](di)
+            for {
+              status <- asLong(r.get(si))
+              path <- Option(if (df.isNullAt(pi)) null else df.get(pi).toString)
+              fmt <- Option(if (df.isNullAt(fi)) null else df.get(fi).toString)
+              rc <- if (df.isNullAt(rci)) None else asLong(df.get(rci))
+              fs <- if (df.isNullAt(fsi)) None else asLong(df.get(fsi))
+            } yield Entry(status.toInt, path, fmt, rc, fs)
+          case _ => None
+        })
+      }
+    }
+
+  /** Gate surface: (id, manifest-avro payload) → one row per entry
+    * (id, status, path, format, record_count, file_size). Scan-local
+    * flatMap; hostile payloads emit nothing. */
+  def entriesDf(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        manifestEntries(if (payload == null) Array.emptyByteArray else payload)
+          .getOrElse(Seq.empty)
+          .map(e => (id, e.status, e.path, e.format, e.recordCount, e.fileSizeBytes))
+      }
+      .toDF("id", "status", "path", "format", "record_count", "file_size")
+  }
+
+  /** The v1 manifest_entry schema the gate packer writes — spec field
+    * names, reduced to the required core (extra optional fields are
+    * reader-tolerated, not writer-required). */
+  private val manifestSchemaJson: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin.replaceAll("\n", "")
+
+  private val manifestListSchemaJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"}]}""".stripMargin.replaceAll("\n", "")
+
+  /** Write one manifest container for `entries`. */
+  def writeManifest(entries: Seq[Entry], syncSeed: String): Array[Byte] =
+    Avro.writeContainer(manifestSchemaJson, "deflate",
+      entries.iterator.map(e =>
+        Row(e.status, Row(e.path, e.format, e.recordCount, e.fileSizeBytes))),
+      syncSeed)
+
+  /** Write a manifest-list container naming `paths`. */
+  def writeManifestList(paths: Seq[(String, Long)], syncSeed: String): Array[Byte] =
+    Avro.writeContainer(manifestListSchemaJson, "deflate",
+      paths.iterator.map { case (p, len) => Row(p, len, 0) }, syncSeed)
+
+  /** Gate packer: one manifest payload per document, entries from id
+    * arithmetic — data-<id>-0.parquet DELETED when id%3==0 else ADDED
+    * (record_count id%100+1, size id+4096), plus an EXISTING
+    * data-<id>-1.parquet on even ids (record_count 7, size id+100). */
+  def packDocsManifest(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(coalesce(col(idCol).cast("long"), lit(0L)))
+      .as[Long]
+      .map { id =>
+        val e0 = Entry(if (id % 3 == 0) 2 else 1, s"data-$id-0.parquet", "PARQUET",
+          id % 100 + 1, id + 4096)
+        val es = if (id % 2 == 0)
+          Seq(e0, Entry(0, s"data-$id-1.parquet", "PARQUET", 7L, id + 100)) else Seq(e0)
+        (id, writeManifest(es, s"m$id"))
+      }
+      .toDF("id", "payload")
+  }
+
+  private def refuse(msg: String): Nothing =
+    throw new graft.GraftAnalysisException(s"iceberg: $msg")
+
+  /** Resolve a metadata-recorded path against the local table dir:
+    * the writer-side `location` prefix remaps onto `tableDir` (tables
+    * move), `file:` scheme strips, absolute paths pass through,
+    * relative paths resolve under the table dir. */
+  private[graft] def resolvePath(tableDir: String, location: Option[String], p: String): String = {
+    val raw = p.stripPrefix("file:")
+    val loc = location.map(_.stripPrefix("file:")).filter(_.nonEmpty)
+    loc match {
+      case Some(l) if raw.startsWith(l) =>
+        tableDir + raw.substring(l.length)
+      case _ if raw.startsWith("/") => raw
+      case _ => s"$tableDir/$raw"
+    }
+  }
+
+  /** Read the CURRENT snapshot's data of a format-version-1 Iceberg
+    * table: version-hint → metadata JSON → manifest list → manifests
+    * → active (non-DELETED) parquet files, scanned as ONE relation.
+    * Refuses (analysis error) on format-version ≥2, a missing current
+    * snapshot, unreadable Avro, or a non-parquet data file. */
+  def readTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val metaDir = new java.io.File(tableDir, "metadata")
+    val files = Option(metaDir.listFiles()).getOrElse(Array.empty)
+    def readBytes(f: java.io.File): Array[Byte] =
+      java.nio.file.Files.readAllBytes(f.toPath)
+    val metaFile = files.find(_.getName == "version-hint.text").flatMap { h =>
+      val n = new String(readBytes(h), java.nio.charset.StandardCharsets.UTF_8).trim
+      files.find(_.getName == s"v$n.metadata.json")
+    }.orElse(files.filter(_.getName.endsWith(".metadata.json")).sortBy(_.getName).lastOption)
+      .getOrElse(refuse(s"no metadata json under $tableDir/metadata"))
+    val meta = parseMetadata(new String(readBytes(metaFile),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse(refuse(s"malformed metadata ${metaFile.getName}"))
+    if (meta.formatVersion != 1)
+      refuse(s"format-version ${meta.formatVersion} unsupported (v2 row-level deletes " +
+        "change read semantics; refusing beats silently wrong data)")
+    val cur = meta.currentSnapshotId.getOrElse(refuse("no current snapshot"))
+    val snap = meta.snapshots.find(_.id == cur)
+      .getOrElse(refuse(s"current snapshot $cur not in snapshots"))
+    val manifestPaths: Seq[String] = snap.manifestList match {
+      case Some(ml) =>
+        val f = new java.io.File(resolvePath(tableDir, meta.location, ml))
+        if (!f.isFile) refuse(s"manifest list missing: ${f.getName}")
+        manifestListPaths(readBytes(f)).getOrElse(refuse(s"unreadable manifest list ${f.getName}"))
+      case None if snap.manifests.nonEmpty => snap.manifests
+      case None => refuse(s"snapshot $cur has neither manifest-list nor manifests")
+    }
+    val entries = manifestPaths.flatMap { mp =>
+      val f = new java.io.File(resolvePath(tableDir, meta.location, mp))
+      if (!f.isFile) refuse(s"manifest missing: ${f.getName}")
+      manifestEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest ${f.getName}"))
+    }
+    val active = entries.filter(_.status != 2)
+    if (active.isEmpty) refuse(s"snapshot $cur has no active data files")
+    active.find(!_.format.equalsIgnoreCase("parquet")).foreach(e =>
+      refuse(s"data file format ${e.format} unsupported (parquet only)"))
+    spark.read.parquet(active.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
+  }
+}

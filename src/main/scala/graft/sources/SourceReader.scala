@@ -83,6 +83,11 @@ object SourceReader {
     case "delta" =>
       graft.ops.DeltaLog.readTable(spark, s.config.reqStr("path"))
 
+    // Iceberg v1 table CURRENT snapshot: metadata-json → manifest-list
+    // → manifests (in-repo Avro) select the active parquet files
+    case "iceberg" =>
+      graft.ops.Iceberg.readTable(spark, s.config.reqStr("path"))
+
     // ORC: the other columnar format large estates standardize on
     // (Hive lineage). Same lazy-scan contract as parquet — pushdown,
     // pruning, and the optional `columns` projection reach the reader.

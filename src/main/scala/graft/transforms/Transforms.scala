@@ -526,6 +526,12 @@ object Transforms {
       graft.ops.DeltaLog.activeFiles(df,
         t.config.str("version_field").getOrElse("version"),
         t.config.str("content_field").getOrElse("content"))
+    // Iceberg manifest decode: (id, manifest-avro payload) rows ->
+    // one row per manifest_entry (status/path/format/counts)
+    case "iceberg_manifest" =>
+      graft.ops.Iceberg.entriesDf(df,
+        t.config.str("id_field").getOrElse("id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // bloom membership vs another source: build a deterministic
     // bloom over `against`'s key field (one fixed-state aggregation,
     // no key shuffle) and flag each row's key — the crawl-frontier
@@ -987,7 +993,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_script", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "langid_classify", "pca_whiten",
-    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "normalize_unicode", "compression_ratio", "split_sentences", "sentence_chunks", "dedup_sentences", "html_tables", "boilerplate_blocks", "boilerplate_extract", "chat_parse", "chat_validate", "chat_render", "zstd_decode", "gzip_decode", "brotli_decode", "decode_any", "delta_snapshot", "bpe_tokens", "unigram_tokens", "wordpiece_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "normalize_unicode", "compression_ratio", "split_sentences", "sentence_chunks", "dedup_sentences", "html_tables", "boilerplate_blocks", "boilerplate_extract", "chat_parse", "chat_validate", "chat_render", "zstd_decode", "gzip_decode", "brotli_decode", "decode_any", "delta_snapshot", "iceberg_manifest", "bpe_tokens", "unigram_tokens", "wordpiece_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "bloom_join", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.Iceberg
+
+/** Iceberg v1 metadata walk: version-hint → metadata json →
+  * manifest-list → manifests → active parquet files, the path-prefix
+  * remap (tables move), snapshot selection, and the refusal ladder
+  * (format-version 2, missing snapshot, non-parquet data). */
+class IcebergSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def singleParquet(df: DataFrame, dest: java.io.File): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ice").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def write(f: java.io.File, bytes: Array[Byte]): Unit =
+    java.nio.file.Files.write(f.toPath, bytes)
+  private def write(f: java.io.File, s: String): Unit =
+    write(f, s.getBytes("UTF-8"))
+
+  /** A table dir: data f0..f2.parquet (two rows each), metadata dir
+    * with TWO snapshots — the old one holds only f0; the current one
+    * holds f0 + f2 with f1 as a DELETED entry — behind a writer-side
+    * location prefix that must remap. */
+  private def fixture(): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ice-tbl").toFile
+    (0 to 2).foreach { i =>
+      singleParquet(Seq((i * 10L, s"r${i}a"), (i * 10L + 1, s"r${i}b")).toDF("id", "s"),
+        new java.io.File(dir, s"f$i.parquet"))
+    }
+    val meta = new java.io.File(dir, "metadata"); meta.mkdirs()
+    val loc = "file:/warehouse/db/tbl" // the WRITER's location: must remap
+    def p(rel: String) = s"$loc/$rel"
+    // old snapshot 10: only f0
+    write(new java.io.File(meta, "m-old.avro"), Iceberg.writeManifest(Seq(
+      Iceberg.Entry(1, p("f0.parquet"), "PARQUET", 2L, 100L)), "old"))
+    write(new java.io.File(meta, "ml-old.avro"), Iceberg.writeManifestList(Seq(
+      (p("metadata/m-old.avro"), 1L)), "mlold"))
+    // current snapshot 11: manifest A has f0 EXISTING + f1 DELETED,
+    // manifest B adds f2
+    write(new java.io.File(meta, "m-a.avro"), Iceberg.writeManifest(Seq(
+      Iceberg.Entry(0, p("f0.parquet"), "PARQUET", 2L, 100L),
+      Iceberg.Entry(2, p("f1.parquet"), "PARQUET", 2L, 100L)), "a"))
+    write(new java.io.File(meta, "m-b.avro"), Iceberg.writeManifest(Seq(
+      Iceberg.Entry(1, p("f2.parquet"), "PARQUET", 2L, 100L)), "b"))
+    write(new java.io.File(meta, "ml-cur.avro"), Iceberg.writeManifestList(Seq(
+      (p("metadata/m-a.avro"), 1L), (p("metadata/m-b.avro"), 1L)), "mlcur"))
+    write(new java.io.File(meta, "v2.metadata.json"),
+      s"""{"format-version":1,"table-uuid":"u","location":"$loc",
+         |"current-snapshot-id":11,"snapshots":[
+         |{"snapshot-id":10,"manifest-list":"${p("metadata/ml-old.avro")}"},
+         |{"snapshot-id":11,"manifest-list":"${p("metadata/ml-cur.avro")}"}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    write(new java.io.File(meta, "version-hint.text"), "2")
+    dir
+  }
+
+  test("readTable: current snapshot via version-hint, deleted entries dropped, location remap") {
+    val dir = fixture()
+    val got = Iceberg.readTable(spark, dir.getAbsolutePath)
+      .as[(Long, String)].collect().sorted.toSeq
+    // f0 (existing) + f2 (added); f1 is a DELETED tombstone
+    assert(got == Seq((0L, "r0a"), (1L, "r0b"), (20L, "r2a"), (21L, "r2b")))
+    // single-scan contract, same as the delta reader
+    val plan = Iceberg.readTable(spark, dir.getAbsolutePath)
+      .queryExecution.sparkPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1)
+  }
+
+  test("readTable: stale version-hint falls back nowhere — the named metadata wins") {
+    val dir = fixture()
+    // point the hint at the OLD metadata (v1 naming the old snapshot)
+    val meta = new java.io.File(dir, "metadata")
+    val loc = "file:/warehouse/db/tbl"
+    write(new java.io.File(meta, "v1.metadata.json"),
+      s"""{"format-version":1,"location":"$loc","current-snapshot-id":10,
+         |"snapshots":[{"snapshot-id":10,"manifest-list":"$loc/metadata/ml-old.avro"}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    write(new java.io.File(meta, "version-hint.text"), "1")
+    val got = Iceberg.readTable(spark, dir.getAbsolutePath)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((0L, "r0a"), (1L, "r0b"))) // old snapshot: f0 only
+  }
+
+  test("refusal ladder: format-version 2, missing current snapshot, junk manifest, non-parquet") {
+    val dir = fixture()
+    val meta = new java.io.File(dir, "metadata")
+    def metaJson(body: String): Unit = {
+      write(new java.io.File(meta, "v3.metadata.json"), body)
+      write(new java.io.File(meta, "version-hint.text"), "3")
+    }
+    metaJson("""{"format-version":2,"location":"x","current-snapshot-id":11,"snapshots":[]}""")
+    intercept[graft.GraftAnalysisException] { Iceberg.readTable(spark, dir.getAbsolutePath) }
+    metaJson("""{"format-version":1,"location":"x","snapshots":[]}""")
+    intercept[graft.GraftAnalysisException] { Iceberg.readTable(spark, dir.getAbsolutePath) }
+    val loc = "file:/warehouse/db/tbl"
+    write(new java.io.File(meta, "m-junk.avro"), "not avro at all".getBytes("UTF-8"))
+    metaJson(s"""{"format-version":1,"location":"$loc","current-snapshot-id":7,""" +
+      s""""snapshots":[{"snapshot-id":7,"manifest-list":"$loc/metadata/ml-junk.avro"}]}""")
+    write(new java.io.File(meta, "ml-junk.avro"), Iceberg.writeManifestList(Seq(
+      (s"$loc/metadata/m-junk.avro", 1L)), "j"))
+    intercept[graft.GraftAnalysisException] { Iceberg.readTable(spark, dir.getAbsolutePath) }
+    // ORC data file: refuse, never half-read
+    write(new java.io.File(meta, "m-orc.avro"), Iceberg.writeManifest(Seq(
+      Iceberg.Entry(1, s"$loc/f0.parquet", "ORC", 2L, 100L)), "orc"))
+    write(new java.io.File(meta, "ml-orc.avro"), Iceberg.writeManifestList(Seq(
+      (s"$loc/metadata/m-orc.avro", 1L)), "mlorc"))
+    metaJson(s"""{"format-version":1,"location":"$loc","current-snapshot-id":8,""" +
+      s""""snapshots":[{"snapshot-id":8,"manifest-list":"$loc/metadata/ml-orc.avro"}]}""")
+    intercept[graft.GraftAnalysisException] { Iceberg.readTable(spark, dir.getAbsolutePath) }
+  }
+
+  test("manifestEntries/manifestListPaths: reference-library cross-read and hostile bytes") {
+    val m = Iceberg.writeManifest(Seq(
+      Iceberg.Entry(1, "a.parquet", "PARQUET", 3L, 10L),
+      Iceberg.Entry(2, "b.parquet", "PARQUET", 4L, 11L)), "x")
+    assert(Iceberg.manifestEntries(m).get.map(e => (e.status, e.path)) ==
+      Seq((1, "a.parquet"), (2, "b.parquet")))
+    // the reference Avro library reads the same bytes identically
+    val rd = new org.apache.avro.file.DataFileReader(
+      new org.apache.avro.file.SeekableByteArrayInput(m),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val refRows = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    while (rd.hasNext) { val r = rd.next()
+      refRows += ((r.get("status").asInstanceOf[Int],
+        r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("file_path").toString)) }
+    rd.close()
+    assert(refRows.toSeq == Seq((1, "a.parquet"), (2, "b.parquet")))
+    assert(Iceberg.manifestEntries("junk".getBytes("UTF-8")).isEmpty)
+    assert(Iceberg.manifestListPaths("junk".getBytes("UTF-8")).isEmpty)
+    // a schema without the entry shape is None, not a crash
+    assert(Iceberg.manifestEntries(Iceberg.writeManifestList(Seq(("p", 1L)), "s")).isEmpty)
+  }
+
+  test("entriesDf gate surface replays planted arithmetic") {
+    val packed = Iceberg.packDocsManifest(Seq(5L, 6L).toDF("doc_id"), "doc_id")
+    val rows = Iceberg.entriesDf(packed, "id", "payload")
+      .as[(Long, Int, String, String, Long, Long)].collect().toSet
+    assert(rows == Set(
+      (5L, 1, "data-5-0.parquet", "PARQUET", 6L, 4101L),
+      (6L, 2, "data-6-0.parquet", "PARQUET", 7L, 4102L), // %3==0: deleted
+      (6L, 0, "data-6-1.parquet", "PARQUET", 7L, 106L)))
+  }
+}
