@@ -1917,6 +1917,49 @@ object SparkEntry {
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // Vorbis rung (round 14): the web's dominant free compressed
+    // audio, decoded by the from-spec Vorbis I stack (Ogg packet
+    // demux with page CRCs, codebook huffman + VQ, floor1 curve
+    // synthesis, residue-2 cascade, IMDCT, window lapping, granule
+    // truncation). Fixtures come from the in-repo spec-legal encoder
+    // (the Mkv/Pdf discipline — no Vorbis implementation exists on
+    // this classpath; VorbisSpec pins decoder PCM against an
+    // INDEPENDENT closed-form IMDCT). The verdict surface: stream
+    // facts and the dominant spectral BAND of a steady 256-sample
+    // window — the planted MDCT bin k=(id%13)·8+3 keeps both leakage
+    // bins k,k+1 inside band id%13, so dominance is exact, not
+    // tolerance-tuned.
+    "x_multimodal_vorbis" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Vorbis.packTonesOgg(t(s, d, "documents"), "doc_id")
+        .as[(Long, Array[Byte])]
+        .map { case (id, payload) =>
+          graft.ops.AudioPcm.decodeAny(payload) match {
+            case Some(clip) if clip.samples.length >= 320 =>
+              val seg = clip.samples.slice(64, 320).map(_.toDouble)
+              val bp = new Array[Double](16)
+              var bin = 1
+              while (bin < 128) {
+                var re = 0.0
+                var im = 0.0
+                var t = 0
+                while (t < seg.length) {
+                  val ph = 2 * math.Pi * bin * t / 256.0
+                  re += seg(t) * math.cos(ph)
+                  im -= seg(t) * math.sin(ph)
+                  t += 1
+                }
+                bp(bin / 8) += re * re + im * im
+                bin += 1
+              }
+              (id, true, clip.channels, clip.sampleRate,
+                clip.samples.length.toLong, bp.indexOf(bp.max))
+            case _ => (id, false, 0, 0, 0L, -1)
+          }
+        }
+        .toDF("doc_id", "ok", "channels", "sample_rate", "n_samples", "band")
+    }),
+
     // bzip2 rung: the block-sorting format Wikipedia dumps ship in,
     // commons-compress encoded at block sizes 1/5/9 by id, decoded
     // by the from-spec BWT/MTF/Huffman stack with every block CRC
@@ -5628,6 +5671,15 @@ object SparkEntry {
       SELECT doc_id AS id, true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // vorbis contract: stream facts + the granule-truncated sample
+    // count + the planted dominant band, all id arithmetic
+    "x_multimodal_vorbis" -> """
+      SELECT doc_id, true AS ok, 1 AS channels,
+             CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+             CAST((3 + doc_id % 3) * 128 - doc_id % 5 AS BIGINT) AS n_samples,
+             CAST(doc_id % 13 AS INTEGER) AS band
       FROM documents""",
 
     // bzip2 contract: same decoded-byte identity

@@ -27,10 +27,11 @@ package graft.ops
   *    for Opus it counts 48 kHz samples including the pre-skip that
   *    the duration must subtract (RFC 7845 §4).
   *
-  * Packet DATA is deliberately out of scope — a full Vorbis/Opus
-  * sample decoder needs the codec setup machinery (codebooks, MDCT /
-  * SILK+CELT) that, like H.264, is declared out of the from-spec
-  * budget; metadata is what curation needs at scan speed.
+  * Packet DATA: Vorbis streams decode fully through the from-spec
+  * [[Vorbis]] decoder (round 14 — codebooks, floor1, residues,
+  * IMDCT); this parser stays the cheap metadata rung curation runs
+  * at scan speed before any sample decode. Opus sample decode
+  * (SILK+CELT) remains, like H.264, out of the from-spec budget.
   *
   * Hostile-bytes contract as everywhere in this package: never
   * throws — bounds-checked reads, Long cursors, a page-count cap —
