@@ -1931,7 +1931,10 @@ object SparkEntry {
     // tolerance-tuned.
     "x_multimodal_vorbis" -> ((s, d) => {
       import s.implicits._
-      graft.ops.Vorbis.packTonesOgg(t(s, d, "documents"), "doc_id")
+      // fan out before the per-doc encode+decode+DFT kernel: the
+      // documents scan is one split at small SFs and the kernel is
+      // the gate's cost, not the scan
+      graft.ops.Vorbis.packTonesOgg(docs(s, d), "doc_id")
         .as[(Long, Array[Byte])]
         .map { case (id, payload) =>
           graft.ops.AudioPcm.decodeAny(payload) match {

@@ -684,21 +684,44 @@ object Vorbis {
     w
   }
 
+  /** Per-blocksize cosine tables: the IMDCT argument is
+    * π/2n · M with M = (2j+1+n/2)(2k+1), periodic in M mod 4n — one
+    * bounded table per n replaces a trig call per term. */
+  private val cosTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def cosTable(n: Int): Array[Double] =
+    cosTables.computeIfAbsent(n, n0 => {
+      val t = new Array[Double](4 * n0)
+      var m = 0
+      while (m < 4 * n0) { t(m) = math.cos(math.Pi / (2.0 * n0) * m); m += 1 }
+      t
+    })
+
   /** Direct-form IMDCT (§4.3.7's definition): y[j] = Σ X[k]
-    * cos(π/2n · (2j+1+n/2)(2k+1)). O(n²) — fine for scan-local decode
-    * of ≤8192 blocks. */
+    * cos(π/2n · (2j+1+n/2)(2k+1)). O(n·nnz) over the cosine table —
+    * the spectra real floors produce are dense, but the table keeps
+    * every term a lookup, and skipping exact-zero coefficients makes
+    * sparse spectra (silence-classed partitions) nearly free. Fine
+    * for scan-local decode of ≤8192 blocks. */
   private def imdct(x: Array[Float], n: Int): Array[Double] = {
     val out = new Array[Double](n)
     val n2 = n / 2
-    val c = math.Pi / (2.0 * n)
+    val tab = cosTable(n)
+    val period = 4L * n
+    // nonzero coefficient list: residue silence classes leave runs of
+    // exact zeros that contribute nothing
+    var nnz = 0
+    val nzIdx = new Array[Int](n2)
+    var k = 0
+    while (k < n2) { if (x(k) != 0f) { nzIdx(nnz) = k; nnz += 1 }; k += 1 }
     var j = 0
     while (j < n) {
       var acc = 0.0
-      val a = 2 * j + 1 + n2
-      var k = 0
-      while (k < n2) {
-        acc += x(k) * math.cos(c * a * (2 * k + 1))
-        k += 1
+      val a = 2L * j + 1 + n2
+      var i = 0
+      while (i < nnz) {
+        val kk = nzIdx(i)
+        acc += x(kk) * tab(((a * (2 * kk + 1)) % period).toInt)
+        i += 1
       }
       out(j) = acc
       j += 1
@@ -957,14 +980,15 @@ object Vorbis {
   private def headerPrefix(t: Int): Array[Byte] =
     (t.toByte +: "vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
 
-  private def idPacket(rate: Int): Array[Byte] = {
+  private def idPacket(rate: Int, channels: Int = 1,
+      bs0Exp: Int = 8, bs1Exp: Int = 8): Array[Byte] = {
     val w = new Bw
     w.bytes(headerPrefix(1))
     w.bits(0L, 32) // vorbis_version
-    w.bits(1L, 8) // channels
+    w.bits(channels.toLong, 8)
     w.bits(rate.toLong, 32)
     w.bits(0L, 32); w.bits(0L, 32); w.bits(0L, 32) // bitrates
-    w.bits(8L, 4); w.bits(8L, 4) // blocksizes 256/256
+    w.bits(bs0Exp.toLong, 4); w.bits(bs1Exp.toLong, 4)
     w.bit(1) // framing
     w.out
   }
@@ -980,7 +1004,12 @@ object Vorbis {
     w.out
   }
 
-  private def setupPacket(): Array[Byte] = {
+  /** Setup: two codebooks, one floor, one residue-2, one mapping
+    * (coupled 0↔1 when `coupled`), one or two modes (short; + long
+    * when `twoModes`). `end` bounds the residue's interleaved
+    * vector — 128 covers a mono short block, 256 a stereo one. */
+  private def setupPacket(channels: Int = 1, twoModes: Boolean = false,
+      coupled: Boolean = false, end: Int = 128): Array[Byte] = {
     val w = new Bw
     w.bytes(headerPrefix(5))
     w.bits(1L, 8) // 2 codebooks
@@ -1017,52 +1046,78 @@ object Vorbis {
     // residues: one, type 2
     w.bits(0L, 6); w.bits(2L, 16)
     w.bits(0L, 24) // begin
-    w.bits(128L, 24) // end
+    w.bits(end.toLong, 24)
     w.bits(15L, 24) // partition size − 1 → 16
     w.bits(1L, 6) // classifications − 1 → 2
     w.bits(0L, 8) // classbook 0
     w.bits(0L, 3); w.bit(0) // class 0 cascade 0 (silence)
     w.bits(1L, 3); w.bit(0) // class 1 cascade 1 (pass 0)
     w.bits(1L, 8) // class 1 pass 0 → book 1
-    // mappings: one, type 0, 1 submap, no coupling
+    // mappings: one, type 0, 1 submap
     w.bits(0L, 6); w.bits(0L, 16)
     w.bit(0) // submaps flag → 1
-    w.bit(0) // no coupling
+    if (coupled) {
+      w.bit(1)
+      w.bits(0L, 8) // coupling steps − 1 → 1
+      // magnitude 0, angle 1 (ilog(channels−1) bits each)
+      val b = 32 - Integer.numberOfLeadingZeros(channels - 1)
+      w.bits(0L, b); w.bits(1L, b)
+    } else w.bit(0)
     w.bits(0L, 2) // reserved
     w.bits(0L, 8) // time config
     w.bits(0L, 8) // floor 0
     w.bits(0L, 8) // residue 0
-    // modes: one, short blocks
-    w.bits(0L, 6)
-    w.bit(0) // blockflag
-    w.bits(0L, 16); w.bits(0L, 16) // window/transform type
-    w.bits(0L, 8) // mapping 0
+    // modes
+    w.bits(if (twoModes) 1L else 0L, 6)
+    w.bit(0) // mode 0: short
+    w.bits(0L, 16); w.bits(0L, 16)
+    w.bits(0L, 8)
+    if (twoModes) {
+      w.bit(1) // mode 1: long
+      w.bits(0L, 16); w.bits(0L, 16)
+      w.bits(0L, 8)
+    }
     w.bit(1) // framing
     w.out
   }
 
-  /** One audio packet: flat floor at dB index `floorAmp` (0..255) and
-    * 128 residue levels ∈ [−8, 7] (coefficient = table[floorAmp] ·
-    * level·0.5). */
-  private def audioPacket(floorAmp: Int, levels: Array[Int]): Array[Byte] = {
-    require(levels.length == 128)
+  /** One audio packet: flat floor at dB index `floorAmp` per channel
+    * (a null channel writes an UNUSED floor), and residue-2 levels ∈
+    * [−8, 7] over the interleaved vector [0, interleavedEnd)
+    * (coefficient = table[floorAmp] · level·0.5). */
+  private def audioPacket(floorAmp: Int, chLevels: Array[Array[Int]],
+      interleavedEnd: Int, long: Boolean = false, prevFlag: Boolean = false,
+      nextFlag: Boolean = false, twoModes: Boolean = false): Array[Byte] = {
+    val ch = chLevels.length
     val w = new Bw
     w.bit(0) // audio packet
-    // mode number: ilog(0) = 0 bits; blockflag 0 → no window flags
-    // floor: nonzero, y0 = y1 = amp, middle post book-less (0)
-    w.bit(1)
-    w.bits(floorAmp.toLong, 8)
-    w.bits(floorAmp.toLong, 8)
-    // residue: 8 partitions of 16; classword per partition (classbook
-    // dims 1): class 1 iff the partition has a nonzero level
+    if (twoModes) w.bit(if (long) 1 else 0) // mode number (1 bit with 2 modes)
+    if (long) { w.bit(if (prevFlag) 1 else 0); w.bit(if (nextFlag) 1 else 0) }
+    chLevels.foreach { lv =>
+      if (lv == null) w.bit(0) // unused floor (silent channel)
+      else {
+        w.bit(1)
+        w.bits(floorAmp.toLong, 8)
+        w.bits(floorAmp.toLong, 8) // flat: the middle post predicts exactly
+      }
+    }
+    // residue: partitions of 16 over the interleaved vector; classword
+    // per partition (classbook dims 1): class 1 iff any nonzero
+    val inter = new Array[Int](interleavedEnd)
+    var j = 0
+    while (j < interleavedEnd) {
+      val lv = chLevels(j % ch)
+      inter(j) = if (lv == null) 0 else lv(j / ch)
+      j += 1
+    }
     var part = 0
-    while (part < 8) {
-      val active = (0 until 16).exists(i => levels(part * 16 + i) != 0)
+    while (part < interleavedEnd / 16) {
+      val active = (0 until 16).exists(i => inter(part * 16 + i) != 0)
       w.code(if (active) 1 else 0, 1) // classbook codewords: 0→'0', 1→'1'
       if (active) {
         var i = 0
         while (i < 16) {
-          w.code(levels(part * 16 + i) + 8, 4) // value book: entry = level+8, 4-bit code
+          w.code(inter(part * 16 + i) + 8, 4) // value book: entry = level+8
           i += 1
         }
       }
@@ -1114,7 +1169,59 @@ object Vorbis {
       val last = i == levels.length - 1
       val gran = if (last) granule else math.max(0L, i.toLong * 128)
       bos.write(oggPage(serial, 2 + i, gran,
-        if (last) 0x04 else 0, Seq(audioPacket(floorAmp, levels(i)))))
+        if (last) 0x04 else 0, Seq(audioPacket(floorAmp, Array(levels(i)), 128))))
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Mixed-blocksize mono fixture: two modes (256 / 2048), plan
+    * entries (isLong, 128 levels over the first 128 spectral bins);
+    * window flags follow the real neighbors, so the hybrid long-block
+    * slopes and the center-aligned lapping across UNEQUAL sizes both
+    * run. */
+  def encodeFixtureMixed(rate: Int, floorAmp: Int,
+      plan: Seq[(Boolean, Array[Int])], granule: Long): Array[Byte] = {
+    val serial = 0x67726166L
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(oggPage(serial, 0, 0L, 0x02, Seq(idPacket(rate, 1, 8, 11))))
+    bos.write(oggPage(serial, 1, 0L, 0,
+      Seq(commentPacket(), setupPacket(twoModes = true))))
+    def nOf(long: Boolean) = if (long) 2048 else 256
+    var cum = 0L
+    var i = 0
+    while (i < plan.length) {
+      val (long, levels) = plan(i)
+      if (i > 0) cum += (nOf(plan(i - 1)._1) + nOf(long)) / 4
+      val prevFlag = i > 0 && plan(i - 1)._1
+      val nextFlag = i < plan.length - 1 && plan(i + 1)._1
+      val last = i == plan.length - 1
+      bos.write(oggPage(serial, 2 + i, if (last) granule else cum,
+        if (last) 0x04 else 0,
+        Seq(audioPacket(floorAmp, Array(levels), 128, long, prevFlag, nextFlag,
+          twoModes = true))))
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Coupled-stereo fixture (short blocks): per-block MAGNITUDE and
+    * ANGLE residue levels (null angle rows = an unused angle floor —
+    * the coupling rule still forces the pair's residue decode). */
+  def encodeFixtureStereo(rate: Int, floorAmp: Int,
+      magLevels: Array[Array[Int]], angLevels: Array[Array[Int]],
+      granule: Long): Array[Byte] = {
+    val serial = 0x67726166L
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(oggPage(serial, 0, 0L, 0x02, Seq(idPacket(rate, channels = 2))))
+    bos.write(oggPage(serial, 1, 0L, 0,
+      Seq(commentPacket(), setupPacket(channels = 2, coupled = true, end = 256))))
+    var i = 0
+    while (i < magLevels.length) {
+      val last = i == magLevels.length - 1
+      val gran = if (last) granule else math.max(0L, i.toLong * 128)
+      bos.write(oggPage(serial, 2 + i, gran, if (last) 0x04 else 0,
+        Seq(audioPacket(floorAmp, Array(magLevels(i), angLevels(i)), 256))))
       i += 1
     }
     bos.toByteArray

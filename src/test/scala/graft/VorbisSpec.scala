@@ -103,6 +103,102 @@ class VorbisSpec extends SparkSuite {
     }
   }
 
+  /** test-local windowed IMDCT of a single planted bin — written
+    * separately from the decoder (closed form, no shared code). */
+  private def windowedImpulse(n: Int, shortN: Int, k: Int, coef: Double,
+      blockflag: Boolean, prevFlag: Boolean, nextFlag: Boolean): Array[Double] = {
+    val y = Array.tabulate(n)(j =>
+      coef * math.cos(math.Pi / (2.0 * n) * (2 * j + 1 + n / 2) * (2 * k + 1)))
+    val (ls, ln) = if (blockflag && !prevFlag) (n / 4 - shortN / 4, shortN / 2) else (0, n / 2)
+    val (rs, rn) = if (blockflag && !nextFlag) (3 * n / 4 - shortN / 4, shortN / 2) else (n / 2, n / 2)
+    Array.tabulate(n) { j =>
+      val w =
+        if (j < ls) 0.0
+        else if (j < ls + ln) math.sin(math.Pi / 2 * math.pow(math.sin((j - ls + 0.5) / ln * math.Pi / 2), 2))
+        else if (j < rs) 1.0
+        else if (j < rs + rn) math.sin(math.Pi / 2 * math.pow(math.sin((j - rs + 0.5) / rn * math.Pi / 2 + math.Pi / 2), 2))
+        else 0.0
+      y(j) * w
+    }
+  }
+
+  /** test-local center-aligned lapping of per-block windowed outputs. */
+  private def lap(blocks: Seq[Array[Double]]): Array[Double] = {
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    var i = 1
+    while (i < blocks.length) {
+      val prev = blocks(i - 1); val cur = blocks(i)
+      val np = prev.length; val nc = cur.length
+      val off = nc / 4 - np / 4
+      var t = 0
+      while (t < np / 4 + nc / 4) {
+        var v = 0.0
+        if (t < np / 2) v += prev(np / 2 + t)
+        val ci = t + off
+        if (ci >= 0 && ci < nc / 2) v += cur(ci)
+        out += v
+        t += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  test("coupled stereo: square-polar inverse coupling reconstructs both channels exactly") {
+    // mag level 2 (residue 1.0), angle level 1 (0.5), both positive:
+    // inverse coupling gives M = 1.0, A = M − A = 0.5 — two tones at
+    // bin k whose amplitudes differ by exactly 2×
+    val k = 19; val amp = 230; val blocks = 4
+    val mag = Array.fill(blocks) { val r = new Array[Int](128); r(k) = 2; r }
+    val ang = Array.fill(blocks) { val r = new Array[Int](128); r(k) = 1; r }
+    val pcm = Vorbis.decode(
+      Vorbis.encodeFixtureStereo(8000, amp, mag, ang, (blocks - 1) * 128L)).get
+    assert(pcm.channels == 2 && pcm.samples(0).length == (blocks - 1) * 128)
+    val floor = math.pow(10.0, (amp - 255) * 7.0 / 256.0)
+    Seq((0, 1.0), (1, 0.5)).foreach { case (c, lvl) =>
+      val b = windowedImpulse(256, 256, k, floor * lvl, blockflag = false,
+        prevFlag = false, nextFlag = false)
+      val expected = lap(Seq(b, b)).take(128) // steady state
+      val got = pcm.samples(c).slice(128, 256)
+      expected.indices.foreach { t =>
+        assert(math.abs(got(t) - expected(t)) < 1e-4, s"ch$c t=$t")
+      }
+    }
+  }
+
+  test("coupled stereo with an UNUSED angle floor: the pair still residue-decodes, angle is silent") {
+    val k = 8; val blocks = 4
+    val mag = Array.fill(blocks) { val r = new Array[Int](128); r(k) = 2; r }
+    val ang: Array[Array[Int]] = Array.fill(blocks)(null)
+    val pcm = Vorbis.decode(
+      Vorbis.encodeFixtureStereo(8000, 228, mag, ang, (blocks - 1) * 128L)).get
+    assert(pcm.samples(0).map(math.abs).max > 0.05f) // magnitude channel audible
+    assert(pcm.samples(1).forall(_ == 0.0f)) // unused floor → exact silence
+  }
+
+  test("mixed 256/2048 blocks: hybrid window slopes and unequal-size lapping match the closed form") {
+    val k = 6; val amp = 232
+    def imp(): Array[Int] = { val r = new Array[Int](128); r(k) = 2; r }
+    val plan = Seq((false, imp()), (true, imp()), (false, imp()), (false, imp()))
+    // emitted: (256+2048)/4 + (2048+256)/4 + (256+256)/4 = 1280
+    val pcm = Vorbis.decode(Vorbis.encodeFixtureMixed(8000, amp, plan, 1280L)).get
+    assert(pcm.samples(0).length == 1280)
+    val floor = math.pow(10.0, (amp - 255) * 7.0 / 256.0)
+    val blocks = plan.indices.map { i =>
+      val (long, _) = plan(i)
+      val n = if (long) 2048 else 256
+      val prevFlag = i > 0 && plan(i - 1)._1
+      val nextFlag = i < plan.length - 1 && plan(i + 1)._1
+      windowedImpulse(n, 256, k, floor * 1.0, long, prevFlag, nextFlag)
+    }
+    val expected = lap(blocks)
+    assert(expected.length == 1280)
+    expected.indices.foreach { t =>
+      assert(math.abs(pcm.samples(0)(t) - expected(t)) < 1e-4,
+        s"t=$t got ${pcm.samples(0)(t)} expected ${expected(t)}")
+    }
+  }
+
   test("refusal ladder: truncation, bad version, garbage, wrong header order") {
     val levels = Array.fill(4)(new Array[Int](128))
     levels.foreach(_(5) = 1)
