@@ -2757,7 +2757,7 @@ object SparkEntry {
     // numbers, so the reader's numeric (not lexicographic) slide
     // sort is load-bearing; body text replays the corpus verbatim.
     "x_pptx_extract" -> ((s, d) => {
-      val packed = graft.ops.Office.packTextPptx(t(s, d, "documents"), "doc_id", "text")
+      val packed = graft.ops.Office.packTextPptx(docs(s, d), "doc_id", "text")
       graft.ops.Office.decodePptxText(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
@@ -2767,7 +2767,7 @@ object SparkEntry {
     // replay the corpus verbatim. tab/line-break/text:s expansion
     // and the footnote skip are pinned in OfficeSpec.
     "x_odt_extract" -> ((s, d) => {
-      val packed = graft.ops.Office.packTextOdt(t(s, d, "documents"), "doc_id", "text")
+      val packed = graft.ops.Office.packTextOdt(docs(s, d), "doc_id", "text")
       graft.ops.Office.decodeOdtText(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
@@ -3076,7 +3076,7 @@ object SparkEntry {
     // OPF → spine reading-order chain is load-bearing, not the
     // package layout; spine text replays the corpus verbatim.
     "x_epub_extract" -> ((s, d) => {
-      val packed = graft.ops.Epub.packTextEpub(t(s, d, "documents"), "doc_id", "text")
+      val packed = graft.ops.Epub.packTextEpub(docs(s, d), "doc_id", "text")
       graft.ops.Epub.decodeText(packed, "id", "payload")
         .select(col("id").as("doc_id"), col("text"), col("decoded"))
     }),
