@@ -2375,7 +2375,7 @@ object SparkEntry {
     // table walk (version-hint, metadata json, manifest list, path
     // remap, refusal ladder) is pinned in IcebergSpec.
     "x_iceberg_snapshot" -> ((s, d) => {
-      val packed = graft.ops.Iceberg.packDocsManifest(t(s, d, "documents"), "doc_id")
+      val packed = graft.ops.Iceberg.packDocsManifest(docs(s, d), "doc_id")
       graft.ops.Iceberg.entriesDf(packed, "id", "payload")
         .where(col("status") =!= 2)
         .select(col("id").as("doc_id"), col("status"), col("path"),
