@@ -1004,12 +1004,18 @@ object Vorbis {
     w.out
   }
 
-  /** Setup: two codebooks, one floor, one residue-2, one mapping
-    * (coupled 0↔1 when `coupled`), one or two modes (short; + long
-    * when `twoModes`). `end` bounds the residue's interleaved
-    * vector — 128 covers a mono short block, 256 a stereo one. */
+  /** Setup: two codebooks, one floor, one residue (type 0/1/2), one
+    * mapping (coupled 0↔1 when `coupled`), one or two modes (short;
+    * + long when `twoModes`). `end` bounds the residue vector — 128
+    * covers a mono short block, 256 a stereo interleaved one.
+    * `dims2` swaps the scalar value book for a 2-dimensional
+    * lookup-type-2 book (the shape real libvorbis streams use with
+    * residue formats 0/1 — the two formats only DIFFER with
+    * multi-dimension books: 0 strides interleaved, 1 runs
+    * sequential). */
   private def setupPacket(channels: Int = 1, twoModes: Boolean = false,
-      coupled: Boolean = false, end: Int = 128): Array[Byte] = {
+      coupled: Boolean = false, end: Int = 128, residueType: Int = 2,
+      dims2: Boolean = false): Array[Byte] = {
     val w = new Bw
     w.bytes(headerPrefix(5))
     w.bits(1L, 8) // 2 codebooks
@@ -1018,19 +1024,36 @@ object Vorbis {
     w.bit(0); w.bit(0) // unordered, non-sparse
     w.bits(0L, 5); w.bits(0L, 5) // lengths 1,1
     w.bits(0L, 4) // lookup 0
-    // book 1: value book — dims 1, entries 16, all length 4,
-    // lookup 1: value[e] = e·0.5 − 4.0
-    w.bits(0x564342L, 24); w.bits(1L, 16); w.bits(16L, 24)
-    w.bit(0); w.bit(0)
-    var i = 0
-    while (i < 16) { w.bits(3L, 5); i += 1 } // length 4
-    w.bits(1L, 4) // lookup type 1
-    w.bits(float32Pack(-4.0), 32)
-    w.bits(float32Pack(0.5), 32)
-    w.bits(3L, 4) // value_bits − 1 → 4-bit multiplicands
-    w.bit(0) // sequence_p
-    i = 0
-    while (i < 16) { w.bits(i.toLong, 4); i += 1 } // mults 0..15
+    if (!dims2) {
+      // book 1: value book — dims 1, entries 16, all length 4,
+      // lookup 1: value[e] = e·0.5 − 4.0
+      w.bits(0x564342L, 24); w.bits(1L, 16); w.bits(16L, 24)
+      w.bit(0); w.bit(0)
+      var i = 0
+      while (i < 16) { w.bits(3L, 5); i += 1 } // length 4
+      w.bits(1L, 4) // lookup type 1
+      w.bits(float32Pack(-4.0), 32)
+      w.bits(float32Pack(0.5), 32)
+      w.bits(3L, 4) // value_bits − 1 → 4-bit multiplicands
+      w.bit(0) // sequence_p
+      i = 0
+      while (i < 16) { w.bits(i.toLong, 4); i += 1 } // mults 0..15
+    } else {
+      // book 1: value book — dims 2, entries 16 (all 4×4 level
+      // pairs), all length 4, lookup type 2: value = mult·0.5 − 1.0,
+      // entry e → pair (e>>2, e&3)
+      w.bits(0x564342L, 24); w.bits(2L, 16); w.bits(16L, 24)
+      w.bit(0); w.bit(0)
+      var i = 0
+      while (i < 16) { w.bits(3L, 5); i += 1 }
+      w.bits(2L, 4) // lookup type 2
+      w.bits(float32Pack(-1.0), 32)
+      w.bits(float32Pack(0.5), 32)
+      w.bits(1L, 4) // value_bits − 1 → 2-bit multiplicands
+      w.bit(0) // sequence_p
+      i = 0
+      while (i < 16) { w.bits((i >> 2).toLong, 2); w.bits((i & 3).toLong, 2); i += 1 }
+    }
     // time transforms
     w.bits(0L, 6); w.bits(0L, 16)
     // floors: one, type 1
@@ -1043,8 +1066,8 @@ object Vorbis {
     w.bits(0L, 2) // multiplier − 1 → 1 (range 256)
     w.bits(7L, 4) // rangebits
     w.bits(64L, 7) // the one class X value
-    // residues: one, type 2
-    w.bits(0L, 6); w.bits(2L, 16)
+    // residues: one
+    w.bits(0L, 6); w.bits(residueType.toLong, 16)
     w.bits(0L, 24) // begin
     w.bits(end.toLong, 24)
     w.bits(15L, 24) // partition size − 1 → 16
@@ -1124,6 +1147,65 @@ object Vorbis {
       part += 1
     }
     w.out
+  }
+
+  /** One mono audio packet through the 2-dimensional value book:
+    * `vals` are 128 coefficients on the {−1.0, −0.5, 0, 0.5} grid;
+    * the emission order compensates the format's layout (format 1
+    * sequential pairs, format 0 interleaved stride-8 pairs) so both
+    * decode to the SAME spectrum. */
+  private def audioPacketDims2(floorAmp: Int, vals: Array[Float], rType: Int): Array[Byte] = {
+    require(vals.length == 128 && (rType == 0 || rType == 1))
+    val w = new Bw
+    w.bit(0)
+    w.bit(1); w.bits(floorAmp.toLong, 8); w.bits(floorAmp.toLong, 8)
+    def entryOf(a: Float, b: Float): Int = {
+      def idx(v: Float): Int = {
+        val m = math.round((v + 1.0f) / 0.5f)
+        require(m >= 0 && m <= 3, s"off-grid value $v")
+        m
+      }
+      idx(a) * 4 + idx(b)
+    }
+    var part = 0
+    while (part < 8) {
+      val off = part * 16
+      val active = (0 until 16).exists(i => vals(off + i) != 0f)
+      w.code(if (active) 1 else 0, 1)
+      if (active) {
+        if (rType == 1) {
+          var s = 0
+          while (s < 16) { w.code(entryOf(vals(off + s), vals(off + s + 1)), 4); s += 2 }
+        } else {
+          var s = 0
+          while (s < 8) { w.code(entryOf(vals(off + s), vals(off + s + 8)), 4); s += 1 }
+        }
+      }
+      part += 1
+    }
+    w.out
+  }
+
+  /** Mono short-block fixture through residue format 0 or 1 with the
+    * 2-dimensional value book — the multi-dimension shapes real
+    * libvorbis streams use, where the two formats genuinely differ
+    * (interleaved stride vs sequential run). */
+  def encodeFixtureResidue01(rType: Int, rate: Int, floorAmp: Int,
+      vals: Array[Array[Float]], granule: Long): Array[Byte] = {
+    val serial = 0x67726166L
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(oggPage(serial, 0, 0L, 0x02, Seq(idPacket(rate))))
+    bos.write(oggPage(serial, 1, 0L, 0,
+      Seq(commentPacket(), setupPacket(residueType = rType, dims2 = true))))
+    var i = 0
+    while (i < vals.length) {
+      val last = i == vals.length - 1
+      val gran = if (last) granule else math.max(0L, i.toLong * 128)
+      bos.write(oggPage(serial, 2 + i, gran, if (last) 0x04 else 0,
+        Seq(audioPacketDims2(floorAmp, vals(i), rType))))
+      i += 1
+    }
+    bos.toByteArray
   }
 
   /** Write one Ogg page. */

@@ -199,6 +199,47 @@ class VorbisSpec extends SparkSuite {
     }
   }
 
+  test("residue formats 0 and 1 with a 2-dim book: distinct layouts, identical spectra") {
+    // a deliberately asymmetric pattern across one partition — if the
+    // decoder's format-0 interleaved stride were wrong, its PCM would
+    // diverge from format 1's (the encoder compensates the layout, so
+    // the decoded spectra must MATCH each other and the closed form)
+    val amp = 231; val blocks = 3
+    val pattern = new Array[Float](128)
+    Seq(16 -> 0.5f, 17 -> -0.5f, 19 -> -1.0f, 22 -> 0.5f, 24 -> -0.5f,
+      29 -> 0.5f, 31 -> -1.0f, 40 -> 0.5f).foreach { case (i, v) => pattern(i) = v }
+    val vals = Array.fill(blocks)(pattern.clone())
+    val decoded = Seq(0, 1).map { rType =>
+      Vorbis.decode(Vorbis.encodeFixtureResidue01(
+        rType, 8000, amp, vals, (blocks - 1) * 128L)).get
+    }
+    val Seq(p0, p1) = decoded
+    assert(p0.samples(0).length == 256 && p1.samples(0).length == 256)
+    p0.samples(0).indices.foreach { t =>
+      assert(p0.samples(0)(t) == p1.samples(0)(t), s"format 0 vs 1 diverge at $t")
+    }
+    // closed form: the multi-bin windowed IMDCT, floor applied per bin
+    val floor = math.pow(10.0, (amp - 255) * 7.0 / 256.0)
+    val n = 256
+    val block = Array.tabulate(n) { j =>
+      var acc = 0.0
+      pattern.indices.foreach { k =>
+        if (pattern(k) != 0f)
+          acc += floor * pattern(k) *
+            math.cos(math.Pi / (2.0 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+      }
+      val w = if (j < n / 2)
+        math.sin(math.Pi / 2 * math.pow(math.sin((j + 0.5) / (n / 2) * math.Pi / 2), 2))
+      else
+        math.sin(math.Pi / 2 * math.pow(math.sin(((j - n / 2) + 0.5) / (n / 2) * math.Pi / 2 + math.Pi / 2), 2))
+      acc * w
+    }
+    val expected = lap(Seq(block, block, block))
+    expected.indices.foreach { t =>
+      assert(math.abs(p1.samples(0)(t) - expected(t)) < 1e-4, s"t=$t")
+    }
+  }
+
   test("refusal ladder: truncation, bad version, garbage, wrong header order") {
     val levels = Array.fill(4)(new Array[Int](128))
     levels.foreach(_(5) = 1)
