@@ -45,6 +45,8 @@ object Vorbis {
     override def fillInStackTrace(): Throwable = this
   }
   private def refuse(): Nothing = throw Refuse
+  /** test-only: observes each floor's raw decoded post values. */
+  private[graft] var debugHook: Array[Int] => Unit = null
   /** end-of-packet inside an audio packet: legal, zeros follow. */
   private object Eop extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
@@ -380,6 +382,7 @@ object Vorbis {
       offset += cdim
       i += 1
     }
+    if (debugHook != null) debugHook(y.clone())
     // amplitude value synthesis (§7.2.4 step 1)
     val finalY = new Array[Int](posts)
     val step2 = new Array[Boolean](posts)
@@ -1015,10 +1018,10 @@ object Vorbis {
     * sequential). */
   private def setupPacket(channels: Int = 1, twoModes: Boolean = false,
       coupled: Boolean = false, end: Int = 128, residueType: Int = 2,
-      dims2: Boolean = false): Array[Byte] = {
+      dims2: Boolean = false, floorBooks: Boolean = false): Array[Byte] = {
     val w = new Bw
     w.bytes(headerPrefix(5))
-    w.bits(1L, 8) // 2 codebooks
+    w.bits(if (floorBooks) 3L else 1L, 8) // codebook count − 1
     // book 0: residue classbook — dims 1, entries 2, lengths [1,1]
     w.bits(0x564342L, 24); w.bits(1L, 16); w.bits(2L, 24)
     w.bit(0); w.bit(0) // unordered, non-sparse
@@ -1054,18 +1057,48 @@ object Vorbis {
       i = 0
       while (i < 16) { w.bits((i >> 2).toLong, 2); w.bits((i & 3).toLong, 2); i += 1 }
     }
+    if (floorBooks) {
+      // book 2: floor class MASTER book — 8 entries, 3-bit codes
+      w.bits(0x564342L, 24); w.bits(1L, 16); w.bits(8L, 24)
+      w.bit(0); w.bit(0)
+      var i = 0
+      while (i < 8) { w.bits(2L, 5); i += 1 }
+      w.bits(0L, 4)
+      // book 3: floor post-VALUE book — 64 entries, 6-bit codes
+      // (scalar huffman: the decoded entry number IS the Y value)
+      w.bits(0x564342L, 24); w.bits(1L, 16); w.bits(64L, 24)
+      w.bit(0); w.bit(0)
+      i = 0
+      while (i < 64) { w.bits(5L, 5); i += 1 }
+      w.bits(0L, 4)
+    }
     // time transforms
     w.bits(0L, 6); w.bits(0L, 16)
     // floors: one, type 1
     w.bits(0L, 6); w.bits(1L, 16)
-    w.bits(1L, 5) // 1 partition
-    w.bits(0L, 4) // class 0
-    w.bits(0L, 3) // class dims − 1 → 1
-    w.bits(0L, 2) // subclasses 0
-    w.bits(0L, 8) // subclass book: 0 → −1 (none)
-    w.bits(0L, 2) // multiplier − 1 → 1 (range 256)
-    w.bits(7L, 4) // rangebits
-    w.bits(64L, 7) // the one class X value
+    if (!floorBooks) {
+      w.bits(1L, 5) // 1 partition
+      w.bits(0L, 4) // class 0
+      w.bits(0L, 3) // class dims − 1 → 1
+      w.bits(0L, 2) // subclasses 0
+      w.bits(0L, 8) // subclass book: 0 → −1 (none)
+      w.bits(0L, 2) // multiplier − 1 → 1 (range 256)
+      w.bits(7L, 4) // rangebits
+      w.bits(64L, 7) // the one class X value
+    } else {
+      // the BOOK-CODED floor: one partition, class 0 with THREE
+      // posts, one subclass bit through the master book, both
+      // subclass slots the post-value book
+      w.bits(1L, 5)
+      w.bits(0L, 4)
+      w.bits(2L, 3) // class dims − 1 → 3
+      w.bits(1L, 2) // subclasses → 1 bit
+      w.bits(2L, 8) // master book 2
+      w.bits(4L, 8); w.bits(4L, 8) // both subclass slots → book 3 (+1 encoding)
+      w.bits(0L, 2) // multiplier 1 (range 256)
+      w.bits(7L, 4)
+      w.bits(32L, 7); w.bits(64L, 7); w.bits(96L, 7) // class X values
+    }
     // residues: one
     w.bits(0L, 6); w.bits(residueType.toLong, 16)
     w.bits(0L, 24) // begin
@@ -1184,6 +1217,56 @@ object Vorbis {
       part += 1
     }
     w.out
+  }
+
+  /** One mono audio packet through the BOOK-CODED floor: raw
+    * endpoint posts, the class master codeword, three book-coded
+    * post values (driving the prediction/room arithmetic — a
+    * non-flat curve), then the scalar-book residue. */
+  private def audioPacketFloorBooks(y0: Int, y1: Int, postVals: Array[Int],
+      levels: Array[Int]): Array[Byte] = {
+    require(postVals.length == 3 && levels.length == 128)
+    require(postVals.forall(v => v >= 0 && v < 64), "post values must fit book 3")
+    val w = new Bw
+    w.bit(0)
+    w.bit(1)
+    w.bits(y0.toLong, 8); w.bits(y1.toLong, 8)
+    w.code(0, 3) // master cval = 0 (both subclass slots are book 3)
+    postVals.foreach(v => w.code(v, 6))
+    var part = 0
+    while (part < 8) {
+      val active = (0 until 16).exists(i => levels(part * 16 + i) != 0)
+      w.code(if (active) 1 else 0, 1)
+      if (active) {
+        var i = 0
+        while (i < 16) { w.code(levels(part * 16 + i) + 8, 4); i += 1 }
+      }
+      part += 1
+    }
+    w.out
+  }
+
+  /** Mono short-block fixture with the book-coded, NON-FLAT floor:
+    * posts at x = 0,128 (raw) and 32,64,96 (book 3 via master book
+    * 2) exercise neighbor search, render_point prediction, the
+    * odd/even value offsets and room clamping, and real render_line
+    * slopes. */
+  def encodeFixtureFloorBooks(rate: Int, y0: Int, y1: Int, postVals: Array[Int],
+      levels: Array[Int], blocks: Int, granule: Long): Array[Byte] = {
+    val serial = 0x67726166L
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(oggPage(serial, 0, 0L, 0x02, Seq(idPacket(rate))))
+    bos.write(oggPage(serial, 1, 0L, 0,
+      Seq(commentPacket(), setupPacket(floorBooks = true))))
+    var i = 0
+    while (i < blocks) {
+      val last = i == blocks - 1
+      val gran = if (last) granule else math.max(0L, i.toLong * 128)
+      bos.write(oggPage(serial, 2 + i, gran, if (last) 0x04 else 0,
+        Seq(audioPacketFloorBooks(y0, y1, postVals, levels))))
+      i += 1
+    }
+    bos.toByteArray
   }
 
   /** Mono short-block fixture through residue format 0 or 1 with the

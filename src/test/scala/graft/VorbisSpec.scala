@@ -240,6 +240,97 @@ class VorbisSpec extends SparkSuite {
     }
   }
 
+  test("book-coded NON-FLAT floor: neighbors, prediction, room clamp, odd offsets, render_line slopes") {
+    // posts: raw endpoints (0→250, 128→190), then book-coded values
+    // at x = 32 (v=50 ≥ room=42 with highroom < lowroom → the
+    // pred−(v−highroom)−1 clamp arm), x = 64 (v=0 → UNUSED, the
+    // curve must line THROUGH its prediction), x = 96 (v=9, odd →
+    // pred−5); the dB indices stay in the audible 190..250 band so
+    // the PCM comparison is non-vacuous
+    val (y0, y1) = (250, 190)
+    val postVals = Array(50, 0, 9)
+    val levels = Array.fill(128)(2) // residue 1.0 everywhere: PCM = floor curve
+    val blocks = 3
+    val pcm = Vorbis.decode(Vorbis.encodeFixtureFloorBooks(
+      8000, y0, y1, postVals, levels, blocks, (blocks - 1) * 128L)).get
+    assert(pcm.samples(0).length == 256)
+    // test-local floor1 synthesis from the same spec text
+    val xs = Array(0, 128, 32, 64, 96)
+    val range = 256
+    val posts = xs.length
+    val finalY = new Array[Int](posts)
+    val used = new Array[Boolean](posts)
+    finalY(0) = y0; finalY(1) = y1; used(0) = true; used(1) = true
+    def rp(x0: Int, a: Int, x1: Int, b: Int, x: Int): Int = {
+      val dy = b - a; val off = math.abs(dy) * (x - x0) / (x1 - x0)
+      if (dy < 0) a - off else a + off
+    }
+    (2 until posts).foreach { i =>
+      var lo = 0; var hi = 1
+      (0 until i).foreach { k =>
+        if (xs(k) < xs(i) && xs(k) > xs(lo)) lo = k
+        if (xs(k) > xs(i) && (xs(hi) <= xs(i) || xs(k) < xs(hi))) hi = k
+      }
+      val pred = rp(xs(lo), finalY(lo), xs(hi), finalY(hi), xs(i))
+      val v = postVals(i - 2)
+      val hr = range - pred; val lr = pred; val room = math.min(hr, lr) * 2
+      if (v != 0) {
+        used(lo) = true; used(hi) = true; used(i) = true
+        finalY(i) =
+          if (v >= room) { if (hr > lr) v - lr + pred else pred - (v - hr) - 1 }
+          else if ((v & 1) == 1) pred - ((v + 1) / 2)
+          else pred + v / 2
+      } else { used(i) = false; finalY(i) = pred }
+      finalY(i) = math.max(0, math.min(range - 1, finalY(i)))
+    }
+    val n2 = 128
+    val idx = new Array[Int](n2)
+    def rl(x0: Int, a: Int, x1: Int, b: Int): Unit = {
+      val dy = b - a; val adx = x1 - x0; var ady = math.abs(dy)
+      val base = dy / adx; val sy = if (dy < 0) base - 1 else base + 1
+      ady -= math.abs(base) * adx
+      var y = a; var err = 0
+      if (x0 < n2) idx(x0) = y
+      var x = x0 + 1
+      while (x < math.min(x1, n2)) {
+        err += ady
+        if (err >= adx) { err -= adx; y += sy } else y += base
+        idx(x) = y
+        x += 1
+      }
+    }
+    val order = (0 until posts).sortBy(xs)
+    var lx = 0; var ly = finalY(order.head); var hx = 0; var hy = ly
+    order.tail.foreach { p =>
+      if (used(p)) { hy = finalY(p); hx = xs(p); rl(lx, ly, hx, hy); lx = hx; ly = hy }
+    }
+    if (hx < n2) rl(hx, hy, n2, hy)
+    val curve = idx.map(i =>
+      math.pow(10.0, (math.min(255, math.max(0, i)) - 255) * 7.0 / 256.0))
+    // sanity that the planted posts really made a non-flat curve with
+    // all three arms: the clamp arm lands at 205, the unused post
+    // lines through 200, the odd offset at 190
+    assert(idx(0) == 250 && idx(32) == 205 && idx(64) == 200 && idx(96) == 190)
+    // closed form PCM of the curve (residue = 1.0 on every bin)
+    val n = 256
+    val block = Array.tabulate(n) { j =>
+      var acc = 0.0
+      (0 until n2).foreach { k =>
+        acc += curve(k) * math.cos(math.Pi / (2.0 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+      }
+      val w = if (j < n / 2)
+        math.sin(math.Pi / 2 * math.pow(math.sin((j + 0.5) / (n / 2) * math.Pi / 2), 2))
+      else
+        math.sin(math.Pi / 2 * math.pow(math.sin(((j - n / 2) + 0.5) / (n / 2) * math.Pi / 2 + math.Pi / 2), 2))
+      acc * w
+    }
+    val expected = lap(Seq(block, block, block))
+    expected.indices.foreach { t =>
+      assert(math.abs(pcm.samples(0)(t) - expected(t)) < 2e-3,
+        s"t=$t got ${pcm.samples(0)(t)} expected ${expected(t)}")
+    }
+  }
+
   test("refusal ladder: truncation, bad version, garbage, wrong header order") {
     val levels = Array.fill(4)(new Array[Int](128))
     levels.foreach(_(5) = 1)
