@@ -192,7 +192,11 @@ object Vorbis {
     if (br.read(24) != 0x564342) refuse() // 'BCV' sync
     val dims = br.read(16)
     val entries = br.readLong(24).toInt
-    if (dims < 1 || entries < 1 || entries > (1 << 22)) refuse()
+    // caps: real codebooks are ≤ a few thousand entries; the bound
+    // exists so a crafted setup cannot allocate gigabytes of VQ
+    // vectors before the huffman layer even runs (256 books × the
+    // old 2^24-value cap was a 16 GiB hostile allocation)
+    if (dims < 1 || entries < 1 || entries > (1 << 18)) refuse()
     val lengths = new Array[Int](entries)
     val ordered = br.read1() == 1
     if (!ordered) {
@@ -226,7 +230,7 @@ object Vorbis {
         val valueBits = br.read(4) + 1
         val seqP = br.read1() == 1
         val nVals = if (lookupType == 1) lookup1Values(entries, dims) else entries * dims
-        if (nVals > (1 << 24) || entries.toLong * dims > (1 << 24)) refuse()
+        if (nVals > (1 << 20) || entries.toLong * dims > (1 << 20)) refuse()
         val mults = new Array[Int](nVals)
         var i = 0
         while (i < nVals) { mults(i) = br.readLong(valueBits).toInt; i += 1 }

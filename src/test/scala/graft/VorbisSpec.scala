@@ -348,6 +348,50 @@ class VorbisSpec extends SparkSuite {
     assert(Vorbis.decode(bad).isEmpty)
   }
 
+  test("hostile bytes BEHIND valid CRCs: flipped payloads never throw") {
+    // page CRCs refuse casual corruption at framing; the codec layers
+    // (codebooks, floor, residue) must survive corruption that
+    // arrives with a RE-SEALED CRC — flip one byte, recompute the
+    // page CRC, decode: Option out, never a throw
+    val levels = Array.fill(5) { val r = new Array[Int](128); r(21) = 2; r }
+    val good = Vorbis.encodeFixture(8000, 220, levels, 4 * 128L)
+    // page offsets: scan for "OggS"
+    val pageAt = (0 until good.length - 3).filter(i =>
+      good(i) == 'O' && good(i + 1) == 'g' && good(i + 2) == 'g' && good(i + 3) == 'S')
+    def reseal(b: Array[Byte]): Unit = {
+      var pi = 0
+      while (pi < pageAt.length) {
+        val at = pageAt(pi)
+        val end = if (pi + 1 < pageAt.length) pageAt(pi + 1) else b.length
+        val crc = graft.ops.Ogg.pageCrc(b, at, end, at + 22)
+        var i = 0
+        while (i < 4) { b(at + 22 + i) = ((crc >> (8 * i)) & 0xFF).toByte; i += 1 }
+        pi += 1
+      }
+    }
+    val rnd = new scala.util.Random(0x5eed)
+    (0 until 300).foreach { trial =>
+      val b = good.clone()
+      val pos = rnd.nextInt(b.length)
+      b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
+      reseal(b)
+      Vorbis.decode(b) // Option either way — must not throw
+      graft.ops.AudioPcm.decodeAny(b)
+      assert(true, s"trial $trial")
+    }
+    // and wholesale garbage in the packet bodies
+    (0 until 50).foreach { trial =>
+      val b = good.clone()
+      (0 until 20).foreach { _ =>
+        val pos = rnd.nextInt(b.length)
+        b(pos) = rnd.nextInt(256).toByte
+      }
+      reseal(b)
+      Vorbis.decode(b)
+      assert(true, s"garbage trial $trial")
+    }
+  }
+
   test("audio ladder routing: OggS payloads decode through decodeAny") {
     val levels = Array.fill(4)(new Array[Int](128))
     levels.foreach(_(35) = 2)
