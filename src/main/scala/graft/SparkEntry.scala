@@ -2426,7 +2426,7 @@ object SparkEntry {
     "x_compression_ratio" -> ((s, d) => {
       val packed = {
         import s.implicits._
-        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        docs(s, d).select(col("doc_id").cast("long")).as[Long]
           .mapPartitions(_.map { id =>
             val text = if (id % 2 == 0) "tokenize the corpus " * 50
             else {
