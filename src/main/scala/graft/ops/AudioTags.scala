@@ -130,14 +130,21 @@ object AudioTags {
   }
 
   private def oggComments(p: Array[Byte]): Option[Map[String, String]] = {
-    // locate the \x03vorbis comment-header marker (single-page
-    // comment headers only — declared)
-    val marker = Array[Byte](0x03, 'v', 'o', 'r', 'b', 'i', 's')
+    // locate the comment-header marker — `\x03vorbis` (Vorbis I) or
+    // `OpusTags` (RFC 7845 §5.2, round 14), both followed by the same
+    // Xiph structure (single-page comment headers only — declared)
+    val markers = Seq(
+      Array[Byte](0x03, 'v', 'o', 'r', 'b', 'i', 's'),
+      "OpusTags".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     var i = 0
-    while (i + marker.length <= p.length) {
-      var k = 0
-      while (k < marker.length && p(i + k) == marker(k)) k += 1
-      if (k == marker.length) return xiphComments(p, i + marker.length)
+    while (i < p.length) {
+      markers.foreach { marker =>
+        if (i + marker.length <= p.length) {
+          var k = 0
+          while (k < marker.length && p(i + k) == marker(k)) k += 1
+          if (k == marker.length) return xiphComments(p, i + marker.length)
+        }
+      }
       i += 1
     }
     Some(Map.empty)
