@@ -40,12 +40,13 @@ object DecodeAny {
     while (steps < MaxDepth) {
       val fmt = Sniff.detect(p)
       fmt match {
-        case "gzip" | "zstd" | "xz" | "bzip2" =>
+        case "gzip" | "zstd" | "xz" | "bzip2" | "snappy-framed" =>
           chain += fmt
           val dec = fmt match {
             case "gzip" => GzipCodec.gunzip(p)
             case "zstd" => ZstdCodec.decode(p)
             case "xz" => XzCodec.decode(p)
+            case "snappy-framed" => ShortCodecs.unsnappyFramed(p)
             case _ => Bzip2Codec.decode(p)
           }
           dec match {

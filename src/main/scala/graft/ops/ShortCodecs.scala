@@ -102,6 +102,97 @@ object ShortCodecs {
   }
 
   // ------------------------------------------------------------------
+  // Snappy FRAMING format (framing_format.txt, round 14) — the
+  // checksummed stream layer hadoop-land wraps blocks in. Chunks:
+  // 1-byte type + 3-byte LE length; 0x00 compressed / 0x01
+  // uncompressed (each led by the masked CRC-32C of the UNCOMPRESSED
+  // data — the same rotate-15-plus-constant mask as TFRecord),
+  // 0x80–0xFE skippable (0xFE is padding), 0x02–0x7F unskippable
+  // reserved → refuse, 0xFF the stream identifier (must re-match).
+  // Uncompressed chunk data is capped at 65536 bytes by the spec.
+  // ------------------------------------------------------------------
+
+  private val FrameMagic = Array[Byte](0xFF.toByte, 6, 0, 0, 's', 'N', 'a', 'P', 'p', 'Y')
+
+  /** Does the payload open with the framing stream identifier? */
+  def isSnappyFramed(p: Array[Byte]): Boolean =
+    p != null && p.length >= 10 && (0 until 10).forall(i => p(i) == FrameMagic(i))
+
+  private def u32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** Decode a framed snappy stream: every data chunk's masked
+    * CRC-32C verified before its bytes join the output. */
+  def unsnappyFramed(p: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (!isSnappyFramed(p)) refuse()
+      val out = new java.io.ByteArrayOutputStream()
+      var pos = 10
+      while (pos < p.length) {
+        if (pos + 4 > p.length) refuse()
+        val t = p(pos) & 0xFF
+        val len = (p(pos + 1) & 0xFF) | ((p(pos + 2) & 0xFF) << 8) | ((p(pos + 3) & 0xFF) << 16)
+        pos += 4
+        if (pos + len > p.length) refuse()
+        t match {
+          case 0x00 =>
+            if (len < 4) refuse()
+            val data = unsnappy(java.util.Arrays.copyOfRange(p, pos + 4, pos + len))
+              .getOrElse(refuse())
+            if (data.length > 65536) refuse()
+            if (TfRecord.maskedCrc(data) != u32le(p, pos)) refuse()
+            if (out.size().toLong + data.length > MaxOutput) refuse()
+            out.write(data)
+          case 0x01 =>
+            if (len < 4 || len - 4 > 65536) refuse()
+            if (TfRecord.maskedCrc(p, pos + 4, len - 4) != u32le(p, pos)) refuse()
+            if (out.size().toLong + len - 4 > MaxOutput) refuse()
+            out.write(p, pos + 4, len - 4)
+          case 0xFF =>
+            if (len != 6) refuse()
+            var i = 0
+            while (i < 6) { if (p(pos + i) != FrameMagic(4 + i)) refuse(); i += 1 }
+          case x if x >= 0x80 => () // skippable, incl. 0xFE padding
+          case _ => refuse() // 0x02–0x7F unskippable reserved
+        }
+        pos += len
+      }
+      Some(out.toByteArray)
+    } catch { case Refuse => None }
+
+  /** Framed writer for fixtures: chunks alternate UNCOMPRESSED and
+    * COMPRESSED (literal-only blocks), with a padding chunk between —
+    * every chunk type the decoder must walk. */
+  def snappyFramed(data: Array[Byte], chunkSize: Int = 16384): Array[Byte] = {
+    require(chunkSize >= 1 && chunkSize <= 65536)
+    val bos = new java.io.ByteArrayOutputStream(data.length + 64)
+    bos.write(FrameMagic, 0, 10)
+    var i = 0
+    var k = 0
+    def w32(v: Int): Unit = { var j = 0; while (j < 4) { bos.write((v >> (8 * j)) & 0xFF); j += 1 } }
+    while (i < data.length || (i == 0 && data.length == 0)) {
+      val n = math.min(chunkSize, data.length - i)
+      val crc = TfRecord.maskedCrc(data, i, n)
+      if (k % 2 == 0) {
+        bos.write(0x01); val l = n + 4
+        bos.write(l & 0xFF); bos.write((l >> 8) & 0xFF); bos.write((l >> 16) & 0xFF)
+        w32(crc); bos.write(data, i, n)
+      } else {
+        val block = snappyLiteral(java.util.Arrays.copyOfRange(data, i, i + n))
+        bos.write(0x00); val l = block.length + 4
+        bos.write(l & 0xFF); bos.write((l >> 8) & 0xFF); bos.write((l >> 16) & 0xFF)
+        w32(crc); bos.write(block, 0, block.length)
+      }
+      if (k == 0) { bos.write(0xFE); bos.write(2); bos.write(0); bos.write(0); bos.write(0); bos.write(0) }
+      i += n
+      k += 1
+      if (data.length == 0) i = 1 // emitted the one empty chunk
+    }
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // LZ4 raw block (lz4_Block_format.md)
   // ------------------------------------------------------------------
 

@@ -69,6 +69,8 @@ object Sniff {
       return "zstd"
     if (ascii(p, 0, "BZh") && at(p, 3) >= '1' && at(p, 3) <= '9') return "bzip2"
     if (at(p, 0) == 0xFD && ascii(p, 1, "7zXZ") && at(p, 5) == 0) return "xz"
+    if (at(p, 0) == 0xFF && at(p, 1) == 0x06 && at(p, 2) == 0 && at(p, 3) == 0 &&
+      ascii(p, 4, "sNaPpY")) return "snappy-framed"
     if (ascii(p, 0, "PK") && (at(p, 2) == 3 || at(p, 2) == 5 || at(p, 2) == 7))
       return "zip"
     if (ascii(p, 257, "ustar")) return "tar"

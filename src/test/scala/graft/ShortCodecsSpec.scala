@@ -66,6 +66,51 @@ class ShortCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("snappy FRAMING: bidirectional cross-pin with snappy-java, every chunk type, CRC gate") {
+    val data = prose(100000) // > one chunk both directions
+    // our writer (uncompressed + compressed + padding chunks) → the
+    // reference reader
+    val framed = ShortCodecs.snappyFramed(data)
+    val ref = new org.xerial.snappy.SnappyFramedInputStream(
+      new java.io.ByteArrayInputStream(framed))
+    val refOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = ref.read(buf)
+    while (n >= 0) { refOut.write(buf, 0, n); n = ref.read(buf) }
+    ref.close()
+    assert(java.util.Arrays.equals(refOut.toByteArray, data))
+    // the reference writer → our reader
+    val refBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+      w.write(data); w.close(); bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(ShortCodecs.unsnappyFramed(refBytes).get, data))
+    // and our own round trip, incl. the empty stream
+    assert(java.util.Arrays.equals(ShortCodecs.unsnappyFramed(framed).get, data))
+    assert(ShortCodecs.unsnappyFramed(ShortCodecs.snappyFramed(Array.emptyByteArray)).get.isEmpty)
+    // CRC gate: flip one data byte → refused, not silently wrong
+    val bad = framed.clone()
+    bad(40) = (bad(40) ^ 1).toByte
+    assert(ShortCodecs.unsnappyFramed(bad).isEmpty)
+    // unskippable reserved chunk type → refused
+    val reserved = framed.take(10) ++ Array[Byte](0x02, 1, 0, 0, 9)
+    assert(ShortCodecs.unsnappyFramed(reserved).isEmpty)
+    // truncation and junk: Option out, never a throw
+    for (cut <- Seq(0, 5, 11, framed.length / 2, framed.length - 1))
+      assert(ShortCodecs.unsnappyFramed(framed.take(cut)).isEmpty, s"cut $cut")
+    for (_ <- 0 until 200) {
+      val junk = framed.take(10) ++ Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      ShortCodecs.unsnappyFramed(junk)
+    }
+    // sniff + universal-decode dispatch
+    assert(graft.ops.Sniff.detect(framed) == "snappy-framed")
+    val (chain, ok, text) = graft.ops.DecodeAny.decodeOne(
+      ShortCodecs.snappyFramed("framed snappy text payload".getBytes("UTF-8")))
+    assert(chain == List("snappy-framed", "text") && ok &&
+      text.contains("framed snappy text payload"))
+  }
+
   test("refusals: truncation, wrong declared length, offset beyond output, fuzz never throws") {
     val data = prose(5000)
     val sz = org.xerial.snappy.Snappy.compress(data)
