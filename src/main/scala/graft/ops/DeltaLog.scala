@@ -32,11 +32,15 @@ import org.json4s.jackson.JsonMethods
   *  - file paths are RELATIVE to the table root and percent-encoded
   *    (RFC 3986 unreserved set) — decoded here; absolute URIs pass
   *    through;
-  *  - protocol gate: `minReaderVersion` 1 only (the classic format).
-  *    Higher reader versions signal features that CHANGE READ
-  *    SEMANTICS (column mapping, deletion vectors) — reading through
-  *    them without honoring them silently returns wrong data, so the
-  *    snapshot REFUSES.
+  *  - protocol gate: `minReaderVersion` 1 always reads;
+  *    2 (introduced FOR column mapping) reads iff the FINAL
+  *    metaData's configuration carries no
+  *    `delta.columnMapping.mode` (or `none`) — a v2 table without
+  *    column mapping is classically laid out, and plenty of real
+  *    tables sit at v2 that way (round 14); 2 WITH a mapping mode
+  *    and 3+ (table features: deletion vectors etc.) REFUSE —
+  *    reading through semantics-changing features silently returns
+  *    wrong data.
   *
   * Scale shape, per surface:
   *  - [[activeFiles]] / [[activeFilesFromCheckpoint]] (the DataFrame
@@ -66,7 +70,9 @@ object DeltaLog {
   final case class AddFile(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, stats: Option[String])
   final case class Snapshot(tableId: String, schemaJson: String,
-      partitionColumns: Seq[String], files: Seq[AddFile])
+      partitionColumns: Seq[String], files: Seq[AddFile],
+      configuration: Map[String, String] = Map.empty,
+      minReaderVersion: Int = 1)
 
   private object Refuse extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
@@ -86,6 +92,8 @@ object DeltaLog {
       var tableId: String = seed.map(_.tableId).orNull
       var schemaJson: String = seed.map(_.schemaJson).orNull
       var partitionCols: Seq[String] = seed.map(_.partitionColumns).getOrElse(Seq.empty)
+      var config: Map[String, String] = seed.map(_.configuration).getOrElse(Map.empty)
+      var maxReader: Int = seed.map(_.minReaderVersion).getOrElse(1)
       val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
       seed.foreach(_.files.foreach(f => active(f.path) = f))
       commits.sortBy(_._1).foreach { case (_, content) =>
@@ -94,8 +102,9 @@ object DeltaLog {
           jv \ "protocol" match {
             case p: JObject =>
               p \ "minReaderVersion" match {
-                case JInt(v) if v == 1 => ()
-                case _ => refuse() // column mapping / DVs etc.: wrong-data risk
+                case JInt(v) if v == 1 || v == 2 =>
+                  maxReader = math.max(maxReader, v.toInt)
+                case _ => refuse() // v3+ table features (DVs etc.): wrong-data risk
               }
             case _ => ()
           }
@@ -106,6 +115,10 @@ object DeltaLog {
               partitionCols = m \ "partitionColumns" match {
                 case JArray(xs) => xs.map { case JString(s) => s; case _ => refuse() }
                 case _ => Seq.empty
+              }
+              config = m \ "configuration" match {
+                case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+                case _ => Map.empty
               }
             case _ => ()
           }
@@ -131,7 +144,14 @@ object DeltaLog {
         }
       }
       if (tableId == null) refuse() // no metaData anywhere: not a delta log
-      Some(Snapshot(tableId, schemaJson, partitionCols, active.values.toSeq))
+      // reader-version-2 gate against the FINAL metadata: v2 exists
+      // FOR column mapping, so a v2 table whose configuration carries
+      // no mapping mode is classically laid out and reads; an actual
+      // mapping mode changes column resolution → refuse
+      if (maxReader >= 2 &&
+        config.get("delta.columnMapping.mode").exists(_ != "none")) refuse()
+      Some(Snapshot(tableId, schemaJson, partitionCols, active.values.toSeq,
+        config, maxReader))
     } catch { case Refuse => None }
 
   /** The `_delta_log` version of a commit file name, if it is one. */
@@ -156,7 +176,8 @@ object DeltaLog {
   private val metaType = StructType(Seq(
     StructField("id", StringType),
     StructField("schemaString", StringType),
-    StructField("partitionColumns", ArrayType(StringType))))
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType))))
   private val protoType = StructType(Seq(StructField("minReaderVersion", LongType)))
   private val actionType = StructType(Seq(
     StructField("add", addType), StructField("remove", removeType),
@@ -220,14 +241,21 @@ object DeltaLog {
   private def replay(actions: DataFrame): DataFrame = {
     val bad = col("__corrupt") ||
       (col("protocol").isNotNull &&
-        (col("protocol.minReaderVersion").isNull || col("protocol.minReaderVersion") =!= 1L)) ||
+        (col("protocol.minReaderVersion").isNull || col("protocol.minReaderVersion") > 2L)) ||
       (col("add").isNotNull && (col("add.path").isNull || col("add.size").isNull)) ||
       (col("remove").isNotNull && col("remove.path").isNull) ||
       (col("metaData").isNotNull && col("metaData.id").isNull)
+    // the reader-version-2 rule binds the max protocol version to the
+    // FINAL metadata's column-mapping mode (see the object scaladoc)
     val gateOk = actions
       .agg(max(bad.cast("int")).as("__bad"),
-        max(col("metaData").isNotNull.cast("int")).as("__meta"))
-      .where(coalesce(col("__bad"), lit(1)) === 0 && coalesce(col("__meta"), lit(0)) === 1)
+        max(col("metaData").isNotNull.cast("int")).as("__meta"),
+        max(col("protocol.minReaderVersion")).as("__reader"),
+        max_by(element_at(col("metaData.configuration"), "delta.columnMapping.mode"),
+          when(col("metaData").isNotNull, struct(col("__v"), col("__ln")))).as("__cm"))
+      .where(coalesce(col("__bad"), lit(1)) === 0 && coalesce(col("__meta"), lit(0)) === 1 &&
+        (col("__reader").isNull || col("__reader") <= 1L ||
+          coalesce(col("__cm"), lit("none")) === "none"))
       .select(lit(1).as("__gate"))
     val emptyPv = lit(null).cast(MapType(StringType, StringType))
     val acted = actions
@@ -302,12 +330,17 @@ object DeltaLog {
   private def checkpointSnapshot(spark: SparkSession, paths: Seq[String]): Snapshot = {
     val norm = normalizeCheckpoint(spark.read.parquet(paths: _*), 0L)
     val badProto = norm.where(col("protocol").isNotNull &&
-      (col("protocol.minReaderVersion").isNull || col("protocol.minReaderVersion") =!= 1L))
+      (col("protocol.minReaderVersion").isNull || col("protocol.minReaderVersion") > 2L))
     if (!badProto.isEmpty)
       throw new graft.GraftAnalysisException(
-        "delta: unsupported protocol in checkpoint (minReaderVersion > 1)")
+        "delta: unsupported protocol in checkpoint (minReaderVersion > 2)")
+    val readerV = norm.agg(max(col("protocol.minReaderVersion"))).head() match {
+      case r if r.isNullAt(0) => 1
+      case r => r.getLong(0).toInt
+    }
     val meta = norm.where(col("metaData").isNotNull)
-      .select(col("metaData.id"), col("metaData.schemaString"), col("metaData.partitionColumns"))
+      .select(col("metaData.id"), col("metaData.schemaString"),
+        col("metaData.partitionColumns"), col("metaData.configuration"))
       .collect()
     val m = if (meta.nonEmpty) meta.last else
       throw new graft.GraftAnalysisException("delta: checkpoint has no metaData action")
@@ -315,6 +348,9 @@ object DeltaLog {
       throw new graft.GraftAnalysisException("delta: checkpoint metaData has no id")
     val pcols: Seq[String] =
       if (m.isNullAt(2)) Seq.empty else m.getSeq[String](2)
+    val config: Map[String, String] =
+      if (m.isNullAt(3)) Map.empty
+      else m.getMap[String, String](3).toMap.filter(_._2 != null)
     val adds = norm.where(col("add").isNotNull)
       .select(col("add.path"), col("add.partitionValues"), col("add.size"),
         col("add.modificationTime"), col("add.stats").isNotNull)
@@ -328,7 +364,10 @@ object DeltaLog {
           r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3),
           if (r.getBoolean(4)) Some("") else None)
       }
-    Snapshot(m.getString(0), if (m.isNullAt(1)) null else m.getString(1), pcols, adds.toSeq)
+    // the v2/column-mapping decision happens in snapshotOf's FINAL
+    // check — a later commit may replace the metadata either way
+    Snapshot(m.getString(0), if (m.isNullAt(1)) null else m.getString(1), pcols,
+      adds.toSeq, config, readerV)
   }
 
   /** Spellings under which a file scan may report a local path in

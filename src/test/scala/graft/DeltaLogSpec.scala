@@ -49,14 +49,38 @@ class DeltaLogSpec extends SparkSuite {
     assert(reverse.keySet == Set("f.parquet"))
   }
 
-  test("refusal ladder: malformed line, protocol >1, add missing size, no metaData → empty") {
+  test("refusal ladder: malformed line, unsupported protocol, add missing size, no metaData → empty") {
     val good = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0}}"""
     assert(active(0L -> (meta + "\n" + good + "\nnot json at all")).isEmpty)
+    // v3+ (table features): refused
     assert(active(0L -> (meta + "\n" +
-      """{"protocol":{"minReaderVersion":2}}""" + "\n" + good)).isEmpty)
+      """{"protocol":{"minReaderVersion":3}}""" + "\n" + good)).isEmpty)
     assert(active(0L -> (meta + "\n" + """{"add":{"path":"f.parquet"}}""")).isEmpty)
     assert(active(0L -> good).isEmpty) // no metaData anywhere
     assert(active(0L -> (meta + "\n" + good)).nonEmpty) // control
+  }
+
+  test("reader version 2: reads WITHOUT column mapping, refuses WITH it (final metadata wins)") {
+    val good = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0}}"""
+    val v2 = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val metaMapped = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
+      """"configuration":{"delta.columnMapping.mode":"name"}}}"""
+    val metaNone = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
+      """"configuration":{"delta.columnMapping.mode":"none","other":"x"}}}"""
+    // v2, no mapping config at all: classically laid out → reads
+    assert(active(0L -> (meta + "\n" + v2 + "\n" + good)).nonEmpty)
+    // v2 with mode explicitly none → reads
+    assert(active(0L -> (metaNone + "\n" + v2 + "\n" + good)).nonEmpty)
+    // v2 with an actual mapping mode → column resolution changes → refuse
+    assert(active(0L -> (metaMapped + "\n" + v2 + "\n" + good)).isEmpty)
+    // the FINAL metadata decides: mapped then replaced by none → reads
+    assert(active(
+      0L -> (metaMapped + "\n" + v2 + "\n" + good),
+      1L -> metaNone).nonEmpty)
+    // and the reverse: upgraded into mapping later → refuse
+    assert(active(
+      0L -> (meta + "\n" + v2 + "\n" + good),
+      1L -> metaMapped).isEmpty)
   }
 
   test("partition_json sorts keys; null-valued entries drop") {
@@ -95,13 +119,17 @@ class DeltaLogSpec extends SparkSuite {
     assert(out == Map("f0.parquet" -> 100L, "f2.parquet" -> 102L, "f3.parquet" -> 103L))
   }
 
-  test("checkpoint seed: bad protocol row in the checkpoint refuses the whole replay") {
-    val cp = cpDf(Seq(("f0.parquet", "x", 100L, 10L)), Seq.empty)
+  test("checkpoint seed: a v3 protocol row in the checkpoint refuses; a bare v2 reads") {
+    val v3 = cpDf(Seq(("f0.parquet", "x", 100L, 10L)), Seq.empty)
+      .unionByName(
+        spark.sql("SELECT named_struct('minReaderVersion', CAST(3 AS BIGINT)) AS protocol"),
+        allowMissingColumns = true)
+    assert(DeltaLog.activeFilesFromCheckpoint(v3, commitsDf(), "version", "content", 2L).isEmpty)
+    val v2 = cpDf(Seq(("f0.parquet", "x", 100L, 10L)), Seq.empty)
       .unionByName(
         spark.sql("SELECT named_struct('minReaderVersion', CAST(2 AS BIGINT)) AS protocol"),
         allowMissingColumns = true)
-    val out = DeltaLog.activeFilesFromCheckpoint(cp, commitsDf(), "version", "content", 2L)
-    assert(out.isEmpty)
+    assert(!DeltaLog.activeFilesFromCheckpoint(v2, commitsDf(), "version", "content", 2L).isEmpty)
   }
 
   // --- readTable: on-disk fixtures ---
@@ -202,12 +230,12 @@ class DeltaLogSpec extends SparkSuite {
     }
   }
 
-  test("readTable refusals: reader-version-2 checkpoint, missing checkpoint file, malformed _last_checkpoint") {
+  test("readTable refusals: reader-version-3 checkpoint, missing checkpoint file, malformed _last_checkpoint") {
     val (cpDir, cpLog) = tableFixture()
-    val v2 = checkpointRows().unionByName(
-      spark.sql("SELECT named_struct('minReaderVersion', CAST(2 AS BIGINT)) AS protocol"),
+    val v3 = checkpointRows().unionByName(
+      spark.sql("SELECT named_struct('minReaderVersion', CAST(3 AS BIGINT)) AS protocol"),
       allowMissingColumns = true)
-    singleParquet(v2, new java.io.File(cpLog, f"${1L}%020d.checkpoint.parquet"))
+    singleParquet(v3, new java.io.File(cpLog, f"${1L}%020d.checkpoint.parquet"))
     java.nio.file.Files.write(new java.io.File(cpLog, "_last_checkpoint").toPath,
       """{"version":1,"size":6}""".getBytes("UTF-8"))
     intercept[graft.GraftAnalysisException] { DeltaLog.readTable(spark, cpDir.getAbsolutePath) }
