@@ -40,13 +40,14 @@ object DecodeAny {
     while (steps < MaxDepth) {
       val fmt = Sniff.detect(p)
       fmt match {
-        case "gzip" | "zstd" | "xz" | "bzip2" | "snappy-framed" =>
+        case "gzip" | "zstd" | "xz" | "bzip2" | "snappy-framed" | "lz4-framed" =>
           chain += fmt
           val dec = fmt match {
             case "gzip" => GzipCodec.gunzip(p)
             case "zstd" => ZstdCodec.decode(p)
             case "xz" => XzCodec.decode(p)
             case "snappy-framed" => ShortCodecs.unsnappyFramed(p)
+            case "lz4-framed" => ShortCodecs.unlz4Framed(p)
             case _ => Bzip2Codec.decode(p)
           }
           dec match {

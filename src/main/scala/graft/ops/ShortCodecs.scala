@@ -239,6 +239,205 @@ object ShortCodecs {
     } catch { case Refuse => None }
 
   // ------------------------------------------------------------------
+  // LZ4 FRAME format (lz4_Frame_format.md, round 14) — the .lz4 FILE
+  // layer: magic 0x184D2204, an xxHash32-checked frame descriptor
+  // (version 01, block-independence/checksum flags, optional content
+  // size + checksum, dict-ID refused — no external dictionaries
+  // here), 4-byte-LE-sized blocks (high bit = stored uncompressed)
+  // up to the descriptor's max, an EndMark, and optional content
+  // checksum. Blocks decode into ONE rolling buffer so
+  // block-DEPENDENT frames (matches reaching into earlier blocks)
+  // work, skippable frames (0x184D2A5x) skip, frames concatenate,
+  // and the legacy 0x184C2102 frame refuses (declared).
+  // ------------------------------------------------------------------
+
+  /** xxHash32 (the published algorithm; LZ4 framing's checksum). */
+  def xxh32(p: Array[Byte], off: Int, len: Int, seed: Int): Int = {
+    val P1 = 0x9E3779B1; val P2 = 0x85EBCA77; val P3 = 0xC2B2AE3D
+    val P4 = 0x27D4EB2F; val P5 = 0x165667B1
+    def lane(i: Int): Int =
+      (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8) | ((p(i + 2) & 0xFF) << 16) | ((p(i + 3) & 0xFF) << 24)
+    var i = off
+    val end = off + len
+    var h =
+      if (len >= 16) {
+        var a1 = seed + P1 + P2; var a2 = seed + P2; var a3 = seed; var a4 = seed - P1
+        while (i + 16 <= end) {
+          a1 = Integer.rotateLeft(a1 + lane(i) * P2, 13) * P1
+          a2 = Integer.rotateLeft(a2 + lane(i + 4) * P2, 13) * P1
+          a3 = Integer.rotateLeft(a3 + lane(i + 8) * P2, 13) * P1
+          a4 = Integer.rotateLeft(a4 + lane(i + 12) * P2, 13) * P1
+          i += 16
+        }
+        Integer.rotateLeft(a1, 1) + Integer.rotateLeft(a2, 7) +
+          Integer.rotateLeft(a3, 12) + Integer.rotateLeft(a4, 18)
+      } else seed + P5
+    h += len
+    while (i + 4 <= end) { h = Integer.rotateLeft(h + lane(i) * P3, 17) * P4; i += 4 }
+    while (i < end) { h = Integer.rotateLeft(h + (p(i) & 0xFF) * P5, 11) * P1; i += 1 }
+    h ^= h >>> 15; h *= P2; h ^= h >>> 13; h *= P3; h ^= h >>> 16
+    h
+  }
+
+  /** Decode one raw LZ4 block from p[from,until) APPENDING into
+    * `out` at `o` — matches may reach back past the block start
+    * (block-dependent frames). Returns the new write position. */
+  private def lz4BlockInto(p: Array[Byte], from: Int, until: Int,
+      out: Array[Byte], o0: Int, cap: Int): Int = {
+    var pos = from
+    var o = o0
+    def u8(): Int = { if (pos >= until) refuse(); val v = p(pos) & 0xFF; pos += 1; v }
+    if (from == until) return o // empty block: no sequences
+    var done = false
+    while (!done) {
+      val token = u8()
+      var litLen = token >>> 4
+      if (litLen == 15) { var b = 255; while (b == 255) { b = u8(); litLen += b } }
+      if (pos + litLen > until || o + litLen > cap) refuse()
+      System.arraycopy(p, pos, out, o, litLen)
+      pos += litLen; o += litLen
+      if (pos == until) done = true // last sequence: literals only
+      else {
+        val offset = u8() | (u8() << 8)
+        var matchLen = (token & 0x0F) + 4
+        if ((token & 0x0F) == 15) { var b = 255; while (b == 255) { b = u8(); matchLen += b } }
+        if (offset <= 0 || offset > o || o + matchLen > cap) refuse()
+        var i = 0
+        while (i < matchLen) { out(o) = out(o - offset); o += 1; i += 1 }
+      }
+    }
+    o
+  }
+
+  /** Does the payload open with an LZ4 frame (or skippable) magic? */
+  def isLz4Framed(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && {
+      val m = (p(0) & 0xFF) | ((p(1) & 0xFF) << 8) | ((p(2) & 0xFF) << 16) | ((p(3) & 0xFF) << 24)
+      m == 0x184D2204 || (m & 0xFFFFFFF0) == 0x184D2A50
+    }
+
+  def unlz4Framed(p: Array[Byte]): Option[Array[Byte]] =
+    try {
+      var pos = 0
+      var out = new Array[Byte](math.min(MaxOutput, math.max(1024, p.length * 4)))
+      var o = 0
+      def u8(): Int = { if (pos >= p.length) refuse(); val v = p(pos) & 0xFF; pos += 1; v }
+      def u32(): Int = {
+        if (pos + 4 > p.length) refuse()
+        val v = u32le(p, pos); pos += 4; v
+      }
+      def ensure(n: Int): Unit = if (o + n > out.length) {
+        if (o.toLong + n > MaxOutput) refuse()
+        out = java.util.Arrays.copyOf(out,
+          math.min(MaxOutput.toLong, math.max(out.length.toLong * 2, o.toLong + n)).toInt)
+      }
+      var sawFrame = false
+      while (pos < p.length) {
+        val magic = u32()
+        if ((magic & 0xFFFFFFF0) == 0x184D2A50) { // skippable frame
+          val sz = u32()
+          if (sz < 0 || pos + sz > p.length) refuse()
+          pos += sz
+        } else if (magic == 0x184C2102) {
+          refuse() // legacy frame: declared out
+        } else if (magic == 0x184D2204) {
+          sawFrame = true
+          val descStart = pos
+          val flg = u8()
+          val bd = u8()
+          if ((flg >>> 6) != 1) refuse() // version
+          if ((flg & 0x02) != 0) refuse() // reserved flag bit
+          val bChecksum = (flg & 0x10) != 0
+          val hasCSize = (flg & 0x08) != 0
+          val cChecksum = (flg & 0x04) != 0
+          if ((flg & 0x01) != 0) refuse() // dict-ID: no external dictionaries
+          val bmaxCode = (bd >>> 4) & 0x07
+          if (bmaxCode < 4 || (bd & 0x8F) != 0) refuse()
+          val blockMax = 1 << (8 + 2 * bmaxCode) // 4→64 KiB … 7→4 MiB
+          val contentSize: Long =
+            if (hasCSize) {
+              if (pos + 8 > p.length) refuse()
+              var v = 0L; var i = 0
+              while (i < 8) { v |= (p(pos + i) & 0xFFL) << (8 * i); i += 1 }
+              pos += 8; v
+            } else -1L
+          val hc = u8()
+          if (((xxh32(p, descStart, pos - 1 - descStart, 0) >>> 8) & 0xFF) != hc)
+            refuse() // descriptor checksum
+          val frameStart = o
+          var ended = false
+          while (!ended) {
+            val bsz = u32()
+            if (bsz == 0) ended = true
+            else {
+              val stored = (bsz & 0x80000000) != 0
+              val len = bsz & 0x7FFFFFFF
+              if (len > blockMax || pos + len > p.length) refuse()
+              if (stored) {
+                ensure(len)
+                System.arraycopy(p, pos, out, o, len)
+                o += len
+              } else {
+                ensure(blockMax)
+                // a block may not inflate past the descriptor's max
+                o = lz4BlockInto(p, pos, pos + len, out, o, o + blockMax)
+              }
+              pos += len
+              if (bChecksum) {
+                val c = u32()
+                if (xxh32(p, pos - 4 - len, len, 0) != c) refuse()
+              }
+            }
+          }
+          if (cChecksum) {
+            val c = u32()
+            if (xxh32(out, frameStart, o - frameStart, 0) != c) refuse()
+          }
+          if (contentSize >= 0 && (o - frameStart).toLong != contentSize) refuse()
+        } else refuse()
+      }
+      if (!sawFrame) refuse()
+      Some(java.util.Arrays.copyOf(out, o))
+    } catch { case Refuse => None }
+
+  /** Framed writer for fixtures: a leading skippable frame, then one
+    * frame with content size + both checksum layers, blocks
+    * alternating STORED and compressed (literal-only). */
+  def lz4Framed(data: Array[Byte], chunkSize: Int = 16384): Array[Byte] = {
+    require(chunkSize >= 1 && chunkSize <= 65536)
+    val bos = new java.io.ByteArrayOutputStream(data.length + 64)
+    def w32(v: Int): Unit = { var j = 0; while (j < 4) { bos.write((v >> (8 * j)) & 0xFF); j += 1 } }
+    w32(0x184D2A50); w32(3); bos.write(Array[Byte](9, 9, 9)) // skippable
+    w32(0x184D2204)
+    val desc = Array[Byte](0x7C.toByte, 0x40, // FLG: v01+indep+bsum+csize+csum; BD: 64 KiB
+      0, 0, 0, 0, 0, 0, 0, 0)
+    var i = 0
+    while (i < 8) { desc(2 + i) = ((data.length.toLong >> (8 * i)) & 0xFF).toByte; i += 1 }
+    bos.write(desc, 0, 10)
+    bos.write((xxh32(desc, 0, 10, 0) >>> 8) & 0xFF)
+    i = 0
+    var k = 0
+    while (i < data.length) {
+      val n = math.min(chunkSize, data.length - i)
+      if (k % 2 == 0) {
+        w32(n | 0x80000000) // stored
+        bos.write(data, i, n)
+        w32(xxh32(data, i, n, 0))
+      } else {
+        val block = lz4Literal(java.util.Arrays.copyOfRange(data, i, i + n))
+        w32(block.length)
+        bos.write(block, 0, block.length)
+        w32(xxh32(block, 0, block.length, 0))
+      }
+      i += n
+      k += 1
+    }
+    w32(0) // EndMark
+    w32(xxh32(data, 0, data.length, 0))
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // Spark seam (the packTextZstd/decodeZstdText contract)
   // ------------------------------------------------------------------
 

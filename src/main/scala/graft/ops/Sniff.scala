@@ -71,6 +71,10 @@ object Sniff {
     if (at(p, 0) == 0xFD && ascii(p, 1, "7zXZ") && at(p, 5) == 0) return "xz"
     if (at(p, 0) == 0xFF && at(p, 1) == 0x06 && at(p, 2) == 0 && at(p, 3) == 0 &&
       ascii(p, 4, "sNaPpY")) return "snappy-framed"
+    if (at(p, 0) == 0x04 && at(p, 1) == 0x22 && at(p, 2) == 0x4D && at(p, 3) == 0x18)
+      return "lz4-framed"
+    if ((at(p, 0) & 0xF0) == 0x50 && at(p, 1) == 0x2A && at(p, 2) == 0x4D && at(p, 3) == 0x18)
+      return "lz4-framed" // leading skippable frame
     if (ascii(p, 0, "PK") && (at(p, 2) == 3 || at(p, 2) == 5 || at(p, 2) == 7))
       return "zip"
     if (ascii(p, 257, "ustar")) return "tar"

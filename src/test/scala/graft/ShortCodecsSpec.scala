@@ -111,6 +111,62 @@ class ShortCodecsSpec extends AnyFunSuite {
       text.contains("framed snappy text payload"))
   }
 
+  test("LZ4 FRAMING: cross-pin with lz4-java, checksums, skippables, multi-frame, xxh32 vectors") {
+    // xxh32 vectors against lz4-java's own XXHash32 (independent impl)
+    val xxRef = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance().hash32()
+    val probe = prose(12345)
+    for (len <- Seq(0, 1, 3, 4, 15, 16, 17, 1000, 12345); seed <- Seq(0, 0x9747b28c)) {
+      assert(ShortCodecs.xxh32(probe, 0, len, seed) == xxRef.hash(probe, 0, len, seed),
+        s"xxh32 len=$len seed=$seed")
+    }
+    val data = prose(100000)
+    // our writer (skippable + stored + compressed + both checksums) →
+    // the reference reader
+    val framed = ShortCodecs.lz4Framed(data)
+    val ref = new net.jpountz.lz4.LZ4FrameInputStream(
+      new java.io.ByteArrayInputStream(framed))
+    val refOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = ref.read(buf)
+    while (n >= 0) { refOut.write(buf, 0, n); n = ref.read(buf) }
+    ref.close()
+    assert(java.util.Arrays.equals(refOut.toByteArray, data))
+    // the reference writer → our reader
+    val refBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      w.write(data); w.close(); bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(ShortCodecs.unlz4Framed(refBytes).get, data))
+    // our round trip + empty + concatenated frames
+    assert(java.util.Arrays.equals(ShortCodecs.unlz4Framed(framed).get, data))
+    assert(ShortCodecs.unlz4Framed(ShortCodecs.lz4Framed(Array.emptyByteArray)).get.isEmpty)
+    val two = framed ++ ShortCodecs.lz4Framed("tail frame".getBytes("UTF-8"))
+    assert(java.util.Arrays.equals(ShortCodecs.unlz4Framed(two).get,
+      data ++ "tail frame".getBytes("UTF-8")))
+    // checksum gates: flip a data byte (block checksum) and a
+    // descriptor byte (HC) → refused
+    val bad = framed.clone(); bad(40) = (bad(40) ^ 1).toByte
+    assert(ShortCodecs.unlz4Framed(bad).isEmpty)
+    val badHc = framed.clone(); badHc(12) = (badHc(12) ^ 0x08).toByte
+    assert(ShortCodecs.unlz4Framed(badHc).isEmpty)
+    // legacy frame magic refuses; truncations and junk never throw
+    assert(ShortCodecs.unlz4Framed(Array[Byte](0x02, 0x21, 0x4C, 0x18, 1, 2, 3)).isEmpty)
+    for (cut <- Seq(0, 3, 12, framed.length / 2, framed.length - 1))
+      assert(ShortCodecs.unlz4Framed(framed.take(cut)).isEmpty, s"cut $cut")
+    for (_ <- 0 until 200) {
+      val junk = framed.take(11) ++ Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      ShortCodecs.unlz4Framed(junk)
+    }
+    // sniff + universal-decode dispatch (incl. the leading-skippable spelling)
+    assert(graft.ops.Sniff.detect(framed) == "lz4-framed")
+    assert(graft.ops.Sniff.detect(refBytes) == "lz4-framed")
+    val (chain, ok, text) = graft.ops.DecodeAny.decodeOne(
+      ShortCodecs.lz4Framed("framed lz4 text payload".getBytes("UTF-8")))
+    assert(chain == List("lz4-framed", "text") && ok &&
+      text.contains("framed lz4 text payload"))
+  }
+
   test("refusals: truncation, wrong declared length, offset beyond output, fuzz never throws") {
     val data = prose(5000)
     val sz = org.xerial.snappy.Snappy.compress(data)
