@@ -89,6 +89,25 @@ class DeltaLogSpec extends SparkSuite {
     assert(out("f.parquet") == ((1L, 0L, 2, "a=2,z=1", false)))
   }
 
+  test("activeFiles plan shape: distributed aggregation + one-row broadcast gate, nothing driver-side") {
+    val df = commitsDf(
+      0L -> (meta + "\n" +
+        """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0}}"""),
+      1L -> """{"add":{"path":"b.parquet","partitionValues":{},"size":2,"modificationTime":0}}""")
+      .repartition(3)
+    val out = DeltaLog.activeFiles(df, "version", "content")
+    // constructing the DataFrame is LAZY — the old implementation
+    // collect()ed the whole log at call time; the shape now is the
+    // max_by replay aggregate with the validity gate riding as a
+    // broadcast nested-loop side
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "validity gate must ride as a broadcast side:\n" + plan.take(1500))
+    assert("max_by".r.findAllIn(plan).nonEmpty,
+      "replay must be the last-action-per-path aggregation:\n" + plan.take(1500))
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("a.parquet", "b.parquet"))
+  }
+
   // --- checkpoint-seeded replay (DataFrame surface) ---
 
   private def cpDf(adds: Seq[(String, String, Long, Long)], tombstones: Seq[String]): DataFrame = {
