@@ -1984,6 +1984,17 @@ object SparkEntry {
         .select(col("id"), col("codec"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // framed stream layers (round 14): snappy framing (even ids) and
+    // LZ4 frames (odd) written by the INDEPENDENT reference stream
+    // writers (snappy-java / lz4-java), sniffed — not trusted from a
+    // column — and decoded by the from-spec frame walks with every
+    // checksum verified; byte-exact by length + md5.
+    "x_multimodal_framed" -> ((s, d) =>
+      graft.ops.ShortCodecs.decodeFramedText(
+        graft.ops.ShortCodecs.packTextFramed(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("id"), col("codec"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
+
     // gzip rung (RFC 1952): the x_multimodal_zstd contract with the
     // JDK's zlib as the independent encoder — levels 1/6/9 plus a
     // HUFFMAN_ONLY stratum, CRC-32 + ISIZE verified by the from-spec
@@ -5696,6 +5707,16 @@ object SparkEntry {
     "x_multimodal_short" -> """
       SELECT doc_id AS id,
              CASE WHEN doc_id % 2 = 0 THEN 'snappy' ELSE 'lz4' END AS codec,
+             true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // framed-layer contract: same decoded-byte identity, codec by
+    // parity re-derived through sniff
+    "x_multimodal_framed" -> """
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 2 = 0 THEN 'snappy-framed' ELSE 'lz4-framed' END AS codec,
              true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest

@@ -493,6 +493,61 @@ object ShortCodecs {
       .toDF("id", "codec", "decoded", "n_bytes", "text")
   }
 
+  /** FRAMED fixture packer (round 14): per-doc streams through the
+    * INDEPENDENT reference frame writers — snappy-java's
+    * SnappyFramedOutputStream on even ids, lz4-java's
+    * LZ4FrameOutputStream on odd — so the gate decodes frames this
+    * repo never wrote. */
+  def packTextFramed(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bos = new java.io.ByteArrayOutputStream()
+        if (id % 2 == 0) {
+          val w = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+          w.write(bytes); w.close()
+          (id, "snappy-framed", bos.toByteArray)
+        } else {
+          val w = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+          w.write(bytes); w.close()
+          (id, "lz4-framed", bos.toByteArray)
+        }
+      })
+      .toDF("id", "codec", "payload")
+  }
+
+  /** Decode framed streams back — the payloads carry no out-of-band
+    * length (the frame layer owns it), so this also proves the frame
+    * walk end to end. Codec re-derived by SNIFF, not trusted from
+    * the column. */
+  def decodeFramedText(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val codec = Sniff.detect(payload)
+        val decoded = codec match {
+          case "snappy-framed" => unsnappyFramed(payload)
+          case "lz4-framed" => unlz4Framed(payload)
+          case _ => None
+        }
+        decoded match {
+          case Some(bytes) => (id, codec, true, bytes.length.toLong,
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          case None => (id, codec, false, 0L, null: String)
+        }
+      })
+      .toDF("id", "codec", "decoded", "n_bytes", "text")
+  }
+
   /** Spec-legal literal-only LZ4 block (one final sequence). */
   def lz4Literal(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length + 8)
