@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * → the format CHAIN it turned out to be, whether the walk
   * succeeded, and the text surface when the terminal format has one.
   *
-  * The walk: sniff → if a compression wrapper (gzip/zstd/xz/bzip2),
-  * decompress with the from-spec codec and RE-SNIFF the payload —
+  * The walk: sniff → if a compression wrapper (gzip/zstd/xz/bzip2,
+  * and since round 14 the snappy-framing and LZ4-frame stream
+  * layers), decompress with the from-spec codec and RE-SNIFF the
+  * payload —
   * wrappers nest in the wild (`.pdf.gz`, tarballs of zstd shards) —
   * up to a declared depth of 4; terminal formats either carry text
   * (plain text, PDF via the object/content walk, ZIP by recursing

@@ -57,8 +57,10 @@ import org.json4s.jackson.JsonMethods
   *    necessity (scan paths are driver-side strings), so the replay
   *    there is driver-side over the log JSON — bounded by the log,
   *    which is metadata (thousands of lines for petabyte tables) —
-  *    and the checkpoint parquet contributes only its (path,
-  *    partitionValues, size) columns to that list. The DATA scan is
+  *    and the checkpoint parquet contributes its add rows' (path,
+  *    partitionValues, size, modificationTime, stats-presence) plus
+  *    the metaData/protocol facts to that list — never the stats
+  *    strings or schema bodies per file. The DATA scan is
   *    ONE parquet relation over all active files (never one union arm
   *    per partition tuple — a date×source table has 10³–10⁵ tuples
   *    and a union that wide dies in analysis); partition values
@@ -362,6 +364,8 @@ object DeltaLog {
           if (r.isNullAt(1)) Map.empty
           else r.getMap[String, String](1).toMap.filter(_._2 != null),
           r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3),
+          // presence marker only: checkpoint stats strings stay off
+          // the driver (nothing downstream reads their content)
           if (r.getBoolean(4)) Some("") else None)
       }
     // the v2/column-mapping decision happens in snapshotOf's FINAL

@@ -10,14 +10,19 @@ package graft.ops
   * (snappy-java, lz4-java) over the same fixture family as the
   * gzip/zstd rungs.
   *
-  * Both are raw block formats (no framing/checksum layer): the
-  * caller supplies trust boundaries; here that is the decoded-size
-  * cap plus exact-consumption checks. Hostile-bytes contract as the
-  * rest of the ladder: never throws, bounds-checked, None on any
-  * malformed construct. Encoders are the spec-legal literal-only
-  * forms (one big literal run), enough to WRITE blocks any decoder
-  * accepts — the reference libraries supply the hostile-grade
-  * compressed fixtures, exactly the ZstdCodec division of labor.
+  * The BLOCK forms are raw (no framing/checksum layer): the caller
+  * supplies trust boundaries; here that is the decoded-size cap plus
+  * exact-consumption checks. Round 14 adds both formats' STREAM
+  * layers — the snappy FRAMING format and the LZ4 FRAME format (with
+  * a from-spec xxHash32) — each verifying every checksum the layer
+  * defines; those are what .sz/.lz4 FILES in the wild actually are.
+  * Hostile-bytes contract as the rest of the ladder: never throws,
+  * bounds-checked, None on any malformed construct. Encoders are the
+  * spec-legal literal-only forms (one big literal run) plus framed
+  * writers exercising every chunk type, enough to WRITE streams any
+  * decoder accepts — the reference libraries supply the
+  * hostile-grade compressed fixtures, exactly the ZstdCodec division
+  * of labor.
   */
 object ShortCodecs {
 

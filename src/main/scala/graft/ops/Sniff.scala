@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * same magic its full decoder in this repo checks — this op is the
   * cheap prefix dispatch, the decoders stay the source of truth):
   * images (PNG/JPEG/GIF/BMP/WebP/TIFF/netpbm), audio (WAV/FLAC/Ogg/
-  * MP3-ID3), video (MP4/MKV/AVI), compression (gzip/zstd/bzip2/xz),
-  * archives & documents (ZIP/tar/WARC/PDF/Avro/SQLite/GGUF/NumPy),
-  * and UTF-8-looking text as the last resort before `unknown`.
+  * MP3-ID3), video (MP4/MKV/AVI), compression (gzip/zstd/bzip2/xz,
+  * and since round 14 the snappy-framing and LZ4-frame stream
+  * layers), archives & documents (ZIP/tar/WARC/PDF/Avro/SQLite/GGUF/
+  * NumPy), and — the last resorts before `unknown` — UTF-8-looking
+  * text, then the bounded cp1252 `text-latin1` fallback (round 14).
   * RIFF-family types (WAV/AVI/WebP) disambiguate on the form tag;
   * tar has no leading magic so it checks the ustar signature at
   * offset 257; WARC is the version line prefix.
