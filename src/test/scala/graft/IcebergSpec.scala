@@ -139,6 +139,16 @@ class IcebergSpec extends SparkSuite {
     assert(Iceberg.manifestEntries(Iceberg.writeManifestList(Seq(("p", 1L)), "s")).isEmpty)
   }
 
+  test("iceberg_manifest spec op dispatches to entriesDf") {
+    import graft.spec._
+    val packed = Iceberg.packDocsManifest(Seq(4L).toDF("doc_id"), "doc_id")
+    val viaOp = graft.transforms.Transforms(packed,
+      TransformSpec("im", "iceberg_manifest", Config.of()), Map.empty)
+    assert(viaOp.columns.toSeq ==
+      Seq("id", "status", "path", "format", "record_count", "file_size"))
+    assert(viaOp.count() == 2L) // id 4: even → two entries
+  }
+
   test("entriesDf gate surface replays planted arithmetic") {
     val packed = Iceberg.packDocsManifest(Seq(5L, 6L).toDF("doc_id"), "doc_id")
     val rows = Iceberg.entriesDf(packed, "id", "payload")
