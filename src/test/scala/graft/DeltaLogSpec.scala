@@ -89,6 +89,25 @@ class DeltaLogSpec extends SparkSuite {
     assert(out("f.parquet") == ((1L, 0L, 2, "a=2,z=1", false)))
   }
 
+  test("percent-decode kernel and codegen expression: UTF-8 runs, malformed escapes, '+' literal") {
+    import graft.expr.{PercentDecode, PercentDecodeKernel}
+    assert(PercentDecodeKernel.decode("part%2D7.parquet") == "part-7.parquet")
+    assert(PercentDecodeKernel.decode("no escapes") == "no escapes")
+    assert(PercentDecodeKernel.decode("caf%C3%A9/f.parquet") == "café/f.parquet") // UTF-8 run
+    assert(PercentDecodeKernel.decode("a+b%20c") == "a+b c") // '+' literal, not space
+    assert(PercentDecodeKernel.decode("bad%GG%2") == "bad%GG%2") // malformed: verbatim
+    assert(PercentDecodeKernel.decode("tail%") == "tail%")
+    // through the codegen'd expression over a real (non-local) scan
+    import org.apache.spark.sql.functions.col
+    val out = spark.range(3)
+      .select(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("p%41"), col("id")).as("s"))
+      .select(PercentDecode(col("s")).as("d"))
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("pA0", "pA1", "pA2"))
+    assert(out.queryExecution.executedPlan.toString.contains("*(1)"),
+      "percent_decode must ride whole-stage codegen")
+  }
+
   test("activeFiles plan shape: distributed aggregation + one-row broadcast gate, nothing driver-side") {
     val df = commitsDf(
       0L -> (meta + "\n" +
