@@ -42,11 +42,23 @@ object SparkEntry {
     * and persist, so correctness and bench runs pay it once instead
     * of once per gate. */
   private val fixtureCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
   private def sharedFixture(tag: String, s: SparkSession, d: String)(
-      build: => DataFrame): DataFrame =
-    fixtureCache.getOrElseUpdate(s"$tag|${System.identityHashCode(s)}|$d",
+      build: => DataFrame): DataFrame = {
+    // Keyed WEAKLY on the session object itself (not a reusable hash
+    // code): a new session can never alias a stopped one, and a
+    // collected session's cached fixtures become unreachable with it.
+    val perSession = fixtureCache.synchronized {
+      var m = fixtureCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, DataFrame]()
+        fixtureCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(s"$tag|$d",
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Six-language phrase banks for the x_text_langid gate: the
     * synthetic corpus text is English-shaped and its lang labels carry
@@ -1689,7 +1701,7 @@ object SparkEntry {
     // ImageIO codec.
     "x_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeImagePixels(
-        Multimodal.packTextPng(t(s, d, "documents"), "doc_id", "text", width = 32),
+        Multimodal.packTextPng(docs(s, d), "doc_id", "text", width = 32),
         "id", "media")),
 
     // REAL video-container path: spec-correct MP4 box trees (ftyp +

@@ -448,16 +448,29 @@ object DeltaLog {
       val pcols = snap.partitionColumns
       val rows = resolved.flatMap { case (f, p) =>
         keyForms(p).map(k =>
-          Row.fromSeq(k +: pcols.map(c => f.partitionValues.getOrElse(c, null: String))))
+          Row.fromSeq(k +: (true +: pcols.map(c => f.partitionValues.getOrElse(c, null: String)))))
       }
       val mSchema = StructType(
         StructField("__graft_file_key", StringType) +:
+          StructField("__graft_matched", BooleanType) +:
           pcols.map(c => StructField(c, StringType)))
       val manifest = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), mSchema)
-      base.withColumn("__graft_file_key", col("_metadata.file_path"))
+      // A left join guards against key-form drift: if the runtime
+      // reports a file_path spelling keyForms doesn't cover, the row
+      // goes unmatched — raise rather than silently NULL the
+      // partition columns (the check rides the partition columns
+      // themselves, so it survives exactly as long as they are read).
+      val joined = base.withColumn("__graft_file_key", col("_metadata.file_path"))
         .join(broadcast(manifest), Seq("__graft_file_key"), "left")
-        .drop("__graft_file_key")
+      val guarded = pcols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c,
+          when(col("__graft_matched").isNotNull, col(c))
+            .otherwise(raise_error(concat(
+              lit("delta: scan file path did not match the partition manifest: "),
+              col("__graft_file_key")))))
+      }
+      guarded.drop("__graft_file_key", "__graft_matched")
     }
   }
 }

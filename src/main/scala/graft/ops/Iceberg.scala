@@ -209,7 +209,7 @@ object Iceberg {
     val raw = p.stripPrefix("file:")
     val loc = location.map(_.stripPrefix("file:")).filter(_.nonEmpty)
     loc match {
-      case Some(l) if raw.startsWith(l) =>
+      case Some(l) if raw == l || raw.startsWith(l + "/") =>
         tableDir + raw.substring(l.length)
       case _ if raw.startsWith("/") => raw
       case _ => s"$tableDir/$raw"

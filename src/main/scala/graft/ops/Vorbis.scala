@@ -821,7 +821,6 @@ object Vorbis {
       val setup = readSetup(new Br(pkts(2), 7, pkts(2).length), channels)
       val modeBits = ilog(setup.modes.length - 1)
 
-      val outs = Array.fill(channels)(new java.io.ByteArrayOutputStream())
       val floatOuts = Array.fill(channels)(scala.collection.mutable.ArrayBuffer[Float]())
       var prevRight: Array[Array[Double]] = null
       var prevN = 0
