@@ -60,6 +60,15 @@ object SparkEntry {
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** On-disk fixture memo (round 15): the table-format gates write a
+    * REAL table layout (parquet + transaction metadata) once per
+    * (tag, sf dir) per JVM; the dir outlives any session, so this
+    * memo is keyed by content, not session. */
+  private val fixtureDirCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def sharedDir(tag: String, d: String)(build: => String): String =
+    fixtureDirCache.getOrElseUpdate(s"$tag|$d", build)
+
   /** Six-language phrase banks for the x_text_langid gate: the
     * synthetic corpus text is English-shaped and its lang labels carry
     * no text signal (the x_text_linear_classify finding), so the gate
@@ -2389,6 +2398,34 @@ object SparkEntry {
         checkpoint, commits, "version", "content", 1000000L)
     }),
 
+    // Delta DELETION VECTORS (round 15): a real on-disk Delta table —
+    // four bucket files (bucket = doc_id%4, partition column),
+    // protocol v3 + deletionVectors, and id%7==0 rows deleted via DVs
+    // exercising all three storages ('u' file-by-UUID on bucket 0,
+    // 'p' absolute path with run containers on bucket 1, 'i' inline
+    // on bucket 2; bucket 3 untouched). readTable must decode the
+    // portable RoaringBitmapArray blobs and anti-join the positions
+    // against _metadata.row_index; the oracle replays the survivor
+    // set from the delete rule.
+    "x_delta_dv" -> ((s, d) => {
+      val dir = sharedDir("delta_dv", d)(
+        graft.ops.TableFixtures.writeDeltaDvTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"))
+    }),
+
+    // Delta COLUMN MAPPING, name mode (round 15): data files carry
+    // physical parquet names (col-1..col-3), the log's schemaString
+    // maps them back to logical ones, and the partition column's
+    // partitionValues key by its PHYSICAL name — the read must come
+    // back fully logical.
+    "x_delta_cm" -> ((s, d) => {
+      val dir = sharedDir("delta_cm", d)(
+        graft.ops.TableFixtures.writeDeltaCmTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
+    }),
+
     // Iceberg v1 manifests (round 14): one spec-schema manifest_entry
     // Avro container per document (written by the in-repo from-spec
     // Avro codec, decoded by the same reader the `iceberg` source
@@ -2403,6 +2440,19 @@ object SparkEntry {
         .where(col("status") =!= 2)
         .select(col("id").as("doc_id"), col("status"), col("path"),
           col("format"), col("record_count"), col("file_size"))
+    }),
+
+    // Iceberg FORMAT-VERSION 2 (round 15): a real on-disk v2 table —
+    // four bucket data files, a position-delete parquet named by a
+    // delete manifest (manifest-list content=1), id%7==0 rows deleted
+    // in EVERY bucket. readTable must anti-join the delete rows'
+    // (file_path, pos) against the data scan's metadata columns; the
+    // oracle replays the survivor set.
+    "x_iceberg_v2" -> ((s, d) => {
+      val dir = sharedDir("iceberg_v2", d)(
+        graft.ops.TableFixtures.writeIcebergV2Table(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.Iceberg.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
     "x_parquet_footer" -> ((s, d) => {
@@ -5999,6 +6049,28 @@ object SparkEntry {
              1, 'src=' || coalesce(source, ''), true
       FROM documents WHERE doc_id % 4 = 3""",
 
+    // deletion vectors: the survivor set replays the planted
+    // id%7==0 delete rule on buckets 0-2 (bucket 3 keeps all rows)
+    "x_delta_dv" -> """
+      SELECT doc_id, source, n_chars,
+             CAST(doc_id % 4 AS VARCHAR) AS bucket
+      FROM documents
+      WHERE NOT (doc_id % 7 = 0 AND doc_id % 4 IN (0, 1, 2))""",
+
+    // column mapping: every row survives; the check is that physical
+    // parquet names resolved back to these logical columns and the
+    // physically-keyed partition value landed
+    "x_delta_cm" -> """
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+      FROM documents""",
+
+    // iceberg v2 position deletes: survivors of the planted id%7==0
+    // delete rule, applied across all four bucket files
+    "x_iceberg_v2" -> """
+      SELECT doc_id, source, n_chars
+      FROM documents WHERE doc_id % 7 <> 0""",
+
     // iceberg manifest contract: active entries replay by id
     // arithmetic — %3==0's first file is a DELETED tombstone (absent),
     // even ids carry the EXISTING second file
@@ -6335,7 +6407,11 @@ object SparkEntry {
         UNION ALL
         SELECT doc_id, 'tensor', 'blk.0.ffn_up.weight',
                CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 6 ELSE 7 END,
-               '[32]', 256 * (doc_id % 7 + 1) + 96 FROM documents)""",
+               '[32]', 256 * (doc_id % 7 + 1) + 96 FROM documents
+        UNION ALL
+        SELECT doc_id, 'tensor', 'blk.0.ffn_down.weight',
+               CASE doc_id % 2 WHEN 0 THEN 12 ELSE 14 END,
+               '[256]', 256 * (doc_id % 7 + 1) + 128 FROM documents)""",
 
     // gguf tensor dequantization: quarter-unit plants replay as pure
     // integer arithmetic through floor(v * 2^30)
@@ -6365,6 +6441,19 @@ object SparkEntry {
                  WHEN 1 THEN ((doc_id + i) % 16) * 536870912 + 268435456
                  WHEN 2 THEN ((doc_id + i) % 32 - 16) * 536870912
                  ELSE ((doc_id + i) % 32) * 536870912 + 268435456
+               END AS BIGINT)), ',')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'blk.0.ffn_down.weight',
+             CASE doc_id % 2 WHEN 0 THEN 12 ELSE 14 END,
+             256,
+             array_to_string(list_transform(range(256), i ->
+               CAST(CASE doc_id % 2
+                 WHEN 0 THEN ((doc_id + 5 * (i // 32)) % 64) * ((doc_id + i) % 16) * 536870912
+                             - ((doc_id * 3 + (i // 32)) % 64) * 268435456
+                 ELSE (((doc_id + 8 * (i // 128) + 2 * ((i % 128) // 32)
+                         + ((i % 32) // 16)) % 32) - 16)
+                      * (((doc_id + i) % 64) - 32) * 536870912
                END AS BIGINT)), ',')
       FROM documents""",
 

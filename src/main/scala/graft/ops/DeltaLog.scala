@@ -32,15 +32,19 @@ import org.json4s.jackson.JsonMethods
   *  - file paths are RELATIVE to the table root and percent-encoded
   *    (RFC 3986 unreserved set) — decoded here; absolute URIs pass
   *    through;
-  *  - protocol gate: `minReaderVersion` 1 always reads;
-  *    2 (introduced FOR column mapping) reads iff the FINAL
-  *    metaData's configuration carries no
-  *    `delta.columnMapping.mode` (or `none`) — a v2 table without
-  *    column mapping is classically laid out, and plenty of real
-  *    tables sit at v2 that way (round 14); 2 WITH a mapping mode
-  *    and 3+ (table features: deletion vectors etc.) REFUSE —
-  *    reading through semantics-changing features silently returns
-  *    wrong data.
+  *  - protocol gate: `minReaderVersion` 1 and 2 always read; 3
+  *    (table features) reads iff every `readerFeatures` entry is
+  *    implemented here ([[supportedReaderFeatures]]: deletion
+  *    vectors, column mapping) — anything else refuses BY NAME,
+  *    since reading through an unknown semantics-changing feature
+  *    silently returns wrong data. Column mapping reads in `name`
+  *    mode (physical parquet names map back to logical ones at the
+  *    scan, round 15); `id` mode refuses;
+  *  - deletion vectors (round 15): an add's `deletionVector`
+  *    descriptor names a bitmap of deleted ROW INDEXES
+  *    ([[DeltaDv]]); [[readTable]] anti-joins those positions
+  *    against the scan's `_metadata.row_index`, and replay keys
+  *    file actions by (path, dv uniqueId) per the protocol.
   *
   * Scale shape, per surface:
   *  - [[activeFiles]] / [[activeFilesFromCheckpoint]] (the DataFrame
@@ -70,16 +74,23 @@ import org.json4s.jackson.JsonMethods
 object DeltaLog {
 
   final case class AddFile(path: String, partitionValues: Map[String, String],
-      size: Long, modificationTime: Long, stats: Option[String])
+      size: Long, modificationTime: Long, stats: Option[String],
+      dv: Option[DeltaDv.Descriptor] = None)
   final case class Snapshot(tableId: String, schemaJson: String,
       partitionColumns: Seq[String], files: Seq[AddFile],
       configuration: Map[String, String] = Map.empty,
       minReaderVersion: Int = 1)
 
-  private object Refuse extends RuntimeException {
+  /** Reader features this reader actually implements; a v3 protocol
+    * naming anything else refuses BY NAME (silently reading through
+    * an unknown feature risks wrong data). */
+  private[graft] val supportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping")
+
+  private final case class Refuse(msg: String) extends RuntimeException(msg) {
     override def fillInStackTrace(): Throwable = this
   }
-  private def refuse(): Nothing = throw Refuse
+  private def refuse(msg: String): Nothing = throw Refuse(msg)
 
   private def percentDecode(s: String): String = graft.expr.PercentDecodeKernel.decode(s)
 
@@ -90,32 +101,70 @@ object DeltaLog {
     * [[readTable]], where the file list is needed as scan paths; the
     * DataFrame surfaces replay distributed instead. */
   def snapshotOf(commits: Seq[(Long, String)], seed: Option[Snapshot] = None): Option[Snapshot] =
+    snapshotOfE(commits, seed).toOption
+
+  /** [[snapshotOf]] with the refusal REASON on the left — readTable
+    * surfaces it verbatim (the round-15 "refuse by name" contract). */
+  def snapshotOfE(commits: Seq[(Long, String)],
+      seed: Option[Snapshot] = None): Either[String, Snapshot] =
     try {
       var tableId: String = seed.map(_.tableId).orNull
       var schemaJson: String = seed.map(_.schemaJson).orNull
       var partitionCols: Seq[String] = seed.map(_.partitionColumns).getOrElse(Seq.empty)
       var config: Map[String, String] = seed.map(_.configuration).getOrElse(Map.empty)
       var maxReader: Int = seed.map(_.minReaderVersion).getOrElse(1)
+      def keyOf(path: String, dv: Option[DeltaDv.Descriptor]): String =
+        path + "\u0000" + dv.map(_.uniqueId).getOrElse("")
+      def dvOf(a: JValue): Option[DeltaDv.Descriptor] = a \ "deletionVector" match {
+        case d: JObject =>
+          val st = d \ "storageType" match {
+            case JString(s) => s; case _ => refuse("deletionVector missing storageType") }
+          val pp = d \ "pathOrInlineDv" match {
+            case JString(s) => s; case _ => refuse("deletionVector missing pathOrInlineDv") }
+          val off = d \ "offset" match { case JInt(v) => Some(v.toLong); case _ => None }
+          val sz = d \ "sizeInBytes" match {
+            case JInt(v) => v.toLong; case _ => refuse("deletionVector missing sizeInBytes") }
+          val card = d \ "cardinality" match {
+            case JInt(v) => v.toLong; case _ => refuse("deletionVector missing cardinality") }
+          Some(DeltaDv.Descriptor(st, pp, off, sz, card))
+        case _ => None
+      }
       val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-      seed.foreach(_.files.foreach(f => active(f.path) = f))
+      seed.foreach(_.files.foreach(f => active(keyOf(f.path, f.dv)) = f))
       commits.sortBy(_._1).foreach { case (_, content) =>
         content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-          val jv = try JsonMethods.parse(line) catch { case _: Exception => refuse() }
+          val jv = try JsonMethods.parse(line) catch {
+            case _: Exception => refuse("malformed log line (not JSON)") }
           jv \ "protocol" match {
             case p: JObject =>
               p \ "minReaderVersion" match {
                 case JInt(v) if v == 1 || v == 2 =>
                   maxReader = math.max(maxReader, v.toInt)
-                case _ => refuse() // v3+ table features (DVs etc.): wrong-data risk
+                case JInt(v) if v == 3 =>
+                  // v3 = table features: read iff every named reader
+                  // feature is one this reader implements
+                  val feats = p \ "readerFeatures" match {
+                    case JArray(xs) => xs.map {
+                      case JString(s) => s
+                      case _ => refuse("malformed readerFeatures") }
+                    case _ => refuse("reader version 3 without readerFeatures")
+                  }
+                  val unsupported = feats.filterNot(supportedReaderFeatures)
+                  if (unsupported.nonEmpty)
+                    refuse(s"unsupported reader features: ${unsupported.sorted.mkString(", ")}")
+                  maxReader = math.max(maxReader, 3)
+                case _ => refuse("unsupported minReaderVersion (>3 or missing)")
               }
             case _ => ()
           }
           jv \ "metaData" match {
             case m: JObject =>
-              tableId = m \ "id" match { case JString(s) => s; case _ => refuse() }
+              tableId = m \ "id" match {
+                case JString(s) => s; case _ => refuse("metaData missing id") }
               schemaJson = m \ "schemaString" match { case JString(s) => s; case _ => null }
               partitionCols = m \ "partitionColumns" match {
-                case JArray(xs) => xs.map { case JString(s) => s; case _ => refuse() }
+                case JArray(xs) => xs.map {
+                  case JString(s) => s; case _ => refuse("malformed partitionColumns") }
                 case _ => Seq.empty
               }
               config = m \ "configuration" match {
@@ -126,35 +175,43 @@ object DeltaLog {
           }
           jv \ "add" match {
             case a: JObject =>
-              val path = a \ "path" match { case JString(s) => percentDecode(s); case _ => refuse() }
-              val size = a \ "size" match { case JInt(v) => v.toLong; case _ => refuse() }
+              val path = a \ "path" match {
+                case JString(s) => percentDecode(s); case _ => refuse("add missing path") }
+              val size = a \ "size" match {
+                case JInt(v) => v.toLong; case _ => refuse("add missing size") }
               val mod = a \ "modificationTime" match { case JInt(v) => v.toLong; case _ => 0L }
               val pv = a \ "partitionValues" match {
                 case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
                 case _ => Map.empty[String, String]
               }
               val stats = a \ "stats" match { case JString(s) => Some(s); case _ => None }
-              active(path) = AddFile(path, pv, size, mod, stats)
+              val dv = dvOf(a)
+              active(keyOf(path, dv)) = AddFile(path, pv, size, mod, stats, dv)
             case _ => ()
           }
           jv \ "remove" match {
             case r: JObject =>
-              val path = r \ "path" match { case JString(s) => percentDecode(s); case _ => refuse() }
-              active.remove(path)
+              val path = r \ "path" match {
+                case JString(s) => percentDecode(s); case _ => refuse("remove missing path") }
+              // file actions key by (path, dvUniqueId): attaching a DV
+              // to a file commits remove(path, old dv) + add(path, new
+              // dv), and that must replay right in either line order
+              active.remove(keyOf(path, dvOf(r)))
             case _ => ()
           }
         }
       }
-      if (tableId == null) refuse() // no metaData anywhere: not a delta log
-      // reader-version-2 gate against the FINAL metadata: v2 exists
-      // FOR column mapping, so a v2 table whose configuration carries
-      // no mapping mode is classically laid out and reads; an actual
-      // mapping mode changes column resolution → refuse
-      if (maxReader >= 2 &&
-        config.get("delta.columnMapping.mode").exists(_ != "none")) refuse()
-      Some(Snapshot(tableId, schemaJson, partitionCols, active.values.toSeq,
+      if (tableId == null) refuse("log has no metaData action") // not a delta log
+      // column-mapping gate against the FINAL metadata: `name` mode
+      // reads (readTable maps physical parquet names back to logical
+      // ones); `id` mode resolves by parquet field id — unimplemented,
+      // refuse by name rather than mis-resolve columns
+      val cm = config.getOrElse("delta.columnMapping.mode", "none")
+      if (cm != "none" && cm != "name")
+        refuse(s"column mapping mode '$cm' unsupported (name mode only)")
+      Right(Snapshot(tableId, schemaJson, partitionCols, active.values.toSeq,
         config, maxReader))
-    } catch { case Refuse => None }
+    } catch { case Refuse(m) => Left(m) }
 
   /** The `_delta_log` version of a commit file name, if it is one. */
   private[graft] def versionOf(name: String): Option[Long] = {
@@ -168,19 +225,30 @@ object DeltaLog {
   // Distributed replay (the DataFrame surfaces)
   // ---------------------------------------------------------------
 
+  private val dvType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", LongType),
+    StructField("sizeInBytes", LongType),
+    StructField("cardinality", LongType)))
   private val addType = StructType(Seq(
     StructField("path", StringType),
     StructField("partitionValues", MapType(StringType, StringType)),
     StructField("size", LongType),
     StructField("modificationTime", LongType),
-    StructField("stats", StringType)))
-  private val removeType = StructType(Seq(StructField("path", StringType)))
+    StructField("stats", StringType),
+    StructField("deletionVector", dvType)))
+  private val removeType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("deletionVector", dvType)))
   private val metaType = StructType(Seq(
     StructField("id", StringType),
     StructField("schemaString", StringType),
     StructField("partitionColumns", ArrayType(StringType)),
     StructField("configuration", MapType(StringType, StringType))))
-  private val protoType = StructType(Seq(StructField("minReaderVersion", LongType)))
+  private val protoType = StructType(Seq(
+    StructField("minReaderVersion", LongType),
+    StructField("readerFeatures", ArrayType(StringType))))
   private val actionType = StructType(Seq(
     StructField("add", addType), StructField("remove", removeType),
     StructField("metaData", metaType), StructField("protocol", protoType),
@@ -240,24 +308,40 @@ object DeltaLog {
     *    sub-actions, percent-decode the path, and take the last
     *    action per path with `max_by` over (version, line, sub) —
     *    active = paths whose last action is an add. */
+  /** The descriptor's replay identity as a column ('' when no DV) —
+    * mirrors [[DeltaDv.Descriptor.uniqueId]]. */
+  private def dvUid(dv: Column): Column =
+    coalesce(when(dv.isNotNull && dv("storageType").isNotNull,
+      concat(dv("storageType"), dv("pathOrInlineDv"),
+        coalesce(concat(lit("@"), dv("offset").cast(StringType)), lit("")))),
+      lit(""))
+
   private def replay(actions: DataFrame): DataFrame = {
-    val bad = col("__corrupt") ||
-      (col("protocol").isNotNull &&
-        (col("protocol.minReaderVersion").isNull || col("protocol.minReaderVersion") > 2L)) ||
+    // v3 protocols (table features) read iff every reader feature is
+    // implemented here; the supported set rides as a literal array
+    val supportedLit = array(supportedReaderFeatures.toSeq.sorted.map(lit): _*)
+    val protoBad = col("protocol").isNotNull && (
+      col("protocol.minReaderVersion").isNull ||
+      col("protocol.minReaderVersion") > 3L ||
+      (col("protocol.minReaderVersion") === 3L &&
+        (col("protocol.readerFeatures").isNull ||
+          size(array_except(col("protocol.readerFeatures"), supportedLit)) > 0)))
+    val dvBad = (dv: Column) => dv.isNotNull && dv("storageType").isNotNull &&
+      (dv("pathOrInlineDv").isNull || dv("sizeInBytes").isNull)
+    val bad = col("__corrupt") || protoBad ||
       (col("add").isNotNull && (col("add.path").isNull || col("add.size").isNull)) ||
+      dvBad(col("add.deletionVector")) || dvBad(col("remove.deletionVector")) ||
       (col("remove").isNotNull && col("remove.path").isNull) ||
       (col("metaData").isNotNull && col("metaData.id").isNull)
-    // the reader-version-2 rule binds the max protocol version to the
-    // FINAL metadata's column-mapping mode (see the object scaladoc)
+    // column-mapping gate against the FINAL metadata: none and name
+    // modes read; id mode (parquet-field-id resolution) refuses
     val gateOk = actions
       .agg(max(bad.cast("int")).as("__bad"),
         max(col("metaData").isNotNull.cast("int")).as("__meta"),
-        max(col("protocol.minReaderVersion")).as("__reader"),
         max_by(element_at(col("metaData.configuration"), "delta.columnMapping.mode"),
           when(col("metaData").isNotNull, struct(col("__v"), col("__ln")))).as("__cm"))
       .where(coalesce(col("__bad"), lit(1)) === 0 && coalesce(col("__meta"), lit(0)) === 1 &&
-        (col("__reader").isNull || col("__reader") <= 1L ||
-          coalesce(col("__cm"), lit("none")) === "none"))
+        coalesce(col("__cm"), lit("none")).isin("none", "name"))
       .select(lit(1).as("__gate"))
     val emptyPv = lit(null).cast(MapType(StringType, StringType))
     val acted = actions
@@ -267,14 +351,20 @@ object DeltaLog {
           struct(lit(0).as("sub"), col("add").isNotNull.as("valid"),
             col("add.path").as("path"), lit(true).as("is_add"),
             col("add.size").as("size"), col("add.modificationTime").as("mod"),
-            col("add.partitionValues").as("pv"), col("add.stats").isNotNull.as("has_stats")),
+            col("add.partitionValues").as("pv"), col("add.stats").isNotNull.as("has_stats"),
+            dvUid(col("add.deletionVector")).as("dvuid")),
           struct(lit(1).as("sub"), col("remove").isNotNull.as("valid"),
             col("remove.path").as("path"), lit(false).as("is_add"),
             lit(null).cast(LongType).as("size"), lit(null).cast(LongType).as("mod"),
-            emptyPv.as("pv"), lit(false).as("has_stats"))
+            emptyPv.as("pv"), lit(false).as("has_stats"),
+            dvUid(col("remove.deletionVector")).as("dvuid"))
         ), x => x("valid"))).as("act"))
+    // file actions key by (path, dv uniqueId) — attaching a DV to a
+    // file commits remove(path, old dv) + add(path, new dv), and the
+    // replay must hold either in-commit line order
     val last = acted
-      .groupBy(graft.expr.PercentDecode(col("act.path")).as("path"))
+      .groupBy(graft.expr.PercentDecode(col("act.path")).as("path"),
+        col("act.dvuid").as("__dvuid"))
       .agg(max_by(
         struct(col("act.is_add").as("is_add"), col("act.size").as("size"),
           col("act.mod").as("mod"), col("act.pv").as("pv"),
@@ -331,11 +421,16 @@ object DeltaLog {
     * rows are VACUUM tombstones and contribute nothing. */
   private def checkpointSnapshot(spark: SparkSession, paths: Seq[String]): Snapshot = {
     val norm = normalizeCheckpoint(spark.read.parquet(paths: _*), 0L)
+    val supportedLit = array(supportedReaderFeatures.toSeq.sorted.map(lit): _*)
     val badProto = norm.where(col("protocol").isNotNull &&
-      (col("protocol.minReaderVersion").isNull || col("protocol.minReaderVersion") > 2L))
+      (col("protocol.minReaderVersion").isNull ||
+        col("protocol.minReaderVersion") > 3L ||
+        (col("protocol.minReaderVersion") === 3L &&
+          (col("protocol.readerFeatures").isNull ||
+            size(array_except(col("protocol.readerFeatures"), supportedLit)) > 0))))
     if (!badProto.isEmpty)
       throw new graft.GraftAnalysisException(
-        "delta: unsupported protocol in checkpoint (minReaderVersion > 2)")
+        "delta: unsupported protocol in checkpoint (minReaderVersion > 3 or unknown reader features)")
     val readerV = norm.agg(max(col("protocol.minReaderVersion"))).head() match {
       case r if r.isNullAt(0) => 1
       case r => r.getLong(0).toInt
@@ -355,18 +450,30 @@ object DeltaLog {
       else m.getMap[String, String](3).toMap.filter(_._2 != null)
     val adds = norm.where(col("add").isNotNull)
       .select(col("add.path"), col("add.partitionValues"), col("add.size"),
-        col("add.modificationTime"), col("add.stats").isNotNull)
+        col("add.modificationTime"), col("add.stats").isNotNull,
+        col("add.deletionVector"))
       .collect()
       .map { r =>
         if (r.isNullAt(0) || r.isNullAt(2))
           throw new graft.GraftAnalysisException("delta: malformed add action in checkpoint")
+        val dv = if (r.isNullAt(5)) None else {
+          val d = r.getStruct(5)
+          if (d.isNullAt(0)) None // null storageType: no DV
+          else if (d.isNullAt(1) || d.isNullAt(3))
+            throw new graft.GraftAnalysisException(
+              "delta: malformed deletionVector in checkpoint")
+          else Some(DeltaDv.Descriptor(d.getString(0), d.getString(1),
+            if (d.isNullAt(2)) None else Some(d.getLong(2)),
+            if (d.isNullAt(3)) 0L else d.getLong(3),
+            if (d.isNullAt(4)) 0L else d.getLong(4)))
+        }
         AddFile(percentDecode(r.getString(0)),
           if (r.isNullAt(1)) Map.empty
           else r.getMap[String, String](1).toMap.filter(_._2 != null),
           r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3),
           // presence marker only: checkpoint stats strings stay off
           // the driver (nothing downstream reads their content)
-          if (r.getBoolean(4)) Some("") else None)
+          if (r.getBoolean(4)) Some("") else None, dv)
       }
     // the v2/column-mapping decision happens in snapshotOf's FINAL
     // check — a later commit may replace the metadata either way
@@ -379,7 +486,7 @@ object DeltaLog {
     * also in percent-encoded form) — the broadcast manifest carries
     * one row per spelling so the join matches whichever the runtime
     * emits, with no format guessing baked in. */
-  private def keyForms(p: String): Seq[String] =
+  private[ops] def keyForms(p: String): Seq[String] =
     if (p.contains("://")) Seq(p)
     else {
       val abs = new java.io.File(p).getAbsolutePath
@@ -432,9 +539,11 @@ object DeltaLog {
       .sortBy(_._1)
     if (commits.isEmpty && seed.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: no commits under $tableDir/_delta_log")
-    val snap = snapshotOf(commits, seed).getOrElse(
-      throw new graft.GraftAnalysisException(
-        s"delta: unreadable log at $tableDir (unsupported protocol or malformed action)"))
+    val snap = snapshotOfE(commits, seed) match {
+      case Right(s) => s
+      case Left(reason) => throw new graft.GraftAnalysisException(
+        s"delta: $reason (log at $tableDir/_delta_log)")
+    }
     if (snap.files.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: table at $tableDir has no active files")
     val resolved = snap.files.map { f =>
@@ -442,13 +551,64 @@ object DeltaLog {
               else s"$tableDir/${f.path}"
       f -> p
     }
+    // column mapping (name mode): the log's schemaString carries each
+    // field's physical parquet name in metadata; the scan reads
+    // physical names and the final select maps them back to logical
+    // ones (nested fields rename positionally via struct cast)
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val logicalSchema: Option[StructType] =
+      if (cmMode != "name") None
+      else DataType.fromJson(Option(snap.schemaJson).getOrElse(
+          throw new graft.GraftAnalysisException(
+            "delta: column mapping without a schemaString"))) match {
+        case st: StructType => Some(st)
+        case _ => throw new graft.GraftAnalysisException(
+          "delta: schemaString is not a struct")
+      }
+    def physicalName(f: StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+
     val base = spark.read.parquet(resolved.map(_._2): _*)
-    if (snap.partitionColumns.isEmpty) base
-    else {
-      val pcols = snap.partitionColumns
+    val needDv = resolved.exists(_._1.dv.isDefined)
+    val pcols = snap.partitionColumns
+    var cur: DataFrame = base
+    if (needDv || pcols.nonEmpty)
+      cur = cur.withColumn("__graft_file_key", col("_metadata.file_path"))
+    if (needDv) {
+      // DV blobs (bounded metadata, KBs each) ship to executors and
+      // explode to (file key, deleted row index) there — the driver
+      // never materializes a position list. The anti-join is a
+      // broadcast hash join on (file key, parquet row index).
+      val blobRows = resolved.collect { case (f, p) if f.dv.isDefined =>
+        (DeltaDv.load(tableDir, f.dv.get), p)
+      }.flatMap { case (blob, p) => keyForms(p).map(k => Row(k, blob)) }
+      val blobDf = spark.createDataFrame(
+        java.util.Arrays.asList(blobRows: _*),
+        StructType(Seq(StructField("__graft_dv_key", StringType),
+          StructField("__graft_dv_blob", BinaryType))))
+      val posUdf = udf((b: Array[Byte]) => DeltaDv.positions(b))
+      val posDf = blobDf.select(col("__graft_dv_key"),
+        explode(posUdf(col("__graft_dv_blob"))).as("__graft_dv_pos"))
+      cur = cur.withColumn("__graft_row_idx", col("_metadata.row_index"))
+        .join(broadcast(posDf),
+          col("__graft_file_key") === col("__graft_dv_key") &&
+            col("__graft_row_idx") === col("__graft_dv_pos"), "left_anti")
+        .drop("__graft_row_idx")
+    }
+    if (pcols.nonEmpty) {
+      // partitionValues in the log key by PHYSICAL name under column
+      // mapping; metaData.partitionColumns stay logical
+      val physOf: Map[String, String] = logicalSchema
+        .map(st => st.fields.map(f => f.name -> physicalName(f)).toMap)
+        .getOrElse(Map.empty)
       val rows = resolved.flatMap { case (f, p) =>
         keyForms(p).map(k =>
-          Row.fromSeq(k +: (true +: pcols.map(c => f.partitionValues.getOrElse(c, null: String)))))
+          Row.fromSeq(k +: (true +: pcols.map { c =>
+            val key = physOf.getOrElse(c, c)
+            f.partitionValues.get(key).orElse(f.partitionValues.get(c)).orNull
+          })))
       }
       val mSchema = StructType(
         StructField("__graft_file_key", StringType) +:
@@ -461,16 +621,26 @@ object DeltaLog {
       // goes unmatched — raise rather than silently NULL the
       // partition columns (the check rides the partition columns
       // themselves, so it survives exactly as long as they are read).
-      val joined = base.withColumn("__graft_file_key", col("_metadata.file_path"))
-        .join(broadcast(manifest), Seq("__graft_file_key"), "left")
-      val guarded = pcols.foldLeft(joined) { (df, c) =>
+      val joined = cur.join(broadcast(manifest), Seq("__graft_file_key"), "left")
+      cur = pcols.foldLeft(joined) { (df, c) =>
         df.withColumn(c,
           when(col("__graft_matched").isNotNull, col(c))
             .otherwise(raise_error(concat(
               lit("delta: scan file path did not match the partition manifest: "),
               col("__graft_file_key")))))
-      }
-      guarded.drop("__graft_file_key", "__graft_matched")
+      }.drop("__graft_matched")
+    }
+    if (needDv || pcols.nonEmpty) cur = cur.drop("__graft_file_key")
+    logicalSchema match {
+      case None => cur
+      case Some(st) =>
+        val pset = pcols.toSet
+        val dataCols = st.fields.toSeq.filterNot(f => pset(f.name)).map { f =>
+          col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)
+        }
+        // partition columns keep the mode-none contract: injected
+        // from the log as strings, appended after the data columns
+        cur.select(dataCols ++ pcols.map(c => col(s"`$c`")): _*)
     }
   }
 }

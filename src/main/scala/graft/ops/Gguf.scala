@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
   *    u64 offset RELATIVE to the data section, which is aligned to
   *    `general.alignment` (default 32) — offsets must honor that
   *    alignment or the file refuses;
-  *  - tensor DATA dequantizes for the STABLE, documented block
-  *    formats (round 13): F32 (type 0), F16 (type 1, IEEE half), and
-  *    Q8_0 (type 8: 34-byte blocks of one fp16 scale + 32 int8
-  *    quants, value = d·q — the spec'd struct in ggml-common). The
-  *    K-quant family stays declared out: those block layouts are a
-  *    moving target and curation reads metadata, not superblocks.
+  *  - tensor DATA dequantizes for the documented block formats:
+  *    F32 (type 0), F16 (type 1, IEEE half), Q8_0 (type 8: 34-byte
+  *    blocks of one fp16 scale + 32 int8 quants, value = d·q — the
+  *    spec'd struct in ggml-common), the classic 4/5-bit quartet
+  *    (round 14), and the two K-quant super-block formats published
+  *    models actually ship, Q4_K/Q6_K (round 15). The remaining
+  *    K-quants (Q2_K/Q3_K/Q5_K/Q8_K) stay declared out.
   *
   * Surfaces: one long-format row per KV (kind='kv': key, value_type,
   * value stringified) and per tensor (kind='tensor': name, dims,
@@ -226,7 +227,8 @@ object Gguf {
     * min, v = d·q + m), 6 = Q5_0 (u32 high-bit word, v = d·(q−16)),
     * 7 = Q5_1 (min + high bits, v = d·q + m), 8 = Q8_0 (fp16 d + 32
     * int8) — the formats real GGUF files overwhelmingly contain.
-    * None: unsupported type (K-quants: declared out), bounds
+    * 12 = Q4_K / 14 = Q6_K (256-wide super-blocks, round 15).
+    * None: unsupported type (remaining K-quants: declared out), bounds
     * violation, or a block-format element count not a multiple of
     * the 32-wide block. */
   def dequantize(bytes: Array[Byte], t: Tensor, dataStart: Long): Option[Array[Float]] = {
@@ -363,7 +365,82 @@ object Gguf {
           b += 1
         }
         Some(out)
-      case _ => None // K-quants etc.: declared out
+      case 12 => // Q4_K: 144-byte super-blocks of 256 (fp16 d + fp16 dmin
+        // + 12 packed 6-bit scale/min bytes + 128 nibble bytes);
+        // v = d·sc·q − dmin·m per 32-wide sub-block (round 15)
+        if (n % 256 != 0) return None
+        val blocks = n / 256
+        if (base + 144L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 144L * b).toInt
+          val d = halfToFloat(u16at(bp))
+          val dmin = halfToFloat(u16at(bp + 2))
+          // the ggml 6-bit packing: bytes 0-3 carry sc0-3 (low 6) +
+          // sc4-7's high 2 bits; bytes 4-7 m0-3 + m4-7's high bits;
+          // bytes 8-11 the low nibbles of sc4-7 | m4-7
+          def scaleMin(j: Int): (Int, Int) = {
+            def q(k: Int): Int = bytes(bp + 4 + k) & 0xFF
+            if (j < 4) (q(j) & 63, q(j + 4) & 63)
+            else ((q(j + 4) & 0xF) | ((q(j - 4) >> 6) << 4),
+              (q(j + 4) >> 4) | ((q(j) >> 6) << 4))
+          }
+          var c = 0
+          while (c < 4) {
+            val (sc1, m1) = scaleMin(2 * c)
+            val (sc2, m2) = scaleMin(2 * c + 1)
+            val d1 = d * sc1; val mm1 = dmin * m1
+            val d2 = d * sc2; val mm2 = dmin * m2
+            var l = 0
+            while (l < 32) {
+              val q = bytes(bp + 16 + 32 * c + l) & 0xFF
+              out(b * 256 + 64 * c + l) = d1 * (q & 0xF) - mm1
+              out(b * 256 + 64 * c + 32 + l) = d2 * (q >>> 4) - mm2
+              l += 1
+            }
+            c += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case 14 => // Q6_K: 210-byte super-blocks (ql[128] low nibbles +
+        // qh[64] 2-bit highs + 16 SIGNED int8 scales + fp16 d at the
+        // END); v = d·scale·(q−32) per 16-wide scale group (round 15)
+        if (n % 256 != 0) return None
+        val blocks = n / 256
+        if (base + 210L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 210L * b).toInt
+          val d = halfToFloat(u16at(bp + 208))
+          var h = 0
+          while (h < 2) {
+            val qlp = bp + 64 * h
+            val qhp = bp + 128 + 32 * h
+            val scp = bp + 192 + 8 * h
+            var l = 0
+            while (l < 32) {
+              val is = l / 16
+              val hb = bytes(qhp + l) & 0xFF
+              val q1 = ((bytes(qlp + l) & 0xF) | ((hb & 3) << 4)) - 32
+              val q2 = ((bytes(qlp + 32 + l) & 0xF) | (((hb >> 2) & 3) << 4)) - 32
+              val q3 = (((bytes(qlp + l) & 0xFF) >>> 4) | (((hb >> 4) & 3) << 4)) - 32
+              val q4 = (((bytes(qlp + 32 + l) & 0xFF) >>> 4) | (((hb >> 6) & 3) << 4)) - 32
+              val o = b * 256 + 128 * h
+              out(o + l) = d * bytes(scp + is) * q1
+              out(o + l + 32) = d * bytes(scp + is + 2) * q2
+              out(o + l + 64) = d * bytes(scp + is + 4) * q3
+              out(o + l + 96) = d * bytes(scp + is + 6) * q4
+              l += 1
+            }
+            h += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case _ => None // remaining K-quants (Q2_K/Q3_K/Q5_K/Q8_K): declared out
     }
   }
 
@@ -394,7 +471,7 @@ object Gguf {
         }
         bos.write("GGUF".getBytes("US-ASCII"))
         u32(3) // version
-        u64(4) // tensors
+        u64(5) // tensors
         u64(6) // kvs
         s("general.name"); u32(8); s(s"doc $id")
         s("general.alignment"); u32(4); u32(32)
@@ -408,12 +485,16 @@ object Gguf {
         // layout: F32 64*d2 floats at 0; Q8_0 one 32-wide block at
         // 256*d2 (34 bytes); F16 16 halves at 256*d2 + 64 (aligned);
         // one 4/5-bit block at 256*d2 + 96 (18–24 bytes)
+        // the K-quant super-block cycles by id: Q4_K / Q6_K (round 15)
+        val kt = if (id % 2 == 0) 12 else 14
         s("tok_embd.weight"); u32(2); u64(64); u64(d2); u32(0); u64(0)
         s("blk.0.attn_q.weight"); u32(1); u64(32); u32(8); u64(256 * d2)
         s("output_norm.weight"); u32(1); u64(16); u32(1); u64(256 * d2 + 64)
         s("blk.0.ffn_up.weight"); u32(1); u64(32); u32(qt); u64(256 * d2 + 96)
+        s("blk.0.ffn_down.weight"); u32(1); u64(256); u32(kt); u64(256 * d2 + 128)
         // data section: pad to general.alignment, then the tensors
         while (bos.size() % 32 != 0) u8(0)
+        val dataStart = bos.size()
         var i = 0
         while (i < 64 * d2) {
           u32(java.lang.Float.floatToIntBits(((id + i) % 17 - 8) * 0.25f) & 0xFFFFFFFFL)
@@ -448,6 +529,58 @@ object Gguf {
           val hi = ((id + i + 16) % qmod).toInt & 0x0F
           u8(lo | (hi << 4))
           i += 1
+        }
+        // the K-quant super-block at data offset 256*d2 + 128:
+        // Q4_K plants 6-bit sub-block scales/mins sc_s = (id+5s)%64,
+        // m_s = (3id+s)%64 and nibble quants q_e = (id+e)%16;
+        // Q6_K plants signed scales ((id+k)%32)−16 and 6-bit quants
+        // ((id+e)%64)−32 — d = 0.5 (and dmin = 0.25) exact in
+        // binary16, so every dequantized value is an exact multiple
+        // of 0.25 and the oracle replays floor(v·2³⁰) losslessly
+        while (bos.size() - dataStart < 256 * d2 + 128) u8(0)
+        if (kt == 12) {
+          u16(floatToHalf(0.5f)); u16(floatToHalf(0.25f))
+          val sc = Array.tabulate(8)(j => ((id + 5 * j) % 64).toInt)
+          val mn = Array.tabulate(8)(j => ((id * 3 + j) % 64).toInt)
+          var j = 0
+          while (j < 4) { u8((sc(j) & 63) | ((sc(j + 4) >> 4) << 6)); j += 1 }
+          j = 0
+          while (j < 4) { u8((mn(j) & 63) | ((mn(j + 4) >> 4) << 6)); j += 1 }
+          j = 0
+          while (j < 4) { u8((sc(j + 4) & 0xF) | ((mn(j + 4) & 0xF) << 4)); j += 1 }
+          var c = 0
+          while (c < 4) {
+            var l = 0
+            while (l < 32) {
+              val lo = ((id + 64 * c + l) % 16).toInt
+              val hi = ((id + 64 * c + 32 + l) % 16).toInt
+              u8(lo | (hi << 4))
+              l += 1
+            }
+            c += 1
+          }
+        } else {
+          def q6(e: Int): Int = ((id + e) % 64).toInt
+          val ql = new Array[Int](128)
+          val qh = new Array[Int](64)
+          var h = 0
+          while (h < 2) {
+            var l = 0
+            while (l < 32) {
+              val q1 = q6(128 * h + l); val q2 = q6(128 * h + 32 + l)
+              val q3 = q6(128 * h + 64 + l); val q4 = q6(128 * h + 96 + l)
+              ql(64 * h + l) = (q1 & 0xF) | ((q3 & 0xF) << 4)
+              ql(64 * h + 32 + l) = (q2 & 0xF) | ((q4 & 0xF) << 4)
+              qh(32 * h + l) = ((q1 >> 4) & 3) | (((q2 >> 4) & 3) << 2) |
+                (((q3 >> 4) & 3) << 4) | (((q4 >> 4) & 3) << 6)
+              l += 1
+            }
+            h += 1
+          }
+          ql.foreach(u8); qh.foreach(u8)
+          var k = 0
+          while (k < 16) { u8((((id + k) % 32) - 16).toInt & 0xFF); k += 1 }
+          u16(floatToHalf(0.5f))
         }
         (id, bos.toByteArray)
       }

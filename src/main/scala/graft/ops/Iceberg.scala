@@ -15,12 +15,16 @@ import org.json4s.jackson.JsonMethods
   *  - `metadata/version-hint.text` names the current metadata
   *    version N → `metadata/vN.metadata.json` (fallback: the
   *    lexicographically last `*.metadata.json`);
-  *  - the metadata JSON carries `format-version` (gated to 1 — v2
-  *    introduces row-level deletes whose silent omission returns
-  *    WRONG data), `location`, `current-snapshot-id`, and
+  *  - the metadata JSON carries `format-version` (1 and 2 read —
+  *    v2's position deletes anti-join during the scan, round 15;
+  *    v3+ refuses), `location`, `current-snapshot-id`, and
   *    `snapshots`, each with a `manifest-list` Avro path (or the
   *    older inline `manifests` array);
-  *  - the manifest list has one row per manifest (`manifest_path`);
+  *  - the manifest list has one row per manifest (`manifest_path`;
+  *    v2 adds `content`: 0 data, 1 deletes);
+  *  - v2 delete manifests list POSITION-delete parquet files —
+  *    spec columns (`file_path`, `pos`) — whose rows anti-join the
+  *    data scan; equality deletes (content=2) refuse by name;
   *  - each manifest has one `manifest_entry` row per data file:
   *    `status` (0 EXISTING / 1 ADDED / 2 DELETED — deleted entries
   *    are bookkeeping, never data) and a nested `data_file` record
@@ -40,7 +44,7 @@ import org.json4s.jackson.JsonMethods
 object Iceberg {
 
   final case class Entry(status: Int, path: String, format: String,
-      recordCount: Long, fileSizeBytes: Long)
+      recordCount: Long, fileSizeBytes: Long, content: Int = 0)
   final case class Snapshot(id: Long, manifestList: Option[String], manifests: Seq[String])
   final case class TableMeta(formatVersion: Int, location: Option[String],
       currentSnapshotId: Option[Long], snapshots: Seq[Snapshot])
@@ -86,12 +90,24 @@ object Iceberg {
   /** manifest-list container → manifest paths, row order. None on a
     * non-Avro payload or a schema without `manifest_path`. */
   def manifestListPaths(bytes: Array[Byte]): Option[Seq[String]] =
+    manifestListEntries(bytes).map(_.map(_._1))
+
+  /** manifest-list container → (manifest path, content) rows —
+    * `content` is the v2 manifest kind (0 data, 1 deletes), absent
+    * in v1 lists → 0. */
+  def manifestListEntries(bytes: Array[Byte]): Option[Seq[(String, Int)]] =
     Avro.readContainer(bytes).flatMap { case (h, rows) =>
       recordOf(h.schemaJson).flatMap { rec =>
-        rec.fields.map(_._1).indexOf("manifest_path") match {
+        val names = rec.fields.map(_._1)
+        val ci = names.indexOf("content")
+        names.indexOf("manifest_path") match {
           case -1 => None
           case i => Some(rows.collect {
-            case r: Row if !r.isNullAt(i) => r.get(i).toString
+            case r: Row if !r.isNullAt(i) =>
+              val content =
+                if (ci < 0 || r.isNullAt(ci)) 0
+                else asLong(r.get(ci)).map(_.toInt).getOrElse(0)
+              (r.get(i).toString, content)
           })
         }
       }
@@ -116,6 +132,7 @@ object Iceberg {
         val dn = dfRec.fields.map(_._1)
         val (pi, fi, rci, fsi) = (dn.indexOf("file_path"), dn.indexOf("file_format"),
           dn.indexOf("record_count"), dn.indexOf("file_size_in_bytes"))
+        val ci = dn.indexOf("content") // v2: 0 data, 1 position deletes, 2 equality
         if (pi < 0 || fi < 0 || rci < 0 || fsi < 0) return None
         Some(rows.flatMap {
           case r: Row if !r.isNullAt(si) && !r.isNullAt(di) =>
@@ -126,7 +143,9 @@ object Iceberg {
               fmt <- Option(if (df.isNullAt(fi)) null else df.get(fi).toString)
               rc <- if (df.isNullAt(rci)) None else asLong(df.get(rci))
               fs <- if (df.isNullAt(fsi)) None else asLong(df.get(fsi))
-            } yield Entry(status.toInt, path, fmt, rc, fs)
+            } yield Entry(status.toInt, path, fmt, rc, fs,
+              if (ci < 0 || df.isNullAt(ci)) 0
+              else asLong(df.get(ci)).map(_.toInt).getOrElse(0))
           case _ => None
         })
       }
@@ -178,6 +197,38 @@ object Iceberg {
     Avro.writeContainer(manifestListSchemaJson, "deflate",
       paths.iterator.map { case (p, len) => Row(p, len, 0) }, syncSeed)
 
+  /** v2 fixture schemas: data_file gains `content` (0 data, 1
+    * position deletes, 2 equality deletes), the manifest list gains
+    * the manifest-kind `content`. */
+  private val manifestSchemaV2Json: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin.replaceAll("\n", "")
+
+  private val manifestListSchemaV2Json: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"}]}""".stripMargin.replaceAll("\n", "")
+
+  /** Write one v2 manifest container (entry content carried). */
+  def writeManifestV2(entries: Seq[Entry], syncSeed: String): Array[Byte] =
+    Avro.writeContainer(manifestSchemaV2Json, "deflate",
+      entries.iterator.map(e =>
+        Row(e.status, Row(e.content, e.path, e.format, e.recordCount, e.fileSizeBytes))),
+      syncSeed)
+
+  /** Write a v2 manifest-list container: (path, length, content). */
+  def writeManifestListV2(paths: Seq[(String, Long, Int)], syncSeed: String): Array[Byte] =
+    Avro.writeContainer(manifestListSchemaV2Json, "deflate",
+      paths.iterator.map { case (p, len, c) => Row(p, len, 0, c) }, syncSeed)
+
   /** Gate packer: one manifest payload per document, entries from id
     * arithmetic — data-<id>-0.parquet DELETED when id%3==0 else ADDED
     * (record_count id%100+1, size id+4096), plus an EXISTING
@@ -216,11 +267,19 @@ object Iceberg {
     }
   }
 
-  /** Read the CURRENT snapshot's data of a format-version-1 Iceberg
-    * table: version-hint → metadata JSON → manifest list → manifests
-    * → active (non-DELETED) parquet files, scanned as ONE relation.
-    * Refuses (analysis error) on format-version ≥2, a missing current
-    * snapshot, unreadable Avro, or a non-parquet data file. */
+  /** Read the CURRENT snapshot's data of a format-version 1 or 2
+    * Iceberg table: version-hint → metadata JSON → manifest list →
+    * manifests → active (non-DELETED) parquet files, scanned as ONE
+    * relation. v2 (round 15): delete manifests (`content=1` in the
+    * manifest list) contribute POSITION-delete parquet files
+    * (`file_path`, `pos` per the spec) which anti-join against the
+    * data scan's (`_metadata.file_path`, `_metadata.row_index`);
+    * equality deletes refuse by name. Sequence-number pruning is
+    * unnecessary under path-exact matching: writers never reuse data
+    * file paths, so a delete row can only ever hit the file
+    * generation it was written against. Refuses (analysis error) on
+    * format-version ≥3, a missing current snapshot, unreadable Avro,
+    * or a non-parquet data file. */
   def readTable(spark: SparkSession, tableDir: String): DataFrame = {
     val metaDir = new java.io.File(tableDir, "metadata")
     val files = Option(metaDir.listFiles()).getOrElse(Array.empty)
@@ -234,29 +293,73 @@ object Iceberg {
     val meta = parseMetadata(new String(readBytes(metaFile),
         java.nio.charset.StandardCharsets.UTF_8))
       .getOrElse(refuse(s"malformed metadata ${metaFile.getName}"))
-    if (meta.formatVersion != 1)
-      refuse(s"format-version ${meta.formatVersion} unsupported (v2 row-level deletes " +
-        "change read semantics; refusing beats silently wrong data)")
+    if (meta.formatVersion != 1 && meta.formatVersion != 2)
+      refuse(s"format-version ${meta.formatVersion} unsupported (unknown read semantics; " +
+        "refusing beats silently wrong data)")
     val cur = meta.currentSnapshotId.getOrElse(refuse("no current snapshot"))
     val snap = meta.snapshots.find(_.id == cur)
       .getOrElse(refuse(s"current snapshot $cur not in snapshots"))
-    val manifestPaths: Seq[String] = snap.manifestList match {
+    val manifestList: Seq[(String, Int)] = snap.manifestList match {
       case Some(ml) =>
         val f = new java.io.File(resolvePath(tableDir, meta.location, ml))
         if (!f.isFile) refuse(s"manifest list missing: ${f.getName}")
-        manifestListPaths(readBytes(f)).getOrElse(refuse(s"unreadable manifest list ${f.getName}"))
-      case None if snap.manifests.nonEmpty => snap.manifests
+        manifestListEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest list ${f.getName}"))
+      case None if snap.manifests.nonEmpty => snap.manifests.map(_ -> 0)
       case None => refuse(s"snapshot $cur has neither manifest-list nor manifests")
     }
-    val entries = manifestPaths.flatMap { mp =>
+    def entriesOf(paths: Seq[String]): Seq[Entry] = paths.flatMap { mp =>
       val f = new java.io.File(resolvePath(tableDir, meta.location, mp))
       if (!f.isFile) refuse(s"manifest missing: ${f.getName}")
       manifestEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest ${f.getName}"))
     }
-    val active = entries.filter(_.status != 2)
+    val (dataManifests, deleteManifests) = manifestList.partition(_._2 == 0)
+    deleteManifests.find(_._2 != 1).foreach { case (p, c) =>
+      refuse(s"manifest content $c unsupported in $p") }
+    val active = entriesOf(dataManifests.map(_._1)).filter(_.status != 2)
     if (active.isEmpty) refuse(s"snapshot $cur has no active data files")
-    active.find(!_.format.equalsIgnoreCase("parquet")).foreach(e =>
+    active.find(_.content != 0).foreach(e =>
+      refuse(s"delete file ${e.path} listed in a data manifest"))
+    val deletes = entriesOf(deleteManifests.map(_._1)).filter(_.status != 2)
+    deletes.find(_.content == 2).foreach(e =>
+      refuse(s"equality deletes unsupported (delete file ${e.path}); " +
+        "refusing beats silently resurrecting rows"))
+    deletes.find(_.content != 1).foreach(e =>
+      refuse(s"non-position-delete file ${e.path} in a delete manifest"))
+    (active ++ deletes).find(!_.format.equalsIgnoreCase("parquet")).foreach(e =>
       refuse(s"data file format ${e.format} unsupported (parquet only)"))
-    spark.read.parquet(active.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
+    val base = spark.read.parquet(
+      active.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
+    if (deletes.isEmpty) base
+    else {
+      // delete rows name their target by the WRITER's file_path
+      // spelling; translate through a broadcast (writer path → local
+      // scan key) manifest, then anti-join on (file key, row index).
+      // The delete-file scan itself is distributed — position counts
+      // never reach the driver.
+      val transRows = active.flatMap { e =>
+        DeltaLog.keyForms(resolvePath(tableDir, meta.location, e.path))
+          .map(k => Row(e.path, k))
+      }
+      val transDf = spark.createDataFrame(
+        java.util.Arrays.asList(transRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__graft_writer_path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__graft_local_key",
+            org.apache.spark.sql.types.StringType))))
+      val delDf = spark.read.parquet(
+        deletes.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
+      if (!delDf.columns.contains("file_path") || !delDf.columns.contains("pos"))
+        refuse("position-delete file lacks the spec's (file_path, pos) columns")
+      val translated = delDf
+        .join(broadcast(transDf), col("file_path") === col("__graft_writer_path"))
+        .select(col("__graft_local_key"), col("pos").cast("long").as("__graft_del_pos"))
+      base.withColumn("__graft_file_key", col("_metadata.file_path"))
+        .withColumn("__graft_row_idx", col("_metadata.row_index"))
+        .join(translated,
+          col("__graft_file_key") === col("__graft_local_key") &&
+            col("__graft_row_idx") === col("__graft_del_pos"), "left_anti")
+        .drop("__graft_file_key", "__graft_row_idx")
+    }
   }
 }

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** On-disk table-format fixtures for the x_delta_dv / x_delta_cm /
+  * x_iceberg_v2 gates: each builds a REAL table layout (data parquet
+  * + transaction metadata) from the `documents` scan so the gate
+  * exercises the full reader path — log replay, deletion-vector
+  * anti-join, physical→logical renames — and the DuckDB oracle
+  * replays the survivor set from id arithmetic.
+  *
+  * Layout shared by all three: four data files, bucket k =
+  * `doc_id % 4`, rows sorted by doc_id within a file — so a row's
+  * position inside its file is its rank among same-bucket ids, and a
+  * planted delete rule (`doc_id % 7 == 0`) translates to exact row
+  * indexes. The builders derive positions from the ACTUAL ids (one
+  * bounded fixture-side collect of (bucket, id)), not from assumed
+  * density, so any documents vintage works.
+  *
+  * Everything deterministic: fixed UUIDs, fixed file names, sorted
+  * writes — gate hashes are stable across runs and scale factors.
+  */
+object TableFixtures {
+
+  /** Write df (already filtered/sorted) as ONE parquet file at dest. */
+  private def singleParquet(df: DataFrame, dest: java.io.File): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-onefile").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no parquet part written"))
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+  }
+
+  /** Per-bucket sorted ids (one bounded collect — fixture packing,
+    * not operator work) → deleted POSITIONS per bucket under the
+    * `id % 7 == 0` rule. */
+  private def deletedPositions(docs: DataFrame, idCol: String,
+      buckets: Int): Map[Int, Seq[Long]] = {
+    val ids = docs.select(col(idCol).cast("long")).na.drop()
+      .collect().map(_.getLong(0)).sorted
+    (0 until buckets).map { k =>
+      val inBucket = ids.filter(id => (id % buckets) == k)
+      k -> inBucket.zipWithIndex.collect {
+        case (id, pos) if id % 7 == 0 => pos.toLong
+      }.toSeq
+    }.toMap
+  }
+
+  private def writeBucketFiles(docs: DataFrame, idCol: String, dir: java.io.File,
+      buckets: Int, name: Int => String,
+      project: DataFrame => DataFrame = identity): Unit =
+    (0 until buckets).foreach { k =>
+      singleParquet(
+        project(docs.where(pmod(col(idCol), lit(buckets)) === k).sort(idCol)),
+        new java.io.File(dir, name(k)))
+    }
+
+  // ---------------------------------------------------------------
+  // Delta: deletion vectors
+  // ---------------------------------------------------------------
+
+  /** Build a Delta table at a fresh dir: 4 bucket files partitioned
+    * by `bucket`, protocol v3 + deletionVectors, and `id%7==0` rows
+    * deleted via DVs on buckets 0 ('u' storage), 1 ('p'), 2 ('i') —
+    * bucket 3 keeps all rows. Returns the table dir. */
+  def writeDeltaDvTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-dv").toFile
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"))
+    writeBucketFiles(data, "doc_id", dir, 4, k => s"bucket-$k.parquet")
+    val dels = deletedPositions(data, "doc_id", 4)
+    // bucket 0: 'u' storage under a fixed UUID at the table root
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      "graft-x-delta-dv-0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val dv0 = DeltaDv.serialize(dels(0))
+    val uOff = DeltaDv.writeDvFile(
+      new java.io.File(dir, s"deletion_vector_$uuid.bin"), Seq(dv0)).head
+    val desc0 = DeltaDv.Descriptor("u", DeltaDv.z85Encode(bb.array()),
+      Some(uOff), dv0.length, dels(0).size)
+    // bucket 1: 'p' storage (absolute path), run-containers exercised
+    val dv1 = DeltaDv.serialize(dels(1), useRuns = true)
+    val pFile = new java.io.File(dir, "dv-bucket1.bin")
+    val pOff = DeltaDv.writeDvFile(pFile, Seq(dv1)).head
+    val desc1 = DeltaDv.Descriptor("p", pFile.getAbsolutePath,
+      Some(pOff), dv1.length, dels(1).size)
+    // bucket 2: inline
+    val dv2 = DeltaDv.serialize(dels(2))
+    val desc2 = DeltaDv.Descriptor("i", DeltaDv.z85Encode(dv2), None,
+      dv2.length, dels(2).size)
+    def dvJson(d: DeltaDv.Descriptor): String =
+      s""","deletionVector":{"storageType":"${d.storageType}",""" +
+        s""""pathOrInlineDv":"${d.pathOrInlineDv}"""" +
+        d.offset.map(o => s""","offset":$o""").getOrElse("") +
+        s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    val descs = Map(0 -> desc0, 1 -> desc1, 2 -> desc2)
+    val adds = (0 to 3).map { k =>
+      s"""{"add":{"path":"bucket-$k.parquet","partitionValues":{"bucket":"$k"},""" +
+        s""""size":1,"modificationTime":0,"dataChange":true""" +
+        descs.get(k).map(dvJson).getOrElse("") + "}}"
+    }
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    val lines = Seq(
+      """{"metaData":{"id":"x-delta-dv","schemaString":"{}","partitionColumns":["bucket"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""") ++ adds
+    java.nio.file.Files.write(new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+
+  // ---------------------------------------------------------------
+  // Delta: column mapping (name mode)
+  // ---------------------------------------------------------------
+
+  /** Build a name-mode column-mapped Delta table: data files carry
+    * PHYSICAL names (col-1..col-3), the log's schemaString maps them
+    * to logical (doc_id, source, n_chars), partition column `lang`
+    * keyed physically (col-4) in partitionValues. */
+  def writeDeltaCmTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-cm").toFile
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"))
+    writeBucketFiles(data, "doc_id", dir, 2, k => s"cm-$k.parquet",
+      df => df.select(col("doc_id").as("col-1"), col("source").as("col-2"),
+        col("n_chars").as("col-3")))
+    def fld(name: String, id: Int, phys: String, tpe: String) =
+      s"""{\\"name\\":\\"$name\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":""" +
+        s"""{\\"delta.columnMapping.id\\":$id,\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+    val schemaStr = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+      fld("doc_id", 1, "col-1", "long") + "," +
+      fld("source", 2, "col-2", "string") + "," +
+      fld("n_chars", 3, "col-3", "long") + "," +
+      fld("parity", 4, "col-4", "string") + "]}"
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    val lines = Seq(
+      s"""{"metaData":{"id":"x-delta-cm","schemaString":"$schemaStr",""" +
+        """"partitionColumns":["parity"],""" +
+        """"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"}}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"add":{"path":"cm-0.parquet","partitionValues":{"col-4":"even"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"cm-1.parquet","partitionValues":{"col-4":"odd"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    java.nio.file.Files.write(new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+
+  // ---------------------------------------------------------------
+  // Iceberg: format-version 2 with position deletes
+  // ---------------------------------------------------------------
+
+  /** Build a v2 Iceberg table: 4 bucket data files, one
+    * position-delete parquet covering the `id%7==0` rows of EVERY
+    * bucket, a data manifest + a delete manifest (both written by
+    * the in-repo from-spec Avro codec), a v2 manifest list carrying
+    * the manifest-kind `content`, metadata JSON and version hint. */
+  def writeIcebergV2Table(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iceberg-v2").toFile
+    val loc = dir.getAbsolutePath
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"))
+    writeBucketFiles(data, "doc_id", dir, 4, k => s"data-$k.parquet")
+    val dels = deletedPositions(data, "doc_id", 4)
+    // the delete file names its targets by the WRITER's path spelling
+    // (the same absolute path the manifests record)
+    import spark.implicits._
+    val delRows = (0 to 3).flatMap(k => dels(k).map(p => (s"$loc/data-$k.parquet", p)))
+    singleParquet(delRows.toDF("file_path", "pos").sort("file_path", "pos"),
+      new java.io.File(dir, "pos-deletes.parquet"))
+    val metaDir = new java.io.File(dir, "metadata"); metaDir.mkdirs()
+    def fsize(name: String): Long = new java.io.File(dir, name).length()
+    val dataEntries = (0 to 3).map(k => Iceberg.Entry(1, s"$loc/data-$k.parquet",
+      "PARQUET", 0L, fsize(s"data-$k.parquet"), content = 0))
+    val delEntries = Seq(Iceberg.Entry(1, s"$loc/pos-deletes.parquet",
+      "PARQUET", delRows.size.toLong, fsize("pos-deletes.parquet"), content = 1))
+    val mData = Iceberg.writeManifestV2(dataEntries, "x-ib2-data")
+    val mDel = Iceberg.writeManifestV2(delEntries, "x-ib2-del")
+    java.nio.file.Files.write(new java.io.File(metaDir, "m-data.avro").toPath, mData)
+    java.nio.file.Files.write(new java.io.File(metaDir, "m-del.avro").toPath, mDel)
+    val ml = Iceberg.writeManifestListV2(Seq(
+      (s"$loc/metadata/m-data.avro", mData.length.toLong, 0),
+      (s"$loc/metadata/m-del.avro", mDel.length.toLong, 1)), "x-ib2-ml")
+    java.nio.file.Files.write(new java.io.File(metaDir, "snap-1.avro").toPath, ml)
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"x-iceberg-v2","location":"$loc",
+         |"current-snapshot-id":1,"snapshots":[
+         |{"snapshot-id":1,"manifest-list":"$loc/metadata/snap-1.avro"}]}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+}

@@ -60,27 +60,51 @@ class DeltaLogSpec extends SparkSuite {
     assert(active(0L -> (meta + "\n" + good)).nonEmpty) // control
   }
 
-  test("reader version 2: reads WITHOUT column mapping, refuses WITH it (final metadata wins)") {
+  test("reader version 2: name-mode column mapping reads (round 15), id mode refuses (final metadata wins)") {
     val good = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0}}"""
     val v2 = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
-    val metaMapped = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
+    val metaName = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
       """"configuration":{"delta.columnMapping.mode":"name"}}}"""
+    val metaId = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
+      """"configuration":{"delta.columnMapping.mode":"id"}}}"""
     val metaNone = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
       """"configuration":{"delta.columnMapping.mode":"none","other":"x"}}}"""
     // v2, no mapping config at all: classically laid out → reads
     assert(active(0L -> (meta + "\n" + v2 + "\n" + good)).nonEmpty)
     // v2 with mode explicitly none → reads
     assert(active(0L -> (metaNone + "\n" + v2 + "\n" + good)).nonEmpty)
-    // v2 with an actual mapping mode → column resolution changes → refuse
-    assert(active(0L -> (metaMapped + "\n" + v2 + "\n" + good)).isEmpty)
-    // the FINAL metadata decides: mapped then replaced by none → reads
+    // name mode: physical names map back to logical at the scan → reads
+    assert(active(0L -> (metaName + "\n" + v2 + "\n" + good)).nonEmpty)
+    // id mode: parquet-field-id resolution is unimplemented → refuse
+    assert(active(0L -> (metaId + "\n" + v2 + "\n" + good)).isEmpty)
+    // the FINAL metadata decides: id then replaced by none → reads
     assert(active(
-      0L -> (metaMapped + "\n" + v2 + "\n" + good),
+      0L -> (metaId + "\n" + v2 + "\n" + good),
       1L -> metaNone).nonEmpty)
-    // and the reverse: upgraded into mapping later → refuse
+    // and the reverse: upgraded into id mapping later → refuse
     assert(active(
       0L -> (meta + "\n" + v2 + "\n" + good),
-      1L -> metaMapped).isEmpty)
+      1L -> metaId).isEmpty)
+    // the named refusal reaches the driver-side surface
+    assert(DeltaLog.snapshotOfE(Seq(
+      0L -> (metaId + "\n" + v2 + "\n" + good))).left.exists(_.contains("column mapping mode 'id'")))
+  }
+
+  test("reader version 3: supported readerFeatures read; unknown features refuse by name") {
+    val good = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0}}"""
+    def proto(feats: String*) =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[${feats.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""writerFeatures":["deletionVectors"]}}"""
+    assert(active(0L -> (meta + "\n" + proto("deletionVectors") + "\n" + good)).nonEmpty)
+    assert(active(0L -> (meta + "\n" + proto("deletionVectors", "columnMapping") + "\n" + good)).nonEmpty)
+    assert(active(0L -> (meta + "\n" + proto("v2Checkpoint") + "\n" + good)).isEmpty)
+    // v3 without a readerFeatures list: malformed → refuse
+    assert(active(0L -> (meta + "\n" + """{"protocol":{"minReaderVersion":3}}""" + "\n" + good)).isEmpty)
+    // the driver-side surface names the offending feature
+    assert(DeltaLog.snapshotOfE(Seq(
+      0L -> (meta + "\n" + proto("typeWidening") + "\n" + good)))
+      .left.exists(_.contains("typeWidening")))
   }
 
   test("partition_json sorts keys; null-valued entries drop") {
@@ -287,5 +311,115 @@ class DeltaLogSpec extends SparkSuite {
     java.nio.file.Files.write(new java.io.File(l3, "_last_checkpoint").toPath,
       "{not json".getBytes("UTF-8"))
     intercept[graft.GraftAnalysisException] { DeltaLog.readTable(spark, d3.getAbsolutePath) }
+  }
+
+  // --- deletion vectors (round 15) ---
+
+  private val protoV3 =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  private def dvJson(d: graft.ops.DeltaDv.Descriptor): String = {
+    val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+    s""""deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"""" +
+      off + s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+  }
+
+  test("readTable with deletion vectors equals the full-rewrite table (u, p, i storages)") {
+    import graft.ops.DeltaDv
+    val (tableDir, logDir) = tableFixture() // f0..f3, rows (10k, row{k}a), (10k+1, row{k}b)
+    // f0: delete row 0 via a 'u'-storage file; f1: delete row 1 via
+    // 'p'; f2: delete both rows inline; f3: no DV
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val uEnc = DeltaDv.z85Encode(bb.array())
+    val dv0 = DeltaDv.serialize(Seq(0L))
+    val uOffs = DeltaDv.writeDvFile(
+      new java.io.File(tableDir, s"deletion_vector_$uuid.bin"), Seq(dv0))
+    val d0 = DeltaDv.Descriptor("u", uEnc, Some(uOffs(0)), dv0.length, 1)
+    val dv1 = DeltaDv.serialize(Seq(1L))
+    val pFile = new java.io.File(tableDir, "elsewhere.bin")
+    val pOffs = DeltaDv.writeDvFile(pFile, Seq(dv1))
+    val d1 = DeltaDv.Descriptor("p", pFile.getAbsolutePath, Some(pOffs(0)), dv1.length, 1)
+    val dv2 = DeltaDv.serialize(Seq(0L, 1L))
+    val d2 = DeltaDv.Descriptor("i", DeltaDv.z85Encode(dv2), None, dv2.length, 2)
+    def addDv(path: String, d: DeltaDv.Descriptor): String =
+      s"""{"add":{"path":"$path","partitionValues":{"p":"x"},"size":1,""" +
+        s""""modificationTime":0,"dataChange":false,${dvJson(d)}}}"""
+    writeCommit(logDir, 0L, meta, protoV3,
+      addLine("f0.parquet", "x", 100), addLine("f1.parquet", "x", 101),
+      addLine("f2.parquet", "x", 102), addLine("f3.parquet", "x", 103))
+    // the protocol's DV-attach shape: add-with-dv plus remove of the
+    // PREVIOUS (path, no-dv) state, add line FIRST to pin the
+    // (path, dvId) keying against in-commit order
+    writeCommit(logDir, 1L,
+      addDv("f0.parquet", d0), """{"remove":{"path":"f0.parquet"}}""",
+      addDv("f1.parquet", d1), """{"remove":{"path":"f1.parquet"}}""",
+      addDv("f2.parquet", d2), """{"remove":{"path":"f2.parquet"}}""")
+    assert(readSorted(tableDir) == Seq(
+      (1L, "row0b", "x"), (10L, "row1a", "x"),
+      (30L, "row3a", "x"), (31L, "row3b", "x")))
+    // and the DV path equals a literal rewrite without the deleted rows
+    val (rwDir, rwLog) = tableFixture()
+    singleParquet(Seq((1L, "row0b")).toDF("id", "s"), new java.io.File(rwDir, "f0.parquet"))
+    singleParquet(Seq((10L, "row1a")).toDF("id", "s"), new java.io.File(rwDir, "f1.parquet"))
+    writeCommit(rwLog, 0L, meta, proto, addLine("f0.parquet", "x", 100),
+      addLine("f1.parquet", "x", 101), addLine("f3.parquet", "x", 103))
+    assert(readSorted(tableDir) == readSorted(rwDir))
+  }
+
+  test("deletion vectors refuse on CRC corruption instead of resurrecting rows") {
+    import graft.ops.DeltaDv
+    val (tableDir, logDir) = tableFixture()
+    val dv = DeltaDv.serialize(Seq(0L))
+    val f = new java.io.File(tableDir, "dv.bin")
+    val offs = DeltaDv.writeDvFile(f, Seq(dv))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 1).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    val d = DeltaDv.Descriptor("p", f.getAbsolutePath, Some(offs(0)), dv.length, 1)
+    writeCommit(logDir, 0L, meta, protoV3,
+      s"""{"add":{"path":"f0.parquet","partitionValues":{"p":"x"},"size":1,""" +
+        s""""modificationTime":0,${dvJson(d)}}}""")
+    intercept[graft.GraftAnalysisException] { DeltaLog.readTable(spark, tableDir.getAbsolutePath) }
+  }
+
+  // --- column mapping, name mode (round 15) ---
+
+  test("readTable column mapping name mode: physical parquet names map back to logical, partitions keyed physically") {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-delta-cm").toFile
+    // data files carry PHYSICAL column names (col-xxx), nested incl.
+    singleParquet(
+      Seq((1L, "a", ("n1", 10L)), (2L, "b", ("n2", 20L)))
+        .toDF("col-id", "col-s", "col-st")
+        .select(col("col-id"), col("col-s"),
+          col("col-st").cast("struct<`col-n`:string,`col-v`:bigint>").as("col-st")),
+      new java.io.File(tableDir, "d0.parquet"))
+    val logDir = new java.io.File(tableDir, "_delta_log"); logDir.mkdirs()
+    def fld(name: String, phys: String, tpe: String) =
+      s"""{\\"name\\":\\"$name\\",\\"type\\":$tpe,\\"nullable\\":true,\\"metadata\\":""" +
+        s"""{\\"delta.columnMapping.id\\":1,\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+    val nested = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+      fld("n", "col-n", "\\\"string\\\"") + "," + fld("v", "col-v", "\\\"long\\\"") + "]}"
+    val schemaStr = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+      fld("id", "col-id", "\\\"long\\\"") + "," +
+      fld("s", "col-s", "\\\"string\\\"") + "," +
+      fld("st", "col-st", nested) + "," +
+      fld("part", "col-part", "\\\"string\\\"") + "]}"
+    val metaCm = s"""{"metaData":{"id":"t","schemaString":"$schemaStr",""" +
+      """"partitionColumns":["part"],""" +
+      """"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"6"}}}"""
+    writeCommit(logDir, 0L, metaCm,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      // partitionValues keyed by the PHYSICAL partition column name
+      """{"add":{"path":"d0.parquet","partitionValues":{"col-part":"pv"},"size":1,"modificationTime":0}}""")
+    val df = DeltaLog.readTable(spark, tableDir.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "s", "st", "part"))
+    assert(df.select("st").schema.head.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("n", "v"))
+    val rows = df.select(col("id"), col("s"), col("st.n"), col("st.v"), col("part"))
+      .as[(Long, String, String, Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "a", "n1", 10L, "pv"), (2L, "b", "n2", 20L, "pv")))
   }
 }

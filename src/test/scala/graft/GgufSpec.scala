@@ -73,7 +73,7 @@ class GgufSpec extends SparkSuite {
     val rows = Gguf.decodeMeta(
       Gguf.packDocsGguf(Seq(3L, 10L).toDF("doc_id"), "doc_id"), "id", "payload")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(4)))
-    assert(rows.count(_._1 == 3L) == 10) // 6 kvs + 4 tensor infos
+    assert(rows.count(_._1 == 3L) == 11) // 6 kvs + 5 tensor infos
     assert(rows.contains((3L, "kv", "planted.ratio", "0.75")))
     assert(rows.contains((10L, "kv", "planted.flag", "true")))
     assert(rows.contains((10L, "tensor", "tok_embd.weight", "[64,4]")))
@@ -114,7 +114,7 @@ class GgufSpec extends SparkSuite {
     val packed = Gguf.packDocsGguf(Seq(5L).toDF("doc_id"), "doc_id")
       .collect().head.getAs[Array[Byte]]("payload")
     val Some((_, tensors, dataStart, align)) = Gguf.parseFull(packed)
-    assert(align == 32 && dataStart % 32 == 0 && tensors.length == 4)
+    assert(align == 32 && dataStart % 32 == 0 && tensors.length == 5)
     val f32 = Gguf.dequantize(packed, tensors(0), dataStart).get
     assert(f32.length == 64 * (5 % 7 + 1))
     (0 until f32.length).foreach(i =>
@@ -127,20 +127,56 @@ class GgufSpec extends SparkSuite {
     assert(f16.length == 16)
     (0 until 16).foreach(i =>
       assert(f16(i) == (((5 + i) % 9) - 4) * 0.25f, s"f16[$i]"))
-    // K-quant type refuses; truncation refuses; non-multiple-of-32 Q8_0 refuses
+    // unsupported K-quant (Q2_K) refuses; a supported K-quant with a
+    // non-multiple-of-256 count refuses; truncation refuses;
+    // non-multiple-of-32 Q8_0 refuses
+    assert(Gguf.dequantize(packed, tensors(0).copy(ggmlType = 10), dataStart).isEmpty)
     assert(Gguf.dequantize(packed, tensors(0).copy(ggmlType = 12), dataStart).isEmpty)
     // truncate INTO the F16 tensor (the Q4 block now trails it)
     assert(Gguf.dequantize(
       packed.take((dataStart + 256 * 6 + 96 - 8).toInt), tensors(2), dataStart).isEmpty)
     assert(Gguf.dequantize(packed, tensors(1).copy(dims = Seq(31L)), dataStart).isEmpty)
-    // Spark surface: four rows, name/type/count as planted (id 5 → Q4_1)
+    // Spark surface: five rows, name/type/count as planted
+    // (id 5 → Q4_1 up-proj, Q6_K down-proj)
     val rows = Gguf.decodeTensorValues(
       Seq((5L, packed)).toDF("id", "payload"), "id", "payload")
       .select($"id", $"name", $"type_id", $"n_values")
       .as[(Long, String, Int, Long)].collect().toSet
     assert(rows == Set((5L, "tok_embd.weight", 0, 384L),
       (5L, "blk.0.attn_q.weight", 8, 32L), (5L, "output_norm.weight", 1, 16L),
-      (5L, "blk.0.ffn_up.weight", 3, 32L)))
+      (5L, "blk.0.ffn_up.weight", 3, 32L),
+      (5L, "blk.0.ffn_down.weight", 14, 256L)))
+  }
+
+  test("dequantize Q4_K/Q6_K super-blocks: 6-bit scale/min packing, signed scales, 2-bit highs") {
+    // id 0 → Q4_K, id 1 → Q6_K
+    val p0 = Gguf.packDocsGguf(Seq(0L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    val Some((_, ts0, ds0, _)) = Gguf.parseFull(p0)
+    val t0 = ts0.find(_.name == "blk.0.ffn_down.weight").get
+    assert(t0.ggmlType == 12 && t0.dims == Seq(256L))
+    val v0 = Gguf.dequantize(p0, t0, ds0).get
+    assert(v0.length == 256)
+    (0 until 256).foreach { e =>
+      val s = e / 32
+      val sc = (0 + 5 * s) % 64; val m = (0 * 3 + s) % 64; val q = (0 + e) % 16
+      assert(v0(e) == 0.5f * sc * q - 0.25f * m, s"q4k[$e]")
+    }
+    val p1 = Gguf.packDocsGguf(Seq(1L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    val Some((_, ts1, ds1, _)) = Gguf.parseFull(p1)
+    val t1 = ts1.find(_.name == "blk.0.ffn_down.weight").get
+    assert(t1.ggmlType == 14)
+    val v1 = Gguf.dequantize(p1, t1, ds1).get
+    (0 until 256).foreach { e =>
+      val k = 8 * (e / 128) + 2 * ((e % 128) / 32) + ((e % 32) / 16)
+      val sc = ((1 + k) % 32) - 16
+      val q = ((1 + e) % 64) - 32
+      assert(v1(e) == 0.5f * sc * q, s"q6k[$e]")
+    }
+    // truncation refuses both
+    assert(Gguf.dequantize(p0.take(p0.length - 2), t0, ds0).isEmpty)
+    assert(Gguf.dequantize(p1.take(p1.length - 2), t1, ds1).isEmpty)
   }
 
   test("dequantize Q4_0/Q4_1/Q5_0/Q5_1: exact values, nibble split-halves, qh bits, truncation") {
@@ -163,8 +199,12 @@ class GgufSpec extends SparkSuite {
         }
         assert(vs(j) == expected, s"id=$id type=$expectedType v[$j]=${vs(j)} != $expected")
       }
-      // truncation refuses; a non-multiple-of-32 count refuses
-      assert(Gguf.dequantize(packed.take(packed.length - 2), t, dataStart).isEmpty)
+      // truncation INTO the up-proj block refuses (the K-quant block
+      // now trails it, so cut inside the block itself);
+      // a non-multiple-of-32 count refuses
+      val d2 = (id % 7 + 1).toInt
+      assert(Gguf.dequantize(
+        packed.take((dataStart + 256 * d2 + 96 + 4).toInt), t, dataStart).isEmpty)
       assert(Gguf.dequantize(packed, t.copy(dims = Seq(33L)), dataStart).isEmpty)
     }
     // Q5 high bits genuinely exercise BOTH halves of the qh word: an

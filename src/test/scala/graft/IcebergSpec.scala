@@ -88,14 +88,14 @@ class IcebergSpec extends SparkSuite {
     assert(got == Seq((0L, "r0a"), (1L, "r0b"))) // old snapshot: f0 only
   }
 
-  test("refusal ladder: format-version 2, missing current snapshot, junk manifest, non-parquet") {
+  test("refusal ladder: format-version 3, missing current snapshot, junk manifest, non-parquet") {
     val dir = fixture()
     val meta = new java.io.File(dir, "metadata")
     def metaJson(body: String): Unit = {
       write(new java.io.File(meta, "v3.metadata.json"), body)
       write(new java.io.File(meta, "version-hint.text"), "3")
     }
-    metaJson("""{"format-version":2,"location":"x","current-snapshot-id":11,"snapshots":[]}""")
+    metaJson("""{"format-version":3,"location":"x","current-snapshot-id":11,"snapshots":[]}""")
     intercept[graft.GraftAnalysisException] { Iceberg.readTable(spark, dir.getAbsolutePath) }
     metaJson("""{"format-version":1,"location":"x","snapshots":[]}""")
     intercept[graft.GraftAnalysisException] { Iceberg.readTable(spark, dir.getAbsolutePath) }
@@ -157,5 +157,58 @@ class IcebergSpec extends SparkSuite {
       (5L, 1, "data-5-0.parquet", "PARQUET", 6L, 4101L),
       (6L, 2, "data-6-0.parquet", "PARQUET", 7L, 4102L), // %3==0: deleted
       (6L, 0, "data-6-1.parquet", "PARQUET", 7L, 106L)))
+  }
+
+  // --- format-version 2: position deletes (round 15) ---
+
+  /** A v2 table: data f0 (ids 0,1) + f1 (ids 10,11), one
+    * position-delete parquet removing f0 row 0 and f1 row 1, split
+    * across a data manifest and a delete manifest. */
+  private def v2Fixture(eqDelete: Boolean = false): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ice-v2").toFile
+    val loc = dir.getAbsolutePath
+    singleParquet(Seq((0L, "a"), (1L, "b")).toDF("id", "s"),
+      new java.io.File(dir, "f0.parquet"))
+    singleParquet(Seq((10L, "c"), (11L, "d")).toDF("id", "s"),
+      new java.io.File(dir, "f1.parquet"))
+    singleParquet(Seq((s"$loc/f0.parquet", 0L), (s"$loc/f1.parquet", 1L))
+      .toDF("file_path", "pos"), new java.io.File(dir, "del.parquet"))
+    val meta = new java.io.File(dir, "metadata"); meta.mkdirs()
+    write(new java.io.File(meta, "m-data.avro"), Iceberg.writeManifestV2(Seq(
+      Iceberg.Entry(1, s"$loc/f0.parquet", "PARQUET", 2L, 1L, content = 0),
+      Iceberg.Entry(1, s"$loc/f1.parquet", "PARQUET", 2L, 1L, content = 0)), "d"))
+    write(new java.io.File(meta, "m-del.avro"), Iceberg.writeManifestV2(Seq(
+      Iceberg.Entry(1, s"$loc/del.parquet", "PARQUET", 2L, 1L,
+        content = if (eqDelete) 2 else 1)), "x"))
+    write(new java.io.File(meta, "ml.avro"), Iceberg.writeManifestListV2(Seq(
+      (s"$loc/metadata/m-data.avro", 1L, 0), (s"$loc/metadata/m-del.avro", 1L, 1)), "ml"))
+    write(new java.io.File(meta, "v1.metadata.json"),
+      s"""{"format-version":2,"location":"$loc","current-snapshot-id":1,""" +
+        s""""snapshots":[{"snapshot-id":1,"manifest-list":"$loc/metadata/ml.avro"}]}""")
+    write(new java.io.File(meta, "version-hint.text"), "1")
+    dir
+  }
+
+  test("v2 position deletes: delete rows anti-join the data scan by (file_path, pos)") {
+    val got = Iceberg.readTable(spark, v2Fixture().getAbsolutePath)
+      .select("id", "s").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "b"), (10L, "c")))
+  }
+
+  test("v2 equality deletes refuse by name") {
+    val e = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTable(spark, v2Fixture(eqDelete = true).getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains("equality deletes"))
+  }
+
+  test("v2 delete file without the spec columns refuses") {
+    val dir = v2Fixture()
+    // overwrite the delete parquet with a wrong-schema file
+    singleParquet(Seq(("x", 1L)).toDF("not_path", "n"),
+      new java.io.File(dir, "del.parquet"))
+    intercept[graft.GraftAnalysisException] {
+      Iceberg.readTable(spark, dir.getAbsolutePath).collect()
+    }
   }
 }
