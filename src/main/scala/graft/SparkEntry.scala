@@ -1713,6 +1713,19 @@ object SparkEntry {
         Multimodal.packTextPng(docs(s, d), "doc_id", "text", width = 32),
         "id", "media")),
 
+    // WebP VP8L pixel round-trip (round 15, the PNG gate's sibling):
+    // each doc's UTF-8 bytes ride the GREEN channel of a from-spec
+    // VP8L lossless image (flat 8-bit prefix code declared through
+    // the code-length code — the full normal-code header path) and
+    // decode back through prefix-code → ARGB reconstruction. The
+    // oracle recomputes the RGBA stream (0, b, 0, 255) stats straight
+    // from the text bytes; transforms/cache/backrefs/meta-groups are
+    // pinned in WebpSpec with hand-written bitstreams.
+    "x_multimodal_webp_decode" -> ((s, d) =>
+      Multimodal.decodeImagePixels(
+        Multimodal.packTextWebp(docs(s, d), "doc_id", "text", width = 32),
+        "id", "media")),
+
     // REAL video-container path: spec-correct MP4 box trees (ftyp +
     // moov(mvhd + trak(tkhd)) + mdat) whose duration and 16.16
     // fixed-point track dimensions derive arithmetically from the
@@ -2851,6 +2864,21 @@ object SparkEntry {
     // name, dtype, shape, AND every float value replay from the
     // embeddings table, so one wrong byte anywhere in the header
     // geometry or the little-endian data layout hash-mismatches.
+    // Arrow IPC (round 15): the embeddings table sharded into real
+    // multi-batch Arrow streams (schema + record batches + EOS,
+    // flatbuffer messages built from-spec) and decoded back through
+    // the flatbuffer/columnar walk — every key and float replays.
+    "x_arrow_embed" -> ((s, d) => {
+      val packed = sharedFixture("arrow", s, d)(
+        graft.ops.ArrowIpc.packVecs(t(s, d, "embeddings"), "vec_id", "embedding",
+          groups = 8, batchRows = 64))
+      graft.ops.ArrowIpc.decodeVecRows(packed, "shard", "payload", "vec_id", "embedding")
+        .select(col("key").as("vec_id"), col("dim"),
+          array_join(transform(col("values"),
+            v => floor(v.cast("double") * lit(1073741824.0d)).cast("long").cast("string")),
+            ",").as("values"))
+    }),
+
     "x_safetensors" -> ((s, d) => {
       val packed = graft.ops.Safetensors.packVecs(
         t(s, d, "embeddings"), "vec_id", "embedding")
@@ -5567,6 +5595,31 @@ object SparkEntry {
              CAST(list_reduce(list_prepend(17, px),
                (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
       FROM p""",
+    // webp: the RGBA stream is (0, byte, 0, 255) per pixel — flatten
+    // and replay the same rolling hash
+    "x_multimodal_webp_decode" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS h,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      p AS (
+        SELECT doc_id, h,
+               flatten(list_transform(
+                 list_concat(bytes, list_transform(range(32 * h - len), x -> 0)),
+                 g -> [0, g, 0, 255])) AS px
+        FROM e)
+      SELECT doc_id AS id, 32 AS width, h AS height, 4 AS channels,
+             CAST(4 * 32 * h AS BIGINT) AS pixel_len,
+             CAST(list_sum(px) AS BIGINT) AS pixel_sum,
+             CAST(list_reduce(list_prepend(17, px),
+               (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
+      FROM p""",
     "x_multimodal_video_meta" -> """
       WITH b AS (
         SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents)
@@ -6461,6 +6514,14 @@ object SparkEntry {
     "x_npz" -> """
       SELECT vec_id, '<f4' AS descr,
              CAST(len(embedding) AS BIGINT) AS dim,
+             array_to_string(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
+      FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // arrow ipc: the same every-float replay through the columnar
+    // stream walk
+    "x_arrow_embed" -> """
+      SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",

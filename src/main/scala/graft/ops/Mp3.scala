@@ -43,10 +43,19 @@ package graft.ops
   * ID3v2? + frames+ + ID3v1? with no junk before, between, or after.
   *
   * Frame DATA (Huffman-coded spectral values) is deliberately out of
-  * scope, like Vorbis/Opus packet data and H.264: a full MP3 sample
-  * decoder needs the subband synthesis / IMDCT machinery declared out
-  * of the from-spec budget; metadata is what curation needs at scan
-  * speed.
+  * scope, and the boundary is PRECISE (round 15): the decode
+  * pipeline's MATH is all derivable from published formulas (the
+  * [[Vorbis]] round proved requantize/IMDCT/windowing feasible
+  * from-spec), but Layer III hard-depends on ~6 KB of static spec
+  * DATA — the 34 spectral Huffman tables (ISO 11172-3 Table B.7)
+  * and the 512-tap synthesis window (Table B.3) — that have no
+  * closed form and are not reproducible from memory of the spec
+  * text. Unlike Vorbis, whose codebooks travel IN the stream, a
+  * Layer III decoder built on invented tables would round-trip its
+  * own fixtures while silently corrupting every real file — the
+  * exact failure mode the refuse-don't-guess contract exists to
+  * prevent. Samples therefore refuse; metadata is what curation
+  * filters on at scan speed anyway.
   *
   * Hostile-bytes contract as everywhere in this package: never
   * throws — bounds-checked reads, a frame-count cap — and returns

@@ -914,6 +914,13 @@ object Transforms {
       graft.ops.Npy.decodeNpz(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // Arrow IPC (key, vector) rows from stream payloads
+    case "arrow_vectors" =>
+      graft.ops.ArrowIpc.decodeVecRows(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"),
+        t.config.str("key_field").getOrElse("vec_id"),
+        t.config.str("vector_field").getOrElse("embedding"))
     // safetensors tensor metadata + F32 values from a payload column
     case "safetensors_tensors" =>
       graft.ops.Safetensors.decodeTensors(df,
@@ -1004,7 +1011,7 @@ object Transforms {
     "docx_extract", "docx_parts", "pptx_extract", "odt_extract", "xlsx_cells",
     "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract",
     "mbox_messages", "safetensors_tensors", "npz_tensors", "gguf_meta",
-    "audio_tags")
+    "arrow_vectors", "audio_tags")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
