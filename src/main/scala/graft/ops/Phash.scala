@@ -56,8 +56,17 @@ object Phash {
         out(i) = (299 * r + 587 * g + 114 * b) / 1000
         i += 1
       }
+    } else if (img.channels == 4) {
+      // RGBA (the WebP decode shape): BT.601 over RGB, alpha ignored
+      while (i < n) {
+        val r = img.pixels(i * 4) & 0xFF
+        val g = img.pixels(i * 4 + 1) & 0xFF
+        val b = img.pixels(i * 4 + 2) & 0xFF
+        out(i) = (299 * r + 587 * g + 114 * b) / 1000
+        i += 1
+      }
     } else {
-      // RGBA and friends: take the first channel of each pixel group
+      // anything wider: take the first channel of each pixel group
       while (i < n) { out(i) = img.pixels(i * img.channels) & 0xFF; i += 1 }
     }
     out
@@ -146,8 +155,9 @@ object Phash {
     bits
   }
 
-  /** Sniff-and-decode an image payload (PNG / GIF / JPEG magic) with
-    * the from-spec codecs; None for anything else or any decline.
+  /** Sniff-and-decode an image payload (PNG / GIF / JPEG / WebP
+    * magic) with the from-spec codecs; None for anything else or any
+    * decline.
     */
   private[graft] def decodeAny(p: Array[Byte]): Option[PngCodec.Image] = {
     if (p.length < 4) None
@@ -157,6 +167,9 @@ object Phash {
       GifCodec.decode(p)
     else if ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8)
       JpegCodec.decode(p)
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P')
+      WebpCodec.decode(p)
     else None
   }
 

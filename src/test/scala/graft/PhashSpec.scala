@@ -86,6 +86,23 @@ class PhashSpec extends SparkSuite {
     assert(hamming(out(1L), out(2L)) <= 3, "PNG vs JPEG of one image drifted")
   }
 
+  test("phashDf takes WebP (round 15): RGBA luma equals the mapped-grey hash exactly") {
+    // a green-channel VP8L decodes to RGBA (0, g, 0, 255); its BT.601
+    // luma plane is (587·g)/1000 — so the hash must EQUAL the hash of
+    // the 1-channel image holding exactly those mapped values
+    val img = classImage(3)
+    require(img.channels == 1)
+    val webp = graft.ops.WebpCodec.encodeGreen(img.width, img.height, img.pixels)
+    val df = Seq((2L, webp)).toDF("id", "p")
+      .select(col("id"), struct(col("p").as("payload"), lit("x").as("mime")).as("media"))
+    val out = Phash.phashDf(df, "id", "media")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("phash")).toMap
+    assert(out.keySet == Set(2L))
+    val mapped = img.pixels.map(b => ((587 * (b & 0xFF)) / 1000).toByte)
+    val expected = Phash.phash64(PngCodec.Image(img.width, img.height, 1, mapped))
+    assert(out(2L) == expected, "WebP RGBA luma path diverged from the mapped-grey plane")
+  }
+
   test("imageNearDups pairs planted classes and nothing else") {
     val docs = (0L until 40L).toDF("doc_id")
     val packed = Multimodal.packClassPng(docs, "doc_id", classes = 10)

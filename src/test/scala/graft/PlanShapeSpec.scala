@@ -123,6 +123,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(elapsedSec < 60, s"plan construction took ${elapsedSec}s — scaling with tuple count")
   }
 
+  test("delta DV read: one data scan, a broadcast hash ANTI join, positions exploded off-driver") {
+    // the deletion-vector anti-filter must not multiply scans or
+    // shuffle the data side: one FileScan over the data files, the
+    // (file key, position) side broadcast, LeftAnti hash join
+    val dir = graft.ops.TableFixtures.writeDeltaDvTable(
+      spark, (0L until 56L).toDF("doc_id")
+        .select($"doc_id", concat(lit("s"), $"doc_id" % 3).as("source"),
+          ($"doc_id" * 7).as("n_chars")), "doc_id")
+    val df = graft.ops.DeltaLog.readTable(spark, dir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      "DV read must keep ONE scan over the data files:\n" + plan.take(2000))
+    assert(plan.contains("LeftAnti"),
+      "deleted positions must anti-join, not filter driver-side:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the position side is bounded metadata — it must broadcast:\n" + plan.take(2000))
+    // and the data survives correctly: id%7==0 deleted on buckets 0-2
+    val ids = df.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 56L).filterNot(i => i % 7 == 0 && i % 4 != 3))
+  }
+
   test("classifier gate label and kernel stay inside whole-stage codegen") {
     // range input: LocalTableScan skips whole-stage codegen, a real
     // (codegen-capable) leaf does not
