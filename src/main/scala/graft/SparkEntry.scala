@@ -1726,6 +1726,15 @@ object SparkEntry {
         Multimodal.packTextWebp(docs(s, d), "doc_id", "text", width = 32),
         "id", "media")),
 
+    // TIFF baseline pixel round-trip (round 15): greyscale strips,
+    // PackBits RLE, little-endian IFD — same pixel oracle as the PNG
+    // gate (the bytes ARE the text); LZW and the big-endian/strip
+    // variants are pinned in TiffSpec.
+    "x_multimodal_tiff_decode" -> ((s, d) =>
+      Multimodal.decodeImagePixels(
+        Multimodal.packTextTiff(docs(s, d), "doc_id", "text", width = 32),
+        "id", "media")),
+
     // REAL video-container path: spec-correct MP4 box trees (ftyp +
     // moov(mvhd + trak(tkhd)) + mdat) whose duration and 16.16
     // fixed-point track dimensions derive arithmetically from the
@@ -5595,6 +5604,29 @@ object SparkEntry {
              CAST(list_reduce(list_prepend(17, px),
                (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
       FROM p""",
+    // tiff: greyscale round-trip — identical contract to the PNG gate
+    "x_multimodal_tiff_decode" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS h,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      p AS (
+        SELECT doc_id, h,
+               list_concat(bytes, list_transform(range(32 * h - len), x -> 0)) AS px
+        FROM e)
+      SELECT doc_id AS id, 32 AS width, h AS height, 1 AS channels,
+             CAST(32 * h AS BIGINT) AS pixel_len,
+             CAST(list_sum(px) AS BIGINT) AS pixel_sum,
+             CAST(list_reduce(list_prepend(17, px),
+               (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
+      FROM p""",
+
     // webp: the RGBA stream is (0, byte, 0, 255) per pixel — flatten
     // and replay the same rolling hash
     "x_multimodal_webp_decode" -> """

@@ -83,9 +83,11 @@ object DeltaLog {
 
   /** Reader features this reader actually implements; a v3 protocol
     * naming anything else refuses BY NAME (silently reading through
-    * an unknown feature risks wrong data). */
+    * an unknown feature risks wrong data). `timestampNtz` only marks
+    * the presence of TIMESTAMP_NTZ columns — Spark's parquet reader
+    * handles the type natively, so reading through is correct. */
   private[graft] val supportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping")
+    Set("deletionVectors", "columnMapping", "timestampNtz")
 
   private final case class Refuse(msg: String) extends RuntimeException(msg) {
     override def fillInStackTrace(): Throwable = this

@@ -1199,6 +1199,38 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** TIFF sibling of [[packTextPng]] (round 15): each document's
+    * UTF-8 bytes become an 8-bit greyscale baseline TIFF —
+    * PackBits-compressed strips, little-endian IFD — packed through
+    * the from-spec [[TiffCodec]] encoder. */
+  def packTextTiff(df: DataFrame, idCol: String, textCol: String, width: Int = 32,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    require(width > 0, s"packTextTiff: width=$width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                      else bytes0
+          val h = math.max(1, (bytes.length + width - 1) / width)
+          val px = java.util.Arrays.copyOf(bytes, width * h)
+          (id, TiffCodec.encodeGrey(width, h, px), h)
+        }
+      }
+      .toDF("id", "__payload", "__h")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("image/tiff").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(width).as("width"),
+          col("__h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
   /** Planted-class PNG payloads for perceptual-hash gates: document
     * id mod `classes` selects one of `classes` FIXED 32×32 blocky
     * images (4×4 super-pixel grid, each super-pixel black/white by a
@@ -1612,7 +1644,8 @@ object Multimodal {
           PngCodec.decode(payload).orElse(GifCodec.decode(payload))
               .orElse(JpegCodec.decode(payload))
               .orElse(BmpCodec.decode(payload))
-              .orElse(WebpCodec.decode(payload)) match {
+              .orElse(WebpCodec.decode(payload))
+              .orElse(TiffCodec.decode(payload)) match {
             case Some(img) =>
               var h = 17L; var sum = 0L; var i = 0
               while (i < img.pixels.length) {

@@ -170,6 +170,9 @@ object Phash {
     else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P')
       WebpCodec.decode(p)
+    else if ((p(0) == 'I' && p(1) == 'I' && (p(2) & 0xFF) == 0x2A && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && (p(3) & 0xFF) == 0x2A))
+      TiffCodec.decode(p)
     else None
   }
 

@@ -98,6 +98,7 @@ class DeltaLogSpec extends SparkSuite {
         s""""writerFeatures":["deletionVectors"]}}"""
     assert(active(0L -> (meta + "\n" + proto("deletionVectors") + "\n" + good)).nonEmpty)
     assert(active(0L -> (meta + "\n" + proto("deletionVectors", "columnMapping") + "\n" + good)).nonEmpty)
+    assert(active(0L -> (meta + "\n" + proto("timestampNtz") + "\n" + good)).nonEmpty)
     assert(active(0L -> (meta + "\n" + proto("v2Checkpoint") + "\n" + good)).isEmpty)
     // v3 without a readerFeatures list: malformed → refuse
     assert(active(0L -> (meta + "\n" + """{"protocol":{"minReaderVersion":3}}""" + "\n" + good)).isEmpty)
