@@ -85,9 +85,11 @@ object DeltaLog {
     * naming anything else refuses BY NAME (silently reading through
     * an unknown feature risks wrong data). `timestampNtz` only marks
     * the presence of TIMESTAMP_NTZ columns — Spark's parquet reader
-    * handles the type natively, so reading through is correct. */
+    * handles the type natively, so reading through is correct;
+    * `v2Checkpoint` (UUID-named checkpoints + sidecars) is read by
+    * [[readTable]]'s checkpoint discovery. */
   private[graft] val supportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
 
   private final case class Refuse(msg: String) extends RuntimeException(msg) {
     override def fillInStackTrace(): Throwable = this
@@ -421,8 +423,11 @@ object DeltaLog {
     * the add rows' (path, partitionValues, size, modificationTime) —
     * the file list [[readTable]] needs on the driver anyway. Remove
     * rows are VACUUM tombstones and contribute nothing. */
-  private def checkpointSnapshot(spark: SparkSession, paths: Seq[String]): Snapshot = {
-    val norm = normalizeCheckpoint(spark.read.parquet(paths: _*), 0L)
+  private def checkpointSnapshot(spark: SparkSession, paths: Seq[String]): Snapshot =
+    checkpointSnapshotFromNorm(
+      normalizeCheckpoint(spark.read.parquet(paths: _*), 0L))
+
+  private def checkpointSnapshotFromNorm(norm: DataFrame): Snapshot = {
     val supportedLit = array(supportedReaderFeatures.toSeq.sorted.map(lit): _*)
     val badProto = norm.where(col("protocol").isNotNull &&
       (col("protocol.minReaderVersion").isNull ||
@@ -527,10 +532,42 @@ object DeltaLog {
     val seed = lastCp.map { case (v, parts) =>
       val cpFiles = checkpointNames(v, parts).map(n => new java.io.File(dir, n))
       val missing = cpFiles.filterNot(_.isFile)
-      if (missing.nonEmpty)
+      if (missing.isEmpty)
+        checkpointSnapshot(spark, cpFiles.map(_.getAbsolutePath).toSeq)
+      else if (parts.isEmpty) {
+        // V2 (UUID-named) checkpoint: <version>.checkpoint.<uuid>
+        // .parquet, whose `sidecar` actions name parquet files under
+        // _delta_log/_sidecars/ carrying the add/remove rows
+        val prefix = f"$v%020d.checkpoint."
+        val v2 = files.filter(f => f.getName.startsWith(prefix) &&
+          f.getName.endsWith(".parquet") &&
+          !f.getName.matches(""".*\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+        if (v2.length != 1)
+          throw new graft.GraftAnalysisException(
+            s"delta: _last_checkpoint names version $v but ${missing.head.getName} is missing")
+        val cpDf = spark.read.parquet(v2.head.getAbsolutePath)
+        val sidecars: Seq[String] =
+          if (!cpDf.columns.contains("sidecar")) Seq.empty
+          else cpDf.select(col("sidecar.path"))
+            .where(col("sidecar.path").isNotNull)
+            .collect().map(_.getString(0)).toSeq
+        val sidecarPaths = sidecars.map { p =>
+          if (p.contains("://") || p.startsWith("/")) p.stripPrefix("file:")
+          else new java.io.File(new java.io.File(dir, "_sidecars"), p).getAbsolutePath
+        }
+        sidecarPaths.find(p => !new java.io.File(p).isFile).foreach(p =>
+          throw new graft.GraftAnalysisException(s"delta: checkpoint sidecar missing: $p"))
+        // sidecar schemas differ from the checkpoint's (add/remove
+        // only) — normalize each to the canonical action stream, THEN
+        // union; a single multi-path parquet read would pin one
+        // file's schema and silently null the rest
+        val norm = (normalizeCheckpoint(cpDf, 0L) +:
+          sidecarPaths.map(p => normalizeCheckpoint(spark.read.parquet(p), 0L)))
+          .reduce(_ unionByName _)
+        checkpointSnapshotFromNorm(norm)
+      } else
         throw new graft.GraftAnalysisException(
           s"delta: _last_checkpoint names version $v but ${missing.head.getName} is missing")
-      checkpointSnapshot(spark, cpFiles.map(_.getAbsolutePath).toSeq)
     }
     val cpVersion = lastCp.map(_._1).getOrElse(-1L)
     val commits = files.toSeq

@@ -99,7 +99,8 @@ class DeltaLogSpec extends SparkSuite {
     assert(active(0L -> (meta + "\n" + proto("deletionVectors") + "\n" + good)).nonEmpty)
     assert(active(0L -> (meta + "\n" + proto("deletionVectors", "columnMapping") + "\n" + good)).nonEmpty)
     assert(active(0L -> (meta + "\n" + proto("timestampNtz") + "\n" + good)).nonEmpty)
-    assert(active(0L -> (meta + "\n" + proto("v2Checkpoint") + "\n" + good)).isEmpty)
+    assert(active(0L -> (meta + "\n" + proto("v2Checkpoint") + "\n" + good)).nonEmpty)
+    assert(active(0L -> (meta + "\n" + proto("icebergCompatV2") + "\n" + good)).isEmpty)
     // v3 without a readerFeatures list: malformed → refuse
     assert(active(0L -> (meta + "\n" + """{"protocol":{"minReaderVersion":3}}""" + "\n" + good)).isEmpty)
     // the driver-side surface names the offending feature
@@ -312,6 +313,69 @@ class DeltaLogSpec extends SparkSuite {
     java.nio.file.Files.write(new java.io.File(l3, "_last_checkpoint").toPath,
       "{not json".getBytes("UTF-8"))
     intercept[graft.GraftAnalysisException] { DeltaLog.readTable(spark, d3.getAbsolutePath) }
+  }
+
+  // --- v2 checkpoints (round 15) ---
+
+  test("readTable v2 checkpoint: UUID-named file + sidecars equals the classic checkpoint read") {
+    // classic baseline
+    val (cDir, cLog) = tableFixture()
+    singleParquet(checkpointRows(),
+      new java.io.File(cLog, f"${1L}%020d.checkpoint.parquet"))
+    java.nio.file.Files.write(new java.io.File(cLog, "_last_checkpoint").toPath,
+      """{"version":1,"size":5}""".getBytes("UTF-8"))
+    writeCommit(cLog, 2L, addLine("f3.parquet", "z", 103))
+
+    // v2: checkpoint file holds metaData/protocol/checkpointMetadata/
+    // sidecar rows; the add/remove rows live in TWO sidecar parquets
+    val (vDir, vLog) = tableFixture()
+    val sideDir = new java.io.File(vLog, "_sidecars"); sideDir.mkdirs()
+    singleParquet(cpDf(Seq(("f0.parquet", "x", 100L, 0L)), tombstones = Seq.empty)
+      .where(col("add").isNotNull),
+      new java.io.File(sideDir, "s1.parquet"))
+    singleParquet(cpDf(Seq(("f2.parquet", "y", 102L, 0L)), tombstones = Seq("f1.parquet"))
+      .where(col("add").isNotNull || col("remove").isNotNull),
+      new java.io.File(sideDir, "s2.parquet"))
+    val cpTop = spark.sql(
+      "SELECT named_struct('id','t','schemaString','{}','partitionColumns',array('p')) AS metaData")
+      .unionByName(spark.sql(
+        "SELECT named_struct('minReaderVersion', CAST(1 AS BIGINT)) AS protocol"),
+        allowMissingColumns = true)
+      .unionByName(spark.sql(
+        "SELECT named_struct('version', CAST(1 AS BIGINT)) AS checkpointMetadata"),
+        allowMissingColumns = true)
+      .unionByName(spark.sql(
+        "SELECT named_struct('path','s1.parquet','sizeInBytes',CAST(1 AS BIGINT)) AS sidecar")
+        .unionByName(spark.sql(
+          "SELECT named_struct('path','s2.parquet','sizeInBytes',CAST(1 AS BIGINT)) AS sidecar")),
+        allowMissingColumns = true)
+    singleParquet(cpTop, new java.io.File(vLog,
+      f"${1L}%020d.checkpoint.3a1c0f2e-9d4b-4a7e-8f21-000000000001.parquet"))
+    java.nio.file.Files.write(new java.io.File(vLog, "_last_checkpoint").toPath,
+      """{"version":1,"size":7}""".getBytes("UTF-8"))
+    writeCommit(vLog, 2L, addLine("f3.parquet", "z", 103))
+    assert(readSorted(vDir) == readSorted(cDir))
+    assert(readSorted(vDir) == Seq(
+      (0L, "row0a", "x"), (1L, "row0b", "x"),
+      (20L, "row2a", "y"), (21L, "row2b", "y"),
+      (30L, "row3a", "z"), (31L, "row3b", "z")))
+  }
+
+  test("readTable v2 checkpoint: a missing sidecar refuses by name") {
+    val (vDir, vLog) = tableFixture()
+    val cpTop = spark.sql(
+      "SELECT named_struct('id','t','schemaString','{}','partitionColumns',array('p')) AS metaData")
+      .unionByName(spark.sql(
+        "SELECT named_struct('path','nowhere.parquet','sizeInBytes',CAST(1 AS BIGINT)) AS sidecar"),
+        allowMissingColumns = true)
+    singleParquet(cpTop, new java.io.File(vLog,
+      f"${1L}%020d.checkpoint.3a1c0f2e-9d4b-4a7e-8f21-000000000002.parquet"))
+    java.nio.file.Files.write(new java.io.File(vLog, "_last_checkpoint").toPath,
+      """{"version":1,"size":2}""".getBytes("UTF-8"))
+    val e = intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTable(spark, vDir.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("sidecar missing"))
   }
 
   // --- deletion vectors (round 15) ---

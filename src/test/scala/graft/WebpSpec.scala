@@ -308,6 +308,24 @@ class WebpSpec extends AnyFunSuite {
     assert(greens(img) == Seq(1, 2))
   }
 
+  test("fuzz: byte flips, truncations, and random tails never throw") {
+    val rnd = new scala.util.Random(42)
+    val good = WebpCodec.encodeGreen(8, 4, Array.tabulate(32)(i => (i * 17).toByte))
+    (0 until 400).foreach { _ =>
+      val m = good.clone()
+      val flips = rnd.nextInt(4) + 1
+      (0 until flips).foreach { _ =>
+        m(rnd.nextInt(m.length)) = (rnd.nextInt(256)).toByte
+      }
+      WebpCodec.decode(m) // Some or None, never a throw
+    }
+    (1 until good.length).foreach(n => WebpCodec.decode(good.take(n)))
+    (0 until 200).foreach { _ =>
+      val tail = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      WebpCodec.decode("RIFF   WEBPVP8L".getBytes("ISO-8859-1") ++ tail)
+    }
+  }
+
   test("encoder round-trip: full byte range, multi-row, deterministic") {
     val g = Array.tabulate(32 * 9)(i => ((i * 7 + 13) % 256).toByte)
     val enc = WebpCodec.encodeGreen(32, 9, g)
