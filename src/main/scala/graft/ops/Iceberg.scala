@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Apache Iceberg v1 table-metadata reader — the SECOND table format
-  * of the ingest tier (round 14), built entirely on pieces already in
-  * the repo: the metadata walk is JSON (json4s), the manifest-list
-  * and manifest files are Avro object containers read by the in-repo
-  * from-spec [[Avro]] codec. From the published Iceberg Table Spec
-  * (apache/iceberg, format/spec.md):
+/** Apache Iceberg v1/v2 table-metadata reader — the SECOND table
+  * format of the ingest tier (round 14; v2 position deletes round
+  * 15), built entirely on pieces already in the repo: the metadata
+  * walk is JSON (json4s), the manifest-list and manifest files are
+  * Avro object containers read by the in-repo from-spec [[Avro]]
+  * codec. From the published Iceberg Table Spec (apache/iceberg,
+  * format/spec.md):
   *
   *  - `metadata/version-hint.text` names the current metadata
   *    version N → `metadata/vN.metadata.json` (fallback: the

@@ -450,6 +450,33 @@ class DeltaLogSpec extends SparkSuite {
     intercept[graft.GraftAnalysisException] { DeltaLog.readTable(spark, tableDir.getAbsolutePath) }
   }
 
+  test("deletion vectors compose with column mapping: logical names out, deleted rows gone") {
+    import graft.ops.DeltaDv
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-delta-dvcm").toFile
+    singleParquet(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("col-1", "col-2"),
+      new java.io.File(tableDir, "d0.parquet"))
+    val dv = DeltaDv.serialize(Seq(1L)) // delete row 1 ("b")
+    val d = DeltaDv.Descriptor("i", DeltaDv.z85Encode(dv), None, dv.length, 1)
+    val logDir = new java.io.File(tableDir, "_delta_log"); logDir.mkdirs()
+    def fld(name: String, phys: String, tpe: String) =
+      s"""{\\"name\\":\\"$name\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":""" +
+        s"""{\\"delta.columnMapping.id\\":1,\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+    val schemaStr = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+      fld("id", "col-1", "long") + "," + fld("s", "col-2", "string") + "]}"
+    writeCommit(logDir, 0L,
+      s"""{"metaData":{"id":"t","schemaString":"$schemaStr","partitionColumns":[],""" +
+        """"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping"],""" +
+        """"writerFeatures":["deletionVectors","columnMapping"]}}""",
+      s"""{"add":{"path":"d0.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,${dvJson(d)}}}""")
+    val df = DeltaLog.readTable(spark, tableDir.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.as[(Long, String)].collect().sorted.toSeq == Seq((1L, "a"), (3L, "c")))
+  }
+
   // --- column mapping, name mode (round 15) ---
 
   test("readTable column mapping name mode: physical parquet names map back to logical, partitions keyed physically") {
