@@ -450,7 +450,8 @@ object ArrowIpc {
   }
 
   /** Schema message for (key: int64, vec: fixed_size_list<float32>[dim]). */
-  private def schemaMessage(keyName: String, vecName: String, dim: Int): Array[Byte] =
+  private def schemaMessage(keyName: String, vecName: String, dim: Int,
+      fixedList: Boolean = true): Array[Byte] =
     message(1, { fb =>
       // Int { bitWidth 0, is_signed 1 }
       fb.startTable(2); fb.slot32(0, 64); fb.slot8(1, 1)
@@ -469,12 +470,14 @@ object ArrowIpc {
       fb.slot8(2, TypeFloat); fb.slotOffset(3, f32)
       val itemField = fb.endTable()
       val children = fb.createOffsetVector(Seq(itemField))
-      fb.startTable(1); fb.slot32(0, dim)
-      val fsl = fb.endTable()
+      val listType =
+        if (fixedList) { fb.startTable(1); fb.slot32(0, dim); fb.endTable() }
+        else { fb.startTable(0); fb.endTable() } // List {} — no fields
       val vecNameOff = fb.createString(vecName)
       fb.startTable(6)
       fb.slotOffset(0, vecNameOff); fb.slot8(1, 1)
-      fb.slot8(2, TypeFixedSizeList); fb.slotOffset(3, fsl)
+      fb.slot8(2, if (fixedList) TypeFixedSizeList else TypeList)
+      fb.slotOffset(3, listType)
       fb.slotOffset(5, children)
       val vecField = fb.endTable()
       val fields = fb.createOffsetVector(Seq(keyField, vecField))
@@ -484,12 +487,16 @@ object ArrowIpc {
       fb.endTable()
     }, 0L)
 
-  /** One RecordBatch message + body for `keys`/`vecs` (dim-wide). */
+  /** One RecordBatch message + body for `keys`/`vecs` (dim-wide);
+    * `fixedList = false` writes the variable List layout with its
+    * int32 offsets buffer instead. */
   private def batchMessage(keys: Array[Long], vecs: Array[Array[Float]],
-      dim: Int): Array[Byte] = {
+      dim: Int, fixedList: Boolean = true): Array[Byte] = {
     val n = keys.length
     val keyBytes = n * 8
-    val childOff = pad8(keyBytes)
+    val offsOff = pad8(keyBytes)
+    val offsBytes = if (fixedList) 0 else (n + 1) * 4
+    val childOff = pad8(offsOff + offsBytes)
     val childBytes = n * dim * 4
     val bodyLen = pad8(childOff + childBytes)
     val body = new Array[Byte](bodyLen)
@@ -498,6 +505,16 @@ object ArrowIpc {
       var j = 0
       while (j < 8) { body(8 * i + j) = ((keys(i) >> (8 * j)) & 0xFF).toByte; j += 1 }
       i += 1
+    }
+    if (!fixedList) {
+      i = 0
+      while (i <= n) {
+        val v = i * dim
+        val at = offsOff + 4 * i
+        body(at) = v.toByte; body(at + 1) = (v >> 8).toByte
+        body(at + 2) = (v >> 16).toByte; body(at + 3) = (v >> 24).toByte
+        i += 1
+      }
     }
     i = 0
     while (i < n) {
@@ -511,10 +528,17 @@ object ArrowIpc {
       }
       i += 1
     }
-    // buffers in flattened order: key [validity, data];
-    // fixed-size-list [validity]; child float [validity, data]
-    val buffers = Seq((0L, 0L), (0L, keyBytes.toLong), (keyBytes.toLong, 0L),
-      (childOff.toLong, 0L), (childOff.toLong, childBytes.toLong))
+    // buffers in flattened order: key [validity, data]; the list
+    // [validity] (+ [offsets] for variable List); child float
+    // [validity, data]
+    val buffers =
+      if (fixedList)
+        Seq((0L, 0L), (0L, keyBytes.toLong), (keyBytes.toLong, 0L),
+          (childOff.toLong, 0L), (childOff.toLong, childBytes.toLong))
+      else
+        Seq((0L, 0L), (0L, keyBytes.toLong), (offsOff.toLong, 0L),
+          (offsOff.toLong, offsBytes.toLong),
+          (childOff.toLong, 0L), (childOff.toLong, childBytes.toLong))
     val nodes = Seq((n.toLong, 0L), (n.toLong, 0L), ((n * dim).toLong, 0L))
     val meta = message(3, { fb =>
       val nodeVec = fb.createStructVector(16, nodes.length, 8) { (b, at) =>
@@ -555,11 +579,12 @@ object ArrowIpc {
     * EOS. Fixture-side (tests + the gate packer); also pins
     * [[readStream]] by round-trip. */
   private[graft] def writeVecStream(keyName: String, vecName: String, dim: Int,
-      rows: Seq[(Long, Array[Float])], batchRows: Int): Array[Byte] = {
+      rows: Seq[(Long, Array[Float])], batchRows: Int,
+      fixedList: Boolean = true): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    out.write(schemaMessage(keyName, vecName, dim))
+    out.write(schemaMessage(keyName, vecName, dim, fixedList))
     rows.grouped(math.max(1, batchRows)).foreach { g =>
-      out.write(batchMessage(g.map(_._1).toArray, g.map(_._2).toArray, dim))
+      out.write(batchMessage(g.map(_._1).toArray, g.map(_._2).toArray, dim, fixedList))
     }
     out.write(Eos)
     out.toByteArray

@@ -308,6 +308,29 @@ class WebpSpec extends AnyFunSuite {
     assert(greens(img) == Seq(1, 2))
   }
 
+  test("hand bitstream: meta prefix groups select codes per 4-pixel block") {
+    // 8x1 image, block bits 2 → a 2x1 meta image mapping pixels 0-3
+    // to group 0 and 4-7 to group 1; each group's green is a distinct
+    // one-symbol code, so the OUTPUT pins the group arithmetic
+    val w = new W
+    w.vp8l(8, 1)
+    w.b(0, 1) // no transforms
+    w.b(0, 1) // no cache
+    w.b(1, 1); w.b(0, 3) // meta prefix on, size_bits = 2 (block 4)
+    // the meta image (2x1, entropy-coded): green = group index
+    w.b(0, 1) // its cache bit
+    writeSimple(w, Seq(0, 1)) // green: {0,1} → canonical 1 bit each
+    writeSimple(w, Seq(0)); writeSimple(w, Seq(0))
+    writeSimple(w, Seq(0)); writeSimple(w, Seq(0))
+    w.b(0, 1); w.b(1, 1) // meta pixels: green 0 then green 1
+    // group 0: green {10}; group 1: green {20}; all zero-bit codes
+    writeGroupConstRba(w, writeSimple(_, Seq(10)))
+    writeGroupConstRba(w, writeSimple(_, Seq(20)))
+    // pixel data: every code one-symbol → zero data bits
+    val img = WebpCodec.decode(riff(w.bytes())).get
+    assert(greens(img) == Seq(10, 10, 10, 10, 20, 20, 20, 20))
+  }
+
   test("fuzz: byte flips, truncations, and random tails never throw") {
     val rnd = new scala.util.Random(42)
     val good = WebpCodec.encodeGreen(8, 4, Array.tabulate(32)(i => (i * 17).toByte))
