@@ -427,6 +427,12 @@ object DeltaLog {
     checkpointSnapshotFromNorm(
       normalizeCheckpoint(spark.read.parquet(paths: _*), 0L))
 
+  /** JSON-flavor checkpoint content → the same canonical action
+    * stream (parseCommits's output schema matches
+    * normalizeCheckpoint's). */
+  private def parseCommitsNorm(df: DataFrame): DataFrame =
+    parseCommits(df, "version", "content")
+
   private def checkpointSnapshotFromNorm(norm: DataFrame): Snapshot = {
     val supportedLit = array(supportedReaderFeatures.toSeq.sorted.map(lit): _*)
     val badProto = norm.where(col("protocol").isNotNull &&
@@ -539,18 +545,42 @@ object DeltaLog {
         // .parquet, whose `sidecar` actions name parquet files under
         // _delta_log/_sidecars/ carrying the add/remove rows
         val prefix = f"$v%020d.checkpoint."
-        val v2 = files.filter(f => f.getName.startsWith(prefix) &&
-          f.getName.endsWith(".parquet") &&
+        def uuidNamed(ext: String) = files.filter(f => f.getName.startsWith(prefix) &&
+          f.getName.endsWith(ext) &&
           !f.getName.matches(""".*\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
-        if (v2.length != 1)
+        val v2p = uuidNamed(".parquet")
+        val v2j = uuidNamed(".json")
+        if (v2p.length + v2j.length != 1)
           throw new graft.GraftAnalysisException(
             s"delta: _last_checkpoint names version $v but ${missing.head.getName} is missing")
-        val cpDf = spark.read.parquet(v2.head.getAbsolutePath)
-        val sidecars: Seq[String] =
-          if (!cpDf.columns.contains("sidecar")) Seq.empty
-          else cpDf.select(col("sidecar.path"))
-            .where(col("sidecar.path").isNotNull)
-            .collect().map(_.getString(0)).toSeq
+        // the top file carries metaData/protocol/checkpointMetadata
+        // plus `sidecar` actions; sidecars are parquet under
+        // _delta_log/_sidecars/ holding the add/remove rows
+        val (topNorm, sidecars: Seq[String]) =
+          if (v2p.nonEmpty) {
+            val cpDf = spark.read.parquet(v2p.head.getAbsolutePath)
+            val sc =
+              if (!cpDf.columns.contains("sidecar")) Seq.empty[String]
+              else cpDf.select(col("sidecar.path"))
+                .where(col("sidecar.path").isNotNull)
+                .collect().map(_.getString(0)).toSeq
+            (normalizeCheckpoint(cpDf, 0L), sc)
+          } else {
+            // JSON flavor: one action object per line — the same
+            // canonical stream parseCommits produces; sidecar lines
+            // parse to all-null action structs and drop out
+            val content = new String(
+              java.nio.file.Files.readAllBytes(v2j.head.toPath),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val sc = content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+              (try JsonMethods.parse(l) catch { case _: Exception => JNothing }) \ "sidecar" \ "path" match {
+                case JString(s) => Some(s)
+                case _ => None
+              }
+            }.toSeq
+            import spark.implicits._
+            (parseCommitsNorm(Seq((0L, content)).toDF("version", "content")), sc)
+          }
         val sidecarPaths = sidecars.map { p =>
           if (p.contains("://") || p.startsWith("/")) p.stripPrefix("file:")
           else new java.io.File(new java.io.File(dir, "_sidecars"), p).getAbsolutePath
@@ -561,7 +591,7 @@ object DeltaLog {
         // only) — normalize each to the canonical action stream, THEN
         // union; a single multi-path parquet read would pin one
         // file's schema and silently null the rest
-        val norm = (normalizeCheckpoint(cpDf, 0L) +:
+        val norm = (topNorm +:
           sidecarPaths.map(p => normalizeCheckpoint(spark.read.parquet(p), 0L)))
           .reduce(_ unionByName _)
         checkpointSnapshotFromNorm(norm)

@@ -361,6 +361,28 @@ class DeltaLogSpec extends SparkSuite {
       (30L, "row3a", "z"), (31L, "row3b", "z")))
   }
 
+  test("readTable v2 checkpoint, JSON flavor: action lines + sidecar references read") {
+    val (vDir, vLog) = tableFixture()
+    val sideDir = new java.io.File(vLog, "_sidecars"); sideDir.mkdirs()
+    singleParquet(cpDf(Seq(("f0.parquet", "x", 100L, 0L), ("f2.parquet", "y", 102L, 0L)),
+      tombstones = Seq("f1.parquet"))
+      .where(col("add").isNotNull || col("remove").isNotNull),
+      new java.io.File(sideDir, "sj.parquet"))
+    java.nio.file.Files.write(new java.io.File(vLog,
+      f"${1L}%020d.checkpoint.3a1c0f2e-9d4b-4a7e-8f21-00000000000a.json").toPath,
+      (meta + "\n" + proto + "\n" +
+        """{"checkpointMetadata":{"version":1}}""" + "\n" +
+        """{"sidecar":{"path":"sj.parquet","sizeInBytes":1}}""")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(vLog, "_last_checkpoint").toPath,
+      """{"version":1,"size":6}""".getBytes("UTF-8"))
+    writeCommit(vLog, 2L, addLine("f3.parquet", "z", 103))
+    assert(readSorted(vDir) == Seq(
+      (0L, "row0a", "x"), (1L, "row0b", "x"),
+      (20L, "row2a", "y"), (21L, "row2b", "y"),
+      (30L, "row3a", "z"), (31L, "row3b", "z")))
+  }
+
   test("readTable v2 checkpoint: a missing sidecar refuses by name") {
     val (vDir, vLog) = tableFixture()
     val cpTop = spark.sql(
