@@ -2477,6 +2477,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Iceberg EQUALITY deletes (round 15 continuation): a real v2
+    // table with two data generations around an equality delete on
+    // doc_id (field id 1) — gen1 (even ids, data sequence 1 INHERITED
+    // from the manifest list), the delete (sequence 2, every id%3==0
+    // value), gen2 (odd ids, sequence 3, written AFTER the delete).
+    // The %3==0 odd rows must SURVIVE: a reader that value-matches
+    // without sequence scoping deletes them and hash-mismatches.
+    "x_iceberg_eq" -> ((s, d) => {
+      val dir = sharedDir("iceberg_eq", d)(
+        graft.ops.TableFixtures.writeIcebergEqTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.Iceberg.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     "x_parquet_footer" -> ((s, d) => {
       import s.implicits._
       val paths = Seq("documents", "embeddings", "orders")
@@ -2886,6 +2900,37 @@ object SparkEntry {
           array_join(transform(col("values"),
             v => floor(v.cast("double") * lit(1073741824.0d)).cast("long").cast("string")),
             ",").as("values"))
+    }),
+
+    // Arrow IPC compressed bodies (round 15 continuation): the same
+    // embedding replay, but the shards are written by the INDEPENDENT
+    // Apache Arrow Java writer with real body compression — LZ4_FRAME
+    // on even shards, ZSTD on odd — and decompressed buffer-by-buffer
+    // by the IN-REPO from-spec lz4-frame/zstd codecs. pyarrow's
+    // default feather-v2 layout is exactly this wire shape.
+    "x_arrow_compressed" -> ((s, d) => {
+      val packed = sharedFixture("arrowz", s, d)(
+        graft.ops.ArrowIpc.packVecsCompressedRef(t(s, d, "embeddings"), "vec_id", "embedding",
+          groups = 8, batchRows = 64))
+      graft.ops.ArrowIpc.decodeVecRows(packed, "shard", "payload", "vec_id", "embedding")
+        .select(col("key").as("vec_id"), col("dim"),
+          array_join(transform(col("values"),
+            v => floor(v.cast("double") * lit(1073741824.0d)).cast("long").cast("string")),
+            ",").as("values"))
+    }),
+
+    // Arrow IPC dictionary encoding (round 15 continuation): the
+    // documents (doc_id, source) pairs written by the Arrow Java
+    // writer's own DictionaryProvider machinery — a real
+    // DictionaryBatch message followed by int32 index columns — and
+    // resolved by the from-spec reader's dictionary walk. Every
+    // (id, source) pair replays from the corpus, so a single
+    // off-by-one in index resolution hash-mismatches.
+    "x_arrow_dict" -> ((s, d) => {
+      val packed = graft.ops.ArrowIpc.packDocsDictRef(t(s, d, "documents"),
+        "doc_id", "source", groups = 8, batchRows = 256)
+      graft.ops.ArrowIpc.decodeKeyStrRows(packed, "shard", "payload", "doc_id", "source")
+        .select(col("key").as("doc_id"), col("value").as("source"))
     }),
 
     "x_safetensors" -> ((s, d) => {
@@ -6156,6 +6201,14 @@ object SparkEntry {
       SELECT doc_id, source, n_chars
       FROM documents WHERE doc_id % 7 <> 0""",
 
+    // iceberg v2 equality deletes: the sequence-scoped survivor set —
+    // the delete (seq 2) reaches generation 1 (even ids, seq 1) but
+    // NOT generation 2 (odd ids, seq 3)
+    "x_iceberg_eq" -> """
+      SELECT doc_id, source, n_chars
+      FROM documents
+      WHERE doc_id % 2 = 1 OR doc_id % 3 <> 0""",
+
     // iceberg manifest contract: active entries replay by id
     // arithmetic — %3==0's first file is a DELETED tombstone (absent),
     // even ids carry the EXISTING second file
@@ -6557,6 +6610,20 @@ object SparkEntry {
              array_to_string(list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
       FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // arrow ipc compressed bodies: identical replay — the compression
+    // layer must be byte-transparent
+    "x_arrow_compressed" -> """
+      SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             array_to_string(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS values
+      FROM embeddings WHERE embedding IS NOT NULL""",
+
+    // arrow ipc dictionary encoding: every (id, source) pair replays
+    // through the dictionary-index resolution
+    "x_arrow_dict" -> """
+      SELECT doc_id, coalesce(source, '') AS source
+      FROM documents WHERE doc_id IS NOT NULL""",
 
     // safetensors: metadata + every float value replay from the
     // embeddings table

@@ -23,9 +23,20 @@ import org.apache.spark.sql.functions._
   *
   * Column types decoded: Int (8/16/32/64, signed/unsigned), Float32/
   * Float64, Utf8, and List/FixedSizeList of Float32 (the embedding
-  * shapes). Dictionary-encoded fields, body compression, and other
-  * types REFUSE by name — silently misreading a column beats
-  * nothing only if it is right.
+  * shapes). Dictionary-encoded top-level columns read too (round 15
+  * continuation): the Field's DictionaryEncoding (id + index width),
+  * DictionaryBatch messages decoded against the field's VALUE type,
+  * delta batches appended and replacements replacing in stream
+  * order, record-batch index columns resolved with hard bounds
+  * checks. Body compression reads per the BodyCompression member of
+  * RecordBatch: codec LZ4_FRAME or ZSTD, method BUFFER, each buffer
+  * `[int64 uncompressed length][compressed bytes]` with the spec's
+  * -1 raw-passthrough marker — decompressed by the IN-REPO from-spec
+  * codecs ([[ShortCodecs.unlz4Framed]] / [[ZstdCodec.decode]]), so
+  * pyarrow's default feather-v2 (LZ4-compressed Arrow file) layout
+  * reads without any library. Everything else — nested dictionaries,
+  * other codecs/methods, other types — REFUSES by name: silently
+  * misreading a column beats nothing only if it is right.
   *
   * Scale shape: pure bytes→rows functions inside `mapPartitions`
   * (the safetensors/NPZ seam); a shard decodes where it lands, no
@@ -110,7 +121,10 @@ object ArrowIpc {
   final case class TList(child: ColType) extends ColType {
     def label = s"list<${child.label}>"
   }
-  final case class Col(name: String, tpe: ColType)
+  /** A field's dictionary declaration: the shared dictionary id and
+    * the integer width its record-batch index column uses. */
+  final case class Dict(id: Long, indexType: TInt)
+  final case class Col(name: String, tpe: ColType, dict: Option[Dict] = None)
 
   // Type union member ids (Schema.fbs, frozen order)
   private val TypeInt = 2
@@ -120,11 +134,21 @@ object ArrowIpc {
   private val TypeFixedSizeList = 16
 
   /** Field table slots: name 0, nullable 1, type_type 2, type 3,
-    * dictionary 4, children 5. */
+    * dictionary 4, children 5. DictionaryEncoding slots: id 0,
+    * indexType 1 (an Int table), isOrdered 2, dictionaryKind 3. */
   private def parseField(f: Tab): Col = {
-    if (f.table(4).isDefined)
-      throw new graft.GraftAnalysisException(
-        "arrow: dictionary-encoded fields unsupported")
+    val dict = f.table(4).map { d =>
+      val idx = d.table(1) match {
+        case None => TInt(32, signed = true) // spec default index type
+        case Some(t) =>
+          TInt(t.i32f(0, 0), t.bool(1)) match {
+            case ok @ TInt(8 | 16 | 32 | 64, _) => ok
+            case other => throw new graft.GraftAnalysisException(
+              s"arrow: dictionary index type ${other.label} unsupported")
+          }
+      }
+      Dict(d.i64f(0, 0L), idx)
+    }
     val name = f.string(0).getOrElse("")
     val tt = f.i8(2, 0)
     def children: Seq[Col] = f.vector(5) match {
@@ -151,23 +175,31 @@ object ArrowIpc {
       case TypeUtf8 => TUtf8
       case TypeList =>
         children match {
-          case Seq(Col(_, c @ TFloat(32))) => TList(c)
+          case Seq(Col(_, c @ TFloat(32), None)) => TList(c)
           case _ => throw new graft.GraftAnalysisException(
-            "arrow: list children other than float32 unsupported")
+            "arrow: list children other than plain float32 unsupported")
         }
       case TypeFixedSizeList =>
         val t = f.table(3).getOrElse(bad())
         val n = t.i32f(0, 0)
         if (n <= 0) bad()
         children match {
-          case Seq(Col(_, c @ TFloat(32))) => TFixedList(n, c)
+          case Seq(Col(_, c @ TFloat(32), None)) => TFixedList(n, c)
           case _ => throw new graft.GraftAnalysisException(
-            "arrow: fixed-size-list children other than float32 unsupported")
+            "arrow: fixed-size-list children other than plain float32 unsupported")
         }
       case other => throw new graft.GraftAnalysisException(
         s"arrow: type union member $other unsupported")
     }
-    Col(name, tpe)
+    dict.foreach { d =>
+      tpe match {
+        case TInt(_, _) | TFloat(_) | TUtf8 => ()
+        case other => throw new graft.GraftAnalysisException(
+          s"arrow: dictionary-encoded ${other.label} unsupported")
+      }
+      if (d.id < 0) bad()
+    }
+    Col(name, tpe, dict)
   }
 
   // ------------------------------------------------------------ stream read
@@ -186,6 +218,7 @@ object ArrowIpc {
       bytes(3) == 'O' && bytes(4) == 'W' && bytes(5) == '1') p = 8
     var schema: Seq[Col] = null
     val batches = Seq.newBuilder[Seq[Column]]
+    val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Any]]
     var done = false
     while (!done && p + 4 <= bytes.length) {
       var metaLen = buf.i32(p)
@@ -212,11 +245,22 @@ object ArrowIpc {
                 }
               case None => Seq.empty
             }
-          case 2 => throw new graft.GraftAnalysisException(
-            "arrow: dictionary batches unsupported")
+          case 2 => // DictionaryBatch { id 0, data 1, isDelta 2 }
+            if (schema == null) bad()
+            val db = msg.table(2).getOrElse(bad())
+            val id = db.i64f(0, 0L)
+            val valueType = schema.collectFirst {
+              case Col(_, t, Some(d)) if d.id == id => t
+            }.getOrElse(throw new graft.GraftAnalysisException(
+              s"arrow: dictionary batch for undeclared id $id"))
+            val vals = decodeBatch(buf, db.table(1).getOrElse(bad()),
+              Seq(Col("", valueType)), bodyStart.toInt, dicts).head.values
+            dicts(id) =
+              if (db.bool(2)) dicts.getOrElse(id, Vector.empty) ++ vals // delta appends
+              else vals // replacement (or first) dictionary
           case 3 => // RecordBatch
             if (schema == null) bad()
-            batches += decodeBatch(buf, msg.table(2).getOrElse(bad()), schema, bodyStart.toInt)
+            batches += decodeBatch(buf, msg.table(2).getOrElse(bad()), schema, bodyStart.toInt, dicts)
           case other => throw new graft.GraftAnalysisException(
             s"arrow: message header type $other unsupported")
         }
@@ -229,10 +273,28 @@ object ArrowIpc {
 
   /** RecordBatch slots: length 0, nodes 1, buffers 2, compression 3.
     * Nodes/buffers are consumed in depth-first flattened field
-    * order, exactly as the columnar spec lays them out. */
-  private def decodeBatch(buf: Buf, rb: Tab, schema: Seq[Col], body: Int): Seq[Column] = {
-    if (rb.fieldPos(3) != 0) throw new graft.GraftAnalysisException(
-      "arrow: record batch body compression unsupported")
+    * order, exactly as the columnar spec lays them out. When a
+    * BodyCompression member is present each buffer body is
+    * `[int64 LE uncompressed length][compressed bytes]` (-1 length =
+    * raw passthrough), decompressed here buffer-by-buffer through
+    * the in-repo from-spec codecs. A dictionary-encoded column's
+    * record-batch presence is its index column (validity + indices
+    * of the declared width); values resolve against `dicts` with
+    * hard bounds checks. */
+  private def decodeBatch(buf: Buf, rb: Tab, schema: Seq[Col], body: Int,
+      dicts: collection.Map[Long, IndexedSeq[Any]]): Seq[Column] = {
+    // BodyCompression { codec: i8 slot 0 (0 LZ4_FRAME / 1 ZSTD),
+    //                   method: i8 slot 1 (0 BUFFER) }
+    val codec: Option[Int] = rb.table(3).map { c =>
+      val method = c.i8(1, 0)
+      if (method != 0) throw new graft.GraftAnalysisException(
+        s"arrow: body compression method $method unsupported")
+      c.i8(0, 0) match {
+        case ok @ (0 | 1) => ok
+        case other => throw new graft.GraftAnalysisException(
+          s"arrow: body compression codec $other unsupported")
+      }
+    }
     val (nodeBase, nNodes) = rb.vector(1).getOrElse(bad())
     val (bufBase, nBufs) = rb.vector(2).getOrElse(bad())
     var node = 0
@@ -242,18 +304,41 @@ object ArrowIpc {
       val p = nodeBase + 16 * node; node += 1
       (buf.i64(p), buf.i64(p + 8))
     }
-    def nextBuf(): (Int, Int) = {
+    def nextBufRaw(): (Int, Int) = {
       if (bi >= nBufs) bad()
       val p = bufBase + 16 * bi; bi += 1
       val off = buf.i64(p); val len = buf.i64(p + 8)
       if (off < 0 || len < 0 || body + off + len > buf.b.length) bad()
       ((body + off).toInt, len.toInt)
     }
-    def validity(n: Long, nullCount: Long): Int => Boolean = {
-      val (off, len) = nextBuf()
-      if (nullCount == 0L || len == 0) _ => true
-      else { i => (buf.b(off + (i >> 3)) & (1 << (i & 7))) != 0 }
+    /** Consume one buffer and return a readable (buf, base) view of
+      * its UNCOMPRESSED bytes plus their length. */
+    def nextBuf(): (Buf, Int, Int) = {
+      val (off, len) = nextBufRaw()
+      codec match {
+        case None => (buf, off, len)
+        case Some(_) if len == 0 => (buf, off, 0)
+        case Some(c) =>
+          if (len < 8) bad()
+          val ulen = buf.i64(off)
+          if (ulen == -1L) (buf, off + 8, len - 8) // spec: raw passthrough
+          else {
+            if (ulen < 0 || ulen > Int.MaxValue) bad()
+            val comp = java.util.Arrays.copyOfRange(buf.b, off + 8, off + len)
+            val plain = (if (c == 0) ShortCodecs.unlz4Framed(comp)
+                         else ZstdCodec.decode(comp)).getOrElse(bad())
+            if (plain.length.toLong != ulen) bad()
+            (new Buf(plain), 0, plain.length)
+          }
+      }
     }
+    def validity(n: Long, nullCount: Long): Int => Boolean =
+      if (nullCount == 0L) { nextBufRaw(); _ => true } // skip even the decompression
+      else {
+        val (vb, off, len) = nextBuf()
+        if (len == 0) _ => true
+        else { i => (vb.b(off + (i >> 3)) & (1 << (i & 7))) != 0 }
+      }
     def readValues(tpe: ColType): IndexedSeq[Any] = {
       val (n0, nullCount) = nextNode()
       val n = n0.toInt
@@ -261,32 +346,32 @@ object ArrowIpc {
       val valid = validity(n0, nullCount)
       tpe match {
         case TInt(bits, signed) =>
-          val (off, _) = nextBuf()
+          val (db, off, _) = nextBuf()
           (0 until n).map { i =>
             if (!valid(i)) null
             else bits match {
-              case 8 => val v = buf.b(off + i).toLong; if (signed) v else v & 0xFF
-              case 16 => val v = buf.u16(off + 2 * i); if (signed) (v << 16) >> 16 else v.toLong
-              case 32 => val v = buf.i32(off + 4 * i); if (signed) v.toLong else v & 0xFFFFFFFFL
-              case _ => buf.i64(off + 8 * i) // unsigned 64 reads as the same bits
+              case 8 => val v = db.b(off + i).toLong; if (signed) v else v & 0xFF
+              case 16 => val v = db.u16(off + 2 * i); if (signed) ((v << 16) >> 16).toLong else v.toLong
+              case 32 => val v = db.i32(off + 4 * i); if (signed) v.toLong else v & 0xFFFFFFFFL
+              case _ => db.i64(off + 8 * i) // unsigned 64 reads as the same bits
             }
           }
         case TFloat(bits) =>
-          val (off, _) = nextBuf()
+          val (db, off, _) = nextBuf()
           (0 until n).map { i =>
             if (!valid(i)) null
-            else if (bits == 32) java.lang.Float.intBitsToFloat(buf.i32(off + 4 * i))
-            else java.lang.Double.longBitsToDouble(buf.i64(off + 8 * i))
+            else if (bits == 32) java.lang.Float.intBitsToFloat(db.i32(off + 4 * i))
+            else java.lang.Double.longBitsToDouble(db.i64(off + 8 * i))
           }
         case TUtf8 =>
-          val (ooff, _) = nextBuf()
-          val (doff, _) = nextBuf()
+          val (ob, ooff, _) = nextBuf()
+          val (dbuf, doff, _) = nextBuf()
           (0 until n).map { i =>
             if (!valid(i)) null
             else {
-              val b0 = buf.i32(ooff + 4 * i); val b1 = buf.i32(ooff + 4 * i + 4)
-              if (b0 < 0 || b1 < b0 || doff + b1 > buf.b.length) bad()
-              new String(buf.b, doff + b0, b1 - b0, java.nio.charset.StandardCharsets.UTF_8)
+              val b0 = ob.i32(ooff + 4 * i); val b1 = ob.i32(ooff + 4 * i + 4)
+              if (b0 < 0 || b1 < b0 || doff + b1 > dbuf.b.length) bad()
+              new String(dbuf.b, doff + b0, b1 - b0, java.nio.charset.StandardCharsets.UTF_8)
             }
           }
         case TFixedList(size, child) =>
@@ -296,8 +381,8 @@ object ArrowIpc {
             else childVals.slice(i * size, (i + 1) * size)
           }
         case TList(child) =>
-          val (ooff, _) = nextBuf()
-          val offs = (0 to n).map(i => buf.i32(ooff + 4 * i))
+          val (ob, ooff, _) = nextBuf()
+          val offs = (0 to n).map(i => ob.i32(ooff + 4 * i))
           val childVals = readValues(child)
           (0 until n).map { i =>
             if (!valid(i)) null
@@ -308,7 +393,20 @@ object ArrowIpc {
           }
       }
     }
-    schema.map(c => Column(c.name, c.tpe, readValues(c.tpe)))
+    def readColumn(c: Col): IndexedSeq[Any] = c.dict match {
+      case None => readValues(c.tpe)
+      case Some(Dict(id, idxT)) =>
+        val values = dicts.getOrElse(id, throw new graft.GraftAnalysisException(
+          s"arrow: record batch uses dictionary $id before any dictionary batch"))
+        readValues(idxT).map {
+          case null => null
+          case ix: Long =>
+            if (ix < 0 || ix >= values.length) bad()
+            values(ix.toInt)
+          case _ => bad()
+        }
+    }
+    schema.map(c => Column(c.name, c.tpe, readColumn(c)))
   }
 
   // ------------------------------------------------------------ flatbuffer build
@@ -608,6 +706,183 @@ object ArrowIpc {
         (g, writeVecStream("vec_id", "embedding", dim, rows, batchRows))
       }
       .toDF("shard", "payload")
+  }
+
+  /** Gate packer for the COMPRESSED read path: the same embedding
+    * shards, written by the INDEPENDENT Apache Arrow Java writer
+    * (arrow-vector + arrow-compression, already on the Spark
+    * classpath) with real body compression — LZ4_FRAME on even
+    * shards, ZSTD on odd — so [[readStream]]'s buffer-by-buffer
+    * decompression is pinned against the reference implementation's
+    * bytes, not our own writer's. Multi-batch streams (batchRows per
+    * batch) keep the framing walk honest. */
+  def packVecsCompressedRef(df: DataFrame, keyCol: String, vecCol: String,
+      groups: Int = 8, batchRows: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(vecCol).cast("array<float>"))
+      .where(col(keyCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .groupByKey(_._1 % groups)
+      .mapGroups { (g, it) =>
+        val rows = it.toSeq.sortBy(_._1)
+        val codecType =
+          if (g % 2 == 0) org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
+          else org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          val keyField = new org.apache.arrow.vector.types.pojo.Field("vec_id",
+            org.apache.arrow.vector.types.pojo.FieldType.nullable(
+              new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)), null)
+          val itemField = new org.apache.arrow.vector.types.pojo.Field("item",
+            org.apache.arrow.vector.types.pojo.FieldType.nullable(
+              new org.apache.arrow.vector.types.pojo.ArrowType.FloatingPoint(
+                org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE)), null)
+          val vecField = new org.apache.arrow.vector.types.pojo.Field("embedding",
+            org.apache.arrow.vector.types.pojo.FieldType.nullable(
+              new org.apache.arrow.vector.types.pojo.ArrowType.List()),
+            java.util.Collections.singletonList(itemField))
+          val schema = new org.apache.arrow.vector.types.pojo.Schema(
+            java.util.Arrays.asList(keyField, vecField))
+          val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+              root, null, java.nio.channels.Channels.newChannel(bos),
+              org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+              org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, codecType)
+            try {
+              writer.start()
+              rows.grouped(math.max(1, batchRows)).foreach { batch =>
+                root.allocateNew()
+                val kv = root.getVector("vec_id")
+                  .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+                val lv = root.getVector("embedding")
+                  .asInstanceOf[org.apache.arrow.vector.complex.ListVector]
+                val lw = lv.getWriter
+                batch.zipWithIndex.foreach { case ((k, vec), i) =>
+                  kv.setSafe(i, k)
+                  lw.setPosition(i)
+                  lw.startList()
+                  vec.foreach(v => lw.float4().writeFloat4(v))
+                  lw.endList()
+                }
+                lw.setValueCount(batch.length)
+                root.setRowCount(batch.length)
+                writer.writeBatch()
+              }
+              writer.end()
+            } finally writer.close()
+            (g, if (g % 2 == 0) "lz4" else "zstd", bos.toByteArray)
+          } finally root.close()
+        } finally alloc.close()
+      }
+      .toDF("shard", "codec", "payload")
+  }
+
+  /** Gate packer for the DICTIONARY read path: (doc_id, source) with
+    * `source` dictionary-encoded, written by the Arrow Java writer's
+    * own DictionaryProvider machinery (dictionary batch first, index
+    * columns in the record batches) — the reference bytes our
+    * dictionary resolution is pinned against. */
+  def packDocsDictRef(df: DataFrame, idCol: String, strCol: String,
+      groups: Int = 8, batchRows: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(strCol), lit("")))
+      .where(col(idCol).isNotNull)
+      .as[(Long, String)]
+      .groupByKey(_._1 % groups)
+      .mapGroups { (g, it) =>
+        val rows = it.toSeq.sortBy(_._1)
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          // distinct values, first-appearance order, as the dictionary
+          val values = rows.map(_._2).distinct.toIndexedSeq
+          val index = values.zipWithIndex.toMap
+          val dictVec = new org.apache.arrow.vector.VarCharVector("dict", alloc)
+          try {
+            dictVec.allocateNew()
+            values.zipWithIndex.foreach { case (v, i) =>
+              dictVec.setSafe(i, v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            dictVec.setValueCount(values.length)
+            val encoding = new org.apache.arrow.vector.types.pojo.DictionaryEncoding(
+              7L, false, new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, true))
+            val provider = new org.apache.arrow.vector.dictionary.DictionaryProvider
+              .MapDictionaryProvider(
+                new org.apache.arrow.vector.dictionary.Dictionary(dictVec, encoding))
+            val idField = new org.apache.arrow.vector.types.pojo.Field("doc_id",
+              org.apache.arrow.vector.types.pojo.FieldType.nullable(
+                new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)), null)
+            // the field carries the encoding; its storage is the index ints
+            val strField = new org.apache.arrow.vector.types.pojo.Field("source",
+              new org.apache.arrow.vector.types.pojo.FieldType(true,
+                new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, true),
+                encoding, null), null)
+            val schema = new org.apache.arrow.vector.types.pojo.Schema(
+              java.util.Arrays.asList(idField, strField))
+            val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+                root, provider, java.nio.channels.Channels.newChannel(bos))
+              try {
+                writer.start()
+                rows.grouped(math.max(1, batchRows)).foreach { batch =>
+                  root.allocateNew()
+                  val idVec = root.getVector("doc_id")
+                    .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+                  val ixVec = root.getVector("source")
+                    .asInstanceOf[org.apache.arrow.vector.IntVector]
+                  batch.zipWithIndex.foreach { case ((id, s), i) =>
+                    idVec.setSafe(i, id)
+                    ixVec.setSafe(i, index(s))
+                  }
+                  root.setRowCount(batch.length)
+                  writer.writeBatch()
+                }
+                writer.end()
+              } finally writer.close()
+              (g, bos.toByteArray)
+            } finally root.close()
+          } finally dictVec.close()
+        } finally alloc.close()
+      }
+      .toDF("shard", "payload")
+  }
+
+  /** Decode (key, string) rows out of IPC payloads — the dictionary
+    * gate's read surface: (id, key, value). The string column may be
+    * plain or dictionary-encoded; both resolve through the same
+    * [[readStream]] walk. */
+  def decodeKeyStrRows(df: DataFrame, idCol: String, payloadCol: String,
+      keyCol: String, strCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val parsed =
+          try Some(readStream(if (payload == null) Array.emptyByteArray else payload))
+          catch {
+            case Bad | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None
+          }
+        parsed.iterator.flatMap { case (schema, batches) =>
+          val ki = schema.indexWhere(_.name == keyCol)
+          val vi = schema.indexWhere(_.name == strCol)
+          if (ki < 0 || vi < 0) Iterator.empty
+          else batches.iterator.flatMap { cols =>
+            val keys = cols(ki).values
+            val strs = cols(vi).values
+            keys.indices.iterator.collect {
+              case i if keys(i) != null && strs(i) != null =>
+                (id, keys(i).asInstanceOf[Long], strs(i).asInstanceOf[String])
+            }
+          }
+        }
+      }
+      .toDF("id", "key", "value")
   }
 
   /** Decode (key, vector) rows back out of IPC stream payloads:

@@ -25,7 +25,12 @@ import org.json4s.jackson.JsonMethods
   *    v2 adds `content`: 0 data, 1 deletes);
   *  - v2 delete manifests list POSITION-delete parquet files —
   *    spec columns (`file_path`, `pos`) — whose rows anti-join the
-  *    data scan; equality deletes (content=2) refuse by name;
+  *    data scan, and EQUALITY-delete files (content=2, round 15
+  *    continuation) whose rows anti-join on the columns named by
+  *    `equality_ids` (schema field ids → names via the metadata's
+  *    current schema), null-safe and scoped by data sequence
+  *    number (a delete at sequence N only reaches data sequences
+  *    strictly below N — the Flink-writer upsert pattern);
   *  - each manifest has one `manifest_entry` row per data file:
   *    `status` (0 EXISTING / 1 ADDED / 2 DELETED — deleted entries
   *    are bookkeeping, never data) and a nested `data_file` record
@@ -45,10 +50,12 @@ import org.json4s.jackson.JsonMethods
 object Iceberg {
 
   final case class Entry(status: Int, path: String, format: String,
-      recordCount: Long, fileSizeBytes: Long, content: Int = 0)
+      recordCount: Long, fileSizeBytes: Long, content: Int = 0,
+      sequenceNumber: Option[Long] = None, equalityIds: Seq[Int] = Seq.empty)
   final case class Snapshot(id: Long, manifestList: Option[String], manifests: Seq[String])
   final case class TableMeta(formatVersion: Int, location: Option[String],
-      currentSnapshotId: Option[Long], snapshots: Seq[Snapshot])
+      currentSnapshotId: Option[Long], snapshots: Seq[Snapshot],
+      fieldNames: Map[Int, String] = Map.empty)
 
   /** Parse a vN.metadata.json document. None outside the supported
     * subset (or malformed JSON). */
@@ -76,7 +83,31 @@ object Iceberg {
         }
         case _ => Seq.empty
       }
-      Some(TableMeta(fv, loc, cur, snaps))
+      // current schema's (field id → name) map — equality deletes
+      // name their columns by field id. `schemas` + current-schema-id
+      // is the modern layout; the legacy single `schema` key is the
+      // v1 fallback.
+      val fieldNames: Map[Int, String] = {
+        val schemas = jv \ "schemas" match { case JArray(xs) => xs; case _ => Nil }
+        val curId = jv \ "current-schema-id" match { case JInt(v) => Some(v.toInt); case _ => None }
+        val chosen = curId.flatMap { id =>
+          schemas.find(s => s \ "schema-id" match {
+            case JInt(v) => v.toInt == id; case _ => false })
+        }.orElse(schemas.lastOption)
+          .orElse(jv \ "schema" match { case o: JObject => Some(o): Option[JValue]; case _ => None })
+        chosen.map { s =>
+          s \ "fields" match {
+            case JArray(fs) => fs.flatMap { f =>
+              (f \ "id", f \ "name") match {
+                case (JInt(i), JString(n)) => Some(i.toInt -> n)
+                case _ => None
+              }
+            }.toMap
+            case _ => Map.empty[Int, String]
+          }
+        }.getOrElse(Map.empty)
+      }
+      Some(TableMeta(fv, loc, cur, snaps, fieldNames))
     } catch { case _: Exception => None }
 
   private def recordOf(schemaJson: String): Option[Avro.ARecord] =
@@ -93,14 +124,16 @@ object Iceberg {
   def manifestListPaths(bytes: Array[Byte]): Option[Seq[String]] =
     manifestListEntries(bytes).map(_.map(_._1))
 
-  /** manifest-list container → (manifest path, content) rows —
-    * `content` is the v2 manifest kind (0 data, 1 deletes), absent
-    * in v1 lists → 0. */
-  def manifestListEntries(bytes: Array[Byte]): Option[Seq[(String, Int)]] =
+  /** manifest-list container → (manifest path, content, sequence
+    * number) rows — `content` is the v2 manifest kind (0 data, 1
+    * deletes), `sequence_number` the v2 data sequence ADDED entries
+    * inherit; both absent in v1 lists → (0, None). */
+  def manifestListEntries(bytes: Array[Byte]): Option[Seq[(String, Int, Option[Long])]] =
     Avro.readContainer(bytes).flatMap { case (h, rows) =>
       recordOf(h.schemaJson).flatMap { rec =>
         val names = rec.fields.map(_._1)
         val ci = names.indexOf("content")
+        val qi = names.indexOf("sequence_number")
         names.indexOf("manifest_path") match {
           case -1 => None
           case i => Some(rows.collect {
@@ -108,7 +141,9 @@ object Iceberg {
               val content =
                 if (ci < 0 || r.isNullAt(ci)) 0
                 else asLong(r.get(ci)).map(_.toInt).getOrElse(0)
-              (r.get(i).toString, content)
+              val seq =
+                if (qi < 0 || r.isNullAt(qi)) None else asLong(r.get(qi))
+              (r.get(i).toString, content, seq)
           })
         }
       }
@@ -134,6 +169,8 @@ object Iceberg {
         val (pi, fi, rci, fsi) = (dn.indexOf("file_path"), dn.indexOf("file_format"),
           dn.indexOf("record_count"), dn.indexOf("file_size_in_bytes"))
         val ci = dn.indexOf("content") // v2: 0 data, 1 position deletes, 2 equality
+        val eqi = dn.indexOf("equality_ids") // v2: field ids of the equality columns
+        val sqi = names.indexOf("sequence_number") // v2 entry-level data sequence
         if (pi < 0 || fi < 0 || rci < 0 || fsi < 0) return None
         Some(rows.flatMap {
           case r: Row if !r.isNullAt(si) && !r.isNullAt(di) =>
@@ -146,7 +183,14 @@ object Iceberg {
               fs <- if (df.isNullAt(fsi)) None else asLong(df.get(fsi))
             } yield Entry(status.toInt, path, fmt, rc, fs,
               if (ci < 0 || df.isNullAt(ci)) 0
-              else asLong(df.get(ci)).map(_.toInt).getOrElse(0))
+              else asLong(df.get(ci)).map(_.toInt).getOrElse(0),
+              if (sqi < 0 || r.isNullAt(sqi)) None else asLong(r.get(sqi)),
+              if (eqi < 0 || df.isNullAt(eqi)) Seq.empty
+              else df.get(eqi) match {
+                case s: scala.collection.Seq[_] =>
+                  s.flatMap(x => asLong(x).map(_.toInt)).toSeq
+                case _ => Seq.empty
+              })
           case _ => None
         })
       }
@@ -230,6 +274,48 @@ object Iceberg {
     Avro.writeContainer(manifestListSchemaV2Json, "deflate",
       paths.iterator.map { case (p, len, c) => Row(p, len, 0, c) }, syncSeed)
 
+  /** Sequence-carrying fixture schemas (equality-delete tables):
+    * nullable entry-level `sequence_number` (exercises the
+    * inheritance rule when null), `equality_ids` int array on the
+    * data_file, `sequence_number` on the manifest-list row. */
+  private val manifestSchemaSeqJson: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"equality_ids","type":{"type":"array","items":"int"}}]}}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  private val manifestListSchemaSeqJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"}]}""".stripMargin.replaceAll("\n", "")
+
+  /** Write a sequence-carrying manifest container; a None
+    * sequenceNumber writes the null union branch (inheritance). */
+  def writeManifestSeq(entries: Seq[Entry], syncSeed: String): Array[Byte] =
+    Avro.writeContainer(manifestSchemaSeqJson, "deflate",
+      entries.iterator.map(e =>
+        Row(e.status, e.sequenceNumber.map(Long.box).orNull,
+          Row(e.content, e.path, e.format, e.recordCount, e.fileSizeBytes,
+            e.equalityIds))),
+      syncSeed)
+
+  /** Write a sequence-carrying manifest list: (path, length, content,
+    * sequence number). */
+  def writeManifestListSeq(paths: Seq[(String, Long, Int, Long)],
+      syncSeed: String): Array[Byte] =
+    Avro.writeContainer(manifestListSchemaSeqJson, "deflate",
+      paths.iterator.map { case (p, len, c, sq) => Row(p, len, 0, c, sq) }, syncSeed)
+
   /** Gate packer: one manifest payload per document, entries from id
     * arithmetic — data-<id>-0.parquet DELETED when id%3==0 else ADDED
     * (record_count id%100+1, size id+4096), plus an EXISTING
@@ -274,13 +360,21 @@ object Iceberg {
     * relation. v2 (round 15): delete manifests (`content=1` in the
     * manifest list) contribute POSITION-delete parquet files
     * (`file_path`, `pos` per the spec) which anti-join against the
-    * data scan's (`_metadata.file_path`, `_metadata.row_index`);
-    * equality deletes refuse by name. Sequence-number pruning is
-    * unnecessary under path-exact matching: writers never reuse data
-    * file paths, so a delete row can only ever hit the file
-    * generation it was written against. Refuses (analysis error) on
-    * format-version ≥3, a missing current snapshot, unreadable Avro,
-    * or a non-parquet data file. */
+    * data scan's (`_metadata.file_path`, `_metadata.row_index`) —
+    * sequence-number pruning is unnecessary THERE under path-exact
+    * matching: writers never reuse data file paths, so a position
+    * delete can only ever hit the file generation it was written
+    * against. EQUALITY deletes (content=2) anti-join on the
+    * `equality_ids` columns with null-safe equality AND the spec's
+    * sequence scoping (data sequence < delete sequence — value
+    * matching alone would kill rows re-inserted after the delete),
+    * data sequences attached per the inheritance rule (entry-level,
+    * else the manifest-list row's for ADDED entries) via a broadcast
+    * key manifest that RAISES on any unmatched scan path. Refuses
+    * (analysis error) on format-version ≥3, a missing current
+    * snapshot, unreadable Avro, a non-parquet data file, unknown
+    * equality field ids, or missing sequence numbers when equality
+    * deletes are present. */
   def readTable(spark: SparkSession, tableDir: String): DataFrame = {
     val metaDir = new java.io.File(tableDir, "metadata")
     val files = Option(metaDir.listFiles()).getOrElse(Array.empty)
@@ -300,38 +394,52 @@ object Iceberg {
     val cur = meta.currentSnapshotId.getOrElse(refuse("no current snapshot"))
     val snap = meta.snapshots.find(_.id == cur)
       .getOrElse(refuse(s"current snapshot $cur not in snapshots"))
-    val manifestList: Seq[(String, Int)] = snap.manifestList match {
+    val manifestList: Seq[(String, Int, Option[Long])] = snap.manifestList match {
       case Some(ml) =>
         val f = new java.io.File(resolvePath(tableDir, meta.location, ml))
         if (!f.isFile) refuse(s"manifest list missing: ${f.getName}")
         manifestListEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest list ${f.getName}"))
-      case None if snap.manifests.nonEmpty => snap.manifests.map(_ -> 0)
+      case None if snap.manifests.nonEmpty => snap.manifests.map(p => (p, 0, None))
       case None => refuse(s"snapshot $cur has neither manifest-list nor manifests")
     }
-    def entriesOf(paths: Seq[String]): Seq[Entry] = paths.flatMap { mp =>
+    // entries carry their data sequence number: explicit at the entry
+    // level, else INHERITED from the manifest-list row for ADDED
+    // entries (the spec's inheritance rule — EXISTING entries must be
+    // explicit because they predate their current manifest).
+    def entriesOf(ms: Seq[(String, Option[Long])]): Seq[Entry] = ms.flatMap { case (mp, mseq) =>
       val f = new java.io.File(resolvePath(tableDir, meta.location, mp))
       if (!f.isFile) refuse(s"manifest missing: ${f.getName}")
       manifestEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest ${f.getName}"))
+        .map(e => if (e.sequenceNumber.isEmpty && e.status == 1)
+          e.copy(sequenceNumber = mseq) else e)
     }
-    val (dataManifests, deleteManifests) = manifestList.partition(_._2 == 0)
-    deleteManifests.find(_._2 != 1).foreach { case (p, c) =>
+    val dataManifests = manifestList.filter(_._2 == 0)
+    val deleteManifests = manifestList.filter(_._2 == 1)
+    manifestList.find(m => m._2 != 0 && m._2 != 1).foreach { case (p, c, _) =>
       refuse(s"manifest content $c unsupported in $p") }
-    val active = entriesOf(dataManifests.map(_._1)).filter(_.status != 2)
+    val active = entriesOf(dataManifests.map(m => (m._1, m._3))).filter(_.status != 2)
     if (active.isEmpty) refuse(s"snapshot $cur has no active data files")
     active.find(_.content != 0).foreach(e =>
       refuse(s"delete file ${e.path} listed in a data manifest"))
-    val deletes = entriesOf(deleteManifests.map(_._1)).filter(_.status != 2)
-    deletes.find(_.content == 2).foreach(e =>
-      refuse(s"equality deletes unsupported (delete file ${e.path}); " +
-        "refusing beats silently resurrecting rows"))
-    deletes.find(_.content != 1).foreach(e =>
-      refuse(s"non-position-delete file ${e.path} in a delete manifest"))
+    val deletes = entriesOf(deleteManifests.map(m => (m._1, m._3))).filter(_.status != 2)
+    deletes.find(d => d.content != 1 && d.content != 2).foreach(e =>
+      refuse(s"non-delete file ${e.path} (content ${e.content}) in a delete manifest"))
+    val posDeletes = deletes.filter(_.content == 1)
+    val eqDeletes = deletes.filter(_.content == 2)
     (active ++ deletes).find(!_.format.equalsIgnoreCase("parquet")).foreach(e =>
       refuse(s"data file format ${e.format} unsupported (parquet only)"))
     val base = spark.read.parquet(
       active.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
-    if (deletes.isEmpty) base
-    else {
+    if (deletes.isEmpty) return base
+
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
+    def localKeyRows(es: Seq[Entry])(value: Entry => Any): Seq[Row] = es.flatMap { e =>
+      DeltaLog.keyForms(resolvePath(tableDir, meta.location, e.path))
+        .map(k => Row(k, value(e)))
+    }
+    var scan = base.withColumn("__graft_file_key", col("_metadata.file_path"))
+
+    if (posDeletes.nonEmpty) {
       // delete rows name their target by the WRITER's file_path
       // spelling; translate through a broadcast (writer path → local
       // scan key) manifest, then anti-join on (file key, row index).
@@ -343,24 +451,83 @@ object Iceberg {
       }
       val transDf = spark.createDataFrame(
         java.util.Arrays.asList(transRows: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__graft_writer_path",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__graft_local_key",
-            org.apache.spark.sql.types.StringType))))
+        StructType(Seq(StructField("__graft_writer_path", StringType),
+          StructField("__graft_local_key", StringType))))
       val delDf = spark.read.parquet(
-        deletes.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
+        posDeletes.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
       if (!delDf.columns.contains("file_path") || !delDf.columns.contains("pos"))
         refuse("position-delete file lacks the spec's (file_path, pos) columns")
       val translated = delDf
         .join(broadcast(transDf), col("file_path") === col("__graft_writer_path"))
         .select(col("__graft_local_key"), col("pos").cast("long").as("__graft_del_pos"))
-      base.withColumn("__graft_file_key", col("_metadata.file_path"))
-        .withColumn("__graft_row_idx", col("_metadata.row_index"))
+      scan = scan.withColumn("__graft_row_idx", col("_metadata.row_index"))
         .join(translated,
           col("__graft_file_key") === col("__graft_local_key") &&
             col("__graft_row_idx") === col("__graft_del_pos"), "left_anti")
-        .drop("__graft_file_key", "__graft_row_idx")
+        .drop("__graft_row_idx")
     }
+
+    if (eqDeletes.nonEmpty) {
+      // Equality deletes are SEQUENCE-SCOPED: a delete at data
+      // sequence N kills matching rows only in data files with
+      // sequence < N — rows (re-)written after the delete survive.
+      // Everyone therefore needs a sequence number; refusing beats
+      // silently deleting resurrected rows or resurrecting deleted
+      // ones.
+      eqDeletes.find(_.sequenceNumber.isEmpty).foreach(e =>
+        refuse(s"equality delete ${e.path} has no data sequence number"))
+      active.find(_.sequenceNumber.isEmpty).foreach(e =>
+        refuse(s"data file ${e.path} has no data sequence number " +
+          "(required to scope equality deletes)"))
+      eqDeletes.find(_.equalityIds.isEmpty).foreach(e =>
+        refuse(s"equality delete ${e.path} lists no equality_ids"))
+      // attach each data row's file sequence via a broadcast (local
+      // scan key → sequence) manifest; an unmatched key-form RAISES
+      // rather than silently mis-scoping (the DeltaLog guard idiom)
+      val seqDf = spark.createDataFrame(
+        java.util.Arrays.asList(localKeyRows(active)(_.sequenceNumber.get): _*),
+        StructType(Seq(StructField("__graft_file_key", StringType),
+          StructField("__graft_seq_m", LongType))))
+      scan = scan.join(broadcast(seqDf), Seq("__graft_file_key"), "left")
+        .withColumn("__graft_data_seq",
+          when(col("__graft_seq_m").isNotNull, col("__graft_seq_m"))
+            .otherwise(raise_error(concat(
+              lit("iceberg: scan file path did not match the sequence manifest: "),
+              col("__graft_file_key"))).cast("long")))
+        .drop("__graft_seq_m")
+      // one anti-join per distinct equality-id set (real tables carry
+      // one — the writer's key columns)
+      eqDeletes.groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(",")).foreach {
+        case (ids, files) =>
+          val eqCols = ids.map(id => meta.fieldNames.getOrElse(id,
+            refuse(s"equality field id $id is not in the current schema " +
+              s"(known ids: ${meta.fieldNames.keys.toSeq.sorted.mkString(",")})")))
+          val delDf = spark.read.parquet(
+            files.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
+          eqCols.find(c => !delDf.columns.contains(c)).foreach(c =>
+            refuse(s"equality delete file lacks column '$c' named by its equality_ids"))
+          val delSeqDf = spark.createDataFrame(
+            java.util.Arrays.asList(localKeyRows(files)(_.sequenceNumber.get): _*),
+            StructType(Seq(StructField("__graft_dk", StringType),
+              StructField("__graft_del_seq", LongType))))
+          val delRows = delDf
+            .withColumn("__graft_dk", col("_metadata.file_path"))
+            .join(broadcast(delSeqDf), Seq("__graft_dk"), "left")
+            .withColumn("__graft_del_seq",
+              when(col("__graft_del_seq").isNotNull, col("__graft_del_seq"))
+                .otherwise(raise_error(concat(
+                  lit("iceberg: delete file path did not match the sequence manifest: "),
+                  col("__graft_dk"))).cast("long")))
+            .select(col("__graft_del_seq") +:
+              eqCols.map(c => col(s"`$c`").as(s"__graft_eq_$c")): _*)
+          // spec equality semantics: null equals null (<=>), and the
+          // delete only reaches STRICTLY OLDER data sequences
+          val cond = eqCols.map(c => col(s"`$c`") <=> col(s"__graft_eq_$c"))
+            .reduce(_ && _) && col("__graft_data_seq") < col("__graft_del_seq")
+          scan = scan.join(delRows, cond, "left_anti")
+      }
+      scan = scan.drop("__graft_data_seq")
+    }
+    scan.drop("__graft_file_key")
   }
 }

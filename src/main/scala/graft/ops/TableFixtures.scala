@@ -196,4 +196,72 @@ object TableFixtures {
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     dir.getAbsolutePath
   }
+
+  /** Build a v2 Iceberg table whose current snapshot carries an
+    * EQUALITY delete between two data generations:
+    *
+    *  - generation 1 (data sequence 1, INHERITED — the entries write
+    *    a null sequence_number and the manifest-list row carries 1):
+    *    the EVEN doc_ids in two bucket files;
+    *  - an equality delete (sequence 2) on `equality_ids = [1]`
+    *    (field id 1 = doc_id) listing EVERY corpus id with
+    *    `id % 3 == 0` — even ones match generation 1, odd ones match
+    *    nothing yet;
+    *  - generation 2 (sequence 3, explicit entry-level): the ODD
+    *    doc_ids — written AFTER the delete, so its `%3==0` rows must
+    *    SURVIVE. A reader that ignores sequence scoping deletes them
+    *    and hash-mismatches.
+    *
+    * Survivors: even ids with id%3 != 0, plus all odd ids. */
+  def writeIcebergEqTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iceberg-eq").toFile
+    val loc = dir.getAbsolutePath
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"))
+    val gen1 = data.where(col("doc_id") % 2 === 0)
+    val gen2 = data.where(col("doc_id") % 2 === 1)
+    (0 to 1).foreach { k =>
+      singleParquet(gen1.where(pmod(col("doc_id"), lit(4)) === 2 * k).sort("doc_id"),
+        new java.io.File(dir, s"gen1-$k.parquet"))
+      singleParquet(gen2.where(pmod(col("doc_id"), lit(4)) === 2 * k + 1).sort("doc_id"),
+        new java.io.File(dir, s"gen2-$k.parquet"))
+    }
+    singleParquet(data.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).sort("doc_id"),
+      new java.io.File(dir, "eq-del.parquet"))
+    val metaDir = new java.io.File(dir, "metadata"); metaDir.mkdirs()
+    def fsize(name: String): Long = new java.io.File(dir, name).length()
+    def dataEntry(name: String, seq: Option[Long]) = Iceberg.Entry(1,
+      s"$loc/$name", "PARQUET", 0L, fsize(name), content = 0, sequenceNumber = seq)
+    // generation 1: null entry sequence → ADDED entries inherit the
+    // manifest-list row's sequence (1)
+    val mGen1 = Iceberg.writeManifestSeq(
+      (0 to 1).map(k => dataEntry(s"gen1-$k.parquet", None)), "x-ib-eq-g1")
+    val mGen2 = Iceberg.writeManifestSeq(
+      (0 to 1).map(k => dataEntry(s"gen2-$k.parquet", Some(3L))), "x-ib-eq-g2")
+    val mDel = Iceberg.writeManifestSeq(Seq(Iceberg.Entry(1,
+      s"$loc/eq-del.parquet", "PARQUET", 0L, fsize("eq-del.parquet"),
+      content = 2, sequenceNumber = Some(2L), equalityIds = Seq(1))), "x-ib-eq-del")
+    java.nio.file.Files.write(new java.io.File(metaDir, "m-gen1.avro").toPath, mGen1)
+    java.nio.file.Files.write(new java.io.File(metaDir, "m-gen2.avro").toPath, mGen2)
+    java.nio.file.Files.write(new java.io.File(metaDir, "m-del.avro").toPath, mDel)
+    val ml = Iceberg.writeManifestListSeq(Seq(
+      (s"$loc/metadata/m-gen1.avro", mGen1.length.toLong, 0, 1L),
+      (s"$loc/metadata/m-gen2.avro", mGen2.length.toLong, 0, 3L),
+      (s"$loc/metadata/m-del.avro", mDel.length.toLong, 1, 2L)), "x-ib-eq-ml")
+    java.nio.file.Files.write(new java.io.File(metaDir, "snap-1.avro").toPath, ml)
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"x-iceberg-eq","location":"$loc",
+         |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"doc_id","required":false,"type":"long"},
+         |{"id":2,"name":"source","required":false,"type":"string"},
+         |{"id":3,"name":"n_chars","required":false,"type":"long"}]}],
+         |"current-snapshot-id":1,"snapshots":[
+         |{"snapshot-id":1,"manifest-list":"$loc/metadata/snap-1.avro"}]}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
 }

@@ -195,11 +195,99 @@ class IcebergSpec extends SparkSuite {
     assert(got == Seq((1L, "b"), (10L, "c")))
   }
 
-  test("v2 equality deletes refuse by name") {
+  test("v2 equality deletes without sequence numbers refuse by name") {
     val e = intercept[graft.GraftAnalysisException] {
       Iceberg.readTable(spark, v2Fixture(eqDelete = true).getAbsolutePath).collect()
     }
-    assert(e.getMessage.contains("equality deletes"))
+    assert(e.getMessage.contains("no data sequence number"))
+  }
+
+  // --- format-version 2: equality deletes (round 15 continuation) ---
+
+  /** Two data generations around an equality delete on `s` (field id
+    * 2): gen1 (seq 1, INHERITED from the manifest list row) has ids
+    * 0..3 with s = a,b,null,d; the delete (seq 2) lists values
+    * ("a", null) — null must match null; gen2 (seq 3) re-inserts
+    * (10,"a") and (11,null), which must SURVIVE the older delete.
+    * Optionally a position delete (removing gen2's row 0) composes. */
+  private def eqFixture(posDelete: Boolean = false, eqIds: Seq[Int] = Seq(2),
+      withSchema: Boolean = true): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ice-eq").toFile
+    val loc = dir.getAbsolutePath
+    singleParquet(Seq((0L, Option("a")), (1L, Option("b")), (2L, Option.empty[String]),
+      (3L, Option("d"))).toDF("id", "s"), new java.io.File(dir, "f0.parquet"))
+    singleParquet(Seq((10L, Option("a")), (11L, Option.empty[String])).toDF("id", "s"),
+      new java.io.File(dir, "f1.parquet"))
+    singleParquet(Seq(Option("a"), Option.empty[String]).toDF("s"),
+      new java.io.File(dir, "eq-del.parquet"))
+    if (posDelete)
+      singleParquet(Seq((s"$loc/f1.parquet", 0L)).toDF("file_path", "pos"),
+        new java.io.File(dir, "pos-del.parquet"))
+    val meta = new java.io.File(dir, "metadata"); meta.mkdirs()
+    write(new java.io.File(meta, "m-g1.avro"), Iceberg.writeManifestSeq(Seq(
+      Iceberg.Entry(1, s"$loc/f0.parquet", "PARQUET", 4L, 1L, content = 0,
+        sequenceNumber = None)), "g1")) // null → inherits the list row's 1
+    write(new java.io.File(meta, "m-g2.avro"), Iceberg.writeManifestSeq(Seq(
+      Iceberg.Entry(1, s"$loc/f1.parquet", "PARQUET", 2L, 1L, content = 0,
+        sequenceNumber = Some(3L))), "g2"))
+    write(new java.io.File(meta, "m-del.avro"), Iceberg.writeManifestSeq(Seq(
+      Iceberg.Entry(1, s"$loc/eq-del.parquet", "PARQUET", 2L, 1L, content = 2,
+        sequenceNumber = Some(2L), equalityIds = eqIds)), "del"))
+    val listRows = Seq(
+      (s"$loc/metadata/m-g1.avro", 1L, 0, 1L),
+      (s"$loc/metadata/m-g2.avro", 1L, 0, 3L),
+      (s"$loc/metadata/m-del.avro", 1L, 1, 2L)) ++
+      (if (posDelete) {
+        write(new java.io.File(meta, "m-pdel.avro"), Iceberg.writeManifestSeq(Seq(
+          Iceberg.Entry(1, s"$loc/pos-del.parquet", "PARQUET", 1L, 1L, content = 1,
+            sequenceNumber = Some(4L))), "pdel"))
+        Seq((s"$loc/metadata/m-pdel.avro", 1L, 1, 4L))
+      } else Seq.empty)
+    write(new java.io.File(meta, "ml.avro"), Iceberg.writeManifestListSeq(listRows, "ml"))
+    val schemaJson = if (withSchema)
+      s""""current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"long"},
+         |{"id":2,"name":"s","required":false,"type":"string"}]}],"""
+        .stripMargin.replaceAll("\n", "")
+    else ""
+    write(new java.io.File(meta, "v1.metadata.json"),
+      s"""{"format-version":2,"location":"$loc",$schemaJson"current-snapshot-id":1,""" +
+        s""""snapshots":[{"snapshot-id":1,"manifest-list":"$loc/metadata/ml.avro"}]}""")
+    write(new java.io.File(meta, "version-hint.text"), "1")
+    dir
+  }
+
+  test("v2 equality deletes: null-safe value match, sequence scoping, inheritance") {
+    val got = Iceberg.readTable(spark, eqFixture().getAbsolutePath)
+      .select("id", "s").as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    // gen1 loses (0,"a") and (2,null); gen2's (10,"a") and (11,null)
+    // postdate the delete and survive
+    assert(got == Seq((1L, Some("b")), (3L, Some("d")),
+      (10L, Some("a")), (11L, None)))
+  }
+
+  test("v2 equality + position deletes compose in one snapshot") {
+    val got = Iceberg.readTable(spark, eqFixture(posDelete = true).getAbsolutePath)
+      .select("id", "s").as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("b")), (3L, Some("d")), (11L, None)))
+  }
+
+  test("v2 equality refusals: unknown field id, missing schema, missing delete column") {
+    val e1 = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTable(spark, eqFixture(eqIds = Seq(9)).getAbsolutePath).collect()
+    }
+    assert(e1.getMessage.contains("not in the current schema"))
+    val e2 = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTable(spark, eqFixture(withSchema = false).getAbsolutePath).collect()
+    }
+    assert(e2.getMessage.contains("not in the current schema"))
+    // delete file lacking the named column
+    val dir = eqFixture()
+    singleParquet(Seq(Option("a")).toDF("wrong"), new java.io.File(dir, "eq-del.parquet"))
+    val e3 = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTable(spark, dir.getAbsolutePath).collect()
+    }
+    assert(e3.getMessage.contains("lacks column"))
   }
 
   test("v2 delete file without the spec columns refuses") {
