@@ -3068,16 +3068,20 @@ object SparkEntry {
           col("type_id"), col("value"), col("offset"))
     }),
 
-    // GGUF tensor dequantization (round 13; Q4/Q5 round 14): the
-    // packer's data section carries an F32 matrix, one Q8_0 block
-    // (fp16 scale 0.5 exact, int8 quants), an F16 vector, and one
-    // block of the classic 4/5-bit formats cycling Q4_0/Q4_1/Q5_0/
-    // Q5_1 by id (d = 0.5, m = 0.25, split-half nibble packing, qh
-    // high-bit word) — all quarter-unit id-derived, so the
-    // dequantized floats replay through the same exact-IEEE
-    // floor(v * 2^30) serialization as x_safetensors and the oracle
-    // is pure integer arithmetic. The half-float codec, block walk,
-    // and K-quant refusals are pinned in GgufSpec.
+    // GGUF tensor dequantization (round 13; Q4/Q5 round 14; the full
+    // K-quant ladder round 15): the packer's data section carries an
+    // F32 matrix, one Q8_0 block (fp16 scale 0.5 exact, int8
+    // quants), an F16 vector, one block of the classic 4/5-bit
+    // formats cycling Q4_0/Q4_1/Q5_0/Q5_1 by id (d = 0.5, m = 0.25,
+    // split-half nibble packing, qh high-bit word), and one
+    // super-block cycling ALL SIX K-quant formats by id%6
+    // (Q4_K/Q6_K/Q2_K/Q3_K/Q5_K/Q8_K — scale/min packings, kmask
+    // scale interleave, hmask high bits, group sums) — all
+    // quarter-unit id-derived, so the dequantized floats replay
+    // through the same exact-IEEE floor(v * 2^30) serialization as
+    // x_safetensors and the oracle is pure integer arithmetic. The
+    // half-float codec, block walk, and IQ refusals are pinned in
+    // GgufSpec.
     "x_gguf_tensors" -> ((s, d) => {
       val packed = sharedFixture("gguf", s, d)(
         graft.ops.Gguf.packDocsGguf(t(s, d, "documents"), "doc_id"))
@@ -6548,7 +6552,8 @@ object SparkEntry {
                '[32]', 256 * (doc_id % 7 + 1) + 96 FROM documents
         UNION ALL
         SELECT doc_id, 'tensor', 'blk.0.ffn_down.weight',
-               CASE doc_id % 2 WHEN 0 THEN 12 ELSE 14 END,
+               CASE doc_id % 6 WHEN 0 THEN 12 WHEN 1 THEN 14 WHEN 2 THEN 10
+                               WHEN 3 THEN 11 WHEN 4 THEN 13 ELSE 15 END,
                '[256]', 256 * (doc_id % 7 + 1) + 128 FROM documents)""",
 
     // gguf tensor dequantization: quarter-unit plants replay as pure
@@ -6583,15 +6588,23 @@ object SparkEntry {
       FROM documents
       UNION ALL
       SELECT doc_id, 'blk.0.ffn_down.weight',
-             CASE doc_id % 2 WHEN 0 THEN 12 ELSE 14 END,
+             CASE doc_id % 6 WHEN 0 THEN 12 WHEN 1 THEN 14 WHEN 2 THEN 10
+                             WHEN 3 THEN 11 WHEN 4 THEN 13 ELSE 15 END,
              256,
              array_to_string(list_transform(range(256), i ->
-               CAST(CASE doc_id % 2
+               CAST(CASE doc_id % 6
                  WHEN 0 THEN ((doc_id + 5 * (i // 32)) % 64) * ((doc_id + i) % 16) * 536870912
                              - ((doc_id * 3 + (i // 32)) % 64) * 268435456
-                 ELSE (((doc_id + 8 * (i // 128) + 2 * ((i % 128) // 32)
+                 WHEN 1 THEN (((doc_id + 8 * (i // 128) + 2 * ((i % 128) // 32)
                          + ((i % 32) // 16)) % 32) - 16)
                       * (((doc_id + i) % 64) - 32) * 536870912
+                 WHEN 2 THEN ((doc_id + i // 16) % 16) * ((doc_id + i) % 4) * 536870912
+                             - ((doc_id * 3 + i // 16) % 16) * 268435456
+                 WHEN 3 THEN (((doc_id + i // 16) % 64) - 32)
+                             * (((doc_id + i) % 8) - 4) * 536870912
+                 WHEN 4 THEN ((doc_id + 5 * (i // 32)) % 64) * ((doc_id + i) % 32) * 536870912
+                             - ((doc_id * 3 + (i // 32)) % 64) * 268435456
+                 ELSE ((doc_id + i) % 255 - 127) * 536870912
                END AS BIGINT)), ',')
       FROM documents""",
 

@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   *    F32 (type 0), F16 (type 1, IEEE half), Q8_0 (type 8: 34-byte
   *    blocks of one fp16 scale + 32 int8 quants, value = d·q — the
   *    spec'd struct in ggml-common), the classic 4/5-bit quartet
-  *    (round 14), and the two K-quant super-block formats published
-  *    models actually ship, Q4_K/Q6_K (round 15). The remaining
-  *    K-quants (Q2_K/Q3_K/Q5_K/Q8_K) stay declared out.
+  *    (round 14), and ALL SIX K-quant super-block formats (round
+  *    15): Q4_K/Q6_K first, then Q2_K/Q3_K/Q5_K/Q8_K — the complete
+  *    published super-block ladder, each layout from the ggml-common
+  *    struct definitions. IQ-series (importance-matrix) formats stay
+  *    declared out: their codebook tables are spec DATA this repo's
+  *    refuse-don't-guess contract will not reconstruct from memory.
   *
   * Surfaces: one long-format row per KV (kind='kv': key, value_type,
   * value stringified) and per tensor (kind='tensor': name, dims,
@@ -227,10 +230,10 @@ object Gguf {
     * min, v = d·q + m), 6 = Q5_0 (u32 high-bit word, v = d·(q−16)),
     * 7 = Q5_1 (min + high bits, v = d·q + m), 8 = Q8_0 (fp16 d + 32
     * int8) — the formats real GGUF files overwhelmingly contain.
-    * 12 = Q4_K / 14 = Q6_K (256-wide super-blocks, round 15).
-    * None: unsupported type (remaining K-quants: declared out), bounds
-    * violation, or a block-format element count not a multiple of
-    * the 32-wide block. */
+    * 12 = Q4_K / 14 = Q6_K / 10 = Q2_K / 11 = Q3_K / 13 = Q5_K /
+    * 15 = Q8_K (256-wide super-blocks, round 15). None: unsupported
+    * type (IQ formats: declared out), bounds violation, or a
+    * block-format element count not a multiple of the block width. */
   def dequantize(bytes: Array[Byte], t: Tensor, dataStart: Long): Option[Array[Float]] = {
     val n0 = t.dims.foldLeft(1L)(_ * _)
     if (n0 < 0 || n0 > (1L << 24)) return None
@@ -440,7 +443,121 @@ object Gguf {
           b += 1
         }
         Some(out)
-      case _ => None // remaining K-quants (Q2_K/Q3_K/Q5_K/Q8_K): declared out
+      case 10 => // Q2_K: 84-byte super-blocks (16 scale|min nibble
+        // bytes + 64 2-bit quant bytes + fp16 d + fp16 dmin);
+        // v = d·(sc&0xF)·q − dmin·(sc>>4) per 16-wide group, the
+        // group index running in output order (round 15 continuation)
+        if (n % 256 != 0) return None
+        val blocks = n / 256
+        if (base + 84L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 84L * b).toInt
+          val d = halfToFloat(u16at(bp + 80))
+          val dmin = halfToFloat(u16at(bp + 82))
+          var e = 0
+          while (e < 256) {
+            val sc = bytes(bp + (e >> 4)) & 0xFF
+            val qb = bytes(bp + 16 + 32 * (e >> 7) + (e & 31)) & 0xFF
+            val q = (qb >>> (2 * ((e & 127) >> 5))) & 3
+            out(b * 256 + e) = d * (sc & 0xF) * q - dmin * (sc >>> 4)
+            e += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case 11 => // Q3_K: 110-byte super-blocks (32 high-bit mask
+        // bytes + 64 low-2-bit quant bytes + 12 packed 6-bit scales
+        // + fp16 d); v = d·(sc−32)·(low2 − 4 + 4·hbit); the scale
+        // words interleave per the ggml kmask unpack
+        if (n % 256 != 0) return None
+        val blocks = n / 256
+        if (base + 110L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 110L * b).toInt
+          val d = halfToFloat(u16at(bp + 108))
+          def s8(k: Int): Int = bytes(bp + 96 + k) & 0xFF
+          val us = new Array[Int](16)
+          var k = 0
+          while (k < 4) {
+            us(k) = (s8(k) & 0xF) | ((s8(8 + k) & 3) << 4)
+            us(4 + k) = (s8(4 + k) & 0xF) | (((s8(8 + k) >> 2) & 3) << 4)
+            us(8 + k) = (s8(k) >>> 4) | (((s8(8 + k) >> 4) & 3) << 4)
+            us(12 + k) = (s8(4 + k) >>> 4) | (((s8(8 + k) >> 6) & 3) << 4)
+            k += 1
+          }
+          var e = 0
+          while (e < 256) {
+            val qb = bytes(bp + 32 + 32 * (e >> 7) + (e & 31)) & 0xFF
+            val low = (qb >>> (2 * ((e & 127) >> 5))) & 3
+            val hb = (bytes(bp + (e & 31)) >>> (e >> 5)) & 1
+            out(b * 256 + e) = d * (us(e >> 4) - 32) * (low - 4 + 4 * hb)
+            e += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case 13 => // Q5_K: 176-byte super-blocks (fp16 d + fp16 dmin +
+        // the Q4_K 6-bit scale/min packing + 32 high-bit bytes + 128
+        // nibble bytes); v = d·sc·(nibble | hbit<<4) − dmin·m
+        if (n % 256 != 0) return None
+        val blocks = n / 256
+        if (base + 176L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 176L * b).toInt
+          val d = halfToFloat(u16at(bp))
+          val dmin = halfToFloat(u16at(bp + 2))
+          def q(k: Int): Int = bytes(bp + 4 + k) & 0xFF
+          def scaleMin(j: Int): (Int, Int) =
+            if (j < 4) (q(j) & 63, q(j + 4) & 63)
+            else ((q(j + 4) & 0xF) | ((q(j - 4) >> 6) << 4),
+              (q(j + 4) >> 4) | ((q(j) >> 6) << 4))
+          var jj = 0
+          while (jj < 4) {
+            val (sc1, m1) = scaleMin(2 * jj)
+            val (sc2, m2) = scaleMin(2 * jj + 1)
+            val d1 = d * sc1; val mm1 = dmin * m1
+            val d2 = d * sc2; val mm2 = dmin * m2
+            var l = 0
+            while (l < 32) {
+              val ql = bytes(bp + 48 + 32 * jj + l) & 0xFF
+              val hb = bytes(bp + 16 + l) & 0xFF
+              val q1 = (ql & 0xF) | (((hb >>> (2 * jj)) & 1) << 4)
+              val q2 = (ql >>> 4) | (((hb >>> (2 * jj + 1)) & 1) << 4)
+              out(b * 256 + 64 * jj + l) = d1 * q1 - mm1
+              out(b * 256 + 64 * jj + 32 + l) = d2 * q2 - mm2
+              l += 1
+            }
+            jj += 1
+          }
+          b += 1
+        }
+        Some(out)
+      case 15 => // Q8_K: 292-byte super-blocks (f32 d + 256 int8 +
+        // 16 int16 group sums — the sums are a dot-product aid,
+        // redundant for dequantization); v = d·q
+        if (n % 256 != 0) return None
+        val blocks = n / 256
+        if (base + 292L * blocks > bytes.length) return None
+        val out = new Array[Float](n)
+        var b = 0
+        while (b < blocks) {
+          val bp = (base + 292L * b).toInt
+          var v = 0
+          var j = 0
+          while (j < 4) { v |= (bytes(bp + j) & 0xFF) << (8 * j); j += 1 }
+          val d = java.lang.Float.intBitsToFloat(v)
+          var e = 0
+          while (e < 256) { out(b * 256 + e) = d * bytes(bp + 4 + e); e += 1 }
+          b += 1
+        }
+        Some(out)
+      case _ => None // unknown/legacy types: refuse, don't guess
     }
   }
 
@@ -485,8 +602,13 @@ object Gguf {
         // layout: F32 64*d2 floats at 0; Q8_0 one 32-wide block at
         // 256*d2 (34 bytes); F16 16 halves at 256*d2 + 64 (aligned);
         // one 4/5-bit block at 256*d2 + 96 (18–24 bytes)
-        // the K-quant super-block cycles by id: Q4_K / Q6_K (round 15)
-        val kt = if (id % 2 == 0) 12 else 14
+        // the K-quant super-block cycles by id through ALL six
+        // supported formats (round 15): Q4_K, Q6_K, Q2_K, Q3_K,
+        // Q5_K, Q8_K
+        val kt = (id % 6) match {
+          case 0 => 12; case 1 => 14; case 2 => 10
+          case 3 => 11; case 4 => 13; case _ => 15
+        }
         s("tok_embd.weight"); u32(2); u64(64); u64(d2); u32(0); u64(0)
         s("blk.0.attn_q.weight"); u32(1); u64(32); u32(8); u64(256 * d2)
         s("output_norm.weight"); u32(1); u64(16); u32(1); u64(256 * d2 + 64)
@@ -538,8 +660,9 @@ object Gguf {
         // binary16, so every dequantized value is an exact multiple
         // of 0.25 and the oracle replays floor(v·2³⁰) losslessly
         while (bos.size() - dataStart < 256 * d2 + 128) u8(0)
-        if (kt == 12) {
-          u16(floatToHalf(0.5f)); u16(floatToHalf(0.25f))
+        // the Q4_K/Q5_K shared 12-byte 6-bit scale/min packing:
+        // sc_s = (id+5s)%64, m_s = (3id+s)%64 per 32-wide sub-block
+        def writeScaleMin12(): Unit = {
           val sc = Array.tabulate(8)(j => ((id + 5 * j) % 64).toInt)
           val mn = Array.tabulate(8)(j => ((id * 3 + j) % 64).toInt)
           var j = 0
@@ -548,6 +671,23 @@ object Gguf {
           while (j < 4) { u8((mn(j) & 63) | ((mn(j + 4) >> 4) << 6)); j += 1 }
           j = 0
           while (j < 4) { u8((sc(j + 4) & 0xF) | ((mn(j + 4) & 0xF) << 4)); j += 1 }
+        }
+        // the Q2_K/Q3_K shared 2-bit quant geometry: element
+        // e = 128·half + 32·j + l lands in byte 32·half + l at bit 2j
+        def write2BitQs(qOf: Int => Int): Unit = {
+          var bq = 0
+          while (bq < 64) {
+            val half = bq / 32; val l = bq % 32
+            var byteV = 0
+            var j = 0
+            while (j < 4) { byteV |= qOf(128 * half + 32 * j + l) << (2 * j); j += 1 }
+            u8(byteV)
+            bq += 1
+          }
+        }
+        if (kt == 12) {
+          u16(floatToHalf(0.5f)); u16(floatToHalf(0.25f))
+          writeScaleMin12()
           var c = 0
           while (c < 4) {
             var l = 0
@@ -558,6 +698,81 @@ object Gguf {
               l += 1
             }
             c += 1
+          }
+        } else if (kt == 10) {
+          // Q2_K plants sc_g = (id+g)%16 / m_g = (3id+g)%16 per
+          // 16-wide group, quants q_e = (id+e)%4
+          var g = 0
+          while (g < 16) {
+            u8((((id + g) % 16) | (((id * 3 + g) % 16) << 4)).toInt)
+            g += 1
+          }
+          write2BitQs(e => ((id + e) % 4).toInt)
+          u16(floatToHalf(0.5f)); u16(floatToHalf(0.25f))
+        } else if (kt == 11) {
+          // Q3_K plants us_g = (id+g)%64 scales and signed quants
+          // q_e = ((id+e)%8)−4: code = q+4, high bit to hmask
+          var l = 0
+          while (l < 32) {
+            var hv = 0
+            var p = 0
+            while (p < 8) { hv |= ((((id + 32 * p + l) % 8) >> 2) << p).toInt; p += 1 }
+            u8(hv)
+            l += 1
+          }
+          write2BitQs(e => (((id + e) % 8) & 3).toInt)
+          def us(g: Int): Int = ((id + g) % 64).toInt
+          var k = 0
+          while (k < 4) { u8((us(k) & 0xF) | ((us(8 + k) & 0xF) << 4)); k += 1 }
+          k = 0
+          while (k < 4) { u8((us(4 + k) & 0xF) | ((us(12 + k) & 0xF) << 4)); k += 1 }
+          k = 0
+          while (k < 4) {
+            u8(((us(k) >> 4) & 3) | (((us(4 + k) >> 4) & 3) << 2) |
+              (((us(8 + k) >> 4) & 3) << 4) | (((us(12 + k) >> 4) & 3) << 6))
+            k += 1
+          }
+          u16(floatToHalf(0.5f))
+        } else if (kt == 13) {
+          // Q5_K: the Q4_K scale/min plant with 5-bit quants
+          // q_e = (id+e)%32, high bits in qh bit pairs per j-group
+          u16(floatToHalf(0.5f)); u16(floatToHalf(0.25f))
+          writeScaleMin12()
+          var l = 0
+          while (l < 32) {
+            var hv = 0
+            var jj = 0
+            while (jj < 4) {
+              if ((((id + 64 * jj + l) % 32) & 0x10) != 0) hv |= 1 << (2 * jj)
+              if ((((id + 64 * jj + 32 + l) % 32) & 0x10) != 0) hv |= 1 << (2 * jj + 1)
+              jj += 1
+            }
+            u8(hv)
+            l += 1
+          }
+          var jj = 0
+          while (jj < 4) {
+            var l2 = 0
+            while (l2 < 32) {
+              val lo = ((id + 64 * jj + l2) % 32).toInt & 0xF
+              val hi = ((id + 64 * jj + 32 + l2) % 32).toInt & 0xF
+              u8(lo | (hi << 4))
+              l2 += 1
+            }
+            jj += 1
+          }
+        } else if (kt == 15) {
+          // Q8_K: f32 d = 0.5, q_e = ((id+e)%255)−127, real group sums
+          u32(java.lang.Float.floatToIntBits(0.5f) & 0xFFFFFFFFL)
+          var e = 0
+          while (e < 256) { u8((((id + e) % 255) - 127).toInt & 0xFF); e += 1 }
+          var g = 0
+          while (g < 16) {
+            var sum = 0
+            var t = 0
+            while (t < 16) { sum += (((id + 16 * g + t) % 255) - 127).toInt; t += 1 }
+            u16(sum & 0xFFFF)
+            g += 1
           }
         } else {
           def q6(e: Int): Int = ((id + e) % 64).toInt

@@ -127,17 +127,17 @@ class GgufSpec extends SparkSuite {
     assert(f16.length == 16)
     (0 until 16).foreach(i =>
       assert(f16(i) == (((5 + i) % 9) - 4) * 0.25f, s"f16[$i]"))
-    // unsupported K-quant (Q2_K) refuses; a supported K-quant with a
+    // an unsupported IQ type refuses; a K-quant with a
     // non-multiple-of-256 count refuses; truncation refuses;
     // non-multiple-of-32 Q8_0 refuses
-    assert(Gguf.dequantize(packed, tensors(0).copy(ggmlType = 10), dataStart).isEmpty)
+    assert(Gguf.dequantize(packed, tensors(0).copy(ggmlType = 16), dataStart).isEmpty)
     assert(Gguf.dequantize(packed, tensors(0).copy(ggmlType = 12), dataStart).isEmpty)
     // truncate INTO the F16 tensor (the Q4 block now trails it)
     assert(Gguf.dequantize(
       packed.take((dataStart + 256 * 6 + 96 - 8).toInt), tensors(2), dataStart).isEmpty)
     assert(Gguf.dequantize(packed, tensors(1).copy(dims = Seq(31L)), dataStart).isEmpty)
     // Spark surface: five rows, name/type/count as planted
-    // (id 5 → Q4_1 up-proj, Q6_K down-proj)
+    // (id 5 → Q4_1 up-proj, Q8_K down-proj)
     val rows = Gguf.decodeTensorValues(
       Seq((5L, packed)).toDF("id", "payload"), "id", "payload")
       .select($"id", $"name", $"type_id", $"n_values")
@@ -145,7 +145,54 @@ class GgufSpec extends SparkSuite {
     assert(rows == Set((5L, "tok_embd.weight", 0, 384L),
       (5L, "blk.0.attn_q.weight", 8, 32L), (5L, "output_norm.weight", 1, 16L),
       (5L, "blk.0.ffn_up.weight", 3, 32L),
-      (5L, "blk.0.ffn_down.weight", 14, 256L)))
+      (5L, "blk.0.ffn_down.weight", 15, 256L)))
+  }
+
+  test("dequantize Q2_K/Q3_K/Q5_K/Q8_K super-blocks: the remaining K-quant ladder") {
+    def downProj(id: Long): (Array[Byte], Gguf.Tensor, Long) = {
+      val p = Gguf.packDocsGguf(Seq(id).toDF("doc_id"), "doc_id")
+        .collect().head.getAs[Array[Byte]]("payload")
+      val Some((_, ts, ds, _)) = Gguf.parseFull(p)
+      (p, ts.find(_.name == "blk.0.ffn_down.weight").get, ds)
+    }
+    // id 2 → Q2_K: v = 0.5·sc·q − 0.25·m per 16-wide group
+    val (p2, t2, ds2) = downProj(2L)
+    assert(t2.ggmlType == 10)
+    val v2 = Gguf.dequantize(p2, t2, ds2).get
+    (0 until 256).foreach { e =>
+      val g = e / 16
+      val sc = (2 + g) % 16; val m = (2 * 3 + g) % 16; val q = (2 + e) % 4
+      assert(v2(e) == 0.5f * sc * q - 0.25f * m, s"q2k[$e]")
+    }
+    // id 3 → Q3_K: v = 0.5·(us−32)·q, q ∈ [−4,3] via the hmask bit
+    val (p3, t3, ds3) = downProj(3L)
+    assert(t3.ggmlType == 11)
+    val v3 = Gguf.dequantize(p3, t3, ds3).get
+    (0 until 256).foreach { e =>
+      val us = (3 + e / 16) % 64
+      val q = ((3 + e) % 8) - 4
+      assert(v3(e) == 0.5f * (us - 32) * q, s"q3k[$e]")
+    }
+    // id 4 → Q5_K: the Q4_K scale/min plant at 5-bit quant range
+    val (p5, t5, ds5) = downProj(4L)
+    assert(t5.ggmlType == 13)
+    val v5 = Gguf.dequantize(p5, t5, ds5).get
+    (0 until 256).foreach { e =>
+      val s = e / 32
+      val sc = (4 + 5 * s) % 64; val m = (4 * 3 + s) % 64; val q = (4 + e) % 32
+      assert(v5(e) == 0.5f * sc * q - 0.25f * m, s"q5k[$e]")
+    }
+    // id 5 → Q8_K: plain 0.5·q int8 values behind the f32 scale
+    val (p8, t8, ds8) = downProj(5L)
+    assert(t8.ggmlType == 15)
+    val v8 = Gguf.dequantize(p8, t8, ds8).get
+    (0 until 256).foreach { e =>
+      assert(v8(e) == 0.5f * (((5 + e) % 255) - 127), s"q8k[$e]")
+    }
+    // truncation refuses each
+    Seq((p2, t2, ds2), (p3, t3, ds3), (p5, t5, ds5), (p8, t8, ds8)).foreach {
+      case (p, t, ds) => assert(Gguf.dequantize(p.take(p.length - 2), t, ds).isEmpty)
+    }
   }
 
   test("dequantize Q4_K/Q6_K super-blocks: 6-bit scale/min packing, signed scales, 2-bit highs") {
