@@ -2448,6 +2448,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
     }),
 
+    // Delta ID-mode column mapping (round 15 continuation): the
+    // parquet files carry field ids under column names that
+    // deliberately DIFFER from the metadata physicalNames, so only
+    // the spec's field-id resolution (footers probed by distributed
+    // ranged tail reads) can read this table — a physical-name
+    // fallback would fail loudly, and the oracle replays the same
+    // logical rows as the name-mode gate.
+    "x_delta_cm_id" -> ((s, d) => {
+      val dir = sharedDir("delta_cm_id", d)(
+        graft.ops.TableFixtures.writeDeltaCmIdTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
+    }),
+
     // Iceberg v1 manifests (round 14): one spec-schema manifest_entry
     // Avro container per document (written by the in-repo from-spec
     // Avro codec, decoded by the same reader the `iceberg` source
@@ -6195,6 +6209,13 @@ object SparkEntry {
     // parquet names resolved back to these logical columns and the
     // physically-keyed partition value landed
     "x_delta_cm" -> """
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+      FROM documents""",
+
+    // delta id-mode column mapping: the same logical rows, reachable
+    // only through parquet field-id resolution
+    "x_delta_cm_id" -> """
       SELECT doc_id, source, n_chars,
              CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
       FROM documents""",

@@ -208,11 +208,12 @@ object DeltaLog {
       if (tableId == null) refuse("log has no metaData action") // not a delta log
       // column-mapping gate against the FINAL metadata: `name` mode
       // reads (readTable maps physical parquet names back to logical
-      // ones); `id` mode resolves by parquet field id — unimplemented,
-      // refuse by name rather than mis-resolve columns
+      // ones) and `id` mode reads (round 15 continuation — readTable
+      // resolves parquet field ids from the data files' own footers);
+      // anything else refuses by name rather than mis-resolve columns
       val cm = config.getOrElse("delta.columnMapping.mode", "none")
-      if (cm != "none" && cm != "name")
-        refuse(s"column mapping mode '$cm' unsupported (name mode only)")
+      if (cm != "none" && cm != "name" && cm != "id")
+        refuse(s"column mapping mode '$cm' unsupported")
       Right(Snapshot(tableId, schemaJson, partitionCols, active.values.toSeq,
         config, maxReader))
     } catch { case Refuse(m) => Left(m) }
@@ -337,15 +338,15 @@ object DeltaLog {
       dvBad(col("add.deletionVector")) || dvBad(col("remove.deletionVector")) ||
       (col("remove").isNotNull && col("remove.path").isNull) ||
       (col("metaData").isNotNull && col("metaData.id").isNull)
-    // column-mapping gate against the FINAL metadata: none and name
-    // modes read; id mode (parquet-field-id resolution) refuses
+    // column-mapping gate against the FINAL metadata: none, name,
+    // and id modes read; unknown modes refuse
     val gateOk = actions
       .agg(max(bad.cast("int")).as("__bad"),
         max(col("metaData").isNotNull.cast("int")).as("__meta"),
         max_by(element_at(col("metaData.configuration"), "delta.columnMapping.mode"),
           when(col("metaData").isNotNull, struct(col("__v"), col("__ln")))).as("__cm"))
       .where(coalesce(col("__bad"), lit(1)) === 0 && coalesce(col("__meta"), lit(0)) === 1 &&
-        coalesce(col("__cm"), lit("none")).isin("none", "name"))
+        coalesce(col("__cm"), lit("none")).isin("none", "name", "id"))
       .select(lit(1).as("__gate"))
     val emptyPv = lit(null).cast(MapType(StringType, StringType))
     val acted = actions
@@ -620,13 +621,21 @@ object DeltaLog {
               else s"$tableDir/${f.path}"
       f -> p
     }
-    // column mapping (name mode): the log's schemaString carries each
-    // field's physical parquet name in metadata; the scan reads
-    // physical names and the final select maps them back to logical
-    // ones (nested fields rename positionally via struct cast)
+    // column mapping: in `name` mode the log's schemaString carries
+    // each field's physical parquet name in metadata — the scan
+    // reads physical names and the final select maps them back to
+    // logical ones (nested fields rename positionally via struct
+    // cast). In `id` mode (round 15 continuation) the spec says
+    // resolve by parquet FIELD ID: the data files' own footers are
+    // probed (distributed ranged tail reads, distinct layouts only
+    // reaching the driver) and each logical field's
+    // delta.columnMapping.id looks up its parquet column name there;
+    // heterogeneous per-file layouts refuse — a single shared scan
+    // cannot re-project per file, and silently merging by name is
+    // exactly the bug id mode exists to prevent.
     val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     val logicalSchema: Option[StructType] =
-      if (cmMode != "name") None
+      if (cmMode == "none") None
       else DataType.fromJson(Option(snap.schemaJson).getOrElse(
           throw new graft.GraftAnalysisException(
             "delta: column mapping without a schemaString"))) match {
@@ -638,6 +647,38 @@ object DeltaLog {
       if (f.metadata.contains("delta.columnMapping.physicalName"))
         f.metadata.getString("delta.columnMapping.physicalName")
       else f.name
+    // id mode: parquet name per logical DATA field via footer field
+    // ids (partition columns never live in the files — they keep the
+    // physicalName metadata route either way)
+    lazy val idModeName: StructField => String = {
+      val layouts = ParquetMeta.distinctTopLevelLayouts(
+        spark, resolved.map(_._2)) match {
+        case Left(bad) => throw new graft.GraftAnalysisException(
+          s"delta: id-mode column mapping but the parquet footer of '$bad' is unreadable")
+        case Right(ls) => ls
+      }
+      if (layouts.size != 1)
+        throw new graft.GraftAnalysisException(
+          "delta: id-mode column mapping over heterogeneous parquet field-id " +
+            "layouts; refusing beats silently misreading columns")
+      val byId: Map[Long, String] = layouts.head
+        .collect { case (n, Some(id)) => id -> n }
+        .groupBy(_._1).map {
+          case (id, vs) if vs.map(_._2).distinct.size == 1 => id -> vs.head._2
+          case (id, _) => throw new graft.GraftAnalysisException(
+            s"delta: duplicate parquet field id $id in the data files")
+        }
+      f => {
+        if (!f.metadata.contains("delta.columnMapping.id"))
+          throw new graft.GraftAnalysisException(
+            s"delta: id-mode column mapping but field '${f.name}' has no column id")
+        val id = f.metadata.getLong("delta.columnMapping.id")
+        byId.getOrElse(id, throw new graft.GraftAnalysisException(
+          s"delta: field id $id ('${f.name}') not present in the data files' footers"))
+      }
+    }
+    def scanName(f: StructField): String =
+      if (cmMode == "id") idModeName(f) else physicalName(f)
 
     val base = spark.read.parquet(resolved.map(_._2): _*)
     val needDv = resolved.exists(_._1.dv.isDefined)
@@ -705,7 +746,7 @@ object DeltaLog {
       case Some(st) =>
         val pset = pcols.toSet
         val dataCols = st.fields.toSeq.filterNot(f => pset(f.name)).map { f =>
-          col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)
+          col(s"`${scanName(f)}`").cast(f.dataType).as(f.name)
         }
         // partition columns keep the mode-none contract: injected
         // from the log as strings, appended after the data columns

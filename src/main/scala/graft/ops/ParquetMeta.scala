@@ -228,6 +228,88 @@ object ParquetMeta {
     }
   }
 
+  /** Top-level (column name, field_id) pairs of a parsed footer:
+    * FileMetaData.schema (field 2) is the depth-first flattened
+    * SchemaElement list — per element: name 4, num_children 5,
+    * field_id 9. The root's immediate children are the table's
+    * columns; nested subtrees are skipped by child counting. */
+  private[graft] def topLevelFields(footer: TStruct): Seq[(String, Option[Long])] = {
+    val els = list(footer, 2).collect { case s: TStruct => s }
+    if (els.isEmpty) return Seq.empty
+    def name(s: TStruct): String = s.fields.get(4) match {
+      case Some(TBin(b)) => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => ""
+    }
+    def children(s: TStruct): Int = i64(s, 5).getOrElse(0L).toInt
+    def skip(at: Int): Int = { // index just past element at's subtree
+      var j = at + 1
+      var n = children(els(at))
+      while (n > 0 && j < els.length) { j = skip(j); n -= 1 }
+      j
+    }
+    val out = Seq.newBuilder[(String, Option[Long])]
+    var i = 1
+    var remaining = children(els.head)
+    while (remaining > 0 && i < els.length) {
+      out += ((name(els(i)), i64(els(i), 9)))
+      i = skip(i)
+      remaining -= 1
+    }
+    out.result()
+  }
+
+  /** DISTINCT top-level field layouts across `paths` — the Delta
+    * id-mode column-mapping probe: executors read each file's footer
+    * tail (ranged, no data pages), serialize its (name, field_id)
+    * layout, and only the distinct layouts reach the driver. An
+    * unreadable footer surfaces as Left(path). */
+  def distinctTopLevelLayouts(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Either[String, Seq[Seq[(String, Option[Long])]]] = {
+    import spark.implicits._
+    val confEntries = Warc.confEntriesOf(spark)
+    val ser: Seq[String] = spark.createDataset(paths)
+      .mapPartitions { it =>
+        val conf = Warc.confOf(confEntries)
+        it.map { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            val fs = path.getFileSystem(conf)
+            val fileLen = fs.getFileStatus(path).getLen
+            def readTail(tailLen: Long): Array[Byte] = {
+              val n = math.min(fileLen, tailLen)
+              Warc.readRange(conf, p, fileLen - n, n)
+            }
+            val parsed = footerFromTail(readTail(1L << 20)) match {
+              case Right(s) => Some(s)
+              case Left(len) if len > 0 && Warc.rangeReadable(len + 8) =>
+                footerFromTail(readTail(len + 8)).toOption
+              case _ => None
+            }
+            parsed match {
+              case Some(s) => "L" + topLevelFields(s).map { case (n, id) =>
+                n + "\u0001" + id.map(_.toString).getOrElse("")
+              }.mkString("\u0002")
+              case None => "E" + p
+            }
+          } catch { case _: Exception => "E" + p }
+        }
+      }
+      .distinct().collect().toSeq
+    ser.collectFirst { case s if s.startsWith("E") => s.substring(1) } match {
+      case Some(bad) => Left(bad)
+      case None => Right(ser.map { s =>
+        val body = s.substring(1)
+        if (body.isEmpty) Seq.empty
+        else body.split("\u0002", -1).toSeq.map { f =>
+          val at = f.indexOf('\u0001')
+          val n = f.substring(0, at)
+          val idStr = f.substring(at + 1)
+          (n, if (idStr.isEmpty) None else Some(idStr.toLong))
+        }
+      })
+    }
+  }
+
   /** Footer chunk rows per file — RANGED tail reads (1 MiB, extended
     * once when the footer is longer); unparseable files quarantine
     * as row_group = -1. Input: one row per path. */

@@ -150,6 +150,44 @@ object TableFixtures {
     dir.getAbsolutePath
   }
 
+  /** Build a Delta table with ID-mode column mapping: the parquet
+    * files carry field ids 1..3 under column names (f1, f2, f3) that
+    * DELIBERATELY differ from the metadata physicalNames
+    * (col-stale-N) — a reader resolving by physical name instead of
+    * field id finds no such columns and fails loudly; only footer
+    * field-id resolution reads this table. Partition column `parity`
+    * keeps the physicalName route (partition values never live in
+    * the files). */
+  def writeDeltaCmIdTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-cmid").toFile
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"))
+    def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", n).build()
+    writeBucketFiles(data, "doc_id", dir, 2, k => s"cmid-$k.parquet",
+      df => df.select(col("doc_id").as("f1", fid(1)),
+        col("source").as("f2", fid(2)), col("n_chars").as("f3", fid(3))))
+    def fld(name: String, id: Int, phys: String, tpe: String) =
+      s"""{\\"name\\":\\"$name\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":""" +
+        s"""{\\"delta.columnMapping.id\\":$id,\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+    val schemaStr = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+      fld("doc_id", 1, "col-stale-1", "long") + "," +
+      fld("source", 2, "col-stale-2", "string") + "," +
+      fld("n_chars", 3, "col-stale-3", "long") + "," +
+      fld("parity", 4, "col-4", "string") + "]}"
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    val lines = Seq(
+      s"""{"metaData":{"id":"x-delta-cm-id","schemaString":"$schemaStr",""" +
+        """"partitionColumns":["parity"],""" +
+        """"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"}}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"add":{"path":"cmid-0.parquet","partitionValues":{"col-4":"even"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"cmid-1.parquet","partitionValues":{"col-4":"odd"},"size":1,"modificationTime":0,"dataChange":true}}""")
+    java.nio.file.Files.write(new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+
   // ---------------------------------------------------------------
   // Iceberg: format-version 2 with position deletes
   // ---------------------------------------------------------------

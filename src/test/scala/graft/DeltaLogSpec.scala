@@ -60,13 +60,15 @@ class DeltaLogSpec extends SparkSuite {
     assert(active(0L -> (meta + "\n" + good)).nonEmpty) // control
   }
 
-  test("reader version 2: name-mode column mapping reads (round 15), id mode refuses (final metadata wins)") {
+  test("reader version 2: name and id column mapping read, unknown modes refuse (final metadata wins)") {
     val good = """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0}}"""
     val v2 = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
     val metaName = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
       """"configuration":{"delta.columnMapping.mode":"name"}}}"""
     val metaId = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
       """"configuration":{"delta.columnMapping.mode":"id"}}}"""
+    val metaWeird = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
+      """"configuration":{"delta.columnMapping.mode":"hash"}}}"""
     val metaNone = """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[],""" +
       """"configuration":{"delta.columnMapping.mode":"none","other":"x"}}}"""
     // v2, no mapping config at all: classically laid out → reads
@@ -75,19 +77,21 @@ class DeltaLogSpec extends SparkSuite {
     assert(active(0L -> (metaNone + "\n" + v2 + "\n" + good)).nonEmpty)
     // name mode: physical names map back to logical at the scan → reads
     assert(active(0L -> (metaName + "\n" + v2 + "\n" + good)).nonEmpty)
-    // id mode: parquet-field-id resolution is unimplemented → refuse
-    assert(active(0L -> (metaId + "\n" + v2 + "\n" + good)).isEmpty)
-    // the FINAL metadata decides: id then replaced by none → reads
+    // id mode: parquet-field-id resolution (round 15) → reads
+    assert(active(0L -> (metaId + "\n" + v2 + "\n" + good)).nonEmpty)
+    // an unknown future mode refuses
+    assert(active(0L -> (metaWeird + "\n" + v2 + "\n" + good)).isEmpty)
+    // the FINAL metadata decides: unknown then replaced by none → reads
     assert(active(
-      0L -> (metaId + "\n" + v2 + "\n" + good),
+      0L -> (metaWeird + "\n" + v2 + "\n" + good),
       1L -> metaNone).nonEmpty)
-    // and the reverse: upgraded into id mapping later → refuse
+    // and the reverse: upgraded into the unknown mapping later → refuse
     assert(active(
       0L -> (meta + "\n" + v2 + "\n" + good),
-      1L -> metaId).isEmpty)
+      1L -> metaWeird).isEmpty)
     // the named refusal reaches the driver-side surface
     assert(DeltaLog.snapshotOfE(Seq(
-      0L -> (metaId + "\n" + v2 + "\n" + good))).left.exists(_.contains("column mapping mode 'id'")))
+      0L -> (metaWeird + "\n" + v2 + "\n" + good))).left.exists(_.contains("column mapping mode 'hash'")))
   }
 
   test("reader version 3: supported readerFeatures read; unknown features refuse by name") {
@@ -535,5 +539,52 @@ class DeltaLogSpec extends SparkSuite {
     val rows = df.select(col("id"), col("s"), col("st.n"), col("st.v"), col("part"))
       .as[(Long, String, String, Long, String)].collect().sorted.toSeq
     assert(rows == Seq((1L, "a", "n1", 10L, "pv"), (2L, "b", "n2", 20L, "pv")))
+  }
+
+  test("readTable column mapping id mode: footer field ids resolve, stale physicalNames ignored") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    def fid(n: Long) = new MetadataBuilder().putLong("parquet.field.id", n).build()
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-delta-cmid").toFile
+    // files carry names (f1, f2) + field ids (1, 2); the metadata
+    // physicalNames point at columns that do NOT exist
+    singleParquet(
+      Seq((1L, "a"), (2L, "b")).toDF("x", "y")
+        .select(col("x").as("f1", fid(1)), col("y").as("f2", fid(2))),
+      new java.io.File(tableDir, "d0.parquet"))
+    val logDir = new java.io.File(tableDir, "_delta_log"); logDir.mkdirs()
+    def fld(name: String, id: Int, phys: String, tpe: String) =
+      s"""{\\"name\\":\\"$name\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,\\"metadata\\":""" +
+        s"""{\\"delta.columnMapping.id\\":$id,\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+    def metaOf(fields: String) =
+      s"""{"metaData":{"id":"t","schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[$fields]}",""" +
+        """"partitionColumns":[],""" +
+        """"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}"""
+    val v2 = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val add = """{"add":{"path":"d0.parquet","partitionValues":{},"size":1,"modificationTime":0}}"""
+    writeCommit(logDir, 0L,
+      metaOf(fld("id", 1, "col-stale-1", "long") + "," + fld("s", 2, "col-stale-2", "string")),
+      v2, add)
+    val df = DeltaLog.readTable(spark, tableDir.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.as[(Long, String)].collect().sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+    // a field id absent from the footers refuses by name
+    writeCommit(logDir, 1L,
+      metaOf(fld("id", 1, "col-stale-1", "long") + "," + fld("s", 9, "col-stale-2", "string")))
+    val e = intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTable(spark, tableDir.getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains("field id 9"))
+    // heterogeneous layouts refuse: a second file with different ids
+    singleParquet(
+      Seq((3L, "c")).toDF("x", "y")
+        .select(col("x").as("g1", fid(7)), col("y").as("g2", fid(8))),
+      new java.io.File(tableDir, "d1.parquet"))
+    writeCommit(logDir, 2L,
+      metaOf(fld("id", 1, "col-stale-1", "long") + "," + fld("s", 2, "col-stale-2", "string")),
+      """{"add":{"path":"d1.parquet","partitionValues":{},"size":1,"modificationTime":0}}""")
+    val e2 = intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTable(spark, tableDir.getAbsolutePath).collect()
+    }
+    assert(e2.getMessage.contains("heterogeneous"))
   }
 }
