@@ -3107,6 +3107,26 @@ object SparkEntry {
             ",").as("values"))
     }),
 
+    // HDF5 (round 15 continuation): one .h5 per document from the
+    // in-repo spec-legal builder, vintage cycling by id parity —
+    // even: superblock v0 + v1 object headers + symbol-table groups
+    // (TREE/SNOD/HEAP); odd: superblock v2 (lookup3-checksummed) +
+    // OHDR headers + link messages. Four datasets per file:
+    // contiguous f32-LE / i64-LE / i32-BE and a subgroup's CHUNKED
+    // f64 matrix (edge chunks) behind the [shuffle, deflate(JDK
+    // zlib), fletcher32] pipeline. Every value replays through the
+    // exact floor(v·2³⁰) serialization; lookup3/fletcher32 are
+    // pinned against published vectors in Hdf5Spec.
+    "x_hdf5_datasets" -> ((s, d) => {
+      val packed = graft.ops.Hdf5Write.packDocsHdf5(t(s, d, "documents"), "doc_id")
+      graft.ops.Hdf5.decodeDatasets(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("path"), col("dtype"),
+          col("dims"), col("n_values"),
+          array_join(transform(col("values"),
+            v => floor(v * lit(1073741824.0d)).cast("long").cast("string")),
+            ",").as("values"))
+    }),
+
     // npz (round 11): the same embedding-shard contract as
     // x_safetensors through numpy's format — v1.0 .npy members
     // (spec-padded dict headers, 16-byte alignment) in real ZIP
@@ -6627,6 +6647,31 @@ object SparkEntry {
                              - ((doc_id * 3 + (i // 32)) % 64) * 268435456
                  ELSE ((doc_id + i) % 255 - 127) * 536870912
                END AS BIGINT)), ',')
+      FROM documents""",
+
+    // hdf5: four datasets per file replay from id arithmetic —
+    // paths sorted, dims/dtype labels exact, every value through
+    // floor(v * 2^30)
+    "x_hdf5_datasets" -> """
+      SELECT doc_id, '/f32' AS path, 'float32le' AS dtype, '[24]' AS dims,
+             CAST(24 AS BIGINT) AS n_values,
+             array_to_string(list_transform(range(24),
+               i -> CAST(((doc_id + i) % 17 - 8) * 268435456 AS BIGINT)), ',') AS values
+      FROM documents
+      UNION ALL
+      SELECT doc_id, '/g/mat', 'float64le', '[6,5]', 30,
+             array_to_string(list_transform(range(30),
+               i -> CAST(((doc_id + i) % 23 - 11) * 268435456 AS BIGINT)), ',')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, '/i64', 'int64le', '[16]', 16,
+             array_to_string(list_transform(range(16),
+               i -> CAST(((doc_id + i) % 101 - 50) * 1073741824 AS BIGINT)), ',')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, '/ibe', 'int32be', '[8]', 8,
+             array_to_string(list_transform(range(8),
+               i -> CAST(((doc_id + i) % 19 - 9) * 1073741824 AS BIGINT)), ',')
       FROM documents""",
 
     // npz: numpy-format twin of the safetensors contract

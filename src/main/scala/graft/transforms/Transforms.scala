@@ -914,6 +914,11 @@ object Transforms {
       graft.ops.Npy.decodeNpz(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // HDF5 datasets (path, dtype, dims, values) from a payload column
+    case "hdf5_datasets" =>
+      graft.ops.Hdf5.decodeDatasets(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // Arrow IPC (key, vector) rows from stream payloads
     case "arrow_vectors" =>
       graft.ops.ArrowIpc.decodeVecRows(df,
@@ -1011,7 +1016,7 @@ object Transforms {
     "docx_extract", "docx_parts", "pptx_extract", "odt_extract", "xlsx_cells",
     "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract",
     "mbox_messages", "safetensors_tensors", "npz_tensors", "gguf_meta",
-    "arrow_vectors", "audio_tags")
+    "arrow_vectors", "audio_tags", "hdf5_datasets")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
