@@ -1937,6 +1937,21 @@ object SparkEntry {
         .select(col("id"), col("decoded"), col("n_bytes"),
           md5(encode(col("text"), "UTF-8")).as("digest"))),
 
+    // zstd DICTIONARY frames (round 15 continuation): each text
+    // compressed by the reference zstd (zstd-jni) at level 19
+    // against a raw-content dictionary cut from the text's own
+    // prefix — the encoder leans hard on dictionary-window matches,
+    // so the byte-exact round trip pins prefix reach, repeat offsets
+    // into the prefix, and the frame floor. Trained STRUCTURED
+    // dictionaries (entropy seeding, id matching, wrong-dict
+    // refusal) are pinned in ZstdCodecSpec.
+    "x_zstd_dict" -> ((s, d) =>
+      graft.ops.ZstdCodec.decodeDictText(
+        graft.ops.ZstdCodec.packTextZstdDict(t(s, d, "documents"), "doc_id", "text"),
+        "id", "payload", "dict")
+        .select(col("id"), col("decoded"), col("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))),
+
     // xz rung: the LZMA2 format release tarballs and HF shards ship
     // in — XZ for Java encodes at presets 0/6/9 with the check type
     // cycling CRC32/CRC64/SHA-256 by id; the from-spec range-coder
@@ -5898,6 +5913,14 @@ object SparkEntry {
     // zstd contract: decode must reproduce the document's exact
     // UTF-8 bytes — length and md5 replay from the text column
     "x_multimodal_zstd" -> """
+      SELECT doc_id AS id, true AS decoded,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             md5(coalesce(text, '')) AS digest
+      FROM documents""",
+
+    // zstd dictionary frames: the same byte-exact identity through
+    // the dictionary-window decode
+    "x_zstd_dict" -> """
       SELECT doc_id AS id, true AS decoded,
              CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
              md5(coalesce(text, '')) AS digest

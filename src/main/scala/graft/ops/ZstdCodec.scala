@@ -396,12 +396,15 @@ object ZstdCodec {
   }
 
   /** Growable output with a hard cap. `floor` marks the current
-    * frame's start: matches must not reach into a previous frame
-    * (there is no dictionary, and frames are independent). */
+    * frame's start: matches must not reach into a previous frame —
+    * frames are independent — EXCEPT through `prefix`, the supplied
+    * dictionary's content, which the spec places virtually before
+    * the frame (round 15 continuation). */
   private final class Out(hint: Int) {
     var buf = new Array[Byte](math.max(64, math.min(hint, MaxOutput)))
     var len = 0
     var floor = 0
+    var prefix: Array[Byte] = Array.emptyByteArray
     def ensure(n: Int): Unit = {
       if (len + n > MaxOutput) refuse()
       if (len + n > buf.length) {
@@ -416,14 +419,18 @@ object ZstdCodec {
     def append(src: Array[Byte], from: Int, n: Int): Unit = {
       ensure(n); System.arraycopy(src, from, buf, len, n); len += n
     }
-    /** overlap-safe LZ match copy from `len - offset` */
+    /** overlap-safe LZ match copy from `len - offset`; reaches
+      * through the frame floor into the dictionary prefix. */
     def matchCopy(offset: Int, n: Int): Unit = {
-      if (offset <= 0 || offset > len - floor) refuse()
+      if (offset <= 0 || offset > (len - floor) + prefix.length) refuse()
       ensure(n)
       var s = len - offset
       var d = len
       var k = 0
-      while (k < n) { buf(d) = buf(s); s += 1; d += 1; k += 1 }
+      while (k < n) {
+        buf(d) = if (s < floor) prefix(prefix.length - (floor - s)) else buf(s)
+        s += 1; d += 1; k += 1
+      }
       len += n
     }
   }
@@ -637,7 +644,14 @@ object ZstdCodec {
   /** Decompress every frame in `p` and concatenate. None on anything
     * malformed, any checksum mismatch, trailing garbage, dictionary
     * references, or output beyond [[MaxOutput]]. */
-  def decode(p: Array[Byte]): Option[Array[Byte]] = {
+  def decode(p: Array[Byte]): Option[Array[Byte]] = decode(p, None)
+
+  /** Decode with an optional dictionary (round 15 continuation):
+    * frames that declare a Dictionary_ID require a parsed dictionary
+    * whose id matches; the dictionary's entropy tables seed the
+    * frame state, its repeat offsets seed the history, and its
+    * content is reachable as virtual window prefix. */
+  def decode(p: Array[Byte], dict: Option[Dictionary]): Option[Array[Byte]] = {
     try {
       val out = new Out(math.min(p.length.toLong * 4, MaxOutput.toLong).toInt)
       var pos = 0
@@ -652,7 +666,7 @@ object ZstdCodec {
           if (pos + 8 + sz > p.length) refuse()
           pos += 8 + sz.toInt
         } else if (magic == 0xFD2FB528L) {
-          pos = decodeFrame(p, pos + 4, out)
+          pos = decodeFrame(p, pos + 4, out, dict)
         } else refuse()
       }
       Some(java.util.Arrays.copyOf(out.buf, out.len))
@@ -663,9 +677,70 @@ object ZstdCodec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // dictionaries (RFC 8878 §5)
+  // ------------------------------------------------------------------
+
+  /** A parsed zstd dictionary — opaque outside this object. A
+    * STRUCTURED dictionary (magic 0xEC30A437) carries an id, the
+    * entropy tables (Huffman for literals; FSE for offsets, match
+    * lengths, literal lengths), three seeded repeat offsets, and
+    * content; a RAW-content dictionary is bare prefix bytes. */
+  final class Dictionary private[ZstdCodec] (
+      private[ZstdCodec] val id: Long,
+      private[ZstdCodec] val huf: HufTable,
+      private[ZstdCodec] val of: FseTable,
+      private[ZstdCodec] val ml: FseTable,
+      private[ZstdCodec] val ll: FseTable,
+      private[ZstdCodec] val reps: Array[Long],
+      private[ZstdCodec] val content: Array[Byte]) {
+    def dictId: Long = id
+    def contentSize: Int = content.length
+  }
+
+  private val DictMagic = 0xEC30A437L
+
+  /** Parse dictionary bytes: the structured format when the magic
+    * leads, else a raw-content dictionary (the zstd convention).
+    * None on a malformed structured dictionary. */
+  def parseDictionary(b: Array[Byte]): Option[Dictionary] =
+    try {
+      if (b == null || b.length == 0) return None
+      if (b.length < 8 || le32(b, 0) != DictMagic)
+        return Some(new Dictionary(0L, null, null, null, null,
+          Array(1L, 4L, 8L), b.clone()))
+      val id = le32(b, 4)
+      if (id == 0) refuse() // the spec reserves 0 for "no dictionary"
+      var cur = 8
+      val (huf, used) = readHufTable(b, cur, b.length)
+      cur += used
+      def fse(maxSym: Int, maxLog: Int): FseTable = {
+        val fwd = new FwdBits(b, cur, b.length)
+        val t = readFseTable(fwd, maxSym, maxLog)
+        cur += fwd.bytesConsumed
+        t
+      }
+      // table order per the spec: offsets, match lengths, literal lengths
+      val of = fse(31, 8)
+      val ml = fse(52, 9)
+      val ll = fse(35, 9)
+      if (cur + 12 > b.length) refuse()
+      val reps = Array(le32(b, cur), le32(b, cur + 4), le32(b, cur + 8))
+      cur += 12
+      val content = java.util.Arrays.copyOfRange(b, cur, b.length)
+      // each seeded offset must be usable against the content alone
+      if (reps.exists(r => r <= 0 || r > content.length)) refuse()
+      Some(new Dictionary(id, huf, of, ml, ll, reps, content))
+    } catch {
+      case Refuse => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
   /** Decode one zstd frame starting after its magic; returns the new
     * cursor. */
-  private def decodeFrame(p: Array[Byte], start: Int, out: Out): Int = {
+  private def decodeFrame(p: Array[Byte], start: Int, out: Out,
+      dict: Option[Dictionary] = None): Int = {
     var pos = start
     if (pos >= p.length) refuse()
     val fhd = u8(p, pos); pos += 1
@@ -690,7 +765,11 @@ object ZstdCodec {
       var k = 0
       while (k < dictBytes) { dictId |= (p(pos + k) & 0xFFL) << (8 * k); k += 1 }
       pos += dictBytes
-      if (dictId != 0) refuse() // dictionaries are out of scope
+      // a declared id requires the MATCHING parsed dictionary —
+      // decoding against the wrong (or no) dictionary would emit
+      // plausible garbage, the exact silent-corruption this
+      // decoder's refuse contract exists to prevent
+      if (dictId != 0 && !dict.exists(_.id == dictId)) refuse()
     }
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
@@ -713,6 +792,14 @@ object ZstdCodec {
     val frameStart = out.len
     out.floor = frameStart
     val st = new FrameState
+    dict.foreach { d =>
+      out.prefix = d.content
+      if (d.huf != null) { // structured: seed entropy + rep history
+        st.huf = d.huf; st.ll = d.ll; st.of = d.of; st.ml = d.ml
+      }
+      st.reps(0) = d.reps(0); st.reps(1) = d.reps(1); st.reps(2) = d.reps(2)
+    }
+    if (dict.isEmpty) out.prefix = Array.emptyByteArray
     var lastBlock = false
     while (!lastBlock) {
       if (pos + 3 > p.length) refuse()
@@ -804,5 +891,75 @@ object ZstdCodec {
     }
     wle(Xxh64.hash(data, 0, data.length, 0L) & 0xFFFFFFFFL, 4)
     outBuf.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // dictionary Spark seams (round 15 continuation)
+  // ------------------------------------------------------------------
+
+  /** Gate packer: each document's text compressed by the REFERENCE
+    * zstd implementation (zstd-jni, on the Spark classpath) against
+    * a per-row RAW-CONTENT dictionary built from the text's own
+    * prefix — at level 19 the encoder leans hard on the dictionary
+    * window, so the decode only succeeds if prefix reach, repeat
+    * offsets against the prefix, and the window floor interact
+    * exactly right. (id, dict, payload). Structured (trained)
+    * dictionaries are pinned in ZstdCodecSpec with ZstdDictTrainer. */
+  def packTextZstdDict(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val dict = java.util.Arrays.copyOfRange(bytes, 0,
+          math.min(bytes.length, 256 + (id % 7).toInt * 32))
+        val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try {
+          cctx.setLevel(19)
+          if (dict.nonEmpty) cctx.loadDict(dict)
+          (id, dict, cctx.compress(bytes))
+        } finally cctx.close()
+      })
+      .toDF("id", "dict", "payload")
+  }
+
+  /** Decode (payload, dictionary) rows: (id, decoded, n_bytes,
+    * text). A null/empty dictionary column decodes dictionary-free;
+    * refused payloads keep their row with decoded=false (the
+    * quarantine contract). */
+  def decodeDictText(df: org.apache.spark.sql.DataFrame, idCol: String,
+      payloadCol: String, dictCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    df.select(col(idCol).cast("long"), col(payloadCol), col(dictCol))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions { rows =>
+        // dictionaries repeat across rows (one trained dict per
+        // corpus shard is the real-world shape): memoize the parse
+        var lastRef: Array[Byte] = null
+        var lastParsed: Option[Dictionary] = None
+        rows.map { case (id, payload, dictBytes) =>
+          val dict =
+            if (dictBytes == null || dictBytes.isEmpty) None
+            else if (dictBytes eq lastRef) lastParsed
+            else {
+              lastRef = dictBytes
+              lastParsed = parseDictionary(dictBytes)
+              lastParsed
+            }
+          ZstdCodec.decode(if (payload == null) Array.emptyByteArray else payload, dict) match {
+            case Some(bytes) =>
+              (id, true, bytes.length.toLong,
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            case None => (id, false, 0L, null: String)
+          }
+        }
+      }
+      .toDF("id", "decoded", "n_bytes", "text")
   }
 }

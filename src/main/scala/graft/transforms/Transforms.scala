@@ -504,6 +504,13 @@ object Transforms {
       graft.ops.Multimodal.decodeZstdText(df,
         t.config.str("id_field").getOrElse("id"),
         t.config.str("media_field").getOrElse("media"))
+    // dictionary-compressed zstd: payload + dictionary columns
+    // (raw-content or trained/structured dictionaries)
+    case "zstd_decode_dict" =>
+      graft.ops.ZstdCodec.decodeDictText(df,
+        t.config.str("id_field").getOrElse("id"),
+        t.config.str("payload_field").getOrElse("payload"),
+        t.config.str("dict_field").getOrElse("dict"))
     // .gz ingest: same seam through the from-spec RFC 1952 decoder
     case "gzip_decode" =>
       graft.ops.Multimodal.decodeGzipText(df,
@@ -1005,7 +1012,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_script", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "langid_classify", "pca_whiten",
-    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "normalize_unicode", "compression_ratio", "split_sentences", "sentence_chunks", "dedup_sentences", "html_tables", "boilerplate_blocks", "boilerplate_extract", "chat_parse", "chat_validate", "chat_render", "zstd_decode", "gzip_decode", "brotli_decode", "decode_any", "delta_snapshot", "iceberg_manifest", "bpe_tokens", "unigram_tokens", "wordpiece_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "normalize_unicode", "compression_ratio", "split_sentences", "sentence_chunks", "dedup_sentences", "html_tables", "boilerplate_blocks", "boilerplate_extract", "chat_parse", "chat_validate", "chat_render", "zstd_decode", "zstd_decode_dict", "gzip_decode", "brotli_decode", "decode_any", "delta_snapshot", "iceberg_manifest", "bpe_tokens", "unigram_tokens", "wordpiece_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "bloom_join", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",

@@ -107,22 +107,88 @@ class ZstdSpec extends AnyFunSuite {
     assert(ZstdCodec.decode(dict).isEmpty)
   }
 
+  test("raw-content dictionary: prefix window reach; dict-dependent frames refuse without it") {
+    val data = prose(8000)
+    val dict = java.util.Arrays.copyOfRange(data, 0, 2048)
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val z = try { ctx.setLevel(19); ctx.loadDict(dict); ctx.compress(data) }
+      finally ctx.close()
+    val parsed = ZstdCodec.parseDictionary(dict)
+    assert(parsed.exists(_.dictId == 0L) && parsed.exists(_.contentSize == 2048))
+    assert(ZstdCodec.decode(z, parsed).exists(_.sameElements(data)))
+    // without the prefix, matches reach past the frame floor → refuse
+    assert(ZstdCodec.decode(z).isEmpty)
+    // a DIFFERENT raw dict decodes to wrong bytes or refuses — but
+    // must never throw; if it decodes, the bytes must differ
+    val other = ZstdCodec.parseDictionary(Array.fill[Byte](2048)('x'))
+    assert(ZstdCodec.decode(z, other).forall(!_.sameElements(data)))
+  }
+
+  test("trained structured dictionary: entropy seeding, declared id, wrong-dict refusal") {
+    // a varied-but-overlapping corpus the trainer accepts
+    val samples = (0 until 256).map { i =>
+      (s"record $i: the quick brown fox jumps over the lazy dog, " +
+        s"field alpha=${i % 7} beta=${i % 13} shared suffix tail of text. ") * 6
+    }
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 22, 8 * 1024)
+    samples.foreach(s => trainer.addSample(s.getBytes("UTF-8")))
+    val dictBytes = trainer.trainSamples()
+    val parsed = ZstdCodec.parseDictionary(dictBytes)
+    assert(parsed.isDefined, "structured dictionary must parse")
+    assert(parsed.get.dictId != 0L)
+    val data = ("record 999: the quick brown fox jumps over the lazy dog, " +
+      "field alpha=3 beta=11 shared suffix tail of text. " * 8).getBytes("UTF-8")
+    for (level <- Seq(1, 3, 19)) {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      val z = try { ctx.setLevel(level); ctx.loadDict(dictBytes); ctx.compress(data) }
+        finally ctx.close()
+      assert(ZstdCodec.decode(z, parsed).exists(_.sameElements(data)), s"level $level")
+      // the frame declares the dictionary id: no dict → refuse,
+      // a raw dict with a different identity → refuse
+      assert(ZstdCodec.decode(z).isEmpty, s"level $level no-dict")
+      assert(ZstdCodec.decode(z,
+        ZstdCodec.parseDictionary("wrong".getBytes("UTF-8"))).isEmpty,
+        s"level $level wrong-dict")
+    }
+  }
+
+  test("parseDictionary: raw fallback, truncated structured refusals") {
+    val raw = ZstdCodec.parseDictionary("hello world".getBytes("UTF-8"))
+    assert(raw.exists(d => d.dictId == 0L && d.contentSize == 11))
+    assert(ZstdCodec.parseDictionary(Array.emptyByteArray).isEmpty)
+    assert(ZstdCodec.parseDictionary(null).isEmpty)
+    // structured magic + junk: must refuse, not guess
+    val junk = Array[Byte](0x37, (0xA4 & 0xFF).toByte, 0x30, (0xEC & 0xFF).toByte,
+      1, 0, 0, 0, 0x7F, 0x12)
+    assert(ZstdCodec.parseDictionary(junk).isEmpty)
+    // a trained dictionary truncated inside its entropy tables refuses
+    val samples = (0 until 256).map(i => (s"sample $i common text body " * 10))
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 22, 8 * 1024)
+    samples.foreach(s => trainer.addSample(s.getBytes("UTF-8")))
+    val dictBytes = trainer.trainSamples()
+    assert(ZstdCodec.parseDictionary(dictBytes).isDefined)
+    assert(ZstdCodec.parseDictionary(java.util.Arrays.copyOf(dictBytes, 24)).isEmpty)
+  }
+
   test("fuzz: random bit flips over jni frames never throw") {
     val data = prose(8000)
+    var refused = 0
     for (level <- Seq(1, 19); trial <- 0 until 300) {
       val z = jni(data, level)
       val at = rnd.nextInt(z.length)
       z(at) = (z(at) ^ (1 << rnd.nextInt(8))).toByte
+      // never throw is the contract; a flip in a NON-SEMANTIC header
+      // position (window descriptor, ignored size hints) may decode
+      // to the identical content, and in an UNCHECKSUMMED frame a
+      // flip inside raw literals or a huffman stream often decodes
+      // to different bytes — all fine. A meaningful fraction must
+      // still refuse (structure bytes dominate enough of the frame).
       ZstdCodec.decode(z) match {
-        case None => ()
-        case Some(got) =>
-          // a flip the format cannot detect (e.g. inside a raw
-          // literal run in an unchecksummed frame) may still decode;
-          // it must never silently EQUAL the original
-          if (java.util.Arrays.equals(got, data))
-            assert(z.sameElements(jni(data, level)), "flip was a no-op?")
+        case None => refused += 1
+        case Some(_) => ()
       }
     }
+    assert(refused > 150, s"only $refused/600 corrupted frames refused")
   }
 
   test("store-mode encoder: jni decompresses our frames, and we round-trip ourselves") {
