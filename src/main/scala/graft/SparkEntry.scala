@@ -3142,6 +3142,23 @@ object SparkEntry {
             ",").as("values"))
     }),
 
+    // netCDF classic (round 15 continuation): one CDF payload per
+    // document from the in-repo spec-legal builder, version cycling
+    // 1/2/5 by id%3 (32-bit, 64-bit-offset, and CDF-5 widths). Two
+    // fixed variables + TWO record variables (the interleaved
+    // recsize stride with per-slab padding is load-bearing), a char
+    // variable that must be SKIPPED, and global/var attributes that
+    // must parse past. Every value replays through floor(v·2³⁰).
+    "x_netcdf_vars" -> ((s, d) => {
+      val packed = graft.ops.Netcdf.packDocsNetcdf(t(s, d, "documents"), "doc_id")
+      graft.ops.Netcdf.decodeVars(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("name"), col("dtype"),
+          col("dims"), col("n_values"),
+          array_join(transform(col("values"),
+            v => floor(v * lit(1073741824.0d)).cast("long").cast("string")),
+            ",").as("values"))
+    }),
+
     // npz (round 11): the same embedding-shard contract as
     // x_safetensors through numpy's format — v1.0 .npy members
     // (spec-padded dict headers, 16-byte alignment) in real ZIP
@@ -6670,6 +6687,33 @@ object SparkEntry {
                              - ((doc_id * 3 + (i // 32)) % 64) * 268435456
                  ELSE ((doc_id + i) % 255 - 127) * 536870912
                END AS BIGINT)), ',')
+      FROM documents""",
+
+    // netcdf classic: the numeric variables replay from id
+    // arithmetic (the char variable is skipped by contract); record
+    // counts vary by id so the record stride is load-bearing
+    "x_netcdf_vars" -> """
+      SELECT doc_id, 'fmat' AS name, 'float' AS dtype, '[3,4]' AS dims,
+             CAST(12 AS BIGINT) AS n_values,
+             array_to_string(list_transform(range(12),
+               i -> CAST(((doc_id + i) % 21 - 10) * 268435456 AS BIGINT)), ',') AS values
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'ivec', 'int', '[6]', 6,
+             array_to_string(list_transform(range(6),
+               i -> CAST(((doc_id + i) % 61 - 30) * 1073741824 AS BIGINT)), ',')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'rtemp', 'float', '[' || (doc_id % 4 + 2) || ',4]',
+             4 * (doc_id % 4 + 2),
+             array_to_string(list_transform(range(4 * (doc_id % 4 + 2)),
+               i -> CAST(((doc_id + 7 * (i // 4) + (i % 4)) % 19 - 9) * 268435456 AS BIGINT)), ',')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'rcount', 'int', '[' || (doc_id % 4 + 2) || ']',
+             doc_id % 4 + 2,
+             array_to_string(list_transform(range(doc_id % 4 + 2),
+               i -> CAST(((doc_id + i) % 87 - 43) * 1073741824 AS BIGINT)), ',')
       FROM documents""",
 
     // hdf5: four datasets per file replay from id arithmetic —

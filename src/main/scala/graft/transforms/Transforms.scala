@@ -921,6 +921,11 @@ object Transforms {
       graft.ops.Npy.decodeNpz(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // netCDF classic variables (name, dtype, dims, values)
+    case "netcdf_vars" =>
+      graft.ops.Netcdf.decodeVars(df,
+        t.config.str("id_field").getOrElse("doc_id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // HDF5 datasets (path, dtype, dims, values) from a payload column
     case "hdf5_datasets" =>
       graft.ops.Hdf5.decodeDatasets(df,
@@ -1023,7 +1028,7 @@ object Transforms {
     "docx_extract", "docx_parts", "pptx_extract", "odt_extract", "xlsx_cells",
     "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract",
     "mbox_messages", "safetensors_tensors", "npz_tensors", "gguf_meta",
-    "arrow_vectors", "audio_tags", "hdf5_datasets")
+    "arrow_vectors", "audio_tags", "hdf5_datasets", "netcdf_vars")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
