@@ -3409,6 +3409,21 @@ object SparkEntry {
           col("charset"), col("charset_src"), col("text"))
     }),
 
+    // AIFF / AIFF-C / Sun AU rungs (round 15 continuation): six
+    // container classes by id%6 — AIFF PCM16 (big-endian), AIFC NONE
+    // (explicit tag), AIFC sowt (LITTLE-endian), AIFF signed PCM8
+    // (the opposite of WAV's unsigned-8 — a classic trap), AU int16
+    // BE, AU μ-law — all with id-arithmetic samples, decoded through
+    // the same AudioPcm.decodeAny dispatch the fingerprint/spectral
+    // ops use; every decoded sample value replays in SQL (the μ-law
+    // branch reuses the proven expansion arithmetic).
+    "x_multimodal_aiff_au" -> ((s, d) => {
+      val packed = graft.ops.Aiff.packPlantedAiffAu(t(s, d, "documents"), "doc_id")
+      graft.ops.Aiff.decodeClipRows(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("channels"), col("sample_rate"),
+          col("bits"), col("n_samples"), col("values"))
+    }),
+
     // G.711 μ-law rung: the text bytes ARE the companded code bytes
     // (fmt 7, mono 8 kHz), decoded through the from-spec expander —
     // a pure per-byte function, so the oracle replays the G.711
@@ -7002,6 +7017,29 @@ object SparkEntry {
     // sample is the spec expansion u = 255−v (complement),
     // t = ((u mod 16)·8 + 132) << ((u div 16) mod 8), negatives when
     // the complemented sign bit is set — replayed here bit-for-bit.
+    // aiff/au: planted samples replay per container class; the AU
+    // μ-law branch reuses the proven G.711 expansion arithmetic
+    "x_multimodal_aiff_au" -> """
+      SELECT doc_id, 1 AS channels,
+             CASE doc_id % 6 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                             WHEN 2 THEN 16000 WHEN 3 THEN 22050
+                             WHEN 4 THEN 8000 ELSE 8000 END AS sample_rate,
+             CASE doc_id % 6 WHEN 3 THEN 8 ELSE 16 END AS bits,
+             CAST(doc_id % 50 + 20 AS BIGINT) AS n_samples,
+             array_to_string(list_transform(range(doc_id % 50 + 20), i ->
+               CAST(CASE doc_id % 6
+                 WHEN 3 THEN (((doc_id + i) % 241) - 120) * 256
+                 WHEN 5 THEN
+                   CASE WHEN (255 - ((doc_id + i) % 256)) >= 128
+                        THEN 132 - (((255 - ((doc_id + i) % 256)) % 16) * 8 + 132)
+                             * (1 << (((255 - ((doc_id + i) % 256)) // 16) % 8))
+                        ELSE (((255 - ((doc_id + i) % 256)) % 16) * 8 + 132)
+                             * (1 << (((255 - ((doc_id + i) % 256)) // 16) % 8)) - 132
+                   END
+                 ELSE (((doc_id + i) % 401) - 200) * 80
+               END AS BIGINT)), ',') AS values
+      FROM documents""",
+
     "x_multimodal_mulaw" -> """
       WITH b AS (
         SELECT doc_id, least(octet_length(encode(coalesce(text, ''))), 1048576) AS len,

@@ -35,14 +35,18 @@ object AudioPcm {
 
   /** Container dispatch for the audio operators: `fLaC` streams decode
     * through the from-spec [[FlacCodec]], `OggS` through the from-spec
-    * [[Vorbis]] decoder (round 14), everything else through the
-    * RIFF/WAVE path below — so fingerprint/spectral/feature ops accept
-    * compressed fixtures without knowing which codec produced them. */
+    * [[Vorbis]] decoder (round 14), `FORM`+AIFF/AIFC and `.snd`
+    * through the legacy-container decoders (round 15), everything
+    * else through the RIFF/WAVE path below — so fingerprint/spectral/
+    * feature ops accept compressed fixtures without knowing which
+    * codec produced them. */
   def decodeAny(p: Array[Byte]): Option[Clip] =
     if (p.length >= 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')
       FlacCodec.decode(p)
     else if (p.length >= 4 && p(0) == 'O' && p(1) == 'g' && p(2) == 'g' && p(3) == 'S')
       Vorbis.decodeClip(p)
+    else if (Aiff.isAiff(p)) Aiff.decode(p)
+    else if (AuSnd.isAu(p)) AuSnd.decode(p)
     else decode(p)
 
   def decode(p: Array[Byte]): Option[Clip] = {
