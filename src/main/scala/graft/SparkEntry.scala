@@ -3142,6 +3142,22 @@ object SparkEntry {
             ",").as("values"))
     }),
 
+    // MAT-file v5 (round 15 continuation): per document a double
+    // 3×4 "A", an int16-STORED "b" (the down-packed storage path),
+    // and a single 2×3 "c"; id%2 wraps everything in miCOMPRESSED
+    // (zlib via the JDK — the independent encoder — inflated by the
+    // from-spec unzlib), id%3==2 flips to big-endian. Values replay
+    // column-major through floor(v·2³⁰).
+    "x_mat_vars" -> ((s, d) => {
+      val packed = graft.ops.Mat5.packDocsMat(t(s, d, "documents"), "doc_id")
+      graft.ops.Mat5.decodeVars(packed, "id", "payload")
+        .select(col("id").as("doc_id"), col("name"), col("class"),
+          col("dims"), col("n_values"),
+          array_join(transform(col("values"),
+            v => floor(v * lit(1073741824.0d)).cast("long").cast("string")),
+            ",").as("values"))
+    }),
+
     // netCDF classic (round 15 continuation): one CDF payload per
     // document from the in-repo spec-legal builder, version cycling
     // 1/2/5 by id%3 (32-bit, 64-bit-offset, and CDF-5 widths). Two
@@ -6702,6 +6718,25 @@ object SparkEntry {
                              - ((doc_id * 3 + (i // 32)) % 64) * 268435456
                  ELSE ((doc_id + i) % 255 - 127) * 536870912
                END AS BIGINT)), ',')
+      FROM documents""",
+
+    // mat v5: three arrays replay from id arithmetic, stored
+    // column-major; compression and endianness cycle by id
+    "x_mat_vars" -> """
+      SELECT doc_id, 'A' AS name, 'double' AS class, '[3,4]' AS dims,
+             CAST(12 AS BIGINT) AS n_values,
+             array_to_string(list_transform(range(12),
+               i -> CAST(((doc_id + i) % 23 - 11) * 268435456 AS BIGINT)), ',') AS values
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'b', 'int16', '[5,1]', 5,
+             array_to_string(list_transform(range(5),
+               i -> CAST(((doc_id + i) % 301 - 150) * 1073741824 AS BIGINT)), ',')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'c', 'single', '[2,3]', 6,
+             array_to_string(list_transform(range(6),
+               i -> CAST(((doc_id + i) % 17 - 8) * 268435456 AS BIGINT)), ',')
       FROM documents""",
 
     // netcdf classic: the numeric variables replay from id
