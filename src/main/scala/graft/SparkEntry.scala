@@ -3142,6 +3142,20 @@ object SparkEntry {
             ",").as("values"))
     }),
 
+    // RTF extraction (round 15 continuation): the document text
+    // round-trips through real RTF — fonttbl/info/{\*\generator}
+    // destinations that must be SKIPPED, both escape rungs (\'hh
+    // cp1252 bytes on odd ids, \uN with \uc1 fallbacks elsewhere,
+    // surrogate pairs as two \u words), \par/\tab, structural
+    // escapes — so one wrong state transition anywhere in the group
+    // stack hash-mismatches against the verbatim corpus text.
+    "x_rtf_extract" -> ((s, d) => {
+      val packed = graft.ops.Rtf.packTextRtf(t(s, d, "documents"), "doc_id", "text")
+      graft.ops.Rtf.extractText(packed, "id", "payload")
+        .select(col("id"), col("decoded"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))
+    }),
+
     // MAT-file v5 (round 15 continuation): per document a double
     // 3×4 "A", an int16-STORED "b" (the down-packed storage path),
     // and a single 2×3 "c"; id%2 wraps everything in miCOMPRESSED
@@ -6718,6 +6732,12 @@ object SparkEntry {
                              - ((doc_id * 3 + (i // 32)) % 64) * 268435456
                  ELSE ((doc_id + i) % 255 - 127) * 536870912
                END AS BIGINT)), ',')
+      FROM documents""",
+
+    // rtf: the verbatim text identity through the group/escape walk
+    "x_rtf_extract" -> """
+      SELECT doc_id AS id, true AS decoded,
+             md5(coalesce(text, '')) AS digest
       FROM documents""",
 
     // mat v5: three arrays replay from id arithmetic, stored

@@ -921,6 +921,11 @@ object Transforms {
       graft.ops.Npy.decodeNpz(df,
         t.config.str("id_field").getOrElse("doc_id"),
         t.config.str("payload_field").getOrElse("payload"))
+    // RTF text extraction from a payload column
+    case "rtf_extract" =>
+      graft.ops.Rtf.extractText(df,
+        t.config.str("id_field").getOrElse("id"),
+        t.config.str("payload_field").getOrElse("payload"))
     // MAT-file v5 numeric arrays (name, class, dims, values)
     case "mat_vars" =>
       graft.ops.Mat5.decodeVars(df,
@@ -1033,7 +1038,8 @@ object Transforms {
     "docx_extract", "docx_parts", "pptx_extract", "odt_extract", "xlsx_cells",
     "epub_extract", "ipynb_cells", "subtitle_cues", "markdown_extract",
     "mbox_messages", "safetensors_tensors", "npz_tensors", "gguf_meta",
-    "arrow_vectors", "audio_tags", "hdf5_datasets", "netcdf_vars", "mat_vars")
+    "arrow_vectors", "audio_tags", "hdf5_datasets", "netcdf_vars", "mat_vars",
+    "rtf_extract")
 
   private[transforms] def c(name: String): Column = col(quote(name))
   private[transforms] def quote(name: String): String = s"`${name.replace("`", "``")}`"
