@@ -2531,7 +2531,7 @@ object SparkEntry {
           col("path_in_schema"), col("type"), col("compression"),
           col("num_values"), col("dictionary_page_offset"),
           col("data_page_offset"), col("total_compressed_size"),
-          col("total_uncompressed_size"))
+          col("total_uncompressed_size"), col("encodings"))
     }),
 
     // Parquet zone-map statistics (round 12): the per-chunk
@@ -6360,7 +6360,9 @@ object SparkEntry {
              CAST(column_id AS INTEGER) AS column_id,
              path_in_schema, type, compression, num_values,
              coalesce(dictionary_page_offset, -1) AS dictionary_page_offset,
-             data_page_offset, total_compressed_size, total_uncompressed_size
+             data_page_offset, total_compressed_size, total_uncompressed_size,
+             array_to_string(list_sort(string_split(encodings, ', ')), ', ')
+               AS encodings
       FROM parquet_metadata(['/root/testdata/sf0.01/documents.parquet',
                              '/root/testdata/sf0.01/embeddings.parquet',
                              '/root/testdata/sf0.01/orders.parquet'])""",

@@ -94,7 +94,6 @@ object Hdf5 {
     }
     // tail (little-endian byte gather); n == 0 returns c unmixed
     if (n > 0) {
-      if (n >= 12) { /* unreachable */ }
       if (n > 8) {
         var i = n - 1
         while (i >= 8) { c += (b(p + i) & 0xFF) << (8 * (i - 8)); i -= 1 }
@@ -194,31 +193,6 @@ object Hdf5 {
           conts = (cb.i64(0), cb.i64(8)) :: conts
         } else if (tpe != 0x0000) out += Msg(tpe, data)
         p += 8 + size
-      }
-    }
-
-    def v2Chunk(p0: Long, len: Long, flags: Int, withSig: Boolean): Unit = {
-      var p = p0
-      if (withSig) {
-        if (!(f.u8(p) == 'O' && f.u8(p + 1) == 'C' && f.u8(p + 2) == 'H' && f.u8(p + 3) == 'K')) bad()
-        p += 4
-      }
-      val end = p0 + len - 4 // checksum at the end
-      val stored = f.u32(p0 + len - 4).toInt
-      if (lookup3(f.b, p0.toInt, (len - 4).toInt, 0) != stored) bad()
-      val msgHead = if ((flags & 0x04) != 0) 6 else 4 // + creation order
-      while (p + msgHead <= end) {
-        val tpe = f.u8(p)
-        val size = f.u16(p + 1)
-        // u8 msg flags at p+3 [+ u16 creation order]
-        if (p + msgHead + size > end) bad()
-        val data = f.slice(p + msgHead, size)
-        if (tpe == 0x0010) {
-          if (size < 16) bad()
-          val cb = new B(data)
-          conts = (cb.i64(0), cb.i64(8)) :: conts
-        } else if (tpe != 0x0000) out += Msg(tpe, data)
-        p += msgHead + size
       }
     }
 

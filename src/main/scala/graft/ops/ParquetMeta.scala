@@ -140,6 +140,9 @@ object ParquetMeta {
     "FLOAT", "DOUBLE", "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")
   private val CodecNames = Array("UNCOMPRESSED", "SNAPPY", "GZIP", "LZO",
     "BROTLI", "LZ4", "ZSTD", "LZ4_RAW")
+  private val EncodingNames = Array("PLAIN", "UNKNOWN(1)", "PLAIN_DICTIONARY",
+    "RLE", "BIT_PACKED", "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY",
+    "DELTA_BYTE_ARRAY", "RLE_DICTIONARY", "BYTE_STREAM_SPLIT")
 
   private def enumName(table: Array[String], v: Long): String =
     if (v >= 0 && v < table.length) table(v.toInt) else s"UNKNOWN($v)"
@@ -148,7 +151,8 @@ object ParquetMeta {
       columnId: Int, fileOffset: Long, path: String, typeName: String,
       codec: String, numValues: Long, dictPageOffset: Long,
       dataPageOffset: Long, compressedSize: Long, uncompressedSize: Long,
-      nullCount: Long, minValue: String, maxValue: String)
+      nullCount: Long, minValue: String, maxValue: String,
+      encodings: String)
 
   /** Render a Statistics min/max binary by PHYSICAL type — the
     * zone-map values pruning keys on. Logical-type rendering
@@ -192,6 +196,11 @@ object ParquetMeta {
                 val stats = md.fields.get(12).collect { case s: TStruct => s }
                 val bin = (id: Int) => stats.flatMap(_.fields.get(id))
                   .collect { case TBin(b) => b }
+                // encodings (field 2): the per-chunk Encoding enum
+                // list, rendered SORTED — list order is writer whim,
+                // the set is the diagnostic fact
+                val encs = list(md, 2).collect { case TInt(v) =>
+                  enumName(EncodingNames, v) }.distinct.sorted.mkString(", ")
                 Some(ChunkMeta(rgId, rgRows, rgBytes, colId,
                   i64(cc, 2).getOrElse(-1L), path,
                   enumName(TypeNames, typeId),
@@ -201,7 +210,8 @@ object ParquetMeta {
                   i64(md, 6).getOrElse(-1L),
                   stats.flatMap(i64(_, 3)).getOrElse(-1L),
                   bin(6).map(statValue(typeId, _)).orNull,
-                  bin(5).map(statValue(typeId, _)).orNull))
+                  bin(5).map(statValue(typeId, _)).orNull,
+                  encs))
               case _ => None
             }
           case _ => None
@@ -323,7 +333,7 @@ object ParquetMeta {
         it.flatMap { p =>
           def quarantine = Seq((p, -1, -1L, -1L, -1, -1L, null: String,
             null: String, null: String, -1L, -1L, -1L, -1L, -1L,
-            -1L, null: String, null: String))
+            -1L, null: String, null: String, null: String))
           try {
             val path = new org.apache.hadoop.fs.Path(p)
             val fs = path.getFileSystem(conf)
@@ -347,7 +357,7 @@ object ParquetMeta {
                   c.columnId, c.fileOffset, c.path, c.typeName, c.codec,
                   c.numValues, c.dictPageOffset, c.dataPageOffset,
                   c.compressedSize, c.uncompressedSize,
-                  c.nullCount, c.minValue, c.maxValue))
+                  c.nullCount, c.minValue, c.maxValue, c.encodings))
               case None => quarantine
             }
           } catch { case _: Exception => quarantine }
@@ -356,6 +366,7 @@ object ParquetMeta {
       .toDF("path", "row_group", "rg_num_rows", "rg_bytes", "column_id",
         "file_offset", "path_in_schema", "type", "compression", "num_values",
         "dictionary_page_offset", "data_page_offset", "total_compressed_size",
-        "total_uncompressed_size", "null_count", "min_value", "max_value")
+        "total_uncompressed_size", "null_count", "min_value", "max_value",
+        "encodings")
   }
 }

@@ -53,6 +53,11 @@ class ParquetMetaSpec extends SparkSuite {
     val types = m.select($"type").distinct().as[String].collect().toSet
     assert(types.subsetOf(Set("BOOLEAN", "INT32", "INT64", "INT96",
       "FLOAT", "DOUBLE", "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")))
+    // encodings render sorted with the format-spec enum names; every
+    // Spark-written chunk declares at least RLE (definition levels)
+    val encs = m.select($"encodings").distinct().as[String].collect()
+    assert(encs.nonEmpty && encs.forall(_.split(", ").contains("RLE")))
+    assert(encs.forall(e => e.split(", ").toSeq == e.split(", ").toSeq.sorted))
   }
 
   test("zone-map stats agree with Spark's own aggregates") {
