@@ -102,10 +102,9 @@ object Netcdf {
       def size(): Long = if (cdf5) r.i64() else r.u32()
       def offset(): Long = if (version == 1) r.u32() else r.i64()
       val numrecs = size()
-      if (numrecs == 0xFFFFFFFFL || numrecs < 0 || numrecs > (1 << 20)) {
-        if (numrecs == 0xFFFFFFFFL) bad() // STREAMING sentinel
-        if (numrecs < 0 || numrecs > (1 << 20)) bad()
-      }
+      // 0xFFFFFFFF is the STREAMING sentinel — an unbounded record
+      // count; everything outside a sane bound refuses with it
+      if (numrecs < 0 || numrecs > (1 << 20)) bad()
       def name(): String = {
         val n = size()
         if (n > 1024) bad()
