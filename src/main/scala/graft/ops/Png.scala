@@ -10,11 +10,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * decode seam carries an actual pixel decoder in this environment,
   * not just header sniffing.
   *
-  * Supported (the overwhelmingly common baseline profile): bit depth
-  * 8, color types greyscale (0), truecolor (2), palette (3, expanded
-  * to RGB via PLTE), grey+alpha (4), RGBA (6), non-interlaced.
-  * Interlaced (Adam7), 1/2/4/16-bit depths → None: at corpus scale a
-  * decoder must refuse, not guess.
+  * Supported: color types greyscale (0), truecolor (2), palette (3,
+  * expanded to RGB via PLTE), grey+alpha (4), RGBA (6); bit depths
+  * 1/2/4 (grey + palette, per the spec's valid combinations), 8, and
+  * 16; BOTH interlace methods (round 15 continuation) — Adam7's
+  * seven passes each unfilter as their own sub-image (per-pass
+  * filter distance and previous-row state) before scattering into
+  * the raster at the published row/column origins and strides.
+  * The output raster stays 8 bits per sample: sub-byte grey samples
+  * scale by the spec's bit-replication factors (255/85/17), 16-bit
+  * samples reduce to their high byte (the spec's own recommended
+  * depth rescaling), palette indices pass through unscaled.
   *
   * Garbage-safety contract (same as [[Multimodal.ImageHeader]]):
   * `decode` NEVER throws on truncated, corrupt, or hostile bytes —
@@ -51,6 +57,7 @@ object PngCodec {
         ((p(i + 2) & 0xFF) << 8) | (p(i + 3) & 0xFF)
 
     var width = 0; var height = 0; var bitDepth = 0; var colorType = -1
+    var interlaced = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawIhdr = false; var sawIend = false
@@ -71,8 +78,12 @@ object PngCodec {
           bitDepth = p(at + 16) & 0xFF; colorType = p(at + 17) & 0xFF
           val compression = p(at + 18) & 0xFF
           val filterMethod = p(at + 19) & 0xFF
-          val interlace = p(at + 20) & 0xFF
-          if (compression != 0 || filterMethod != 0 || interlace != 0) return None
+          interlaced = (p(at + 20) & 0xFF) match {
+            case 0 => false
+            case 1 => true
+            case _ => return None
+          }
+          if (compression != 0 || filterMethod != 0) return None
           sawIhdr = true
         case "PLTE" =>
           if (len % 3 != 0 || len > 768) return None
@@ -83,22 +94,45 @@ object PngCodec {
       }
       i += 12 + len
     }
-    if (!sawIhdr || !sawIend || width <= 0 || height <= 0 || bitDepth != 8) return None
+    if (!sawIhdr || !sawIend || width <= 0 || height <= 0) return None
     val srcCh = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
+    // the spec's valid depth/color combinations
+    val depthOk = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
+      case 3 => Set(1, 2, 4, 8)(bitDepth)
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    if (!depthOk) return None
     if (colorType == 3 && palette == null) return None
-    val rowBytes = width.toLong * srcCh
-    // Bound each factor BEFORE forming the product: width/height are
-    // attacker-controlled 31-bit values, so (rowBytes + 1) * height can
-    // wrap a Long (2^33 * 2^31) and slip a negative rawLen past the cap.
-    if (width.toLong * height > MaxPixelBytes || rowBytes + 1 > MaxPixelBytes) return None
-    val rawLen = (rowBytes + 1) * height
-    if (rawLen > MaxPixelBytes) return None
+    val bitsPerPixel = bitDepth * srcCh
+    val filterBpp = math.max(1, bitsPerPixel / 8) // filter byte distance
+    def rowBytesOf(w: Int): Long = (w.toLong * bitsPerPixel + 7) / 8
+
+    // Adam7 pass geometry (x0, y0, dx, dy); non-interlaced = one
+    // full pass
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (width - x0 + dx - 1) / dx), math.max(0, (height - y0 + dy - 1) / dy))
+    }
+    // Bound each factor BEFORE forming products: width/height are
+    // attacker-controlled 31-bit values, and (rowBytes + 1) * height
+    // can wrap a Long otherwise.
+    if (width.toLong * height > MaxPixelBytes) return None
+    val rawLen = passes.map { ps =>
+      val (pw, ph) = passDims(ps)
+      if (pw == 0 || ph == 0) 0L else (rowBytesOf(pw) + 1) * ph
+    }.sum
+    if (rawLen <= 0 || rawLen > MaxPixelBytes) return None
 
     // zlib-inflate the concatenated IDAT stream into exactly rawLen bytes
-    val raw = new Array[Byte]((rawLen).toInt)
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -112,45 +146,75 @@ object PngCodec {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
 
-    // unfilter scanlines in place into the output raster
-    val bpp = srcCh // bit depth 8: bytes per pixel = channels
+    // per-sample extraction helpers over an UNFILTERED pass row.
+    // sub-byte grey samples scale by the spec replication factors;
+    // palette indices pass through; 16-bit keeps the high byte.
+    val greyScale = bitDepth match {
+      case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
+    }
     val out = new Array[Byte]((width.toLong * height * srcCh).toInt)
-    val stride = width * srcCh
-    var y = 0
-    while (y < height) {
-      val ft = raw((1 + rowBytes.toInt) * y) & 0xFF
-      val src = (1 + rowBytes.toInt) * y + 1
-      val dst = y * stride
-      val prv = dst - stride // previous (unfiltered) row in out
-      var x = 0
-      ft match {
-        case 0 => System.arraycopy(raw, src, out, dst, stride)
-        case 1 => // Sub: left
-          while (x < stride) {
-            val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
-            out(dst + x) = ((raw(src + x) & 0xFF) + a).toByte; x += 1
+    val outStride = width * srcCh
+    var rawAt = 0
+    passes.foreach { case ps @ (x0, y0, dx, dy) =>
+      val (pw, ph) = passDims(ps)
+      if (pw > 0 && ph > 0) {
+        val rb = rowBytesOf(pw).toInt
+        val cur = new Array[Byte](rb)
+        val prev = new Array[Byte](rb)
+        var y = 0
+        while (y < ph) {
+          val ft = raw(rawAt) & 0xFF
+          System.arraycopy(raw, rawAt + 1, cur, 0, rb)
+          rawAt += 1 + rb
+          var x = 0
+          ft match {
+            case 0 => ()
+            case 1 =>
+              x = filterBpp
+              while (x < rb) { cur(x) = (cur(x) + (cur(x - filterBpp) & 0xFF)).toByte; x += 1 }
+            case 2 =>
+              while (x < rb) { cur(x) = (cur(x) + (prev(x) & 0xFF)).toByte; x += 1 }
+            case 3 =>
+              while (x < rb) {
+                val a = if (x >= filterBpp) cur(x - filterBpp) & 0xFF else 0
+                cur(x) = (cur(x) + (a + (prev(x) & 0xFF)) / 2).toByte; x += 1
+              }
+            case 4 =>
+              while (x < rb) {
+                val a = if (x >= filterBpp) cur(x - filterBpp) & 0xFF else 0
+                val c = if (x >= filterBpp) prev(x - filterBpp) & 0xFF else 0
+                cur(x) = (cur(x) + paeth(a, prev(x) & 0xFF, c)).toByte; x += 1
+              }
+            case _ => return None
           }
-        case 2 => // Up
-          while (x < stride) {
-            val b = if (y > 0) out(prv + x) & 0xFF else 0
-            out(dst + x) = ((raw(src + x) & 0xFF) + b).toByte; x += 1
+          // scatter this pass row's samples into the raster
+          val outY = y0 + y.toLong * dy
+          var px = 0
+          while (px < pw) {
+            val outX = x0 + px.toLong * dx
+            val dst = (outY * outStride + outX * srcCh).toInt
+            var ch = 0
+            while (ch < srcCh) {
+              val sampleIx = px * srcCh + ch
+              val v = bitDepth match {
+                case 8 => cur(sampleIx) & 0xFF
+                case 16 => cur(2 * sampleIx) & 0xFF // high byte
+                case d =>
+                  val bitAt = sampleIx * d
+                  val b = cur(bitAt >> 3) & 0xFF
+                  val shift = 8 - d - (bitAt & 7)
+                  ((b >> shift) & ((1 << d) - 1)) *
+                    (if (colorType == 3) 1 else greyScale)
+              }
+              out(dst + ch) = v.toByte
+              ch += 1
+            }
+            px += 1
           }
-        case 3 => // Average
-          while (x < stride) {
-            val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
-            val b = if (y > 0) out(prv + x) & 0xFF else 0
-            out(dst + x) = ((raw(src + x) & 0xFF) + (a + b) / 2).toByte; x += 1
-          }
-        case 4 => // Paeth
-          while (x < stride) {
-            val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
-            val b = if (y > 0) out(prv + x) & 0xFF else 0
-            val c = if (y > 0 && x >= bpp) out(prv + x - bpp) & 0xFF else 0
-            out(dst + x) = ((raw(src + x) & 0xFF) + paeth(a, b, c)).toByte; x += 1
-          }
-        case _ => return None
+          System.arraycopy(cur, 0, prev, 0, rb)
+          y += 1
+        }
       }
-      y += 1
     }
 
     if (colorType == 3) {

@@ -139,6 +139,97 @@ class PngSpec extends AnyFunSuite {
     val up = PngCodec.resizeBox(Image(2, 1, 1, Array[Byte](100, (200 & 0xFF).toByte)), 4, 1)
     assert(up.pixels.toSeq.map(_ & 0xFF) == Seq(100, 100, 200, 200))
   }
+
+  test("Adam7 interlaced PNGs from the JDK's progressive writer decode to identical pixels") {
+    // odd dims exercise edge passes; every channel count
+    for ((w, h, tpe, ch) <- Seq((13, 11, BufferedImage.TYPE_3BYTE_BGR, 3),
+      (21, 7, BufferedImage.TYPE_BYTE_GRAY, 1),
+      (8, 8, BufferedImage.TYPE_4BYTE_ABGR, 4),
+      (1, 9, BufferedImage.TYPE_BYTE_GRAY, 1),
+      (9, 1, BufferedImage.TYPE_3BYTE_BGR, 3))) {
+      val img = new BufferedImage(w, h, tpe)
+      val px = detPixels(w * h * ch, seed = w * 131 + h)
+      // grey writes through the raster: setRGB would colorspace-convert
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * ch
+        if (ch == 1) img.getRaster.setSample(x, y, 0, px(i) & 0xFF)
+        else {
+          val a = if (ch == 4) px(i + 3) & 0xFF else 255
+          img.setRGB(x, y, (a << 24) | ((px(i) & 0xFF) << 16) |
+            ((px(i + 1) & 0xFF) << 8) | (px(i + 2) & 0xFF))
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val bytes = bos.toByteArray
+      assert((bytes(28) & 0xFF) == 1, s"${w}x$h not actually interlaced")
+      val ours = PngCodec.decode(bytes)
+      assert(ours.isDefined, s"${w}x$h ch=$ch interlaced decode failed")
+      assert(ours.get.width == w && ours.get.height == h && ours.get.channels == ch)
+      assert(java.util.Arrays.equals(ours.get.pixels, px), s"${w}x$h ch=$ch pixels")
+    }
+  }
+
+  test("16-bit greyscale reduces to the high byte (the spec's depth rescaling)") {
+    val w = 17; val h = 5
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    val raster = img.getRaster
+    val vals = Array.tabulate(w * h)(i => (i * 2749 + 11) % 65536)
+    for (y <- 0 until h; x <- 0 until w) raster.setSample(x, y, 0, vals(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    val ours = PngCodec.decode(bos.toByteArray)
+    assert(ours.isDefined && ours.get.channels == 1)
+    val got = ours.get.pixels
+    vals.indices.foreach(i =>
+      assert((got(i) & 0xFF) == (vals(i) >> 8), s"sample $i"))
+  }
+
+  test("sub-byte depths: 1-bit binary and 4-bit palette PNGs decode") {
+    // 1-bit: TYPE_BYTE_BINARY (the JDK writes depth-1 PNG)
+    val w = 19; val h = 6
+    val bin = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      bin.setRGB(x, y, if ((x * 7 + y * 3) % 5 < 2) 0xFFFFFF else 0)
+    val bos1 = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(bin, "png", bos1))
+    assert((bos1.toByteArray()(24) & 0xFF) == 1, "not depth 1")
+    val ours1 = PngCodec.decode(bos1.toByteArray)
+    assert(ours1.isDefined, "1-bit decode failed")
+    val im1 = ours1.get
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = if ((x * 7 + y * 3) % 5 < 2) 255 else 0
+      val at = (y * w + x) * im1.channels
+      assert((im1.pixels(at) & 0xFF) == want, s"1-bit ($x,$y)")
+    }
+    // 4-bit palette via IndexColorModel (16 grey entries)
+    val greys = Array.tabulate(16)(i => (i * 17).toByte)
+    val icm = new java.awt.image.IndexColorModel(4, 16, greys, greys, greys)
+    val pal = new BufferedImage(23, 9, BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until 9; x <- 0 until 23) {
+      val v = (x + y * 5) % 16
+      pal.setRGB(x, y, (v * 17 << 16) | (v * 17 << 8) | (v * 17))
+    }
+    val bos4 = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(pal, "png", bos4))
+    assert((bos4.toByteArray()(24) & 0xFF) == 4, "not depth 4")
+    val ours4 = PngCodec.decode(bos4.toByteArray)
+    assert(ours4.isDefined, "4-bit decode failed")
+    val im4 = ours4.get
+    // a grey-ramp palette may be written as palette (3ch out) OR as
+    // depth-4 greyscale (1ch, spec-scaled *17) — both must agree
+    for (y <- 0 until 9; x <- 0 until 23) {
+      val v = ((x + y * 5) % 16) * 17
+      val at = (y * 23 + x) * im4.channels
+      assert((im4.pixels(at) & 0xFF) == v, s"4-bit ($x,$y) ch=${im4.channels}")
+    }
+  }
 }
 
 /** Deterministic fuzz over every real codec: at 100 TB some payloads
