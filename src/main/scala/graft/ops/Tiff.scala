@@ -10,11 +10,14 @@ package graft.ops
   * contain): 8-bit greyscale (PhotometricInterpretation 0/1, the
   * WhiteIsZero inversion honored), 8-bit RGB (chunky
   * PlanarConfiguration), 8-bit palette (ColorMap expanded to RGB),
-  * strip organization, compressions 1 (none), 5 (LZW — the TIFF
-  * variant: MSB-first codes, ClearCode 256, EOI 257, the early-code-
-  * width change, horizontal Predictor 2) and 32773 (PackBits).
-  * Tiles, planar separates, other bit depths and compressions → None
-  * (refuse, never guess).
+  * strip organization AND tile organization (round 15 continuation:
+  * TileWidth/TileLength/TileOffsets/TileByteCounts, row-major tile
+  * order, edge tiles stored full-size and clipped — tiled TIFF is
+  * how large scans and geo rasters actually ship), compressions 1
+  * (none), 5 (LZW — the TIFF variant: MSB-first codes, ClearCode
+  * 256, EOI 257, the early-code-width change, horizontal Predictor
+  * 2) and 32773 (PackBits). Planar separates, other bit depths and
+  * compressions → None (refuse, never guess).
   *
   * Garbage-safety contract (same as [[PngCodec]]): never throws —
   * truncated IFDs, hostile strip offsets, LZW code overruns all
@@ -63,7 +66,9 @@ object TiffCodec {
       var colorMap: Array[Int] = null
       var planar = 1
       var predictor = 1
-      var tiled = false
+      var tileW = 0L; var tileH = 0L
+      var tileOffsets: Seq[Long] = null
+      var tileCounts: Seq[Long] = null
 
       def typeSize(t: Int): Int = t match {
         case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
@@ -103,14 +108,23 @@ object TiffCodec {
           case 284 => planar = values(entry).head.toInt
           case 317 => predictor = values(entry).head.toInt
           case 320 => colorMap = values(entry).map(_.toInt).toArray
-          case 322 | 323 | 324 | 325 => tiled = true
+          case 322 => tileW = values(entry).head
+          case 323 => tileH = values(entry).head
+          case 324 => tileOffsets = values(entry)
+          case 325 => tileCounts = values(entry)
           case _ => () // unknown tags are fine (spec: readers skip)
         }
         e += 1
       }
 
-      if (tiled || planar != 1) return None
-      if (width <= 0 || height <= 0 || stripOffsets == null) return None
+      if (planar != 1) return None
+      val anyTileTag = tileW > 0 || tileH > 0 || tileOffsets != null || tileCounts != null
+      val useTiles = tileOffsets != null
+      // mixing tile tags with strip offsets is malformed: refuse
+      if (anyTileTag && stripOffsets != null) return None
+      if (width <= 0 || height <= 0 || (!useTiles && stripOffsets == null)) return None
+      if (useTiles && (tileW <= 0 || tileH <= 0 || tileW > (1 << 16) || tileH > (1 << 16)))
+        return None
       if (photometric < 0 || photometric > 3) return None
       if (predictor != 1 && predictor != 2) return None
       val paletted = photometric == 3
@@ -120,49 +134,84 @@ object TiffCodec {
       val outChannels = if (photometric == 2 || paletted) 3 else 1
       if (width * height * outChannels > PngCodec.MaxPixelBytes) return None
 
-      // decompress strips into the raw chunky sample stream
+      // decompress strips (or tiles) into the raw chunky sample stream
       val w = width.toInt; val h = height.toInt
       val rowBytes = w * spp
       val raw = new Array[Byte](rowBytes * h)
-      var rawAt = 0
-      val counts = if (stripCounts != null) stripCounts
-        else if (stripOffsets.length == 1) Seq((p.length - stripOffsets.head).max(0L))
-        else return None
-      if (counts.length != stripOffsets.length) return None
-      var si = 0
-      var rowsDone = 0L
-      while (si < stripOffsets.length && rawAt < raw.length) {
-        val off = stripOffsets(si); val len = counts(si)
+      // one compressed region → `need` plain bytes into dst at dstOff
+      def inflateRegion(off: Long, len: Long, dst: Array[Byte], dstOff: Int,
+          need: Int): Unit = {
         if (off < 0 || len < 0 || off + len > p.length) bad()
-        val stripRows = math.min(rowsPerStrip, height - rowsDone)
-        val need = (stripRows * rowBytes).toInt
         val got = compression match {
           case 1 =>
             val n = math.min(need.toLong, len).toInt
-            System.arraycopy(p, off.toInt, raw, rawAt, n); n
-          case 5 => lzw(p, off.toInt, len.toInt, raw, rawAt, need)
-          case 32773 => packBits(p, off.toInt, len.toInt, raw, rawAt, need)
-          case _ => return None
+            System.arraycopy(p, off.toInt, dst, dstOff, n); n
+          case 5 => lzw(p, off.toInt, len.toInt, dst, dstOff, need)
+          case 32773 => packBits(p, off.toInt, len.toInt, dst, dstOff, need)
+          case _ => bad() // unsupported compression (NOT `return`: a
+          // nested def's return exits the DEF, skipping the checks)
         }
-        if (got < need) bad() // short strip: truncated data
-        // horizontal predictor: each sample adds the one spp to its left
+        if (got < need) bad() // short region: truncated data
+      }
+      def unpredict(dst: Array[Byte], base0: Int, rows: Int, rowB: Int): Unit =
         if (predictor == 2) {
           var r = 0
-          while (r < stripRows) {
-            val base = rawAt + r * rowBytes
+          while (r < rows) {
+            val base = base0 + r * rowB
             var i = spp
-            while (i < rowBytes) {
-              raw(base + i) = (raw(base + i) + raw(base + i - spp)).toByte
+            while (i < rowB) {
+              dst(base + i) = (dst(base + i) + dst(base + i - spp)).toByte
               i += 1
             }
             r += 1
           }
         }
-        rawAt += need
-        rowsDone += stripRows
-        si += 1
+      if (!useTiles) {
+        var rawAt = 0
+        val counts = if (stripCounts != null) stripCounts
+          else if (stripOffsets.length == 1) Seq((p.length - stripOffsets.head).max(0L))
+          else return None
+        if (counts.length != stripOffsets.length) return None
+        var si = 0
+        var rowsDone = 0L
+        while (si < stripOffsets.length && rawAt < raw.length) {
+          val stripRows = math.min(rowsPerStrip, height - rowsDone)
+          val need = (stripRows * rowBytes).toInt
+          inflateRegion(stripOffsets(si), counts(si), raw, rawAt, need)
+          unpredict(raw, rawAt, stripRows.toInt, rowBytes)
+          rawAt += need
+          rowsDone += stripRows
+          si += 1
+        }
+        if (rawAt < raw.length) bad()
+      } else {
+        // tiles: row-major, each stored FULL-SIZE (edge tiles padded
+        // past the image bounds), clipped on the copy
+        val across = ((width + tileW - 1) / tileW).toInt
+        val down = ((height + tileH - 1) / tileH).toInt
+        if (tileCounts == null || tileOffsets.length != across.toLong * down ||
+          tileCounts.length != tileOffsets.length) return None
+        val tw = tileW.toInt; val th = tileH.toInt
+        val tileRowBytes = tw * spp
+        if (tileRowBytes.toLong * th > PngCodec.MaxPixelBytes) return None
+        val tile = new Array[Byte](tileRowBytes * th)
+        var t = 0
+        while (t < tileOffsets.length) {
+          val x0 = (t % across) * tw
+          val y0 = (t / across) * th
+          inflateRegion(tileOffsets(t), tileCounts(t), tile, 0, tile.length)
+          unpredict(tile, 0, th, tileRowBytes)
+          val copyRows = math.min(th, h - y0)
+          val copyBytes = math.min(tw, w - x0) * spp
+          var r = 0
+          while (r < copyRows) {
+            System.arraycopy(tile, r * tileRowBytes, raw,
+              (y0 + r) * rowBytes + x0 * spp, copyBytes)
+            r += 1
+          }
+          t += 1
+        }
       }
-      if (rawAt < raw.length) bad()
 
       val out: Array[Byte] =
         if (photometric == 2) raw // chunky RGB as-is
@@ -294,13 +343,15 @@ object TiffCodec {
             prefix(next) = prev; suffix(next) = first
             length(next) = length(prev) + 1
             next += 1
-            // width sync (TIFF spec §13 note): the decoder adds each
-            // string one code LATER than the encoder did, so it must
-            // widen one entry EARLIER — at 510/1022/2046 where the
-            // encoder widened at 511/1023/2047
-            if (next == 510 && width == 9) width = 10
-            else if (next == 1022 && width == 10) width = 11
-            else if (next == 2046 && width == 11) width = 12
+            // width sync (TIFF spec §13 "early change", the libtiff
+            // rule): widen when the NEXT code to assign reaches
+            // (1<<width)-1 — 511/1023/2047, one before the naive
+            // 512/1024/2048. (An earlier vintage widened at 510 and
+            // round-tripped only against its own encoder; the JDK
+            // TIFF writer's streams exposed the off-by-one.)
+            if (next == 511 && width == 9) width = 10
+            else if (next == 1023 && width == 10) width = 11
+            else if (next == 2047 && width == 11) width = 12
           }
           prev = c
         }

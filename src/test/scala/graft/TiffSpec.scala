@@ -84,9 +84,13 @@ class TiffSpec extends AnyFunSuite {
         put(if (w.length == 1) w.head & 0xFF else dict(w), width)
         if (next < 4094) {
           dict(wb) = next; next += 1
-          if (next == 511) width = 10
-          else if (next == 1023) width = 11
-          else if (next == 2047) width = 12
+          // early change, the libtiff/JDK convention: the DECODER
+          // widens when its next-to-assign hits 511/1023/2047; the
+          // encoder runs one entry ahead, so it widens at 512/1024/
+          // 2048 (verified against the JDK TIFF writer's streams)
+          if (next == 512) width = 10
+          else if (next == 1024) width = 11
+          else if (next == 2048) width = 12
         }
         w = List(b)
       }
@@ -187,12 +191,49 @@ class TiffSpec extends AnyFunSuite {
     assert(px(3) == px(1))
   }
 
+  test("tiled TIFFs from the JDK's own writer decode: edge tiles clip, LZW and None compressions") {
+    import javax.imageio.ImageIO
+    def tiled(w: Int, h: Int, tw: Int, th: Int, compress: Option[String]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 7 + y * 13) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(tw, th, 0, 0)
+      compress.foreach { c =>
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(c)
+      }
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // edge tiles on both axes; exact multiples; LZW-compressed tiles
+    for ((w, h, tw, th, c) <- Seq(
+      (50, 37, 16, 16, None), (32, 32, 16, 16, None),
+      (50, 37, 16, 16, Some("LZW")), (20, 45, 16, 32, Some("LZW")))) {
+      val bytes = tiled(w, h, tw, th, c)
+      val got = TiffCodec.decode(bytes)
+      assert(got.isDefined, s"${w}x$h tiles ${tw}x$th $c failed")
+      val im = got.get
+      assert(im.width == w && im.height == h && im.channels == 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((im.pixels(y * w + x) & 0xFF) == (x * 7 + y * 13) % 256,
+          s"($x,$y) ${w}x$h $c")
+    }
+  }
+
   test("refusals: tiles, planar separates, 16-bit, unknown compression, truncated strip, junk") {
     val data = Array[Byte](1, 2, 3, 4)
     def g(extra: Seq[(Int, Int, Seq[Long])] = Nil,
         mut: Seq[(Int, Int, Seq[Long])] => Seq[(Int, Int, Seq[Long])] = identity) =
       build(le = true, mut(greyTags(4, 1, 1, data) ++ extra), Seq(data))
-    assert(TiffCodec.decode(g(extra = Seq((322, 4, Seq(16L))))).isEmpty) // TileWidth
+    assert(TiffCodec.decode(g(extra = Seq((322, 4, Seq(16L))))).isEmpty) // tile tag + strips
     assert(TiffCodec.decode(g(extra = Seq((284, 3, Seq(2L))))).isEmpty) // planar 2
     assert(TiffCodec.decode(g(mut = _.map {
       case (258, t, _) => (258, t, Seq(16L)); case x => x })).isEmpty)
