@@ -155,6 +155,47 @@ object BmpCodec {
               if ((cnt & 1) != 0) src += 1 // pad to word boundary
           }
         }
+      case 2 => // BI_RLE4 (round 15 continuation): runs ALTERNATE the
+        // two nibbles of the value byte; absolute mode packs nibbles
+        // and pads the BYTE count to a word boundary
+        if (bpp != 4 || topDown) return None
+        var src = pixelOffset.toInt
+        var x = 0; var y = 0
+        var done = false
+        def put(base: Int, idx: Int): Unit = {
+          out(base + 3 * x) = palette(3 * idx)
+          out(base + 3 * x + 1) = palette(3 * idx + 1)
+          out(base + 3 * x + 2) = palette(3 * idx + 2)
+          x += 1
+        }
+        while (!done && src + 2 <= p.length && y < height) {
+          val n = u8(src); val v = u8(src + 1); src += 2
+          if (n > 0) {
+            val base = (height - 1 - y) * width * 3
+            var k = 0
+            while (k < n && x < width) {
+              put(base, if ((k & 1) == 0) v >> 4 else v & 0xF)
+              k += 1
+            }
+          } else v match {
+            case 0 => x = 0; y += 1
+            case 1 => done = true
+            case 2 =>
+              if (src + 2 > p.length) done = true
+              else { x = math.min(width, x + u8(src)); y += u8(src + 1); src += 2 }
+            case cnt => // absolute: cnt nibbles, stored byte count padded
+              val base = (height - 1 - y) * width * 3
+              val nBytes = (cnt + 1) / 2
+              var k = 0
+              while (k < cnt && src + k / 2 < p.length) {
+                val b = u8(src + k / 2)
+                if (x < width && y < height)
+                  put(base, if ((k & 1) == 0) b >> 4 else b & 0xF)
+                k += 1
+              }
+              src += nBytes + (nBytes & 1) // pad to word boundary
+          }
+        }
       case _ => return None
     }
     Some(PngCodec.Image(width, height, 3, out))

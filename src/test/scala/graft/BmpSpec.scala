@@ -145,9 +145,53 @@ class BmpSpec extends AnyFunSuite {
     assert((img.pixels(3) & 0xFF) == 0)
   }
 
-  test("refusals: RLE4, BITFIELDS, zero dims, oversized, palette overflow") {
+  test("hand-assembled BI_RLE4: alternating-nibble runs, absolute mode, delta, EOL, EOB") {
+    val palette = (0 until 256).flatMap(i => Seq[Byte](i.toByte, i.toByte, i.toByte, 0)).toArray
+    // 2 rows × 6 px, bottom row first:
+    //   run 5 of value 0x37 → 3,7,3,7,3; absolute 3 nibbles [9,8,6]
+    //   (2 data bytes → 1 pad byte to the word boundary)... but x is
+    //   already 5, so only nibble 9 lands; EOL; top row: delta (+2,0),
+    //   run 4×0x50 → 5,0,5,0; EOB
+    val rle = Array[Byte](5, 0x37, 0, 3, (0x98 & 0xFF).toByte, 0x60, 0, 0,
+      0, 2, 2, 0, 4, 0x50, 0, 1)
+    val img = BmpCodec.decode(infoBmp(6, 2, 4, 2, palette, rle)).get
+    def px(x: Int, y: Int): Int = img.pixels(3 * (y * 6 + x)) & 0xFF
+    // bottom row (y=1): 3 7 3 7 3 9
+    assert(px(0, 1) == 3 && px(1, 1) == 7 && px(4, 1) == 3 && px(5, 1) == 9)
+    // top row (y=0): 0 0 5 0 5 0
+    assert(px(0, 0) == 0 && px(2, 0) == 5 && px(3, 0) == 0 && px(4, 0) == 5 && px(5, 0) == 0)
+  }
+
+  test("BI_RLE4 from the JDK's own BMP writer decodes pixel-exact") {
+    import javax.imageio._
+    val greys = Array.tabulate(16)(i => (i * 17).toByte)
+    val icm = new java.awt.image.IndexColorModel(4, 16, greys, greys, greys)
+    val img = new java.awt.image.BufferedImage(27, 9,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until 9; x <- 0 until 27) {
+      val v = ((x / 3 + y) % 16) * 17 // runs of 3: RLE-friendly
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("bmp").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("BI_RLE4")
+    writer.write(null, new IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val ours = BmpCodec.decode(bos.toByteArray)
+    assert(ours.isDefined, "JDK RLE4 decode failed")
+    for (y <- 0 until 9; x <- 0 until 27) {
+      val v = ((x / 3 + y) % 16) * 17
+      assert((ours.get.pixels(3 * (y * 27 + x)) & 0xFF) == v, s"($x,$y)")
+    }
+  }
+
+  test("refusals: RLE4-with-wrong-bpp, BITFIELDS, zero dims, oversized, palette overflow") {
     val pal = (0 until 16).flatMap(_ => Seq[Byte](0, 0, 0, 0)).toArray
-    assert(BmpCodec.decode(infoBmp(4, 1, 4, 2, pal, Array[Byte](0, 0, 0, 0))).isEmpty) // RLE4
+    assert(BmpCodec.decode(infoBmp(4, 1, 8, 2, pal, Array[Byte](0, 0, 0, 0))).isEmpty) // RLE4 needs bpp 4
     assert(BmpCodec.decode(infoBmp(4, 1, 32, 3, Array.empty, new Array[Byte](16))).isEmpty) // BITFIELDS
     assert(BmpCodec.decode(infoBmp(0, 1, 8, 0, new Array[Byte](1024), Array.empty)).isEmpty)
     // hostile dims: 60000×60000 would need > MaxPixelBytes
