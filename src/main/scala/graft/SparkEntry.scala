@@ -2477,6 +2477,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
     }),
 
+    // Delta TIME TRAVEL (round 15 continuation): a two-version table
+    // whose version 1 rewrites one bucket WITHOUT the doc_id%5==0
+    // rows — reading AS OF version 0 must return every row, so a
+    // reader that silently serves the latest state hash-mismatches.
+    // The refusal ladder (beyond-log versions, non-contiguous
+    // histories, checkpoints past the target) is pinned in
+    // DeltaLogSpec.
+    "x_delta_time_travel" -> ((s, d) => {
+      val dir = sharedDir("delta_tt", d)(
+        graft.ops.TableFixtures.writeDeltaTtTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.DeltaLog.readTable(s, dir, Some(0L))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Iceberg v1 manifests (round 14): one spec-schema manifest_entry
     // Avro container per document (written by the in-repo from-spec
     // Avro codec, decoded by the same reader the `iceberg` source
@@ -6324,6 +6338,11 @@ object SparkEntry {
       SELECT doc_id, source, n_chars,
              CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
       FROM documents""",
+
+    // delta time travel: version 0 holds EVERY row; the current
+    // version dropped the even %5 rows, so serving it would lose rows
+    "x_delta_time_travel" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
 
     // iceberg v2 position deletes: survivors of the planted id%7==0
     // delete rule, applied across all four bucket files

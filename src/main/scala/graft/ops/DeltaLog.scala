@@ -518,7 +518,18 @@ object DeltaLog {
     * partition tuples the table has. Refuses (analysis error) on
     * unsupported protocol, a missing/incomplete checkpoint, or a
     * malformed log. */
-  def readTable(spark: SparkSession, tableDir: String): DataFrame = {
+  def readTable(spark: SparkSession, tableDir: String): DataFrame =
+    readTable(spark, tableDir, None)
+
+  /** TIME TRAVEL (round 15 continuation): read the table AS OF
+    * `versionAsOf` — the checkpoint seeds only when its version is
+    * ≤ the target, later commits are dropped, and the replay must
+    * actually REACH the target: a requested version beyond the log
+    * refuses by name, and a history truncated below the target
+    * (vacuumed JSONs with no usable checkpoint) refuses rather than
+    * silently replaying a partial state. */
+  def readTable(spark: SparkSession, tableDir: String,
+      versionAsOf: Option[Long]): DataFrame = {
     val dir = new java.io.File(tableDir, "_delta_log")
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
     val lastCp: Option[(Long, Option[Int])] =
@@ -536,6 +547,8 @@ object DeltaLog {
         val parts = jv \ "parts" match { case JInt(x) => Some(x.toInt); case _ => None }
         (v, parts)
       }
+      // a checkpoint BEYOND the target cannot seed a time travel
+      .filter { case (v, _) => versionAsOf.forall(v <= _) }
     val seed = lastCp.map { case (v, parts) =>
       val cpFiles = checkpointNames(v, parts).map(n => new java.io.File(dir, n))
       val missing = cpFiles.filterNot(_.isFile)
@@ -606,7 +619,25 @@ object DeltaLog {
         v -> new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)))
       .filter(_._1 > cpVersion)
+      .filter(c => versionAsOf.forall(c._1 <= _))
       .sortBy(_._1)
+    versionAsOf.foreach { v =>
+      // the replay must actually REACH the requested version, from a
+      // usable base: silently serving a neighboring version is the
+      // time-travel analogue of misreading a column
+      if (v < 0) throw new graft.GraftAnalysisException(s"delta: version $v is negative")
+      val reached = math.max(cpVersion, commits.lastOption.map(_._1).getOrElse(-1L))
+      if (reached != v)
+        throw new graft.GraftAnalysisException(
+          s"delta: version $v is not available (nearest replayable state: " +
+            (if (reached < 0) "none" else s"version $reached") + ")")
+      val expectFrom = if (seed.isDefined) cpVersion + 1 else 0L
+      if (commits.map(_._1) != (expectFrom to v))
+        throw new graft.GraftAnalysisException(
+          s"delta: the commit history from version $expectFrom to $v is not " +
+            "contiguous (vacuumed or partially copied log); refusing beats " +
+            "replaying a partial state")
+    }
     if (commits.isEmpty && seed.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: no commits under $tableDir/_delta_log")
     val snap = snapshotOfE(commits, seed) match {

@@ -150,6 +150,35 @@ object TableFixtures {
     dir.getAbsolutePath
   }
 
+  /** Build a two-version Delta table for the TIME-TRAVEL gate:
+    * version 0 adds both parity buckets (every document); version 1
+    * rewrites bucket 0 without the `doc_id % 5 == 0` rows. Reading
+    * AS OF 0 must return every row — a reader that silently serves
+    * the latest state loses the %5 rows and hash-mismatches. */
+  def writeDeltaTtTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-tt").toFile
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"))
+    writeBucketFiles(data, "doc_id", dir, 2, k => s"tt-$k.parquet")
+    singleParquet(
+      data.where(pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") % 5 =!= 0)
+        .sort("doc_id"),
+      new java.io.File(dir, "tt-0b.parquet"))
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    def add(p: String) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+    java.nio.file.Files.write(new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      (Seq("""{"metaData":{"id":"x-delta-tt","schemaString":"{}","partitionColumns":[]}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        add("tt-0.parquet"), add("tt-1.parquet")).mkString("\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(logDir, f"${1L}%020d.json").toPath,
+      (Seq("""{"remove":{"path":"tt-0.parquet","dataChange":true}}""",
+        add("tt-0b.parquet")).mkString("\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+
   /** Build a Delta table with ID-mode column mapping: the parquet
     * files carry field ids 1..3 under column names (f1, f2, f3) that
     * DELIBERATELY differ from the metadata physicalNames

@@ -78,10 +78,13 @@ object SourceReader {
         case Nil  => df
         case cols => df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       }
-    // Delta table CURRENT snapshot: _delta_log JSON replay selects
-    // the active parquet files; partition values inject from the log
+    // Delta table snapshot: _delta_log JSON replay selects the
+    // active parquet files; partition values inject from the log.
+    // Optional `version_as_of` time-travels to that exact version
+    // (refusing when it is not contiguously replayable).
     case "delta" =>
-      graft.ops.DeltaLog.readTable(spark, s.config.reqStr("path"))
+      graft.ops.DeltaLog.readTable(spark, s.config.reqStr("path"),
+        s.config.long("version_as_of"))
 
     // Iceberg v1 table CURRENT snapshot: metadata-json → manifest-list
     // → manifests (in-repo Avro) select the active parquet files

@@ -541,6 +541,61 @@ class DeltaLogSpec extends SparkSuite {
     assert(rows == Seq((1L, "a", "n1", 10L, "pv"), (2L, "b", "n2", 20L, "pv")))
   }
 
+  test("readTable time travel: each version replays exactly; the ladder refuses") {
+    val (tableDir, logDir) = tableFixture()
+    writeCommit(logDir, 0L, meta, proto, addLine("f0.parquet", "x", 100),
+      addLine("f1.parquet", "y", 101))
+    writeCommit(logDir, 1L, """{"remove":{"path":"f1.parquet"}}""",
+      addLine("f2.parquet", "y", 102))
+    writeCommit(logDir, 2L, addLine("f3.parquet", "z", 103))
+    def at(v: Long): Seq[Long] =
+      DeltaLog.readTable(spark, tableDir.getAbsolutePath, Some(v))
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(at(0L) == Seq(0L, 1L, 10L, 11L)) // f0 + f1
+    assert(at(1L) == Seq(0L, 1L, 20L, 21L)) // f1 removed, f2 added
+    assert(at(2L) == Seq(0L, 1L, 20L, 21L, 30L, 31L))
+    // current read unchanged
+    assert(DeltaLog.readTable(spark, tableDir.getAbsolutePath)
+      .select("id").as[Long].collect().sorted.toSeq == at(2L))
+    // beyond the log / negative: refuse by name
+    assert(intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTable(spark, tableDir.getAbsolutePath, Some(9L))
+    }.getMessage.contains("not available"))
+    assert(intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTable(spark, tableDir.getAbsolutePath, Some(-1L))
+    }.getMessage.contains("negative"))
+    // a vacuumed (non-contiguous) history refuses
+    assert(new java.io.File(logDir, f"${0L}%020d.json").delete())
+    assert(intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTable(spark, tableDir.getAbsolutePath, Some(2L))
+    }.getMessage.contains("contiguous"))
+  }
+
+  test("readTable time travel with a checkpoint: seeds only when at or before the target") {
+    val (tableDir, logDir) = tableFixture()
+    writeCommit(logDir, 0L, meta, proto, addLine("f0.parquet", "x", 100),
+      addLine("f1.parquet", "y", 101))
+    writeCommit(logDir, 1L, """{"remove":{"path":"f1.parquet"}}""",
+      addLine("f2.parquet", "y", 102))
+    writeCommit(logDir, 2L, addLine("f3.parquet", "z", 103))
+    // checkpoint at version 1
+    checkpointRows().coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(logDir, "cp.tmp").getAbsolutePath)
+    val part = new java.io.File(logDir, "cp.tmp").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(logDir, f"${1L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(logDir, "_last_checkpoint").toPath,
+      """{"version":1,"size":3}""".getBytes("UTF-8"))
+    def at(v: Long): Seq[Long] =
+      DeltaLog.readTable(spark, tableDir.getAbsolutePath, Some(v))
+        .select("id").as[Long].collect().sorted.toSeq
+    // target 2: checkpoint(1) seeds + commit 2 replays
+    assert(at(2L) == Seq(0L, 1L, 20L, 21L, 30L, 31L))
+    // target 0: the version-1 checkpoint must NOT seed — pure JSON
+    assert(at(0L) == Seq(0L, 1L, 10L, 11L))
+  }
+
   test("readTable column mapping id mode: footer field ids resolve, stale physicalNames ignored") {
     import org.apache.spark.sql.types.MetadataBuilder
     def fid(n: Long) = new MetadataBuilder().putLong("parquet.field.id", n).build()
