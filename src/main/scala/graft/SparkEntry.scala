@@ -2527,6 +2527,18 @@ object SparkEntry {
     // value), gen2 (odd ids, sequence 3, written AFTER the delete).
     // The %3==0 odd rows must SURVIVE: a reader that value-matches
     // without sequence scoping deletes them and hash-mismatches.
+    // Iceberg SNAPSHOT TRAVEL (round 15 continuation): the v2 table's
+    // snapshot 0 predates the position deletes — reading it by id
+    // must return every row; serving the current snapshot instead
+    // loses the %7 rows and hash-mismatches. Unknown ids refuse by
+    // name (IcebergSpec).
+    "x_iceberg_snapshot_at" -> ((s, d) => {
+      val dir = sharedDir("iceberg_v2", d)(
+        graft.ops.TableFixtures.writeIcebergV2Table(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.Iceberg.readTable(s, dir, Some(0L))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     "x_iceberg_eq" -> ((s, d) => {
       val dir = sharedDir("iceberg_eq", d)(
         graft.ops.TableFixtures.writeIcebergEqTable(s, t(s, d, "documents"), "doc_id"))
@@ -6349,6 +6361,10 @@ object SparkEntry {
     "x_iceberg_v2" -> """
       SELECT doc_id, source, n_chars
       FROM documents WHERE doc_id % 7 <> 0""",
+
+    // iceberg snapshot travel: snapshot 0 predates the deletes
+    "x_iceberg_snapshot_at" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
 
     // iceberg v2 equality deletes: the sequence-scoped survivor set —
     // the delete (seq 2) reaches generation 1 (even ids, seq 1) but

@@ -375,7 +375,14 @@ object Iceberg {
     * snapshot, unreadable Avro, a non-parquet data file, unknown
     * equality field ids, or missing sequence numbers when equality
     * deletes are present. */
-  def readTable(spark: SparkSession, tableDir: String): DataFrame = {
+  def readTable(spark: SparkSession, tableDir: String): DataFrame =
+    readTable(spark, tableDir, None)
+
+  /** SNAPSHOT TRAVEL (round 15 continuation): read AS OF a snapshot
+    * id from the metadata's `snapshots` list; an id the metadata
+    * does not carry (expired or never existed) refuses by name. */
+  def readTable(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long]): DataFrame = {
     val metaDir = new java.io.File(tableDir, "metadata")
     val files = Option(metaDir.listFiles()).getOrElse(Array.empty)
     def readBytes(f: java.io.File): Array[Byte] =
@@ -391,9 +398,13 @@ object Iceberg {
     if (meta.formatVersion != 1 && meta.formatVersion != 2)
       refuse(s"format-version ${meta.formatVersion} unsupported (unknown read semantics; " +
         "refusing beats silently wrong data)")
-    val cur = meta.currentSnapshotId.getOrElse(refuse("no current snapshot"))
-    val snap = meta.snapshots.find(_.id == cur)
-      .getOrElse(refuse(s"current snapshot $cur not in snapshots"))
+    val cur = snapshotId.getOrElse(
+      meta.currentSnapshotId.getOrElse(refuse("no current snapshot")))
+    val snap = meta.snapshots.find(_.id == cur).getOrElse(refuse(
+      if (snapshotId.isDefined)
+        s"snapshot $cur is not in this metadata's snapshots (expired or unknown); " +
+          s"known ids: ${meta.snapshots.map(_.id).mkString(",")}"
+      else s"current snapshot $cur not in snapshots"))
     val manifestList: Seq[(String, Int, Option[Long])] = snap.manifestList match {
       case Some(ml) =>
         val f = new java.io.File(resolvePath(tableDir, meta.location, ml))

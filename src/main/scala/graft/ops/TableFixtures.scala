@@ -253,9 +253,15 @@ object TableFixtures {
       (s"$loc/metadata/m-data.avro", mData.length.toLong, 0),
       (s"$loc/metadata/m-del.avro", mDel.length.toLong, 1)), "x-ib2-ml")
     java.nio.file.Files.write(new java.io.File(metaDir, "snap-1.avro").toPath, ml)
+    // snapshot 0: the PRE-DELETE state (data manifest only) — the
+    // snapshot-travel gate reads it by id
+    val ml0 = Iceberg.writeManifestListV2(Seq(
+      (s"$loc/metadata/m-data.avro", mData.length.toLong, 0)), "x-ib2-ml0")
+    java.nio.file.Files.write(new java.io.File(metaDir, "snap-0.avro").toPath, ml0)
     val metaJson =
       s"""{"format-version":2,"table-uuid":"x-iceberg-v2","location":"$loc",
          |"current-snapshot-id":1,"snapshots":[
+         |{"snapshot-id":0,"manifest-list":"$loc/metadata/snap-0.avro"},
          |{"snapshot-id":1,"manifest-list":"$loc/metadata/snap-1.avro"}]}""".stripMargin
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
       metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

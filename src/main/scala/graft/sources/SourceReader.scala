@@ -86,10 +86,12 @@ object SourceReader {
       graft.ops.DeltaLog.readTable(spark, s.config.reqStr("path"),
         s.config.long("version_as_of"))
 
-    // Iceberg v1 table CURRENT snapshot: metadata-json → manifest-list
-    // → manifests (in-repo Avro) select the active parquet files
+    // Iceberg table snapshot: metadata-json → manifest-list →
+    // manifests (in-repo Avro) select the active parquet files;
+    // optional `snapshot_id` reads a historical snapshot
     case "iceberg" =>
-      graft.ops.Iceberg.readTable(spark, s.config.reqStr("path"))
+      graft.ops.Iceberg.readTable(spark, s.config.reqStr("path"),
+        s.config.long("snapshot_id"))
 
     // ORC: the other columnar format large estates standardize on
     // (Hive lineage). Same lazy-scan contract as parquet — pushdown,

@@ -73,6 +73,21 @@ class IcebergSpec extends SparkSuite {
     assert("FileScan".r.findAllIn(plan).length == 1)
   }
 
+  test("readTable snapshot travel: an explicit id reads that snapshot; unknown ids refuse") {
+    val dir = fixture()
+    // snapshot 10 is the OLD state (f0 only); current is 11
+    val old = Iceberg.readTable(spark, dir.getAbsolutePath, Some(10L))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(old == Seq((0L, "r0a"), (1L, "r0b")))
+    val cur = Iceberg.readTable(spark, dir.getAbsolutePath, Some(11L))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(cur == Seq((0L, "r0a"), (1L, "r0b"), (20L, "r2a"), (21L, "r2b")))
+    val e = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTable(spark, dir.getAbsolutePath, Some(99L))
+    }
+    assert(e.getMessage.contains("expired or unknown"))
+  }
+
   test("readTable: stale version-hint falls back nowhere — the named metadata wins") {
     val dir = fixture()
     // point the hint at the OLD metadata (v1 naming the old snapshot)
