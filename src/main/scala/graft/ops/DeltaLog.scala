@@ -776,6 +776,25 @@ object DeltaLog {
       case None => cur
       case Some(st) =>
         val pset = pcols.toSet
+        // id mode resolves only TOP-LEVEL columns by parquet field id;
+        // nested struct fields would still rename positionally through
+        // the cast below, and a file whose nested field order differs
+        // from the logical schema (types permitting) would silently
+        // swap values — the exact misread id mode exists to prevent.
+        // Refuse by name instead.
+        if (cmMode == "id") {
+          def hasStruct(dt: DataType): Boolean = dt match {
+            case _: StructType => true
+            case a: ArrayType => hasStruct(a.elementType)
+            case m: MapType => hasStruct(m.keyType) || hasStruct(m.valueType)
+            case _ => false
+          }
+          st.fields.toSeq.filterNot(f => pset(f.name)).find(f => hasStruct(f.dataType))
+            .foreach(f => throw new graft.GraftAnalysisException(
+              s"delta: id-mode column mapping with nested struct column '${f.name}' " +
+                "is unsupported (nested fields would rename positionally, not by id); " +
+                "refusing beats silently swapping nested values"))
+        }
         val dataCols = st.fields.toSeq.filterNot(f => pset(f.name)).map { f =>
           col(s"`${scanName(f)}`").cast(f.dataType).as(f.name)
         }

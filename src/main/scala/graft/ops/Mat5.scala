@@ -291,9 +291,18 @@ object Mat5 {
       else {
         val deflater = new java.util.zip.Deflater(6, false)
         deflater.setInput(el); deflater.finish()
-        val buf = new Array[Byte](el.length + 64)
-        val m = deflater.deflate(buf)
+        // loop until finished(): an incompressible element can exceed
+        // any fixed slack, and a single deflate() call would silently
+        // truncate the miCOMPRESSED stream
+        val grow = new java.io.ByteArrayOutputStream(el.length + 64)
+        val chunk = new Array[Byte](8192)
+        while (!deflater.finished()) {
+          val k = deflater.deflate(chunk)
+          grow.write(chunk, 0, k)
+        }
         deflater.end()
+        val buf = grow.toByteArray
+        val m = buf.length
         def w32(v: Long): Unit =
           if (be) { o.write(((v >> 24) & 0xFF).toInt); o.write(((v >> 16) & 0xFF).toInt)
             o.write(((v >> 8) & 0xFF).toInt); o.write((v & 0xFF).toInt) }

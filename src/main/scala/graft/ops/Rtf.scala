@@ -122,8 +122,13 @@ object Rtf {
                 java.nio.charset.StandardCharsets.US_ASCII)
               var neg = false
               var num = -1L
+              // presence tracked separately from the value: \u-1 is a
+              // LEGAL parameter (U+FFFF after the +65536 wrap) and must
+              // not be conflated with "no parameter"
+              var hasNum = false
               if (j < n && (u8(j) == '-' || (u8(j) >= '0' && u8(j) <= '9'))) {
                 if (u8(j) == '-') { neg = true; j += 1 }
+                hasNum = true
                 num = 0
                 var digits = 0
                 while (j < n && u8(j) >= '0' && u8(j) <= '9' && digits < 10) {
@@ -143,7 +148,7 @@ object Rtf {
                 case "u" =>
                   if (pendingUcSkip > 0) pendingUcSkip -= 1 // nested fallback
                   else {
-                    if (num == -1L) bad()
+                    if (!hasNum) bad()
                     val scalar = if (num < 0) num + 65536 else num
                     if (scalar < 0 || scalar > 0xFFFF) bad()
                     if (skipDepth < 0) sb.append(scalar.toChar)

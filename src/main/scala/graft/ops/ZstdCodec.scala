@@ -940,13 +940,15 @@ object ZstdCodec {
       .as[(Long, Array[Byte], Array[Byte])]
       .mapPartitions { rows =>
         // dictionaries repeat across rows (one trained dict per
-        // corpus shard is the real-world shape): memoize the parse
+        // corpus shard is the real-world shape): memoize the parse.
+        // Compared by CONTENT — each deserialized row materializes a
+        // fresh array, so a reference compare would never hit.
         var lastRef: Array[Byte] = null
         var lastParsed: Option[Dictionary] = None
         rows.map { case (id, payload, dictBytes) =>
           val dict =
             if (dictBytes == null || dictBytes.isEmpty) None
-            else if (dictBytes eq lastRef) lastParsed
+            else if (lastRef != null && java.util.Arrays.equals(dictBytes, lastRef)) lastParsed
             else {
               lastRef = dictBytes
               lastParsed = parseDictionary(dictBytes)

@@ -642,4 +642,32 @@ class DeltaLogSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("heterogeneous"))
   }
+
+  test("id mode refuses nested struct columns (only top-level fields resolve by id)") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    def fid(n: Long) = new MetadataBuilder().putLong("parquet.field.id", n).build()
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-delta-cmid-st").toFile
+    singleParquet(
+      Seq((1L, "a")).toDF("x", "y")
+        .select(col("x").as("f1", fid(1)),
+          struct(col("y").as("inner")).as("f2", fid(2))),
+      new java.io.File(tableDir, "d0.parquet"))
+    val logDir = new java.io.File(tableDir, "_delta_log"); logDir.mkdirs()
+    val schema =
+      """{"type":"struct","fields":[""" +
+        """{"name":"id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"f1"}},""" +
+        """{"name":"s","type":{"type":"struct","fields":[{"name":"inner","type":"string","nullable":true,"metadata":{}}]},""" +
+        """"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"f2"}}]}"""
+    val escaped = schema.replace("\"", "\\\"")
+    writeCommit(logDir, 0L,
+      s"""{"metaData":{"id":"t","schemaString":"$escaped",""" +
+        """"partitionColumns":[],""" +
+        """"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"add":{"path":"d0.parquet","partitionValues":{},"size":1,"modificationTime":0}}""")
+    val e = intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTable(spark, tableDir.getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains("nested struct column 's'"))
+  }
 }

@@ -26,6 +26,18 @@ class Mat5Spec extends SparkSuite {
       checkFile(be, compress)
   }
 
+  test("compressed elements survive incompressible payloads (deflate loops to finished)") {
+    // a large pseudo-random int16 matrix whose deflated form EXCEEDS
+    // the raw size: a single-deflate builder would truncate the
+    // miCOMPRESSED stream and the parse would refuse
+    val rng = new scala.util.Random(42)
+    val n = 4096
+    val vals = Seq.fill(n)((rng.nextInt(65536) - 32768).toDouble)
+    val m = Mat5.buildMatrix("R", 10, 3, Seq(n, 1), vals, be = false)
+    val vars = Mat5.parse(Mat5.buildFile(Seq(m), be = false, compress = true)).get
+    assert(vars.head.values.toSeq == vals)
+  }
+
   test("down-packed storage: a double-class matrix stored as int8 decodes by storage type") {
     val m = Mat5.buildMatrix("d", 6, 1, Seq(3, 1), Seq(-5, 0, 7), be = false)
     val vars = Mat5.parse(Mat5.buildFile(Seq(m), be = false, compress = false)).get

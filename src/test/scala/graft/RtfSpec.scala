@@ -29,6 +29,10 @@ class RtfSpec extends SparkSuite {
       new String(Character.toChars(0x1F600))))
     // \'hh fallbacks also count as ONE skipped char
     assert(x("{\\rtf1\\uc1 \\u252\\'fcx}").contains("üx"))
+    // \u-1 is a LEGAL parameter (U+FFFF after the +65536 wrap), not
+    // the missing-parameter sentinel; a bare \u with no digits refuses
+    assert(x("{\\rtf1\\uc1 \\u-1?x}").contains("\uFFFFx"))
+    assert(x("{\\rtf1\\uc1 \\u ab}").isEmpty)
   }
 
   test("codepage: \\'hh through ansicpg1252 default and 1251; unsupported refuses") {
