@@ -2491,6 +2491,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Delta TIMESTAMP travel (round 16): the two-version table's
+    // commitInfo lines stamp version 0 at t=1000 ms and version 1
+    // (the bucket rewrite that drops %5 rows) at t=2000 ms; reading
+    // AS OF 1500 must resolve to version 0 — every row.
+    "x_delta_time_travel_ts" -> ((s, d) => {
+      val dir = sharedDir("delta_tt", d)(
+        graft.ops.TableFixtures.writeDeltaTtTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.DeltaLog.readTableAt(s, dir, 1500L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Iceberg v1 manifests (round 14): one spec-schema manifest_entry
     // Avro container per document (written by the in-repo from-spec
     // Avro codec, decoded by the same reader the `iceberg` source
@@ -2543,6 +2554,31 @@ object SparkEntry {
       val dir = sharedDir("iceberg_eq", d)(
         graft.ops.TableFixtures.writeIcebergEqTable(s, t(s, d, "documents"), "doc_id"))
       graft.ops.Iceberg.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Iceberg FIELD-ID column resolution (round 16): generation A
+    // files predate a column rename (stored names id_v1/src_v1/
+    // chars_v1, field ids 1..3, no parity column); generation B files
+    // carry the current names plus parity (ids 1..4). The spec says
+    // resolve columns by field id — a name-based reader null-fills
+    // generation A's data columns and hash-mismatches. Gen A rows
+    // read parity NULL (the column postdates them).
+    "x_iceberg_rename" -> ((s, d) => {
+      val dir = sharedDir("iceberg_rename", d)(
+        graft.ops.TableFixtures.writeIcebergRenameTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.Iceberg.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
+    }),
+
+    // Iceberg TIMESTAMP travel (round 16): the v2 table's
+    // snapshot-log stamps snapshot 0 at t=1000 ms and snapshot 1
+    // (with the position deletes) at t=2000 ms; reading AS OF 1500
+    // must resolve to snapshot 0 — every row, pre-delete.
+    "x_iceberg_at_ts" -> ((s, d) => {
+      val dir = sharedDir("iceberg_v2", d)(
+        graft.ops.TableFixtures.writeIcebergV2Table(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.Iceberg.readTableAt(s, dir, 1500L)
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
@@ -6356,6 +6392,11 @@ object SparkEntry {
     "x_delta_time_travel" -> """
       SELECT doc_id, source, n_chars FROM documents""",
 
+    // delta timestamp travel: t=1500 lands between the v0 (t=1000)
+    // and v1 (t=2000) commits → version 0, every row
+    "x_delta_time_travel_ts" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
+
     // iceberg v2 position deletes: survivors of the planted id%7==0
     // delete rule, applied across all four bucket files
     "x_iceberg_v2" -> """
@@ -6365,6 +6406,18 @@ object SparkEntry {
     // iceberg snapshot travel: snapshot 0 predates the deletes
     "x_iceberg_snapshot_at" -> """
       SELECT doc_id, source, n_chars FROM documents""",
+
+    // iceberg timestamp travel: t=1500 lands between the snapshot-log
+    // entries (snapshot 0 at 1000, snapshot 1 at 2000) → snapshot 0
+    "x_iceberg_at_ts" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
+
+    // iceberg field-id resolution: both generations read by field id —
+    // generation A (even ids) predates the parity column → NULL
+    "x_iceberg_rename" -> """
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % 2 = 1 THEN 'odd' END AS parity
+      FROM documents""",
 
     // iceberg v2 equality deletes: the sequence-scoped survivor set —
     // the delete (seq 2) reaches generation 1 (even ids, seq 1) but

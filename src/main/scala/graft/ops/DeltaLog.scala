@@ -521,6 +521,52 @@ object DeltaLog {
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     readTable(spark, tableDir, None)
 
+  /** TIMESTAMP TRAVEL: resolve a wall-clock instant to a version by
+    * commit timestamps, then delegate to version travel. Per-version
+    * timestamps come from `commitInfo.inCommitTimestamp` when present
+    * (the in-commit-timestamps feature takes precedence by design),
+    * else `commitInfo.timestamp`, else the commit file's filesystem
+    * modification time — made MONOTONIC the way the reference reader
+    * adjusts them (each version's effective timestamp is at least its
+    * predecessor's + 1 ms; writer clocks can regress). The chosen
+    * version is the LATEST with effective timestamp ≤ the target; a
+    * target before the first surviving commit's timestamp refuses —
+    * a vacuumed history cannot be timestamp-resolved, and the
+    * version-travel path then enforces replay contiguity. */
+  def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame = {
+    val dir = new java.io.File(tableDir, "_delta_log")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val commits = files.toSeq.flatMap(f => versionOf(f.getName).map(v => (v, f))).sortBy(_._1)
+    if (commits.isEmpty)
+      throw new graft.GraftAnalysisException(s"delta: no commits under $tableDir/_delta_log")
+    def tsOf(f: java.io.File): Long = {
+      val content = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        (try JsonMethods.parse(line) catch { case _: Exception => JNothing }) \ "commitInfo" match {
+          case ci: JObject => ci \ "inCommitTimestamp" match {
+            case JInt(v) => Some(v.toLong)
+            case _ => ci \ "timestamp" match {
+              case JInt(v) => Some(v.toLong); case _ => None }
+          }
+          case _ => None
+        }
+      }.nextOption().getOrElse(f.lastModified())
+    }
+    var prev = Long.MinValue
+    val stamped = commits.map { case (v, f) =>
+      val t = if (prev == Long.MinValue) tsOf(f) else math.max(tsOf(f), prev + 1)
+      prev = t
+      (v, t)
+    }
+    if (tsMillis < stamped.head._2)
+      throw new graft.GraftAnalysisException(
+        s"delta: timestamp $tsMillis precedes the first available commit " +
+          s"(version ${stamped.head._1} at ${stamped.head._2}); no replayable state existed")
+    val version = stamped.takeWhile(_._2 <= tsMillis).last._1
+    readTable(spark, tableDir, Some(version))
+  }
+
   /** TIME TRAVEL (round 15 continuation): read the table AS OF
     * `versionAsOf` — the checkpoint seeds only when its version is
     * ≤ the target, later commits are dropped, and the replay must

@@ -53,9 +53,15 @@ object Iceberg {
       recordCount: Long, fileSizeBytes: Long, content: Int = 0,
       sequenceNumber: Option[Long] = None, equalityIds: Seq[Int] = Seq.empty)
   final case class Snapshot(id: Long, manifestList: Option[String], manifests: Seq[String])
+  /** One top-level field of the current schema: `tpe` is the Iceberg
+    * type string for primitives ("long", "string", "decimal(9,2)" …)
+    * and the container tag ("struct"/"list"/"map") for complex ones. */
+  final case class SchemaField(id: Int, name: String, tpe: String, required: Boolean)
   final case class TableMeta(formatVersion: Int, location: Option[String],
       currentSnapshotId: Option[Long], snapshots: Seq[Snapshot],
-      fieldNames: Map[Int, String] = Map.empty)
+      fieldNames: Map[Int, String] = Map.empty,
+      schemaFields: Seq[SchemaField] = Seq.empty,
+      snapshotLog: Seq[(Long, Long)] = Seq.empty)
 
   /** Parse a vN.metadata.json document. None outside the supported
     * subset (or malformed JSON). */
@@ -83,11 +89,11 @@ object Iceberg {
         }
         case _ => Seq.empty
       }
-      // current schema's (field id → name) map — equality deletes
-      // name their columns by field id. `schemas` + current-schema-id
-      // is the modern layout; the legacy single `schema` key is the
-      // v1 fallback.
-      val fieldNames: Map[Int, String] = {
+      // current schema's ORDERED top-level fields — column projection
+      // resolves by field id, equality deletes name their columns by
+      // field id. `schemas` + current-schema-id is the modern layout;
+      // the legacy single `schema` key is the v1 fallback.
+      val schemaFields: Seq[SchemaField] = {
         val schemas = jv \ "schemas" match { case JArray(xs) => xs; case _ => Nil }
         val curId = jv \ "current-schema-id" match { case JInt(v) => Some(v.toInt); case _ => None }
         val chosen = curId.flatMap { id =>
@@ -99,15 +105,36 @@ object Iceberg {
           s \ "fields" match {
             case JArray(fs) => fs.flatMap { f =>
               (f \ "id", f \ "name") match {
-                case (JInt(i), JString(n)) => Some(i.toInt -> n)
+                case (JInt(i), JString(n)) =>
+                  val tpe = f \ "type" match {
+                    case JString(t) => t
+                    case o: JObject => o \ "type" match {
+                      case JString(t) => t; case _ => "unknown" }
+                    case _ => "unknown"
+                  }
+                  val req = f \ "required" match {
+                    case JBool(b) => b; case _ => false }
+                  Some(SchemaField(i.toInt, n, tpe, req))
                 case _ => None
               }
-            }.toMap
-            case _ => Map.empty[Int, String]
+            }
+            case _ => Seq.empty[SchemaField]
           }
-        }.getOrElse(Map.empty)
+        }.getOrElse(Seq.empty)
       }
-      Some(TableMeta(fv, loc, cur, snaps, fieldNames))
+      // snapshot-log: (timestamp-ms, snapshot-id) history rows — the
+      // timestamp-travel index
+      val snapLog: Seq[(Long, Long)] = jv \ "snapshot-log" match {
+        case JArray(xs) => xs.flatMap { e =>
+          (e \ "timestamp-ms", e \ "snapshot-id") match {
+            case (JInt(ts), JInt(id)) => Some((ts.toLong, id.toLong))
+            case _ => None
+          }
+        }
+        case _ => Seq.empty
+      }
+      Some(TableMeta(fv, loc, cur, snaps,
+        schemaFields.map(f => f.id -> f.name).toMap, schemaFields, snapLog))
     } catch { case _: Exception => None }
 
   private def recordOf(schemaJson: String): Option[Avro.ARecord] =
@@ -339,6 +366,109 @@ object Iceberg {
   private def refuse(msg: String): Nothing =
     throw new graft.GraftAnalysisException(s"iceberg: $msg")
 
+  /** Spark type for an Iceberg primitive type string; None for types
+    * this reader cannot cast / null-fill (complex containers, fixed,
+    * unknown) — those pass through uncast when present and refuse by
+    * name when a null fill would be needed. */
+  private[graft] def sparkTypeOf(t: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    t match {
+      case "boolean" => Some(BooleanType)
+      case "int" => Some(IntegerType)
+      case "long" => Some(LongType)
+      case "float" => Some(FloatType)
+      case "double" => Some(DoubleType)
+      case "date" => Some(DateType)
+      case "string" | "uuid" => Some(StringType)
+      case "binary" => Some(BinaryType)
+      case "timestamp" => Some(TimestampNTZType)
+      case "timestamptz" => Some(TimestampType)
+      case s if s.startsWith("decimal(") && s.endsWith(")") =>
+        s.substring(8, s.length - 1).split(",") match {
+          case Array(p, sc) =>
+            try Some(DecimalType(p.trim.toInt, sc.trim.toInt))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** FIELD-ID data scan — the Iceberg spec's column-resolution rule.
+    * Active files are grouped by their parquet footers' top-level
+    * layout (a distributed ranged tail-read probe, [[ParquetMeta
+    * .topLevelLayoutsByPath]]), and each DISTINCT layout becomes one
+    * scan arm projecting the current schema BY FIELD ID: renamed
+    * columns resolve regardless of their stored name, columns added
+    * after a file was written null-fill (refusing for `required`
+    * fields and for types with no null representation here), and
+    * stored columns dropped from the schema are simply not projected.
+    * Files written WITHOUT any field ids resolve by NAME (the spec's
+    * name-mapping fallback for imported files).
+    *
+    * Scale shape: the arm count is the number of distinct layouts —
+    * schema-evolution GENERATIONS, not files (a petabyte table that
+    * renamed a column twice has three) — and each arm is one parquet
+    * relation, so pushdown and pruning hold per arm. A table
+    * exceeding `graft.iceberg.maxLayouts` (default 32) distinct
+    * layouts refuses by name rather than build a degenerate union. */
+  private def fieldIdScan(spark: SparkSession, paths: Seq[String],
+      fields: Seq[SchemaField], withMetaCols: Boolean): DataFrame = {
+    val byPath = ParquetMeta.topLevelLayoutsByPath(spark, paths) match {
+      case Left(bad) => refuse(s"unreadable parquet footer: $bad")
+      case Right(m) => m
+    }
+    val groups = byPath.groupBy(_._2).toSeq
+      .map { case (layout, pairs) => (layout, pairs.map(_._1)) }
+      .sortBy(_._2.min)
+    val maxLayouts = spark.conf.getOption("graft.iceberg.maxLayouts")
+      .map(_.toInt).getOrElse(32)
+    if (groups.size > maxLayouts)
+      refuse(s"${groups.size} distinct parquet field layouts across the data " +
+        s"files exceed the cap ($maxLayouts); a union that wide suggests a " +
+        "corrupted table — raise graft.iceberg.maxLayouts to override")
+    val arms = groups.map { case (layout, armPaths) =>
+      val hasIds = layout.exists(_._2.isDefined)
+      val nameById: Map[Long, String] =
+        if (!hasIds) Map.empty
+        else layout.collect { case (n, Some(id)) => id -> n }
+          .groupBy(_._1).map {
+            case (id, vs) if vs.map(_._2).distinct.size == 1 => id -> vs.head._2
+            case (id, _) =>
+              refuse(s"duplicate parquet field id $id within one file layout")
+          }
+      val namesInFile = layout.map(_._1).toSet
+      val arm = spark.read.parquet(armPaths: _*)
+      val cols = fields.map { f =>
+        val resolved: Option[String] =
+          if (hasIds) nameById.get(f.id.toLong)
+          else Some(f.name).filter(namesInFile)
+        resolved match {
+          case Some(pq) => sparkTypeOf(f.tpe) match {
+            case Some(dt) => col(s"`$pq`").cast(dt).as(f.name)
+            case None => col(s"`$pq`").as(f.name)
+          }
+          case None if f.required =>
+            refuse(s"required field '${f.name}' (id ${f.id}) is missing from " +
+              "a data file layout; refusing beats fabricating nulls for a " +
+              "required column")
+          case None =>
+            val dt = sparkTypeOf(f.tpe).getOrElse(refuse(
+              s"field '${f.name}' (id ${f.id}) is missing from a data file " +
+                s"layout and its type '${f.tpe}' has no null representation here"))
+            lit(null).cast(dt).as(f.name)
+        }
+      }
+      val metaCols =
+        if (withMetaCols)
+          Seq(col("_metadata.file_path").as("__graft_file_key"),
+            col("_metadata.row_index").as("__graft_row_idx"))
+        else Seq.empty
+      arm.select(cols ++ metaCols: _*)
+    }
+    arms.reduce(_ unionByName _)
+  }
+
   /** Resolve a metadata-recorded path against the local table dir:
     * the writer-side `location` prefix remaps onto `tableDir` (tables
     * move), `file:` scheme strips, absolute paths pass through,
@@ -381,8 +511,29 @@ object Iceberg {
   /** SNAPSHOT TRAVEL (round 15 continuation): read AS OF a snapshot
     * id from the metadata's `snapshots` list; an id the metadata
     * does not carry (expired or never existed) refuses by name. */
-  def readTable(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long]): DataFrame = {
+  /** TIMESTAMP TRAVEL: read AS OF a wall-clock instant using the
+    * metadata's `snapshot-log` (timestamp-ms → snapshot-id history).
+    * The spec's rule: the LATEST logged snapshot whose timestamp is
+    * ≤ the target; a target before the first logged snapshot refuses
+    * (no table state existed then), and a metadata without a
+    * snapshot-log refuses by name rather than guess. */
+  def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame = {
+    val meta = currentMeta(tableDir)
+    if (meta.snapshotLog.isEmpty)
+      refuse("metadata carries no snapshot-log; timestamp travel needs the " +
+        "(timestamp-ms, snapshot-id) history")
+    val sorted = meta.snapshotLog.sortBy(_._1)
+    val chosen = sorted.takeWhile(_._1 <= tsMillis).lastOption.getOrElse(
+      refuse(s"timestamp $tsMillis precedes the first logged snapshot " +
+        s"(${sorted.head._1}); no table state existed then"))
+    readTable(spark, tableDir, Some(chosen._2))
+  }
+
+  /** Discover and parse the CURRENT metadata JSON of a table dir:
+    * version-hint.text → vN.metadata.json, falling back to the
+    * lexicographically last `*.metadata.json`. Refuses on a missing
+    * or malformed metadata or an unsupported format-version. */
+  private def currentMeta(tableDir: String): TableMeta = {
     val metaDir = new java.io.File(tableDir, "metadata")
     val files = Option(metaDir.listFiles()).getOrElse(Array.empty)
     def readBytes(f: java.io.File): Array[Byte] =
@@ -398,6 +549,14 @@ object Iceberg {
     if (meta.formatVersion != 1 && meta.formatVersion != 2)
       refuse(s"format-version ${meta.formatVersion} unsupported (unknown read semantics; " +
         "refusing beats silently wrong data)")
+    meta
+  }
+
+  def readTable(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long]): DataFrame = {
+    def readBytes(f: java.io.File): Array[Byte] =
+      java.nio.file.Files.readAllBytes(f.toPath)
+    val meta = currentMeta(tableDir)
     val cur = snapshotId.getOrElse(
       meta.currentSnapshotId.getOrElse(refuse("no current snapshot")))
     val snap = meta.snapshots.find(_.id == cur).getOrElse(refuse(
@@ -439,8 +598,22 @@ object Iceberg {
     val eqDeletes = deletes.filter(_.content == 2)
     (active ++ deletes).find(!_.format.equalsIgnoreCase("parquet")).foreach(e =>
       refuse(s"data file format ${e.format} unsupported (parquet only)"))
-    val base = spark.read.parquet(
-      active.map(e => resolvePath(tableDir, meta.location, e.path)): _*)
+    val activePaths = active.map(e => resolvePath(tableDir, meta.location, e.path))
+    // metadata WITH a schema: the spec's field-id column resolution
+    // (renames, adds, drops read correctly across file generations).
+    // Legacy metadata without one (no schema to project onto) keeps
+    // the single name-based relation.
+    val needMetaCols = deletes.nonEmpty
+    val base: DataFrame =
+      if (meta.schemaFields.nonEmpty)
+        fieldIdScan(spark, activePaths, meta.schemaFields, needMetaCols)
+      else {
+        val b = spark.read.parquet(activePaths: _*)
+        if (needMetaCols)
+          b.withColumn("__graft_file_key", col("_metadata.file_path"))
+            .withColumn("__graft_row_idx", col("_metadata.row_index"))
+        else b
+      }
     if (deletes.isEmpty) return base
 
     import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
@@ -448,7 +621,7 @@ object Iceberg {
       DeltaLog.keyForms(resolvePath(tableDir, meta.location, e.path))
         .map(k => Row(k, value(e)))
     }
-    var scan = base.withColumn("__graft_file_key", col("_metadata.file_path"))
+    var scan = base
 
     if (posDeletes.nonEmpty) {
       // delete rows name their target by the WRITER's file_path
@@ -471,11 +644,10 @@ object Iceberg {
       val translated = delDf
         .join(broadcast(transDf), col("file_path") === col("__graft_writer_path"))
         .select(col("__graft_local_key"), col("pos").cast("long").as("__graft_del_pos"))
-      scan = scan.withColumn("__graft_row_idx", col("_metadata.row_index"))
+      scan = scan
         .join(translated,
           col("__graft_file_key") === col("__graft_local_key") &&
             col("__graft_row_idx") === col("__graft_del_pos"), "left_anti")
-        .drop("__graft_row_idx")
     }
 
     if (eqDeletes.nonEmpty) {
@@ -539,6 +711,6 @@ object Iceberg {
       }
       scan = scan.drop("__graft_data_seq")
     }
-    scan.drop("__graft_file_key")
+    scan.drop("__graft_file_key", "__graft_row_idx")
   }
 }

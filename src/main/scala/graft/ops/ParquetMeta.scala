@@ -268,16 +268,31 @@ object ParquetMeta {
     out.result()
   }
 
-  /** DISTINCT top-level field layouts across `paths` — the Delta
-    * id-mode column-mapping probe: executors read each file's footer
-    * tail (ranged, no data pages), serialize its (name, field_id)
-    * layout, and only the distinct layouts reach the driver. An
-    * unreadable footer surfaces as Left(path). */
-  def distinctTopLevelLayouts(spark: org.apache.spark.sql.SparkSession,
-      paths: Seq[String]): Either[String, Seq[Seq[(String, Option[Long])]]] = {
+  /** Serialize/deserialize a top-level layout for the probe wire:
+    * "L" + name\u0001id rows joined by \u0002 ("E"+path on error). */
+  private def serLayout(s: TStruct): String =
+    "L" + topLevelFields(s).map { case (n, id) =>
+      n + "\u0001" + id.map(_.toString).getOrElse("")
+    }.mkString("\u0002")
+
+  private def deserLayout(body: String): Seq[(String, Option[Long])] =
+    if (body.isEmpty) Seq.empty
+    else body.split("\u0002", -1).toSeq.map { f =>
+      val at = f.indexOf('\u0001')
+      val n = f.substring(0, at)
+      val idStr = f.substring(at + 1)
+      (n, if (idStr.isEmpty) None else Some(idStr.toLong))
+    }
+
+  /** One serialized layout string ("L..." / "E"+path) per input path
+    * — the distributed footer probe both layout surfaces ride:
+    * executors read each file's footer tail (ranged, no data pages)
+    * and serialize its (name, field_id) top-level layout. */
+  private def probeLayouts(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): org.apache.spark.sql.Dataset[(String, String)] = {
     import spark.implicits._
     val confEntries = Warc.confEntriesOf(spark)
-    val ser: Seq[String] = spark.createDataset(paths)
+    spark.createDataset(paths)
       .mapPartitions { it =>
         val conf = Warc.confOf(confEntries)
         it.map { p =>
@@ -296,30 +311,43 @@ object ParquetMeta {
               case _ => None
             }
             parsed match {
-              case Some(s) => "L" + topLevelFields(s).map { case (n, id) =>
-                n + "\u0001" + id.map(_.toString).getOrElse("")
-              }.mkString("\u0002")
-              case None => "E" + p
+              case Some(s) => (p, serLayout(s))
+              case None => (p, "E" + p)
             }
-          } catch { case _: Exception => "E" + p }
+          } catch { case _: Exception => (p, "E" + p) }
         }
       }
+  }
+
+  /** DISTINCT top-level field layouts across `paths` — the Delta
+    * id-mode column-mapping probe: only the DISTINCT layouts reach
+    * the driver (the distinct runs on the cluster). An unreadable
+    * footer surfaces as Left(path). */
+  def distinctTopLevelLayouts(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Either[String, Seq[Seq[(String, Option[Long])]]] = {
+    import spark.implicits._
+    val ser: Seq[String] = probeLayouts(spark, paths).map(_._2)
       .distinct().collect().toSeq
     ser.collectFirst { case s if s.startsWith("E") => s.substring(1) } match {
       case Some(bad) => Left(bad)
-      case None => Right(ser.map { s =>
-        val body = s.substring(1)
-        if (body.isEmpty) Seq.empty
-        else body.split("\u0002", -1).toSeq.map { f =>
-          val at = f.indexOf('\u0001')
-          val n = f.substring(0, at)
-          val idStr = f.substring(at + 1)
-          (n, if (idStr.isEmpty) None else Some(idStr.toLong))
-        }
-      })
+      case None => Right(ser.map(s => deserLayout(s.substring(1))))
     }
   }
 
+  /** Per-path top-level layouts — the Iceberg field-id projection
+    * probe, which needs to GROUP files by layout (one scan arm per
+    * distinct layout). One row per path reaches the driver — the
+    * same order of driver memory as the path list the caller already
+    * holds; the probe itself stays distributed ranged tail reads.
+    * Left(path) on the first unreadable footer. */
+  def topLevelLayoutsByPath(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Either[String, Seq[(String, Seq[(String, Option[Long])])]] = {
+    val rows = probeLayouts(spark, paths).collect().toSeq
+    rows.collectFirst { case (_, s) if s.startsWith("E") => s.substring(1) } match {
+      case Some(bad) => Left(bad)
+      case None => Right(rows.map { case (p, s) => (p, deserLayout(s.substring(1))) })
+    }
+  }
   /** Footer chunk rows per file — RANGED tail reads (1 MiB, extended
     * once when the footer is longer); unparseable files quarantine
     * as row_group = -1. Input: one row per path. */

@@ -168,12 +168,14 @@ object TableFixtures {
     def add(p: String) =
       s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
     java.nio.file.Files.write(new java.io.File(logDir, f"${0L}%020d.json").toPath,
-      (Seq("""{"metaData":{"id":"x-delta-tt","schemaString":"{}","partitionColumns":[]}}""",
+      (Seq("""{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+        """{"metaData":{"id":"x-delta-tt","schemaString":"{}","partitionColumns":[]}}""",
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         add("tt-0.parquet"), add("tt-1.parquet")).mkString("\n"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(new java.io.File(logDir, f"${1L}%020d.json").toPath,
-      (Seq("""{"remove":{"path":"tt-0.parquet","dataChange":true}}""",
+      (Seq("""{"commitInfo":{"timestamp":2000,"operation":"DELETE"}}""",
+        """{"remove":{"path":"tt-0.parquet","dataChange":true}}""",
         add("tt-0b.parquet")).mkString("\n"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     dir.getAbsolutePath
@@ -262,6 +264,69 @@ object TableFixtures {
       s"""{"format-version":2,"table-uuid":"x-iceberg-v2","location":"$loc",
          |"current-snapshot-id":1,"snapshots":[
          |{"snapshot-id":0,"manifest-list":"$loc/metadata/snap-0.avro"},
+         |{"snapshot-id":1,"manifest-list":"$loc/metadata/snap-1.avro"}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":0},
+         |{"timestamp-ms":2000,"snapshot-id":1}]}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+
+  /** Build a v2 Iceberg table exercising FIELD-ID column resolution
+    * across schema evolution:
+    *
+    *  - generation A (even ids, two files): written BEFORE a rename —
+    *    parquet columns (id_v1, src_v1, chars_v1) under field ids
+    *    1..3, and NO parity column (added to the schema later);
+    *  - generation B (odd ids, two files): the post-rename names
+    *    (doc_id, source, n_chars) plus parity='odd', ids 1..4.
+    *
+    * Current schema: doc_id(1), source(2), n_chars(3), parity(4). A
+    * name-based reader null-fills generation A's data columns (their
+    * stored names are not in the schema) and hash-mismatches; only
+    * the spec's field-id resolution reads both generations — gen A
+    * rows carry parity NULL (column added after they were written). */
+  def writeIcebergRenameTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iceberg-ren").toFile
+    val loc = dir.getAbsolutePath
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"))
+    def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", n).build()
+    (0 to 1).foreach { k =>
+      singleParquet(
+        data.where(pmod(col("doc_id"), lit(4)) === 2 * k).sort("doc_id")
+          .select(col("doc_id").as("id_v1", fid(1)),
+            col("source").as("src_v1", fid(2)),
+            col("n_chars").as("chars_v1", fid(3))),
+        new java.io.File(dir, s"genA-$k.parquet"))
+      singleParquet(
+        data.where(pmod(col("doc_id"), lit(4)) === 2 * k + 1).sort("doc_id")
+          .select(col("doc_id").as("doc_id", fid(1)),
+            col("source").as("source", fid(2)),
+            col("n_chars").as("n_chars", fid(3)),
+            lit("odd").as("parity", fid(4))),
+        new java.io.File(dir, s"genB-$k.parquet"))
+    }
+    val metaDir = new java.io.File(dir, "metadata"); metaDir.mkdirs()
+    def fsize(name: String): Long = new java.io.File(dir, name).length()
+    val names = Seq("genA-0", "genA-1", "genB-0", "genB-1").map(_ + ".parquet")
+    val m = Iceberg.writeManifest(
+      names.map(n => Iceberg.Entry(1, s"$loc/$n", "PARQUET", 0L, fsize(n))), "x-ib-ren")
+    java.nio.file.Files.write(new java.io.File(metaDir, "m-ren.avro").toPath, m)
+    val ml = Iceberg.writeManifestList(
+      Seq((s"$loc/metadata/m-ren.avro", m.length.toLong)), "x-ib-ren-ml")
+    java.nio.file.Files.write(new java.io.File(metaDir, "snap-1.avro").toPath, ml)
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"x-iceberg-ren","location":"$loc",
+         |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"doc_id","required":false,"type":"long"},
+         |{"id":2,"name":"source","required":false,"type":"string"},
+         |{"id":3,"name":"n_chars","required":false,"type":"long"},
+         |{"id":4,"name":"parity","required":false,"type":"string"}]}],
+         |"current-snapshot-id":1,"snapshots":[
          |{"snapshot-id":1,"manifest-list":"$loc/metadata/snap-1.avro"}]}""".stripMargin
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
       metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -81,17 +81,31 @@ object SourceReader {
     // Delta table snapshot: _delta_log JSON replay selects the
     // active parquet files; partition values inject from the log.
     // Optional `version_as_of` time-travels to that exact version
-    // (refusing when it is not contiguously replayable).
+    // (refusing when it is not contiguously replayable);
+    // `timestamp_as_of` (epoch ms) resolves through the monotonic
+    // commit timestamps instead. Naming both refuses.
     case "delta" =>
-      graft.ops.DeltaLog.readTable(spark, s.config.reqStr("path"),
-        s.config.long("version_as_of"))
+      val path = s.config.reqStr("path")
+      (s.config.long("version_as_of"), s.config.long("timestamp_as_of")) match {
+        case (Some(_), Some(_)) => throw new graft.GraftAnalysisException(
+          "delta: version_as_of and timestamp_as_of are mutually exclusive")
+        case (None, Some(ts)) => graft.ops.DeltaLog.readTableAt(spark, path, ts)
+        case (v, None) => graft.ops.DeltaLog.readTable(spark, path, v)
+      }
 
     // Iceberg table snapshot: metadata-json → manifest-list →
     // manifests (in-repo Avro) select the active parquet files;
-    // optional `snapshot_id` reads a historical snapshot
+    // optional `snapshot_id` reads a historical snapshot,
+    // `timestamp_as_of` (epoch ms) resolves through the metadata's
+    // snapshot-log. Naming both refuses.
     case "iceberg" =>
-      graft.ops.Iceberg.readTable(spark, s.config.reqStr("path"),
-        s.config.long("snapshot_id"))
+      val path = s.config.reqStr("path")
+      (s.config.long("snapshot_id"), s.config.long("timestamp_as_of")) match {
+        case (Some(_), Some(_)) => throw new graft.GraftAnalysisException(
+          "iceberg: snapshot_id and timestamp_as_of are mutually exclusive")
+        case (None, Some(ts)) => graft.ops.Iceberg.readTableAt(spark, path, ts)
+        case (v, None) => graft.ops.Iceberg.readTable(spark, path, v)
+      }
 
     // ORC: the other columnar format large estates standardize on
     // (Hive lineage). Same lazy-scan contract as parquet — pushdown,

@@ -643,6 +643,63 @@ class DeltaLogSpec extends SparkSuite {
     assert(e2.getMessage.contains("heterogeneous"))
   }
 
+  test("timestamp travel: commitInfo timestamps resolve, clocks made monotonic, before-first refuses") {
+    val tableDir = java.nio.file.Files.createTempDirectory("graft-delta-ts").toFile
+    singleParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      new java.io.File(tableDir, "d0.parquet"))
+    singleParquet(Seq((3L, "c")).toDF("id", "s"),
+      new java.io.File(tableDir, "d1.parquet"))
+    val logDir = new java.io.File(tableDir, "_delta_log"); logDir.mkdirs()
+    def add(p: String) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0}}"""
+    // v0 stamped 2000; v1 stamped 1000 — a REGRESSED writer clock.
+    // The monotonic rule clamps v1's effective timestamp to 2001.
+    writeCommit(logDir, 0L,
+      """{"commitInfo":{"timestamp":2000}}""",
+      """{"metaData":{"id":"t","schemaString":"{}","partitionColumns":[]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      add("d0.parquet"))
+    writeCommit(logDir, 1L,
+      """{"commitInfo":{"timestamp":1000}}""", add("d1.parquet"))
+    def idsAt(ts: Long): Seq[Long] =
+      DeltaLog.readTableAt(spark, tableDir.getAbsolutePath, ts)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(idsAt(2000L) == Seq(1L, 2L))       // v0
+    assert(idsAt(2001L) == Seq(1L, 2L, 3L))   // v1 at its clamped ts
+    assert(idsAt(5000L) == Seq(1L, 2L, 3L))
+    val e = intercept[graft.GraftAnalysisException] {
+      DeltaLog.readTableAt(spark, tableDir.getAbsolutePath, 1999L)
+    }
+    assert(e.getMessage.contains("precedes the first available commit"))
+    // inCommitTimestamp beats the commitInfo wall clock when present
+    writeCommit(logDir, 2L,
+      """{"commitInfo":{"timestamp":9999,"inCommitTimestamp":3000}}""",
+      """{"remove":{"path":"d1.parquet"}}""")
+    assert(idsAt(2999L) == Seq(1L, 2L, 3L))   // still v1
+    assert(idsAt(3000L) == Seq(1L, 2L))       // v2 by its in-commit ts
+  }
+
+  test("delta/iceberg sources: timestamp_as_of rides the spec surface; both-set refuses") {
+    val docs = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "book", 30L),
+      (4L, "web", 40L), (5L, "book", 50L)).toDF("doc_id", "source", "n_chars")
+    val dDir = graft.ops.TableFixtures.writeDeltaTtTable(spark, docs, "doc_id")
+    def src(tpe: String, kvs: (String, Any)*) =
+      graft.sources.SourceReader.read(spark,
+        graft.spec.SourceSpec("t", tpe, graft.spec.Config.of(kvs: _*)))
+    // t=1500 → version 0 (every row); current state lost doc_id 5
+    assert(src("delta", "path" -> dDir, "timestamp_as_of" -> 1500L)
+      .select("doc_id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    intercept[graft.GraftAnalysisException] {
+      src("delta", "path" -> dDir, "timestamp_as_of" -> 1500L, "version_as_of" -> 0L)
+    }
+    val iDir = graft.ops.TableFixtures.writeIcebergV2Table(spark, docs, "doc_id")
+    assert(src("iceberg", "path" -> iDir, "timestamp_as_of" -> 1500L)
+      .select("doc_id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    intercept[graft.GraftAnalysisException] {
+      src("iceberg", "path" -> iDir, "timestamp_as_of" -> 1500L, "snapshot_id" -> 0L)
+    }
+  }
+
   test("id mode refuses nested struct columns (only top-level fields resolve by id)") {
     import org.apache.spark.sql.types.MetadataBuilder
     def fid(n: Long) = new MetadataBuilder().putLong("parquet.field.id", n).build()

@@ -314,4 +314,99 @@ class IcebergSpec extends SparkSuite {
       Iceberg.readTable(spark, dir.getAbsolutePath).collect()
     }
   }
+
+  private def smallDocs = Seq(
+    (1L, "web", 10L), (2L, "web", 20L), (3L, "book", 30L),
+    (4L, "web", 40L), (5L, "book", 50L), (6L, "web", 60L),
+    (7L, "book", 70L), (8L, "web", 80L))
+    .toDF("doc_id", "source", "n_chars")
+
+  test("field-id resolution: renamed generations read by id, added column null-fills") {
+    val dir = graft.ops.TableFixtures.writeIcebergRenameTable(spark, smallDocs, "doc_id")
+    val df = Iceberg.readTable(spark, dir)
+    assert(df.columns.toSeq == Seq("doc_id", "source", "n_chars", "parity"))
+    val got = df.as[(Long, String, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (1L to 8L))
+    assert(got.forall { case (id, s, n, p) =>
+      n == id * 10 && (if (id % 2 == 0) p.isEmpty else p.contains("odd")) &&
+        s == (if (Seq(3L, 5L, 7L).contains(id)) "book" else "web")
+    })
+    // a NAME-based read of the same files would null generation A's
+    // data columns — prove the stored names really differ
+    val rawA = spark.read.parquet(s"$dir/genA-0.parquet")
+    assert(rawA.columns.toSeq == Seq("id_v1", "src_v1", "chars_v1"))
+  }
+
+  test("field-id resolution: layout cap, required-field gap, duplicate ids refuse by name") {
+    val dir = graft.ops.TableFixtures.writeIcebergRenameTable(spark, smallDocs, "doc_id")
+    spark.conf.set("graft.iceberg.maxLayouts", "1")
+    try {
+      val e = intercept[graft.GraftAnalysisException] {
+        Iceberg.readTable(spark, dir)
+      }
+      assert(e.getMessage.contains("distinct parquet field layouts"))
+    } finally spark.conf.unset("graft.iceberg.maxLayouts")
+    // parity required=true: generation A lacks it → refuse, don't fabricate
+    val metaFile = new java.io.File(dir, "metadata/v1.metadata.json")
+    val json = new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    write(metaFile, json.replace(
+      """{"id":4,"name":"parity","required":false""",
+      """{"id":4,"name":"parity","required":true"""))
+    val e2 = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTable(spark, dir)
+    }
+    assert(e2.getMessage.contains("required field 'parity'"))
+    // duplicate field id inside one file layout
+    write(metaFile, json)
+    def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", n).build()
+    import org.apache.spark.sql.functions.col
+    singleParquet(
+      Seq((9L, "z")).toDF("a", "b")
+        .select(col("a").as("x1", fid(1)), col("b").as("x2", fid(1))),
+      new java.io.File(dir, "genA-0.parquet"))
+    val e3 = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTable(spark, dir)
+    }
+    assert(e3.getMessage.contains("duplicate parquet field id 1"))
+  }
+
+  test("field-id resolution: files without any ids fall back to NAME matching") {
+    val dir = graft.ops.TableFixtures.writeIcebergRenameTable(spark, smallDocs, "doc_id")
+    // replace generation A with id-less files under the CURRENT names
+    // (the spec's name-mapping fallback for imported files); parity
+    // still null-fills there
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val data = smallDocs.select(col("doc_id"), col("source"), col("n_chars"))
+    (0 to 1).foreach { k =>
+      singleParquet(data.where(pmod(col("doc_id"), lit(4)) === 2 * k).sort("doc_id"),
+        new java.io.File(dir, s"genA-$k.parquet"))
+    }
+    val got = Iceberg.readTable(spark, dir)
+      .as[(Long, String, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (1L to 8L))
+    assert(got.forall { case (id, _, n, p) =>
+      n == id * 10 && (if (id % 2 == 0) p.isEmpty else p.contains("odd")) })
+  }
+
+  test("timestamp travel: snapshot-log resolves; before-first and no-log refuse") {
+    val dir = graft.ops.TableFixtures.writeIcebergV2Table(spark, smallDocs, "doc_id")
+    // t=1500 → snapshot 0 (pre-delete: every id); t=2500 → snapshot 1
+    // (id%7==0 gone: id 7 deleted)
+    val at1500 = Iceberg.readTableAt(spark, dir, 1500L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(at1500 == (1L to 8L))
+    val at2500 = Iceberg.readTableAt(spark, dir, 2500L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(at2500 == Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L))
+    val e = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTableAt(spark, dir, 500L)
+    }
+    assert(e.getMessage.contains("precedes the first logged snapshot"))
+    val noLog = graft.ops.TableFixtures.writeIcebergRenameTable(spark, smallDocs, "doc_id")
+    val e2 = intercept[graft.GraftAnalysisException] {
+      Iceberg.readTableAt(spark, noLog, 1500L)
+    }
+    assert(e2.getMessage.contains("no snapshot-log"))
+  }
 }
