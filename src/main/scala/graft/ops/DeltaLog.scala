@@ -419,22 +419,17 @@ object DeltaLog {
       case None    => Seq(f"$version%020d.checkpoint.parquet")
     }
 
-  /** Read a checkpoint parquet into a seed Snapshot: protocol-gate
-    * every protocol row, take the (single) metaData row, and collect
-    * the add rows' (path, partitionValues, size, modificationTime) —
-    * the file list [[readTable]] needs on the driver anyway. Remove
-    * rows are VACUUM tombstones and contribute nothing. */
-  private def checkpointSnapshot(spark: SparkSession, paths: Seq[String]): Snapshot =
-    checkpointSnapshotFromNorm(
-      normalizeCheckpoint(spark.read.parquet(paths: _*), 0L))
-
   /** JSON-flavor checkpoint content → the same canonical action
     * stream (parseCommits's output schema matches
     * normalizeCheckpoint's). */
   private def parseCommitsNorm(df: DataFrame): DataFrame =
     parseCommits(df, "version", "content")
 
-  private def checkpointSnapshotFromNorm(norm: DataFrame): Snapshot = {
+  /** The checkpoint's NON-FILE facts (metaData, protocol, config) as
+    * a zero-file seed Snapshot — the file rows never reach the driver
+    * here; [[collectActiveAdds]] materializes the FINAL active list
+    * (checkpoint + tail commits merged cluster-side) instead. */
+  private def checkpointFurniture(norm: DataFrame): Snapshot = {
     val supportedLit = array(supportedReaderFeatures.toSeq.sorted.map(lit): _*)
     val badProto = norm.where(col("protocol").isNotNull &&
       (col("protocol.minReaderVersion").isNull ||
@@ -462,37 +457,93 @@ object DeltaLog {
     val config: Map[String, String] =
       if (m.isNullAt(3)) Map.empty
       else m.getMap[String, String](3).toMap.filter(_._2 != null)
-    val adds = norm.where(col("add").isNotNull)
-      .select(col("add.path"), col("add.partitionValues"), col("add.size"),
-        col("add.modificationTime"), col("add.stats").isNotNull,
-        col("add.deletionVector"))
-      .collect()
-      .map { r =>
-        if (r.isNullAt(0) || r.isNullAt(2))
-          throw new graft.GraftAnalysisException("delta: malformed add action in checkpoint")
-        val dv = if (r.isNullAt(5)) None else {
-          val d = r.getStruct(5)
-          if (d.isNullAt(0)) None // null storageType: no DV
-          else if (d.isNullAt(1) || d.isNullAt(3))
-            throw new graft.GraftAnalysisException(
-              "delta: malformed deletionVector in checkpoint")
-          else Some(DeltaDv.Descriptor(d.getString(0), d.getString(1),
-            if (d.isNullAt(2)) None else Some(d.getLong(2)),
-            if (d.isNullAt(3)) 0L else d.getLong(3),
-            if (d.isNullAt(4)) 0L else d.getLong(4)))
-        }
-        AddFile(percentDecode(r.getString(0)),
-          if (r.isNullAt(1)) Map.empty
-          else r.getMap[String, String](1).toMap.filter(_._2 != null),
-          r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3),
-          // presence marker only: checkpoint stats strings stay off
-          // the driver (nothing downstream reads their content)
-          if (r.getBoolean(4)) Some("") else None, dv)
-      }
     // the v2/column-mapping decision happens in snapshotOf's FINAL
     // check — a later commit may replace the metadata either way
     Snapshot(m.getString(0), if (m.isNullAt(1)) null else m.getString(1), pcols,
-      adds.toSeq, config, readerV)
+      Seq.empty, config, readerV)
+  }
+
+  /** The [[readTable]] file-list cap: scan paths must exist as driver
+    * strings, so the list is irreducibly driver-side — but it must
+    * fail LOUDLY, by name, before exhausting driver memory on a
+    * degenerate table. Override with `graft.delta.maxFiles`. */
+  private def maxFilesOf(spark: SparkSession): Int =
+    spark.conf.getOption("graft.delta.maxFiles").map(_.toInt).getOrElse(1000000)
+
+  private def capFiles(spark: SparkSession, n: Int): Unit = {
+    val cap = maxFilesOf(spark)
+    if (n > cap)
+      throw new graft.GraftAnalysisException(
+        s"delta: table has more than $cap active files; the scan-path list " +
+          "would exhaust driver memory — raise graft.delta.maxFiles to override")
+  }
+
+  /** Distributed ACTIVE-file materialization for the checkpoint path
+    * of [[readTable]]: the canonical action stream (checkpoint rows at
+    * version ≤ every tail commit, plus the parsed tail) reduces to the
+    * last action per (path, dv uniqueId) with ONE cluster-side max_by
+    * — the same rule as [[replay]] — so the driver never holds the
+    * checkpoint's add rows, only the FINAL active list, and that list
+    * is capped via `limit(cap+1)` with a named refusal past it.
+    * Malformed checkpoint file rows refuse before the merge. */
+  private def collectActiveAdds(spark: SparkSession, norm: DataFrame): Seq[AddFile] = {
+    val dvBad = (dv: Column) => dv.isNotNull && dv("storageType").isNotNull &&
+      (dv("pathOrInlineDv").isNull || dv("sizeInBytes").isNull)
+    if (!norm.where(
+        (col("add").isNotNull && (col("add.path").isNull || col("add.size").isNull)) ||
+        dvBad(col("add.deletionVector")) || dvBad(col("remove.deletionVector")))
+        .isEmpty)
+      throw new graft.GraftAnalysisException(
+        "delta: malformed add or deletionVector action in checkpoint")
+    val emptyPv = lit(null).cast(MapType(StringType, StringType))
+    val acted = norm
+      .where(col("add").isNotNull || col("remove").isNotNull)
+      .select(col("__v"), col("__ln"),
+        explode(filter(array(
+          struct(lit(0).as("sub"), col("add").isNotNull.as("valid"),
+            col("add.path").as("path"), lit(true).as("is_add"),
+            col("add.size").as("size"), col("add.modificationTime").as("mod"),
+            col("add.partitionValues").as("pv"),
+            col("add.stats").isNotNull.as("has_stats"),
+            dvUid(col("add.deletionVector")).as("dvuid"),
+            col("add.deletionVector").as("dv")),
+          struct(lit(1).as("sub"), col("remove").isNotNull.as("valid"),
+            col("remove.path").as("path"), lit(false).as("is_add"),
+            lit(null).cast(LongType).as("size"), lit(null).cast(LongType).as("mod"),
+            emptyPv.as("pv"), lit(false).as("has_stats"),
+            dvUid(col("remove.deletionVector")).as("dvuid"),
+            lit(null).cast(dvType).as("dv"))
+        ), x => x("valid"))).as("act"))
+    val last = acted
+      .groupBy(graft.expr.PercentDecode(col("act.path")).as("path"),
+        col("act.dvuid").as("__dvuid"))
+      .agg(max_by(
+        struct(col("act.is_add").as("is_add"), col("act.size").as("size"),
+          col("act.mod").as("mod"), col("act.pv").as("pv"),
+          col("act.has_stats").as("has_stats"), col("act.dv").as("dv")),
+        struct(col("__v"), col("__ln"), col("act.sub"))).as("last"))
+      .where(col("last.is_add"))
+      .select(col("path"), col("last.size"), col("last.mod"), col("last.pv"),
+        col("last.has_stats"), col("last.dv"))
+    val cap = maxFilesOf(spark)
+    val rows = last.limit(cap + 1).collect()
+    capFiles(spark, rows.length)
+    rows.toSeq.map { r =>
+      val dv = if (r.isNullAt(5)) None else {
+        val d = r.getStruct(5)
+        if (d.isNullAt(0)) None // null storageType: no DV
+        else Some(DeltaDv.Descriptor(d.getString(0), d.getString(1),
+          if (d.isNullAt(2)) None else Some(d.getLong(2)),
+          if (d.isNullAt(3)) 0L else d.getLong(3),
+          if (d.isNullAt(4)) 0L else d.getLong(4)))
+      }
+      AddFile(r.getString(0),
+        if (r.isNullAt(3)) Map.empty
+        else r.getMap[String, String](3).toMap.filter(_._2 != null),
+        r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2),
+        // presence marker only: stats strings stay off the driver
+        if (r.getBoolean(4)) Some("") else None, dv)
+    }
   }
 
   /** Spellings under which a file scan may report a local path in
@@ -595,12 +646,14 @@ object DeltaLog {
       }
       // a checkpoint BEYOND the target cannot seed a time travel
       .filter { case (v, _) => versionAsOf.forall(v <= _) }
-    val seed = lastCp.map { case (v, parts) =>
+    val seedNorm: Option[(Snapshot, DataFrame)] = lastCp.map { case (v, parts) =>
       val cpFiles = checkpointNames(v, parts).map(n => new java.io.File(dir, n))
       val missing = cpFiles.filterNot(_.isFile)
-      if (missing.isEmpty)
-        checkpointSnapshot(spark, cpFiles.map(_.getAbsolutePath).toSeq)
-      else if (parts.isEmpty) {
+      if (missing.isEmpty) {
+        val norm = normalizeCheckpoint(
+          spark.read.parquet(cpFiles.map(_.getAbsolutePath).toSeq: _*), 0L)
+        (checkpointFurniture(norm), norm)
+      } else if (parts.isEmpty) {
         // V2 (UUID-named) checkpoint: <version>.checkpoint.<uuid>
         // .parquet, whose `sidecar` actions name parquet files under
         // _delta_log/_sidecars/ carrying the add/remove rows
@@ -654,7 +707,7 @@ object DeltaLog {
         val norm = (topNorm +:
           sidecarPaths.map(p => normalizeCheckpoint(spark.read.parquet(p), 0L)))
           .reduce(_ unionByName _)
-        checkpointSnapshotFromNorm(norm)
+        (checkpointFurniture(norm), norm)
       } else
         throw new graft.GraftAnalysisException(
           s"delta: _last_checkpoint names version $v but ${missing.head.getName} is missing")
@@ -677,20 +730,37 @@ object DeltaLog {
         throw new graft.GraftAnalysisException(
           s"delta: version $v is not available (nearest replayable state: " +
             (if (reached < 0) "none" else s"version $reached") + ")")
-      val expectFrom = if (seed.isDefined) cpVersion + 1 else 0L
+      val expectFrom = if (seedNorm.isDefined) cpVersion + 1 else 0L
       if (commits.map(_._1) != (expectFrom to v))
         throw new graft.GraftAnalysisException(
           s"delta: the commit history from version $expectFrom to $v is not " +
             "contiguous (vacuumed or partially copied log); refusing beats " +
             "replaying a partial state")
     }
-    if (commits.isEmpty && seed.isEmpty)
+    if (commits.isEmpty && seedNorm.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: no commits under $tableDir/_delta_log")
-    val snap = snapshotOfE(commits, seed) match {
+    val snapBase = snapshotOfE(commits, seedNorm.map(_._1)) match {
       case Right(s) => s
       case Left(reason) => throw new graft.GraftAnalysisException(
         s"delta: $reason (log at $tableDir/_delta_log)")
     }
+    // the FILE list: with a checkpoint, merged cluster-side (the
+    // checkpoint action rows + the parsed tail reduce by one max_by)
+    // so the driver only ever holds the capped FINAL active list;
+    // without one, the driver JSON replay is bounded by the log text
+    // already in memory — capped all the same. Sorted for a
+    // deterministic scan-path order.
+    val activeAdds: Seq[AddFile] = (seedNorm match {
+      case Some((_, norm)) =>
+        import spark.implicits._
+        val tail = parseCommitsNorm(
+          spark.createDataset(commits).toDF("version", "content"))
+        collectActiveAdds(spark, norm.unionByName(tail))
+      case None =>
+        capFiles(spark, snapBase.files.size)
+        snapBase.files
+    }).sortBy(f => (f.path, f.dv.map(_.uniqueId).getOrElse("")))
+    val snap = snapBase.copy(files = activeAdds)
     if (snap.files.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: table at $tableDir has no active files")
     val resolved = snap.files.map { f =>

@@ -589,6 +589,14 @@ object Iceberg {
       refuse(s"manifest content $c unsupported in $p") }
     val active = entriesOf(dataManifests.map(m => (m._1, m._3))).filter(_.status != 2)
     if (active.isEmpty) refuse(s"snapshot $cur has no active data files")
+    // the scan-path list is irreducibly driver-side; past the cap it
+    // must fail LOUDLY, by name, not OOM the driver
+    val maxFiles = spark.conf.getOption("graft.iceberg.maxFiles")
+      .map(_.toInt).getOrElse(1000000)
+    if (active.size > maxFiles)
+      refuse(s"snapshot $cur has more than $maxFiles active data files; the " +
+        "scan-path list would exhaust driver memory — raise " +
+        "graft.iceberg.maxFiles to override")
     active.find(_.content != 0).foreach(e =>
       refuse(s"delete file ${e.path} listed in a data manifest"))
     val deletes = entriesOf(deleteManifests.map(m => (m._1, m._3))).filter(_.status != 2)

@@ -277,6 +277,15 @@ class DeltaLogSpec extends SparkSuite {
       """{"version":1,"size":5}""".getBytes("UTF-8"))
     writeCommit(cpLog, 2L, addLine("f3.parquet", "z", 103))
     assert(readSorted(cpDir) == readSorted(fullDir))
+    // the checkpoint merge is capped: 3 active files > cap 2 refuses
+    // by name (the distributed max_by path, not the JSON replay)
+    spark.conf.set("graft.delta.maxFiles", "2")
+    try {
+      val e = intercept[graft.GraftAnalysisException] {
+        DeltaLog.readTable(spark, cpDir.getAbsolutePath)
+      }
+      assert(e.getMessage.contains("more than 2 active files"))
+    } finally spark.conf.unset("graft.delta.maxFiles")
   }
 
   test("readTable multi-part checkpoint: all parts load; a missing part refuses") {
@@ -677,6 +686,23 @@ class DeltaLogSpec extends SparkSuite {
       """{"remove":{"path":"d1.parquet"}}""")
     assert(idsAt(2999L) == Seq(1L, 2L, 3L))   // still v1
     assert(idsAt(3000L) == Seq(1L, 2L))       // v2 by its in-commit ts
+  }
+
+  test("file-list cap: a table past graft.delta.maxFiles refuses by name (JSON replay path)") {
+    val docs = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "book", 30L),
+      (4L, "web", 40L)).toDF("doc_id", "source", "n_chars")
+    // 4 bucket files, no checkpoint — the driver JSON replay path
+    // (the checkpoint-merge cap is asserted in the checkpoint test)
+    val dvDir = graft.ops.TableFixtures.writeDeltaDvTable(spark, docs, "doc_id")
+    spark.conf.set("graft.delta.maxFiles", "2")
+    try {
+      val e = intercept[graft.GraftAnalysisException] {
+        DeltaLog.readTable(spark, dvDir).collect()
+      }
+      assert(e.getMessage.contains("more than 2 active files"))
+    } finally spark.conf.unset("graft.delta.maxFiles")
+    // uncapped, the same table reads
+    assert(DeltaLog.readTable(spark, dvDir).count() > 0)
   }
 
   test("delta/iceberg sources: timestamp_as_of rides the spec surface; both-set refuses") {

@@ -389,6 +389,18 @@ class IcebergSpec extends SparkSuite {
       n == id * 10 && (if (id % 2 == 0) p.isEmpty else p.contains("odd")) })
   }
 
+  test("file-list cap: a snapshot past graft.iceberg.maxFiles refuses by name") {
+    val dir = graft.ops.TableFixtures.writeIcebergV2Table(spark, smallDocs, "doc_id")
+    spark.conf.set("graft.iceberg.maxFiles", "2")
+    try {
+      val e = intercept[graft.GraftAnalysisException] {
+        Iceberg.readTable(spark, dir) // 4 bucket data files > 2
+      }
+      assert(e.getMessage.contains("more than 2 active data files"))
+    } finally spark.conf.unset("graft.iceberg.maxFiles")
+    assert(Iceberg.readTable(spark, dir).count() > 0)
+  }
+
   test("timestamp travel: snapshot-log resolves; before-first and no-log refuse") {
     val dir = graft.ops.TableFixtures.writeIcebergV2Table(spark, smallDocs, "doc_id")
     // t=1500 → snapshot 0 (pre-delete: every id); t=2500 → snapshot 1
