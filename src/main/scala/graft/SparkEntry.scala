@@ -2571,6 +2571,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
     }),
 
+    // Iceberg MANIFEST-LEVEL PARTITION PRUNING (round 16): the
+    // partitioned table's manifest entries carry exact {bucket} tuples
+    // and the metadata the identity spec; a bucket predicate opens
+    // ONLY the matching files (PlanShape-asserted in IcebergSpec) and
+    // is re-applied to the rows, so the result equals a full-scan
+    // filter while reading a quarter of the data.
+    "x_iceberg_prune" -> ((s, d) => {
+      val dir = sharedDir("iceberg_part", d)(
+        graft.ops.TableFixtures.writeIcebergPartTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.Iceberg.readTable(s, dir, None,
+        Some(col("bucket") === 1 || col("bucket") === 2))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"))
+    }),
+
     // Iceberg TIMESTAMP travel (round 16): the v2 table's
     // snapshot-log stamps snapshot 0 at t=1000 ms and snapshot 1
     // (with the position deletes) at t=2000 ms; reading AS OF 1500
@@ -6411,6 +6425,11 @@ object SparkEntry {
     // entries (snapshot 0 at 1000, snapshot 1 at 2000) → snapshot 0
     "x_iceberg_at_ts" -> """
       SELECT doc_id, source, n_chars FROM documents""",
+
+    // iceberg partition pruning: the bucket predicate replays exactly
+    "x_iceberg_prune" -> """
+      SELECT doc_id, source, n_chars, doc_id % 4 AS bucket
+      FROM documents WHERE doc_id % 4 IN (1, 2)""",
 
     // iceberg field-id resolution: both generations read by field id —
     // generation A (even ids) predates the parity column → NULL

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -51,7 +51,8 @@ object Iceberg {
 
   final case class Entry(status: Int, path: String, format: String,
       recordCount: Long, fileSizeBytes: Long, content: Int = 0,
-      sequenceNumber: Option[Long] = None, equalityIds: Seq[Int] = Seq.empty)
+      sequenceNumber: Option[Long] = None, equalityIds: Seq[Int] = Seq.empty,
+      partition: Map[String, Any] = Map.empty)
   final case class Snapshot(id: Long, manifestList: Option[String], manifests: Seq[String])
   /** One top-level field of the current schema: `tpe` is the Iceberg
     * type string for primitives ("long", "string", "decimal(9,2)" …)
@@ -61,7 +62,8 @@ object Iceberg {
       currentSnapshotId: Option[Long], snapshots: Seq[Snapshot],
       fieldNames: Map[Int, String] = Map.empty,
       schemaFields: Seq[SchemaField] = Seq.empty,
-      snapshotLog: Seq[(Long, Long)] = Seq.empty)
+      snapshotLog: Seq[(Long, Long)] = Seq.empty,
+      identityPartitionNames: Set[String] = Set.empty)
 
   /** Parse a vN.metadata.json document. None outside the supported
     * subset (or malformed JSON). */
@@ -133,8 +135,31 @@ object Iceberg {
         }
         case _ => Seq.empty
       }
+      // partition-spec fields with an IDENTITY transform — the only
+      // transform whose exact tuple values equal the source column,
+      // making entry-level pruning sound. A name seen with a
+      // non-identity transform in ANY spec is excluded.
+      val identityNames: Set[String] = {
+        val specs: Seq[JValue] = (jv \ "partition-specs" match {
+          case JArray(xs) => xs; case _ => Nil
+        }) ++ (jv \ "partition-spec" match {
+          case a: JArray => Seq(JObject(List("fields" -> a))): Seq[JValue]
+          case _ => Nil
+        })
+        val pairs = specs.flatMap { s =>
+          s \ "fields" match { case JArray(fs) => fs; case _ => Nil }
+        }.flatMap { f =>
+          (f \ "name", f \ "transform") match {
+            case (JString(n), JString(t)) => Some(n -> t)
+            case _ => None
+          }
+        }
+        val nonId = pairs.collect { case (n, t) if t != "identity" => n }.toSet
+        pairs.collect { case (n, "identity") => n }.toSet -- nonId
+      }
       Some(TableMeta(fv, loc, cur, snaps,
-        schemaFields.map(f => f.id -> f.name).toMap, schemaFields, snapLog))
+        schemaFields.map(f => f.id -> f.name).toMap, schemaFields, snapLog,
+        identityNames))
     } catch { case _: Exception => None }
 
   private def recordOf(schemaJson: String): Option[Avro.ARecord] =
@@ -198,6 +223,32 @@ object Iceberg {
         val ci = dn.indexOf("content") // v2: 0 data, 1 position deletes, 2 equality
         val eqi = dn.indexOf("equality_ids") // v2: field ids of the equality columns
         val sqi = names.indexOf("sequence_number") // v2 entry-level data sequence
+        // the spec's partition tuple: a record of partition field
+        // values (possibly behind a null union) — field names from
+        // the schema, primitive values kept, anything else dropped
+        // (an un-decoded key just makes the file unprunable, never
+        // wrong)
+        val pti = dn.indexOf("partition")
+        val partNames: Seq[String] =
+          if (pti < 0) Seq.empty
+          else dfRec.fields(pti)._2 match {
+            case r: Avro.ARecord => r.fields.map(_._1)
+            case Avro.AUnion(r: Avro.ARecord, _) => r.fields.map(_._1)
+            case _ => Seq.empty
+          }
+        def partitionOf(df: Row): Map[String, Any] =
+          if (pti < 0 || partNames.isEmpty || df.isNullAt(pti)) Map.empty
+          else df.get(pti) match {
+            case r: Row => partNames.zipWithIndex.collect {
+              case (n, i) if i < r.length && !r.isNullAt(i) &&
+                  (r.get(i) match {
+                    case _: Long | _: Int | _: String | _: Double |
+                         _: Float | _: Boolean => true
+                    case _ => false
+                  }) => n -> r.get(i)
+            }.toMap
+            case _ => Map.empty
+          }
         if (pi < 0 || fi < 0 || rci < 0 || fsi < 0) return None
         Some(rows.flatMap {
           case r: Row if !r.isNullAt(si) && !r.isNullAt(di) =>
@@ -217,7 +268,8 @@ object Iceberg {
                 case s: scala.collection.Seq[_] =>
                   s.flatMap(x => asLong(x).map(_.toInt)).toSeq
                 case _ => Seq.empty
-              })
+              },
+              partitionOf(df))
           case _ => None
         })
       }
@@ -343,6 +395,37 @@ object Iceberg {
     Avro.writeContainer(manifestListSchemaSeqJson, "deflate",
       paths.iterator.map { case (p, len, c, sq) => Row(p, len, 0, c, sq) }, syncSeed)
 
+  /** Write a manifest whose entries carry the spec's PARTITION tuple:
+    * `partFields` names the partition record's (field, avro primitive
+    * type) columns; each entry's values come from [[Entry.partition]]
+    * (absent → the null union branch). */
+  def writeManifestPart(entries: Seq[Entry], partFields: Seq[(String, String)],
+      syncSeed: String): Array[Byte] = {
+    val partSchema = partFields.map { case (n, t) =>
+      s"""{"name":"$n","type":["null","$t"],"default":null}""" }.mkString(",")
+    val schema =
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |{"name":"file_path","type":"string"},
+         |{"name":"file_format","type":"string"},
+         |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+         |$partSchema]}},
+         |{"name":"record_count","type":"long"},
+         |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    Avro.writeContainer(schema, "deflate",
+      entries.iterator.map { e =>
+        val pv = Row.fromSeq(partFields.map { case (n, _) =>
+          e.partition.get(n).map {
+            case i: Int => Long.box(i.toLong)
+            case v => v.asInstanceOf[AnyRef]
+          }.orNull
+        })
+        Row(e.status, Row(e.path, e.format, pv, e.recordCount, e.fileSizeBytes))
+      }, syncSeed)
+  }
+
   /** Gate packer: one manifest payload per document, entries from id
     * arithmetic — data-<id>-0.parquet DELETED when id%3==0 else ADDED
     * (record_count id%100+1, size id+4096), plus an EXISTING
@@ -392,6 +475,76 @@ object Iceberg {
         }
       case _ => None
     }
+  }
+
+  /** MANIFEST-LEVEL PARTITION PRUNING: evaluate `pred` — a predicate
+    * over IDENTITY-transform partition field names — against each
+    * active entry's exact partition tuple, and keep only matching
+    * files. The tuples form one driver-bounded DataFrame row per file
+    * (the active list is already capped), so Catalyst evaluates the
+    * predicate with full Spark semantics; at 100 TB this is what
+    * turns a date-filtered read into opening only that date's files
+    * instead of scanning everything and filtering rows.
+    *
+    * Pruning is strictly an OPTIMIZATION — [[readTable]] re-applies
+    * the predicate to the scanned rows — so every uncertainty keeps
+    * the file: non-identity transforms are never pruned on (their
+    * tuple values differ from the source column), entries without a
+    * decodable tuple or with type-inconsistent values stay, and a
+    * predicate the tuple columns cannot resolve (data-column
+    * references) skips pruning entirely. If everything prunes, one
+    * file is kept so the result keeps the table's schema (the row
+    * predicate then yields zero rows). */
+  private def prunedActive(spark: SparkSession, active: Seq[Entry],
+      identityNames: Set[String], pred: Column): Seq[Entry] = {
+    import org.apache.spark.sql.types._
+    def typeOf(v: Any): DataType = v match {
+      case _: Long => LongType
+      case _: Int => IntegerType
+      case _: String => StringType
+      case _: Double => DoubleType
+      case _: Float => FloatType
+      case _: Boolean => BooleanType
+      case _ => NullType
+    }
+    val keys: Seq[String] = active.flatMap(_.partition.keys).distinct
+      .filter(identityNames).sorted
+    if (keys.isEmpty) return active
+    val colTypes: Map[String, DataType] = keys.map { k =>
+      k -> active.flatMap(_.partition.get(k)).headOption
+        .map(typeOf).getOrElse(NullType)
+    }.toMap
+    // an entry is prunable iff it carries at least one of the keyed
+    // fields and every keyed value matches the column's type; its
+    // absent keys are null (identity: the rows carry null there too,
+    // so a null-pruned file had no matches). Entries with no tuple at
+    // all — or a different spec's fields — are kept unconditionally.
+    val (prunable, kept0) = active.partition(e =>
+      e.partition.keys.exists(colTypes.contains) &&
+        e.partition.view.filterKeys(colTypes.contains).forall {
+          case (k, v) => typeOf(v) == colTypes(k)
+        })
+    if (prunable.isEmpty) return active
+    val schema = StructType(StructField("__graft_idx", IntegerType) +:
+      keys.map(k => StructField(k, colTypes(k))))
+    val rows = prunable.zipWithIndex.map { case (e, i) =>
+      Row.fromSeq(i +: keys.map(k => e.partition.get(k).orNull))
+    }
+    val keptIdx: Set[Int] =
+      try {
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .where(pred).select(col("__graft_idx"))
+          .collect().map(_.getInt(0)).toSet
+      } catch {
+        // the predicate references columns the tuple cannot resolve:
+        // not a partition predicate — skip pruning, the row filter
+        // still applies
+        case _: org.apache.spark.sql.AnalysisException => return active
+      }
+    val out = kept0 ++ prunable.zipWithIndex.collect {
+      case (e, i) if keptIdx(i) => e }
+    if (out.nonEmpty) out
+    else Seq(active.minBy(_.path)) // schema carrier; rows filter to zero
   }
 
   /** FIELD-ID data scan — the Iceberg spec's column-resolution rule.
@@ -517,7 +670,13 @@ object Iceberg {
     * ≤ the target; a target before the first logged snapshot refuses
     * (no table state existed then), and a metadata without a
     * snapshot-log refuses by name rather than guess. */
-  def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame = {
+  def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame =
+    readTableAt(spark, tableDir, tsMillis, None)
+
+  /** [[readTableAt]] with the partition-pruning predicate threaded
+    * through (see the filtered [[readTable]]). */
+  def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long,
+      partitionFilter: Option[Column]): DataFrame = {
     val meta = currentMeta(tableDir)
     if (meta.snapshotLog.isEmpty)
       refuse("metadata carries no snapshot-log; timestamp travel needs the " +
@@ -526,7 +685,7 @@ object Iceberg {
     val chosen = sorted.takeWhile(_._1 <= tsMillis).lastOption.getOrElse(
       refuse(s"timestamp $tsMillis precedes the first logged snapshot " +
         s"(${sorted.head._1}); no table state existed then"))
-    readTable(spark, tableDir, Some(chosen._2))
+    readTable(spark, tableDir, Some(chosen._2), partitionFilter)
   }
 
   /** Discover and parse the CURRENT metadata JSON of a table dir:
@@ -553,7 +712,18 @@ object Iceberg {
   }
 
   def readTable(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long]): DataFrame = {
+      snapshotId: Option[Long]): DataFrame =
+    readTable(spark, tableDir, snapshotId, None)
+
+  /** [[readTable]] with MANIFEST-LEVEL PARTITION PRUNING: `pred` is a
+    * predicate over identity-transform partition field names. It is
+    * applied BOTH at the manifest walk (only matching files reach the
+    * scan — see [[prunedActive]] for the conservative-keep rules) and
+    * to the scanned rows, so the result equals
+    * `readTable(...).where(pred)` while opening only the matching
+    * partition's files. */
+  def readTable(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long], partitionFilter: Option[Column]): DataFrame = {
     def readBytes(f: java.io.File): Array[Byte] =
       java.nio.file.Files.readAllBytes(f.toPath)
     val meta = currentMeta(tableDir)
@@ -587,16 +757,20 @@ object Iceberg {
     val deleteManifests = manifestList.filter(_._2 == 1)
     manifestList.find(m => m._2 != 0 && m._2 != 1).foreach { case (p, c, _) =>
       refuse(s"manifest content $c unsupported in $p") }
-    val active = entriesOf(dataManifests.map(m => (m._1, m._3))).filter(_.status != 2)
-    if (active.isEmpty) refuse(s"snapshot $cur has no active data files")
+    val activeAll = entriesOf(dataManifests.map(m => (m._1, m._3))).filter(_.status != 2)
+    if (activeAll.isEmpty) refuse(s"snapshot $cur has no active data files")
     // the scan-path list is irreducibly driver-side; past the cap it
     // must fail LOUDLY, by name, not OOM the driver
     val maxFiles = spark.conf.getOption("graft.iceberg.maxFiles")
       .map(_.toInt).getOrElse(1000000)
-    if (active.size > maxFiles)
+    if (activeAll.size > maxFiles)
       refuse(s"snapshot $cur has more than $maxFiles active data files; the " +
         "scan-path list would exhaust driver memory — raise " +
         "graft.iceberg.maxFiles to override")
+    val active = partitionFilter match {
+      case None => activeAll
+      case Some(p) => prunedActive(spark, activeAll, meta.identityPartitionNames, p)
+    }
     active.find(_.content != 0).foreach(e =>
       refuse(s"delete file ${e.path} listed in a data manifest"))
     val deletes = entriesOf(deleteManifests.map(m => (m._1, m._3))).filter(_.status != 2)
@@ -622,7 +796,10 @@ object Iceberg {
             .withColumn("__graft_row_idx", col("_metadata.row_index"))
         else b
       }
-    if (deletes.isEmpty) return base
+    // pruning is the optimization; the ROW filter is the semantics
+    def rowFilter(df: DataFrame): DataFrame =
+      partitionFilter.map(df.where).getOrElse(df)
+    if (deletes.isEmpty) return rowFilter(base)
 
     import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
     def localKeyRows(es: Seq[Entry])(value: Entry => Any): Seq[Row] = es.flatMap { e =>
@@ -719,6 +896,6 @@ object Iceberg {
       }
       scan = scan.drop("__graft_data_seq")
     }
-    scan.drop("__graft_file_key", "__graft_row_idx")
+    rowFilter(scan.drop("__graft_file_key", "__graft_row_idx"))
   }
 }

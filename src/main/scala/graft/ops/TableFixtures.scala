@@ -335,6 +335,57 @@ object TableFixtures {
     dir.getAbsolutePath
   }
 
+  /** Build a v2 PARTITIONED Iceberg table for the pruning gate:
+    * identity partition column `bucket` = doc_id % 4, four data files
+    * (the bucket column stored in the files as identity partitioning
+    * does), each manifest entry carrying its EXACT partition tuple
+    * ({bucket: k}), and the metadata carrying the identity
+    * partition-spec plus the four-field schema (ids 1..4). */
+  def writeIcebergPartTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iceberg-part").toFile
+    val loc = dir.getAbsolutePath
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"),
+      pmod(col(idCol).cast("long"), lit(4)).as("bucket"))
+    def fid(n: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", n).build()
+    (0 to 3).foreach { k =>
+      singleParquet(
+        data.where(col("bucket") === k).sort("doc_id")
+          .select(col("doc_id").as("doc_id", fid(1)),
+            col("source").as("source", fid(2)),
+            col("n_chars").as("n_chars", fid(3)),
+            col("bucket").as("bucket", fid(4))),
+        new java.io.File(dir, s"part-$k.parquet"))
+    }
+    val metaDir = new java.io.File(dir, "metadata"); metaDir.mkdirs()
+    def fsize(name: String): Long = new java.io.File(dir, name).length()
+    val entries = (0 to 3).map(k => Iceberg.Entry(1, s"$loc/part-$k.parquet",
+      "PARQUET", 0L, fsize(s"part-$k.parquet"),
+      partition = Map("bucket" -> k.toLong)))
+    val m = Iceberg.writeManifestPart(entries, Seq("bucket" -> "long"), "x-ib-part")
+    java.nio.file.Files.write(new java.io.File(metaDir, "m-part.avro").toPath, m)
+    val ml = Iceberg.writeManifestList(
+      Seq((s"$loc/metadata/m-part.avro", m.length.toLong)), "x-ib-part-ml")
+    java.nio.file.Files.write(new java.io.File(metaDir, "snap-1.avro").toPath, ml)
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"x-iceberg-part","location":"$loc",
+         |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"doc_id","required":false,"type":"long"},
+         |{"id":2,"name":"source","required":false,"type":"string"},
+         |{"id":3,"name":"n_chars","required":false,"type":"long"},
+         |{"id":4,"name":"bucket","required":false,"type":"long"}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"bucket","transform":"identity","source-id":4,"field-id":1000}]}],
+         |"current-snapshot-id":1,"snapshots":[
+         |{"snapshot-id":1,"manifest-list":"$loc/metadata/snap-1.avro"}]}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+
   /** Build a v2 Iceberg table whose current snapshot carries an
     * EQUALITY delete between two data generations:
     *

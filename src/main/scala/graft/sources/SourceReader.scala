@@ -97,14 +97,19 @@ object SourceReader {
     // manifests (in-repo Avro) select the active parquet files;
     // optional `snapshot_id` reads a historical snapshot,
     // `timestamp_as_of` (epoch ms) resolves through the metadata's
-    // snapshot-log. Naming both refuses.
+    // snapshot-log. Naming both refuses. `partition_where` (a SQL
+    // predicate over identity partition fields) prunes at the
+    // MANIFEST walk — only matching files open — and is re-applied
+    // to the rows.
     case "iceberg" =>
       val path = s.config.reqStr("path")
+      val pf = s.config.str("partition_where")
+        .map(org.apache.spark.sql.functions.expr)
       (s.config.long("snapshot_id"), s.config.long("timestamp_as_of")) match {
         case (Some(_), Some(_)) => throw new graft.GraftAnalysisException(
           "iceberg: snapshot_id and timestamp_as_of are mutually exclusive")
-        case (None, Some(ts)) => graft.ops.Iceberg.readTableAt(spark, path, ts)
-        case (v, None) => graft.ops.Iceberg.readTable(spark, path, v)
+        case (None, Some(ts)) => graft.ops.Iceberg.readTableAt(spark, path, ts, pf)
+        case (v, None) => graft.ops.Iceberg.readTable(spark, path, v, pf)
       }
 
     // ORC: the other columnar format large estates standardize on

@@ -401,6 +401,43 @@ class IcebergSpec extends SparkSuite {
     assert(Iceberg.readTable(spark, dir).count() > 0)
   }
 
+  test("partition pruning: only matching files reach the scan; result equals full-scan filter") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.ops.TableFixtures.writeIcebergPartTable(spark, smallDocs, "doc_id")
+    val pred = col("bucket") === 1 || col("bucket") === 2
+    val pruned = Iceberg.readTable(spark, dir, None, Some(pred))
+    // PlanShape: out-of-range files never reach the scan
+    val opened = pruned.inputFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(opened == Set("part-1.parquet", "part-2.parquet"))
+    val full = Iceberg.readTable(spark, dir).where(pred)
+    assert(pruned.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 5L, 6L))
+  }
+
+  test("partition pruning keeps everything when it cannot be sure") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.ops.TableFixtures.writeIcebergPartTable(spark, smallDocs, "doc_id")
+    // a predicate over a NON-partition column: pruning skips, the row
+    // filter still applies, all four files open
+    val nonPart = Iceberg.readTable(spark, dir, None, Some(col("n_chars") >= 30L))
+    assert(nonPart.inputFiles.length == 4)
+    assert(nonPart.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 5L, 6L, 7L, 8L))
+    // everything pruned: one schema-carrier file, zero rows
+    val none = Iceberg.readTable(spark, dir, None, Some(col("bucket") === 99))
+    assert(none.inputFiles.length == 1)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("doc_id", "source", "n_chars", "bucket"))
+    // a non-identity transform is never pruned on
+    val metaFile = new java.io.File(dir, "metadata/v1.metadata.json")
+    val json = new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    write(metaFile, json.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\""))
+    val bucketed = Iceberg.readTable(spark, dir, None, Some(col("bucket") === 1))
+    assert(bucketed.inputFiles.length == 4)
+    assert(bucketed.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+  }
+
   test("timestamp travel: snapshot-log resolves; before-first and no-log refuse") {
     val dir = graft.ops.TableFixtures.writeIcebergV2Table(spark, smallDocs, "doc_id")
     // t=1500 → snapshot 0 (pre-delete: every id); t=2500 → snapshot 1
