@@ -2491,6 +2491,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Delta CHANGE DATA FEED (round 16): v0 inserts every doc, v1 is
+    // a CDC commit (update pre/post rows for doc_id%10==0, postimage
+    // n_chars+1000) whose cdc files must SHADOW its dataChange file
+    // rewrite, v2 deletes bucket 1, v3 is a dataChange=false
+    // compaction contributing nothing. The oracle replays all four.
+    "x_delta_cdf" -> ((s, d) => {
+      val dir = sharedDir("delta_cdf", d)(
+        graft.ops.TableFixtures.writeDeltaCdfTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.DeltaLog.readChanges(s, dir, 0L, 3L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("_change_type"), col("_commit_version"), col("_commit_timestamp"))
+    }),
+
     // Delta TIMESTAMP travel (round 16): the two-version table's
     // commitInfo lines stamp version 0 at t=1000 ms and version 1
     // (the bucket rewrite that drops %5 rows) at t=2000 ms; reading
@@ -6410,6 +6423,27 @@ object SparkEntry {
     // and v1 (t=2000) commits → version 0, every row
     "x_delta_time_travel_ts" -> """
       SELECT doc_id, source, n_chars FROM documents""",
+
+    // delta change data feed: v0 inserts, v1 cdc updates (%10==0,
+    // postimage +1000), v2 deletes the odd bucket, v3 contributes
+    // nothing (dataChange=false compaction)
+    "x_delta_cdf" -> """
+      SELECT doc_id, source, n_chars, 'insert' AS _change_type,
+             CAST(0 AS BIGINT) AS _commit_version,
+             CAST(1000 AS BIGINT) AS _commit_timestamp
+      FROM documents
+      UNION ALL
+      SELECT doc_id, source, n_chars, 'update_preimage',
+             CAST(1 AS BIGINT), CAST(2000 AS BIGINT)
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, source, n_chars + 1000, 'update_postimage',
+             CAST(1 AS BIGINT), CAST(2000 AS BIGINT)
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, source, n_chars, 'delete',
+             CAST(2 AS BIGINT), CAST(3000 AS BIGINT)
+      FROM documents WHERE doc_id % 2 = 1""",
 
     // iceberg v2 position deletes: survivors of the planted id%7==0
     // delete rule, applied across all four bucket files

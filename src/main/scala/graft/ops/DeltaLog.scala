@@ -572,6 +572,194 @@ object DeltaLog {
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     readTable(spark, tableDir, None)
 
+  /** CHANGE DATA FEED: the row-level changes committed in versions
+    * `startVersion..endVersion`, as the Delta protocol defines them —
+    * per version, EITHER the commit's `cdc` actions name parquet
+    * files under `_change_data/` that carry the data columns plus the
+    * writer's `_change_type` (insert / update_preimage /
+    * update_postimage / delete), and those are authoritative, OR the
+    * changes synthesize from the file actions: `add` rows with
+    * dataChange are inserts, `remove` rows with dataChange are
+    * deletes (the removed file's rows — still on disk until VACUUM).
+    * Output = data columns + `_change_type`, `_commit_version`,
+    * `_commit_timestamp` (the same monotonic commit timestamps as
+    * timestamp travel), plus the log's partitionValues injected as
+    * string columns (partition columns never live in the files).
+    *
+    * Scale shape: THREE scan relations total however long the range —
+    * all cdc files, all insert files, all delete files — each joined
+    * against a small broadcast (file key → version, timestamp,
+    * partition values) manifest; a file re-added across versions
+    * simply matches several manifest rows, which IS the CDF
+    * semantics. Refuses on a bad range, a missing commit JSON in the
+    * range (CDF needs the commit files themselves), an unsupported
+    * protocol line, a cdc file without `_change_type`, or
+    * deletion-vector file actions in a version without cdc files
+    * (synthesis would misread DV deletes). */
+  def readChanges(spark: SparkSession, tableDir: String,
+      startVersion: Long, endVersion: Long): DataFrame = {
+    if (startVersion < 0)
+      throw new graft.GraftAnalysisException(s"delta: start version $startVersion is negative")
+    if (endVersion < startVersion)
+      throw new graft.GraftAnalysisException(
+        s"delta: change range $startVersion..$endVersion is empty")
+    val dir = new java.io.File(tableDir, "_delta_log")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val byVersion: Map[Long, java.io.File] =
+      files.flatMap(f => versionOf(f.getName).map(_ -> f)).toMap
+    (startVersion to endVersion).find(!byVersion.contains(_)).foreach(v =>
+      throw new graft.GraftAnalysisException(
+        s"delta: commit JSON for version $v is missing; the change feed needs " +
+          "the commit files themselves (vacuumed or checkpoint-only history)"))
+    // the same monotonic timestamps as timestamp travel, over the
+    // FULL surviving history so both surfaces agree
+    val tsByVersion: Map[Long, Long] = {
+      var prev = Long.MinValue
+      byVersion.toSeq.sortBy(_._1).map { case (v, f) =>
+        val t0 = commitInfoTs(f).getOrElse(f.lastModified())
+        val t = if (prev == Long.MinValue) t0 else math.max(t0, prev + 1)
+        prev = t
+        v -> t
+      }.toMap
+    }
+    // kind: 0 cdc, 1 insert, 2 delete
+    final case class Chg(version: Long, path: String, kind: Int,
+        pv: Map[String, String])
+    val changes = Seq.newBuilder[Chg]
+    (startVersion to endVersion).foreach { v =>
+      val content = new String(java.nio.file.Files.readAllBytes(byVersion(v).toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val lines = content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        try JsonMethods.parse(line) catch {
+          case _: Exception => throw new graft.GraftAnalysisException(
+            s"delta: malformed log line in version $v") }
+      }.toSeq
+      lines.foreach { jv =>
+        jv \ "protocol" match {
+          case p: JObject =>
+            p \ "minReaderVersion" match {
+              case JInt(r) if r == 1 || r == 2 => ()
+              case JInt(r) if r == 3 =>
+                val feats = p \ "readerFeatures" match {
+                  case JArray(xs) => xs.collect { case JString(s) => s }
+                  case _ => Nil
+                }
+                val unsupported = feats.filterNot(supportedReaderFeatures)
+                if (unsupported.nonEmpty)
+                  throw new graft.GraftAnalysisException(
+                    s"delta: unsupported reader features: ${unsupported.sorted.mkString(", ")}")
+              case _ => throw new graft.GraftAnalysisException(
+                s"delta: unsupported minReaderVersion in version $v")
+            }
+          case _ => ()
+        }
+      }
+      def pvOf(a: JValue): Map[String, String] = a \ "partitionValues" match {
+        case JObject(fs) => fs.collect { case (k, JString(s)) => k -> s }.toMap
+        case _ => Map.empty
+      }
+      def pathOf(a: JValue, what: String): String = a \ "path" match {
+        case JString(s) => percentDecode(s)
+        case _ => throw new graft.GraftAnalysisException(
+          s"delta: $what action without a path in version $v")
+      }
+      def dataChange(a: JValue): Boolean = a \ "dataChange" match {
+        case JBool(b) => b
+        case _ => true // the protocol's default reading for CDF purposes
+      }
+      val cdcs = lines.flatMap(jv => jv \ "cdc" match {
+        case c: JObject => Some(Chg(v, pathOf(c, "cdc"), 0, pvOf(c)))
+        case _ => None
+      })
+      if (cdcs.nonEmpty) changes ++= cdcs
+      else lines.foreach { jv =>
+        jv \ "add" match {
+          case a: JObject if dataChange(a) =>
+            if ((a \ "deletionVector").isInstanceOf[JObject])
+              throw new graft.GraftAnalysisException(
+                s"delta: version $v carries deletion-vector file actions and no " +
+                  "cdc files; synthesizing its change feed would misread DV deletes")
+            changes += Chg(v, pathOf(a, "add"), 1, pvOf(a))
+          case _ => ()
+        }
+        jv \ "remove" match {
+          case r: JObject if dataChange(r) =>
+            if ((r \ "deletionVector").isInstanceOf[JObject])
+              throw new graft.GraftAnalysisException(
+                s"delta: version $v carries deletion-vector file actions and no " +
+                  "cdc files; synthesizing its change feed would misread DV deletes")
+            changes += Chg(v, pathOf(r, "remove"), 2, pvOf(r))
+          case _ => ()
+        }
+      }
+    }
+    val all = changes.result()
+    if (all.isEmpty)
+      throw new graft.GraftAnalysisException(
+        s"delta: no data changes in versions $startVersion..$endVersion")
+    val pkeys: Seq[String] = all.flatMap(_.pv.keys).distinct.sorted
+    def resolve(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p.stripPrefix("file:")
+      else s"$tableDir/$p"
+    val arms = Seq(0, 1, 2).flatMap { kind =>
+      val group = all.filter(_.kind == kind)
+      if (group.isEmpty) None
+      else {
+        val mRows = group.flatMap { c =>
+          keyForms(resolve(c.path)).map(k =>
+            Row.fromSeq(k +: c.version +: tsByVersion(c.version) +:
+              pkeys.map(c.pv.get(_).orNull)))
+        }
+        val mSchema = StructType(
+          StructField("__graft_file_key", StringType) +:
+            StructField("_commit_version", LongType) +:
+            StructField("_commit_timestamp", LongType) +:
+            pkeys.map(k => StructField(k, StringType)))
+        val manifest = spark.createDataFrame(
+          java.util.Arrays.asList(mRows: _*), mSchema)
+        val scan0 = spark.read.parquet(group.map(c => resolve(c.path)).distinct: _*)
+        if (kind == 0 && !scan0.columns.contains("_change_type"))
+          throw new graft.GraftAnalysisException(
+            "delta: cdc file lacks the _change_type column")
+        val withType = kind match {
+          case 0 => scan0
+          case 1 => scan0.withColumn("_change_type", lit("insert"))
+          case _ => scan0.withColumn("_change_type", lit("delete"))
+        }
+        // the keyForms drift guard: an unmatched scan path raises
+        // instead of emitting NULL versions
+        Some(withType
+          .withColumn("__graft_file_key", col("_metadata.file_path"))
+          .join(broadcast(manifest), Seq("__graft_file_key"), "left")
+          .withColumn("_commit_version",
+            when(col("_commit_version").isNotNull, col("_commit_version"))
+              .otherwise(raise_error(concat(
+                lit("delta: change-feed scan path did not match the manifest: "),
+                col("__graft_file_key"))).cast("long")))
+          .drop("__graft_file_key"))
+      }
+    }
+    arms.reduce(_ unionByName _)
+  }
+
+  /** The first commitInfo timestamp of a commit file: the in-commit
+    * timestamp when present (that feature's precedence), else the
+    * wall-clock `timestamp`. */
+  private def commitInfoTs(f: java.io.File): Option[Long] = {
+    val content = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+      (try JsonMethods.parse(line) catch { case _: Exception => JNothing }) \ "commitInfo" match {
+        case ci: JObject => ci \ "inCommitTimestamp" match {
+          case JInt(v) => Some(v.toLong)
+          case _ => ci \ "timestamp" match {
+            case JInt(v) => Some(v.toLong); case _ => None }
+        }
+        case _ => None
+      }
+    }.nextOption()
+  }
+
   /** TIMESTAMP TRAVEL: resolve a wall-clock instant to a version by
     * commit timestamps, then delegate to version travel. Per-version
     * timestamps come from `commitInfo.inCommitTimestamp` when present
@@ -590,20 +778,7 @@ object DeltaLog {
     val commits = files.toSeq.flatMap(f => versionOf(f.getName).map(v => (v, f))).sortBy(_._1)
     if (commits.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: no commits under $tableDir/_delta_log")
-    def tsOf(f: java.io.File): Long = {
-      val content = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
-        (try JsonMethods.parse(line) catch { case _: Exception => JNothing }) \ "commitInfo" match {
-          case ci: JObject => ci \ "inCommitTimestamp" match {
-            case JInt(v) => Some(v.toLong)
-            case _ => ci \ "timestamp" match {
-              case JInt(v) => Some(v.toLong); case _ => None }
-          }
-          case _ => None
-        }
-      }.nextOption().getOrElse(f.lastModified())
-    }
+    def tsOf(f: java.io.File): Long = commitInfoTs(f).getOrElse(f.lastModified())
     var prev = Long.MinValue
     val stamped = commits.map { case (v, f) =>
       val t = if (prev == Long.MinValue) tsOf(f) else math.max(tsOf(f), prev + 1)

@@ -181,6 +181,63 @@ object TableFixtures {
     dir.getAbsolutePath
   }
 
+  /** Build a four-version Delta table for the CHANGE-DATA-FEED gate:
+    *  - v0 (ts 1000): adds both parity buckets — every doc an insert;
+    *  - v1 (ts 2000): a CDC commit — `_change_data/cdc-1.parquet`
+    *    carries update_preimage/update_postimage rows for
+    *    `doc_id % 10 == 0` (postimage n_chars + 1000); the commit
+    *    ALSO rewrites bucket 0 with dataChange=true add/remove, which
+    *    the cdc files must SHADOW (a reader synthesizing from the
+    *    file actions here would fabricate inserts/deletes);
+    *  - v2 (ts 3000): removes bucket 1 with dataChange — its rows
+    *    are deletes;
+    *  - v3 (ts 4000): compacts bucket 0b → 0c with dataChange=FALSE
+    *    on both actions — contributes NOTHING to the feed. */
+  def writeDeltaCdfTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-cdf").toFile
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars"))
+    writeBucketFiles(data, "doc_id", dir, 2, k => s"cdf-$k.parquet")
+    val rewritten0 = data.where(pmod(col("doc_id"), lit(2)) === 0)
+      .withColumn("n_chars", when(col("doc_id") % 10 === 0,
+        col("n_chars") + 1000).otherwise(col("n_chars")))
+      .sort("doc_id")
+    singleParquet(rewritten0, new java.io.File(dir, "cdf-0b.parquet"))
+    singleParquet(rewritten0, new java.io.File(dir, "cdf-0c.parquet"))
+    val upd = data.where(col("doc_id") % 10 === 0)
+    val cdc = upd.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(upd.withColumn("n_chars", col("n_chars") + 1000)
+        .withColumn("_change_type", lit("update_postimage")))
+    val cdDir = new java.io.File(dir, "_change_data"); cdDir.mkdirs()
+    singleParquet(cdc.sort("_change_type", "doc_id"),
+      new java.io.File(cdDir, "cdc-1.parquet"))
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    def add(p: String, dc: Boolean) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":$dc}}"""
+    def remove(p: String, dc: Boolean) =
+      s"""{"remove":{"path":"$p","dataChange":$dc}}"""
+    def commit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    commit(0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"metaData":{"id":"x-delta-cdf","schemaString":"{}","partitionColumns":[],""" +
+        """"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      add("cdf-0.parquet", dc = true), add("cdf-1.parquet", dc = true)))
+    commit(1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"UPDATE"}}""",
+      """{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      remove("cdf-0.parquet", dc = true), add("cdf-0b.parquet", dc = true)))
+    commit(2L, Seq(
+      """{"commitInfo":{"timestamp":3000,"operation":"DELETE"}}""",
+      remove("cdf-1.parquet", dc = true)))
+    commit(3L, Seq(
+      """{"commitInfo":{"timestamp":4000,"operation":"OPTIMIZE"}}""",
+      remove("cdf-0b.parquet", dc = false), add("cdf-0c.parquet", dc = false)))
+    dir.getAbsolutePath
+  }
+
   /** Build a Delta table with ID-mode column mapping: the parquet
     * files carry field ids 1..3 under column names (f1, f2, f3) that
     * DELIBERATELY differ from the metadata physicalNames

@@ -84,6 +84,17 @@ object SourceReader {
     // (refusing when it is not contiguously replayable);
     // `timestamp_as_of` (epoch ms) resolves through the monotonic
     // commit timestamps instead. Naming both refuses.
+    // `changes = true` reads the CHANGE DATA FEED instead of the
+    // snapshot: rows between starting_version and ending_version
+    // (both required) with _change_type/_commit_version/
+    // _commit_timestamp appended.
+    case "delta" if s.config.bool("changes").getOrElse(false) =>
+      def req(k: String): Long = s.config.long(k).getOrElse(
+        throw new graft.GraftAnalysisException(
+          s"delta: changes=true requires $k"))
+      graft.ops.DeltaLog.readChanges(spark, s.config.reqStr("path"),
+        req("starting_version"), req("ending_version"))
+
     case "delta" =>
       val path = s.config.reqStr("path")
       (s.config.long("version_as_of"), s.config.long("timestamp_as_of")) match {

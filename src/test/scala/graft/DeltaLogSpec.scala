@@ -705,6 +705,40 @@ class DeltaLogSpec extends SparkSuite {
     assert(DeltaLog.readTable(spark, dvDir).count() > 0)
   }
 
+  test("change data feed: cdc shadows file actions, synthesis for plain commits, range ladder") {
+    val docs = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "book", 30L),
+      (4L, "web", 40L), (10L, "book", 100L)).toDF("doc_id", "source", "n_chars")
+    val dir = graft.ops.TableFixtures.writeDeltaCdfTable(spark, docs, "doc_id")
+    val all = DeltaLog.readChanges(spark, dir, 0L, 3L)
+      .select("doc_id", "n_chars", "_change_type", "_commit_version", "_commit_timestamp")
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(r => (r._4, r._3, r._1)).toSeq
+    val expected = Seq(
+      (1L, 10L, "insert", 0L, 1000L), (2L, 20L, "insert", 0L, 1000L),
+      (3L, 30L, "insert", 0L, 1000L), (4L, 40L, "insert", 0L, 1000L),
+      (10L, 100L, "insert", 0L, 1000L),
+      (10L, 100L, "update_preimage", 1L, 2000L),
+      (10L, 1100L, "update_postimage", 1L, 2000L),
+      (1L, 10L, "delete", 2L, 3000L), (3L, 30L, "delete", 2L, 3000L))
+      .sortBy(r => (r._4, r._3, r._1))
+    assert(all == expected)
+    // a sub-range carries only its versions
+    val v2only = DeltaLog.readChanges(spark, dir, 2L, 2L)
+      .select("_change_type").as[String].collect().toSeq
+    assert(v2only == Seq("delete", "delete"))
+    // v3 alone (dataChange=false compaction) has no changes
+    val e0 = intercept[graft.GraftAnalysisException] {
+      DeltaLog.readChanges(spark, dir, 3L, 3L)
+    }
+    assert(e0.getMessage.contains("no data changes"))
+    // ladder: empty range, negative start, missing version
+    intercept[graft.GraftAnalysisException] { DeltaLog.readChanges(spark, dir, 2L, 1L) }
+    intercept[graft.GraftAnalysisException] { DeltaLog.readChanges(spark, dir, -1L, 1L) }
+    val e = intercept[graft.GraftAnalysisException] {
+      DeltaLog.readChanges(spark, dir, 0L, 9L)
+    }
+    assert(e.getMessage.contains("version 4 is missing"))
+  }
+
   test("delta/iceberg sources: timestamp_as_of rides the spec surface; both-set refuses") {
     val docs = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "book", 30L),
       (4L, "web", 40L), (5L, "book", 50L)).toDF("doc_id", "source", "n_chars")
