@@ -30,8 +30,26 @@ package graft.ops
   * Packet DATA: Vorbis streams decode fully through the from-spec
   * [[Vorbis]] decoder (round 14 — codebooks, floor1, residues,
   * IMDCT); this parser stays the cheap metadata rung curation runs
-  * at scan speed before any sample decode. Opus sample decode
-  * (SILK+CELT) remains, like H.264, out of the from-spec budget.
+  * at scan speed before any sample decode.
+  *
+  * OPUS SAMPLE DECODE — DECLARED REFUSAL (the MP3 adjudication,
+  * applied): RFC 6716 defines the decoder NORMATIVELY BY ITS
+  * REFERENCE SOURCE — §1 states that when the included code and the
+  * prose disagree, "the code takes precedence", and Appendix A
+  * carries that implementation as a base64 tarball the RFC text
+  * cannot substitute for. Both sub-codecs hard-depend on large
+  * static spec DATA with no closed form: SILK's LSF/LTP/excitation
+  * codebooks and PDF tables (RFC 6716 §4.2, tens of KB across
+  * dozens of tables) and CELT's band allocation, PVQ spreading,
+  * and static probability tables (§4.3) — several times MP3's
+  * ~6 KB. This environment has no libopus and the JDK ships no
+  * Opus decoder, so there is NO independent encoder/decoder to pin
+  * fixtures against: a decoder built on re-typed tables would
+  * round-trip its own fixtures while silently corrupting real
+  * files — the exact wrong-data failure the refuse-don't-guess
+  * contract exists to prevent. OpusHead/OpusTags metadata (the
+  * curation surface) parses fully; packet decode refuses by
+  * construction (no decode path exists to mis-serve).
   *
   * Hostile-bytes contract as everywhere in this package: never
   * throws — bounds-checked reads, Long cursors, a page-count cap —
