@@ -1726,6 +1726,24 @@ object SparkEntry {
         Multimodal.packTextWebp(docs(s, d), "doc_id", "text", width = 32),
         "id", "media")),
 
+    // LOSSY WebP (VP8 keyframe) round 16 — the ADPCM gate's contract
+    // on the image side: per-doc quantizer/filter/B_PRED configs, the
+    // in-repo encoder tracks its reconstruction through the decoder's
+    // exact inverse transforms, and the gate asserts byte-exact YUV +
+    // RGB agreement through the full container walk. Lossy coding has
+    // no SQL-replayable byte oracle; the independence pin (byte-exact
+    // both directions against the system libwebp) lives in
+    // WebpVp8Spec / Vp8EncSpec.
+    "x_multimodal_webp_lossy" -> ((s, d) =>
+      Multimodal.webpLossyParity(docs(s, d), "doc_id", "text", width = 32)),
+
+    // …and with an ALPH chunk: per-doc filter method (id%4) and
+    // compression (raw / headerless-VP8L green stream, id%2), muxed
+    // VP8X+ALPH+VP8; alpha coding is LOSSLESS so the gate asserts
+    // exact alpha recovery alongside tracked-RGB parity.
+    "x_multimodal_webp_alpha" -> ((s, d) =>
+      Multimodal.webpAlphaParity(docs(s, d), "doc_id", "text", width = 32)),
+
     // TIFF baseline pixel round-trip (round 15): greyscale strips,
     // PackBits RLE, little-endian IFD — same pixel oracle as the PNG
     // gate (the bytes ARE the text); LZW and the big-endian/strip
@@ -5901,6 +5919,22 @@ object SparkEntry {
              CAST(list_reduce(list_prepend(17, px),
                (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
       FROM p""",
+
+    // lossy webp: the all-true verdict table (tracked-reconstruction
+    // parity, see the queries-side comment) + the height arithmetic
+    "x_multimodal_webp_lossy" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents)
+      SELECT doc_id AS id, true AS reconstruction_exact, true AS rgb_exact,
+             CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS height
+      FROM b""",
+
+    "x_multimodal_webp_alpha" -> """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents)
+      SELECT doc_id AS id, true AS rgb_exact, true AS alpha_exact,
+             CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS height
+      FROM b""",
     "x_multimodal_video_meta" -> """
       WITH b AS (
         SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents)

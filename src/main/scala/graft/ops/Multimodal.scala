@@ -1199,6 +1199,135 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** Lossy-WebP parity verdict — the [[adpcmParity]] contract on the
+    * image side: each document's UTF-8 bytes become the LUMA plane of
+    * a VP8 keyframe (chroma derived arithmetically), encoded by the
+    * in-repo [[Vp8Enc]] — which tracks its own reconstruction through
+    * the decoder's exact inverse transforms — at a per-doc quantizer /
+    * loop-filter / prediction configuration (qi = id mod 128, filter
+    * level = id mod 64, sharpness = id mod 8, forced B_PRED submodes
+    * on every third doc), then decoded back through the full
+    * [[WebpCodec]] container walk. Lossy coding has no byte oracle a
+    * SQL engine can replay, so the gate emits verdict columns: exact
+    * YUV agreement with the encoder's tracked reconstruction, and RGB
+    * agreement between the container path and [[Vp8.toRgb]] of the
+    * tracked planes. The INDEPENDENCE pin (libwebp decodes these
+    * streams to the identical planes; libwebp-encoded streams decode
+    * byte-exactly) lives in WebpVp8Spec / Vp8EncSpec. */
+  def webpLossyParity(df: DataFrame, idCol: String, textCol: String, width: Int = 32,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    require(width > 0 && width <= 16383, s"webpLossyParity: width=$width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                      else bytes0
+          val h = math.max(1, (bytes.length + width - 1) / width)
+          val y = java.util.Arrays.copyOf(bytes, width * h)
+          val uw = (width + 1) / 2; val uh = (h + 1) / 2
+          val u = new Array[Byte](uw * uh); val v = new Array[Byte](uw * uh)
+          var i = 0
+          while (i < u.length) {
+            val s = y(((i / uw) * 2) * width + (i % uw) * 2) & 0xFF
+            u(i) = ((s >> 1) + 64).toByte
+            v(i) = (191 - (s >> 1)).toByte
+            i += 1
+          }
+          val params = Vp8Enc.Params(
+            qi = (id % 128).toInt,
+            filterLevel = (id % 64).toInt,
+            sharpness = (id % 8).toInt,
+            bModes = if (id % 3 == 0)
+              Some((_, _) => Array.tabulate(16)(k => ((id + k) % 10).toInt))
+            else None)
+          val enc = Vp8Enc.encode(width, h, y, u, v, params)
+          val yuvExact = Vp8.decode(enc.webp) match {
+            case Some(fr) => fr.width == width && fr.height == h &&
+              java.util.Arrays.equals(fr.y, enc.y) &&
+              java.util.Arrays.equals(fr.u, enc.u) &&
+              java.util.Arrays.equals(fr.v, enc.v)
+            case None => false
+          }
+          val rgbExact = WebpCodec.decode(enc.webp) match {
+            case Some(img) => img.width == width && img.height == h && img.channels == 3 &&
+              java.util.Arrays.equals(img.pixels,
+                Vp8.toRgb(Vp8.Frame(width, h, enc.y, enc.u, enc.v)))
+            case None => false
+          }
+          (id, yuvExact, rgbExact, h)
+        }
+      }
+      .toDF("id", "reconstruction_exact", "rgb_exact", "height")
+  }
+
+  /** Lossy-WebP-with-ALPHA parity verdict (the [[webpLossyParity]]
+    * contract extended over the ALPH chunk): the same per-doc VP8
+    * luma/chroma construction plus an alpha plane derived from the
+    * text bytes, forward-filtered with the per-doc prediction method
+    * (id mod 4) and stored raw or as a headerless VP8L green stream
+    * (id mod 2), muxed as VP8X + ALPH + VP8. The gate asserts the
+    * container decode is RGBA with RGB byte-equal to [[Vp8.toRgb]] of
+    * the tracked reconstruction and alpha byte-equal to the original
+    * plane (alpha coding is LOSSLESS even in lossy WebP). Every
+    * (filter, compression) combination this builder writes was
+    * cross-decoded against the system libwebp's `WebPDecodeRGBA`
+    * with zero mismatches (Vp8Diff), and libwebp-ENCODED lossy+alpha
+    * streams pin the decode side in WebpVp8Spec. */
+  def webpAlphaParity(df: DataFrame, idCol: String, textCol: String, width: Int = 32,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    require(width > 0 && width <= 16383, s"webpAlphaParity: width=$width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.length > maxBytes) java.util.Arrays.copyOf(bytes0, maxBytes)
+                      else bytes0
+          val h = math.max(1, (bytes.length + width - 1) / width)
+          val y = java.util.Arrays.copyOf(bytes, width * h)
+          val uw = (width + 1) / 2; val uh = (h + 1) / 2
+          val u = new Array[Byte](uw * uh); val v = new Array[Byte](uw * uh)
+          var i = 0
+          while (i < u.length) {
+            val s = y(((i / uw) * 2) * width + (i % uw) * 2) & 0xFF
+            u(i) = ((s >> 1) + 64).toByte
+            v(i) = (191 - (s >> 1)).toByte
+            i += 1
+          }
+          val alpha = Array.tabulate(width * h)(k =>
+            (((y(k) & 0xFF) * 7 + k + id) % 256).toByte)
+          val enc = Vp8Enc.encode(width, h, y, u, v, Vp8Enc.Params(qi = (id % 128).toInt))
+          val vp8Payload = java.util.Arrays.copyOfRange(enc.webp, 20, enc.webp.length)
+          val container = WebpCodec.encodeLossyAlphaWebp(vp8Payload,
+            WebpCodec.encodeAlphaPayload(alpha, width, h,
+              filter = (id % 4).toInt, compress = (id % 2).toInt), width, h)
+          val (rgbExact, alphaExact) = WebpCodec.decode(container) match {
+            case Some(img) if img.width == width && img.height == h && img.channels == 4 =>
+              val rgb = Vp8.toRgb(Vp8.Frame(width, h, enc.y, enc.u, enc.v))
+              var rOk = true; var aOk = true
+              var k = 0
+              while (k < alpha.length) {
+                if (img.pixels(4 * k) != rgb(3 * k) ||
+                  img.pixels(4 * k + 1) != rgb(3 * k + 1) ||
+                  img.pixels(4 * k + 2) != rgb(3 * k + 2)) rOk = false
+                if (img.pixels(4 * k + 3) != alpha(k)) aOk = false
+                k += 1
+              }
+              (rOk, aOk)
+            case _ => (false, false)
+          }
+          (id, rgbExact, alphaExact, h)
+        }
+      }
+      .toDF("id", "rgb_exact", "alpha_exact", "height")
+  }
+
   /** TIFF sibling of [[packTextPng]] (round 15): each document's
     * UTF-8 bytes become an 8-bit greyscale baseline TIFF —
     * PackBits-compressed strips, little-endian IFD — packed through

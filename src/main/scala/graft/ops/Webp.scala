@@ -1,18 +1,22 @@
 package graft.ops
 
-/** WebP lossless (VP8L) pixel decoder, written against the public
-  * "WebP Lossless Bitstream Specification" (Google, also RFC 9649
-  * §3) — the web's #2 image format joins the PNG/GIF/JPEG/BMP rung
-  * so image dedup (pHash, bilinear resize) takes `.webp` payloads.
-  * The reference repo has no analogue (nearest: `main.py:159` map).
+/** WebP pixel decoder — BOTH halves of the format: lossless VP8L,
+  * written against the public "WebP Lossless Bitstream
+  * Specification" (Google, also RFC 9649 §3), and lossy VP8 through
+  * the [[Vp8]] RFC 6386 keyframe decoder — the web's #2 image format
+  * joins the PNG/GIF/JPEG/BMP rung so image dedup (pHash, bilinear
+  * resize) takes `.webp` payloads. The reference repo has no
+  * analogue (nearest: `main.py:159` map).
   *
   * Supported: the full VP8L lossless feature set — simple and
   * normal (code-length-coded) prefix codes, meta-prefix groups,
   * color cache, LZ77 backward references (2D distance map + direct
   * distances), and all four transforms (predictor ×14 modes, color,
   * subtract-green, color-indexing incl. sub-byte pixel bundling).
-  * Lossy VP8 refuses (`None`) — a DCT codec is out of scope and
-  * half-reading beats nothing only if it is RIGHT.
+  * Lossy VP8 payloads decode through the [[Vp8]] keyframe decoder
+  * (RFC 6386 reconstruction + the reference RGB conversion, both
+  * pinned byte-exactly against the system libwebp); lossy images
+  * with a separate ALPH chunk refuse by name.
   *
   * Garbage-safety contract (same as [[PngCodec]]): `decode` NEVER
   * throws — hostile headers, truncated bitstreams, over/under-
@@ -454,6 +458,54 @@ object WebpCodec {
 
   /** Decode a VP8L payload (the bytes after the 'VP8L' chunk header,
     * starting at the 0x2F signature). */
+  /** The VP8L "image-stream" body — optional transforms, then the
+    * entropy-coded image, inverses applied in reverse read order —
+    * shared by the VP8L chunk (after its 5-byte header) and an ALPH
+    * chunk's compressed alpha plane (implied dimensions, no header).
+    * Returns ARGB pixels; throws Bad on malformed input. */
+  private def decodeStream(br: Br, w: Int, h: Int): Array[Int] = {
+    var curW = w
+    var transforms = List.empty[Transform]
+    var seen = Set.empty[Int]
+    while (br.bits(1) == 1) {
+      val kind = br.bits(2)
+      if (seen(kind)) bad()
+      seen += kind
+      kind match {
+        case 0 | 1 => // predictor / color: size bits + block image
+          val tb = br.bits(3) + 2
+          val mw = (curW + (1 << tb) - 1) >> tb
+          val mh = (h + (1 << tb) - 1) >> tb
+          transforms ::= Transform(kind, tb, decodeImageData(br, mw, mh, isMain = false))
+        case 2 =>
+          transforms ::= Transform(2, 0, null)
+        case _ => // color indexing: palette, delta-coded
+          val size = br.bits(8) + 1
+          val pal = decodeImageData(br, size, 1, isMain = false)
+          var i = 1
+          while (i < pal.length) { pal(i) = addPixels(pal(i), pal(i - 1)); i += 1 }
+          transforms ::= Transform(3, 0, pal)
+          val perByte = 1 << colorIndexWidthBits(size)
+          curW = (curW + perByte - 1) / perByte
+      }
+    }
+    var px = decodeImageData(br, curW, h, isMain = true)
+    // inverses in reverse read order (transforms list is already
+    // reversed by consing)
+    transforms.foreach { t =>
+      t.kind match {
+        case 0 => inversePredictor(px, curW, h, t.bits, t.data)
+        case 1 => inverseColor(px, curW, h, t.bits, t.data)
+        case 2 => inverseSubtractGreen(px)
+        case _ =>
+          px = inverseColorIndex(px, w, h, t.data)
+          curW = w
+      }
+    }
+    if (curW != w) bad() // a bundled image must end with its color-index inverse
+    px
+  }
+
   private[graft] def decodeVp8l(d: Array[Byte]): Option[Image] =
     try {
       if (d.length < 5 || (d(0) & 0xFF) != 0x2F) return None
@@ -463,45 +515,7 @@ object WebpCodec {
       br.bits(1) // alpha hint (informational)
       if (br.bits(3) != 0) return None // version must be 0
       if (w.toLong * h * 4 > PngCodec.MaxPixelBytes) return None
-      var curW = w
-      var transforms = List.empty[Transform]
-      var seen = Set.empty[Int]
-      while (br.bits(1) == 1) {
-        val kind = br.bits(2)
-        if (seen(kind)) bad()
-        seen += kind
-        kind match {
-          case 0 | 1 => // predictor / color: size bits + block image
-            val tb = br.bits(3) + 2
-            val mw = (curW + (1 << tb) - 1) >> tb
-            val mh = (h + (1 << tb) - 1) >> tb
-            transforms ::= Transform(kind, tb, decodeImageData(br, mw, mh, isMain = false))
-          case 2 =>
-            transforms ::= Transform(2, 0, null)
-          case _ => // color indexing: palette, delta-coded
-            val size = br.bits(8) + 1
-            val pal = decodeImageData(br, size, 1, isMain = false)
-            var i = 1
-            while (i < pal.length) { pal(i) = addPixels(pal(i), pal(i - 1)); i += 1 }
-            transforms ::= Transform(3, 0, pal)
-            val perByte = 1 << colorIndexWidthBits(size)
-            curW = (curW + perByte - 1) / perByte
-        }
-      }
-      var px = decodeImageData(br, curW, h, isMain = true)
-      // inverses in reverse read order (transforms list is already
-      // reversed by consing)
-      transforms.foreach { t =>
-        t.kind match {
-          case 0 => inversePredictor(px, curW, h, t.bits, t.data)
-          case 1 => inverseColor(px, curW, h, t.bits, t.data)
-          case 2 => inverseSubtractGreen(px)
-          case _ =>
-            px = inverseColorIndex(px, w, h, t.data)
-            curW = w
-        }
-      }
-      if (curW != w) bad() // a bundled image must end with its color-index inverse
+      val px = decodeStream(br, w, h)
       val rgba = new Array[Byte](w * h * 4)
       var i = 0
       while (i < px.length) {
@@ -515,11 +529,76 @@ object WebpCodec {
       Some(Image(w, h, 4, rgba))
     } catch { case Bad | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
 
+  /** ALPH chunk payload (RFC 9649 §2.3.1) → the w×h alpha plane.
+    * One header byte — 2 reserved bits, 2 pre-processing (level
+    * reduction is an ENCODER-side quantization, nothing to undo), 2
+    * filtering, 2 compression — then the plane: raw w·h bytes (C=0)
+    * or a HEADERLESS VP8L image-stream at implied dimensions whose
+    * GREEN channel carries alpha (C=1). The per-pixel prediction
+    * filter (none / horizontal / vertical / gradient) is then
+    * un-applied with the reference edge rules: (0,0) predicts 0, the
+    * rest of row 0 predicts LEFT for every filter, column 0 predicts
+    * ABOVE for every filter. Pinned against `WebPDecodeRGBA` in
+    * WebpVp8Spec. */
+  private[graft] def decodeAlpha(d: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      if (d.length < 1 || w <= 0 || h <= 0) return None
+      val hdr = d(0) & 0xFF
+      if ((hdr >> 6) != 0) return None // reserved bits
+      if (((hdr >> 4) & 3) > 1) return None // pre-processing: 0/1 only
+      val filt = (hdr >> 2) & 3
+      val a = (hdr & 3) match {
+        case 0 =>
+          if (d.length < 1 + w * h) return None
+          java.util.Arrays.copyOfRange(d, 1, 1 + w * h)
+        case 1 =>
+          if (w.toLong * h * 4 > PngCodec.MaxPixelBytes) return None
+          val px = decodeStream(new Br(d, 8), w, h)
+          val out = new Array[Byte](w * h)
+          var i = 0
+          while (i < out.length) { out(i) = ((px(i) >> 8) & 0xFF).toByte; i += 1 }
+          out
+        case _ => return None
+      }
+      if (filt != 0) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y * w + x
+            val pred =
+              if (x == 0 && y == 0) 0
+              else if (y == 0) a(i - 1) & 0xFF
+              else if (x == 0) a(i - w) & 0xFF
+              else filt match {
+                case 1 => a(i - 1) & 0xFF
+                case 2 => a(i - w) & 0xFF
+                case _ =>
+                  val g = (a(i - 1) & 0xFF) + (a(i - w) & 0xFF) - (a(i - w - 1) & 0xFF)
+                  if (g < 0) 0 else if (g > 255) 255 else g
+              }
+            a(i) = ((a(i) & 0xFF) + pred).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some(a)
+    } catch { case Bad | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
   /** RIFF walk: WEBP container → the VP8L chunk (directly or behind
-    * a VP8X extended header). Lossy VP8 → None. */
+    * a VP8X extended header), or the lossy 'VP8 ' chunk via the
+    * [[Vp8]] keyframe decoder (YUV 4:2:0 reconstructed per RFC 6386,
+    * converted with the reference fixed-point BT.601 + fancy-
+    * upsampling arithmetic), optionally combined with a preceding
+    * ALPH chunk into RGBA — every decode path pinned byte-exactly
+    * against the system libwebp in WebpVp8Spec. An ALPH chunk next
+    * to a VP8L image is container-invalid (VP8L carries its own
+    * alpha) and refuses. */
   def decode(p: Array[Byte]): Option[Image] = {
     if (p.length < 20 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
       p(8) != 'W' || p(9) != 'E' || p(10) != 'B' || p(11) != 'P') return None
+    var alph: Array[Byte] = null
     var i = 12
     while (i + 8 <= p.length) {
       val fourcc = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -527,7 +606,28 @@ object WebpCodec {
         ((p(i + 6) & 0xFF) << 16) | ((p(i + 7) & 0xFF) << 24)
       if (size < 0 || i + 8 + size > p.length) return None
       if (fourcc == "VP8L")
-        return decodeVp8l(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size))
+        return if (alph != null) None
+          else decodeVp8l(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size))
+      if (fourcc == "ALPH")
+        alph = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size)
+      if (fourcc == "VP8 ")
+        return Vp8.decodeFrame(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size))
+          .flatMap { f =>
+            val rgb = Vp8.toRgb(f)
+            if (alph == null) Some(Image(f.width, f.height, 3, rgb))
+            else decodeAlpha(alph, f.width, f.height).map { a =>
+              val rgba = new Array[Byte](f.width * f.height * 4)
+              var j = 0
+              while (j < a.length) {
+                rgba(4 * j) = rgb(3 * j)
+                rgba(4 * j + 1) = rgb(3 * j + 1)
+                rgba(4 * j + 2) = rgb(3 * j + 2)
+                rgba(4 * j + 3) = a(j)
+                j += 1
+              }
+              Image(f.width, f.height, 4, rgba)
+            }
+          }
       i += 8 + size + (size & 1)
     }
     None
@@ -564,14 +664,13 @@ object WebpCodec {
     * tokens, so the decoder's full header path runs), the constant
     * channels use zero-bit simple codes. Deterministic; decodes to
     * RGBA (0, g, 0, 255) per pixel. */
-  private[graft] def encodeGreen(width: Int, height: Int, green: Array[Byte]): Array[Byte] = {
-    require(width >= 1 && height >= 1 && green.length == width * height,
-      s"encodeGreen: ${green.length} != $width x $height")
-    require(width <= 16384 && height <= 16384, "encodeGreen: dim > 2^14")
-    val bw = new Bw
-    bw.bits(width - 1, 14); bw.bits(height - 1, 14)
-    bw.bits(0, 1) // alpha hint off
-    bw.bits(0, 3) // version
+  /** The GREEN-carrying image-stream body shared by [[encodeGreen]]
+    * (full VP8L chunk) and the C=1 ALPH plane (headerless, implied
+    * dims): no transforms, a flat 8-bit normal prefix code for green
+    * (declared through the code-length code with 16/17 repeat
+    * tokens, so a decoder's full header path runs), one-symbol codes
+    * for the other channels. */
+  private def writeGreenStream(bw: Bw, green: Array[Byte]): Unit = {
     bw.bits(0, 1) // no transforms
     bw.bits(0, 1) // no color cache
     bw.bits(0, 1) // no meta prefix codes
@@ -605,6 +704,17 @@ object WebpCodec {
     simple1(255) // alpha
     simple1(0) // distance
     green.foreach(g => bw.code(g & 0xFF, 8))
+  }
+
+  private[graft] def encodeGreen(width: Int, height: Int, green: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && green.length == width * height,
+      s"encodeGreen: ${green.length} != $width x $height")
+    require(width <= 16384 && height <= 16384, "encodeGreen: dim > 2^14")
+    val bw = new Bw
+    bw.bits(width - 1, 14); bw.bits(height - 1, 14)
+    bw.bits(0, 1) // alpha hint off
+    bw.bits(0, 3) // version
+    writeGreenStream(bw, green)
     val payload = (0x2F.toByte) +: bw.bytes()
     // RIFF container
     val out = new java.io.ByteArrayOutputStream()
@@ -618,6 +728,85 @@ object WebpCodec {
     out.write("VP8L".getBytes("US-ASCII")); le32(payload.length)
     out.write(payload)
     if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Fixture/gate ALPH payload: forward-filters the plane with the
+    * chosen prediction method (residual = value − predictor, mod 256,
+    * predictors from the ORIGINAL neighbors — exactly what
+    * [[decodeAlpha]]'s progressive unfilter reconstructs), then
+    * stores it raw (C=0) or as a headerless GREEN image-stream (C=1).
+    * Every (filter, compress) combination this writes was
+    * cross-decoded against the system libwebp's `WebPDecodeRGBA`
+    * (see Vp8Diff / WebpVp8Spec digest pins) — including filter
+    * method 2, which the reference encoder's own heuristic rarely
+    * emits. */
+  private[graft] def encodeAlphaPayload(alpha: Array[Byte], w: Int, h: Int,
+      filter: Int, compress: Int): Array[Byte] = {
+    require(alpha.length == w * h, s"encodeAlphaPayload: ${alpha.length} != $w x $h")
+    require(filter >= 0 && filter <= 3 && (compress == 0 || compress == 1))
+    val res = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val pred =
+          if (filter == 0) 0
+          else if (x == 0 && y == 0) 0
+          else if (y == 0) alpha(i - 1) & 0xFF
+          else if (x == 0) alpha(i - w) & 0xFF
+          else filter match {
+            case 1 => alpha(i - 1) & 0xFF
+            case 2 => alpha(i - w) & 0xFF
+            case _ =>
+              val g = (alpha(i - 1) & 0xFF) + (alpha(i - w) & 0xFF) - (alpha(i - w - 1) & 0xFF)
+              if (g < 0) 0 else if (g > 255) 255 else g
+          }
+        res(i) = ((alpha(i) & 0xFF) - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val hdr = ((filter << 2) | compress).toByte
+    if (compress == 0) hdr +: res
+    else {
+      val bw = new Bw
+      writeGreenStream(bw, res)
+      hdr +: bw.bytes()
+    }
+  }
+
+  /** Fixture/gate container: VP8X (alpha flag + canvas dims) + ALPH +
+    * a lossy 'VP8 ' chunk (e.g. from the [[Vp8Enc]] encoder). */
+  private[graft] def encodeLossyAlphaWebp(vp8Payload: Array[Byte],
+      alphPayload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def chunk(fourcc: String, body: Array[Byte]): Unit = {
+      out.write(fourcc.getBytes("US-ASCII")); le32(body.length)
+      out.write(body)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x10 // alpha flag
+    vp8x(4) = ((w - 1) & 0xFF).toByte
+    vp8x(5) = (((w - 1) >> 8) & 0xFF).toByte
+    vp8x(6) = (((w - 1) >> 16) & 0xFF).toByte
+    vp8x(7) = ((h - 1) & 0xFF).toByte
+    vp8x(8) = (((h - 1) >> 8) & 0xFF).toByte
+    vp8x(9) = (((h - 1) >> 16) & 0xFF).toByte
+    out.write("RIFF".getBytes("US-ASCII"))
+    val sz = 4 + (8 + 10) + (8 + alphPayload.length + (alphPayload.length & 1)) +
+      (8 + vp8Payload.length + (vp8Payload.length & 1))
+    le32(sz)
+    out.write("WEBP".getBytes("US-ASCII"))
+    chunk("VP8X", vp8x)
+    chunk("ALPH", alphPayload)
+    chunk("VP8 ", vp8Payload)
     out.toByteArray
   }
 }
