@@ -1744,6 +1744,24 @@ object SparkEntry {
     "x_multimodal_webp_alpha" -> ((s, d) =>
       Multimodal.webpAlphaParity(docs(s, d), "doc_id", "text", width = 32)),
 
+    // Animated WebP: film-strip animations built from the text bytes
+    // (16x2 lossless tiles stacked down a 16-wide canvas, every
+    // fourth frame disposing to background), demuxed + composed per
+    // the spec's blend/dispose rules; the oracle replays each
+    // frame's COMPOSED canvas RGBA byte-for-byte from the text.
+    "x_multimodal_webp_anim" -> ((s, d) =>
+      Multimodal.decodeWebpAnimFrames(
+        Multimodal.packTextWebpAnim(docs(s, d), "doc_id", "text"),
+        "id", "media")),
+
+    // Animated GIF: the film-strip construction on the GIF wire (16x1
+    // rows, identity grayscale palette, every fourth frame disposing
+    // to background); same composed-canvas replay as the WebP gate.
+    "x_multimodal_gif_anim" -> ((s, d) =>
+      Multimodal.decodeGifAnimFrames(
+        Multimodal.packTextGifAnim(docs(s, d), "doc_id", "text"),
+        "id", "media")),
+
     // TIFF baseline pixel round-trip (round 15): greyscale strips,
     // PackBits RLE, little-endian IFD — same pixel oracle as the PNG
     // gate (the bytes ARE the text); LZW and the big-endian/strip
@@ -1784,6 +1802,33 @@ object SparkEntry {
     // JPEG DC rounding band (±3); the oracle needs only
     // octet_length(text) for the frame counts plus the contract
     // booleans the engine must earn.
+    // MP4 sibling of the MJPEG-AVI gate: identical JPEG frames muxed
+    // into a spec-legal MP4 with full sample tables; the sample walk
+    // must recover per-frame timing (uniform stts at 25 fps → 40 ms
+    // steps) and the stss sync set (every third sample), and each
+    // sliced sample must decode to the same luma expectation.
+    "x_multimodal_mp4_frames" -> ((s, d) => {
+      val frames = Multimodal.decodeMp4Frames(
+        Multimodal.packTextMjpegMp4(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")
+      val cterm = col("frame_idx") * 80 + pmod(col("id"), lit(5)).cast("int") * 16
+      val expectedMean = aggregate(
+        sequence(lit(0), lit(255)), lit(0L),
+        (acc, i) => acc + shiftright(
+          lit(17) * floor(i / 16).cast("int") + lit(17) * pmod(i, lit(16)) + cterm,
+          2).cast("long")).cast("double") / 256.0
+      frames.withColumn("__exp", expectedMean)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          min(col("width") === 16 && col("height") === 16 &&
+            col("channels") === 1).as("dims_ok"),
+          (max(abs(col("mean_luma") - col("__exp"))) < 3.0).as("luma_ok"),
+          min(col("time_ms") === col("frame_idx").cast("long") * 40).as("time_ok"),
+          min(col("keyframe") === (pmod(col("frame_idx"), lit(3)) === 0)).as("key_ok"))
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("dims_ok"), col("luma_ok"), col("time_ok"), col("key_ok"))
+    }),
+
     "x_multimodal_mjpeg_frames" -> ((s, d) => {
       val frames = Multimodal.decodeMjpegFrames(
         Multimodal.packTextMjpegAvi(t(s, d, "documents"), "doc_id", "text"),
@@ -3131,6 +3176,33 @@ object SparkEntry {
                   ent(256, w) ++ ent(257, h) ++ Array[Byte](0, 0, 0, 0)
             }
             (id, bytes)
+          }
+          .toDF("doc_id", "__payload")
+          .select(col("doc_id"), struct(col("__payload").as("payload")).as("media"))
+      }
+      Multimodal.decodeImageMeta(packed, "doc_id", "media")
+        .select(col("id").as("doc_id"), col("mime_detected"),
+          col("width"), col("height"))
+    }),
+
+    // HEIF-family metadata rung (round 16): spec-legal AVIF / HEIC
+    // containers from the in-repo builder (its full build grid was
+    // cross-parsed by the system libheif AND libavif with zero
+    // disagreements — HeifSpec), dims/rotation/alpha from doc_id
+    // arithmetic; id%2 picks the format, id%4 the rotation (90/270
+    // swap the DISPLAYED dims the mime rung reports), id%3==0 adds
+    // an alpha aux item.
+    "x_image_meta_avif_heic" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val w = (id % 300).toInt + 1
+            val h = (id % 200).toInt + 1
+            (id, ops.Heif.build(avif = id % 2 == 0, w, h,
+              rotationCcw = ((id % 4) * 90).toInt,
+              mirrorAxis = if (id % 5 == 0) Some((id % 2).toInt) else None,
+              withAlpha = id % 3 == 0))
           }
           .toDF("doc_id", "__payload")
           .select(col("doc_id"), struct(col("__payload").as("payload")).as("media"))
@@ -5935,6 +6007,78 @@ object SparkEntry {
       SELECT doc_id AS id, true AS rgb_exact, true AS alpha_exact,
              CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS height
       FROM b""",
+
+    // animated webp: replay each frame's COMPOSED canvas from the
+    // text bytes — frame k shows tiles {k} ∪ {j<k : j%4≠3} (every
+    // fourth frame disposes to background), tile j carries bytes
+    // [32j, 32j+32) zero-padded as green rows 2j..2j+1 of a 16-wide
+    // RGBA canvas, transparent elsewhere
+    "x_multimodal_webp_anim" -> """
+      WITH b AS (
+        SELECT doc_id, least(octet_length(encode(coalesce(text, ''))), 16384) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 32.0) AS INTEGER) END AS n,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      f AS (
+        SELECT doc_id, len, n, bytes, CAST(unnest(range(n)) AS INTEGER) AS k
+        FROM e),
+      p AS (
+        SELECT doc_id, n, k,
+               flatten(list_transform(range(16 * 2 * n), p ->
+                 CASE WHEN ((p // 32) = k OR ((p // 32) < k AND (p // 32) % 4 != 3))
+                      THEN [0, CASE WHEN 32*(p//32) + ((p//16)%2)*16 + (p%16) < len
+                                    THEN bytes[CAST(32*(p//32) + ((p//16)%2)*16 + (p%16) + 1 AS INTEGER)]
+                                    ELSE 0 END, 0, 255]
+                      ELSE [0, 0, 0, 0] END)) AS px
+        FROM f)
+      SELECT doc_id AS id, k AS frame_idx, 16 AS canvas_width,
+             CAST(2*n AS INTEGER) AS canvas_height,
+             3 AS loop_count, 0 AS x, CAST(2*k AS INTEGER) AS y, 16 AS width, 2 AS height,
+             CAST(10*(k+1) AS INTEGER) AS duration_ms, (k % 2 = 0) AS blend, (k % 4 = 3) AS dispose,
+             CAST(16 * 2 * n * 4 AS BIGINT) AS pixel_len,
+             CAST(list_sum(px) AS BIGINT) AS pixel_sum,
+             CAST(list_reduce(list_prepend(17, px), (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
+      FROM p""",
+
+    // animated gif: one 16x1 row per frame (so j = row index = frame
+    // index), identity grayscale palette → visible pixels (b,b,b,255)
+    "x_multimodal_gif_anim" -> """
+      WITH b AS (
+        SELECT doc_id, least(octet_length(encode(coalesce(text, ''))), 8192) AS len,
+               hex(encode(coalesce(text, ''))) AS hx
+        FROM documents),
+      e AS (
+        SELECT doc_id, len,
+               CASE WHEN len = 0 THEN 1 ELSE CAST(CEIL(len / 16.0) AS INTEGER) END AS n,
+               list_transform(range(len),
+                 i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2)) AS INTEGER)) AS bytes
+        FROM b),
+      f AS (
+        SELECT doc_id, len, n, bytes, CAST(unnest(range(n)) AS INTEGER) AS k
+        FROM e),
+      p AS (
+        SELECT doc_id, n, k,
+               flatten(list_transform(range(16 * n), p ->
+                 CASE WHEN ((p // 16) = k OR ((p // 16) < k AND (p // 16) % 4 != 3))
+                      THEN [CASE WHEN p < len THEN bytes[CAST(p + 1 AS INTEGER)] ELSE 0 END,
+                            CASE WHEN p < len THEN bytes[CAST(p + 1 AS INTEGER)] ELSE 0 END,
+                            CASE WHEN p < len THEN bytes[CAST(p + 1 AS INTEGER)] ELSE 0 END, 255]
+                      ELSE [0, 0, 0, 0] END)) AS px
+        FROM f)
+      SELECT doc_id AS id, k AS frame_idx, 16 AS canvas_width,
+             CAST(n AS INTEGER) AS canvas_height,
+             2 AS loop_count, 0 AS x, k AS y, 16 AS width, 1 AS height,
+             CAST(k + 1 AS INTEGER) AS delay_cs,
+             CAST(CASE WHEN k % 4 = 3 THEN 2 ELSE 0 END AS INTEGER) AS disposal,
+             CAST(16 * n * 4 AS BIGINT) AS pixel_len,
+             CAST(list_sum(px) AS BIGINT) AS pixel_sum,
+             CAST(list_reduce(list_prepend(17, px), (a, x) -> (a * 31 + x) % 16777216) AS BIGINT) AS pixel_hash
+      FROM p""",
     "x_multimodal_video_meta" -> """
       WITH b AS (
         SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents)
@@ -6006,6 +6150,14 @@ object SparkEntry {
       SELECT doc_id,
              CAST(2 + octet_length(encode(coalesce(text, ''))) % 4 AS BIGINT) AS n_frames,
              true AS dims_ok, true AS luma_ok
+      FROM documents""",
+
+    // mp4 frames: same frame synthesis as the AVI gate, plus the
+    // sample-table contracts (40 ms uniform timing, every-third sync)
+    "x_multimodal_mp4_frames" -> """
+      SELECT doc_id,
+             CAST(2 + octet_length(encode(coalesce(text, ''))) % 4 AS BIGINT) AS n_frames,
+             true AS dims_ok, true AS luma_ok, true AS time_ok, true AS key_ok
       FROM documents""",
     "x_multimodal_audio" -> """
       WITH b AS (
@@ -6798,6 +6950,18 @@ object SparkEntry {
                AS mime_detected,
              CAST((doc_id % 300) + 1 AS INTEGER) AS width,
              CAST((doc_id % 200) + 1 AS INTEGER) AS height
+      FROM documents""",
+
+    // avif/heic dims: mime from id parity, DISPLAYED dims swap under
+    // 90/270 rotation (id%4 picks the quarter-turn)
+    "x_image_meta_avif_heic" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/avif' ELSE 'image/heic' END
+               AS mime_detected,
+             CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN (doc_id % 200) + 1
+                       ELSE (doc_id % 300) + 1 END AS INTEGER) AS width,
+             CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN (doc_id % 300) + 1
+                       ELSE (doc_id % 200) + 1 END AS INTEGER) AS height
       FROM documents""",
 
     // svg/pnm dims: mime + dimensions from doc_id arithmetic

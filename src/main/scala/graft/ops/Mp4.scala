@@ -93,4 +93,246 @@ object Mp4 {
     val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
     Some(Meta(brand, durMs, width, height))
   }
+
+  // ------------------------------------------------------------ sample tables
+
+  /** One addressable media sample: absolute file offset/size, decode
+    * time, and whether the sync-sample table marks it a keyframe. */
+  final case class Sample(offset: Long, size: Long, timeMs: Long, keyframe: Boolean)
+
+  /** The first VIDEO track's sample table, fully resolved. */
+  final case class Track(codec: String, width: Int, height: Int,
+      timescale: Long, samples: Vector[Sample])
+
+  /** Resolve the first video track's sample table (ISO 14496-12 §8.5-
+    * 8.7): `stsd` (codec 4cc + visual dims), `stts` (decode deltas),
+    * `stsc` (chunk runs), `stsz` (sizes), `stco`/`co64` (chunk
+    * offsets), `stss` (sync samples; ABSENT means every sample is a
+    * sync sample, §8.6.2). This is the per-sample addressing a
+    * frame-extraction pipeline needs — the codec payload bytes
+    * themselves are handed to the per-format decoders (JPEG frames
+    * decode fully; H.264/HEVC refuse by name). Never throws; `None`
+    * on any table inconsistency (counts disagreeing, offsets out of
+    * file, sample count over `maxSamples`). */
+  def samples(p: Array[Byte], maxSamples: Int = 1 << 16): Option[Track] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 16 || be32(0) < 16 || tag(4) != "ftyp") return None
+
+    final case class Tables(var video: Boolean = false, var codec: String = "",
+      var w: Int = 0, var h: Int = 0, var timescale: Long = 0,
+      var stts: Vector[(Long, Long)] = Vector.empty,
+      var stsc: Vector[(Long, Long)] = Vector.empty,
+      var stszUniform: Long = -1, var stsz: Vector[Long] = Vector.empty,
+      var stco: Vector[Long] = Vector.empty,
+      var stss: Option[Set[Long]] = None)
+
+    var result: Option[Track] = None
+
+    def resolve(t: Tables): Option[Track] = {
+      if (!t.video || t.stco.isEmpty || t.stsc.isEmpty || t.stts.isEmpty) return None
+      val count =
+        if (t.stszUniform >= 0 && t.stsz.isEmpty) t.stts.map(_._1).sum
+        else t.stsz.length.toLong
+      if (count <= 0 || count > maxSamples) return None
+      val n = count.toInt
+      val sizes = if (t.stsz.nonEmpty) t.stsz else Vector.fill(n)(t.stszUniform)
+      if (sizes.length != n) return None
+      // per-sample decode times from the stts runs
+      val times = new Array[Long](n)
+      var si = 0; var tAcc = 0L
+      for ((cnt, delta) <- t.stts; _ <- 0L until cnt) {
+        if (si < n) { times(si) = tAcc; tAcc += delta; si += 1 }
+      }
+      if (si != n) return None
+      // chunk map: samples-per-chunk per chunk index (1-based runs)
+      val chunkCount = t.stco.length
+      val spc = new Array[Long](chunkCount)
+      var run = 0
+      var c = 0
+      while (c < chunkCount) {
+        while (run + 1 < t.stsc.length && t.stsc(run + 1)._1 <= c + 1) run += 1
+        spc(c) = t.stsc(run)._2
+        c += 1
+      }
+      val out = Vector.newBuilder[Sample]
+      var s = 0
+      c = 0
+      while (c < chunkCount && s < n) {
+        var off = t.stco(c)
+        var k = 0L
+        while (k < spc(c) && s < n) {
+          val sz = sizes(s)
+          if (off < 0 || sz < 0 || off + sz > p.length) return None
+          val key = t.stss.forall(_.contains(s + 1L))
+          val ms = if (t.timescale > 0) times(s) * 1000L / t.timescale else times(s)
+          out += Sample(off, sz, ms, key)
+          off += sz
+          s += 1; k += 1
+        }
+        c += 1
+      }
+      if (s != n) return None
+      Some(Track(t.codec, t.w, t.h, t.timescale, out.result()))
+    }
+
+    def walk(from: Long, to: Long, depth: Int, t: Tables): Boolean = {
+      if (depth > 10) return false
+      var i = from
+      while (i + 8 <= to) {
+        val at = i.toInt
+        var size = be32(at)
+        var header = 8L
+        if (size == 1) {
+          if (i + 16 > to) return false
+          val large = be64(at + 8)
+          if (large < 16) return false
+          header = 16L
+          size = math.min(large, to - i).toInt
+        } else if (size == 0) size = (to - i).toInt
+        if (size < header || i + size > to) return false
+        val body = (i + header).toInt
+        val end = i + size
+        tag(at + 4) match {
+          case "moov" =>
+            if (!walk(body, end, depth + 1, t)) return false
+          case "trak" =>
+            val tt = Tables()
+            if (!walk(body, end, depth + 1, tt)) return false
+            if (result.isEmpty) result = resolve(tt)
+          case "mdia" | "minf" | "stbl" =>
+            if (!walk(body, end, depth + 1, t)) return false
+          case "mdhd" if body + 4 <= end =>
+            val ver = u8(body)
+            if (ver == 0 && body + 16 <= end) t.timescale = be32(body + 12)
+            else if (ver == 1 && body + 24 <= end) t.timescale = be32(body + 20)
+          case "hdlr" if body + 12 <= end =>
+            if (tag(body + 8) == "vide") t.video = true
+          case "stsd" if body + 16 <= end =>
+            val entrySize = be32(body + 8)
+            if (entrySize >= 16 && body + 8 + entrySize <= end) {
+              t.codec = tag(body + 12)
+              if (entrySize >= 36 && body + 44 <= end) {
+                t.w = be16(body + 40); t.h = be16(body + 42)
+              }
+            }
+          case "stts" if body + 8 <= end =>
+            val cnt = be32(body + 4)
+            if (cnt > 65536 || body + 8 + cnt * 8 > end) return false
+            t.stts = Vector.tabulate(cnt.toInt)(k =>
+              (be32(body + 8 + 8 * k), be32(body + 12 + 8 * k)))
+          case "stsc" if body + 8 <= end =>
+            val cnt = be32(body + 4)
+            if (cnt > 65536 || body + 8 + cnt * 12 > end) return false
+            t.stsc = Vector.tabulate(cnt.toInt)(k =>
+              (be32(body + 8 + 12 * k), be32(body + 12 + 12 * k)))
+          case "stsz" if body + 12 <= end =>
+            val uniform = be32(body + 4)
+            val cnt = be32(body + 8)
+            if (uniform != 0) { t.stszUniform = uniform }
+            else {
+              if (cnt > 65536 || body + 12 + cnt * 4 > end) return false
+              t.stsz = Vector.tabulate(cnt.toInt)(k => be32(body + 12 + 4 * k))
+            }
+          case "stco" if body + 8 <= end =>
+            val cnt = be32(body + 4)
+            if (cnt > 65536 || body + 8 + cnt * 4 > end) return false
+            t.stco = Vector.tabulate(cnt.toInt)(k => be32(body + 8 + 4 * k))
+          case "co64" if body + 8 <= end =>
+            val cnt = be32(body + 4)
+            if (cnt > 65536 || body + 8 + cnt * 8 > end) return false
+            t.stco = Vector.tabulate(cnt.toInt)(k => be64(body + 8 + 8 * k))
+          case "stss" if body + 8 <= end =>
+            val cnt = be32(body + 4)
+            if (cnt > 65536 || body + 8 + cnt * 4 > end) return false
+            t.stss = Some(Vector.tabulate(cnt.toInt)(k => be32(body + 8 + 4 * k)).toSet)
+          case _ => ()
+        }
+        i += size
+      }
+      true
+    }
+
+    try {
+      if (!walk(0L, p.length.toLong, 0, Tables())) return None
+      result
+    } catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None
+    }
+  }
+
+  // ------------------------------------------------------------ fixture muxer
+
+  /** Fixture/gate muxer: a spec-legal single-video-track MP4 whose
+    * mdat carries the given frame payloads back-to-back, with full
+    * sample tables — uniform stts at the given fps, one-chunk-per-
+    * sample stsc/stco, explicit stsz, and an stss marking every
+    * third sample a sync sample (so readers must actually consult
+    * it). Codec 4cc `jpeg` = the QuickTime/ISO registration MJPEG
+    * writers use. */
+  private[graft] def mux(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]], codec: String = "jpeg"): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    def fullbox(t: String, payload: Array[Byte]): Array[Byte] =
+      box(t, be32(0) ++ payload)
+    val timescale = 1000L
+    val delta = timescale / fps * 1L
+    val n = frames.length
+    val dur = delta * n
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+      "isomiso2mp41".getBytes("US-ASCII"))
+    val mdatPayload = frames.flatten.toArray
+    val mdatOff = ftyp.length + 8L
+    val offsets = frames.scanLeft(mdatOff)((acc, f) => acc + f.length).init
+    val mvhd = fullbox("mvhd", be32(0) ++ be32(0) ++ be32(timescale) ++ be32(dur) ++
+      be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000L) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L) ++
+      new Array[Byte](24) ++ be32(2))
+    val tkhd = box("tkhd", be32(7) ++ // version 0, flags: enabled+in-movie+preview
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(dur) ++
+      new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000L) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L) ++
+      be16(width) ++ be16(0) ++ be16(height) ++ be16(0))
+    val mdhd = fullbox("mdhd", be32(0) ++ be32(0) ++ be32(timescale) ++ be32(dur) ++
+      be16(0x55C4) ++ be16(0))
+    val hdlr = fullbox("hdlr", be32(0) ++ "vide".getBytes("US-ASCII") ++
+      new Array[Byte](12) ++ "v".getBytes("US-ASCII") ++ Array(0.toByte))
+    val entry = be32(86) ++ codec.getBytes("US-ASCII") ++ new Array[Byte](6) ++
+      be16(1) ++ be16(0) ++ be16(0) ++ new Array[Byte](12) ++
+      be16(width) ++ be16(height) ++ be32(0x00480000L) ++ be32(0x00480000L) ++
+      be32(0) ++ be16(1) ++ new Array[Byte](32) ++ be16(24) ++ be16(0xFFFF)
+    val stsd = fullbox("stsd", be32(1) ++ entry)
+    val stts = fullbox("stts", be32(1) ++ be32(n) ++ be32(delta))
+    val stsc = fullbox("stsc", be32(1) ++ be32(1) ++ be32(1) ++ be32(1))
+    val stsz = fullbox("stsz", be32(0) ++ be32(n) ++
+      frames.toArray.flatMap(f => be32(f.length)))
+    val stco = fullbox("stco", be32(offsets.length) ++
+      offsets.toArray.flatMap(o => be32(o)))
+    val syncs = (1 to n).filter(s => (s - 1) % 3 == 0)
+    val stss = fullbox("stss", be32(syncs.length) ++ syncs.toArray.flatMap(s => be32(s)))
+    val dref = fullbox("dref", be32(1) ++ box("url ", be32(1)))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco ++ stss)
+    val minf = box("minf", fullbox("vmhd", be32(1) ++ be32(0)) ++
+      box("dinf", dref) ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    bos.write(ftyp)
+    bos.write(box("mdat", mdatPayload))
+    bos.write(moov)
+    bos.toByteArray
+  }
 }

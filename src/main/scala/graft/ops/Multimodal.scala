@@ -237,6 +237,17 @@ object Multimodal {
             if (w > 0 && h > 0) Some(("image/tiff", w, h)) else None
           }
         }
+      } else if (Heif.looksLike(p)) {
+        // HEIF family (AVIF / HEIC): meta-box walk for the primary
+        // item's DISPLAYED dims (ispe with irot applied — what the
+        // reference libheif reports; see graft.ops.Heif)
+        Heif.parse(p).map { m =>
+          val mime =
+            if (m.brand.startsWith("avi")) "image/avif"
+            else if (m.brand.startsWith("hei") || m.brand.startsWith("hev")) "image/heic"
+            else "image/heif"
+          (mime, m.width, m.height)
+        }
       } else if (p.length >= 3 && p(0) == 'P' &&
           (p(1) == '5' || p(1) == '6') &&
           (p(2) == ' ' || p(2) == '\t' || p(2) == '\n' || p(2) == '\r' || p(2) == '#')) {
@@ -1024,6 +1035,98 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** MP4 sibling of [[packTextMjpegAvi]]: the same decodable 16×16
+    * gradient JPEG frames (identical pixel formula, so the SAME luma
+    * oracle applies), muxed into a spec-legal single-track MP4 by
+    * [[Mp4.mux]] — full stts/stsc/stsz/stco sample tables at 25 fps
+    * and an stss marking every third sample a sync sample. */
+  def packTextMjpegMp4(df: DataFrame, idCol: String, textCol: String,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val len = math.min(bytes0.length, maxBytes)
+          val nFrames = 2 + (len % 4)
+          val frames = (0 until nFrames).map { f =>
+            val c = f * 80 + (id % 5).toInt * 16
+            val px = new Array[Byte](256)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                px(y * 16 + x) = ((17 * x + 17 * y + c) >> 2).toByte
+                x += 1
+              }
+              y += 1
+            }
+            JpegEncoder.encode(PngCodec.Image(16, 16, 1, px), quality = 90)
+          }
+          (id, Mp4.mux(16, 16, fps = 25, frames))
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("video/mp4").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(16).as("width"),
+          lit(16).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** REAL frame-level MP4 decode: resolve the first video track's
+    * sample table ([[Mp4.samples]] — stts/stsc/stsz/stco/stss), slice
+    * each sample out of the payload, decode it with the from-spec
+    * [[JpegCodec]] (H.264/HEVC samples yield no row — refusal by
+    * absence, never a guess), and emit one row per decoded frame with
+    * its timing, sync flag, and pixel statistics. Scan-local flatMap. */
+  def decodeMp4Frames(df: DataFrame, idCol: String, mediaCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride > 0, s"mp4 frames: stride=$stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          Mp4.samples(payload).iterator.flatMap { track =>
+            track.samples.iterator.zipWithIndex
+              .filter { case (_, i) => i % stride == 0 }
+              .flatMap { case (s, i) =>
+                val frame = java.util.Arrays.copyOfRange(payload,
+                  s.offset.toInt, (s.offset + s.size).toInt)
+                JpegCodec.decode(frame).map { img =>
+                  var lumaSum = 0L
+                  val n = img.width * img.height
+                  var j = 0
+                  if (img.channels == 1) {
+                    while (j < n) { lumaSum += img.pixels(j) & 0xFF; j += 1 }
+                  } else {
+                    while (j < n) {
+                      val r = img.pixels(j * 3) & 0xFF
+                      val g = img.pixels(j * 3 + 1) & 0xFF
+                      val b = img.pixels(j * 3 + 2) & 0xFF
+                      lumaSum += (299 * r + 587 * g + 114 * b) / 1000
+                      j += 1
+                    }
+                  }
+                  (id, i, s.timeMs, s.keyframe, img.width, img.height,
+                    img.channels, lumaSum.toDouble / n)
+                }
+              }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "time_ms", "keyframe", "width", "height",
+        "channels", "mean_luma")
+  }
+
   /** REAL frame-level video decode for MJPEG AVI payloads: demux the
     * RIFF container ([[AviCodec]]), decode every `stride`-th frame
     * chunk with the from-spec [[JpegCodec]], and emit one row per
@@ -1326,6 +1429,179 @@ object Multimodal {
         }
       }
       .toDF("id", "rgb_exact", "alpha_exact", "height")
+  }
+
+  /** Build animated WebP clips from a text column — the animation
+    * sibling of [[packTextWebp]]: the document's UTF-8 bytes become a
+    * film strip on a 16-wide canvas, frame k a 16×2 lossless (VP8L
+    * green) tile at (0, 2k) carrying bytes [32k, 32k+32) zero-padded,
+    * duration 10·(k+1) ms, alternating blend flags (opaque frames, so
+    * parse-only), and every FOURTH frame disposing to background —
+    * the composed canvas at frame k therefore shows exactly the
+    * frames {k} ∪ {j < k : j mod 4 ≠ 3}, an arithmetic fact a SQL
+    * oracle replays byte-for-byte. Frame count caps at `maxFrames`
+    * (bytes beyond 32·maxFrames are ignored — mirror with LEAST in
+    * oracles). */
+  def packTextWebpAnim(df: DataFrame, idCol: String, textCol: String,
+      maxFrames: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.length > 32 * maxFrames)
+            java.util.Arrays.copyOf(bytes0, 32 * maxFrames) else bytes0
+          val n = math.max(1, (bytes.length + 31) / 32)
+          val frames = (0 until n).map { k =>
+            val tile = new Array[Byte](32)
+            val from = 32 * k
+            val len = math.max(0, math.min(32, bytes.length - from))
+            if (len > 0) System.arraycopy(bytes, from, tile, 0, len)
+            WebpCodec.AnimFrameSpec(0, 2 * k, 16, 2, durationMs = 10 * (k + 1),
+              blend = k % 2 == 0, disposeToBg = k % 4 == 3,
+              data = WebpCodec.chunkBytes("VP8L", WebpCodec.encodeGreenPayload(16, 2, tile)))
+          }
+          (id, WebpCodec.encodeAnim(16, 2 * n, loopCount = 3, bgColor = 0, frames))
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("image/webp").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(16).as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** GIF sibling of [[packTextWebpAnim]]: the text bytes as a film
+    * strip of 16×1 rows stacked down a 16-wide canvas (GIF allows odd
+    * offsets, so one row per frame), identity grayscale global
+    * palette (index v → (v,v,v)), delay (k+1) centiseconds, every
+    * FOURTH frame disposing to background — the same composed-canvas
+    * visibility arithmetic as the WebP gate, byte-replayable in SQL. */
+  def packTextGifAnim(df: DataFrame, idCol: String, textCol: String,
+      maxFrames: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gct = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.length > 16 * maxFrames)
+            java.util.Arrays.copyOf(bytes0, 16 * maxFrames) else bytes0
+          val n = math.max(1, (bytes.length + 15) / 16)
+          val frames = (0 until n).map { k =>
+            val row = new Array[Byte](16)
+            val from = 16 * k
+            val len = math.max(0, math.min(16, bytes.length - from))
+            if (len > 0) System.arraycopy(bytes, from, row, 0, len)
+            GifCodec.GifFrameSpec(0, k, 16, 1, delayCs = k + 1,
+              disposal = if (k % 4 == 3) 2 else 0, transparent = None, indices = row)
+          }
+          (id, GifCodec.encodeAnim(16, n, loop = Some(2), gct, frames))
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("image/gif").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(16).as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** REAL frame-level animated-GIF decode: demux every image block
+    * with its graphic control extension, decode the LZW indices, and
+    * COMPOSE the canvas with the renderer-consensus disposal rules
+    * ([[GifCodec.decodeAnim]]); one row per frame with placement,
+    * timing, disposal, and the composed canvas's pixel statistics
+    * (same rolling hash as [[decodeImagePixels]], over canvas RGBA).
+    * Undecodable payloads yield a single null-stats row. */
+  def decodeGifAnimFrames(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          GifCodec.decodeAnim(payload) match {
+            case Some(anim) =>
+              anim.frames.zipWithIndex.map { case (f, k) =>
+                val canvas = anim.canvases(k)
+                var sum = 0L; var hash = 17L
+                var i = 0
+                while (i < canvas.length) {
+                  val v = canvas(i) & 0xFF
+                  sum += v
+                  hash = (hash * 31 + v) % 16777216
+                  i += 1
+                }
+                (id, k, anim.width, anim.height, anim.loopCount,
+                  f.x, f.y, f.width, f.height, f.delayCs, f.disposal,
+                  Some(canvas.length.toLong), Some(sum), Some(hash))
+              }
+            case None =>
+              Seq((id, -1, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                None: Option[Long], None: Option[Long], None: Option[Long]))
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "canvas_width", "canvas_height", "loop_count",
+        "x", "y", "width", "height", "delay_cs", "disposal",
+        "pixel_len", "pixel_sum", "pixel_hash")
+  }
+
+  /** REAL frame-level animated-WebP decode: demux the VP8X/ANIM/ANMF
+    * container, decode every frame through the pinned VP8/VP8L/ALPH
+    * paths, COMPOSE the canvas per the spec's blend/dispose rules
+    * ([[WebpCodec.decodeAnim]]), and emit one row per frame with its
+    * placement, timing, flags, and the composed canvas's verifiable
+    * pixel statistics (length / sum / the same order-sensitive
+    * rolling hash as [[decodeImagePixels]], over canvas RGBA).
+    * Undecodable payloads yield a single null-stats row (kept, not
+    * dropped). Scan-local flatMap — no shuffle, no driver state. */
+  def decodeWebpAnimFrames(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          WebpCodec.decodeAnim(payload) match {
+            case Some(anim) =>
+              anim.frames.zipWithIndex.map { case (f, k) =>
+                val canvas = anim.canvases(k)
+                var sum = 0L; var hash = 17L
+                var i = 0
+                while (i < canvas.length) {
+                  val v = canvas(i) & 0xFF
+                  sum += v
+                  hash = (hash * 31 + v) % 16777216
+                  i += 1
+                }
+                (id, k, anim.width, anim.height, anim.loopCount,
+                  f.x, f.y, f.width, f.height, f.durationMs, f.blend, f.disposeToBg,
+                  Some(canvas.length.toLong), Some(sum), Some(hash))
+              }
+            case None =>
+              Seq((id, -1, 0, 0, 0, 0, 0, 0, 0, 0, false, false,
+                None: Option[Long], None: Option[Long], None: Option[Long]))
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "canvas_width", "canvas_height", "loop_count",
+        "x", "y", "width", "height", "duration_ms", "blend", "dispose",
+        "pixel_len", "pixel_sum", "pixel_hash")
   }
 
   /** TIFF sibling of [[packTextPng]] (round 15): each document's

@@ -598,13 +598,20 @@ object WebpCodec {
   def decode(p: Array[Byte]): Option[Image] = {
     if (p.length < 20 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
       p(8) != 'W' || p(9) != 'E' || p(10) != 'B' || p(11) != 'P') return None
+    decodeChunkSeq(p, 12, p.length)
+  }
+
+  /** Walk a chunk sequence (the container body, or an ANMF frame's
+    * data) to the first image: VP8L directly, or optional ALPH + the
+    * lossy VP8 chunk combined into RGBA. */
+  private def decodeChunkSeq(p: Array[Byte], from: Int, until: Int): Option[Image] = {
     var alph: Array[Byte] = null
-    var i = 12
-    while (i + 8 <= p.length) {
+    var i = from
+    while (i + 8 <= until) {
       val fourcc = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = (p(i + 4) & 0xFF) | ((p(i + 5) & 0xFF) << 8) |
         ((p(i + 6) & 0xFF) << 16) | ((p(i + 7) & 0xFF) << 24)
-      if (size < 0 || i + 8 + size > p.length) return None
+      if (size < 0 || i + 8 + size > until) return None
       if (fourcc == "VP8L")
         return if (alph != null) None
           else decodeVp8l(java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size))
@@ -631,6 +638,138 @@ object WebpCodec {
       i += 8 + size + (size & 1)
     }
     None
+  }
+
+  // ------------------------------------------------------------ animation
+
+  /** One animation frame: placement/timing/flags from the ANMF
+    * header plus the frame's own decoded pixels. */
+  final case class AnimFrame(x: Int, y: Int, width: Int, height: Int,
+      durationMs: Int, blend: Boolean, disposeToBg: Boolean, image: Image)
+
+  /** A decoded animation: the canvas geometry and, per frame, both
+    * the raw frame and the COMPOSED canvas (RGBA, canvas-sized)
+    * after rendering that frame. */
+  final case class Anim(width: Int, height: Int, loopCount: Int, bgColor: Int,
+      frames: Vector[AnimFrame], canvases: Vector[Array[Byte]])
+
+  /** Animated WebP (RFC 9649 §2.3.2-2.3.3): VP8X (animation flag,
+    * canvas dims) + ANIM (background color, loop count) + ANMF
+    * frames, each an (optional ALPH +) VP8/VP8L payload decoded by
+    * the pinned still-image paths. Composition follows the spec's
+    * normative pseudocode with the reference implementation's
+    * integer evaluation (anim_decode.c shape: blend.A = fA +
+    * cA·(255−fA)/255 with truncating divisions) onto a canvas
+    * initialized TRANSPARENT; "dispose to background color" fills
+    * the frame rectangle with transparent black — the reference
+    * decoder's observable behavior (the spec itself marks the ANIM
+    * background color as a hint "applications SHOULD treat ... as a
+    * hint", and the reference zero-fills). Refusals: no animation
+    * flag, frame rectangle outside the canvas, frame count over
+    * `maxFrames`, canvas over the pixel cap, any undecodable frame. */
+  def decodeAnim(p: Array[Byte], maxFrames: Int = 1024): Option[Anim] = {
+    if (p.length < 20 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'E' || p(10) != 'B' || p(11) != 'P') return None
+    @inline def le24(o: Int): Int =
+      (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) | ((p(o + 2) & 0xFF) << 16)
+    var canvasW = 0; var canvasH = 0; var seenVp8x = false
+    var loop = 0; var bg = 0; var seenAnim = false
+    var frames = Vector.empty[AnimFrame]
+    var i = 12
+    while (i + 8 <= p.length) {
+      val fourcc = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = (p(i + 4) & 0xFF) | ((p(i + 5) & 0xFF) << 8) |
+        ((p(i + 6) & 0xFF) << 16) | ((p(i + 7) & 0xFF) << 24)
+      if (size < 0 || i + 8 + size > p.length) return None
+      fourcc match {
+        case "VP8X" =>
+          if (size < 10) return None
+          if ((p(i + 8) & 0x02) == 0) return None // not an animation
+          canvasW = le24(i + 12) + 1
+          canvasH = le24(i + 15) + 1
+          if (canvasW.toLong * canvasH * 4 > PngCodec.MaxPixelBytes) return None
+          seenVp8x = true
+        case "ANIM" =>
+          if (!seenVp8x || size < 6) return None
+          bg = (p(i + 8) & 0xFF) | ((p(i + 9) & 0xFF) << 8) |
+            ((p(i + 10) & 0xFF) << 16) | ((p(i + 11) & 0xFF) << 24)
+          loop = (p(i + 12) & 0xFF) | ((p(i + 13) & 0xFF) << 8)
+          seenAnim = true
+        case "ANMF" =>
+          if (!seenAnim || size < 16) return None
+          if (frames.size >= maxFrames) return None
+          val fx = le24(i + 8) * 2
+          val fy = le24(i + 11) * 2
+          val fw = le24(i + 14) + 1
+          val fh = le24(i + 17) + 1
+          val dur = le24(i + 20)
+          val flags = p(i + 23) & 0xFF
+          if (fx + fw > canvasW || fy + fh > canvasH) return None
+          decodeChunkSeq(p, i + 8 + 16, i + 8 + size) match {
+            case Some(img) if img.width == fw && img.height == fh =>
+              frames :+= AnimFrame(fx, fy, fw, fh, dur,
+                blend = (flags & 2) == 0, disposeToBg = (flags & 1) == 1, img)
+            case _ => return None
+          }
+        case _ => ()
+      }
+      i += 8 + size + (size & 1)
+    }
+    if (!seenAnim || frames.isEmpty) return None
+    Some(Anim(canvasW, canvasH, loop, bg, frames, composeAnim(canvasW, canvasH, frames)))
+  }
+
+  /** Frame-by-frame canvas composition (see [[decodeAnim]] for the
+    * rounding/disposal provenance). Returns one canvas-sized RGBA
+    * snapshot per frame, taken after rendering it and before its
+    * disposal applies. */
+  private def composeAnim(cw: Int, ch: Int,
+      frames: Vector[AnimFrame]): Vector[Array[Byte]] = {
+    val canvas = new Array[Byte](cw * ch * 4) // transparent black
+    frames.map { f =>
+      val img = f.image
+      val nch = img.channels
+      var yy = 0
+      while (yy < f.height) {
+        var xx = 0
+        while (xx < f.width) {
+          val ci = ((f.y + yy) * cw + (f.x + xx)) * 4
+          val fi = (yy * f.width + xx) * nch
+          val fr = img.pixels(fi) & 0xFF
+          val fg = img.pixels(fi + 1) & 0xFF
+          val fb = img.pixels(fi + 2) & 0xFF
+          val fa = if (nch == 4) img.pixels(fi + 3) & 0xFF else 255
+          if (!f.blend || fa == 255) {
+            canvas(ci) = fr.toByte; canvas(ci + 1) = fg.toByte
+            canvas(ci + 2) = fb.toByte; canvas(ci + 3) = fa.toByte
+          } else if (fa > 0) {
+            val ca = canvas(ci + 3) & 0xFF
+            val scale = ca * (255 - fa) / 255
+            val blendA = fa + scale
+            if (blendA == 0) {
+              canvas(ci) = 0; canvas(ci + 1) = 0; canvas(ci + 2) = 0; canvas(ci + 3) = 0
+            } else {
+              canvas(ci) = (((canvas(ci) & 0xFF) * scale + fr * fa) / blendA).toByte
+              canvas(ci + 1) = (((canvas(ci + 1) & 0xFF) * scale + fg * fa) / blendA).toByte
+              canvas(ci + 2) = (((canvas(ci + 2) & 0xFF) * scale + fb * fa) / blendA).toByte
+              canvas(ci + 3) = blendA.toByte
+            }
+          } // fa == 0 under blending: canvas pixel unchanged
+          xx += 1
+        }
+        yy += 1
+      }
+      val snapshot = canvas.clone()
+      if (f.disposeToBg) {
+        var y2 = 0
+        while (y2 < f.height) {
+          java.util.Arrays.fill(canvas, ((f.y + y2) * cw + f.x) * 4,
+            ((f.y + y2) * cw + f.x + f.width) * 4, 0.toByte)
+          y2 += 1
+        }
+      }
+      snapshot
+    }
   }
 
   // ------------------------------------------------------------ fixture encoder
@@ -706,16 +845,24 @@ object WebpCodec {
     green.foreach(g => bw.code(g & 0xFF, 8))
   }
 
-  private[graft] def encodeGreen(width: Int, height: Int, green: Array[Byte]): Array[Byte] = {
+  /** Bare VP8L chunk payload (header + green stream) — the building
+    * block [[encodeGreen]] wraps in RIFF and the animation fixture
+    * builder drops into ANMF frames. */
+  private[graft] def encodeGreenPayload(width: Int, height: Int,
+      green: Array[Byte]): Array[Byte] = {
     require(width >= 1 && height >= 1 && green.length == width * height,
-      s"encodeGreen: ${green.length} != $width x $height")
-    require(width <= 16384 && height <= 16384, "encodeGreen: dim > 2^14")
+      s"encodeGreenPayload: ${green.length} != $width x $height")
+    require(width <= 16384 && height <= 16384, "encodeGreenPayload: dim > 2^14")
     val bw = new Bw
     bw.bits(width - 1, 14); bw.bits(height - 1, 14)
     bw.bits(0, 1) // alpha hint off
     bw.bits(0, 3) // version
     writeGreenStream(bw, green)
-    val payload = (0x2F.toByte) +: bw.bytes()
+    (0x2F.toByte) +: bw.bytes()
+  }
+
+  private[graft] def encodeGreen(width: Int, height: Int, green: Array[Byte]): Array[Byte] = {
+    val payload = encodeGreenPayload(width, height, green)
     // RIFF container
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit = {
@@ -775,6 +922,69 @@ object WebpCodec {
       writeGreenStream(bw, res)
       hdr +: bw.bytes()
     }
+  }
+
+  /** One RIFF chunk: fourcc + LE32 size + body + odd-size pad. */
+  private[graft] def chunkBytes(fourcc: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(fourcc.getBytes("US-ASCII"))
+    out.write(body.length & 0xFF); out.write((body.length >> 8) & 0xFF)
+    out.write((body.length >> 16) & 0xFF); out.write((body.length >> 24) & 0xFF)
+    out.write(body)
+    if ((body.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Fixture/gate ANMF frame description: placement (even offsets,
+    * as the wire stores them halved), timing, flags, and the frame's
+    * inner chunk bytes (e.g. `chunkBytes("VP8L",
+    * encodeGreenPayload(...))`, optionally preceded by an ALPH
+    * chunk). */
+  private[graft] final case class AnimFrameSpec(x: Int, y: Int, w: Int, h: Int,
+      durationMs: Int, blend: Boolean, disposeToBg: Boolean, data: Array[Byte])
+
+  /** Fixture/gate animation container: VP8X (animation flag) + ANIM +
+    * one ANMF per frame. */
+  private[graft] def encodeAnim(canvasW: Int, canvasH: Int, loopCount: Int,
+      bgColor: Int, frames: Seq[AnimFrameSpec]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(f => (f.x & 1) == 0 && (f.y & 1) == 0),
+      "encodeAnim: frame offsets must be even")
+    val body = new java.io.ByteArrayOutputStream()
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x02 // animation flag
+    vp8x(4) = ((canvasW - 1) & 0xFF).toByte
+    vp8x(5) = (((canvasW - 1) >> 8) & 0xFF).toByte
+    vp8x(6) = (((canvasW - 1) >> 16) & 0xFF).toByte
+    vp8x(7) = ((canvasH - 1) & 0xFF).toByte
+    vp8x(8) = (((canvasH - 1) >> 8) & 0xFF).toByte
+    vp8x(9) = (((canvasH - 1) >> 16) & 0xFF).toByte
+    body.write(chunkBytes("VP8X", vp8x))
+    val anim = new Array[Byte](6)
+    anim(0) = (bgColor & 0xFF).toByte; anim(1) = ((bgColor >> 8) & 0xFF).toByte
+    anim(2) = ((bgColor >> 16) & 0xFF).toByte; anim(3) = ((bgColor >>> 24) & 0xFF).toByte
+    anim(4) = (loopCount & 0xFF).toByte; anim(5) = ((loopCount >> 8) & 0xFF).toByte
+    body.write(chunkBytes("ANIM", anim))
+    for (f <- frames) {
+      val hdr = new Array[Byte](16)
+      def le24(o: Int, v: Int): Unit = {
+        hdr(o) = (v & 0xFF).toByte; hdr(o + 1) = ((v >> 8) & 0xFF).toByte
+        hdr(o + 2) = ((v >> 16) & 0xFF).toByte
+      }
+      le24(0, f.x / 2); le24(3, f.y / 2)
+      le24(6, f.w - 1); le24(9, f.h - 1)
+      le24(12, f.durationMs)
+      hdr(15) = (((if (f.blend) 0 else 2) | (if (f.disposeToBg) 1 else 0))).toByte
+      body.write(chunkBytes("ANMF", hdr ++ f.data))
+    }
+    val b = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val sz = 4 + b.length
+    out.write(sz & 0xFF); out.write((sz >> 8) & 0xFF)
+    out.write((sz >> 16) & 0xFF); out.write((sz >> 24) & 0xFF)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(b)
+    out.toByteArray
   }
 
   /** Fixture/gate container: VP8X (alpha flag + canvas dims) + ALPH +

@@ -736,6 +736,23 @@ object Transforms {
       graft.ops.Multimodal.decodeMjpegFrames(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
         stride = t.config.int("stride").getOrElse(1))
+    // REAL frame-level decode for animated WebP payloads (VP8X/ANIM/
+    // ANMF demux + pinned VP8/VP8L/ALPH frame decode + canvas
+    // composition per the spec's blend/dispose rules)
+    case "webp_frames" =>
+      graft.ops.Multimodal.decodeWebpAnimFrames(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    // REAL frame-level decode for animated GIF payloads (GCE demux,
+    // LZW per frame, renderer-consensus disposal composition)
+    case "gif_frames" =>
+      graft.ops.Multimodal.decodeGifAnimFrames(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    // REAL frame-level decode for MP4 payloads (sample-table walk +
+    // per-sample JPEG decode; H.264/HEVC samples refuse by absence)
+    case "mp4_frames" =>
+      graft.ops.Multimodal.decodeMp4Frames(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        stride = t.config.int("stride").getOrElse(1))
     // Gap sessionization for STREAMING pipelines (chain after a
     // `watermark` transform). Modes: event_time (watermark-closed,
     // production default), out_of_order (sorter-buffered, tolerates
@@ -1032,7 +1049,7 @@ object Transforms {
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "image_neardup", "image_neardup_groups",
+    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "webp_frames", "gif_frames", "mp4_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
     "docx_extract", "docx_parts", "pptx_extract", "odt_extract", "xlsx_cells",
