@@ -2941,6 +2941,21 @@ object SparkEntry {
           round(col("lon"), 6).as("lon"))
     }),
 
+    // EXIF in WebP containers (round 16): the same planted-Exif
+    // arithmetic rides a WebP EXIF chunk (VP8X flag + real VP8L
+    // image), every third id keeping the JPEG-style Exif\0\0 prefix
+    // that some writers emit; the reader walks the RIFF chunks and
+    // strips the prefix — so both wild wire variants decode to the
+    // same oracle rows as the JPEG gate.
+    "x_exif_webp" -> ((s, d) => {
+      val packed = graft.ops.Exif.packWebpExif(t(s, d, "documents"), "doc_id")
+      graft.ops.Exif.decodeMeta(packed, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("has_exif"), col("endian"),
+          col("orientation"), col("make"), col("model"), col("datetime"),
+          col("has_gps"), round(col("lat"), 6).as("lat"),
+          round(col("lon"), 6).as("lon"))
+    }),
+
     // EXIF GPS scrub (round 12): the privacy op — stripGps REBUILDS
     // the APP1 without the GPS IFD (patching in place would shift
     // every absolute offset), and the re-decode must show the safe
@@ -6840,6 +6855,28 @@ object SparkEntry {
     // d/m/s rationals reduce left-associatively (deg + min/60 +
     // sec/3600) in both engines so the doubles are bit-identical
     "x_exif_meta" -> """
+      SELECT doc_id, true AS has_exif,
+             CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+             doc_id % 8 + 1 AS orientation,
+             'Maker ' || (doc_id % 5) AS make,
+             'Model ' || (doc_id % 3) AS model,
+             lpad(CAST(2000 + doc_id % 30 AS VARCHAR), 4, '0') || ':' ||
+               lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' ' ||
+               lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS datetime,
+             doc_id % 3 <> 0 AS has_gps,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE round(
+               (doc_id % 90 + (doc_id % 60) / 60.0 + (doc_id % 6000) / 100.0 / 3600.0)
+               * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END), 6) END AS lat,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE round(
+               (doc_id % 180 + ((doc_id * 7) % 60) / 60.0 + ((doc_id * 13) % 6000) / 100.0 / 3600.0)
+               * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE -1 END), 6) END AS lon
+      FROM documents""",
+
+    // exif-in-webp: the same planted arithmetic as x_exif_meta
+    "x_exif_webp" -> """
       SELECT doc_id, true AS has_exif,
              CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
              doc_id % 8 + 1 AS orientation,

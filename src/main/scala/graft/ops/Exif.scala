@@ -149,11 +149,34 @@ object Exif {
   // JPEG segment walk
   // ------------------------------------------------------------------
 
-  /** The `Exif\0\0` APP1's TIFF block, if the JPEG has one. */
-  private[graft] def findExif(p: Array[Byte]): Option[Array[Byte]] =
-    exifSegment(p).map { case (at, len) =>
+  /** The Exif TIFF block of a payload: the `Exif\0\0` APP1 of a
+    * JPEG, or the `EXIF` chunk of a WebP container (RFC 9649 §2.3.4
+    * — the chunk carries the TIFF block directly, though some
+    * writers keep the JPEG-style `Exif\0\0` prefix, which is
+    * stripped when present). */
+  private[graft] def findExif(p: Array[Byte]): Option[Array[Byte]] = {
+    if (p.length >= 20 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') {
+      var i = 12
+      while (i + 8 <= p.length) {
+        val size = (p(i + 4) & 0xFF) | ((p(i + 5) & 0xFF) << 8) |
+          ((p(i + 6) & 0xFF) << 16) | ((p(i + 7) & 0xFF) << 24)
+        if (size < 0 || i + 8 + size > p.length) return None
+        if (p(i) == 'E' && p(i + 1) == 'X' && p(i + 2) == 'I' && p(i + 3) == 'F') {
+          val body = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size)
+          return Some(
+            if (body.length >= 6 && body(0) == 'E' && body(1) == 'x' && body(2) == 'i' &&
+              body(3) == 'f' && body(4) == 0 && body(5) == 0)
+              java.util.Arrays.copyOfRange(body, 6, body.length)
+            else body)
+        }
+        i += 8 + size + (size & 1)
+      }
+      None
+    } else exifSegment(p).map { case (at, len) =>
       java.util.Arrays.copyOfRange(p, at + 10, at + 2 + len)
     }
+  }
 
   /** (segment start, declared length) of the Exif APP1 — the start
     * points at the FF E1 marker; length is the 2-byte field value. */
@@ -424,6 +447,50 @@ object Exif {
           make = s"Maker ${id % 5}", model = s"Model ${id % 3}",
           datetime = dt, gps = gps)
         (id, insertApp1(base, app1))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** WebP sibling of [[packJpegExif]]: the SAME planted Exif
+    * arithmetic, but the TIFF block rides a WebP `EXIF` chunk behind
+    * a VP8X extended header (exif flag set) next to a real VP8L
+    * image — the container form phone/web writers emit. Every third
+    * id keeps the JPEG-style `Exif\0\0` prefix inside the chunk (both
+    * wire variants exist in the wild; the reader strips it). */
+  def packWebpExif(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val gps = if (id % 3 == 0) None else Some(GpsCoord(
+          latRef = if (id % 2 == 0) "N" else "S",
+          lat = Seq((id % 90, 1L), (id % 60, 1L), (id % 6000, 100L)),
+          lonRef = if (id % 4 < 2) "E" else "W",
+          lon = Seq((id % 180, 1L), ((id * 7) % 60, 1L), ((id * 13) % 6000, 100L))))
+        val dt = f"${2000 + id % 30}%04d:${id % 12 + 1}%02d:${id % 28 + 1}%02d " +
+          f"${id % 24}%02d:${id % 60}%02d:${id % 60}%02d"
+        val app1 = exifApp1(le = id % 2 == 0, orientation = (id % 8 + 1).toInt,
+          make = s"Maker ${id % 5}", model = s"Model ${id % 3}",
+          datetime = dt, gps = gps)
+        val tiff = java.util.Arrays.copyOfRange(app1, 10, app1.length)
+        val exifBody =
+          if (id % 3 == 0) "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+          else tiff
+        val green = Array.tabulate(64)(i => (((id * 31) + i * 7) % 256).toByte)
+        val vp8l = WebpCodec.chunkBytes("VP8L", WebpCodec.encodeGreenPayload(8, 8, green))
+        val vp8x = new Array[Byte](10)
+        vp8x(0) = 0x08 // exif flag
+        vp8x(4) = 7; vp8x(7) = 7 // 8x8 canvas, minus-one encoding
+        val body = WebpCodec.chunkBytes("VP8X", vp8x) ++ vp8l ++
+          WebpCodec.chunkBytes("EXIF", exifBody)
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("RIFF".getBytes("US-ASCII"))
+        val sz = 4 + body.length
+        out.write(sz & 0xFF); out.write((sz >> 8) & 0xFF)
+        out.write((sz >> 16) & 0xFF); out.write((sz >> 24) & 0xFF)
+        out.write("WEBP".getBytes("US-ASCII"))
+        out.write(body)
+        (id, out.toByteArray)
       })
       .toDF("doc_id", "payload")
   }

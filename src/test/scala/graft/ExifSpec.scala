@@ -39,6 +39,35 @@ class ExifSpec extends SparkSuite {
     }
   }
 
+  test("webp EXIF chunk: both wire variants (bare TIFF and Exif-prefixed) decode") {
+    for (prefixed <- Seq(false, true)) {
+      val app1 = Exif.exifApp1(le = true, orientation = 3, make = "Mk",
+        model = "WebP M", datetime = "2023:05:06 07:08:09", gps = Some(gps))
+      val tiff = java.util.Arrays.copyOfRange(app1, 10, app1.length)
+      val body = if (prefixed) "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+                 else tiff
+      val green = Array.tabulate(16)(i => (i * 9).toByte)
+      val inner = graft.ops.WebpCodec.chunkBytes("VP8X",
+        { val v = new Array[Byte](10); v(0) = 0x08; v(4) = 3; v(7) = 3; v }) ++
+        graft.ops.WebpCodec.chunkBytes("VP8L",
+          graft.ops.WebpCodec.encodeGreenPayload(4, 4, green)) ++
+        graft.ops.WebpCodec.chunkBytes("EXIF", body)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val sz = 4 + inner.length
+      out.write(sz & 0xFF); out.write((sz >> 8) & 0xFF)
+      out.write((sz >> 16) & 0xFF); out.write((sz >> 24) & 0xFF)
+      out.write("WEBP".getBytes("US-ASCII")); out.write(inner)
+      val webp = out.toByteArray
+      val m = Exif.findExif(webp).flatMap(Exif.parseTiff)
+        .getOrElse(fail(s"refused (prefixed=$prefixed)"))
+      assert(m.orientation.contains(3) && m.model.contains("WebP M"))
+      assert(m.datetime.contains("2023:05:06 07:08:09") && m.lat.isDefined)
+      // the image itself still decodes with the EXIF chunk in place
+      assert(graft.ops.WebpCodec.decode(webp).isDefined)
+    }
+  }
+
   test("stripGps: rebuild keeps safe tags, removes coordinates, image survives") {
     val app1 = Exif.exifApp1(le = true, 3, "Maker", "Model", "2020:06:07 08:09:10", Some(gps))
     val jpeg = Exif.insertApp1(baseJpeg(2), app1)
