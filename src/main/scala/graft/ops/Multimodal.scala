@@ -806,6 +806,155 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** Matroska sibling of [[packTextMjpegAvi]]/[[packTextMjpegMp4]]:
+    * the same decodable 16×16 gradient JPEG frames as Cluster
+    * SimpleBlocks (two frames per cluster — cluster timestamp 80·c ms
+    * with relative offsets 0/40, so the reader must combine both
+    * levels), keyframe flags on every third frame, codec `V_MJPEG`;
+    * the LAST frame rides a BlockGroup instead, with a
+    * ReferenceBlock present exactly when it is NOT a keyframe (the
+    * Matroska keyframe rule for grouped blocks). */
+  def packTextMjpegMkv(df: DataFrame, idCol: String, textCol: String,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        def size8(v: Long): Array[Byte] = {
+          val b = new Array[Byte](8)
+          b(0) = 0x01
+          var k = 0
+          while (k < 7) { b(7 - k) = ((v >> (8 * k)) & 0xFF).toByte; k += 1 }
+          b
+        }
+        def el(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+          id ++ size8(body.length.toLong) ++ body
+        def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+        def u(v: Long, w: Int): Array[Byte] =
+          (0 until w).map(k => ((v >> (8 * (w - 1 - k))) & 0xFF).toByte).toArray
+        def f64(v: Double): Array[Byte] = u(java.lang.Double.doubleToLongBits(v), 8)
+        rows.map { case (docId, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val len = math.min(bytes0.length, maxBytes)
+          val nFrames = 2 + (len % 4)
+          val jpegs = (0 until nFrames).map { f =>
+            val c = f * 80 + (docId % 5).toInt * 16
+            val px = new Array[Byte](256)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                px(y * 16 + x) = ((17 * x + 17 * y + c) >> 2).toByte
+                x += 1
+              }
+              y += 1
+            }
+            JpegEncoder.encode(PngCodec.Image(16, 16, 1, px), quality = 90)
+          }
+          val header = el(id(0x1A, 0x45, 0xDF, 0xA3),
+            el(id(0x42, 0x86), u(1, 1)) ++
+            el(id(0x42, 0xF7), u(1, 1)) ++
+            el(id(0x42, 0xF2), u(4, 1)) ++
+            el(id(0x42, 0xF3), u(8, 1)) ++
+            el(id(0x42, 0x82), "matroska".getBytes("US-ASCII")) ++
+            el(id(0x42, 0x87), u(4, 1)) ++
+            el(id(0x42, 0x85), u(2, 1)))
+          val info = el(id(0x15, 0x49, 0xA9, 0x66),
+            el(id(0x2A, 0xD7, 0xB1), u(1000000L, 4)) ++
+            el(id(0x44, 0x89), f64(nFrames.toDouble * 40)))
+          val video = el(id(0xE0),
+            el(id(0xB0), u(16L, 2)) ++ el(id(0xBA), u(16L, 2)))
+          val track = el(id(0xAE),
+            el(id(0xD7), u(1, 1)) ++
+            el(id(0x73, 0xC5), u(1, 1)) ++
+            el(id(0x83), u(1, 1)) ++
+            el(id(0x86), "V_MJPEG".getBytes("US-ASCII")) ++
+            video)
+          val tracks = el(id(0x16, 0x54, 0xAE, 0x6B), track)
+          def blockBody(f: Int, key: Boolean): Array[Byte] = {
+            val rel = (f % 2) * 40
+            Array(0x81.toByte, ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte,
+              (if (key) 0x80 else 0x00).toByte) ++ jpegs(f)
+          }
+          val clusters = (0 until (nFrames + 1) / 2).map { c =>
+            val inCluster = Seq(2 * c) ++ (if (2 * c + 1 < nFrames) Seq(2 * c + 1) else Nil)
+            val blocks = inCluster.flatMap { f =>
+              val key = f % 3 == 0
+              if (f == nFrames - 1) {
+                // last frame as a BlockGroup: keyframe = no ReferenceBlock
+                val grp = el(id(0xA1), blockBody(f, key = false)) ++
+                  (if (key) Array.emptyByteArray
+                   else el(id(0xFB), Array(0xD8.toByte)))
+                el(id(0xA0), grp)
+              } else el(id(0xA3), blockBody(f, key))
+            }.toArray
+            el(id(0x1F, 0x43, 0xB6, 0x75),
+              el(id(0xE7), u(80L * c, 2)) ++ blocks)
+          }
+          val segment = el(id(0x18, 0x53, 0x80, 0x67),
+            info ++ tracks ++ clusters.flatten.toArray)
+          (docId, header ++ segment)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("video/x-matroska").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(16).as("width"),
+          lit(16).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
+  /** REAL frame-level Matroska decode: resolve the first video
+    * track's block stream ([[Mkv.blocks]] — cluster timestamps +
+    * SimpleBlock/BlockGroup walk, laced blocks refused by name),
+    * slice each block's frame bytes, decode with the from-spec
+    * [[JpegCodec]] (V_MJPEG; other codecs refuse by absence), and
+    * emit one row per decoded frame. Scan-local flatMap. */
+  def decodeMkvFrames(df: DataFrame, idCol: String, mediaCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride > 0, s"mkv frames: stride=$stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          Mkv.blocks(payload).iterator.flatMap { bs =>
+            bs.blocks.iterator.zipWithIndex
+              .filter { case (_, i) => i % stride == 0 }
+              .flatMap { case (b, i) =>
+                val frame = java.util.Arrays.copyOfRange(payload, b.offset, b.offset + b.size)
+                JpegCodec.decode(frame).map { img =>
+                  var lumaSum = 0L
+                  val n = img.width * img.height
+                  var j = 0
+                  if (img.channels == 1) {
+                    while (j < n) { lumaSum += img.pixels(j) & 0xFF; j += 1 }
+                  } else {
+                    while (j < n) {
+                      val r = img.pixels(j * 3) & 0xFF
+                      val g = img.pixels(j * 3 + 1) & 0xFF
+                      val bb = img.pixels(j * 3 + 2) & 0xFF
+                      lumaSum += (299 * r + 587 * g + 114 * bb) / 1000
+                      j += 1
+                    }
+                  }
+                  (id, i, b.timeMs, b.keyframe, img.width, img.height,
+                    img.channels, lumaSum.toDouble / n)
+                }
+              }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "time_ms", "keyframe", "width", "height",
+        "channels", "mean_luma")
+  }
+
   /** Build REAL Ogg-Vorbis streams from a text column — the streamed-
     * audio sibling of [[packTextMkv]]'s fixed-layout trick: a
     * beginning-of-stream page carrying a spec-correct Vorbis I

@@ -753,6 +753,12 @@ object Transforms {
       graft.ops.Multimodal.decodeMp4Frames(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
         stride = t.config.int("stride").getOrElse(1))
+    // REAL frame-level decode for Matroska payloads (cluster/block
+    // walk + per-block JPEG decode; laced blocks refuse by name)
+    case "mkv_frames" =>
+      graft.ops.Multimodal.decodeMkvFrames(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"),
+        stride = t.config.int("stride").getOrElse(1))
     // Gap sessionization for STREAMING pipelines (chain after a
     // `watermark` transform). Modes: event_time (watermark-closed,
     // production default), out_of_order (sorter-buffered, tolerates
@@ -1049,7 +1055,7 @@ object Transforms {
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "webp_frames", "gif_frames", "mp4_frames", "image_neardup", "image_neardup_groups",
+    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "webp_frames", "gif_frames", "mp4_frames", "mkv_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
     "docx_extract", "docx_parts", "pptx_extract", "odt_extract", "xlsx_cells",
