@@ -41,6 +41,23 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges(Multimodal.decodeMjpegFrames(media, "id", "media")) == 0)
   }
 
+  test("round-16 frame/metadata ops are scan-local — no Exchange in any plan") {
+    val media = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "p")
+      .select(col("id"), struct(col("p").as("payload"), lit("x").as("mime")).as("media"))
+    assert(exchanges(Multimodal.decodeWebpAnimFrames(media, "id", "media")) == 0)
+    assert(exchanges(Multimodal.decodeGifAnimFrames(media, "id", "media")) == 0)
+    assert(exchanges(Multimodal.decodeMp4Frames(media, "id", "media")) == 0)
+    assert(exchanges(Multimodal.decodeMkvFrames(media, "id", "media")) == 0)
+    val texts = Seq((1L, "hello")).toDF("doc_id", "text")
+    assert(exchanges(Multimodal.webpLossyParity(texts, "doc_id", "text")) == 0)
+    assert(exchanges(Multimodal.webpAlphaParity(texts, "doc_id", "text")) == 0)
+    // the pack side carries at most the one fan-out repartition
+    assert(exchanges(Multimodal.packTextWebpAnim(texts, "doc_id", "text")) <= 1)
+    assert(exchanges(Multimodal.packTextGifAnim(texts, "doc_id", "text")) <= 1)
+    assert(exchanges(Multimodal.packTextMjpegMp4(texts, "doc_id", "text")) <= 1)
+    assert(exchanges(Multimodal.packTextMjpegMkv(texts, "doc_id", "text")) <= 1)
+  }
+
   test("semdedup shuffles only for the within-cell pair probe and verdict join") {
     val vecs = (0L until 20L).map(i => (i, Seq.tabulate(8)(j => ((i + j) % 5).toFloat)))
       .toDF("vec_id", "embedding")
