@@ -2605,6 +2605,36 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Delta DATA SKIPPING (round 17, mirroring x_iceberg_prune): the
+    // partitioned table carries real per-file stats (four files =
+    // bucket × id-halves split at cut = max(doc_id)/2); the predicate
+    // prunes the partition conjunct against partitionValues and
+    // min/max-skips the doc_id range against add.stats, so exactly ONE
+    // file opens (PlanShape-asserted in DeltaLogSpec) while the result
+    // equals the full-scan filter the oracle replays.
+    "x_delta_prune" -> ((s, d) => {
+      val dir = sharedDir("delta_part", d)(
+        graft.ops.TableFixtures.writeDeltaPartTable(s, t(s, d, "documents"), "doc_id"))
+      val cut = t(s, d, "documents")
+        .agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      graft.ops.DeltaLog.readTable(s, dir, None,
+        Some(col("bucket") === 1 && col("doc_id") <= cut))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"))
+    }),
+
+    // Delta OPEN-ENDED CDF (round 17): "changes since t=2500" with no
+    // end bound — the starting timestamp resolves to the earliest
+    // commit at or after it (v2 at ts 3000), the end defaults to the
+    // log's latest (v3, the dataChange=false compaction contributing
+    // nothing) — so the feed is exactly v2's deletes.
+    "x_delta_cdf_tail" -> ((s, d) => {
+      val dir = sharedDir("delta_cdf", d)(
+        graft.ops.TableFixtures.writeDeltaCdfTable(s, t(s, d, "documents"), "doc_id"))
+      graft.ops.DeltaLog.readChangesAt(s, dir, 2500L, None)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("_change_type"), col("_commit_version"), col("_commit_timestamp"))
+    }),
+
     // Iceberg v1 manifests (round 14): one spec-schema manifest_entry
     // Avro container per document (written by the in-repo from-spec
     // Avro codec, decoded by the same reader the `iceberg` source
@@ -2686,6 +2716,21 @@ object SparkEntry {
       graft.ops.Iceberg.readTable(s, dir, None,
         Some(col("bucket") === 1 || col("bucket") === 2))
         .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"))
+    }),
+
+    // Iceberg COLUMN-BOUNDS file skipping (round 17): the
+    // unpartitioned table's manifest entries carry real Appendix-D
+    // lower/upper bounds per column; a doc_id range predicate opens
+    // ONLY the overlapping quartile file (scan-files-asserted in
+    // IcebergSpec) while the result equals the full-scan filter.
+    "x_iceberg_skip" -> ((s, d) => {
+      val dir = sharedDir("iceberg_skip", d)(
+        graft.ops.TableFixtures.writeIcebergSkipTable(s, t(s, d, "documents"), "doc_id"))
+      val maxId = t(s, d, "documents")
+        .agg(max(col("doc_id").cast("long"))).head().getLong(0)
+      graft.ops.Iceberg.readTable(s, dir, None,
+        Some(col("doc_id") > maxId / 2 && col("doc_id") <= 3 * maxId / 4))
+        .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
     // Iceberg TIMESTAMP travel (round 16): the v2 table's
@@ -6680,6 +6725,23 @@ object SparkEntry {
              CAST(2 AS BIGINT), CAST(3000 AS BIGINT)
       FROM documents WHERE doc_id % 2 = 1""",
 
+    // delta data skipping: the pruned read equals the full-scan
+    // filter — bucket 1, ids at or under half the max
+    "x_delta_prune" -> """
+      SELECT doc_id, source, n_chars, CAST(doc_id % 2 AS VARCHAR) AS bucket
+      FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)""",
+
+    // delta open-ended cdf: start ts 2500 resolves to v2 (ts 3000),
+    // the end bound defaults to the latest commit (v3 contributes
+    // nothing) — the feed is v2's bucket-1 deletes
+    "x_delta_cdf_tail" -> """
+      SELECT doc_id, source, n_chars, 'delete' AS _change_type,
+             CAST(2 AS BIGINT) AS _commit_version,
+             CAST(3000 AS BIGINT) AS _commit_timestamp
+      FROM documents WHERE doc_id % 2 = 1""",
+
     // iceberg v2 position deletes: survivors of the planted id%7==0
     // delete rule, applied across all four bucket files
     "x_iceberg_v2" -> """
@@ -6694,6 +6756,13 @@ object SparkEntry {
     // entries (snapshot 0 at 1000, snapshot 1 at 2000) → snapshot 0
     "x_iceberg_at_ts" -> """
       SELECT doc_id, source, n_chars FROM documents""",
+
+    // iceberg column-bounds skipping: the doc_id range replays
+    // exactly (third quartile of the id space)
+    "x_iceberg_skip" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id > (SELECT max(doc_id) // 2 FROM documents)
+        AND doc_id <= (SELECT (3 * max(doc_id)) // 4 FROM documents)""",
 
     // iceberg partition pruning: the bucket predicate replays exactly
     "x_iceberg_prune" -> """

@@ -478,6 +478,104 @@ object DeltaLog {
           "would exhaust driver memory — raise graft.delta.maxFiles to override")
   }
 
+  /** Stats-comparable top-level types for file skipping: floats and
+    * doubles are deliberately EXCLUDED (files containing NaN have
+    * writer-dependent min/max conventions — pruning on them risks
+    * dropping matching rows), as are binary and complex types. */
+  private def statsComparable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType | TimestampNTZType | BooleanType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** DATA SKIPPING (round 17, mirroring the Iceberg manifest pruning):
+    * compile the user predicate into a per-file KEEP filter over
+    * (partitionValues map, add.stats JSON string) columns — usable on
+    * whatever frame carries them (the cluster-side checkpoint merge or
+    * the driver-bounded JSON-path manifest frame).
+    *
+    *  - PARTITION conjuncts (references ⊆ partition columns): each
+    *    reference substitutes the file's own partition value — a
+    *    per-file CONSTANT under Delta's semantics, so evaluation is
+    *    exact, and a NULL result means every row of the file fails
+    *    the row filter → prune;
+    *  - remaining conjuncts go to the [[ZoneMap]] min/max skipper over
+    *    the stats JSON parsed BY THE TABLE SCHEMA's types (no schema →
+    *    no stats skipping — string-ordered comparisons of numeric
+    *    stats would be wrong). Stats keys follow the log's convention:
+    *    PHYSICAL column names under column mapping.
+    *
+    * Pruning is an optimization only — [[readTable]] re-applies the
+    * predicate to the scanned rows — so unknowns keep the file. */
+  private def skipFilter(pred: Column, pcols: Seq[String],
+      physOf: Map[String, String], schema: Option[StructType]):
+      (Column, Column) => Column = { (pvCol, statsCol) =>
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val predExpr = ZoneMap.normalize(ColumnBridge.convertedExpression(pred))
+    val pcolSet = pcols.toSet
+    val (partCs, dataCs) = ZoneMap.conjuncts(predExpr).partition { c =>
+      val refs = ZoneMap.attrNames(c)
+      refs.nonEmpty && refs.subsetOf(pcolSet) && !ZoneMap.unsafeForPruning(c)
+    }
+    val partKeep: Column = partCs.map { c =>
+      val sub: Expression = c.transformUp {
+        case a: UnresolvedAttribute if pcolSet(a.name) =>
+          ColumnBridge.convertedExpression(pvCol.getItem(physOf.getOrElse(a.name, a.name)))
+      }
+      coalesce(ColumnBridge.column(sub), lit(false))
+    }.foldLeft(lit(true))(_ && _)
+    val statsFields: Seq[StructField] = schema
+      .map(_.fields.toSeq.filter(f => !pcolSet(f.name) && statsComparable(f.dataType)))
+      .getOrElse(Seq.empty)
+    val statsKeep: Column =
+      if (statsFields.isEmpty || dataCs.isEmpty) lit(true)
+      else {
+        val pn: Map[String, String] =
+          statsFields.map(f => f.name -> physOf.getOrElse(f.name, f.name)).toMap
+        val sSchema = StructType(Seq(
+          StructField("numRecords", LongType),
+          StructField("minValues",
+            StructType(statsFields.map(f => StructField(pn(f.name), f.dataType)))),
+          StructField("maxValues",
+            StructType(statsFields.map(f => StructField(pn(f.name), f.dataType)))),
+          StructField("nullCount",
+            StructType(statsFields.map(f => StructField(pn(f.name), LongType))))))
+        val st = from_json(statsCol, sSchema)
+        val byName: Map[String, ZoneMap.ColStats] = statsFields.map(f =>
+          f.name -> ZoneMap.ColStats(
+            st("minValues")(pn(f.name)), st("maxValues")(pn(f.name)),
+            Some(st("nullCount")(pn(f.name))), Some(st("numRecords")))).toMap
+        dataCs.map(c => ZoneMap.mayMatch(c, byName.get)).foldLeft(lit(true))(_ && _)
+      }
+    partKeep && statsKeep
+  }
+
+  /** JSON-path pruning: the driver already holds the (log-bounded,
+    * capped) add list — evaluate the keep filter through a small
+    * DataFrame so Catalyst semantics match the cluster path exactly.
+    * Everything-pruned keeps one schema-carrier file (the Iceberg
+    * rule): the scan keeps the table's schema, the row filter then
+    * yields zero rows. */
+  private def pruneAddsDriver(spark: SparkSession, adds: Seq[AddFile],
+      keep: (Column, Column) => Column): Seq[AddFile] = {
+    if (adds.isEmpty) return adds
+    val schema = StructType(Seq(
+      StructField("__idx", IntegerType),
+      StructField("__pv", MapType(StringType, StringType)),
+      StructField("__stats", StringType)))
+    val rows = adds.zipWithIndex.map { case (f, i) =>
+      Row(i, f.partitionValues, f.stats.orNull)
+    }
+    val kept = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .where(keep(col("__pv"), col("__stats")))
+      .select(col("__idx")).collect().map(_.getInt(0)).toSet
+    val out = adds.zipWithIndex.collect { case (f, i) if kept(i) => f }
+    if (out.nonEmpty) out else Seq(adds.minBy(_.path))
+  }
+
   /** Distributed ACTIVE-file materialization for the checkpoint path
     * of [[readTable]]: the canonical action stream (checkpoint rows at
     * version ≤ every tail commit, plus the parsed tail) reduces to the
@@ -485,8 +583,12 @@ object DeltaLog {
     * — the same rule as [[replay]] — so the driver never holds the
     * checkpoint's add rows, only the FINAL active list, and that list
     * is capped via `limit(cap+1)` with a named refusal past it.
+    * The data-skipping keep filter applies CLUSTER-SIDE here, before
+    * the collect — stats strings still never reach the driver, and a
+    * pruned list lands further under the cap.
     * Malformed checkpoint file rows refuse before the merge. */
-  private def collectActiveAdds(spark: SparkSession, norm: DataFrame): Seq[AddFile] = {
+  private def collectActiveAdds(spark: SparkSession, norm: DataFrame,
+      keep: Option[(Column, Column) => Column] = None): Seq[AddFile] = {
     val dvBad = (dv: Column) => dv.isNotNull && dv("storageType").isNotNull &&
       (dv("pathOrInlineDv").isNull || dv("sizeInBytes").isNull)
     if (!norm.where(
@@ -504,13 +606,13 @@ object DeltaLog {
             col("add.path").as("path"), lit(true).as("is_add"),
             col("add.size").as("size"), col("add.modificationTime").as("mod"),
             col("add.partitionValues").as("pv"),
-            col("add.stats").isNotNull.as("has_stats"),
+            col("add.stats").as("stats"),
             dvUid(col("add.deletionVector")).as("dvuid"),
             col("add.deletionVector").as("dv")),
           struct(lit(1).as("sub"), col("remove").isNotNull.as("valid"),
             col("remove.path").as("path"), lit(false).as("is_add"),
             lit(null).cast(LongType).as("size"), lit(null).cast(LongType).as("mod"),
-            emptyPv.as("pv"), lit(false).as("has_stats"),
+            emptyPv.as("pv"), lit(null).cast(StringType).as("stats"),
             dvUid(col("remove.deletionVector")).as("dvuid"),
             lit(null).cast(dvType).as("dv"))
         ), x => x("valid"))).as("act"))
@@ -520,13 +622,24 @@ object DeltaLog {
       .agg(max_by(
         struct(col("act.is_add").as("is_add"), col("act.size").as("size"),
           col("act.mod").as("mod"), col("act.pv").as("pv"),
-          col("act.has_stats").as("has_stats"), col("act.dv").as("dv")),
+          col("act.stats").as("stats"), col("act.dv").as("dv")),
         struct(col("__v"), col("__ln"), col("act.sub"))).as("last"))
       .where(col("last.is_add"))
       .select(col("path"), col("last.size"), col("last.mod"), col("last.pv"),
-        col("last.has_stats"), col("last.dv"))
+        col("last.stats").isNotNull.as("has_stats"), col("last.dv"),
+        col("last.stats").as("__stats"))
+    // the keep filter runs HERE, cluster-side, then the stats string
+    // projects away — only (capped) paths + presence markers collect
+    val filtered = keep match {
+      case Some(k) => last.where(k(col("pv"), col("__stats"))).drop("__stats")
+      case None => last.drop("__stats")
+    }
     val cap = maxFilesOf(spark)
-    val rows = last.limit(cap + 1).collect()
+    val rows0 = filtered.limit(cap + 1).collect()
+    // everything-pruned: keep one schema-carrier file (rows then
+    // filter to zero) so the scan keeps the table's schema
+    val rows = if (rows0.isEmpty && keep.isDefined)
+      last.drop("__stats").orderBy(col("path")).limit(1).collect() else rows0
     capFiles(spark, rows.length)
     rows.toSeq.map { r =>
       val dv = if (r.isNullAt(5)) None else {
@@ -597,7 +710,28 @@ object DeltaLog {
     * deletion-vector file actions in a version without cdc files
     * (synthesis would misread DV deletes). */
   def readChanges(spark: SparkSession, tableDir: String,
-      startVersion: Long, endVersion: Long): DataFrame = {
+      startVersion: Long, endVersion: Long): DataFrame =
+    readChanges(spark, tableDir, startVersion, Some(endVersion))
+
+  /** The version of the LAST commit JSON under `_delta_log`; refuses
+    * when there is none. Open-ended CDF reads ("changes since X")
+    * resolve their end bound here. */
+  private def latestVersion(tableDir: String): Long = {
+    val dir = new java.io.File(tableDir, "_delta_log")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val vs = files.flatMap(f => versionOf(f.getName))
+    if (vs.isEmpty)
+      throw new graft.GraftAnalysisException(
+        s"delta: no commits under $tableDir/_delta_log")
+    vs.max
+  }
+
+  /** OPEN-ENDED CDF (round 17): `endVersion = None` reads "changes
+    * since `startVersion`" up to the log's current latest commit —
+    * the incremental-consumer tail pattern. */
+  def readChanges(spark: SparkSession, tableDir: String,
+      startVersion: Long, endVersionOpt: Option[Long]): DataFrame = {
+    val endVersion = endVersionOpt.getOrElse(latestVersion(tableDir))
     if (startVersion < 0)
       throw new graft.GraftAnalysisException(s"delta: start version $startVersion is negative")
     if (endVersion < startVersion)
@@ -742,6 +876,44 @@ object DeltaLog {
     arms.reduce(_ unionByName _)
   }
 
+  /** The surviving commits' MONOTONIC effective timestamps — the same
+    * rule timestamp travel uses (commitInfo.inCommitTimestamp, else
+    * commitInfo.timestamp, else file mtime; each at least its
+    * predecessor's + 1 ms). */
+  private def monotonicStamps(tableDir: String): Seq[(Long, Long)] = {
+    val dir = new java.io.File(tableDir, "_delta_log")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val commits = files.toSeq.flatMap(f => versionOf(f.getName).map(v => (v, f))).sortBy(_._1)
+    var prev = Long.MinValue
+    commits.map { case (v, f) =>
+      val t0 = commitInfoTs(f).getOrElse(f.lastModified())
+      val t = if (prev == Long.MinValue) t0 else math.max(t0, prev + 1)
+      prev = t
+      (v, t)
+    }
+  }
+
+  /** CDF by STARTING TIMESTAMP (round 17): resolve the start bound to
+    * the EARLIEST surviving commit whose effective monotonic timestamp
+    * is ≥ the target — the protocol's startingTimestamp rule for
+    * change feeds (the first commit at or after the instant) — then
+    * read changes to `endVersionOpt` (None = latest). A timestamp past
+    * the last commit refuses by name: there are no changes to serve,
+    * and silently returning an empty feed would hide a mis-aimed
+    * consumer. */
+  def readChangesAt(spark: SparkSession, tableDir: String,
+      startTsMillis: Long, endVersionOpt: Option[Long]): DataFrame = {
+    val stamped = monotonicStamps(tableDir)
+    if (stamped.isEmpty)
+      throw new graft.GraftAnalysisException(
+        s"delta: no commits under $tableDir/_delta_log")
+    val start = stamped.find(_._2 >= startTsMillis).getOrElse(
+      throw new graft.GraftAnalysisException(
+        s"delta: starting timestamp $startTsMillis is after the last commit " +
+          s"(version ${stamped.last._1} at ${stamped.last._2}); no changes exist at or after it"))._1
+    readChanges(spark, tableDir, start, endVersionOpt)
+  }
+
   /** The first commitInfo timestamp of a commit file: the in-commit
     * timestamp when present (that feature's precedence), else the
     * wall-clock `timestamp`. */
@@ -772,7 +944,13 @@ object DeltaLog {
     * target before the first surviving commit's timestamp refuses —
     * a vacuumed history cannot be timestamp-resolved, and the
     * version-travel path then enforces replay contiguity. */
-  def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame = {
+  def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame =
+    readTableAt(spark, tableDir, tsMillis, None)
+
+  /** [[readTableAt]] with the data-skipping predicate threaded
+    * through (see the filtered [[readTable]]). */
+  def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long,
+      pruneWhere: Option[Column]): DataFrame = {
     val dir = new java.io.File(tableDir, "_delta_log")
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
     val commits = files.toSeq.flatMap(f => versionOf(f.getName).map(v => (v, f))).sortBy(_._1)
@@ -790,7 +968,7 @@ object DeltaLog {
         s"delta: timestamp $tsMillis precedes the first available commit " +
           s"(version ${stamped.head._1} at ${stamped.head._2}); no replayable state existed")
     val version = stamped.takeWhile(_._2 <= tsMillis).last._1
-    readTable(spark, tableDir, Some(version))
+    readTable(spark, tableDir, Some(version), pruneWhere)
   }
 
   /** TIME TRAVEL (round 15 continuation): read the table AS OF
@@ -801,7 +979,20 @@ object DeltaLog {
     * (vacuumed JSONs with no usable checkpoint) refuses rather than
     * silently replaying a partial state. */
   def readTable(spark: SparkSession, tableDir: String,
-      versionAsOf: Option[Long]): DataFrame = {
+      versionAsOf: Option[Long]): DataFrame =
+    readTable(spark, tableDir, versionAsOf, None)
+
+  /** [[readTable]] with DATA SKIPPING (round 17): `pruneWhere` is a
+    * predicate over the table's columns, applied BOTH file-level at
+    * the log replay — partition conjuncts prune exactly against each
+    * add's partitionValues, the rest min/max-skip against the
+    * add-action `stats` JSON ([[skipFilter]]) — and to the scanned
+    * rows, so the result equals `readTable(...).where(pruneWhere)`
+    * while opening only files that may match. At 100 TB this is what
+    * turns a date-filtered read of a partitioned table into opening
+    * that date's files instead of all of them. */
+  def readTable(spark: SparkSession, tableDir: String,
+      versionAsOf: Option[Long], pruneWhere: Option[Column]): DataFrame = {
     val dir = new java.io.File(tableDir, "_delta_log")
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
     val lastCp: Option[(Long, Option[Int])] =
@@ -919,6 +1110,37 @@ object DeltaLog {
       case Left(reason) => throw new graft.GraftAnalysisException(
         s"delta: $reason (log at $tableDir/_delta_log)")
     }
+    // column-mapping facts and the (tolerantly parsed) table schema
+    // are needed BEFORE the file list materializes: data skipping
+    // keys stats by physical name and parses them by schema type
+    val cmMode0 = snapBase.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val logicalSchema: Option[StructType] =
+      if (cmMode0 == "none") None
+      else DataType.fromJson(Option(snapBase.schemaJson).getOrElse(
+          throw new graft.GraftAnalysisException(
+            "delta: column mapping without a schemaString"))) match {
+        case st: StructType => Some(st)
+        case _ => throw new graft.GraftAnalysisException(
+          "delta: schemaString is not a struct")
+      }
+    def physicalName(f: StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    // mode none: parse the schema TOLERANTLY for stats typing only
+    // (fixtures and minimal writers carry schemaString "{}")
+    val statsSchema: Option[StructType] = logicalSchema.orElse(
+      Option(snapBase.schemaJson).flatMap { js =>
+        try DataType.fromJson(js) match {
+          case st: StructType if st.fields.nonEmpty => Some(st)
+          case _ => None
+        } catch { case _: Exception => None }
+      })
+    val physOfAll: Map[String, String] = statsSchema
+      .map(_.fields.map(f => f.name -> physicalName(f)).toMap)
+      .getOrElse(Map.empty)
+    val keep: Option[(Column, Column) => Column] = pruneWhere.map(p =>
+      skipFilter(p, snapBase.partitionColumns, physOfAll, statsSchema))
     // the FILE list: with a checkpoint, merged cluster-side (the
     // checkpoint action rows + the parsed tail reduce by one max_by)
     // so the driver only ever holds the capped FINAL active list;
@@ -930,10 +1152,13 @@ object DeltaLog {
         import spark.implicits._
         val tail = parseCommitsNorm(
           spark.createDataset(commits).toDF("version", "content"))
-        collectActiveAdds(spark, norm.unionByName(tail))
+        collectActiveAdds(spark, norm.unionByName(tail), keep)
       case None =>
         capFiles(spark, snapBase.files.size)
-        snapBase.files
+        keep match {
+          case Some(k) => pruneAddsDriver(spark, snapBase.files, k)
+          case None => snapBase.files
+        }
     }).sortBy(f => (f.path, f.dv.map(_.uniqueId).getOrElse("")))
     val snap = snapBase.copy(files = activeAdds)
     if (snap.files.isEmpty)
@@ -955,20 +1180,7 @@ object DeltaLog {
     // heterogeneous per-file layouts refuse — a single shared scan
     // cannot re-project per file, and silently merging by name is
     // exactly the bug id mode exists to prevent.
-    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    val logicalSchema: Option[StructType] =
-      if (cmMode == "none") None
-      else DataType.fromJson(Option(snap.schemaJson).getOrElse(
-          throw new graft.GraftAnalysisException(
-            "delta: column mapping without a schemaString"))) match {
-        case st: StructType => Some(st)
-        case _ => throw new graft.GraftAnalysisException(
-          "delta: schemaString is not a struct")
-      }
-    def physicalName(f: StructField): String =
-      if (f.metadata.contains("delta.columnMapping.physicalName"))
-        f.metadata.getString("delta.columnMapping.physicalName")
-      else f.name
+    val cmMode = cmMode0 // declared above (data skipping needs it early)
     // id mode: parquet name per logical DATA field via footer field
     // ids (partition columns never live in the files — they keep the
     // physicalName metadata route either way)
@@ -1063,7 +1275,7 @@ object DeltaLog {
       }.drop("__graft_matched")
     }
     if (needDv || pcols.nonEmpty) cur = cur.drop("__graft_file_key")
-    logicalSchema match {
+    val out = logicalSchema match {
       case None => cur
       case Some(st) =>
         val pset = pcols.toSet
@@ -1093,5 +1305,7 @@ object DeltaLog {
         // from the log as strings, appended after the data columns
         cur.select(dataCols ++ pcols.map(c => col(s"`$c`")): _*)
     }
+    // pruning is the optimization; the ROW filter is the semantics
+    pruneWhere.map(out.where).getOrElse(out)
   }
 }

@@ -52,7 +52,11 @@ object Iceberg {
   final case class Entry(status: Int, path: String, format: String,
       recordCount: Long, fileSizeBytes: Long, content: Int = 0,
       sequenceNumber: Option[Long] = None, equalityIds: Seq[Int] = Seq.empty,
-      partition: Map[String, Any] = Map.empty)
+      partition: Map[String, Any] = Map.empty,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty,
+      valueCounts: Map[Int, Long] = Map.empty)
   final case class Snapshot(id: Long, manifestList: Option[String], manifests: Seq[String])
   /** One top-level field of the current schema: `tpe` is the Iceberg
     * type string for primitives ("long", "string", "decimal(9,2)" …)
@@ -249,6 +253,33 @@ object Iceberg {
             }.toMap
             case _ => Map.empty
           }
+        // the spec's per-column maps (column id → value): real
+        // manifests serialize them as the k/v-array convention
+        // (array<record{key:int, value:…}>), string-keyed Avro maps
+        // tolerated too; undecodable shapes just leave the file
+        // un-prunable, never wrong
+        val lbi = dn.indexOf("lower_bounds")
+        val ubi = dn.indexOf("upper_bounds")
+        val nci = dn.indexOf("null_value_counts")
+        val vci = dn.indexOf("value_counts")
+        def intKeyed[A](df: Row, idx: Int)(conv: Any => Option[A]): Map[Int, A] =
+          if (idx < 0 || df.isNullAt(idx)) Map.empty
+          else df.get(idx) match {
+            case kvs: scala.collection.Seq[_] => kvs.iterator.flatMap {
+              case r: Row if r.length >= 2 && !r.isNullAt(0) && !r.isNullAt(1) =>
+                for (k <- asLong(r.get(0)); v <- conv(r.get(1))) yield k.toInt -> v
+              case _ => None
+            }.toMap
+            case m: scala.collection.Map[_, _] => m.iterator.flatMap { case (k, v) =>
+              for (ki <- scala.util.Try(k.toString.trim.toInt).toOption;
+                   vv <- conv(v)) yield ki -> vv
+            }.toMap
+            case _ => Map.empty
+          }
+        val asBytes: Any => Option[Array[Byte]] = {
+          case b: Array[Byte] => Some(b)
+          case _ => None
+        }
         if (pi < 0 || fi < 0 || rci < 0 || fsi < 0) return None
         Some(rows.flatMap {
           case r: Row if !r.isNullAt(si) && !r.isNullAt(di) =>
@@ -269,7 +300,9 @@ object Iceberg {
                   s.flatMap(x => asLong(x).map(_.toInt)).toSeq
                 case _ => Seq.empty
               },
-              partitionOf(df))
+              partitionOf(df),
+              intKeyed(df, lbi)(asBytes), intKeyed(df, ubi)(asBytes),
+              intKeyed(df, nci)(asLong), intKeyed(df, vci)(asLong))
           case _ => None
         })
       }
@@ -446,6 +479,48 @@ object Iceberg {
       .toDF("id", "payload")
   }
 
+  /** Appendix D single-value encode for LONG bounds (the fixture
+    * writer's needs; [[decodeBound]] is the general reader). */
+  def encodeBoundLong(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  /** Fixture schema carrying the spec's per-column stats maps in the
+    * k/v-array convention real manifests use: lower/upper bounds
+    * (column id → Appendix D bytes), null_value_counts and
+    * value_counts (column id → long). */
+  private val manifestSchemaBoundsJson: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"lower_bounds","type":["null",{"type":"array","items":
+      |{"type":"record","name":"k126","fields":[{"name":"key","type":"int"},
+      |{"name":"value","type":"bytes"}]}}],"default":null},
+      |{"name":"upper_bounds","type":["null",{"type":"array","items":"k126"}],"default":null},
+      |{"name":"null_value_counts","type":["null",{"type":"array","items":
+      |{"type":"record","name":"k121","fields":[{"name":"key","type":"int"},
+      |{"name":"value","type":"long"}]}}],"default":null},
+      |{"name":"value_counts","type":["null",{"type":"array","items":"k121"}],"default":null}]}}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** Write a manifest whose entries carry column bounds + counts from
+    * [[Entry.lowerBounds]]/[[Entry.upperBounds]]/[[Entry.nullCounts]]/
+    * [[Entry.valueCounts]] (empty map → the null union branch). */
+  def writeManifestBounds(entries: Seq[Entry], syncSeed: String): Array[Byte] = {
+    def kv[A](m: Map[Int, A]): Any =
+      if (m.isEmpty) null
+      else m.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    Avro.writeContainer(manifestSchemaBoundsJson, "deflate",
+      entries.iterator.map(e =>
+        Row(e.status, Row(e.path, e.format, e.recordCount, e.fileSizeBytes,
+          kv(e.lowerBounds), kv(e.upperBounds), kv(e.nullCounts), kv(e.valueCounts)))),
+      syncSeed)
+  }
+
   private def refuse(msg: String): Nothing =
     throw new graft.GraftAnalysisException(s"iceberg: $msg")
 
@@ -545,6 +620,109 @@ object Iceberg {
       case (e, i) if keptIdx(i) => e }
     if (out.nonEmpty) out
     else Seq(active.minBy(_.path)) // schema carrier; rows filter to zero
+  }
+
+  /** Iceberg spec Appendix D "single-value binary serialization"
+    * decode for the bound types this pruner compares: ints/longs/
+    * dates/timestamps little-endian, strings UTF-8, decimals
+    * big-endian unscaled. Floats/doubles are deliberately NOT
+    * compared (NaN-carrying files have writer-dependent bounds —
+    * the same exclusion as the Delta stats skipper); binary/uuid/
+    * fixed have no useful ordering here. None = not comparable →
+    * the file keeps. */
+  private[graft] def decodeBound(tpe: String, bytes: Array[Byte]): Option[Any] = {
+    def le(n: Int): Option[java.nio.ByteBuffer] =
+      if (bytes.length < n) None
+      else Some(java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+    tpe match {
+      case "boolean" => bytes.headOption.map(_ != 0)
+      case "int" => le(4).map(_.getInt: java.lang.Integer)
+      case "long" => le(8).map(_.getLong: java.lang.Long)
+      case "date" => le(4).map(b => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(b.getInt.toLong)))
+      case "timestamptz" => le(8).map { b =>
+        val us = b.getLong
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      }
+      case "timestamp" => le(8).map { b =>
+        val us = b.getLong
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      }
+      case "string" => Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      case s if s.startsWith("decimal(") && s.endsWith(")") =>
+        s.substring(8, s.length - 1).split(",") match {
+          case Array(_, sc) =>
+            try Some(new java.math.BigDecimal(
+              new java.math.BigInteger(bytes), sc.trim.toInt))
+            catch { case _: Exception => None }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** COLUMN-BOUNDS FILE SKIPPING (round 17): evaluate the non-
+    * partition conjuncts of the read predicate against each active
+    * entry's `lower_bounds`/`upper_bounds` (+ `null_value_counts`/
+    * `value_counts`) through the shared [[ZoneMap]] min/max rule —
+    * the manifest-level pruning the Iceberg spec records those maps
+    * FOR. A `WHERE ts BETWEEN …` over an unpartitioned 100 TB table
+    * opens only the files whose recorded ranges overlap.
+    *
+    * Conservative like everything in this layer: entries without
+    * decodable bounds keep, unsupported conjunct shapes keep,
+    * truncated string bounds are sound because lo ≤ true-min /
+    * hi ≥ true-max is all the rule uses. May return empty — the
+    * caller applies the schema-carrier rule after ALL pruning. */
+  private def boundsPruned(spark: SparkSession, active: Seq[Entry],
+      fields: Seq[SchemaField],
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[Entry] = {
+    if (conjuncts.isEmpty || active.isEmpty) return active
+    val refd = conjuncts.flatMap(ZoneMap.attrNames).toSet
+    val cols: Seq[(SchemaField, org.apache.spark.sql.types.DataType)] =
+      fields.filter(f => refd(f.name))
+        .flatMap(f => sparkTypeOf(f.tpe).map(f -> _))
+        .filter { case (f, _) => decodableBoundType(f.tpe) }
+    if (cols.isEmpty) return active
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, LongType}
+    val schema = StructType(StructField("__graft_idx", IntegerType) +:
+      cols.flatMap { case (f, dt) => Seq(
+        StructField(s"${f.name}__lo", dt), StructField(s"${f.name}__hi", dt),
+        StructField(s"${f.name}__nc", LongType), StructField(s"${f.name}__vc", LongType))
+      })
+    val rows = active.zipWithIndex.map { case (e, i) =>
+      Row.fromSeq(i +: cols.flatMap { case (f, _) => Seq(
+        e.lowerBounds.get(f.id).flatMap(decodeBound(f.tpe, _)).orNull,
+        e.upperBounds.get(f.id).flatMap(decodeBound(f.tpe, _)).orNull,
+        e.nullCounts.get(f.id).map(Long.box).orNull,
+        e.valueCounts.get(f.id).map(Long.box).orNull)
+      })
+    }
+    val statsOf: String => Option[ZoneMap.ColStats] = name =>
+      cols.find(_._1.name == name).map { case (f, _) =>
+        ZoneMap.ColStats(col(s"`${f.name}__lo`"), col(s"`${f.name}__hi`"),
+          Some(col(s"`${f.name}__nc`")), Some(col(s"`${f.name}__vc`")))
+      }
+    val keep = conjuncts.map(c => ZoneMap.mayMatch(c, statsOf)).reduce(_ && _)
+    val keptIdx: Set[Int] =
+      try spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .where(keep).select(col("__graft_idx"))
+        .collect().map(_.getInt(0)).toSet
+      catch {
+        // incomparable coercions etc.: not a pruning predicate — keep
+        case _: org.apache.spark.sql.AnalysisException => return active
+      }
+    active.zipWithIndex.collect { case (e, i) if keptIdx(i) => e }
+  }
+
+  /** Bound types [[decodeBound]] can order; floats/doubles excluded
+    * (NaN), containers/binary/uuid have no comparison here. */
+  private def decodableBoundType(tpe: String): Boolean = tpe match {
+    case "boolean" | "int" | "long" | "date" | "timestamp" | "timestamptz" |
+         "string" => true
+    case s => s.startsWith("decimal(")
   }
 
   /** FIELD-ID data scan — the Iceberg spec's column-resolution rule.
@@ -767,9 +945,31 @@ object Iceberg {
       refuse(s"snapshot $cur has more than $maxFiles active data files; the " +
         "scan-path list would exhaust driver memory — raise " +
         "graft.iceberg.maxFiles to override")
+    // pruning ladder: split the predicate into top-level conjuncts —
+    // pure identity-partition conjuncts prune exactly against the
+    // manifest tuples, the rest min/max-skip against the manifests'
+    // column bounds; unsafe conjuncts (nondeterministic, subqueries)
+    // prune nothing. The row filter below re-applies the whole
+    // predicate either way.
     val active = partitionFilter match {
       case None => activeAll
-      case Some(p) => prunedActive(spark, activeAll, meta.identityPartitionNames, p)
+      case Some(p) =>
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.And
+        val cs = ZoneMap.conjuncts(ZoneMap.normalize(ColumnBridge.convertedExpression(p)))
+        val (partCs, rest) = cs.partition { c =>
+          val refs = ZoneMap.attrNames(c)
+          refs.nonEmpty && refs.subsetOf(meta.identityPartitionNames) &&
+            !ZoneMap.unsafeForPruning(c)
+        }
+        val afterPart =
+          if (partCs.isEmpty) activeAll
+          else prunedActive(spark, activeAll, meta.identityPartitionNames,
+            ColumnBridge.column(partCs.reduce(And)))
+        val afterBounds = boundsPruned(spark, afterPart, meta.schemaFields,
+          rest.filterNot(ZoneMap.unsafeForPruning))
+        if (afterBounds.nonEmpty) afterBounds
+        else Seq(activeAll.minBy(_.path)) // schema carrier; rows filter to zero
     }
     active.find(_.content != 0).foreach(e =>
       refuse(s"delete file ${e.path} listed in a data manifest"))

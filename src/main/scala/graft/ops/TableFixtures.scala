@@ -276,6 +276,66 @@ object TableFixtures {
     dir.getAbsolutePath
   }
 
+  /** Build a PARTITIONED Delta table with REAL per-file stats for the
+    * data-skipping gate: partition column `bucket` = doc_id % 2 (in
+    * partitionValues only — the Delta convention keeps partition
+    * columns out of the files), and within each partition TWO files
+    * split at `cut` = max(doc_id)/2 (part-b<k>-lo = ids ≤ cut,
+    * part-b<k>-hi = ids > cut). Every add action carries a stats JSON
+    * with the file's true numRecords / minValues / maxValues /
+    * nullCount for doc_id and n_chars, plus a real schemaString — so
+    * a `bucket = 1 AND doc_id <= cut` read must open exactly ONE of
+    * the four files. */
+  def writeDeltaPartTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-part").toFile
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars").cast("long").as("n_chars"))
+      .where(col("doc_id").isNotNull)
+    val cut = data.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val splits: Seq[(String, String, org.apache.spark.sql.Column)] = Seq(
+      ("part-b0-lo.parquet", "0", pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") <= cut),
+      ("part-b0-hi.parquet", "0", pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") > cut),
+      ("part-b1-lo.parquet", "1", pmod(col("doc_id"), lit(2)) === 1 && col("doc_id") <= cut),
+      ("part-b1-hi.parquet", "1", pmod(col("doc_id"), lit(2)) === 1 && col("doc_id") > cut))
+    val adds: Seq[String] = splits.flatMap { case (name, bucket, pred) =>
+      val part = data.where(pred).sort("doc_id")
+      if (part.isEmpty) None else Some {
+      singleParquet(part, new java.io.File(dir, name))
+      val st = part.agg(count(lit(1)), min("doc_id"), max("doc_id"),
+        min("n_chars"), max("n_chars"),
+        sum(col("n_chars").isNull.cast("long"))).head()
+      val statsJson = JsonMethods.compact(JsonMethods.render(
+        ("numRecords" -> st.getLong(0)) ~
+          ("minValues" -> (("doc_id" -> st.getLong(1)) ~ ("n_chars" -> st.getLong(3)))) ~
+          ("maxValues" -> (("doc_id" -> st.getLong(2)) ~ ("n_chars" -> st.getLong(4)))) ~
+          ("nullCount" -> (("doc_id" -> 0L) ~ ("n_chars" -> st.getLong(5))))))
+      JsonMethods.compact(JsonMethods.render(
+        ("add" -> (("path" -> name) ~
+          ("partitionValues" -> Map("bucket" -> bucket)) ~
+          ("size" -> new java.io.File(dir, name).length()) ~
+          ("modificationTime" -> 0L) ~ ("dataChange" -> true) ~
+          ("stats" -> statsJson)))))
+      }
+    }
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType))).json
+    val metaLine = JsonMethods.compact(JsonMethods.render(
+      ("metaData" -> (("id" -> "x-delta-part") ~
+        ("schemaString" -> schemaJson) ~
+        ("partitionColumns" -> List("bucket"))))))
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      ((metaLine +: """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +: adds)
+        .mkString("\n")).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+
   // ---------------------------------------------------------------
   // Iceberg: format-version 2 with position deletes
   // ---------------------------------------------------------------
@@ -434,6 +494,67 @@ object TableFixtures {
          |{"id":4,"name":"bucket","required":false,"type":"long"}]}],
          |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[
          |{"name":"bucket","transform":"identity","source-id":4,"field-id":1000}]}],
+         |"current-snapshot-id":1,"snapshots":[
+         |{"snapshot-id":1,"manifest-list":"$loc/metadata/snap-1.avro"}]}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.getAbsolutePath
+  }
+
+  /** Build an UNPARTITIONED Iceberg table for the column-bounds
+    * skipping gate: four data files split by contiguous doc_id
+    * quartiles (cuts at max/4, max/2, 3·max/4), each manifest entry
+    * carrying REAL `lower_bounds`/`upper_bounds` (Appendix D
+    * little-endian longs) plus `null_value_counts`/`value_counts`
+    * for doc_id (field 1) and n_chars (field 3). A doc_id range
+    * predicate must open only the overlapping quartile files. */
+  def writeIcebergSkipTable(spark: SparkSession, docs: DataFrame, idCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iceberg-skip").toFile
+    val loc = dir.getAbsolutePath
+    val data = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), col("n_chars").cast("long").as("n_chars"))
+      .where(col("doc_id").isNotNull)
+    val maxId = data.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 4, maxId / 2, 3 * maxId / 4)
+    val ranges: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("skip-q0.parquet", col("doc_id") <= cuts(0)),
+      ("skip-q1.parquet", col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      ("skip-q2.parquet", col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
+      ("skip-q3.parquet", col("doc_id") > cuts(2)))
+    val entries: Seq[Iceberg.Entry] = ranges.flatMap { case (name, pred) =>
+      val part = data.where(pred).sort("doc_id")
+      if (part.isEmpty) None else Some {
+        singleParquet(part, new java.io.File(dir, name))
+        val st = part.agg(count(lit(1)), min("doc_id"), max("doc_id"),
+          min("n_chars"), max("n_chars"),
+          sum(col("n_chars").isNull.cast("long")),
+          count(col("n_chars"))).head()
+        Iceberg.Entry(1, s"$loc/$name", "PARQUET", st.getLong(0),
+          new java.io.File(dir, name).length(),
+          lowerBounds = Map(
+            1 -> Iceberg.encodeBoundLong(st.getLong(1)),
+            3 -> Iceberg.encodeBoundLong(st.getLong(3))),
+          upperBounds = Map(
+            1 -> Iceberg.encodeBoundLong(st.getLong(2)),
+            3 -> Iceberg.encodeBoundLong(st.getLong(4))),
+          nullCounts = Map(1 -> 0L, 3 -> st.getLong(5)),
+          valueCounts = Map(1 -> st.getLong(0), 3 -> st.getLong(0)))
+      }
+    }
+    val metaDir = new java.io.File(dir, "metadata"); metaDir.mkdirs()
+    val m = Iceberg.writeManifestBounds(entries, "x-ib-skip")
+    java.nio.file.Files.write(new java.io.File(metaDir, "m-skip.avro").toPath, m)
+    val ml = Iceberg.writeManifestList(
+      Seq((s"$loc/metadata/m-skip.avro", m.length.toLong)), "x-ib-skip-ml")
+    java.nio.file.Files.write(new java.io.File(metaDir, "snap-1.avro").toPath, ml)
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"x-iceberg-skip","location":"$loc",
+         |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"doc_id","required":false,"type":"long"},
+         |{"id":2,"name":"source","required":false,"type":"string"},
+         |{"id":3,"name":"n_chars","required":false,"type":"long"}]}],
          |"current-snapshot-id":1,"snapshots":[
          |{"snapshot-id":1,"manifest-list":"$loc/metadata/snap-1.avro"}]}""".stripMargin
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,

@@ -85,23 +85,36 @@ object SourceReader {
     // `timestamp_as_of` (epoch ms) resolves through the monotonic
     // commit timestamps instead. Naming both refuses.
     // `changes = true` reads the CHANGE DATA FEED instead of the
-    // snapshot: rows between starting_version and ending_version
-    // (both required) with _change_type/_commit_version/
-    // _commit_timestamp appended.
+    // snapshot: the start bound is `starting_version` OR
+    // `starting_timestamp` (epoch ms, resolved to the earliest commit
+    // at or after it); `ending_version` is optional (absent = the
+    // log's latest — the incremental tail). Output rows carry
+    // _change_type/_commit_version/_commit_timestamp appended.
+    // `partition_where` (a SQL predicate) prunes the SNAPSHOT read at
+    // the log replay — partition conjuncts against partitionValues,
+    // the rest min/max-skipped against add.stats — and is re-applied
+    // to the rows.
     case "delta" if s.config.bool("changes").getOrElse(false) =>
-      def req(k: String): Long = s.config.long(k).getOrElse(
-        throw new graft.GraftAnalysisException(
-          s"delta: changes=true requires $k"))
-      graft.ops.DeltaLog.readChanges(spark, s.config.reqStr("path"),
-        req("starting_version"), req("ending_version"))
+      val path = s.config.reqStr("path")
+      val end = s.config.long("ending_version")
+      (s.config.long("starting_version"), s.config.long("starting_timestamp")) match {
+        case (Some(_), Some(_)) => throw new graft.GraftAnalysisException(
+          "delta: starting_version and starting_timestamp are mutually exclusive")
+        case (Some(sv), None) => graft.ops.DeltaLog.readChanges(spark, path, sv, end)
+        case (None, Some(ts)) => graft.ops.DeltaLog.readChangesAt(spark, path, ts, end)
+        case (None, None) => throw new graft.GraftAnalysisException(
+          "delta: changes=true requires starting_version or starting_timestamp")
+      }
 
     case "delta" =>
       val path = s.config.reqStr("path")
+      val pf = s.config.str("partition_where")
+        .map(org.apache.spark.sql.functions.expr)
       (s.config.long("version_as_of"), s.config.long("timestamp_as_of")) match {
         case (Some(_), Some(_)) => throw new graft.GraftAnalysisException(
           "delta: version_as_of and timestamp_as_of are mutually exclusive")
-        case (None, Some(ts)) => graft.ops.DeltaLog.readTableAt(spark, path, ts)
-        case (v, None) => graft.ops.DeltaLog.readTable(spark, path, v)
+        case (None, Some(ts)) => graft.ops.DeltaLog.readTableAt(spark, path, ts, pf)
+        case (v, None) => graft.ops.DeltaLog.readTable(spark, path, v, pf)
       }
 
     // Iceberg table snapshot: metadata-json → manifest-list →

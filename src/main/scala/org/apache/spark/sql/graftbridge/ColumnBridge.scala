@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The EAGER node-to-catalyst conversion: `expression` returns a
+    * lazy `ColumnNodeExpression` wrapper whose tree is opaque to
+    * pattern matching; structure-inspecting consumers (the zone-map
+    * pruner) need the converted tree — `expr("…")` strings parse here
+    * too (the SqlExpression node runs through the SQL parser). */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

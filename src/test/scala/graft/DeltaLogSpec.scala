@@ -787,4 +787,147 @@ class DeltaLogSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("nested struct column 's'"))
   }
+
+  // --- data skipping (round 17) ---
+
+  private def skipDocs = Seq(
+    (1L, "web", 10L), (2L, "web", 20L), (3L, "book", 30L),
+    (4L, "web", 40L), (5L, "book", 50L), (6L, "web", 60L),
+    (7L, "book", 70L), (8L, "web", 80L))
+    .toDF("doc_id", "source", "n_chars")
+  // cut = 8/2 = 4 → part-b0-lo {2,4}, part-b0-hi {6,8},
+  //                 part-b1-lo {1,3}, part-b1-hi {5,7}
+
+  private def openedNames(df: DataFrame): Set[String] =
+    df.inputFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+
+  test("data skipping: partition + stats conjuncts open exactly the matching file") {
+    val dir = graft.ops.TableFixtures.writeDeltaPartTable(spark, skipDocs, "doc_id")
+    val pred = col("bucket") === 1 && col("doc_id") <= 4
+    val pruned = DeltaLog.readTable(spark, dir, None, Some(pred))
+    assert(openedNames(pruned) == Set("part-b1-lo.parquet"))
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // the optimization contract: equals the full-scan filter
+    val full = DeltaLog.readTable(spark, dir).where(pred)
+    assert(pruned.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    // stats-only conjunct: n_chars range reaches two files (one per bucket)
+    val hi = DeltaLog.readTable(spark, dir, None, Some(col("n_chars") > 40L))
+    assert(openedNames(hi) == Set("part-b0-hi.parquet", "part-b1-hi.parquet"))
+    assert(hi.select("doc_id").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 7L, 8L))
+  }
+
+  test("data skipping keeps files when it cannot be sure; exact skips stay exact") {
+    val dir = graft.ops.TableFixtures.writeDeltaPartTable(spark, skipDocs, "doc_id")
+    // a column WITHOUT recorded stats (source is in the schema but
+    // the stats JSON carries no entry for it): every file opens, the
+    // row filter still applies
+    val noStats = DeltaLog.readTable(spark, dir, None, Some(col("source") === "book"))
+    assert(noStats.inputFiles.length == 4)
+    assert(noStats.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 5L, 7L))
+    // a mixed OR conjunct cannot split: conservative keep, exact rows
+    val mixed = DeltaLog.readTable(spark, dir, None,
+      Some(col("bucket") === 1 || col("n_chars") > 1000L))
+    assert(mixed.inputFiles.length == 4)
+    assert(mixed.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L, 7L))
+    // nondeterministic CONJUNCTS disable their own pruning (a
+    // per-file coin is not a per-row coin) — the deterministic
+    // conjunct beside them still prunes
+    val ndOnly = DeltaLog.readTable(spark, dir, None,
+      Some(org.apache.spark.sql.functions.expr("rand() >= 0.0")))
+    assert(ndOnly.inputFiles.length == 4)
+    val nd = DeltaLog.readTable(spark, dir, None,
+      Some(org.apache.spark.sql.functions.expr("rand() >= 0.0 AND doc_id <= 4")))
+    assert(openedNames(nd) == Set("part-b0-lo.parquet", "part-b1-lo.parquet"))
+    assert(nd.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // everything-pruned: one schema-carrier file, zero rows
+    val none = DeltaLog.readTable(spark, dir, None, Some(col("n_chars") > 1000L))
+    assert(none.inputFiles.length == 1)
+    assert(none.count() == 0)
+    // nullCount is real: IS NULL skips every file (no nulls recorded)
+    val isNull = DeltaLog.readTable(spark, dir, None, Some(col("doc_id").isNull))
+    assert(isNull.inputFiles.length == 1 && isNull.count() == 0)
+    // IS NOT NULL keeps (nullCount < numRecords everywhere)
+    val notNull = DeltaLog.readTable(spark, dir, None, Some(col("doc_id").isNotNull))
+    assert(notNull.inputFiles.length == 4 && notNull.count() == 8)
+  }
+
+  test("data skipping through the checkpoint path: stats filter runs cluster-side") {
+    val dir = graft.ops.TableFixtures.writeDeltaPartTable(spark, skipDocs, "doc_id")
+    // rebuild version 0 as a CHECKPOINT: action rows with the same
+    // stats strings, so the keep filter must run on the cluster-side
+    // merge frame before the capped collect
+    def stats(lo: Long, hi: Long): String =
+      s"""{"numRecords":2,"minValues":{"doc_id":$lo,"n_chars":${lo * 10}},""" +
+        s""""maxValues":{"doc_id":$hi,"n_chars":${hi * 10}},""" +
+        s""""nullCount":{"doc_id":0,"n_chars":0}}"""
+    val adds = Seq(
+      ("part-b0-lo.parquet", "0", stats(2, 4)), ("part-b0-hi.parquet", "0", stats(6, 8)),
+      ("part-b1-lo.parquet", "1", stats(1, 3)), ("part-b1-hi.parquet", "1", stats(5, 7)))
+      .toDF("path", "bucket", "stats")
+      .select(struct(col("path"),
+        map(lit("bucket"), col("bucket")).as("partitionValues"),
+        lit(1L).as("size"), lit(0L).as("modificationTime"), col("stats")).as("add"))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType))).json
+    val furniture = Seq(schemaJson).toDF("sj").select(
+      struct(lit("x-delta-part").as("id"), col("sj").as("schemaString"),
+        array(lit("bucket")).as("partitionColumns")).as("metaData"))
+      .unionByName(
+        spark.sql("SELECT named_struct('minReaderVersion', CAST(1 AS BIGINT)) AS protocol"),
+        allowMissingColumns = true)
+    val cp = adds.unionByName(furniture, allowMissingColumns = true)
+    val logDir = new java.io.File(dir, "_delta_log")
+    singleParquet(cp, new java.io.File(logDir, f"${0L}%020d.checkpoint.parquet"))
+    java.nio.file.Files.write(new java.io.File(logDir, "_last_checkpoint").toPath,
+      """{"version":0}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val pred = col("bucket") === 1 && col("doc_id") <= 4
+    val pruned = DeltaLog.readTable(spark, dir, None, Some(pred))
+    assert(openedNames(pruned) == Set("part-b1-lo.parquet"))
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // everything-pruned on the checkpoint path: schema carrier survives
+    val none = DeltaLog.readTable(spark, dir, None, Some(col("doc_id") > 99L))
+    assert(none.inputFiles.length == 1 && none.count() == 0)
+  }
+
+  test("open-ended cdf: no end bound reads to latest; starting timestamp resolves forward") {
+    val docs = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "book", 30L),
+      (4L, "web", 40L), (5L, "book", 50L)).toDF("doc_id", "source", "n_chars")
+    val dir = graft.ops.TableFixtures.writeDeltaCdfTable(spark, docs, "doc_id")
+    // end = None ≡ end = latest (v3 contributes nothing)
+    val tail = DeltaLog.readChanges(spark, dir, 2L, None)
+    val bounded = DeltaLog.readChanges(spark, dir, 2L, 3L)
+    assert(tail.collect().map(_.toSeq).toSet == bounded.collect().map(_.toSeq).toSet)
+    assert(tail.select("_change_type").distinct().as[String].collect().toSeq == Seq("delete"))
+    // starting timestamp 2500 → earliest commit at/after = v2 (ts 3000)
+    val at = DeltaLog.readChangesAt(spark, dir, 2500L, None)
+    assert(at.collect().map(_.toSeq).toSet == bounded.collect().map(_.toSeq).toSet)
+    // a start timestamp past the last commit refuses by name
+    val e = intercept[graft.GraftAnalysisException] {
+      DeltaLog.readChangesAt(spark, dir, 99999L, None)
+    }
+    assert(e.getMessage.contains("after the last commit"))
+    // the source spec surface: starting_timestamp + open end
+    val viaSrc = graft.sources.SourceReader.read(spark,
+      graft.spec.SourceSpec("t", "delta", graft.spec.Config.of(
+        "path" -> dir, "changes" -> true, "starting_timestamp" -> 2500L)))
+    assert(viaSrc.collect().map(_.toSeq).toSet == bounded.collect().map(_.toSeq).toSet)
+    intercept[graft.GraftAnalysisException] {
+      graft.sources.SourceReader.read(spark,
+        graft.spec.SourceSpec("t", "delta", graft.spec.Config.of(
+          "path" -> dir, "changes" -> true,
+          "starting_version" -> 2L, "starting_timestamp" -> 2500L)))
+    }
+  }
+
+  test("delta source partition_where prunes at the log replay") {
+    val dir = graft.ops.TableFixtures.writeDeltaPartTable(spark, skipDocs, "doc_id")
+    val viaSrc = graft.sources.SourceReader.read(spark,
+      graft.spec.SourceSpec("t", "delta", graft.spec.Config.of(
+        "path" -> dir, "partition_where" -> "bucket = 1 AND doc_id <= 4")))
+    assert(openedNames(viaSrc) == Set("part-b1-lo.parquet"))
+    assert(viaSrc.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
 }

@@ -438,6 +438,72 @@ class IcebergSpec extends SparkSuite {
     assert(bucketed.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
   }
 
+  // --- column-bounds file skipping (round 17) ---
+
+  private def openedNames(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+
+  test("column-bounds skipping: a range predicate opens only overlapping files") {
+    import org.apache.spark.sql.functions.col
+    // ids 1..8, cuts (2,4,6) → q0={1,2} q1={3,4} q2={5,6} q3={7,8}
+    val dir = graft.ops.TableFixtures.writeIcebergSkipTable(spark, smallDocs, "doc_id")
+    val pred = col("doc_id") > 4L && col("doc_id") <= 6L
+    val pruned = Iceberg.readTable(spark, dir, None, Some(pred))
+    assert(openedNames(pruned) == Set("skip-q2.parquet"))
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq == Seq(5L, 6L))
+    val full = Iceberg.readTable(spark, dir).where(pred)
+    assert(pruned.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    // a second bounded column composes: n_chars = 10·id
+    val both = Iceberg.readTable(spark, dir, None,
+      Some(col("n_chars") >= 30L && col("n_chars") <= 40L))
+    assert(openedNames(both) == Set("skip-q1.parquet"))
+    assert(both.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("column-bounds skipping stays conservative") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.ops.TableFixtures.writeIcebergSkipTable(spark, smallDocs, "doc_id")
+    // no bounds recorded for source: every file opens, rows filter
+    val noBounds = Iceberg.readTable(spark, dir, None, Some(col("source") === "book"))
+    assert(noBounds.inputFiles.length == 4)
+    assert(noBounds.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 5L, 7L))
+    // mixed OR cannot split: keep all, exact rows
+    val mixed = Iceberg.readTable(spark, dir, None,
+      Some(col("doc_id") <= 2L || col("source") === "book"))
+    assert(mixed.inputFiles.length == 4)
+    assert(mixed.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L, 7L))
+    // everything-pruned: one schema-carrier file, zero rows
+    val none = Iceberg.readTable(spark, dir, None, Some(col("doc_id") > 99L))
+    assert(none.inputFiles.length == 1 && none.count() == 0)
+    // null_value_counts are real: IS NULL skips everything (no nulls),
+    // IS NOT NULL keeps everything
+    val isNull = Iceberg.readTable(spark, dir, None, Some(col("doc_id").isNull))
+    assert(isNull.inputFiles.length == 1 && isNull.count() == 0)
+    val notNull = Iceberg.readTable(spark, dir, None, Some(col("doc_id").isNotNull))
+    assert(notNull.inputFiles.length == 4 && notNull.count() == 8)
+  }
+
+  test("partition pruning and bounds skipping compose per conjunct") {
+    import org.apache.spark.sql.functions.col
+    // the PART table has identity tuples but NO bounds: the bucket
+    // conjunct prunes to one file-per-bucket, the n_chars conjunct
+    // keeps (no bounds), rows re-filter
+    val dir = graft.ops.TableFixtures.writeIcebergPartTable(spark, smallDocs, "doc_id")
+    val composed = Iceberg.readTable(spark, dir, None,
+      Some(col("bucket") === 1 && col("n_chars") <= 10L))
+    assert(openedNames(composed) == Set("part-1.parquet"))
+    assert(composed.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // the SKIP table: a mixed partition-shaped name is just a data
+    // column here — bounds prune it
+    val dir2 = graft.ops.TableFixtures.writeIcebergSkipTable(spark, smallDocs, "doc_id")
+    val viaSrc = graft.sources.SourceReader.read(spark,
+      graft.spec.SourceSpec("t", "iceberg", graft.spec.Config.of(
+        "path" -> dir2, "partition_where" -> "doc_id > 4 AND doc_id <= 6")))
+    assert(openedNames(viaSrc) == Set("skip-q2.parquet"))
+    assert(viaSrc.select("doc_id").as[Long].collect().sorted.toSeq == Seq(5L, 6L))
+  }
+
   test("timestamp travel: snapshot-log resolves; before-first and no-log refuse") {
     val dir = graft.ops.TableFixtures.writeIcebergV2Table(spark, smallDocs, "doc_id")
     // t=1500 → snapshot 0 (pre-delete: every id); t=2500 → snapshot 1
