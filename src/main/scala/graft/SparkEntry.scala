@@ -2622,6 +2622,29 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"))
     }),
 
+    // Delta APPEND WRITE roundtrip (round 17): the engine's own
+    // writer creates a partitioned table in TWO commits (even parity
+    // at v0, odd at v1 — the append path exercises the compat gate and
+    // contiguous versioning), with real per-file stats in the log;
+    // the engine's own reader replays it and the oracle compares
+    // against the source rows. Stats consumability is asserted in
+    // DeltaWriteSpec (pruned read over the written table).
+    "x_delta_write_roundtrip" -> ((s, d) => {
+      val dir = sharedDir("delta_write", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-wr")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          pmod(col("doc_id"), lit(2)).cast("string").as("parity"))
+        graft.ops.DeltaWrite.append(s, data.where(col("parity") === "0"), dest, Seq("parity"))
+        graft.ops.DeltaWrite.append(s, data.where(col("parity") === "1"), dest, Seq("parity"))
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
+    }),
+
     // Delta OPEN-ENDED CDF (round 17): "changes since t=2500" with no
     // end bound — the starting timestamp resolves to the earliest
     // commit at or after it (v2 at ts 3000), the end defaults to the
@@ -6732,6 +6755,12 @@ object SparkEntry {
       FROM documents
       WHERE doc_id % 2 = 1
         AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)""",
+
+    // delta write roundtrip: own writer → own reader equals the
+    // source rows (partition values re-injected from the log)
+    "x_delta_write_roundtrip" -> """
+      SELECT doc_id, source, n_chars, CAST(doc_id % 2 AS VARCHAR) AS parity
+      FROM documents""",
 
     // delta open-ended cdf: start ts 2500 resolves to v2 (ts 3000),
     // the end bound defaults to the latest commit (v3 contributes

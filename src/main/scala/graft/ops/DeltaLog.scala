@@ -482,7 +482,7 @@ object DeltaLog {
     * doubles are deliberately EXCLUDED (files containing NaN have
     * writer-dependent min/max conventions — pruning on them risks
     * dropping matching rows), as are binary and complex types. */
-  private def statsComparable(dt: DataType): Boolean = dt match {
+  private[graft] def statsComparable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType |
          DateType | TimestampType | TimestampNTZType | BooleanType => true
     case _: DecimalType => true

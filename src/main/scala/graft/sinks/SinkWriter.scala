@@ -174,6 +174,18 @@ object SinkWriter {
           seed = s.config.int("seed").getOrElse(42).toLong),
         s.config.reqStr("path"))
 
+    // Delta Lake APPEND sink (round 17): transactional table output —
+    // plain parquet data files + an atomic _delta_log commit carrying
+    // real per-file stats ([[graft.ops.DeltaWrite]], scoped v1:
+    // append-only, single writer). Creates the table on first write;
+    // `partition_by` lays out Hive-style partition dirs whose values
+    // live in the log. The matching `delta` source (and any Delta
+    // reader) reads it back, stats feeding their data skipping.
+    case "delta" =>
+      graft.ops.DeltaWrite.append(df.sparkSession, df, s.config.reqStr("path"),
+        s.config.strList("partition_by"))
+      ()
+
     case "jdbc" =>
       df.write.format("jdbc").option("url", s.config.reqStr("url"))
         .option("dbtable", s.config.str("table").getOrElse("output"))
@@ -195,5 +207,5 @@ object SinkWriter {
   }
 
   val knownTypes: Set[String] = Set(
-    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar", "avro", "tfrecord")
+    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar", "avro", "tfrecord", "delta")
 }
