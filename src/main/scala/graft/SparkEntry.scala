@@ -858,6 +858,27 @@ object SparkEntry {
           (sum(col("n_bpe_tokens")) < sum(col("n_word_chars"))).as("compresses"))
     }),
 
+    // BYTE-level BPE (round 17, GPT-2/tiktoken family — the boolean
+    // contract shape): the corpus text is deliberately enriched with
+    // punctuation, mixed case, tabs/newlines and multi-byte UTF-8 —
+    // exactly what the word-level op normalizes away — and the
+    // trained model must (a) tile + roundtrip every document
+    // byte-exactly, (b) never emit fewer tokens than pretokens or
+    // more than bytes, (c) actually compress. Hand-computed merges
+    // and fallback behavior are pinned in BpeBytesSpec.
+    "x_bpe_bytes" -> ((s, d) => {
+      val raw = docs(s, d).select(col("doc_id"),
+        concat(lit("Hello, WORLD!  §café … "), col("text"),
+          lit(" #"), col("doc_id"), lit("\t(fin.)\n")).as("text"))
+      val model = graft.ops.BpeBytes.train(raw, "text", numMerges = 150)
+      model.encodeCounts(raw, "doc_id", "text")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("roundtrip_ok")).as("all_roundtrip_ok"),
+          min(col("n_tokens") >= col("n_pretokens")).as("tokens_ge_pretokens"),
+          min(col("n_tokens") <= col("n_bytes")).as("tokens_le_bytes"),
+          (sum(col("n_tokens")) < sum(col("n_bytes"))).as("compresses"))
+    }),
+
     // unigram-LM tokenizer (round 11, the x_bpe_tokens contract
     // shape): EM-trained Viterbi segmentation must concatenate back
     // to every word, land between the word count and the character
@@ -5268,6 +5289,13 @@ object SparkEntry {
     "x_bpe_tokens" -> """
       SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS all_roundtrip_ok,
              true AS tokens_ge_words, true AS compresses
+      FROM documents""",
+
+    // byte-level BPE boolean contract (see x_bpe_bytes query comment)
+    "x_bpe_bytes" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS all_roundtrip_ok,
+             true AS tokens_ge_pretokens, true AS tokens_le_bytes,
+             true AS compresses
       FROM documents""",
 
     "x_unigram_tokens" -> """

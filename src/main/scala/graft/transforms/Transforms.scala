@@ -378,6 +378,18 @@ object Transforms {
           numMerges = cfg.int("num_merges").getOrElse(200),
           vocabWords = cfg.int("vocab_words").getOrElse(10000))
         .encodeCounts(df, cfg.reqStr("id_field"), tf)
+    // BYTE-level BPE (GPT-2/tiktoken family): raw-text token budgets —
+    // punctuation, case, whitespace, non-Latin all count; encoding
+    // never fails (256-byte alphabet + byte fallback)
+    case "byte_bpe_tokens" =>
+      val cfg = t.config
+      val tf = cfg.str("text_field").getOrElse("text")
+      val lmDf = cfg.str("train_source").map(n => ctx.getOrElse(n,
+        throw new GraftAnalysisException(s"byte_bpe_tokens: unknown source '$n'"))).getOrElse(df)
+      graft.ops.BpeBytes.train(lmDf, tf,
+          numMerges = cfg.int("num_merges").getOrElse(200),
+          vocabWords = cfg.int("vocab_words").getOrElse(10000))
+        .encodeCounts(df, cfg.reqStr("id_field"), tf)
     // WordPiece tokenizer (BERT family): likelihood-scored merges,
     // greedy longest-match encode with ## continuations and [UNK]
     case "wordpiece_tokens" =>
@@ -1050,7 +1062,7 @@ object Transforms {
     "dedup_simhash", "dedup_embed", "embed_neardup_groups", "semdedup", "ann_topk", "text_lang", "contamination", "contamination_embed",
     "contamination_ngram", "text_script", "text_repetition", "text_top_ngram", "text_unigram_ppx",
     "text_bigram_ppx", "text_trigram_ppx", "nb_classify", "linear_classify", "langid_classify", "pca_whiten",
-    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "normalize_unicode", "compression_ratio", "split_sentences", "sentence_chunks", "dedup_sentences", "html_tables", "boilerplate_blocks", "boilerplate_extract", "chat_parse", "chat_validate", "chat_render", "zstd_decode", "zstd_decode_dict", "gzip_decode", "brotli_decode", "decode_any", "delta_snapshot", "iceberg_manifest", "bpe_tokens", "unigram_tokens", "wordpiece_tokens", "pack_sequences", "shuffle_shards",
+    "url_normalize", "domain_cap", "url_filter", "robots_filter", "redact_pii", "html_extract", "fix_encoding", "normalize_unicode", "compression_ratio", "split_sentences", "sentence_chunks", "dedup_sentences", "html_tables", "boilerplate_blocks", "boilerplate_extract", "chat_parse", "chat_validate", "chat_render", "zstd_decode", "zstd_decode_dict", "gzip_decode", "brotli_decode", "decode_any", "delta_snapshot", "iceberg_manifest", "bpe_tokens", "byte_bpe_tokens", "unigram_tokens", "wordpiece_tokens", "pack_sequences", "shuffle_shards",
     "temperature_sample", "chunk_windows", "sliding_chunks", "quantize_int8", "embed_truncate", "bloom_check", "bloom_join", "pdf_extract",
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",
