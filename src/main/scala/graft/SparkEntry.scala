@@ -3343,6 +3343,36 @@ object SparkEntry {
           col("width"), col("height"))
     }),
 
+    // HEIF GRID (tiled) primaries (round 17 — the iPhone default
+    // layout): item 1 is a `grid` whose ImageGrid payload (rows/cols/
+    // output dims) lives in mdat or idat (id%5 picks), tiles arrive by
+    // dimg reference; dims come from the grid's ispe — or, when
+    // id%3==0 drops it, from the ImageGrid config (the fallback path)
+    // — with the grid's irot applied (id%4>=2 rotates 90°). The
+    // builder's full case grid was cross-parsed by the system libheif
+    // AND libavif with zero disagreements (HeifDiff, round 17).
+    "x_image_meta_grid" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val rows = (id % 3).toInt + 1
+            val cols = (id % 4).toInt + 1
+            val ow = (cols - 1) * 512 + (id % 512).toInt + 1
+            val oh = (rows - 1) * 512 + (id % 509).toInt + 1
+            (id, ops.Heif.buildGrid(avif = id % 2 == 0, 512, 512, rows, cols,
+              ow, oh, gridIspe = id % 3 != 0, inIdat = id % 5 == 0,
+              rotationCcw = if (id % 4 >= 2) 90 else 0,
+              wideFields = id % 7 == 0))
+          }
+          .toDF("doc_id", "__payload")
+          .select(col("doc_id"), struct(col("__payload").as("payload")).as("media"))
+      }
+      Multimodal.decodeImageMeta(packed, "doc_id", "media")
+        .select(col("id").as("doc_id"), col("mime_detected"),
+          col("width"), col("height"))
+    }),
+
     // SVG + netpbm dimensions (round 11): id%4 cycles SVG with
     // width/height attrs (px suffix), SVG with only a viewBox
     // (floored), P6 with a comment in the header, and P5 — all
@@ -7160,6 +7190,21 @@ object SparkEntry {
              CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN (doc_id % 300) + 1
                        ELSE (doc_id % 200) + 1 END AS INTEGER) AS height
       FROM documents""",
+
+    // heif grid: output-canvas dims from doc_id arithmetic, swapped
+    // under the 90° rotation half
+    "x_image_meta_grid" -> """
+      WITH dims AS (
+        SELECT doc_id,
+               (doc_id % 4) * 512 + (doc_id % 512) + 1 AS ow,
+               (doc_id % 3) * 512 + (doc_id % 509) + 1 AS oh
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/avif' ELSE 'image/heic' END
+               AS mime_detected,
+             CAST(CASE WHEN doc_id % 4 >= 2 THEN oh ELSE ow END AS INTEGER) AS width,
+             CAST(CASE WHEN doc_id % 4 >= 2 THEN ow ELSE oh END AS INTEGER) AS height
+      FROM dims""",
 
     // svg/pnm dims: mime + dimensions from doc_id arithmetic
     "x_image_meta_svg_pnm" -> """

@@ -32,10 +32,16 @@ package graft.ops
   */
 object Heif {
 
+  /** `gridRows`/`gridCols` are 0 for plain single-image items; for a
+    * `grid` primary (the tiled iPhone HEIC layout) they carry the
+    * tile grid shape, `codec` the TILE items' codec, and the dims the
+    * grid's OUTPUT canvas (ispe when present, else the ImageGrid
+    * config) with the grid item's irot applied. */
   final case class Meta(brand: String, codec: String, primaryId: Int,
       itemCount: Int, width: Int, height: Int,
       codedWidth: Int, codedHeight: Int,
-      rotationCcw: Int, mirrorAxis: Option[Int], hasAlpha: Boolean)
+      rotationCcw: Int, mirrorAxis: Option[Int], hasAlpha: Boolean,
+      gridRows: Int = 0, gridCols: Int = 0)
 
   private object Bad extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
@@ -85,6 +91,9 @@ object Heif {
       var ipcoProps = Vector.empty[(String, Int)] // (type, payload offset)
       var ipmaAssoc = Map.empty[Int, Seq[Int]] // item id -> 1-based ipco indices
       var auxlRefs = Vector.empty[(Int, Seq[Int])] // (from item, to items)
+      var dimgRefs = Vector.empty[(Int, Seq[Int])] // (grid item, tile items)
+      var ilocRange: Option[(Int, Int)] = None // payload (from, to)
+      var idatFrom = -1 // idat payload start (construction method 1)
 
       def walkIinf(from: Int, to: Int): Unit = {
         val version = u8(from)
@@ -152,7 +161,8 @@ object Heif {
           if ({ n += 1; n } > 1024) bad()
           val sz = be32(j)
           if (sz < 8 || j + sz > to) bad()
-          if (fourcc(j + 4) == "auxl") {
+          val refType = fourcc(j + 4)
+          if (refType == "auxl" || refType == "dimg") {
             var k = j + 8
             val fromId = if (version == 0) { val v = be16(k); k += 2; v }
                          else { val v = be32(k).toInt; k += 4; v }
@@ -165,7 +175,8 @@ object Heif {
                          else { val v = be32(k).toInt; k += 4; v })
               c += 1
             }
-            auxlRefs :+= ((fromId, toIds))
+            if (refType == "auxl") auxlRefs :+= ((fromId, toIds))
+            else dimgRefs :+= ((fromId, toIds))
           }
           j += sz.toInt
         }
@@ -184,6 +195,8 @@ object Heif {
             val v = u8(j + 8)
             primaryId = if (v == 0) be16(j + 12) else be32(j + 12).toInt
           case "iinf" => walkIinf(j + 8, j + sz.toInt)
+          case "iloc" => ilocRange = Some((j + 8, j + sz.toInt))
+          case "idat" => idatFrom = j + 8
           case "iprp" =>
             var k = j + 8
             var m = 0
@@ -212,11 +225,107 @@ object Heif {
         ipmaAssoc.getOrElse(itemId, Seq.empty).flatMap { idx1 =>
           if (idx1 >= 1 && idx1 <= ipcoProps.length) Some(ipcoProps(idx1 - 1)) else None
         }
+
+      // the FIRST extent location of an item out of iloc:
+      // (construction method, resolved offset). No `return` inside —
+      // malformed shapes throw Bad (the nested-closure return trap).
+      def ilocFirstExtent(itemId: Int): Option[(Int, Long)] =
+        ilocRange.flatMap { case (from, to) =>
+          val version = u8(from)
+          if (version > 2) None
+          else {
+            val offsetSize = u8(from + 4) >> 4
+            val lengthSize = u8(from + 4) & 15
+            val baseOffsetSize = u8(from + 5) >> 4
+            val indexSize = if (version >= 1) u8(from + 5) & 15 else 0
+            def okSize(s: Int) = s == 0 || s == 4 || s == 8
+            if (!okSize(offsetSize) || !okSize(lengthSize) ||
+                !okSize(baseOffsetSize) || !okSize(indexSize)) None
+            else {
+              var j2 = from + 6
+              val count = if (version < 2) { val v = be16(j2); j2 += 2; v }
+                          else { val v = be32(j2).toInt; j2 += 4; v }
+              if (count < 0 || count > 4096) bad()
+              def readN(size: Int): Long = {
+                var v = 0L; var b = 0
+                while (b < size) { v = (v << 8) | u8(j2); j2 += 1; b += 1 }
+                v
+              }
+              var found: Option[(Int, Long)] = None
+              var n = 0
+              while (n < count && found.isEmpty && j2 < to) {
+                val id = if (version < 2) { val v = be16(j2); j2 += 2; v }
+                         else { val v = be32(j2).toInt; j2 += 4; v }
+                val method = if (version >= 1) { val v = be16(j2) & 15; j2 += 2; v } else 0
+                j2 += 2 // data_reference_index
+                val baseOffset = readN(baseOffsetSize)
+                val extents = be16(j2); j2 += 2
+                if (extents < 1 || extents > 1024) bad()
+                var firstOff = 0L
+                var e = 0
+                while (e < extents) {
+                  if (version >= 1 && indexSize > 0) readN(indexSize)
+                  val off = readN(offsetSize)
+                  readN(lengthSize)
+                  if (e == 0) firstOff = off
+                  e += 1
+                }
+                if (id == itemId) found = Some((method, baseOffset + firstOff))
+                n += 1
+              }
+              found
+            }
+          }
+        }
+
+      // GRID primary (round 17 — the tiled iPhone HEIC layout): the
+      // grid item's payload is the spec's ImageGrid struct — version,
+      // flags (bit0 = 32-bit output fields), rows/cols minus one,
+      // output width/height — located via iloc (construction method 0
+      // = file offset, 1 = into idat); tiles arrive by `dimg`
+      // reference in row-major order and must FILL the grid exactly.
+      val isGrid = primaryType == "grid"
+      var gridRows = 0; var gridCols = 0
+      var gridW = 0; var gridH = 0
+      var codecType = primaryType
+      if (isGrid) {
+        val tiles = dimgRefs.find(_._1 == primaryId).map(_._2).getOrElse(Vector.empty)
+        if (tiles.isEmpty) return None
+        val tileTypes = tiles.map(tid =>
+          items.find(_._1 == tid).map(_._2).getOrElse(return None)).distinct
+        if (tileTypes.size != 1) return None // heterogeneous tiles: refuse
+        codecType = tileTypes.head
+        val (method, off) = ilocFirstExtent(primaryId).getOrElse(return None)
+        val g = method match {
+          case 0 => off
+          case 1 if idatFrom >= 0 => idatFrom + off
+          case _ => return None
+        }
+        if (g < 0 || g + 8 > p.length) return None
+        val gi = g.toInt
+        if (u8(gi) != 0) return None // unknown ImageGrid version
+        val fieldSize = if ((u8(gi + 1) & 1) == 1) 4 else 2
+        gridRows = u8(gi + 2) + 1
+        gridCols = u8(gi + 3) + 1
+        if (tiles.length != gridRows * gridCols) return None
+        gridW = if (fieldSize == 2) be16(gi + 4) else be32(gi + 4).toInt
+        gridH = if (fieldSize == 2) be16(gi + 6) else be32(gi + 8).toInt
+        if (gridW <= 0 || gridH <= 0) return None
+      }
+
       val primProps = propsOf(primaryId)
-      val ispe = primProps.find(_._1 == "ispe").getOrElse(return None)
-      val cw = be32(ispe._2 + 4).toInt
-      val chh = be32(ispe._2 + 8).toInt
-      if (cw <= 0 || chh <= 0) return None
+      // the coded canvas: the primary's own ispe wins (what libheif
+      // reports); a grid without one falls back to its ImageGrid
+      // output dims
+      val (cw, chh) = primProps.find(_._1 == "ispe") match {
+        case Some(ispe) =>
+          val a = be32(ispe._2 + 4).toInt
+          val b = be32(ispe._2 + 8).toInt
+          if (a <= 0 || b <= 0) return None
+          (a, b)
+        case None if isGrid => (gridW, gridH)
+        case None => return None
+      }
       val rot = primProps.find(_._1 == "irot").map(o => (u8(o._2) & 3) * 90).getOrElse(0)
       val mirror = primProps.find(_._1 == "imir").map(o => u8(o._2) & 1)
       val (w, h) = if (rot == 90 || rot == 270) (chh, cw) else (cw, chh)
@@ -236,8 +345,8 @@ object Heif {
           }
         }
       }
-      Some(Meta(brand, primaryType, primaryId, items.length,
-        w, h, cw, chh, rot, mirror, hasAlpha))
+      Some(Meta(brand, codecType, primaryId, items.length,
+        w, h, cw, chh, rot, mirror, hasAlpha, gridRows, gridCols))
     } catch {
       case Bad | _: ArrayIndexOutOfBoundsException | _: StringIndexOutOfBoundsException => None
     }
@@ -319,5 +428,93 @@ object Heif {
     require(off1 == off2)
     bos.write(out)
     bos.toByteArray
+  }
+
+  /** Fixture builder for TILED (grid) containers — the iPhone HEIC
+    * default layout: item 1 is the `grid` primary whose ImageGrid
+    * payload lives in mdat (construction method 0) or idat (method 1),
+    * items 2..n+1 the codec tiles referenced by `dimg` in row-major
+    * order. `gridIspe` controls whether the grid item carries its own
+    * ispe (real files do; absent exercises the config-dims fallback);
+    * `wideFields` writes the 32-bit ImageGrid variant. */
+  private[graft] def buildGrid(avif: Boolean, tileW: Int, tileH: Int,
+      rows: Int, cols: Int, outW: Int, outH: Int,
+      gridIspe: Boolean = true, inIdat: Boolean = false,
+      rotationCcw: Int = 0, wideFields: Boolean = false): Array[Byte] = {
+    require(rows >= 1 && cols >= 1 && tileW >= 1 && tileH >= 1 &&
+      outW >= 1 && outH >= 1 && Set(0, 90, 180, 270)(rotationCcw))
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    def fullbox(t: String, version: Int, payload: Array[Byte]): Array[Byte] =
+      box(t, be32(version << 24) ++ payload)
+    val n = rows * cols
+    val brand = if (avif) "avif" else "heic"
+    val codec = if (avif) "av01" else "hvc1"
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(0) ++
+      (brand + "mif1miaf").getBytes("US-ASCII"))
+    val hdlr = fullbox("hdlr", 0, be32(0) ++ "pict".getBytes("US-ASCII") ++
+      new Array[Byte](12) ++ Array(0.toByte))
+    val pitm = fullbox("pitm", 0, be16(1))
+    def infe(id: Int, typ: String): Array[Byte] =
+      fullbox("infe", 2, be16(id) ++ be16(0) ++ typ.getBytes("US-ASCII") ++ Array(0.toByte))
+    val itemList = infe(1, "grid") +: (2 to n + 1).map(infe(_, codec))
+    val iinf = fullbox("iinf", 0, be16(itemList.length) ++ itemList.flatten.toArray)
+    val tileIspe = fullbox("ispe", 0, be32(tileW) ++ be32(tileH))
+    val cfg = if (avif) box("av1C", Array(0x81, 0x00, 0x0c, 0x00).map(_.toByte))
+      else box("hvcC", Array(1, 0x01, 0, 0, 0, 0x60, 0, 0, 0, 0, 0, 0x99, 0xF0,
+        0x00, 0xFC, 0xFD, 0xF8, 0xF8, 0, 0, 0x0F, 0x03, 0).map(_.toByte))
+    val pixi = fullbox("pixi", 0, Array(3, 8, 8, 8).map(_.toByte))
+    var pool = Vector(tileIspe, cfg, pixi)
+    val tileAssoc = Vector(1, 2 | 0x80, 3)
+    // libavif's strict mode requires pixi on the derived (grid) item
+    // too, not just the coded tiles
+    var gridAssoc = Vector(3)
+    if (gridIspe) {
+      pool :+= fullbox("ispe", 0, be32(outW) ++ be32(outH)); gridAssoc :+= pool.length
+    }
+    if (rotationCcw != 0) {
+      pool :+= box("irot", Array((rotationCcw / 90).toByte)); gridAssoc :+= pool.length
+    }
+    val ipco = box("ipco", pool.flatten.toArray)
+    def entry(id: Int, assoc: Vector[Int]): Array[Byte] =
+      be16(id) ++ Array(assoc.length.toByte) ++ assoc.map(_.toByte).toArray
+    val ipma = fullbox("ipma", 0, be32(n + 1) ++
+      (entry(1, gridAssoc) ++ (2 to n + 1).toArray.flatMap(entry(_, tileAssoc))))
+    val iprp = box("iprp", ipco ++ ipma)
+    val iref = fullbox("iref", 0,
+      box("dimg", be16(1) ++ be16(n) ++ (2 to n + 1).toArray.flatMap(be16)))
+    val gridPayload: Array[Byte] =
+      if (wideFields) Array(0.toByte, 1.toByte, (rows - 1).toByte, (cols - 1).toByte) ++
+        be32(outW) ++ be32(outH)
+      else Array(0.toByte, 0.toByte, (rows - 1).toByte, (cols - 1).toByte) ++
+        be16(outW) ++ be16(outH)
+    val tileBytes = new Array[Byte](8)
+    val idat = if (inIdat) box("idat", gridPayload) else Array.emptyByteArray
+    // iloc v1 (carries the construction method): offset/length 4 bytes,
+    // no base offset, no extent index
+    def iloc(mdatPayloadAt: Int): Array[Byte] = {
+      def item(id: Int, method: Int, offset: Int, len: Int): Array[Byte] =
+        be16(id) ++ be16(method) ++ be16(0) ++ be16(1) ++ be32(offset) ++ be32(len)
+      val gridItem =
+        if (inIdat) item(1, 1, 0, gridPayload.length)
+        else item(1, 0, mdatPayloadAt, gridPayload.length)
+      val gridInMdat = if (inIdat) 0 else gridPayload.length
+      val tileItems = (0 until n).toArray.flatMap(i =>
+        item(2 + i, 0, mdatPayloadAt + gridInMdat, tileBytes.length))
+      fullbox("iloc", 1, Array(0x44.toByte, 0.toByte) ++ be16(n + 1) ++ gridItem ++ tileItems)
+    }
+    def assemble(off: Int): (Array[Byte], Int) = {
+      val meta = fullbox("meta", 0,
+        hdlr ++ pitm ++ iloc(off) ++ iinf ++ iprp ++ iref ++ idat)
+      val mdatPayload = (if (inIdat) Array.emptyByteArray else gridPayload) ++ tileBytes
+      (ftyp ++ meta ++ box("mdat", mdatPayload), ftyp.length + meta.length + 8)
+    }
+    val (_, off1) = assemble(0)
+    val (out, off2) = assemble(off1)
+    require(off1 == off2)
+    out
   }
 }

@@ -38,6 +38,30 @@ object HeifDiff {
         case None => println(s"$name: PARSE REFUSED"); fail += 1
       }
     }
+    // grid (tiled) containers — round 17: libheif must report the
+    // grid's OUTPUT dims (post-irot); libavif the coded output dims
+    for (avif <- Seq(true, false); rot <- Seq(0, 90);
+         (rows, cols, tw, th, ow, oh) <- Seq((2, 2, 64, 64, 128, 128), (2, 3, 512, 512, 1440, 960));
+         inIdat <- Seq(false, true); wide <- Seq(false, true)) {
+      count += 1
+      val name = s"grid-${if (avif) "avif" else "heic"}-$rot-${rows}x$cols-$inIdat-$wide"
+      val bytes = Heif.buildGrid(avif, tw, th, rows, cols, ow, oh,
+        gridIspe = true, inIdat = inIdat, rotationCcw = rot, wideFields = wide)
+      java.nio.file.Files.write(new java.io.File(dir, s"$name.bin").toPath, bytes)
+      Heif.parse(bytes) match {
+        case Some(m) =>
+          val (ew, eh) = if (rot == 90) (oh, ow) else (ow, oh)
+          val ok = m.width == ew && m.height == eh &&
+            m.codedWidth == ow && m.codedHeight == oh &&
+            m.gridRows == rows && m.gridCols == cols &&
+            m.codec == (if (avif) "av01" else "hvc1") &&
+            m.itemCount == rows * cols + 1
+          if (ok) println(s"$name: self OK") else { println(s"$name: SELF MISMATCH $m"); fail += 1 }
+          java.nio.file.Files.write(new java.io.File(dir, s"$name.expect").toPath,
+            s"${m.width} ${m.height} ${m.codedWidth} ${m.codedHeight}".getBytes("US-ASCII"))
+        case None => println(s"$name: PARSE REFUSED"); fail += 1
+      }
+    }
     println(s"heif self-consistency failures: $fail / $count")
   }
 }

@@ -44,6 +44,53 @@ class HeifSpec extends AnyFunSuite {
     assert(hex == "d2eea60d976b006656800702f0f5382b", "grid digest")
   }
 
+  test("grid (tiled) primaries: dims, tile shape, codec; libheif+libavif-agreed bytes digest-frozen") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cases = for {
+      avif <- Seq(true, false); rot <- Seq(0, 90)
+      (rows, cols, tw, th, ow, oh) <- Seq((2, 2, 64, 64, 128, 128), (2, 3, 512, 512, 1440, 960))
+      inIdat <- Seq(false, true); wide <- Seq(false, true)
+    } yield (s"grid-${if (avif) "avif" else "heic"}-$rot-${rows}x$cols-$inIdat-$wide",
+      (avif, rot, rows, cols, tw, th, ow, oh, inIdat, wide))
+    for ((_, (avif, rot, rows, cols, tw, th, ow, oh, inIdat, wide)) <- cases.sortBy(_._1)) {
+      val bytes = Heif.buildGrid(avif, tw, th, rows, cols, ow, oh,
+        gridIspe = true, inIdat = inIdat, rotationCcw = rot, wideFields = wide)
+      md.update(bytes)
+      val m = Heif.parse(bytes).getOrElse(fail(s"refused grid $avif $rot ${rows}x$cols"))
+      val (ew, eh) = if (rot == 90) (oh, ow) else (ow, oh)
+      assert(m.width == ew && m.height == eh)
+      assert(m.codedWidth == ow && m.codedHeight == oh)
+      assert(m.gridRows == rows && m.gridCols == cols)
+      assert(m.codec == (if (avif) "av01" else "hvc1"))
+      assert(m.itemCount == rows * cols + 1 && m.primaryId == 1)
+    }
+    val hex = md.digest().map(x => f"${x & 0xFF}%02x").mkString
+    assert(hex == "d80d502051812c3dff31cb4a5fdc41e2", "grid digest")
+  }
+
+  test("grid fallback and refusal ladder") {
+    // no ispe on the grid item: dims fall back to the ImageGrid config
+    val noIspe = Heif.buildGrid(avif = true, 512, 512, 2, 2, 1000, 900,
+      gridIspe = false)
+    val m = Heif.parse(noIspe).getOrElse(fail("config-dims fallback refused"))
+    assert(m.width == 1000 && m.height == 900 && m.gridRows == 2 && m.gridCols == 2)
+    // tile count != rows*cols: refuse (corrupt the cols byte in the
+    // ImageGrid payload — it lives in mdat at the iloc-recorded spot)
+    val bytes = Heif.buildGrid(avif = true, 64, 64, 2, 2, 128, 128)
+    val gridCfgAt = {
+      // the ImageGrid payload starts right after the mdat header
+      val s = bytes.indexOfSlice("mdat".getBytes("US-ASCII"))
+      s + 4
+    }
+    val corrupt = bytes.clone()
+    corrupt(gridCfgAt + 3) = 2 // cols-1 = 2 → 2x3 grid, but only 4 tiles
+    assert(Heif.parse(corrupt).isEmpty)
+    // unknown ImageGrid version: refuse
+    val badVer = bytes.clone()
+    badVer(gridCfgAt) = 1
+    assert(Heif.parse(badVer).isEmpty)
+  }
+
   test("image_meta parse rung: avif and heic mimes with displayed dims") {
     val avif = Heif.build(avif = true, 200, 90, 90, None, withAlpha = false)
     assert(ImageHeader.parse(avif).contains(("image/avif", 90, 200)))
