@@ -2777,6 +2777,31 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Iceberg APPEND WRITE roundtrip (round 17, the DeltaWrite
+    // mirror): the engine's own writer creates the table in TWO
+    // snapshots (even ids, then odd — exercising the carry-forward
+    // manifest merge and the compat gate), range-clustered on doc_id
+    // with real column bounds in the manifests; the engine's own
+    // reader replays the current snapshot. Bounds consumability and
+    // snapshot travel to the first append are pinned in
+    // IcebergWriteSpec.
+    "x_iceberg_write_roundtrip" -> ((s, d) => {
+      val dir = sharedDir("iceberg_write", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-ib-wr")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        graft.ops.IcebergWrite.append(s, data.where(col("doc_id") % 2 === 0),
+          dest, clusterBy = Seq("doc_id"), numFiles = 2)
+        graft.ops.IcebergWrite.append(s, data.where(col("doc_id") % 2 === 1),
+          dest, clusterBy = Seq("doc_id"), numFiles = 2)
+        dest
+      }
+      graft.ops.Iceberg.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Iceberg TIMESTAMP travel (round 16): the v2 table's
     // snapshot-log stamps snapshot 0 at t=1000 ms and snapshot 1
     // (with the position deletes) at t=2000 ms; reading AS OF 1500
@@ -6842,6 +6867,11 @@ object SparkEntry {
     // iceberg timestamp travel: t=1500 lands between the snapshot-log
     // entries (snapshot 0 at 1000, snapshot 1 at 2000) → snapshot 0
     "x_iceberg_at_ts" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
+
+    // iceberg write roundtrip: own writer (two snapshots) → own
+    // reader equals the source rows
+    "x_iceberg_write_roundtrip" -> """
       SELECT doc_id, source, n_chars FROM documents""",
 
     // iceberg column-bounds skipping: the doc_id range replays

@@ -186,6 +186,17 @@ object SinkWriter {
         s.config.strList("partition_by"))
       ()
 
+    // Iceberg APPEND sink (round 17): transactional table output via
+    // [[graft.ops.IcebergWrite]] (v1: unpartitioned layout, optional
+    // `cluster_by` range-clustering for disjoint per-file bounds,
+    // manifests carrying real column bounds the reader's
+    // partition_where skipping consumes).
+    case "iceberg" =>
+      graft.ops.IcebergWrite.append(df.sparkSession, df, s.config.reqStr("path"),
+        s.config.strList("cluster_by"),
+        numFiles = s.config.int("num_files").getOrElse(0))
+      ()
+
     case "jdbc" =>
       df.write.format("jdbc").option("url", s.config.reqStr("url"))
         .option("dbtable", s.config.str("table").getOrElse("output"))
@@ -207,5 +218,5 @@ object SinkWriter {
   }
 
   val knownTypes: Set[String] = Set(
-    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar", "avro", "tfrecord", "delta")
+    "stdout", "json", "csv", "parquet", "orc", "text", "jdbc", "sqlite", "neardup_index", "warc", "tar", "avro", "tfrecord", "delta", "iceberg")
 }
