@@ -1877,6 +1877,36 @@ object SparkEntry {
           col("dims_ok"), col("luma_ok"), col("time_ok"), col("key_ok"))
     }),
 
+    // Matroska LACING (round 17): six frames in ONE cluster as three
+    // SimpleBlocks covering all three lacing modes (Xiph 255-runs,
+    // fixed-size over two equal copies, EBML vint+delta). Laced
+    // frames share their block's time (0/40/80 by pairs) and keyframe
+    // signal (only the Xiph block is key); frame 3 is frame 2's copy
+    // so its luma replays frame 2's pattern.
+    "x_multimodal_mkv_laced" -> ((s, d) => {
+      val frames = Multimodal.decodeMkvFrames(
+        Multimodal.packTextMjpegMkvLaced(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")
+      val fEff = when(col("frame_idx") === 3, lit(2)).otherwise(col("frame_idx"))
+      val cterm = fEff * 80 + pmod(col("id"), lit(5)).cast("int") * 16
+      val expectedMean = aggregate(
+        sequence(lit(0), lit(255)), lit(0L),
+        (acc, i) => acc + shiftright(
+          lit(17) * floor(i / 16).cast("int") + lit(17) * pmod(i, lit(16)) + cterm,
+          2).cast("long")).cast("double") / 256.0
+      frames.withColumn("__exp", expectedMean)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          min(col("width") === 16 && col("height") === 16 &&
+            col("channels") === 1).as("dims_ok"),
+          (max(abs(col("mean_luma") - col("__exp"))) < 3.0).as("luma_ok"),
+          min(col("time_ms") ===
+            floor(col("frame_idx") / 2).cast("long") * 40).as("time_ok"),
+          min(col("keyframe") === (col("frame_idx") < 2)).as("key_ok"))
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("dims_ok"), col("luma_ok"), col("time_ok"), col("key_ok"))
+    }),
+
     "x_multimodal_mjpeg_frames" -> ((s, d) => {
       val frames = Multimodal.decodeMjpegFrames(
         Multimodal.packTextMjpegAvi(t(s, d, "documents"), "doc_id", "text"),
@@ -6359,6 +6389,12 @@ object SparkEntry {
              CAST(2 + octet_length(encode(coalesce(text, ''))) % 4 AS BIGINT) AS n_frames,
              true AS dims_ok, true AS luma_ok, true AS time_ok, true AS key_ok
       FROM documents""",
+    // mkv lacing: six frames (three laced blocks), contracts boolean
+    "x_multimodal_mkv_laced" -> """
+      SELECT doc_id, CAST(6 AS BIGINT) AS n_frames,
+             true AS dims_ok, true AS luma_ok, true AS time_ok, true AS key_ok
+      FROM documents""",
+
     "x_multimodal_audio" -> """
       WITH b AS (
         SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len,

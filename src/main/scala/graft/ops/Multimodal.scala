@@ -909,12 +909,116 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** Matroska fixture with LACED SimpleBlocks (round 17) — six JPEG
+    * frames in ONE cluster as three blocks exercising every lacing
+    * mode: frames 0–1 Xiph-laced (255-continued size runs, keyframe
+    * flag set), frames 2–3 fixed-size-laced (two copies of the same
+    * frame bytes — fixed lacing requires equal sizes), frames 4–5
+    * EBML-laced (first-size vint + signed-vint delta). Blocks at
+    * relative times 0/40/80; laced frames share their block's time
+    * and keyframe signal. */
+  def packTextMjpegMkvLaced(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { rows =>
+        def size8(v: Long): Array[Byte] = {
+          val b = new Array[Byte](8)
+          b(0) = 0x01
+          var k = 0
+          while (k < 7) { b(7 - k) = ((v >> (8 * k)) & 0xFF).toByte; k += 1 }
+          b
+        }
+        def el(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+          id ++ size8(body.length.toLong) ++ body
+        def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+        def u(v: Long, w: Int): Array[Byte] =
+          (0 until w).map(k => ((v >> (8 * (w - 1 - k))) & 0xFF).toByte).toArray
+        def f64(v: Double): Array[Byte] = u(java.lang.Double.doubleToLongBits(v), 8)
+        // Xiph size run: 255-bytes then the remainder byte
+        def xiphSize(s: Int): Array[Byte] =
+          Array.fill(s / 255)(0xFF.toByte) :+ (s % 255).toByte
+        // 2-byte EBML vint (marker 0x40, 14 value bits)
+        def vint2(v: Int): Array[Byte] = {
+          require(v >= 0 && v < (1 << 14) - 1)
+          Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+        }
+        rows.map { docId =>
+          def jpeg(f: Int): Array[Byte] = {
+            val c = f * 80 + (docId % 5).toInt * 16
+            val px = new Array[Byte](256)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                px(y * 16 + x) = ((17 * x + 17 * y + c) >> 2).toByte
+                x += 1
+              }
+              y += 1
+            }
+            JpegEncoder.encode(PngCodec.Image(16, 16, 1, px), quality = 90)
+          }
+          val header = el(id(0x1A, 0x45, 0xDF, 0xA3),
+            el(id(0x42, 0x86), u(1, 1)) ++
+            el(id(0x42, 0xF7), u(1, 1)) ++
+            el(id(0x42, 0xF2), u(4, 1)) ++
+            el(id(0x42, 0xF3), u(8, 1)) ++
+            el(id(0x42, 0x82), "matroska".getBytes("US-ASCII")) ++
+            el(id(0x42, 0x87), u(4, 1)) ++
+            el(id(0x42, 0x85), u(2, 1)))
+          val info = el(id(0x15, 0x49, 0xA9, 0x66),
+            el(id(0x2A, 0xD7, 0xB1), u(1000000L, 4)) ++
+            el(id(0x44, 0x89), f64(240.0)))
+          val video = el(id(0xE0),
+            el(id(0xB0), u(16L, 2)) ++ el(id(0xBA), u(16L, 2)))
+          val track = el(id(0xAE),
+            el(id(0xD7), u(1, 1)) ++
+            el(id(0x73, 0xC5), u(1, 1)) ++
+            el(id(0x83), u(1, 1)) ++
+            el(id(0x86), "V_MJPEG".getBytes("US-ASCII")) ++
+            video)
+          val tracks = el(id(0x16, 0x54, 0xAE, 0x6B), track)
+          def head(rel: Int, flags: Int): Array[Byte] =
+            Array(0x81.toByte, ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte,
+              flags.toByte)
+          // Xiph (flags 0x02), frames 0–1, keyframe
+          val (j0, j1) = (jpeg(0), jpeg(1))
+          val xiph = el(id(0xA3), head(0, 0x80 | 0x02) ++
+            Array(1.toByte) ++ xiphSize(j0.length) ++ j0 ++ j1)
+          // fixed (flags 0x04), frames 2–3 = two copies
+          val j2 = jpeg(2)
+          val fixed = el(id(0xA3), head(40, 0x04) ++
+            Array(1.toByte) ++ j2 ++ j2)
+          // EBML (flags 0x06), frames 4–5
+          val (j4, j5) = (jpeg(4), jpeg(5))
+          val ebml = el(id(0xA3), head(80, 0x06) ++
+            Array(1.toByte) ++ vint2(j4.length) ++ j4 ++ j5)
+          val cluster = el(id(0x1F, 0x43, 0xB6, 0x75),
+            el(id(0xE7), u(0L, 2)) ++ xiph ++ fixed ++ ebml)
+          val segment = el(id(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ cluster)
+          (docId, header ++ segment)
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("video/x-matroska").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(16).as("width"),
+          lit(16).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
   /** REAL frame-level Matroska decode: resolve the first video
     * track's block stream ([[Mkv.blocks]] — cluster timestamps +
-    * SimpleBlock/BlockGroup walk, laced blocks refused by name),
-    * slice each block's frame bytes, decode with the from-spec
-    * [[JpegCodec]] (V_MJPEG; other codecs refuse by absence), and
-    * emit one row per decoded frame. Scan-local flatMap. */
+    * SimpleBlock/BlockGroup walk, laced blocks unpacked per frame,
+    * round 17), slice each block's frame bytes, decode with the
+    * from-spec [[JpegCodec]] (V_MJPEG; other codecs refuse by
+    * absence), and emit one row per decoded frame. Scan-local
+    * flatMap. */
   def decodeMkvFrames(df: DataFrame, idCol: String, mediaCol: String,
       stride: Int = 1): DataFrame = {
     require(stride > 0, s"mkv frames: stride=$stride must be positive")

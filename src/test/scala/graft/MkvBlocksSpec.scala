@@ -70,12 +70,52 @@ class MkvBlocksSpec extends AnyFunSuite {
     assert(bs.blocks.map(_.keyframe) == Vector(true, false))
   }
 
-  test("laced blocks refuse; junk and truncation never throw") {
-    val laced = el(id(0xA3), Array[Byte](0x81.toByte, 0, 0, 0x06, 2, 3) ++
-      Array.fill[Byte](6)(1))
-    val seg = el(id(0x18, 0x53, 0x80, 0x67), infoEl ++ tracks("V_MJPEG") ++
-      el(id(0x1F, 0x43, 0xB6, 0x75), el(id(0xE7), u(0, 1)) ++ laced))
-    assert(Mkv.blocks(header ++ seg).isEmpty, "EBML lacing refuses by name")
+  test("lacing (round 17): all three modes unpack per frame, hand-built vectors") {
+    def stream(blockPayload: Array[Byte]): Array[Byte] =
+      header ++ el(id(0x18, 0x53, 0x80, 0x67), infoEl ++ tracks("V_MJPEG") ++
+        el(id(0x1F, 0x43, 0xB6, 0x75),
+          el(id(0xE7), u(10, 1)) ++ el(id(0xA3), blockPayload)))
+    def head(rel: Int, flags: Int) = Array(0x81.toByte,
+      ((rel >> 8) & 0xFF).toByte, (rel & 0xFF).toByte, flags.toByte)
+    def slices(bytes: Array[Byte], bs: Mkv.BlockStream): Vector[Vector[Byte]] =
+      bs.blocks.map(b => bytes.slice(b.offset, b.offset + b.size).toVector)
+
+    // Xiph, 3 frames: sizes 2 and 300 (a 255-continued run), last = rest
+    val f0 = Array[Byte](1, 2)
+    val f1 = Array.fill[Byte](300)(7)
+    val f2 = Array[Byte](9, 9, 9)
+    val xiph = stream(head(5, 0x80 | 0x02) ++ Array(2.toByte) ++
+      Array[Byte](2) ++ Array(0xFF.toByte, 45.toByte) ++ f0 ++ f1 ++ f2)
+    val xs = Mkv.blocks(xiph).get
+    assert(slices(xiph, xs) == Vector(f0.toVector, f1.toVector, f2.toVector))
+    assert(xs.blocks.map(_.timeMs) == Vector(15L, 15L, 15L)) // cluster 10 + rel 5
+    assert(xs.blocks.map(_.keyframe) == Vector(true, true, true))
+
+    // fixed, 4 equal frames
+    val q = Array[Byte](1, 2, 3)
+    val fixed = stream(head(0, 0x04) ++ Array(3.toByte) ++ q ++ q ++ q ++ q)
+    val fs = Mkv.blocks(fixed).get
+    assert(fs.blocks.length == 4 && slices(fixed, fs).forall(_ == q.toVector))
+    assert(fs.blocks.forall(!_.keyframe))
+    // uneven payload refuses
+    assert(Mkv.blocks(stream(head(0, 0x04) ++ Array(3.toByte) ++
+      Array.fill[Byte](13)(1))).isEmpty)
+
+    // EBML, 3 frames: first size 2 (vint 0x82), delta +1 via the
+    // 1-byte signed vint (bias 63 → 0x80|64), last = rest
+    val e0 = Array[Byte](5, 5)
+    val e1 = Array[Byte](6, 6, 6)
+    val e2 = Array[Byte](8)
+    val ebml = stream(head(0, 0x06) ++ Array(2.toByte) ++
+      Array(0x82.toByte, (0x80 | 64).toByte) ++ e0 ++ e1 ++ e2)
+    val es = Mkv.blocks(ebml).get
+    assert(slices(ebml, es) == Vector(e0.toVector, e1.toVector, e2.toVector))
+    // sizes overrunning the block refuse
+    assert(Mkv.blocks(stream(head(0, 0x02) ++ Array(1.toByte) ++
+      Array(200.toByte) ++ Array.fill[Byte](10)(1))).isEmpty)
+  }
+
+  test("junk and truncation never throw") {
     val good = header ++ el(id(0x18, 0x53, 0x80, 0x67), infoEl ++ tracks("V_MJPEG") ++
       el(id(0x1F, 0x43, 0xB6, 0x75),
         el(id(0xE7), u(0, 1)) ++ simpleBlock(1, 0, 0x80, Array.fill[Byte](4)(1))))
