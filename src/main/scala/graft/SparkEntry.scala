@@ -1850,6 +1850,33 @@ object SparkEntry {
           col("dims_ok"), col("luma_ok"), col("time_ok"), col("key_ok"))
     }),
 
+    // FRAGMENTED MP4 (round 17): the same frames in the streaming
+    // layout — empty stbl, trex defaults, moof/tfhd(default-base-is-
+    // moof)/tfdt/trun(data-offset + per-sample sizes/flags) per two
+    // frames. Same contracts: 40 ms steps, every third GLOBAL frame
+    // sync.
+    "x_multimodal_mp4_frag" -> ((s, d) => {
+      val frames = Multimodal.decodeMp4Frames(
+        Multimodal.packTextMjpegFmp4(t(s, d, "documents"), "doc_id", "text"),
+        "id", "media")
+      val cterm = col("frame_idx") * 80 + pmod(col("id"), lit(5)).cast("int") * 16
+      val expectedMean = aggregate(
+        sequence(lit(0), lit(255)), lit(0L),
+        (acc, i) => acc + shiftright(
+          lit(17) * floor(i / 16).cast("int") + lit(17) * pmod(i, lit(16)) + cterm,
+          2).cast("long")).cast("double") / 256.0
+      frames.withColumn("__exp", expectedMean)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          min(col("width") === 16 && col("height") === 16 &&
+            col("channels") === 1).as("dims_ok"),
+          (max(abs(col("mean_luma") - col("__exp"))) < 3.0).as("luma_ok"),
+          min(col("time_ms") === col("frame_idx").cast("long") * 40).as("time_ok"),
+          min(col("keyframe") === (pmod(col("frame_idx"), lit(3)) === 0)).as("key_ok"))
+        .select(col("id").as("doc_id"), col("n_frames"),
+          col("dims_ok"), col("luma_ok"), col("time_ok"), col("key_ok"))
+    }),
+
     // Matroska sibling: the same JPEG frames as Cluster SimpleBlocks
     // (two per cluster — absolute time must combine the cluster
     // timestamp with each block's relative offset), keyframes every
@@ -6378,6 +6405,13 @@ object SparkEntry {
     // mp4 frames: same frame synthesis as the AVI gate, plus the
     // sample-table contracts (40 ms uniform timing, every-third sync)
     "x_multimodal_mp4_frames" -> """
+      SELECT doc_id,
+             CAST(2 + octet_length(encode(coalesce(text, ''))) % 4 AS BIGINT) AS n_frames,
+             true AS dims_ok, true AS luma_ok, true AS time_ok, true AS key_ok
+      FROM documents""",
+
+    // fragmented mp4: same contracts over the moof/trun walk
+    "x_multimodal_mp4_frag" -> """
       SELECT doc_id,
              CAST(2 + octet_length(encode(coalesce(text, ''))) % 4 AS BIGINT) AS n_frames,
              true AS dims_ok, true AS luma_ok, true AS time_ok, true AS key_ok

@@ -1333,6 +1333,50 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** FRAGMENTED-MP4 sibling (round 17): the same gradient frames in
+    * the streaming layout — empty moov sample tables, trex defaults,
+    * one moof+mdat per two frames with tfdt/trun runs — so the
+    * decoder must resolve fragments, not stbl. Same luma oracle. */
+  def packTextMjpegFmp4(df: DataFrame, idCol: String, textCol: String,
+      maxBytes: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Partitioning.fanOut(df)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val len = math.min(bytes0.length, maxBytes)
+          val nFrames = 2 + (len % 4)
+          val frames = (0 until nFrames).map { f =>
+            val c = f * 80 + (id % 5).toInt * 16
+            val px = new Array[Byte](256)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                px(y * 16 + x) = ((17 * x + 17 * y + c) >> 2).toByte
+                x += 1
+              }
+              y += 1
+            }
+            JpegEncoder.encode(PngCodec.Image(16, 16, 1, px), quality = 90)
+          }
+          (id, Mp4.muxFragmented(16, 16, fps = 25, frames, framesPerFragment = 2))
+        }
+      }
+      .toDF("id", "__payload")
+      .select(col("id"), struct(
+        col("__payload").as("payload"),
+        lit("video/mp4").as("mime"),
+        struct(
+          octet_length(col("__payload")).cast("long").as("byte_len"),
+          lit(16).as("width"),
+          lit(16).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
+  }
+
   /** REAL frame-level MP4 decode: resolve the first video track's
     * sample table ([[Mp4.samples]] — stts/stsc/stsz/stco/stss), slice
     * each sample out of the payload, decode it with the from-spec

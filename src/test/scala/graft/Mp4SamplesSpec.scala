@@ -92,4 +92,74 @@ class Mp4SamplesSpec extends AnyFunSuite {
       Mp4.samples(mut) // arbitrary corruption: never throws
     }
   }
+
+  test("fragmented (round 17): moof/tfhd/tfdt/trun resolve; trex defaults; fuzz") {
+    val frames = (0 until 5).map(f => Array.fill[Byte](10 + f)(f.toByte))
+    val bytes = Mp4.muxFragmented(32, 24, fps = 25, frames, framesPerFragment = 2)
+    val t = Mp4.samples(bytes).getOrElse(fail("fragmented refused"))
+    assert(t.codec == "jpeg" && t.width == 32 && t.height == 24)
+    assert(t.samples.length == 5)
+    // payload slicing identity across fragments
+    t.samples.zipWithIndex.foreach { case (s, i) =>
+      assert(bytes.slice(s.offset.toInt, (s.offset + s.size).toInt).toSeq ==
+        frames(i).toSeq, s"frame $i bytes")
+    }
+    // tfdt + trex default duration: 40 ms steps across fragments
+    assert(t.samples.map(_.timeMs) == Vector(0L, 40L, 80L, 120L, 160L))
+    // per-sample flags: every third GLOBAL frame sync
+    assert(t.samples.map(_.keyframe) == Vector(true, false, false, true, false))
+    // truncation + corruption never throw
+    (1 until bytes.length by 11).foreach { n =>
+      Mp4.samples(java.util.Arrays.copyOf(bytes, n))
+    }
+    val rng = new scala.util.Random(31)
+    (0 until 150).foreach { _ =>
+      val mut = bytes.clone()
+      mut(rng.nextInt(mut.length)) = rng.nextInt(256).toByte
+      Mp4.samples(mut)
+    }
+  }
+
+  test("fragmented: first-sample-flags override and size-only truns") {
+    // hand-build a moof whose trun uses first-sample-flags (0x04) and
+    // per-sample sizes only — remaining flags come from trex (non-sync)
+    def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, p: Array[Byte]): Array[Byte] =
+      be32(8 + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val base = Mp4.muxFragmented(32, 24, fps = 25,
+      Seq(Array.fill[Byte](4)(1)), framesPerFragment = 1)
+    // locate the generated moof and REPLACE it with the hand variant
+    val moofAt = {
+      var i = 0; var found = -1
+      while (found < 0 && i + 8 <= base.length) {
+        if (new String(base, i + 4, 4, "US-ASCII") == "moof") found = i
+        else i += (((base(i) & 0xFF) << 24) | ((base(i + 1) & 0xFF) << 16) |
+          ((base(i + 2) & 0xFF) << 8) | (base(i + 3) & 0xFF))
+      }
+      found
+    }
+    val head = java.util.Arrays.copyOf(base, moofAt)
+    val fA = Array.fill[Byte](6)(9)
+    val fB = Array.fill[Byte](7)(8)
+    def trun(dataOffset: Long) = box("trun", be32(0x01L | 0x04L | 0x200L) ++
+      be32(2) ++ be32(dataOffset) ++ be32(0L) ++ // firstFlags = SYNC
+      be32(fA.length) ++ be32(fB.length))
+    def moof(off: Long) = box("moof",
+      box("mfhd", be32(0) ++ be32(1)) ++
+        box("traf", box("tfhd", be32(0x20000L) ++ be32(1)) ++
+          box("tfdt", be32(0) ++ be32(0)) ++ trun(off)))
+    val m = moof(moof(0).length + 8L)
+    val full = head ++ m ++ box("mdat", fA ++ fB)
+    val t = Mp4.samples(full).getOrElse(fail("hand fragment refused"))
+    assert(t.samples.length == 2)
+    assert(full.slice(t.samples(0).offset.toInt,
+      (t.samples(0).offset + t.samples(0).size).toInt).toSeq == fA.toSeq)
+    assert(full.slice(t.samples(1).offset.toInt,
+      (t.samples(1).offset + t.samples(1).size).toInt).toSeq == fB.toSeq)
+    // firstFlags made sample 0 sync; sample 1 inherits trex non-sync
+    assert(t.samples.map(_.keyframe) == Vector(true, false))
+    // trex default duration drives the timing
+    assert(t.samples.map(_.timeMs) == Vector(0L, 40L))
+  }
 }
