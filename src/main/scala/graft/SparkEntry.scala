@@ -2723,6 +2723,29 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
     }),
 
+    // Delta CHECKPOINT WRITER (round 17): three appends around a
+    // checkpoint at v1 — the read must seed from the engine's OWN
+    // checkpoint parquet (cluster-side merge) and replay only the v2
+    // tail; the oracle is every row. Vacuumed-prefix reads and
+    // prune-through-own-checkpoint are pinned in DeltaWriteSpec.
+    "x_delta_write_checkpoint" -> ((s, d) => {
+      val dir = sharedDir("delta_write_cp", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-wcp")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          pmod(col("doc_id"), lit(3)).cast("string").as("third"))
+        graft.ops.DeltaWrite.append(s, data.where(col("third") === "0"), dest, Seq("third"))
+        graft.ops.DeltaWrite.append(s, data.where(col("third") === "1"), dest, Seq("third"))
+        graft.ops.DeltaWrite.writeCheckpoint(s, dest)
+        graft.ops.DeltaWrite.append(s, data.where(col("third") === "2"), dest, Seq("third"))
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("third"))
+    }),
+
     // Delta OPEN-ENDED CDF (round 17): "changes since t=2500" with no
     // end bound — the starting timestamp resolves to the earliest
     // commit at or after it (v2 at ts 3000), the end defaults to the
@@ -6913,6 +6936,12 @@ object SparkEntry {
     // source rows (partition values re-injected from the log)
     "x_delta_write_roundtrip" -> """
       SELECT doc_id, source, n_chars, CAST(doc_id % 2 AS VARCHAR) AS parity
+      FROM documents""",
+
+    // delta checkpoint writer: every row survives the
+    // checkpoint-seeded read
+    "x_delta_write_checkpoint" -> """
+      SELECT doc_id, source, n_chars, CAST(doc_id % 3 AS VARCHAR) AS third
       FROM documents""",
 
     // delta open-ended cdf: start ts 2500 resolves to v2 (ts 3000),

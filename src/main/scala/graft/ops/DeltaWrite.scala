@@ -97,6 +97,13 @@ object DeltaWrite {
       Option(logDir.listFiles()).getOrElse(Array.empty).toSeq
         .flatMap(f => DeltaLog.versionOf(f.getName).map(_ -> f)).sortBy(_._1)
 
+    // a checkpoint with NO commit JSONs (fully vacuumed log) is still
+    // a TABLE — silently starting over at version 0 would fork it
+    if (existing.isEmpty && new java.io.File(logDir, "_last_checkpoint").isFile)
+      refuse("the log has a checkpoint but no commit JSONs; this writer " +
+        "resolves table state from the commit JSONs (v1 scope) and cannot " +
+        "safely append — refusing beats forking the table at version 0")
+
     // append-compat gate against the existing table's metadata
     val version: Long = if (existing.isEmpty) 0L else {
       val commits = existing.map { case (v, f) =>
@@ -249,6 +256,83 @@ object DeltaWrite {
           "conflict resolution is out of the v1 append scope — retry against " +
           "the new table state")
     } finally commitTmp.delete()
+    version
+  }
+
+  /** CHECKPOINT the table at its latest commit version (round 17,
+    * completing the writer story — real writers checkpoint every ~10
+    * commits so readers stop replaying the whole JSON history): the
+    * driver replays the commit JSONs (log-bounded), writes ONE
+    * checkpoint parquet of action rows — metaData + protocol + one
+    * add per ACTIVE file with its stats string — and then
+    * `_last_checkpoint`. The repo's own reader seeds from it
+    * (cluster-side checkpoint merge) exactly as from any writer's.
+    * v1 scope: classic single-part checkpoints, no remove tombstones
+    * (VACUUM bookkeeping), protocol ≤ 2 (a table-features log needs
+    * feature-aware checkpointing); refuses beyond. Returns the
+    * checkpointed version. */
+  def writeCheckpoint(spark: SparkSession, tableDir: String): Long = {
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => DeltaLog.versionOf(f.getName).map(_ -> f)).sortBy(_._1)
+      .map { case (v, f) => v -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) }
+    if (commits.isEmpty) refuse(s"no commits under $tableDir/_delta_log")
+    if (commits.map(_._1) != (0L to commits.last._1))
+      refuse("the commit history is not contiguous from version 0; " +
+        "checkpointing a partial replay would freeze a wrong state")
+    val snap = DeltaLog.snapshotOfE(commits) match {
+      case Right(s) => s
+      case Left(r) => refuse(s"cannot checkpoint: $r")
+    }
+    if (snap.minReaderVersion > 2)
+      refuse("table uses reader version 3 (table features); feature-aware " +
+        "checkpointing is out of the v1 scope")
+    if (snap.files.exists(_.dv.isDefined))
+      refuse("table carries deletion vectors; checkpointing them is out of " +
+        "the v1 scope")
+    val version = commits.last._1
+    import org.apache.spark.sql.types._
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", LongType),
+      StructField("minWriterVersion", LongType)))
+    val schema = StructType(Seq(
+      StructField("add", addType), StructField("metaData", metaType),
+      StructField("protocol", protoType)))
+    val rows: Seq[Row] =
+      Row(null, Row(snap.tableId, snap.schemaJson,
+        snap.partitionColumns, snap.configuration), null) +:
+      Row(null, null, Row(snap.minReaderVersion.toLong, 2L)) +:
+      snap.files.sortBy(_.path).map(f =>
+        Row(Row(f.path, f.partitionValues, f.size, f.modificationTime,
+          false, f.stats.orNull), null, null))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // one part, exact name (the Spark writer names parts itself)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delta-cp").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(refuse("checkpoint parquet write produced no file"))
+    val dest = new java.io.File(logDir, f"$version%020d.checkpoint.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete()); tmp.delete()
+    java.nio.file.Files.write(new java.io.File(logDir, "_last_checkpoint").toPath,
+      s"""{"version":$version,"size":${rows.length}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     version
   }
 }

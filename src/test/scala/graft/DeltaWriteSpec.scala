@@ -116,6 +116,46 @@ class DeltaWriteSpec extends SparkSuite {
     assert(e2.getMessage.contains("reader version 3") || e2.getMessage.contains("cannot append"))
   }
 
+  test("checkpoint writer: own checkpoint seeds the read, survives a vacuumed prefix") {
+    val dir = freshDir()
+    val data = docs.withColumn("parity", pmod(col("doc_id"), lit(2)).cast("string"))
+    DeltaWrite.append(spark, data.where(col("parity") === "0"), dir, Seq("parity"))
+    DeltaWrite.append(spark, data.where(col("parity") === "1"), dir, Seq("parity"))
+    assert(DeltaWrite.writeCheckpoint(spark, dir) == 1L)
+    // the read seeds from the checkpoint and equals the full table
+    assert(DeltaLog.readTable(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq == (1L to 8L))
+    // stats survive INTO the checkpoint: pruning works through it
+    val pruned = DeltaLog.readTable(spark, dir, None,
+      Some(col("parity") === "1" && col("doc_id") <= 3L))
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // a vacuumed prefix (pre-checkpoint JSONs deleted) still reads
+    new java.io.File(dir, "_delta_log/00000000000000000000.json").delete()
+    new java.io.File(dir, "_delta_log/00000000000000000001.json").delete()
+    assert(DeltaLog.readTable(spark, dir).count() == 8)
+    // the fully-vacuumed log refuses BOTH a new checkpoint and an
+    // append (appending would fork the table at version 0)
+    val e0 = intercept[GraftAnalysisException] { DeltaWrite.writeCheckpoint(spark, dir) }
+    assert(e0.getMessage.contains("no commits"))
+    val eApp = intercept[GraftAnalysisException] {
+      DeltaWrite.append(spark, data.where(col("parity") === "0"), dir, Seq("parity"))
+    }
+    assert(eApp.getMessage.contains("forking the table"))
+    // a GAPPED history refuses a checkpoint by name
+    val dir2 = freshDir()
+    DeltaWrite.append(spark, data.where(col("parity") === "0"), dir2, Seq("parity"))
+    DeltaWrite.append(spark, data.where(col("parity") === "1"), dir2, Seq("parity"))
+    DeltaWrite.append(spark, docs.limit(1).withColumn("parity", lit("0")), dir2, Seq("parity"))
+    new java.io.File(dir2, "_delta_log/00000000000000000001.json").delete()
+    val e = intercept[GraftAnalysisException] { DeltaWrite.writeCheckpoint(spark, dir2) }
+    assert(e.getMessage.contains("not contiguous"))
+    // checkpointing a DV-bearing or v3 table refuses by name
+    val dvDir = graft.ops.TableFixtures.writeDeltaDvTable(spark, docs, "doc_id")
+    val e2 = intercept[GraftAnalysisException] { DeltaWrite.writeCheckpoint(spark, dvDir) }
+    assert(e2.getMessage.contains("reader version 3") ||
+      e2.getMessage.contains("deletion vectors"))
+  }
+
   test("the delta sink spec surface writes a readable table") {
     val dir = freshDir() + "/tbl"
     graft.sinks.SinkWriter.write(docs,
