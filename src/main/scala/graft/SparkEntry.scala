@@ -3448,6 +3448,42 @@ object SparkEntry {
           col("width"), col("height"))
     }),
 
+    // ICC profile metadata (round 17): the JDK's own sRGB profile
+    // (java.awt.color.ICC_Profile — the independent reference
+    // implementation) embedded per container by id%4 — JPEG APP2 in
+    // 1-3 segments (reassembly exercised), PNG iCCP (in-repo zlib
+    // both directions), WebP VP8X+ICCP — and a no-profile JPEG; the
+    // parsed header fields replay the sRGB constants. Description
+    // text and the JDK getter cross-check are pinned in IccSpec.
+    "x_image_icc" -> ((s, d) => {
+      val packed = {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val profile = java.awt.color.ICC_Profile.getInstance(
+              java.awt.color.ColorSpace.CS_sRGB).getData
+            val px = Array.tabulate(16 * 16)(i => ((i + id) % 251).toByte)
+            val img = ops.PngCodec.Image(16, 16, 1, px)
+            val payload = (id % 4) match {
+              case 0 => ops.Icc.embedJpeg(
+                ops.JpegEncoder.encode(img, quality = 90), profile,
+                segments = 1 + (id % 3).toInt)
+              case 1 => ops.Icc.embedPng(ops.PngCodec.encode(img), profile)
+              case 2 => ops.Icc.embedWebp(ops.WebpCodec.encodeGreen(16, 16, px),
+                profile, 16, 16)
+              case _ => ops.JpegEncoder.encode(img, quality = 90)
+            }
+            (id, payload)
+          }
+          .toDF("doc_id", "__payload")
+          .select(col("doc_id"), struct(col("__payload").as("payload")).as("media"))
+      }
+      Multimodal.decodeImageIcc(packed, "doc_id", "media")
+        .select(col("id").as("doc_id"), col("container"), col("icc_present"),
+          col("profile_size"), col("icc_version"), col("device_class"),
+          col("color_space"), col("pcs"), col("rendering_intent"))
+    }),
+
     // HEIF GRID (tiled) primaries (round 17 — the iPhone default
     // layout): item 1 is a `grid` whose ImageGrid payload (rows/cols/
     // output dims) lives in mdat or idat (id%5 picks), tiles arrive by
@@ -7318,6 +7354,23 @@ object SparkEntry {
                        ELSE (doc_id % 300) + 1 END AS INTEGER) AS width,
              CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN (doc_id % 300) + 1
                        ELSE (doc_id % 200) + 1 END AS INTEGER) AS height
+      FROM documents""",
+
+    // icc metadata: the JDK sRGB profile's header constants per
+    // container (id%4==3 carries none)
+    "x_image_icc" -> """
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 1 THEN 'png' WHEN 2 THEN 'webp'
+                             ELSE 'jpeg' END AS container,
+             doc_id % 4 <> 3 AS icc_present,
+             CASE WHEN doc_id % 4 = 3 THEN NULL
+                  ELSE CAST(6876 AS BIGINT) END AS profile_size,
+             CASE WHEN doc_id % 4 = 3 THEN NULL ELSE '2.3' END AS icc_version,
+             CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'mntr' END AS device_class,
+             CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'RGB ' END AS color_space,
+             CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'XYZ ' END AS pcs,
+             CASE WHEN doc_id % 4 = 3 THEN NULL
+                  ELSE CAST(0 AS INTEGER) END AS rendering_intent
       FROM documents""",
 
     // heif grid: output-canvas dims from doc_id arithmetic, swapped

@@ -1333,6 +1333,44 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta")).as("media"))
   }
 
+  /** ICC color-profile metadata (round 17): extract the embedded
+    * profile from JPEG APP2 / PNG iCCP / WebP ICCP (or raw profile
+    * bytes) and parse its header through [[Icc]] — container tag,
+    * presence, profile size, version, device class, color space, PCS,
+    * rendering intent. Scan-local map; payloads without a profile (or
+    * hostile bytes) come back icc_present = false with null fields. */
+  def decodeImageIcc(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol + ".payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p0) =>
+          val p = if (p0 == null) Array.emptyByteArray else p0
+          val container =
+            if (p.length >= 2 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) "jpeg"
+            else if (p.length >= 4 && (p(0) & 0xFF) == 0x89 && p(1) == 'P') "png"
+            else if (p.length >= 12 && p(0) == 'R' && p(8) == 'W') "webp"
+            else if (p.length >= 40 && p(36) == 'a' && p(37) == 'c' &&
+              p(38) == 's' && p(39) == 'p') "raw"
+            else "other"
+          Icc.extract(p).flatMap(Icc.parseHeader) match {
+            case Some(h) =>
+              (id, container, true, Some(h.size),
+                Some(s"${h.versionMajor}.${h.versionMinor}"),
+                Some(h.deviceClass), Some(h.colorSpace), Some(h.pcs),
+                Some(h.renderingIntent), h.description)
+            case None =>
+              (id, container, false, None: Option[Long], None: Option[String],
+                None: Option[String], None: Option[String], None: Option[String],
+                None: Option[Int], None: Option[String])
+          }
+        }
+      }
+      .toDF("id", "container", "icc_present", "profile_size", "icc_version",
+        "device_class", "color_space", "pcs", "rendering_intent", "description")
+  }
+
   /** FRAGMENTED-MP4 sibling (round 17): the same gradient frames in
     * the streaming layout — empty moov sample tables, trex defaults,
     * one moof+mdat per two frames with tfdt/trun runs — so the

@@ -817,6 +817,10 @@ object Transforms {
     case "image_meta" =>
       graft.ops.Multimodal.decodeImageMeta(df,
         t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
+    // ICC color-profile metadata (JPEG APP2 / PNG iCCP / WebP ICCP)
+    case "image_icc" =>
+      graft.ops.Multimodal.decodeImageIcc(df,
+        t.config.reqStr("id_field"), t.config.str("media_field").getOrElse("media"))
     // REAL audio header decode (RIFF/WAV): channels, rate, duration
     case "audio_meta" =>
       graft.ops.Multimodal.decodeAudioMeta(df,
@@ -1067,7 +1071,7 @@ object Transforms {
     "dedup_lines", "dedup_spans", "dedup_substrings", "corpus_diff", "dsir_weights", "c4_filter", "heavy_hitters",
     "corpus_report", "tfidf", "dedup_index_check",
     "multimodal_pack", "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "image_meta", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "webp_frames", "gif_frames", "mp4_frames", "mkv_frames", "image_neardup", "image_neardup_groups",
+    "image_meta", "image_icc", "audio_meta", "video_meta", "image_pixels", "audio_features", "audio_spectral", "audio_fingerprint", "audio_dedup_groups", "mjpeg_frames", "webp_frames", "gif_frames", "mp4_frames", "mkv_frames", "image_neardup", "image_neardup_groups",
     "connected_components", "dedup_cluster", "pagerank", "html_links",
     "sitemap_parse", "feed_parse", "registrable_domain", "robots_sitemaps",
     "docx_extract", "docx_parts", "pptx_extract", "odt_extract", "xlsx_cells",
