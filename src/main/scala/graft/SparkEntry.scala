@@ -3458,10 +3458,12 @@ object SparkEntry {
     "x_image_icc" -> ((s, d) => {
       val packed = {
         import s.implicits._
+        // the JDK serializes the profile on every getData call —
+        // fetch once, ship in the closure (kilobytes)
+        val profile = java.awt.color.ICC_Profile.getInstance(
+          java.awt.color.ColorSpace.CS_sRGB).getData
         t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
           .map { id =>
-            val profile = java.awt.color.ICC_Profile.getInstance(
-              java.awt.color.ColorSpace.CS_sRGB).getData
             val px = Array.tabulate(16 * 16)(i => ((i + id) % 251).toByte)
             val img = ops.PngCodec.Image(16, 16, 1, px)
             val payload = (id % 4) match {
