@@ -58,6 +58,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges(Multimodal.packTextMjpegMkv(texts, "doc_id", "text")) <= 1)
   }
 
+  test("round-17 decode ops are scan-local — no Exchange in any plan") {
+    val media = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "p")
+      .select(col("id"), struct(col("p").as("payload"), lit("x").as("mime")).as("media"))
+    // fragmented MP4 and laced MKV ride the same decode surfaces
+    assert(exchanges(Multimodal.decodeMp4Frames(media, "id", "media")) == 0)
+    assert(exchanges(Multimodal.decodeMkvFrames(media, "id", "media")) == 0)
+    assert(exchanges(Multimodal.decodeImageIcc(media, "id", "media")) == 0)
+    val texts = Seq((1L, "hello")).toDF("doc_id", "text")
+    assert(exchanges(Multimodal.packTextMjpegFmp4(texts, "doc_id", "text")) <= 1)
+    assert(exchanges(Multimodal.packTextMjpegMkvLaced(texts, "doc_id", "text")) <= 1)
+    // byte-BPE encode is broadcast-ranks + memo: scan-local
+    val model = graft.ops.BpeBytes.Model(Seq(("a", "b")))
+    assert(exchanges(model.encodeCounts(texts, "doc_id", "text")) == 0)
+  }
+
   test("semdedup shuffles only for the within-cell pair probe and verdict join") {
     val vecs = (0L until 20L).map(i => (i, Seq.tabulate(8)(j => ((i + j) % 5).toFloat)))
       .toDF("vec_id", "embedding")
