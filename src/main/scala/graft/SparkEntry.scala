@@ -2882,6 +2882,28 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Iceberg INCREMENTAL APPEND scan (round 17): the diff between
+    // the write fixture's two snapshots is exactly the second
+    // append's rows (odd ids) — the per-poll read an incremental
+    // consumer does; rewrite/delete refusals pinned in
+    // IcebergWriteSpec.
+    "x_iceberg_incremental" -> ((s, d) => {
+      val dir = sharedDir("iceberg_write", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-ib-wr")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        graft.ops.IcebergWrite.append(s, data.where(col("doc_id") % 2 === 0),
+          dest, clusterBy = Seq("doc_id"), numFiles = 2)
+        graft.ops.IcebergWrite.append(s, data.where(col("doc_id") % 2 === 1),
+          dest, clusterBy = Seq("doc_id"), numFiles = 2)
+        dest
+      }
+      graft.ops.Iceberg.readAppendsBetween(s, dir, 1L, None)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Iceberg TIMESTAMP travel (round 16): the v2 table's
     // snapshot-log stamps snapshot 0 at t=1000 ms and snapshot 1
     // (with the position deletes) at t=2000 ms; reading AS OF 1500
@@ -7010,6 +7032,11 @@ object SparkEntry {
     // reader equals the source rows
     "x_iceberg_write_roundtrip" -> """
       SELECT doc_id, source, n_chars FROM documents""",
+
+    // iceberg incremental append scan: snapshot 1 → current diff is
+    // the second append (odd ids)
+    "x_iceberg_incremental" -> """
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1""",
 
     // iceberg column-bounds skipping: the doc_id range replays
     // exactly (third quartile of the id space)

@@ -893,6 +893,67 @@ object Iceberg {
       snapshotId: Option[Long]): DataFrame =
     readTable(spark, tableDir, snapshotId, None)
 
+  /** INCREMENTAL APPEND SCAN (round 17 — the Iceberg analogue of the
+    * Delta change feed's insert tail): the rows of data files that are
+    * ACTIVE in `toSnapshot` (default: current) but not in
+    * `fromSnapshot` — exactly what an incremental consumer reads per
+    * poll. Append-only semantics by design: if either snapshot carries
+    * delete manifests, or a file ACTIVE in `from` is gone in `to`
+    * (a rewrite/compaction — its rows would double-count), refuse by
+    * name rather than fabricate a change stream. Identity `from == to`
+    * yields an empty frame with the table schema. File identity is the
+    * manifest path (writers never reuse data-file paths). */
+  def readAppendsBetween(spark: SparkSession, tableDir: String,
+      fromSnapshot: Long, toSnapshot: Option[Long] = None): DataFrame = {
+    def readBytes(f: java.io.File): Array[Byte] =
+      java.nio.file.Files.readAllBytes(f.toPath)
+    val meta = currentMeta(tableDir)
+    def activeOf(id: Long): Seq[Entry] = {
+      val snap = meta.snapshots.find(_.id == id).getOrElse(refuse(
+        s"snapshot $id is not in this metadata's snapshots (expired or unknown); " +
+          s"known ids: ${meta.snapshots.map(_.id).mkString(",")}"))
+      val ml = snap.manifestList match {
+        case Some(p) =>
+          val f = new java.io.File(resolvePath(tableDir, meta.location, p))
+          if (!f.isFile) refuse(s"manifest list missing: ${f.getName}")
+          manifestListEntries(readBytes(f)).getOrElse(
+            refuse(s"unreadable manifest list ${f.getName}"))
+        case None if snap.manifests.nonEmpty => snap.manifests.map(p => (p, 0, None))
+        case None => refuse(s"snapshot $id has neither manifest-list nor manifests")
+      }
+      if (ml.exists(_._2 == 1))
+        refuse(s"snapshot $id carries delete manifests; the incremental append " +
+          "scan is append-only by design — row-level deletes need a change-feed " +
+          "semantics this surface does not fabricate")
+      ml.filter(_._2 == 0).flatMap { case (mp, _, _) =>
+        val f = new java.io.File(resolvePath(tableDir, meta.location, mp))
+        if (!f.isFile) refuse(s"manifest missing: ${f.getName}")
+        manifestEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest ${f.getName}"))
+      }.filter(_.status != 2)
+    }
+    val to = toSnapshot.orElse(meta.currentSnapshotId).getOrElse(
+      refuse("no current snapshot"))
+    val fromActive = activeOf(fromSnapshot).map(_.path).toSet
+    val toActive = activeOf(to)
+    val gone = fromActive -- toActive.map(_.path).toSet
+    if (gone.nonEmpty)
+      refuse(s"${gone.size} file(s) active in snapshot $fromSnapshot are gone in " +
+        s"$to (rewrite/compaction between them); an append-only diff would " +
+        "misattribute their rows — refusing beats a wrong change stream")
+    val added = toActive.filterNot(e => fromActive(e.path))
+    added.find(!_.format.equalsIgnoreCase("parquet")).foreach(e =>
+      refuse(s"data file format ${e.format} unsupported (parquet only)"))
+    if (added.isEmpty) {
+      // identity diff: empty frame with the TABLE's schema (the full
+      // read supplies it — limit(0) keeps the plan trivial)
+      return readTable(spark, tableDir, Some(to)).limit(0)
+    }
+    val paths = added.map(e => resolvePath(tableDir, meta.location, e.path))
+    if (meta.schemaFields.nonEmpty)
+      fieldIdScan(spark, paths, meta.schemaFields, withMetaCols = false)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** [[readTable]] with MANIFEST-LEVEL PARTITION PRUNING: `pred` is a
     * predicate over identity-transform partition field names. It is
     * applied BOTH at the manifest walk (only matching files reach the

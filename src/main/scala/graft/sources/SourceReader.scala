@@ -125,6 +125,17 @@ object SourceReader {
     // predicate over identity partition fields) prunes at the
     // MANIFEST walk — only matching files open — and is re-applied
     // to the rows.
+    // `changes = true` reads the INCREMENTAL APPEND SCAN instead of a
+    // snapshot: rows appended after from_snapshot up to to_snapshot
+    // (default current) — append-only by design, rewrites/deletes
+    // between the snapshots refuse by name.
+    case "iceberg" if s.config.bool("changes").getOrElse(false) =>
+      graft.ops.Iceberg.readAppendsBetween(spark, s.config.reqStr("path"),
+        s.config.long("from_snapshot").getOrElse(
+          throw new graft.GraftAnalysisException(
+            "iceberg: changes=true requires from_snapshot")),
+        s.config.long("to_snapshot"))
+
     case "iceberg" =>
       val path = s.config.reqStr("path")
       val pf = s.config.str("partition_where")

@@ -72,6 +72,37 @@ class IcebergWriteSpec extends SparkSuite {
     assert(e4.getMessage.contains("delete manifests"))
   }
 
+  test("incremental append scan: per-poll diff, identity empty, refusal ladder") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    IcebergWrite.append(spark, docs.where(col("doc_id") % 2 === 0), dir)
+    IcebergWrite.append(spark, docs.where(col("doc_id") % 2 === 1), dir)
+    // 1 → current = the second append
+    assert(Iceberg.readAppendsBetween(spark, dir, 1L).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L, 7L))
+    // explicit to_snapshot and the spec surface agree
+    val viaSrc = graft.sources.SourceReader.read(spark,
+      graft.spec.SourceSpec("t", "iceberg", graft.spec.Config.of(
+        "path" -> dir, "changes" -> true, "from_snapshot" -> 1L, "to_snapshot" -> 2L)))
+    assert(viaSrc.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L))
+    // identity diff: empty, table schema kept
+    val same = Iceberg.readAppendsBetween(spark, dir, 2L, Some(2L))
+    assert(same.count() == 0 &&
+      same.columns.toSeq == Seq("doc_id", "source", "n_chars"))
+    // unknown snapshot refuses by name
+    val e1 = intercept[GraftAnalysisException] {
+      Iceberg.readAppendsBetween(spark, dir, 99L)
+    }
+    assert(e1.getMessage.contains("snapshot 99"))
+    // a table with delete manifests refuses (append-only by design)
+    val delDir = graft.ops.TableFixtures.writeIcebergV2Table(spark, docs, "doc_id")
+    val e2 = intercept[GraftAnalysisException] {
+      Iceberg.readAppendsBetween(spark, delDir, 0L)
+    }
+    assert(e2.getMessage.contains("delete manifests"))
+  }
+
   test("the iceberg sink spec surface writes a readable table") {
     val dir = freshDir() + "/tbl"
     graft.sinks.SinkWriter.write(docs,
