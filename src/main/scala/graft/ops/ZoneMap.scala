@@ -63,6 +63,7 @@ object ZoneMap {
         case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
         case ("isnull", Seq(c)) => IsNull(c)
         case ("isnotnull", Seq(c)) => IsNotNull(c)
+        case ("startswith", Seq(l, r)) => StartsWith(l, r)
         case _ => f
       }
   }
@@ -118,6 +119,15 @@ object ZoneMap {
         case Some(st) =>
           when(st.lo.isNull || st.hi.isNull, lit(true))
             .otherwise(coalesce(f(st), lit(true)))
+      }
+    def prefixMay(name: String, v: Literal): Column =
+      if (v.value == null) lit(false)
+      else {
+        val pfx = v.value.toString
+        if (pfx.isEmpty) lit(true)
+        else range(name, st =>
+          substring(st.lo, 1, pfx.length) <= lit(pfx) &&
+            substring(st.hi, 1, pfx.length) >= lit(pfx))
       }
     def may(e: Expression): Column = e match {
       case And(l, r) => may(l) && may(r)
@@ -182,6 +192,23 @@ object ZoneMap {
             coalesce(nc < nr, lit(true))
           case _ => lit(true)
         }
+
+      // PREFIX pruning (round 17): s startsWith P iff take(s, |P|) ==
+      // P, and lexicographic truncation is monotone — so the file may
+      // hold a match only when take(lo,|P|) ≤ P ≤ take(hi,|P|). Sound
+      // under truncated (Iceberg) bounds for the same monotonicity
+      // reason. LIKE 'P%' (no other wildcards) is the same test.
+      case StartsWith(a, v: Literal) if attrOf(a).isDefined =>
+        prefixMay(attrOf(a).get, v)
+      case Like(a, v: Literal, _) if attrOf(a).isDefined &&
+          v.value != null && {
+            val s = v.value.toString
+            s.endsWith("%") && !s.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\')
+          } =>
+        prefixMay(attrOf(a).get,
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+            v.value.toString.dropRight(1)),
+            org.apache.spark.sql.types.StringType))
 
       // a literal filter: false/null drop every row — skippable
       case l: Literal if l.dataType == org.apache.spark.sql.types.BooleanType =>

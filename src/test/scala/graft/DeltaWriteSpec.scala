@@ -116,6 +116,32 @@ class DeltaWriteSpec extends SparkSuite {
     assert(e2.getMessage.contains("reader version 3") || e2.getMessage.contains("cannot append"))
   }
 
+  test("prefix pruning (round 17): LIKE 'p%' and startsWith skip by string bounds") {
+    val dir = freshDir()
+    // two appends → one file holds only "web" values, one only "book"
+    DeltaWrite.append(spark, docs.where(col("source") === "web").coalesce(1), dir)
+    DeltaWrite.append(spark, docs.where(col("source") === "book").coalesce(1), dir)
+    val all = DeltaLog.readTable(spark, dir)
+    assert(all.inputFiles.length == 2)
+    val like = DeltaLog.readTable(spark, dir, None,
+      Some(org.apache.spark.sql.functions.expr("source LIKE 'w%'")))
+    assert(like.inputFiles.length == 1)
+    assert(like.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 6L, 8L))
+    val sw = DeltaLog.readTable(spark, dir, None, Some(col("source").startsWith("bo")))
+    assert(sw.inputFiles.length == 1)
+    assert(sw.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 5L, 7L))
+    // non-prefix LIKE patterns stay conservative (no pruning, exact rows)
+    val mid = DeltaLog.readTable(spark, dir, None,
+      Some(org.apache.spark.sql.functions.expr("source LIKE '%eb'")))
+    assert(mid.inputFiles.length == 2)
+    assert(mid.count() == 5)
+    // no matching prefix anywhere: schema-carrier only
+    val none = DeltaLog.readTable(spark, dir, None,
+      Some(org.apache.spark.sql.functions.expr("source LIKE 'zz%'")))
+    assert(none.inputFiles.length == 1 && none.count() == 0)
+  }
+
   test("checkpoint writer: own checkpoint seeds the read, survives a vacuumed prefix") {
     val dir = freshDir()
     val data = docs.withColumn("parity", pmod(col("doc_id"), lit(2)).cast("string"))
