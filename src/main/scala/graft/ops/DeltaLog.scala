@@ -902,7 +902,17 @@ object DeltaLog {
     * and silently returning an empty feed would hide a mis-aimed
     * consumer. */
   def readChangesAt(spark: SparkSession, tableDir: String,
-      startTsMillis: Long, endVersionOpt: Option[Long]): DataFrame = {
+      startTsMillis: Long, endVersionOpt: Option[Long]): DataFrame =
+    readChangesAt(spark, tableDir, startTsMillis, endVersionOpt, None)
+
+  /** [[readChangesAt]] with an optional ENDING timestamp: the end
+    * bound resolves to the LATEST commit at or before it (the
+    * timestamp-travel rule); an end before the start refuses. An
+    * explicit `endVersionOpt` and `endTsMillis` are mutually
+    * exclusive at the source surface. */
+  def readChangesAt(spark: SparkSession, tableDir: String,
+      startTsMillis: Long, endVersionOpt: Option[Long],
+      endTsMillis: Option[Long]): DataFrame = {
     val stamped = monotonicStamps(tableDir)
     if (stamped.isEmpty)
       throw new graft.GraftAnalysisException(
@@ -911,7 +921,24 @@ object DeltaLog {
       throw new graft.GraftAnalysisException(
         s"delta: starting timestamp $startTsMillis is after the last commit " +
           s"(version ${stamped.last._1} at ${stamped.last._2}); no changes exist at or after it"))._1
-    readChanges(spark, tableDir, start, endVersionOpt)
+    val end = endTsMillis match {
+      case None => endVersionOpt
+      case Some(ts) => Some(resolveEndTs(tableDir, ts))
+    }
+    readChanges(spark, tableDir, start, end)
+  }
+
+  /** Resolve an ENDING timestamp to the latest commit at or before it
+    * (the timestamp-travel rule); before-first refuses by name. */
+  def resolveEndTs(tableDir: String, tsMillis: Long): Long = {
+    val stamped = monotonicStamps(tableDir)
+    if (stamped.isEmpty)
+      throw new graft.GraftAnalysisException(
+        s"delta: no commits under $tableDir/_delta_log")
+    stamped.takeWhile(_._2 <= tsMillis).lastOption.getOrElse(
+      throw new graft.GraftAnalysisException(
+        s"delta: ending timestamp $tsMillis precedes the first commit " +
+          s"(version ${stamped.head._1} at ${stamped.head._2})"))._1
   }
 
   /** The first commitInfo timestamp of a commit file: the in-commit

@@ -97,11 +97,19 @@ object SourceReader {
     case "delta" if s.config.bool("changes").getOrElse(false) =>
       val path = s.config.reqStr("path")
       val end = s.config.long("ending_version")
+      val endTs = s.config.long("ending_timestamp")
+      if (end.isDefined && endTs.isDefined)
+        throw new graft.GraftAnalysisException(
+          "delta: ending_version and ending_timestamp are mutually exclusive")
       (s.config.long("starting_version"), s.config.long("starting_timestamp")) match {
         case (Some(_), Some(_)) => throw new graft.GraftAnalysisException(
           "delta: starting_version and starting_timestamp are mutually exclusive")
-        case (Some(sv), None) => graft.ops.DeltaLog.readChanges(spark, path, sv, end)
-        case (None, Some(ts)) => graft.ops.DeltaLog.readChangesAt(spark, path, ts, end)
+        case (Some(sv), None) =>
+          val endV = endTs.map(t => graft.ops.DeltaLog.resolveEndTs(path, t))
+            .orElse(end)
+          graft.ops.DeltaLog.readChanges(spark, path, sv, endV)
+        case (None, Some(ts)) =>
+          graft.ops.DeltaLog.readChangesAt(spark, path, ts, end, endTs)
         case (None, None) => throw new graft.GraftAnalysisException(
           "delta: changes=true requires starting_version or starting_timestamp")
       }

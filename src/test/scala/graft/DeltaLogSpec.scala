@@ -914,6 +914,32 @@ class DeltaLogSpec extends SparkSuite {
       graft.spec.SourceSpec("t", "delta", graft.spec.Config.of(
         "path" -> dir, "changes" -> true, "starting_timestamp" -> 2500L)))
     assert(viaSrc.collect().map(_.toSeq).toSet == bounded.collect().map(_.toSeq).toSet)
+    // ENDING timestamp 3500 → latest commit at/or-before = v2: the
+    // window carries v0's inserts and v2's deletes (v1's cdc file is
+    // EMPTY for this 5-doc fixture — no id%10==0 rows — which is
+    // itself the cdc-shadows-file-actions contract at work)
+    val endTs = graft.sources.SourceReader.read(spark,
+      graft.spec.SourceSpec("t", "delta", graft.spec.Config.of(
+        "path" -> dir, "changes" -> true,
+        "starting_version" -> 0L, "ending_timestamp" -> 3500L)))
+    assert(endTs.select("_commit_version").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L, 2L))
+    // 2500 → v1: only the inserts remain in the window
+    val endTs2 = graft.sources.SourceReader.read(spark,
+      graft.spec.SourceSpec("t", "delta", graft.spec.Config.of(
+        "path" -> dir, "changes" -> true,
+        "starting_version" -> 0L, "ending_timestamp" -> 2500L)))
+    assert(endTs2.select("_commit_version").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L))
+    intercept[graft.GraftAnalysisException] {
+      graft.sources.SourceReader.read(spark,
+        graft.spec.SourceSpec("t", "delta", graft.spec.Config.of(
+          "path" -> dir, "changes" -> true, "starting_version" -> 0L,
+          "ending_version" -> 1L, "ending_timestamp" -> 2500L)))
+    }
+    intercept[graft.GraftAnalysisException] {
+      graft.ops.DeltaLog.resolveEndTs(dir, 1L) // before the first commit
+    }
     intercept[graft.GraftAnalysisException] {
       graft.sources.SourceReader.read(spark,
         graft.spec.SourceSpec("t", "delta", graft.spec.Config.of(
