@@ -2759,6 +2759,137 @@ object SparkEntry {
           col("_change_type"), col("_commit_version"), col("_commit_timestamp"))
     }),
 
+    // Delta DYNAMIC PARTITION OVERWRITE (round 18): the re-curation
+    // pattern — v0 writes every parity, v1 replaces ONLY the odd
+    // partition with refreshed rows (n_chars + 1000) in one atomic
+    // commit (adds + remove tombstones together); the read must show
+    // the even rows untouched and the odd rows refreshed, with no
+    // stale odd rows surviving. The CDF view of the swap is pinned in
+    // DeltaWriteSpec.
+    "x_delta_overwrite" -> ((s, d) => {
+      val dir = sharedDir("delta_overwrite", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-ow")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          pmod(col("doc_id"), lit(2)).cast("string").as("parity"))
+        graft.ops.DeltaWrite.append(s, data, dest, Seq("parity"))
+        graft.ops.DeltaWrite.overwrite(s,
+          data.where(col("parity") === "1")
+            .withColumn("n_chars", col("n_chars") + 1000L),
+          dest, Seq("parity"), dynamic = true)
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
+    }),
+
+    // Delta COMPACTION (round 18): four small appends, then OPTIMIZE
+    // bin-packs the active files with dataChange=false — same rows,
+    // fewer files, an EMPTY change feed across the compaction
+    // version (asserted in DeltaWriteSpec along with the file-count
+    // drop); the gate pins that the post-compaction read still equals
+    // every row exactly.
+    "x_delta_compact" -> ((s, d) => {
+      val dir = sharedDir("delta_compact", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-opt")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        (0 to 3).foreach(i => graft.ops.DeltaWrite.append(s,
+          data.where(pmod(col("doc_id"), lit(4)) === i), dest))
+        if (graft.ops.DeltaWrite.compact(s, dest).isEmpty)
+          throw new graft.GraftAnalysisException("compact found nothing to do")
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Delta TXN IDEMPOTENCE (round 18): appends tagged with an
+    // application transaction (appId, version); replaying an epoch
+    // the table already recorded is a NO-OP — the exactly-once
+    // contract a restarting streaming sink relies on. The oracle is
+    // every row EXACTLY ONCE: a writer that re-applied the replay
+    // would double the odd rows and hash-mismatch.
+    "x_delta_txn" -> ((s, d) => {
+      val dir = sharedDir("delta_txn", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-txn")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        val even = data.where(col("doc_id") % 2 === 0)
+        val odd = data.where(col("doc_id") % 2 === 1)
+        graft.ops.DeltaWrite.append(s, even, dest, txn = Some(("graft-etl", 0L)))
+        graft.ops.DeltaWrite.append(s, odd, dest, txn = Some(("graft-etl", 1L)))
+        graft.ops.DeltaWrite.append(s, odd, dest, txn = Some(("graft-etl", 1L)))
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Delta TIMESTAMP-BOUNDS skipping (round 18): the writer records
+    // ISO-millis min/max for a timestamp column (micros-carrying MAX
+    // rounded UP to stay a true bound) and `WHERE ts <= …` — the
+    // single most common pruning predicate — skips on them. Two
+    // id-ordered appends give the files disjoint ts ranges; the
+    // pruned read (file skip + row filter) must equal the plain
+    // filtered read. File-count pruning is asserted in DeltaWriteSpec.
+    "x_delta_ts_skip" -> ((s, d) => {
+      val base = 1700000000000000L // µs; ts = base + doc_id s + 1500 µs
+      val dir = sharedDir("delta_ts_skip", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-ts")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          timestamp_micros(lit(base) + col("doc_id").cast("long") * 1000000L
+            + lit(1500L)).as("ts"))
+        val cut = t(s, d, "documents")
+          .agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+        graft.ops.DeltaWrite.append(s, data.where(col("doc_id") <= cut), dest)
+        graft.ops.DeltaWrite.append(s, data.where(col("doc_id") > cut), dest)
+        dest
+      }
+      val cut = t(s, d, "documents")
+        .agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      // ts ≤ base + cut s ⟺ doc_id < cut (the +1500 µs pushes the
+      // boundary row above the literal)
+      val bound = java.time.Instant.ofEpochSecond(
+        base / 1000000L + cut, (base % 1000000L) * 1000L)
+      graft.ops.DeltaLog.readTable(s, dir, None, Some(col("ts") <= lit(bound)))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // STREAMING → DELTA sink (round 18): a file-source stream drains
+    // through foreachBatch into [[DeltaWrite.append]], one table
+    // commit per epoch with a `txn` marker carrying the epoch id —
+    // the crash/replay no-op is pinned in StreamingSpec; the gate
+    // pins that the drained table equals the batch input exactly.
+    "x_stream_delta_sink" -> ((s, d) => {
+      import graft.streaming.Streaming
+      val dir = sharedDir("stream_delta_sink", d) {
+        val base = java.nio.file.Files.createTempDirectory("graft-sds-gate")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        data.repartition(2).write.parquet(s"$base/in")
+        val stream = Streaming.fileSource(s, s"$base/in",
+          data.schema, maxFilesPerTrigger = 1)
+        val q = Streaming.startDeltaSink(stream, s"$base/tbl", s"$base/cp",
+          "gate-app", trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        try q.awaitTermination() finally q.stop()
+        s"$base/tbl"
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Iceberg v1 manifests (round 14): one spec-schema manifest_entry
     // Avro container per document (written by the in-repo from-spec
     // Avro codec, decoded by the same reader the `iceberg` source
@@ -2901,6 +3032,51 @@ object SparkEntry {
         dest
       }
       graft.ops.Iceberg.readAppendsBetween(s, dir, 1L, None)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Iceberg IDENTITY-PARTITIONED write (round 18): the writer emits
+    // a real partition spec + per-entry partition tuples, so the
+    // reader's own manifest partition pruning engages on own-written
+    // tables — the bucket predicate opens only that bucket's files
+    // (inputFiles-asserted in IcebergWriteSpec); the gate pins the
+    // pruned read equals the filter replay.
+    "x_iceberg_write_part" -> ((s, d) => {
+      val dir = sharedDir("iceberg_write_part", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-ib-wp")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("bucket"))
+        graft.ops.IcebergWrite.append(s, data, dest, partitionBy = Seq("bucket"))
+        dest
+      }
+      graft.ops.Iceberg.readTable(s, dir, None, Some(col("bucket") === 2L))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"))
+    }),
+
+    // Iceberg PRUNED incremental scan (round 18): the per-poll diff
+    // composes with the same pruning ladder as the full read — the
+    // appended files that cannot hold matching rows never open; the
+    // result equals the diff filtered row-wise.
+    "x_iceberg_incremental_pruned" -> ((s, d) => {
+      val dir = sharedDir("iceberg_write", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-ib-wr")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        graft.ops.IcebergWrite.append(s, data.where(col("doc_id") % 2 === 0),
+          dest, clusterBy = Seq("doc_id"), numFiles = 2)
+        graft.ops.IcebergWrite.append(s, data.where(col("doc_id") % 2 === 1),
+          dest, clusterBy = Seq("doc_id"), numFiles = 2)
+        dest
+      }
+      val cut = t(s, d, "documents")
+        .agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      graft.ops.Iceberg.readAppendsBetween(s, dir, 1L, None,
+        Some(col("doc_id") <= cut))
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
@@ -7037,6 +7213,43 @@ object SparkEntry {
     // the second append (odd ids)
     "x_iceberg_incremental" -> """
       SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1""",
+
+    // delta dynamic partition overwrite: odd partition refreshed
+    // (n_chars + 1000), even rows untouched, no stale odd rows
+    "x_delta_overwrite" -> """
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 1 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+             CAST(doc_id % 2 AS VARCHAR) AS parity
+      FROM documents""",
+
+    // delta compaction: same rows after the dataChange=false rewrite
+    "x_delta_compact" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
+
+    // delta txn idempotence: the replayed odd append is a no-op —
+    // every row exactly once
+    "x_delta_txn" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
+
+    // delta timestamp-bounds skipping: ts = base + doc_id s + 1500 µs,
+    // predicate ts ≤ base + (max/2) s keeps exactly doc_id < max/2
+    "x_delta_ts_skip" -> """
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id < (SELECT max(doc_id) // 2 FROM documents)""",
+
+    // streaming delta sink: the drained table equals the batch input
+    "x_stream_delta_sink" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
+
+    // iceberg identity-partitioned write: tuple pruning on bucket=2
+    "x_iceberg_write_part" -> """
+      SELECT doc_id, source, n_chars, doc_id % 4 AS bucket
+      FROM documents WHERE doc_id % 4 = 2""",
+
+    // iceberg pruned incremental scan: odd ids within the bound
+    "x_iceberg_incremental_pruned" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)""",
 
     // iceberg column-bounds skipping: the doc_id range replays
     // exactly (third quartile of the id space)

@@ -76,10 +76,17 @@ object DeltaLog {
   final case class AddFile(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, stats: Option[String],
       dv: Option[DeltaDv.Descriptor] = None)
+  /** A `remove` tombstone still in the replayed state (checkpoints
+    * must carry these until retention expiry — protocol §Checkpoints). */
+  final case class RemoveFile(path: String, deletionTimestamp: Option[Long],
+      dv: Option[DeltaDv.Descriptor] = None)
   final case class Snapshot(tableId: String, schemaJson: String,
       partitionColumns: Seq[String], files: Seq[AddFile],
       configuration: Map[String, String] = Map.empty,
-      minReaderVersion: Int = 1)
+      minReaderVersion: Int = 1,
+      minWriterVersion: Int = 2,
+      tombstones: Seq[RemoveFile] = Seq.empty,
+      txns: Map[String, Long] = Map.empty)
 
   /** Reader features this reader actually implements; a v3 protocol
     * naming anything else refuses BY NAME (silently reading through
@@ -117,6 +124,8 @@ object DeltaLog {
       var partitionCols: Seq[String] = seed.map(_.partitionColumns).getOrElse(Seq.empty)
       var config: Map[String, String] = seed.map(_.configuration).getOrElse(Map.empty)
       var maxReader: Int = seed.map(_.minReaderVersion).getOrElse(1)
+      var maxWriter: Int = seed.map(_.minWriterVersion).getOrElse(2)
+      var txns: Map[String, Long] = seed.map(_.txns).getOrElse(Map.empty)
       def keyOf(path: String, dv: Option[DeltaDv.Descriptor]): String =
         path + "\u0000" + dv.map(_.uniqueId).getOrElse("")
       def dvOf(a: JValue): Option[DeltaDv.Descriptor] = a \ "deletionVector" match {
@@ -134,7 +143,9 @@ object DeltaLog {
         case _ => None
       }
       val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+      val tombs = scala.collection.mutable.LinkedHashMap.empty[String, RemoveFile]
       seed.foreach(_.files.foreach(f => active(keyOf(f.path, f.dv)) = f))
+      seed.foreach(_.tombstones.foreach(t => tombs(keyOf(t.path, t.dv)) = t))
       commits.sortBy(_._1).foreach { case (_, content) =>
         content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
           val jv = try JsonMethods.parse(line) catch {
@@ -158,6 +169,19 @@ object DeltaLog {
                     refuse(s"unsupported reader features: ${unsupported.sorted.mkString(", ")}")
                   maxReader = math.max(maxReader, 3)
                 case _ => refuse("unsupported minReaderVersion (>3 or missing)")
+              }
+              p \ "minWriterVersion" match {
+                case JInt(v) if v >= 1 && v <= 7 =>
+                  maxWriter = math.max(maxWriter, v.toInt)
+                case _ => ()
+              }
+            case _ => ()
+          }
+          jv \ "txn" match {
+            case t: JObject =>
+              (t \ "appId", t \ "version") match {
+                case (JString(app), JInt(v)) => txns += app -> v.toLong
+                case _ => ()
               }
             case _ => ()
           }
@@ -191,6 +215,7 @@ object DeltaLog {
               val stats = a \ "stats" match { case JString(s) => Some(s); case _ => None }
               val dv = dvOf(a)
               active(keyOf(path, dv)) = AddFile(path, pv, size, mod, stats, dv)
+              tombs.remove(keyOf(path, dv)) // re-added: no longer a tombstone
             case _ => ()
           }
           jv \ "remove" match {
@@ -200,7 +225,11 @@ object DeltaLog {
               // file actions key by (path, dvUniqueId): attaching a DV
               // to a file commits remove(path, old dv) + add(path, new
               // dv), and that must replay right in either line order
-              active.remove(keyOf(path, dvOf(r)))
+              val dv = dvOf(r)
+              active.remove(keyOf(path, dv))
+              val delTs = r \ "deletionTimestamp" match {
+                case JInt(v) => Some(v.toLong); case _ => None }
+              tombs(keyOf(path, dv)) = RemoveFile(path, delTs, dv)
             case _ => ()
           }
         }
@@ -215,7 +244,7 @@ object DeltaLog {
       if (cm != "none" && cm != "name" && cm != "id")
         refuse(s"column mapping mode '$cm' unsupported")
       Right(Snapshot(tableId, schemaJson, partitionCols, active.values.toSeq,
-        config, maxReader))
+        config, maxReader, maxWriter, tombs.values.toSeq, txns))
     } catch { case Refuse(m) => Left(m) }
 
   /** The `_delta_log` version of a commit file name, if it is one. */
@@ -546,7 +575,7 @@ object DeltaLog {
         val st = from_json(statsCol, sSchema)
         val byName: Map[String, ZoneMap.ColStats] = statsFields.map(f =>
           f.name -> ZoneMap.ColStats(
-            st("minValues")(pn(f.name)), st("maxValues")(pn(f.name)),
+            st("minValues")(pn(f.name)), st("maxValues")(pn(f.name)), f.dataType,
             Some(st("nullCount")(pn(f.name))), Some(st("numRecords")))).toMap
         dataCs.map(c => ZoneMap.mayMatch(c, byName.get)).foldLeft(lit(true))(_ && _)
       }
@@ -760,6 +789,11 @@ object DeltaLog {
     final case class Chg(version: Long, path: String, kind: Int,
         pv: Map[String, String])
     val changes = Seq.newBuilder[Chg]
+    // dataChange=false actions (OPTIMIZE rewrites) are CDF-invisible
+    // by the protocol; a range holding ONLY those yields an EMPTY
+    // feed, not a refusal — an incremental consumer polling across a
+    // compaction must keep working
+    var sawRewriteOnly = false
     (startVersion to endVersion).foreach { v =>
       val content = new String(java.nio.file.Files.readAllBytes(byVersion(v).toPath),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -814,6 +848,7 @@ object DeltaLog {
                 s"delta: version $v carries deletion-vector file actions and no " +
                   "cdc files; synthesizing its change feed would misread DV deletes")
             changes += Chg(v, pathOf(a, "add"), 1, pvOf(a))
+          case _: JObject => sawRewriteOnly = true
           case _ => ()
         }
         jv \ "remove" match {
@@ -823,11 +858,19 @@ object DeltaLog {
                 s"delta: version $v carries deletion-vector file actions and no " +
                   "cdc files; synthesizing its change feed would misread DV deletes")
             changes += Chg(v, pathOf(r, "remove"), 2, pvOf(r))
+          case _: JObject => sawRewriteOnly = true
           case _ => ()
         }
       }
     }
     val all = changes.result()
+    if (all.isEmpty && sawRewriteOnly)
+      // only rewrites in range: a legitimate EMPTY feed with the full
+      // CDF shape (data columns + the three change columns)
+      return readTable(spark, tableDir).limit(0)
+        .withColumn("_change_type", lit(null).cast(StringType))
+        .withColumn("_commit_version", lit(null).cast(LongType))
+        .withColumn("_commit_timestamp", lit(null).cast(LongType))
     if (all.isEmpty)
       throw new graft.GraftAnalysisException(
         s"delta: no data changes in versions $startVersion..$endVersion")

@@ -65,8 +65,12 @@ object DeltaWrite {
     * are not recorded (readers keep the file — conservative). Strings
     * above 256 chars are omitted rather than truncated: a truncated
     * MAX must be rounded UP to stay sound, and omission is the simpler
-    * sound choice. */
-  private def boundJson(dt: DataType, v: Any): Option[JValue] = (dt, v) match {
+    * sound choice. Timestamps follow the stats convention every Delta
+    * writer uses — ISO-8601 at MILLISECOND precision (the reader's
+    * from_json default parse) — so a micros-carrying MAX must round
+    * UP to the next millisecond to stay a true upper bound
+    * (`roundUp`), while a MIN truncates down. */
+  private def boundJson(dt: DataType, v: Any, roundUp: Boolean): Option[JValue] = (dt, v) match {
     case (_, null) => None
     case (ByteType | ShortType | IntegerType | LongType, n) =>
       Some(JLong(n.toString.toLong))
@@ -74,14 +78,57 @@ object DeltaWrite {
     case (BooleanType, b: Boolean) => Some(JBool(b))
     case (DateType, d: java.sql.Date) => Some(JString(d.toString))
     case (_: DecimalType, d: java.math.BigDecimal) => Some(JDecimal(BigDecimal(d)))
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(JString(isoMillis(t.toInstant, roundUp) + "Z"))
+    case (TimestampType, i: java.time.Instant) =>
+      Some(JString(isoMillis(i, roundUp) + "Z"))
+    case (TimestampNTZType, l: java.time.LocalDateTime) =>
+      Some(JString(isoMillis(l.toInstant(java.time.ZoneOffset.UTC), roundUp)))
     case _ => None
   }
 
+  private val msFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS")
+    .withZone(java.time.ZoneOffset.UTC)
+  private def isoMillis(i: java.time.Instant, roundUp: Boolean): String = {
+    val subMs = i.getNano % 1000000
+    val adj = if (roundUp && subMs != 0) i.plusNanos((1000000 - subMs).toLong) else i
+    msFmt.format(adj)
+  }
+
   /** Append `df` to the Delta table at `tableDir`, creating the table
-    * (version 0) when no `_delta_log` exists. Returns the committed
-    * version. */
+    * (version 0) when no `_delta_log` exists. `txn = (appId, version)`
+    * rides a `txn` action in the commit and makes the append
+    * IDEMPOTENT per the protocol's application-transaction rule: when
+    * the table has already recorded `appId` at a version ≥ this one,
+    * the append is a NO-OP (returns the current table version) — the
+    * restart/replay contract a streaming sink needs. Returns the
+    * committed version. */
   def append(spark: SparkSession, df: DataFrame, tableDir: String,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long =
+    write(spark, df, tableDir, partitionBy, overwriteMode = None, txn = txn)
+
+  /** REPLACE write (round 18): the new data and `remove` tombstones
+    * for the replaced files land in ONE commit, so readers never see
+    * a half-replaced table and [[DeltaLog.readChanges]] synthesizes
+    * the deletes+inserts across the version. `dynamic = false`
+    * replaces the WHOLE table; `dynamic = true` replaces exactly the
+    * partitions PRESENT in `df` (the re-curation pattern — refresh
+    * this month's partition, leave the rest). Returns the committed
+    * version. */
+  def overwrite(spark: SparkSession, df: DataFrame, tableDir: String,
+      partitionBy: Seq[String] = Seq.empty, dynamic: Boolean = false): Long = {
+    if (dynamic && partitionBy.isEmpty)
+      refuse("dynamic partition overwrite needs partition columns")
+    write(spark, df, tableDir, partitionBy, overwriteMode = Some(dynamic), txn = None)
+  }
+
+  /** The shared write core: `overwriteMode` None = append,
+    * Some(dynamic) = overwrite. */
+  private def write(spark: SparkSession, df: DataFrame, tableDir: String,
+      partitionBy: Seq[String], overwriteMode: Option[Boolean],
+      txn: Option[(String, Long)]): Long = {
     val schema = df.schema
     partitionBy.foreach(c => if (!schema.fieldNames.contains(c))
       refuse(s"partition column '$c' is not in the data"))
@@ -104,16 +151,16 @@ object DeltaWrite {
         "resolves table state from the commit JSONs (v1 scope) and cannot " +
         "safely append — refusing beats forking the table at version 0")
 
-    // append-compat gate against the existing table's metadata
-    val version: Long = if (existing.isEmpty) 0L else {
+    // write-compat gate against the existing table's metadata
+    val snapOpt: Option[DeltaLog.Snapshot] = if (existing.isEmpty) None else {
       val commits = existing.map { case (v, f) =>
         v -> new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
       }
       val snap = DeltaLog.snapshotOfE(commits) match {
         case Right(s) => s
-        case Left(r) => refuse(s"cannot append to this table: $r " +
-          "(append v1 needs the commit JSONs to carry readable metaData)")
+        case Left(r) => refuse(s"cannot write to this table: $r " +
+          "(the v1 writer needs the commit JSONs to carry readable metaData)")
       }
       if (snap.minReaderVersion > 2)
         refuse("existing table uses reader version 3 (table features); " +
@@ -134,10 +181,17 @@ object DeltaWrite {
         st.fields.map(f => (f.name, f.dataType)).toSeq.sortBy(_._1)
       if (norm(existingSchema) != norm(schema))
         refuse(s"schema mismatch: table is ${existingSchema.simpleString}, " +
-          s"append carries ${schema.simpleString}; refusing beats silently " +
+          s"the write carries ${schema.simpleString}; refusing beats silently " +
           "writing a diverged table")
-      existing.last._1 + 1
+      Some(snap)
     }
+    // application-transaction idempotence: an epoch the table already
+    // recorded is a REPLAY — succeed without writing anything
+    txn.foreach { case (appId, txnVer) =>
+      if (snapOpt.exists(_.txns.get(appId).exists(_ >= txnVer)))
+        return existing.last._1
+    }
+    val version: Long = snapOpt.map(_ => existing.last._1 + 1).getOrElse(0L)
 
     // ONE distributed write into a temp dir; Hive-style partition
     // layout when partitioned
@@ -158,9 +212,9 @@ object DeltaWrite {
     val tmpPath = tmp.toPath
     final case class Moved(relPath: String, pv: Seq[(String, Option[String])],
         dest: java.io.File)
-    val moved: Seq[Moved] = parts.map { p =>
-      val rel = tmpPath.relativize(p.toPath).toString
-      val dirs = rel.split('/').dropRight(1)
+    val moved: Seq[Moved] = parts.zipWithIndex.map { case (p, idx) =>
+      val srcRel = tmpPath.relativize(p.toPath).toString
+      val dirs = srcRel.split('/').dropRight(1)
       val pv = dirs.toSeq.map { d =>
         val i = d.indexOf('=')
         if (i < 0) refuse(s"unexpected non-partition directory '$d' in the write output")
@@ -170,6 +224,14 @@ object DeltaWrite {
         key -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None
                 else Some(graft.expr.PercentDecodeKernel.decode(raw)))
       }
+      // a partitioned Spark write reuses ONE task's part name under
+      // every partition dir it writes (part-00000-<uuid>.c000.… under
+      // each key=value/), so the basename alone cannot key the
+      // per-file stats rows below — publish under a name unique
+      // across the whole commit instead (ADVICE r17 #1)
+      val ext = p.getName.dropWhile(_ != '.') // ".c000.snappy.parquet" etc.
+      val name = f"part-$idx%05d-${java.util.UUID.randomUUID()}$ext"
+      val rel = (dirs :+ name).mkString("/")
       val dest = new java.io.File(tableDir, rel)
       dest.getParentFile.mkdirs()
       java.nio.file.Files.move(p.toPath, dest.toPath)
@@ -193,15 +255,24 @@ object DeltaWrite {
       .groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // basenames are unique across the commit by construction (the
+    // rename above); a missing or ambiguous lookup means the stats
+    // would be attached to the WRONG file — the skipper would then
+    // prune files whose rows match. Refuse, never guess.
     val statsByName: Map[String, Row] =
       statRows.map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1) -> r).toMap
+    if (statsByName.size != statRows.length)
+      refuse("per-file stats rows collide by basename; cannot attribute stats safely")
 
-    def statsJson(fileName: String): Option[String] = statsByName.get(fileName).map { r =>
+    def statsJson(fileName: String): String = {
+      val r = statsByName.getOrElse(fileName, refuse(
+        s"no stats row for written file '$fileName'; attaching none (or a " +
+          "wrong one) would let the data skipper prune live rows"))
       // row layout: __fp(0), __n(1), then (lo, hi, nc) per stats column
       val mins = JObject(statsCols.zipWithIndex.flatMap { case (f, i) =>
-        boundJson(f.dataType, r.get(2 + 3 * i)).map(f.name -> _) }.toList)
+        boundJson(f.dataType, r.get(2 + 3 * i), roundUp = false).map(f.name -> _) }.toList)
       val maxs = JObject(statsCols.zipWithIndex.flatMap { case (f, i) =>
-        boundJson(f.dataType, r.get(3 + 3 * i)).map(f.name -> _) }.toList)
+        boundJson(f.dataType, r.get(3 + 3 * i), roundUp = true).map(f.name -> _) }.toList)
       val ncs = JObject(statsCols.zipWithIndex.map { case (f, i) =>
         f.name -> JLong(r.getLong(4 + 3 * i)) }.toList)
       JsonMethods.compact(JsonMethods.render(
@@ -218,12 +289,41 @@ object DeltaWrite {
         ("size" -> m.dest.length()) ~
         ("modificationTime" -> now) ~ ("dataChange" -> true)
       JsonMethods.compact(JsonMethods.render("add" ->
-        statsJson(m.dest.getName).map(s => base ~ ("stats" -> s)).getOrElse(base)))
+        (base ~ ("stats" -> statsJson(m.dest.getName)))))
+    }
+    // REPLACE: `remove` tombstones for the displaced files ride the
+    // SAME commit as the adds (one atomic version). A tombstone's
+    // partition values normalize to present-keys-only (null values
+    // serialize as JSON null and the replay drops them), so dynamic
+    // matching compares like with like.
+    val removed: Seq[DeltaLog.AddFile] = overwriteMode match {
+      case None => Seq.empty
+      case Some(false) => snapOpt.map(_.files).getOrElse(Seq.empty)
+      case Some(true) =>
+        val written: Set[Map[String, String]] =
+          moved.map(_.pv.collect { case (k, Some(v)) => k -> v }.toMap).toSet
+        snapOpt.map(_.files).getOrElse(Seq.empty)
+          .filter(f => written(f.partitionValues))
+    }
+    val removeLines = removed.map { f =>
+      JsonMethods.compact(JsonMethods.render("remove" ->
+        (("path" -> percentEncode(f.path)) ~
+          ("deletionTimestamp" -> now) ~ ("dataChange" -> true) ~
+          ("extendedFileMetadata" -> true) ~
+          ("partitionValues" -> JObject(f.partitionValues.toList.map {
+            case (k, v) => k -> (JString(v): JValue) })) ~
+          ("size" -> f.size))))
     }
     val header: Seq[String] =
-      JsonMethods.compact(JsonMethods.render("commitInfo" ->
+      (JsonMethods.compact(JsonMethods.render("commitInfo" ->
         (("timestamp" -> now) ~ ("operation" -> "WRITE") ~
-          ("operationParameters" -> JObject(Nil))))) +:
+          ("operationParameters" -> JObject(List("mode" ->
+            (JString(if (overwriteMode.isDefined) "Overwrite" else "Append"): JValue))))))) +:
+        txn.toSeq.map { case (appId, txnVer) =>
+          JsonMethods.compact(JsonMethods.render("txn" ->
+            (("appId" -> appId) ~ ("version" -> txnVer) ~
+              ("lastUpdated" -> now))))
+        }) ++
         (if (version == 0L) Seq(
           """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
           JsonMethods.compact(JsonMethods.render("metaData" ->
@@ -246,7 +346,8 @@ object DeltaWrite {
     logDir.mkdirs()
     val commitTmp = java.io.File.createTempFile(s".graft-commit-$version-", ".tmp", logDir)
     java.nio.file.Files.write(commitTmp.toPath,
-      (header ++ addLines).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (header ++ addLines ++ removeLines).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val target = new java.io.File(logDir, f"$version%020d.json")
     try java.nio.file.Files.createLink(target.toPath, commitTmp.toPath)
     catch {
@@ -257,6 +358,163 @@ object DeltaWrite {
           "the new table state")
     } finally commitTmp.delete()
     version
+  }
+
+  /** OPTIMIZE-style bin-packed COMPACTION (round 18): rewrite each
+    * partition's small active files into fewer, larger ones and
+    * commit the swap with `dataChange = false` adds + removes — the
+    * protocol's marker for "same rows, different files", which
+    * [[DeltaLog.readChanges]] (and every spec-conforming CDF reader)
+    * skips, so the change feed across a compaction version is EMPTY.
+    * Time travel to pre-compaction versions still works (tombstoned
+    * files stay on disk). Files ≥ `targetBytes` — or alone in their
+    * partition — are left untouched. Returns Some(committed version),
+    * or None when no partition had anything to compact.
+    *
+    * Scale shape: one distributed read+write per touched partition
+    * tuple (parallel within the job), one stats aggregation per
+    * rewrite, metadata-bounded driver work for the commit itself. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L << 20): Option[Long] = {
+    if (targetBytes <= 0) refuse("targetBytes must be positive")
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    val existing: Seq[(Long, java.io.File)] =
+      Option(logDir.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(f => DeltaLog.versionOf(f.getName).map(_ -> f)).sortBy(_._1)
+    if (existing.isEmpty) refuse(s"no commits under $tableDir/_delta_log")
+    // compaction DELETES (tombstones) files based on the replayed
+    // state — a partial history would compact against wrong state
+    if (existing.map(_._1) != (0L to existing.last._1))
+      refuse("the commit history is not contiguous from version 0; compacting " +
+        "against a partial replay risks tombstoning live files")
+    val commits = existing.map { case (v, f) =>
+      v -> new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val snap = DeltaLog.snapshotOfE(commits) match {
+      case Right(s) => s
+      case Left(r) => refuse(s"cannot compact this table: $r")
+    }
+    if (snap.minReaderVersion > 2)
+      refuse("table uses reader version 3 (table features); compacting through " +
+        "features this writer does not implement is out of the v1 scope")
+    if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+      refuse("table uses column mapping; this writer rewrites plain names")
+    if (snap.files.exists(_.dv.isDefined))
+      refuse("table carries deletion vectors; rewriting DV'd files without " +
+        "applying the vectors would resurrect deleted rows")
+    val schema = Option(snap.schemaJson).flatMap { js =>
+      try DataType.fromJson(js) match {
+        case st: StructType => Some(st); case _ => None
+      } catch { case _: Exception => None }
+    }.getOrElse(refuse("table has no readable schemaString"))
+    val pset = snap.partitionColumns.toSet
+
+    // per-partition bins: every partition tuple with ≥2 sub-target
+    // files gets ONE rewrite (the distributed write re-splits at
+    // maxRecordsPerFile scale only if huge; small-file cleanup is the
+    // point here)
+    val byPartition: Seq[(Map[String, String], Seq[DeltaLog.AddFile])] =
+      snap.files.groupBy(_.partitionValues).toSeq
+        .map { case (pv, fs) => pv -> fs.filter(_.size < targetBytes) }
+        .filter(_._2.lengthCompare(2) >= 0)
+        .sortBy(_._2.map(_.path).min)
+    if (byPartition.isEmpty) return None
+
+    val statsCols = schema.fields.toSeq.filterNot(f => pset(f.name))
+      .filter(f => DeltaLog.statsComparable(f.dataType))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__n") +: statsCols.flatMap { f =>
+        Seq(min(col(s"`${f.name}`")).as(s"${f.name}__lo"),
+          max(col(s"`${f.name}`")).as(s"${f.name}__hi"),
+          sum(col(s"`${f.name}`").isNull.cast("long")).as(s"${f.name}__nc"))
+      }
+
+    final case class Rewritten(relPath: String, pv: Map[String, String],
+        dest: java.io.File, stats: String, removed: Seq[DeltaLog.AddFile])
+    val rewrites: Seq[Rewritten] = byPartition.flatMap { case (pv, olds) =>
+      val srcPaths = olds.map(f => new java.io.File(tableDir, f.path).getAbsolutePath)
+      val totalBytes = olds.map(_.size).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-delta-compact").toFile
+      spark.read.parquet(srcPaths: _*).repartition(nOut)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val parts = Option(tmp.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      if (parts.isEmpty) refuse("the compaction write produced no files")
+      val moved = parts.zipWithIndex.map { case (p, idx) =>
+        val ext = p.getName.dropWhile(_ != '.')
+        // flat layout: the log's add.partitionValues is the source of
+        // truth, the reader never derives partitions from directories
+        val name = f"part-c$idx%03d-${java.util.UUID.randomUUID()}$ext"
+        val dest = new java.io.File(tableDir, name)
+        java.nio.file.Files.move(p.toPath, dest.toPath)
+        dest
+      }
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete()); tmp.delete()
+      val statRowList = spark.read.parquet(moved.map(_.getAbsolutePath): _*)
+        .groupBy(col("_metadata.file_path").as("__fp"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val statRows: Map[String, Row] = statRowList
+        .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1) -> r).toMap
+      if (statRows.size != statRowList.length)
+        refuse("per-file stats rows collide by basename; cannot attribute stats safely")
+      moved.zipWithIndex.map { case (dest, i) =>
+        val r = statRows.getOrElse(dest.getName, refuse(
+          s"no stats row for compacted file '${dest.getName}'"))
+        val mins = JObject(statsCols.zipWithIndex.flatMap { case (f, j) =>
+          boundJson(f.dataType, r.get(2 + 3 * j), roundUp = false).map(f.name -> _) }.toList)
+        val maxs = JObject(statsCols.zipWithIndex.flatMap { case (f, j) =>
+          boundJson(f.dataType, r.get(3 + 3 * j), roundUp = true).map(f.name -> _) }.toList)
+        val ncs = JObject(statsCols.zipWithIndex.map { case (f, j) =>
+          f.name -> JLong(r.getLong(4 + 3 * j)) }.toList)
+        val stats = JsonMethods.compact(JsonMethods.render(
+          ("numRecords" -> r.getLong(1)) ~ ("minValues" -> mins) ~
+            ("maxValues" -> maxs) ~ ("nullCount" -> ncs)))
+        Rewritten(dest.getName, pv, dest, stats,
+          if (i == 0) olds else Seq.empty) // removes attached once per bin
+      }
+    }
+
+    val now = System.currentTimeMillis()
+    val addLines = rewrites.map { rw =>
+      JsonMethods.compact(JsonMethods.render("add" ->
+        (("path" -> percentEncode(rw.relPath)) ~
+          ("partitionValues" -> JObject(rw.pv.toList.map {
+            case (k, v) => k -> (JString(v): JValue) })) ~
+          ("size" -> rw.dest.length()) ~
+          ("modificationTime" -> now) ~ ("dataChange" -> false) ~
+          ("stats" -> rw.stats))))
+    }
+    val removeLines = rewrites.flatMap(_.removed).map { f =>
+      JsonMethods.compact(JsonMethods.render("remove" ->
+        (("path" -> percentEncode(f.path)) ~
+          ("deletionTimestamp" -> now) ~ ("dataChange" -> false) ~
+          ("extendedFileMetadata" -> true) ~
+          ("partitionValues" -> JObject(f.partitionValues.toList.map {
+            case (k, v) => k -> (JString(v): JValue) })) ~
+          ("size" -> f.size))))
+    }
+    val commitInfoLine = JsonMethods.compact(JsonMethods.render("commitInfo" ->
+      (("timestamp" -> now) ~ ("operation" -> "OPTIMIZE") ~
+        ("operationParameters" -> JObject(Nil)))))
+    val version = existing.last._1 + 1
+    logDir.mkdirs()
+    val commitTmp = java.io.File.createTempFile(s".graft-commit-$version-", ".tmp", logDir)
+    java.nio.file.Files.write(commitTmp.toPath,
+      ((commitInfoLine +: addLines) ++ removeLines).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val target = new java.io.File(logDir, f"$version%020d.json")
+    try java.nio.file.Files.createLink(target.toPath, commitTmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        commitTmp.delete()
+        refuse(s"version $version already exists (concurrent writer?); " +
+          "conflict resolution is out of the v1 scope — retry against the " +
+          "new table state")
+    } finally commitTmp.delete()
+    Some(version)
   }
 
   /** CHECKPOINT the table at its latest commit version (round 17,
@@ -289,9 +547,20 @@ object DeltaWrite {
     if (snap.minReaderVersion > 2)
       refuse("table uses reader version 3 (table features); feature-aware " +
         "checkpointing is out of the v1 scope")
+    // the WRITER gate mirrors the reader one (ADVICE r17 #4): a table
+    // demanding writer version >2 (column mapping = 5, DVs = 7, …)
+    // carries invariants a later writer seeding from this checkpoint
+    // would need to honor — freezing a downgraded protocol row would
+    // silently waive them
+    if (snap.minWriterVersion > 2)
+      refuse(s"table demands writer version ${snap.minWriterVersion}; " +
+        "checkpointing protocols above 2 is out of the v1 scope")
     if (snap.files.exists(_.dv.isDefined))
       refuse("table carries deletion vectors; checkpointing them is out of " +
         "the v1 scope")
+    if (snap.tombstones.exists(_.dv.isDefined))
+      refuse("table carries deletion-vector remove tombstones; checkpointing " +
+        "them is out of the v1 scope")
     val version = commits.last._1
     import org.apache.spark.sql.types._
     val addType = StructType(Seq(
@@ -301,8 +570,18 @@ object DeltaWrite {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType)))
+    // remove tombstones MUST survive the checkpoint until retention
+    // expiry (protocol §Checkpoints) — dropping them would let a
+    // concurrent reader replaying an older version resurrect files
+    val removeType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))
     val metaType = StructType(Seq(
       StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType))))
@@ -310,15 +589,20 @@ object DeltaWrite {
       StructField("minReaderVersion", LongType),
       StructField("minWriterVersion", LongType)))
     val schema = StructType(Seq(
-      StructField("add", addType), StructField("metaData", metaType),
-      StructField("protocol", protoType)))
+      StructField("add", addType), StructField("remove", removeType),
+      StructField("metaData", metaType), StructField("protocol", protoType)))
     val rows: Seq[Row] =
-      Row(null, Row(snap.tableId, snap.schemaJson,
+      (Row(null, null, Row(snap.tableId,
+        Row("parquet", Map.empty[String, String]), snap.schemaJson,
         snap.partitionColumns, snap.configuration), null) +:
-      Row(null, null, Row(snap.minReaderVersion.toLong, 2L)) +:
+      Row(null, null, null,
+        Row(snap.minReaderVersion.toLong, snap.minWriterVersion.toLong)) +:
       snap.files.sortBy(_.path).map(f =>
         Row(Row(f.path, f.partitionValues, f.size, f.modificationTime,
-          false, f.stats.orNull), null, null))
+          false, f.stats.orNull), null, null, null))) ++
+      snap.tombstones.sortBy(_.path).map(t =>
+        Row(null, Row(t.path, t.deletionTimestamp.map(Long.box).orNull, false),
+          null, null))
     val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     // one part, exact name (the Spark writer names parts itself)
     val tmp = java.nio.file.Files.createTempDirectory("graft-delta-cp").toFile

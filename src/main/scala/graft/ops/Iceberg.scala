@@ -521,6 +521,50 @@ object Iceberg {
       syncSeed)
   }
 
+  /** Write a manifest whose entries carry BOTH the spec's partition
+    * tuple (identity transforms, as [[writeManifestPart]]) and the
+    * per-column bounds/counts maps (as [[writeManifestBounds]]) —
+    * the shape [[IcebergWrite]] emits so manifest partition pruning
+    * AND column-bounds skipping both engage on own-written tables. */
+  def writeManifestPartBounds(entries: Seq[Entry],
+      partFields: Seq[(String, String)], syncSeed: String): Array[Byte] = {
+    val partSchema = partFields.map { case (n, t) =>
+      s"""{"name":"$n","type":["null","$t"],"default":null}""" }.mkString(",")
+    val schema =
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |{"name":"file_path","type":"string"},
+         |{"name":"file_format","type":"string"},
+         |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+         |$partSchema]}},
+         |{"name":"record_count","type":"long"},
+         |{"name":"file_size_in_bytes","type":"long"},
+         |{"name":"lower_bounds","type":["null",{"type":"array","items":
+         |{"type":"record","name":"k126","fields":[{"name":"key","type":"int"},
+         |{"name":"value","type":"bytes"}]}}],"default":null},
+         |{"name":"upper_bounds","type":["null",{"type":"array","items":"k126"}],"default":null},
+         |{"name":"null_value_counts","type":["null",{"type":"array","items":
+         |{"type":"record","name":"k121","fields":[{"name":"key","type":"int"},
+         |{"name":"value","type":"long"}]}}],"default":null},
+         |{"name":"value_counts","type":["null",{"type":"array","items":"k121"}],"default":null}]}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    def kv[A](m: Map[Int, A]): Any =
+      if (m.isEmpty) null
+      else m.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    Avro.writeContainer(schema, "deflate",
+      entries.iterator.map { e =>
+        val pv = Row.fromSeq(partFields.map { case (n, t) =>
+          e.partition.get(n).map {
+            case i: Int if t == "long" => Long.box(i.toLong)
+            case v => v.asInstanceOf[AnyRef]
+          }.orNull
+        })
+        Row(e.status, Row(e.path, e.format, pv, e.recordCount, e.fileSizeBytes,
+          kv(e.lowerBounds), kv(e.upperBounds), kv(e.nullCounts), kv(e.valueCounts)))
+      }, syncSeed)
+  }
+
   private def refuse(msg: String): Nothing =
     throw new graft.GraftAnalysisException(s"iceberg: $msg")
 
@@ -701,8 +745,8 @@ object Iceberg {
       })
     }
     val statsOf: String => Option[ZoneMap.ColStats] = name =>
-      cols.find(_._1.name == name).map { case (f, _) =>
-        ZoneMap.ColStats(col(s"`${f.name}__lo`"), col(s"`${f.name}__hi`"),
+      cols.find(_._1.name == name).map { case (f, dt) =>
+        ZoneMap.ColStats(col(s"`${f.name}__lo`"), col(s"`${f.name}__hi`"), dt,
           Some(col(s"`${f.name}__nc`")), Some(col(s"`${f.name}__vc`")))
       }
     val keep = conjuncts.map(c => ZoneMap.mayMatch(c, statsOf)).reduce(_ && _)
@@ -904,7 +948,8 @@ object Iceberg {
     * yields an empty frame with the table schema. File identity is the
     * manifest path (writers never reuse data-file paths). */
   def readAppendsBetween(spark: SparkSession, tableDir: String,
-      fromSnapshot: Long, toSnapshot: Option[Long] = None): DataFrame = {
+      fromSnapshot: Long, toSnapshot: Option[Long] = None,
+      where: Option[Column] = None): DataFrame = {
     def readBytes(f: java.io.File): Array[Byte] =
       java.nio.file.Files.readAllBytes(f.toPath)
     val meta = currentMeta(tableDir)
@@ -948,10 +993,50 @@ object Iceberg {
       // read supplies it — limit(0) keeps the plan trivial)
       return readTable(spark, tableDir, Some(to)).limit(0)
     }
-    val paths = added.map(e => resolvePath(tableDir, meta.location, e.path))
-    if (meta.schemaFields.nonEmpty)
-      fieldIdScan(spark, paths, meta.schemaFields, withMetaCols = false)
-    else spark.read.parquet(paths: _*)
+    // round 18: a CDC-style poll over a filtered view composes with
+    // the same pruning ladder as the full read — partition tuples +
+    // column bounds decide which APPENDED files even open; the row
+    // filter below re-applies the predicate either way
+    val kept = where match {
+      case None => added
+      case Some(p) =>
+        val pruned = pruneEntries(spark, meta, added, p)
+        if (pruned.nonEmpty) pruned
+        else Seq(added.minBy(_.path)) // schema carrier; rows filter to zero
+    }
+    val paths = kept.map(e => resolvePath(tableDir, meta.location, e.path))
+    val base =
+      if (meta.schemaFields.nonEmpty)
+        fieldIdScan(spark, paths, meta.schemaFields, withMetaCols = false)
+      else spark.read.parquet(paths: _*)
+    where.map(base.where).getOrElse(base)
+  }
+
+  /** The PRUNING LADDER shared by [[readTable]] and
+    * [[readAppendsBetween]]: split the predicate into top-level
+    * conjuncts — pure identity-partition conjuncts prune exactly
+    * against the manifest tuples ([[prunedActive]]), the rest
+    * min/max-skip against the manifests' column bounds
+    * ([[boundsPruned]]); unsafe conjuncts (nondeterministic,
+    * subqueries) prune nothing. May return empty — callers decide the
+    * schema-carrier rule. Pruning is an OPTIMIZATION only: callers
+    * re-apply the whole predicate to the scanned rows. */
+  private def pruneEntries(spark: SparkSession, meta: TableMeta,
+      activeAll: Seq[Entry], pred: Column): Seq[Entry] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.And
+    val cs = ZoneMap.conjuncts(ZoneMap.normalize(ColumnBridge.convertedExpression(pred)))
+    val (partCs, rest) = cs.partition { c =>
+      val refs = ZoneMap.attrNames(c)
+      refs.nonEmpty && refs.subsetOf(meta.identityPartitionNames) &&
+        !ZoneMap.unsafeForPruning(c)
+    }
+    val afterPart =
+      if (partCs.isEmpty) activeAll
+      else prunedActive(spark, activeAll, meta.identityPartitionNames,
+        ColumnBridge.column(partCs.reduce(And)))
+    boundsPruned(spark, afterPart, meta.schemaFields,
+      rest.filterNot(ZoneMap.unsafeForPruning))
   }
 
   /** [[readTable]] with MANIFEST-LEVEL PARTITION PRUNING: `pred` is a
@@ -1015,20 +1100,7 @@ object Iceberg {
     val active = partitionFilter match {
       case None => activeAll
       case Some(p) =>
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        import org.apache.spark.sql.catalyst.expressions.And
-        val cs = ZoneMap.conjuncts(ZoneMap.normalize(ColumnBridge.convertedExpression(p)))
-        val (partCs, rest) = cs.partition { c =>
-          val refs = ZoneMap.attrNames(c)
-          refs.nonEmpty && refs.subsetOf(meta.identityPartitionNames) &&
-            !ZoneMap.unsafeForPruning(c)
-        }
-        val afterPart =
-          if (partCs.isEmpty) activeAll
-          else prunedActive(spark, activeAll, meta.identityPartitionNames,
-            ColumnBridge.column(partCs.reduce(And)))
-        val afterBounds = boundsPruned(spark, afterPart, meta.schemaFields,
-          rest.filterNot(ZoneMap.unsafeForPruning))
+        val afterBounds = pruneEntries(spark, meta, activeAll, p)
         if (afterBounds.nonEmpty) afterBounds
         else Seq(activeAll.minBy(_.path)) // schema carrier; rows filter to zero
     }

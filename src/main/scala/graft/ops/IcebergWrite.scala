@@ -5,17 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Apache Iceberg APPEND writer, scoped v1 (single-writer,
-  * append-only) — the second half of the round-17 table-format write
-  * story beside [[DeltaWrite]], built on the in-repo from-spec Avro
+  * append-only) — the second half of the table-format write story
+  * beside [[DeltaWrite]], built on the in-repo from-spec Avro
   * writers the fixture builders already use. From the published
   * Iceberg Table Spec:
   *
-  *  - data files are plain parquet holding EVERY column (no Hive
-  *    partition-dir column dropping — v1 writes the unpartitioned
-  *    layout; `clusterBy` range-clusters files on the given columns
-  *    so their recorded bounds become disjoint and the bounds
-  *    skipper prunes effectively, the Spark-idiomatic substitute for
-  *    identity partitioning at this scope);
+  *  - data files are plain parquet holding EVERY column (identity
+  *    partitioning records the tuple in metadata but does NOT drop
+  *    the column from the files); `partitionBy` (round 18) writes an
+  *    identity-partitioned layout — partition tuples in each
+  *    manifest entry's `data_file.partition`, an identity spec in
+  *    `partition-specs` — so the reader's manifest partition pruning
+  *    engages on own-written tables; `clusterBy` range-clusters
+  *    files on the given columns so their recorded bounds become
+  *    disjoint and the bounds skipper prunes effectively;
   *  - each snapshot's manifest (Avro) lists its data files with
   *    per-column `lower_bounds`/`upper_bounds` +
   *    `null_value_counts`/`value_counts` (Appendix D single-value
@@ -25,20 +28,31 @@ import org.apache.spark.sql.types._
   *    live manifests (previous snapshot's + the new one) + a new
   *    `vN.metadata.json` with the snapshot appended and
   *    `current-snapshot-id`/`snapshot-log` advanced;
+  *  - field IDs are the IDENTITY of a column (spec §Schemas): when a
+  *    prior schema exists its ids are REUSED verbatim (round 18,
+  *    ADVICE r17 — positional re-derivation would silently remap ids
+  *    under parquet footers and manifest bound keys written earlier);
+  *    table-uuid / schemas / partition-specs carry forward verbatim;
   *  - commit atomicity = exclusive creation of the next metadata
   *    version (hard link, the [[DeltaWrite]] trick — POSIX rename
   *    would silently replace a racing writer's commit); the
   *    version-hint update follows the win. Conflict resolution is
   *    out of the v1 scope, by name.
   *
-  * Append-compat gate: format-version ≤ 2, same schema (names +
-  * types), no delete manifests in the current snapshot (appending
-  * around row-level deletes this writer cannot re-sequence could
-  * resurrect deleted rows — refuse rather than risk it).
+  * Append-compat gate: format-version 2 exactly (appending v2
+  * manifests into a v1 table would silently upgrade it), same schema
+  * (names + types), all prior fields optional (this writer cannot
+  * prove incoming data satisfies a required-ness invariant for every
+  * type), the prior default partition spec must equal the identity
+  * spec of this call's `partitionBy`, and no delete manifests in the
+  * current snapshot (appending around row-level deletes this writer
+  * cannot re-sequence could resurrect deleted rows — refuse rather
+  * than risk it).
   *
   * Scale shape: one distributed `df.write` (plus the optional
-  * repartitionByRange), one cluster-side per-file stats aggregation;
-  * the manifest/metadata walk is metadata-bounded driver work.
+  * repartitionByRange / partitioned fan-out), one cluster-side
+  * per-file stats aggregation; the manifest/metadata walk is
+  * metadata-bounded driver work.
   */
 object IcebergWrite {
 
@@ -63,6 +77,19 @@ object IcebergWrite {
     case _ => None
   }
 
+  /** Avro primitive for an identity-partition column's tuple values.
+    * Only types whose RAW Avro value the reader's tuple pruning
+    * compares soundly (int/long/string/boolean — a date would cross
+    * as a bare epoch-day int and compare wrongly against date
+    * literals); None = not writable as a v1 partition column. */
+  private def partitionAvroTypeOf(dt: DataType): Option[String] = dt match {
+    case IntegerType | ShortType | ByteType => Some("int")
+    case LongType => Some("long")
+    case StringType => Some("string")
+    case BooleanType => Some("boolean")
+    case _ => None
+  }
+
   /** Appendix D single-value encode for the bound types the reader's
     * [[Iceberg.decodeBound]] compares; None = bounds not recorded for
     * this type (floats/doubles deliberately — NaN). */
@@ -80,19 +107,56 @@ object IcebergWrite {
       Some(java.nio.ByteBuffer.allocate(4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         .putInt(d.toLocalDate.toEpochDay.toInt).array())
+    // timestamps per Appendix D: microseconds from epoch, 8-byte LE —
+    // `WHERE ts BETWEEN …` is the most common pruning predicate and
+    // the reader's decodeBound already compares these (round 18)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(Iceberg.encodeBoundLong(instantMicros(t.toInstant)))
+    case (TimestampType, i: java.time.Instant) =>
+      Some(Iceberg.encodeBoundLong(instantMicros(i)))
+    case (TimestampNTZType, l: java.time.LocalDateTime) =>
+      Some(Iceberg.encodeBoundLong(instantMicros(l.toInstant(java.time.ZoneOffset.UTC))))
     case _ => None
   }
 
+  private def instantMicros(i: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+
+  /** Stats-recordable column types (feed [[encodeBound]]). */
+  private def statsRecordable(dt: DataType): Boolean = dt match {
+    case IntegerType | ShortType | ByteType | LongType | StringType |
+         BooleanType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   /** Append `df` to the Iceberg table at `tableDir`, creating it when
-    * no metadata exists. `clusterBy` range-partitions the write on the
-    * given columns (disjoint per-file bounds → prunable). Returns the
-    * committed snapshot id. */
+    * no metadata exists. `partitionBy` writes an identity-partitioned
+    * layout (tuple-pruning engages); `clusterBy` range-partitions the
+    * write on the given columns (disjoint per-file bounds → bounds
+    * skipping engages). Returns the committed snapshot id. */
   def append(spark: SparkSession, df: DataFrame, tableDir: String,
-      clusterBy: Seq[String] = Seq.empty, numFiles: Int = 0): Long = {
+      clusterBy: Seq[String] = Seq.empty, numFiles: Int = 0,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val schema = df.schema
     if (schema.fields.isEmpty) refuse("empty schema")
     clusterBy.foreach(c => if (!schema.fieldNames.contains(c))
       refuse(s"cluster column '$c' is not in the data"))
+    if (partitionBy.nonEmpty && clusterBy.nonEmpty)
+      refuse("partitionBy and clusterBy are mutually exclusive in the v1 scope")
+    if (partitionBy.distinct.size != partitionBy.size)
+      refuse("duplicate partition columns")
+    val partFields: Seq[(StructField, String)] = partitionBy.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        refuse(s"partition column '$c' is not in the data"))
+      if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        refuse(s"partition column '$c' is not a legal Avro record field name; " +
+          "the manifest's partition tuple could not carry it")
+      f -> partitionAvroTypeOf(f.dataType).getOrElse(
+        refuse(s"partition column '$c' has type ${f.dataType.simpleString}; v1 " +
+          "identity partitioning writes int/long/string/boolean only (a date " +
+          "tuple crosses Avro as a bare epoch-day int, which tuple pruning " +
+          "cannot soundly compare to date literals)"))
+    }
     schema.fields.foreach(f => if (icebergTypeOf(f.dataType).isEmpty)
       refuse(s"column '${f.name}' has type ${f.dataType.simpleString}, which this " +
         "writer cannot record in an Iceberg schema; refusing beats dropping it"))
@@ -110,14 +174,21 @@ object IcebergWrite {
 
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    // prior state: snapshots to carry forward + compat gate
+    // prior state: snapshots + schema identity to carry forward, and
+    // the append-compat gate
     final case class Prior(metaVersion: Int, snapshots: Seq[JValue],
         currentManifests: Seq[(String, Long, Int)], snapshotLog: Seq[JValue],
-        maxSnapshotId: Long)
+        maxSnapshotId: Long, fields: Seq[Iceberg.SchemaField],
+        schemasJson: Seq[JValue], currentSchemaId: Int,
+        specsJson: Seq[JValue], defaultSpecId: Int, tableUuid: Option[String])
     val prior: Option[Prior] = existingMeta.map { case (mv, content) =>
       val meta = Iceberg.parseMetadata(content).getOrElse(
         refuse("existing metadata is unreadable; cannot append"))
       if (meta.formatVersion > 2) refuse(s"format-version ${meta.formatVersion} unsupported")
+      if (meta.formatVersion < 2)
+        refuse(s"existing table is format-version ${meta.formatVersion}; this " +
+          "writer emits v2 manifests and appending them would silently upgrade " +
+          "the table — out of the v1 scope")
       // schema compat (names + types as sets)
       val existingFields = meta.schemaFields.map(f => (f.name, f.tpe)).sorted
       val newFields = schema.fields.map(f =>
@@ -125,9 +196,46 @@ object IcebergWrite {
       if (existingFields.nonEmpty && existingFields != newFields)
         refuse(s"schema mismatch: table has ${existingFields.mkString(",")}, " +
           s"append carries ${newFields.mkString(",")}")
+      meta.schemaFields.filter(_.required) match {
+        case Seq() => ()
+        case req => refuse(s"existing schema marks ${req.map(_.name).mkString(", ")} " +
+          "required; this writer cannot prove incoming data satisfies that " +
+          "invariant for every type — out of the v1 scope")
+      }
       val jv = JsonMethods.parse(content)
       val snaps = jv \ "snapshots" match { case JArray(xs) => xs; case _ => Nil }
       val slog = jv \ "snapshot-log" match { case JArray(xs) => xs; case _ => Nil }
+      val schemasJson = jv \ "schemas" match { case JArray(xs) => xs; case _ => Nil }
+      val curSchemaId = jv \ "current-schema-id" match { case JInt(v) => v.toInt; case _ => 0 }
+      val specsJson = jv \ "partition-specs" match { case JArray(xs) => xs; case _ => Nil }
+      val defaultSpecId = jv \ "default-spec-id" match { case JInt(v) => v.toInt; case _ => 0 }
+      val uuid = jv \ "table-uuid" match { case JString(s) => Some(s); case _ => None }
+      // the DEFAULT spec must equal this call's identity spec — else
+      // the new entries' tuples would not be what the declared spec
+      // promises (a reader pruning on it would prune wrong files)
+      val defaultSpecFields: Seq[(String, String)] =
+        specsJson.find(s => s \ "spec-id" match {
+          case JInt(v) => v.toInt == defaultSpecId; case _ => false
+        }).orElse(specsJson.headOption).toSeq.flatMap { s =>
+          s \ "fields" match {
+            case JArray(fs) => fs.flatMap { f =>
+              (f \ "name", f \ "transform") match {
+                case (JString(n), JString(t)) => Some(n -> t)
+                case _ => None
+              }
+            }
+            case _ => Nil
+          }
+        }
+      if (defaultSpecId != 0)
+        refuse(s"existing table's default-spec-id is $defaultSpecId; this " +
+          "writer's manifest lists declare partition_spec_id 0 — out of the " +
+          "v1 scope")
+      val askedSpec = partitionBy.map(_ -> "identity")
+      if (defaultSpecFields != askedSpec)
+        refuse(s"partition spec mismatch: table's default spec is " +
+          s"[${defaultSpecFields.map { case (n, t) => s"$t($n)" }.mkString(", ")}], " +
+          s"append asked for [${askedSpec.map { case (n, t) => s"$t($n)" }.mkString(", ")}]")
       val curManifests: Seq[(String, Long, Int)] = meta.currentSnapshotId match {
         case None => Seq.empty
         case Some(cur) =>
@@ -149,50 +257,110 @@ object IcebergWrite {
             (p, mf.length(), c)
           }
       }
-      Prior(mv, snaps, curManifests, slog, meta.snapshots.map(_.id).foldLeft(0L)(math.max))
+      Prior(mv, snaps, curManifests, slog,
+        meta.snapshots.map(_.id).foldLeft(0L)(math.max),
+        meta.schemaFields, schemasJson, curSchemaId, specsJson, defaultSpecId, uuid)
     }
 
-    // ONE distributed data write (range-clustered when asked)
+    // FIELD IDS: the spec makes ids the column's identity — reuse the
+    // prior schema's mapping verbatim (parquet footers and manifest
+    // bound keys written earlier resolve through them); fresh tables
+    // number positionally
+    val fieldId: Map[String, Int] = prior match {
+      case Some(p) if p.fields.nonEmpty =>
+        val m = p.fields.map(f => f.name -> f.id).toMap
+        if (m.size != p.fields.size)
+          refuse("existing schema carries duplicate field names; the name→id " +
+            "mapping cannot be reconciled")
+        schema.fields.map(_.name).filterNot(m.contains).toSeq match {
+          case Seq() => m
+          case missing => refuse(s"existing schema has no field id for " +
+            s"${missing.mkString(", ")}; cannot reconcile")
+        }
+      case _ => schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    }
+
+    // ONE distributed data write. Identity partitioning fans out via
+    // COPY columns (`__graft_p_<c>`) so Spark's partitioned writer
+    // splits files per tuple value while the REAL columns stay in the
+    // files (Iceberg keeps identity-partitioned columns in the data,
+    // unlike Hive layout); range clustering when asked.
     val tmp = java.nio.file.Files.createTempDirectory("graft-iceberg-append").toFile
     val shaped0 =
-      if (clusterBy.isEmpty) df
-      else {
+      if (clusterBy.nonEmpty) {
         val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
         df.repartitionByRange(n, clusterBy.map(c => col(s"`$c`")): _*)
+      } else df
+    if (partitionBy.isEmpty)
+      shaped0.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    else {
+      val copies = partitionBy.map(c => s"__graft_p_$c")
+      val withCopies = partitionBy.zip(copies).foldLeft(shaped0) {
+        case (d, (c, cp)) => d.withColumn(cp, col(s"`$c`"))
       }
-    shaped0.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    val parts = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).toSeq
+      withCopies.write.mode("overwrite").partitionBy(copies: _*)
+        .parquet(tmp.getAbsolutePath)
+    }
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val parts = walk(tmp).filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     if (parts.isEmpty) refuse("the data write produced no files")
     val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
-    val moved: Seq[java.io.File] = parts.map { p =>
-      val dest = new java.io.File(dataDir, p.getName)
+    // publish under names unique across the whole commit — a
+    // partitioned Spark write reuses one task's part name under every
+    // partition dir, so the source basename cannot key the stats rows
+    val moved: Seq[java.io.File] = parts.zipWithIndex.map { case (p, idx) =>
+      val ext = p.getName.dropWhile(_ != '.') // ".c000.snappy.parquet" etc.
+      val dest = new java.io.File(dataDir,
+        f"part-$idx%05d-${java.util.UUID.randomUUID()}$ext")
       java.nio.file.Files.move(p.toPath, dest.toPath)
       dest
     }
-    Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete()); tmp.delete()
+    walk(tmp).foreach(_.delete())
+    def rmdirs(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmdirs); f.delete(); ()
+      } else { f.delete(); () }
+    rmdirs(tmp)
 
     // per-file stats: one cluster aggregation, bounds for every
-    // comparable column (the skipper's food)
-    val statsCols = schema.fields.toSeq.filter(_.dataType match {
-      case IntegerType | ShortType | ByteType | LongType | StringType |
-           BooleanType | DateType => true
-      case _ => false
-    })
+    // comparable column (the skipper's food); partition tuple values
+    // fall out of the same rows (identity: min == max per file)
+    val statsCols = schema.fields.toSeq.filter(f => statsRecordable(f.dataType))
     val aggs: Seq[org.apache.spark.sql.Column] =
       count(lit(1)).as("__n") +: statsCols.flatMap { f =>
         Seq(min(col(s"`${f.name}`")).as(s"${f.name}__lo"),
           max(col(s"`${f.name}`")).as(s"${f.name}__hi"),
           sum(col(s"`${f.name}`").isNull.cast("long")).as(s"${f.name}__nc"))
       }
-    val statRows: Map[String, Row] = spark.read.parquet(moved.map(_.getAbsolutePath): _*)
+    val statRowList = spark.read.parquet(moved.map(_.getAbsolutePath): _*)
       .groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    val statRows: Map[String, Row] = statRowList
       .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1) -> r).toMap
+    if (statRows.size != statRowList.length)
+      refuse("per-file stats rows collide by basename; cannot attribute stats safely")
 
-    val fieldId: Map[String, Int] =
-      schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    val statIdx: Map[String, Int] = statsCols.map(_.name).zipWithIndex.toMap
+    def partitionTuple(r: Row, fileName: String): Map[String, Any] =
+      partFields.map { case (f, _) =>
+        val i = statIdx(f.name)
+        val lo = r.get(2 + 3 * i); val hi = r.get(3 + 3 * i)
+        val nc = r.getLong(4 + 3 * i); val n = r.getLong(1)
+        if (nc == n) f.name -> null // the null-partition file
+        else if (nc != 0L || lo != hi)
+          refuse(s"file $fileName spans more than one value of partition " +
+            s"column '${f.name}'; the identity tuple cannot represent it")
+        else f.name -> (lo match {
+          case b: java.lang.Byte => Int.box(b.toInt)
+          case s: java.lang.Short => Int.box(s.toInt)
+          case v => v
+        })
+      }.toMap
+
     val entries: Seq[Iceberg.Entry] = moved.map { f =>
       val r = statRows.getOrElse(f.getName, refuse(s"no stats row for ${f.getName}"))
       val lo = Map.newBuilder[Int, Array[Byte]]
@@ -208,6 +376,8 @@ object IcebergWrite {
       }
       Iceberg.Entry(1, s"$tableDir/data/${f.getName}", "PARQUET",
         r.getLong(1), f.length(),
+        partition = if (partFields.isEmpty) Map.empty
+          else partitionTuple(r, f.getName).filter(_._2 != null),
         lowerBounds = lo.result(), upperBounds = hi.result(),
         nullCounts = nc.result(), valueCounts = vc.result())
     }
@@ -215,7 +385,10 @@ object IcebergWrite {
     val snapshotId = prior.map(_.maxSnapshotId + 1).getOrElse(1L)
     val metaVersion = prior.map(_.metaVersion + 1).getOrElse(1)
     val manifestName = f"m-$snapshotId%05d.avro"
-    val manifest = Iceberg.writeManifestBounds(entries, s"graft-ib-w-$snapshotId")
+    val manifest =
+      if (partFields.isEmpty) Iceberg.writeManifestBounds(entries, s"graft-ib-w-$snapshotId")
+      else Iceberg.writeManifestPartBounds(entries,
+        partFields.map { case (f, avroT) => f.name -> avroT }, s"graft-ib-w-$snapshotId")
     metaDir.mkdirs()
     java.nio.file.Files.write(new java.io.File(metaDir, manifestName).toPath, manifest)
     val allManifests: Seq[(String, Long, Int)] =
@@ -226,30 +399,50 @@ object IcebergWrite {
       s"graft-ib-ml-$snapshotId")
     java.nio.file.Files.write(new java.io.File(metaDir, mlName).toPath, ml)
 
-    // the new metadata document
+    // the new metadata document — schema identity (ids, required
+    // flags, schema-id), partition specs and the table uuid carry
+    // forward VERBATIM from the prior table; fresh tables mint them
     import org.json4s.JsonDSL._
     val now = System.currentTimeMillis()
-    val schemaJson: JValue =
-      ("type" -> "struct") ~ ("schema-id" -> 0) ~
-        ("fields" -> schema.fields.toList.map(f =>
-          ("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
-            ("required" -> false) ~ ("type" -> icebergTypeOf(f.dataType).get)))
+    val schemaId = prior.map(_.currentSchemaId).getOrElse(0)
+    val schemasJson: List[JValue] = prior.filter(_.schemasJson.nonEmpty)
+      .map(_.schemasJson.toList).getOrElse {
+        val fields = prior.filter(_.fields.nonEmpty).map(_.fields.toList.map(f =>
+          (("id" -> f.id) ~ ("name" -> f.name) ~ ("required" -> f.required) ~
+            ("type" -> f.tpe)): JValue))
+          .getOrElse(schema.fields.toList.map(f =>
+            (("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
+              ("required" -> false) ~ ("type" -> icebergTypeOf(f.dataType).get)): JValue))
+        List(("type" -> "struct") ~ ("schema-id" -> schemaId) ~ ("fields" -> fields))
+      }
+    val specId = prior.map(_.defaultSpecId).getOrElse(0)
+    val specsJson: List[JValue] = prior.filter(_.specsJson.nonEmpty)
+      .map(_.specsJson.toList).getOrElse {
+        List(("spec-id" -> specId) ~
+          ("fields" -> partFields.toList.zipWithIndex.map { case ((f, _), i) =>
+            (("name" -> f.name) ~ ("transform" -> "identity") ~
+              ("source-id" -> fieldId(f.name)) ~ ("field-id" -> (1000 + i))): JValue
+          }))
+      }
+    val tableUuid = prior.flatMap(_.tableUuid).getOrElse(
+      java.util.UUID.nameUUIDFromBytes(
+        s"graft-iceberg:$tableDir".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)).toString)
     val newSnap: JValue =
       ("snapshot-id" -> snapshotId) ~ ("timestamp-ms" -> now) ~
         ("manifest-list" -> s"$tableDir/metadata/$mlName") ~
         ("summary" -> (("operation" -> "append"): JObject))
     val metaJson = JsonMethods.pretty(JsonMethods.render(
       ("format-version" -> 2) ~
-        ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(
-          s"graft-iceberg:$tableDir".getBytes(
-            java.nio.charset.StandardCharsets.UTF_8)).toString) ~
+        ("table-uuid" -> tableUuid) ~
         ("location" -> tableDir) ~
         ("last-updated-ms" -> now) ~
-        ("current-schema-id" -> 0) ~
-        ("schemas" -> List(schemaJson)) ~
-        ("default-spec-id" -> 0) ~
-        ("partition-specs" -> List(("spec-id" -> 0) ~
-          ("fields" -> List.empty[JValue]))) ~
+        ("last-column-id" -> fieldId.values.max) ~
+        ("current-schema-id" -> schemaId) ~
+        ("schemas" -> schemasJson) ~
+        ("default-spec-id" -> specId) ~
+        ("partition-specs" -> specsJson) ~
+        ("last-partition-id" -> (999 + partFields.length)) ~
         ("current-snapshot-id" -> snapshotId) ~
         ("snapshots" -> (prior.map(_.snapshots).getOrElse(Nil) :+ newSnap)) ~
         ("snapshot-log" -> (prior.map(_.snapshotLog).getOrElse(Nil) :+

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -35,11 +36,41 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 object ZoneMap {
 
   /** Per-column statistics surface: `lo`/`hi` are the column's
-    * min/max in the file's own data type (NULL = not recorded),
-    * `nullCount`/`numRecords` optional (only IsNull/IsNotNull use
-    * them). */
-  final case class ColStats(lo: Column, hi: Column,
+    * min/max carrying the DECLARED data type `dt` (NULL = not
+    * recorded), `nullCount`/`numRecords` optional (only
+    * IsNull/IsNotNull use them). `dt` gates which literals a
+    * comparison may compile against — see [[family]]. */
+  final case class ColStats(lo: Column, hi: Column, dt: types.DataType,
       nullCount: Option[Column] = None, numRecords: Option[Column] = None)
+
+  /** The totally-ordered coercion family of a stats/literal type.
+    * A comparison compiles ONLY when the literal's family equals the
+    * stats column's — Catalyst's implicit cross-family coercions
+    * otherwise make the file-level bounds check inconsistent with row
+    * semantics (an int column's numeric bounds compared
+    * lexicographically under a LIKE prefix, or a string column's
+    * lexicographic bounds compared numerically: file {"10","9"} has
+    * hi "9" → 9 < 10 → pruned despite the matching "10" row). WITHIN
+    * a family every coercion Spark picks is order-preserving widening
+    * (byte→long, int→decimal, decimal precision growth), so bounds
+    * stay bounds. Floats/doubles never reach here — both skippers
+    * exclude them from stats (NaN conventions). */
+  private def family(dt: types.DataType): Option[Int] = dt match {
+    case types.ByteType | types.ShortType | types.IntegerType |
+         types.LongType | (_: types.DecimalType) => Some(1) // numeric, exact
+    case types.StringType => Some(2)
+    case types.BooleanType => Some(3)
+    case types.DateType => Some(4)
+    case types.TimestampType => Some(5)
+    case types.TimestampNTZType => Some(6)
+    case _ => None
+  }
+
+  private def familyOk(st: ColStats, lits: Seq[Literal]): Boolean =
+    family(st.dt) match {
+      case None => false
+      case f => lits.forall(l => family(l.dataType) == f)
+    }
 
   /** Column-built predicates arrive as UnresolvedFunction NAMES
     * ("and", "=", "<=", …) — the analyzer resolves them later, but
@@ -48,10 +79,17 @@ object ZoneMap {
     * nodes; unknown names stay opaque (→ conservative keep). Parser
     * output (`expr("…")`) already carries concrete nodes. */
   def normalize(e: Expression): Expression = e.transformUp {
+    // SQL `x BETWEEN a AND b` parses to the RuntimeReplaceable Between
+    // node in Spark 4 — unwrap it to the comparison pair the pruner
+    // reasons about (it IS the most common pruning predicate)
+    case Between(input, lower, upper, _) =>
+      And(GreaterThanOrEqual(input, lower), LessThanOrEqual(input, upper))
     case f: UnresolvedFunction if f.nameParts.lengthCompare(1) == 0 =>
       val n = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
       (n, f.arguments) match {
         case ("and", Seq(l, r)) => And(l, r)
+        case ("between", Seq(x, lo, hi)) =>
+          And(GreaterThanOrEqual(x, lo), LessThanOrEqual(x, hi))
         case ("or", Seq(l, r)) => Or(l, r)
         case ("not", Seq(c)) => Not(c)
         case ("=" | "==" | "equalto", Seq(l, r)) => EqualTo(l, r)
@@ -110,24 +148,33 @@ object ZoneMap {
       case a: UnresolvedAttribute => Some(a.name)
       case _ => None
     }
-    // a range test against (lo, hi): absent stats or NULL bounds keep;
-    // a NULL comparison result (incomparable types after coercion)
-    // keeps too
-    def range(name: String, f: ColStats => Column): Column =
+    // a range test against (lo, hi): absent stats, a cross-family
+    // literal (coercion would break bound semantics — see [[family]])
+    // or NULL bounds keep; a NULL comparison result keeps too
+    def range(name: String, lits: Seq[Literal], f: ColStats => Column): Column =
       statsOf(name) match {
         case None => lit(true)
+        case Some(st) if !familyOk(st, lits) => lit(true)
         case Some(st) =>
           when(st.lo.isNull || st.hi.isNull, lit(true))
             .otherwise(coalesce(f(st), lit(true)))
       }
+    // prefix reasoning is lexicographic — only sound when BOTH the
+    // stats column and the pattern are strings (an int column's
+    // numeric bounds under LIKE '2%' would prune a file holding 20)
     def prefixMay(name: String, v: Literal): Column =
       if (v.value == null) lit(false)
+      else if (v.dataType != types.StringType) lit(true)
       else {
         val pfx = v.value.toString
         if (pfx.isEmpty) lit(true)
-        else range(name, st =>
-          substring(st.lo, 1, pfx.length) <= lit(pfx) &&
-            substring(st.hi, 1, pfx.length) >= lit(pfx))
+        else statsOf(name) match {
+          case Some(st) if st.dt == types.StringType =>
+            range(name, Seq(v), st =>
+              substring(st.lo, 1, pfx.length) <= lit(pfx) &&
+                substring(st.hi, 1, pfx.length) >= lit(pfx))
+          case _ => lit(true)
+        }
       }
     def may(e: Expression): Column = e match {
       case And(l, r) => may(l) && may(r)
@@ -137,42 +184,45 @@ object ZoneMap {
       // (null rows never match a comparison either way)
       case Not(EqualTo(a, v: Literal)) if attrOf(a).isDefined =>
         if (v.value == null) lit(false)
-        else range(attrOf(a).get, st => !(st.lo === st.hi && st.lo === litCol(v)))
+        else range(attrOf(a).get, Seq(v),
+          st => !(st.lo === st.hi && st.lo === litCol(v)))
       case Not(EqualTo(v: Literal, a)) if attrOf(a).isDefined =>
         may(Not(EqualTo(a, v)))
 
       case EqualTo(a, v: Literal) if attrOf(a).isDefined =>
         if (v.value == null) lit(false)
-        else range(attrOf(a).get, st => st.lo <= litCol(v) && st.hi >= litCol(v))
+        else range(attrOf(a).get, Seq(v),
+          st => st.lo <= litCol(v) && st.hi >= litCol(v))
       case EqualTo(v: Literal, a) if attrOf(a).isDefined => may(EqualTo(a, v))
 
       case EqualNullSafe(a, v: Literal) if attrOf(a).isDefined =>
         if (v.value == null)
           statsOf(attrOf(a).get).flatMap(_.nullCount)
             .map(nc => coalesce(nc > 0L, lit(true))).getOrElse(lit(true))
-        else range(attrOf(a).get, st => st.lo <= litCol(v) && st.hi >= litCol(v))
+        else range(attrOf(a).get, Seq(v),
+          st => st.lo <= litCol(v) && st.hi >= litCol(v))
       case EqualNullSafe(v: Literal, a) if attrOf(a).isDefined =>
         may(EqualNullSafe(a, v))
 
       case LessThan(a, v: Literal) if attrOf(a).isDefined =>
         if (v.value == null) lit(false)
-        else range(attrOf(a).get, st => st.lo < litCol(v))
+        else range(attrOf(a).get, Seq(v), st => st.lo < litCol(v))
       case LessThan(v: Literal, a) if attrOf(a).isDefined => may(GreaterThan(a, v))
 
       case LessThanOrEqual(a, v: Literal) if attrOf(a).isDefined =>
         if (v.value == null) lit(false)
-        else range(attrOf(a).get, st => st.lo <= litCol(v))
+        else range(attrOf(a).get, Seq(v), st => st.lo <= litCol(v))
       case LessThanOrEqual(v: Literal, a) if attrOf(a).isDefined =>
         may(GreaterThanOrEqual(a, v))
 
       case GreaterThan(a, v: Literal) if attrOf(a).isDefined =>
         if (v.value == null) lit(false)
-        else range(attrOf(a).get, st => st.hi > litCol(v))
+        else range(attrOf(a).get, Seq(v), st => st.hi > litCol(v))
       case GreaterThan(v: Literal, a) if attrOf(a).isDefined => may(LessThan(a, v))
 
       case GreaterThanOrEqual(a, v: Literal) if attrOf(a).isDefined =>
         if (v.value == null) lit(false)
-        else range(attrOf(a).get, st => st.hi >= litCol(v))
+        else range(attrOf(a).get, Seq(v), st => st.hi >= litCol(v))
       case GreaterThanOrEqual(v: Literal, a) if attrOf(a).isDefined =>
         may(LessThanOrEqual(a, v))
 
@@ -180,7 +230,7 @@ object ZoneMap {
           vs.forall(_.isInstanceOf[Literal]) =>
         val nonNull = vs.collect { case l: Literal if l.value != null => l }
         if (nonNull.isEmpty) lit(false)
-        else range(attrOf(a).get, st =>
+        else range(attrOf(a).get, nonNull, st =>
           nonNull.map(v => st.lo <= litCol(v) && st.hi >= litCol(v)).reduce(_ || _))
 
       case IsNull(a) if attrOf(a).isDefined =>
@@ -188,7 +238,7 @@ object ZoneMap {
           .map(nc => coalesce(nc > 0L, lit(true))).getOrElse(lit(true))
       case IsNotNull(a) if attrOf(a).isDefined =>
         statsOf(attrOf(a).get) match {
-          case Some(ColStats(_, _, Some(nc), Some(nr))) =>
+          case Some(ColStats(_, _, _, Some(nc), Some(nr))) =>
             coalesce(nc < nr, lit(true))
           case _ => lit(true)
         }

@@ -725,11 +725,13 @@ class DeltaLogSpec extends SparkSuite {
     val v2only = DeltaLog.readChanges(spark, dir, 2L, 2L)
       .select("_change_type").as[String].collect().toSeq
     assert(v2only == Seq("delete", "delete"))
-    // v3 alone (dataChange=false compaction) has no changes
-    val e0 = intercept[graft.GraftAnalysisException] {
-      DeltaLog.readChanges(spark, dir, 3L, 3L)
-    }
-    assert(e0.getMessage.contains("no data changes"))
+    // v3 alone (dataChange=false compaction) is CDF-invisible: an
+    // EMPTY feed with the full CDF shape, not a refusal — a consumer
+    // polling across an OPTIMIZE must keep working
+    val v3only = DeltaLog.readChanges(spark, dir, 3L, 3L)
+    assert(v3only.count() === 0L)
+    assert(Seq("_change_type", "_commit_version", "_commit_timestamp")
+      .forall(v3only.columns.contains))
     // ladder: empty range, negative start, missing version
     intercept[graft.GraftAnalysisException] { DeltaLog.readChanges(spark, dir, 2L, 1L) }
     intercept[graft.GraftAnalysisException] { DeltaLog.readChanges(spark, dir, -1L, 1L) }

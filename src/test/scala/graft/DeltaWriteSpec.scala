@@ -98,7 +98,163 @@ class DeltaWriteSpec extends SparkSuite {
       new java.io.File(badLog, "00000000000000000000.json").toPath,
       "not json".getBytes("UTF-8"))
     val e5 = intercept[GraftAnalysisException] { DeltaWrite.append(spark, docs, badDir) }
-    assert(e5.getMessage.contains("cannot append"))
+    assert(e5.getMessage.contains("cannot write"))
+  }
+
+  test("partitioned append keys stats per FILE, not per basename (round 18)") {
+    val dir = freshDir()
+    // ONE task writes both partition dirs, so Spark reuses the same
+    // part name under each — the r17 basename keying collapsed these
+    // and attached one file's stats to both adds. Disjoint id ranges
+    // per partition make wrong attribution visible as lost rows.
+    val data = Seq((5L, "a"), (20L, "a"), (30L, "a"),
+      (40L, "b"), (70L, "b"), (90L, "b")).toDF("id", "p").repartition(1)
+    DeltaWrite.append(spark, data, dir, Seq("p"))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val v0 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_delta_log/00000000000000000000.json").toPath), "UTF-8")
+    val statsOfAdds = v0.split("\n").toSeq.flatMap { line =>
+      JsonMethods.parse(line) \ "add" match {
+        case a: JObject => a \ "stats" match {
+          case JString(s) => Some(s); case _ => None }
+        case _ => None
+      }
+    }
+    assert(statsOfAdds.length == 2 && statsOfAdds.distinct.length == 2)
+    // and the skipper opens exactly the matching file, losing no rows
+    val hi = DeltaLog.readTable(spark, dir, None, Some(col("id") >= 40L))
+    assert(hi.inputFiles.length == 1)
+    assert(hi.select("id").as[Long].collect().sorted.toSeq == Seq(40L, 70L, 90L))
+    val lo = DeltaLog.readTable(spark, dir, None, Some(col("id") <= 30L))
+    assert(lo.inputFiles.length == 1)
+    assert(lo.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 20L, 30L))
+  }
+
+  test("timestamp bounds (round 18): WHERE ts BETWEEN prunes own-written files") {
+    val dir = freshDir()
+    val data = docs.withColumn("ts",
+      to_timestamp(concat(lit("2026-01-0"), col("doc_id"))))
+    DeltaWrite.append(spark, data.repartitionByRange(2, col("ts")), dir)
+    assert(DeltaLog.readTable(spark, dir).inputFiles.length == 2)
+    val pruned = DeltaLog.readTable(spark, dir, None,
+      Some(expr("ts BETWEEN TIMESTAMP '2026-01-01' AND TIMESTAMP '2026-01-02 12:00:00'")))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val late = DeltaLog.readTable(spark, dir, None,
+      Some(col("ts") >= java.sql.Timestamp.valueOf("2026-01-07 00:00:00")))
+    assert(late.inputFiles.length == 1)
+    assert(late.select("doc_id").as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+  }
+
+  test("cross-family literals never prune (round 18): coercion traps keep files") {
+    // LIKE over a NUMERIC column: lexicographic reasoning over the
+    // numeric bounds would prune the file holding 20 (lo 5 → "5" > "2")
+    val dir = freshDir()
+    DeltaWrite.append(spark,
+      Seq((5L, "x"), (20L, "x"), (30L, "x")).toDF("n", "s").coalesce(1), dir)
+    DeltaWrite.append(spark,
+      Seq((40L, "x"), (70L, "x"), (90L, "x")).toDF("n", "s").coalesce(1), dir)
+    val like = DeltaLog.readTable(spark, dir, None, Some(expr("n LIKE '2%'")))
+    assert(like.inputFiles.length == 2) // conservative: no pruning on non-strings
+    assert(like.select("n").as[Long].collect().toSeq == Seq(20L))
+    // numeric literal over a STRING column: lexicographic hi "9" casts
+    // to 9 < 10 — pruning would drop the matching "10" row
+    val dir2 = freshDir()
+    DeltaWrite.append(spark, Seq("10", "9").toDF("v").coalesce(1), dir2)
+    DeltaWrite.append(spark, Seq("123").toDF("v").coalesce(1), dir2)
+    val eq = DeltaLog.readTable(spark, dir2, None, Some(expr("v = 10")))
+    assert(eq.inputFiles.length == 2)
+    assert(eq.select("v").as[String].collect().toSeq == Seq("10"))
+    // same-family WIDENING still prunes: an int literal against long
+    // stats is order-preserving
+    val w = DeltaLog.readTable(spark, dir, None, Some(col("n") >= 40))
+    assert(w.inputFiles.length == 1)
+    assert(w.select("n").as[Long].collect().sorted.toSeq == Seq(40L, 70L, 90L))
+  }
+
+  test("overwrite (round 18): dynamic replaces present partitions; CDF shows the swap") {
+    val dir = freshDir()
+    val d0 = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("id", "p")
+    DeltaWrite.append(spark, d0, dir, Seq("p")) // v0
+    val repl = Seq((5L, "a"), (6L, "a")).toDF("id", "p")
+    assert(DeltaWrite.overwrite(spark, repl, dir, Seq("p"), dynamic = true) == 1L)
+    assert(DeltaLog.readTable(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
+    // time travel still sees the pre-replace state (tombstones, not deletes)
+    assert(DeltaLog.readTable(spark, dir, Some(0L)).count() == 4)
+    // CDF across the replace version: deletes for displaced rows,
+    // inserts for the new — the synthesis the reader already had
+    val ch = DeltaLog.readChanges(spark, dir, 1L, 1L)
+      .select(col("id"), col("_change_type"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(ch == Seq((1L, "delete"), (2L, "delete"), (5L, "insert"), (6L, "insert")))
+    // full overwrite replaces EVERYTHING
+    assert(DeltaWrite.overwrite(spark, d0, dir, Seq("p")) == 2L)
+    assert(DeltaLog.readTable(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // dynamic without partition columns refuses
+    val e = intercept[GraftAnalysisException] {
+      DeltaWrite.overwrite(spark, d0, freshDir(), Seq.empty, dynamic = true)
+    }
+    assert(e.getMessage.contains("dynamic partition overwrite"))
+  }
+
+  test("compact (round 18): fewer files, same rows, CDF-invisible, checkpointable") {
+    val dir = freshDir()
+    (1 to 4).foreach(i => DeltaWrite.append(spark,
+      Seq((i.toLong, "x")).toDF("id", "s").coalesce(1), dir))
+    assert(DeltaLog.readTable(spark, dir).inputFiles.length == 4)
+    assert(DeltaWrite.compact(spark, dir) == Some(4L))
+    val after = DeltaLog.readTable(spark, dir)
+    assert(after.inputFiles.length == 1)
+    assert(after.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // dataChange=false: the change feed across the compaction is EMPTY
+    assert(DeltaLog.readChanges(spark, dir, 4L, 4L).count() == 0)
+    // time travel to the pre-compaction version still reads old files
+    assert(DeltaLog.readTable(spark, dir, Some(3L)).count() == 4)
+    // idempotent: nothing left to compact
+    assert(DeltaWrite.compact(spark, dir) == None)
+    // a checkpoint after compaction carries the remove TOMBSTONES —
+    // vacuum the JSON prefix and the read still resolves correctly
+    assert(DeltaWrite.writeCheckpoint(spark, dir) == 4L)
+    (0 to 4).foreach(i => new java.io.File(dir, f"_delta_log/$i%020d.json").delete())
+    assert(DeltaLog.readTable(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("txn idempotence (round 18): a replayed epoch is a no-op") {
+    val dir = freshDir()
+    assert(DeltaWrite.append(spark, docs, dir, Seq.empty, Some(("app", 0L))) == 0L)
+    assert(DeltaLog.readTable(spark, dir).count() == 8)
+    // replay of the same (appId, version): no new commit, no new rows
+    assert(DeltaWrite.append(spark, docs, dir, Seq.empty, Some(("app", 0L))) == 0L)
+    assert(DeltaLog.readTable(spark, dir).count() == 8)
+    // the next epoch commits
+    assert(DeltaWrite.append(spark, docs, dir, Seq.empty, Some(("app", 1L))) == 1L)
+    assert(DeltaLog.readTable(spark, dir).count() == 16)
+    // a DIFFERENT app's epoch 0 is not deduped
+    assert(DeltaWrite.append(spark, docs, dir, Seq.empty, Some(("other", 0L))) == 2L)
+    assert(DeltaLog.readTable(spark, dir).count() == 24)
+  }
+
+  test("checkpoint carries the real protocol and full metaData (round 18)") {
+    val dir = freshDir()
+    DeltaWrite.append(spark, docs, dir)
+    DeltaWrite.writeCheckpoint(spark, dir)
+    val cp = spark.read.parquet(
+      dir + "/_delta_log/00000000000000000000.checkpoint.parquet")
+    assert(cp.where(col("protocol").isNotNull)
+      .select(col("protocol.minReaderVersion"), col("protocol.minWriterVersion"))
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    assert(cp.where(col("metaData").isNotNull)
+      .select(col("metaData.format.provider")).as[String].collect().toSeq ==
+      Seq("parquet"))
+    // a table demanding writer version > 2 refuses instead of freezing
+    // a downgraded protocol row
+    val cmDir = graft.ops.TableFixtures.writeDeltaCmTable(spark, docs, "doc_id")
+    val e = intercept[GraftAnalysisException] { DeltaWrite.writeCheckpoint(spark, cmDir) }
+    assert(e.getMessage.contains("writer version"))
   }
 
   test("appending through column mapping or table features refuses by name") {

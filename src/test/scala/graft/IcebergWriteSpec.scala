@@ -103,6 +103,134 @@ class IcebergWriteSpec extends SparkSuite {
     assert(e2.getMessage.contains("delete manifests"))
   }
 
+  test("field ids carry forward from the prior schema (round 18)") {
+    val dir = freshDir()
+    IcebergWrite.append(spark, docs, dir)
+    // simulate an externally-evolved table whose ids are NOT
+    // positional: rewrite the schema's field ids 1,2,3 → 11,12,13
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metaFile = new java.io.File(dir, "metadata/v1.metadata.json")
+    val jv = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8"))
+    val rewritten = jv.transformField {
+      case ("id", JInt(i)) if i >= 1 && i <= 3 => "id" -> JInt(i + 10)
+    }
+    java.nio.file.Files.write(metaFile.toPath,
+      JsonMethods.pretty(JsonMethods.render(rewritten)).getBytes("UTF-8"))
+    IcebergWrite.append(spark, docs, dir)
+    val m2 = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "metadata/v2.metadata.json").toPath), "UTF-8"))
+    val ids = for {
+      JArray(schemas) <- Seq(m2 \ "schemas"); s <- schemas
+      JArray(fs) <- Seq(s \ "fields"); f <- fs; JInt(i) <- Seq(f \ "id")
+    } yield i.toInt
+    assert(ids.sorted == Seq(11, 12, 13))
+    // the NEW manifest's bound keys resolve through the carried ids
+    val entries = Iceberg.manifestEntries(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "metadata/m-00002.avro").toPath)).get
+    assert(entries.flatMap(_.lowerBounds.keys).toSet.subsetOf(Set(11, 12, 13)))
+    assert(entries.flatMap(_.lowerBounds.keys).nonEmpty)
+    // and the read (with bounds pruning) still resolves correctly
+    val pruned = Iceberg.readTable(spark, dir, None, Some(col("doc_id") <= 2L))
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 1L, 2L, 2L))
+    // a prior schema with REQUIRED fields refuses (this writer cannot
+    // prove incoming data satisfies the invariant)
+    val reqDir = freshDir()
+    IcebergWrite.append(spark, docs, reqDir)
+    val reqFile = new java.io.File(reqDir, "metadata/v1.metadata.json")
+    val reqJv = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(reqFile.toPath), "UTF-8")).transformField {
+      case ("required", JBool(false)) => "required" -> JBool(true)
+    }
+    java.nio.file.Files.write(reqFile.toPath,
+      JsonMethods.pretty(JsonMethods.render(reqJv)).getBytes("UTF-8"))
+    val e = intercept[GraftAnalysisException] { IcebergWrite.append(spark, docs, reqDir) }
+    assert(e.getMessage.contains("required"))
+  }
+
+  test("identity-partitioned write (round 18): tuples prune own-written tables") {
+    val dir = freshDir()
+    IcebergWrite.append(spark, docs, dir, partitionBy = Seq("source"))
+    val all = Iceberg.readTable(spark, dir)
+    assert(all.count() == 8)
+    // partition columns stay IN the data files (Iceberg, not Hive)
+    assert(all.select("source").as[String].collect().toSet == Set("web", "book"))
+    val web = Iceberg.readTable(spark, dir, None, Some(col("source") === "web"))
+    assert(web.inputFiles.length < all.inputFiles.length)
+    assert(web.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 6L, 8L))
+    // a second partitioned append carries the spec forward
+    val more = Seq((9L, "web", 90L)).toDF("doc_id", "source", "n_chars")
+    IcebergWrite.append(spark, more, dir, partitionBy = Seq("source"))
+    val book = Iceberg.readTable(spark, dir, None, Some(col("source") === "book"))
+    assert(book.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 5L, 7L))
+    // compose: partition tuple + column bounds in one predicate
+    val both = Iceberg.readTable(spark, dir, None,
+      Some(col("source") === "web" && col("doc_id") >= 9L))
+    assert(both.select("doc_id").as[Long].collect().toSeq == Seq(9L))
+    // spec-mismatch refusals, both directions
+    val e1 = intercept[GraftAnalysisException] {
+      IcebergWrite.append(spark, more, dir) // unpartitioned into partitioned
+    }
+    assert(e1.getMessage.contains("partition spec mismatch"))
+    val unpart = freshDir()
+    IcebergWrite.append(spark, docs, unpart)
+    val e2 = intercept[GraftAnalysisException] {
+      IcebergWrite.append(spark, docs, unpart, partitionBy = Seq("source"))
+    }
+    assert(e2.getMessage.contains("partition spec mismatch"))
+    // v1 partition-type gate refuses by name
+    val e3 = intercept[GraftAnalysisException] {
+      IcebergWrite.append(spark,
+        docs.withColumn("d", to_date(lit("2026-01-01"))), freshDir(),
+        partitionBy = Seq("d"))
+    }
+    assert(e3.getMessage.contains("identity partitioning"))
+  }
+
+  test("null partition values (round 18): absent tuple keys keep the file") {
+    val dir = freshDir()
+    val data = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("id", "k")
+    IcebergWrite.append(spark, data, dir, partitionBy = Seq("k"))
+    val back = Iceberg.readTable(spark, dir).select("id", "k")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a"), (2L, null), (3L, "b")))
+    val a = Iceberg.readTable(spark, dir, None, Some(col("k") === "a"))
+    assert(a.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("timestamp bounds (round 18): ts predicates skip own-written files") {
+    val dir = freshDir()
+    val data = docs.withColumn("ts",
+      to_timestamp(concat(lit("2026-01-0"), col("doc_id"))))
+    IcebergWrite.append(spark, data, dir, clusterBy = Seq("ts"), numFiles = 2)
+    assert(Iceberg.readTable(spark, dir).inputFiles.length == 2)
+    val pruned = Iceberg.readTable(spark, dir, None,
+      Some(expr("ts BETWEEN TIMESTAMP '2026-01-01' AND TIMESTAMP '2026-01-02 12:00:00'")))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("incremental scan composes with the pruning ladder (round 18)") {
+    val dir = freshDir()
+    IcebergWrite.append(spark, docs.where(col("doc_id") <= 4),
+      dir, clusterBy = Seq("doc_id"), numFiles = 2)
+    IcebergWrite.append(spark, docs.where(col("doc_id") > 4),
+      dir, clusterBy = Seq("doc_id"), numFiles = 2)
+    // the 1→2 diff adds two files; the predicate opens only one
+    val incr = Iceberg.readAppendsBetween(spark, dir, 1L, Some(2L),
+      Some(col("doc_id") >= 7L))
+    assert(incr.inputFiles.length == 1)
+    assert(incr.select("doc_id").as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+    // and the predicate is ROW-applied, not just file-applied
+    val incr2 = Iceberg.readAppendsBetween(spark, dir, 1L, Some(2L),
+      Some(col("doc_id") === 5L))
+    assert(incr2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("the iceberg sink spec surface writes a readable table") {
     val dir = freshDir() + "/tbl"
     graft.sinks.SinkWriter.write(docs,

@@ -308,4 +308,46 @@ class StreamingSpec extends SparkSuite {
       assert(n == expect)
     } finally q.stop()
   }
+
+  test("delta sink (round 18): exactly-once appends; a replayed epoch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-sds").toFile.getAbsolutePath
+    val tbl = s"$base/tbl"; val cp = s"$base/cp"
+    def start() = Streaming.startDeltaSink(input.toDF().toDF("id", "s"), tbl, cp,
+      "sds-app", trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // AvailableNow self-terminates after draining, so each micro-batch
+    // is one start/drain cycle — awaitTermination (not stop) guarantees
+    // the query has fully deregistered from the checkpoint before the
+    // next start; the restart also exercises epoch-id continuity from
+    // the checkpoint (epoch 1 must not collide with 0)
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.awaitTermination() finally q.stop()
+    input.addData((1L, "a"), (2L, "b"))
+    drain(start())
+    input.addData((3L, "c"))
+    drain(start())
+    assert(graft.ops.DeltaLog.readTable(spark, tbl).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    def tableVersions: Seq[Long] =
+      Option(new java.io.File(tbl, "_delta_log").listFiles()).getOrElse(Array.empty)
+        .toSeq.map(_.getName).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong).sorted
+    assert(tableVersions == Seq(0L, 1L))
+    // simulate a crash BETWEEN the table commit and the streaming
+    // checkpoint write: drop the checkpoint's last commit marker so a
+    // restart replays the epoch — the txn marker makes it a no-op
+    val commits = new java.io.File(cp, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    last.delete()
+    // the checkpoint FS is checksum-wrapped: the orphaned .N.crc
+    // sidecar would collide with the replay's rename
+    new java.io.File(last.getParentFile, "." + last.getName + ".crc").delete()
+    drain(start())
+    assert(tableVersions == Seq(0L, 1L)) // no third commit
+    assert(graft.ops.DeltaLog.readTable(spark, tbl).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
