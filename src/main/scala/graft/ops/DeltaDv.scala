@@ -310,9 +310,8 @@ object DeltaDv {
       val path =
         if (d.storageType == "u") uPath(tableDir, d.pathOrInlineDv)
         else d.pathOrInlineDv.stripPrefix("file:")
-      val f = new java.io.File(path)
-      if (!f.isFile) fail(s"file missing: $path")
-      val all = java.nio.file.Files.readAllBytes(f.toPath)
+      if (!TableIo.isFile(path)) fail(s"file missing: $path")
+      val all = TableIo.readBytes(path)
       if (all.isEmpty || all(0) != 1) fail(s"unsupported DV file version in $path")
       val off = d.offset.getOrElse(1L).toInt
       if (off + 4 > all.length) fail(s"offset $off out of range in $path")

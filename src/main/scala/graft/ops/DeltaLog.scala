@@ -692,10 +692,16 @@ object DeltaLog {
     * `_metadata.file_path` (raw, `file:` single/triple-slash, each
     * also in percent-encoded form) — the broadcast manifest carries
     * one row per spelling so the join matches whichever the runtime
-    * emits, with no format guessing baked in. */
+    * emits, with no format guessing baked in. Scheme'd paths with a
+    * null authority get both legal spellings (`sch:/p` and
+    * `sch:///p`); authority-carrying URIs pass through as-is. */
   private[ops] def keyForms(p: String): Seq[String] =
-    if (p.contains("://")) Seq(p)
-    else {
+    if (TableIo.hasScheme(p)) {
+      val i = p.indexOf(':')
+      val (sch, rest) = (p.substring(0, i), p.substring(i + 1))
+      if (rest.startsWith("//")) Seq(p)
+      else Seq(s"$sch:$rest", s"$sch://$rest").distinct
+    } else {
       val abs = new java.io.File(p).getAbsolutePath
       val enc = new java.io.File(abs).toURI.getRawPath
       Seq(abs, s"file:$abs", s"file://$abs", s"file:$enc", s"file://$enc").distinct
@@ -746,9 +752,7 @@ object DeltaLog {
     * when there is none. Open-ended CDF reads ("changes since X")
     * resolve their end bound here. */
   private def latestVersion(tableDir: String): Long = {
-    val dir = new java.io.File(tableDir, "_delta_log")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-    val vs = files.flatMap(f => versionOf(f.getName))
+    val vs = TableIo.list(s"$tableDir/_delta_log").flatMap(e => versionOf(e.name))
     if (vs.isEmpty)
       throw new graft.GraftAnalysisException(
         s"delta: no commits under $tableDir/_delta_log")
@@ -766,10 +770,10 @@ object DeltaLog {
     if (endVersion < startVersion)
       throw new graft.GraftAnalysisException(
         s"delta: change range $startVersion..$endVersion is empty")
-    val dir = new java.io.File(tableDir, "_delta_log")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-    val byVersion: Map[Long, java.io.File] =
-      files.flatMap(f => versionOf(f.getName).map(_ -> f)).toMap
+    val logDir = s"$tableDir/_delta_log"
+    val entries = TableIo.list(logDir)
+    val byVersion: Map[Long, TableIo.Entry] =
+      entries.flatMap(e => versionOf(e.name).map(_ -> e)).toMap
     (startVersion to endVersion).find(!byVersion.contains(_)).foreach(v =>
       throw new graft.GraftAnalysisException(
         s"delta: commit JSON for version $v is missing; the change feed needs " +
@@ -778,8 +782,8 @@ object DeltaLog {
     // FULL surviving history so both surfaces agree
     val tsByVersion: Map[Long, Long] = {
       var prev = Long.MinValue
-      byVersion.toSeq.sortBy(_._1).map { case (v, f) =>
-        val t0 = commitInfoTs(f).getOrElse(f.lastModified())
+      byVersion.toSeq.sortBy(_._1).map { case (v, e) =>
+        val t0 = commitInfoTs(s"$logDir/${e.name}").getOrElse(e.mtime)
         val t = if (prev == Long.MinValue) t0 else math.max(t0, prev + 1)
         prev = t
         v -> t
@@ -795,8 +799,7 @@ object DeltaLog {
     // compaction must keep working
     var sawRewriteOnly = false
     (startVersion to endVersion).foreach { v =>
-      val content = new String(java.nio.file.Files.readAllBytes(byVersion(v).toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+      val content = TableIo.readString(s"$logDir/${byVersion(v).name}")
       val lines = content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
         try JsonMethods.parse(line) catch {
           case _: Exception => throw new graft.GraftAnalysisException(
@@ -876,7 +879,8 @@ object DeltaLog {
         s"delta: no data changes in versions $startVersion..$endVersion")
     val pkeys: Seq[String] = all.flatMap(_.pv.keys).distinct.sorted
     def resolve(p: String): String =
-      if (p.contains("://") || p.startsWith("/")) p.stripPrefix("file:")
+      if (TableIo.hasScheme(p) || p.startsWith("/"))
+        (if (p.startsWith("file:")) p.stripPrefix("file:") else p)
       else s"$tableDir/$p"
     val arms = Seq(0, 1, 2).flatMap { kind =>
       val group = all.filter(_.kind == kind)
@@ -924,12 +928,12 @@ object DeltaLog {
     * commitInfo.timestamp, else file mtime; each at least its
     * predecessor's + 1 ms). */
   private def monotonicStamps(tableDir: String): Seq[(Long, Long)] = {
-    val dir = new java.io.File(tableDir, "_delta_log")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-    val commits = files.toSeq.flatMap(f => versionOf(f.getName).map(v => (v, f))).sortBy(_._1)
+    val logDir = s"$tableDir/_delta_log"
+    val commits = TableIo.list(logDir)
+      .flatMap(e => versionOf(e.name).map(v => (v, e))).sortBy(_._1)
     var prev = Long.MinValue
-    commits.map { case (v, f) =>
-      val t0 = commitInfoTs(f).getOrElse(f.lastModified())
+    commits.map { case (v, e) =>
+      val t0 = commitInfoTs(s"$logDir/${e.name}").getOrElse(e.mtime)
       val t = if (prev == Long.MinValue) t0 else math.max(t0, prev + 1)
       prev = t
       (v, t)
@@ -987,9 +991,8 @@ object DeltaLog {
   /** The first commitInfo timestamp of a commit file: the in-commit
     * timestamp when present (that feature's precedence), else the
     * wall-clock `timestamp`. */
-  private def commitInfoTs(f: java.io.File): Option[Long] = {
-    val content = new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
+  private def commitInfoTs(path: String): Option[Long] = {
+    val content = TableIo.readString(path)
     content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
       (try JsonMethods.parse(line) catch { case _: Exception => JNothing }) \ "commitInfo" match {
         case ci: JObject => ci \ "inCommitTimestamp" match {
@@ -1021,15 +1024,16 @@ object DeltaLog {
     * through (see the filtered [[readTable]]). */
   def readTableAt(spark: SparkSession, tableDir: String, tsMillis: Long,
       pruneWhere: Option[Column]): DataFrame = {
-    val dir = new java.io.File(tableDir, "_delta_log")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-    val commits = files.toSeq.flatMap(f => versionOf(f.getName).map(v => (v, f))).sortBy(_._1)
+    val logDir = s"$tableDir/_delta_log"
+    val commits = TableIo.list(logDir)
+      .flatMap(e => versionOf(e.name).map(v => (v, e))).sortBy(_._1)
     if (commits.isEmpty)
       throw new graft.GraftAnalysisException(s"delta: no commits under $tableDir/_delta_log")
-    def tsOf(f: java.io.File): Long = commitInfoTs(f).getOrElse(f.lastModified())
+    def tsOf(e: TableIo.Entry): Long =
+      commitInfoTs(s"$logDir/${e.name}").getOrElse(e.mtime)
     var prev = Long.MinValue
-    val stamped = commits.map { case (v, f) =>
-      val t = if (prev == Long.MinValue) tsOf(f) else math.max(tsOf(f), prev + 1)
+    val stamped = commits.map { case (v, e) =>
+      val t = if (prev == Long.MinValue) tsOf(e) else math.max(tsOf(e), prev + 1)
       prev = t
       (v, t)
     }
@@ -1063,13 +1067,12 @@ object DeltaLog {
     * that date's files instead of all of them. */
   def readTable(spark: SparkSession, tableDir: String,
       versionAsOf: Option[Long], pruneWhere: Option[Column]): DataFrame = {
-    val dir = new java.io.File(tableDir, "_delta_log")
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val logDir = s"$tableDir/_delta_log"
+    val files = TableIo.list(logDir)
     val lastCp: Option[(Long, Option[Int])] =
-      files.find(_.getName == "_last_checkpoint").map { f =>
-        val jv = try JsonMethods.parse(new String(
-            java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8))
+      files.find(_.name == "_last_checkpoint").map { _ =>
+        val jv = try JsonMethods.parse(
+            TableIo.readString(s"$logDir/_last_checkpoint"))
           catch { case _: Exception =>
             throw new graft.GraftAnalysisException("delta: malformed _last_checkpoint") }
         val v = jv \ "version" match {
@@ -1083,31 +1086,32 @@ object DeltaLog {
       // a checkpoint BEYOND the target cannot seed a time travel
       .filter { case (v, _) => versionAsOf.forall(v <= _) }
     val seedNorm: Option[(Snapshot, DataFrame)] = lastCp.map { case (v, parts) =>
-      val cpFiles = checkpointNames(v, parts).map(n => new java.io.File(dir, n))
-      val missing = cpFiles.filterNot(_.isFile)
+      val names = files.map(_.name).toSet
+      val cpNames = checkpointNames(v, parts)
+      val missing = cpNames.filterNot(names.contains)
       if (missing.isEmpty) {
         val norm = normalizeCheckpoint(
-          spark.read.parquet(cpFiles.map(_.getAbsolutePath).toSeq: _*), 0L)
+          spark.read.parquet(cpNames.map(n => s"$logDir/$n").toSeq: _*), 0L)
         (checkpointFurniture(norm), norm)
       } else if (parts.isEmpty) {
         // V2 (UUID-named) checkpoint: <version>.checkpoint.<uuid>
         // .parquet, whose `sidecar` actions name parquet files under
         // _delta_log/_sidecars/ carrying the add/remove rows
         val prefix = f"$v%020d.checkpoint."
-        def uuidNamed(ext: String) = files.filter(f => f.getName.startsWith(prefix) &&
-          f.getName.endsWith(ext) &&
-          !f.getName.matches(""".*\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+        def uuidNamed(ext: String) = files.filter(f => f.name.startsWith(prefix) &&
+          f.name.endsWith(ext) &&
+          !f.name.matches(""".*\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
         val v2p = uuidNamed(".parquet")
         val v2j = uuidNamed(".json")
         if (v2p.length + v2j.length != 1)
           throw new graft.GraftAnalysisException(
-            s"delta: _last_checkpoint names version $v but ${missing.head.getName} is missing")
+            s"delta: _last_checkpoint names version $v but ${missing.head} is missing")
         // the top file carries metaData/protocol/checkpointMetadata
         // plus `sidecar` actions; sidecars are parquet under
         // _delta_log/_sidecars/ holding the add/remove rows
         val (topNorm, sidecars: Seq[String]) =
           if (v2p.nonEmpty) {
-            val cpDf = spark.read.parquet(v2p.head.getAbsolutePath)
+            val cpDf = spark.read.parquet(s"$logDir/${v2p.head.name}")
             val sc =
               if (!cpDf.columns.contains("sidecar")) Seq.empty[String]
               else cpDf.select(col("sidecar.path"))
@@ -1118,9 +1122,7 @@ object DeltaLog {
             // JSON flavor: one action object per line — the same
             // canonical stream parseCommits produces; sidecar lines
             // parse to all-null action structs and drop out
-            val content = new String(
-              java.nio.file.Files.readAllBytes(v2j.head.toPath),
-              java.nio.charset.StandardCharsets.UTF_8)
+            val content = TableIo.readString(s"$logDir/${v2j.head.name}")
             val sc = content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { l =>
               (try JsonMethods.parse(l) catch { case _: Exception => JNothing }) \ "sidecar" \ "path" match {
                 case JString(s) => Some(s)
@@ -1131,10 +1133,11 @@ object DeltaLog {
             (parseCommitsNorm(Seq((0L, content)).toDF("version", "content")), sc)
           }
         val sidecarPaths = sidecars.map { p =>
-          if (p.contains("://") || p.startsWith("/")) p.stripPrefix("file:")
-          else new java.io.File(new java.io.File(dir, "_sidecars"), p).getAbsolutePath
+          if (TableIo.hasScheme(p) || p.startsWith("/"))
+            (if (p.startsWith("file:")) p.stripPrefix("file:") else p)
+          else s"$logDir/_sidecars/$p"
         }
-        sidecarPaths.find(p => !new java.io.File(p).isFile).foreach(p =>
+        sidecarPaths.find(p => !TableIo.isFile(p)).foreach(p =>
           throw new graft.GraftAnalysisException(s"delta: checkpoint sidecar missing: $p"))
         // sidecar schemas differ from the checkpoint's (add/remove
         // only) — normalize each to the canonical action stream, THEN
@@ -1146,16 +1149,17 @@ object DeltaLog {
         (checkpointFurniture(norm), norm)
       } else
         throw new graft.GraftAnalysisException(
-          s"delta: _last_checkpoint names version $v but ${missing.head.getName} is missing")
+          s"delta: _last_checkpoint names version $v but ${missing.head} is missing")
     }
     val cpVersion = lastCp.map(_._1).getOrElse(-1L)
-    val commits = files.toSeq
-      .flatMap(f => versionOf(f.getName).map(v =>
-        v -> new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)))
+    // select versions BEFORE fetching bytes: on a remote FS the
+    // checkpoint-covered prefix must cost zero reads
+    val commits = files
+      .flatMap(f => versionOf(f.name).map(v => (v, f.name)))
       .filter(_._1 > cpVersion)
       .filter(c => versionAsOf.forall(c._1 <= _))
       .sortBy(_._1)
+      .map { case (v, n) => v -> TableIo.readString(s"$logDir/$n") }
     versionAsOf.foreach { v =>
       // the replay must actually REACH the requested version, from a
       // usable base: silently serving a neighboring version is the

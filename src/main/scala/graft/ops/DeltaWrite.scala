@@ -139,23 +139,22 @@ object DeltaWrite {
     if (df.isEmpty) refuse("nothing to append (empty input); an empty commit " +
       "would be indistinguishable from a lost write")
 
-    val logDir = new java.io.File(tableDir, "_delta_log")
-    val existing: Seq[(Long, java.io.File)] =
-      Option(logDir.listFiles()).getOrElse(Array.empty).toSeq
-        .flatMap(f => DeltaLog.versionOf(f.getName).map(_ -> f)).sortBy(_._1)
+    val logDir = s"$tableDir/_delta_log"
+    val logEntries = TableIo.list(logDir)
+    val existing: Seq[(Long, String)] =
+      logEntries.flatMap(e => DeltaLog.versionOf(e.name).map(_ -> e.name)).sortBy(_._1)
 
     // a checkpoint with NO commit JSONs (fully vacuumed log) is still
     // a TABLE — silently starting over at version 0 would fork it
-    if (existing.isEmpty && new java.io.File(logDir, "_last_checkpoint").isFile)
+    if (existing.isEmpty && logEntries.exists(_.name == "_last_checkpoint"))
       refuse("the log has a checkpoint but no commit JSONs; this writer " +
         "resolves table state from the commit JSONs (v1 scope) and cannot " +
         "safely append — refusing beats forking the table at version 0")
 
     // write-compat gate against the existing table's metadata
     val snapOpt: Option[DeltaLog.Snapshot] = if (existing.isEmpty) None else {
-      val commits = existing.map { case (v, f) =>
-        v -> new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
+      val commits = existing.map { case (v, n) =>
+        v -> TableIo.readString(s"$logDir/$n")
       }
       val snap = DeltaLog.snapshotOfE(commits) match {
         case Right(s) => s
@@ -193,27 +192,27 @@ object DeltaWrite {
     }
     val version: Long = snapOpt.map(_ => existing.last._1 + 1).getOrElse(0L)
 
-    // ONE distributed write into a temp dir; Hive-style partition
-    // layout when partitioned
-    val tmp = java.nio.file.Files.createTempDirectory("graft-delta-append").toFile
+    // ONE distributed write into a STAGE dir under the table root
+    // (same filesystem as the destination whatever the scheme, so the
+    // per-file publish below is a rename, never a copy); Hive-style
+    // partition layout when partitioned. The dot-prefix keeps any
+    // directory-globbing scan from seeing half-staged files.
+    val stage = s"$tableDir/.graft-stage-${java.util.UUID.randomUUID()}"
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(tmp.getAbsolutePath)
+      .parquet(stage)
 
     // move part files under the table dir, keeping the key=value dirs;
     // Spark's part names carry a fresh UUID, so no collision with any
     // prior commit's files
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    val parts = walk(tmp).filter(f =>
-      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val parts = TableIo.walkRel(stage).filter { r =>
+      val n = r.split('/').last
+      n.startsWith("part-") && n.endsWith(".parquet")
+    }
     if (parts.isEmpty) refuse("the data write produced no files")
-    val tmpPath = tmp.toPath
     final case class Moved(relPath: String, pv: Seq[(String, Option[String])],
-        dest: java.io.File)
-    val moved: Seq[Moved] = parts.zipWithIndex.map { case (p, idx) =>
-      val srcRel = tmpPath.relativize(p.toPath).toString
+        destPath: String, name: String, size: Long)
+    val moved: Seq[Moved] = parts.zipWithIndex.map { case (srcRel, idx) =>
       val dirs = srcRel.split('/').dropRight(1)
       val pv = dirs.toSeq.map { d =>
         val i = d.indexOf('=')
@@ -229,15 +228,16 @@ object DeltaWrite {
       // each key=value/), so the basename alone cannot key the
       // per-file stats rows below — publish under a name unique
       // across the whole commit instead (ADVICE r17 #1)
-      val ext = p.getName.dropWhile(_ != '.') // ".c000.snappy.parquet" etc.
+      val base = srcRel.split('/').last
+      val ext = base.dropWhile(_ != '.') // ".c000.snappy.parquet" etc.
       val name = f"part-$idx%05d-${java.util.UUID.randomUUID()}$ext"
       val rel = (dirs :+ name).mkString("/")
-      val dest = new java.io.File(tableDir, rel)
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(p.toPath, dest.toPath)
-      Moved(rel, pv, dest)
+      val destPath = s"$tableDir/$rel"
+      if (dirs.nonEmpty) TableIo.mkdirs(s"$tableDir/${dirs.mkString("/")}")
+      TableIo.rename(s"$stage/$srcRel", destPath)
+      Moved(rel, pv, destPath, name, TableIo.size(destPath))
     }
-    walk(tmp).foreach(_.delete()); tmp.delete()
+    TableIo.delete(stage, recursive = true)
 
     // per-file stats: one cluster aggregation over the written files,
     // grouped by the scan's file path — the stats the data skipper
@@ -251,7 +251,7 @@ object DeltaWrite {
           max(col(s"`${f.name}`")).as(s"${f.name}__hi"),
           sum(col(s"`${f.name}`").isNull.cast("long")).as(s"${f.name}__nc"))
       }
-    val statRows = spark.read.parquet(moved.map(_.dest.getAbsolutePath): _*)
+    val statRows = spark.read.parquet(moved.map(_.destPath): _*)
       .groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -286,10 +286,10 @@ object DeltaWrite {
         k -> v.map(JString(_): JValue).getOrElse(JNull) }.toList)
       val base = ("path" -> percentEncode(m.relPath)) ~
         ("partitionValues" -> pvJson) ~
-        ("size" -> m.dest.length()) ~
+        ("size" -> m.size) ~
         ("modificationTime" -> now) ~ ("dataChange" -> true)
       JsonMethods.compact(JsonMethods.render("add" ->
-        (base ~ ("stats" -> statsJson(m.dest.getName)))))
+        (base ~ ("stats" -> statsJson(m.name)))))
     }
     // REPLACE: `remove` tombstones for the displaced files ride the
     // SAME commit as the adds (one atomic version). A tombstone's
@@ -338,25 +338,16 @@ object DeltaWrite {
               ("createdTime" -> now)))))
          else Seq.empty)
 
-    // ATOMIC EXCLUSIVE publish: the content is written to a temp file,
-    // then HARD-LINKED to the version name — link(2) is atomic and
-    // FAILS when the target exists (a plain rename would silently
-    // replace a racing writer's commit on POSIX). The loser refuses
-    // by name.
-    logDir.mkdirs()
-    val commitTmp = java.io.File.createTempFile(s".graft-commit-$version-", ".tmp", logDir)
-    java.nio.file.Files.write(commitTmp.toPath,
-      (header ++ addLines ++ removeLines).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val target = new java.io.File(logDir, f"$version%020d.json")
-    try java.nio.file.Files.createLink(target.toPath, commitTmp.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        commitTmp.delete()
-        refuse(s"version $version already exists (concurrent writer?); " +
-          "conflict resolution is out of the v1 append scope — retry against " +
-          "the new table state")
-    } finally commitTmp.delete()
+    // EXCLUSIVE publish via [[TableIo.writeExclusive]] (locally the
+    // atomic POSIX hard-link protocol; remotely create-no-overwrite).
+    // The loser of a race refuses by name.
+    TableIo.mkdirs(logDir)
+    val bytes = (header ++ addLines ++ removeLines).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!TableIo.writeExclusive(s"$logDir/" + f"$version%020d.json", bytes))
+      refuse(s"version $version already exists (concurrent writer?); " +
+        "conflict resolution is out of the v1 append scope — retry against " +
+        "the new table state")
     version
   }
 
@@ -377,19 +368,18 @@ object DeltaWrite {
   def compact(spark: SparkSession, tableDir: String,
       targetBytes: Long = 128L << 20): Option[Long] = {
     if (targetBytes <= 0) refuse("targetBytes must be positive")
-    val logDir = new java.io.File(tableDir, "_delta_log")
-    val existing: Seq[(Long, java.io.File)] =
-      Option(logDir.listFiles()).getOrElse(Array.empty).toSeq
-        .flatMap(f => DeltaLog.versionOf(f.getName).map(_ -> f)).sortBy(_._1)
+    val logDir = s"$tableDir/_delta_log"
+    val existing: Seq[(Long, String)] =
+      TableIo.list(logDir)
+        .flatMap(e => DeltaLog.versionOf(e.name).map(_ -> e.name)).sortBy(_._1)
     if (existing.isEmpty) refuse(s"no commits under $tableDir/_delta_log")
     // compaction DELETES (tombstones) files based on the replayed
     // state — a partial history would compact against wrong state
     if (existing.map(_._1) != (0L to existing.last._1))
       refuse("the commit history is not contiguous from version 0; compacting " +
         "against a partial replay risks tombstoning live files")
-    val commits = existing.map { case (v, f) =>
-      v -> new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+    val commits = existing.map { case (v, n) =>
+      v -> TableIo.readString(s"$logDir/$n")
     }
     val snap = DeltaLog.snapshotOfE(commits) match {
       case Right(s) => s
@@ -431,28 +421,28 @@ object DeltaWrite {
       }
 
     final case class Rewritten(relPath: String, pv: Map[String, String],
-        dest: java.io.File, stats: String, removed: Seq[DeltaLog.AddFile])
+        destPath: String, size: Long, stats: String,
+        removed: Seq[DeltaLog.AddFile])
     val rewrites: Seq[Rewritten] = byPartition.flatMap { case (pv, olds) =>
-      val srcPaths = olds.map(f => new java.io.File(tableDir, f.path).getAbsolutePath)
+      val srcPaths = olds.map(f => s"$tableDir/${f.path}")
       val totalBytes = olds.map(_.size).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-delta-compact").toFile
+      val stage = s"$tableDir/.graft-stage-${java.util.UUID.randomUUID()}"
       spark.read.parquet(srcPaths: _*).repartition(nOut)
-        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      val parts = Option(tmp.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .write.mode("overwrite").parquet(stage)
+      val parts = TableIo.walkRel(stage)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       if (parts.isEmpty) refuse("the compaction write produced no files")
       val moved = parts.zipWithIndex.map { case (p, idx) =>
-        val ext = p.getName.dropWhile(_ != '.')
+        val ext = p.dropWhile(_ != '.')
         // flat layout: the log's add.partitionValues is the source of
         // truth, the reader never derives partitions from directories
         val name = f"part-c$idx%03d-${java.util.UUID.randomUUID()}$ext"
-        val dest = new java.io.File(tableDir, name)
-        java.nio.file.Files.move(p.toPath, dest.toPath)
-        dest
+        TableIo.rename(s"$stage/$p", s"$tableDir/$name")
+        name
       }
-      Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete()); tmp.delete()
-      val statRowList = spark.read.parquet(moved.map(_.getAbsolutePath): _*)
+      TableIo.delete(stage, recursive = true)
+      val statRowList = spark.read.parquet(moved.map(n => s"$tableDir/$n"): _*)
         .groupBy(col("_metadata.file_path").as("__fp"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -460,9 +450,9 @@ object DeltaWrite {
         .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1) -> r).toMap
       if (statRows.size != statRowList.length)
         refuse("per-file stats rows collide by basename; cannot attribute stats safely")
-      moved.zipWithIndex.map { case (dest, i) =>
-        val r = statRows.getOrElse(dest.getName, refuse(
-          s"no stats row for compacted file '${dest.getName}'"))
+      moved.zipWithIndex.map { case (name, i) =>
+        val r = statRows.getOrElse(name, refuse(
+          s"no stats row for compacted file '$name'"))
         val mins = JObject(statsCols.zipWithIndex.flatMap { case (f, j) =>
           boundJson(f.dataType, r.get(2 + 3 * j), roundUp = false).map(f.name -> _) }.toList)
         val maxs = JObject(statsCols.zipWithIndex.flatMap { case (f, j) =>
@@ -472,8 +462,8 @@ object DeltaWrite {
         val stats = JsonMethods.compact(JsonMethods.render(
           ("numRecords" -> r.getLong(1)) ~ ("minValues" -> mins) ~
             ("maxValues" -> maxs) ~ ("nullCount" -> ncs)))
-        Rewritten(dest.getName, pv, dest, stats,
-          if (i == 0) olds else Seq.empty) // removes attached once per bin
+        Rewritten(name, pv, s"$tableDir/$name", TableIo.size(s"$tableDir/$name"),
+          stats, if (i == 0) olds else Seq.empty) // removes attached once per bin
       }
     }
 
@@ -483,7 +473,7 @@ object DeltaWrite {
         (("path" -> percentEncode(rw.relPath)) ~
           ("partitionValues" -> JObject(rw.pv.toList.map {
             case (k, v) => k -> (JString(v): JValue) })) ~
-          ("size" -> rw.dest.length()) ~
+          ("size" -> rw.size) ~
           ("modificationTime" -> now) ~ ("dataChange" -> false) ~
           ("stats" -> rw.stats))))
     }
@@ -500,20 +490,13 @@ object DeltaWrite {
       (("timestamp" -> now) ~ ("operation" -> "OPTIMIZE") ~
         ("operationParameters" -> JObject(Nil)))))
     val version = existing.last._1 + 1
-    logDir.mkdirs()
-    val commitTmp = java.io.File.createTempFile(s".graft-commit-$version-", ".tmp", logDir)
-    java.nio.file.Files.write(commitTmp.toPath,
-      ((commitInfoLine +: addLines) ++ removeLines).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val target = new java.io.File(logDir, f"$version%020d.json")
-    try java.nio.file.Files.createLink(target.toPath, commitTmp.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        commitTmp.delete()
-        refuse(s"version $version already exists (concurrent writer?); " +
-          "conflict resolution is out of the v1 scope — retry against the " +
-          "new table state")
-    } finally commitTmp.delete()
+    TableIo.mkdirs(logDir)
+    val bytes = ((commitInfoLine +: addLines) ++ removeLines).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!TableIo.writeExclusive(s"$logDir/" + f"$version%020d.json", bytes))
+      refuse(s"version $version already exists (concurrent writer?); " +
+        "conflict resolution is out of the v1 scope — retry against the " +
+        "new table state")
     Some(version)
   }
 
@@ -530,12 +513,10 @@ object DeltaWrite {
     * feature-aware checkpointing); refuses beyond. Returns the
     * checkpointed version. */
   def writeCheckpoint(spark: SparkSession, tableDir: String): Long = {
-    val logDir = new java.io.File(tableDir, "_delta_log")
-    val commits = Option(logDir.listFiles()).getOrElse(Array.empty).toSeq
-      .flatMap(f => DeltaLog.versionOf(f.getName).map(_ -> f)).sortBy(_._1)
-      .map { case (v, f) => v -> new String(
-        java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8) }
+    val logDir = s"$tableDir/_delta_log"
+    val commits = TableIo.list(logDir)
+      .flatMap(e => DeltaLog.versionOf(e.name).map(_ -> e.name)).sortBy(_._1)
+      .map { case (v, n) => v -> TableIo.readString(s"$logDir/$n") }
     if (commits.isEmpty) refuse(s"no commits under $tableDir/_delta_log")
     if (commits.map(_._1) != (0L to commits.last._1))
       refuse("the commit history is not contiguous from version 0; " +
@@ -605,16 +586,17 @@ object DeltaWrite {
           null, null))
     val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     // one part, exact name (the Spark writer names parts itself)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-delta-cp").toFile
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    val part = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val stage = s"$tableDir/.graft-stage-${java.util.UUID.randomUUID()}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = TableIo.walkRel(stage)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .getOrElse(refuse("checkpoint parquet write produced no file"))
-    val dest = new java.io.File(logDir, f"$version%020d.checkpoint.parquet")
-    java.nio.file.Files.move(part.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete()); tmp.delete()
-    java.nio.file.Files.write(new java.io.File(logDir, "_last_checkpoint").toPath,
+    val dest = s"$logDir/" + f"$version%020d.checkpoint.parquet"
+    // re-checkpointing the same version is legal: displace, then move
+    TableIo.delete(dest)
+    TableIo.rename(s"$stage/$part", dest)
+    TableIo.delete(stage, recursive = true)
+    TableIo.writeBytes(s"$logDir/_last_checkpoint",
       s"""{"version":$version,"size":${rows.length}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     version

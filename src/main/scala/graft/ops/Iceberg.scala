@@ -855,6 +855,9 @@ object Iceberg {
       case Some(l) if raw == l || raw.startsWith(l + "/") =>
         tableDir + raw.substring(l.length)
       case _ if raw.startsWith("/") => raw
+      // a scheme-carrying absolute URI outside the recorded location
+      // passes through (the table references another store)
+      case _ if TableIo.hasScheme(raw) => raw
       case _ => s"$tableDir/$raw"
     }
   }
@@ -915,18 +918,15 @@ object Iceberg {
     * lexicographically last `*.metadata.json`. Refuses on a missing
     * or malformed metadata or an unsupported format-version. */
   private def currentMeta(tableDir: String): TableMeta = {
-    val metaDir = new java.io.File(tableDir, "metadata")
-    val files = Option(metaDir.listFiles()).getOrElse(Array.empty)
-    def readBytes(f: java.io.File): Array[Byte] =
-      java.nio.file.Files.readAllBytes(f.toPath)
-    val metaFile = files.find(_.getName == "version-hint.text").flatMap { h =>
-      val n = new String(readBytes(h), java.nio.charset.StandardCharsets.UTF_8).trim
-      files.find(_.getName == s"v$n.metadata.json")
-    }.orElse(files.filter(_.getName.endsWith(".metadata.json")).sortBy(_.getName).lastOption)
+    val metaDir = s"$tableDir/metadata"
+    val names = TableIo.list(metaDir).map(_.name)
+    val metaName = names.find(_ == "version-hint.text").flatMap { h =>
+      val n = TableIo.readString(s"$metaDir/$h").trim
+      names.find(_ == s"v$n.metadata.json")
+    }.orElse(names.filter(_.endsWith(".metadata.json")).sorted.lastOption)
       .getOrElse(refuse(s"no metadata json under $tableDir/metadata"))
-    val meta = parseMetadata(new String(readBytes(metaFile),
-        java.nio.charset.StandardCharsets.UTF_8))
-      .getOrElse(refuse(s"malformed metadata ${metaFile.getName}"))
+    val meta = parseMetadata(TableIo.readString(s"$metaDir/$metaName"))
+      .getOrElse(refuse(s"malformed metadata $metaName"))
     if (meta.formatVersion != 1 && meta.formatVersion != 2)
       refuse(s"format-version ${meta.formatVersion} unsupported (unknown read semantics; " +
         "refusing beats silently wrong data)")
@@ -950,8 +950,6 @@ object Iceberg {
   def readAppendsBetween(spark: SparkSession, tableDir: String,
       fromSnapshot: Long, toSnapshot: Option[Long] = None,
       where: Option[Column] = None): DataFrame = {
-    def readBytes(f: java.io.File): Array[Byte] =
-      java.nio.file.Files.readAllBytes(f.toPath)
     val meta = currentMeta(tableDir)
     def activeOf(id: Long): Seq[Entry] = {
       val snap = meta.snapshots.find(_.id == id).getOrElse(refuse(
@@ -959,10 +957,10 @@ object Iceberg {
           s"known ids: ${meta.snapshots.map(_.id).mkString(",")}"))
       val ml = snap.manifestList match {
         case Some(p) =>
-          val f = new java.io.File(resolvePath(tableDir, meta.location, p))
-          if (!f.isFile) refuse(s"manifest list missing: ${f.getName}")
-          manifestListEntries(readBytes(f)).getOrElse(
-            refuse(s"unreadable manifest list ${f.getName}"))
+          val mlPath = resolvePath(tableDir, meta.location, p)
+          if (!TableIo.isFile(mlPath)) refuse(s"manifest list missing: $mlPath")
+          manifestListEntries(TableIo.readBytes(mlPath)).getOrElse(
+            refuse(s"unreadable manifest list $mlPath"))
         case None if snap.manifests.nonEmpty => snap.manifests.map(p => (p, 0, None))
         case None => refuse(s"snapshot $id has neither manifest-list nor manifests")
       }
@@ -971,9 +969,10 @@ object Iceberg {
           "scan is append-only by design — row-level deletes need a change-feed " +
           "semantics this surface does not fabricate")
       ml.filter(_._2 == 0).flatMap { case (mp, _, _) =>
-        val f = new java.io.File(resolvePath(tableDir, meta.location, mp))
-        if (!f.isFile) refuse(s"manifest missing: ${f.getName}")
-        manifestEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest ${f.getName}"))
+        val mPath = resolvePath(tableDir, meta.location, mp)
+        if (!TableIo.isFile(mPath)) refuse(s"manifest missing: $mPath")
+        manifestEntries(TableIo.readBytes(mPath)).getOrElse(
+          refuse(s"unreadable manifest $mPath"))
       }.filter(_.status != 2)
     }
     val to = toSnapshot.orElse(meta.currentSnapshotId).getOrElse(
@@ -1048,8 +1047,6 @@ object Iceberg {
     * partition's files. */
   def readTable(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long], partitionFilter: Option[Column]): DataFrame = {
-    def readBytes(f: java.io.File): Array[Byte] =
-      java.nio.file.Files.readAllBytes(f.toPath)
     val meta = currentMeta(tableDir)
     val cur = snapshotId.getOrElse(
       meta.currentSnapshotId.getOrElse(refuse("no current snapshot")))
@@ -1060,9 +1057,10 @@ object Iceberg {
       else s"current snapshot $cur not in snapshots"))
     val manifestList: Seq[(String, Int, Option[Long])] = snap.manifestList match {
       case Some(ml) =>
-        val f = new java.io.File(resolvePath(tableDir, meta.location, ml))
-        if (!f.isFile) refuse(s"manifest list missing: ${f.getName}")
-        manifestListEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest list ${f.getName}"))
+        val mlPath = resolvePath(tableDir, meta.location, ml)
+        if (!TableIo.isFile(mlPath)) refuse(s"manifest list missing: $mlPath")
+        manifestListEntries(TableIo.readBytes(mlPath)).getOrElse(
+          refuse(s"unreadable manifest list $mlPath"))
       case None if snap.manifests.nonEmpty => snap.manifests.map(p => (p, 0, None))
       case None => refuse(s"snapshot $cur has neither manifest-list nor manifests")
     }
@@ -1071,9 +1069,10 @@ object Iceberg {
     // entries (the spec's inheritance rule — EXISTING entries must be
     // explicit because they predate their current manifest).
     def entriesOf(ms: Seq[(String, Option[Long])]): Seq[Entry] = ms.flatMap { case (mp, mseq) =>
-      val f = new java.io.File(resolvePath(tableDir, meta.location, mp))
-      if (!f.isFile) refuse(s"manifest missing: ${f.getName}")
-      manifestEntries(readBytes(f)).getOrElse(refuse(s"unreadable manifest ${f.getName}"))
+      val mPath = resolvePath(tableDir, meta.location, mp)
+      if (!TableIo.isFile(mPath)) refuse(s"manifest missing: $mPath")
+      manifestEntries(TableIo.readBytes(mPath)).getOrElse(
+        refuse(s"unreadable manifest $mPath"))
         .map(e => if (e.sequenceNumber.isEmpty && e.status == 1)
           e.copy(sequenceNumber = mseq) else e)
     }

@@ -162,15 +162,13 @@ object IcebergWrite {
         "writer cannot record in an Iceberg schema; refusing beats dropping it"))
     if (df.isEmpty) refuse("nothing to append (empty input)")
 
-    val metaDir = new java.io.File(tableDir, "metadata")
+    val metaDir = s"$tableDir/metadata"
     val existingMeta: Option[(Int, String)] = // (version N of vN.metadata.json, content)
-      Option(metaDir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("""v\d+\.metadata\.json"""))
-        .map(f => f.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt -> f)
+      TableIo.list(metaDir).map(_.name)
+        .filter(_.matches("""v\d+\.metadata\.json"""))
+        .map(n => n.stripPrefix("v").stripSuffix(".metadata.json").toInt -> n)
         .sortBy(_._1).lastOption
-        .map { case (v, f) => v -> new String(
-          java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8) }
+        .map { case (v, n) => v -> TableIo.readString(s"$metaDir/$n") }
 
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -243,18 +241,18 @@ object IcebergWrite {
             refuse("current snapshot missing from the snapshots list"))
           val ml = snap.manifestList.getOrElse(
             refuse("current snapshot has no manifest list; cannot carry it forward"))
-          val f = new java.io.File(Iceberg.resolvePath(tableDir, meta.location, ml))
-          if (!f.isFile) refuse(s"manifest list missing: ${f.getName}")
+          val mlPath = Iceberg.resolvePath(tableDir, meta.location, ml)
+          if (!TableIo.isFile(mlPath)) refuse(s"manifest list missing: $mlPath")
           val entries = Iceberg.manifestListEntries(
-            java.nio.file.Files.readAllBytes(f.toPath)).getOrElse(
+            TableIo.readBytes(mlPath)).getOrElse(
             refuse("unreadable current manifest list"))
           if (entries.exists(_._2 == 1))
             refuse("current snapshot carries delete manifests; appending around " +
               "row-level deletes this writer cannot re-sequence risks resurrecting " +
               "deleted rows — out of the v1 scope")
           entries.map { case (p, c, _) =>
-            val mf = new java.io.File(Iceberg.resolvePath(tableDir, meta.location, p))
-            (p, mf.length(), c)
+            val mp = Iceberg.resolvePath(tableDir, meta.location, p)
+            (p, TableIo.size(mp), c)
           }
       }
       Prior(mv, snaps, curManifests, slog,
@@ -285,45 +283,41 @@ object IcebergWrite {
     // splits files per tuple value while the REAL columns stay in the
     // files (Iceberg keeps identity-partitioned columns in the data,
     // unlike Hive layout); range clustering when asked.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-iceberg-append").toFile
+    val stage = s"$tableDir/.graft-stage-${java.util.UUID.randomUUID()}"
     val shaped0 =
       if (clusterBy.nonEmpty) {
         val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
         df.repartitionByRange(n, clusterBy.map(c => col(s"`$c`")): _*)
       } else df
     if (partitionBy.isEmpty)
-      shaped0.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      shaped0.write.mode("overwrite").parquet(stage)
     else {
       val copies = partitionBy.map(c => s"__graft_p_$c")
       val withCopies = partitionBy.zip(copies).foldLeft(shaped0) {
         case (d, (c, cp)) => d.withColumn(cp, col(s"`$c`"))
       }
       withCopies.write.mode("overwrite").partitionBy(copies: _*)
-        .parquet(tmp.getAbsolutePath)
+        .parquet(stage)
     }
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    val parts = walk(tmp).filter(f =>
-      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val parts = TableIo.walkRel(stage).filter { r =>
+      val n = r.split('/').last
+      n.startsWith("part-") && n.endsWith(".parquet")
+    }
     if (parts.isEmpty) refuse("the data write produced no files")
-    val dataDir = new java.io.File(tableDir, "data"); dataDir.mkdirs()
+    TableIo.mkdirs(s"$tableDir/data")
     // publish under names unique across the whole commit — a
     // partitioned Spark write reuses one task's part name under every
     // partition dir, so the source basename cannot key the stats rows
-    val moved: Seq[java.io.File] = parts.zipWithIndex.map { case (p, idx) =>
-      val ext = p.getName.dropWhile(_ != '.') // ".c000.snappy.parquet" etc.
-      val dest = new java.io.File(dataDir,
-        f"part-$idx%05d-${java.util.UUID.randomUUID()}$ext")
-      java.nio.file.Files.move(p.toPath, dest.toPath)
-      dest
+    final case class MovedFile(name: String, path: String, size: Long)
+    val moved: Seq[MovedFile] = parts.zipWithIndex.map { case (rel, idx) =>
+      val base = rel.split('/').last
+      val ext = base.dropWhile(_ != '.') // ".c000.snappy.parquet" etc.
+      val name = f"part-$idx%05d-${java.util.UUID.randomUUID()}$ext"
+      val dest = s"$tableDir/data/$name"
+      TableIo.rename(s"$stage/$rel", dest)
+      MovedFile(name, dest, TableIo.size(dest))
     }
-    walk(tmp).foreach(_.delete())
-    def rmdirs(f: java.io.File): Unit =
-      if (f.isDirectory) {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmdirs); f.delete(); ()
-      } else { f.delete(); () }
-    rmdirs(tmp)
+    TableIo.delete(stage, recursive = true)
 
     // per-file stats: one cluster aggregation, bounds for every
     // comparable column (the skipper's food); partition tuple values
@@ -335,7 +329,7 @@ object IcebergWrite {
           max(col(s"`${f.name}`")).as(s"${f.name}__hi"),
           sum(col(s"`${f.name}`").isNull.cast("long")).as(s"${f.name}__nc"))
       }
-    val statRowList = spark.read.parquet(moved.map(_.getAbsolutePath): _*)
+    val statRowList = spark.read.parquet(moved.map(_.path): _*)
       .groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -362,7 +356,7 @@ object IcebergWrite {
       }.toMap
 
     val entries: Seq[Iceberg.Entry] = moved.map { f =>
-      val r = statRows.getOrElse(f.getName, refuse(s"no stats row for ${f.getName}"))
+      val r = statRows.getOrElse(f.name, refuse(s"no stats row for ${f.name}"))
       val lo = Map.newBuilder[Int, Array[Byte]]
       val hi = Map.newBuilder[Int, Array[Byte]]
       val nc = Map.newBuilder[Int, Long]
@@ -374,10 +368,10 @@ object IcebergWrite {
         nc += id -> r.getLong(4 + 3 * i)
         vc += id -> r.getLong(1)
       }
-      Iceberg.Entry(1, s"$tableDir/data/${f.getName}", "PARQUET",
-        r.getLong(1), f.length(),
+      Iceberg.Entry(1, s"$tableDir/data/${f.name}", "PARQUET",
+        r.getLong(1), f.size,
         partition = if (partFields.isEmpty) Map.empty
-          else partitionTuple(r, f.getName).filter(_._2 != null),
+          else partitionTuple(r, f.name).filter(_._2 != null),
         lowerBounds = lo.result(), upperBounds = hi.result(),
         nullCounts = nc.result(), valueCounts = vc.result())
     }
@@ -389,15 +383,15 @@ object IcebergWrite {
       if (partFields.isEmpty) Iceberg.writeManifestBounds(entries, s"graft-ib-w-$snapshotId")
       else Iceberg.writeManifestPartBounds(entries,
         partFields.map { case (f, avroT) => f.name -> avroT }, s"graft-ib-w-$snapshotId")
-    metaDir.mkdirs()
-    java.nio.file.Files.write(new java.io.File(metaDir, manifestName).toPath, manifest)
+    TableIo.mkdirs(metaDir)
+    TableIo.writeBytes(s"$metaDir/$manifestName", manifest)
     val allManifests: Seq[(String, Long, Int)] =
       prior.map(_.currentManifests).getOrElse(Seq.empty) :+
         ((s"$tableDir/metadata/$manifestName", manifest.length.toLong, 0))
     val mlName = f"snap-$snapshotId%05d.avro"
     val ml = Iceberg.writeManifestListV2(allManifests.map { case (p, l, c) => (p, l, c) },
       s"graft-ib-ml-$snapshotId")
-    java.nio.file.Files.write(new java.io.File(metaDir, mlName).toPath, ml)
+    TableIo.writeBytes(s"$metaDir/$mlName", ml)
 
     // the new metadata document — schema identity (ids, required
     // flags, schema-id), partition specs and the table uuid carry
@@ -448,20 +442,14 @@ object IcebergWrite {
         ("snapshot-log" -> (prior.map(_.snapshotLog).getOrElse(Nil) :+
           ((("timestamp-ms" -> now) ~ ("snapshot-id" -> snapshotId)): JValue)))))
 
-    // ATOMIC EXCLUSIVE publish of vN.metadata.json (hard link); the
-    // version hint follows the win
-    val metaTmp = java.io.File.createTempFile(s".graft-ib-meta-$metaVersion-", ".tmp", metaDir)
-    java.nio.file.Files.write(metaTmp.toPath,
-      metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val target = new java.io.File(metaDir, s"v$metaVersion.metadata.json")
-    try java.nio.file.Files.createLink(target.toPath, metaTmp.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        metaTmp.delete()
-        refuse(s"metadata version $metaVersion already exists (concurrent " +
-          "writer?); conflict resolution is out of the v1 append scope")
-    } finally metaTmp.delete()
-    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+    // EXCLUSIVE publish of vN.metadata.json ([[TableIo.writeExclusive]]
+    // — locally the atomic hard-link protocol); the version hint
+    // follows the win
+    if (!TableIo.writeExclusive(s"$metaDir/v$metaVersion.metadata.json",
+        metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      refuse(s"metadata version $metaVersion already exists (concurrent " +
+        "writer?); conflict resolution is out of the v1 append scope")
+    TableIo.writeBytes(s"$metaDir/version-hint.text",
       metaVersion.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     snapshotId
   }
