@@ -2865,6 +2865,110 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // Delta VACUUM (round 18): after a dynamic overwrite tombstones
+    // the odd partition's originals, vacuum at retention 0 physically
+    // reclaims exactly those files — and the current read is
+    // untouched (active files are never deleted whatever their age).
+    // Never-active / time-travel-breaks contracts are pinned in
+    // DeltaWriteSpec.
+    "x_delta_vacuum" -> ((s, d) => {
+      val dir = sharedDir("delta_vacuum", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-vac")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          pmod(col("doc_id"), lit(2)).cast("string").as("parity"))
+        graft.ops.DeltaWrite.append(s, data, dest, Seq("parity"))
+        graft.ops.DeltaWrite.overwrite(s,
+          data.where(col("parity") === "1")
+            .withColumn("n_chars", col("n_chars") + 1000L),
+          dest, Seq("parity"), dynamic = true)
+        if (graft.ops.DeltaWrite.vacuum(s, dest, retentionMillis = 0L).isEmpty)
+          throw new graft.GraftAnalysisException("vacuum reclaimed nothing")
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
+    }),
+
+    // Delta RESTORE (round 18): overwrite refreshes the odd
+    // partition, restore(0) rolls the table back as a NEW commit —
+    // the read equals the ORIGINAL rows again (a restore that missed
+    // a file, re-added a wrong one, or forgot a remove
+    // hash-mismatches). CDF-of-the-rollback and vacuumed-target
+    // refusal are pinned in DeltaWriteSpec.
+    "x_delta_restore" -> ((s, d) => {
+      val dir = sharedDir("delta_restore", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-rst")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          pmod(col("doc_id"), lit(2)).cast("string").as("parity"))
+        graft.ops.DeltaWrite.append(s, data, dest, Seq("parity"))
+        graft.ops.DeltaWrite.overwrite(s,
+          data.where(col("parity") === "1")
+            .withColumn("n_chars", col("n_chars") + 1000L),
+          dest, Seq("parity"), dynamic = true)
+        graft.ops.DeltaWrite.restore(s, dest, 0L)
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("parity"))
+    }),
+
+    // Delta Z-ORDER compaction (round 18): four id-striped appends
+    // (every file spans the whole doc_id AND n_chars range — nothing
+    // prunes), then OPTIMIZE ZORDER BY (doc_id, n_chars) re-clusters
+    // on the interleaved key; the gate reads through an n_chars
+    // predicate — the NON-leading dimension a linear sort could not
+    // tighten — and must equal the filter replay. File-count pruning
+    // on both dimensions is asserted in DeltaWriteSpec.
+    "x_delta_zorder" -> ((s, d) => {
+      val dir = sharedDir("delta_zorder", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-zo")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        (0 to 3).foreach(i => graft.ops.DeltaWrite.append(s,
+          data.where(pmod(col("doc_id"), lit(4)) === i), dest))
+        if (graft.ops.DeltaWrite.compact(s, dest,
+            zOrderBy = Seq("doc_id", "n_chars")).isEmpty)
+          throw new graft.GraftAnalysisException("z-order compact did nothing")
+        dest
+      }
+      val cut = t(s, d, "documents")
+        .agg(max(col("n_chars").cast("long"))).head().getLong(0) / 2
+      graft.ops.DeltaLog.readTable(s, dir, None, Some(col("n_chars") <= cut))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // STREAMING → ICEBERG sink (round 18): the delta-sink mirror —
+    // one snapshot per epoch, idempotent via the snapshot summary's
+    // epoch marker (crash/replay pinned in StreamingSpec); the
+    // drained table equals the batch input.
+    "x_stream_iceberg_sink" -> ((s, d) => {
+      import graft.streaming.Streaming
+      val dir = sharedDir("stream_iceberg_sink", d) {
+        val base = java.nio.file.Files.createTempDirectory("graft-sis-gate")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        data.repartition(2).write.parquet(s"$base/in")
+        val stream = Streaming.fileSource(s, s"$base/in",
+          data.schema, maxFilesPerTrigger = 1)
+        val q = Streaming.startIcebergSink(stream, s"$base/tbl", s"$base/cp",
+          "gate-app", trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        try q.awaitTermination() finally q.stop()
+        s"$base/tbl"
+      }
+      graft.ops.Iceberg.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // STREAMING → DELTA sink (round 18): a file-source stream drains
     // through foreachBatch into [[DeltaWrite.append]], one table
     // commit per epoch with a `txn` marker carrying the epoch id —
@@ -7247,6 +7351,30 @@ object SparkEntry {
     // streaming delta sink: the drained table equals the batch input
     "x_stream_delta_sink" -> """
       SELECT doc_id, source, n_chars FROM documents""",
+
+    // streaming iceberg sink: same contract, snapshot-per-epoch
+    "x_stream_iceberg_sink" -> """
+      SELECT doc_id, source, n_chars FROM documents""",
+
+    // delta vacuum: reclaim leaves the current state exact (the
+    // odd-partition refresh survives, originals are gone from disk)
+    "x_delta_vacuum" -> """
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 1 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+             CAST(doc_id % 2 AS VARCHAR) AS parity
+      FROM documents""",
+
+    // delta restore: rollback to v0 — the ORIGINAL rows again
+    "x_delta_restore" -> """
+      SELECT doc_id, source, n_chars,
+             CAST(doc_id % 2 AS VARCHAR) AS parity
+      FROM documents""",
+
+    // delta z-order: the re-clustered table filtered on the
+    // non-leading dimension replays exactly
+    "x_delta_zorder" -> """
+      SELECT doc_id, n_chars FROM documents
+      WHERE n_chars <= (SELECT max(n_chars) // 2 FROM documents)""",
 
     // iceberg identity-partitioned write: tuple pruning on bucket=2
     "x_iceberg_write_part" -> """

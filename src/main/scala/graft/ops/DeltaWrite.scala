@@ -362,11 +362,24 @@ object DeltaWrite {
     * partition — are left untouched. Returns Some(committed version),
     * or None when no partition had anything to compact.
     *
+    * Z-ORDERING (round 18): `zOrderBy` interleaves the bits of the
+    * named columns' rank-scaled values into ONE clustering key and
+    * range-partitions + sorts the rewrite on it — OPTIMIZE ZORDER BY:
+    * every named column's per-file min/max bounds become tight
+    * SIMULTANEOUSLY, so the round-17 stats skipper prunes on ANY of
+    * them (linear clustering tightens only its leading column). With
+    * `zOrderBy` set, EVERY active file of each partition is rewritten
+    * (re-layout is the point, not just small-file cleanup). Numeric /
+    * date / timestamp columns only (rank scaling needs a total order
+    * with arithmetic); 1–4 columns (16 bits each in the 64-bit key).
+    *
     * Scale shape: one distributed read+write per touched partition
     * tuple (parallel within the job), one stats aggregation per
-    * rewrite, metadata-bounded driver work for the commit itself. */
+    * rewrite (plus a min/max agg per rewrite for the z-scaling),
+    * metadata-bounded driver work for the commit itself. */
   def compact(spark: SparkSession, tableDir: String,
-      targetBytes: Long = 128L << 20): Option[Long] = {
+      targetBytes: Long = 128L << 20,
+      zOrderBy: Seq[String] = Seq.empty): Option[Long] = {
     if (targetBytes <= 0) refuse("targetBytes must be positive")
     val logDir = s"$tableDir/_delta_log"
     val existing: Seq[(Long, String)] =
@@ -400,14 +413,24 @@ object DeltaWrite {
     }.getOrElse(refuse("table has no readable schemaString"))
     val pset = snap.partitionColumns.toSet
 
+    zOrderBy.foreach { c =>
+      if (pset(c)) refuse(s"z-order column '$c' is a partition column " +
+        "(constant per file; clustering on it is meaningless)")
+      if (!schema.fieldNames.contains(c))
+        refuse(s"z-order column '$c' is not in the table schema")
+    }
+    if (zOrderBy.size > 4) refuse("z-order supports 1..4 columns (16 bits each)")
+
     // per-partition bins: every partition tuple with ≥2 sub-target
     // files gets ONE rewrite (the distributed write re-splits at
     // maxRecordsPerFile scale only if huge; small-file cleanup is the
-    // point here)
+    // point here). Z-ordering instead rewrites EVERY active file —
+    // the re-layout is the point.
     val byPartition: Seq[(Map[String, String], Seq[DeltaLog.AddFile])] =
       snap.files.groupBy(_.partitionValues).toSeq
-        .map { case (pv, fs) => pv -> fs.filter(_.size < targetBytes) }
-        .filter(_._2.lengthCompare(2) >= 0)
+        .map { case (pv, fs) =>
+          pv -> (if (zOrderBy.nonEmpty) fs else fs.filter(_.size < targetBytes)) }
+        .filter(_._2.lengthCompare(if (zOrderBy.nonEmpty) 1 else 2) >= 0)
         .sortBy(_._2.map(_.path).min)
     if (byPartition.isEmpty) return None
 
@@ -428,8 +451,14 @@ object DeltaWrite {
       val totalBytes = olds.map(_.size).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       val stage = s"$tableDir/.graft-stage-${java.util.UUID.randomUUID()}"
-      spark.read.parquet(srcPaths: _*).repartition(nOut)
-        .write.mode("overwrite").parquet(stage)
+      val src = spark.read.parquet(srcPaths: _*)
+      val shaped =
+        if (zOrderBy.isEmpty) src.repartition(nOut)
+        else src.withColumn("__graft_z", zValue(src, zOrderBy, schema))
+          .repartitionByRange(math.max(nOut, 2), col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      shaped.write.mode("overwrite").parquet(stage)
       val parts = TableIo.walkRel(stage)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       if (parts.isEmpty) refuse("the compaction write produced no files")
@@ -498,6 +527,196 @@ object DeltaWrite {
         "conflict resolution is out of the v1 scope — retry against the " +
         "new table state")
     Some(version)
+  }
+
+  /** The 64-bit Z-curve key: each column rank-scales linearly into
+    * 16 bits by its own min/max over the frame being rewritten, and
+    * the bits interleave (bit b of column j lands at position
+    * b·ncols + j) — a pure `functions._` expression tree (shifts,
+    * masks, ors), fully whole-stage-codegen'd. NULLs scale to the
+    * low end (they cluster together, which is what a skipper wants).
+    * Linear scaling is the standard engineering trade vs true rank
+    * (quantile) scaling: monotone, one agg instead of a sort, and
+    * skewed distributions degrade clustering quality, not
+    * correctness. */
+  private def zValue(src: DataFrame, cols: Seq[String],
+      schema: StructType): org.apache.spark.sql.Column = {
+    val numeric: Seq[org.apache.spark.sql.Column] = cols.map { c =>
+      schema.fields.find(_.name == c).get.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(s"`$c`").cast("double")
+        case _: DecimalType => col(s"`$c`").cast("double")
+        case DateType =>
+          datediff(col(s"`$c`"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("double")
+        case TimestampType => unix_micros(col(s"`$c`")).cast("double")
+        case other => refuse(s"z-order on ${other.simpleString} ('$c') is out " +
+          "of the v1 scope (numeric/date/timestamp only — rank scaling needs " +
+          "arithmetic on a total order)")
+      }
+    }
+    val aggs = numeric.zipWithIndex.flatMap { case (e, i) =>
+      Seq(min(e).as(s"__zlo$i"), max(e).as(s"__zhi$i")) }
+    val r = src.agg(aggs.head, aggs.tail: _*).head()
+    val scaled: Seq[org.apache.spark.sql.Column] = numeric.zipWithIndex.map {
+      case (e, i) =>
+        val lo = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+        val hi = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        least(lit(65535L), greatest(lit(0L),
+          floor((coalesce(e, lit(lo)) - lit(lo)) / lit(span) * 65535.0)
+            .cast("long")))
+    }
+    val n = scaled.size
+    (0 until 16).foldLeft(lit(0L)) { (acc, bit) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (sc, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(sc, bit).bitwiseAND(lit(1L)),
+          bit * n + j))
+      }
+    }
+  }
+
+  /** VACUUM (round 18): physically delete data files that are NOT in
+    * the current active set and whose tombstone deletionTimestamp
+    * (else the file's own mtime) is older than `retentionMillis` —
+    * the storage-reclaim half of [[overwrite]]/[[compact]]'s
+    * tombstones. Protocol-shaped guardrails: active files are never
+    * touched whatever their age, `_delta_log/` and `_change_data/`
+    * (CDC files, governed by their own retention) are never scanned,
+    * dot-prefixed stage debris is skipped, and a non-contiguous
+    * history refuses — a partial replay could call a LIVE file
+    * unreferenced. After a vacuum, time travel to versions that
+    * needed the deleted files correctly fails at scan time (the
+    * protocol's documented trade). Returns the deleted
+    * table-relative paths.
+    *
+    * Scale shape: one metadata-bounded log replay plus one recursive
+    * listing of the table dir; deletes are issued per file from the
+    * driver — at object-store scale the listing IS the cost, and it
+    * is unavoidable for vacuum by definition. */
+  def vacuum(spark: SparkSession, tableDir: String,
+      retentionMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    if (retentionMillis < 0) refuse("retention must be ≥ 0")
+    val logDir = s"$tableDir/_delta_log"
+    val existing: Seq[(Long, String)] =
+      TableIo.list(logDir)
+        .flatMap(e => DeltaLog.versionOf(e.name).map(_ -> e.name)).sortBy(_._1)
+    if (existing.isEmpty) refuse(s"no commits under $tableDir/_delta_log")
+    if (existing.map(_._1) != (0L to existing.last._1))
+      refuse("the commit history is not contiguous from version 0; vacuuming " +
+        "against a partial replay risks deleting live files")
+    val commits = existing.map { case (v, n) =>
+      v -> TableIo.readString(s"$logDir/$n") }
+    val snap = DeltaLog.snapshotOfE(commits) match {
+      case Right(s) => s
+      case Left(r) => refuse(s"cannot vacuum this table: $r")
+    }
+    val active: Set[String] = snap.files.map(_.path).toSet
+    val tombTs: Map[String, Long] = snap.tombstones
+      .flatMap(t => t.deletionTimestamp.map(t.path -> _)).toMap
+    val cutoff = System.currentTimeMillis() - retentionMillis
+    val deleted = TableIo.walkRel(tableDir)
+      .filter { rel =>
+        rel.endsWith(".parquet") && !active.contains(rel) &&
+          rel.split('/').forall(seg =>
+            !seg.startsWith(".") && !seg.startsWith("_"))
+      }
+      .filter { rel =>
+        tombTs.get(rel)
+          .getOrElse(TableIo.lastModified(s"$tableDir/$rel")) <= cutoff
+      }
+      .sorted
+    deleted.foreach(rel => TableIo.delete(s"$tableDir/$rel"))
+    deleted
+  }
+
+  /** RESTORE (round 18): roll the table BACK to the state of
+    * `version` as a NEW commit — re-`add` the files active then but
+    * not now (original partitionValues/size/stats carried verbatim),
+    * `remove` the files active now but not then, both with
+    * `dataChange = true` so the change feed shows the rollback as
+    * deletes + re-inserts (exactly Delta's RESTORE semantics). The
+    * target's metaData rides the commit when its schema or partition
+    * columns differ from the current ones. Re-added files must still
+    * exist on disk — a vacuumed target refuses by name. History is
+    * preserved: the restore is itself a version, and travel to the
+    * in-between versions still works. Returns the committed version
+    * (the current one when the table is already at the target
+    * state). */
+  def restore(spark: SparkSession, tableDir: String, version: Long): Long = {
+    val logDir = s"$tableDir/_delta_log"
+    val existing: Seq[(Long, String)] =
+      TableIo.list(logDir)
+        .flatMap(e => DeltaLog.versionOf(e.name).map(_ -> e.name)).sortBy(_._1)
+    if (existing.isEmpty) refuse(s"no commits under $tableDir/_delta_log")
+    if (existing.map(_._1) != (0L to existing.last._1))
+      refuse("the commit history is not contiguous from version 0; restoring " +
+        "against a partial replay would fabricate a wrong state")
+    if (version < 0 || version > existing.last._1)
+      refuse(s"version $version is not in the log (0..${existing.last._1})")
+    val commits = existing.map { case (v, n) =>
+      v -> TableIo.readString(s"$logDir/$n") }
+    def snapOf(upTo: Long): DeltaLog.Snapshot =
+      DeltaLog.snapshotOfE(commits.filter(_._1 <= upTo)) match {
+        case Right(s) => s
+        case Left(r) => refuse(s"cannot restore this table: $r")
+      }
+    val cur = snapOf(existing.last._1)
+    val tgt = snapOf(version)
+    if (cur.minReaderVersion > 2 || tgt.minReaderVersion > 2)
+      refuse("table uses reader version 3 (table features); restoring through " +
+        "features this writer does not implement is out of the v1 scope")
+    if ((cur.files ++ tgt.files).exists(_.dv.isDefined))
+      refuse("table carries deletion vectors; re-adding DV'd files without " +
+        "their vectors would resurrect deleted rows — out of the v1 scope")
+    val curByPath = cur.files.map(f => f.path -> f).toMap
+    val tgtByPath = tgt.files.map(f => f.path -> f).toMap
+    val readds = tgt.files.filterNot(f => curByPath.contains(f.path))
+    val removes = cur.files.filterNot(f => tgtByPath.contains(f.path))
+    if (readds.isEmpty && removes.isEmpty) return existing.last._1
+    readds.find(f => !TableIo.isFile(s"$tableDir/${f.path}")).foreach(f =>
+      refuse(s"cannot restore to version $version: data file '${f.path}' no " +
+        "longer exists (vacuumed); the state is not reconstructible"))
+    val now = System.currentTimeMillis()
+    val addLines = readds.map { f =>
+      JsonMethods.compact(JsonMethods.render("add" ->
+        (("path" -> percentEncode(f.path)) ~
+          ("partitionValues" -> JObject(f.partitionValues.toList.map {
+            case (k, v) => k -> (JString(v): JValue) })) ~
+          ("size" -> f.size) ~ ("modificationTime" -> f.modificationTime) ~
+          ("dataChange" -> true) ~
+          ("stats" -> f.stats.map(JString(_): JValue).getOrElse(JNothing)))))
+    }
+    val removeLines = removes.map { f =>
+      JsonMethods.compact(JsonMethods.render("remove" ->
+        (("path" -> percentEncode(f.path)) ~
+          ("deletionTimestamp" -> now) ~ ("dataChange" -> true) ~
+          ("extendedFileMetadata" -> true) ~
+          ("partitionValues" -> JObject(f.partitionValues.toList.map {
+            case (k, v) => k -> (JString(v): JValue) })) ~
+          ("size" -> f.size))))
+    }
+    val metaLine: Seq[String] =
+      if (cur.schemaJson == tgt.schemaJson &&
+          cur.partitionColumns == tgt.partitionColumns) Seq.empty
+      else Seq(JsonMethods.compact(JsonMethods.render("metaData" ->
+        (("id" -> cur.tableId) ~
+          ("format" -> (("provider" -> "parquet") ~ ("options" -> JObject(Nil)))) ~
+          ("schemaString" -> tgt.schemaJson) ~
+          ("partitionColumns" -> tgt.partitionColumns.toList) ~
+          ("configuration" -> JObject(Nil))))))
+    val commitInfoLine = JsonMethods.compact(JsonMethods.render("commitInfo" ->
+      (("timestamp" -> now) ~ ("operation" -> "RESTORE") ~
+        ("operationParameters" -> JObject(List("version" ->
+          (JInt(version): JValue)))))))
+    val next = existing.last._1 + 1
+    val bytes = (((commitInfoLine +: metaLine) ++ addLines) ++ removeLines)
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!TableIo.writeExclusive(s"$logDir/" + f"$next%020d.json", bytes))
+      refuse(s"version $next already exists (concurrent writer?); " +
+        "conflict resolution is out of the v1 scope — retry against the " +
+        "new table state")
+    next
   }
 
   /** CHECKPOINT the table at its latest commit version (round 17,

@@ -136,7 +136,8 @@ object IcebergWrite {
     * skipping engages). Returns the committed snapshot id. */
   def append(spark: SparkSession, df: DataFrame, tableDir: String,
       clusterBy: Seq[String] = Seq.empty, numFiles: Int = 0,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
     val schema = df.schema
     if (schema.fields.isEmpty) refuse("empty schema")
     clusterBy.foreach(c => if (!schema.fieldNames.contains(c))
@@ -258,6 +259,23 @@ object IcebergWrite {
       Prior(mv, snaps, curManifests, slog,
         meta.snapshots.map(_.id).foldLeft(0L)(math.max),
         meta.schemaFields, schemasJson, curSchemaId, specsJson, defaultSpecId, uuid)
+    }
+
+    // APPLICATION-TRANSACTION idempotence (round 18): an epoch the
+    // table already recorded — via the snapshot summary's
+    // graft-app-id / graft-epoch properties (Iceberg's summary map is
+    // the spec's home for writer-defined commit metadata) — is a
+    // REPLAY: succeed without writing anything, the exactly-once
+    // contract a restarting streaming sink needs
+    txn.foreach { case (appId, epoch) =>
+      val replayed = prior.exists(_.snapshots.exists { s =>
+        (s \ "summary" \ "graft-app-id", s \ "summary" \ "graft-epoch") match {
+          case (JString(a), JString(v)) =>
+            a == appId && scala.util.Try(v.toLong).toOption.exists(_ >= epoch)
+          case _ => false
+        }
+      })
+      if (replayed) return prior.get.maxSnapshotId
     }
 
     // FIELD IDS: the spec makes ids the column's identity — reuse the
@@ -425,7 +443,12 @@ object IcebergWrite {
     val newSnap: JValue =
       ("snapshot-id" -> snapshotId) ~ ("timestamp-ms" -> now) ~
         ("manifest-list" -> s"$tableDir/metadata/$mlName") ~
-        ("summary" -> (("operation" -> "append"): JObject))
+        ("summary" -> (txn match {
+          // summary values are strings by the spec's summary-map shape
+          case Some((a, v)) => ("operation" -> "append") ~
+            ("graft-app-id" -> a) ~ ("graft-epoch" -> v.toString)
+          case None => ("operation" -> "append"): JObject
+        }))
     val metaJson = JsonMethods.pretty(JsonMethods.render(
       ("format-version" -> 2) ~
         ("table-uuid" -> tableUuid) ~

@@ -349,6 +349,29 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING ICEBERG SINK (round 18): the [[startDeltaSink]]
+    * mirror — foreachBatch → [[graft.ops.IcebergWrite.append]] with
+    * the epoch id riding the snapshot SUMMARY map
+    * (graft-app-id/graft-epoch, the spec's home for writer-defined
+    * commit metadata), so a replayed epoch is a no-op and each
+    * micro-batch is one snapshot the round-17 incremental append
+    * scan ([[graft.ops.Iceberg.readAppendsBetween]]) can poll. */
+  def startIcebergSink(df: DataFrame, tableDir: String, checkpoint: String,
+      appId: String, partitionBy: Seq[String] = Seq.empty,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.IcebergWrite.append(batch.sparkSession, batch, tableDir,
+            partitionBy = partitionBy, txn = Some((appId, epochId)))
+          ()
+        }
+      }
+      .start()
+
   /** Memory sink = gate/test surface, deliberately started with few
     * state partitions: a stateful micro-batch schedules one task per
     * shuffle partition PER stateful store (a stream-stream join keeps

@@ -223,6 +223,107 @@ class DeltaWriteSpec extends SparkSuite {
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("vacuum (round 18): reclaims tombstoned files, never active ones") {
+    val dir = freshDir()
+    val data = docs.withColumn("parity", (col("doc_id") % 2).cast("string"))
+    DeltaWrite.append(spark, data, dir, Seq("parity"))
+    DeltaWrite.overwrite(spark,
+      data.where(col("parity") === "1").withColumn("n_chars", col("n_chars") + 100L),
+      dir, Seq("parity"), dynamic = true)
+    def parquetCount: Int = graft.ops.TableIo.walkRel(dir)
+      .count(r => r.endsWith(".parquet") && !r.startsWith("_delta_log/"))
+    val before = parquetCount
+    // default retention (7 days): tombstones are too fresh to delete
+    assert(DeltaWrite.vacuum(spark, dir).isEmpty)
+    assert(parquetCount == before)
+    // retention 0: exactly the displaced odd-partition files go
+    val deleted = DeltaWrite.vacuum(spark, dir, retentionMillis = 0L)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("parity=1/")))
+    assert(parquetCount == before - deleted.size)
+    // the current read is untouched
+    assert(DeltaLog.readTable(spark, dir).count() == 8)
+    assert(DeltaLog.readTable(spark, dir).where(col("parity") === "1")
+      .select("n_chars").as[Long].collect().sorted.toSeq ==
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("n_chars") + 100L).as[Long].collect().sorted.toSeq)
+    // time travel to v0 now fails at scan (the protocol's trade)
+    intercept[Exception] {
+      DeltaLog.readTable(spark, dir, Some(0L)).count()
+    }
+    // idempotent: nothing left to reclaim
+    assert(DeltaWrite.vacuum(spark, dir, retentionMillis = 0L).isEmpty)
+  }
+
+  test("restore (round 18): rollback is a new commit; CDF shows the swap") {
+    val dir = freshDir()
+    val data = docs.withColumn("parity", (col("doc_id") % 2).cast("string"))
+    DeltaWrite.append(spark, data, dir, Seq("parity")) // v0
+    DeltaWrite.overwrite(spark,
+      data.where(col("parity") === "1").withColumn("n_chars", col("n_chars") + 100L),
+      dir, Seq("parity"), dynamic = true) // v1
+    assert(DeltaWrite.restore(spark, dir, 0L) == 2L)
+    // the table reads as v0 again
+    assert(DeltaLog.readTable(spark, dir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().sorted.toSeq ==
+      docs.select("doc_id", "n_chars").as[(Long, Long)].collect().sorted.toSeq)
+    // the restore version's change feed: modified odds out, originals in
+    val ch = DeltaLog.readChanges(spark, dir, 2L, 2L)
+    assert(ch.where(col("_change_type") === "delete").count() == 4)
+    assert(ch.where(col("_change_type") === "insert").count() == 4)
+    // restoring to the state the table is already at commits nothing
+    assert(DeltaWrite.restore(spark, dir, 2L) == 2L)
+    assert(DeltaWrite.restore(spark, dir, 0L) == 2L) // same files as v0
+    // in-between travel still works (history preserved)
+    assert(DeltaLog.readTable(spark, dir, Some(1L))
+      .where(col("parity") === "1").select("n_chars")
+      .as[Long].collect().forall(_ > 100L))
+    // a vacuumed target refuses by name
+    DeltaWrite.vacuum(spark, dir, retentionMillis = 0L) // drops v1's odd files
+    val e = intercept[graft.GraftAnalysisException] {
+      DeltaWrite.restore(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("z-order compaction (round 18): ANY named column prunes after the rewrite") {
+    val dir = freshDir()
+    // an independent 2-D grid: linear clustering on x can never
+    // tighten y's per-file bounds; the z-curve tightens both
+    val grid = spark.range(256).select(col("id"),
+      (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+    (0 to 3).foreach(k => DeltaWrite.append(spark,
+      grid.where(col("id") % 4 === k).coalesce(1), dir))
+    // before: every file spans all of x and y — nothing prunes
+    val preX = DeltaLog.readTable(spark, dir, None, Some(col("x") < 4))
+    assert(preX.inputFiles.length == 4)
+    // target ≈ quarter of the data → ~4 z-range files (the quadrant
+    // granularity the assertions below reason about)
+    val total = graft.ops.TableIo.walkRel(dir)
+      .filter(r => r.endsWith(".parquet") && !r.startsWith("_delta_log/"))
+      .map(r => graft.ops.TableIo.size(s"$dir/$r")).sum
+    val v = DeltaWrite.compact(spark, dir, targetBytes = math.max(total / 4, 1L),
+      zOrderBy = Seq("x", "y"))
+    assert(v.nonEmpty)
+    val nAll = DeltaLog.readTable(spark, dir).inputFiles.length
+    assert(nAll >= 3)
+    // the non-leading dimension prunes now (the top z bit is y's: the
+    // last z chunk lives entirely in y's upper half)
+    val py = DeltaLog.readTable(spark, dir, None, Some(col("y") < 4))
+    assert(py.inputFiles.length < nAll)
+    // the z-curve's signature win — a corner query touches ~one chunk
+    val corner = DeltaLog.readTable(spark, dir, None,
+      Some(col("x") < 2 && col("y") < 2))
+    assert(corner.inputFiles.length <= nAll - 2)
+    assert(py.count() == 64 && corner.count() == 4)
+    assert(DeltaLog.readTable(spark, dir).count() == 256)
+    // still CDF-invisible (dataChange=false rewrite)
+    assert(DeltaLog.readChanges(spark, dir, v.get, v.get).count() == 0)
+    // z-order refusal ladder
+    intercept[graft.GraftAnalysisException] {
+      DeltaWrite.compact(spark, dir, zOrderBy = Seq("nope"))
+    }
+  }
+
   test("txn idempotence (round 18): a replayed epoch is a no-op") {
     val dir = freshDir()
     assert(DeltaWrite.append(spark, docs, dir, Seq.empty, Some(("app", 0L))) == 0L)

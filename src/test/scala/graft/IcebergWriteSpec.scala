@@ -231,6 +231,21 @@ class IcebergWriteSpec extends SparkSuite {
     assert(incr2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("txn idempotence (round 18): a replayed epoch is a snapshot-summary no-op") {
+    val dir = freshDir()
+    assert(IcebergWrite.append(spark, docs, dir, txn = Some(("app", 0L))) == 1L)
+    assert(Iceberg.readTable(spark, dir).count() == 8)
+    // replay of the same (appId, epoch): no new snapshot, no new rows
+    assert(IcebergWrite.append(spark, docs, dir, txn = Some(("app", 0L))) == 1L)
+    assert(Iceberg.readTable(spark, dir).count() == 8)
+    // the next epoch commits a new snapshot
+    assert(IcebergWrite.append(spark, docs, dir, txn = Some(("app", 1L))) == 2L)
+    assert(Iceberg.readTable(spark, dir).count() == 16)
+    // a different app's epoch 0 is not deduped
+    assert(IcebergWrite.append(spark, docs, dir, txn = Some(("other", 0L))) == 3L)
+    assert(Iceberg.readTable(spark, dir).count() == 24)
+  }
+
   test("the iceberg sink spec surface writes a readable table") {
     val dir = freshDir() + "/tbl"
     graft.sinks.SinkWriter.write(docs,

@@ -350,4 +350,41 @@ class StreamingSpec extends SparkSuite {
     assert(graft.ops.DeltaLog.readTable(spark, tbl).select("id")
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("iceberg sink (round 18): exactly-once snapshots; a replayed epoch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-sis").toFile.getAbsolutePath
+    val tbl = s"$base/tbl"; val cp = s"$base/cp"
+    def start() = Streaming.startIcebergSink(input.toDF().toDF("id", "s"), tbl, cp,
+      "sis-app", trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.awaitTermination() finally q.stop()
+    input.addData((1L, "a"), (2L, "b"))
+    drain(start())
+    input.addData((3L, "c"))
+    drain(start())
+    assert(graft.ops.Iceberg.readTable(spark, tbl).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    def metaVersions: Seq[String] =
+      Option(new java.io.File(tbl, "metadata").listFiles()).getOrElse(Array.empty)
+        .toSeq.map(_.getName).filter(_.endsWith(".metadata.json")).sorted
+    assert(metaVersions == Seq("v1.metadata.json", "v2.metadata.json"))
+    // crash between the table commit and the stream checkpoint write:
+    // drop the checkpoint's last commit marker; the snapshot-summary
+    // epoch marker makes the replay a no-op
+    val commits = new java.io.File(cp, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    last.delete()
+    new java.io.File(last.getParentFile, "." + last.getName + ".crc").delete()
+    drain(start())
+    assert(metaVersions == Seq("v1.metadata.json", "v2.metadata.json")) // no v3
+    assert(graft.ops.Iceberg.readTable(spark, tbl).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // each epoch is one snapshot: the incremental scan polls epoch 2's rows
+    assert(graft.ops.Iceberg.readAppendsBetween(spark, tbl, 1L, None)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
 }
