@@ -17,6 +17,22 @@ import graft.spec.SinkSpec
   */
 object SinkWriter {
 
+  /** The table sinks' `txn_app`/`txn_version` epoch marker (round 18):
+    * both or neither, and only in append mode — a replayed overwrite
+    * is not idempotent, so accepting the marker there would promise a
+    * contract the write cannot keep. */
+  private def txnOf(s: SinkSpec, modeMustBe: String): Option[(String, Long)] =
+    (s.config.str("txn_app"), s.config.long("txn_version")) match {
+      case (None, None) => None
+      case (Some(app), Some(v)) =>
+        if (s.config.str("mode").getOrElse("append") != modeMustBe)
+          throw new GraftAnalysisException(
+            s"sink '${s.name}': txn_app/txn_version require mode '$modeMustBe'")
+        Some((app, v))
+      case _ => throw new GraftAnalysisException(
+        s"sink '${s.name}': txn_app and txn_version must be set together")
+    }
+
   def write(df: DataFrame, s: SinkSpec): Unit = s.sinkType match {
     case "stdout" =>
       val limit = s.config.int("limit").getOrElse(20)
@@ -182,19 +198,34 @@ object SinkWriter {
     // live in the log. The matching `delta` source (and any Delta
     // reader) reads it back, stats feeding their data skipping.
     case "delta" =>
-      graft.ops.DeltaWrite.append(df.sparkSession, df, s.config.reqStr("path"),
-        s.config.strList("partition_by"))
+      val path = s.config.reqStr("path")
+      val pb = s.config.strList("partition_by")
+      val txn = txnOf(s, modeMustBe = "append")
+      s.config.str("mode").getOrElse("append") match {
+        case "append" =>
+          graft.ops.DeltaWrite.append(df.sparkSession, df, path, pb, txn)
+        case "overwrite" =>
+          graft.ops.DeltaWrite.overwrite(df.sparkSession, df, path, pb,
+            dynamic = false)
+        case "overwrite_dynamic" =>
+          graft.ops.DeltaWrite.overwrite(df.sparkSession, df, path, pb,
+            dynamic = true)
+        case other => throw new GraftAnalysisException(
+          s"sink '${s.name}': unknown delta mode '$other' " +
+            "(append, overwrite, overwrite_dynamic)")
+      }
       ()
 
     // Iceberg APPEND sink (round 17): transactional table output via
-    // [[graft.ops.IcebergWrite]] (v1: unpartitioned layout, optional
-    // `cluster_by` range-clustering for disjoint per-file bounds,
-    // manifests carrying real column bounds the reader's
-    // partition_where skipping consumes).
+    // [[graft.ops.IcebergWrite]]; round 18 adds identity
+    // `partition_by` (manifest tuple pruning engages on the written
+    // table) and `txn_app`/`txn_version` epoch idempotence.
     case "iceberg" =>
       graft.ops.IcebergWrite.append(df.sparkSession, df, s.config.reqStr("path"),
         s.config.strList("cluster_by"),
-        numFiles = s.config.int("num_files").getOrElse(0))
+        numFiles = s.config.int("num_files").getOrElse(0),
+        partitionBy = s.config.strList("partition_by"),
+        txn = txnOf(s, modeMustBe = "append"))
       ()
 
     case "jdbc" =>

@@ -450,4 +450,41 @@ class DeltaWriteSpec extends SparkSuite {
     assert(DeltaLog.readTable(spark, dir).count() == 16)
     assert(DeltaLog.readTable(spark, dir, Some(0L)).count() == 8)
   }
+
+  test("delta sink modes + txn (round 18): spec-surface overwrite and idempotence") {
+    val dir = freshDir() + "/tbl"
+    val data = docs.withColumn("parity", (col("doc_id") % 2).cast("string"))
+    def sink(cfg: graft.spec.Config, df: org.apache.spark.sql.DataFrame = data) =
+      graft.sinks.SinkWriter.write(df, graft.spec.SinkSpec("out", "delta", cfg))
+    sink(graft.spec.Config.of("path" -> dir, "partition_by" -> Seq("parity")))
+    // whole-table overwrite via the spec
+    sink(graft.spec.Config.of("path" -> dir, "partition_by" -> Seq("parity"),
+      "mode" -> "overwrite"), data.where(col("parity") === "0"))
+    assert(DeltaLog.readTable(spark, dir).count() == 4)
+    // dynamic: only the present partition replaces
+    sink(graft.spec.Config.of("path" -> dir, "partition_by" -> Seq("parity"),
+      "mode" -> "overwrite_dynamic"),
+      data.where(col("parity") === "0").withColumn("n_chars", col("n_chars") + 5L))
+    assert(DeltaLog.readTable(spark, dir).agg(sum("n_chars")).head().getLong(0) ==
+      docs.where(col("doc_id") % 2 === 0)
+        .agg(sum(col("n_chars") + 5L)).head().getLong(0))
+    // txn idempotence through the spec: the replayed epoch is a no-op
+    sink(graft.spec.Config.of("path" -> dir, "partition_by" -> Seq("parity"),
+      "txn_app" -> "etl", "txn_version" -> 7))
+    val n = DeltaLog.readTable(spark, dir).count()
+    sink(graft.spec.Config.of("path" -> dir, "partition_by" -> Seq("parity"),
+      "txn_app" -> "etl", "txn_version" -> 7))
+    assert(DeltaLog.readTable(spark, dir).count() == n)
+    // refusal ladder: half a txn marker, txn on overwrite, unknown mode
+    intercept[graft.GraftAnalysisException] {
+      sink(graft.spec.Config.of("path" -> dir, "txn_app" -> "etl"))
+    }
+    intercept[graft.GraftAnalysisException] {
+      sink(graft.spec.Config.of("path" -> dir, "mode" -> "overwrite",
+        "txn_app" -> "etl", "txn_version" -> 8))
+    }
+    intercept[graft.GraftAnalysisException] {
+      sink(graft.spec.Config.of("path" -> dir, "mode" -> "replace"))
+    }
+  }
 }

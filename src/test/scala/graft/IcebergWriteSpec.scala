@@ -259,4 +259,22 @@ class IcebergWriteSpec extends SparkSuite {
     assert(viaSrc.inputFiles.length == 1)
     assert(viaSrc.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("iceberg sink partition_by + txn (round 18): spec-surface parity") {
+    val dir = freshDir() + "/tbl"
+    val data = docs.withColumn("bucket", (col("doc_id") % 2))
+    def sink(cfg: graft.spec.Config) =
+      graft.sinks.SinkWriter.write(data, graft.spec.SinkSpec("out", "iceberg", cfg))
+    sink(graft.spec.Config.of("path" -> dir, "partition_by" -> Seq("bucket"),
+      "txn_app" -> "etl", "txn_version" -> 3))
+    assert(Iceberg.readTable(spark, dir).count() == 8)
+    // the replayed epoch is a no-op through the spec surface too
+    sink(graft.spec.Config.of("path" -> dir, "partition_by" -> Seq("bucket"),
+      "txn_app" -> "etl", "txn_version" -> 3))
+    assert(Iceberg.readTable(spark, dir).count() == 8)
+    // tuple pruning engages on the sink-written table
+    val pruned = Iceberg.readTable(spark, dir, None, Some(col("bucket") === 1L))
+    assert(pruned.count() == 4)
+    assert(pruned.inputFiles.length < Iceberg.readTable(spark, dir).inputFiles.length)
+  }
 }
