@@ -2865,6 +2865,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // Delta SCHEMA EVOLUTION (round 18): v0 writes a NARROW
+    // generation (doc_id, source — the even ids), v1 merge-appends
+    // the full width (odd ids); the read serves the AUTHORITATIVE
+    // merged schema, null-filling n_chars for the narrow files — a
+    // reader that pins one file's footer schema (the narrow
+    // generation sorts first in the scan list) drops the column and
+    // hash-mismatches.
+    "x_delta_evolve" -> ((s, d) => {
+      val dir = sharedDir("delta_evolve", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-ev")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        graft.ops.DeltaWrite.append(s,
+          data.where(col("doc_id") % 2 === 0).select("doc_id", "source"), dest)
+        graft.ops.DeltaWrite.append(s,
+          data.where(col("doc_id") % 2 === 1), dest, mergeSchema = true)
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Delta VACUUM (round 18): after a dynamic overwrite tombstones
     // the odd partition's originals, vacuum at retention 0 physically
     // reclaims exactly those files — and the current read is
@@ -7355,6 +7379,13 @@ object SparkEntry {
     // streaming iceberg sink: same contract, snapshot-per-epoch
     "x_stream_iceberg_sink" -> """
       SELECT doc_id, source, n_chars FROM documents""",
+
+    // delta schema evolution: the merged schema serves, narrow-file
+    // rows null-fill the evolved-in column
+    "x_delta_evolve" -> """
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+      FROM documents""",
 
     // delta vacuum: reclaim leaves the current state exact (the
     // odd-partition refresh survives, originals are gone from disk)

@@ -1288,7 +1288,23 @@ object DeltaLog {
     def scanName(f: StructField): String =
       if (cmMode == "id") idModeName(f) else physicalName(f)
 
-    val base = spark.read.parquet(resolved.map(_._2): _*)
+    // The log's schemaString is the AUTHORITY over the scan schema
+    // (protocol §Schema): without it, a multi-path parquet read pins
+    // ONE file's footer schema — a table whose files predate a schema
+    // evolution would silently drop the newer columns (or serve the
+    // wrong generation's width, depending on which file the reader
+    // samples). Applying it also null-fills evolved-in columns for
+    // pre-evolution files, exactly the protocol's read semantics.
+    // Column-mapping modes keep the footer path: their scan works in
+    // PHYSICAL names and maps back to logical below.
+    val pcolsSet = snap.partitionColumns.toSet
+    val base = (cmMode, statsSchema) match {
+      case ("none", Some(st)) if st.fields.nonEmpty =>
+        val dataSchema = StructType(
+          st.fields.filterNot(f => pcolsSet(f.name)))
+        spark.read.schema(dataSchema).parquet(resolved.map(_._2): _*)
+      case _ => spark.read.parquet(resolved.map(_._2): _*)
+    }
     val needDv = resolved.exists(_._1.dv.isDefined)
     val pcols = snap.partitionColumns
     var cur: DataFrame = base

@@ -103,11 +103,20 @@ object DeltaWrite {
     * the table has already recorded `appId` at a version ≥ this one,
     * the append is a NO-OP (returns the current table version) — the
     * restart/replay contract a streaming sink needs. Returns the
-    * committed version. */
+    * committed version.
+    *
+    * `mergeSchema = true` (round 18) permits SCHEMA EVOLUTION: new
+    * nullable columns append to the table schema (same-name columns
+    * must keep their types; dropping columns refuses) and the commit
+    * carries the merged metaData — pre-evolution files read back with
+    * the new columns null-filled, because the reader scans under the
+    * log's authoritative schemaString. */
   def append(spark: SparkSession, df: DataFrame, tableDir: String,
       partitionBy: Seq[String] = Seq.empty,
-      txn: Option[(String, Long)] = None): Long =
-    write(spark, df, tableDir, partitionBy, overwriteMode = None, txn = txn)
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long =
+    write(spark, df, tableDir, partitionBy, overwriteMode = None, txn = txn,
+      mergeSchema = mergeSchema)
 
   /** REPLACE write (round 18): the new data and `remove` tombstones
     * for the replaced files land in ONE commit, so readers never see
@@ -121,14 +130,15 @@ object DeltaWrite {
       partitionBy: Seq[String] = Seq.empty, dynamic: Boolean = false): Long = {
     if (dynamic && partitionBy.isEmpty)
       refuse("dynamic partition overwrite needs partition columns")
-    write(spark, df, tableDir, partitionBy, overwriteMode = Some(dynamic), txn = None)
+    write(spark, df, tableDir, partitionBy, overwriteMode = Some(dynamic),
+      txn = None, mergeSchema = false)
   }
 
   /** The shared write core: `overwriteMode` None = append,
     * Some(dynamic) = overwrite. */
   private def write(spark: SparkSession, df: DataFrame, tableDir: String,
       partitionBy: Seq[String], overwriteMode: Option[Boolean],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)], mergeSchema: Boolean = false): Long = {
     val schema = df.schema
     partitionBy.foreach(c => if (!schema.fieldNames.contains(c))
       refuse(s"partition column '$c' is not in the data"))
@@ -141,6 +151,8 @@ object DeltaWrite {
 
     val logDir = s"$tableDir/_delta_log"
     val logEntries = TableIo.list(logDir)
+    // set when THIS commit evolves the table schema (mergeSchema)
+    var evolved: Option[StructType] = None
     val existing: Seq[(Long, String)] =
       logEntries.flatMap(e => DeltaLog.versionOf(e.name).map(_ -> e.name)).sortBy(_._1)
 
@@ -178,10 +190,32 @@ object DeltaWrite {
       }.getOrElse(refuse("existing table has no readable schemaString"))
       val norm = (st: StructType) =>
         st.fields.map(f => (f.name, f.dataType)).toSeq.sortBy(_._1)
-      if (norm(existingSchema) != norm(schema))
-        refuse(s"schema mismatch: table is ${existingSchema.simpleString}, " +
-          s"the write carries ${schema.simpleString}; refusing beats silently " +
-          "writing a diverged table")
+      if (norm(existingSchema) != norm(schema)) {
+        if (!mergeSchema)
+          refuse(s"schema mismatch: table is ${existingSchema.simpleString}, " +
+            s"the write carries ${schema.simpleString}; refusing beats silently " +
+            "writing a diverged table (mergeSchema = true evolves by adding " +
+            "columns)")
+        // SCHEMA EVOLUTION (round 18): add-only — every existing
+        // column must arrive with its existing type; new columns
+        // append. Dropping or retyping silently loses data, so both
+        // refuse.
+        val exByName = existingSchema.fields.map(f => f.name -> f).toMap
+        val dropped = existingSchema.fields.map(_.name)
+          .filterNot(schema.fieldNames.contains)
+        if (dropped.nonEmpty)
+          refuse(s"mergeSchema cannot DROP columns (${dropped.mkString(", ")}); " +
+            "a write missing them would silently null existing data")
+        schema.fields.filter(f => exByName.contains(f.name)).foreach { f =>
+          if (exByName(f.name).dataType != f.dataType)
+            refuse(s"mergeSchema cannot RETYPE column '${f.name}' " +
+              s"(${exByName(f.name).dataType.simpleString} -> " +
+              s"${f.dataType.simpleString})")
+        }
+        val newFields = schema.fields.filterNot(f => exByName.contains(f.name))
+          .map(_.copy(nullable = true))
+        evolved = Some(StructType(existingSchema.fields ++ newFields))
+      }
       Some(snap)
     }
     // application-transaction idempotence: an epoch the table already
@@ -336,7 +370,18 @@ object DeltaWrite {
               ("partitionColumns" -> partitionBy.toList) ~
               ("configuration" -> JObject(Nil)) ~
               ("createdTime" -> now)))))
-         else Seq.empty)
+         else evolved.toSeq.map { ev =>
+          // the evolution commit carries the MERGED metaData — the
+          // replay's last-metaData-wins rule makes it the table schema
+          JsonMethods.compact(JsonMethods.render("metaData" ->
+            (("id" -> snapOpt.get.tableId) ~
+              ("format" -> (("provider" -> "parquet") ~
+                ("options" -> JObject(Nil)))) ~
+              ("schemaString" -> ev.json) ~
+              ("partitionColumns" -> partitionBy.toList) ~
+              ("configuration" -> JObject(snapOpt.get.configuration.toList.map {
+                case (k, v) => k -> (JString(v): JValue) })))))
+        })
 
     // EXCLUSIVE publish via [[TableIo.writeExclusive]] (locally the
     // atomic POSIX hard-link protocol; remotely create-no-overwrite).

@@ -324,6 +324,48 @@ class DeltaWriteSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution (round 18): mergeSchema adds columns; old files null-fill") {
+    val dir = freshDir()
+    val v0 = docs.select("doc_id", "source") // narrow generation
+    DeltaWrite.append(spark, v0.where(col("doc_id") % 2 === 0), dir)
+    // widening append without the flag refuses
+    val e = intercept[graft.GraftAnalysisException] {
+      DeltaWrite.append(spark, docs.where(col("doc_id") % 2 === 1), dir)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    DeltaWrite.append(spark, docs.where(col("doc_id") % 2 === 1), dir,
+      mergeSchema = true)
+    val out = DeltaLog.readTable(spark, dir)
+    // the AUTHORITATIVE schema is the merged one, and the
+    // pre-evolution files' rows null-fill the new column — the
+    // multi-path-footer-pinning trap this order exposes: the narrow
+    // generation sorts FIRST in the scan path list
+    assert(out.columns.toSet == Set("doc_id", "source", "n_chars"))
+    assert(out.where(col("n_chars").isNull).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 4L, 6L, 8L))
+    assert(out.where(col("n_chars").isNotNull).count() == 4)
+    // stats skipping still engages on the evolved column (bounds
+    // exist only for the new generation; old files keep conservatively)
+    val pruned = DeltaLog.readTable(spark, dir, None, Some(col("n_chars") > 0L))
+    assert(pruned.count() == 4)
+    // time travel to the narrow version serves the narrow schema
+    assert(DeltaLog.readTable(spark, dir, Some(0L)).columns.toSet ==
+      Set("doc_id", "source"))
+    // a checkpoint freezes the merged schema; the read survives
+    DeltaWrite.writeCheckpoint(spark, dir)
+    assert(DeltaLog.readTable(spark, dir).where(col("n_chars").isNull).count() == 4)
+    // refusal ladder: retype and drop
+    intercept[graft.GraftAnalysisException] {
+      DeltaWrite.append(spark,
+        docs.withColumn("n_chars", col("n_chars").cast("string")), dir,
+        mergeSchema = true)
+    }
+    intercept[graft.GraftAnalysisException] {
+      DeltaWrite.append(spark, docs.select("doc_id", "n_chars"), dir,
+        mergeSchema = true)
+    }
+  }
+
   test("txn idempotence (round 18): a replayed epoch is a no-op") {
     val dir = freshDir()
     assert(DeltaWrite.append(spark, docs, dir, Seq.empty, Some(("app", 0L))) == 0L)
