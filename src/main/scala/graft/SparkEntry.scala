@@ -3184,6 +3184,28 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"))
     }),
 
+    // Iceberg SCHEMA EVOLUTION (round 18): the x_delta_evolve mirror
+    // — narrow v1 (doc_id, source on evens), merge-append widens
+    // (odds); the read projects the evolved schema, null-filling
+    // n_chars for the narrow generation's files, with fresh field ids
+    // for the added column (IcebergWriteSpec pins the metadata shape).
+    "x_iceberg_evolve" -> ((s, d) => {
+      val dir = sharedDir("iceberg_evolve", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-ib-ev")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        graft.ops.IcebergWrite.append(s,
+          data.where(col("doc_id") % 2 === 0).select("doc_id", "source"), dest)
+        graft.ops.IcebergWrite.append(s,
+          data.where(col("doc_id") % 2 === 1), dest, mergeSchema = true)
+        dest
+      }
+      graft.ops.Iceberg.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Iceberg PRUNED incremental scan (round 18): the per-poll diff
     // composes with the same pruning ladder as the full read — the
     // appended files that cannot hold matching rows never open; the
@@ -7383,6 +7405,12 @@ object SparkEntry {
     // delta schema evolution: the merged schema serves, narrow-file
     // rows null-fill the evolved-in column
     "x_delta_evolve" -> """
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+      FROM documents""",
+
+    // iceberg schema evolution: same contract, field-id projection
+    "x_iceberg_evolve" -> """
       SELECT doc_id, source,
              CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
       FROM documents""",

@@ -137,7 +137,8 @@ object IcebergWrite {
   def append(spark: SparkSession, df: DataFrame, tableDir: String,
       clusterBy: Seq[String] = Seq.empty, numFiles: Int = 0,
       partitionBy: Seq[String] = Seq.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long = {
     val schema = df.schema
     if (schema.fields.isEmpty) refuse("empty schema")
     clusterBy.foreach(c => if (!schema.fieldNames.contains(c))
@@ -188,13 +189,30 @@ object IcebergWrite {
         refuse(s"existing table is format-version ${meta.formatVersion}; this " +
           "writer emits v2 manifests and appending them would silently upgrade " +
           "the table — out of the v1 scope")
-      // schema compat (names + types as sets)
+      // schema compat (names + types as sets); mergeSchema (round 18)
+      // permits ADD-ONLY evolution — the spec's safe subset: new
+      // columns get fresh field ids, existing ids/required flags
+      // carry forward, drops and retypes refuse (both lose data)
       val existingFields = meta.schemaFields.map(f => (f.name, f.tpe)).sorted
       val newFields = schema.fields.map(f =>
         (f.name, icebergTypeOf(f.dataType).get)).toSeq.sorted
-      if (existingFields.nonEmpty && existingFields != newFields)
-        refuse(s"schema mismatch: table has ${existingFields.mkString(",")}, " +
-          s"append carries ${newFields.mkString(",")}")
+      if (existingFields.nonEmpty && existingFields != newFields) {
+        if (!mergeSchema)
+          refuse(s"schema mismatch: table has ${existingFields.mkString(",")}, " +
+            s"append carries ${newFields.mkString(",")} (mergeSchema = true " +
+            "evolves by adding columns)")
+        val exT = meta.schemaFields.map(f => f.name -> f.tpe).toMap
+        val dropped = meta.schemaFields.map(_.name)
+          .filterNot(schema.fieldNames.contains)
+        if (dropped.nonEmpty)
+          refuse(s"mergeSchema cannot DROP columns (${dropped.mkString(", ")})")
+        schema.fields.filter(f => exT.contains(f.name)).foreach { f =>
+          val t = icebergTypeOf(f.dataType).get
+          if (exT(f.name) != t)
+            refuse(s"mergeSchema cannot RETYPE column '${f.name}' " +
+              s"(${exT(f.name)} -> $t)")
+        }
+      }
       meta.schemaFields.filter(_.required) match {
         case Seq() => ()
         case req => refuse(s"existing schema marks ${req.map(_.name).mkString(", ")} " +
@@ -288,13 +306,19 @@ object IcebergWrite {
         if (m.size != p.fields.size)
           refuse("existing schema carries duplicate field names; the name→id " +
             "mapping cannot be reconciled")
-        schema.fields.map(_.name).filterNot(m.contains).toSeq match {
-          case Seq() => m
-          case missing => refuse(s"existing schema has no field id for " +
-            s"${missing.mkString(", ")}; cannot reconcile")
-        }
+        val added = schema.fields.map(_.name).filterNot(m.contains).toSeq
+        if (added.nonEmpty && !mergeSchema)
+          refuse(s"existing schema has no field id for " +
+            s"${added.mkString(", ")}; cannot reconcile")
+        // evolution: fresh ids ABOVE every id ever assigned (the
+        // spec's last-column-id rule — ids are never reused)
+        val base = p.fields.map(_.id).max
+        m ++ added.zipWithIndex.map { case (n, i) => n -> (base + 1 + i) }
       case _ => schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
     }
+    // does THIS append evolve the schema?
+    val evolvedIb: Boolean = prior.exists(p => p.fields.nonEmpty &&
+      schema.fields.exists(f => !p.fields.exists(_.name == f.name)))
 
     // ONE distributed data write. Identity partitioning fans out via
     // COPY columns (`__graft_p_<c>`) so Spark's partitioned writer
@@ -416,8 +440,32 @@ object IcebergWrite {
     // forward VERBATIM from the prior table; fresh tables mint them
     import org.json4s.JsonDSL._
     val now = System.currentTimeMillis()
-    val schemaId = prior.map(_.currentSchemaId).getOrElse(0)
-    val schemasJson: List[JValue] = prior.filter(_.schemasJson.nonEmpty)
+    val priorMaxSchemaId: Int = prior.map(p => p.schemasJson
+      .flatMap(sj => sj \ "schema-id" match {
+        case JInt(v) => Some(v.toInt); case _ => None })
+      .foldLeft(p.currentSchemaId)(math.max)).getOrElse(0)
+    val schemaId =
+      if (evolvedIb) priorMaxSchemaId + 1
+      else prior.map(_.currentSchemaId).getOrElse(0)
+    val schemasJson: List[JValue] =
+      if (evolvedIb) {
+        // a NEW schema document: prior fields verbatim (ids, required,
+        // order), added fields appended with their fresh ids; the
+        // prior schemas stay in the list (the spec keeps history)
+        val pr = prior.get
+        val addedF = schema.fields.toList
+          .filterNot(f => pr.fields.exists(_.name == f.name))
+        val fields = pr.fields.toList.map(f =>
+          (("id" -> f.id) ~ ("name" -> f.name) ~ ("required" -> f.required) ~
+            ("type" -> f.tpe)): JValue) ++
+          addedF.map(f =>
+            (("id" -> fieldId(f.name)) ~ ("name" -> f.name) ~
+              ("required" -> false) ~
+              ("type" -> icebergTypeOf(f.dataType).get)): JValue)
+        pr.schemasJson.toList :+
+          ((("type" -> "struct") ~ ("schema-id" -> schemaId) ~
+            ("fields" -> fields)): JValue)
+      } else prior.filter(_.schemasJson.nonEmpty)
       .map(_.schemasJson.toList).getOrElse {
         val fields = prior.filter(_.fields.nonEmpty).map(_.fields.toList.map(f =>
           (("id" -> f.id) ~ ("name" -> f.name) ~ ("required" -> f.required) ~

@@ -203,7 +203,8 @@ object SinkWriter {
       val txn = txnOf(s, modeMustBe = "append")
       s.config.str("mode").getOrElse("append") match {
         case "append" =>
-          graft.ops.DeltaWrite.append(df.sparkSession, df, path, pb, txn)
+          graft.ops.DeltaWrite.append(df.sparkSession, df, path, pb, txn,
+            mergeSchema = s.config.bool("merge_schema").getOrElse(false))
         case "overwrite" =>
           graft.ops.DeltaWrite.overwrite(df.sparkSession, df, path, pb,
             dynamic = false)
@@ -225,7 +226,8 @@ object SinkWriter {
         s.config.strList("cluster_by"),
         numFiles = s.config.int("num_files").getOrElse(0),
         partitionBy = s.config.strList("partition_by"),
-        txn = txnOf(s, modeMustBe = "append"))
+        txn = txnOf(s, modeMustBe = "append"),
+        mergeSchema = s.config.bool("merge_schema").getOrElse(false))
       ()
 
     case "jdbc" =>

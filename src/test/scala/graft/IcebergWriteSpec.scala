@@ -231,6 +231,51 @@ class IcebergWriteSpec extends SparkSuite {
     assert(incr2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("schema evolution (round 18): mergeSchema adds columns with fresh field ids") {
+    val dir = freshDir()
+    IcebergWrite.append(spark,
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "source"), dir)
+    // widening append without the flag refuses
+    val e = intercept[graft.GraftAnalysisException] {
+      IcebergWrite.append(spark, docs.where(col("doc_id") % 2 === 1), dir)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    IcebergWrite.append(spark, docs.where(col("doc_id") % 2 === 1), dir,
+      mergeSchema = true)
+    val out = Iceberg.readTable(spark, dir)
+    assert(out.columns.toSet == Set("doc_id", "source", "n_chars"))
+    assert(out.where(col("n_chars").isNull).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 4L, 6L, 8L))
+    assert(out.where(col("n_chars").isNotNull).count() == 4)
+    // the metadata carries BOTH schema generations; the new column's
+    // field id is fresh (above every prior id), old ids untouched
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "metadata/v2.metadata.json").toPath), "UTF-8")
+    val jv = org.json4s.jackson.JsonMethods.parse(metaJson)
+    import org.json4s._
+    val schemas = jv \ "schemas" match { case JArray(xs) => xs; case _ => Nil }
+    assert(schemas.size == 2)
+    val curId = jv \ "current-schema-id" match { case JInt(v) => v.toInt; case _ => -1 }
+    val cur = schemas.find(s => (s \ "schema-id") == JInt(curId)).get
+    val ids = (cur \ "fields" match { case JArray(fs) => fs; case _ => Nil })
+      .map(f => ((f \ "name"), (f \ "id"))).collect {
+        case (JString(n), JInt(i)) => n -> i.toInt }.toMap
+    assert(ids("doc_id") == 1 && ids("source") == 2 && ids("n_chars") == 3)
+    // a post-evolution plain append matches the evolved schema
+    IcebergWrite.append(spark, docs.limit(2), dir)
+    assert(Iceberg.readTable(spark, dir).count() == 10)
+    // refusal ladder: retype and drop
+    intercept[graft.GraftAnalysisException] {
+      IcebergWrite.append(spark,
+        docs.withColumn("n_chars", col("n_chars").cast("string")), dir,
+        mergeSchema = true)
+    }
+    intercept[graft.GraftAnalysisException] {
+      IcebergWrite.append(spark, docs.select("doc_id", "n_chars"), dir,
+        mergeSchema = true)
+    }
+  }
+
   test("txn idempotence (round 18): a replayed epoch is a snapshot-summary no-op") {
     val dir = freshDir()
     assert(IcebergWrite.append(spark, docs, dir, txn = Some(("app", 0L))) == 1L)
