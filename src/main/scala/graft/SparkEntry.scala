@@ -2865,6 +2865,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // Delta MERGE (round 18): upsert by doc_id against a 4-file
+    // table — odd ids update (n_chars + 1000), evens re-keyed past
+    // the id space insert; matched files rewrite, unmatched files
+    // keep their add actions (file-targeting pinned in
+    // DeltaWriteSpec's CDF row counts). An engine that dropped a
+    // kept row, double-applied an update, or missed an insert
+    // hash-mismatches.
+    "x_delta_merge" -> ((s, d) => {
+      val dir = sharedDir("delta_merge", d) {
+        val dest = java.nio.file.Files.createTempDirectory("graft-delta-mg")
+          .toFile.getAbsolutePath
+        val data = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        (0 to 3).foreach(i => graft.ops.DeltaWrite.append(s,
+          data.where(pmod(col("doc_id"), lit(4)) === i), dest))
+        val maxId = data.agg(max("doc_id")).head().getLong(0)
+        val src = data.where(col("doc_id") % 2 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .unionByName(data.where(col("doc_id") % 2 === 0)
+            .withColumn("doc_id", col("doc_id") + maxId + 1L))
+        graft.ops.DeltaWrite.merge(s, src, dest, Seq("doc_id"))
+        dest
+      }
+      graft.ops.DeltaLog.readTable(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Delta SCHEMA EVOLUTION (round 18): v0 writes a NARROW
     // generation (doc_id, source — the even ids), v1 merge-appends
     // the full width (odd ids); the read serves the AUTHORITATIVE
@@ -7401,6 +7429,16 @@ object SparkEntry {
     // streaming iceberg sink: same contract, snapshot-per-epoch
     "x_stream_iceberg_sink" -> """
       SELECT doc_id, source, n_chars FROM documents""",
+
+    // delta merge: odds updated, evens re-keyed past the id space
+    // inserted, everything else untouched
+    "x_delta_merge" -> """
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 1 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), source, n_chars
+      FROM documents WHERE doc_id % 2 = 0""",
 
     // delta schema evolution: the merged schema serves, narrow-file
     // rows null-fill the evolved-in column

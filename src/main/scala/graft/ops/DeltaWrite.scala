@@ -134,6 +134,132 @@ object DeltaWrite {
       txn = None, mergeSchema = false)
   }
 
+  /** One row of the staged-write publish: the table-relative path,
+    * its Hive partition values, and the published file's identity. */
+  private final case class Moved(relPath: String,
+      pv: Seq[(String, Option[String])], destPath: String, name: String,
+      size: Long)
+
+  /** Stage `df` as data files under the table root, publish them
+    * under commit-unique names, and build their fully-statted `add`
+    * actions — the shared distributed-write core of [[write]] and
+    * [[merge]]. */
+  private def stageAdds(spark: SparkSession, df: DataFrame,
+      tableDir: String, partitionBy: Seq[String], schema: StructType,
+      now: Long, dataChange: Boolean): (Seq[Moved], Seq[String]) = {
+    // ONE distributed write into a STAGE dir under the table root
+    // (same filesystem as the destination whatever the scheme, so the
+    // per-file publish below is a rename, never a copy); Hive-style
+    // partition layout when partitioned. The dot-prefix keeps any
+    // directory-globbing scan from seeing half-staged files.
+    val stage = s"$tableDir/.graft-stage-${java.util.UUID.randomUUID()}"
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(stage)
+
+    // move part files under the table dir, keeping the key=value dirs;
+    // Spark's part names carry a fresh UUID, so no collision with any
+    // prior commit's files
+    val parts = TableIo.walkRel(stage).filter { r =>
+      val n = r.split('/').last
+      n.startsWith("part-") && n.endsWith(".parquet")
+    }
+    if (parts.isEmpty) refuse("the data write produced no files")
+    val moved: Seq[Moved] = parts.zipWithIndex.map { case (srcRel, idx) =>
+      val dirs = srcRel.split('/').dropRight(1)
+      val pv = dirs.toSeq.map { d =>
+        val i = d.indexOf('=')
+        if (i < 0) refuse(s"unexpected non-partition directory '$d' in the write output")
+        val key = d.substring(0, i)
+        val raw = d.substring(i + 1)
+        // Hive's null-partition marker and %-escaping for specials
+        key -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None
+                else Some(graft.expr.PercentDecodeKernel.decode(raw)))
+      }
+      // a partitioned Spark write reuses ONE task's part name under
+      // every partition dir it writes (part-00000-<uuid>.c000.… under
+      // each key=value/), so the basename alone cannot key the
+      // per-file stats rows below — publish under a name unique
+      // across the whole commit instead (ADVICE r17 #1)
+      val base = srcRel.split('/').last
+      val ext = base.dropWhile(_ != '.') // ".c000.snappy.parquet" etc.
+      val name = f"part-$idx%05d-${java.util.UUID.randomUUID()}$ext"
+      val rel = (dirs :+ name).mkString("/")
+      val destPath = s"$tableDir/$rel"
+      if (dirs.nonEmpty) TableIo.mkdirs(s"$tableDir/${dirs.mkString("/")}")
+      TableIo.rename(s"$stage/$srcRel", destPath)
+      Moved(rel, pv, destPath, name, TableIo.size(destPath))
+    }
+    TableIo.delete(stage, recursive = true)
+
+    // per-file stats: one cluster aggregation over the written files,
+    // grouped by the scan's file path — the stats the data skipper
+    // ([[DeltaLog.readTable]]'s pruneWhere) consumes
+    val pset = partitionBy.toSet
+    val statsCols = schema.fields.toSeq.filterNot(f => pset(f.name))
+      .filter(f => DeltaLog.statsComparable(f.dataType))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__n") +: statsCols.flatMap { f =>
+        Seq(min(col(s"`${f.name}`")).as(s"${f.name}__lo"),
+          max(col(s"`${f.name}`")).as(s"${f.name}__hi"),
+          sum(col(s"`${f.name}`").isNull.cast("long")).as(s"${f.name}__nc"))
+      }
+    val statRows = spark.read.parquet(moved.map(_.destPath): _*)
+      .groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    // basenames are unique across the commit by construction (the
+    // rename above); a missing or ambiguous lookup means the stats
+    // would be attached to the WRONG file — the skipper would then
+    // prune files whose rows match. Refuse, never guess.
+    val statsByName: Map[String, Row] =
+      statRows.map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1) -> r).toMap
+    if (statsByName.size != statRows.length)
+      refuse("per-file stats rows collide by basename; cannot attribute stats safely")
+
+    // a staged part with NO stats row must be genuinely EMPTY (a
+    // shuffle partition that owned no rows — joins/unions produce
+    // them); verify and DROP it rather than publish a zero-row file.
+    // A non-empty file without a stats row is an attribution bug:
+    // refuse, never guess.
+    val (statted, empties) = moved.partition(m => statsByName.contains(m.name))
+    empties.foreach { m =>
+      if (spark.read.parquet(m.destPath).count() != 0L)
+        refuse(s"no stats row for written file '${m.name}'; attaching none " +
+          "(or a wrong one) would let the data skipper prune live rows")
+      TableIo.delete(m.destPath)
+    }
+    if (statted.isEmpty) refuse("the data write produced only empty files")
+
+    def statsJson(fileName: String): String = {
+      val r = statsByName.getOrElse(fileName, refuse(
+        s"no stats row for written file '$fileName'; attaching none (or a " +
+          "wrong one) would let the data skipper prune live rows"))
+      // row layout: __fp(0), __n(1), then (lo, hi, nc) per stats column
+      val mins = JObject(statsCols.zipWithIndex.flatMap { case (f, i) =>
+        boundJson(f.dataType, r.get(2 + 3 * i), roundUp = false).map(f.name -> _) }.toList)
+      val maxs = JObject(statsCols.zipWithIndex.flatMap { case (f, i) =>
+        boundJson(f.dataType, r.get(3 + 3 * i), roundUp = true).map(f.name -> _) }.toList)
+      val ncs = JObject(statsCols.zipWithIndex.map { case (f, i) =>
+        f.name -> JLong(r.getLong(4 + 3 * i)) }.toList)
+      JsonMethods.compact(JsonMethods.render(
+        ("numRecords" -> r.getLong(1)) ~ ("minValues" -> mins) ~
+          ("maxValues" -> maxs) ~ ("nullCount" -> ncs)))
+    }
+
+    val addLines = statted.map { m =>
+      val pvJson = JObject(m.pv.map { case (k, v) =>
+        k -> v.map(JString(_): JValue).getOrElse(JNull) }.toList)
+      val base = ("path" -> percentEncode(m.relPath)) ~
+        ("partitionValues" -> pvJson) ~
+        ("size" -> m.size) ~
+        ("modificationTime" -> now) ~ ("dataChange" -> dataChange)
+      JsonMethods.compact(JsonMethods.render("add" ->
+        (base ~ ("stats" -> statsJson(m.name)))))
+    }
+    (statted, addLines)
+  }
+
   /** The shared write core: `overwriteMode` None = append,
     * Some(dynamic) = overwrite. */
   private def write(spark: SparkSession, df: DataFrame, tableDir: String,
@@ -226,105 +352,9 @@ object DeltaWrite {
     }
     val version: Long = snapOpt.map(_ => existing.last._1 + 1).getOrElse(0L)
 
-    // ONE distributed write into a STAGE dir under the table root
-    // (same filesystem as the destination whatever the scheme, so the
-    // per-file publish below is a rename, never a copy); Hive-style
-    // partition layout when partitioned. The dot-prefix keeps any
-    // directory-globbing scan from seeing half-staged files.
-    val stage = s"$tableDir/.graft-stage-${java.util.UUID.randomUUID()}"
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(stage)
-
-    // move part files under the table dir, keeping the key=value dirs;
-    // Spark's part names carry a fresh UUID, so no collision with any
-    // prior commit's files
-    val parts = TableIo.walkRel(stage).filter { r =>
-      val n = r.split('/').last
-      n.startsWith("part-") && n.endsWith(".parquet")
-    }
-    if (parts.isEmpty) refuse("the data write produced no files")
-    final case class Moved(relPath: String, pv: Seq[(String, Option[String])],
-        destPath: String, name: String, size: Long)
-    val moved: Seq[Moved] = parts.zipWithIndex.map { case (srcRel, idx) =>
-      val dirs = srcRel.split('/').dropRight(1)
-      val pv = dirs.toSeq.map { d =>
-        val i = d.indexOf('=')
-        if (i < 0) refuse(s"unexpected non-partition directory '$d' in the write output")
-        val key = d.substring(0, i)
-        val raw = d.substring(i + 1)
-        // Hive's null-partition marker and %-escaping for specials
-        key -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None
-                else Some(graft.expr.PercentDecodeKernel.decode(raw)))
-      }
-      // a partitioned Spark write reuses ONE task's part name under
-      // every partition dir it writes (part-00000-<uuid>.c000.… under
-      // each key=value/), so the basename alone cannot key the
-      // per-file stats rows below — publish under a name unique
-      // across the whole commit instead (ADVICE r17 #1)
-      val base = srcRel.split('/').last
-      val ext = base.dropWhile(_ != '.') // ".c000.snappy.parquet" etc.
-      val name = f"part-$idx%05d-${java.util.UUID.randomUUID()}$ext"
-      val rel = (dirs :+ name).mkString("/")
-      val destPath = s"$tableDir/$rel"
-      if (dirs.nonEmpty) TableIo.mkdirs(s"$tableDir/${dirs.mkString("/")}")
-      TableIo.rename(s"$stage/$srcRel", destPath)
-      Moved(rel, pv, destPath, name, TableIo.size(destPath))
-    }
-    TableIo.delete(stage, recursive = true)
-
-    // per-file stats: one cluster aggregation over the written files,
-    // grouped by the scan's file path — the stats the data skipper
-    // ([[DeltaLog.readTable]]'s pruneWhere) consumes
-    val pset = partitionBy.toSet
-    val statsCols = schema.fields.toSeq.filterNot(f => pset(f.name))
-      .filter(f => DeltaLog.statsComparable(f.dataType))
-    val aggs: Seq[org.apache.spark.sql.Column] =
-      count(lit(1)).as("__n") +: statsCols.flatMap { f =>
-        Seq(min(col(s"`${f.name}`")).as(s"${f.name}__lo"),
-          max(col(s"`${f.name}`")).as(s"${f.name}__hi"),
-          sum(col(s"`${f.name}`").isNull.cast("long")).as(s"${f.name}__nc"))
-      }
-    val statRows = spark.read.parquet(moved.map(_.destPath): _*)
-      .groupBy(col("_metadata.file_path").as("__fp"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    // basenames are unique across the commit by construction (the
-    // rename above); a missing or ambiguous lookup means the stats
-    // would be attached to the WRONG file — the skipper would then
-    // prune files whose rows match. Refuse, never guess.
-    val statsByName: Map[String, Row] =
-      statRows.map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1) -> r).toMap
-    if (statsByName.size != statRows.length)
-      refuse("per-file stats rows collide by basename; cannot attribute stats safely")
-
-    def statsJson(fileName: String): String = {
-      val r = statsByName.getOrElse(fileName, refuse(
-        s"no stats row for written file '$fileName'; attaching none (or a " +
-          "wrong one) would let the data skipper prune live rows"))
-      // row layout: __fp(0), __n(1), then (lo, hi, nc) per stats column
-      val mins = JObject(statsCols.zipWithIndex.flatMap { case (f, i) =>
-        boundJson(f.dataType, r.get(2 + 3 * i), roundUp = false).map(f.name -> _) }.toList)
-      val maxs = JObject(statsCols.zipWithIndex.flatMap { case (f, i) =>
-        boundJson(f.dataType, r.get(3 + 3 * i), roundUp = true).map(f.name -> _) }.toList)
-      val ncs = JObject(statsCols.zipWithIndex.map { case (f, i) =>
-        f.name -> JLong(r.getLong(4 + 3 * i)) }.toList)
-      JsonMethods.compact(JsonMethods.render(
-        ("numRecords" -> r.getLong(1)) ~ ("minValues" -> mins) ~
-          ("maxValues" -> maxs) ~ ("nullCount" -> ncs)))
-    }
-
     val now = System.currentTimeMillis()
-    val addLines = moved.map { m =>
-      val pvJson = JObject(m.pv.map { case (k, v) =>
-        k -> v.map(JString(_): JValue).getOrElse(JNull) }.toList)
-      val base = ("path" -> percentEncode(m.relPath)) ~
-        ("partitionValues" -> pvJson) ~
-        ("size" -> m.size) ~
-        ("modificationTime" -> now) ~ ("dataChange" -> true)
-      JsonMethods.compact(JsonMethods.render("add" ->
-        (base ~ ("stats" -> statsJson(m.name)))))
-    }
+    val (moved, addLines) = stageAdds(spark, df, tableDir, partitionBy,
+      schema, now, dataChange = true)
     // REPLACE: `remove` tombstones for the displaced files ride the
     // SAME commit as the adds (one atomic version). A tombstone's
     // partition values normalize to present-keys-only (null values
@@ -573,6 +603,130 @@ object DeltaWrite {
         "new table state")
     Some(version)
   }
+
+  /** MERGE / UPSERT BY KEY (round 18): apply `source` to the table —
+    * target rows whose `keys` match a source row are REPLACED by it,
+    * source rows matching nothing are INSERTED, all in ONE commit.
+    * File-targeted, the property that makes MERGE usable at 100 TB:
+    * only the files that actually CONTAIN matched keys rewrite — the
+    * matched-file discovery is a distributed semi-join of the scan
+    * against the source keys, collecting only distinct FILE PATHS
+    * (bounded by the table's file count), and the rewrite reads only
+    * those files, anti-joins the keys out, unions the source, and
+    * stages new files; untouched files keep their add actions.
+    * Adds + removes carry `dataChange = true`, so the change feed
+    * shows the rewritten files' rows as deletes + inserts (the
+    * protocol's synthesis for cdc-less commits).
+    *
+    * Semantics: upsert by PRIMARY KEY — duplicate keys in `source`
+    * refuse (which source row wins would be arbitrary); multiple
+    * target rows under one key are all replaced by the one source
+    * row. v1 scope: unpartitioned tables (partitioned merges need
+    * the partition values re-derived per kept row), same schema, no
+    * column mapping / DVs / reader-v3. Returns the committed
+    * version. */
+  def merge(spark: SparkSession, source: DataFrame, tableDir: String,
+      keys: Seq[String]): Long = {
+    if (keys.isEmpty) refuse("merge needs at least one key column")
+    val schema = source.schema
+    keys.foreach(k => if (!schema.fieldNames.contains(k))
+      refuse(s"merge key '$k' is not in the source"))
+    if (source.isEmpty) refuse("nothing to merge (empty source)")
+    val logDir = s"$tableDir/_delta_log"
+    val existing: Seq[(Long, String)] =
+      TableIo.list(logDir)
+        .flatMap(e => DeltaLog.versionOf(e.name).map(_ -> e.name)).sortBy(_._1)
+    if (existing.isEmpty) refuse(s"no commits under $tableDir/_delta_log")
+    if (existing.map(_._1) != (0L to existing.last._1))
+      refuse("the commit history is not contiguous from version 0; merging " +
+        "against a partial replay would tombstone wrong files")
+    val commits = existing.map { case (v, n) =>
+      v -> TableIo.readString(s"$logDir/$n") }
+    val snap = DeltaLog.snapshotOfE(commits) match {
+      case Right(s) => s
+      case Left(r) => refuse(s"cannot merge into this table: $r")
+    }
+    if (snap.minReaderVersion > 2)
+      refuse("existing table uses reader version 3 (table features); " +
+        "out of the v1 scope")
+    if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+      refuse("existing table uses column mapping; this writer emits plain names")
+    if (snap.files.exists(_.dv.isDefined))
+      refuse("table carries deletion vectors; rewriting DV'd files without " +
+        "applying the vectors would resurrect deleted rows")
+    if (snap.partitionColumns.nonEmpty)
+      refuse("merge into a partitioned table is out of the v1 scope " +
+        "(kept rows would need their partition values re-derived)")
+    val tableSchema = Option(snap.schemaJson).flatMap { js =>
+      try DataType.fromJson(js) match {
+        case st: StructType => Some(st); case _ => None
+      } catch { case _: Exception => None }
+    }.getOrElse(refuse("existing table has no readable schemaString"))
+    val norm = (st: StructType) =>
+      st.fields.map(f => (f.name, f.dataType)).toSeq.sortBy(_._1)
+    if (norm(tableSchema) != norm(schema))
+      refuse(s"schema mismatch: table is ${tableSchema.simpleString}, " +
+        s"the merge source carries ${schema.simpleString}")
+    // duplicate source keys: which row wins would be arbitrary
+    val keyCols = keys.map(k => col(s"`$k`"))
+    val dupRow = source.groupBy(keyCols: _*).count().where(col("count") > 1)
+    if (!dupRow.isEmpty)
+      refuse("the merge source carries duplicate keys; which row wins " +
+        "would be arbitrary — deduplicate upstream")
+
+    // matched-file discovery: distributed semi-join, only FILE PATHS
+    // reach the driver (bounded by the file count)
+    val paths = snap.files.map(f => s"$tableDir/${f.path}")
+    val scan = spark.read.schema(tableSchema).parquet(paths: _*)
+    val srcKeys = source.select(keyCols: _*).distinct()
+    val matchedFps: Seq[String] = scan
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .join(srcKeys, keys, "left_semi")
+      .select("__graft_fp").distinct()
+      .collect().map(_.getString(0)).toSeq
+    // map the scan spelling back to the log's table-relative path
+    val relByForm: Map[String, String] = snap.files.flatMap(f =>
+      keyForms(s"$tableDir/${f.path}").map(_ -> f.path)).toMap
+    val matchedRel: Set[String] = matchedFps.map(fp => relByForm.getOrElse(fp,
+      refuse(s"merge: matched scan path '$fp' did not resolve to a log path"))).toSet
+    val removed = snap.files.filter(f => matchedRel(f.path))
+
+    val now = System.currentTimeMillis()
+    // rewrite = kept rows of the matched files + the whole source
+    val newData = (if (removed.isEmpty) source else {
+      // AQE converts this anti-join to broadcast when the distinct
+      // source keys are small (the common upsert shape) and keeps
+      // sort-merge for a giant source — no forced hint either way
+      val kept = spark.read.schema(tableSchema)
+        .parquet(removed.map(f => s"$tableDir/${f.path}"): _*)
+        .join(srcKeys, keys, "left_anti")
+      kept.unionByName(source)
+    }).select(tableSchema.fieldNames.map(n => col(s"`$n`")): _*)
+    val (_, addLines) = stageAdds(spark, newData, tableDir, Seq.empty,
+      tableSchema, now, dataChange = true)
+    val removeLines = removed.map { f =>
+      JsonMethods.compact(JsonMethods.render("remove" ->
+        (("path" -> percentEncode(f.path)) ~
+          ("deletionTimestamp" -> now) ~ ("dataChange" -> true) ~
+          ("extendedFileMetadata" -> true) ~
+          ("partitionValues" -> JObject(Nil)) ~
+          ("size" -> f.size))))
+    }
+    val commitInfoLine = JsonMethods.compact(JsonMethods.render("commitInfo" ->
+      (("timestamp" -> now) ~ ("operation" -> "MERGE") ~
+        ("operationParameters" -> JObject(List("keys" ->
+          (JString(keys.mkString(",")): JValue)))))))
+    val version = existing.last._1 + 1
+    val bytes = ((commitInfoLine +: addLines) ++ removeLines).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!TableIo.writeExclusive(s"$logDir/" + f"$version%020d.json", bytes))
+      refuse(s"version $version already exists (concurrent writer?); " +
+        "conflict resolution is out of the v1 scope — retry against the " +
+        "new table state")
+    version
+  }
+
+  private def keyForms(p: String): Seq[String] = DeltaLog.keyForms(p)
 
   /** The 64-bit Z-curve key: each column rank-scales linearly into
     * 16 bits by its own min/max over the frame being rewritten, and

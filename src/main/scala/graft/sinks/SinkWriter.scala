@@ -211,9 +211,17 @@ object SinkWriter {
         case "overwrite_dynamic" =>
           graft.ops.DeltaWrite.overwrite(df.sparkSession, df, path, pb,
             dynamic = true)
+        case "merge" =>
+          val keys = s.config.strList("merge_keys")
+          if (keys.isEmpty) throw new GraftAnalysisException(
+            s"sink '${s.name}': mode 'merge' requires merge_keys")
+          if (pb.nonEmpty) throw new GraftAnalysisException(
+            s"sink '${s.name}': merge into a partitioned layout is out of " +
+              "the v1 scope")
+          graft.ops.DeltaWrite.merge(df.sparkSession, df, path, keys)
         case other => throw new GraftAnalysisException(
           s"sink '${s.name}': unknown delta mode '$other' " +
-            "(append, overwrite, overwrite_dynamic)")
+            "(append, overwrite, overwrite_dynamic, merge)")
       }
       ()
 

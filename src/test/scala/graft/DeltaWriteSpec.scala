@@ -324,6 +324,56 @@ class DeltaWriteSpec extends SparkSuite {
     }
   }
 
+  test("merge (round 18): upsert by key, file-targeted rewrite") {
+    val dir = freshDir()
+    // four files, one per quartile of doc_id — the merge source
+    // touches only quartile 2's keys, so only THAT file may rewrite
+    (0 to 3).foreach(q => DeltaWrite.append(spark,
+      docs.where(col("doc_id") % 4 === q).coalesce(1), dir))
+    val source = docs.where(col("doc_id") % 4 === 2) // ids 2, 6: update
+      .withColumn("n_chars", col("n_chars") + 500L)
+      .unionByName(Seq((100L, "new", 999L), (101L, "new", 998L))
+        .toDF("doc_id", "source", "n_chars")) // insert
+    val v = DeltaWrite.merge(spark, source, dir, Seq("doc_id"))
+    assert(v == 4L)
+    val out = DeltaLog.readTable(spark, dir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(out.size == 10)
+    assert(out(2L) == docs.where(col("doc_id") === 2)
+      .select("n_chars").as[Long].head() + 500L)
+    assert(out(100L) == 999L && out(101L) == 998L)
+    assert(out(1L) == docs.where(col("doc_id") === 1)
+      .select("n_chars").as[Long].head()) // untouched
+    // file-targeting: the three unmatched quartile files SURVIVE in
+    // the active set (their add actions were never tombstoned)
+    val ch = DeltaLog.readChanges(spark, dir, 4L, 4L)
+    assert(ch.where(col("_change_type") === "delete").count() == 2) // the rewritten file's rows
+    assert(ch.where(col("_change_type") === "insert").count() == 4) // kept 0 + upserts 2 + new 2
+    // refusal ladder: duplicate source keys, unknown key, partitioned
+    intercept[graft.GraftAnalysisException] {
+      DeltaWrite.merge(spark, source.unionByName(source), dir, Seq("doc_id"))
+    }
+    intercept[graft.GraftAnalysisException] {
+      DeltaWrite.merge(spark, source, dir, Seq("nope"))
+    }
+    val pdir = freshDir()
+    DeltaWrite.append(spark,
+      docs.withColumn("parity", (col("doc_id") % 2).cast("string")),
+      pdir, Seq("parity"))
+    intercept[graft.GraftAnalysisException] {
+      DeltaWrite.merge(spark,
+        docs.withColumn("parity", (col("doc_id") % 2).cast("string")),
+        pdir, Seq("doc_id"))
+    }
+    // insert-only merge (no matches): zero removes, pure append
+    val v2 = DeltaWrite.merge(spark,
+      Seq((200L, "new", 1L)).toDF("doc_id", "source", "n_chars"), dir, Seq("doc_id"))
+    assert(v2 == 5L)
+    assert(DeltaLog.readChanges(spark, dir, 5L, 5L)
+      .where(col("_change_type") === "delete").count() == 0)
+    assert(DeltaLog.readTable(spark, dir).count() == 11)
+  }
+
   test("schema evolution (round 18): mergeSchema adds columns; old files null-fill") {
     val dir = freshDir()
     val v0 = docs.select("doc_id", "source") // narrow generation
