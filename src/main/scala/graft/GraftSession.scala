@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local writes without the chmod fork-per-file of the stock
+      // RawLocalFileSystem on hosts missing libhadoop.so — behavior
+      // otherwise identical (see graft.util.NoForkLocalFs)
+      .config("spark.hadoop.fs.file.impl", classOf[graft.util.NoForkLocalFileSystem].getName)
   }
 
   /** Local session for tests/CLI; on a cluster, pass the real master

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is nanosecond parquet; Spark can't read NANOS natively
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.util.NoForkLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

