@@ -233,14 +233,8 @@ object SparkEntry {
         "aggregations" -> Seq(
           Map("function" -> "count", "as" -> "cnt"),
           Map("field" -> "l_quantity", "function" -> "sum", "exact_decimal" -> 6, "as" -> "sum_qty"))))),
-    // q_agg_filter / q_stats_exact / q_percentile / q_string_agg fan
-    // the single-row-group scan out before aggregating (guide §2.2):
-    // every aggregate below is partitioning-independent (counts,
-    // exact-decimal sums, exact percentile's value-count map, sorted
-    // collect_set), so results are bit-identical; fanOut no-ops at
-    // real data volumes (splits >= cores).
     "q_agg_filter" -> ((s, d) =>
-      graft.ops.Partitioning.fanOut(t(s, d, "lineitem")).groupBy(col("l_returnflag")).agg(
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("cnt"),
         sum(when(col("l_linestatus") === "F", col("l_quantity")).cast("decimal(18,6)"))
           .cast("double").as("qty_f"),
@@ -248,7 +242,7 @@ object SparkEntry {
         sum(when(col("l_shipdate") >= to_timestamp(lit("1997-01-01")), col("l_extendedprice"))
           .cast("decimal(18,6)")).cast("double").as("rev_97plus"))),
     "q_string_agg" -> ((s, d) =>
-      graft.ops.Partitioning.fanOut(t(s, d, "orders")).groupBy(col("o_orderpriority")).agg(
+      t(s, d, "orders").groupBy(col("o_orderpriority")).agg(
         // collect_set is order-nondeterministic; array_sort makes the
         // serialized list canonical on any partitioning
         array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
@@ -261,7 +255,7 @@ object SparkEntry {
     // impossible to hash-match across engines.
     "q_stats_exact" -> ((s, d) => {
       val dec = "decimal(38,6)"
-      val g = graft.ops.Partitioning.fanOut(t(s, d, "lineitem")).groupBy(col("l_returnflag")).agg(
+      val g = t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
         count(col("l_quantity")).as("n"),
         sum(col("l_quantity").cast(dec)).cast("double").as("__sq"),
         sum((col("l_quantity") * col("l_quantity")).cast(dec)).cast("double").as("__sq2"),
@@ -280,7 +274,7 @@ object SparkEntry {
     // to 6 dp — interpolation differs from DuckDB's only in the last
     // couple of ulps, far below the rounding grain
     "q_percentile" -> ((s, d) =>
-      graft.ops.Partitioning.fanOut(t(s, d, "orders")).groupBy(col("o_orderpriority")).agg(
+      t(s, d, "orders").groupBy(col("o_orderpriority")).agg(
         round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
         round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
         round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
@@ -3427,7 +3421,9 @@ object SparkEntry {
     "x_decode_any" -> ((s, d) => {
       val packed = {
         import s.implicits._
-        t(s, d, "documents")
+        // per-row gzip/zstd/xz/… encodes: fan the 1-split scan out so
+        // the pack uses the machine (no-op at real volumes)
+        graft.ops.Partitioning.fanOut(t(s, d, "documents"))
           .select(col("doc_id").cast("long"),
             concat(lit("doc "), col("doc_id"), lit(": "),
               coalesce(col("text"), lit(""))).as("__t"))
@@ -4535,7 +4531,7 @@ object SparkEntry {
     // ==== extensions: event-time windowing + sessionization (batch
     // equivalents of graft.streaming) ====
     "x_events_window" -> ((s, d) =>
-      graft.ops.Partitioning.fanOut(events(s, d))
+      events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
@@ -4880,12 +4876,7 @@ object SparkEntry {
     // both passes are partial-agg-friendly)
     "x_approx" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      // counts branch fans out (exact countDistinct is set-semantics,
-      // HLL registers merge by max — both partitioning-independent);
-      // the percentile branch stays as-scanned: percentile_approx's
-      // sketch IS merge-order-sensitive, and the gate pins its value
-      // through a tolerance the current layout satisfies
-      val counts = graft.ops.Partitioning.fanOut(li).groupBy(col("l_returnflag"))
+      val counts = li.groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
           approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ad"))

@@ -446,14 +446,24 @@ object Dedup {
     val reps = members.groupBy("__fp").agg(min("__id").as("__rid"))
     val repDf = src.join(reps.select(col("__rid")), col(idCol) === col("__rid"), "left_semi")
 
+    // Checkpointed (round-18 optimization): Catalyst shares no
+    // subplans, and `cands` is referenced three times below (both
+    // candIds arms + the verify join) — un-truncated, the ENTIRE
+    // banded pipeline (corpus re-scan, shingle hashing, minhash,
+    // band join) re-executes per reference. Pair surface is bounded
+    // by banding, so the checkpoint is small.
     val cands = minhashCandidates(repDf, idCol, textCol, numHashes, k, bands, seed, maxBucketSize)
+      .localCheckpoint(true)
     // shingle sets only for reps that appear in some candidate pair —
     // the verify step re-tokenizes O(candidates) documents, not O(corpus)
     val candIds = cands.select(col("a_id").as("__cid"))
       .union(cands.select(col("b_id"))).distinct()
+    // checkpointed too: joined twice (a-side, b-side) below, and each
+    // un-truncated reference re-tokenizes every candidate document
     val sets = repDf.join(candIds, col(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("__id"),
         array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__sh"))
+      .localCheckpoint(true)
     val withSets = cands
       .join(sets.withColumnsRenamed(Map("__id" -> "a_id", "__sh" -> "__sha")), "a_id")
       .join(sets.withColumnsRenamed(Map("__id" -> "b_id", "__sh" -> "__shb")), "b_id")
@@ -558,10 +568,16 @@ object Dedup {
       bands: Int = 16, seed: Long = 42L): DataFrame = {
     val l = Partitioning.fanOut(left)
     val r = Partitioning.fanOut(right)
+    // checkpointed (round-18): each side's membership is referenced
+    // by the digest join, the reps aggregate, AND the member fan-out —
+    // un-truncated, every reference re-scans and re-fingerprints the
+    // corpus (the minhashRepPairs `members` rationale)
     val lMembers = l.select(col(leftIdCol).as("__lid"),
       TextAnalysis.fingerprint(col(textCol)).as("__lfp"))
+      .localCheckpoint(true)
     val rMembers = r.select(col(rightIdCol).as("__rid"),
       TextAnalysis.fingerprint(col(textCol)).as("__rfp"))
+      .localCheckpoint(true)
     // verbatim leaks: identical normalized content across the corpora
     val identical = lMembers.join(rMembers, col("__lfp") === col("__rfp"))
       .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
@@ -584,6 +600,9 @@ object Dedup {
       .join(rReps.withColumnsRenamed(Map("__rrid" -> "__rb")), "__rb")
       .where(col("__lfp") =!= col("__rfp"))
       .select("__la", "__rb")
+      // referenced 3x (both semi-joins + the verify join): checkpoint
+      // so the bipartite band join runs once
+      .localCheckpoint(true)
     // exact verify on candidate reps only
     val lSets = lRepDf.join(cands.select(col("__la")).distinct(),
         col(leftIdCol) === col("__la"), "left_semi")
@@ -786,11 +805,14 @@ object Dedup {
       val identical = bFp.join(cFp, col("__bfp") === col("__cfp"))
         .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"),
           lit(1.0).as("jaccard"))
+      // checkpointed — referenced 3x below (both semi-joins + the
+      // verify join); see minhashRepPairs for the subplan rationale
       val cands = bSig.select(col("band"), col("bh"), col("id").as("__bid"), col("fp").as("__bfp"))
         .join(ix.sig.select(col("band"), col("bh"), col("id").as("__cid"), col("fp").as("__cfp")),
           Seq("band", "bh"))
         .where(col("__bfp") =!= col("__cfp")) // verbatim pairs already exact above
         .select("__bid", "__cid").distinct()
+        .localCheckpoint(true)
       val bSets = batch.join(cands.select(col("__bid")).distinct(),
           col(batchIdCol) === col("__bid"), "left_semi")
         .select(col(batchIdCol).as("__bid"),
@@ -824,13 +846,18 @@ object Dedup {
       val repSig = sig.join(reps.select(col("__rid")), col("id") === col("__rid"), "left_semi")
       val a = repSig.select(col("band"), col("bh"), col("id").as("a_id"))
       val b = repSig.select(col("band"), col("bh"), col("id").as("b_id"))
+      // cands/sets checkpointed — see minhashRepPairs: cands is
+      // referenced 3x and sets joined 2x below, and Catalyst would
+      // re-execute the band join / candidate tokenization per use
       val cands = a.join(b, Seq("band", "bh")).where(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
+        .localCheckpoint(true)
       val candIds = cands.select(col("a_id").as("__cid"))
         .union(cands.select(col("b_id"))).distinct()
       val sets = corpus.join(candIds, col(idCol) === col("__cid"), "left_semi")
         .select(col(idCol).as("__sid"),
           array_distinct(TextAnalysis.shingles(col(textCol), ix.k)).as("__sh"))
+        .localCheckpoint(true)
       val repPairs = cands
         .join(sets.withColumnsRenamed(Map("__sid" -> "a_id", "__sh" -> "__sha")), "a_id")
         .join(sets.withColumnsRenamed(Map("__sid" -> "b_id", "__sh" -> "__shb")), "b_id")

@@ -83,27 +83,39 @@ object Kmeans {
     */
   def fit(points: Array[Array[Double]], k: Int, seed: Long,
       maxIter: Int = 10, spherical: Boolean = false, restarts: Int = 4): Array[Array[Double]] = {
+    val rs = math.max(1, restarts)
+    // Restarts are independent (each seeded r-distinctly), so they run
+    // in PARALLEL on the driver; the winner is then picked by a SERIAL
+    // scan with the same strict-< tie-break as the old sequential
+    // loop, so the chosen centroids are bit-identical — this is a
+    // wall-clock change only. (Training samples are bounded by
+    // construction, so this is driver-local CPU, not cluster work.)
+    val cands = new Array[Array[Array[Double]]](rs)
+    val inertias = new Array[Double](rs)
+    def runOne(r: Int): Unit = {
+      val cand = fitOnce(points, k, seed + 1000003L * r, maxIter, spherical)
+      var s = 0.0; var i = 0
+      while (i < points.length) {
+        var bd = Double.MaxValue; var j = 0
+        while (j < k) {
+          var d = 0.0; var t = 0
+          val p = points(i); val c = cand(j)
+          while (t < p.length) { val x = p(t) - c(t); d += x * x; t += 1 }
+          if (d < bd) bd = d
+          j += 1
+        }
+        s += bd; i += 1
+      }
+      cands(r) = cand; inertias(r) = s
+    }
+    if (rs > 1 && points.length * k > 4096)
+      java.util.stream.IntStream.range(0, rs).parallel().forEach(runOne(_))
+    else { var r = 0; while (r < rs) { runOne(r); r += 1 } }
     var best: Array[Array[Double]] = null
     var bestInertia = Double.MaxValue
     var r = 0
-    while (r < math.max(1, restarts)) {
-      val cand = fitOnce(points, k, seed + 1000003L * r, maxIter, spherical)
-      val inertia = {
-        var s = 0.0; var i = 0
-        while (i < points.length) {
-          var bd = Double.MaxValue; var j = 0
-          while (j < k) {
-            var d = 0.0; var t = 0
-            val p = points(i); val c = cand(j)
-            while (t < p.length) { val x = p(t) - c(t); d += x * x; t += 1 }
-            if (d < bd) bd = d
-            j += 1
-          }
-          s += bd; i += 1
-        }
-        s
-      }
-      if (inertia < bestInertia) { bestInertia = inertia; best = cand }
+    while (r < rs) {
+      if (inertias(r) < bestInertia) { bestInertia = inertias(r); best = cands(r) }
       r += 1
     }
     best

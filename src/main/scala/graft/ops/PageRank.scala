@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: pure DataFrame joins + aggregations per iteration —
   * no driver-side graph, no adjacency matrices: edges shuffle by src
   * once per iteration, ranks are (node, rank) rows, and each
-  * iteration ends in `localCheckpoint(eager)` so the lineage stays
+  * iteration ends in a LAZY `localCheckpoint` so the lineage stays
   * flat (the [[Components]] discipline) while edges/degrees are
-  * checkpointed once up front. The only driver scalars are the node
-  * count and the per-iteration dangling mass (single-row aggregates).
+  * checkpointed once up front — lazy because the NEXT driver action
+  * (the node count for edges/nodes, the following iteration's
+  * dangling-mass aggregate for deg/ranks, the caller's action for the
+  * last iteration) materializes each frame anyway, so an eager
+  * checkpoint would run one redundant job per frame. The only driver
+  * scalars are the node count and the per-iteration dangling mass
+  * (single-row aggregates).
   *
   * Semantics (the standard corrected iteration, mass-conserving):
   * edges deduplicate (adjacency, not multigraph); out-degree d(u);
@@ -34,14 +39,14 @@ object PageRank {
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("rank", lit(0.0))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(false)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     var i = 0
     while (i < iters) {
@@ -57,7 +62,7 @@ object PageRank {
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm / n))).as("rank"))
-        .localCheckpoint(true) // flat lineage per iteration
+        .localCheckpoint(false) // flat lineage per iteration (materialized by the next dm aggregate)
       i += 1
     }
     ranks

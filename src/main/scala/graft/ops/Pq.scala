@@ -225,10 +225,14 @@ object Pq {
       m: Int, ksub: Int, seed: Long, maxIter: Int): PqModel = {
     val dsub = dim / m
     val restarts = if (ksub <= 32) 8 else 2
-    val centroids = (0 until m).map { j =>
+    // the m subspace fits are independent (seed + j each): run them in
+    // parallel on the driver — per-subspace arithmetic is unchanged,
+    // so every codebook is bit-identical to the sequential loop's
+    val centroids = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
       val sub = sample.map(p => java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub))
-      Kmeans.fit(sub, ksub, seed + j, maxIter, restarts = restarts)
-    }.toArray
+      centroids(j) = Kmeans.fit(sub, ksub, seed + j, maxIter, restarts = restarts)
+    }
     val norms2 = centroids.map(_.map(c => c.map(x => x * x).sum))
     PqModel(m, ksub, dsub, centroids, norms2)
   }

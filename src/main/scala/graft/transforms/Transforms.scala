@@ -7,7 +7,6 @@ import org.apache.spark.sql.types._
 import org.json4s._
 
 import graft.GraftAnalysisException
-import graft.ops.Partitioning
 import graft.spec.{Config, TransformSpec}
 
 /** The transform operator set: each op is `(DataFrame, Config, ctx) =>
@@ -1250,17 +1249,16 @@ object AggregateOp {
     val grouping = cfg.str("grouping").getOrElse("groupby")
     val aggSpecs: Seq[Config] =
       if (cfg.objList("aggregations").nonEmpty) cfg.objList("aggregations") else Seq(cfg)
-    // Parallelism guard (guide §2.2/§6.1): a single-row-group parquet
-    // file scans as ONE task, so the partial aggregation — where all
-    // the work of an aggregate happens — runs serial however many
-    // cores the session has. Fan the scan out first, but ONLY when
-    // every aggregate re-aggregates identically under any row-to-
-    // partition assignment (counts, min/max, exact-decimal sum/avg,
-    // exact count_distinct, HLL register-max) — a float sum or
-    // first/last would change results with partitioning. fanOut is a
-    // no-op whenever the scan already has >= defaultParallelism
-    // splits, i.e. always at real data volumes.
-    val src = if (aggSpecs.forall(orderIndependent)) Partitioning.fanOut(df) else df
+    // NOTE (optimization round 18): fanning an under-split scan out
+    // before the aggregate was tried here and REJECTED by same-window
+    // alternating A/B (graft.AbAgg): a keyless repartition pays a
+    // local sort of every row before the exchange (SPARK-23207, guide
+    // §2.5) and map-side partial aggregation already reduces the
+    // shuffle to ~|groups| rows, so "aggregate before you shuffle"
+    // (guide §2.3) wins even when the scan is a single task — plain
+    // 0.7-1.0 s vs fanned 1.0-2.4 s across three aggregate shapes at
+    // sf0.1.
+    val src = df
     if ((grouping == "rollup" || grouping == "cube") && groupBy.nonEmpty
         && aggSpecs.forall(decomposable))
       return hierarchical(src, groupBy, grouping, aggSpecs)
@@ -1272,20 +1270,6 @@ object AggregateOp {
     }
     grouped.agg(aggCols.head, aggCols.tail: _*)
   }
-
-  /** Aggregates whose RESULT is provably identical under any
-    * partitioning of the input rows — the safety condition for the
-    * fanOut above. Strictly wider than [[decomposable]]: adds exact
-    * count_distinct (set semantics) and HLL approx_count_distinct
-    * (per-register max is associative+commutative); still excludes
-    * float sum/avg/stddev (fp addition non-associative), first/last
-    * (order-defined), and percentile_approx (merge-order-sensitive
-    * sketch). */
-  private def orderIndependent(a: Config): Boolean =
-    decomposable(a) || (a.str("function").getOrElse("count") match {
-      case "count_distinct" | "approx_count_distinct" | "collect_set_size" => true
-      case _ => false
-    })
 
   /** Aggregates whose partials re-aggregate exactly: counts, min/max,
     * and DECIMAL-exact sum/avg (decimal addition is associative —
