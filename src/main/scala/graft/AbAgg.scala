@@ -43,6 +43,30 @@ object AbAgg {
       ("pct-orders", "orders", pct), ("stragg-orders", "orders", sagg),
       ("agg-lineitem", "lineitem", liAgg))
 
+    // join-strategy experiment (guide §3.1): default sort-merge vs
+    // preferSortMergeJoin=false (planner may pick shuffled-hash) on
+    // the self-join multikey shape — conf via cloned session
+    if (sys.env.get("SPARK_GRAFT_AB").contains("join")) {
+      import org.apache.spark.sql.graftbridge.SessionBridge
+      def li = spark.read.parquet(s"$d/lineitem.parquet")
+      def mk(df: DataFrame): DataFrame = {
+        val l = df.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val r = df.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("r_price"))
+        l.join(r, Seq("l_orderkey", "l_linenumber"))
+      }
+      def shj(dfq: DataFrame): DataFrame = SessionBridge.withConfOverrides(dfq,
+        Map("spark.sql.join.preferSortMergeJoin" -> "false"))
+      noop(mk(li)); noop(shj(mk(li)))
+      var a = 0.0; var b = 0.0
+      (1 to 5).foreach { r =>
+        val p = time(noop(mk(li))); val f = time(noop(shj(mk(li))))
+        a += p; b += f
+        println(f"join-multikey round $r  smj $p%.3f  shj-allowed $f%.3f")
+      }
+      println(f"join-multikey MEAN  smj ${a / 5}%.3f  shj-allowed ${b / 5}%.3f")
+      spark.stop(); return
+    }
+
     experiments.foreach { case (name, table, q) =>
       def plain = spark.read.parquet(s"$d/$table.parquet")
       val key = if (table == "orders") "o_orderkey" else "l_orderkey"

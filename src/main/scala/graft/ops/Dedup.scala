@@ -81,11 +81,15 @@ object Dedup {
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
     require(minDf >= 2, s"dedupLines: minDf must be >= 2, got $minDf")
+    // thin (id, pos, digest) rows, referenced by the frequency
+    // aggregate AND the removal join: checkpoint so the explode+md5
+    // pass over the corpus runs once (subplan rationale as above)
     val lines = Partitioning.fanOut(df)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
       .filter(trim(col("__line")) =!= "")
       .select(col("__id"), col("__pos"), md5(trim(col("__line"))).as("__dg"))
+      .localCheckpoint(true)
     val frequent = lines.groupBy(col("__dg"))
       .agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") >= minDf)
@@ -127,6 +131,7 @@ object Dedup {
     val sents = Sentences.split(Partitioning.fanOut(df), idCol, textCol)
       .select(col("id").as("__id"), col("seq").as("__pos"),
         md5(col("sentence")).as("__dg"))
+      .localCheckpoint(true) // referenced twice — see dedupLines
     val frequent = sents.groupBy(col("__dg"))
       .agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") >= minDf)
@@ -198,8 +203,15 @@ object Dedup {
       k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 2, s"dedupSpans: k must be >= 2, got $k")
     require(minCount >= 2, s"dedupSpans: minCount must be >= 2, got $minCount")
+    // checkpointed (round-18): referenced by the prefix-digest pass,
+    // the candidate-window pass AND the final rebuild join — without
+    // truncation each reference re-scans and re-tokenizes the corpus
+    // (Catalyst shares no subplans). Token arrays are corpus-sized, so
+    // this trades one localCheckpoint write (memory-and-disk) for two
+    // full tokenize passes.
     val toked = Partitioning.fanOut(df)
       .select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(true)
     val occ = toked
       .select(col("__id"), explode(when(size(col("__toks")) >= k,
           transform(sequence(lit(0), size(col("__toks")) - k),
@@ -262,8 +274,15 @@ object Dedup {
     require(minLen >= 2, s"exactSubstrCut: minLen must be >= 2, got $minLen")
     require(prefilterK >= 2 && prefilterK <= minLen,
       s"exactSubstrCut: prefilterK must be in [2, minLen], got $prefilterK")
+    // checkpointed (round-18): referenced by the prefix-digest pass,
+    // the candidate-window pass AND the final rebuild join — without
+    // truncation each reference re-scans and re-tokenizes the corpus
+    // (Catalyst shares no subplans). Token arrays are corpus-sized, so
+    // this trades one localCheckpoint write (memory-and-disk) for two
+    // full tokenize passes.
     val toked = Partitioning.fanOut(df)
       .select(col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(true)
     // stage 1: cheap k-token prefix digests at every position that can
     // start a full minLen window
     val kpos = toked
@@ -939,7 +958,12 @@ object Dedup {
     // every band collides, so rep-level results ARE member-level
     // results); signature piles then cost O(pairs out), not a banded
     // join explosion
+    // checkpointed: `sig` is typically a full signature computation
+    // (explode + 64 majority-vote sums) and members is referenced by
+    // the rep derivation AND both member fan-out sides — truncation
+    // makes the signature pass run once
     val members = sig.select(col(idCol).as("__id"), col("simhash"))
+      .localCheckpoint(true)
     val reps = members.groupBy("simhash").agg(min("__id").as("__rid"))
     val chunks = (0 until bands).map(i =>
       shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)))
@@ -950,9 +974,10 @@ object Dedup {
       else banded.join(
         banded.groupBy("__band", "__chunk").count().where(col("count") > maxBucketSize),
         Seq("__band", "__chunk"), "left_anti")
-    val a = capped.select(col("__band"), col("__chunk"),
+    val cappedCk = capped.localCheckpoint(true) // joined twice below
+    val a = cappedCk.select(col("__band"), col("__chunk"),
       col("__id").as("a_id"), col("simhash").as("__sa"))
-    val b = capped.select(col("__band"), col("__chunk"),
+    val b = cappedCk.select(col("__band"), col("__chunk"),
       col("__id").as("b_id"), col("simhash").as("__sb"))
     val repPairs = a.join(b, Seq("__band", "__chunk")).where(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
